@@ -1,0 +1,93 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+
+/** As-of and range joins — operators Spark SQL lacks natively.
+  *
+  * As-of is implemented as the scalable union+window composition: tag
+  * both sides, union, one shuffle on the join key, and carry the most
+  * recent right-side value forward with `last(..., ignoreNulls)` over
+  * an ordered frame. This is linear in input size — unlike the naive
+  * inequality join + rank, which materializes every (event, earlier
+  * order) pair before pruning and explodes at 100 TB.
+  *
+  * The range (band) self-join buckets event time so the physical plan
+  * is an equality join on (key, bucket) — candidates are only
+  * adjacent-bucket pairs, then the exact predicate filters. No
+  * cartesian, no inequality-join fallback (a BroadcastNestedLoopJoin
+  * here would be quadratic per key at scale).
+  */
+object AsOf {
+
+  /** q11: for each event (with its timestamp mapped into the orders
+    * era so matches are non-degenerate), the latest order of that
+    * user at-or-before the event time.
+    */
+  def asOfJoin(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.events(spark, dir)
+      .withColumn("ts2", expr("timestampadd(DAY, CAST(event_id % 2400 AS INT), TIMESTAMP '1995-01-01 00:00:00')"))
+      .select($"user_id".as("key"), $"ts2".as("t"),
+        lit(1).as("is_event"), $"event_id",
+        lit(null).cast("timestamp").as("odate"))
+    val ord = Tables.orders(spark, dir)
+      .select($"o_custkey".as("key"), $"o_orderdate".as("t"),
+        lit(0).as("is_event"), lit(null).cast("long").as("event_id"),
+        $"o_orderdate".as("odate"))
+    // orders sort before events at equal t, so `>=` as-of semantics hold
+    val w = Window.partitionBy($"key").orderBy($"t", $"is_event")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    ord.unionByName(ev)
+      .withColumn("matched", last($"odate", ignoreNulls = true).over(w))
+      .filter($"is_event" === 1 && $"matched".isNotNull)
+      .select($"event_id", $"key".as("user_id"),
+        date_format($"t", "yyyy-MM-dd").as("event_day"),
+        date_format($"matched", "yyyy-MM-dd").as("order_day"))
+      .orderBy($"event_id")
+  }
+
+  val asOfSql: String =
+    """SELECT e.event_id, e.user_id,
+      |  strftime(e.ts2, '%Y-%m-%d') AS event_day,
+      |  strftime(o.o_orderdate, '%Y-%m-%d') AS order_day
+      |FROM (SELECT event_id, user_id,
+      |        TIMESTAMP '1995-01-01 00:00:00' + (event_id % 2400) * INTERVAL 1 DAY AS ts2
+      |      FROM events) e
+      |ASOF JOIN orders o
+      |  ON e.user_id = o.o_custkey AND e.ts2 >= o.o_orderdate
+      |ORDER BY e.event_id""".stripMargin
+
+  /** q12: band self-join — pairs of events of the same user within
+    * (0, 5 min], counted per user, via time-bucketed equality join.
+    */
+  def rangeJoin(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val bucketUs = 300L * 1000000L // 5 min in microseconds
+    val ev = Tables.events(spark, dir)
+      .select($"user_id", unix_micros($"ts").as("tus"))
+    // left emits its own bucket and the next; right keyed by its bucket.
+    val left = ev.withColumn("bkt",
+        explode(array(floor($"tus" / bucketUs).cast("long"),
+          (floor($"tus" / bucketUs) + 1).cast("long"))))
+      .select($"user_id", $"tus".as("t_a"), $"bkt")
+    val right = ev.select($"user_id", $"tus".as("t_b"),
+      floor($"tus" / bucketUs).cast("long").as("bkt"))
+    left.join(right, Seq("user_id", "bkt"))
+      .filter($"t_b" > $"t_a" && $"t_b" <= $"t_a" + bucketUs)
+      .groupBy($"user_id")
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy($"user_id")
+  }
+
+  val rangeSql: String =
+    """SELECT a.user_id, count(*) AS n_pairs
+      |FROM events a JOIN events b
+      |  ON b.user_id = a.user_id
+      | AND b.ts > a.ts
+      | AND b.ts <= a.ts + INTERVAL 5 MINUTE
+      |GROUP BY a.user_id
+      |ORDER BY a.user_id""".stripMargin
+}

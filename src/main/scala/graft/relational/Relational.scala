@@ -1,0 +1,231 @@
+package graft.relational
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+import graft.Tables.ts
+import graft.functions.Stable
+
+/** Relational/analytic core: TPC-H-shaped queries over the testdata
+  * star schema. Capabilities mirrored from the reference's data
+  * handling (slicing, merging, grouping — /root/reference/main.py)
+  * generalized to the full relational surface a Spark engine offers.
+  *
+  * Scale notes (100 TB posture):
+  *  - dimension tables (region/nation/customer/supplier/part) are
+  *    broadcast — fact-table scans never shuffle for them;
+  *  - aggregates are partial (map-side combine) by construction;
+  *  - every floating aggregate goes through [[graft.functions.Stable]]
+  *    (per-row integerize, exact BIGINT sum, divide back) so results
+  *    are bitwise deterministic regardless of accumulation order.
+  */
+object Relational {
+
+  /** q1: pricing-summary multi-aggregate group-by (TPC-H Q1 shape). */
+  def q1(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.lineitem(spark, dir)
+      .filter($"l_shipdate" <= lit(ts("2000-09-02")))
+      .groupBy($"l_returnflag", $"l_linestatus")
+      .agg(
+        sum(round($"l_quantity").cast("long")).as("sum_qty"),
+        Stable.dsum($"l_extendedprice", 2).as("sum_base_price"),
+        Stable.dsum($"l_extendedprice" * (lit(1.0) - $"l_discount"), 4).as("sum_disc_price"),
+        Stable.dsum($"l_extendedprice" * (lit(1.0) - $"l_discount") * (lit(1.0) + $"l_tax"), 6).as("sum_charge"),
+        Stable.davg($"l_quantity", 2).as("avg_qty"),
+        Stable.davg($"l_extendedprice", 2).as("avg_price"),
+        Stable.davg($"l_discount", 2).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy($"l_returnflag", $"l_linestatus")
+  }
+
+  val q1Sql: String =
+    s"""SELECT l_returnflag, l_linestatus,
+      |  CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty,
+      |  ${Stable.sumSql("l_extendedprice", 2)} AS sum_base_price,
+      |  ${Stable.sumSql("l_extendedprice * (1.0 - l_discount)", 4)} AS sum_disc_price,
+      |  ${Stable.sumSql("l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)", 6)} AS sum_charge,
+      |  ${Stable.avgSql("l_quantity", 2)} AS avg_qty,
+      |  ${Stable.avgSql("l_extendedprice", 2)} AS avg_price,
+      |  ${Stable.avgSql("l_discount", 2)} AS avg_disc,
+      |  count(*) AS count_order
+      |FROM lineitem
+      |WHERE l_shipdate <= TIMESTAMP '2000-09-02 00:00:00'
+      |GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  /** q3: shipping-priority — 3-way join, agg, top-10. Customer is a
+    * broadcast dim; orders/lineitem join shuffles on the order key.
+    */
+  def q3(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cutoff = lit(ts("1998-03-15"))
+    val cust = Tables.customer(spark, dir).filter($"c_mktsegment" === "BUILDING")
+    val ord = Tables.orders(spark, dir).filter($"o_orderdate" < cutoff)
+    val li = Tables.lineitem(spark, dir).filter($"l_shipdate" > cutoff)
+    li.join(ord, $"l_orderkey" === $"o_orderkey")
+      .join(broadcast(cust), $"o_custkey" === $"c_custkey")
+      .groupBy($"l_orderkey", $"o_orderdate", $"o_orderpriority")
+      .agg(Stable.dsum($"l_extendedprice" * (lit(1.0) - $"l_discount"), 4).as("revenue"))
+      .select($"l_orderkey", $"revenue",
+        date_format($"o_orderdate", "yyyy-MM-dd").as("orderdate"), $"o_orderpriority")
+      .orderBy($"revenue".desc, $"l_orderkey")
+      .limit(10)
+  }
+
+  val q3Sql: String =
+    s"""SELECT l_orderkey,
+      |  ${Stable.sumSql("l_extendedprice * (1.0 - l_discount)", 4)} AS revenue,
+      |  strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+      |  o_orderpriority
+      |FROM customer JOIN orders ON c_custkey = o_custkey
+      |  JOIN lineitem ON l_orderkey = o_orderkey
+      |WHERE c_mktsegment = 'BUILDING'
+      |  AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+      |  AND l_shipdate  > TIMESTAMP '1998-03-15 00:00:00'
+      |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+      |ORDER BY revenue DESC, l_orderkey
+      |LIMIT 10""".stripMargin
+
+  /** q5: star join across all six relational tables with broadcast
+    * dimensions (TPC-H Q5 shape, region/nation/customer/supplier dims).
+    */
+  def q5(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val region = Tables.region(spark, dir)
+    val nation = Tables.nation(spark, dir)
+    val cust = Tables.customer(spark, dir)
+    val supp = Tables.supplier(spark, dir)
+    val ord = Tables.orders(spark, dir)
+      .filter($"o_orderdate" >= lit(ts("1996-01-01")) && $"o_orderdate" < lit(ts("1998-01-01")))
+    val li = Tables.lineitem(spark, dir)
+    li.join(ord, $"l_orderkey" === $"o_orderkey")
+      .join(broadcast(supp), $"l_suppkey" === $"s_suppkey")
+      .join(broadcast(cust), $"o_custkey" === $"c_custkey" && $"c_nationkey" === $"s_nationkey")
+      .join(broadcast(nation), $"c_nationkey" === $"n_nationkey")
+      .join(broadcast(region), $"n_regionkey" === $"r_regionkey")
+      .groupBy($"n_name")
+      .agg(Stable.dsum($"l_extendedprice" * (lit(1.0) - $"l_discount"), 4).as("revenue"))
+      .orderBy($"revenue".desc, $"n_name")
+  }
+
+  val q5Sql: String =
+    s"""SELECT n_name,
+      |  ${Stable.sumSql("l_extendedprice * (1.0 - l_discount)", 4)} AS revenue
+      |FROM customer
+      |  JOIN orders   ON o_custkey = c_custkey
+      |  JOIN lineitem ON l_orderkey = o_orderkey
+      |  JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      |  JOIN nation   ON c_nationkey = n_nationkey
+      |  JOIN region   ON n_regionkey = r_regionkey
+      |WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |  AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+      |GROUP BY n_name
+      |ORDER BY revenue DESC, n_name""".stripMargin
+
+  /** q6: selective filter + scalar aggregate — the predicate-pushdown
+    * showcase: all three filters reach the parquet scan.
+    */
+  def q6(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.lineitem(spark, dir)
+      .filter($"l_shipdate" >= lit(ts("1996-01-01")) && $"l_shipdate" < lit(ts("1997-01-01")))
+      .filter($"l_discount".between(0.03, 0.07) && $"l_quantity" < 25)
+      .agg(Stable.dsum($"l_extendedprice" * $"l_discount", 4).as("revenue"),
+        count(lit(1)).as("n_rows"))
+  }
+
+  val q6Sql: String =
+    s"""SELECT ${Stable.sumSql("l_extendedprice * l_discount", 4)} AS revenue,
+      |  count(*) AS n_rows
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |  AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+      |  AND l_discount BETWEEN 0.03 AND 0.07
+      |  AND l_quantity < 25""".stripMargin
+
+  /** q7: EXISTS / NOT EXISTS via native left-semi and left-anti joins,
+    * merged on the group key.
+    */
+  def q7(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cust = Tables.customer(spark, dir)
+    val ordKeys = Tables.orders(spark, dir).select($"o_custkey")
+    val withOrders = cust.join(ordKeys, $"c_custkey" === $"o_custkey", "left_semi")
+      .groupBy($"c_nationkey").agg(count(lit(1)).as("n_with"))
+    val withoutOrders = cust.join(ordKeys, $"c_custkey" === $"o_custkey", "left_anti")
+      .groupBy($"c_nationkey").agg(count(lit(1)).as("n_without"))
+    withOrders.join(withoutOrders, Seq("c_nationkey"), "full_outer")
+      .na.fill(0L, Seq("n_with", "n_without"))
+      .orderBy($"c_nationkey")
+  }
+
+  val q7Sql: String =
+    """SELECT c_nationkey,
+      |  count(*) FILTER (WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)) AS n_with,
+      |  count(*) FILTER (WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)) AS n_without
+      |FROM customer
+      |GROUP BY c_nationkey
+      |ORDER BY c_nationkey""".stripMargin
+
+  /** q8: hierarchical ROLLUP aggregate over orders. */
+  def q8(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.orders(spark, dir)
+      .rollup($"o_orderstatus", $"o_orderpriority")
+      .agg(count(lit(1)).as("n_orders"),
+        Stable.dsum($"o_totalprice", 2).as("total_price"))
+      .orderBy(asc_nulls_first("o_orderstatus"), asc_nulls_first("o_orderpriority"))
+  }
+
+  val q8Sql: String =
+    s"""SELECT o_orderstatus, o_orderpriority,
+      |  count(*) AS n_orders,
+      |  ${Stable.sumSql("o_totalprice", 2)} AS total_price
+      |FROM orders
+      |GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+      |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin
+
+  /** q9: running windowed analytics per customer — one shuffle on the
+    * partition key, ordered frame with a deterministic tie-break.
+    */
+  def q9(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"o_custkey").orderBy($"o_orderdate", $"o_orderkey")
+    Tables.orders(spark, dir)
+      .withColumn("rn", row_number().over(w))
+      .withColumn("running_total",
+        (sum(round($"o_totalprice" * 100).cast("long"))
+          .over(w.rowsBetween(Window.unboundedPreceding, 0)) / 100.0))
+      .select($"o_custkey", $"o_orderkey", $"rn", $"running_total")
+      .orderBy($"o_custkey", $"rn")
+  }
+
+  val q9Sql: String =
+    """SELECT o_custkey, o_orderkey,
+      |  row_number() OVER w AS rn,
+      |  sum(CAST(round(o_totalprice * 100.0) AS BIGINT)) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) / 100.0 AS running_total
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+      |ORDER BY o_custkey, rn""".stripMargin
+
+  /** q10: top-k per group via ranked window + filter. */
+  def q10(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"p_brand").orderBy($"p_retailprice".desc, $"p_partkey")
+    Tables.part(spark, dir)
+      .withColumn("rnk", row_number().over(w))
+      .filter($"rnk" <= 3)
+      .select($"p_brand", $"rnk", $"p_partkey", round($"p_retailprice", 2).as("price"))
+      .orderBy($"p_brand", $"rnk")
+  }
+
+  val q10Sql: String =
+    """SELECT p_brand, rnk, p_partkey, price FROM (
+      |  SELECT p_brand, p_partkey, round(p_retailprice, 2) AS price,
+      |    row_number() OVER (PARTITION BY p_brand ORDER BY p_retailprice DESC, p_partkey) AS rnk
+      |  FROM part)
+      |WHERE rnk <= 3
+      |ORDER BY p_brand, rnk""".stripMargin
+}
