@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.relational.Relational
-import graft.operators.{AsOf, EventWindows}
+import graft.operators.{AsOf, EventWindows, Weather}
 
 /** Driver contract — see /root/repo/SURVEY.md §2 for the inventory.
   * Every implemented operator has a `queries` entry; SQL-expressible
@@ -30,6 +30,20 @@ object SparkEntry {
     "e1_tumbling" -> (EventWindows.tumbling _),
     "e2_sliding" -> (EventWindows.sliding _),
     "e3_sessionize" -> (EventWindows.sessionize _),
+    "w1_wind_speed" -> (Weather.w1 _),
+    "w2_solar_cza" -> (Weather.w2 _),
+    "w3_erbs" -> (Weather.w3 _),
+    "w4_mrt" -> (Weather.w4 _),
+    "w5_vapor_pressure" -> (Weather.w5 _),
+    "w6_utci" -> (Weather.w6 _),
+    "w7_wbgt" -> (Weather.w7 _),
+    "w8_encode" -> (Weather.w8 _),
+    "w9_forecast_merge" -> (Weather.w9 _),
+    "w10_near_land" -> (Weather.w10 _),
+    "w11_hour_angle_shift" -> (Weather.w11 _),
+    "w12_daily_extremes" -> (Weather.w12 _),
+    "w13_forecast_docs" -> (Weather.w13 _),
+    "w14_contour_bins" -> (Weather.w14 _),
   )
 
   /** DuckDB-runnable oracle SQL per query key (same parquet tables). */
@@ -47,5 +61,19 @@ object SparkEntry {
     "e1_tumbling" -> EventWindows.tumblingSql,
     "e2_sliding" -> EventWindows.slidingSql,
     "e3_sessionize" -> EventWindows.sessionizeSql,
+    "w1_wind_speed" -> Weather.w1Sql,
+    "w2_solar_cza" -> Weather.w2Sql,
+    "w3_erbs" -> Weather.w3Sql,
+    "w4_mrt" -> Weather.w4Sql,
+    "w5_vapor_pressure" -> Weather.w5Sql,
+    "w6_utci" -> Weather.w6Sql,
+    "w7_wbgt" -> Weather.w7Sql,
+    "w8_encode" -> Weather.w8Sql,
+    "w9_forecast_merge" -> Weather.w9Sql,
+    "w10_near_land" -> Weather.w10Sql,
+    "w11_hour_angle_shift" -> Weather.w11Sql,
+    "w12_daily_extremes" -> Weather.w12Sql,
+    "w13_forecast_docs" -> Weather.w13Sql,
+    "w14_contour_bins" -> Weather.w14Sql,
   )
 }

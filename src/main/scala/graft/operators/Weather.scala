@@ -1,0 +1,326 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.ThermalChain
+import graft.functions.ThermalChain.q
+
+/** The reference's weather/thermal operators (SURVEY.md §2, w1-w14),
+  * built on [[ThermalChain]]. Scalar queries (w1-w8) are pure narrow
+  * maps — one codegen'd stage, no shuffle, linear at any scale. Grid
+  * operators (w9-w14) shuffle exactly once on their natural key.
+  */
+object Weather {
+
+  private def chain(spark: SparkSession, dir: String, n: Int) =
+    ThermalChain.df(spark, dir, n)
+
+  // ---------- w1: wind speed (hypot of u/v; main.py:174-182) ----------
+
+  def w1(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    chain(spark, dir, 2)
+      .select($"event_id", $"lat", $"lon", $"wind_speed")
+      .orderBy($"event_id")
+  }
+
+  val w1Sql: String =
+    s"""SELECT event_id, lat, lon, wind_speed
+      |FROM (${ThermalChain.sql(2)})
+      |ORDER BY event_id""".stripMargin
+
+  // ---------- w2: integrated cosine solar zenith angle ----------
+
+  def w2(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    chain(spark, dir, 10)
+      .select($"event_id", $"lat", $"lon", $"doy", $"hh",
+        $"avg_cza")
+      .orderBy($"event_id")
+  }
+
+  val w2Sql: String =
+    s"""SELECT event_id, lat, lon, doy, hh, avg_cza
+      |FROM (${ThermalChain.sql(10)})
+      |ORDER BY event_id""".stripMargin
+
+  // ---------- w3: Erbs GHI -> DNI/DHI ----------
+
+  def w3(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    chain(spark, dir, 14)
+      .select($"event_id", $"kt", $"dni", $"dhi")
+      .orderBy($"event_id")
+  }
+
+  val w3Sql: String =
+    s"""SELECT event_id, kt, dni, dhi
+      |FROM (${ThermalChain.sql(14)})
+      |ORDER BY event_id""".stripMargin
+
+  // ---------- w4: mean radiant temperature ----------
+
+  def w4(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    chain(spark, dir, 16)
+      .select($"event_id", $"mrt_c")
+      .orderBy($"event_id")
+  }
+
+  val w4Sql: String =
+    s"""SELECT event_id, mrt_c
+      |FROM (${ThermalChain.sql(16)})
+      |ORDER BY event_id""".stripMargin
+
+  // ---------- w5: saturation vapor pressure + relative humidity ----------
+
+  def w5(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    chain(spark, dir, 5)
+      .select($"event_id", $"es_td", $"rh")
+      .orderBy($"event_id")
+  }
+
+  val w5Sql: String =
+    s"""SELECT event_id, es_td, rh
+      |FROM (${ThermalChain.sql(5)})
+      |ORDER BY event_id""".stripMargin
+
+  // ---------- w6: UTCI ----------
+
+  def w6(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    chain(spark, dir, 21)
+      .select($"event_id", $"lat", $"lon", $"utci_c")
+      .orderBy($"event_id")
+  }
+
+  val w6Sql: String =
+    s"""SELECT event_id, lat, lon, utci_c
+      |FROM (${ThermalChain.sql(21)})
+      |ORDER BY event_id""".stripMargin
+
+  // ---------- w7: WBGT ----------
+
+  def w7(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    chain(spark, dir, 26)
+      .select($"event_id", $"wbgt_c")
+      .orderBy($"event_id")
+  }
+
+  val w7Sql: String =
+    s"""SELECT event_id, wbgt_c
+      |FROM (${ThermalChain.sql(26)})
+      |ORDER BY event_id""".stripMargin
+
+  // ---------- w8: int32 encode + decode roundtrip ----------
+
+  def w8(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    chain(spark, dir, ThermalChain.full)
+      .select($"event_id", $"encoded", $"utci_d", $"wbgt_d", $"off_d")
+      .orderBy($"event_id")
+  }
+
+  val w8Sql: String =
+    s"""SELECT event_id, encoded, utci_d, wbgt_d, off_d
+      |FROM (${ThermalChain.sql(ThermalChain.full)})
+      |ORDER BY event_id""".stripMargin
+
+  // ---------- w9: forecast merge (combine_first; main.py:245-250) ----------
+  // New run covers hours [240,360), previous run [120,300) with a -1K
+  // bias; merged series prefers new, keeps the old tail, and clips
+  // before the earliest-necessary cutoff (180).
+
+  def w9(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val g = chain(spark, dir, 2)
+    val newF = g.filter($"aoff" >= 240 && $"aoff" < 360)
+      .groupBy($"lat", $"lon", $"aoff").agg(max($"tmp2m").as("t_new"))
+    val oldF = g.filter($"aoff" >= 120 && $"aoff" < 300)
+      .groupBy($"lat", $"lon", $"aoff").agg((max($"tmp2m") - lit(1.0)).as("t_old"))
+    newF.join(oldF, Seq("lat", "lon", "aoff"), "full_outer")
+      .filter($"aoff" >= 180)
+      .select($"lat", $"lon", $"aoff",
+        coalesce($"t_new", $"t_old").as("t"),
+        when($"t_new".isNotNull, "new").otherwise("old").as("src"))
+      .orderBy($"lat", $"lon", $"aoff")
+  }
+
+  val w9Sql: String =
+    s"""WITH g AS (${ThermalChain.sql(2)}),
+      |n AS (SELECT lat, lon, aoff, max(tmp2m) AS t_new FROM g
+      |      WHERE aoff >= 240 AND aoff < 360 GROUP BY 1, 2, 3),
+      |o AS (SELECT lat, lon, aoff, max(tmp2m) - 1.0 AS t_old FROM g
+      |      WHERE aoff >= 120 AND aoff < 300 GROUP BY 1, 2, 3)
+      |SELECT COALESCE(n.lat, o.lat) AS lat, COALESCE(n.lon, o.lon) AS lon,
+      |  COALESCE(n.aoff, o.aoff) AS aoff,
+      |  COALESCE(n.t_new, o.t_old) AS t,
+      |  CASE WHEN n.t_new IS NOT NULL THEN 'new' ELSE 'old' END AS src
+      |FROM n FULL OUTER JOIN o
+      |  ON n.lat = o.lat AND n.lon = o.lon AND n.aoff = o.aoff
+      |WHERE COALESCE(n.aoff, o.aoff) >= 180
+      |ORDER BY 1, 2, 3""".stripMargin
+
+  // ---------- w10: near-land mask broadcast semi-join (main.py:281-304) ----------
+  // Mask keyed on the same (lat, lon) grid, derived from `part`.
+
+  def w10(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val mask = Tables.part(spark, dir)
+      .filter($"p_size" > 25)
+      .selectExpr("CAST(p_partkey % 29 AS DOUBLE) * 5.0 - 70.0 AS lat",
+        "CAST((p_partkey * 3) % 72 AS DOUBLE) * 5.0 - 177.5 AS lon")
+      .distinct()
+    chain(spark, dir, 2)
+      .groupBy($"lat", $"lon")
+      .agg(countDistinct($"aoff").as("n_hours"), max($"tmp2m").as("t_max"))
+      .join(broadcast(mask), Seq("lat", "lon"), "left_semi")
+      .select($"lat", $"lon", $"n_hours", $"t_max")
+      .orderBy($"lat", $"lon")
+  }
+
+  val w10Sql: String =
+    s"""WITH g AS (${ThermalChain.sql(2)}),
+      |m AS (SELECT DISTINCT CAST(p_partkey % 29 AS DOUBLE) * 5.0 - 70.0 AS lat,
+      |        CAST((p_partkey * 3) % 72 AS DOUBLE) * 5.0 - 177.5 AS lon
+      |      FROM part WHERE p_size > 25),
+      |c AS (SELECT lat, lon, count(DISTINCT aoff) AS n_hours, max(tmp2m) AS t_max
+      |      FROM g GROUP BY 1, 2)
+      |SELECT c.lat, c.lon, c.n_hours, c.t_max AS t_max
+      |FROM c
+      |WHERE EXISTS (SELECT 1 FROM m WHERE m.lat = c.lat AND m.lon = c.lon)
+      |ORDER BY 1, 2""".stripMargin
+
+  // ---------- w11: hour-angle time shift (main.py:361-367) ----------
+  // The reference runs 24 masked whole-grid shift passes; here the
+  // shift is key arithmetic on the hour offset — a narrow map.
+
+  def w11(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    chain(spark, dir, 2)
+      .groupBy($"lat", $"lon", $"aoff").agg(max($"tmp2m").as("t"))
+      .withColumn("ha", round($"lon" / 15.0).cast("long"))
+      .withColumn("uha", when($"ha" > 12, $"ha" - 24).otherwise($"ha"))
+      .select($"lat", $"lon", $"aoff", $"uha",
+        ($"aoff" + $"uha").as("local_aoff"), $"t")
+      .orderBy($"lat", $"lon", $"aoff")
+  }
+
+  val w11Sql: String =
+    s"""WITH g AS (${ThermalChain.sql(2)}),
+      |c AS (SELECT lat, lon, aoff, max(tmp2m) AS t FROM g GROUP BY 1, 2, 3),
+      |h AS (SELECT *, CAST(round(lon / 15.0) AS BIGINT) AS ha FROM c)
+      |SELECT lat, lon, aoff,
+      |  CASE WHEN ha > 12 THEN ha - 24 ELSE ha END AS uha,
+      |  aoff + (CASE WHEN ha > 12 THEN ha - 24 ELSE ha END) AS local_aoff,
+      |  t
+      |FROM h
+      |ORDER BY lat, lon, aoff""".stripMargin
+
+  // ---------- w12: daily extremes with complete-day filter (main.py:401-408) ----------
+  // Dense hourly series per observed grid cell (hours via the 24-key
+  // `nation` table, days via `customer`, both shared with the oracle),
+  // hour-angle shifted; only local days with all 24 hours survive.
+
+  private val w12T =
+    s"263.15 + 40.0 * ${q("sin(radians(lat) + CAST(day AS DOUBLE) / 3.0 + CAST(h AS DOUBLE) / 7.0 + radians(lon))")}"
+  // gate whole source days: after the hour-angle shift, a local day
+  // mixes two source days, so kept/dropped boundaries yield incomplete
+  // local days and the count(*)=24 filter is exercised both ways.
+  private val w12Keep =
+    s"${q("sin(radians(lat) * 3.0 + radians(lon) + CAST(day AS DOUBLE))")} > -0.5"
+
+  def w12(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cells = chain(spark, dir, 1).select($"lat", $"lon").distinct()
+    val days = Tables.customer(spark, dir)
+      .selectExpr("c_custkey % 30 AS day").distinct()
+    val hours = Tables.nation(spark, dir)
+      .filter($"n_nationkey" < 24).selectExpr("n_nationkey AS h")
+    cells.join(broadcast(days)).join(broadcast(hours))
+      .withColumn("t", expr(w12T))
+      .filter(expr(w12Keep))
+      .withColumn("uha", expr("CASE WHEN CAST(round(lon / 15.0) AS BIGINT) > 12 THEN CAST(round(lon / 15.0) AS BIGINT) - 24 ELSE CAST(round(lon / 15.0) AS BIGINT) END"))
+      .withColumn("lday", expr("CAST(floor((CAST(day * 24 + h AS DOUBLE) + CAST(uha AS DOUBLE)) / 24.0) AS BIGINT)"))
+      .groupBy($"lat", $"lon", $"lday")
+      .agg(count(lit(1)).as("n"), max($"t").as("hi"), min($"t").as("lo"))
+      .filter($"n" === 24)
+      .select($"lat", $"lon", $"lday", $"hi", $"lo")
+      .orderBy($"lat", $"lon", $"lday")
+  }
+
+  val w12Sql: String =
+    s"""WITH g AS (${ThermalChain.sql(1)}),
+      |cells AS (SELECT DISTINCT lat, lon FROM g),
+      |days AS (SELECT DISTINCT c_custkey % 30 AS day FROM customer),
+      |hours AS (SELECT n_nationkey AS h FROM nation WHERE n_nationkey < 24),
+      |dense AS (
+      |  SELECT lat, lon, day, h, ($w12T) AS t,
+      |    CASE WHEN CAST(round(lon / 15.0) AS BIGINT) > 12
+      |         THEN CAST(round(lon / 15.0) AS BIGINT) - 24
+      |         ELSE CAST(round(lon / 15.0) AS BIGINT) END AS uha
+      |  FROM cells CROSS JOIN days CROSS JOIN hours
+      |  WHERE $w12Keep),
+      |shifted AS (
+      |  SELECT lat, lon, t,
+      |    CAST(floor((CAST(day * 24 + h AS DOUBLE) + CAST(uha AS DOUBLE)) / 24.0) AS BIGINT) AS lday
+      |  FROM dense)
+      |SELECT lat, lon, lday, max(t) AS hi, min(t) AS lo
+      |FROM shifted
+      |GROUP BY 1, 2, 3
+      |HAVING count(*) = 24
+      |ORDER BY 1, 2, 3""".stripMargin
+
+  // ---------- w13: per-cell forecast document assembly (main.py:286-304) ----------
+
+  def w13(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    chain(spark, dir, 28)
+      .groupBy($"lat", $"lon", $"aoff").agg(max($"encoded").as("enc"))
+      .groupBy($"lat", $"lon")
+      .agg(count(lit(1)).as("n_hours"), min($"aoff").as("forecast_start"),
+        expr("array_join(transform(array_sort(collect_list(named_struct('aoff', aoff, 'enc', enc)))," +
+          " s -> concat(cast(s.aoff AS string), ':', cast(s.enc AS string))), ',')").as("series"))
+      .orderBy($"lat", $"lon")
+  }
+
+  val w13Sql: String =
+    s"""WITH g AS (${ThermalChain.sql(28)}),
+      |c AS (SELECT lat, lon, aoff, max(encoded) AS enc FROM g GROUP BY 1, 2, 3)
+      |SELECT lat, lon, count(*) AS n_hours, min(aoff) AS forecast_start,
+      |  string_agg(CAST(aoff AS VARCHAR) || ':' || CAST(enc AS VARCHAR), ',' ORDER BY aoff) AS series
+      |FROM c
+      |GROUP BY lat, lon
+      |ORDER BY lat, lon""".stripMargin
+
+  // ---------- w14: UTCI contour-band classification (main.py:369-416) ----------
+
+  private val bandExpr =
+    """CASE WHEN hi < -40.0 THEN 0 WHEN hi < -27.0 THEN 1 WHEN hi < -13.0 THEN 2
+      | WHEN hi < 0.0 THEN 3 WHEN hi < 9.0 THEN 4 WHEN hi < 26.0 THEN 5
+      | WHEN hi < 32.0 THEN 6 WHEN hi < 38.0 THEN 7 WHEN hi < 46.0 THEN 8
+      | ELSE 9 END""".stripMargin.replace("\n", "")
+
+  def w14(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    chain(spark, dir, 21)
+      .withColumn("day", expr("CAST(floor(CAST(aoff AS DOUBLE) / 24.0) AS BIGINT)"))
+      .groupBy($"lat", $"lon", $"day").agg(max($"utci_c").as("hi"))
+      .withColumn("band", expr(bandExpr))
+      .groupBy($"day", $"band").agg(count(lit(1)).as("n_cells"))
+      .orderBy($"day", $"band")
+  }
+
+  val w14Sql: String =
+    s"""WITH g AS (${ThermalChain.sql(21)}),
+      |d AS (SELECT lat, lon, CAST(floor(CAST(aoff AS DOUBLE) / 24.0) AS BIGINT) AS day,
+      |        max(utci_c) AS hi
+      |      FROM g GROUP BY 1, 2, 3)
+      |SELECT day, ($bandExpr) AS band, count(*) AS n_cells
+      |FROM d
+      |GROUP BY 1, 2
+      |ORDER BY 1, 2""".stripMargin
+}
