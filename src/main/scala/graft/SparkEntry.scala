@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.relational.Relational
-import graft.operators.{AsOf, EventWindows, Weather}
+import graft.operators.{AsOf, Dedup, EventWindows, Knn, TextStats, Weather}
 
 /** Driver contract — see /root/repo/SURVEY.md §2 for the inventory.
   * Every implemented operator has a `queries` entry; SQL-expressible
@@ -44,6 +44,18 @@ object SparkEntry {
     "w12_daily_extremes" -> (Weather.w12 _),
     "w13_forecast_docs" -> (Weather.w13 _),
     "w14_contour_bins" -> (Weather.w14 _),
+    "t1_token_count" -> (TextStats.t1 _),
+    "t2_quality" -> (TextStats.t2 _),
+    "t3_lang_id" -> (TextStats.t3 _),
+    "t4_fingerprint" -> (TextStats.t4 _),
+    "d1_dedup_exact" -> (Dedup.d1 _),
+    "d2_minhash_lsh" -> (Dedup.d2 _),
+    "d3_simhash" -> (Dedup.d3 _),
+    "d4_ngram_jaccard" -> (Dedup.d4 _),
+    "d5_embed_neardup" -> (Dedup.d5 _),
+    "v1_knn_brute" -> (Knn.v1 _),
+    "v2_knn_lsh" -> (Knn.v2 _),
+    "v3_knn_ivf" -> (Knn.v3 _),
   )
 
   /** DuckDB-runnable oracle SQL per query key (same parquet tables). */
@@ -75,5 +87,11 @@ object SparkEntry {
     "w12_daily_extremes" -> Weather.w12Sql,
     "w13_forecast_docs" -> Weather.w13Sql,
     "w14_contour_bins" -> Weather.w14Sql,
+    "t1_token_count" -> TextStats.t1Sql,
+    "t2_quality" -> TextStats.t2Sql,
+    "t3_lang_id" -> TextStats.t3Sql,
+    "d1_dedup_exact" -> Dedup.d1Sql,
+    "d5_embed_neardup" -> Dedup.d5Sql,
+    "v1_knn_brute" -> Knn.v1Sql,
   )
 }

@@ -1,0 +1,182 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Deduplication operators over `documents` (SURVEY.md §2 d1-d5).
+  *
+  * The testdata corpus has no duplicates, so each query seeds
+  * deterministic (near-)duplicates *inside* the query — the same
+  * derivation on the oracle side where one exists — and then runs the
+  * real pipeline against the expanded corpus.
+  *
+  * Scale design:
+  *  - exact dedup: hash group-by, one shuffle on the digest.
+  *  - MinHash/LSH: shingle → 16 minhashes → 4 banded keys; the only
+  *    shuffles are the (band, signature) bucket join and the
+  *    candidate-pair verification join, both equality joins. No O(n²)
+  *    pass ever happens; candidates carry only doc ids, shingles are
+  *    re-joined by id (keeps shuffle rows narrow).
+  *  - SimHash: 64-bit fingerprint; near-dup candidates via 16-bit
+  *    chunk buckets (pigeonhole: hamming<=6 pairs share >=1 of 4
+  *    exact chunks), verified with bit_count(xor).
+  *  - embedding near-dup: exact pairwise at test scale; the pruned
+  *    path at 100 TB is the LSH/IVF machinery in [[Knn]].
+  *
+  * All of it is native Catalyst (higher-order array functions,
+  * xxhash64, bit ops) — no UDFs.
+  */
+object Dedup {
+
+  // ---------- d1: exact dedup via normalized-text digest ----------
+
+  def d1(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir).select($"doc_id", $"text")
+    val copies = docs.filter($"doc_id" % 5 === 0)
+      .select(($"doc_id" + 10000).as("doc_id"), $"text")
+    docs.unionByName(copies)
+      .select($"doc_id", md5(lower(trim($"text"))).as("digest"))
+      .groupBy($"digest")
+      .agg(min($"doc_id").as("canonical_id"), count(lit(1)).as("n_copies"))
+      .select($"canonical_id", $"n_copies", $"digest")
+      .orderBy($"canonical_id")
+  }
+
+  val d1Sql: String =
+    """WITH corpus AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 10000 AS doc_id, text FROM documents WHERE doc_id % 5 = 0),
+      |h AS (SELECT doc_id, md5(lower(trim(text))) AS digest FROM corpus)
+      |SELECT min(doc_id) AS canonical_id, count(*) AS n_copies, digest
+      |FROM h
+      |GROUP BY digest
+      |ORDER BY canonical_id""".stripMargin
+
+  // ---------- shared: corpus with seeded near-duplicates ----------
+
+  private def nearDupCorpus(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir).select($"doc_id", $"text")
+    val mutated = docs.filter($"doc_id" % 7 === 0)
+      .select(($"doc_id" + 10000).as("doc_id"),
+        concat($"text", lit(" zq extra tail token")).as("text"))
+    docs.unionByName(mutated)
+  }
+
+  /** Word 3-gram shingle set (falls back to the whole text for very
+    * short documents).
+    */
+  private val shingleExpr =
+    """CASE WHEN size(words) >= 3
+      | THEN array_distinct(transform(sequence(0, size(words) - 3),
+      |        i -> concat_ws(' ', slice(words, i + 1, 3))))
+      | ELSE array(concat_ws(' ', words)) END""".stripMargin.replace("\n", "")
+
+  private def shingled(spark: SparkSession, dir: String): DataFrame =
+    nearDupCorpus(spark, dir)
+      .selectExpr("doc_id", "split(lower(trim(text)), ' ') AS words")
+      .selectExpr("doc_id", s"($shingleExpr) AS sh")
+
+  // ---------- d2: MinHash + LSH banding ----------
+
+  private val nHashes = 16
+  private val nBands = 4
+  private val rowsPerBand = nHashes / nBands
+
+  def d2(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val sh = shingled(spark, dir).cache()
+    val sigs = sh.selectExpr("doc_id",
+      s"""transform(sequence(0, ${nHashes - 1}),
+         | k -> aggregate(sh, 9223372036854775807L,
+         |        (acc, s) -> least(acc, xxhash64(s, k)))) AS mh""".stripMargin)
+    val buckets = sigs.selectExpr("doc_id",
+      s"""posexplode(transform(sequence(0, ${nBands - 1}),
+         | b -> xxhash64(concat_ws(',', slice(mh, b * $rowsPerBand + 1, $rowsPerBand)), b)))
+         | AS (band, sig)""".stripMargin)
+    val cand = buckets.as("a")
+      .join(buckets.as("b"), $"a.band" === $"b.band" && $"a.sig" === $"b.sig" &&
+        $"a.doc_id" < $"b.doc_id")
+      .select($"a.doc_id".as("id_a"), $"b.doc_id".as("id_b"))
+      .distinct()
+    cand
+      .join(sh.select($"doc_id".as("id_a"), $"sh".as("sh_a")), Seq("id_a"))
+      .join(sh.select($"doc_id".as("id_b"), $"sh".as("sh_b")), Seq("id_b"))
+      .selectExpr("id_a", "id_b",
+        "CAST(size(array_intersect(sh_a, sh_b)) AS DOUBLE) / CAST(size(array_union(sh_a, sh_b)) AS DOUBLE) AS jaccard")
+      .filter($"jaccard" >= 0.4)
+      .orderBy($"id_a", $"id_b")
+  }
+
+  // ---------- d3: SimHash fingerprint + hamming near-dups ----------
+
+  private val simhashExpr =
+    """aggregate(sequence(0, 63), 0L,
+      | (acc, j) -> acc + CASE WHEN
+      |   aggregate(words, 0L,
+      |     (a, w) -> a + CASE WHEN (shiftright(xxhash64(w), j) & 1) = 1 THEN 1 ELSE -1 END) > 0
+      |   THEN shiftleft(1L, j) ELSE 0L END)""".stripMargin.replace("\n", "")
+
+  def d3(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val fp = nearDupCorpus(spark, dir)
+      .selectExpr("doc_id", "split(lower(trim(text)), ' ') AS words")
+      .selectExpr("doc_id", s"($simhashExpr) AS fp")
+      .cache()
+    val chunks = fp.selectExpr("doc_id", "fp",
+      "posexplode(transform(sequence(0, 3), c -> shiftright(fp, c * 16) & 65535)) AS (chunk_idx, chunk)")
+    chunks.as("a").join(chunks.as("b"),
+        $"a.chunk_idx" === $"b.chunk_idx" && $"a.chunk" === $"b.chunk" &&
+          $"a.doc_id" < $"b.doc_id")
+      .select($"a.doc_id".as("id_a"), $"b.doc_id".as("id_b"),
+        expr("bit_count(a.fp ^ b.fp)").as("hamming"))
+      .distinct()
+      .filter($"hamming" <= 6)
+      .orderBy($"id_a", $"id_b")
+  }
+
+  // ---------- d4: n-gram Jaccard verification of seeded pairs ----------
+
+  def d4(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val sh = shingled(spark, dir)
+    val pairs = Tables.documents(spark, dir)
+      .filter($"doc_id" % 7 === 0)
+      .select($"doc_id".as("id_a"), ($"doc_id" + 10000).as("id_b"))
+    pairs
+      .join(sh.select($"doc_id".as("id_a"), $"sh".as("sh_a")), Seq("id_a"))
+      .join(sh.select($"doc_id".as("id_b"), $"sh".as("sh_b")), Seq("id_b"))
+      .selectExpr("id_a", "id_b",
+        "CAST(size(array_intersect(sh_a, sh_b)) AS DOUBLE) / CAST(size(array_union(sh_a, sh_b)) AS DOUBLE) AS jaccard")
+      .orderBy($"id_a")
+  }
+
+  // ---------- d5: embedding-cosine near-duplicate pairs ----------
+
+  def d5(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = Tables.embeddings(spark, dir)
+      .selectExpr("vec_id", "transform(embedding, x -> CAST(x AS DOUBLE)) AS v")
+      .selectExpr("vec_id", "v",
+        "sqrt(aggregate(zip_with(v, v, (x, y) -> x * y), CAST(0 AS DOUBLE), (acc, x) -> acc + x)) AS nrm")
+    e.as("a").join(e.as("b"), $"a.vec_id" < $"b.vec_id")
+      .selectExpr("a.vec_id AS id_a", "b.vec_id AS id_b",
+        ("round((aggregate(zip_with(a.v, b.v, (x, y) -> x * y), CAST(0 AS DOUBLE), (acc, x) -> acc + x)" +
+          " / (a.nrm * b.nrm)) * 1e6) / 1e6 AS cos_sim"))
+      .filter($"cos_sim" >= 0.35)
+      .orderBy($"id_a", $"id_b")
+  }
+
+  val d5Sql: String =
+    """WITH e AS (
+      |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |n AS (SELECT vec_id, v, sqrt(list_inner_product(v, v)) AS nrm FROM e)
+      |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+      |  round((list_inner_product(a.v, b.v) / (a.nrm * b.nrm)) * 1e6) / 1e6 AS cos_sim
+      |FROM n a JOIN n b ON a.vec_id < b.vec_id
+      |WHERE round((list_inner_product(a.v, b.v) / (a.nrm * b.nrm)) * 1e6) / 1e6 >= 0.35
+      |ORDER BY id_a, id_b""".stripMargin
+}

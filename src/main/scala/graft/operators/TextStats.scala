@@ -1,0 +1,146 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Text-analysis operators over the `documents` table: token counting,
+  * quality scoring, stopword-profile language ID, rolling-hash
+  * fingerprint. All narrow maps over codegen'd native functions
+  * (split/filter/regexp_count/transform) — no UDFs, no shuffles
+  * except the final presentation sort.
+  */
+object TextStats {
+
+  // ---------- t1: token counting (whitespace + BPE-ish subword regex) ----------
+
+  private val subwordRe = "[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]"
+
+  def t1(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select($"doc_id",
+        size(split(trim($"text"), "\\s+")).cast("long").as("n_ws_tokens"),
+        regexp_count($"text", lit(subwordRe)).cast("long").as("n_subword_tokens"),
+        length($"text").cast("long").as("n_chars"))
+      .orderBy($"doc_id")
+  }
+
+  val t1Sql: String =
+    s"""SELECT doc_id,
+      |  CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_ws_tokens,
+      |  CAST(len(regexp_extract_all(text, '$subwordRe')) AS BIGINT) AS n_subword_tokens,
+      |  CAST(length(text) AS BIGINT) AS n_chars
+      |FROM documents
+      |ORDER BY doc_id""".stripMargin
+
+  // ---------- t2: quality scoring ----------
+
+  private val stopList = Seq("the", "a", "and", "of", "to", "in", "is")
+  private def stopSqlSet = stopList.map(w => s"'$w'").mkString("(", ", ", ")")
+
+  def t2(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .selectExpr("doc_id",
+        "CAST(length(text) AS BIGINT) AS n_chars",
+        "CAST(size(split(trim(text), '\\\\s+')) AS BIGINT) AS n_words",
+        s"CAST(size(filter(split(lower(text), ' '), w -> w IN $stopSqlSet)) AS BIGINT) AS n_stop",
+        "CAST(regexp_count(text, '[.,;:!?]') AS BIGINT) AS n_punct")
+      .selectExpr("doc_id", "n_chars", "n_words", "n_stop", "n_punct",
+        "CAST(n_chars AS DOUBLE) / CAST(n_words AS DOUBLE) AS avg_word_len",
+        "CAST(n_stop AS DOUBLE) / CAST(n_words AS DOUBLE) AS stop_ratio",
+        "CAST(n_punct AS DOUBLE) / CAST(n_chars AS DOUBLE) AS punct_ratio")
+      .selectExpr("*",
+        ("least(1.0, CAST(n_words AS DOUBLE) / 100.0) * 0.4" +
+          " + least(1.0, stop_ratio * 5.0) * 0.4" +
+          " + (1.0 - least(1.0, punct_ratio * 10.0)) * 0.2") + " AS quality")
+      .orderBy($"doc_id")
+  }
+
+  val t2Sql: String =
+    s"""WITH f AS (
+      |  SELECT doc_id,
+      |    CAST(length(text) AS BIGINT) AS n_chars,
+      |    CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_words,
+      |    CAST(len(list_filter(string_split(lower(text), ' '), w -> w IN $stopSqlSet)) AS BIGINT) AS n_stop,
+      |    CAST(len(regexp_extract_all(text, '[.,;:!?]')) AS BIGINT) AS n_punct
+      |  FROM documents),
+      |r AS (
+      |  SELECT *, CAST(n_chars AS DOUBLE) / CAST(n_words AS DOUBLE) AS avg_word_len,
+      |    CAST(n_stop AS DOUBLE) / CAST(n_words AS DOUBLE) AS stop_ratio,
+      |    CAST(n_punct AS DOUBLE) / CAST(n_chars AS DOUBLE) AS punct_ratio
+      |  FROM f)
+      |SELECT *,
+      |  least(1.0, CAST(n_words AS DOUBLE) / 100.0) * 0.4
+      |    + least(1.0, stop_ratio * 5.0) * 0.4
+      |    + (1.0 - least(1.0, punct_ratio * 10.0)) * 0.2 AS quality
+      |FROM r
+      |ORDER BY doc_id""".stripMargin
+
+  // ---------- t3: stopword-profile language identification ----------
+
+  private val markers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "is"),
+    "de" -> Seq("der", "die", "und", "das", "ist"),
+    "es" -> Seq("el", "los", "que", "y", "es"),
+    "fr" -> Seq("le", "les", "des", "et", "est"),
+    "zh" -> Seq("de", "shi", "zai", "le", "he"),
+  )
+
+  private def scoreExpr(words: String, set: Seq[String]): String =
+    s"CAST(size(filter($words, w -> w IN ${set.map(w => s"'$w'").mkString("(", ", ", ")")})) AS BIGINT)"
+
+  private def scoreSqlExpr(words: String, set: Seq[String]): String =
+    s"CAST(len(list_filter($words, w -> w IN ${set.map(w => s"'$w'").mkString("(", ", ", ")")})) AS BIGINT)"
+
+  private val predExpr: String = {
+    val langs = markers.map(_._1)
+    langs.init.zipWithIndex.map { case (l, i) =>
+      val geAll = langs.drop(i + 1).map(o => s"s_$l >= s_$o").mkString(" AND ")
+      val ltPrev = langs.take(i).map(o => s"s_$l > s_$o")
+      val cond = (ltPrev :+ geAll).mkString(" AND ")
+      s"WHEN $cond THEN '$l'"
+    }.mkString("CASE ", " ", s" ELSE '${langs.last}' END")
+  }
+
+  def t3(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .selectExpr(Seq("doc_id", "lang",
+        "split(lower(text), ' ') AS words") ++ Nil: _*)
+      .selectExpr(Seq("doc_id", "lang") ++
+        markers.map { case (l, set) => s"${scoreExpr("words", set)} AS s_$l" }: _*)
+      .selectExpr("doc_id", "lang", "s_en", "s_de", "s_es", "s_fr", "s_zh",
+        s"($predExpr) AS predicted")
+      .selectExpr("*", "CASE WHEN predicted = lang THEN 1 ELSE 0 END AS hit")
+      .orderBy($"doc_id")
+  }
+
+  val t3Sql: String = {
+    val scores = markers.map { case (l, set) =>
+      s"${scoreSqlExpr("words", set)} AS s_$l"
+    }.mkString(",\n    ")
+    s"""WITH w AS (SELECT doc_id, lang, string_split(lower(text), ' ') AS words FROM documents),
+      |s AS (SELECT doc_id, lang,
+      |    $scores
+      |  FROM w)
+      |SELECT doc_id, lang, s_en, s_de, s_es, s_fr, s_zh,
+      |  ($predExpr) AS predicted,
+      |  CASE WHEN ($predExpr) = lang THEN 1 ELSE 0 END AS hit
+      |FROM s
+      |ORDER BY doc_id""".stripMargin
+  }
+
+  // ---------- t4: rolling-hash document fingerprint (FNV-1a 64) ----------
+  // Native Catalyst expression (graft.functions.Fnv64) — rows-only
+  // (the oracle engine has no matching hash primitive).
+
+  def t4(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select($"doc_id",
+        graft.functions.Fnv64.fnv64(lower(trim($"text"))).as("fingerprint"))
+      .orderBy($"doc_id")
+  }
+}
