@@ -56,6 +56,9 @@ object SparkEntry {
     "v1_knn_brute" -> (Knn.v1 _),
     "v2_knn_lsh" -> (Knn.v2 _),
     "v3_knn_ivf" -> (Knn.v3 _),
+    "m1_media_meta" -> (graft.operators.Media.m1 _),
+    "s1_stream_tumbling" -> (graft.streaming.EventStreams.s1 _),
+    "s2_stream_sessions" -> (graft.streaming.EventStreams.s2 _),
   )
 
   /** DuckDB-runnable oracle SQL per query key (same parquet tables). */
@@ -93,5 +96,7 @@ object SparkEntry {
     "d1_dedup_exact" -> Dedup.d1Sql,
     "d5_embed_neardup" -> Dedup.d5Sql,
     "v1_knn_brute" -> Knn.v1Sql,
+    "s1_stream_tumbling" -> graft.streaming.EventStreams.s1Sql,
+    "s2_stream_sessions" -> graft.streaming.EventStreams.s2Sql,
   )
 }

@@ -1,0 +1,112 @@
+package graft.pipeline
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import org.apache.spark.sql.Dataset
+
+/** Operational machinery mirrored from the reference container:
+  * retry with exponential backoff (/root/reference/retry.py), the
+  * status/lock document with field-level set/unset
+  * (/root/reference/utils.py:64-91 + main.py:33-79), chunked
+  * bulk upload with fallback chunk sizing (main.py:312-324), and the
+  * wall/cpu section timer (utils.py:95-111).
+  */
+
+/** Exponential-backoff retry. Deterministic (no jitter) so tests and
+  * reruns are reproducible.
+  */
+object Retry {
+  def retry[T](tries: Int, delayMs: Long = 10, backoff: Double = 2.0,
+      sleep: Long => Unit = Thread.sleep)(f: => T): T = {
+    var attempt = 0
+    var delay = delayMs
+    var last: Throwable = null
+    while (attempt < tries) {
+      try return f
+      catch {
+        case e: Throwable =>
+          last = e
+          attempt += 1
+          if (attempt < tries) { sleep(delay); delay = (delay * backoff).toLong }
+      }
+    }
+    throw last
+  }
+}
+
+/** File-backed status document with the reference's semantics: an
+  * `isUpdating` mutex (main.py:33-35, 79, 448), dotted-field set /
+  * unset (`globalCharts.<date>`), and atomic persistence
+  * (write-temp + move). One flat map of dotted keys -> values.
+  */
+class StatusStore(path: Path) {
+  def this(dir: String) = this(Paths.get(dir, "status.json"))
+
+  private def parse(s: String): Map[String, String] =
+    s.linesIterator.filter(_.contains("=")).map { l =>
+      val i = l.indexOf('='); l.take(i) -> l.drop(i + 1)
+    }.toMap
+
+  def fetch(): Map[String, String] =
+    if (Files.exists(path)) parse(new String(Files.readAllBytes(path), StandardCharsets.UTF_8))
+    else Map.empty
+
+  private def write(m: Map[String, String]): Unit = {
+    val tmp = path.resolveSibling(path.getFileName.toString + ".tmp")
+    Files.createDirectories(path.getParent)
+    Files.write(tmp, m.toSeq.sortBy(_._1).map { case (k, v) => s"$k=$v" }
+      .mkString("\n").getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, path, StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  def set(field: String, value: String): Unit = write(fetch() + (field -> value))
+  def unset(field: String): Unit = write(fetch() - field)
+
+  /** Acquire the update lock; false if another run holds it. */
+  def tryAcquireUpdateLock(): Boolean = this.synchronized {
+    if (fetch().getOrElse("isUpdating", "false") == "true") false
+    else { set("isUpdating", "true"); true }
+  }
+
+  def releaseUpdateLock(): Unit = set("isUpdating", "false")
+}
+
+/** Chunked, retrying, idempotent bulk sink: the Spark-native shape of
+  * the reference's "upload in N parts with fallback" loop. Rows flow
+  * per partition in fixed-size chunks through a caller-supplied
+  * writer; writes are keyed (partition, chunk) so a retried task
+  * overwrites rather than duplicates (idempotent under Spark's
+  * task-retry model).
+  */
+object ChunkedSink {
+  def write[T](ds: Dataset[T], chunkSize: Int, tries: Int = 3)(
+      writer: (Int, Int, Seq[T]) => Unit): Unit = {
+    ds.foreachPartition { (it: Iterator[T]) =>
+      val pid = org.apache.spark.TaskContext.getPartitionId()
+      it.grouped(chunkSize).zipWithIndex.foreach { case (chunk, ci) =>
+        Retry.retry(tries, delayMs = 5)(writer(pid, ci, chunk))
+      }
+    }
+  }
+}
+
+/** Wall/CPU section timer (utils.py:95-111). */
+class Timer {
+  private var wallStart = System.nanoTime()
+  private var cpuStart = cpuNow()
+  private def cpuNow(): Long =
+    java.lang.management.ManagementFactory.getThreadMXBean.getCurrentThreadCpuTime
+
+  def reset(): Unit = { wallStart = System.nanoTime(); cpuStart = cpuNow() }
+
+  /** (wall seconds, cpu seconds) since last reset. */
+  def diff(): (Double, Double) =
+    ((System.nanoTime() - wallStart) / 1e9, (cpuNow() - cpuStart) / 1e9)
+
+  def log(description: String): Unit = {
+    val (w, c) = diff()
+    println(f"TIMER: $description: wall ${w}%.3fs cpu ${c}%.3fs")
+    reset()
+  }
+}

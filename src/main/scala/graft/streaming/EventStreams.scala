@@ -1,0 +1,100 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import graft.functions.Stable
+
+/** Structured Streaming counterparts of the batch event analytics
+  * (SURVEY.md §2 s1/s2): the same transformations declared over
+  * `readStream`, so the identical code path serves both a backfill
+  * (batch) and a live feed — watermarks bound state, and the
+  * stateful sessionizer carries per-user session state across
+  * micro-batches via flatMapGroupsWithState.
+  *
+  * For the driver contract the streaming queries run against the
+  * testdata parquet with a memory sink and `processAllAvailable`
+  * (single micro-batch => results equal the batch oracle); the specs
+  * additionally drive multi-batch execution through MemoryStream.
+  */
+object EventStreams {
+
+  private def streamingEvents(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    // the streaming file source needs a directory; select the single
+    // table file out of the sf dir with a glob filter
+    spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet").parquet(dir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  private def runToTable(spark: SparkSession, df: DataFrame, mode: OutputMode): DataFrame = {
+    val name = "graft_sink_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = df.writeStream.outputMode(mode).format("memory").queryName(name).start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table(name)
+  }
+
+  /** s1: watermarked tumbling-window aggregate (complete mode). */
+  def s1(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val agg = streamingEvents(spark, dir)
+      .withWatermark("ts", "1 hour")
+      .groupBy(window($"ts", "1 hour").as("w"), $"event_type")
+      .agg(count(lit(1)).as("n"),
+        Stable.dsum($"value", 2).as("sum_value"),
+        min($"value").as("min_value"),
+        max($"value").as("max_value"))
+    runToTable(spark, agg, OutputMode.Complete())
+      .select(date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
+        col("event_type"), col("n"), col("sum_value"), col("min_value"), col("max_value"))
+      .orderBy(col("window_start"), col("event_type"))
+  }
+
+  /** s1 oracle: identical to the batch tumbling window. */
+  val s1Sql: String = graft.operators.EventWindows.tumblingSql
+
+  // ---------- s2: stateful gap sessionization ----------
+
+  case class Ev(user_id: Long, tus: Long)
+  case class SessState(lastTus: Long, nSessions: Long, nEvents: Long)
+  case class SessOut(user_id: Long, n_sessions: Long, n_events: Long)
+
+  private val gapUs = 1800L * 1000000L
+
+  /** Merge a micro-batch of events into per-user session state and
+    * emit the updated running totals.
+    */
+  def sessionStep(uid: Long, events: Iterator[Ev],
+      state: GroupState[SessState]): Iterator[SessOut] = {
+    val sorted = events.map(_.tus).toArray.sorted
+    if (sorted.isEmpty) Iterator.empty
+    else {
+      var s = state.getOption.getOrElse(SessState(Long.MinValue, 0L, 0L))
+      sorted.foreach { t =>
+        val newSession = s.lastTus == Long.MinValue || t - s.lastTus > gapUs
+        s = SessState(t, s.nSessions + (if (newSession) 1 else 0), s.nEvents + 1)
+      }
+      state.update(s)
+      Iterator.single(SessOut(uid, s.nSessions, s.nEvents))
+    }
+  }
+
+  def sessionize(events: Dataset[Ev]): Dataset[SessOut] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(sessionStep)
+  }
+
+  /** s2: one micro-batch over the testdata => equals the batch oracle. */
+  def s2(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val src = streamingEvents(spark, dir)
+      .select($"user_id", unix_micros($"ts").as("tus")).as[Ev]
+    runToTable(spark, sessionize(src).toDF(), OutputMode.Append())
+      .orderBy($"user_id")
+  }
+
+  val s2Sql: String = graft.operators.EventWindows.sessionizeSql
+}
