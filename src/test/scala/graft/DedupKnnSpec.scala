@@ -1,0 +1,109 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.operators.{Dedup, Knn, TextStats, Media}
+
+class DedupKnnSpec extends AnyFunSuite {
+  lazy val spark = SharedSpark.spark
+  val sf = SharedSpark.sf
+  import spark.implicits._
+
+  test("d1: seeded exact duplicates collapse, others stay singletons") {
+    val rows = Dedup.d1(spark, sf).collect()
+    val n = Tables.documents(spark, sf).count()
+    assert(rows.length == n) // one canonical row per distinct text
+    rows.foreach { r =>
+      val id = r.getAs[Long]("canonical_id")
+      val copies = r.getAs[Long]("n_copies")
+      assert(copies == (if (id % 5 == 0) 2L else 1L), s"doc $id")
+    }
+  }
+
+  test("d2: MinHash/LSH recovers the seeded near-dup pairs") {
+    val got = Dedup.d2(spark, sf)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    val seeded = Tables.documents(spark, sf)
+      .filter($"doc_id" % 7 === 0).select($"doc_id").as[Long].collect()
+      .map(id => (id, id + 10000)).toSet
+    val found = seeded.intersect(got)
+    // banding is probabilistic-by-construction; near-identical docs
+    // (jaccard ~0.9) must nearly all collide in >=1 of 4 bands
+    assert(found.size >= (seeded.size * 0.9).toInt,
+      s"found ${found.size} of ${seeded.size}")
+  }
+
+  test("d3: seeded near-dups have small hamming distance") {
+    val got = Dedup.d3(spark, sf)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    val seeded = Tables.documents(spark, sf)
+      .filter($"doc_id" % 7 === 0).select($"doc_id").as[Long].collect()
+      .map(id => (id, id + 10000)).toSet
+    assert(seeded.intersect(got).size >= (seeded.size * 0.8).toInt)
+  }
+
+  test("d4: seeded pairs have high n-gram jaccard") {
+    val rows = Dedup.d4(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getAs[Double]("jaccard") > 0.5))
+  }
+
+  test("v1: exactly 5 ranked neighbors per query, descending") {
+    val rows = Knn.v1(spark, sf).collect()
+    val byQ = rows.groupBy(_.getAs[Long]("qid"))
+    assert(byQ.size == 10)
+    byQ.values.foreach { rs =>
+      assert(rs.length == 5)
+      val sims = rs.sortBy(_.getAs[Int]("rnk")).map(_.getAs[Double]("cos_sim"))
+      assert(sims.sameElements(sims.sorted.reverse))
+    }
+  }
+
+  test("v2 LSH: nonzero recall vs brute force") {
+    val brute = Knn.v1(spark, sf).select($"qid", $"vec_id")
+      .as[(Long, Long)].collect().toSet
+    val lsh = Knn.v2(spark, sf).select($"qid", $"vec_id")
+      .as[(Long, Long)].collect().toSet
+    assert(lsh.nonEmpty)
+    assert(brute.intersect(lsh).size >= 5,
+      s"recall too low: ${brute.intersect(lsh).size}/50")
+  }
+
+  test("v3 IVF: structure and nonzero recall") {
+    val rows = Knn.v3(spark, sf).collect()
+    assert(rows.nonEmpty)
+    assert(rows.groupBy(_.getAs[Long]("qid")).values.forall(_.length <= 3))
+    val brute = Knn.v1(spark, sf).filter($"rnk" <= 3)
+      .select($"qid", $"vec_id").as[(Long, Long)].collect().toSet
+    val ivf = rows.map(r => (r.getAs[Long]("qid"), r.getAs[Long]("vec_id"))).toSet
+    assert(brute.intersect(ivf).nonEmpty)
+  }
+
+  test("t4: FNV-1a fingerprint matches the scalar implementation") {
+    val one = TextStats.t4(spark, sf).filter($"doc_id" === 0).head()
+    val text = Tables.documents(spark, sf).filter($"doc_id" === 0)
+      .select($"text").as[String].head()
+    val expected = graft.functions.Fnv64.hashBytes(
+      text.trim.toLowerCase.getBytes("UTF-8"))
+    assert(one.getAs[Long]("fingerprint") == expected)
+  }
+
+  test("t1/t2/t3 shapes") {
+    assert(TextStats.t1(spark, sf).filter($"n_ws_tokens" <= 0).count() == 0)
+    val q = TextStats.t2(spark, sf).agg(min($"quality"), max($"quality")).head()
+    assert(q.getDouble(0) >= 0.0 && q.getDouble(1) <= 1.0)
+    val langs = TextStats.t3(spark, sf).select($"predicted").distinct()
+      .as[String].collect().toSet
+    assert(langs.subsetOf(Set("en", "de", "es", "fr", "zh")))
+  }
+
+  test("m1: batched decode stub preserves rows and emits sane metadata") {
+    val rows = Media.m1(spark, sf).collect()
+    assert(rows.length == Tables.documents(spark, sf).count())
+    rows.foreach { r =>
+      assert(Set("IMG", "AUD", "VID")(r.getAs[String]("format")))
+      assert(r.getAs[Int]("width") >= 16 && r.getAs[Int]("width") <= 1024)
+      assert(r.getAs[Long]("n_bytes") > 0)
+    }
+  }
+}

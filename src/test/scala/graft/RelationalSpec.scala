@@ -1,0 +1,82 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.relational.Relational
+import graft.operators.{AsOf, EventWindows}
+
+class RelationalSpec extends AnyFunSuite {
+  lazy val spark = SharedSpark.spark
+  val sf = SharedSpark.sf
+  import spark.implicits._
+
+  test("q1 aggregates are consistent") {
+    val rows = Relational.q1(spark, sf).collect()
+    assert(rows.nonEmpty && rows.length <= 6)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("sum_qty") > 0)
+      assert(r.getAs[Double]("avg_disc") >= 0.0 && r.getAs[Double]("avg_disc") <= 0.2)
+      assert(r.getAs[Long]("count_order") > 0)
+    }
+  }
+
+  test("q7 semi+anti partitions the customer table exactly") {
+    val total = Tables.customer(spark, sf).count()
+    val agg = Relational.q7(spark, sf)
+      .agg(sum($"n_with" + $"n_without")).as[Long].head()
+    assert(agg == total)
+  }
+
+  test("q9 running totals are monotone per customer") {
+    val bad = Relational.q9(spark, sf)
+      .withColumn("prev", lag($"running_total", 1)
+        .over(org.apache.spark.sql.expressions.Window
+          .partitionBy($"o_custkey").orderBy($"rn")))
+      .filter($"prev".isNotNull && $"running_total" < $"prev")
+      .count()
+    assert(bad == 0)
+  }
+
+  test("q10 returns at most 3 per brand, rank-ordered by price") {
+    val rows = Relational.q10(spark, sf).collect()
+    val byBrand = rows.groupBy(_.getAs[String]("p_brand"))
+    byBrand.values.foreach { rs =>
+      assert(rs.length <= 3)
+      val prices = rs.sortBy(_.getAs[Int]("rnk")).map(_.getAs[Double]("price"))
+      assert(prices.sameElements(prices.sorted.reverse))
+    }
+  }
+
+  test("as-of join matches brute force on sf0.001") {
+    val got = AsOf.asOfJoin(spark, sf)
+    // brute force: inequality join + rank
+    val ev = Tables.events(spark, sf)
+      .withColumn("ts2", expr("timestampadd(DAY, CAST(event_id % 2400 AS INT), TIMESTAMP '1995-01-01 00:00:00')"))
+      .select($"event_id", $"user_id", $"ts2")
+    val ord = Tables.orders(spark, sf).select($"o_custkey", $"o_orderdate")
+    val brute = ev.join(ord, $"user_id" === $"o_custkey" && $"o_orderdate" <= $"ts2")
+      .groupBy($"event_id").agg(max($"o_orderdate").as("matched"))
+    assert(got.count() == brute.count())
+    val joined = got.join(brute, Seq("event_id"))
+      .filter(date_format($"matched", "yyyy-MM-dd") =!= $"order_day").count()
+    assert(joined == 0)
+  }
+
+  test("range join counts pairs within (0, 5min] exactly") {
+    val got = AsOf.rangeJoin(spark, sf).agg(sum($"n_pairs")).as[Long].head()
+    val ev = Tables.events(spark, sf).select($"user_id", unix_micros($"ts").as("t"))
+    val brute = ev.as("a").join(ev.as("b"),
+        $"a.user_id" === $"b.user_id" && $"b.t" > $"a.t" &&
+          $"b.t" <= $"a.t" + 300000000L).count()
+    assert(got == brute)
+  }
+
+  test("sessionize: session counts bounded by event counts") {
+    val rows = EventWindows.sessionize(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_sessions") >= 1L)
+      assert(r.getAs[Long]("n_sessions") <= r.getAs[Long]("n_events"))
+    }
+  }
+}

@@ -1,0 +1,107 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+import org.apache.spark.sql.functions._
+import graft.streaming.EventStreams
+import graft.streaming.EventStreams.{Ev, SessOut}
+import graft.pipeline.{ChunkedSink, Retry, StatusStore, Timer}
+
+class StreamingPipelineSpec extends AnyFunSuite {
+  lazy val spark = SharedSpark.spark
+  val sf = SharedSpark.sf
+
+  test("s1 streaming tumbling agg equals the batch result") {
+    import spark.implicits._
+    val stream = EventStreams.s1(spark, sf)
+      .select($"window_start", $"event_type", $"n").as[(String, String, Long)]
+      .collect().toSet
+    val batch = graft.operators.EventWindows.tumbling(spark, sf)
+      .select($"window_start", $"event_type", $"n").as[(String, String, Long)]
+      .collect().toSet
+    assert(stream == batch)
+  }
+
+  test("s2 carries session state across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val out = EventStreams.sessionize(mem.toDS())
+    val name = "s2_state_test"
+    val q = out.toDF().writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName(name).start()
+    try {
+      val h = 3600L * 1000000L
+      mem.addData(Ev(1, 0L), Ev(1, 60L * 1000000L)) // one session
+      q.processAllAvailable()
+      // second batch: within-gap of the last event => same session,
+      // then a far event => new session
+      mem.addData(Ev(1, 90L * 1000000L), Ev(1, 10L * h))
+      q.processAllAvailable()
+      val rows = spark.table(name).as[SessOut].collect()
+      val last = rows.maxBy(_.n_events)
+      assert(last == SessOut(1, 2, 4))
+    } finally q.stop()
+  }
+
+  test("Retry: recovers after transient failures, rethrows after max") {
+    var calls = 0
+    val v = Retry.retry(5, delayMs = 0, sleep = _ => ()) {
+      calls += 1
+      if (calls < 3) sys.error("transient")
+      42
+    }
+    assert(v == 42 && calls == 3)
+    var calls2 = 0
+    val ex = intercept[RuntimeException] {
+      Retry.retry(3, delayMs = 0, sleep = _ => ()) {
+        calls2 += 1; sys.error("always")
+      }
+    }
+    assert(calls2 == 3 && ex.getMessage == "always")
+  }
+
+  test("StatusStore: lock and dotted-field semantics") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_status").toString
+    val st = new StatusStore(dir)
+    assert(st.tryAcquireUpdateLock())
+    assert(!st.tryAcquireUpdateLock()) // held
+    st.releaseUpdateLock()
+    assert(st.tryAcquireUpdateLock())
+    st.releaseUpdateLock()
+    st.set("globalCharts.2024-01-01", "2024-01-01_06z")
+    st.set("latestSuccessfulUpdateSource", "src-a")
+    assert(st.fetch()("globalCharts.2024-01-01") == "2024-01-01_06z")
+    st.unset("globalCharts.2024-01-01")
+    assert(!st.fetch().contains("globalCharts.2024-01-01"))
+    assert(st.fetch()("latestSuccessfulUpdateSource") == "src-a")
+  }
+
+  test("ChunkedSink: every row written exactly once, in bounded chunks") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_sink")
+    val dirStr = dir.toString // Path is not serializable; capture a String
+    val n = 1000
+    val ds = spark.range(n).map(_.toString)
+    ChunkedSink.write(ds, chunkSize = 64) { (pid, ci, chunk) =>
+      require(chunk.size <= 64)
+      val p = java.nio.file.Paths.get(dirStr, s"part_${pid}_$ci")
+      java.nio.file.Files.write(p, chunk.mkString("\n").getBytes)
+    }
+    import scala.jdk.CollectionConverters._
+    val written: Seq[String] = java.nio.file.Files.list(dir).iterator().asScala
+      .flatMap(p => new String(java.nio.file.Files.readAllBytes(p)).split("\n").toSeq)
+      .toSeq
+    assert(written.length == n)
+    assert(written.map(_.toLong).sorted == (0L until n).toSeq)
+  }
+
+  test("Timer reports positive wall/cpu") {
+    val t = new Timer
+    var x = 0L
+    (1 to 2000000).foreach(i => x += i)
+    val (w, c) = t.diff()
+    assert(w > 0 && c >= 0 && x > 0)
+  }
+}

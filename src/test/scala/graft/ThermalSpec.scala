@@ -1,0 +1,78 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.functions.ThermalChain
+import graft.operators.Weather
+
+class ThermalSpec extends AnyFunSuite {
+  lazy val spark = SharedSpark.spark
+  val sf = SharedSpark.sf
+  import spark.implicits._
+
+  lazy val full = ThermalChain.df(spark, sf, ThermalChain.full).cache()
+
+  test("avg_cza lies in [0, 1]") {
+    assert(full.filter($"avg_cza" < 0 || $"avg_cza" > 1).count() == 0)
+  }
+
+  test("erbs split: dhi <= ghi, dni >= 0, kt in [0,1]") {
+    val bad = full.filter(
+      $"dhi" > $"dswrfsfc" + 1e-9 || $"dni" < 0 || $"kt" < 0 || $"kt" > 1).count()
+    assert(bad == 0)
+  }
+
+  test("mrt is physically plausible for the synthetic grid") {
+    val stats = full.agg(min($"mrt_c"), max($"mrt_c")).head()
+    assert(stats.getDouble(0) > -90 && stats.getDouble(1) < 120)
+  }
+
+  test("utci stays in the encodable band for clamped inputs") {
+    val bad = full.filter($"utci_c" < -100 || $"utci_c" > 99.9).count()
+    assert(bad == 0)
+  }
+
+  test("encode/decode roundtrip is exact") {
+    val bad = full.filter(
+      $"utci_d" =!= $"utci_e" || $"wbgt_d" =!= $"wbgt_e" || $"off_d" =!= $"offh").count()
+    assert(bad == 0)
+  }
+
+  test("encoded fits in int32 and is non-negative") {
+    val stats = full.agg(min($"encoded"), max($"encoded")).head()
+    assert(stats.getInt(0) >= 0)
+    assert(stats.getInt(1) <= Int.MaxValue)
+  }
+
+  test("w9 merge prefers new data on overlap") {
+    val overlap = Weather.w9(spark, sf)
+      .filter($"aoff" >= 240 && $"aoff" < 300 && $"src" === "old").count()
+    assert(overlap == 0)
+  }
+
+  test("w12 keeps only complete 24h local days, and drops some") {
+    val ext = Weather.w12(spark, sf)
+    val kept = ext.count()
+    assert(kept > 0)
+    // cells x 30 days upper bound; incompleteness must have dropped days
+    val cells = ThermalChain.df(spark, sf, 1).select($"lat", $"lon").distinct().count()
+    assert(kept < cells * 30)
+  }
+
+  test("w13 series is sorted by offset") {
+    val rows = Weather.w13(spark, sf).limit(50).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val offs = r.getAs[String]("series").split(",").map(_.split(":")(0).toLong)
+      assert(offs.sameElements(offs.sorted))
+    }
+  }
+
+  test("w14 bands cover only 0..9 and count all cells per day") {
+    val rows = Weather.w14(spark, sf).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall { r =>
+      val b = r.getAs[Int]("band"); b >= 0 && b <= 9
+    })
+  }
+}
