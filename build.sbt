@@ -24,6 +24,10 @@ val jdk17AddOpens = Seq(
   "java.base/sun.security.action", "java.base/sun.util.calendar",
 ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
 javaOptions ++= jdk17AddOpens ++ Seq(
+  // whole-stage codegen can't split expression code into sub-8KB
+  // methods (pipelined locals), so big generated stages (the thermal
+  // chain) would otherwise never JIT and run ~10x slower interpreted
+  "-XX:-DontCompileHugeMethods",
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",

@@ -39,8 +39,13 @@ import graft.Tables
   */
 object ThermalChain {
 
-  /** Quantize a transcendental result for cross-engine determinism. */
-  def q(x: String): String = s"(round(($x) * 1e6) / 1e6)"
+  /** Quantize a transcendental result for cross-engine determinism.
+    * floor(x*1e6 + 0.5) instead of round(): Spark's Round on doubles
+    * routes through BigDecimal (~300ns per call — measured ~2x on the
+    * whole chain), floor is an intrinsic; and being part of the
+    * shared template, both engines evaluate the identical formula.
+    */
+  def q(x: String): String = s"(floor(($x) * 1e6 + 0.5) / 1e6)"
 
   /** Saturation vapor pressure (hPa), Tetens/Magnus over water. */
   def svp(tC: String): String = s"(6.105 * ${q(s"exp(17.27 * ($tC) / (237.7 + ($tC)))")})"
@@ -55,26 +60,29 @@ object ThermalChain {
     "hh" -> "CAST(extract(HOUR FROM ts) AS DOUBLE)",
   )
 
-  private val poly: String = {
+  /** The polynomial's 8-term groups. Chunking serves three masters
+    * identically: DuckDB's binder recursion limit (shallow tree), JVM
+    * JIT limits (each group is its own small column => small codegen
+    * methods), and FP parity (both engines evaluate group sums then a
+    * left-assoc sum of groups — the same association either way).
+    */
+  private val polyChunks: Seq[String] = {
     def pw(v: String, e: Int): Seq[String] = e match {
       case 0 => Nil
       case 1 => Seq(v)
       case n => Seq(s"$v$n")
     }
-    // chunked into parenthesized groups: keeps the oracle's expression
-    // tree shallow (DuckDB binder recursion limit) — and since both
-    // engines parse the same string, the FP association still matches.
     UtciCoefficients.terms.map { case (c, i, j, k, l) =>
       (s"($c)" +: (pw("taU", i) ++ pw("vaU", j) ++ pw("dtm", k) ++ pw("paU", l)))
         .mkString(" * ")
-    }.grouped(8).map(_.mkString("(", " + ", ")")).mkString(" + ")
+    }.grouped(8).map(_.mkString("(", " + ", ")")).toSeq
   }
 
   /** Ordered layers; expressions reference columns of earlier layers only. */
   val layers: Seq[Seq[(String, String)]] = Seq(
     // 1: synthetic GFS surface variables + absolute forecast hour
     Seq(
-      "aoff" -> "CAST(round((doy - 1.0) * 24.0 + hh) AS BIGINT)",
+      "aoff" -> "CAST(floor((doy - 1.0) * 24.0 + hh + 0.5) AS BIGINT)",
       "tmp2m" -> s"263.15 + 40.0 * (0.5 + 0.5 * ${q("sin(radians(lat) + mv / 17.0)")})",
       "dswrfsfc" -> s"greatest(0.0, 900.0 * ${q("sin(radians(lat) * 0.5 + mv / 23.0)")})",
       "dlwrfsfc" -> s"300.0 + 60.0 * ${q("sin(mv / 13.0)")}",
@@ -173,8 +181,11 @@ object ThermalChain {
       "dtm5" -> "dtm4 * dtm", "dtm6" -> "dtm4 * dtm2",
       "paU5" -> "paU4 * paU", "paU6" -> "paU4 * paU2",
     ),
-    // 21: the 210-term UTCI polynomial
-    Seq("utci_c" -> s"taU + ($poly)"),
+    // 21a: the 210-term UTCI polynomial, one column per 8-term group
+    polyChunks.zipWithIndex.map { case (g, i) => s"_up$i" -> g },
+    // 21b: UTCI = Ta + left-assoc sum of the groups
+    Seq("utci_c" -> polyChunks.indices.map(i => s"_up$i")
+      .mkString("taU + (", " + ", ")")),
     // 22: WBGT inputs — Stull wet bulb + globe-temp iteration seeds
     Seq(
       "tw" -> (s"taU * ${q("atan(0.151977 * " + q("sqrt(rh + 8.313659)") + ")")}" +
@@ -193,8 +204,8 @@ object ThermalChain {
     Seq("wbgt_c" -> "0.7 * tw + 0.2 * tg3_c + 0.1 * ta_c"),
     // 27: encode fields (main.py:256-276; offset capped at 200 values)
     Seq(
-      "utci_e" -> "CAST(round(least(1999.0, greatest(0.0, round((utci_c + 100.0) * 10.0)))) AS BIGINT)",
-      "wbgt_e" -> "CAST(round(least(1999.0, greatest(0.0, round((wbgt_c + 100.0) * 10.0)))) AS BIGINT)",
+      "utci_e" -> "CAST(least(1999.0, greatest(0.0, floor((utci_c + 100.0) * 10.0 + 0.5))) AS BIGINT)",
+      "wbgt_e" -> "CAST(least(1999.0, greatest(0.0, floor((wbgt_c + 100.0) * 10.0 + 0.5))) AS BIGINT)",
       "offh" -> "aoff % 200",
     ),
     // 28: the packed int32
@@ -209,6 +220,14 @@ object ThermalChain {
 
   /** Spark side: the chain through `through` layers (1-based count). */
   def df(spark: SparkSession, dir: String, through: Int): DataFrame = {
+    // keep the layers as separate projections: CollapseProject would
+    // inline single-use columns transitively — the tg fixed-point
+    // references mrt_k four times per level, so the collapsed tree
+    // duplicates the whole upstream chain exponentially (measured
+    // ~10x slower; 290KB of generated code). Layered projections
+    // evaluate every column once.
+    spark.conf.set("spark.sql.optimizer.excludedRules",
+      "org.apache.spark.sql.catalyst.optimizer.CollapseProject")
     val b = Tables.events(spark, dir)
       .selectExpr(base.map { case (n, e) => s"($e) AS $n" }: _*)
     layers.take(through).foldLeft(b) { (d, layer) =>

@@ -89,14 +89,21 @@ object Dedup {
   def d2(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val sh = shingled(spark, dir).cache()
-    val sigs = sh.selectExpr("doc_id",
-      s"""transform(sequence(0, ${nHashes - 1}),
-         | k -> aggregate(sh, 9223372036854775807L,
-         |        (acc, s) -> least(acc, xxhash64(s, k)))) AS mh""".stripMargin)
+    // minhash via explode + codegen'd min-aggregates (an aggregate()
+    // lambda over the shingle array is interpreted — measured ~10x)
+    val mhCols = (0 until nHashes).map(k =>
+      min(expr(s"xxhash64(s, $k)")).as(s"mh$k"))
+    val sigs = sh.selectExpr("doc_id", "explode(sh) AS s")
+      .groupBy($"doc_id")
+      .agg(mhCols.head, mhCols.tail: _*)
+    val bandStructs = (0 until nBands).map { b =>
+      val cols = (b * rowsPerBand until (b + 1) * rowsPerBand)
+        .map(k => s"mh$k").mkString(", ")
+      s"named_struct('band', $b, 'sig', xxhash64(concat_ws(',', $cols), $b))"
+    }.mkString(", ")
     val buckets = sigs.selectExpr("doc_id",
-      s"""posexplode(transform(sequence(0, ${nBands - 1}),
-         | b -> xxhash64(concat_ws(',', slice(mh, b * $rowsPerBand + 1, $rowsPerBand)), b)))
-         | AS (band, sig)""".stripMargin)
+      s"posexplode(array($bandStructs)) AS (pos, bs)")
+      .selectExpr("doc_id", "bs.band AS band", "bs.sig AS sig")
     val cand = buckets.as("a")
       .join(buckets.as("b"), $"a.band" === $"b.band" && $"a.sig" === $"b.sig" &&
         $"a.doc_id" < $"b.doc_id")
@@ -113,19 +120,21 @@ object Dedup {
 
   // ---------- d3: SimHash fingerprint + hamming near-dups ----------
 
-  private val simhashExpr =
-    """aggregate(sequence(0, 63), 0L,
-      | (acc, j) -> acc + CASE WHEN
-      |   aggregate(words, 0L,
-      |     (a, w) -> a + CASE WHEN (shiftright(xxhash64(w), j) & 1) = 1 THEN 1 ELSE -1 END) > 0
-      |   THEN shiftleft(1L, j) ELSE 0L END)""".stripMargin.replace("\n", "")
-
   def d3(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val fp = nearDupCorpus(spark, dir)
-      .selectExpr("doc_id", "split(lower(trim(text)), ' ') AS words")
-      .selectExpr("doc_id", s"($simhashExpr) AS fp")
-      .cache()
+    // per-bit vote sums via explode + 64 codegen'd aggregates (nested
+    // aggregate() lambdas over words x bits are interpreted and slow)
+    val words = nearDupCorpus(spark, dir)
+      .selectExpr("doc_id", "explode(split(lower(trim(text)), ' ')) AS w")
+      .selectExpr("doc_id", "xxhash64(w) AS h")
+    val voteCols = (0 until 64).map(j =>
+      sum(expr(s"CASE WHEN (shiftright(h, $j) & 1) = 1 THEN 1 ELSE -1 END")).as(s"v$j"))
+    val votes = words.groupBy($"doc_id")
+      .agg(voteCols.head, voteCols.tail: _*)
+    val fpExpr = (0 until 64)
+      .map(j => s"CASE WHEN v$j > 0 THEN shiftleft(1L, $j) ELSE 0L END")
+      .grouped(8).map(_.mkString("(", " + ", ")")).mkString(" + ")
+    val fp = votes.selectExpr("doc_id", s"($fpExpr) AS fp").cache()
     val chunks = fp.selectExpr("doc_id", "fp",
       "posexplode(transform(sequence(0, 3), c -> shiftright(fp, c * 16) & 65535)) AS (chunk_idx, chunk)")
     chunks.as("a").join(chunks.as("b"),

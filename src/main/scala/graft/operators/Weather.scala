@@ -91,28 +91,28 @@ object Weather {
 
   def w6(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    chain(spark, dir, 21)
+    chain(spark, dir, 22)
       .select($"event_id", $"lat", $"lon", $"utci_c")
       .orderBy($"event_id")
   }
 
   val w6Sql: String =
     s"""SELECT event_id, lat, lon, utci_c
-      |FROM (${ThermalChain.sql(21)})
+      |FROM (${ThermalChain.sql(22)})
       |ORDER BY event_id""".stripMargin
 
   // ---------- w7: WBGT ----------
 
   def w7(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    chain(spark, dir, 26)
+    chain(spark, dir, 27)
       .select($"event_id", $"wbgt_c")
       .orderBy($"event_id")
   }
 
   val w7Sql: String =
     s"""SELECT event_id, wbgt_c
-      |FROM (${ThermalChain.sql(26)})
+      |FROM (${ThermalChain.sql(27)})
       |ORDER BY event_id""".stripMargin
 
   // ---------- w8: int32 encode + decode roundtrip ----------
@@ -202,7 +202,7 @@ object Weather {
     import spark.implicits._
     chain(spark, dir, 2)
       .groupBy($"lat", $"lon", $"aoff").agg(max($"tmp2m").as("t"))
-      .withColumn("ha", round($"lon" / 15.0).cast("long"))
+      .withColumn("ha", expr("CAST(floor(lon / 15.0 + 0.5) AS BIGINT)"))
       .withColumn("uha", when($"ha" > 12, $"ha" - 24).otherwise($"ha"))
       .select($"lat", $"lon", $"aoff", $"uha",
         ($"aoff" + $"uha").as("local_aoff"), $"t")
@@ -212,7 +212,7 @@ object Weather {
   val w11Sql: String =
     s"""WITH g AS (${ThermalChain.sql(2)}),
       |c AS (SELECT lat, lon, aoff, max(tmp2m) AS t FROM g GROUP BY 1, 2, 3),
-      |h AS (SELECT *, CAST(round(lon / 15.0) AS BIGINT) AS ha FROM c)
+      |h AS (SELECT *, CAST(floor(lon / 15.0 + 0.5) AS BIGINT) AS ha FROM c)
       |SELECT lat, lon, aoff,
       |  CASE WHEN ha > 12 THEN ha - 24 ELSE ha END AS uha,
       |  aoff + (CASE WHEN ha > 12 THEN ha - 24 ELSE ha END) AS local_aoff,
@@ -243,7 +243,7 @@ object Weather {
     cells.join(broadcast(days)).join(broadcast(hours))
       .withColumn("t", expr(w12T))
       .filter(expr(w12Keep))
-      .withColumn("uha", expr("CASE WHEN CAST(round(lon / 15.0) AS BIGINT) > 12 THEN CAST(round(lon / 15.0) AS BIGINT) - 24 ELSE CAST(round(lon / 15.0) AS BIGINT) END"))
+      .withColumn("uha", expr("CASE WHEN CAST(floor(lon / 15.0 + 0.5) AS BIGINT) > 12 THEN CAST(floor(lon / 15.0 + 0.5) AS BIGINT) - 24 ELSE CAST(floor(lon / 15.0 + 0.5) AS BIGINT) END"))
       .withColumn("lday", expr("CAST(floor((CAST(day * 24 + h AS DOUBLE) + CAST(uha AS DOUBLE)) / 24.0) AS BIGINT)"))
       .groupBy($"lat", $"lon", $"lday")
       .agg(count(lit(1)).as("n"), max($"t").as("hi"), min($"t").as("lo"))
@@ -259,9 +259,9 @@ object Weather {
       |hours AS (SELECT n_nationkey AS h FROM nation WHERE n_nationkey < 24),
       |dense AS (
       |  SELECT lat, lon, day, h, ($w12T) AS t,
-      |    CASE WHEN CAST(round(lon / 15.0) AS BIGINT) > 12
-      |         THEN CAST(round(lon / 15.0) AS BIGINT) - 24
-      |         ELSE CAST(round(lon / 15.0) AS BIGINT) END AS uha
+      |    CASE WHEN CAST(floor(lon / 15.0 + 0.5) AS BIGINT) > 12
+      |         THEN CAST(floor(lon / 15.0 + 0.5) AS BIGINT) - 24
+      |         ELSE CAST(floor(lon / 15.0 + 0.5) AS BIGINT) END AS uha
       |  FROM cells CROSS JOIN days CROSS JOIN hours
       |  WHERE $w12Keep),
       |shifted AS (
@@ -278,7 +278,7 @@ object Weather {
 
   def w13(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    chain(spark, dir, 28)
+    chain(spark, dir, 29)
       .groupBy($"lat", $"lon", $"aoff").agg(max($"encoded").as("enc"))
       .groupBy($"lat", $"lon")
       .agg(count(lit(1)).as("n_hours"), min($"aoff").as("forecast_start"),
@@ -288,7 +288,7 @@ object Weather {
   }
 
   val w13Sql: String =
-    s"""WITH g AS (${ThermalChain.sql(28)}),
+    s"""WITH g AS (${ThermalChain.sql(29)}),
       |c AS (SELECT lat, lon, aoff, max(encoded) AS enc FROM g GROUP BY 1, 2, 3)
       |SELECT lat, lon, count(*) AS n_hours, min(aoff) AS forecast_start,
       |  string_agg(CAST(aoff AS VARCHAR) || ':' || CAST(enc AS VARCHAR), ',' ORDER BY aoff) AS series
@@ -306,7 +306,7 @@ object Weather {
 
   def w14(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    chain(spark, dir, 21)
+    chain(spark, dir, 22)
       .withColumn("day", expr("CAST(floor(CAST(aoff AS DOUBLE) / 24.0) AS BIGINT)"))
       .groupBy($"lat", $"lon", $"day").agg(max($"utci_c").as("hi"))
       .withColumn("band", expr(bandExpr))
@@ -315,7 +315,7 @@ object Weather {
   }
 
   val w14Sql: String =
-    s"""WITH g AS (${ThermalChain.sql(21)}),
+    s"""WITH g AS (${ThermalChain.sql(22)}),
       |d AS (SELECT lat, lon, CAST(floor(CAST(aoff AS DOUBLE) / 24.0) AS BIGINT) AS day,
       |        max(utci_c) AS hi
       |      FROM g GROUP BY 1, 2, 3)

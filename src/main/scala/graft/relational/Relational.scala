@@ -29,7 +29,7 @@ object Relational {
       .filter($"l_shipdate" <= lit(ts("2000-09-02")))
       .groupBy($"l_returnflag", $"l_linestatus")
       .agg(
-        sum(round($"l_quantity").cast("long")).as("sum_qty"),
+        sum(floor($"l_quantity" + lit(0.5)).cast("long")).as("sum_qty"),
         Stable.dsum($"l_extendedprice", 2).as("sum_base_price"),
         Stable.dsum($"l_extendedprice" * (lit(1.0) - $"l_discount"), 4).as("sum_disc_price"),
         Stable.dsum($"l_extendedprice" * (lit(1.0) - $"l_discount") * (lit(1.0) + $"l_tax"), 6).as("sum_charge"),
@@ -42,7 +42,7 @@ object Relational {
 
   val q1Sql: String =
     s"""SELECT l_returnflag, l_linestatus,
-      |  CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty,
+      |  CAST(sum(CAST(floor(l_quantity + 0.5) AS BIGINT)) AS BIGINT) AS sum_qty,
       |  ${Stable.sumSql("l_extendedprice", 2)} AS sum_base_price,
       |  ${Stable.sumSql("l_extendedprice * (1.0 - l_discount)", 4)} AS sum_disc_price,
       |  ${Stable.sumSql("l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)", 6)} AS sum_charge,
@@ -196,7 +196,7 @@ object Relational {
     Tables.orders(spark, dir)
       .withColumn("rn", row_number().over(w))
       .withColumn("running_total",
-        (sum(round($"o_totalprice" * 100).cast("long"))
+        (sum(floor($"o_totalprice" * 100 + lit(0.5)).cast("long"))
           .over(w.rowsBetween(Window.unboundedPreceding, 0)) / 100.0))
       .select($"o_custkey", $"o_orderkey", $"rn", $"running_total")
       .orderBy($"o_custkey", $"rn")
@@ -205,7 +205,7 @@ object Relational {
   val q9Sql: String =
     """SELECT o_custkey, o_orderkey,
       |  row_number() OVER w AS rn,
-      |  sum(CAST(round(o_totalprice * 100.0) AS BIGINT)) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) / 100.0 AS running_total
+      |  sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) / 100.0 AS running_total
       |FROM orders
       |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
       |ORDER BY o_custkey, rn""".stripMargin
