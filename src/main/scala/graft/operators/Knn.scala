@@ -48,21 +48,39 @@ object Knn {
       }).toDF("id_a", "id_b", "cos_sim")
   }
 
-  /** All corpus-query pairs for a small query set, via broadcast. */
-  private def queryPairs(e: DataFrame): DataFrame = {
-    val q = e.filter(col("vec_id") < 10)
-      .select(col("vec_id").as("id_a"), col("nv").as("nv_a"))
-    val c = e.filter(col("vec_id") >= 10)
-      .select(col("vec_id").as("id_b"), col("nv").as("nv_b"), lit(1).as("one"))
-    c.join(broadcast(q.withColumn("one", lit(1))), Seq("one")).drop("one")
+  /** Sequential dot + 1e-6 quantization (round-half-away, matching
+    * SQL round); the single scoring kernel all paths share.
+    */
+  @inline private[operators] def cosQ(va: Array[Double], vb: Array[Double]): Double = {
+    var i = 0
+    var dot = 0.0
+    while (i < va.length) { dot += va(i) * vb(i); i += 1 }
+    val q = dot * 1e6
+    (if (q >= 0) math.floor(q + 0.5) else math.ceil(q - 0.5)) / 1e6
+  }
+
+  /** Broadcast a small vector set as a scoring codebook — the
+    * distributed brute-force shape: the corpus streams through
+    * partitions, the small side rides along broadcast. (Joining the
+    * arrays instead deserializes 64 doubles per pair — measured ~10x.)
+    */
+  private[operators] def codebook(e: DataFrame, pred: String): Array[(Long, Array[Double])] = {
+    import e.sparkSession.implicits._
+    e.filter(pred).select(col("vec_id"), col("nv"))
+      .as[(Long, Array[Double])].collect().sortBy(_._1)
   }
 
   // ---------- v1: brute-force cosine top-k (exact baseline) ----------
 
   def v1(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val scored = cosineOf(queryPairs(vectors(spark, dir)))
-      .select($"id_a".as("qid"), $"id_b".as("vec_id"), $"cos_sim")
+    val e = vectors(spark, dir)
+    val bc = spark.sparkContext.broadcast(codebook(e, "vec_id < 10"))
+    val scored = e.filter($"vec_id" >= 10).select($"vec_id", $"nv")
+      .as[(Long, Array[Double])]
+      .mapPartitions(_.flatMap { case (cid, cv) =>
+        bc.value.iterator.map { case (qid, qv) => (qid, cid, cosQ(qv, cv)) }
+      }).toDF("qid", "vec_id", "cos_sim")
     val w = Window.partitionBy($"qid").orderBy($"cos_sim".desc, $"vec_id")
     scored.withColumn("rnk", row_number().over(w))
       .filter($"rnk" <= 5)
