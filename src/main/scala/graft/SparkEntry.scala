@@ -27,6 +27,7 @@ object SparkEntry {
     "q10_topk_pergroup" -> (Relational.q10 _),
     "q11_asof_join" -> (AsOf.asOfJoin _),
     "q12_range_join" -> (AsOf.rangeJoin _),
+    "q13_asof_custom" -> (AsOf.asOfJoinCustom _),
     "e1_tumbling" -> (EventWindows.tumbling _),
     "e2_sliding" -> (EventWindows.sliding _),
     "e3_sessionize" -> (EventWindows.sessionize _),
@@ -73,6 +74,7 @@ object SparkEntry {
     "q10_topk_pergroup" -> Relational.q10Sql,
     "q11_asof_join" -> AsOf.asOfSql,
     "q12_range_join" -> AsOf.rangeSql,
+    "q13_asof_custom" -> AsOf.asOfSql,
     "e1_tumbling" -> EventWindows.tumblingSql,
     "e2_sliding" -> EventWindows.slidingSql,
     "e3_sessionize" -> EventWindows.sessionizeSql,

@@ -49,6 +49,25 @@ object AsOf {
       .orderBy($"event_id")
   }
 
+  /** q13: identical semantics to [[asOfJoin]], but through the custom
+    * Catalyst operator ([[graft.plans.AsOfJoinPlan]] + strategy +
+    * partition-local merge exec) — the whole-operator extension path.
+    */
+  def asOfJoinCustom(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.events(spark, dir)
+      .withColumn("ts2", expr("timestampadd(DAY, CAST(event_id % 2400 AS INT), TIMESTAMP '1995-01-01 00:00:00')"))
+      .select($"event_id", $"user_id", $"ts2")
+    val ord = Tables.orders(spark, dir).select($"o_custkey", $"o_orderdate")
+    graft.plans.AsOfJoin.asofJoin(
+        ev, col("user_id"), unix_micros(col("ts2")),
+        ord, col("o_custkey"), unix_micros(col("o_orderdate").cast("timestamp")), "matched_us")
+      .select($"event_id", $"user_id",
+        date_format($"ts2", "yyyy-MM-dd").as("event_day"),
+        date_format(timestamp_micros($"matched_us"), "yyyy-MM-dd").as("order_day"))
+      .orderBy($"event_id")
+  }
+
   val asOfSql: String =
     """SELECT e.event_id, e.user_id,
       |  strftime(e.ts2, '%Y-%m-%d') AS event_day,

@@ -62,6 +62,15 @@ class RelationalSpec extends AnyFunSuite {
     assert(joined == 0)
   }
 
+  test("custom Catalyst as-of operator matches the union+window composition") {
+    import spark.implicits._
+    val a = AsOf.asOfJoin(spark, sf)
+      .select($"event_id", $"order_day").as[(Long, String)].collect().toMap
+    val b = AsOf.asOfJoinCustom(spark, sf)
+      .select($"event_id", $"order_day").as[(Long, String)].collect().toMap
+    assert(a == b)
+  }
+
   test("range join counts pairs within (0, 5min] exactly") {
     val got = AsOf.rangeJoin(spark, sf).agg(sum($"n_pairs")).as[Long].head()
     val ev = Tables.events(spark, sf).select($"user_id", unix_micros($"ts").as("t"))
