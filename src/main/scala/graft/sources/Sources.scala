@@ -1,0 +1,107 @@
+package graft.sources
+
+import java.nio.file.{Files, Paths, StandardCopyOption}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Source/sink surface mirrored from the reference container:
+  *
+  *  - [[GridSource]] — the OPeNDAP/xarray ingest
+  *    (/root/reference/main.py:81-107): long-format weather grids
+  *    with the reference's variable/box/hour-range slicing, as
+  *    pushdown-friendly parquet reads (xarray `.sel`/`.isel` become
+  *    filters that reach the scan).
+  *  - [[ForecastStore]] — the GCS `w4h_data.nc` persistence
+  *    (main.py:209-217, 331-336): save/load the latest forecast with
+  *    an atomic directory swap, plus the combine_first merge with a
+  *    time cutoff (main.py:245-250) as a library call.
+  *  - [[Catalog]] — the NOMADS scrape (main.py:39-62): discovery of
+  *    the latest complete (date, cycle) source from a catalog table.
+  */
+object GridSource {
+
+  /** Lat/lon box, inclusive, as in `ds.sel(lat=slice(...), lon=...)`. */
+  case class Box(south: Double, north: Double, west: Double, east: Double)
+
+  /** Read a long-format grid (lat, lon, ts, vars...) keeping only
+    * `vars`, the box, and forecast hours [hourFrom, hourTo) relative
+    * to the grid's first timestamp — the reference's
+    * `isel(time=slice(1, 121))`. All filters are scan-level
+    * (`PushedFilters` on lat/lon; the hour window needs the min ts,
+    * resolved via a scalar subquery-style first pass).
+    */
+  def read(spark: SparkSession, path: String, vars: Seq[String],
+      box: Box, hourFrom: Int, hourTo: Int): DataFrame = {
+    val base = spark.read.parquet(path)
+      .filter(col("lat") >= box.south && col("lat") <= box.north &&
+        col("lon") >= box.west && col("lon") <= box.east)
+    val t0 = base.agg(min("ts")).head().getTimestamp(0)
+    val lo = new java.sql.Timestamp(t0.getTime + hourFrom * 3600000L)
+    val hi = new java.sql.Timestamp(t0.getTime + hourTo * 3600000L)
+    base.filter(col("ts") >= lit(lo) && col("ts") < lit(hi))
+      .select((Seq("lat", "lon", "ts") ++ vars).map(col): _*)
+  }
+}
+
+/** Persisted latest-forecast store with atomic swap: writers never
+  * leave a half-written "current" state (write to a versioned dir,
+  * then atomically repoint a marker file — the parquet analog of the
+  * reference's download-merge-upload of `w4h_data.nc`).
+  */
+class ForecastStore(root: String) {
+  private val marker = Paths.get(root, "CURRENT")
+
+  def currentPath(): Option[String] =
+    if (Files.exists(marker))
+      Some(Paths.get(root, new String(Files.readAllBytes(marker)).trim).toString)
+    else None
+
+  def load(spark: SparkSession): Option[DataFrame] =
+    currentPath().map(spark.read.parquet(_))
+
+  /** Write `df` as the new current version (atomic marker swap). */
+  def save(df: DataFrame, version: String): Unit = {
+    val dir = Paths.get(root, version)
+    df.write.mode("overwrite").parquet(dir.toString)
+    val tmp = Paths.get(root, "CURRENT.tmp")
+    Files.createDirectories(Paths.get(root))
+    Files.write(tmp, version.getBytes)
+    Files.move(tmp, marker, StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** combine_first: prefer `fresh` rows, keep `previous` rows for keys
+    * it lacks, and clip everything before `cutoff` — the reference's
+    * merge of a new forecast over the stored one (main.py:245-250).
+    * One full-outer join on the grid key.
+    */
+  def combineFirst(fresh: DataFrame, previous: DataFrame,
+      keys: Seq[String], valueCols: Seq[String],
+      cutoffCol: String, cutoff: java.sql.Timestamp): DataFrame = {
+    val f = fresh.select(keys.map(col) ++ valueCols.map(c => col(c).as(s"__f_$c")): _*)
+    val p = previous.select(keys.map(col) ++ valueCols.map(c => col(c).as(s"__p_$c")): _*)
+    f.join(p, keys, "full_outer")
+      .select(keys.map(col) ++ valueCols.map(c =>
+        coalesce(col(s"__f_$c"), col(s"__p_$c")).as(c)): _*)
+      .filter(col(cutoffCol) >= lit(cutoff))
+  }
+}
+
+/** Latest-source discovery over a catalog of (date, cycle, complete)
+  * — the scrape of the NOMADS directory listing reduced to its
+  * semantics: the max complete (date, cycle), and "is it newer than
+  * what we last used".
+  */
+object Catalog {
+  def latestComplete(catalog: DataFrame): Option[(String, String)] = {
+    val rows = catalog.filter(col("complete"))
+      .orderBy(col("date").desc, col("cycle").desc)
+      .limit(1).collect()
+    rows.headOption.map(r => (r.getAs[String]("date"), r.getAs[String]("cycle")))
+  }
+
+  def isNewer(candidate: (String, String), lastUsed: Option[(String, String)]): Boolean =
+    lastUsed.forall { last =>
+      candidate._1 > last._1 || (candidate._1 == last._1 && candidate._2 > last._2)
+    }
+}

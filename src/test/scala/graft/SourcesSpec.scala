@@ -1,0 +1,66 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.sources.{Catalog, ForecastStore, GridSource}
+
+class SourcesSpec extends AnyFunSuite {
+  lazy val spark = SharedSpark.spark
+  val sf = SharedSpark.sf
+
+  private def tmp() = java.nio.file.Files.createTempDirectory("graft_src").toString
+
+  private def grid() = {
+    import spark.implicits._
+    graft.functions.ThermalChain.df(spark, sf, 2)
+      .selectExpr("lat", "lon",
+        "timestampadd(HOUR, CAST(aoff AS INT), TIMESTAMP '2024-01-01 00:00:00') AS ts",
+        "tmp2m", "wind_speed")
+  }
+
+  test("GridSource.read slices box, hours and variables with pushdown") {
+    val dir = tmp() + "/grid"
+    grid().write.parquet(dir)
+    val df = GridSource.read(spark, dir, Seq("tmp2m"),
+      GridSource.Box(-30, 30, -90, 90), hourFrom = 1, hourTo = 25)
+    assert(df.columns.toSeq == Seq("lat", "lon", "ts", "tmp2m"))
+    val r = df.agg(min("lat"), max("lat"), min("lon"), max("lon"),
+      countDistinct(expr("date_trunc('hour', ts)"))).head()
+    assert(r.getDouble(0) >= -30 && r.getDouble(1) <= 30)
+    assert(r.getDouble(2) >= -90 && r.getDouble(3) <= 90)
+    assert(r.getLong(4) <= 24)
+    val scan = df.queryExecution.executedPlan.toString
+    assert(scan.contains("PushedFilters") && scan.contains("GreaterThanOrEqual(lat,"))
+  }
+
+  test("ForecastStore: atomic save/load + combineFirst semantics") {
+    import spark.implicits._
+    val store = new ForecastStore(tmp() + "/store")
+    assert(store.load(spark).isEmpty)
+    val v1 = Seq((1L, "2024-01-01 00:00:00", 10.0), (2L, "2024-01-01 01:00:00", 20.0))
+      .toDF("cell", "h", "t").withColumn("h", $"h".cast("timestamp"))
+    store.save(v1, "v1")
+    assert(store.load(spark).get.count() == 2)
+    val v2 = Seq((1L, "2024-01-01 00:00:00", 11.0), (3L, "2024-01-01 02:00:00", 30.0))
+      .toDF("cell", "h", "t").withColumn("h", $"h".cast("timestamp"))
+    val merged = store.combineFirst(v2, store.load(spark).get,
+      keys = Seq("cell", "h"), valueCols = Seq("t"),
+      cutoffCol = "h", cutoff = java.sql.Timestamp.valueOf("2024-01-01 01:00:00"))
+    val rows = merged.orderBy($"cell").collect()
+    // cell 1 @00: clipped by cutoff; cell 2 @01 keeps old 20.0; cell 3 @02 new 30.0
+    assert(rows.map(r => (r.getLong(0), r.getDouble(2))).toSeq == Seq((2L, 20.0), (3L, 30.0)))
+    store.save(merged, "v2")
+    assert(store.currentPath().get.endsWith("v2"))
+  }
+
+  test("Catalog.latestComplete and isNewer") {
+    import spark.implicits._
+    val cat = Seq(("20240101", "06", true), ("20240101", "12", false),
+      ("20240102", "00", true)).toDF("date", "cycle", "complete")
+    val latest = Catalog.latestComplete(cat)
+    assert(latest.contains(("20240102", "00")))
+    assert(Catalog.isNewer(latest.get, Some(("20240101", "06"))))
+    assert(!Catalog.isNewer(latest.get, Some(("20240102", "00"))))
+    assert(Catalog.isNewer(latest.get, None))
+  }
+}
