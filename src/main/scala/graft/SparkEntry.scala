@@ -25,6 +25,8 @@ object SparkEntry {
     "q8_rollup" -> (Relational.q8 _),
     "q9_window" -> (Relational.q9 _),
     "q10_topk_pergroup" -> (Relational.q10 _),
+    "q15_cube" -> (Relational.q15 _),
+    "q16_setops" -> (Relational.q16 _),
     "q11_asof_join" -> (AsOf.asOfJoin _),
     "q12_range_join" -> (AsOf.rangeJoin _),
     "q13_asof_custom" -> (AsOf.asOfJoinCustom _),
@@ -60,6 +62,7 @@ object SparkEntry {
     "m1_media_meta" -> (graft.operators.Media.m1 _),
     "s1_stream_tumbling" -> (graft.streaming.EventStreams.s1 _),
     "s2_stream_sessions" -> (graft.streaming.EventStreams.s2 _),
+    "s3_stream_dedup" -> (graft.streaming.EventStreams.s3 _),
   )
 
   /** DuckDB-runnable oracle SQL per query key (same parquet tables). */
@@ -72,6 +75,8 @@ object SparkEntry {
     "q8_rollup" -> Relational.q8Sql,
     "q9_window" -> Relational.q9Sql,
     "q10_topk_pergroup" -> Relational.q10Sql,
+    "q15_cube" -> Relational.q15Sql,
+    "q16_setops" -> Relational.q16Sql,
     "q11_asof_join" -> AsOf.asOfSql,
     "q12_range_join" -> AsOf.rangeSql,
     "q13_asof_custom" -> AsOf.asOfSql,
@@ -100,5 +105,6 @@ object SparkEntry {
     "v1_knn_brute" -> Knn.v1Sql,
     "s1_stream_tumbling" -> graft.streaming.EventStreams.s1Sql,
     "s2_stream_sessions" -> graft.streaming.EventStreams.s2Sql,
+    "s3_stream_dedup" -> graft.streaming.EventStreams.s3Sql,
   )
 }

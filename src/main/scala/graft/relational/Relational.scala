@@ -187,6 +187,43 @@ object Relational {
       |GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
       |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin
 
+  /** q15: CUBE aggregate (all grouping-set combinations). */
+  def q15(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.lineitem(spark, dir)
+      .cube($"l_returnflag", $"l_linestatus")
+      .agg(count(lit(1)).as("n"), Stable.dsum($"l_quantity", 2).as("qty"))
+      .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))
+  }
+
+  val q15Sql: String =
+    s"""SELECT l_returnflag, l_linestatus, count(*) AS n,
+      |  ${Stable.sumSql("l_quantity", 2)} AS qty
+      |FROM lineitem
+      |GROUP BY CUBE (l_returnflag, l_linestatus)
+      |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin
+
+  /** q16: set operations — INTERSECT and EXCEPT of customer key sets
+    * (buyers in two disjoint periods), merged with a tag.
+    */
+  def q16(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ord = Tables.orders(spark, dir)
+    val a = ord.filter($"o_orderdate" < lit(ts("1998-01-01"))).select($"o_custkey")
+    val b = ord.filter($"o_orderdate" >= lit(ts("1998-01-01"))).select($"o_custkey")
+    a.intersect(b).withColumn("tag", lit("both"))
+      .unionByName(a.except(b).withColumn("tag", lit("early_only")))
+      .orderBy($"tag", $"o_custkey")
+  }
+
+  val q16Sql: String =
+    """WITH a AS (SELECT o_custkey FROM orders WHERE o_orderdate < TIMESTAMP '1998-01-01 00:00:00'),
+      |b AS (SELECT o_custkey FROM orders WHERE o_orderdate >= TIMESTAMP '1998-01-01 00:00:00')
+      |SELECT o_custkey, 'both' AS tag FROM (SELECT * FROM a INTERSECT SELECT * FROM b)
+      |UNION ALL
+      |SELECT o_custkey, 'early_only' AS tag FROM (SELECT * FROM a EXCEPT SELECT * FROM b)
+      |ORDER BY tag, o_custkey""".stripMargin
+
   /** q9: running windowed analytics per customer — one shuffle on the
     * partition key, ordered frame with a deterministic tie-break.
     */

@@ -97,4 +97,28 @@ object EventStreams {
   }
 
   val s2Sql: String = graft.operators.EventWindows.sessionizeSql
+
+  /** s3: streaming deduplication — `dropDuplicatesWithinWatermark`
+    * on (user_id, event_type); the streaming half of the dedup
+    * family (SURVEY §2). Single micro-batch over the testdata =>
+    * one row per distinct pair, earliest-in-batch retained; the
+    * aggregate projection makes the result batch-comparable.
+    */
+  def s3(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val deduped = streamingEvents(spark, dir)
+      .select($"user_id", $"event_type", $"ts")
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("user_id", "event_type")
+    runToTable(spark, deduped, OutputMode.Append())
+      .groupBy($"user_id")
+      .agg(count(lit(1)).as("n_types"))
+      .orderBy($"user_id")
+  }
+
+  val s3Sql: String =
+    """SELECT user_id, count(DISTINCT event_type) AS n_types
+      |FROM events
+      |GROUP BY user_id
+      |ORDER BY user_id""".stripMargin
 }

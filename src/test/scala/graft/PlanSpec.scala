@@ -1,0 +1,60 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.relational.Relational
+import graft.operators.Weather
+
+/** Plan-shape assertions: the scale-design claims of SURVEY.md §5,
+  * checked against the actual physical plans (not just trusted).
+  */
+class PlanSpec extends AnyFunSuite {
+  lazy val spark = SharedSpark.spark
+  val sf = SharedSpark.sf
+
+  private def plan(df: org.apache.spark.sql.DataFrame): String = {
+    df.collect() // let AQE finalize
+    df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+  }
+
+  test("q6: all three predicates reach the parquet scan") {
+    val p = plan(Relational.q6(spark, sf))
+    assert(p.contains("PushedFilters"))
+    assert(p.contains("GreaterThanOrEqual(l_shipdate"))
+    assert(p.contains("LessThan(l_quantity"))
+    assert(p.contains("GreaterThanOrEqual(l_discount"))
+  }
+
+  test("q5: every dimension joins as a broadcast hash join (no shuffle joins)") {
+    val p = plan(Relational.q5(spark, sf))
+    val broadcasts = "BroadcastHashJoin".r.findAllIn(p).length
+    assert(broadcasts >= 4, s"expected >=4 broadcast joins, got $broadcasts")
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("q1: scan reads only the referenced columns") {
+    val p = plan(Relational.q1(spark, sf))
+    val schema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(schema.contains("l_returnflag") && schema.contains("l_quantity"))
+    assert(!schema.contains("l_partkey") && !schema.contains("l_suppkey"))
+  }
+
+  test("w10: the near-land mask is a broadcast semi join") {
+    val p = plan(Weather.w10(spark, sf))
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"))
+  }
+
+  test("w6: the thermal chain is a single scan with no shuffle before aggregation") {
+    // only the final (AQE) section — explain repeats the initial plan
+    val p = plan(Weather.w6(spark, sf)).split("== Initial Plan ==")(0)
+    // narrow map: only the presentation sort may exchange
+    val exchanges = "ShuffleQueryStage".r.findAllIn(p).length
+    assert(exchanges <= 1, s"chain should not shuffle; got $exchanges exchanges\n$p")
+    assert("Scan parquet".r.findAllIn(p).length == 1)
+  }
+
+  test("q12: range join plans as an equality hash join, not nested-loop") {
+    val p = plan(graft.operators.AsOf.rangeJoin(spark, sf))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"))
+  }
+}
