@@ -63,6 +63,7 @@ object SparkEntry {
     "s1_stream_tumbling" -> (graft.streaming.EventStreams.s1 _),
     "s2_stream_sessions" -> (graft.streaming.EventStreams.s2 _),
     "s3_stream_dedup" -> (graft.streaming.EventStreams.s3 _),
+    "s4_stream_interval_join" -> (graft.streaming.EventStreams.s4 _),
   )
 
   /** DuckDB-runnable oracle SQL per query key (same parquet tables). */
@@ -106,5 +107,6 @@ object SparkEntry {
     "s1_stream_tumbling" -> graft.streaming.EventStreams.s1Sql,
     "s2_stream_sessions" -> graft.streaming.EventStreams.s2Sql,
     "s3_stream_dedup" -> graft.streaming.EventStreams.s3Sql,
+    "s4_stream_interval_join" -> graft.streaming.EventStreams.s4Sql,
   )
 }

@@ -121,4 +121,29 @@ object EventStreams {
       |FROM events
       |GROUP BY user_id
       |ORDER BY user_id""".stripMargin
+
+  /** s4: stream-stream interval self-join — pairs of events of the
+    * same user within (0, 5 min], the streaming twin of the batch
+    * range join (q12, identical oracle). Both sides watermarked so
+    * the join state is bounded; pair counting happens batch-side on
+    * the appended matches.
+    */
+  def s4(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val a = streamingEvents(spark, dir)
+      .select($"user_id".as("ua"), $"ts".as("ta"))
+      .withWatermark("ta", "10 minutes")
+    val b = streamingEvents(spark, dir)
+      .select($"user_id".as("ub"), $"ts".as("tb"))
+      .withWatermark("tb", "10 minutes")
+    val joined = a.join(b,
+      $"ua" === $"ub" && $"tb" > $"ta" &&
+        $"tb" <= $"ta" + expr("INTERVAL 5 MINUTES"))
+    runToTable(spark, joined, OutputMode.Append())
+      .groupBy(col("ua").as("user_id"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy(col("user_id"))
+  }
+
+  val s4Sql: String = graft.operators.AsOf.rangeSql
 }

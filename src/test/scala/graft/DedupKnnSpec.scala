@@ -79,6 +79,26 @@ class DedupKnnSpec extends AnyFunSuite {
     assert(brute.intersect(ivf).nonEmpty)
   }
 
+  test("TopKAgg typed aggregator equals window+rank top-k") {
+    import spark.implicits._
+    val ev = Tables.events(spark, sf)
+      .select($"user_id", $"value", $"event_id")
+    // typed aggregator path: O(k) state per group
+    val got = ev.as[(Long, Double, Long)]
+      .groupByKey(_._1)
+      .mapValues(r => (r._2, r._3))
+      .agg(new graft.functions.TopKAgg(3).toColumn)
+      .flatMap { case (uid, tops) => tops.map(t => (uid, t._1, t._2)) }
+      .collect().toSet
+    // window path: sorts whole groups
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"user_id").orderBy($"value".desc, $"event_id")
+    val want = ev.withColumn("rnk", row_number().over(w)).filter($"rnk" <= 3)
+      .select($"user_id", $"value", $"event_id")
+      .as[(Long, Double, Long)].collect().toSet
+    assert(got == want)
+  }
+
   test("t4: FNV-1a fingerprint matches the scalar implementation") {
     val one = TextStats.t4(spark, sf).filter($"doc_id" === 0).head()
     val text = Tables.documents(spark, sf).filter($"doc_id" === 0)

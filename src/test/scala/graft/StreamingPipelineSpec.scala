@@ -97,6 +97,33 @@ class StreamingPipelineSpec extends AnyFunSuite {
     assert(written.map(_.toLong).sorted == (0L until n).toSeq)
   }
 
+  test("salted two-phase aggregate equals the direct aggregate") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val ev = Tables.events(spark, sf)
+      .select($"user_id", floor($"value" * 100 + 0.5).cast("long").as("cents"))
+    val direct = ev.groupBy($"user_id")
+      .agg(sum($"cents").as("total"), count(lit(1)).as("n"))
+      .as[(Long, Long, Long)].collect().toSet
+    val salted = graft.operators.Skew.saltedSum(ev, Seq("user_id"), buckets = 8,
+      Map("total" -> sum($"cents"), "n" -> count(lit(1))))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(salted == direct)
+  }
+
+  test("approximate sketches stay within error bounds of exact answers") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val li = Tables.lineitem(spark, sf)
+    val exact = li.select(countDistinct($"l_orderkey")).as[Long].head()
+    val approx = li.select(approx_count_distinct($"l_orderkey", 0.02)).as[Long].head()
+    assert(math.abs(approx - exact).toDouble / exact < 0.1,
+      s"approx=$approx exact=$exact")
+    val Array(q25, q50, q75) =
+      li.stat.approxQuantile("l_quantity", Array(0.25, 0.5, 0.75), 0.01)
+    assert(q25 <= q50 && q50 <= q75 && q50 >= 1 && q75 <= 50)
+  }
+
   test("Timer reports positive wall/cpu") {
     val t = new Timer
     var x = 0L
