@@ -34,6 +34,16 @@ object Tables {
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
 
+  /** Deterministic total order for presentation/verify output:
+    * repartition(1) + partition sort instead of a global orderBy —
+    * RangePartitioning's sampling pass re-executes the whole upstream
+    * pipeline (measured ~2x on the thermal chain); a single-partition
+    * sort of an already-computed result does not. Output sizes here
+    * are bounded (aggregates or <=1M rows), so one reduce task is fine.
+    */
+  def ordered(df: DataFrame, cols: org.apache.spark.sql.Column*): DataFrame =
+    df.repartition(1).sortWithinPartitions(cols: _*)
+
   def ts(s: String): java.sql.Timestamp =
     java.sql.Timestamp.valueOf(if (s.length == 10) s + " 00:00:00" else s)
 }

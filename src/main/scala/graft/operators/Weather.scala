@@ -22,7 +22,7 @@ object Weather {
     import spark.implicits._
     chain(spark, dir, 2)
       .select($"event_id", $"lat", $"lon", $"wind_speed")
-      .orderBy($"event_id")
+      .transform(Tables.ordered(_, $"event_id"))
   }
 
   val w1Sql: String =
@@ -37,7 +37,7 @@ object Weather {
     chain(spark, dir, 10)
       .select($"event_id", $"lat", $"lon", $"doy", $"hh",
         $"avg_cza")
-      .orderBy($"event_id")
+      .transform(Tables.ordered(_, $"event_id"))
   }
 
   val w2Sql: String =
@@ -51,7 +51,7 @@ object Weather {
     import spark.implicits._
     chain(spark, dir, 14)
       .select($"event_id", $"kt", $"dni", $"dhi")
-      .orderBy($"event_id")
+      .transform(Tables.ordered(_, $"event_id"))
   }
 
   val w3Sql: String =
@@ -65,7 +65,7 @@ object Weather {
     import spark.implicits._
     chain(spark, dir, 16)
       .select($"event_id", $"mrt_c")
-      .orderBy($"event_id")
+      .transform(Tables.ordered(_, $"event_id"))
   }
 
   val w4Sql: String =
@@ -79,7 +79,7 @@ object Weather {
     import spark.implicits._
     chain(spark, dir, 5)
       .select($"event_id", $"es_td", $"rh")
-      .orderBy($"event_id")
+      .transform(Tables.ordered(_, $"event_id"))
   }
 
   val w5Sql: String =
@@ -93,7 +93,7 @@ object Weather {
     import spark.implicits._
     chain(spark, dir, 22)
       .select($"event_id", $"lat", $"lon", $"utci_c")
-      .orderBy($"event_id")
+      .transform(Tables.ordered(_, $"event_id"))
   }
 
   val w6Sql: String =
@@ -107,7 +107,7 @@ object Weather {
     import spark.implicits._
     chain(spark, dir, 27)
       .select($"event_id", $"wbgt_c")
-      .orderBy($"event_id")
+      .transform(Tables.ordered(_, $"event_id"))
   }
 
   val w7Sql: String =
@@ -121,7 +121,7 @@ object Weather {
     import spark.implicits._
     chain(spark, dir, ThermalChain.full)
       .select($"event_id", $"encoded", $"utci_d", $"wbgt_d", $"off_d")
-      .orderBy($"event_id")
+      .transform(Tables.ordered(_, $"event_id"))
   }
 
   val w8Sql: String =
@@ -146,7 +146,7 @@ object Weather {
       .select($"lat", $"lon", $"aoff",
         coalesce($"t_new", $"t_old").as("t"),
         when($"t_new".isNotNull, "new").otherwise("old").as("src"))
-      .orderBy($"lat", $"lon", $"aoff")
+      .transform(Tables.ordered(_, $"lat", $"lon", $"aoff"))
   }
 
   val w9Sql: String =
@@ -179,7 +179,7 @@ object Weather {
       .agg(countDistinct($"aoff").as("n_hours"), max($"tmp2m").as("t_max"))
       .join(broadcast(mask), Seq("lat", "lon"), "left_semi")
       .select($"lat", $"lon", $"n_hours", $"t_max")
-      .orderBy($"lat", $"lon")
+      .transform(Tables.ordered(_, $"lat", $"lon"))
   }
 
   val w10Sql: String =
@@ -206,7 +206,7 @@ object Weather {
       .withColumn("uha", when($"ha" > 12, $"ha" - 24).otherwise($"ha"))
       .select($"lat", $"lon", $"aoff", $"uha",
         ($"aoff" + $"uha").as("local_aoff"), $"t")
-      .orderBy($"lat", $"lon", $"aoff")
+      .transform(Tables.ordered(_, $"lat", $"lon", $"aoff"))
   }
 
   val w11Sql: String =
@@ -249,7 +249,7 @@ object Weather {
       .agg(count(lit(1)).as("n"), max($"t").as("hi"), min($"t").as("lo"))
       .filter($"n" === 24)
       .select($"lat", $"lon", $"lday", $"hi", $"lo")
-      .orderBy($"lat", $"lon", $"lday")
+      .transform(Tables.ordered(_, $"lat", $"lon", $"lday"))
   }
 
   val w12Sql: String =
@@ -284,7 +284,7 @@ object Weather {
       .agg(count(lit(1)).as("n_hours"), min($"aoff").as("forecast_start"),
         expr("array_join(transform(array_sort(collect_list(named_struct('aoff', aoff, 'enc', enc)))," +
           " s -> concat(cast(s.aoff AS string), ':', cast(s.enc AS string))), ',')").as("series"))
-      .orderBy($"lat", $"lon")
+      .transform(Tables.ordered(_, $"lat", $"lon"))
   }
 
   val w13Sql: String =
@@ -311,7 +311,7 @@ object Weather {
       .groupBy($"lat", $"lon", $"day").agg(max($"utci_c").as("hi"))
       .withColumn("band", expr(bandExpr))
       .groupBy($"day", $"band").agg(count(lit(1)).as("n_cells"))
-      .orderBy($"day", $"band")
+      .transform(Tables.ordered(_, $"day", $"band"))
   }
 
   val w14Sql: String =
