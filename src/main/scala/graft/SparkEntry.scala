@@ -51,6 +51,9 @@ object SparkEntry {
     "t2_quality" -> (TextStats.t2 _),
     "t3_lang_id" -> (TextStats.t3 _),
     "t4_fingerprint" -> (TextStats.t4 _),
+    "t5_chunking" -> (TextStats.t5 _),
+    "t6_vocab" -> (TextStats.t6 _),
+    "t7_redact" -> (TextStats.t7 _),
     "d1_dedup_exact" -> (Dedup.d1 _),
     "d2_minhash_lsh" -> (Dedup.d2 _),
     "d3_simhash" -> (Dedup.d3 _),
@@ -101,6 +104,9 @@ object SparkEntry {
     "t1_token_count" -> TextStats.t1Sql,
     "t2_quality" -> TextStats.t2Sql,
     "t3_lang_id" -> TextStats.t3Sql,
+    "t5_chunking" -> TextStats.t5Sql,
+    "t6_vocab" -> TextStats.t6Sql,
+    "t7_redact" -> TextStats.t7Sql,
     "d1_dedup_exact" -> Dedup.d1Sql,
     "d5_embed_neardup" -> Dedup.d5Sql,
     "v1_knn_brute" -> Knn.v1Sql,

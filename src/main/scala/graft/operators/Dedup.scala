@@ -80,6 +80,31 @@ object Dedup {
       .selectExpr("doc_id", "split(lower(trim(text)), ' ') AS words")
       .selectExpr("doc_id", s"($shingleExpr) AS sh")
 
+  /** Exploded (doc_id, shingle) inverted index + per-doc set sizes. */
+  private def shingleIndex(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val shx = shingled(spark, dir)
+      .selectExpr("doc_id", "explode(sh) AS s").cache()
+    val sizes = shx.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    (shx, sizes)
+  }
+
+  /** Exact Jaccard for candidate (id_a, id_b) pairs via inverted-index
+    * joins: |A ∩ B| as a shingle-equality join count, |A ∪ B| from set
+    * sizes. Fully codegen'd — array_intersect/array_union over carried
+    * shingle arrays are interpreted and ship the arrays through every
+    * shuffle; the index join ships only (doc_id, shingle) pairs.
+    */
+  private def jaccardOf(cand: DataFrame, shx: DataFrame, sizes: DataFrame): DataFrame =
+    cand
+      .join(shx.select(col("doc_id").as("id_a"), col("s")), Seq("id_a"))
+      .join(shx.select(col("doc_id").as("id_b"), col("s")), Seq("id_b", "s"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("inter"))
+      .join(sizes.select(col("doc_id").as("id_a"), col("n").as("na")), Seq("id_a"))
+      .join(sizes.select(col("doc_id").as("id_b"), col("n").as("nb")), Seq("id_b"))
+      .selectExpr("id_a", "id_b",
+        "CAST(inter AS DOUBLE) / CAST(na + nb - inter AS DOUBLE) AS jaccard")
+
   // ---------- d2: MinHash + LSH banding ----------
 
   private val nHashes = 16
@@ -88,12 +113,12 @@ object Dedup {
 
   def d2(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val sh = shingled(spark, dir).cache()
+    val (shx, sizes) = shingleIndex(spark, dir)
     // minhash via explode + codegen'd min-aggregates (an aggregate()
     // lambda over the shingle array is interpreted — measured ~10x)
     val mhCols = (0 until nHashes).map(k =>
       min(expr(s"xxhash64(s, $k)")).as(s"mh$k"))
-    val sigs = sh.selectExpr("doc_id", "explode(sh) AS s")
+    val sigs = shx
       .groupBy($"doc_id")
       .agg(mhCols.head, mhCols.tail: _*)
     val bandStructs = (0 until nBands).map { b =>
@@ -109,13 +134,9 @@ object Dedup {
         $"a.doc_id" < $"b.doc_id")
       .select($"a.doc_id".as("id_a"), $"b.doc_id".as("id_b"))
       .distinct()
-    cand
-      .join(sh.select($"doc_id".as("id_a"), $"sh".as("sh_a")), Seq("id_a"))
-      .join(sh.select($"doc_id".as("id_b"), $"sh".as("sh_b")), Seq("id_b"))
-      .selectExpr("id_a", "id_b",
-        "CAST(size(array_intersect(sh_a, sh_b)) AS DOUBLE) / CAST(size(array_union(sh_a, sh_b)) AS DOUBLE) AS jaccard")
+    jaccardOf(cand, shx, sizes)
       .filter($"jaccard" >= 0.4)
-      .orderBy($"id_a", $"id_b")
+      .transform(graft.Tables.ordered(_, $"id_a", $"id_b"))
   }
 
   // ---------- d3: SimHash fingerprint + hamming near-dups ----------
@@ -151,16 +172,12 @@ object Dedup {
 
   def d4(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val sh = shingled(spark, dir)
+    val (shx, sizes) = shingleIndex(spark, dir)
     val pairs = Tables.documents(spark, dir)
       .filter($"doc_id" % 7 === 0)
       .select($"doc_id".as("id_a"), ($"doc_id" + 10000).as("id_b"))
-    pairs
-      .join(sh.select($"doc_id".as("id_a"), $"sh".as("sh_a")), Seq("id_a"))
-      .join(sh.select($"doc_id".as("id_b"), $"sh".as("sh_b")), Seq("id_b"))
-      .selectExpr("id_a", "id_b",
-        "CAST(size(array_intersect(sh_a, sh_b)) AS DOUBLE) / CAST(size(array_union(sh_a, sh_b)) AS DOUBLE) AS jaccard")
-      .orderBy($"id_a")
+    jaccardOf(pairs, shx, sizes)
+      .transform(graft.Tables.ordered(_, $"id_a"))
   }
 
   // ---------- d5: embedding-cosine near-duplicate pairs ----------

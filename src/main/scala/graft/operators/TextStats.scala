@@ -132,6 +132,86 @@ object TextStats {
       |ORDER BY doc_id""".stripMargin
   }
 
+  // ---------- t5: sliding-window document chunking ----------
+  // The training-data shape: split each document into word-window
+  // chunks (size 50, stride 40) with overlap, keyed (doc_id, chunk_id).
+
+  def t5(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .selectExpr("doc_id", "split(trim(text), '\\\\s+') AS words")
+      .selectExpr("doc_id", "size(words) AS n_words",
+        """posexplode(transform(
+          | sequence(0, CAST(greatest(0, ceil((size(words) - 50) / 40.0)) AS INT)),
+          | k -> array_join(slice(words, k * 40 + 1, 50), ' '))) AS (chunk_id, chunk)""".stripMargin)
+      .selectExpr("doc_id", "chunk_id", "n_words",
+        "size(split(chunk, ' ')) AS chunk_words", "chunk")
+      .transform(graft.Tables.ordered(_, $"doc_id", $"chunk_id"))
+  }
+
+  val t5Sql: String =
+    """WITH w AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS words FROM documents),
+      |k AS (SELECT doc_id, words, len(words) AS n_words,
+      |        unnest(range(0, 1 + CAST(greatest(0, ceil((len(words) - 50) / 40.0)) AS BIGINT))) AS chunk_id
+      |      FROM w)
+      |SELECT doc_id, CAST(chunk_id AS INT) AS chunk_id, CAST(n_words AS INT) AS n_words,
+      |  CAST(len(words[(chunk_id * 40 + 1):(chunk_id * 40 + 50)]) AS INT) AS chunk_words,
+      |  array_to_string(words[(chunk_id * 40 + 1):(chunk_id * 40 + 50)], ' ') AS chunk
+      |FROM k
+      |ORDER BY doc_id, chunk_id""".stripMargin
+
+  // ---------- t6: corpus vocabulary (top-50 terms) ----------
+
+  def t6(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .selectExpr("explode(split(lower(trim(text)), '\\\\s+')) AS term")
+      .groupBy($"term").agg(count(lit(1)).as("freq"))
+      .orderBy($"freq".desc, $"term")
+      .limit(50)
+  }
+
+  val t6Sql: String =
+    """SELECT term, count(*) AS freq
+      |FROM (SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS term FROM documents)
+      |GROUP BY term
+      |ORDER BY freq DESC, term
+      |LIMIT 50""".stripMargin
+
+  // ---------- t7: PII-style redaction (emails, URLs, long digits) ----------
+
+  def t7(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    // seed synthetic PII deterministically, then redact it
+    Tables.documents(spark, dir)
+      .selectExpr("doc_id",
+        "concat(text, ' contact user', CAST(doc_id AS STRING), '@example.com or http://site', CAST(doc_id AS STRING), '.org id 1234567890') AS text")
+      .selectExpr("doc_id",
+        """regexp_replace(regexp_replace(regexp_replace(text,
+          | '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+', '<EMAIL>'),
+          | 'https?://[^ ]+', '<URL>'),
+          | '[0-9]{6,}', '<NUM>') AS redacted""".stripMargin.replace("\n", ""))
+      .selectExpr("doc_id", "redacted",
+        "CAST(length(redacted) - length(replace(redacted, '<EMAIL>', ''))  AS BIGINT) / 7 AS n_emails")
+      .transform(graft.Tables.ordered(_, $"doc_id"))
+  }
+
+  val t7Sql: String =
+    """WITH seeded AS (
+      |  SELECT doc_id,
+      |    text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com or http://site' || CAST(doc_id AS VARCHAR) || '.org id 1234567890' AS text
+      |  FROM documents),
+      |r AS (SELECT doc_id,
+      |        regexp_replace(regexp_replace(regexp_replace(text,
+      |          '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+', '<EMAIL>', 'g'),
+      |          'https?://[^ ]+', '<URL>', 'g'),
+      |          '[0-9]{6,}', '<NUM>', 'g') AS redacted
+      |      FROM seeded)
+      |SELECT doc_id, redacted,
+      |  CAST(length(redacted) - length(replace(redacted, '<EMAIL>', '')) AS BIGINT) / 7 AS n_emails
+      |FROM r
+      |ORDER BY doc_id""".stripMargin
+
   // ---------- t4: rolling-hash document fingerprint (FNV-1a 64) ----------
   // Native Catalyst expression (graft.functions.Fnv64) — rows-only
   // (the oracle engine has no matching hash primitive).
