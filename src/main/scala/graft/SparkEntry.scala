@@ -30,6 +30,7 @@ object SparkEntry {
     "q11_asof_join" -> (AsOf.asOfJoin _),
     "q12_range_join" -> (AsOf.rangeJoin _),
     "q13_asof_custom" -> (AsOf.asOfJoinCustom _),
+    "q14_range_custom" -> (AsOf.rangeJoinCustom _),
     "e1_tumbling" -> (EventWindows.tumbling _),
     "e2_sliding" -> (EventWindows.sliding _),
     "e3_sessionize" -> (EventWindows.sessionize _),
@@ -84,6 +85,7 @@ object SparkEntry {
     "q11_asof_join" -> AsOf.asOfSql,
     "q12_range_join" -> AsOf.rangeSql,
     "q13_asof_custom" -> AsOf.asOfSql,
+    "q14_range_custom" -> AsOf.rangeSql,
     "e1_tumbling" -> EventWindows.tumblingSql,
     "e2_sliding" -> EventWindows.slidingSql,
     "e3_sessionize" -> EventWindows.sessionizeSql,

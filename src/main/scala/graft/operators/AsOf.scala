@@ -101,6 +101,26 @@ object AsOf {
       .orderBy($"user_id")
   }
 
+  /** q14: identical band-join semantics to [[rangeJoin]], through the
+    * custom interval-join operator ([[graft.plans.RangeJoinPlan]]) —
+    * partition-local sliding-window merge, O(n + matches).
+    */
+  def rangeJoinCustom(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.events(spark, dir)
+    val a = ev.select($"user_id".as("ua"), unix_micros($"ts").as("ta_us"),
+      $"event_id".as("ea"))
+    val b = ev.select($"user_id".as("ub"), unix_micros($"ts").as("tb_us"),
+      $"event_id".as("eb"))
+    graft.plans.RangeJoin.rangeJoin(
+        a, col("ua"), col("ta_us"), b, col("ub"), col("tb_us"),
+        lowDelta = 0L, highDelta = 300L * 1000000L)
+      .groupBy($"ua")
+      .agg(count(lit(1)).as("n_pairs"))
+      .select($"ua".as("user_id"), $"n_pairs")
+      .transform(graft.Tables.ordered(_, col("user_id")))
+  }
+
   val rangeSql: String =
     """SELECT a.user_id, count(*) AS n_pairs
       |FROM events a JOIN events b

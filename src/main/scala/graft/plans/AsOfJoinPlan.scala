@@ -132,7 +132,7 @@ object AsOfJoin {
     * converted inside known operators, so a custom logical node must
     * receive already-resolved expressions.
     */
-  private def resolve2(df: DataFrame, a: Column, b: Column): (Expression, Expression) = {
+  private[plans] def resolvePair(df: DataFrame, a: Column, b: Column): (Expression, Expression) = {
     import org.apache.spark.sql.catalyst.expressions.Alias
     import org.apache.spark.sql.catalyst.plans.logical.Project
     val pl = df.select(a, b).queryExecution.analyzed.asInstanceOf[Project].projectList
@@ -151,8 +151,8 @@ object AsOfJoin {
       spark.experimental.extraStrategies =
         spark.experimental.extraStrategies :+ AsOfStrategy
     val attr = AttributeReference(matchedName, LongType, nullable = false)()
-    val (lk, lt) = resolve2(left, lKey, lTime)
-    val (rk, rt) = resolve2(right, rKey, rTime)
+    val (lk, lt) = resolvePair(left, lKey, lTime)
+    val (rk, rt) = resolvePair(right, rKey, rTime)
     GraftBridge.ofRows(spark, AsOfJoinPlan(
       left.queryExecution.analyzed, right.queryExecution.analyzed,
       lk, lt, rk, rt, attr))

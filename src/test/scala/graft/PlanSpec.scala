@@ -53,6 +53,32 @@ class PlanSpec extends AnyFunSuite {
     assert("Scan parquet".r.findAllIn(p).length == 1)
   }
 
+  test("bucketed tables join co-located: sort-merge with zero exchanges") {
+    import org.apache.spark.sql.functions.col
+    val bcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      Tables.lineitem(spark, sf).write.mode("overwrite")
+        .bucketBy(8, "l_orderkey").sortBy("l_orderkey").saveAsTable("li_b")
+      Tables.orders(spark, sf).write.mode("overwrite")
+        .bucketBy(8, "o_orderkey").sortBy("o_orderkey").saveAsTable("ord_b")
+      val j = spark.table("li_b")
+        .join(spark.table("ord_b"), col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderpriority")).count()
+      val p = plan(j).split("== Initial Plan ==")(0)
+      assert(p.contains("SortMergeJoin"))
+      // co-located read: the join itself needs no shuffle; only the
+      // final aggregation exchanges
+      val shuffles = "ShuffleQueryStage".r.findAllIn(p).length +
+        "Exchange hashpartitioning".r.findAllIn(p).length
+      assert(shuffles <= 1, s"bucketed join should not shuffle:\n$p")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", bcast)
+      spark.sql("DROP TABLE IF EXISTS li_b")
+      spark.sql("DROP TABLE IF EXISTS ord_b")
+    }
+  }
+
   test("q12: range join plans as an equality hash join, not nested-loop") {
     val p = plan(graft.operators.AsOf.rangeJoin(spark, sf))
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"))

@@ -80,6 +80,15 @@ class RelationalSpec extends AnyFunSuite {
     assert(got == brute)
   }
 
+  test("custom interval-join operator matches the bucketed range join") {
+    import spark.implicits._
+    val a = AsOf.rangeJoin(spark, sf)
+      .as[(Long, Long)].collect().toMap
+    val b = AsOf.rangeJoinCustom(spark, sf)
+      .as[(Long, Long)].collect().toMap
+    assert(a == b)
+  }
+
   test("sessionize: session counts bounded by event counts") {
     val rows = EventWindows.sessionize(spark, sf).collect()
     assert(rows.nonEmpty)
