@@ -1,0 +1,114 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.ThermalChain
+import graft.sources.ForecastStore
+
+/** The reference container's full run (/root/reference/main.py:30-453)
+  * as one composed Spark job: source freshness check, `isUpdating`
+  * lock, thermal-index computation, combine_first merge with the
+  * persisted store, near-land masking, chunked document upload,
+  * hour-angle-shifted daily extremes + contour-band chart data, and
+  * status bookkeeping — exercising every library layer together.
+  *
+  * Returns a summary of what happened; all side effects live under
+  * `workRoot` (status file, forecast versions, uploads, chart data).
+  */
+object W4hJob {
+
+  case class Summary(outcome: String, mergedRows: Long = 0,
+      uploadedDocs: Long = 0, chartDays: Long = 0)
+
+  def run(spark: SparkSession, dir: String, workRoot: String,
+      sourceVersion: String): Summary = {
+    val status = new StatusStore(workRoot)
+    val last = status.fetch().get("latestSuccessfulUpdateSource")
+    if (last.contains(sourceVersion)) return Summary("already-current")
+    if (!status.tryAcquireUpdateLock()) return Summary("locked")
+    try {
+      import spark.implicits._
+      val timer = new Timer
+
+      // ---- compute thermal indices + encoded series (main.py:77-207)
+      val grid = ThermalChain.df(spark, dir, ThermalChain.full)
+        .groupBy($"lat", $"lon", $"aoff")
+        .agg(max($"tmp2m").as("tmp2m"), max($"utci_c").as("utci_c"),
+          max($"wbgt_c").as("wbgt_c"), max($"encoded").as("encoded"))
+
+      // ---- merge over the previous run, clip the stale head (main.py:245-250)
+      val store = new ForecastStore(s"$workRoot/forecasts")
+      val cutoff = 0L
+      val merged = store.load(spark) match {
+        case None => grid
+        case Some(prev) =>
+          val f = grid.select($"lat", $"lon", $"aoff",
+            $"tmp2m".as("__f_t"), $"utci_c".as("__f_u"),
+            $"wbgt_c".as("__f_w"), $"encoded".as("__f_e"))
+          val p = prev.select($"lat", $"lon", $"aoff",
+            $"tmp2m".as("__p_t"), $"utci_c".as("__p_u"),
+            $"wbgt_c".as("__p_w"), $"encoded".as("__p_e"))
+          f.join(p, Seq("lat", "lon", "aoff"), "full_outer")
+            .select($"lat", $"lon", $"aoff",
+              coalesce($"__f_t", $"__p_t").as("tmp2m"),
+              coalesce($"__f_u", $"__p_u").as("utci_c"),
+              coalesce($"__f_w", $"__p_w").as("wbgt_c"),
+              coalesce($"__f_e", $"__p_e").as("encoded"))
+            .filter($"aoff" >= cutoff)
+      }
+      merged.cache()
+      val mergedRows = merged.count()
+      timer.log("calculated + merged forecasts")
+
+      // ---- near-land mask + per-cell upload documents (main.py:281-324)
+      val mask = Tables.part(spark, dir).filter($"p_size" > 25)
+        .selectExpr("CAST(p_partkey % 29 AS DOUBLE) * 5.0 - 70.0 AS lat",
+          "CAST((p_partkey * 3) % 72 AS DOUBLE) * 5.0 - 177.5 AS lon")
+        .distinct()
+      val docs = merged
+        .join(broadcast(mask), Seq("lat", "lon"), "left_semi")
+        .groupBy($"lat", $"lon")
+        .agg(min($"aoff").as("forecast_start"),
+          expr("array_join(transform(array_sort(collect_list(named_struct('aoff', aoff, 'enc', encoded)))," +
+            " s -> cast(s.enc AS string)), ',')").as("series"))
+        .selectExpr("concat(cast(lat AS string), ',', cast(lon AS string)) AS _id",
+          "forecast_start", "series")
+      val upRoot = java.nio.file.Paths.get(workRoot, "uploads", sourceVersion)
+      java.nio.file.Files.createDirectories(upRoot)
+      val upRootStr = upRoot.toString
+      ChunkedSink.write(docs.as[(String, Long, String)], chunkSize = 500) {
+        (pid, ci, chunk) =>
+          java.nio.file.Files.write(
+            java.nio.file.Paths.get(upRootStr, s"part_${pid}_$ci.jsonl"),
+            chunk.map { case (id, fs, series) =>
+              s"""{"_id":"$id","forecastStart":$fs,"series":"$series"}"""
+            }.mkString("\n").getBytes)
+      }
+      val uploadedDocs = docs.count()
+      timer.log("uploaded forecast documents")
+
+      // ---- hour-angle shift + daily extremes + contour bands (main.py:341-443)
+      val charts = merged
+        .withColumn("uha", expr("CASE WHEN CAST(floor(lon / 15.0 + 0.5) AS BIGINT) > 12" +
+          " THEN CAST(floor(lon / 15.0 + 0.5) AS BIGINT) - 24" +
+          " ELSE CAST(floor(lon / 15.0 + 0.5) AS BIGINT) END"))
+        .withColumn("lday", expr("CAST(floor(CAST(aoff + uha AS DOUBLE) / 24.0) AS BIGINT)"))
+        .groupBy($"lat", $"lon", $"lday")
+        .agg(max($"utci_c").as("hi"), min($"utci_c").as("lo"))
+      charts.write.mode("overwrite")
+        .parquet(s"$workRoot/charts/$sourceVersion")
+      val chartDays = charts.select($"lday").distinct().count()
+      (0L until math.min(chartDays, 5)).foreach { d =>
+        status.set(s"globalCharts.$d", sourceVersion)
+      }
+      timer.log("chart data written")
+
+      // ---- persist + bookkeeping (main.py:326-336)
+      store.save(merged, sourceVersion)
+      status.set("latestSuccessfulUpdateSource", sourceVersion)
+      merged.unpersist()
+      Summary("completed", mergedRows, uploadedDocs, chartDays)
+    } finally status.releaseUpdateLock()
+  }
+}
