@@ -55,6 +55,8 @@ object SparkEntry {
     "t5_chunking" -> (TextStats.t5 _),
     "t6_vocab" -> (TextStats.t6 _),
     "t7_redact" -> (TextStats.t7 _),
+    "t8_split" -> (TextStats.t8 _),
+    "t9_pack" -> (TextStats.t9 _),
     "d1_dedup_exact" -> (Dedup.d1 _),
     "d2_minhash_lsh" -> (Dedup.d2 _),
     "d3_simhash" -> (Dedup.d3 _),
@@ -109,6 +111,8 @@ object SparkEntry {
     "t5_chunking" -> TextStats.t5Sql,
     "t6_vocab" -> TextStats.t6Sql,
     "t7_redact" -> TextStats.t7Sql,
+    "t8_split" -> TextStats.t8Sql,
+    "t9_pack" -> TextStats.t9Sql,
     "d1_dedup_exact" -> Dedup.d1Sql,
     "d5_embed_neardup" -> Dedup.d5Sql,
     "v1_knn_brute" -> Knn.v1Sql,

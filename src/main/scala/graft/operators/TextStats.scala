@@ -212,6 +212,66 @@ object TextStats {
       |FROM r
       |ORDER BY doc_id""".stripMargin
 
+  // ---------- t8: deterministic stratified train/val/test split ----------
+  // Hash-based assignment (md5 of the doc id — stable across runs,
+  // machines and engines), stratified report per language.
+
+  def t8(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .selectExpr("doc_id", "lang",
+        "CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 4), 16, 10) AS BIGINT) % 100 AS bucket")
+      .selectExpr("lang",
+        "CASE WHEN bucket < 80 THEN 'train' WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split")
+      .groupBy($"lang", $"split").agg(count(lit(1)).as("n"))
+      .transform(graft.Tables.ordered(_, $"lang", $"split"))
+  }
+
+  val t8Sql: String =
+    """WITH b AS (
+      |  SELECT doc_id, lang,
+      |    CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT AS BIGINT) % 100 AS bucket
+      |  FROM documents),
+      |s AS (SELECT lang,
+      |        CASE WHEN bucket < 80 THEN 'train' WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split
+      |      FROM b)
+      |SELECT lang, split, count(*) AS n
+      |FROM s
+      |GROUP BY lang, split
+      |ORDER BY lang, split""".stripMargin
+
+  // ---------- t9: sequence packing into ~4000-char bins ----------
+  // Greedy sequential packing by doc order (running character sum ->
+  // bin id): the shape used to pack short documents into fixed
+  // context windows.
+
+  def t9(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy($"doc_id").rowsBetween(Long.MinValue, -1)
+    Tables.documents(spark, dir)
+      .select($"doc_id", $"n_chars")
+      .withColumn("offset", coalesce(sum($"n_chars").over(w), lit(0L)))
+      .selectExpr("doc_id", "n_chars",
+        "CAST(floor(CAST(offset AS DOUBLE) / 4000.0) AS BIGINT) AS bin")
+      .groupBy($"bin")
+      .agg(count(lit(1)).as("n_docs"), sum($"n_chars").as("chars"))
+      .transform(graft.Tables.ordered(_, $"bin"))
+  }
+
+  val t9Sql: String =
+    """WITH o AS (
+      |  SELECT doc_id, n_chars,
+      |    COALESCE(sum(n_chars) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prior_chars
+      |  FROM documents),
+      |b AS (SELECT doc_id, n_chars,
+      |        CAST(floor(CAST(prior_chars AS DOUBLE) / 4000.0) AS BIGINT) AS bin
+      |      FROM o)
+      |SELECT bin, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS chars
+      |FROM b
+      |GROUP BY bin
+      |ORDER BY bin""".stripMargin
+
   // ---------- t4: rolling-hash document fingerprint (FNV-1a 64) ----------
   // Native Catalyst expression (graft.functions.Fnv64) — rows-only
   // (the oracle engine has no matching hash primitive).
