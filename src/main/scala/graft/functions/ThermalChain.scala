@@ -17,7 +17,7 @@ import graft.Tables
   *
   * Cross-engine determinism: every transcendental call (sin/cos/exp/
   * power/atan/sqrt — where JVM and libm may differ in the last ulp)
-  * is quantized through [[q]] (round(x*1e6)/1e6). All remaining
+  * is quantized through [[q]] (floor(x*1e6 + 0.5)/1e6). All remaining
   * arithmetic is +,-,*,/ over identical doubles in identical order,
   * so every derived column is bitwise identical in both engines.
   *

@@ -21,11 +21,12 @@ import graft.Tables
   *  - SimHash: 64-bit fingerprint; near-dup candidates via 16-bit
   *    chunk buckets (pigeonhole: hamming<=6 pairs share >=1 of 4
   *    exact chunks), verified with bit_count(xor).
-  *  - embedding near-dup: exact pairwise at test scale; the pruned
-  *    path at 100 TB is the LSH/IVF machinery in [[Knn]].
+  *  - embedding near-dup: broadcast-codebook scoring ([[Knn]]);
+  *    the pruned path at 100 TB is the LSH/IVF machinery there.
   *
-  * All of it is native Catalyst (higher-order array functions,
-  * xxhash64, bit ops) — no UDFs.
+  * Candidate generation and verification are native Catalyst
+  * (explode + codegen'd aggregates, xxhash64, bit ops, inverted-index
+  * joins); only the vector dot products run as typed JIT loops.
   */
 object Dedup {
 
