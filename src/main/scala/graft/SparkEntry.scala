@@ -62,9 +62,11 @@ object SparkEntry {
     "d3_simhash" -> (Dedup.d3 _),
     "d4_ngram_jaccard" -> (Dedup.d4 _),
     "d5_embed_neardup" -> (Dedup.d5 _),
+    "d6_components" -> (Dedup.d6 _),
     "v1_knn_brute" -> (Knn.v1 _),
     "v2_knn_lsh" -> (Knn.v2 _),
     "v3_knn_ivf" -> (Knn.v3 _),
+    "v4_kmeans" -> (Knn.v4 _),
     "m1_media_meta" -> (graft.operators.Media.m1 _),
     "s1_stream_tumbling" -> (graft.streaming.EventStreams.s1 _),
     "s2_stream_sessions" -> (graft.streaming.EventStreams.s2 _),
@@ -115,6 +117,7 @@ object SparkEntry {
     "t9_pack" -> TextStats.t9Sql,
     "d1_dedup_exact" -> Dedup.d1Sql,
     "d5_embed_neardup" -> Dedup.d5Sql,
+    "d6_components" -> Dedup.d6Sql,
     "v1_knn_brute" -> Knn.v1Sql,
     "s1_stream_tumbling" -> graft.streaming.EventStreams.s1Sql,
     "s2_stream_sessions" -> graft.streaming.EventStreams.s2Sql,

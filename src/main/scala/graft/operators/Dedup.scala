@@ -181,6 +181,52 @@ object Dedup {
       .transform(graft.Tables.ordered(_, $"id_a"))
   }
 
+  // ---------- d6: near-dup cluster assembly (connected components) ----------
+  // After pair discovery, duplicates must be clustered so one
+  // canonical doc survives per component. Min-label propagation over
+  // the pair graph: each round joins labels across edges and keeps
+  // the minimum; near-dup components are tiny (chains of copies), so
+  // a fixed number of rounds converges. At 100 TB this is the same
+  // alternating large-star/small-star shape used by web-scale CC.
+
+  def d6(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    // edges: seeded exact copies (x ~ x+10000) and near-dups chained
+    // (x ~ x+20000 for doc_id % 14 == 0) to force >2-node components
+    val docs = Tables.documents(spark, dir).select($"doc_id")
+    val e1 = docs.filter($"doc_id" % 7 === 0)
+      .select($"doc_id".as("src"), ($"doc_id" + 10000).as("dst"))
+    val e2 = docs.filter($"doc_id" % 14 === 0)
+      .select(($"doc_id" + 10000).as("src"), ($"doc_id" + 20000).as("dst"))
+    val edges = e1.unionByName(e2).cache()
+    val nodes = edges.select($"src".as("id"))
+      .unionByName(edges.select($"dst".as("id"))).distinct()
+    var labels = nodes.withColumn("lbl", $"id")
+    // undirected edge list for propagation
+    val und = edges.unionByName(edges.select($"dst".as("src"), $"src".as("dst"))).cache()
+    for (_ <- 1 to 3) {
+      val viaEdge = und.join(labels.withColumnRenamed("id", "src"), Seq("src"))
+        .select($"dst".as("id"), $"lbl")
+      labels = labels.unionByName(viaEdge)
+        .groupBy($"id").agg(min($"lbl").as("lbl"))
+    }
+    labels.groupBy($"lbl".as("component"))
+      .agg(count(lit(1)).as("size"), min($"id").as("canonical_id"))
+      .transform(graft.Tables.ordered(_, $"component"))
+  }
+
+  /** Closed-form ground truth for [[d6]]'s seeded graph: x%14==0
+    * yields {x, x+10000, x+20000}, other x%7==0 yields {x, x+10000};
+    * min label = x either way.
+    */
+  val d6Sql: String =
+    """SELECT doc_id AS component,
+      |  CAST(CASE WHEN doc_id % 14 = 0 THEN 3 ELSE 2 END AS BIGINT) AS size,
+      |  doc_id AS canonical_id
+      |FROM documents
+      |WHERE doc_id % 7 = 0
+      |ORDER BY component""".stripMargin
+
   // ---------- d5: embedding-cosine near-duplicate pairs ----------
 
   /** All-pairs cosine: the corpus streams through partitions and is

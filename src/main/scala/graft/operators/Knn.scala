@@ -147,6 +147,51 @@ object Knn {
       .orderBy($"qid", $"rnk")
   }
 
+  // ---------- v4: k-means refinement (2 Lloyd iterations, rows-only) ----------
+  // Iterative centroid refinement over the corpus: deterministic
+  // seeds (first 8 corpus vectors), assign -> mean -> re-assign.
+  // The per-iteration shape is the 100 TB shape: corpus streams once
+  // against a broadcast codebook; centroid update is one groupBy.
+
+  def v4(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = vectors(spark, dir).select($"vec_id", $"nv").cache()
+    val corpus = e.filter($"vec_id" >= 10)
+    var cents: Array[(Long, Array[Double])] = codebook(e, "vec_id >= 10 AND vec_id < 18")
+    var assigned: DataFrame = null
+    for (_ <- 1 to 2) {
+      val bc = spark.sparkContext.broadcast(cents)
+      assigned = corpus.as[(Long, Array[Double])]
+        .mapPartitions(_.map { case (id, v) =>
+          var best = 0L
+          var bestCos = -2.0
+          bc.value.foreach { case (cid, cv) =>
+            val c = cosQ(cv, v)
+            if (c > bestCos || (c == bestCos && cid < best)) { best = cid; bestCos = c }
+          }
+          (id, best)
+        }).toDF("vec_id", "cid")
+      // centroid update: element-wise mean of members (then renormalize)
+      val members = assigned.join(e, Seq("vec_id"))
+        .selectExpr("cid", "posexplode(nv) AS (pos, x)")
+        .groupBy($"cid", $"pos")
+        // quantized order-free mean (bitwise deterministic)
+        .agg((sum(floor($"x" * 1e12 + lit(0.5)).cast("long")) / 1e12).as("sx"),
+          count(lit(1)).as("n"))
+        .selectExpr("cid", "pos", "sx / CAST(n AS DOUBLE) AS m")
+      cents = members.groupBy($"cid")
+        .agg(expr("transform(array_sort(collect_list(named_struct('pos', pos, 'm', m))), s -> s.m) AS c"))
+        .as[(Long, Array[Double])].collect()
+        .map { case (cid, c) =>
+          val nrm = math.sqrt(c.map(x => x * x).sum)
+          (cid, c.map(_ / nrm))
+        }.sortBy(_._1)
+    }
+    assigned.groupBy($"cid")
+      .agg(count(lit(1)).as("cluster_size"))
+      .transform(graft.Tables.ordered(_, $"cid"))
+  }
+
   // ---------- v3: IVF-style coarse quantizer + nprobe (rows-only) ----------
 
   def v3(spark: SparkSession, dir: String): DataFrame = {

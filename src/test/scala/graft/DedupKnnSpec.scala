@@ -99,6 +99,14 @@ class DedupKnnSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("v4 k-means: every corpus vector assigned, clusters nonempty") {
+    val rows = Knn.v4(spark, sf).collect()
+    val total = rows.map(_.getAs[Long]("cluster_size")).sum
+    val corpus = Tables.embeddings(spark, sf).filter($"vec_id" >= 10).count()
+    assert(total == corpus)
+    assert(rows.length >= 2 && rows.forall(_.getAs[Long]("cluster_size") > 0))
+  }
+
   test("t4: FNV-1a fingerprint matches the scalar implementation") {
     val one = TextStats.t4(spark, sf).filter($"doc_id" === 0).head()
     val text = Tables.documents(spark, sf).filter($"doc_id" === 0)
