@@ -1,0 +1,80 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+/** Property-based checks of the deterministic primitives the oracle
+  * parity rests on (raw ScalaCheck generators, fixed seeds).
+  */
+class PropertySpec extends AnyFunSuite {
+
+  private def forAll[A](g: Gen[A], n: Int = 200)(f: A => Unit): Unit =
+    (1 to n).foreach { i =>
+      f(g.pureApply(Gen.Parameters.default, Seed(i.toLong)))
+    }
+
+  private def forAll[A, B](ga: Gen[A], gb: Gen[B])(f: (A, B) => Unit): Unit =
+    forAll(Gen.zip(ga, gb))(t => f(t._1, t._2))
+
+  private def forAll[A, B, C](ga: Gen[A], gb: Gen[B], gc: Gen[C])(f: (A, B, C) => Unit): Unit =
+    forAll(Gen.zip(ga, gb, gc))(t => f(t._1, t._2, t._3))
+
+  test("Fnv64 equals an independent reference implementation") {
+    forAll(Gen.asciiPrintableStr) { s =>
+      val bytes = s.getBytes("UTF-8")
+      var h = java.math.BigInteger.valueOf(-3750763034362895579L) // 0xcbf29ce484222325
+      val prime = java.math.BigInteger.valueOf(0x100000001b3L)
+      val mask = java.math.BigInteger.ONE.shiftLeft(64).subtract(java.math.BigInteger.ONE)
+      bytes.foreach { b =>
+        h = h.xor(java.math.BigInteger.valueOf(b & 0xffL)).multiply(prime).and(mask)
+      }
+      assert(graft.functions.Fnv64.hashBytes(bytes) == h.longValue())
+    }
+  }
+
+  test("integerized sums are invariant under permutation") {
+    forAll(Gen.listOf(Gen.chooseNum(0.0, 1e6).map(x => math.floor(x * 100) / 100))) { xs =>
+      def isum(l: Seq[Double]): Long =
+        l.map(x => math.floor(x * 100 + 0.5).toLong).sum
+      val shuffled = new scala.util.Random(42).shuffle(xs)
+      assert(isum(xs) == isum(shuffled))
+    }
+  }
+
+  test("encode/decode bit-pack roundtrips for the full value domain") {
+    val utciE = Gen.chooseNum(0L, 1999L)
+    val wbgtE = Gen.chooseNum(0L, 1999L)
+    val off = Gen.chooseNum(0L, 199L)
+    forAll(utciE, wbgtE, off) { (u, w, o) =>
+      val encoded = ((u * 2000 + w) * 200 + o).toInt
+      assert(encoded >= 0) // fits int32
+      val u2 = math.floor(encoded.toDouble / 400000.0).toLong
+      val w2 = math.floor((encoded % 400000).toDouble / 200.0).toLong
+      val o2 = (encoded % 200).toLong
+      assert((u2, w2, o2) == ((u, w, o)))
+    }
+  }
+
+  test("TopKAgg reduce/merge equals sort-take regardless of split") {
+    val pairs = Gen.listOf(Gen.zip(Gen.chooseNum(-1e3, 1e3), Gen.chooseNum(0L, 1000L)))
+    forAll(pairs, Gen.chooseNum(0, 20)) { (xs, cut) =>
+      val agg = new graft.functions.TopKAgg(5)
+      val (a, b) = xs.splitAt(math.min(cut, xs.length))
+      val merged = agg.finish(agg.merge(
+        a.foldLeft(agg.zero)(agg.reduce), b.foldLeft(agg.zero)(agg.reduce)))
+      val expected = xs.sortBy { case (s, id) => (-s, id) }.take(5)
+      assert(merged == expected)
+    }
+  }
+
+  test("Catalog.isNewer is a strict order on (date, cycle)") {
+    val dc = Gen.zip(Gen.oneOf("20240101", "20240102", "20240103"),
+      Gen.oneOf("00", "06", "12", "18"))
+    forAll(dc, dc) { (a, b) =>
+      import graft.sources.Catalog.isNewer
+      assert(!isNewer(a, Some(a)))
+      if (a != b) assert(isNewer(a, Some(b)) != isNewer(b, Some(a)))
+    }
+  }
+}
