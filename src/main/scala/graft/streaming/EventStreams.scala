@@ -146,4 +146,28 @@ object EventStreams {
   }
 
   val s4Sql: String = graft.operators.AsOf.rangeSql
+
+  /** Exactly-once-style streaming sink: `foreachBatch` routed through
+    * [[graft.pipeline.ChunkedSink]], keyed (batchId, partition, chunk)
+    * so replays of a failed micro-batch overwrite instead of
+    * duplicating — the file-sink analog of the reference's idempotent
+    * bulk upsert (main.py:294-324).
+    */
+  def sinkToChunkedFiles(events: DataFrame, outDir: String)(
+      implicit enc: org.apache.spark.sql.Encoder[(Long, String)]): org.apache.spark.sql.streaming.StreamingQuery = {
+    events.writeStream.outputMode(OutputMode.Append())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        import batch.sparkSession.implicits._
+        val ds = batch.selectExpr("CAST(event_id AS LONG) AS event_id",
+          "CAST(event_type AS STRING) AS event_type")
+          .as[(Long, String)]
+        graft.pipeline.ChunkedSink.write(ds, chunkSize = 256) { (pid, ci, chunk) =>
+          val p = java.nio.file.Paths.get(outDir, s"b${batchId}_p${pid}_c$ci.csv")
+          java.nio.file.Files.createDirectories(p.getParent)
+          java.nio.file.Files.write(p,
+            chunk.map { case (id, t) => s"$id,$t" }.mkString("\n").getBytes)
+        }
+        ()
+      }.start()
+  }
 }

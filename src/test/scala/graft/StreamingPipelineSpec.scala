@@ -45,6 +45,26 @@ class StreamingPipelineSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("foreachBatch chunked file sink writes every event exactly once") {
+    import spark.implicits._
+    val out = java.nio.file.Files.createTempDirectory("graft_fsink").toString
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(s"$sf/events.parquet").schema
+    val src = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet").parquet(sf)
+      .select($"event_id", $"event_type")
+    val q = EventStreams.sinkToChunkedFiles(src, out)
+    try q.processAllAvailable() finally q.stop()
+    import scala.jdk.CollectionConverters._
+    val written = java.nio.file.Files.list(java.nio.file.Paths.get(out))
+      .iterator().asScala
+      .flatMap(p => new String(java.nio.file.Files.readAllBytes(p)).split("\n").toSeq)
+      .map(_.split(",")(0).toLong).toSeq
+    val expected = Tables.events(spark, sf).select($"event_id")
+      .as[Long].collect().sorted.toSeq
+    assert(written.sorted == expected)
+  }
+
   test("Retry: recovers after transient failures, rethrows after max") {
     var calls = 0
     val v = Retry.retry(5, delayMs = 0, sleep = _ => ()) {
