@@ -67,6 +67,73 @@ object EventWindows {
       |GROUP BY ws
       |ORDER BY 1""".stripMargin
 
+  /** e4: ordered funnel — signup, then a view within an hour, then a
+    * purchase within an hour of that. Three conditional
+    * min-aggregations, each a map-side combine on the user key (no
+    * window buffering, no self-join blow-up: step k only needs step
+    * k-1's timestamp).
+    */
+  def funnel(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.events(spark, dir)
+      .select($"user_id", $"event_type", unix_micros($"ts").as("tus"))
+    val s1 = ev.filter($"event_type" === "signup")
+      .groupBy($"user_id").agg(min($"tus").as("t1"))
+    val s2 = ev.filter($"event_type" === "view")
+      .join(s1, Seq("user_id"))
+      .filter($"tus" > $"t1" && $"tus" <= $"t1" + 3600L * 1000000L)
+      .groupBy($"user_id").agg(min($"tus").as("t2"))
+    val s3 = ev.filter($"event_type" === "purchase")
+      .join(s2, Seq("user_id"))
+      .filter($"tus" > $"t2" && $"tus" <= $"t2" + 3600L * 1000000L)
+      .groupBy($"user_id").agg(min($"tus").as("t3"))
+    s1.join(s2.select($"user_id", $"t2"), Seq("user_id"), "left_outer")
+      .join(s3.select($"user_id", $"t3"), Seq("user_id"), "left_outer")
+      .selectExpr("CASE WHEN t3 IS NOT NULL THEN 3 WHEN t2 IS NOT NULL THEN 2 ELSE 1 END AS stage")
+      .groupBy($"stage").agg(count(lit(1)).as("n_users"))
+      .transform(graft.Tables.ordered(_, $"stage"))
+  }
+
+  val funnelSql: String =
+    """WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS tus FROM events),
+      |s1 AS (SELECT user_id, min(tus) AS t1 FROM ev WHERE event_type = 'signup' GROUP BY user_id),
+      |s2 AS (SELECT ev.user_id, min(tus) AS t2 FROM ev JOIN s1 USING (user_id)
+      |       WHERE event_type = 'view' AND tus > t1 AND tus <= t1 + 3600000000 GROUP BY ev.user_id),
+      |s3 AS (SELECT ev.user_id, min(tus) AS t3 FROM ev JOIN s2 USING (user_id)
+      |       WHERE event_type = 'purchase' AND tus > t2 AND tus <= t2 + 3600000000 GROUP BY ev.user_id)
+      |SELECT CASE WHEN t3 IS NOT NULL THEN 3 WHEN t2 IS NOT NULL THEN 2 ELSE 1 END AS stage,
+      |  count(*) AS n_users
+      |FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)
+      |GROUP BY 1
+      |ORDER BY 1""".stripMargin
+
+  /** e5: cohort retention — users grouped by first-active day, counted
+    * by activity day offset. Two aggregations on (user) then
+    * (cohort, offset).
+    */
+  def retention(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val days = Tables.events(spark, dir)
+      .selectExpr("user_id", "CAST(extract(DOY FROM ts) AS BIGINT) AS day")
+      .distinct()
+    val cohorts = days.groupBy($"user_id").agg(min($"day").as("cohort"))
+    days.join(cohorts, Seq("user_id"))
+      .selectExpr("cohort", "day - cohort AS offset_days", "user_id")
+      .groupBy($"cohort", $"offset_days")
+      .agg(countDistinct($"user_id").as("n_users"))
+      .filter($"offset_days" <= 7)
+      .transform(graft.Tables.ordered(_, $"cohort", $"offset_days"))
+  }
+
+  val retentionSql: String =
+    """WITH d AS (SELECT DISTINCT user_id, CAST(extract(doy FROM ts) AS BIGINT) AS day FROM events),
+      |c AS (SELECT user_id, min(day) AS cohort FROM d GROUP BY user_id)
+      |SELECT cohort, day - cohort AS offset_days, count(DISTINCT d.user_id) AS n_users
+      |FROM d JOIN c USING (user_id)
+      |WHERE day - cohort <= 7
+      |GROUP BY 1, 2
+      |ORDER BY 1, 2""".stripMargin
+
   /** e3: gap-based sessionization (30-minute idle gap) per user, on
     * exact microsecond arithmetic. One shuffle on user_id.
     */
