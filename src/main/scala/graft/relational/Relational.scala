@@ -224,6 +224,54 @@ object Relational {
       |SELECT o_custkey, 'early_only' AS tag FROM (SELECT * FROM a EXCEPT SELECT * FROM b)
       |ORDER BY tag, o_custkey""".stripMargin
 
+  /** q17: pivot — event counts per user decile by event type. */
+  def q17(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, dir)
+      .selectExpr("user_id % 10 AS decile", "event_type")
+      .groupBy($"decile")
+      .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+      .count()
+      .na.fill(0L)
+      .orderBy($"decile")
+  }
+
+  val q17Sql: String =
+    """SELECT user_id % 10 AS decile,
+      |  count(*) FILTER (WHERE event_type = 'click') AS click,
+      |  count(*) FILTER (WHERE event_type = 'error') AS error,
+      |  count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+      |  count(*) FILTER (WHERE event_type = 'signup') AS signup,
+      |  count(*) FILTER (WHERE event_type = 'view') AS view
+      |FROM events
+      |GROUP BY 1
+      |ORDER BY 1""".stripMargin
+
+  /** q18: exact interpolated quartiles of an integer-valued measure
+    * (interpolation arithmetic on integer-valued doubles is exact, so
+    * cross-engine bitwise parity holds).
+    */
+  def q18(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.lineitem(spark, dir)
+      .groupBy($"l_returnflag")
+      .agg(expr("percentile(l_quantity, 0.25)").as("q25"),
+        expr("percentile(l_quantity, 0.5)").as("median"),
+        expr("percentile(l_quantity, 0.75)").as("q75"),
+        count(lit(1)).as("n"))
+      .orderBy($"l_returnflag")
+  }
+
+  val q18Sql: String =
+    """SELECT l_returnflag,
+      |  quantile_cont(l_quantity, 0.25) AS q25,
+      |  quantile_cont(l_quantity, 0.5) AS median,
+      |  quantile_cont(l_quantity, 0.75) AS q75,
+      |  count(*) AS n
+      |FROM lineitem
+      |GROUP BY 1
+      |ORDER BY 1""".stripMargin
+
   /** q9: running windowed analytics per customer — one shuffle on the
     * partition key, ordered frame with a deterministic tie-break.
     */
