@@ -11,9 +11,9 @@ import graft.Tables
   *
   * Single source of truth: each layer is (column, ANSI-SQL expression)
   * pairs valid in both Spark SQL and DuckDB. Spark evaluates them via
-  * chained `selectExpr` (Catalyst collapses the projections into one
-  * whole-stage-codegen'd map — zero UDFs, zero shuffles), the oracle
-  * via equivalent nested SELECTs ([[sql]]).
+  * chained `selectExpr` — one whole-stage-codegen'd map stage of
+  * layered projections (CollapseProject excluded, see [[df]]), zero
+  * UDFs, zero shuffles — the oracle via nested SELECTs ([[sql]]).
   *
   * Cross-engine determinism: every transcendental call (sin/cos/exp/
   * power/atan/sqrt — where JVM and libm may differ in the last ulp)
