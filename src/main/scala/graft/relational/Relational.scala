@@ -55,6 +55,57 @@ object Relational {
       |GROUP BY l_returnflag, l_linestatus
       |ORDER BY l_returnflag, l_linestatus""".stripMargin
 
+  /** q2: correlated max — each customer's highest-value order(s),
+    * decorrelated into a window max (one shuffle on the key, vs the
+    * naive re-scan per row a correlated subquery implies).
+    */
+  def q2(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"o_custkey")
+    Tables.orders(spark, dir)
+      .withColumn("mx", max($"o_totalprice").over(w))
+      .filter($"o_totalprice" === $"mx")
+      .select($"o_custkey", $"o_orderkey",
+        (floor($"o_totalprice" * 1e2 + lit(0.5)).cast("long") / 1e2).as("best_price"))
+      .orderBy($"o_custkey", $"o_orderkey")
+  }
+
+  val q2Sql: String =
+    """SELECT o_custkey, o_orderkey, best_price
+      |FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+      |        CAST(floor(o_totalprice * 1e2 + 0.5) AS BIGINT) / 1e2 AS best_price,
+      |        max(o_totalprice) OVER (PARTITION BY o_custkey) AS mx
+      |      FROM orders)
+      |WHERE o_totalprice = mx
+      |ORDER BY o_custkey, o_orderkey""".stripMargin
+
+  /** q4: late-shipping orders per priority — EXISTS with a join-local
+    * predicate, as a native left-semi join.
+    */
+  def q4(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ord = Tables.orders(spark, dir)
+      .filter($"o_orderdate" >= lit(ts("1997-01-01")) && $"o_orderdate" < lit(ts("1997-07-01")))
+    val li = Tables.lineitem(spark, dir).select($"l_orderkey", $"l_shipdate")
+    ord.join(li,
+        $"o_orderkey" === $"l_orderkey" &&
+          $"l_shipdate" > expr("timestampadd(DAY, 60, o_orderdate)"), "left_semi")
+      .groupBy($"o_orderpriority")
+      .agg(count(lit(1)).as("n_late"))
+      .orderBy($"o_orderpriority")
+  }
+
+  val q4Sql: String =
+    """SELECT o_orderpriority, count(*) AS n_late
+      |FROM orders
+      |WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+      |  AND o_orderdate <  TIMESTAMP '1997-07-01 00:00:00'
+      |  AND EXISTS (SELECT 1 FROM lineitem
+      |              WHERE l_orderkey = o_orderkey
+      |                AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin
+
   /** q3: shipping-priority — 3-way join, agg, top-10. Customer is a
     * broadcast dim; orders/lineitem join shuffles on the order key.
     */
