@@ -53,6 +53,22 @@ class SourcesSpec extends AnyFunSuite {
     assert(store.currentPath().get.endsWith("v2"))
   }
 
+  test("csv and json sources roundtrip the events schema losslessly") {
+    import spark.implicits._
+    val base = Tables.events(spark, sf)
+      .select($"event_id", $"user_id", $"event_type", $"value",
+        date_format($"ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").as("ts_s"))
+    val want = base.as[(Long, Long, String, Double, String)].collect().sortBy(_._1).toSeq
+    for (fmt <- Seq("csv", "json")) {
+      val dir = tmp() + s"/events_$fmt"
+      base.write.format(fmt).option("header", "true").save(dir)
+      val got = spark.read.format(fmt)
+        .option("header", "true").schema(base.schema).load(dir)
+        .as[(Long, Long, String, Double, String)].collect().sortBy(_._1).toSeq
+      assert(got == want, s"$fmt roundtrip mismatch")
+    }
+  }
+
   test("Catalog.latestComplete and isNewer") {
     import spark.implicits._
     val cat = Seq(("20240101", "06", true), ("20240101", "12", false),
