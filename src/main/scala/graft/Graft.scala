@@ -1,0 +1,52 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+
+/** Single façade over the library — the entry points a user of the
+  * reference container needs to run the same workloads on Spark.
+  * Everything here delegates to the packages documented in README.md;
+  * `SparkEntry.queries` remains the exhaustive registry.
+  */
+object Graft {
+
+  /** A session configured the way the engine expects (UTC, AQE on,
+    * sane local shuffle width). On a cluster, add
+    * `spark.sql.extensions=graft.plans.GraftSessionExtensions` to
+    * register the custom operators at session build.
+    */
+  def session(master: String = "local[*]", shufflePartitions: Int = 32): SparkSession =
+    SparkSession.builder()
+      .master(master)
+      .appName("graft")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
+      .getOrCreate()
+
+  // ---- the reference's ETL, composed ----
+  def runW4h(spark: SparkSession, dataDir: String, workRoot: String,
+      sourceVersion: String): pipeline.W4hJob.Summary =
+    pipeline.W4hJob.run(spark, dataDir, workRoot, sourceVersion)
+
+  // ---- thermal indices over a grid ----
+  def thermalChain(spark: SparkSession, dataDir: String): DataFrame =
+    functions.ThermalChain.df(spark, dataDir, functions.ThermalChain.full)
+
+  // ---- joins Spark lacks natively ----
+  def asofJoin(left: DataFrame, lKey: Column, lTime: Column,
+      right: DataFrame, rKey: Column, rTime: Column,
+      matchedName: String): DataFrame =
+    plans.AsOfJoin.asofJoin(left, lKey, lTime, right, rKey, rTime, matchedName)
+
+  def rangeJoin(left: DataFrame, lKey: Column, lTime: Column,
+      right: DataFrame, rKey: Column, rTime: Column,
+      lowDelta: Long, highDelta: Long): DataFrame =
+    plans.RangeJoin.rangeJoin(left, lKey, lTime, right, rKey, rTime, lowDelta, highDelta)
+
+  // ---- scalar / aggregate extensions ----
+  def fnv64(c: Column): Column = functions.Fnv64.fnv64(c)
+  def topK(k: Int) = new functions.TopKAgg(k)
+
+  /** Registry of every operator: name -> (session, sfDir) => result. */
+  def queries: Map[String, (SparkSession, String) => DataFrame] = SparkEntry.queries
+}
