@@ -147,6 +147,39 @@ object Knn {
       .orderBy($"qid", $"rnk")
   }
 
+  /** Full oracle for v2: the hyperplanes are shared literal arrays
+    * (shortest-repr doubles round-trip identically in both parsers),
+    * and every dot product is sequential in both engines, so even the
+    * bucket-bit decisions match bitwise.
+    */
+  val v2Sql: String = {
+    def planeList(p: Seq[Double]) =
+      p.map(x => s"CAST($x AS DOUBLE)").mkString("[", ", ", "]")
+    val bucketExprs = (0 until nTables).map { t =>
+      val bits = (0 until bitsPerTable).map { b =>
+        s"(CASE WHEN list_inner_product(nv, ${planeList(planes(t * bitsPerTable + b))}) >= 0 THEN ${1 << b} ELSE 0 END)"
+      }.mkString(" + ")
+      s"($bits) AS b$t"
+    }
+    val bucketUnion = (0 until nTables)
+      .map(t => s"SELECT vec_id, $t AS t, b$t AS b FROM eb")
+      .mkString(" UNION ALL ")
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |n AS (SELECT vec_id, v, sqrt(list_inner_product(v, v)) AS nrm FROM e),
+      |m AS (SELECT vec_id, list_transform(v, x -> x / nrm) AS nv FROM n),
+      |eb AS (SELECT vec_id, nv, ${bucketExprs.mkString(", ")} FROM m),
+      |buckets AS ($bucketUnion),
+      |qs AS (SELECT vec_id AS id_a, t, b FROM buckets WHERE vec_id < 10),
+      |cs AS (SELECT vec_id AS id_b, t, b FROM buckets WHERE vec_id >= 10),
+      |cand AS (SELECT DISTINCT id_a, id_b FROM cs JOIN qs USING (t, b)),
+      |scored AS (SELECT c.id_a AS qid, c.id_b AS vec_id,
+      |             round(list_inner_product(a.nv, b.nv) * 1e6) / 1e6 AS cos_sim
+      |           FROM cand c JOIN m a ON a.vec_id = c.id_a JOIN m b ON b.vec_id = c.id_b),
+      |r AS (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cos_sim DESC, vec_id) AS rnk FROM scored)
+      |SELECT qid, rnk, vec_id, cos_sim FROM r WHERE rnk <= 5
+      |ORDER BY qid, rnk""".stripMargin
+  }
+
   // ---------- v4: k-means refinement (2 Lloyd iterations, rows-only) ----------
   // Iterative centroid refinement over the corpus: deterministic
   // seeds (first 8 corpus vectors), assign -> mean -> re-assign.
