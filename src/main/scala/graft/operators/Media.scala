@@ -60,4 +60,53 @@ object Media {
       .toDF()
       .orderBy($"doc_id")
   }
+
+  case class Resized(doc_id: Long, width: Int, height: Int,
+      out_width: Int, out_height: Int, payload: Array[Byte])
+  case class Frames(doc_id: Long, n_frames: Int, frame_idx: Int,
+      frame_checksum: Long)
+
+  /** m2: resize stage — decode metadata, compute a target box
+    * (max 256 on the long edge, aspect preserved), emit a derived
+    * payload. The arithmetic and batching are real; the pixel work is
+    * the stub (payload passthrough).
+    */
+  def m2Resize(spark: SparkSession, dir: String): Dataset[Resized] = {
+    import spark.implicits._
+    payloads(spark, dir)
+      .mapPartitions(_.grouped(FakeDecoder.batchSize).flatMap { batch =>
+        val metas = FakeDecoder.decodeBatch(batch)
+        batch.zip(metas).map { case (row, m) =>
+          val scale = 256.0 / math.max(m.width, m.height)
+          val (ow, oh) =
+            if (scale >= 1.0) (m.width, m.height)
+            else (math.max(1, (m.width * scale).toInt),
+              math.max(1, (m.height * scale).toInt))
+          Resized(row.doc_id, m.width, m.height, ow, oh, row.payload)
+        }
+      })
+  }
+
+  /** m3: frame sampling — every video payload yields ceil(n/stride)
+    * frame records (stride 4 over a fake frame count derived from the
+    * payload), each with a per-frame checksum. The explode shape and
+    * per-frame records are real; frame extraction is the stub.
+    */
+  def m3Frames(spark: SparkSession, dir: String): Dataset[Frames] = {
+    import spark.implicits._
+    payloads(spark, dir)
+      .mapPartitions(_.grouped(FakeDecoder.batchSize).flatMap { batch =>
+        batch.flatMap { row =>
+          val fmt = new String(row.payload.take(3), "UTF-8")
+          if (fmt != "VID") Iterator.empty
+          else {
+            val nFrames = (row.payload.last & 0x1f) + 8
+            (0 until nFrames by 4).map { i =>
+              Frames(row.doc_id, nFrames, i,
+                graft.functions.Fnv64.hashBytes(row.payload :+ i.toByte))
+            }
+          }
+        }
+      })
+  }
 }

@@ -125,6 +125,31 @@ class DedupKnnSpec extends AnyFunSuite {
     assert(langs.subsetOf(Set("en", "de", "es", "fr", "zh")))
   }
 
+  test("m2 resize: aspect preserved, long edge capped at 256") {
+    val rows = Media.m2Resize(spark, sf).collect()
+    assert(rows.length == Tables.documents(spark, sf).count())
+    rows.foreach { r =>
+      assert(math.max(r.out_width, r.out_height) <= 256)
+      if (math.max(r.width, r.height) > 256) {
+        val inAspect = r.width.toDouble / r.height
+        val outAspect = r.out_width.toDouble / r.out_height
+        assert(math.abs(inAspect - outAspect) / inAspect < 0.1)
+      } else assert(r.out_width == r.width && r.out_height == r.height)
+    }
+  }
+
+  test("m3 frame sampling: only videos, stride-4 indices, stable checksums") {
+    import spark.implicits._
+    val rows = Media.m3Frames(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val vids = Tables.documents(spark, sf).filter($"doc_id" % 3 === 2).count()
+    assert(rows.map(_.doc_id).distinct.length == vids)
+    rows.groupBy(_.doc_id).values.foreach { fs =>
+      assert(fs.map(_.frame_idx).sorted.sameElements(0 until fs.head.n_frames by 4))
+      assert(fs.map(_.frame_checksum).distinct.length == fs.length)
+    }
+  }
+
   test("m1: batched decode stub preserves rows and emits sane metadata") {
     val rows = Media.m1(spark, sf).collect()
     assert(rows.length == Tables.documents(spark, sf).count())
