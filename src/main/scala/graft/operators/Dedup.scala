@@ -181,6 +181,29 @@ object Dedup {
       .transform(graft.Tables.ordered(_, $"id_a"))
   }
 
+  /** d4 oracle: the same shingle/Jaccard pipeline in DuckDB list
+    * lambdas (identical 3-gram windows, distinct sets, and
+    * inter/(na+nb-inter) formula — integer-derived doubles, bitwise).
+    */
+  val d4Sql: String =
+    """WITH corpus AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 10000, text || ' zq extra tail token' FROM documents WHERE doc_id % 7 = 0),
+      |w AS (SELECT doc_id, string_split(lower(trim(text)), ' ') AS words FROM corpus),
+      |sh AS (SELECT doc_id,
+      |         CASE WHEN len(words) >= 3
+      |           THEN list_distinct(list_transform(range(0, len(words) - 2),
+      |                  i -> array_to_string(words[(i + 1):(i + 3)], ' ')))
+      |           ELSE [array_to_string(words, ' ')] END AS s
+      |       FROM w),
+      |pairs AS (SELECT doc_id AS id_a, doc_id + 10000 AS id_b FROM documents WHERE doc_id % 7 = 0)
+      |SELECT id_a, id_b,
+      |  CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+      |    / CAST(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS DOUBLE) AS jaccard
+      |FROM pairs JOIN sh a ON a.doc_id = id_a JOIN sh b ON b.doc_id = id_b
+      |ORDER BY id_a""".stripMargin
+
   // ---------- d6: near-dup cluster assembly (connected components) ----------
   // After pair discovery, duplicates must be clustered so one
   // canonical doc survives per component. Min-label propagation over
