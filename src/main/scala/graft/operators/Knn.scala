@@ -180,6 +180,36 @@ object Knn {
       |ORDER BY qid, rnk""".stripMargin
   }
 
+  /** Full oracle for v3: centroid assignment, nprobe selection and
+    * cluster-local scoring mirrored with the same tie-breaks.
+    */
+  val v3Sql: String =
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |n AS (SELECT vec_id, v, sqrt(list_inner_product(v, v)) AS nrm FROM e),
+      |m AS (SELECT vec_id, list_transform(v, x -> x / nrm) AS nv FROM n),
+      |cents AS (SELECT vec_id AS cid, nv AS cnv FROM m WHERE vec_id >= 10 AND vec_id < 18),
+      |corpus AS (SELECT vec_id, nv FROM m WHERE vec_id >= 18),
+      |asg AS (SELECT c.vec_id, ct.cid,
+      |          round(list_inner_product(ct.cnv, c.nv) * 1e6) / 1e6 AS cs
+      |        FROM corpus c CROSS JOIN cents ct),
+      |assigned AS (SELECT vec_id, cid FROM
+      |  (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cid) AS rn FROM asg)
+      |  WHERE rn = 1),
+      |qs AS (SELECT vec_id AS qid, nv AS qnv FROM m WHERE vec_id < 10),
+      |ps AS (SELECT q.qid, ct.cid,
+      |         round(list_inner_product(ct.cnv, q.qnv) * 1e6) / 1e6 AS cs
+      |       FROM qs q CROSS JOIN cents ct),
+      |probes AS (SELECT qid, cid FROM
+      |  (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cs DESC, cid) AS rn FROM ps)
+      |  WHERE rn <= 2),
+      |cand AS (SELECT p.qid, a.vec_id FROM probes p JOIN assigned a USING (cid)),
+      |scored AS (SELECT c.qid, c.vec_id,
+      |             round(list_inner_product(q.nv, v.nv) * 1e6) / 1e6 AS cos_sim
+      |           FROM cand c JOIN m q ON q.vec_id = c.qid JOIN m v ON v.vec_id = c.vec_id),
+      |r AS (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cos_sim DESC, vec_id) AS rnk FROM scored)
+      |SELECT qid, rnk, vec_id, cos_sim FROM r WHERE rnk <= 3
+      |ORDER BY qid, rnk""".stripMargin
+
   // ---------- v4: k-means refinement (2 Lloyd iterations, rows-only) ----------
   // Iterative centroid refinement over the corpus: deterministic
   // seeds (first 8 corpus vectors), assign -> mean -> re-assign.
