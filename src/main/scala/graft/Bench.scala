@@ -17,18 +17,24 @@ object Bench {
     // min of two runs: the first pays one-time Janino/JIT compilation
     // (seconds per distinct plan), which a long-running cluster
     // amortizes away; the warm run is the representative latency
+    val failed = scala.collection.mutable.ListBuffer.empty[String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      var ok = true
       val times = (1 to 2).map { _ =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).foreach(_ => ()) } catch { case _: Throwable => () }
+        try { fn(spark, sfDir).foreach(_ => ()) }
+        catch { case t: Throwable => ok = false; System.err.println(s"BENCH FAIL $name: $t") }
         (System.nanoTime() - t0) / 1e9
       }
-      name -> times.min
+      if (!ok) failed += name
+      // a crashed query must read as broken, never as a fast success
+      name -> (if (ok) times.min else -1.0)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = results.map(_._2).filter(_ >= 0).sum
+    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -218,6 +218,26 @@ object ThermalChain {
     ),
   )
 
+  // Child session per context, carrying the CollapseProject exclusion
+  // so the shared session's optimizer conf is never mutated: the
+  // exclusion must hold at *execution* time (queries are lazy), so a
+  // set/restore around plan construction would not work, and setting
+  // it on the shared session would leak into every later non-thermal
+  // query run in the same session (e.g. the whole bench suite).
+  private val chainSessions =
+    new java.util.concurrent.ConcurrentHashMap[SparkSession, SparkSession]()
+  private def chainSession(spark: SparkSession): SparkSession =
+    chainSessions.computeIfAbsent(spark, s => {
+      val ns = s.newSession()
+      // newSession() starts from SparkConf defaults; carry over the
+      // tuning confs the parent set at build time
+      ns.conf.set("spark.sql.shuffle.partitions",
+        s.conf.get("spark.sql.shuffle.partitions"))
+      ns.conf.set("spark.sql.optimizer.excludedRules",
+        "org.apache.spark.sql.catalyst.optimizer.CollapseProject")
+      ns
+    })
+
   /** Spark side: the chain through `through` layers (1-based count). */
   def df(spark: SparkSession, dir: String, through: Int): DataFrame = {
     // keep the layers as separate projections: CollapseProject would
@@ -225,10 +245,9 @@ object ThermalChain {
     // references mrt_k four times per level, so the collapsed tree
     // duplicates the whole upstream chain exponentially (measured
     // ~10x slower; 290KB of generated code). Layered projections
-    // evaluate every column once.
-    spark.conf.set("spark.sql.optimizer.excludedRules",
-      "org.apache.spark.sql.catalyst.optimizer.CollapseProject")
-    val b = Tables.events(spark, dir)
+    // evaluate every column once. The exclusion lives on a child
+    // session so it cannot leak into unrelated queries.
+    val b = Tables.events(chainSession(spark), dir)
       .selectExpr(base.map { case (n, e) => s"($e) AS $n" }: _*)
     layers.take(through).foldLeft(b) { (d, layer) =>
       d.selectExpr("*" +: layer.map { case (n, e) => s"($e) AS $n" }: _*)

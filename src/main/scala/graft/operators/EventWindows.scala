@@ -153,7 +153,7 @@ object EventWindows {
 
   val sessionizeSql: String =
     """SELECT user_id,
-      |  sum(new_session) AS n_sessions,
+      |  CAST(sum(new_session) AS BIGINT) AS n_sessions,
       |  count(*) AS n_events
       |FROM (
       |  SELECT user_id,

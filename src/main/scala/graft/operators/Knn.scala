@@ -120,7 +120,11 @@ object Knn {
       val bits = (0 until bitsPerTable).map { b =>
         val p = planes(t * bitsPerTable + b)
         val arr = p.map(x => s"CAST($x AS DOUBLE)").mkString("array(", ", ", ")")
-        s"(CASE WHEN aggregate(zip_with(nv, $arr, (x, y) -> x * y), CAST(0 AS DOUBLE), (acc, x) -> acc + x) >= 0 THEN ${1 << b} ELSE 0 END)"
+        // quantize the raw dot before the sign test (same discipline as
+        // every other cross-engine float path): without it the bit
+        // relies on DuckDB accumulating strictly left-to-right, and a
+        // vectorization change there could flip bits near zero
+        s"(CASE WHEN floor(aggregate(zip_with(nv, $arr, (x, y) -> x * y), CAST(0 AS DOUBLE), (acc, x) -> acc + x) * 1e6 + 0.5) >= 0 THEN ${1 << b} ELSE 0 END)"
       }.mkString(" + ")
       s"($bits) AS b$t"
     }
@@ -157,7 +161,7 @@ object Knn {
       p.map(x => s"CAST($x AS DOUBLE)").mkString("[", ", ", "]")
     val bucketExprs = (0 until nTables).map { t =>
       val bits = (0 until bitsPerTable).map { b =>
-        s"(CASE WHEN list_inner_product(nv, ${planeList(planes(t * bitsPerTable + b))}) >= 0 THEN ${1 << b} ELSE 0 END)"
+        s"(CASE WHEN floor(list_inner_product(nv, ${planeList(planes(t * bitsPerTable + b))}) * 1e6 + 0.5) >= 0 THEN ${1 << b} ELSE 0 END)"
       }.mkString(" + ")
       s"($bits) AS b$t"
     }

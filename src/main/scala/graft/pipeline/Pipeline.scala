@@ -80,14 +80,22 @@ class StatusStore(path: Path) {
   * task-retry model).
   */
 object ChunkedSink {
+  /** Writes every partition in chunks and returns the row count,
+    * accumulated in the same pass (adds happen once per chunk, after
+    * its successful write and outside the retry loop; foreachPartition
+    * is an action, so Spark applies each task's updates exactly once).
+    */
   def write[T](ds: Dataset[T], chunkSize: Int, tries: Int = 3)(
-      writer: (Int, Int, Seq[T]) => Unit): Unit = {
+      writer: (Int, Int, Seq[T]) => Unit): Long = {
+    val rows = ds.sparkSession.sparkContext.longAccumulator("chunkedSinkRows")
     ds.foreachPartition { (it: Iterator[T]) =>
       val pid = org.apache.spark.TaskContext.getPartitionId()
       it.grouped(chunkSize).zipWithIndex.foreach { case (chunk, ci) =>
         Retry.retry(tries, delayMs = 5)(writer(pid, ci, chunk))
+        rows.add(chunk.size)
       }
     }
+    rows.value
   }
 }
 

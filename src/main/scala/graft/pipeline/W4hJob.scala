@@ -77,7 +77,10 @@ object W4hJob {
       val upRoot = java.nio.file.Paths.get(workRoot, "uploads", sourceVersion)
       java.nio.file.Files.createDirectories(upRoot)
       val upRootStr = upRoot.toString
-      ChunkedSink.write(docs.as[(String, Long, String)], chunkSize = 500) {
+      // single pass: the sink's accumulator is the row count, so the
+      // mask join + collect_list aggregation is not executed twice
+      val uploadedDocs = ChunkedSink.write(
+        docs.as[(String, Long, String)], chunkSize = 500) {
         (pid, ci, chunk) =>
           java.nio.file.Files.write(
             java.nio.file.Paths.get(upRootStr, s"part_${pid}_$ci.jsonl"),
@@ -85,7 +88,6 @@ object W4hJob {
               s"""{"_id":"$id","forecastStart":$fs,"series":"$series"}"""
             }.mkString("\n").getBytes)
       }
-      val uploadedDocs = docs.count()
       timer.log("uploaded forecast documents")
 
       // ---- hour-angle shift + daily extremes + contour bands (main.py:341-443)
