@@ -17,8 +17,12 @@ object Bench {
     // min of two runs: the first pays one-time Janino/JIT compilation
     // (seconds per distinct plan), which a long-running cluster
     // amortizes away; the warm run is the representative latency
+    // optional comma-separated subset, for targeted perf iteration
+    val only = sys.env.get("SPARK_GRAFT_QUERIES").map(_.split(",").toSet)
     val failed = scala.collection.mutable.ListBuffer.empty[String]
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val selected = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
+    val results = selected.map { case (name, fn) =>
       var ok = true
       val times = (1 to 2).map { _ =>
         val t0 = System.nanoTime()

@@ -19,7 +19,28 @@ import graft.functions.Stable
   */
 object EventStreams {
 
-  private def streamingEvents(spark: SparkSession, dir: String): DataFrame = {
+  /** Child session for the streaming queries with a bounded state
+    * partition count. `spark.sql.shuffle.partitions` fixes the number
+    * of state-store partitions at first run, and every stateful op
+    * pays a fixed per-partition commit cost per micro-batch (delta
+    * file + snapshot maintenance; a stream-stream join keeps FOUR
+    * stores per partition). The testdata volume never needs 32 state
+    * partitions — 8 cuts that fixed I/O 4x. At cluster scale raise
+    * `graft.streaming.statePartitions` to match the key cardinality /
+    * executor count; it only bounds state commits, not source reads.
+    */
+  private val streamSessions =
+    new java.util.concurrent.ConcurrentHashMap[SparkSession, SparkSession]()
+  private def streamSession(spark: SparkSession): SparkSession =
+    streamSessions.computeIfAbsent(spark, s => {
+      val ns = s.newSession()
+      val parts = s.conf.getOption("graft.streaming.statePartitions").getOrElse("8")
+      ns.conf.set("spark.sql.shuffle.partitions", parts)
+      ns
+    })
+
+  private def streamingEvents(spark0: SparkSession, dir: String): DataFrame = {
+    val spark = streamSession(spark0)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = spark.read.parquet(s"$dir/events.parquet").schema
     // the streaming file source needs a directory; select the single
@@ -33,7 +54,9 @@ object EventStreams {
     val name = "graft_sink_" + java.util.UUID.randomUUID().toString.replace("-", "")
     val q = df.writeStream.outputMode(mode).format("memory").queryName(name).start()
     try q.processAllAvailable() finally q.stop()
-    spark.table(name)
+    // the memory sink's temp view is session-scoped: read it from the
+    // session that ran the query (the streaming child session)
+    df.sparkSession.table(name)
   }
 
   /** s1: watermarked tumbling-window aggregate (complete mode). */
