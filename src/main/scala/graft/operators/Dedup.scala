@@ -114,20 +114,26 @@ object Dedup {
 
   def d2(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    import graft.functions.Fnv64
     val (shx, sizes) = shingleIndex(spark, dir)
     // minhash via explode + codegen'd min-aggregates (an aggregate()
-    // lambda over the shingle array is interpreted — measured ~10x)
+    // lambda over the shingle array is interpreted — measured ~10x).
+    // Seeded FNV-1a ("k:shingle") instead of xxhash64: same codegen
+    // cost Spark-side, and exactly mirrorable in DuckDB (xxhash64 is
+    // not), which upgrades d2 from rows-only to a full bitwise oracle.
     val mhCols = (0 until nHashes).map(k =>
-      min(expr(s"xxhash64(s, $k)")).as(s"mh$k"))
+      min(Fnv64.fnv64(concat(lit(s"$k:"), $"s"))).as(s"mh$k"))
     val sigs = shx
       .groupBy($"doc_id")
       .agg(mhCols.head, mhCols.tail: _*)
-    val bandStructs = (0 until nBands).map { b =>
+    val withSigs = sigs.select(col("doc_id") +: (0 until nBands).map { b =>
       val cols = (b * rowsPerBand until (b + 1) * rowsPerBand)
-        .map(k => s"mh$k").mkString(", ")
-      s"named_struct('band', $b, 'sig', xxhash64(concat_ws(',', $cols), $b))"
-    }.mkString(", ")
-    val buckets = sigs.selectExpr("doc_id",
+        .map(k => col(s"mh$k").cast("string"))
+      Fnv64.fnv64(concat(lit(s"$b:"), concat_ws(",", cols: _*))).as(s"sig$b")
+    }: _*)
+    val bandStructs = (0 until nBands)
+      .map(b => s"named_struct('band', $b, 'sig', sig$b)").mkString(", ")
+    val buckets = withSigs.selectExpr("doc_id",
       s"posexplode(array($bandStructs)) AS (pos, bs)")
       .selectExpr("doc_id", "bs.band AS band", "bs.sig AS sig")
     val cand = buckets.as("a")
@@ -140,15 +146,63 @@ object Dedup {
       .transform(graft.Tables.ordered(_, $"id_a", $"id_b"))
   }
 
+  /** Full d2 oracle: the same shingle → 16 seeded-FNV minhashes →
+    * 4 band signatures → bucket join → Jaccard verification, in
+    * DuckDB. Hashes are computed on DISTINCT shingle strings and
+    * joined back (the fold lambda is interpreted — distinct keeps it
+    * off the per-row path); min/bucket/Jaccard math is all integer,
+    * so the whole result is bitwise.
+    */
+  val d2Sql: String = {
+    import graft.functions.Fnv64
+    val hashCols = (0 until nHashes)
+      .map(k => s"${Fnv64.duckSigned(s"('$k:' || s)")} AS h$k").mkString(",\n  ")
+    val minCols = (0 until nHashes).map(k => s"min(h$k) AS mh$k").mkString(", ")
+    val bandSelects = (0 until nBands).map { b =>
+      val catted = (b * rowsPerBand until (b + 1) * rowsPerBand)
+        .map(k => s"CAST(mh$k AS VARCHAR)").mkString(" || ',' || ")
+      s"SELECT doc_id, $b AS band, ${Fnv64.duckSigned(s"('$b:' || $catted)")} AS sig FROM sigs"
+    }.mkString("\n  UNION ALL ")
+    s"""WITH corpus AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 10000, text || ' zq extra tail token' FROM documents WHERE doc_id % 7 = 0),
+      |w AS (SELECT doc_id, string_split(lower(trim(text)), ' ') AS words FROM corpus),
+      |sh AS (SELECT doc_id,
+      |         CASE WHEN len(words) >= 3
+      |           THEN list_distinct(list_transform(range(0, len(words) - 2),
+      |                  i -> array_to_string(words[(i + 1):(i + 3)], ' ')))
+      |           ELSE [array_to_string(words, ' ')] END AS s
+      |       FROM w),
+      |shx AS (SELECT doc_id, unnest(s) AS s FROM sh),
+      |hs AS (SELECT s,
+      |  $hashCols
+      |  FROM (SELECT DISTINCT s FROM shx)),
+      |sigs AS (SELECT doc_id, $minCols
+      |         FROM shx JOIN hs USING (s) GROUP BY doc_id),
+      |bands AS ($bandSelects),
+      |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      |         FROM bands a JOIN bands b
+      |           ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
+      |j AS (SELECT id_a, id_b,
+      |        CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+      |          / CAST(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS DOUBLE) AS jaccard
+      |      FROM cand JOIN sh a ON a.doc_id = id_a JOIN sh b ON b.doc_id = id_b)
+      |SELECT id_a, id_b, jaccard FROM j WHERE jaccard >= 0.4
+      |ORDER BY id_a, id_b""".stripMargin
+  }
+
   // ---------- d3: SimHash fingerprint + hamming near-dups ----------
 
   def d3(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     // per-bit vote sums via explode + 64 codegen'd aggregates (nested
     // aggregate() lambdas over words x bits are interpreted and slow)
+    // FNV-1a word hashes (not xxhash64) so the DuckDB oracle can
+    // reproduce the fingerprints bitwise
     val words = nearDupCorpus(spark, dir)
       .selectExpr("doc_id", "explode(split(lower(trim(text)), ' ')) AS w")
-      .selectExpr("doc_id", "xxhash64(w) AS h")
+      .select(col("doc_id"), graft.functions.Fnv64.fnv64(col("w")).as("h"))
     val voteCols = (0 until 64).map(j =>
       sum(expr(s"CASE WHEN (shiftright(h, $j) & 1) = 1 THEN 1 ELSE -1 END")).as(s"v$j"))
     val votes = words.groupBy($"doc_id")
@@ -168,6 +222,50 @@ object Dedup {
       .filter($"hamming" <= 6)
       .orderBy($"id_a", $"id_b")
   }
+
+  /** Full d3 oracle: SimHash rebuilt in DuckDB on the same FNV word
+    * hashes. Bit extraction runs on the unsigned HUGEINT state
+    * (`(hu // 2^j) % 2`, unambiguous — no reliance on the engine's
+    * signed-shift semantics); Spark's `shiftright(h, j) & 1` extracts
+    * the identical physical bit from the two's-complement BIGINT.
+    * Votes, fingerprint assembly, 16-bit chunk blocking and
+    * bit_count(xor) Hamming verification are all integer math.
+    */
+  val d3Sql: String = {
+    import graft.functions.Fnv64
+    val voteCols = (0 until 64)
+      .map(j => s"sum(CASE WHEN CAST((hu // ${bigPow2(j)}) % 2 AS BIGINT) = 1 THEN 1 ELSE -1 END) AS v$j")
+      .mkString(",\n  ")
+    val fpExpr = (0 until 64)
+      .map(j => s"CASE WHEN v$j > 0 THEN ${bigPow2(j)} ELSE CAST(0 AS HUGEINT) END")
+      .mkString(" + ")
+    val chunkSelects = (0 until 4).map { c =>
+      s"SELECT doc_id, fp, $c AS chunk_idx, CAST((fpu // ${bigPow2(16 * c)}) % 65536 AS BIGINT) AS chunk FROM fps"
+    }.mkString("\n  UNION ALL ")
+    s"""WITH corpus AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 10000, text || ' zq extra tail token' FROM documents WHERE doc_id % 7 = 0),
+      |wx AS (SELECT doc_id, unnest(string_split(lower(trim(text)), ' ')) AS w FROM corpus),
+      |hw AS (SELECT w, ${Fnv64.duckUnsigned("w")} AS hu
+      |       FROM (SELECT DISTINCT w FROM wx)),
+      |votes AS (SELECT doc_id,
+      |  $voteCols
+      |  FROM wx JOIN hw USING (w) GROUP BY doc_id),
+      |fpt AS (SELECT doc_id, ($fpExpr) AS fpu FROM votes),
+      |fps AS (SELECT doc_id, fpu, ${Fnv64.duckToSigned("fpu")} AS fp FROM fpt),
+      |chunks AS ($chunkSelects),
+      |pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+      |            CAST(bit_count(xor(a.fp, b.fp)) AS INTEGER) AS hamming
+      |          FROM chunks a JOIN chunks b
+      |            ON a.chunk_idx = b.chunk_idx AND a.chunk = b.chunk AND a.doc_id < b.doc_id)
+      |SELECT id_a, id_b, hamming FROM pairs WHERE hamming <= 6
+      |ORDER BY id_a, id_b""".stripMargin
+  }
+
+  /** 2^j as a HUGEINT literal (j up to 63 overflows BIGINT). */
+  private def bigPow2(j: Int): String =
+    s"CAST('${BigInt(2).pow(j)}' AS HUGEINT)"
 
   // ---------- d4: n-gram Jaccard verification of seeded pairs ----------
 

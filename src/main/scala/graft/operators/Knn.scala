@@ -259,6 +259,40 @@ object Knn {
       .transform(graft.Tables.ordered(_, $"cid"))
   }
 
+  /** Full v4 oracle: both Lloyd iterations unrolled as CTEs — the
+    * same deterministic seeds (corpus ids 10-17), round-quantized
+    * cosine assignment with (cos DESC, cid) tie-break, integerized
+    * order-free element means, and a renormalize whose norm
+    * accumulates in array order exactly like the Scala fold.
+    */
+  val v4Sql: String = {
+    def assign(centTab: String, out: String) =
+      s"""s_$out AS (SELECT corpus.vec_id, $centTab.cid,
+        |         round(list_inner_product($centTab.cv, corpus.nv) * 1e6) / 1e6 AS cos_sim
+        |       FROM corpus CROSS JOIN $centTab),
+        |$out AS (SELECT vec_id, cid FROM (
+        |         SELECT vec_id, cid,
+        |           row_number() OVER (PARTITION BY vec_id ORDER BY cos_sim DESC, cid) AS rnk
+        |         FROM s_$out) WHERE rnk = 1)""".stripMargin
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |n AS (SELECT vec_id, v, sqrt(list_inner_product(v, v)) AS nrm FROM e),
+      |m AS (SELECT vec_id, list_transform(v, x -> x / nrm) AS nv FROM n),
+      |corpus AS (SELECT vec_id, nv FROM m WHERE vec_id >= 10),
+      |c0 AS (SELECT vec_id AS cid, nv AS cv FROM m WHERE vec_id >= 10 AND vec_id < 18),
+      |${assign("c0", "a1")},
+      |mem1 AS (SELECT a1.cid, p.pos, corpus.nv[p.pos + 1] AS x
+      |         FROM a1 JOIN corpus USING (vec_id)
+      |         CROSS JOIN (SELECT unnest(range(0, $dim)) AS pos) p),
+      |upd1 AS (SELECT cid, pos,
+      |           (CAST(sum(CAST(floor(x * 1e12 + 0.5) AS BIGINT)) AS BIGINT) / 1e12)
+      |             / CAST(count(*) AS DOUBLE) AS m
+      |         FROM mem1 GROUP BY cid, pos),
+      |c1l AS (SELECT cid, list(m ORDER BY pos) AS c FROM upd1 GROUP BY cid),
+      |c1 AS (SELECT cid, list_transform(c, x -> x / sqrt(list_inner_product(c, c))) AS cv FROM c1l),
+      |${assign("c1", "a2")}
+      |SELECT cid, count(*) AS cluster_size FROM a2 GROUP BY cid ORDER BY cid""".stripMargin
+  }
+
   // ---------- v3: IVF-style coarse quantizer + nprobe (rows-only) ----------
 
   def v3(spark: SparkSession, dir: String): DataFrame = {

@@ -61,6 +61,25 @@ object Media {
       .orderBy($"doc_id")
   }
 
+  /** Full m1 oracle: the payloads are ASCII (prefix + document text),
+    * so the stub decoder's byte arithmetic maps 1:1 onto DuckDB char
+    * ops — `ord(substr(..))` IS the payload byte — and the checksum
+    * reuses the shared FNV-1a HUGEINT mirror.
+    */
+  val m1Sql: String =
+    s"""WITH p AS (SELECT doc_id,
+      |  (CASE WHEN doc_id % 3 = 0 THEN 'IMG' WHEN doc_id % 3 = 1 THEN 'AUD' ELSE 'VID' END)
+      |    || substr(text, 1, 61) AS s
+      |  FROM documents)
+      |SELECT doc_id,
+      |  substr(s, 1, 3) AS format,
+      |  CAST(16 * ((CASE WHEN length(s) > 4 THEN (ord(substr(s, 5, 1)) & 63) ELSE 0 END) + 1) AS INTEGER) AS width,
+      |  CAST(16 * ((CASE WHEN length(s) > 5 THEN (ord(substr(s, 6, 1)) & 63) ELSE 0 END) + 1) AS INTEGER) AS height,
+      |  CAST(length(s) AS BIGINT) AS n_bytes,
+      |  ${graft.functions.Fnv64.duckSigned("s")} AS checksum
+      |FROM p
+      |ORDER BY doc_id""".stripMargin
+
   case class Resized(doc_id: Long, width: Int, height: Int,
       out_width: Int, out_height: Int, payload: Array[Byte])
   case class Frames(doc_id: Long, n_frames: Int, frame_idx: Int,

@@ -283,4 +283,12 @@ object TextStats {
         graft.functions.Fnv64.fnv64(lower(trim($"text"))).as("fingerprint"))
       .orderBy($"doc_id")
   }
+
+  /** Full t4 oracle: the FNV-1a fold re-expressed as DuckDB HUGEINT
+    * arithmetic (graft.functions.Fnv64.duckSigned) — bitwise.
+    */
+  val t4Sql: String =
+    s"""SELECT doc_id, ${graft.functions.Fnv64.duckSigned("lower(trim(text))")} AS fingerprint
+      |FROM documents
+      |ORDER BY doc_id""".stripMargin
 }
