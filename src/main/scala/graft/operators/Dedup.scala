@@ -267,6 +267,49 @@ object Dedup {
   private def bigPow2(j: Int): String =
     s"CAST('${BigInt(2).pow(j)}' AS HUGEINT)"
 
+  // ---------- d7: dedup application — surviving corpus report ----------
+
+  /** d7: apply exact dedup end-to-end and report retention per
+    * language: group the (seeded-duplicate) corpus by content digest,
+    * keep the minimum doc_id per digest, and roll up kept/removed
+    * counts by the original document's language. The "what did dedup
+    * do to my corpus" report every training-data pipeline ends with.
+    * Two shuffles (digest group, lang rollup); the lang lookup is a
+    * broadcast-size dimension join at any scale.
+    */
+  def d7(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir).select($"doc_id", $"text")
+    val copies = docs.filter($"doc_id" % 5 === 0)
+      .select(($"doc_id" + 10000).as("doc_id"), $"text")
+    val corpus = docs.unionByName(copies)
+      .select($"doc_id", md5(lower(trim($"text"))).as("digest"))
+    val keep = corpus.groupBy($"digest").agg(min($"doc_id").as("keep_id"))
+    val flagged = corpus.join(keep, Seq("digest"))
+      .select($"doc_id", ($"doc_id" === $"keep_id").as("kept"))
+    val langs = Tables.documents(spark, dir).select($"doc_id".as("base_id"), $"lang")
+    flagged.join(broadcast(langs), flagged("doc_id") % 10000 === langs("base_id"))
+      .groupBy($"lang")
+      .agg(sum(when($"kept", 1L).otherwise(0L)).as("n_kept"),
+        sum(when($"kept", 0L).otherwise(1L)).as("n_removed"))
+      .orderBy($"lang")
+  }
+
+  val d7Sql: String =
+    """WITH corpus AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 10000, text FROM documents WHERE doc_id % 5 = 0),
+      |h AS (SELECT doc_id, md5(lower(trim(text))) AS digest FROM corpus),
+      |k AS (SELECT digest, min(doc_id) AS keep_id FROM h GROUP BY digest),
+      |f AS (SELECT h.doc_id, h.doc_id = k.keep_id AS kept FROM h JOIN k USING (digest))
+      |SELECT d.lang,
+      |  CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+      |  CAST(sum(CASE WHEN kept THEN 0 ELSE 1 END) AS BIGINT) AS n_removed
+      |FROM f JOIN documents d ON d.doc_id = f.doc_id % 10000
+      |GROUP BY d.lang
+      |ORDER BY d.lang""".stripMargin
+
   // ---------- d4: n-gram Jaccard verification of seeded pairs ----------
 
   def d4(spark: SparkSession, dir: String): DataFrame = {

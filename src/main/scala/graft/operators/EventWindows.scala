@@ -164,4 +164,48 @@ object EventWindows {
       |    FROM events))
       |GROUP BY user_id
       |ORDER BY user_id""".stripMargin
+
+  // ---------- e6: per-user z-score anomaly detection ----------
+
+  /** e6: statistical outliers — events whose value is more than 2
+    * standard deviations from the user's mean. Mean and variance come
+    * from integerized sums (order-free, bitwise cross-engine; §8 of
+    * SURVEY.md), computed with window aggregates: ONE shuffle on
+    * user_id, no self-join. z itself is pure non-accumulating IEEE
+    * arithmetic on identical doubles, quantized only at the output.
+    */
+  def anomaly(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"user_id")
+    Tables.events(spark, dir)
+      .select($"user_id", $"event_id", $"value")
+      .withColumn("c", floor($"value" * 1e2 + lit(0.5)).cast("long"))
+      .withColumn("n", count(lit(1)).over(w))
+      .withColumn("mean", (sum($"c").over(w) / $"n") / 1e2)
+      .withColumn("m2", (sum($"c" * $"c").over(w) / $"n") / 1e4)
+      .withColumn("variance", $"m2" - $"mean" * $"mean")
+      .filter($"variance" > 0)
+      .withColumn("z", (($"c" / 1e2) - $"mean") / sqrt($"variance"))
+      .filter(abs($"z") > 2.0)
+      .select($"user_id", $"event_id", (floor($"z" * 1e6 + lit(0.5)) / 1e6).as("z"))
+      .orderBy($"user_id", $"event_id")
+  }
+
+  val anomalySql: String =
+    """WITH b AS (SELECT user_id, event_id,
+      |             CAST(floor(value * 1e2 + 0.5) AS BIGINT) AS c FROM events),
+      |s AS (SELECT user_id, event_id, c,
+      |        count(*) OVER w AS n,
+      |        CAST(sum(c) OVER w AS BIGINT) AS sc,
+      |        CAST(sum(c * c) OVER w AS BIGINT) AS sc2
+      |      FROM b WINDOW w AS (PARTITION BY user_id)),
+      |v AS (SELECT user_id, event_id, c, (sc / n) / 1e2 AS mean,
+      |        (sc2 / n) / 1e4 - ((sc / n) / 1e2) * ((sc / n) / 1e2) AS variance
+      |      FROM s),
+      |z AS (SELECT user_id, event_id,
+      |        ((c / 1e2) - mean) / sqrt(variance) AS z
+      |      FROM v WHERE variance > 0)
+      |SELECT user_id, event_id, CAST(floor(z * 1e6 + 0.5) AS BIGINT) / 1e6 AS z
+      |FROM z WHERE abs(z) > 2.0
+      |ORDER BY user_id, event_id""".stripMargin
 }

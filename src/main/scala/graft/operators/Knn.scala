@@ -293,6 +293,125 @@ object Knn {
       |SELECT cid, count(*) AS cluster_size FROM a2 GROUP BY cid ORDER BY cid""".stripMargin
   }
 
+  /** All query × corpus exact cosines, unranked (spec support). */
+  private[graft] def v1All(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = vectors(spark, dir)
+    val bc = spark.sparkContext.broadcast(codebook(e, "vec_id < 10"))
+    e.filter($"vec_id" >= 10).select($"vec_id", $"nv")
+      .as[(Long, Array[Double])]
+      .mapPartitions(_.flatMap { case (cid, cv) =>
+        bc.value.iterator.map { case (qid, qv) => (qid, cid, cosQ(qv, cv)) }
+      }).toDF("qid", "vec_id", "cos_sim")
+  }
+
+  // ---------- v5: product-quantization ANN (asymmetric distance) ----------
+
+  private val pqSub = 8     // subspaces
+  private val pqSubDim = dim / pqSub
+  private val pqCodes = 16  // codes per subspace (corpus ids 10-25)
+
+  /** v5: PQ — the memory-compression ANN path. Each corpus vector is
+    * encoded as 8 one-byte codes (one per 8-dim subspace, nearest of
+    * 4 deterministic codebook entries by quantized L2); queries score
+    * corpus vectors with an ADC lookup table (query·code partial dots,
+    * integerized so the 8-term reassembly is order-free). At 100 TB
+    * the corpus side carries ONLY (vec_id, 8 codes) ≈ 16 bytes/vector
+    * through the scan, the codebook and per-query LUT broadcast, and
+    * scoring is a narrow map + bounded top-k — no vector ever moves
+    * after encoding.
+    */
+  def v5(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = vectors(spark, dir)
+    val cb = codebook(e, s"vec_id >= 10 AND vec_id < ${10 + pqCodes}")
+    val qs = codebook(e, "vec_id < 10")
+    val bcCb = spark.sparkContext.broadcast(cb)
+    // encode: nearest codebook entry per subspace by quantized L2
+    val enc = e.filter($"vec_id" >= 10).select($"vec_id", $"nv")
+      .as[(Long, Array[Double])]
+      .mapPartitions(_.map { case (id, v) =>
+        val codes = Array.tabulate(pqSub) { s =>
+          var bestCode = 0L
+          var bestD = Long.MaxValue
+          bcCb.value.foreach { case (cid, cv) =>
+            var d = 0.0
+            var i = 0
+            while (i < pqSubDim) {
+              val dx = v(s * pqSubDim + i) - cv(s * pqSubDim + i)
+              d += dx * dx
+              i += 1
+            }
+            val dq = math.floor(d * 1e12 + 0.5).toLong
+            if (dq < bestD || (dq == bestD && cid < bestCode)) { bestD = dq; bestCode = cid }
+          }
+          bestCode
+        }
+        (id, codes)
+      })
+    // ADC lookup table: query x subspace x code -> integerized partial dot
+    val lut: Array[(Long, Map[(Int, Long), Long])] = qs.map { case (qid, qv) =>
+      qid -> (for {
+        s <- 0 until pqSub
+        (cid, cv) <- cb
+      } yield {
+        var p = 0.0
+        var i = 0
+        while (i < pqSubDim) { p += qv(s * pqSubDim + i) * cv(s * pqSubDim + i); i += 1 }
+        (s, cid) -> math.floor(p * 1e6 + 0.5).toLong
+      }).toMap
+    }
+    val bcLut = spark.sparkContext.broadcast(lut)
+    val scored = enc.mapPartitions(_.flatMap { case (id, codes) =>
+      bcLut.value.iterator.map { case (qid, tab) =>
+        var acc = 0L
+        var s = 0
+        while (s < pqSub) { acc += tab((s, codes(s))); s += 1 }
+        (qid, id, acc / 1e6)
+      }
+    }).toDF("qid", "vec_id", "score")
+    val w = Window.partitionBy($"qid").orderBy($"score".desc, $"vec_id")
+    scored.withColumn("rnk", row_number().over(w))
+      .filter($"rnk" <= 5)
+      .select($"qid", $"rnk", $"vec_id", $"score")
+      .orderBy($"qid", $"rnk")
+  }
+
+  /** Full v5 oracle: subvector slicing, quantized-L2 encoding with
+    * (distance, code) tie-break, integerized ADC partials and
+    * order-free reassembly, all as DuckDB CTEs over the same
+    * normalized vectors.
+    */
+  val v5Sql: String = {
+    val diffs = s"list_transform(range(1, ${pqSubDim + 1}), i -> c.sv[i] - cb.cv[i])"
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |n AS (SELECT vec_id, v, sqrt(list_inner_product(v, v)) AS nrm FROM e),
+      |m AS (SELECT vec_id, list_transform(v, x -> x / nrm) AS nv FROM n),
+      |subv AS (SELECT vec_id, p.s,
+      |           nv[(p.s * $pqSubDim + 1):(p.s * $pqSubDim + $pqSubDim)] AS sv
+      |         FROM m CROSS JOIN (SELECT unnest(range(0, $pqSub)) AS s) p),
+      |cb AS (SELECT vec_id AS code_id, s, sv AS cv FROM subv
+      |       WHERE vec_id >= 10 AND vec_id < ${10 + pqCodes}),
+      |enc0 AS (SELECT c.vec_id, c.s, cb.code_id,
+      |           CAST(floor(list_inner_product($diffs, $diffs) * 1e12 + 0.5) AS BIGINT) AS d12
+      |         FROM subv c JOIN cb USING (s) WHERE c.vec_id >= 10),
+      |enc AS (SELECT vec_id, s, code_id FROM (
+      |          SELECT vec_id, s, code_id,
+      |            row_number() OVER (PARTITION BY vec_id, s ORDER BY d12, code_id) AS rnk
+      |          FROM enc0) WHERE rnk = 1),
+      |adc AS (SELECT q.vec_id AS qid, q.s, cb.code_id,
+      |          CAST(floor(list_inner_product(q.sv, cb.cv) * 1e6 + 0.5) AS BIGINT) AS p6
+      |        FROM subv q JOIN cb USING (s) WHERE q.vec_id < 10),
+      |sc AS (SELECT adc.qid, enc.vec_id, CAST(sum(p6) AS BIGINT) / 1e6 AS score
+      |       FROM enc JOIN adc ON adc.s = enc.s AND adc.code_id = enc.code_id
+      |       GROUP BY adc.qid, enc.vec_id),
+      |r AS (SELECT qid, vec_id, score,
+      |        row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id) AS rnk
+      |      FROM sc)
+      |SELECT qid, rnk, vec_id, score FROM r WHERE rnk <= 5
+      |ORDER BY qid, rnk""".stripMargin
+  }
+
   // ---------- v3: IVF-style coarse quantizer + nprobe (rows-only) ----------
 
   def v3(spark: SparkSession, dir: String): DataFrame = {

@@ -291,4 +291,48 @@ object TextStats {
     s"""SELECT doc_id, ${graft.functions.Fnv64.duckSigned("lower(trim(text))")} AS fingerprint
       |FROM documents
       |ORDER BY doc_id""".stripMargin
+
+  // ---------- t10: benchmark decontamination (n-gram overlap) ----------
+
+  /** t10: training-set decontamination — flag train documents sharing
+    * any word 8-gram with a held-out eval set (doc_id % 13 == 0).
+    * The standard pre-training hygiene pass: candidate generation is
+    * a pure equality join on the n-gram string, so at 100 TB it is
+    * one hash shuffle of (gram, doc_id) pairs — never a doc×doc
+    * comparison; hot grams can be salted like any skewed join key.
+    */
+  def t10(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val gramExpr =
+      """CASE WHEN size(words) >= 8
+        | THEN array_distinct(transform(sequence(0, size(words) - 8),
+        |        i -> concat_ws(' ', slice(words, i + 1, 8))))
+        | ELSE array(concat_ws(' ', words)) END""".stripMargin.replace("\n", "")
+    val grams = Tables.documents(spark, dir)
+      .selectExpr("doc_id", "split(lower(trim(text)), ' ') AS words")
+      .selectExpr("doc_id", s"explode($gramExpr) AS g")
+    val evalSet = grams.filter($"doc_id" % 13 === 0)
+      .select($"doc_id".as("eval_id"), $"g")
+    grams.filter($"doc_id" % 13 =!= 0)
+      .join(evalSet, Seq("g"))
+      .groupBy($"doc_id")
+      .agg(countDistinct($"g").as("n_shared"),
+        countDistinct($"eval_id").as("n_eval_docs"))
+      .orderBy($"doc_id")
+  }
+
+  val t10Sql: String =
+    """WITH w AS (SELECT doc_id, string_split(lower(trim(text)), ' ') AS words FROM documents),
+      |g AS (SELECT doc_id, unnest(
+      |        CASE WHEN len(words) >= 8
+      |          THEN list_distinct(list_transform(range(0, len(words) - 7),
+      |                 i -> array_to_string(words[(i + 1):(i + 8)], ' ')))
+      |          ELSE [array_to_string(words, ' ')] END) AS g
+      |      FROM w)
+      |SELECT t.doc_id, count(DISTINCT t.g) AS n_shared,
+      |  count(DISTINCT e.doc_id) AS n_eval_docs
+      |FROM g t JOIN g e ON t.g = e.g AND e.doc_id % 13 = 0
+      |WHERE t.doc_id % 13 <> 0
+      |GROUP BY t.doc_id
+      |ORDER BY t.doc_id""".stripMargin
 }

@@ -364,4 +364,55 @@ object Relational {
       |  FROM part)
       |WHERE rnk <= 3
       |ORDER BY p_brand, rnk""".stripMargin
+
+  /** q19: correlated scalar subquery — orders above the customer's own
+    * average order value — decorrelated into window aggregates (one
+    * shuffle on the correlation key instead of a per-row subquery).
+    * The mean is integerized-cents / count: order-free, bitwise.
+    */
+  def q19(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"o_custkey")
+    Tables.orders(spark, dir)
+      .withColumn("cents", floor($"o_totalprice" * 1e2 + lit(0.5)).cast("long"))
+      .withColumn("avg_price", (sum($"cents").over(w) / count(lit(1)).over(w)) / 1e2)
+      .filter($"o_totalprice" > $"avg_price")
+      .groupBy($"o_custkey")
+      .agg(count(lit(1)).as("n_above"))
+      .orderBy($"o_custkey")
+  }
+
+  val q19Sql: String =
+    """SELECT o_custkey, count(*) AS n_above
+      |FROM (SELECT o_custkey, o_totalprice,
+      |        (sum(CAST(floor(o_totalprice * 1e2 + 0.5) AS BIGINT)) OVER (PARTITION BY o_custkey)
+      |          / count(*) OVER (PARTITION BY o_custkey)) / 1e2 AS avg_price
+      |      FROM orders)
+      |WHERE o_totalprice > avg_price
+      |GROUP BY o_custkey
+      |ORDER BY o_custkey""".stripMargin
+
+  /** q20: semi-structured extraction — parse the events' JSON `props`
+    * with a schema'd `from_json` (native Catalyst JsonToStructs, no
+    * UDF) and aggregate per event type. A narrow map + one shuffle.
+    */
+  def q20(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, dir)
+      .select($"event_type",
+        from_json($"props", "k BIGINT", Map.empty[String, String]).getField("k").as("k"))
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n"), sum($"k").as("sum_k"),
+        min($"k").as("min_k"), max($"k").as("max_k"))
+      .orderBy($"event_type")
+  }
+
+  val q20Sql: String =
+    """SELECT event_type, count(*) AS n,
+      |  CAST(sum(k) AS BIGINT) AS sum_k, min(k) AS min_k, max(k) AS max_k
+      |FROM (SELECT event_type,
+      |        CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+      |      FROM events)
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
 }

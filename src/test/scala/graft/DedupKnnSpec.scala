@@ -159,4 +159,55 @@ class DedupKnnSpec extends AnyFunSuite {
       assert(r.getAs[Long]("n_bytes") > 0)
     }
   }
+
+  test("d7: dedup application removes exactly the seeded copies") {
+    import spark.implicits._
+    val rows = Dedup.d7(spark, sf).collect()
+    val nRemoved = rows.map(_.getAs[Long]("n_removed")).sum
+    val nKept = rows.map(_.getAs[Long]("n_kept")).sum
+    val docs = Tables.documents(spark, sf)
+    // every %5 doc gained one exact copy; dedup must remove exactly those
+    assert(nRemoved == docs.filter($"doc_id" % 5 === 0).count())
+    assert(nKept == docs.count())
+  }
+
+  test("t10: decontamination flags exactly the overlapping train docs") {
+    import spark.implicits._
+    val rows = graft.operators.TextStats.t10(spark, sf).collect()
+    rows.foreach { r =>
+      assert(r.getAs[Long]("doc_id") % 13 != 0)
+      assert(r.getAs[Long]("n_shared") >= 1)
+      assert(r.getAs[Long]("n_eval_docs") >= 1)
+    }
+  }
+
+  test("v5 PQ: valid ranked lists and positive recall vs brute force") {
+    import spark.implicits._
+    val pq = Knn.v5(spark, sf).as[(Long, Int, Long, Double)].collect()
+    val exact = Knn.v1(spark, sf).as[(Long, Int, Long, Double)].collect()
+    val pqTop = pq.groupBy(_._1).view.mapValues(_.map(_._3).toSet).toMap
+    val exTop = exact.groupBy(_._1).view.mapValues(_.map(_._3).toSet).toMap
+    assert(pqTop.keySet == exTop.keySet)
+    pq.groupBy(_._1).values.foreach { rs =>
+      assert(rs.map(_._2).sorted.sameElements(1 to rs.length))
+      val scores = rs.sortBy(_._2).map(_._4)
+      assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+    }
+    // the testdata embeddings are near-isotropic (even the exact top-5
+    // ignores the label column), so exact-top-5 recall is not a fair
+    // bar for a coarse quantizer; the property that matters is that
+    // ADC ordering tracks true cosine: PQ's picks must score clearly
+    // above the corpus average under EXACT scoring
+    val exactAll = {
+      val e = Knn.v1All(spark, sf).as[(Long, Long, Double)].collect()
+      e.groupBy(_._1).view.mapValues(rs => rs.map(_._3)).toMap
+    }
+    val exactOf = Knn.v1All(spark, sf).as[(Long, Long, Double)].collect()
+      .map { case (q, v, c) => (q, v) -> c }.toMap
+    val pqPickMean = pq.map { case (q, _, v, _) => exactOf((q, v)) }.sum / pq.length
+    val corpusMean = exactAll.values.flatten.sum / exactAll.values.map(_.length).sum
+    val corpusBest = exactAll.values.map(_.max).sum / exactAll.size
+    assert(pqPickMean > corpusMean + 0.3 * (corpusBest - corpusMean),
+      s"pq=$pqPickMean corpus=$corpusMean best=$corpusBest")
+  }
 }

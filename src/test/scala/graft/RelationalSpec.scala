@@ -97,4 +97,33 @@ class RelationalSpec extends AnyFunSuite {
       assert(r.getAs[Long]("n_sessions") <= r.getAs[Long]("n_events"))
     }
   }
+
+  test("q19: above-own-average counts stay below the order count") {
+    val got = Relational.q19(spark, sf).collect()
+    assert(got.nonEmpty)
+    val perCust = Tables.orders(spark, sf)
+      .groupBy($"o_custkey").count().as[(Long, Long)].collect().toMap
+    got.foreach { r =>
+      val n = r.getAs[Long]("n_above")
+      assert(n >= 1 && n < perCust(r.getAs[Long]("o_custkey")))
+    }
+  }
+
+  test("q20: JSON extraction covers every event and bounds hold") {
+    val rows = Relational.q20(spark, sf).collect()
+    val total = rows.map(_.getAs[Long]("n")).sum
+    assert(total == Tables.events(spark, sf).count())
+    rows.foreach { r =>
+      assert(r.getAs[Long]("min_k") <= r.getAs[Long]("max_k"))
+      assert(r.getAs[Long]("sum_k") >= r.getAs[Long]("n") * r.getAs[Long]("min_k"))
+    }
+  }
+
+  test("e6 anomaly: every flagged event is >2 sigma, and some exist") {
+    val rows = EventWindows.anomaly(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(math.abs(r.getAs[Double]("z")) > 2.0))
+    // outliers should be rare: well under 10% of events
+    assert(rows.length.toDouble / Tables.events(spark, sf).count() < 0.1)
+  }
 }
