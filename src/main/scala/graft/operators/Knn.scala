@@ -114,28 +114,39 @@ object Knn {
       }
     }
 
-  /** Bucket ids per table for normalized vector column `nv`. */
-  private def bucketCols: Seq[String] =
-    (0 until nTables).map { t =>
-      val bits = (0 until bitsPerTable).map { b =>
-        val p = planes(t * bitsPerTable + b)
-        val arr = p.map(x => s"CAST($x AS DOUBLE)").mkString("array(", ", ", ")")
-        // quantize the raw dot before the sign test (same discipline as
-        // every other cross-engine float path): without it the bit
-        // relies on DuckDB accumulating strictly left-to-right, and a
-        // vectorization change there could flip bits near zero
-        s"(CASE WHEN floor(aggregate(zip_with(nv, $arr, (x, y) -> x * y), CAST(0 AS DOUBLE), (acc, x) -> acc + x) * 1e6 + 0.5) >= 0 THEN ${1 << b} ELSE 0 END)"
-      }.mkString(" + ")
-      s"($bits) AS b$t"
-    }
-
   def v2(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val e = vectors(spark, dir)
-      .selectExpr(Seq("vec_id", "nv") ++ bucketCols: _*)
-    val buckets = e.selectExpr("vec_id", "nv",
-      s"posexplode(array(${(0 until nTables).map(t => s"named_struct('t', $t, 'b', b$t)").mkString(", ")})) AS (pos, tb)")
-      .selectExpr("vec_id", "nv", "tb.t AS t", "tb.b AS b")
+    // bucket bits via a broadcast-planes JIT loop: the selectExpr
+    // formulation (48 aggregate(zip_with(..)) lambdas over 64-literal
+    // arrays) builds a 3000-node expression tree whose higher-order
+    // functions evaluate INTERPRETED — measured ~1.5s of pure
+    // expression overhead on 500 vectors. The typed loop is the same
+    // sequential left-to-right dot (oracle parity) at JIT speed.
+    // The dot is quantized before the sign test (same discipline as
+    // every other cross-engine float path): without it the bit relies
+    // on DuckDB accumulating strictly left-to-right, and a
+    // vectorization change there could flip bits near zero.
+    val bcPlanes = spark.sparkContext.broadcast(planes.map(_.toArray).toArray)
+    val buckets = e.select($"vec_id", $"nv").as[(Long, Array[Double])]
+      .mapPartitions { it =>
+        val ps = bcPlanes.value
+        it.flatMap { case (id, nv) =>
+          (0 until nTables).iterator.map { t =>
+            var b = 0
+            var bit = 0
+            while (bit < bitsPerTable) {
+              val p = ps(t * bitsPerTable + bit)
+              var dot = 0.0
+              var i = 0
+              while (i < dim) { dot += nv(i) * p(i); i += 1 }
+              if (math.floor(dot * 1e6 + 0.5) >= 0) b |= (1 << bit)
+              bit += 1
+            }
+            (id, nv, t, b)
+          }
+        }
+      }.toDF("vec_id", "nv", "t", "b")
     val q = buckets.filter($"vec_id" < 10)
       .select($"vec_id".as("id_a"), $"nv".as("nv_a"), $"t", $"b")
     val c = buckets.filter($"vec_id" >= 10)
