@@ -321,6 +321,58 @@ object TextStats {
       .orderBy($"doc_id")
   }
 
+  // ---------- t11: corpus bigram LM perplexity-style scoring ----------
+
+  /** t11: quality scoring against a corpus-trained bigram language
+    * model — each document's mean add-one-smoothed bigram
+    * log-likelihood, ln((c(w1,w2)+1)/(c(w1)+V)). The KenLM-style
+    * fluency filter of training-data pipelines, minus the external
+    * model: the LM *is* the corpus. Three shuffles (bigram counts,
+    * unigram counts, per-doc aggregate); count tables join back by
+    * bigram equality, so at 100 TB the model is a distributed table,
+    * not a broadcast. Each ln is quantized at 1e9 (SURVEY §8 rule 4)
+    * and per-doc averaging is an exact integer sum / count.
+    */
+  def t11(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val bi = Tables.documents(spark, dir)
+      .selectExpr("doc_id", "split(lower(trim(text)), ' ') AS words")
+      .selectExpr("doc_id",
+        "explode(CASE WHEN size(words) >= 2 THEN transform(sequence(0, size(words) - 2), i -> named_struct('w1', words[i], 'w2', words[i + 1])) ELSE array() END) AS b")
+      .select($"doc_id", $"b.w1", $"b.w2")
+    val c12 = bi.groupBy($"w1", $"w2").agg(count(lit(1)).as("c12"))
+    val c1 = bi.groupBy($"w1").agg(count(lit(1)).as("c1"))
+    val v = bi.select($"w1").union(bi.select($"w2")).distinct().count()
+    bi.join(c12, Seq("w1", "w2")).join(c1, Seq("w1"))
+      .withColumn("lp9",
+        floor(log(($"c12" + 1) / ($"c1" + lit(v.toDouble))) * 1e9 + lit(0.5)).cast("long"))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        ((sum($"lp9") / count(lit(1))) / 1e9).as("avg_logprob"))
+      .orderBy($"doc_id")
+  }
+
+  val t11Sql: String =
+    """WITH w AS (SELECT doc_id, string_split(lower(trim(text)), ' ') AS words FROM documents),
+      |bi AS (SELECT doc_id, unnest(
+      |         CASE WHEN len(words) >= 2
+      |           THEN list_transform(range(0, len(words) - 1),
+      |                  i -> {'w1': words[i + 1], 'w2': words[i + 2]})
+      |           ELSE [] END) AS b
+      |       FROM w),
+      |bg AS (SELECT doc_id, b.w1 AS w1, b.w2 AS w2 FROM bi),
+      |c12 AS (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY w1, w2),
+      |c1 AS (SELECT w1, count(*) AS c1 FROM bg GROUP BY w1),
+      |v AS (SELECT count(*) AS v FROM
+      |        (SELECT w1 AS w FROM bg UNION SELECT w2 FROM bg)),
+      |lp AS (SELECT doc_id,
+      |         CAST(floor(ln((c12 + 1) / (c1 + (SELECT CAST(v AS DOUBLE) FROM v))) * 1e9 + 0.5) AS BIGINT) AS lp9
+      |       FROM bg JOIN c12 USING (w1, w2) JOIN c1 USING (w1))
+      |SELECT doc_id, count(*) AS n_bigrams,
+      |  (CAST(sum(lp9) AS BIGINT) / count(*)) / 1e9 AS avg_logprob
+      |FROM lp GROUP BY doc_id
+      |ORDER BY doc_id""".stripMargin
+
   val t10Sql: String =
     """WITH w AS (SELECT doc_id, string_split(lower(trim(text)), ' ') AS words FROM documents),
       |g AS (SELECT doc_id, unnest(

@@ -415,4 +415,36 @@ object Relational {
       |      FROM events)
       |GROUP BY event_type
       |ORDER BY event_type""".stripMargin
+
+  /** q21: RANGE-frame window — each order's trailing-30-day customer
+    * spend (inclusive of the order). A value-range frame, not a row
+    * frame: the frame bound moves with the ORDER BY value (order day),
+    * so ties and gaps behave differently from ROWS BETWEEN. Sum is
+    * integer cents; one shuffle on the customer key.
+    */
+  def q21(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"o_custkey").orderBy($"oday")
+      .rangeBetween(-30, 0)
+    Tables.orders(spark, dir)
+      // day number via datediff, not unix_micros: o_orderdate is a
+      // parquet ms-timestamp (TIMESTAMP_NTZ in Spark 4), and the
+      // NTZ->TZ cast unix_micros needs would drag the session
+      // timezone into the value; date arithmetic is tz-free
+      .withColumn("oday", expr("datediff(CAST(o_orderdate AS DATE), DATE '1990-01-01')"))
+      .withColumn("cents", floor($"o_totalprice" * 1e2 + lit(0.5)).cast("long"))
+      .withColumn("t30", sum($"cents").over(w))
+      .select($"o_custkey", $"o_orderkey", ($"t30" / 1e2).as("trailing_30d"))
+      .orderBy($"o_custkey", $"o_orderkey")
+  }
+
+  val q21Sql: String =
+    """SELECT o_custkey, o_orderkey,
+      |  CAST(sum(cents) OVER (PARTITION BY o_custkey ORDER BY oday
+      |    RANGE BETWEEN 30 PRECEDING AND CURRENT ROW) AS BIGINT) / 1e2 AS trailing_30d
+      |FROM (SELECT o_custkey, o_orderkey,
+      |        date_diff('day', DATE '1990-01-01', CAST(o_orderdate AS DATE)) AS oday,
+      |        CAST(floor(o_totalprice * 1e2 + 0.5) AS BIGINT) AS cents
+      |      FROM orders)
+      |ORDER BY o_custkey, o_orderkey""".stripMargin
 }

@@ -119,6 +119,23 @@ class RelationalSpec extends AnyFunSuite {
     }
   }
 
+  test("q21: trailing-30d spend is at least the order's own price") {
+    val got = Relational.q21(spark, sf)
+      .join(Tables.orders(spark, sf), Seq("o_orderkey"))
+      .select($"trailing_30d", $"o_totalprice").as[(Double, Double)].collect()
+    assert(got.nonEmpty)
+    got.foreach { case (t30, p) => assert(t30 >= p - 0.01) }
+  }
+
+  test("t11: LM scores are negative log-probs over real bigram counts") {
+    val rows = graft.operators.TextStats.t11(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Double]("avg_logprob") < 0.0)
+      assert(r.getAs[Long]("n_bigrams") >= 1)
+    }
+  }
+
   test("e6 anomaly: every flagged event is >2 sigma, and some exist") {
     val rows = EventWindows.anomaly(spark, sf).collect()
     assert(rows.nonEmpty)
