@@ -53,6 +53,46 @@ class SourcesSpec extends AnyFunSuite {
     assert(store.currentPath().get.endsWith("v2"))
   }
 
+  test("orc source roundtrips the events schema losslessly") {
+    import spark.implicits._
+    val base = Tables.events(spark, sf)
+      .select($"event_id", $"user_id", $"event_type", $"value", $"ts")
+    val dir = tmp() + "/orc"
+    base.write.orc(dir)
+    val back = spark.read.orc(dir)
+    assert(back.schema == base.schema)
+    assert(back.count() == base.count())
+    assert(back.agg(sum($"event_id")).head().getLong(0) ==
+      base.agg(sum($"event_id")).head().getLong(0))
+    // predicate pushdown reaches the ORC scan too
+    val q = back.filter($"user_id" === 7L)
+    q.collect()
+    assert(q.queryExecution.executedPlan.toString.contains("PushedFilters"))
+  }
+
+  test("hive-style partitioned writes prune partitions at the scan") {
+    import spark.implicits._
+    val dir = tmp() + "/parts"
+    Tables.documents(spark, sf)
+      .write.partitionBy("lang").parquet(dir)
+    val one = spark.read.parquet(dir).filter($"lang" === "en")
+    val n = one.count()
+    assert(n > 0 && n < Tables.documents(spark, sf).count())
+    // the filter must become a partition filter (directory pruning),
+    // not a data filter: only lang=en files may be listed
+    val scan = one.queryExecution.executedPlan.collectFirst {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }.get
+    assert(scan.partitionFilters.nonEmpty,
+      "expected the lang predicate as a partition filter")
+    // directory pruning: the scan must list only the lang=en partition
+    assert(scan.selectedPartitions.totalNumberOfFiles >= 1)
+    assert(scan.metadata("Location").contains(dir))
+    val pruned = spark.read.parquet(dir).filter($"lang" === "en")
+      .queryExecution.executedPlan.toString
+    assert(pruned.contains("PartitionFilters") && pruned.contains("lang"))
+  }
+
   test("csv and json sources roundtrip the events schema losslessly") {
     import spark.implicits._
     val base = Tables.events(spark, sf)
