@@ -340,12 +340,18 @@ object TextStats {
       .selectExpr("doc_id",
         "explode(CASE WHEN size(words) >= 2 THEN transform(sequence(0, size(words) - 2), i -> named_struct('w1', words[i], 'w2', words[i + 1])) ELSE array() END) AS b")
       .select($"doc_id", $"b.w1", $"b.w2")
-    val c12 = bi.groupBy($"w1", $"w2").agg(count(lit(1)).as("c12"))
-    val c1 = bi.groupBy($"w1").agg(count(lit(1)).as("c1"))
-    val v = bi.select($"w1").union(bi.select($"w2")).distinct().count()
-    bi.join(c12, Seq("w1", "w2")).join(c1, Seq("w1"))
+    val biC = bi.cache() // feeds counts, vocab and the scoring join
+    val c12 = biC.groupBy($"w1", $"w2").agg(count(lit(1)).as("c12"))
+    val c1 = biC.groupBy($"w1").agg(count(lit(1)).as("c1"))
+    // vocab size as a broadcast 1-row join, not a driver count():
+    // keeps the whole query one lazy DAG (a count() action here would
+    // re-execute the explode eagerly on every call)
+    val vdf = biC.select($"w1").union(biC.select($"w2")).distinct()
+      .agg(count(lit(1)).cast("double").as("v"))
+    biC.join(c12, Seq("w1", "w2")).join(c1, Seq("w1"))
+      .crossJoin(broadcast(vdf))
       .withColumn("lp9",
-        floor(log(($"c12" + 1) / ($"c1" + lit(v.toDouble))) * 1e9 + lit(0.5)).cast("long"))
+        floor(log(($"c12" + 1) / ($"c1" + $"v")) * 1e9 + lit(0.5)).cast("long"))
       .groupBy($"doc_id")
       .agg(count(lit(1)).as("n_bigrams"),
         ((sum($"lp9") / count(lit(1))) / 1e9).as("avg_logprob"))
