@@ -28,4 +28,22 @@ object Skew {
       .agg(sum(col(aggs.head._1)).as(aggs.head._1),
         aggs.tail.keys.map(n => sum(col(n)).as(n)).toSeq: _*)
   }
+
+  /** Salted equi-join for a skewed build side: the skewed (large)
+    * side gets a random salt in [0, buckets); the small side is
+    * replicated once per salt value via an explode — turning one hot
+    * key's single reduce partition into `buckets` of them. Exact for
+    * any join type expressible as inner on (keys, salt): every
+    * (large-row, small-row) pair meets in exactly one bucket.
+    * This is the manual fallback; AQE's skewedJoin handles the
+    * common cases (spec asserts both).
+    */
+  def saltedJoin(large: DataFrame, small: DataFrame, keys: Seq[String],
+      buckets: Int): DataFrame = {
+    val saltedLarge = large.withColumn("_salt",
+      pmod(spark_partition_id() + monotonically_increasing_id(), lit(buckets)))
+    val replicated = small.withColumn("_salt",
+      explode(sequence(lit(0), lit(buckets - 1)).cast("array<long>")))
+    saltedLarge.join(replicated, keys :+ "_salt").drop("_salt")
+  }
 }

@@ -438,6 +438,36 @@ object Relational {
       .orderBy($"o_custkey", $"o_orderkey")
   }
 
+  /** q22: explicit GROUPING SETS with grouping() markers — the
+    * arbitrary-set member of the ROLLUP(q8)/CUBE(q15) family: three
+    * hand-picked sets including a non-prefix one ((status), not a
+    * rollup prefix), disambiguated by grouping flags. Declared in
+    * `spark.sql` (the SQL surface is part of the engine contract);
+    * Spark expands to one Expand + hash aggregate — a single shuffle.
+    */
+  def q22(spark: SparkSession, dir: String): DataFrame = {
+    Tables.orders(spark, dir).createOrReplaceTempView("graft_q22_orders")
+    spark.sql(
+      s"""SELECT o_orderstatus, o_orderpriority,
+         |  CAST(grouping(o_orderstatus) AS INT) AS g_status,
+         |  CAST(grouping(o_orderpriority) AS INT) AS g_prio,
+         |  count(*) AS n_orders,
+         |  ${graft.functions.Stable.sumSql("o_totalprice", 2)} AS total_price
+         |FROM graft_q22_orders
+         |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderpriority), ())
+         |ORDER BY g_status, g_prio, o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin)
+  }
+
+  val q22Sql: String =
+    s"""SELECT o_orderstatus, o_orderpriority,
+      |  CAST(grouping(o_orderstatus) AS INT) AS g_status,
+      |  CAST(grouping(o_orderpriority) AS INT) AS g_prio,
+      |  count(*) AS n_orders,
+      |  ${graft.functions.Stable.sumSql("o_totalprice", 2)} AS total_price
+      |FROM orders
+      |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderpriority), ())
+      |ORDER BY g_status, g_prio, o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin
+
   val q21Sql: String =
     """SELECT o_custkey, o_orderkey,
       |  CAST(sum(cents) OVER (PARTITION BY o_custkey ORDER BY oday

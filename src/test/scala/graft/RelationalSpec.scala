@@ -136,6 +136,31 @@ class RelationalSpec extends AnyFunSuite {
     }
   }
 
+  test("q22: grouping sets reconcile with plain group-bys") {
+    val rows = Relational.q22(spark, sf).collect()
+    val detail = rows.filter(r => r.getAs[Int]("g_status") == 0 && r.getAs[Int]("g_prio") == 0)
+    val byPrio = rows.filter(r => r.getAs[Int]("g_status") == 1 && r.getAs[Int]("g_prio") == 0)
+    val grand = rows.filter(r => r.getAs[Int]("g_status") == 1 && r.getAs[Int]("g_prio") == 1)
+    assert(grand.length == 1)
+    val total = Tables.orders(spark, sf).count()
+    assert(grand.head.getAs[Long]("n_orders") == total)
+    assert(detail.map(_.getAs[Long]("n_orders")).sum == total)
+    assert(byPrio.map(_.getAs[Long]("n_orders")).sum == total)
+  }
+
+  test("salted join equals the plain join on a skewed key") {
+    import graft.operators.Skew
+    val big = Tables.lineitem(spark, sf)
+      .selectExpr("CASE WHEN l_orderkey % 3 = 0 THEN 1L ELSE l_orderkey END AS k", "l_quantity")
+    val dim = Tables.orders(spark, sf)
+      .selectExpr("o_orderkey AS k", "o_orderpriority").limit(2000)
+    val plain = big.join(dim, Seq("k")).groupBy($"k").count()
+    val salted = Skew.saltedJoin(big, dim, Seq("k"), buckets = 8)
+      .groupBy($"k").count()
+    assert(plain.collect().map(r => (r.getLong(0), r.getLong(1))).toMap ==
+      salted.collect().map(r => (r.getLong(0), r.getLong(1))).toMap)
+  }
+
   test("e6 anomaly: every flagged event is >2 sigma, and some exist") {
     val rows = EventWindows.anomaly(spark, sf).collect()
     assert(rows.nonEmpty)
