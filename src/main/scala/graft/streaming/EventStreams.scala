@@ -170,6 +170,60 @@ object EventStreams {
 
   val s4Sql: String = graft.operators.AsOf.rangeSql
 
+  // ---------- s5: stateful streaming anomaly detection ----------
+
+  case class ValEv(user_id: Long, event_id: Long, c: Long)
+  case class StatState(n: Long, sc: Long, sc2: Long)
+  case class AnomOut(user_id: Long, event_id: Long, z: Double)
+
+  /** Per-user running moment state (integerized sums — exact, order
+    * free); each batch flags events >2σ from the stats accumulated so
+    * far INCLUDING the current batch. With everything in one batch
+    * this equals the batch z-score (e6's oracle); across batches the
+    * semantics are "anomalous vs history to date" — the live-scoring
+    * behavior a fraud/quality monitor actually wants.
+    */
+  def anomalyStep(uid: Long, events: Iterator[ValEv],
+      state: GroupState[StatState]): Iterator[AnomOut] = {
+    val batch = events.toArray
+    if (batch.isEmpty) Iterator.empty
+    else {
+      val prev = state.getOption.getOrElse(StatState(0L, 0L, 0L))
+      val n = prev.n + batch.length
+      val sc = prev.sc + batch.map(_.c).sum
+      val sc2 = prev.sc2 + batch.map(e => e.c * e.c).sum
+      state.update(StatState(n, sc, sc2))
+      val mean = (sc.toDouble / n) / 1e2
+      val m2 = (sc2.toDouble / n) / 1e4
+      val variance = m2 - mean * mean
+      if (variance <= 0) Iterator.empty
+      else batch.iterator.flatMap { e =>
+        val z = ((e.c / 1e2) - mean) / math.sqrt(variance)
+        if (math.abs(z) > 2.0)
+          Iterator.single(AnomOut(uid, e.event_id, math.floor(z * 1e6 + 0.5) / 1e6))
+        else Iterator.empty
+      }
+    }
+  }
+
+  def anomalies(events: Dataset[ValEv]): Dataset[AnomOut] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(anomalyStep)
+  }
+
+  /** s5: one micro-batch over the testdata => equals the batch e6. */
+  def s5(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val src = streamingEvents(spark, dir)
+      .selectExpr("user_id", "event_id",
+        "CAST(floor(value * 1e2 + 0.5) AS BIGINT) AS c").as[ValEv]
+    runToTable(spark, anomalies(src).toDF(), OutputMode.Append())
+      .orderBy($"user_id", $"event_id")
+  }
+
+  val s5Sql: String = graft.operators.EventWindows.anomalySql
+
   /** Exactly-once-style streaming sink: `foreachBatch` routed through
     * [[graft.pipeline.ChunkedSink]], keyed (batchId, partition, chunk)
     * so replays of a failed micro-batch overwrite instead of

@@ -45,6 +45,28 @@ class StreamingPipelineSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("s5 scores each batch against the running history") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[EventStreams.ValEv]
+    val out = EventStreams.anomalies(mem.toDS())
+    val name = "s5_state_test"
+    val q = out.toDF().writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName(name).start()
+    try {
+      // batch 1: tight cluster around 10.00 — no outliers
+      mem.addData((1L to 20L).map(i => EventStreams.ValEv(1, i, 1000L + (i % 3))): _*)
+      q.processAllAvailable()
+      assert(spark.table(name).count() == 0)
+      // batch 2: one wild value — flagged against accumulated stats
+      mem.addData(EventStreams.ValEv(1, 99, 100000L))
+      q.processAllAvailable()
+      val rows = spark.table(name).as[EventStreams.AnomOut].collect()
+      assert(rows.map(_.event_id).toSet == Set(99L))
+      assert(rows.head.z > 2.0)
+    } finally q.stop()
+  }
+
   test("foreachBatch chunked file sink writes every event exactly once") {
     import spark.implicits._
     val out = java.nio.file.Files.createTempDirectory("graft_fsink").toString
