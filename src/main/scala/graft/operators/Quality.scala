@@ -75,13 +75,15 @@ object Quality {
         "CAST((p_partkey * 3) % 72 AS DOUBLE) * 5.0 - 177.5 AS alon")
       .distinct()
     val dist = haversine("lat", "lon", "alat", "alon")
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy($"lat", $"lon").orderBy($"d", $"alat", $"alon")
+    // argmin as min(struct(d, alat, alon)) — lexicographic struct
+    // ordering IS the window's (d, alat, alon) tie-break, but as one
+    // partially-aggregated shuffle of O(1) state per cell instead of
+    // a full sort of every (cell, anchor) pair
     cells.join(broadcast(anchors))
       .selectExpr("lat", "lon", "alat", "alon", s"($dist) AS d")
-      .withColumn("rn", row_number().over(w))
-      .filter($"rn" === 1)
-      .select($"lat", $"lon", $"alat", $"alon", $"d")
+      .groupBy($"lat", $"lon")
+      .agg(min(struct($"d", $"alat", $"alon")).as("m"))
+      .selectExpr("lat", "lon", "m.alat AS alat", "m.alon AS alon", "m.d AS d")
       .transform(graft.Tables.ordered(_, $"lat", $"lon"))
   }
 

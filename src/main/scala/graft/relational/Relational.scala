@@ -438,6 +438,29 @@ object Relational {
       .orderBy($"o_custkey", $"o_orderkey")
   }
 
+  /** q23: q10's top-k-per-group through the typed bounded
+    * [[graft.functions.TopKAgg]] `Aggregator` instead of window+rank:
+    * O(k) state per group with map-side partial aggregation — no
+    * full-group sort, no whole-group shuffle; the scale path for
+    * top-k over skewed or giant groups. Same oracle as q10.
+    */
+  def q23(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val topk = new graft.functions.TopKAgg(3).toColumn
+    Tables.part(spark, dir)
+      .select($"p_brand", $"p_retailprice", $"p_partkey")
+      .as[(String, Double, Long)]
+      .map { case (b, price, id) => (b, (price, id)) }
+      .groupByKey(_._1)
+      .mapValues(_._2)
+      .agg(topk.name("tops"))
+      .toDF("p_brand", "tops")
+      .selectExpr("p_brand", "posexplode(tops) AS (i, t)")
+      .selectExpr("p_brand", "CAST(i + 1 AS INT) AS rnk",
+        "t._2 AS p_partkey", "round(t._1, 2) AS price")
+      .orderBy($"p_brand", $"rnk")
+  }
+
   /** q22: explicit GROUPING SETS with grouping() markers — the
     * arbitrary-set member of the ROLLUP(q8)/CUBE(q15) family: three
     * hand-picked sets including a non-prefix one ((status), not a
