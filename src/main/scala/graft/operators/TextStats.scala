@@ -379,6 +379,42 @@ object TextStats {
       |FROM lp GROUP BY doc_id
       |ORDER BY doc_id""".stripMargin
 
+  // ---------- t12: per-source quota capping ----------
+
+  /** t12: corpus balancing — cap every source at 20 documents,
+    * keeping each source's deterministic-hash sample (md5 order; a
+    * stable "random" sample that is reproducible across runs and
+    * engines). The per-domain quota pass of pretraining pipelines.
+    * One shuffle on source; the rank is a bounded window (quota
+    * rows per source survive — at scale use TopKAgg like q23 to keep
+    * O(quota) state instead of sorting whole groups).
+    */
+  def t12(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val quota = 20
+    val w = org.apache.spark.sql.expressions.Window.partitionBy($"source")
+      .orderBy($"h", $"doc_id")
+    Tables.documents(spark, dir)
+      .select($"doc_id", $"source", md5(concat($"source", lit(":"), $"doc_id")).as("h"))
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" <= quota)
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_kept"), min($"h").as("first_hash"))
+      .orderBy($"source")
+  }
+
+  val t12Sql: String =
+    """WITH h AS (SELECT doc_id, source,
+      |            md5(source || ':' || CAST(doc_id AS VARCHAR)) AS h
+      |          FROM documents),
+      |r AS (SELECT source, h,
+      |        row_number() OVER (PARTITION BY source ORDER BY h, doc_id) AS rn
+      |      FROM h)
+      |SELECT source, count(*) AS n_kept, min(h) AS first_hash
+      |FROM r WHERE rn <= 20
+      |GROUP BY source
+      |ORDER BY source""".stripMargin
+
   val t10Sql: String =
     """WITH w AS (SELECT doc_id, string_split(lower(trim(text)), ' ') AS words FROM documents),
       |g AS (SELECT doc_id, unnest(

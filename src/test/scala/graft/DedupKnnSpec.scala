@@ -181,6 +181,20 @@ class DedupKnnSpec extends AnyFunSuite {
     }
   }
 
+  test("t12: every source capped at quota, sample is deterministic") {
+    import spark.implicits._
+    val a = graft.operators.TextStats.t12(spark, sf).collect()
+    val b = graft.operators.TextStats.t12(spark, sf).collect()
+    assert(a.map(_.toSeq).toSeq == b.map(_.toSeq).toSeq)
+    val perSource = Tables.documents(spark, sf)
+      .groupBy($"source").count().as[(String, Long)].collect().toMap
+    a.foreach { r =>
+      val kept = r.getAs[Long]("n_kept")
+      assert(kept <= 20)
+      assert(kept == math.min(20L, perSource(r.getAs[String]("source"))))
+    }
+  }
+
   test("v5 PQ: valid ranked lists and positive recall vs brute force") {
     import spark.implicits._
     val pq = Knn.v5(spark, sf).as[(Long, Int, Long, Double)].collect()
