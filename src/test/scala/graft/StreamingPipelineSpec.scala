@@ -45,6 +45,36 @@ class StreamingPipelineSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("s2 recovers sessionizer state from a checkpoint restart") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
+    val mem = MemoryStream[Ev]
+    val got = new java.util.concurrent.ConcurrentLinkedQueue[SessOut]()
+    def start() = EventStreams.sessionize(mem.toDS())
+      .writeStream.outputMode(OutputMode.Append())
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[SessOut], _: Long) =>
+        b.collect().foreach(got.add)
+      }.start()
+    val q1 = start()
+    try {
+      mem.addData(Ev(1, 0L), Ev(1, 60L * 1000000L))
+      q1.processAllAvailable()
+    } finally q1.stop()
+    // new query instance, same checkpoint: state must carry over
+    val q2 = start()
+    try {
+      mem.addData(Ev(1, 90L * 1000000L)) // within-gap of the last event
+      q2.processAllAvailable()
+      import scala.jdk.CollectionConverters._
+      val last = got.asScala.maxBy(_.n_events)
+      // state lost would yield (1,1,1); state recovered yields 3 events
+      // still in ONE session
+      assert(last == SessOut(1, 1, 3))
+    } finally q2.stop()
+  }
+
   test("s5 scores each batch against the running history") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
