@@ -97,6 +97,36 @@ object ChunkedSink {
     }
     rows.value
   }
+
+  /** The reference's fallback-chunk-count upload
+    * (/root/reference/main.py:312-324: bulk upsert retried with
+    * smaller chunks on failure): a chunk that still fails after its
+    * retries is split in half and each half written under a
+    * hierarchical chunk id ("3" -> "3.0"/"3.1", stable across
+    * replays, so the sink stays idempotent). `splits` bounds the
+    * recursion; a failure at the bound (or on a 1-row chunk)
+    * propagates — data is never dropped silently.
+    */
+  def writeWithFallback[T](ds: Dataset[T], chunkSize: Int, tries: Int = 2,
+      splits: Int = 3)(writer: (Int, String, Seq[T]) => Unit): Long = {
+    val rows = ds.sparkSession.sparkContext.longAccumulator("chunkedSinkRows")
+    ds.foreachPartition { (it: Iterator[T]) =>
+      val pid = org.apache.spark.TaskContext.getPartitionId()
+      def attempt(id: String, chunk: Seq[T], depth: Int): Unit =
+        try Retry.retry(tries, delayMs = 5)(writer(pid, id, chunk))
+        catch {
+          case _: Throwable if depth < splits && chunk.size > 1 =>
+            val (a, b) = chunk.splitAt(chunk.size / 2)
+            attempt(id + ".0", a, depth + 1)
+            attempt(id + ".1", b, depth + 1)
+        }
+      it.grouped(chunkSize).zipWithIndex.foreach { case (chunk, ci) =>
+        attempt(ci.toString, chunk, 0)
+        rows.add(chunk.size)
+      }
+    }
+    rows.value
+  }
 }
 
 /** Wall/CPU section timer (utils.py:95-111). */

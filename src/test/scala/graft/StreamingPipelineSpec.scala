@@ -117,6 +117,31 @@ class StreamingPipelineSpec extends AnyFunSuite {
     assert(written.sorted == expected)
   }
 
+  test("ChunkedSink fallback: oversize chunks split until they fit, no loss") {
+    import spark.implicits._
+    val outDir = java.nio.file.Files.createTempDirectory("graft_fb").toString
+    val ds = spark.range(0, 100).map(_.toLong)
+    val n = graft.pipeline.ChunkedSink.writeWithFallback(
+      ds.repartition(2), chunkSize = 16, tries = 1, splits = 4) {
+      (pid, id, chunk) =>
+        // the fake backend rejects anything bigger than 5 rows
+        if (chunk.size > 5) throw new RuntimeException(s"too big: ${chunk.size}")
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(outDir, s"p${pid}_c$id.txt"),
+          chunk.mkString("\n").getBytes)
+    }
+    assert(n == 100)
+    val files = new java.io.File(outDir).listFiles.toSeq
+    val chunks = files.map(f =>
+      new String(java.nio.file.Files.readAllBytes(f.toPath)).split("\n").map(_.toLong).toSeq)
+    val all = chunks.flatten
+    assert(all.size == 100 && all.distinct.size == 100)
+    // every chunk that reached the backend fits its limit, and the
+    // oversize ones really did go through the split path
+    assert(chunks.forall(_.size <= 5))
+    assert(files.exists(f => f.getName.contains(".0.") || f.getName.contains(".1.")))
+  }
+
   test("Retry: recovers after transient failures, rethrows after max") {
     var calls = 0
     val v = Retry.retry(5, delayMs = 0, sleep = _ => ()) {
