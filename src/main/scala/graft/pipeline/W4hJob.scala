@@ -78,8 +78,10 @@ object W4hJob {
       java.nio.file.Files.createDirectories(upRoot)
       val upRootStr = upRoot.toString
       // single pass: the sink's accumulator is the row count, so the
-      // mask join + collect_list aggregation is not executed twice
-      val uploadedDocs = ChunkedSink.write(
+      // mask join + collect_list aggregation is not executed twice;
+      // fallback splitting mirrors the reference's chunk-count retry
+      // (main.py:312-324)
+      val uploadedDocs = ChunkedSink.writeWithFallback(
         docs.as[(String, Long, String)], chunkSize = 500) {
         (pid, ci, chunk) =>
           java.nio.file.Files.write(

@@ -83,4 +83,38 @@ class PlanSpec extends AnyFunSuite {
     val p = plan(graft.operators.AsOf.rangeJoin(spark, sf))
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"))
   }
+
+  test("AQE splits a skewed join partition (skew=true in the final plan)") {
+    import org.apache.spark.sql.functions._
+    val keys = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.coalescePartitions.enabled")
+    val saved = keys.map(k => k -> spark.conf.getOption(k))
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1.0")
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "16KB")
+      spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16KB")
+      spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+      // 90% of the fact rides one key: a single reduce partition would
+      // carry ~14 MB against a 16 KB advisory size
+      val fact = spark.range(0, 200000).select(
+        expr("CASE WHEN id % 10 < 9 THEN 0L ELSE id END").as("k"),
+        expr("repeat('x', 64)").as("pad"))
+      val dim = spark.range(0, 200000).select(col("id").as("k"),
+        expr("repeat('y', 8)").as("d"))
+      // global aggregate: partial agg imposes no distribution on the
+      // join output, so AQE is free to split the skewed partition
+      val j = fact.join(dim, Seq("k")).agg(sum(length(col("pad"))).as("s"))
+      j.collect()
+      val p = j.queryExecution.executedPlan.toString
+      assert(p.contains("skew=true"), s"expected a skew-split join:\n${p.take(3000)}")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
 }
