@@ -323,4 +323,50 @@ object Weather {
       |FROM d
       |GROUP BY 1, 2
       |ORDER BY 1, 2""".stripMargin
+
+  // ---------- w16: hour-of-day climatology + anomaly count ----------
+  // The normals/anomalies shape of grid analytics: each reading is
+  // compared with its cell's climatological mean FOR THAT HOUR OF
+  // DAY across the period. One window shuffle on (cell, hour);
+  // the mean is integerized (order-free) per SURVEY §8.
+
+  def w16(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cells = chain(spark, dir, 1).select($"lat", $"lon").distinct()
+    val days = Tables.customer(spark, dir)
+      .selectExpr("c_custkey % 30 AS day").distinct()
+    val hours = Tables.nation(spark, dir)
+      .filter($"n_nationkey" < 24).selectExpr("n_nationkey AS h")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy($"lat", $"lon", $"h")
+    cells.join(broadcast(days)).join(broadcast(hours))
+      .withColumn("t", expr(w12T))
+      .withColumn("c6", floor($"t" * 1e6 + lit(0.5)).cast("long"))
+      .withColumn("nrm", (sum($"c6").over(w) / count(lit(1)).over(w)) / 1e6)
+      .withColumn("anom", $"t" - $"nrm")
+      .groupBy($"lat", $"lon")
+      .agg(sum(when(abs($"anom") > 47.0, 1L).otherwise(0L)).as("n_anom"),
+        (floor(max($"anom") * 1e6 + lit(0.5)) / 1e6).as("max_anom"))
+      .transform(Tables.ordered(_, $"lat", $"lon"))
+  }
+
+  val w16Sql: String =
+    s"""WITH g AS (${ThermalChain.sql(1)}),
+      |cells AS (SELECT DISTINCT lat, lon FROM g),
+      |days AS (SELECT DISTINCT c_custkey % 30 AS day FROM customer),
+      |hours AS (SELECT n_nationkey AS h FROM nation WHERE n_nationkey < 24),
+      |dense AS (SELECT lat, lon, day, h, ($w12T) AS t
+      |          FROM cells CROSS JOIN days CROSS JOIN hours),
+      |b AS (SELECT lat, lon, h, t,
+      |        CAST(floor(t * 1e6 + 0.5) AS BIGINT) AS c6
+      |      FROM dense),
+      |n AS (SELECT lat, lon, t,
+      |        (CAST(sum(c6) OVER w AS BIGINT) / count(*) OVER w) / 1e6 AS nrm
+      |      FROM b WINDOW w AS (PARTITION BY lat, lon, h)),
+      |a AS (SELECT lat, lon, t - nrm AS anom FROM n)
+      |SELECT lat, lon,
+      |  CAST(sum(CASE WHEN abs(anom) > 47.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_anom,
+      |  CAST(floor(max(anom) * 1e6 + 0.5) AS BIGINT) / 1e6 AS max_anom
+      |FROM a
+      |GROUP BY lat, lon
+      |ORDER BY lat, lon""".stripMargin
 }

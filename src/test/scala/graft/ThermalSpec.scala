@@ -6,6 +6,22 @@ import graft.functions.ThermalChain
 import graft.operators.Weather
 
 class ThermalSpec extends AnyFunSuite {
+  test("w16: anomalies bounded by the synthetic field's amplitude") {
+    val spark = SharedSpark.spark
+    val rows = graft.operators.Weather.w16(spark, SharedSpark.sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      // t = 263.15 + 40*sin => any deviation from an hourly mean is < 80
+      assert(math.abs(r.getAs[Double]("max_anom")) <= 80.0)
+      assert(r.getAs[Long]("n_anom") >= 0)
+    }
+    // the threshold must discriminate: anomalies exist but are a
+    // sparse minority of the ~720 readings per cell
+    val total = rows.map(_.getAs[Long]("n_anom")).sum
+    assert(total > 0)
+    assert(total < rows.length * 720 / 20, s"flags not sparse: $total")
+  }
+
   lazy val spark = SharedSpark.spark
   val sf = SharedSpark.sf
   import spark.implicits._
