@@ -85,6 +85,69 @@ object Media {
   case class Frames(doc_id: Long, n_frames: Int, frame_idx: Int,
       frame_checksum: Long)
 
+  /** m2 as a driver-contract query: the resize boxes without the
+    * payload column (binary payloads don't compare across engines;
+    * the box arithmetic is the operator under test).
+    */
+  def m2(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    m2Resize(spark, dir).toDF()
+      .select($"doc_id", $"width", $"height", $"out_width", $"out_height")
+      .orderBy($"doc_id")
+  }
+
+  /** m2 oracle: byte-derived box sizes; `(w * scale).toInt` truncates
+    * toward zero and w*scale >= 0, so floor() mirrors it exactly.
+    */
+  val m2Sql: String =
+    """WITH p AS (SELECT doc_id,
+      |  (CASE WHEN doc_id % 3 = 0 THEN 'IMG' WHEN doc_id % 3 = 1 THEN 'AUD' ELSE 'VID' END)
+      |    || substr(text, 1, 61) AS s
+      |  FROM documents),
+      |m AS (SELECT doc_id,
+      |  16 * ((CASE WHEN length(s) > 4 THEN (ord(substr(s, 5, 1)) & 63) ELSE 0 END) + 1) AS w,
+      |  16 * ((CASE WHEN length(s) > 5 THEN (ord(substr(s, 6, 1)) & 63) ELSE 0 END) + 1) AS h
+      |  FROM p),
+      |r AS (SELECT doc_id, w, h, 256.0 / greatest(w, h) AS scale FROM m)
+      |SELECT doc_id, CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+      |  CAST(CASE WHEN scale >= 1.0 THEN w
+      |            ELSE greatest(1, CAST(floor(w * scale) AS BIGINT)) END AS INTEGER) AS out_width,
+      |  CAST(CASE WHEN scale >= 1.0 THEN h
+      |            ELSE greatest(1, CAST(floor(h * scale) AS BIGINT)) END AS INTEGER) AS out_height
+      |FROM r
+      |ORDER BY doc_id""".stripMargin
+
+  /** m3 as a driver-contract query. */
+  def m3(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    m3Frames(spark, dir).toDF()
+      .orderBy($"doc_id", $"frame_idx")
+  }
+
+  /** m3 oracle: the per-frame checksum is FNV over the payload bytes
+    * plus ONE extra fold step for the frame index byte — expressed as
+    * the shared HUGEINT FNV state with one more (xor · prime · mod).
+    */
+  val m3Sql: String = {
+    import graft.functions.Fnv64
+    val hu = Fnv64.duckUnsigned("s")
+    val hu2 = s"((xor($hu, CAST(frame_idx AS HUGEINT)) * CAST('1099511628211' AS HUGEINT))" +
+      s" % CAST('18446744073709551616' AS HUGEINT))"
+    s"""WITH p AS (SELECT doc_id,
+      |  'VID' || substr(text, 1, 61) AS s
+      |  FROM documents WHERE doc_id % 3 = 2),
+      |n AS (SELECT doc_id, s,
+      |        (ord(substr(s, length(s), 1)) & 31) + 8 AS n_frames
+      |      FROM p),
+      |f AS (SELECT doc_id, s, CAST(n_frames AS INTEGER) AS n_frames,
+      |        CAST(unnest(range(0, n_frames, 4)) AS INTEGER) AS frame_idx
+      |      FROM n)
+      |SELECT doc_id, n_frames, frame_idx,
+      |  ${Fnv64.duckToSigned(hu2)} AS frame_checksum
+      |FROM f
+      |ORDER BY doc_id, frame_idx""".stripMargin
+  }
+
   /** m2: resize stage — decode metadata, compute a target box
     * (max 256 on the long edge, aspect preserved), emit a derived
     * payload. The arithmetic and batching are real; the pixel work is
