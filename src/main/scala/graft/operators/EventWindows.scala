@@ -165,6 +165,43 @@ object EventWindows {
       |GROUP BY user_id
       |ORDER BY user_id""".stripMargin
 
+  // ---------- e7: event-type transition matrix (path analysis) ----------
+
+  /** e7: first-order transition counts — for each user's time-ordered
+    * event stream, count (prev_type -> type) pairs corpus-wide, with
+    * each ordered pair's share of all transitions. The Markov-chain /
+    * user-path analytics shape: one window shuffle on user_id (lag),
+    * one aggregation shuffle on the pair.
+    */
+  def transitions(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"tus", $"event_id")
+    val pairs = Tables.events(spark, dir)
+      .select($"user_id", $"event_id", $"event_type", unix_micros($"ts").as("tus"))
+      .withColumn("prev_type", lag($"event_type", 1).over(w))
+      .filter($"prev_type".isNotNull)
+    val total = pairs.agg(count(lit(1)).cast("double").as("total"))
+    pairs.groupBy($"prev_type", $"event_type")
+      .agg(count(lit(1)).as("n"))
+      .crossJoin(broadcast(total))
+      .selectExpr("prev_type", "event_type", "n",
+        "CAST(floor((CAST(n AS DOUBLE) / total) * 1e6 + 0.5) AS BIGINT) / 1e6 AS share")
+      .orderBy($"prev_type", $"event_type")
+  }
+
+  val transitionsSql: String =
+    """WITH o AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS tus FROM events),
+      |p AS (SELECT event_type,
+      |        lag(event_type) OVER (PARTITION BY user_id ORDER BY tus, event_id) AS prev_type
+      |      FROM o),
+      |f AS (SELECT prev_type, event_type FROM p WHERE prev_type IS NOT NULL),
+      |t AS (SELECT CAST(count(*) AS DOUBLE) AS total FROM f)
+      |SELECT prev_type, event_type, count(*) AS n,
+      |  CAST(floor((CAST(count(*) AS DOUBLE) / (SELECT total FROM t)) * 1e6 + 0.5) AS BIGINT) / 1e6 AS share
+      |FROM f
+      |GROUP BY prev_type, event_type
+      |ORDER BY prev_type, event_type""".stripMargin
+
   // ---------- e6: per-user z-score anomaly detection ----------
 
   /** e6: statistical outliers — events whose value is more than 2

@@ -161,6 +161,17 @@ class RelationalSpec extends AnyFunSuite {
       salted.collect().map(r => (r.getLong(0), r.getLong(1))).toMap)
   }
 
+  test("e7: transition counts conserve events minus users") {
+    val rows = EventWindows.transitions(spark, sf).collect()
+    val nTransitions = rows.map(_.getAs[Long]("n")).sum
+    val nEvents = Tables.events(spark, sf).count()
+    val nUsers = Tables.events(spark, sf).select($"user_id").distinct().count()
+    // each user's chain of k events yields k-1 transitions
+    assert(nTransitions == nEvents - nUsers)
+    val shares = rows.map(_.getAs[Double]("share")).sum
+    assert(math.abs(shares - 1.0) < 1e-3)
+  }
+
   test("e6 anomaly: every flagged event is >2 sigma, and some exist") {
     val rows = EventWindows.anomaly(spark, sf).collect()
     assert(rows.nonEmpty)
