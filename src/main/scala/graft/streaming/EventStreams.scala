@@ -224,6 +224,87 @@ object EventStreams {
 
   val s5Sql: String = graft.operators.EventWindows.anomalySql
 
+  // ---------- s6: transformWithState (Spark 4 arbitrary-state API) ----------
+
+  case class RecEv(user_id: Long, event_id: Long, tus: Long, value: Double)
+  case class RecOut(user_id: Long, event_id: Long, value: Double)
+
+  /** Per-user running-maximum state on the modern `StatefulProcessor`
+    * surface (typed ValueState + TTL + timers), the successor of
+    * flatMapGroupsWithState: emit exactly the events that set a new
+    * personal record. State is one double per user — O(users), and
+    * TTLConfig can bound even that on an unbounded key space.
+    */
+  class RecordProcessor extends org.apache.spark.sql.streaming.StatefulProcessor[Long, RecEv, RecOut] {
+    @transient private var mx: org.apache.spark.sql.streaming.ValueState[Double] = _
+
+    override def init(outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      mx = getHandle.getValueState[Double]("mx",
+        org.apache.spark.sql.Encoders.scalaDouble,
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[RecEv],
+        tv: org.apache.spark.sql.streaming.TimerValues): Iterator[RecOut] = {
+      // group iterators carry no ordering guarantee: establish event
+      // time order before the stateful scan
+      val sorted = rows.toArray.sortBy(e => (e.tus, e.event_id))
+      var cur = if (mx.exists()) mx.get() else Double.NegativeInfinity
+      val out = sorted.flatMap { e =>
+        if (e.value > cur) { cur = e.value; Some(RecOut(key, e.event_id, e.value)) }
+        else None
+      }
+      mx.update(cur)
+      out.iterator
+    }
+  }
+
+  def records(events: Dataset[RecEv]): Dataset[RecOut] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .transformWithState(new RecordProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Append())
+  }
+
+  // transformWithState requires the RocksDB state store; a dedicated
+  // child session keeps that provider choice off the other queries
+  private val rocksSessions =
+    new java.util.concurrent.ConcurrentHashMap[SparkSession, SparkSession]()
+  private def rocksSession(spark: SparkSession): SparkSession =
+    rocksSessions.computeIfAbsent(spark, s => {
+      val ns = streamSession(s).newSession()
+      ns.conf.set("spark.sql.shuffle.partitions",
+        streamSession(s).conf.get("spark.sql.shuffle.partitions"))
+      ns.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      ns
+    })
+
+  /** s6: one micro-batch over the testdata => record-breaking events
+    * equal the batch prefix-max scan.
+    */
+  def s6(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val rs = rocksSession(spark)
+    rs.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = rs.read.parquet(s"$dir/events.parquet").schema
+    val src = rs.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet").parquet(dir)
+      .selectExpr("user_id", "event_id", "ts div 1000 AS tus", "value").as[RecEv]
+    runToTable(rs, records(src).toDF(), OutputMode.Append())
+      .orderBy($"user_id", $"event_id")
+  }
+
+  val s6Sql: String =
+    """WITH o AS (SELECT user_id, event_id, value, epoch_us(ts) AS tus FROM events),
+      |w AS (SELECT user_id, event_id, value,
+      |        max(value) OVER (PARTITION BY user_id ORDER BY tus, event_id
+      |                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max
+      |      FROM o)
+      |SELECT user_id, event_id, value FROM w
+      |WHERE prev_max IS NULL OR value > prev_max
+      |ORDER BY user_id, event_id""".stripMargin
+
   /** Exactly-once-style streaming sink: `foreachBatch` routed through
     * [[graft.pipeline.ChunkedSink]], keyed (batchId, partition, chunk)
     * so replays of a failed micro-batch overwrite instead of

@@ -97,6 +97,29 @@ class StreamingPipelineSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("s6 transformWithState carries the record max across batches") {
+    import EventStreams.RecEv
+    val ns = spark.newSession()
+    ns.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    implicit val sqlCtx = ns.sqlContext
+    import ns.implicits._
+    val mem = MemoryStream[RecEv]
+    val name = "s6_state_test"
+    val q = EventStreams.records(mem.toDS()).toDF()
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName(name).start()
+    try {
+      mem.addData(RecEv(1, 1, 100, 5.0), RecEv(1, 2, 200, 3.0))
+      q.processAllAvailable()
+      // 6.0 beats the carried 5.0; 4.0 does not
+      mem.addData(RecEv(1, 3, 300, 6.0), RecEv(1, 4, 400, 4.0))
+      q.processAllAvailable()
+      val ids = ns.table(name).select($"event_id").as[Long].collect().toSet
+      assert(ids == Set(1L, 3L))
+    } finally q.stop()
+  }
+
   test("foreachBatch chunked file sink writes every event exactly once") {
     import spark.implicits._
     val out = java.nio.file.Files.createTempDirectory("graft_fsink").toString
