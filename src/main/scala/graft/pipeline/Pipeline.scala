@@ -129,6 +129,23 @@ object ChunkedSink {
   }
 }
 
+/** The reference's `text_alert` (utils.py:15-30): notify the ops
+  * channel(s), then raise — alerting must never swallow the failure.
+  * Handlers are pluggable (an SMS gateway in the reference; log/file
+  * sinks here); a handler's own failure is contained so one broken
+  * channel cannot mask the original error.
+  */
+object Alert {
+  private val handlers =
+    new java.util.concurrent.CopyOnWriteArrayList[String => Unit]()
+  def register(h: String => Unit): Unit = handlers.add(h)
+  def clear(): Unit = handlers.clear()
+  def fail(message: String, cause: Throwable = null): Nothing = {
+    handlers.forEach(h => try h(message) catch { case _: Throwable => () })
+    throw new RuntimeException(message, cause)
+  }
+}
+
 /** Wall/CPU section timer (utils.py:95-111). */
 class Timer {
   private var wallStart = System.nanoTime()

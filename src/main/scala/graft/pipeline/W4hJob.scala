@@ -113,6 +113,9 @@ object W4hJob {
       status.set("latestSuccessfulUpdateSource", sourceVersion)
       merged.unpersist()
       Summary("completed", mergedRows, uploadedDocs, chartDays)
+    } catch {
+      // the reference texts the admin then re-raises (utils.py:15-30)
+      case e: Throwable => Alert.fail(s"ETL: update $sourceVersion failed: ${e.getMessage}", e)
     } finally status.releaseUpdateLock()
   }
 }

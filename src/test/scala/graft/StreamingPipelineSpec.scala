@@ -165,6 +165,19 @@ class StreamingPipelineSpec extends AnyFunSuite {
     assert(files.exists(f => f.getName.contains(".0.") || f.getName.contains(".1.")))
   }
 
+  test("Alert: notifies every handler then raises; broken handlers contained") {
+    import graft.pipeline.Alert
+    Alert.clear()
+    val seen = scala.collection.mutable.ListBuffer.empty[String]
+    Alert.register(m => seen += s"a:$m")
+    Alert.register(_ => throw new IllegalStateException("broken channel"))
+    Alert.register(m => seen += s"b:$m")
+    val ex = intercept[RuntimeException](Alert.fail("boom"))
+    assert(ex.getMessage == "boom")
+    assert(seen.toList == List("a:boom", "b:boom"))
+    Alert.clear()
+  }
+
   test("Retry: recovers after transient failures, rethrows after max") {
     var calls = 0
     val v = Retry.retry(5, delayMs = 0, sleep = _ => ()) {
