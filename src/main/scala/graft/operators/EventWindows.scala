@@ -202,6 +202,41 @@ object EventWindows {
       |GROUP BY prev_type, event_type
       |ORDER BY prev_type, event_type""".stripMargin
 
+  // ---------- e8: per-user exponentially weighted moving average ----------
+
+  /** e8: EWMA over each user's time-ordered values — a RECURSIVE
+    * per-key scan (s' = αx + (1-α)s), which no window frame can
+    * express. Runs as a typed mapGroups fold (JIT; one shuffle on the
+    * key); the fold order is pinned by (ts, event_id), so the float
+    * recursion is sequential and identical in both engines — the
+    * oracle folds the same ordered list with `list_reduce`.
+    */
+  def ewma(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, dir)
+      .select($"user_id", $"event_id", unix_micros($"ts").as("tus"), $"value")
+      .as[(Long, Long, Long, Double)]
+      .groupByKey(_._1)
+      .mapGroups { (uid, it) =>
+        val sorted = it.toArray.sortBy(e => (e._3, e._2))
+        var s = sorted.head._4
+        var i = 1
+        while (i < sorted.length) { s = 0.1 * sorted(i)._4 + 0.9 * s; i += 1 }
+        (uid, sorted.length.toLong, math.floor(s * 1e6 + 0.5) / 1e6)
+      }
+      .toDF("user_id", "n_events", "ewma")
+      .orderBy($"user_id")
+  }
+
+  val ewmaSql: String =
+    """WITH o AS (SELECT user_id, event_id, value, epoch_us(ts) AS tus FROM events),
+      |l AS (SELECT user_id, list(value ORDER BY tus, event_id) AS vs
+      |      FROM o GROUP BY user_id)
+      |SELECT user_id, CAST(len(vs) AS BIGINT) AS n_events,
+      |  CAST(floor(list_reduce(vs, (acc, x) -> 0.1 * x + 0.9 * acc) * 1e6 + 0.5) AS BIGINT) / 1e6 AS ewma
+      |FROM l
+      |ORDER BY user_id""".stripMargin
+
   // ---------- e6: per-user z-score anomaly detection ----------
 
   /** e6: statistical outliers — events whose value is more than 2

@@ -172,6 +172,19 @@ class RelationalSpec extends AnyFunSuite {
     assert(math.abs(shares - 1.0) < 1e-3)
   }
 
+  test("e8: EWMA stays inside each user's value envelope") {
+    val got = EventWindows.ewma(spark, sf)
+      .join(Tables.events(spark, sf).groupBy($"user_id")
+        .agg(min($"value").as("lo"), max($"value").as("hi"), count(lit(1)).as("n")),
+        Seq("user_id")).collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      val e = r.getAs[Double]("ewma")
+      assert(e >= r.getAs[Double]("lo") - 1e-6 && e <= r.getAs[Double]("hi") + 1e-6)
+      assert(r.getAs[Long]("n_events") == r.getAs[Long]("n"))
+    }
+  }
+
   test("e6 anomaly: every flagged event is >2 sigma, and some exist") {
     val rows = EventWindows.anomaly(spark, sf).collect()
     assert(rows.nonEmpty)
