@@ -324,6 +324,51 @@ object Weather {
       |GROUP BY 1, 2
       |ORDER BY 1, 2""".stripMargin
 
+  // ---------- w17: NWS heat index + wind chill ----------
+  // Public formulas beyond the reference's UTCI/WBGT pair: the
+  // Rothfusz heat-index regression (T>=80°F branch, simple formula
+  // below) and the NWS wind-chill model. Shared two-dialect strings;
+  // the only transcendental (V^0.16) goes through quantized exp(ln)
+  // per SURVEY §8.3 — everything else is single IEEE ops on already
+  // quantized chain columns.
+
+  private val w17Exprs: Seq[(String, String)] = {
+    val tF = "((tmp2m - 273.15) * 1.8 + 32.0)"
+    val vMph = "(wind_speed * 2.2369362920544)"
+    val roth = s"(-42.379 + 2.04901523 * t_f + 10.14333127 * rh" +
+      s" - 0.22475541 * t_f * rh - 6.83783e-3 * t_f * t_f" +
+      s" - 5.481717e-2 * rh * rh + 1.22874e-3 * t_f * t_f * rh" +
+      s" + 8.5282e-4 * t_f * rh * rh - 1.99e-6 * t_f * t_f * rh * rh)"
+    val simple = "(0.5 * (t_f + 61.0 + (t_f - 68.0) * 1.2 + rh * 0.094))"
+    val v016 = q("exp(0.16 * ln(greatest(v_mph, 1.0e-9)))")
+    Seq(
+      "t_f" -> tF,
+      "v_mph" -> vMph,
+      "heat_index_f" -> s"CASE WHEN t_f >= 80.0 THEN $roth ELSE $simple END",
+      "wind_chill_f" -> (s"CASE WHEN t_f <= 50.0 AND v_mph > 3.0" +
+        s" THEN 35.74 + 0.6215 * t_f - 35.75 * $v016 + 0.4275 * t_f * $v016" +
+        s" ELSE t_f END"),
+    )
+  }
+
+  def w17(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    w17Exprs.foldLeft(chain(spark, dir, 5)) { case (d, (n, e)) =>
+      d.selectExpr("*", s"($e) AS $n")
+    }
+      .select($"event_id", $"t_f", $"v_mph", $"heat_index_f", $"wind_chill_f")
+      .transform(Tables.ordered(_, $"event_id"))
+  }
+
+  val w17Sql: String = {
+    val inner = w17Exprs.foldLeft(s"(${ThermalChain.sql(5)})") {
+      case (from, (n, e)) => s"(SELECT *, ($e) AS $n FROM $from)"
+    }
+    s"""SELECT event_id, t_f, v_mph, heat_index_f, wind_chill_f
+      |FROM $inner
+      |ORDER BY event_id""".stripMargin
+  }
+
   // ---------- w16: hour-of-day climatology + anomaly count ----------
   // The normals/anomalies shape of grid analytics: each reading is
   // compared with its cell's climatological mean FOR THAT HOUR OF

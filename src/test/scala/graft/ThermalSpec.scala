@@ -6,6 +6,24 @@ import graft.functions.ThermalChain
 import graft.operators.Weather
 
 class ThermalSpec extends AnyFunSuite {
+  test("w17: heat index exceeds T when hot+humid; wind chill below T when cold+windy") {
+    val spark = SharedSpark.spark
+    val rows = graft.operators.Weather.w17(spark, SharedSpark.sf).collect()
+    assert(rows.nonEmpty)
+    var hotHumid = 0
+    var chilled = 0
+    rows.foreach { r =>
+      val t = r.getAs[Double]("t_f")
+      val v = r.getAs[Double]("v_mph")
+      val hi = r.getAs[Double]("heat_index_f")
+      val wc = r.getAs[Double]("wind_chill_f")
+      if (t >= 80.0 && hi > t) hotHumid += 1
+      if (t <= 50.0 && v > 3.0) { assert(wc <= t + 1e-9); chilled += 1 }
+      if (t > 50.0) assert(wc == t)
+    }
+    assert(hotHumid > 0 && chilled > 0)
+  }
+
   test("w16: anomalies bounded by the synthetic field's amplitude") {
     val spark = SharedSpark.spark
     val rows = graft.operators.Weather.w16(spark, SharedSpark.sf).collect()
