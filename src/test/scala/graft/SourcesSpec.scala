@@ -93,6 +93,35 @@ class SourcesSpec extends AnyFunSuite {
     assert(pruned.contains("PartitionFilters") && pruned.contains("lang"))
   }
 
+  test("binaryFile source ingests opaque media payloads with metadata") {
+    import spark.implicits._
+    val dir = tmp() + "/media"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+    val payloads = Map("a.img" -> Array[Byte](1, 2, 3, 4),
+      "b.img" -> Array[Byte](9, 8), "skip.txt" -> Array[Byte](0))
+    payloads.foreach { case (n, b) =>
+      java.nio.file.Files.write(java.nio.file.Paths.get(dir, n), b)
+    }
+    // the ingestion shape for real image/audio pipelines: binary
+    // content column + file metadata, glob-filtered at the source
+    val df = spark.read.format("binaryFile")
+      .option("pathGlobFilter", "*.img").load(dir)
+    assert(df.columns.toSet == Set("path", "modificationTime", "length", "content"))
+    val rows = df.select($"path", $"length", $"content")
+      .collect().map(r => (r.getString(0).split('/').last,
+        r.getLong(1), r.getAs[Array[Byte]](2)))
+    assert(rows.length == 2)
+    rows.foreach { case (name, len, content) =>
+      assert(payloads(name).sameElements(content) && len == payloads(name).length)
+    }
+    // feeds straight into the Media decode plumbing
+    val metas = df.select(monotonically_increasing_id().as("doc_id"), $"content".as("payload"))
+      .as[graft.operators.Media.MediaRow]
+      .mapPartitions(_.grouped(4).flatMap(graft.operators.Media.FakeDecoder.decodeBatch))
+      .collect()
+    assert(metas.length == 2 && metas.forall(_.n_bytes > 0))
+  }
+
   test("csv and json sources roundtrip the events schema losslessly") {
     import spark.implicits._
     val base = Tables.events(spark, sf)
