@@ -185,6 +185,22 @@ class RelationalSpec extends AnyFunSuite {
     }
   }
 
+  test("p1 SCD2: version counts reconcile; no-op updates create no versions") {
+    val rows = graft.operators.Scd.p1(spark, sf).collect()
+    val total = Tables.customer(spark, sf).count()
+    val changed = Tables.customer(spark, sf)
+      .filter($"c_custkey" % 4 === 0 && $"c_custkey" % 8 =!= 0).count()
+    assert(rows.length == total + changed)
+    val open = rows.filter(_.isNullAt(3))
+    assert(open.length == total) // exactly one open version per key
+    rows.groupBy(_.getAs[Long]("c_custkey")).values.foreach { vs =>
+      if (vs.length == 2) {
+        val closed = vs.find(!_.isNullAt(3)).get
+        assert(closed.getAs[Long]("valid_to") == 1L)
+      }
+    }
+  }
+
   test("e6 anomaly: every flagged event is >2 sigma, and some exist") {
     val rows = EventWindows.anomaly(spark, sf).collect()
     assert(rows.nonEmpty)
