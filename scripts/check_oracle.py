@@ -54,6 +54,11 @@ def compare(got, want):
     w = want[cols].sort_values(cols).reset_index(drop=True)
     for c in cols:
         gv, wv = g[c], w[c]
+        # the driver's gate HASHES values, so a float64-vs-int64 column
+        # (e.g. DuckDB HUGEINT -> pandas float64) fails there even when
+        # values compare equal — mirror that strictness here
+        if (gv.dtype.kind == "f") != (wv.dtype.kind == "f"):
+            return False, f"dtype kind mismatch col {c}: spark={gv.dtype} oracle={wv.dtype}"
         if gv.dtype.kind == "f" or wv.dtype.kind == "f":
             import numpy as np
             bad = ~(np.isclose(gv.astype(float), wv.astype(float), rtol=0, atol=1e-9)
