@@ -224,19 +224,11 @@ object ThermalChain {
   // set/restore around plan construction would not work, and setting
   // it on the shared session would leak into every later non-thermal
   // query run in the same session (e.g. the whole bench suite).
-  private val chainSessions =
-    new java.util.concurrent.ConcurrentHashMap[SparkSession, SparkSession]()
   private def chainSession(spark: SparkSession): SparkSession =
-    chainSessions.computeIfAbsent(spark, s => {
-      val ns = s.newSession()
-      // newSession() starts from SparkConf defaults; carry over the
-      // tuning confs the parent set at build time
-      ns.conf.set("spark.sql.shuffle.partitions",
-        s.conf.get("spark.sql.shuffle.partitions"))
+    graft.ChildSessions.of(spark, "thermal-chain") { ns =>
       ns.conf.set("spark.sql.optimizer.excludedRules",
         "org.apache.spark.sql.catalyst.optimizer.CollapseProject")
-      ns
-    })
+    }
 
   /** Spark side: the chain through `through` layers (1-based count). */
   def df(spark: SparkSession, dir: String, through: Int): DataFrame = {

@@ -244,16 +244,64 @@ object TextStats {
   // Greedy sequential packing by doc order (running character sum ->
   // bin id): the shape used to pack short documents into fixed
   // context windows.
+  //
+  // The global prefix sum is DISTRIBUTED as a three-level scan (the
+  // classic parallel-scan decomposition) — a naive
+  // `Window.orderBy(doc_id)` with no partitionBy collapses the whole
+  // corpus into one task, which is the #1 scale-killer shape:
+  //   offset(doc) = prefix within bucket            (bounded window)
+  //               + bucket prefix within superbucket (bounded window)
+  //               + superbucket exclusive offset     (driver scan of a
+  //                 |docs|/(bucketDocs*superFactor) summary — ~25k
+  //                 rows at 1e11 docs — the "collect tiny totals,
+  //                 broadcast offsets back" half of the scan)
+  // All three levels are exact BIGINT sums, so the decomposition is
+  // bitwise-identical to the sequential fold and the single DuckDB
+  // global-window oracle below checks all of it. Buckets come from
+  // doc_id VALUE ranges (ids are dense), so no sampling-based range
+  // partitioner is involved and both window levels are deterministic.
+  // The doc-level join back reuses the level-0 window's hash
+  // partitioning on `bucket` (big side never re-shuffles).
 
   def t9(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val w = org.apache.spark.sql.expressions.Window
-      .orderBy($"doc_id").rowsBetween(Long.MinValue, -1)
-    Tables.documents(spark, dir)
-      .select($"doc_id", $"n_chars")
-      .withColumn("offset", coalesce(sum($"n_chars").over(w), lit(0L)))
+    // widths sized for cluster scale; specs shrink them to exercise
+    // all three levels on the small testdata
+    val bucketDocs = spark.conf.getOption("graft.pack.bucketDocs")
+      .map(_.toLong).getOrElse(4096L)
+    val superFactor = spark.conf.getOption("graft.pack.superFactor")
+      .map(_.toLong).getOrElse(4096L)
+    val docs = Tables.documents(spark, dir)
+      .selectExpr("doc_id", "n_chars", s"doc_id div $bucketDocs AS bucket")
+
+    // level 2: superbucket exclusive offsets from a tiny driver scan
+    val sbTotals = docs
+      .selectExpr(s"bucket div $superFactor AS sb", "n_chars")
+      .groupBy($"sb").agg(sum($"n_chars").as("stotal"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    var acc = 0L
+    val sbOff = sbTotals.map { case (sb, tot) =>
+      val off = acc; acc += tot; (sb, off)
+    }.toSeq
+    val sbOffDf = spark.createDataFrame(sbOff).toDF("sb", "sb_off")
+
+    // level 1: bucket offsets, windowed within the superbucket only
+    val wInSb = org.apache.spark.sql.expressions.Window
+      .partitionBy($"sb").orderBy($"bucket").rowsBetween(Long.MinValue, -1)
+    val bucketOffs = docs.groupBy($"bucket").agg(sum($"n_chars").as("btotal"))
+      .withColumn("sb", expr(s"bucket div $superFactor"))
+      .withColumn("in_sb", coalesce(sum($"btotal").over(wInSb), lit(0L)))
+      .join(broadcast(sbOffDf), Seq("sb"))
+      .select($"bucket", ($"in_sb" + $"sb_off").as("bucket_off"))
+
+    // level 0: per-doc offsets, windowed within the bucket only
+    val wLocal = org.apache.spark.sql.expressions.Window
+      .partitionBy($"bucket").orderBy($"doc_id").rowsBetween(Long.MinValue, -1)
+    docs
+      .withColumn("local_off", coalesce(sum($"n_chars").over(wLocal), lit(0L)))
+      .join(bucketOffs, Seq("bucket"))
       .selectExpr("doc_id", "n_chars",
-        "CAST(floor(CAST(offset AS DOUBLE) / 4000.0) AS BIGINT) AS bin")
+        "CAST(floor(CAST(local_off + bucket_off AS DOUBLE) / 4000.0) AS BIGINT) AS bin")
       .groupBy($"bin")
       .agg(count(lit(1)).as("n_docs"), sum($"n_chars").as("chars"))
       .transform(graft.Tables.ordered(_, $"bin"))

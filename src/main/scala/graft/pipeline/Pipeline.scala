@@ -115,7 +115,9 @@ object ChunkedSink {
       def attempt(id: String, chunk: Seq[T], depth: Int): Unit =
         try Retry.retry(tries, delayMs = 5)(writer(pid, id, chunk))
         catch {
-          case _: Throwable if depth < splits && chunk.size > 1 =>
+          // NonFatal: interrupts / fatal JVM errors (OOM, task kill)
+          // must propagate, not reroute into the split path
+          case scala.util.control.NonFatal(_) if depth < splits && chunk.size > 1 =>
             val (a, b) = chunk.splitAt(chunk.size / 2)
             attempt(id + ".0", a, depth + 1)
             attempt(id + ".1", b, depth + 1)

@@ -27,6 +27,7 @@ object W4hJob {
     val last = status.fetch().get("latestSuccessfulUpdateSource")
     if (last.contains(sourceVersion)) return Summary("already-current")
     if (!status.tryAcquireUpdateLock()) return Summary("locked")
+    var cached: DataFrame = null
     try {
       import spark.implicits._
       val timer = new Timer
@@ -58,6 +59,7 @@ object W4hJob {
             .filter($"aoff" >= cutoff)
       }
       merged.cache()
+      cached = merged
       val mergedRows = merged.count()
       timer.log("calculated + merged forecasts")
 
@@ -111,11 +113,17 @@ object W4hJob {
       // ---- persist + bookkeeping (main.py:326-336)
       store.save(merged, sourceVersion)
       status.set("latestSuccessfulUpdateSource", sourceVersion)
-      merged.unpersist()
       Summary("completed", mergedRows, uploadedDocs, chartDays)
     } catch {
-      // the reference texts the admin then re-raises (utils.py:15-30)
-      case e: Throwable => Alert.fail(s"ETL: update $sourceVersion failed: ${e.getMessage}", e)
-    } finally status.releaseUpdateLock()
+      // the reference texts the admin then re-raises (utils.py:15-30).
+      // NonFatal only: interrupts / fatal JVM errors propagate as-is.
+      case scala.util.control.NonFatal(e) =>
+        Alert.fail(s"ETL: update $sourceVersion failed: ${e.getMessage}", e)
+    } finally {
+      // release the cache on BOTH paths — a failed run must not leak
+      // the cached merge until session end
+      if (cached != null) cached.unpersist()
+      status.releaseUpdateLock()
+    }
   }
 }

@@ -463,8 +463,8 @@ object Relational {
 
   /** q22: explicit GROUPING SETS with grouping() markers — the
     * arbitrary-set member of the ROLLUP(q8)/CUBE(q15) family: three
-    * hand-picked sets including a non-prefix one ((status), not a
-    * rollup prefix), disambiguated by grouping flags. Declared in
+    * hand-picked sets including a non-prefix one ((o_orderpriority),
+    * not a rollup prefix), disambiguated by grouping flags. Declared in
     * `spark.sql` (the SQL surface is part of the engine contract);
     * Spark expands to one Expand + hash aggregate — a single shuffle.
     */

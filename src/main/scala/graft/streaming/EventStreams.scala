@@ -29,19 +29,15 @@ object EventStreams {
     * `graft.streaming.statePartitions` to match the key cardinality /
     * executor count; it only bounds state commits, not source reads.
     */
-  private val streamSessions =
-    new java.util.concurrent.ConcurrentHashMap[SparkSession, SparkSession]()
   private def streamSession(spark: SparkSession): SparkSession =
-    streamSessions.computeIfAbsent(spark, s => {
-      val ns = s.newSession()
-      val parts = s.conf.getOption("graft.streaming.statePartitions").getOrElse("8")
+    graft.ChildSessions.of(spark, "streaming") { ns =>
+      val parts = spark.conf.getOption("graft.streaming.statePartitions").getOrElse("8")
       ns.conf.set("spark.sql.shuffle.partitions", parts)
       // the HDFS-backed provider stays the default here: measured 3.0s
       // vs 5.6s (RocksDB) for the single-batch interval join — RocksDB
       // pays per-batch snapshot/changelog costs that only amortize on
       // long-running queries with large state
-      ns
-    })
+    }
 
   private def streamingEvents(spark0: SparkSession, dir: String): DataFrame = {
     val spark = streamSession(spark0)
@@ -272,17 +268,13 @@ object EventStreams {
 
   // transformWithState requires the RocksDB state store; a dedicated
   // child session keeps that provider choice off the other queries
-  private val rocksSessions =
-    new java.util.concurrent.ConcurrentHashMap[SparkSession, SparkSession]()
   private def rocksSession(spark: SparkSession): SparkSession =
-    rocksSessions.computeIfAbsent(spark, s => {
-      val ns = streamSession(s).newSession()
-      ns.conf.set("spark.sql.shuffle.partitions",
-        streamSession(s).conf.get("spark.sql.shuffle.partitions"))
+    graft.ChildSessions.of(spark, "streaming-rocksdb") { ns =>
+      val parts = spark.conf.getOption("graft.streaming.statePartitions").getOrElse("8")
+      ns.conf.set("spark.sql.shuffle.partitions", parts)
       ns.conf.set("spark.sql.streaming.stateStore.providerClass",
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-      ns
-    })
+    }
 
   /** s6: one micro-batch over the testdata => record-breaking events
     * equal the batch prefix-max scan.

@@ -116,6 +116,31 @@ class DedupKnnSpec extends AnyFunSuite {
     assert(one.getAs[Long]("fingerprint") == expected)
   }
 
+  test("t9: three-level distributed prefix sum == the sequential fold") {
+    // shrink the bucket widths so 500 docs exercise all three levels
+    // (multiple buckets per superbucket, multiple superbuckets)
+    spark.conf.set("graft.pack.bucketDocs", "64")
+    spark.conf.set("graft.pack.superFactor", "4")
+    try {
+      val got = TextStats.t9(spark, sf).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+      val docs = Tables.documents(spark, sf)
+        .select($"doc_id", $"n_chars").as[(Long, Long)]
+        .collect().sortBy(_._1)
+      var off = 0L
+      val binned = docs.map { case (_, nc) =>
+        val b = math.floor(off / 4000.0).toLong; off += nc; (b, nc)
+      }
+      val expected = binned.groupBy(_._1).toSeq
+        .map { case (b, xs) => (b, xs.length.toLong, xs.map(_._2).sum) }
+        .sortBy(_._1)
+      assert(got == expected)
+    } finally {
+      spark.conf.unset("graft.pack.bucketDocs")
+      spark.conf.unset("graft.pack.superFactor")
+    }
+  }
+
   test("t1/t2/t3 shapes") {
     assert(TextStats.t1(spark, sf).filter($"n_ws_tokens" <= 0).count() == 0)
     val q = TextStats.t2(spark, sf).agg(min($"quality"), max($"quality")).head()

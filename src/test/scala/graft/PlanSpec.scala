@@ -79,6 +79,27 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("t9: packing prefix sum has no single-partition window exchange") {
+    // tiny widths force the multi-bucket path even on small testdata
+    spark.conf.set("graft.pack.bucketDocs", "64")
+    spark.conf.set("graft.pack.superFactor", "4")
+    try {
+      val p = plan(graft.operators.TextStats.t9(spark, sf))
+      assert(p.contains("Window"), "expected the bounded windows in the plan")
+      // the only allowed single-partition exchange is the explicit
+      // presentation repartition(1) of the ~5-row bin summary
+      // (REPARTITION_BY_NUM); a window that forced one would appear
+      // as ENSURE_REQUIREMENTS
+      val offending = p.linesIterator.filter(_.contains("SinglePartition"))
+        .filterNot(_.contains("REPARTITION_BY_NUM")).toSeq
+      assert(offending.isEmpty,
+        s"prefix sum must never collapse to one partition: $offending\n$p")
+    } finally {
+      spark.conf.unset("graft.pack.bucketDocs")
+      spark.conf.unset("graft.pack.superFactor")
+    }
+  }
+
   test("q12: range join plans as an equality hash join, not nested-loop") {
     val p = plan(graft.operators.AsOf.rangeJoin(spark, sf))
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"))
