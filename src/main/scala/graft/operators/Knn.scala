@@ -105,14 +105,17 @@ object Knn {
   private val bitsPerTable = 6
   private[operators] val dim = 64
 
-  /** Deterministic pseudo-random hyperplanes (no RNG: fixed sine mix). */
-  private def planes: Seq[Seq[Double]] =
-    (0 until nTables * bitsPerTable).map { j =>
-      (0 until dim).map { i =>
-        val x = math.sin(j * 131.7 + i * 17.3) * 43758.5453
-        x - math.floor(x) - 0.5
-      }
+  /** Deterministic pseudo-random hyperplane row j (no RNG: fixed sine
+    * mix) — shared with Dedup.d8, which draws from a disjoint j range.
+    */
+  private[operators] def planeRow(j: Int): Seq[Double] =
+    (0 until dim).map { i =>
+      val x = math.sin(j * 131.7 + i * 17.3) * 43758.5453
+      x - math.floor(x) - 0.5
     }
+
+  private def planes: Seq[Seq[Double]] =
+    (0 until nTables * bitsPerTable).map(planeRow)
 
   def v2(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._

@@ -116,6 +116,19 @@ class DedupKnnSpec extends AnyFunSuite {
     assert(one.getAs[Long]("fingerprint") == expected)
   }
 
+  test("d8: bucketed near-dup is a subset of d5 with recall >= 0.8") {
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select($"id_a", $"id_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val all = pairs(Dedup.d5(spark, sf))
+    val got = pairs(Dedup.d8(spark, sf))
+    // precision 1.0: every emitted pair passed the exact verify
+    assert(got.subsetOf(all))
+    val recall = got.size.toDouble / all.size
+    // deterministic planes + data => a fixed measured 0.856 here
+    assert(recall >= 0.8, s"recall $recall (${got.size}/${all.size})")
+  }
+
   test("t9: three-level distributed prefix sum == the sequential fold") {
     // shrink the bucket widths so 500 docs exercise all three levels
     // (multiple buckets per superbucket, multiple superbuckets)
