@@ -233,7 +233,10 @@ object Weather {
   private val w12Keep =
     s"${q("sin(radians(lat) * 3.0 + radians(lon) + CAST(day AS DOUBLE))")} > -0.5"
 
-  def w12(spark: SparkSession, dir: String): DataFrame = {
+  /** Shared w12/w18 core: hour-angle-shifted per-cell daily extremes
+    * over the dense synthetic series, complete (24h) local days only.
+    */
+  private def w12Daily(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val cells = chain(spark, dir, 1).select($"lat", $"lon").distinct()
     val days = Tables.customer(spark, dir)
@@ -249,10 +252,15 @@ object Weather {
       .agg(count(lit(1)).as("n"), max($"t").as("hi"), min($"t").as("lo"))
       .filter($"n" === 24)
       .select($"lat", $"lon", $"lday", $"hi", $"lo")
-      .transform(Tables.ordered(_, $"lat", $"lon", $"lday"))
   }
 
-  val w12Sql: String =
+  def w12(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    w12Daily(spark, dir).transform(Tables.ordered(_, $"lat", $"lon", $"lday"))
+  }
+
+  /** Shared CTE prefix for the w12/w18 oracles (through `daily`). */
+  private val w12SqlDaily: String =
     s"""WITH g AS (${ThermalChain.sql(1)}),
       |cells AS (SELECT DISTINCT lat, lon FROM g),
       |days AS (SELECT DISTINCT c_custkey % 30 AS day FROM customer),
@@ -267,11 +275,16 @@ object Weather {
       |shifted AS (
       |  SELECT lat, lon, t,
       |    CAST(floor((CAST(day * 24 + h AS DOUBLE) + CAST(uha AS DOUBLE)) / 24.0) AS BIGINT) AS lday
-      |  FROM dense)
-      |SELECT lat, lon, lday, max(t) AS hi, min(t) AS lo
-      |FROM shifted
-      |GROUP BY 1, 2, 3
-      |HAVING count(*) = 24
+      |  FROM dense),
+      |daily AS (
+      |  SELECT lat, lon, lday, max(t) AS hi, min(t) AS lo
+      |  FROM shifted
+      |  GROUP BY 1, 2, 3
+      |  HAVING count(*) = 24)""".stripMargin
+
+  val w12Sql: String =
+    s"""$w12SqlDaily
+      |SELECT lat, lon, lday, hi, lo FROM daily
       |ORDER BY 1, 2, 3""".stripMargin
 
   // ---------- w13: per-cell forecast document assembly (main.py:286-304) ----------
@@ -298,11 +311,14 @@ object Weather {
 
   // ---------- w14: UTCI contour-band classification (main.py:369-416) ----------
 
-  private val bandExpr =
-    """CASE WHEN hi < -40.0 THEN 0 WHEN hi < -27.0 THEN 1 WHEN hi < -13.0 THEN 2
-      | WHEN hi < 0.0 THEN 3 WHEN hi < 9.0 THEN 4 WHEN hi < 26.0 THEN 5
-      | WHEN hi < 32.0 THEN 6 WHEN hi < 38.0 THEN 7 WHEN hi < 46.0 THEN 8
+  /** The 10 chart bands (main.py:378-390 `divisions`) over value v. */
+  private def bandOf(v: String) =
+    s"""CASE WHEN $v < -40.0 THEN 0 WHEN $v < -27.0 THEN 1 WHEN $v < -13.0 THEN 2
+      | WHEN $v < 0.0 THEN 3 WHEN $v < 9.0 THEN 4 WHEN $v < 26.0 THEN 5
+      | WHEN $v < 32.0 THEN 6 WHEN $v < 38.0 THEN 7 WHEN $v < 46.0 THEN 8
       | ELSE 9 END""".stripMargin.replace("\n", "")
+
+  private val bandExpr = bandOf("hi")
 
   def w14(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -323,6 +339,47 @@ object Weather {
       |FROM d
       |GROUP BY 1, 2
       |ORDER BY 1, 2""".stripMargin
+
+  // ---------- w18: per-cell banded chart raster (main.py:341-443) ----------
+  // The exact contourf input the reference renders: hour-angle-shifted
+  // complete local days, each cell's highs and lows classified into
+  // the 10 UTCI bands, in the chart's 0..360-longitude convention
+  // (glon = lon - min(lon), so the grid starts at 0 like the GFS
+  // grid) with the cyclic wrap: the glon=0 column is duplicated at
+  // glon=360 so a global contour closes (main.py:345-349). PNG
+  // emission itself is raster-library territory (not in this
+  // sandbox); this DataFrame IS the pixel-independent chart content,
+  // one row per (cell, day, vertex). Scale shape: w12's one shuffle
+  // on (cell, lday) + narrow maps; the wrap is a filter+union of one
+  // longitude column, not a second pass.
+
+  def w18(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val banded = w12Daily(spark, dir)
+      .selectExpr("lat", "lon", "lday",
+        "stack(2, 'highs', hi, 'lows', lo) AS (vertex, t)")
+      .selectExpr("lat", "lon + 177.5 AS glon", "lday", "vertex",
+        s"(${bandOf("(t - 273.15)")}) AS band")
+    banded
+      .unionByName(banded.filter($"glon" === 0.0)
+        .withColumn("glon", lit(360.0)))
+      .transform(Tables.ordered(_, $"lat", $"glon", $"lday", $"vertex"))
+  }
+
+  val w18Sql: String =
+    s"""$w12SqlDaily,
+      |v AS (
+      |  SELECT lat, lon, lday, 'highs' AS vertex, hi AS t FROM daily
+      |  UNION ALL
+      |  SELECT lat, lon, lday, 'lows' AS vertex, lo AS t FROM daily),
+      |b AS (
+      |  SELECT lat, lon + 177.5 AS glon, lday, vertex,
+      |    (${bandOf("(t - 273.15)")}) AS band
+      |  FROM v)
+      |SELECT lat, glon, lday, vertex, band FROM b
+      |UNION ALL
+      |SELECT lat, 360.0 AS glon, lday, vertex, band FROM b WHERE glon = 0.0
+      |ORDER BY 1, 2, 3, 4""".stripMargin
 
   // ---------- w17: NWS heat index + wind chill ----------
   // Public formulas beyond the reference's UTCI/WBGT pair: the

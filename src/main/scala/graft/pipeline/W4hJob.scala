@@ -21,8 +21,60 @@ object W4hJob {
   case class Summary(outcome: String, mergedRows: Long = 0,
       uploadedDocs: Long = 0, chartDays: Long = 0)
 
+  /** The reference's wall-clock anchors (main.py:219-243) mapped onto
+    * the job's hour-offset axis (`aoff`): given "now" and the new
+    * forecast's first hour, the earliest data any consumer still
+    * needs, and the earliest local day the chart catalog may retain.
+    */
+  private[graft] case class TimeAnchors(cutoff: Long, earliestChartDay: Long)
+  private[graft] def anchors(nowHour: Long, minNewAoff: Long): TimeAnchors = {
+    // start of the local day within 25h of now (main.py:239-241)
+    val earliestForecast = math.floorDiv(nowHour - 25, 24) * 24
+    // earliest chart day updatable with new data, minus the 12h the
+    // hour-angle shift can pull forward (main.py:221, 234-237)
+    val earliestChartData = math.floorDiv(minNewAoff, 24) * 24 - 12
+    // earliest utc-labeled "yesterday" for chart retention
+    // (main.py:225-233): floor_day(now - 11h) - 1d, in day units
+    TimeAnchors(
+      cutoff = math.min(earliestForecast, earliestChartData),
+      earliestChartDay = math.floorDiv(nowHour - 11, 24) - 1)
+  }
+
+  /** combine_first of the fresh grid over the previous run, with the
+    * cutoff applied to the PREVIOUS side before the join — the
+    * reference slices only the old file (main.py:246-250), and the
+    * pre-join filter reaches the previous version's parquet scan as a
+    * pushed predicate (asserted in spec) so the old side shrinks
+    * before it shuffles.
+    */
+  private[graft] def mergeWithCutoff(grid: DataFrame,
+      prev: Option[DataFrame], cutoff: Long): DataFrame = {
+    import grid.sparkSession.implicits._
+    prev match {
+      case None => grid
+      case Some(p0) =>
+        val f = grid.select($"lat", $"lon", $"aoff",
+          $"tmp2m".as("__f_t"), $"utci_c".as("__f_u"),
+          $"wbgt_c".as("__f_w"), $"encoded".as("__f_e"))
+        val p = p0.filter($"aoff" >= cutoff)
+          .select($"lat", $"lon", $"aoff",
+            $"tmp2m".as("__p_t"), $"utci_c".as("__p_u"),
+            $"wbgt_c".as("__p_w"), $"encoded".as("__p_e"))
+        f.join(p, Seq("lat", "lon", "aoff"), "full_outer")
+          .select($"lat", $"lon", $"aoff",
+            coalesce($"__f_t", $"__p_t").as("tmp2m"),
+            coalesce($"__f_u", $"__p_u").as("utci_c"),
+            coalesce($"__f_w", $"__p_w").as("wbgt_c"),
+            coalesce($"__f_e", $"__p_e").as("encoded"))
+    }
+  }
+
+  /** `nowHour` anchors the run on the aoff axis (the reference uses
+    * `pd.Timestamp.utcnow()`); -1 derives it from the new forecast's
+    * first hour + 1 — "the run happens as the new forecast lands".
+    */
   def run(spark: SparkSession, dir: String, workRoot: String,
-      sourceVersion: String): Summary = {
+      sourceVersion: String, nowHour: Long = -1L): Summary = {
     val status = new StatusStore(workRoot)
     val last = status.fetch().get("latestSuccessfulUpdateSource")
     if (last.contains(sourceVersion)) return Summary("already-current")
@@ -38,26 +90,12 @@ object W4hJob {
         .agg(max($"tmp2m").as("tmp2m"), max($"utci_c").as("utci_c"),
           max($"wbgt_c").as("wbgt_c"), max($"encoded").as("encoded"))
 
-      // ---- merge over the previous run, clip the stale head (main.py:245-250)
+      // ---- time anchors + merge over the previous run (main.py:219-250)
+      val minNewAoff = grid.agg(min($"aoff")).head().getLong(0)
+      val now = if (nowHour >= 0) nowHour else minNewAoff + 1
+      val t = anchors(now, minNewAoff)
       val store = new ForecastStore(s"$workRoot/forecasts")
-      val cutoff = 0L
-      val merged = store.load(spark) match {
-        case None => grid
-        case Some(prev) =>
-          val f = grid.select($"lat", $"lon", $"aoff",
-            $"tmp2m".as("__f_t"), $"utci_c".as("__f_u"),
-            $"wbgt_c".as("__f_w"), $"encoded".as("__f_e"))
-          val p = prev.select($"lat", $"lon", $"aoff",
-            $"tmp2m".as("__p_t"), $"utci_c".as("__p_u"),
-            $"wbgt_c".as("__p_w"), $"encoded".as("__p_e"))
-          f.join(p, Seq("lat", "lon", "aoff"), "full_outer")
-            .select($"lat", $"lon", $"aoff",
-              coalesce($"__f_t", $"__p_t").as("tmp2m"),
-              coalesce($"__f_u", $"__p_u").as("utci_c"),
-              coalesce($"__f_w", $"__p_w").as("wbgt_c"),
-              coalesce($"__f_e", $"__p_e").as("encoded"))
-            .filter($"aoff" >= cutoff)
-      }
+      val merged = mergeWithCutoff(grid, store.load(spark), t.cutoff)
       merged.cache()
       cached = merged
       val mergedRows = merged.count()
@@ -104,16 +142,23 @@ object W4hJob {
         .agg(max($"utci_c").as("hi"), min($"utci_c").as("lo"))
       charts.write.mode("overwrite")
         .parquet(s"$workRoot/charts/$sourceVersion")
-      val chartDays = charts.select($"lday").distinct().count()
-      (0L until math.min(chartDays, 5)).foreach { d =>
-        status.set(s"globalCharts.$d", sourceVersion)
-      }
+      val chartDays = charts.select($"lday").distinct()
+        .as[Long].collect().sorted
+      chartDays.filter(_ >= t.earliestChartDay)
+        .foreach(d => status.set(s"globalCharts.$d", sourceVersion))
+      // prune catalog entries older than the earliest retained day
+      // (main.py:352-359: the reference deletes globalCharts.<date>
+      // keys before earliest_global_chart_date)
+      status.fetch().keys
+        .filter(_.startsWith("globalCharts."))
+        .filter(_.stripPrefix("globalCharts.").toLong < t.earliestChartDay)
+        .foreach(status.unset)
       timer.log("chart data written")
 
       // ---- persist + bookkeeping (main.py:326-336)
       store.save(merged, sourceVersion)
       status.set("latestSuccessfulUpdateSource", sourceVersion)
-      Summary("completed", mergedRows, uploadedDocs, chartDays)
+      Summary("completed", mergedRows, uploadedDocs, chartDays.length)
     } catch {
       // the reference texts the admin then re-raises (utils.py:15-30).
       // NonFatal only: interrupts / fatal JVM errors propagate as-is.
