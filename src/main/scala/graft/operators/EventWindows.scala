@@ -206,23 +206,41 @@ object EventWindows {
 
   /** e8: EWMA over each user's time-ordered values — a RECURSIVE
     * per-key scan (s' = αx + (1-α)s), which no window frame can
-    * express. Runs as a typed mapGroups fold (JIT; one shuffle on the
-    * key); the fold order is pinned by (ts, event_id), so the float
+    * express. Secondary-sort shape: ONE hash shuffle on the key, the
+    * shuffle's own sort machinery orders (user, ts, event_id) within
+    * partitions, and a streaming mapPartitions folds each contiguous
+    * user run with O(1) state — no per-key array, so a hot key with
+    * an unbounded history spills in the sort instead of OOMing the
+    * fold (the earlier mapGroups formulation materialized
+    * `it.toArray` per user). The fold order is pinned, so the float
     * recursion is sequential and identical in both engines — the
-    * oracle folds the same ordered list with `list_reduce`.
+    * oracle folds the same ordered list with `list_reduce`. The
+    * streaming surface runs the same recursion incrementally
+    * (EventStreams.EwmaProcessor, s7) with one ValueState per user.
     */
   def ewma(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     Tables.events(spark, dir)
       .select($"user_id", $"event_id", unix_micros($"ts").as("tus"), $"value")
+      .repartition($"user_id")
+      .sortWithinPartitions($"user_id", $"tus", $"event_id")
       .as[(Long, Long, Long, Double)]
-      .groupByKey(_._1)
-      .mapGroups { (uid, it) =>
-        val sorted = it.toArray.sortBy(e => (e._3, e._2))
-        var s = sorted.head._4
-        var i = 1
-        while (i < sorted.length) { s = 0.1 * sorted(i)._4 + 0.9 * s; i += 1 }
-        (uid, sorted.length.toLong, math.floor(s * 1e6 + 0.5) / 1e6)
+      .mapPartitions { it =>
+        val b = it.buffered
+        new Iterator[(Long, Long, Double)] {
+          def hasNext: Boolean = b.hasNext
+          def next(): (Long, Long, Double) = {
+            val uid = b.head._1
+            var n = 0L
+            var s = 0.0
+            while (b.hasNext && b.head._1 == uid) {
+              val e = b.next()
+              s = if (n == 0) e._4 else 0.1 * e._4 + 0.9 * s
+              n += 1
+            }
+            (uid, n, math.floor(s * 1e6 + 0.5) / 1e6)
+          }
+        }
       }
       .toDF("user_id", "n_events", "ewma")
       .orderBy($"user_id")

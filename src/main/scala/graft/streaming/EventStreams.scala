@@ -266,6 +266,62 @@ object EventStreams {
         org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Append())
   }
 
+  case class EwmaSt(n: Long, s: Double)
+  case class EwmaOut(user_id: Long, n_events: Long, ewma: Double)
+
+  /** Per-user incremental EWMA: the streaming shape of e8's recursive
+    * scan. State is ONE (count, accumulator) pair per user — O(1)
+    * regardless of history length, which removes e8's "full per-key
+    * history in one task" caveat for unbounded streams: each batch
+    * folds only its own rows (time-ordered within the batch) on top
+    * of the carried accumulator, so a hot key never materializes its
+    * past. Emits the running EWMA after each batch; the accumulator
+    * stays unquantized (quantization is emit-only, exactly like e8),
+    * so a single batch reproduces e8's oracle bitwise and multi-batch
+    * replay is the identical sequential recursion in pieces.
+    */
+  class EwmaProcessor extends org.apache.spark.sql.streaming.StatefulProcessor[Long, RecEv, EwmaOut] {
+    @transient private var st: org.apache.spark.sql.streaming.ValueState[EwmaSt] = _
+
+    override def init(outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      st = getHandle.getValueState[EwmaSt]("ewma",
+        org.apache.spark.sql.Encoders.product[EwmaSt],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[RecEv],
+        tv: org.apache.spark.sql.streaming.TimerValues): Iterator[EwmaOut] = {
+      val sorted = rows.toArray.sortBy(e => (e.tus, e.event_id))
+      var (n, s) = if (st.exists()) { val v = st.get(); (v.n, v.s) } else (0L, 0.0)
+      sorted.foreach { e =>
+        s = if (n == 0) e.value else 0.1 * e.value + 0.9 * s
+        n += 1
+      }
+      st.update(EwmaSt(n, s))
+      Iterator.single(EwmaOut(key, n, math.floor(s * 1e6 + 0.5) / 1e6))
+    }
+  }
+
+  def ewmaStream(events: Dataset[RecEv]): Dataset[EwmaOut] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .transformWithState(new EwmaProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Append())
+  }
+
+  /** s7: one micro-batch over the testdata == the batch e8 fold. */
+  def s7(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val rs = rocksSession(spark)
+    rs.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = rs.read.parquet(s"$dir/events.parquet").schema
+    val src = rs.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet").parquet(dir)
+      .selectExpr("user_id", "event_id", "ts div 1000 AS tus", "value").as[RecEv]
+    runToTable(rs, ewmaStream(src).toDF(), OutputMode.Append())
+      .orderBy($"user_id")
+  }
+
   // transformWithState requires the RocksDB state store; a dedicated
   // child session keeps that provider choice off the other queries
   private def rocksSession(spark: SparkSession): SparkSession =

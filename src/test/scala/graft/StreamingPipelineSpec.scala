@@ -120,6 +120,32 @@ class StreamingPipelineSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("s7 incremental EWMA across batches equals the one-shot fold") {
+    import EventStreams.RecEv
+    val ns = spark.newSession()
+    ns.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    implicit val sqlCtx = ns.sqlContext
+    import ns.implicits._
+    val mem = MemoryStream[RecEv]
+    val name = "s7_state_test"
+    val q = EventStreams.ewmaStream(mem.toDS()).toDF()
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName(name).start()
+    try {
+      // batches split the history in time order; the carried
+      // accumulator continues the same sequential recursion
+      mem.addData(RecEv(1, 1, 100, 10.0), RecEv(1, 2, 200, 20.0))
+      q.processAllAvailable()
+      mem.addData(RecEv(1, 3, 300, 30.0))
+      q.processAllAvailable()
+      val rows = ns.table(name)
+        .select($"n_events", $"ewma").as[(Long, Double)].collect().toSet
+      // one-shot: s = 10 -> 0.1*20+0.9*10 = 11 -> 0.1*30+0.9*11 = 12.9
+      assert(rows == Set((2L, 11.0), (3L, 12.9)))
+    } finally q.stop()
+  }
+
   test("foreachBatch chunked file sink writes every event exactly once") {
     import spark.implicits._
     val out = java.nio.file.Files.createTempDirectory("graft_fsink").toString
