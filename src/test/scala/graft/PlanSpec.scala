@@ -100,6 +100,46 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("grid written clustered by cell: w12/w13-shaped agg+join needs zero exchanges") {
+    import org.apache.spark.sql.functions._
+    // SURVEY §9 row 1: write the thermal grid hive-partitioned by
+    // (lat-band, day) and bucketed by the grid cell so every
+    // downstream per-cell operator starts pre-clustered. The whole
+    // agg + join pipeline below then plans with NO exchange at all:
+    // the bucketed scan supplies the cell hash distribution to the
+    // w13-shaped aggregate, which passes it through to the w12-shaped
+    // join back. The bucket keys are INTEGRAL (half-degree indices),
+    // not the double lat/lon: join keys on doubles get wrapped in
+    // normalizenanandzero, whose distribution a bucketed scan cannot
+    // provide — float bucket columns silently re-shuffle (§8.16).
+    val bcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      graft.functions.ThermalChain.df(spark, sf, graft.functions.ThermalChain.full)
+        .selectExpr("CAST(lat * 2 AS BIGINT) AS lat_k",
+          "CAST(lon * 2 AS BIGINT) AS lon_k", "aoff", "utci_c",
+          "CAST(floor(lat / 20.0) AS INT) AS lat_band",
+          "CAST(floor(CAST(aoff AS DOUBLE) / 24.0) AS BIGINT) AS day")
+        .write.mode("overwrite")
+        .partitionBy("lat_band", "day")
+        .bucketBy(8, "lat_k", "lon_k").sortBy("lat_k", "lon_k")
+        .saveAsTable("grid_b")
+      val t = spark.table("grid_b")
+      val perCell = t.groupBy(col("lat_k"), col("lon_k"))
+        .agg(max(col("utci_c")).as("hi"), count(lit(1)).as("n"))
+      val j = t.join(perCell, Seq("lat_k", "lon_k"))
+        .groupBy(col("lat_k"), col("lon_k"))
+        .agg(max(col("hi") - col("utci_c")).as("spread"))
+      val p = plan(j).split("== Initial Plan ==")(0)
+      val shuffles = "ShuffleQueryStage".r.findAllIn(p).length +
+        "Exchange hashpartitioning".r.findAllIn(p).length
+      assert(shuffles == 0, s"pre-clustered grid pipeline must not shuffle:\n$p")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", bcast)
+      spark.sql("DROP TABLE IF EXISTS grid_b")
+    }
+  }
+
   test("q12: range join plans as an equality hash join, not nested-loop") {
     val p = plan(graft.operators.AsOf.rangeJoin(spark, sf))
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"))
