@@ -31,12 +31,19 @@ object EventStreams {
     */
   private def streamSession(spark: SparkSession): SparkSession =
     graft.ChildSessions.of(spark, "streaming") { ns =>
-      val parts = spark.conf.getOption("graft.streaming.statePartitions").getOrElse("8")
+      val parts = spark.conf.getOption("graft.streaming.statePartitions")
+        .orElse(sys.env.get("SPARK_GRAFT_STATE_PARTS")).getOrElse("8")
       ns.conf.set("spark.sql.shuffle.partitions", parts)
       // the HDFS-backed provider stays the default here: measured 3.0s
       // vs 5.6s (RocksDB) for the single-batch interval join — RocksDB
       // pays per-batch snapshot/changelog costs that only amortize on
-      // long-running queries with large state
+      // long-running queries with large state.
+      // skip the trailing no-data micro-batch: it exists only to
+      // advance the watermark/evict state, but commits EVERY state
+      // store partition again (4 stores x parts for the interval
+      // join) — all contract queries emit their rows in the data
+      // batch, so the extra commit round buys nothing here
+      ns.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
     }
 
   private def streamingEvents(spark0: SparkSession, dir: String): DataFrame = {
@@ -326,10 +333,12 @@ object EventStreams {
   // child session keeps that provider choice off the other queries
   private def rocksSession(spark: SparkSession): SparkSession =
     graft.ChildSessions.of(spark, "streaming-rocksdb") { ns =>
-      val parts = spark.conf.getOption("graft.streaming.statePartitions").getOrElse("8")
+      val parts = spark.conf.getOption("graft.streaming.statePartitions")
+        .orElse(sys.env.get("SPARK_GRAFT_STATE_PARTS")).getOrElse("8")
       ns.conf.set("spark.sql.shuffle.partitions", parts)
       ns.conf.set("spark.sql.streaming.stateStore.providerClass",
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      ns.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
     }
 
   /** s6: one micro-batch over the testdata => record-breaking events
