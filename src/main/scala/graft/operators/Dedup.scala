@@ -473,6 +473,73 @@ object Dedup {
       .orderBy($"id_a", $"id_b")
   }
 
+  // ---------- d9: semantic (cluster-representative) dedup ----------
+
+  /** SemDeDup-style semantic dedup pass: assign every corpus vector
+    * to its nearest codebook centroid (broadcast centroids, corpus
+    * streams once — v4's assignment kernel), then per cluster keep
+    * ONE representative — the member most similar to its centroid —
+    * and report survivors/removals per cluster. The corpus-impact
+    * summary of an embedding-space dedup, next to d7's digest-space
+    * one. Scale: one narrow assignment map + one shuffle on cid;
+    * survivor selection is a bounded per-cluster window (TopKAgg
+    * substitutes for giant clusters, the q23 pattern). Deterministic:
+    * quantized cosines, (cos DESC, id) tie-breaks everywhere.
+    */
+  def d9(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = Knn.vectors(spark, dir).select($"vec_id", $"nv")
+    val cents = spark.sparkContext.broadcast(
+      Knn.codebook(e, "vec_id >= 10 AND vec_id < 18"))
+    val assigned = e.filter($"vec_id" >= 10).as[(Long, Array[Double])]
+      .mapPartitions(_.map { case (id, v) =>
+        var best = 0L
+        var bestCos = -2.0
+        cents.value.foreach { case (cid, cv) =>
+          val c = Knn.cosQ(cv, v)
+          if (c > bestCos || (c == bestCos && cid < best)) { best = cid; bestCos = c }
+        }
+        (id, best, bestCos)
+      }).toDF("vec_id", "cid", "cos_sim")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"cid").orderBy($"cos_sim".desc, $"vec_id")
+    assigned.withColumn("rnk", row_number().over(w))
+      .groupBy($"cid")
+      .agg(count(lit(1)).as("n_members"),
+        max(when($"rnk" === 1, $"vec_id")).as("survivor_id"),
+        max(when($"rnk" === 1, $"cos_sim")).as("survivor_cos"),
+        (count(lit(1)) - 1).as("n_removed"))
+      .transform(graft.Tables.ordered(_, $"cid"))
+  }
+
+  /** Oracle: v4Sql's seed-centroid assignment CTEs + the survivor
+    * window; assignment tie-break (cos DESC, cid) mirrors the Scala
+    * scan order exactly as validated for v4.
+    */
+  val d9Sql: String =
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |n AS (SELECT vec_id, v, sqrt(list_inner_product(v, v)) AS nrm FROM e),
+      |m AS (SELECT vec_id, list_transform(v, x -> x / nrm) AS nv FROM n),
+      |corpus AS (SELECT vec_id, nv FROM m WHERE vec_id >= 10),
+      |c0 AS (SELECT vec_id AS cid, nv AS cv FROM m WHERE vec_id >= 10 AND vec_id < 18),
+      |s AS (SELECT corpus.vec_id, c0.cid,
+      |        round(list_inner_product(c0.cv, corpus.nv) * 1e6) / 1e6 AS cos_sim
+      |      FROM corpus CROSS JOIN c0),
+      |a AS (SELECT vec_id, cid, cos_sim FROM (
+      |        SELECT vec_id, cid, cos_sim,
+      |          row_number() OVER (PARTITION BY vec_id ORDER BY cos_sim DESC, cid) AS rnk
+      |        FROM s) WHERE rnk = 1),
+      |r AS (SELECT cid, vec_id, cos_sim,
+      |        row_number() OVER (PARTITION BY cid ORDER BY cos_sim DESC, vec_id) AS rnk
+      |      FROM a)
+      |SELECT cid, count(*) AS n_members,
+      |  max(CASE WHEN rnk = 1 THEN vec_id END) AS survivor_id,
+      |  max(CASE WHEN rnk = 1 THEN cos_sim END) AS survivor_cos,
+      |  count(*) - 1 AS n_removed
+      |FROM r
+      |GROUP BY cid
+      |ORDER BY cid""".stripMargin
+
   /** Full oracle: the 100 hyperplanes are shared literal arrays and
     * the bucket-bit sign test is quantized (v2Sql's pattern), so the
     * candidate set — and therefore the verified pair list — matches

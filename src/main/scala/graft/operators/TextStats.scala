@@ -498,6 +498,54 @@ object TextStats {
       |GROUP BY source
       |ORDER BY source""".stripMargin
 
+  // ---------- t14: per-document top-k TF-IDF terms ----------
+  // The standard keyword/topic profile of a pretraining corpus: term
+  // frequency per doc x inverse document frequency, top 3 terms per
+  // doc. Scale shape: one explode + (doc, term) aggregate; the df
+  // table derives from the SAME aggregate (exchange-reused subtree,
+  // one scan); the corpus size rides in as a 1-row broadcast; the
+  // join back on `term` is a shuffle join at corpus scale (billions
+  // of term types — never collected); top-k per doc is a bounded
+  // window (swap for TopKAgg on giant docs, the q23 substitution).
+  // Determinism: tf/df/n are exact counts; the single transcendental
+  // (ln) is quantized per §8.4, and tf * idf products of identical
+  // doubles are bitwise identical in both engines.
+
+  def t14(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val tf = Tables.documents(spark, dir)
+      .selectExpr("doc_id", "explode(split(lower(trim(text)), '\\\\s+')) AS term")
+      .groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
+    val dfT = tf.groupBy($"term").agg(count(lit(1)).as("df"))
+    val nDf = Tables.documents(spark, dir).agg(count(lit(1)).as("n_docs"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"doc_id").orderBy($"score".desc, $"term")
+    tf.join(dfT, Seq("term"))
+      .crossJoin(broadcast(nDf))
+      .selectExpr("doc_id", "term",
+        "floor(CAST(tf AS DOUBLE) * (floor(ln(CAST(n_docs AS DOUBLE) / CAST(df AS DOUBLE)) * 1e6 + 0.5) / 1e6) * 1e6 + 0.5) / 1e6 AS score")
+      .withColumn("rnk", row_number().over(w))
+      .filter($"rnk" <= 3)
+      .select($"doc_id", $"rnk", $"term", $"score")
+      .transform(graft.Tables.ordered(_, $"doc_id", $"rnk"))
+  }
+
+  val t14Sql: String =
+    """WITH t AS (SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
+      |           FROM documents),
+      |tf AS (SELECT doc_id, term, count(*) AS tf FROM t GROUP BY 1, 2),
+      |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+      |n AS (SELECT count(*) AS n_docs FROM documents),
+      |s AS (SELECT tf.doc_id, tf.term,
+      |        floor(CAST(tf.tf AS DOUBLE) * (floor(ln(CAST(n.n_docs AS DOUBLE) / CAST(df.df AS DOUBLE)) * 1e6 + 0.5) / 1e6) * 1e6 + 0.5) / 1e6 AS score
+      |      FROM tf JOIN df USING (term) CROSS JOIN n),
+      |r AS (SELECT doc_id, term, score,
+      |        CAST(row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS INTEGER) AS rnk
+      |      FROM s)
+      |SELECT doc_id, rnk, term, score FROM r
+      |WHERE rnk <= 3
+      |ORDER BY doc_id, rnk""".stripMargin
+
   val t10Sql: String =
     """WITH w AS (SELECT doc_id, string_split(lower(trim(text)), ' ') AS words FROM documents),
       |g AS (SELECT doc_id, unnest(

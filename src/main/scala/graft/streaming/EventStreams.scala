@@ -316,6 +316,68 @@ object EventStreams {
         org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Append())
   }
 
+  case class TopSt(vs: Array[Double], ids: Array[Long])
+  case class TopOut(user_id: Long, rnk: Int, event_id: Long, value: Double)
+
+  /** Per-user streaming top-k (k=3): the streaming twin of q23's
+    * bounded TopKAgg — state is the CURRENT top-k only (k (value, id)
+    * pairs per user, O(k) however many events arrive), merged with
+    * each batch's rows and re-emitted. The window+rank formulation
+    * would need every event retained; this needs 3. Ties break on
+    * event_id, so selection is deterministic and float-free.
+    */
+  class TopKProcessor extends org.apache.spark.sql.streaming.StatefulProcessor[Long, RecEv, TopOut] {
+    @transient private var st: org.apache.spark.sql.streaming.ValueState[TopSt] = _
+    private val k = 3
+
+    override def init(outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      st = getHandle.getValueState[TopSt]("topk",
+        org.apache.spark.sql.Encoders.product[TopSt],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[RecEv],
+        tv: org.apache.spark.sql.streaming.TimerValues): Iterator[TopOut] = {
+      val carried: Seq[(Double, Long)] =
+        if (st.exists()) { val v = st.get(); v.vs.zip(v.ids).toSeq } else Seq.empty
+      val top = (carried ++ rows.map(e => (e.value, e.event_id)))
+        .sortBy { case (v, id) => (-v, id) }.take(k)
+      st.update(TopSt(top.map(_._1).toArray, top.map(_._2).toArray))
+      top.iterator.zipWithIndex.map { case ((v, id), i) =>
+        TopOut(key, i + 1, id, v)
+      }
+    }
+  }
+
+  def topkStream(events: Dataset[RecEv]): Dataset[TopOut] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .transformWithState(new TopKProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Append())
+  }
+
+  /** s8: one micro-batch over the testdata == the batch window rank. */
+  def s8(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val rs = rocksSession(spark)
+    rs.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = rs.read.parquet(s"$dir/events.parquet").schema
+    val src = rs.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet").parquet(dir)
+      .selectExpr("user_id", "event_id", "ts div 1000 AS tus", "value").as[RecEv]
+    runToTable(rs, topkStream(src).toDF(), OutputMode.Append())
+      .orderBy($"user_id", $"rnk")
+  }
+
+  val s8Sql: String =
+    """WITH r AS (SELECT user_id, event_id, value,
+      |        CAST(row_number() OVER (PARTITION BY user_id
+      |          ORDER BY value DESC, event_id) AS INTEGER) AS rnk
+      |      FROM events)
+      |SELECT user_id, rnk, event_id, value FROM r
+      |WHERE rnk <= 3
+      |ORDER BY user_id, rnk""".stripMargin
+
   /** s7: one micro-batch over the testdata == the batch e8 fold. */
   def s7(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._

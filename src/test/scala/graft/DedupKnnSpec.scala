@@ -154,6 +154,29 @@ class DedupKnnSpec extends AnyFunSuite {
     }
   }
 
+  test("d9: clusters partition the corpus; one survivor per cluster") {
+    val rows = Dedup.d9(spark, sf).collect()
+    val corpus = Tables.embeddings(spark, sf).filter($"vec_id" >= 10).count()
+    assert(rows.map(_.getAs[Long]("n_members")).sum == corpus)
+    assert(rows.map(_.getAs[Long]("survivor_id")).distinct.length == rows.length)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_removed") == r.getAs[Long]("n_members") - 1)
+      val c = r.getAs[Double]("survivor_cos")
+      assert(c >= -1.0 - 1e-9 && c <= 1.0 + 1e-9)
+    }
+  }
+
+  test("t14: exactly top-3 terms per doc, scores non-increasing") {
+    val rows = TextStats.t14(spark, sf).collect()
+    val nDocs = Tables.documents(spark, sf).count()
+    assert(rows.length == 3 * nDocs)
+    rows.groupBy(_.getAs[Long]("doc_id")).foreach { case (_, rs) =>
+      val byRank = rs.sortBy(_.getAs[Int]("rnk")).map(_.getAs[Double]("score"))
+      assert(byRank.length == 3)
+      assert(byRank.sliding(2).forall(p => p(0) >= p(1)))
+    }
+  }
+
   test("t1/t2/t3 shapes") {
     assert(TextStats.t1(spark, sf).filter($"n_ws_tokens" <= 0).count() == 0)
     val q = TextStats.t2(spark, sf).agg(min($"quality"), max($"quality")).head()

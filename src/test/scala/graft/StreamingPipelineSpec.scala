@@ -146,6 +146,36 @@ class StreamingPipelineSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("s8 streaming top-k keeps O(k) state and merges across batches") {
+    import EventStreams.RecEv
+    val ns = spark.newSession()
+    ns.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    implicit val sqlCtx = ns.sqlContext
+    import ns.implicits._
+    val mem = MemoryStream[RecEv]
+    val name = "s8_state_test"
+    val q = EventStreams.topkStream(mem.toDS()).toDF()
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName(name).start()
+    try {
+      mem.addData(RecEv(1, 1, 100, 5.0), RecEv(1, 2, 200, 9.0),
+        RecEv(1, 3, 300, 1.0), RecEv(1, 4, 400, 7.0))
+      q.processAllAvailable()
+      // 8.0 enters the carried top-3 {9,7,5}; 0.5 does not
+      mem.addData(RecEv(1, 5, 500, 8.0), RecEv(1, 6, 600, 0.5))
+      q.processAllAvailable()
+      val rows = ns.table(name).collect()
+        .map(r => (r.getAs[Int]("rnk"), r.getAs[Long]("event_id"),
+          r.getAs[Double]("value"))).toSet
+      // batch-1 emission: {9,7,5}; batch-2 emission after merge: {9,8,7}
+      assert(Set((1, 2L, 9.0), (2, 4L, 7.0), (3, 1L, 5.0)).subsetOf(rows))
+      assert(Set((2, 5L, 8.0), (3, 4L, 7.0)).subsetOf(rows))
+      // 0.5 never entered the state
+      assert(!rows.exists(_._2 == 6L))
+    } finally q.stop()
+  }
+
   test("foreachBatch chunked file sink writes every event exactly once") {
     import spark.implicits._
     val out = java.nio.file.Files.createTempDirectory("graft_fsink").toString
