@@ -169,6 +169,60 @@ object Media {
       })
   }
 
+  /** m4: exact media dedup — the binary-column member of the dedup
+    * family: payloads keyed by FNV-1a checksum (the codegen'd
+    * Catalyst expression), per-format retention report with a
+    * min-id survivor per duplicate group. Seeded duplicates (every
+    * 10th payload re-appears under a shifted id, like d1's seeding)
+    * make the dedup observable on the synthetic corpus. Scale: one
+    * checksum map + one (format, checksum) shuffle — identical shape
+    * to d1 at any corpus size; payload bytes never shuffle twice
+    * (the checksum replaces them as the key).
+    */
+  def m4(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val base = payloads(spark, dir).toDF()
+    val all = base.unionByName(
+      base.filter($"doc_id" % 10 === 0)
+        .withColumn("doc_id", $"doc_id" + 100000L))
+    val keyed = all
+      .select($"doc_id", expr("decode(payload, 'UTF-8')").as("s"))
+      .select($"doc_id", expr("substring(s, 1, 3)").as("format"),
+        graft.functions.Fnv64.fnv64($"s").as("checksum"))
+    keyed.groupBy($"format", $"checksum")
+      .agg(count(lit(1)).as("n"), min($"doc_id").as("survivor"))
+      .groupBy($"format")
+      .agg(count(lit(1)).as("n_distinct"),
+        sum($"n").as("n_payloads"),
+        sum(when($"n" > 1, 1).otherwise(0)).as("n_dup_groups"),
+        sum($"n" - 1).as("n_removed"))
+      .transform(graft.Tables.ordered(_, $"format"))
+  }
+
+  /** m4 oracle: the ASCII payload mirror (m1Sql's `s`) + the FNV
+    * HUGEINT fold as the group key.
+    */
+  val m4Sql: String =
+    s"""WITH p AS (SELECT doc_id,
+      |  (CASE WHEN doc_id % 3 = 0 THEN 'IMG' WHEN doc_id % 3 = 1 THEN 'AUD' ELSE 'VID' END)
+      |    || substr(text, 1, 61) AS s
+      |  FROM documents),
+      |a AS (SELECT doc_id, s FROM p
+      |      UNION ALL
+      |      SELECT doc_id + 100000, s FROM p WHERE doc_id % 10 = 0),
+      |c AS (SELECT doc_id, substr(s, 1, 3) AS format,
+      |        ${graft.functions.Fnv64.duckSigned("s")} AS checksum
+      |      FROM a),
+      |g AS (SELECT format, checksum, count(*) AS n, min(doc_id) AS survivor
+      |      FROM c GROUP BY 1, 2)
+      |SELECT format, count(*) AS n_distinct,
+      |  CAST(sum(n) AS BIGINT) AS n_payloads,
+      |  CAST(sum(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_groups,
+      |  CAST(sum(n - 1) AS BIGINT) AS n_removed
+      |FROM g
+      |GROUP BY format
+      |ORDER BY format""".stripMargin
+
   /** m3: frame sampling — every video payload yields ceil(n/stride)
     * frame records (stride 4 over a fake frame count derived from the
     * payload), each with a per-frame checksum. The explode shape and

@@ -316,6 +316,36 @@ object EventStreams {
         org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Append())
   }
 
+  /** s9: stream-static enrichment join — the live-feed version of the
+    * dimension lookup every event pipeline needs: the stream joins a
+    * BATCH dimension table (re-read each micro-batch, so dimension
+    * updates flow in without restarting the query) and aggregates on
+    * the enriched key. The static side broadcasts — a stream-static
+    * join never keeps join state, unlike stream-stream s4. Same
+    * session discipline as every streaming query (the dim must live
+    * on the streaming child session to join its stream).
+    */
+  def s9(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ss = streamSession(spark)
+    val dim = graft.Tables.nation(ss, dir)
+      .selectExpr("n_nationkey AS k", "n_name")
+    val enriched = streamingEvents(spark, dir)
+      .selectExpr("user_id % 25 AS k", "value")
+      .join(broadcast(dim), Seq("k"))
+      .groupBy($"n_name")
+      .agg(count(lit(1)).as("n"), Stable.dsum($"value", 2).as("sum_value"))
+    runToTable(spark, enriched, OutputMode.Complete())
+      .orderBy(col("n_name"))
+  }
+
+  val s9Sql: String =
+    s"""SELECT n_name, count(*) AS n,
+      |  ${graft.functions.Stable.sumSql("value", 2)} AS sum_value
+      |FROM events JOIN nation ON user_id % 25 = n_nationkey
+      |GROUP BY n_name
+      |ORDER BY n_name""".stripMargin
+
   case class TopSt(vs: Array[Double], ids: Array[Long])
   case class TopOut(user_id: Long, rnk: Int, event_id: Long, value: Double)
 

@@ -177,6 +177,19 @@ class DedupKnnSpec extends AnyFunSuite {
     }
   }
 
+  test("m4: payload dedup reconciles with the seeded duplicates") {
+    val rows = Media.m4(spark, sf).collect()
+    val removed = rows.map(_.getAs[Long]("n_removed")).sum
+    val seeded = Tables.documents(spark, sf).filter($"doc_id" % 10 === 0).count()
+    // every seeded duplicate must be removed; natural prefix
+    // collisions may add more
+    assert(removed >= seeded)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_payloads") - r.getAs[Long]("n_distinct")
+        == r.getAs[Long]("n_removed"))
+    }
+  }
+
   test("t1/t2/t3 shapes") {
     assert(TextStats.t1(spark, sf).filter($"n_ws_tokens" <= 0).count() == 0)
     val q = TextStats.t2(spark, sf).agg(min($"quality"), max($"quality")).head()

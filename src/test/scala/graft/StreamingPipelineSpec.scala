@@ -176,6 +176,13 @@ class StreamingPipelineSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("s9 stream-static enrichment covers every event exactly once") {
+    import spark.implicits._
+    val got = EventStreams.s9(spark, sf).collect()
+    assert(got.length == 25) // one row per nation key
+    assert(got.map(_.getAs[Long]("n")).sum == Tables.events(spark, sf).count())
+  }
+
   test("foreachBatch chunked file sink writes every event exactly once") {
     import spark.implicits._
     val out = java.nio.file.Files.createTempDirectory("graft_fsink").toString
