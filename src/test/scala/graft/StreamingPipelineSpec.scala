@@ -179,7 +179,10 @@ class StreamingPipelineSpec extends AnyFunSuite {
   test("s9 stream-static enrichment covers every event exactly once") {
     import spark.implicits._
     val got = EventStreams.s9(spark, sf).collect()
-    assert(got.length == 25) // one row per nation key
+    // one row per present nation key (sf0.001 has 15 users, sf0.01 all 25)
+    val keys = Tables.events(spark, sf)
+      .selectExpr("user_id % 25 AS k").distinct().count()
+    assert(got.length == keys)
     assert(got.map(_.getAs[Long]("n")).sum == Tables.events(spark, sf).count())
   }
 
