@@ -482,6 +482,152 @@ object Knn {
       |SELECT qid, rnk, vec_id, score FROM r WHERE rnk <= 5
       |ORDER BY qid, rnk""".stripMargin
 
+  // ---------- v7: range (radius) similarity search ----------
+
+  /** v7: threshold similarity search — every (query, corpus) pair with
+    * cosine ≥ τ, unranked. The output-bounded scan path: no top-k
+    * window, no shuffle at all — queries broadcast, the corpus
+    * streams once through a JIT dot loop and a filter. At 100 TB this
+    * is the cheapest similarity surface there is (one narrow pass;
+    * output size is the match count), and any ANN prefilter (v2/v3)
+    * composes in front of it unchanged.
+    */
+  def v7(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    v1All(spark, dir)
+      .filter($"cos_sim" >= 0.2)
+      .orderBy($"qid", $"vec_id")
+  }
+
+  val v7Sql: String =
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |n AS (SELECT vec_id, v, sqrt(list_inner_product(v, v)) AS nrm FROM e),
+      |m AS (SELECT vec_id, list_transform(v, x -> x / nrm) AS nv FROM n),
+      |s AS (SELECT q.vec_id AS qid, c.vec_id AS vec_id,
+      |        round(list_inner_product(q.nv, c.nv) * 1e6) / 1e6 AS cos_sim
+      |      FROM m q JOIN m c ON q.vec_id < 10 AND c.vec_id >= 10)
+      |SELECT qid, vec_id, cos_sim FROM s WHERE cos_sim >= 2e-1
+      |ORDER BY qid, vec_id""".stripMargin
+
+  // ---------- v8: MMR diversity re-rank ----------
+
+  private val mmrPool = 10  // candidate pool per query (any ANN path feeds this)
+  private val mmrK = 5      // selected per query
+  private val mmrLambda = 0.7
+  // NOT computed as 1.0 - mmrLambda: that IEEE-rounds to
+  // 0.30000000000000004, while the oracle's 3e-1 literal is 0.3.
+  private val mmrDiversity = 0.3
+
+  /** v8: maximal-marginal-relevance re-rank — the diversity pass
+    * training-data curation runs after retrieval: from each query's
+    * top-`mmrPool` candidates, greedily select `mmrK` maximizing
+    * λ·relevance − (1−λ)·max-similarity-to-already-selected.
+    *
+    * Scale shape: the greedy recursion is inherently sequential but
+    * only ever touches ONE query's bounded candidate pool (O(pool²)
+    * dots), so it runs as mapGroups after the top-pool window — the
+    * same "prune globally, refine locally" split as v2/v3. All inputs
+    * to the greedy step are 1e-6-quantized, and λ-arithmetic is
+    * single IEEE ops, so selection order is bitwise cross-engine.
+    */
+  def v8(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = vectors(spark, dir)
+    val bc = spark.sparkContext.broadcast(codebook(e, "vec_id < 10"))
+    val scored = e.filter($"vec_id" >= 10).select($"vec_id", $"nv")
+      .as[(Long, Array[Double])]
+      .mapPartitions(_.flatMap { case (cid, cv) =>
+        bc.value.iterator.map { case (qid, qv) => (qid, cid, cosQ(qv, cv), cv) }
+      }).toDF("qid", "vec_id", "rel", "nv")
+    val w = Window.partitionBy($"qid").orderBy($"rel".desc, $"vec_id")
+    val pool = scored.withColumn("rn", row_number().over(w))
+      .filter($"rn" <= mmrPool)
+      .select($"qid", $"vec_id", $"rel", $"nv")
+      .as[(Long, Long, Double, Array[Double])]
+    pool.groupByKey(_._1)
+      .flatMapGroups { (qid, it) =>
+        val cands = it.toArray.sortBy { case (_, cid, rel, _) => (-rel, cid) }
+        val selected = scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Double], Double)]
+        val remaining = scala.collection.mutable.ArrayBuffer(cands.map {
+          case (_, cid, rel, nv) => (cid, rel, nv)
+        }: _*)
+        while (selected.length < mmrK && remaining.nonEmpty) {
+          var bestIdx = 0
+          var bestScore = Double.NegativeInfinity
+          var bestCid = Long.MaxValue
+          var i = 0
+          while (i < remaining.length) {
+            val (cid, rel, nv) = remaining(i)
+            // true max over selected (can be negative — no 0 clamp,
+            // matching the oracle's max(sim)); step 1 has no term
+            var mx = Double.NegativeInfinity
+            selected.foreach { case (_, snv, _) =>
+              val s = cosQ(nv, snv)
+              if (s > mx) mx = s
+            }
+            val sc =
+              if (selected.isEmpty) mmrLambda * rel
+              else mmrLambda * rel - mmrDiversity * mx
+            if (sc > bestScore || (sc == bestScore && cid < bestCid)) {
+              bestIdx = i; bestScore = sc; bestCid = cid
+            }
+            i += 1
+          }
+          val (cid, _, nv) = remaining.remove(bestIdx)
+          selected += ((cid, nv, bestScore))
+        }
+        selected.iterator.zipWithIndex.map { case ((cid, _, sc), step) =>
+          (qid, step + 1, cid, sc)
+        }
+      }.toDF("qid", "rnk", "vec_id", "mmr_score")
+      .orderBy($"qid", $"rnk")
+  }
+
+  /** Full v8 oracle: the greedy recursion unrolled as one CTE pair
+    * (score → argmax-select) per step, with the max-sim-to-selected
+    * term joined from a candidate-pairs table. λ literals in
+    * scientific notation (§8.2), every similarity 1e-6-quantized
+    * before the λ-arithmetic — both engines walk the same argmax path.
+    */
+  val v8Sql: String = {
+    val steps = (2 to mmrK).map { k =>
+      val prev = (1 until k).map(j => s"SELECT qid, cid FROM sel$j").mkString(" UNION ALL ")
+      s"""acc$k AS ($prev),
+        |rem$k AS (SELECT c.* FROM cand c ANTI JOIN acc$k a USING (qid, cid)),
+        |mx$k AS (SELECT pw.qid, pw.ca AS cid, max(pw.sim) AS mx
+        |         FROM pw JOIN acc$k a ON pw.qid = a.qid AND pw.cb = a.cid
+        |         GROUP BY 1, 2),
+        |p$k AS (SELECT r.qid, r.cid, 7e-1 * r.rel - 3e-1 * m.mx AS sc
+        |        FROM rem$k r JOIN mx$k m ON m.qid = r.qid AND m.cid = r.cid),
+        |sel$k AS (SELECT qid, cid, sc FROM (
+        |          SELECT *, row_number() OVER (PARTITION BY qid ORDER BY sc DESC, cid) AS rn
+        |          FROM p$k) WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+    val out = (1 to mmrK)
+      .map(k => s"SELECT qid, $k AS rnk, cid AS vec_id, sc AS mmr_score FROM sel$k")
+      .mkString(" UNION ALL ")
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |n AS (SELECT vec_id, v, sqrt(list_inner_product(v, v)) AS nrm FROM e),
+      |m AS (SELECT vec_id, list_transform(v, x -> x / nrm) AS nv FROM n),
+      |s AS (SELECT q.vec_id AS qid, c.vec_id AS cid,
+      |        round(list_inner_product(q.nv, c.nv) * 1e6) / 1e6 AS rel
+      |      FROM m q JOIN m c ON q.vec_id < 10 AND c.vec_id >= 10),
+      |cand AS (SELECT qid, cid, rel FROM (
+      |         SELECT *, row_number() OVER (PARTITION BY qid ORDER BY rel DESC, cid) AS rn
+      |         FROM s) WHERE rn <= $mmrPool),
+      |pw AS (SELECT a.qid, a.cid AS ca, b.cid AS cb,
+      |         round(list_inner_product(x.nv, y.nv) * 1e6) / 1e6 AS sim
+      |       FROM cand a JOIN cand b ON a.qid = b.qid AND a.cid <> b.cid
+      |       JOIN m x ON x.vec_id = a.cid JOIN m y ON y.vec_id = b.cid),
+      |p1 AS (SELECT qid, cid, 7e-1 * rel AS sc FROM cand),
+      |sel1 AS (SELECT qid, cid, sc FROM (
+      |         SELECT *, row_number() OVER (PARTITION BY qid ORDER BY sc DESC, cid) AS rn
+      |         FROM p1) WHERE rn = 1),
+      |$steps
+      |$out
+      |ORDER BY qid, rnk""".stripMargin
+  }
+
   // ---------- v3: IVF-style coarse quantizer + nprobe (rows-only) ----------
 
   def v3(spark: SparkSession, dir: String): DataFrame = {

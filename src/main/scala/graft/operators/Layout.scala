@@ -1,0 +1,81 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Write-time data layout: Z-order (Morton) clustering keys.
+  *
+  * §8.16 demonstrated bucketed integral-cell layout for zero-exchange
+  * joins; this is the OTHER layout tool a 100 TB grid store needs —
+  * multi-dimensional range locality. Sorting a write by the Morton
+  * interleave of the cell indices puts spatially-near cells in the
+  * same files, so 2-D box predicates (lat BETWEEN .. AND lon BETWEEN
+  * ..) prune to a small set of row groups via parquet min/max stats,
+  * where a lexicographic (lat, lon) sort only prunes on lat.
+  *
+  * The key is pure integer arithmetic (bit interleave as div/mod —
+  * exact in any engine), so it is cheap (a narrow map at write time)
+  * and oracle-checkable bitwise.
+  */
+object Layout {
+
+  private val mortonBits = 8
+
+  /** Morton interleave of two cell indices (8 bits each → 16-bit
+    * code), written as div/mod arithmetic valid in both dialects via
+    * the dialect's integer-division operator (`div` Spark, `//`
+    * DuckDB). latK rides the odd bits, lonK the even bits.
+    */
+  def mortonExpr(latK: String, lonK: String, divOp: String): String =
+    (0 until mortonBits).flatMap { b =>
+      Seq(
+        s"((($latK) $divOp ${1L << b}) % 2) * ${1L << (2 * b + 1)}",
+        s"((($lonK) $divOp ${1L << b}) % 2) * ${1L << (2 * b)}")
+    }.mkString("(", " + ", ")")
+
+  private val latK = "CAST(user_id % 29 AS BIGINT)"
+  private val lonK = "CAST((event_id * 7) % 72 AS BIGINT)"
+
+  /** The distinct grid cells with their Z-codes (spec support: the
+    * write path sorts by zval).
+    */
+  private[graft] def cells(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .selectExpr(s"$latK AS lat_k", s"$lonK AS lon_k")
+      .distinct()
+      .selectExpr("lat_k", "lon_k",
+        s"${mortonExpr("lat_k", "lon_k", "div")} AS zval")
+
+  /** p2: Z-order layout audit — each bucket of 16 consecutive Z-codes
+    * is a compact 4×4 cell block, so per-bucket cell counts and
+    * bounding boxes quantify the locality the layout buys (every
+    * bucket spans ≤ 3 cells per axis, vs the whole grid for a
+    * row-order write). One distinct + one aggregate; the Z-code
+    * itself is the narrow-map write-time key.
+    */
+  def p2(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    cells(spark, dir)
+      .selectExpr("zval div 16 AS zbucket", "lat_k", "lon_k")
+      .groupBy($"zbucket")
+      .agg(count(lit(1)).as("n_cells"),
+        min($"lat_k").as("lat_min"), max($"lat_k").as("lat_max"),
+        min($"lon_k").as("lon_min"), max($"lon_k").as("lon_max"))
+      .transform(Tables.ordered(_, $"zbucket"))
+  }
+
+  val p2Sql: String = {
+    val z = mortonExpr("lat_k", "lon_k", "//")
+    s"""WITH c AS (SELECT DISTINCT CAST(user_id % 29 AS BIGINT) AS lat_k,
+      |             CAST((event_id * 7) % 72 AS BIGINT) AS lon_k
+      |           FROM events),
+      |z AS (SELECT lat_k, lon_k, $z AS zval FROM c)
+      |SELECT zval // 16 AS zbucket, count(*) AS n_cells,
+      |  min(lat_k) AS lat_min, max(lat_k) AS lat_max,
+      |  min(lon_k) AS lon_min, max(lon_k) AS lon_max
+      |FROM z
+      |GROUP BY 1
+      |ORDER BY 1""".stripMargin
+  }
+}

@@ -546,6 +546,51 @@ object TextStats {
       |WHERE rnk <= 3
       |ORDER BY doc_id, rnk""".stripMargin
 
+  // ---------- t15: weighted source-mixture sampling ----------
+
+  /** t15: deterministic mixture resampling — re-weight the corpus to
+    * a target per-source mixture, the "data mixing" pass that turns a
+    * raw crawl into a training distribution. Sources classed by index
+    * mod 5: class 0 upsamples 2× (every doc emits 2 replicas), class
+    * 1 downsamples to 40% (deterministic md5 bucket — reproducible
+    * across runs AND engines, unlike rand()), the rest pass through.
+    *
+    * Scale shape: a pure narrow map — hash, per-source weight lookup
+    * (a broadcast table in a real pipeline), and an explode whose
+    * fan-out is the per-doc replica count. Zero shuffles; composes in
+    * front of t8's split/t9's packing unchanged.
+    */
+  def t15(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .selectExpr("doc_id", "source",
+        "CAST(substring(source, 4) AS INT) % 5 AS sclass",
+        "CAST(conv(substring(md5(concat('mix:', CAST(doc_id AS STRING))), 1, 4), 16, 10) AS BIGINT) % 100 AS bucket")
+      .selectExpr("doc_id", "source",
+        "CASE WHEN sclass = 0 THEN 2 " +
+          "WHEN sclass = 1 THEN (CASE WHEN bucket < 40 THEN 1 ELSE 0 END) " +
+          "ELSE 1 END AS reps")
+      .filter($"reps" > 0)
+      .selectExpr("doc_id", "source",
+        "explode(sequence(CAST(1 AS BIGINT), CAST(reps AS BIGINT))) AS rep")
+      .transform(graft.Tables.ordered(_, $"doc_id", $"rep"))
+  }
+
+  val t15Sql: String =
+    """WITH b AS (
+      |  SELECT doc_id, source,
+      |    CAST(substring(source, 4) AS INT) % 5 AS sclass,
+      |    CAST(('0x' || substring(md5('mix:' || CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT AS BIGINT) % 100 AS bucket
+      |  FROM documents),
+      |r AS (SELECT doc_id, source,
+      |        CASE WHEN sclass = 0 THEN 2
+      |             WHEN sclass = 1 THEN (CASE WHEN bucket < 40 THEN 1 ELSE 0 END)
+      |             ELSE 1 END AS reps
+      |      FROM b)
+      |SELECT doc_id, source, unnest(range(1, reps + 1)) AS rep
+      |FROM r WHERE reps > 0
+      |ORDER BY doc_id, rep""".stripMargin
+
   val t10Sql: String =
     """WITH w AS (SELECT doc_id, string_split(lower(trim(text)), ' ') AS words FROM documents),
       |g AS (SELECT doc_id, unnest(

@@ -421,6 +421,67 @@ object EventStreams {
       .orderBy($"user_id")
   }
 
+  case class QEv(event_type: String, event_id: Long, tus: Long)
+  case class QOut(event_type: String, rnk: Long, event_id: Long)
+
+  /** Per-type streaming quota admission (t12's streaming twin): admit
+    * the first `quota` events per event_type in (time, id) order and
+    * drop the rest. State is ONE admitted-count per key — O(1)
+    * however many events arrive, carried across micro-batches so a
+    * re-started feed keeps filling the same quota. Within a batch the
+    * key's rows sort in memory for deterministic admission order
+    * (bounded by the micro-batch, not the stream).
+    */
+  class QuotaProcessor(quota: Long) extends org.apache.spark.sql.streaming.StatefulProcessor[String, QEv, QOut] {
+    @transient private var st: org.apache.spark.sql.streaming.ValueState[Long] = _
+
+    override def init(outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      st = getHandle.getValueState[Long]("admitted",
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+    override def handleInputRows(key: String, rows: Iterator[QEv],
+        tv: org.apache.spark.sql.streaming.TimerValues): Iterator[QOut] = {
+      var c = if (st.exists()) st.get() else 0L
+      val admitted = rows.toArray.sortBy(e => (e.tus, e.event_id))
+        .iterator.takeWhile { _ => c < quota }
+        .map { e => c += 1; QOut(key, c, e.event_id) }
+        .toArray
+      st.update(c)
+      admitted.iterator
+    }
+  }
+
+  def quotaStream(events: Dataset[QEv], quota: Long): Dataset[QOut] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.event_type)
+      .transformWithState(new QuotaProcessor(quota),
+        org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Append())
+  }
+
+  /** s10: one micro-batch over the testdata == the batch window rank. */
+  def s10(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val rs = rocksSession(spark)
+    rs.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = rs.read.parquet(s"$dir/events.parquet").schema
+    val src = rs.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet").parquet(dir)
+      .selectExpr("event_type", "event_id", "ts div 1000 AS tus").as[QEv]
+    runToTable(rs, quotaStream(src, 50L).toDF(), OutputMode.Append())
+      .orderBy($"event_type", $"rnk")
+  }
+
+  val s10Sql: String =
+    """WITH r AS (SELECT event_type, event_id,
+      |        row_number() OVER (PARTITION BY event_type
+      |          ORDER BY epoch_ns(ts) // 1000, event_id) AS rnk
+      |      FROM events)
+      |SELECT event_type, rnk, event_id FROM r
+      |WHERE rnk <= 50
+      |ORDER BY event_type, rnk""".stripMargin
+
   // transformWithState requires the RocksDB state store; a dedicated
   // child session keeps that provider choice off the other queries
   private def rocksSession(spark: SparkSession): SparkSession =

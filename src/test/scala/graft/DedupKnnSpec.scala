@@ -331,4 +331,58 @@ class DedupKnnSpec extends AnyFunSuite {
     assert(pqPickMean > corpusMean + 0.3 * (corpusBest - corpusMean),
       s"pq=$pqPickMean corpus=$corpusMean best=$corpusBest")
   }
+
+  test("t15 mixture: class-0 doubled, class-1 thinned, rest passed through") {
+    val rows = TextStats.t15(spark, sf)
+      .select($"doc_id", $"source", $"rep").as[(Long, String, Long)].collect()
+    val docs = Tables.documents(spark, sf)
+      .select($"doc_id", $"source").as[(Long, String)].collect()
+    def cls(src: String) = src.drop(3).toInt % 5
+    val reps = rows.groupBy(r => (r._1, r._2)).view.mapValues(_.map(_._3).sorted.toSeq)
+    docs.foreach { case (id, src) =>
+      cls(src) match {
+        case 0 => assert(reps((id, src)) == Seq(1L, 2L), s"doc $id")
+        case 1 => assert(!reps.contains((id, src)) || reps((id, src)) == Seq(1L))
+        case _ => assert(reps((id, src)) == Seq(1L), s"doc $id")
+      }
+    }
+    // the 40% downsample keeps some but not all of class 1
+    val c1 = docs.filter(d => cls(d._2) == 1)
+    val kept = c1.count(d => reps.contains((d._1, d._2)))
+    assert(kept > 0 && kept < c1.length, s"kept $kept of ${c1.length}")
+  }
+
+  test("v7 range search: exactly the pairs at or above the threshold") {
+    val got = Knn.v7(spark, sf)
+      .select($"qid", $"vec_id", $"cos_sim").as[(Long, Long, Double)]
+      .collect()
+    val all = Knn.v1All(spark, sf).as[(Long, Long, Double)].collect()
+    val want = all.filter(_._3 >= 0.2)
+    assert(got.toSet == want.toSet)
+    assert(got.forall(_._3 >= 0.2))
+    // sanity: the threshold actually prunes
+    assert(got.length < all.length)
+  }
+
+  test("v8 MMR: 5 diverse picks from the top-10 pool, step 1 = argmax relevance") {
+    val rows = Knn.v8(spark, sf)
+      .select($"qid", $"rnk", $"vec_id", $"mmr_score")
+      .as[(Long, Int, Long, Double)].collect()
+    val pool = Knn.v1All(spark, sf).as[(Long, Long, Double)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy { case (_, cid, rel) => (-rel, cid) }
+        .take(10)).toMap
+    val byQ = rows.groupBy(_._1)
+    assert(byQ.keySet == pool.keySet)
+    byQ.foreach { case (qid, rs) =>
+      assert(rs.length == 5)
+      assert(rs.map(_._3).distinct.length == 5) // no repeats
+      assert(rs.map(_._2).sorted.sameElements(1 to 5))
+      // every pick comes from the query's top-10 candidate pool
+      val poolIds = pool(qid).map(_._2).toSet
+      assert(rs.forall(r => poolIds.contains(r._3)))
+      // step 1 is pure relevance: the pool's top-1
+      val first = rs.find(_._2 == 1).get
+      assert(first._3 == pool(qid).head._2)
+    }
+  }
 }

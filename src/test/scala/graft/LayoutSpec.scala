@@ -1,0 +1,56 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Layout
+
+/** Z-order layout: the Morton key is injective on the cell grid and
+  * every 16-code bucket is a compact 4×4 block — the locality that
+  * makes a zval-sorted write prune 2-D box predicates at the scan.
+  */
+class LayoutSpec extends AnyFunSuite {
+  lazy val spark = SharedSpark.spark
+  val sf = SharedSpark.sf
+  import spark.implicits._
+
+  test("p2: morton codes are injective over the cells") {
+    val cells = Layout.cells(spark, sf)
+    val n = cells.count()
+    assert(cells.select("zval").distinct().count() == n)
+  }
+
+  test("p2: every z-bucket is a compact 4x4 cell block") {
+    val rows = Layout.p2(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("lat_max") - r.getAs[Long]("lat_min") <= 3)
+      assert(r.getAs[Long]("lon_max") - r.getAs[Long]("lon_min") <= 3)
+      assert(r.getAs[Long]("n_cells") <= 16)
+    }
+    // all cells accounted for exactly once
+    val total = rows.map(_.getAs[Long]("n_cells")).sum
+    assert(total == Layout.cells(spark, sf).count())
+  }
+
+  test("p2: zval-range files bound BOTH axes where lexicographic bounds one") {
+    // simulate the write: 8 files by zval range vs 8 by lexicographic
+    // (lat-major) order. A lexicographic file is a lat slab — tight on
+    // lat, FULL WIDTH on lon — so a 2-D box predicate can never prune
+    // on the second axis. The z-order metric is the per-file worst
+    // axis span: morton files stay compact on both.
+    val cells = Layout.cells(spark, sf).cache()
+    def meanWorstSpan(df: org.apache.spark.sql.DataFrame, key: String): Double = {
+      val boxes = df.withColumn("f", org.apache.spark.sql.functions.ntile(8)
+          .over(org.apache.spark.sql.expressions.Window.orderBy(key)))
+        .groupBy("f")
+        .agg(org.apache.spark.sql.functions.expr(
+          "greatest(max(lat_k) - min(lat_k), max(lon_k) - min(lon_k)) AS s"))
+        .select("s").as[Long].collect()
+      boxes.sum.toDouble / boxes.length
+    }
+    val lexOrder = meanWorstSpan(cells.withColumn("ord",
+      org.apache.spark.sql.functions.expr("lat_k * 72 + lon_k")), "ord")
+    val zOrder = meanWorstSpan(cells, "zval")
+    assert(zOrder < lexOrder * 0.6, s"z=$zOrder lex=$lexOrder")
+    cells.unpersist()
+  }
+}

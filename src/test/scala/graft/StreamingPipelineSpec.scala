@@ -176,6 +176,35 @@ class StreamingPipelineSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("s10 quota admission carries the admitted count across batches") {
+    import EventStreams.{QEv, QOut}
+    val ns = spark.newSession()
+    ns.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    implicit val sqlCtx = ns.sqlContext
+    import ns.implicits._
+    val mem = MemoryStream[QEv]
+    val name = "s10_state_test"
+    val q = EventStreams.quotaStream(mem.toDS(), 3L).toDF()
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName(name).start()
+    try {
+      mem.addData(QEv("a", 2, 200), QEv("a", 1, 100), QEv("b", 9, 900))
+      q.processAllAvailable()
+      // batch 1: a admitted 2 (time order), b admitted 1
+      mem.addData(QEv("a", 3, 300), QEv("a", 4, 400), QEv("b", 8, 800))
+      q.processAllAvailable()
+      val rows = ns.table(name).collect()
+        .map(r => (r.getAs[String]("event_type"), r.getAs[Long]("rnk"),
+          r.getAs[Long]("event_id"))).toSet
+      // a's quota (3) fills across batches: only event 3 admitted in
+      // batch 2, event 4 dropped; b continues at rnk 2
+      assert(rows == Set(
+        ("a", 1L, 1L), ("a", 2L, 2L), ("a", 3L, 3L),
+        ("b", 1L, 9L), ("b", 2L, 8L)))
+    } finally q.stop()
+  }
+
   test("s9 stream-static enrichment covers every event exactly once") {
     import spark.implicits._
     val got = EventStreams.s9(spark, sf).collect()
