@@ -192,6 +192,101 @@ object Dedup {
       |ORDER BY id_a, id_b""".stripMargin
   }
 
+  // ---------- d10: fuzzy cross-corpus decontamination ----------
+
+  /** d10: MinHash-banded TRAIN × EVAL decontamination — the fuzzy
+    * companion to t10's exact 8-gram overlap: an eval item that was
+    * paraphrased or truncated into the crawl shares most shingles but
+    * no exact 8-gram run, and only a near-dup check catches it. Same
+    * banding machinery as d2, but the join is ASYMMETRIC: eval is a
+    * benchmark suite (thousands of docs — broadcastable), so at scale
+    * the eval band table broadcasts and the train side never
+    * shuffles for candidate generation at all; verification touches
+    * only bucketed pairs through the (doc_id, shingle) index.
+    *
+    * The eval side here derives near-dup variants of every 11th doc
+    * (suffix mutation, ids +200000) — the seeded ground truth the
+    * spec checks recall against.
+    */
+  def d10(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.functions.Fnv64
+    val docs = Tables.documents(spark, dir).select($"doc_id", $"text")
+    val corpus = docs
+      .unionByName(docs.filter($"doc_id" % 11 === 0)
+        .select(($"doc_id" + 200000).as("doc_id"),
+          concat($"text", lit(" benchmark eval suffix xq")).as("text")))
+    val shx = corpus
+      .selectExpr("doc_id", "split(lower(trim(text)), ' ') AS words")
+      .selectExpr("doc_id", s"explode($shingleExpr) AS s").cache()
+    val mhCols = (0 until nHashes).map(k =>
+      min(Fnv64.fnv64(concat(lit(s"$k:"), $"s"))).as(s"mh$k"))
+    val sigs = shx.groupBy($"doc_id").agg(mhCols.head, mhCols.tail: _*)
+    val withSigs = sigs.select(col("doc_id") +: (0 until nBands).map { b =>
+      val cols = (b * rowsPerBand until (b + 1) * rowsPerBand)
+        .map(k => col(s"mh$k").cast("string"))
+      Fnv64.fnv64(concat(lit(s"$b:"), concat_ws(",", cols: _*))).as(s"sig$b")
+    }: _*)
+    val bandStructs = (0 until nBands)
+      .map(b => s"named_struct('band', $b, 'sig', sig$b)").mkString(", ")
+    val buckets = withSigs.selectExpr("doc_id",
+      s"posexplode(array($bandStructs)) AS (pos, bs)")
+      .selectExpr("doc_id", "bs.band AS band", "bs.sig AS sig")
+    val cand = buckets.filter($"doc_id" < 200000).as("a")
+      .join(broadcast(buckets.filter($"doc_id" >= 200000).as("b")),
+        $"a.band" === $"b.band" && $"a.sig" === $"b.sig")
+      .select($"a.doc_id".as("id_a"), $"b.doc_id".as("id_b"))
+      .distinct()
+    val sizes = shx.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    jaccardOf(cand, shx, sizes)
+      .filter($"jaccard" >= 0.4)
+      .select($"id_a".as("train_id"), $"id_b".as("eval_id"), $"jaccard")
+      .transform(graft.Tables.ordered(_, $"train_id", $"eval_id"))
+  }
+
+  /** Full d10 oracle: d2's CTE mirror with the train∪eval corpus and
+    * the asymmetric (train < 200000 ≤ eval) bucket join.
+    */
+  val d10Sql: String = {
+    import graft.functions.Fnv64
+    val hashCols = (0 until nHashes)
+      .map(k => s"${Fnv64.duckSigned(s"('$k:' || s)")} AS h$k").mkString(",\n  ")
+    val minCols = (0 until nHashes).map(k => s"min(h$k) AS mh$k").mkString(", ")
+    val bandSelects = (0 until nBands).map { b =>
+      val catted = (b * rowsPerBand until (b + 1) * rowsPerBand)
+        .map(k => s"CAST(mh$k AS VARCHAR)").mkString(" || ',' || ")
+      s"SELECT doc_id, $b AS band, ${Fnv64.duckSigned(s"('$b:' || $catted)")} AS sig FROM sigs"
+    }.mkString("\n  UNION ALL ")
+    s"""WITH corpus AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 200000, text || ' benchmark eval suffix xq' FROM documents WHERE doc_id % 11 = 0),
+      |w AS (SELECT doc_id, string_split(lower(trim(text)), ' ') AS words FROM corpus),
+      |sh AS (SELECT doc_id,
+      |         CASE WHEN len(words) >= 3
+      |           THEN list_distinct(list_transform(range(0, len(words) - 2),
+      |                  i -> array_to_string(words[(i + 1):(i + 3)], ' ')))
+      |           ELSE [array_to_string(words, ' ')] END AS s
+      |       FROM w),
+      |shx AS (SELECT doc_id, unnest(s) AS s FROM sh),
+      |hs AS (SELECT s,
+      |  $hashCols
+      |  FROM (SELECT DISTINCT s FROM shx)),
+      |sigs AS (SELECT doc_id, $minCols
+      |         FROM shx JOIN hs USING (s) GROUP BY doc_id),
+      |bands AS ($bandSelects),
+      |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      |         FROM bands a JOIN bands b
+      |           ON a.band = b.band AND a.sig = b.sig
+      |           AND a.doc_id < 200000 AND b.doc_id >= 200000),
+      |j AS (SELECT id_a, id_b,
+      |        CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+      |          / CAST(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS DOUBLE) AS jaccard
+      |      FROM cand JOIN sh a ON a.doc_id = id_a JOIN sh b ON b.doc_id = id_b)
+      |SELECT id_a AS train_id, id_b AS eval_id, jaccard FROM j WHERE jaccard >= 0.4
+      |ORDER BY train_id, eval_id""".stripMargin
+  }
+
   // ---------- d3: SimHash fingerprint + hamming near-dups ----------
 
   def d3(spark: SparkSession, dir: String): DataFrame = {
@@ -419,6 +514,18 @@ object Dedup {
   private val d8Tables = 20
   private val d8Bits = 5
   private val d8PlaneOffset = 100 // disjoint from v2's 48 plane rows
+
+  /** Bucket-width sizing for hyperplane LSH: b bits/table gives 2^b
+    * buckets, so expected candidates per item per table ≈ n / 2^b —
+    * the bits MUST track corpus size or buckets blow up quadratically.
+    * b = ceil(log2(n / perTableBudget)); d8's default (5 bits, 500
+    * vectors) is this formula at budget ≈ 16, and the same code at
+    * 1e9 vectors / budget 16 runs with b = 26. Verification cost is
+    * then O(n · tables · budget) dots — linear in n by construction.
+    */
+  def lshBitsFor(corpusSize: Long, perTableBudget: Long): Int =
+    math.max(1, math.ceil(
+      math.log(corpusSize.toDouble / perTableBudget) / math.log(2.0)).toInt)
 
   private[operators] def d8Planes: Seq[Seq[Double]] =
     (0 until d8Tables * d8Bits).map(j => Knn.planeRow(d8PlaneOffset + j))

@@ -500,4 +500,37 @@ object Relational {
       |        CAST(floor(o_totalprice * 1e2 + 0.5) AS BIGINT) AS cents
       |      FROM orders)
       |ORDER BY o_custkey, o_orderkey""".stripMargin
+
+  /** q24: gaps-and-islands — per-user consecutive-active-day streaks,
+    * the classic sequence-reconstruction pattern (sessionization's
+    * calendar-grain cousin): island id = day − row_number(), so a run
+    * of consecutive days collapses to one group without self-joins or
+    * recursion. One shuffle on user_id (the window and the aggregate
+    * share it); integer day arithmetic end to end.
+    */
+  def q24(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"user_id").orderBy($"day")
+    Tables.events(spark, dir)
+      .selectExpr("user_id", "CAST(extract(DOY FROM ts) AS BIGINT) AS day")
+      .distinct()
+      .withColumn("grp", $"day" - row_number().over(w))
+      .groupBy($"user_id", $"grp")
+      .agg(min($"day").as("streak_start"), max($"day").as("streak_end"),
+        count(lit(1)).as("days"))
+      .select($"user_id", $"streak_start", $"streak_end", $"days")
+      .transform(Tables.ordered(_, $"user_id", $"streak_start"))
+  }
+
+  val q24Sql: String =
+    """WITH d AS (SELECT DISTINCT user_id, CAST(extract(doy FROM ts) AS BIGINT) AS day FROM events),
+      |g AS (SELECT user_id, day,
+      |        day - row_number() OVER (PARTITION BY user_id ORDER BY day) AS grp
+      |      FROM d)
+      |SELECT user_id, min(day) AS streak_start, max(day) AS streak_end,
+      |  count(*) AS days
+      |FROM g
+      |GROUP BY user_id, grp
+      |ORDER BY user_id, streak_start""".stripMargin
 }

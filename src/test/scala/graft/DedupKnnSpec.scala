@@ -332,6 +332,21 @@ class DedupKnnSpec extends AnyFunSuite {
       s"pq=$pqPickMean corpus=$corpusMean best=$corpusBest")
   }
 
+  test("d10 cross-decontam: seeded eval near-dups recovered with high recall") {
+    val got = Dedup.d10(spark, sf)
+      .select($"train_id", $"eval_id", $"jaccard")
+      .as[(Long, Long, Double)].collect()
+    assert(got.forall(_._3 >= 0.4))
+    assert(got.forall { case (t, e, _) => t < 200000 && e >= 200000 })
+    // every 11th doc seeded a mutated eval twin; banding should
+    // recover (almost) all of those (train, train+200000) pairs
+    val seeded = Tables.documents(spark, sf).select($"doc_id").as[Long]
+      .collect().filter(_ % 11 == 0).map(id => (id, id + 200000)).toSet
+    val hits = got.map(r => (r._1, r._2)).toSet
+    val recall = seeded.count(hits.contains).toDouble / seeded.size
+    assert(recall >= 0.8, s"recall $recall")
+  }
+
   test("t15 mixture: class-0 doubled, class-1 thinned, rest passed through") {
     val rows = TextStats.t15(spark, sf)
       .select($"doc_id", $"source", $"rep").as[(Long, String, Long)].collect()

@@ -68,6 +68,20 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("lshBitsFor keeps the per-table candidate budget as the corpus grows") {
+    import graft.operators.Dedup.lshBitsFor
+    assert(lshBitsFor(500, 16) == 5) // d8's shipped configuration
+    assert(lshBitsFor(1000000000L, 16) == 26)
+    forAll(Gen.choose(100L, 1000000000L), Gen.choose(4L, 1024L)) { (n, budget) =>
+      val b = lshBitsFor(n, budget)
+      assert(b >= 1)
+      // 2^b buckets keep expected candidates per table at or under budget
+      assert(n.toDouble / math.pow(2.0, b) <= budget.toDouble + 1e-9)
+      // and not overly fine: half the buckets would breach the budget
+      if (b > 1) assert(n.toDouble / math.pow(2.0, b - 1) > budget.toDouble)
+    }
+  }
+
   test("Catalog.isNewer is a strict order on (date, cycle)") {
     val dc = Gen.zip(Gen.oneOf("20240101", "20240102", "20240103"),
       Gen.oneOf("00", "06", "12", "18"))

@@ -201,6 +201,31 @@ class RelationalSpec extends AnyFunSuite {
     }
   }
 
+  test("q24 gaps-and-islands: streaks tile the active days, disjoint and maximal") {
+    val rows = Relational.q24(spark, sf).collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("streak_start"),
+        r.getAs[Long]("streak_end"), r.getAs[Long]("days")))
+    assert(rows.nonEmpty)
+    rows.foreach { case (_, s, e, d) => assert(d == e - s + 1) }
+    val active = Tables.events(spark, sf)
+      .selectExpr("user_id", "CAST(extract(DOY FROM ts) AS BIGINT) AS day")
+      .distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // streak days reconstruct the active-day set exactly (no overlap,
+    // no gap swallowed)
+    val tiled = rows.flatMap { case (u, s, e, _) => (s to e).map(u -> _) }
+    assert(tiled.length == tiled.distinct.length)
+    assert(tiled.toSet == active)
+    // maximality: no two streaks of one user touch
+    rows.groupBy(_._1).values.foreach { ss =>
+      val sorted = ss.sortBy(_._2)
+      sorted.sliding(2).foreach {
+        case Array((_, _, e1, _), (_, s2, _, _)) => assert(s2 > e1 + 1)
+        case _ =>
+      }
+    }
+  }
+
   test("e6 anomaly: every flagged event is >2 sigma, and some exist") {
     val rows = EventWindows.anomaly(spark, sf).collect()
     assert(rows.nonEmpty)
