@@ -514,6 +514,10 @@ object Relational {
       .partitionBy($"user_id").orderBy($"day")
     Tables.events(spark, dir)
       .selectExpr("user_id", "CAST(extract(DOY FROM ts) AS BIGINT) AS day")
+      // hash(user_id) satisfies the distinct's (user_id, day)
+      // clustering AND the window's — one shuffle serves all three
+      // steps instead of distinct-then-window re-shuffling
+      .repartition($"user_id")
       .distinct()
       .withColumn("grp", $"day" - row_number().over(w))
       .groupBy($"user_id", $"grp")

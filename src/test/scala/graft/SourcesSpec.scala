@@ -138,6 +138,29 @@ class SourcesSpec extends AnyFunSuite {
     }
   }
 
+  test("xml source roundtrips and from_xml extracts nested records") {
+    import spark.implicits._
+    // Spark 4 ships the XML datasource in core (no external jar):
+    // a feed-shaped format breadth check next to csv/json/orc
+    val base = Tables.events(spark, sf)
+      .select($"event_id", $"user_id", $"event_type", $"value")
+    val want = base.as[(Long, Long, String, Double)].collect().sortBy(_._1).toSeq
+    val dir = tmp() + "/events_xml"
+    base.write.format("xml").option("rowTag", "event").save(dir)
+    val got = spark.read.format("xml")
+      .option("rowTag", "event").schema(base.schema).load(dir)
+      .as[(Long, Long, String, Double)].collect().sortBy(_._1).toSeq
+    assert(got == want, "xml roundtrip mismatch")
+    // semi-structured path: from_xml over an embedded payload column
+    // (the XML twin of q20's from_json)
+    val parsed = spark.range(3)
+      .selectExpr("id", "concat('<m><k>', CAST(id * 7 AS STRING), '</k><tag>t', CAST(id AS STRING), '</tag></m>') AS payload")
+      .selectExpr("id", "from_xml(payload, 'k BIGINT, tag STRING') AS m")
+      .selectExpr("id", "m.k AS k", "m.tag AS tag")
+      .as[(Long, Long, String)].collect().sortBy(_._1).toSeq
+    assert(parsed == Seq((0L, 0L, "t0"), (1L, 7L, "t1"), (2L, 14L, "t2")))
+  }
+
   test("Catalog.latestComplete and isNewer") {
     import spark.implicits._
     val cat = Seq(("20240101", "06", true), ("20240101", "12", false),
