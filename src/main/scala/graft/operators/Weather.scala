@@ -381,6 +381,56 @@ object Weather {
       |SELECT lat, 360.0 AS glon, lday, vertex, band FROM b WHERE glon = 0.0
       |ORDER BY 1, 2, 3, 4""".stripMargin
 
+  // ---------- w19: 3x3 grid stencil smoothing ----------
+
+  /** w19: neighborhood (3×3 box) smoothing of a per-cell scalar field
+    * — the standard pre-contour pass that keeps band edges from
+    * stair-stepping cell to cell. The stencil runs as KEY ARITHMETIC:
+    * each cell emits 9 (target-cell, value) contributions (a bounded
+    * explode), targets aggregate with one shuffle on the cell key —
+    * no self-joins, no windows, no per-offset grid passes. Longitude
+    * wraps cyclically (the w18 convention); latitude edges simply
+    * average over the neighbors that exist. Contributions land only
+    * on real cells (broadcast semi-join, the w10 mask shape). Means
+    * are integerized per §8.1, so the result is bitwise.
+    */
+  def w19(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cellT = chain(spark, dir, 2)
+      .groupBy($"lat", $"lon").agg(max($"tmp2m").as("t"))
+    cellT
+      .selectExpr("lat", "lon", "t", "explode(array(-5.0, 0.0, 5.0)) AS dlat")
+      .selectExpr("lat", "lon", "t", "dlat",
+        "explode(array(-5.0, 0.0, 5.0)) AS dlon")
+      .selectExpr("lat + dlat AS glat",
+        "((lon + 177.5 + dlon + 360.0) % 360.0) - 177.5 AS glon",
+        "CAST(floor(t * 1e6 + 0.5) AS BIGINT) AS c6")
+      .groupBy($"glat", $"glon")
+      .agg(count(lit(1)).as("n_nbrs"),
+        ((sum($"c6") / count(lit(1))) / 1e6).as("t_smooth"))
+      .join(broadcast(cellT.select($"lat".as("glat"), $"lon".as("glon"))),
+        Seq("glat", "glon"), "left_semi")
+      .select($"glat".as("lat"), $"glon".as("lon"), $"n_nbrs", $"t_smooth")
+      .transform(Tables.ordered(_, $"lat", $"lon"))
+  }
+
+  val w19Sql: String =
+    s"""WITH g AS (${ThermalChain.sql(2)}),
+      |c AS (SELECT lat, lon, max(tmp2m) AS t FROM g GROUP BY 1, 2),
+      |con AS (SELECT lat + dlat.d AS glat,
+      |          ((lon + 177.5 + dlon.d + 360.0) % 360.0) - 177.5 AS glon,
+      |          CAST(floor(t * 1e6 + 0.5) AS BIGINT) AS c6
+      |        FROM c
+      |        CROSS JOIN (SELECT unnest([-5.0, 0.0, 5.0]) AS d) dlat
+      |        CROSS JOIN (SELECT unnest([-5.0, 0.0, 5.0]) AS d) dlon),
+      |s AS (SELECT glat, glon, count(*) AS n_nbrs,
+      |        (CAST(sum(c6) AS BIGINT) / count(*)) / 1e6 AS t_smooth
+      |      FROM con GROUP BY 1, 2)
+      |SELECT s.glat AS lat, s.glon AS lon, n_nbrs, t_smooth
+      |FROM s
+      |WHERE EXISTS (SELECT 1 FROM c WHERE c.lat = s.glat AND c.lon = s.glon)
+      |ORDER BY 1, 2""".stripMargin
+
   // ---------- w17: NWS heat index + wind chill ----------
   // Public formulas beyond the reference's UTCI/WBGT pair: the
   // Rothfusz heat-index regression (T>=80°F branch, simple formula

@@ -109,4 +109,31 @@ class ThermalSpec extends AnyFunSuite {
       val b = r.getAs[Int]("band"); b >= 0 && b <= 9
     })
   }
+
+  test("w19: stencil counts match an independent neighbor walk; smoothing contracts") {
+    val spark = SharedSpark.spark
+    import spark.implicits._
+    val raw = graft.functions.ThermalChain.df(spark, SharedSpark.sf, 2)
+      .groupBy($"lat", $"lon").agg(max($"tmp2m").as("t"))
+      .as[(Double, Double, Double)].collect()
+    val cells = raw.map(r => (r._1, r._2)).toSet
+    def wrap(lon: Double, d: Double): Double =
+      ((lon + 177.5 + d + 360.0) % 360.0) - 177.5
+    val got = Weather.w19(spark, SharedSpark.sf)
+      .as[(Double, Double, Long, Double)].collect()
+    assert(got.map(r => (r._1, r._2)).toSet == cells)
+    got.foreach { case (lat, lon, n, _) =>
+      val expect = (for {
+        dlat <- Seq(-5.0, 0.0, 5.0); dlon <- Seq(-5.0, 0.0, 5.0)
+        if cells.contains((lat + dlat, wrap(lon, dlon)))
+      } yield 1).size
+      assert(n == expect, s"cell ($lat,$lon): $n vs $expect")
+    }
+    // a box filter contracts the field's spread
+    val ts = raw.map(_._3)
+    val ss = got.map(_._4)
+    assert(ss.max - ss.min <= ts.max - ts.min + 1e-9)
+    // and smoothed values stay inside the raw envelope
+    assert(ss.min >= ts.min - 1e-6 && ss.max <= ts.max + 1e-6)
+  }
 }
