@@ -223,6 +223,60 @@ object Media {
       |GROUP BY format
       |ORDER BY format""".stripMargin
 
+  case class AudioFrame(doc_id: Long, n_frames: Int, frame_idx: Int, energy: Long)
+
+  /** m5: audio frame energy — every AUD payload is treated as 8-bit
+    * PCM (the decode stub: sample = byte − 128), cut into 16-sample
+    * windows at stride 8, each emitting its integer energy (sum of
+    * squared samples — exact, no floats anywhere). The overlapping-
+    * window fan-out and batched per-partition decode are the real
+    * audio-featurization plumbing (VAD, loudness gating, silence
+    * trimming all start exactly here); only the codec is stubbed.
+    */
+  def m5(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    payloads(spark, dir)
+      .mapPartitions(_.grouped(FakeDecoder.batchSize).flatMap { batch =>
+        batch.flatMap { row =>
+          val fmt = new String(row.payload.take(3), "UTF-8")
+          val len = row.payload.length
+          if (fmt != "AUD" || len < 16) Iterator.empty
+          else {
+            val samples = row.payload.map(b => ((b & 0xff) - 128).toLong)
+            val nFrames = (len - 16) / 8 + 1
+            (0 until nFrames).map { f =>
+              var e = 0L
+              var i = 0
+              while (i < 16) { val s = samples(f * 8 + i); e += s * s; i += 1 }
+              AudioFrame(row.doc_id, nFrames, f, e)
+            }
+          }
+        }
+      }).toDF()
+      .orderBy($"doc_id", $"frame_idx")
+  }
+
+  /** m5 oracle: ASCII payload bytes mirror to ord(substr(..)) − 128;
+    * the window energies are exact BIGINT sums in both engines.
+    */
+  val m5Sql: String =
+    """WITH p AS (SELECT doc_id, 'AUD' || substr(text, 1, 61) AS s
+      |  FROM documents WHERE doc_id % 3 = 1),
+      |n AS (SELECT doc_id, s,
+      |        CAST((length(s) - 16) // 8 + 1 AS INTEGER) AS n_frames
+      |      FROM p WHERE length(s) >= 16),
+      |f AS (SELECT doc_id, s, n_frames,
+      |        CAST(unnest(range(0, n_frames)) AS INTEGER) AS frame_idx
+      |      FROM n),
+      |e AS (SELECT doc_id, n_frames, frame_idx,
+      |        CAST(list_sum(list_transform(
+      |          list_transform(range(1, 17),
+      |            i -> CAST(ord(substr(s, frame_idx * 8 + i, 1)) AS BIGINT) - 128),
+      |          x -> x * x)) AS BIGINT) AS energy
+      |      FROM f)
+      |SELECT doc_id, n_frames, frame_idx, energy FROM e
+      |ORDER BY doc_id, frame_idx""".stripMargin
+
   /** m3: frame sampling — every video payload yields ceil(n/stride)
     * frame records (stride 4 over a fake frame count derived from the
     * payload), each with a per-frame checksum. The explode shape and

@@ -234,6 +234,32 @@ class DedupKnnSpec extends AnyFunSuite {
     }
   }
 
+  test("m5: audio energies recompute from payload bytes; only AUD docs emit") {
+    val rows = Media.m5(spark, sf)
+      .select($"doc_id", $"n_frames", $"frame_idx", $"energy")
+      .as[(Long, Int, Int, Long)].collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_._1 % 3 == 1)) // AUD payloads only
+    assert(rows.forall(r => r._4 >= 0 && r._4 <= 16L * 128 * 128))
+    val byDoc = rows.groupBy(_._1)
+    val payloads = Media.payloads(spark, sf).collect()
+      .map(r => r.doc_id -> r.payload).toMap
+    byDoc.foreach { case (id, fs) =>
+      val p = payloads(id)
+      val expectFrames = (p.length - 16) / 8 + 1
+      assert(fs.length == expectFrames)
+      assert(fs.map(_._3).sorted.sameElements(0 until expectFrames))
+      // recompute one frame independently (overlap check: frame 1
+      // starts at byte 8, inside frame 0's window)
+      fs.find(_._3 == 1).foreach { case (_, _, f, e) =>
+        val expect = (0 until 16).map { i =>
+          val s = (p(f * 8 + i) & 0xff) - 128L; s * s
+        }.sum
+        assert(e == expect)
+      }
+    }
+  }
+
   test("d7: dedup application removes exactly the seeded copies") {
     import spark.implicits._
     val rows = Dedup.d7(spark, sf).collect()
