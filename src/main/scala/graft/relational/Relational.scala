@@ -537,4 +537,36 @@ object Relational {
       |FROM g
       |GROUP BY user_id, grp
       |ORDER BY user_id, streak_start""".stripMargin
+
+  /** q25: rolling 7-day distinct active users per observed day — the
+    * sliding-MAU/DAU analytic. Spark windows can't do COUNT(DISTINCT)
+    * over a RANGE frame; instead each (user, day) activity emits its 7
+    * covered window-end days (bounded explode — the same key-
+    * arithmetic move as w11/w19), and one aggregate counts distinct
+    * users per window end. Shuffle budget: the explode is narrow, the
+    * distinct-count is one Expand + partial/final aggregate; fan-out
+    * is the window length, independent of data size.
+    */
+  def q25(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val d = Tables.events(spark, dir)
+      .selectExpr("user_id", "CAST(extract(DOY FROM ts) AS BIGINT) AS day")
+      .distinct()
+    val observed = d.select($"day").distinct()
+    d.selectExpr("user_id", "explode(sequence(day, day + 6)) AS wday")
+      .join(observed.withColumnRenamed("day", "wday"), Seq("wday"), "left_semi")
+      .groupBy($"wday")
+      .agg(countDistinct($"user_id").as("active_users_7d"))
+      .select($"wday".as("day"), $"active_users_7d")
+      .transform(Tables.ordered(_, $"day"))
+  }
+
+  val q25Sql: String =
+    """WITH d AS (SELECT DISTINCT user_id, CAST(extract(doy FROM ts) AS BIGINT) AS day FROM events),
+      |w AS (SELECT user_id, unnest(range(day, day + 7)) AS wday FROM d)
+      |SELECT wday AS day, count(DISTINCT user_id) AS active_users_7d
+      |FROM w
+      |WHERE wday IN (SELECT day FROM d)
+      |GROUP BY 1
+      |ORDER BY 1""".stripMargin
 }

@@ -140,6 +140,33 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("v7: range search shuffles only for the presentation sort") {
+    val p = plan(graft.operators.Knn.v7(spark, sf)).split("== Initial Plan ==")(0)
+    val exchanges = "ShuffleQueryStage".r.findAllIn(p).length
+    assert(exchanges <= 1, s"scan+filter path should not shuffle; got $exchanges\n$p")
+    assert(!p.contains("Window"), "no top-k window on the range path")
+  }
+
+  test("d10: eval bands broadcast; no shuffle join or nested-loop for candidates") {
+    val p = plan(graft.operators.Dedup.d10(spark, sf))
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("t15: mixture resampling is narrow — zero data shuffles") {
+    val p = plan(graft.operators.TextStats.t15(spark, sf)).split("== Initial Plan ==")(0)
+    val exchanges = "ShuffleQueryStage".r.findAllIn(p).length
+    assert(exchanges <= 1, s"narrow map + explode should not shuffle; got $exchanges\n$p")
+  }
+
+  test("q24: distinct, island window and streak aggregate share one data shuffle") {
+    val p = plan(Relational.q24(spark, sf)).split("== Initial Plan ==")(0)
+    val exchanges = "ShuffleQueryStage".r.findAllIn(p).length
+    // one hash(user_id) exchange + the presentation sort
+    assert(exchanges <= 2, s"expected one data shuffle; got $exchanges\n$p")
+  }
+
   test("q12: range join plans as an equality hash join, not nested-loop") {
     val p = plan(graft.operators.AsOf.rangeJoin(spark, sf))
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"))

@@ -226,6 +226,22 @@ class RelationalSpec extends AnyFunSuite {
     }
   }
 
+  test("q25: rolling 7-day distinct equals a brute-force window recount") {
+    val got = Relational.q25(spark, sf).collect()
+      .map(r => r.getAs[Long]("day") -> r.getAs[Long]("active_users_7d")).toMap
+    val activity = Tables.events(spark, sf)
+      .selectExpr("user_id", "CAST(extract(DOY FROM ts) AS BIGINT) AS day")
+      .distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val days = activity.map(_._2).distinct.sorted
+    assert(got.keySet == days.toSet)
+    days.foreach { d =>
+      val brute = activity.filter { case (_, a) => a >= d - 6 && a <= d }
+        .map(_._1).distinct.length
+      assert(got(d) == brute, s"day $d: ${got(d)} vs $brute")
+    }
+  }
+
   test("e6 anomaly: every flagged event is >2 sigma, and some exist") {
     val rows = EventWindows.anomaly(spark, sf).collect()
     assert(rows.nonEmpty)

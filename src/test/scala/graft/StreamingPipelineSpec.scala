@@ -176,6 +176,41 @@ class StreamingPipelineSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("s8 transformWithState recovers top-k state from a checkpoint restart") {
+    import EventStreams.{RecEv, TopOut}
+    val ns = spark.newSession()
+    ns.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    implicit val sqlCtx = ns.sqlContext
+    import ns.implicits._
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_tws_ckpt").toString
+    val mem = MemoryStream[RecEv]
+    val got = new java.util.concurrent.ConcurrentLinkedQueue[TopOut]()
+    def start() = EventStreams.topkStream(mem.toDS())
+      .writeStream.outputMode(OutputMode.Append())
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[TopOut], _: Long) =>
+        b.collect().foreach(got.add)
+      }.start()
+    val q1 = start()
+    try {
+      mem.addData(RecEv(1, 1, 100, 5.0), RecEv(1, 2, 200, 9.0), RecEv(1, 3, 300, 7.0))
+      q1.processAllAvailable()
+    } finally q1.stop()
+    // new query instance, same checkpoint: the RocksDB ValueState
+    // must come back — 8.0 has to merge into the CARRIED {9,7,5}
+    val q2 = start()
+    try {
+      got.clear()
+      mem.addData(RecEv(1, 4, 400, 8.0))
+      q2.processAllAvailable()
+      val top = got.toArray(Array.empty[TopOut]).sortBy(_.rnk).toSeq
+      assert(top.map(t => (t.rnk, t.event_id, t.value)) ==
+        Seq((1, 2L, 9.0), (2, 4L, 8.0), (3, 3L, 7.0)),
+        s"state lost across restart: $top")
+    } finally q2.stop()
+  }
+
   test("s10 quota admission carries the admitted count across batches") {
     import EventStreams.{QEv, QOut}
     val ns = spark.newSession()
