@@ -1,6 +1,7 @@
 package graft
 
 import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions.{col, sum}
 import graft.relational.Relational
 import graft.operators.Weather
 
@@ -170,6 +171,28 @@ class PlanSpec extends AnyFunSuite {
   test("q12: range join plans as an equality hash join, not nested-loop") {
     val p = plan(graft.operators.AsOf.rangeJoin(spark, sf))
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"))
+  }
+
+  test("runtime bloom filter from a selective dim prunes the fact scan") {
+    // the 100 TB shuffle-join companion to static pushdown: a bloom
+    // of the filtered creation side's join keys is injected into the
+    // fact side BEFORE the shuffle, so non-matching fact rows drop at
+    // the scan instead of riding the exchange. Thresholds are sized
+    // for clusters — force-enable in a child session to pin the plan.
+    val ns = spark.newSession()
+    ns.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // shuffle join
+    ns.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+    ns.conf.set(
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+    ns.conf.set("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "100MB")
+    val li = Tables.lineitem(ns, sf).select(col("l_orderkey"), col("l_quantity"))
+    val ord = Tables.orders(ns, sf)
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_orderkey"))
+    val j = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .agg(sum(col("l_quantity")))
+    val p = plan(j)
+    assert(p.contains("might_contain"), s"no runtime bloom filter in plan:\n$p")
   }
 
   test("AQE splits a skewed join partition (skew=true in the final plan)") {
