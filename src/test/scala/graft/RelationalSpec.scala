@@ -242,6 +242,24 @@ class RelationalSpec extends AnyFunSuite {
     }
   }
 
+  test("p3: merged partials equal the direct recompute, with a real split") {
+    import graft.operators.Incremental
+    val merged = Incremental.p3(spark, sf).collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("n_events"),
+        r.getAs[Double]("sum_value")))
+    val direct = Tables.events(spark, sf)
+      .groupBy($"user_id")
+      .agg(count(lit(1)).as("n"), graft.functions.Stable.dsum($"value", 2).as("s"))
+      .collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("n"), r.getAs[Double]("s")))
+    assert(merged.sortBy(_._1).toSeq == direct.sortBy(_._1).toSeq)
+    // the ingest boundary actually splits the data (both sides real)
+    val halves = Tables.events(spark, sf)
+      .selectExpr("CAST(extract(DOY FROM ts) AS BIGINT) >= 15 AS newer")
+      .groupBy("newer").count().collect()
+    assert(halves.length == 2 && halves.forall(_.getAs[Long]("count") > 0))
+  }
+
   test("e6 anomaly: every flagged event is >2 sigma, and some exist") {
     val rows = EventWindows.anomaly(spark, sf).collect()
     assert(rows.nonEmpty)
