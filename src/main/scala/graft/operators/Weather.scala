@@ -396,8 +396,11 @@ object Weather {
     */
   def w19(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    // cached: the mask semi-join reuses the same per-cell aggregate
+    // instead of re-scanning (InMemoryRelation on both sides)
     val cellT = chain(spark, dir, 2)
       .groupBy($"lat", $"lon").agg(max($"tmp2m").as("t"))
+      .cache()
     cellT
       .selectExpr("lat", "lon", "t", "explode(array(-5.0, 0.0, 5.0)) AS dlat")
       .selectExpr("lat", "lon", "t", "dlat",

@@ -161,6 +161,26 @@ class SourcesSpec extends AnyFunSuite {
     assert(parsed == Seq((0L, 0L, "t0"), (1L, 7L, "t1"), (2L, 14L, "t2")))
   }
 
+  test("schema evolution: mergeSchema reads old and new file generations") {
+    import spark.implicits._
+    // generation 1: (event_id, value); generation 2 adds a column —
+    // the lakehouse reality of a store written over months
+    val dir = tmp() + "/evolving"
+    Seq((1L, 10.0), (2L, 20.0)).toDF("event_id", "value")
+      .write.parquet(dir + "/gen=1")
+    Seq((3L, 30.0, "eu"), (4L, 40.0, "us")).toDF("event_id", "value", "region")
+      .write.parquet(dir + "/gen=2")
+    val all = spark.read.option("mergeSchema", "true").parquet(dir)
+    assert(all.columns.toSet == Set("event_id", "value", "region", "gen"))
+    val rows = all.select($"event_id", $"region").as[(Long, Option[String])]
+      .collect().sortBy(_._1).toSeq
+    // old-generation rows surface the new column as null, not an error
+    assert(rows == Seq((1L, None), (2L, None), (3L, Some("eu")), (4L, Some("us"))))
+    // and a query touching only common columns still prunes to them
+    val p = all.select($"event_id").queryExecution.executedPlan.toString
+    assert(!p.contains("region") || p.contains("ReadSchema: struct<event_id:bigint>"))
+  }
+
   test("Catalog.latestComplete and isNewer") {
     import spark.implicits._
     val cat = Seq(("20240101", "06", true), ("20240101", "12", false),
