@@ -529,6 +529,13 @@ object Knn {
     * same "prune globally, refine locally" split as v2/v3. All inputs
     * to the greedy step are 1e-6-quantized, and λ-arithmetic is
     * single IEEE ops, so selection order is bitwise cross-engine.
+    *
+    * The candidates carry their vectors into the pool window, which
+    * is safe because WindowGroupLimit prunes to ≤pool rows per query
+    * PER INPUT PARTITION before the exchange — shuffle volume is
+    * O(partitions · pool · dim) per query, independent of corpus
+    * size. (With pool sizes beyond ~100, switch to the d8 discipline:
+    * rank ids only, join vectors back for the pool.)
     */
   def v8(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
