@@ -546,6 +546,77 @@ object TextStats {
       |WHERE rnk <= 3
       |ORDER BY doc_id, rnk""".stripMargin
 
+  // ---------- t16: BM25 retrieval scoring ----------
+
+  /** t16: BM25 top-k retrieval (k1=1.2, b=0.75) — the lexical
+    * retrieval primitive behind hard-negative mining, near-dup
+    * triage and eval-set construction. Pure inverted-index shape:
+    * query terms (tiny, broadcast) equality-join the (doc, term, tf)
+    * index, per-term contributions quantize to integers so the
+    * per-(query, doc) sum is order-free, and a bounded window takes
+    * top-5 per query. At corpus scale everything shuffles on `term`
+    * exactly once (hot boilerplate terms salt like any skewed key);
+    * df/avgdl are aggregates of the same index, N rides a 1-row
+    * broadcast — nothing is ever collected.
+    */
+  def t16(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val toks = Tables.documents(spark, dir)
+      .selectExpr("doc_id", "explode(split(lower(trim(text)), ' ')) AS term")
+    val tf = toks.groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
+    val dl = toks.groupBy($"doc_id").agg(count(lit(1)).as("dl"))
+    val dfT = tf.groupBy($"term").agg(count(lit(1)).as("df"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"),
+      (sum($"dl") / count(lit(1))).as("avgdl"))
+    val queries = Seq((0L, "spark table join"), (1L, "stream window agg"),
+      (2L, "customer order value")).toDF("qid", "qtext")
+    val qterms = queries
+      .selectExpr("qid", "explode(split(qtext, ' ')) AS term").distinct()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"qid").orderBy($"score".desc, $"doc_id")
+    qterms.join(tf, Seq("term"))
+      .join(dfT, Seq("term"))
+      .join(dl, Seq("doc_id"))
+      .crossJoin(broadcast(stats))
+      .selectExpr("qid", "doc_id",
+        "CAST(floor((floor(ln((CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 5e-1) / (CAST(df AS DOUBLE) + 5e-1) + 1.0) * 1e6 + 0.5) / 1e6)" +
+          " * (CAST(tf AS DOUBLE) / (CAST(tf AS DOUBLE) + 12e-1 * (25e-2 + 75e-2 * (CAST(dl AS DOUBLE) / avgdl))))" +
+          " * 1e6 + 0.5) AS BIGINT) AS c6")
+      .groupBy($"qid", $"doc_id")
+      .agg((sum($"c6") / 1e6).as("score"))
+      .withColumn("rnk", row_number().over(w))
+      .filter($"rnk" <= 5)
+      .select($"qid", $"rnk", $"doc_id", $"score")
+      .transform(graft.Tables.ordered(_, $"qid", $"rnk"))
+  }
+
+  val t16Sql: String =
+    """WITH toks AS (SELECT doc_id, unnest(string_split(lower(trim(text)), ' ')) AS term
+      |              FROM documents),
+      |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+      |dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+      |dfx AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+      |stats AS (SELECT count(*) AS n_docs,
+      |            CAST(sum(dl) AS BIGINT) / count(*) AS avgdl
+      |          FROM dl),
+      |q AS (SELECT * FROM (VALUES (0, 'spark table join'), (1, 'stream window agg'),
+      |        (2, 'customer order value')) AS t(qid, qtext)),
+      |qt AS (SELECT DISTINCT CAST(qid AS BIGINT) AS qid,
+      |         unnest(string_split(qtext, ' ')) AS term FROM q),
+      |c AS (SELECT qt.qid, tf.doc_id,
+      |        CAST(floor((floor(ln((CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 5e-1) / (CAST(df AS DOUBLE) + 5e-1) + 1.0) * 1e6 + 0.5) / 1e6)
+      |          * (CAST(tf AS DOUBLE) / (CAST(tf AS DOUBLE) + 12e-1 * (25e-2 + 75e-2 * (CAST(dl.dl AS DOUBLE) / avgdl))))
+      |          * 1e6 + 0.5) AS BIGINT) AS c6
+      |      FROM qt JOIN tf USING (term) JOIN dfx USING (term)
+      |      JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN stats),
+      |s AS (SELECT qid, doc_id, CAST(sum(c6) AS BIGINT) / 1e6 AS score
+      |      FROM c GROUP BY 1, 2),
+      |r AS (SELECT qid, doc_id, score,
+      |        CAST(row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id) AS INTEGER) AS rnk
+      |      FROM s)
+      |SELECT qid, rnk, doc_id, score FROM r WHERE rnk <= 5
+      |ORDER BY qid, rnk""".stripMargin
+
   // ---------- t15: weighted source-mixture sampling ----------
 
   /** t15: deterministic mixture resampling — re-weight the corpus to

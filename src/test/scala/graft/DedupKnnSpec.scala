@@ -373,6 +373,33 @@ class DedupKnnSpec extends AnyFunSuite {
     assert(recall >= 0.8, s"recall $recall")
   }
 
+  test("t16 BM25: ranked lists are valid and every hit shares a query term") {
+    val rows = TextStats.t16(spark, sf)
+      .select($"qid", $"rnk", $"doc_id", $"score")
+      .as[(Long, Int, Long, Double)].collect()
+    val byQ = rows.groupBy(_._1)
+    assert(byQ.keySet == Set(0L, 1L, 2L))
+    val qterms = Map(
+      0L -> Set("spark", "table", "join"),
+      1L -> Set("stream", "window", "agg"),
+      2L -> Set("customer", "order", "value"))
+    val texts = Tables.documents(spark, sf)
+      .select($"doc_id", lower(trim($"text"))).as[(Long, String)]
+      .collect().toMap
+    byQ.foreach { case (qid, rs) =>
+      assert(rs.length == 5)
+      assert(rs.map(_._2).sorted.sameElements(1 to 5))
+      val scores = rs.sortBy(_._2).map(_._4)
+      assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+      assert(rs.forall(_._4 > 0))
+      // every retrieved doc actually contains a query term
+      rs.foreach { r =>
+        val words = texts(r._3).split(" ").toSet
+        assert(qterms(qid).exists(words.contains), s"doc ${r._3} has no term of q$qid")
+      }
+    }
+  }
+
   test("t15 mixture: class-0 doubled, class-1 thinned, rest passed through") {
     val rows = TextStats.t15(spark, sf)
       .select($"doc_id", $"source", $"rep").as[(Long, String, Long)].collect()
