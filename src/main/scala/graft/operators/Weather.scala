@@ -434,6 +434,55 @@ object Weather {
       |WHERE EXISTS (SELECT 1 FROM c WHERE c.lat = s.glat AND c.lon = s.glon)
       |ORDER BY 1, 2""".stripMargin
 
+  // ---------- w20: time-series gap fill (forward fill) ----------
+
+  /** w20: per-cell forward-fill onto the dense hour scaffold — the
+    * series-repair pass a merge/upload needs when a cycle arrives
+    * with holes (the reference's combine_first quietly assumes dense
+    * series; this makes sparse ones dense). The scaffold is cells ×
+    * observed-hours (hours broadcast — it's bounded by the horizon),
+    * the fill is ONE window shuffle on the cell key with last(...,
+    * ignoreNulls) over an unbounded-preceding ROWS frame; leading
+    * holes (no prior observation) stay absent. `src` marks
+    * observed vs filled rows for downstream QA.
+    */
+  def w20(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val obs = chain(spark, dir, 2).filter($"aoff" < 240)
+      .groupBy($"lat", $"lon", $"aoff").agg(max($"tmp2m").as("t"))
+    val cells = obs.select($"lat", $"lon").distinct()
+    val hours = obs.select($"aoff").distinct()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"lat", $"lon").orderBy($"aoff")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    cells.crossJoin(broadcast(hours))
+      .join(obs, Seq("lat", "lon", "aoff"), "left_outer")
+      .withColumn("t_filled", last($"t", ignoreNulls = true).over(w))
+      .filter($"t_filled".isNotNull)
+      .selectExpr("lat", "lon", "aoff", "t_filled",
+        "CASE WHEN t IS NOT NULL THEN 'obs' ELSE 'fill' END AS src")
+      .transform(Tables.ordered(_, $"lat", $"lon", $"aoff"))
+  }
+
+  val w20Sql: String =
+    s"""WITH g AS (${ThermalChain.sql(2)}),
+      |obs AS (SELECT lat, lon, aoff, max(tmp2m) AS t FROM g
+      |        WHERE aoff < 240 GROUP BY 1, 2, 3),
+      |cells AS (SELECT DISTINCT lat, lon FROM obs),
+      |hours AS (SELECT DISTINCT aoff FROM obs),
+      |s AS (SELECT c.lat, c.lon, h.aoff, o.t
+      |      FROM cells c CROSS JOIN hours h
+      |      LEFT JOIN obs o ON o.lat = c.lat AND o.lon = c.lon AND o.aoff = h.aoff),
+      |f AS (SELECT lat, lon, aoff, t,
+      |        last_value(t IGNORE NULLS) OVER (PARTITION BY lat, lon ORDER BY aoff
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS t_filled
+      |      FROM s)
+      |SELECT lat, lon, aoff, t_filled,
+      |  CASE WHEN t IS NOT NULL THEN 'obs' ELSE 'fill' END AS src
+      |FROM f
+      |WHERE t_filled IS NOT NULL
+      |ORDER BY 1, 2, 3""".stripMargin
+
   // ---------- w17: NWS heat index + wind chill ----------
   // Public formulas beyond the reference's UTCI/WBGT pair: the
   // Rothfusz heat-index regression (T>=80°F branch, simple formula

@@ -110,6 +110,36 @@ class ThermalSpec extends AnyFunSuite {
     })
   }
 
+  test("w20: fills carry the latest prior observation; leading holes stay absent") {
+    val spark = SharedSpark.spark
+    import spark.implicits._
+    val obs = graft.functions.ThermalChain.df(spark, SharedSpark.sf, 2)
+      .filter($"aoff" < 240)
+      .groupBy($"lat", $"lon", $"aoff").agg(max($"tmp2m").as("t"))
+      .as[(Double, Double, Long, Double)].collect()
+      .groupBy(r => (r._1, r._2))
+      .view.mapValues(_.map(r => r._3 -> r._4).toMap).toMap
+    val got = Weather.w20(spark, SharedSpark.sf)
+      .as[(Double, Double, Long, Double, String)].collect()
+    assert(got.nonEmpty && got.exists(_._5 == "fill") && got.exists(_._5 == "obs"))
+    val cellsToCheck = got.map(r => (r._1, r._2)).distinct.take(20)
+    val byCell = got.groupBy(r => (r._1, r._2))
+    cellsToCheck.foreach { cell =>
+      val series = byCell(cell).sortBy(_._3)
+      val cellObs = obs(cell)
+      // nothing before the first observation
+      assert(series.head._3 == cellObs.keys.min)
+      series.foreach { case (_, _, aoff, t, src) =>
+        if (src == "obs") assert(t == cellObs(aoff))
+        else {
+          val prior = cellObs.keys.filter(_ < aoff)
+          assert(prior.nonEmpty && !cellObs.contains(aoff))
+          assert(t == cellObs(prior.max), s"cell $cell aoff $aoff")
+        }
+      }
+    }
+  }
+
   test("w19: stencil counts match an independent neighbor walk; smoothing contracts") {
     val spark = SharedSpark.spark
     import spark.implicits._
