@@ -81,6 +81,14 @@ object Dedup {
       .selectExpr("doc_id", "split(lower(trim(text)), ' ') AS words")
       .selectExpr("doc_id", s"($shingleExpr) AS sh")
 
+  /** Exploded (doc_id, shingle) index over an arbitrary (doc_id,
+    * text) corpus (spec support for the banding machinery).
+    */
+  private[graft] def shingleExplode(corpus: DataFrame): DataFrame =
+    corpus
+      .selectExpr("doc_id", "split(lower(trim(text)), ' ') AS words")
+      .selectExpr("doc_id", s"explode($shingleExpr) AS s")
+
   /** Exploded (doc_id, shingle) inverted index + per-doc set sizes. */
   private def shingleIndex(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
     val shx = shingled(spark, dir)
@@ -112,10 +120,25 @@ object Dedup {
   private val nBands = 4
   private val rowsPerBand = nHashes / nBands
 
-  def d2(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
+  /** The LSH skew guard: buckets holding more than `bucketCap`
+    * members are dropped from candidate generation entirely. A bucket
+    * that big means the banding stopped discriminating (boilerplate /
+    * identical-text floods) and would otherwise emit O(bucket²)
+    * candidate pairs — the one quadratic blow-up LSH is supposed to
+    * prevent. Exact duplicates belong to d1's digest group-by, not
+    * here; dropping the pathological bucket loses nothing a correctly
+    * divided pipeline needs. Mirrored in the oracle, so the capped
+    * semantics are what the bitwise check verifies.
+    */
+  private[graft] val bucketCap = 100
+
+  /** Banded candidate pairs from an exploded (doc_id, shingle) index:
+    * shingle → 16 seeded-FNV minhashes → 4 band signatures → bucket
+    * equality join, with buckets over `cap` dropped (skew guard).
+    */
+  private[graft] def bandedCandidates(shx: DataFrame, cap: Int): DataFrame = {
+    import shx.sparkSession.implicits._
     import graft.functions.Fnv64
-    val (shx, sizes) = shingleIndex(spark, dir)
     // minhash via explode + codegen'd min-aggregates (an aggregate()
     // lambda over the shingle array is interpreted — measured ~10x).
     // Seeded FNV-1a ("k:shingle") instead of xxhash64: same codegen
@@ -136,12 +159,21 @@ object Dedup {
     val buckets = withSigs.selectExpr("doc_id",
       s"posexplode(array($bandStructs)) AS (pos, bs)")
       .selectExpr("doc_id", "bs.band AS band", "bs.sig AS sig")
-    val cand = buckets.as("a")
-      .join(buckets.as("b"), $"a.band" === $"b.band" && $"a.sig" === $"b.sig" &&
+    val bounded = buckets
+      .join(buckets.groupBy($"band", $"sig").agg(count(lit(1)).as("bsz")),
+        Seq("band", "sig"))
+      .filter($"bsz" <= cap)
+    bounded.as("a")
+      .join(bounded.as("b"), $"a.band" === $"b.band" && $"a.sig" === $"b.sig" &&
         $"a.doc_id" < $"b.doc_id")
       .select($"a.doc_id".as("id_a"), $"b.doc_id".as("id_b"))
       .distinct()
-    jaccardOf(cand, shx, sizes)
+  }
+
+  def d2(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val (shx, sizes) = shingleIndex(spark, dir)
+    jaccardOf(bandedCandidates(shx, bucketCap), shx, sizes)
       .filter($"jaccard" >= 0.4)
       .transform(graft.Tables.ordered(_, $"id_a", $"id_b"))
   }
@@ -181,8 +213,11 @@ object Dedup {
       |sigs AS (SELECT doc_id, $minCols
       |         FROM shx JOIN hs USING (s) GROUP BY doc_id),
       |bands AS ($bandSelects),
+      |bcnt AS (SELECT band, sig, count(*) AS bsz FROM bands GROUP BY 1, 2),
+      |bands2 AS (SELECT b.doc_id, b.band, b.sig FROM bands b
+      |           JOIN bcnt USING (band, sig) WHERE bsz <= $bucketCap),
       |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-      |         FROM bands a JOIN bands b
+      |         FROM bands2 a JOIN bands2 b
       |           ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
       |j AS (SELECT id_a, id_b,
       |        CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)

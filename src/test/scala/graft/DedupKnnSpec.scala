@@ -358,6 +358,23 @@ class DedupKnnSpec extends AnyFunSuite {
       s"pq=$pqPickMean corpus=$corpusMean best=$corpusBest")
   }
 
+  test("d2 skew guard: a mega-bucket is dropped, normal pairs survive") {
+    // 150 identical docs land every band in one bucket of 150 > cap —
+    // without the guard that's 150·149/2 candidate pairs per band; a
+    // correctly divided pipeline sends exact clones to d1 instead.
+    val clones = (1L to 150L).map(i =>
+      (i, "alpha beta gamma delta epsilon zeta eta theta"))
+    val pair = Seq(
+      (900L, "one two three four five six seven eight nine ten"),
+      (901L, "one two three four five six seven eight nine ten extra"))
+    val corpus = (clones ++ pair).toDF("doc_id", "text")
+    val cands = Dedup.bandedCandidates(Dedup.shingleExplode(corpus), Dedup.bucketCap)
+      .as[(Long, Long)].collect()
+    assert(!cands.exists { case (a, b) => a <= 150 && b <= 150 },
+      "mega-bucket pairs should be capped away")
+    assert(cands.contains((900L, 901L)), "the honest near-dup pair must survive")
+  }
+
   test("d10 cross-decontam: seeded eval near-dups recovered with high recall") {
     val got = Dedup.d10(spark, sf)
       .select($"train_id", $"eval_id", $"jaccard")
