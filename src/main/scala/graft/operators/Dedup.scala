@@ -132,18 +132,20 @@ object Dedup {
     */
   private[graft] val bucketCap = 100
 
-  /** Banded candidate pairs from an exploded (doc_id, shingle) index:
-    * shingle → 16 seeded-FNV minhashes → 4 band signatures → bucket
-    * equality join, with buckets over `cap` dropped (skew guard).
+  /** (doc_id, band, sig) bucket table from an exploded (doc_id,
+    * shingle) index: shingle → 16 seeded-FNV minhashes → 4 band
+    * signatures. Shared by d2 (self-join) and d10 (asymmetric
+    * train × eval join).
+    *
+    * Minhash runs via explode + codegen'd min-aggregates (an
+    * aggregate() lambda over the shingle array is interpreted —
+    * measured ~10x). Seeded FNV-1a ("k:shingle") instead of
+    * xxhash64: same codegen cost Spark-side, and exactly mirrorable
+    * in DuckDB (xxhash64 is not) — the full bitwise oracle.
     */
-  private[graft] def bandedCandidates(shx: DataFrame, cap: Int): DataFrame = {
+  private[graft] def bandSignatures(shx: DataFrame): DataFrame = {
     import shx.sparkSession.implicits._
     import graft.functions.Fnv64
-    // minhash via explode + codegen'd min-aggregates (an aggregate()
-    // lambda over the shingle array is interpreted — measured ~10x).
-    // Seeded FNV-1a ("k:shingle") instead of xxhash64: same codegen
-    // cost Spark-side, and exactly mirrorable in DuckDB (xxhash64 is
-    // not), which upgrades d2 from rows-only to a full bitwise oracle.
     val mhCols = (0 until nHashes).map(k =>
       min(Fnv64.fnv64(concat(lit(s"$k:"), $"s"))).as(s"mh$k"))
     val sigs = shx
@@ -156,9 +158,17 @@ object Dedup {
     }: _*)
     val bandStructs = (0 until nBands)
       .map(b => s"named_struct('band', $b, 'sig', sig$b)").mkString(", ")
-    val buckets = withSigs.selectExpr("doc_id",
+    withSigs.selectExpr("doc_id",
       s"posexplode(array($bandStructs)) AS (pos, bs)")
       .selectExpr("doc_id", "bs.band AS band", "bs.sig AS sig")
+  }
+
+  /** Banded candidate pairs from an exploded (doc_id, shingle) index,
+    * with buckets over `cap` dropped (skew guard).
+    */
+  private[graft] def bandedCandidates(shx: DataFrame, cap: Int): DataFrame = {
+    import shx.sparkSession.implicits._
+    val buckets = bandSignatures(shx)
     val bounded = buckets
       .join(buckets.groupBy($"band", $"sig").agg(count(lit(1)).as("bsz")),
         Seq("band", "sig"))
@@ -245,28 +255,13 @@ object Dedup {
     */
   def d10(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    import graft.functions.Fnv64
     val docs = Tables.documents(spark, dir).select($"doc_id", $"text")
     val corpus = docs
       .unionByName(docs.filter($"doc_id" % 11 === 0)
         .select(($"doc_id" + 200000).as("doc_id"),
           concat($"text", lit(" benchmark eval suffix xq")).as("text")))
-    val shx = corpus
-      .selectExpr("doc_id", "split(lower(trim(text)), ' ') AS words")
-      .selectExpr("doc_id", s"explode($shingleExpr) AS s").cache()
-    val mhCols = (0 until nHashes).map(k =>
-      min(Fnv64.fnv64(concat(lit(s"$k:"), $"s"))).as(s"mh$k"))
-    val sigs = shx.groupBy($"doc_id").agg(mhCols.head, mhCols.tail: _*)
-    val withSigs = sigs.select(col("doc_id") +: (0 until nBands).map { b =>
-      val cols = (b * rowsPerBand until (b + 1) * rowsPerBand)
-        .map(k => col(s"mh$k").cast("string"))
-      Fnv64.fnv64(concat(lit(s"$b:"), concat_ws(",", cols: _*))).as(s"sig$b")
-    }: _*)
-    val bandStructs = (0 until nBands)
-      .map(b => s"named_struct('band', $b, 'sig', sig$b)").mkString(", ")
-    val buckets = withSigs.selectExpr("doc_id",
-      s"posexplode(array($bandStructs)) AS (pos, bs)")
-      .selectExpr("doc_id", "bs.band AS band", "bs.sig AS sig")
+    val shx = shingleExplode(corpus).cache()
+    val buckets = bandSignatures(shx)
     val cand = buckets.filter($"doc_id" < 200000).as("a")
       .join(broadcast(buckets.filter($"doc_id" >= 200000).as("b")),
         $"a.band" === $"b.band" && $"a.sig" === $"b.sig")
