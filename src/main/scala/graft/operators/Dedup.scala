@@ -490,14 +490,27 @@ object Dedup {
     val edges = e1.unionByName(e2).cache()
     val nodes = edges.select($"src".as("id"))
       .unionByName(edges.select($"dst".as("id"))).distinct()
-    var labels = nodes.withColumn("lbl", $"id")
+    var labels = nodes.withColumn("lbl", $"id").cache()
     // undirected edge list for propagation
     val und = edges.unionByName(edges.select($"dst".as("src"), $"src".as("dst"))).cache()
-    for (_ <- 1 to 3) {
+    // min-label propagation, CONVERGENCE-DETECTED: each round is one
+    // shuffle; rounds needed = component diameter (small for near-dup
+    // graphs — a giant-diameter component would call for the
+    // large-star/small-star contraction instead). The existence check
+    // per round is a limit(1) action, not a full count.
+    var converged = false
+    var rounds = 0
+    while (!converged && rounds < 20) {
       val viaEdge = und.join(labels.withColumnRenamed("id", "src"), Seq("src"))
         .select($"dst".as("id"), $"lbl")
-      labels = labels.unionByName(viaEdge)
-        .groupBy($"id").agg(min($"lbl").as("lbl"))
+      val next = labels.unionByName(viaEdge)
+        .groupBy($"id").agg(min($"lbl").as("lbl")).cache()
+      converged = next
+        .join(labels.withColumnRenamed("lbl", "prev"), Seq("id"))
+        .filter($"lbl" =!= $"prev").limit(1).count() == 0L
+      labels.unpersist()
+      labels = next
+      rounds += 1
     }
     labels.groupBy($"lbl".as("component"))
       .agg(count(lit(1)).as("size"), min($"id").as("canonical_id"))
