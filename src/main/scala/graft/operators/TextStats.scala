@@ -631,9 +631,13 @@ object TextStats {
     * fan-out is the per-doc replica count. Zero shuffles; composes in
     * front of t8's split/t9's packing unchanged.
     */
-  def t15(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    Tables.documents(spark, dir)
+  /** The mixture transform itself — STATELESS, so the identical
+    * function serves the batch query (t15) and the streaming twin
+    * (s11): narrow maps and bounded explodes carry over to
+    * `readStream` unchanged.
+    */
+  def mixtureOf(docs: DataFrame): DataFrame =
+    docs
       .selectExpr("doc_id", "source",
         "CAST(substring(source, 4) AS INT) % 5 AS sclass",
         "CAST(conv(substring(md5(concat('mix:', CAST(doc_id AS STRING))), 1, 4), 16, 10) AS BIGINT) % 100 AS bucket")
@@ -641,9 +645,13 @@ object TextStats {
         "CASE WHEN sclass = 0 THEN 2 " +
           "WHEN sclass = 1 THEN (CASE WHEN bucket < 40 THEN 1 ELSE 0 END) " +
           "ELSE 1 END AS reps")
-      .filter($"reps" > 0)
+      .filter(col("reps") > 0)
       .selectExpr("doc_id", "source",
         "explode(sequence(CAST(1 AS BIGINT), CAST(reps AS BIGINT))) AS rep")
+
+  def t15(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    mixtureOf(Tables.documents(spark, dir))
       .transform(graft.Tables.ordered(_, $"doc_id", $"rep"))
   }
 

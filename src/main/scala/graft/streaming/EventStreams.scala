@@ -325,6 +325,22 @@ object EventStreams {
     * session discipline as every streaming query (the dim must live
     * on the streaming child session to join its stream).
     */
+  /** s11: t15's mixture resampling on the streaming surface — the
+    * SAME `TextStats.mixtureOf` function over `readStream` (stateless
+    * narrow maps + bounded explode need no state store, no watermark):
+    * the batch/stream code-sharing the stateless half of a pipeline
+    * gets for free. Same oracle as t15.
+    */
+  def s11(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ss = streamSession(spark)
+    val schema = ss.read.parquet(s"$dir/documents.parquet").schema
+    val src = ss.readStream.schema(schema)
+      .option("pathGlobFilter", "documents.parquet").parquet(dir)
+    runToTable(ss, graft.operators.TextStats.mixtureOf(src), OutputMode.Append())
+      .orderBy($"doc_id", $"rep")
+  }
+
   def s9(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val ss = streamSession(spark)
