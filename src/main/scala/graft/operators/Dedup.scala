@@ -730,4 +730,79 @@ object Dedup {
       |FROM m a JOIN m b ON a.vec_id < b.vec_id
       |WHERE round(list_inner_product(a.nv, b.nv) * 1e6) / 1e6 >= 0.35
       |ORDER BY id_a, id_b""".stripMargin
+
+  // ---------- d11: cross-document line-level dedup (CCNet-style) ----------
+
+  /** d11: remove lines duplicated ACROSS documents — the CCNet /
+    * RefinedWeb hygiene pass that strips boilerplate (headers,
+    * footers, cookie banners) the document-level passes (d1-d10)
+    * can't see. "Lines" are synthesized deterministically as 8-word
+    * groups (the testdata corpus has no newlines); a shared 8-word
+    * header seeded onto every document plays the boilerplate role,
+    * and d7-style whole-document copies make every line of theirs
+    * corpus-duplicated. A line is dropped from ALL its documents when
+    * it appears verbatim in ≥ 2 distinct documents; the survivors
+    * reassemble in order.
+    *
+    * Scale shape: 2 shuffles — the (line → distinct-doc count)
+    * aggregate and the per-doc reassembly; the duplicate-line join is
+    * pure string equality (hash the line at 100 TB so only digests
+    * ride the exchange; boilerplate lines are exactly the hot keys —
+    * d2's bucketCap / salting applies). Reassembly order comes from a
+    * sort_array over (line_no, line) structs, not from collect order.
+    */
+  def d11(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val header = "standard corpus header line repeated across many documents"
+    val docs = Tables.documents(spark, dir)
+      .select($"doc_id", concat(lit(header + " "), $"text").as("text"))
+    val copies = docs.filter($"doc_id" % 5 === 0)
+      .select(($"doc_id" + 10000).as("doc_id"), $"text")
+    val lines = docs.unionByName(copies)
+      .selectExpr("doc_id", "split(trim(text), ' ') AS words")
+      .selectExpr("doc_id",
+        """posexplode(transform(
+          | sequence(0, CAST(ceil(size(words) / 8.0) AS INT) - 1),
+          | k -> concat_ws(' ', slice(words, k * 8 + 1, 8)))) AS (line_no, line)""".stripMargin)
+    val dup = lines.groupBy($"line")
+      .agg(countDistinct($"doc_id").as("nd"))
+      .filter($"nd" >= 2)
+      .select($"line", lit(true).as("is_dup"))
+    lines.join(dup, Seq("line"), "left")
+      .withColumn("kept", $"is_dup".isNull)
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_lines"),
+        sum(when($"kept", 0L).otherwise(1L)).as("n_removed"),
+        array_join(
+          expr("transform(sort_array(collect_list(CASE WHEN kept THEN struct(line_no, line) END)), s -> s.line)"),
+          " ").as("joined"))
+      .selectExpr("doc_id", "n_lines", "n_removed",
+        "nullif(joined, '') AS new_text")
+      .transform(graft.Tables.ordered(_, $"doc_id"))
+  }
+
+  val d11Sql: String =
+    """WITH seeded AS (
+      |  SELECT doc_id,
+      |    'standard corpus header line repeated across many documents ' || text AS text
+      |  FROM documents),
+      |corpus AS (
+      |  SELECT doc_id, text FROM seeded
+      |  UNION ALL
+      |  SELECT doc_id + 10000, text FROM seeded WHERE doc_id % 5 = 0),
+      |w AS (SELECT doc_id, string_split(trim(text), ' ') AS words FROM corpus),
+      |l AS (SELECT doc_id, k AS line_no,
+      |        array_to_string(words[(k * 8 + 1):(k * 8 + 8)], ' ') AS line
+      |      FROM (SELECT doc_id, words,
+      |              unnest(range(0, CAST(ceil(len(words) / 8.0) AS BIGINT))) AS k
+      |            FROM w)),
+      |dup AS (SELECT line FROM l GROUP BY line HAVING count(DISTINCT doc_id) >= 2),
+      |f AS (SELECT l.doc_id, l.line_no, l.line, dup.line IS NULL AS kept
+      |      FROM l LEFT JOIN dup ON l.line = dup.line)
+      |SELECT doc_id, count(*) AS n_lines,
+      |  CAST(sum(CASE WHEN kept THEN 0 ELSE 1 END) AS BIGINT) AS n_removed,
+      |  string_agg(CASE WHEN kept THEN line END, ' ' ORDER BY line_no, line) AS new_text
+      |FROM f
+      |GROUP BY doc_id
+      |ORDER BY doc_id""".stripMargin
 }

@@ -277,6 +277,87 @@ object Media {
       |SELECT doc_id, n_frames, frame_idx, energy FROM e
       |ORDER BY doc_id, frame_idx""".stripMargin
 
+  // ---------- m6: perceptual-hash near-duplicate media ----------
+
+  /** 2^(8j) multipliers for assembling the 64-bit hash from 8 bytes
+    * (ASCII bytes ≤ 127 keep the total under 2^63 — plain BIGINT).
+    */
+  private val byteMul: Seq[Long] = (0 until 8).map(j => 1L << (8 * j))
+
+  /** Payload byte j of the hash window (positions 5..12), 0 when the
+    * payload is shorter — identical ord/ascii arithmetic both engines.
+    */
+  private def phashExpr(ascii: String => String): String =
+    (0 until 8).map { j =>
+      val pos = 5 + j
+      s"(CASE WHEN length(s) >= $pos THEN CAST(${ascii(s"substr(s, $pos, 1)")} AS BIGINT) ELSE CAST(0 AS BIGINT) END) * ${byteMul(j)}"
+    }.mkString("(", " + ", ")")
+
+  /** m6: perceptual-hash near-duplicate detection over media payloads
+    * — the image-dedup pass of a multimodal pipeline (pHash/dHash +
+    * Hamming blocking). The hash itself is the decode-side STUB (a
+    * real pipeline computes pHash from decoded pixels; here it's 8
+    * payload bytes — same width, same locality property: a small
+    * payload perturbation flips few bits). Everything around the stub
+    * is the real scale machinery, shared with d3: 16-bit chunk
+    * pigeonhole blocking (hamming ≤ 4 ⇒ ≥ 1 of 4 chunks exactly
+    * equal), bucket equality join, bit_count(xor) verification —
+    * never an all-pairs pass. Near-dups are seeded by flipping one
+    * low bit of one hashed byte on every 6th payload (hamming 1).
+    */
+  def m6(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val base = Tables.documents(spark, dir)
+      .selectExpr("doc_id",
+        "concat(CASE WHEN doc_id % 3 = 0 THEN 'IMG' WHEN doc_id % 3 = 1 THEN 'AUD' ELSE 'VID' END, substring(text, 1, 61)) AS s")
+    val variants = base.filter($"doc_id" % 6 === 0)
+      .selectExpr("doc_id + 30000 AS doc_id",
+        "CASE WHEN length(s) >= 8 THEN concat(substring(s, 1, 7), chr(ascii(substring(s, 8, 1)) ^ 1), substring(s, 9, length(s))) ELSE s END AS s")
+    val hashed = base.unionByName(variants)
+      .selectExpr("doc_id", s"${phashExpr(s => s"ascii($s)")} AS ph")
+    val chunks = hashed.selectExpr("doc_id", "ph",
+      "posexplode(transform(sequence(0, 3), c -> shiftright(ph, c * 16) & 65535)) AS (chunk_idx, chunk)")
+    chunks.as("a").join(chunks.as("b"),
+        $"a.chunk_idx" === $"b.chunk_idx" && $"a.chunk" === $"b.chunk" &&
+          $"a.doc_id" < $"b.doc_id")
+      .select($"a.doc_id".as("id_a"), $"b.doc_id".as("id_b"),
+        expr("bit_count(a.ph ^ b.ph)").as("hamming"))
+      .distinct()
+      .filter($"hamming" <= 4)
+      .transform(graft.Tables.ordered(_, $"id_a", $"id_b"))
+  }
+
+  /** m6 oracle: ASCII payload mirror (ord == byte), the same 8-byte
+    * hash assembly, div/mod chunk extraction and bit_count(xor)
+    * Hamming — all BIGINT-exact.
+    */
+  val m6Sql: String = {
+    val chunkSelects = (0 until 4).map { c =>
+      val pow = 1L << (16 * c)
+      s"SELECT doc_id, ph, $c AS chunk_idx, (ph // $pow) % 65536 AS chunk FROM hashed"
+    }.mkString("\n  UNION ALL ")
+    s"""WITH base AS (SELECT doc_id,
+      |  (CASE WHEN doc_id % 3 = 0 THEN 'IMG' WHEN doc_id % 3 = 1 THEN 'AUD' ELSE 'VID' END)
+      |    || substr(text, 1, 61) AS s
+      |  FROM documents),
+      |corpus AS (
+      |  SELECT doc_id, s FROM base
+      |  UNION ALL
+      |  SELECT doc_id + 30000,
+      |    CASE WHEN length(s) >= 8
+      |         THEN substr(s, 1, 7) || chr(xor(ord(substr(s, 8, 1)), 1)) || substr(s, 9)
+      |         ELSE s END
+      |  FROM base WHERE doc_id % 6 = 0),
+      |hashed AS (SELECT doc_id, ${phashExpr(s => s"ord($s)")} AS ph FROM corpus),
+      |chunks AS ($chunkSelects),
+      |pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+      |            CAST(bit_count(xor(a.ph, b.ph)) AS INTEGER) AS hamming
+      |          FROM chunks a JOIN chunks b
+      |            ON a.chunk_idx = b.chunk_idx AND a.chunk = b.chunk AND a.doc_id < b.doc_id)
+      |SELECT id_a, id_b, hamming FROM pairs WHERE hamming <= 4
+      |ORDER BY id_a, id_b""".stripMargin
+  }
+
   /** m3: frame sampling — every video payload yields ceil(n/stride)
     * frame records (stride 4 over a fake frame count derived from the
     * payload), each with a per-frame checksum. The explode shape and

@@ -553,6 +553,60 @@ object Weather {
       .transform(Tables.ordered(_, $"lat", $"lon"))
   }
 
+  /** w21: heat episodes — per-cell runs of consecutive hours at or
+    * above a temperature threshold (the heat-wave / alerting analytic
+    * a thermal-index product sits under; the reference's chart bands
+    * show severity per day, this finds sustained severity over time).
+    * Gaps-and-islands on the dense grid hour: island id = global hour
+    * − row_number per cell (q24's calendar move at hour grain), so a
+    * run collapses to one group with NO self-joins and ONE shuffle on
+    * the cell key — the window and the aggregate share it. Episodes
+    * shorter than 3 h are dropped (alerting noise floor). The peak
+    * temperature is a max over engine-identical doubles (order-free),
+    * quantized only at presentation.
+    */
+  def w21(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cells = chain(spark, dir, 1).select($"lat", $"lon").distinct()
+    val days = Tables.customer(spark, dir)
+      .selectExpr("c_custkey % 30 AS day").distinct()
+    val hours = Tables.nation(spark, dir)
+      .filter($"n_nationkey" < 24).selectExpr("n_nationkey AS h")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"lat", $"lon").orderBy($"gh")
+    cells.join(broadcast(days)).join(broadcast(hours))
+      .withColumn("t", expr(w12T))
+      .withColumn("gh", expr("day * 24 + h"))
+      .filter($"t" >= 295.0)
+      .withColumn("grp", $"gh" - row_number().over(w))
+      .groupBy($"lat", $"lon", $"grp")
+      .agg(min($"gh").as("ep_start"), max($"gh").as("ep_end"),
+        count(lit(1)).as("n_hours"),
+        (floor(max($"t") * 1e6 + lit(0.5)).cast("long") / 1e6).as("peak_t"))
+      .filter($"n_hours" >= 3)
+      .select($"lat", $"lon", $"ep_start", $"ep_end", $"n_hours", $"peak_t")
+      .transform(Tables.ordered(_, $"lat", $"lon", $"ep_start"))
+  }
+
+  val w21Sql: String =
+    s"""WITH g AS (${ThermalChain.sql(1)}),
+      |cells AS (SELECT DISTINCT lat, lon FROM g),
+      |days AS (SELECT DISTINCT c_custkey % 30 AS day FROM customer),
+      |hours AS (SELECT n_nationkey AS h FROM nation WHERE n_nationkey < 24),
+      |dense AS (SELECT lat, lon, day * 24 + h AS gh, ($w12T) AS t
+      |          FROM cells CROSS JOIN days CROSS JOIN hours),
+      |hot AS (SELECT lat, lon, gh, t FROM dense WHERE t >= 295.0),
+      |i AS (SELECT lat, lon, gh, t,
+      |        gh - row_number() OVER (PARTITION BY lat, lon ORDER BY gh) AS grp
+      |      FROM hot)
+      |SELECT lat, lon, min(gh) AS ep_start, max(gh) AS ep_end,
+      |  count(*) AS n_hours,
+      |  CAST(floor(max(t) * 1e6 + 0.5) AS BIGINT) / 1e6 AS peak_t
+      |FROM i
+      |GROUP BY lat, lon, grp
+      |HAVING count(*) >= 3
+      |ORDER BY lat, lon, ep_start""".stripMargin
+
   val w16Sql: String =
     s"""WITH g AS (${ThermalChain.sql(1)}),
       |cells AS (SELECT DISTINCT lat, lon FROM g),

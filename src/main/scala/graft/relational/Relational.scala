@@ -569,4 +569,82 @@ object Relational {
       |WHERE wday IN (SELECT day FROM d)
       |GROUP BY 1
       |ORDER BY 1""".stripMargin
+
+  /** q26: peak concurrent sessions per day — the interval-counting
+    * analytic (capacity planning / load sizing). Sessions come from
+    * e3's 30-min-gap sessionization; each session is clipped to the
+    * days it covers (bounded explode — sessions are short, so the
+    * fan-out is 1-2), then the classic sweep: +1 at each clipped
+    * start, −1 at each clipped end, running sum per day, max. Closed
+    * intervals: at equal timestamps starts order before ends
+    * (delta DESC), so a session ending exactly when another starts
+    * counts as overlap in both engines. The per-day running sum is
+    * a BOUNDED window (one day of boundary points per partition —
+    * at higher volume sub-partition by hour and carry offsets, the
+    * t9 three-level scan); the max is tie-order-invariant because
+    * equal (t, delta) rows change the prefix sum monotonically.
+    * Shuffle budget: one on user_id (sessionize), one on day.
+    */
+  def q26(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val gapUs = 1800L * 1000000L
+    val dayUs = 86400L * 1000000L
+    val wU = org.apache.spark.sql.expressions.Window
+      .partitionBy($"user_id").orderBy($"tus", $"event_id")
+    val sess = Tables.events(spark, dir)
+      .select($"user_id", $"event_id", unix_micros($"ts").as("tus"))
+      .withColumn("new_session",
+        when(lag($"tus", 1).over(wU).isNull || $"tus" - lag($"tus", 1).over(wU) > gapUs, 1L)
+          .otherwise(0L))
+      .withColumn("sid",
+        sum($"new_session").over(wU.rowsBetween(Long.MinValue, 0)))
+      .groupBy($"user_id", $"sid")
+      .agg(min($"tus").as("s"), max($"tus").as("e"))
+    val spans = sess
+      .selectExpr("s", "e", s"explode(sequence(s div $dayUs, e div $dayUs)) AS day")
+      .selectExpr("day",
+        s"greatest(s, day * $dayUs) AS cs",
+        s"least(e, day * $dayUs + ${dayUs - 1}) AS ce")
+    val pts = spans.selectExpr("day", "cs AS t", "CAST(1 AS BIGINT) AS delta")
+      .unionByName(spans.selectExpr("day", "ce AS t", "CAST(-1 AS BIGINT) AS delta"))
+    val wD = org.apache.spark.sql.expressions.Window
+      .partitionBy($"day").orderBy($"t".asc, $"delta".desc)
+      .rowsBetween(Long.MinValue, 0)
+    pts.withColumn("cur", sum($"delta").over(wD))
+      .groupBy($"day")
+      .agg(max($"cur").as("peak_concurrent"),
+        sum(when($"delta" === 1L, 1L).otherwise(0L)).as("n_intervals"))
+      .transform(Tables.ordered(_, $"day"))
+  }
+
+  val q26Sql: String =
+    """WITH ev AS (SELECT user_id, event_id, epoch_us(ts) AS tus FROM events),
+      |f AS (SELECT user_id, event_id, tus,
+      |        CASE WHEN lag(tus) OVER (PARTITION BY user_id ORDER BY tus, event_id) IS NULL
+      |               OR tus - lag(tus) OVER (PARTITION BY user_id ORDER BY tus, event_id) > 1800000000
+      |             THEN 1 ELSE 0 END AS new_session
+      |      FROM ev),
+      |sid AS (SELECT user_id, tus,
+      |          sum(new_session) OVER (PARTITION BY user_id ORDER BY tus, event_id
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      |        FROM f),
+      |sess AS (SELECT user_id, sid, min(tus) AS s, max(tus) AS e
+      |         FROM sid GROUP BY 1, 2),
+      |spans AS (SELECT day,
+      |            greatest(s, day * 86400000000) AS cs,
+      |            least(e, day * 86400000000 + 86399999999) AS ce
+      |          FROM (SELECT s, e, unnest(range(s // 86400000000, e // 86400000000 + 1)) AS day
+      |                FROM sess)),
+      |pts AS (SELECT day, cs AS t, CAST(1 AS BIGINT) AS delta FROM spans
+      |        UNION ALL
+      |        SELECT day, ce AS t, CAST(-1 AS BIGINT) AS delta FROM spans),
+      |run AS (SELECT day, delta,
+      |          sum(delta) OVER (PARTITION BY day ORDER BY t ASC, delta DESC
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cur
+      |        FROM pts)
+      |SELECT day, CAST(max(cur) AS BIGINT) AS peak_concurrent,
+      |  CAST(sum(CASE WHEN delta = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_intervals
+      |FROM run
+      |GROUP BY day
+      |ORDER BY day""".stripMargin
 }

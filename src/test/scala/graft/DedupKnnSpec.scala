@@ -449,6 +449,45 @@ class DedupKnnSpec extends AnyFunSuite {
     assert(got.length < all.length)
   }
 
+  test("d11: the seeded header is stripped everywhere; whole-copy docs empty out") {
+    val rows = Dedup.d11(spark, sf).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_lines"),
+        r.getAs[Long]("n_removed"), r.getAs[String]("new_text")))
+    assert(rows.nonEmpty)
+    // every document loses at least the shared header line
+    rows.foreach { case (id, nl, nr, _) =>
+      assert(nr >= 1 && nr <= nl, s"doc $id removed $nr of $nl")
+    }
+    // originals of copied docs and the copies themselves lose every
+    // line (their full content is corpus-duplicated)
+    rows.filter(t => t._1 % 5 == 0 || t._1 >= 10000)
+      .foreach { case (id, nl, nr, txt) =>
+        assert(nr == nl, s"doc $id kept ${nl - nr} duplicated lines")
+        assert(txt == null, s"doc $id new_text should be null")
+      }
+    // surviving text never contains the boilerplate header
+    rows.filter(_._4 != null).foreach { case (id, _, _, txt) =>
+      assert(!txt.contains("standard corpus header line"), s"doc $id")
+    }
+  }
+
+  test("m6: every seeded variant pairs with its base at hamming 1") {
+    val pairs = graft.operators.Media.m6(spark, sf).collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"),
+        r.getAs[Number]("hamming").intValue()))
+    assert(pairs.nonEmpty)
+    val baseIds = Tables.documents(spark, sf)
+      .select($"doc_id").as[Long].collect().filter(_ % 6 == 0)
+    assert(baseIds.nonEmpty)
+    baseIds.foreach { d =>
+      val p = pairs.find(t => t._1 == d && t._2 == d + 30000)
+      assert(p.isDefined, s"missing seeded pair for $d")
+      assert(p.get._3 == 1, s"seeded flip should be hamming 1, got ${p.get._3}")
+    }
+    // verification really bounds the distance
+    assert(pairs.forall(_._3 <= 4))
+  }
+
   test("v8 MMR: 5 diverse picks from the top-10 pool, step 1 = argmax relevance") {
     val rows = Knn.v8(spark, sf)
       .select($"qid", $"rnk", $"vec_id", $"mmr_score")

@@ -168,6 +168,30 @@ class PlanSpec extends AnyFunSuite {
     assert(exchanges <= 2, s"expected one data shuffle; got $exchanges\n$p")
   }
 
+  test("q26: both sweep windows are key-partitioned; no single-partition exchange") {
+    val p = plan(Relational.q26(spark, sf))
+    assert(p.contains("Window"))
+    val offending = p.linesIterator.filter(_.contains("SinglePartition"))
+      .filterNot(_.contains("REPARTITION_BY_NUM")).toSeq
+    assert(offending.isEmpty,
+      s"interval sweep must never collapse to one partition: $offending")
+  }
+
+  test("p4: snapshot diff is one join — no extra exchanges beyond the outer join") {
+    val p = plan(graft.operators.Cdc.p4(spark, sf)).split("== Initial Plan ==")(0)
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"))
+    // two snapshot sides hash to the pk + the presentation repartition
+    val exchanges = "ShuffleQueryStage".r.findAllIn(p).length
+    assert(exchanges <= 3, s"expected at most the pk co-partitioning; got $exchanges\n$p")
+  }
+
+  test("m6/d11: candidate generation never plans a nested-loop or cartesian join") {
+    val pm = plan(graft.operators.Media.m6(spark, sf))
+    assert(!pm.contains("BroadcastNestedLoopJoin") && !pm.contains("CartesianProduct"))
+    val pd = plan(graft.operators.Dedup.d11(spark, sf))
+    assert(!pd.contains("BroadcastNestedLoopJoin") && !pd.contains("CartesianProduct"))
+  }
+
   test("q12: range join plans as an equality hash join, not nested-loop") {
     val p = plan(graft.operators.AsOf.rangeJoin(spark, sf))
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"))

@@ -242,6 +242,70 @@ class RelationalSpec extends AnyFunSuite {
     }
   }
 
+  test("q26: per-day peak concurrency equals a brute-force interval sweep") {
+    val got = Relational.q26(spark, sf).collect()
+      .map(r => (r.getAs[Long]("day"), r.getAs[Long]("peak_concurrent"),
+        r.getAs[Long]("n_intervals")))
+    assert(got.nonEmpty)
+    // rebuild the sessions independently in plain Scala
+    val gap = 1800L * 1000000L
+    val dayUs = 86400L * 1000000L
+    val evs = Tables.events(spark, sf)
+      .selectExpr("user_id", "event_id", "unix_micros(ts) AS tus").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val sessions = evs.groupBy(_._1).values.flatMap { rows =>
+      val sorted = rows.sortBy(r => (r._3, r._2)).map(_._3)
+      val buf = scala.collection.mutable.ArrayBuffer[(Long, Long)]()
+      sorted.foreach { t =>
+        if (buf.nonEmpty && t - buf.last._2 <= gap)
+          buf(buf.length - 1) = (buf.last._1, t)
+        else buf += ((t, t))
+      }
+      buf
+    }.toSeq
+    val clipped = sessions.flatMap { case (s, e) =>
+      (s / dayUs to e / dayUs).map { d =>
+        (d, math.max(s, d * dayUs), math.min(e, d * dayUs + dayUs - 1))
+      }
+    }
+    assert(got.map(_._1).toSet == clipped.map(_._1).toSet)
+    got.foreach { case (day, peak, nInt) =>
+      val ints = clipped.filter(_._1 == day)
+      assert(nInt == ints.length, s"day $day interval count")
+      // closed-interval peak is attained at some interval start
+      val brute = ints.map(_._2)
+        .map(t => ints.count(i => i._2 <= t && t <= i._3)).max
+      assert(peak == brute, s"day $day: $peak vs $brute")
+    }
+  }
+
+  test("p4: applying the change set to the old snapshot reproduces the new one") {
+    import graft.operators.Cdc
+    val o = Tables.orders(spark, sf)
+      .select($"o_orderkey", $"o_totalprice", $"o_orderstatus").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getString(2)))
+    val a = o.filter(_._1 % 10 != 3).map(t => t._1 -> ((t._2, t._3))).toMap
+    val b = o.filter(_._1 % 10 != 4).map { case (k, p, s) =>
+      k -> ((if (k % 7 == 0) p + 10.0 else p, if (k % 11 == 0) "R" else s))
+    }.toMap
+    val diff = Cdc.p4(spark, sf).collect()
+    assert(diff.nonEmpty)
+    val applied = scala.collection.mutable.Map(a.toSeq: _*)
+    diff.foreach { r =>
+      val pk = r.getAs[Long]("pk")
+      r.getAs[String]("change_type") match {
+        case "delete" => applied.remove(pk)
+        case "insert" | "update" =>
+          applied(pk) = (r.getAs[Double]("new_price"), r.getAs[String]("new_status"))
+        case other => fail(s"unexpected change_type $other")
+      }
+    }
+    assert(applied.toMap == b)
+    // all three change kinds occur in the testdata
+    val kinds = diff.map(_.getAs[String]("change_type")).toSet
+    assert(kinds == Set("insert", "delete", "update"))
+  }
+
   test("p3: merged partials equal the direct recompute, with a real split") {
     import graft.operators.Incremental
     val merged = Incremental.p3(spark, sf).collect()

@@ -110,6 +110,28 @@ class ThermalSpec extends AnyFunSuite {
     })
   }
 
+  test("w21: episodes are >=3h runs, internally dense and mutually non-touching") {
+    val eps = Weather.w21(spark, sf).collect()
+      .map(r => (r.getAs[Double]("lat"), r.getAs[Double]("lon"),
+        r.getAs[Long]("ep_start"), r.getAs[Long]("ep_end"),
+        r.getAs[Long]("n_hours"), r.getAs[Double]("peak_t")))
+    assert(eps.nonEmpty)
+    eps.foreach { case (_, _, s, e, n, peak) =>
+      // islands are dense: every hour between start and end is hot
+      assert(n == e - s + 1, s"episode [$s,$e] claims $n hours")
+      assert(n >= 3)
+      assert(peak >= 295.0)
+    }
+    // maximality: two episodes of one cell never touch (a touching
+    // pair would have been one island)
+    eps.groupBy(t => (t._1, t._2)).values.foreach { es =>
+      es.sortBy(_._3).sliding(2).foreach {
+        case Array(a, b) => assert(b._3 > a._4 + 1, s"touching episodes at ${a._1},${a._2}")
+        case _ =>
+      }
+    }
+  }
+
   test("w20: fills carry the latest prior observation; leading holes stay absent") {
     val spark = SharedSpark.spark
     import spark.implicits._
