@@ -24,7 +24,9 @@ object Retry {
     while (attempt < tries) {
       try return f
       catch {
-        case e: Throwable =>
+        // NonFatal only: interrupts, OOM and other VM errors must
+        // propagate immediately rather than being retried with backoff.
+        case scala.util.control.NonFatal(e) =>
           last = e
           attempt += 1
           if (attempt < tries) { sleep(delay); delay = (delay * backoff).toLong }

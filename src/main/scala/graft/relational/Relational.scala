@@ -578,12 +578,15 @@ object Relational {
     * start, −1 at each clipped end, running sum per day, max. Closed
     * intervals: at equal timestamps starts order before ends
     * (delta DESC), so a session ending exactly when another starts
-    * counts as overlap in both engines. The per-day running sum is
-    * a BOUNDED window (one day of boundary points per partition —
-    * at higher volume sub-partition by hour and carry offsets, the
-    * t9 three-level scan); the max is tie-order-invariant because
-    * equal (t, delta) rows change the prefix sum monotonically.
-    * Shuffle budget: one on user_id (sessionize), one on day.
+    * counts as overlap in both engines. The running sum is
+    * HIERARCHICAL (the t9 scan decomposition): level 0 scans within
+    * (day, hour-bucket) partitions only; level 1 carries exclusive
+    * bucket offsets via a window over the ≤24 per-day bucket
+    * summaries; the day peak is max(offset + local max). No window
+    * ever holds a whole day of boundary points, so billions of
+    * sessions/day spread over 24 tasks/day instead of one hot task.
+    * Shuffle budget: one on user_id (sessionize), one on (day, hb),
+    * one tiny one on day for the bucket-summary table.
     */
   def q26(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -607,13 +610,28 @@ object Relational {
         s"least(e, day * $dayUs + ${dayUs - 1}) AS ce")
     val pts = spans.selectExpr("day", "cs AS t", "CAST(1 AS BIGINT) AS delta")
       .unionByName(spans.selectExpr("day", "ce AS t", "CAST(-1 AS BIGINT) AS delta"))
-    val wD = org.apache.spark.sql.expressions.Window
-      .partitionBy($"day").orderBy($"t".asc, $"delta".desc)
+      .withColumn("hb", expr(s"t div ${3600L * 1000000L}"))
+    // Level 0: running sum WITHIN an (day, hour-bucket) partition only.
+    // Equal-t ties stay inside one bucket (buckets are t value-ranges),
+    // so (t asc, delta desc) ordering is preserved across the split.
+    val wB = org.apache.spark.sql.expressions.Window
+      .partitionBy($"day", $"hb").orderBy($"t".asc, $"delta".desc)
       .rowsBetween(Long.MinValue, 0)
-    pts.withColumn("cur", sum($"delta").over(wD))
+    val buckets = pts.withColumn("run", sum($"delta").over(wB))
+      .groupBy($"day", $"hb")
+      .agg(max($"run").as("local_max"), sum($"delta").as("btotal"),
+        sum(when($"delta" === 1L, 1L).otherwise(0L)).as("starts"))
+    // Level 1: exclusive bucket offsets — a window over the ≤24
+    // bucket-summary rows per day, never over the points themselves.
+    // peak(day) = max over buckets of (offset + local running max):
+    // exact BIGINT algebra, bitwise-equal to the sequential sweep.
+    val wOff = org.apache.spark.sql.expressions.Window
+      .partitionBy($"day").orderBy($"hb").rowsBetween(Long.MinValue, -1)
+    buckets
+      .withColumn("off", coalesce(sum($"btotal").over(wOff), lit(0L)))
       .groupBy($"day")
-      .agg(max($"cur").as("peak_concurrent"),
-        sum(when($"delta" === 1L, 1L).otherwise(0L)).as("n_intervals"))
+      .agg(max($"off" + $"local_max").as("peak_concurrent"),
+        sum($"starts").as("n_intervals"))
       .transform(Tables.ordered(_, $"day"))
   }
 

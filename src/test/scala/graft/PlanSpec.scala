@@ -177,6 +177,20 @@ class PlanSpec extends AnyFunSuite {
       s"interval sweep must never collapse to one partition: $offending")
   }
 
+  test("q26: point-level running sum is sub-day partitioned (t9 hierarchy)") {
+    // the scale guard: no unbounded-preceding window over the boundary
+    // POINTS may be partitioned by day alone — the point-level scan
+    // must carry the hour-bucket key; day-alone windows are allowed
+    // only over the per-bucket summary (the `btotal` offset carry).
+    val analyzed = Relational.q26(spark, sf).queryExecution.analyzed.toString
+    val dayOnlyPointWindows = analyzed.linesIterator.filter { l =>
+      l.contains("windowspecdefinition(day") && !l.contains("hb") &&
+        !l.contains("btotal")
+    }.toSeq
+    assert(dayOnlyPointWindows.isEmpty,
+      s"found a day-global window over boundary points: $dayOnlyPointWindows")
+  }
+
   test("p4: snapshot diff is one join — no extra exchanges beyond the outer join") {
     val p = plan(graft.operators.Cdc.p4(spark, sf)).split("== Initial Plan ==")(0)
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"))

@@ -325,6 +325,17 @@ class StreamingPipelineSpec extends AnyFunSuite {
     assert(calls2 == 3 && ex.getMessage == "always")
   }
 
+  test("Retry: fatal throwables propagate immediately, no retry") {
+    var calls = 0
+    val ex = intercept[InterruptedException] {
+      Retry.retry(5, delayMs = 0, sleep = _ => ()) {
+        calls += 1; throw new InterruptedException("interrupt")
+      }
+    }
+    assert(calls == 1 && ex.getMessage == "interrupt")
+    Thread.interrupted() // clear flag if set by the test harness
+  }
+
   test("StatusStore: lock and dotted-field semantics") {
     val dir = java.nio.file.Files.createTempDirectory("graft_status").toString
     val st = new StatusStore(dir)
