@@ -18,9 +18,10 @@ import graft.Tables
   *    candidate-pair verification join, both equality joins. No O(n²)
   *    pass ever happens; candidates carry only doc ids, shingles are
   *    re-joined by id (keeps shuffle rows narrow).
-  *  - SimHash: 64-bit fingerprint; near-dup candidates via 16-bit
-  *    chunk buckets (pigeonhole: hamming<=6 pairs share >=1 of 4
-  *    exact chunks), verified with bit_count(xor).
+  *  - SimHash: 64-bit fingerprint; near-dup candidates via 7 block
+  *    buckets (pigeonhole: hamming<=6 pairs share >=1 of 7 exact
+  *    blocks — k+1 blocks for radius k), verified with
+  *    bit_count(xor).
   *  - embedding near-dup: broadcast-codebook scoring ([[Knn]]);
   *    the pruned path at 100 TB is the LSH/IVF machinery there.
   *
@@ -319,6 +320,19 @@ object Dedup {
 
   // ---------- d3: SimHash fingerprint + hamming near-dups ----------
 
+  /** Pigeonhole blocking for the hamming ≤ 6 verify filter: k+1 = 7
+    * blocks (10,9,9,9,9,9,9 bits), so any pair within hamming 6
+    * leaves ≥ 1 block untouched and meets in that block's bucket —
+    * guaranteed recall. 4 blocks of 16 bits would only guarantee
+    * hamming ≤ 3 (a hamming-4 pair can differ in every block). The
+    * top block ends exactly at bit 63 so signed `shiftright + mask`
+    * (Spark) and unsigned `// 2^off % 2^w` (DuckDB) extract identical
+    * bits. Pure bit-position pigeonhole — holds for any 64-bit hash
+    * (BlockingSpec pins this).
+    */
+  val d3Blocks: Seq[(Int, Int)] =
+    Seq((0, 10), (10, 9), (19, 9), (28, 9), (37, 9), (46, 9), (55, 9))
+
   def d3(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     // per-bit vote sums via explode + 64 codegen'd aggregates (nested
@@ -336,8 +350,11 @@ object Dedup {
       .map(j => s"CASE WHEN v$j > 0 THEN shiftleft(1L, $j) ELSE 0L END")
       .grouped(8).map(_.mkString("(", " + ", ")")).mkString(" + ")
     val fp = votes.selectExpr("doc_id", s"($fpExpr) AS fp").cache()
+    val blockArr = d3Blocks.map { case (off, w) =>
+      s"shiftright(fp, $off) & ${(1 << w) - 1}"
+    }.mkString("array(", ", ", ")")
     val chunks = fp.selectExpr("doc_id", "fp",
-      "posexplode(transform(sequence(0, 3), c -> shiftright(fp, c * 16) & 65535)) AS (chunk_idx, chunk)")
+      s"posexplode($blockArr) AS (chunk_idx, chunk)")
     chunks.as("a").join(chunks.as("b"),
         $"a.chunk_idx" === $"b.chunk_idx" && $"a.chunk" === $"b.chunk" &&
           $"a.doc_id" < $"b.doc_id")
@@ -353,7 +370,7 @@ object Dedup {
     * (`(hu // 2^j) % 2`, unambiguous — no reliance on the engine's
     * signed-shift semantics); Spark's `shiftright(h, j) & 1` extracts
     * the identical physical bit from the two's-complement BIGINT.
-    * Votes, fingerprint assembly, 16-bit chunk blocking and
+    * Votes, fingerprint assembly, [[d3Blocks]] pigeonhole blocking and
     * bit_count(xor) Hamming verification are all integer math.
     */
   val d3Sql: String = {
@@ -364,8 +381,8 @@ object Dedup {
     val fpExpr = (0 until 64)
       .map(j => s"CASE WHEN v$j > 0 THEN ${bigPow2(j)} ELSE CAST(0 AS HUGEINT) END")
       .mkString(" + ")
-    val chunkSelects = (0 until 4).map { c =>
-      s"SELECT doc_id, fp, $c AS chunk_idx, CAST((fpu // ${bigPow2(16 * c)}) % 65536 AS BIGINT) AS chunk FROM fps"
+    val chunkSelects = d3Blocks.zipWithIndex.map { case ((off, w), c) =>
+      s"SELECT doc_id, fp, $c AS chunk_idx, CAST((fpu // ${bigPow2(off)}) % ${1L << w} AS BIGINT) AS chunk FROM fps"
     }.mkString("\n  UNION ALL ")
     s"""WITH corpus AS (
       |  SELECT doc_id, text FROM documents
@@ -744,12 +761,18 @@ object Dedup {
     * it appears verbatim in ≥ 2 distinct documents; the survivors
     * reassemble in order.
     *
-    * Scale shape: 2 shuffles — the (line → distinct-doc count)
-    * aggregate and the per-doc reassembly; the duplicate-line join is
-    * pure string equality (hash the line at 100 TB so only digests
-    * ride the exchange; boilerplate lines are exactly the hot keys —
-    * d2's bucketCap / salting applies). Reassembly order comes from a
-    * sort_array over (line_no, line) structs, not from collect order.
+    * Scale shape: 2 shuffles — the (digest → distinct-doc count)
+    * aggregate and the per-doc reassembly. Both the dup aggregate and
+    * the dup join key on `fnv64(line)`, so only 8-byte digests ride
+    * the exchanges; the line STRING stays on the per-doc side and
+    * appears in a shuffle only for the unavoidable reassembly
+    * group-by. Boilerplate digests are the hot keys — d2's bucketCap /
+    * salting applies. A 64-bit collision would merge two distinct
+    * lines (the CCNet trade; at 2^32 lines the birthday risk is ~0.4,
+    * widen to 128-bit by pairing fnv64(line) with
+    * fnv64(reverse(line)) if that matters). Reassembly order comes
+    * from a sort_array over (line_no, line) structs, not collect
+    * order.
     */
   def d11(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -761,14 +784,18 @@ object Dedup {
     val lines = docs.unionByName(copies)
       .selectExpr("doc_id", "split(trim(text), ' ') AS words")
       .selectExpr("doc_id",
+        // greatest(.., 1) guards the empty-words case: Spark's
+        // sequence(0, -1) would DESCEND ([0, -1]) where DuckDB's
+        // range(0, 0) is empty — pin both engines to one empty line
         """posexplode(transform(
-          | sequence(0, CAST(ceil(size(words) / 8.0) AS INT) - 1),
+          | sequence(0, greatest(CAST(ceil(size(words) / 8.0) AS INT), 1) - 1),
           | k -> concat_ws(' ', slice(words, k * 8 + 1, 8)))) AS (line_no, line)""".stripMargin)
-    val dup = lines.groupBy($"line")
+      .withColumn("lh", graft.functions.Fnv64.fnv64($"line"))
+    val dup = lines.select($"lh", $"doc_id").groupBy($"lh")
       .agg(countDistinct($"doc_id").as("nd"))
       .filter($"nd" >= 2)
-      .select($"line", lit(true).as("is_dup"))
-    lines.join(dup, Seq("line"), "left")
+      .select($"lh", lit(true).as("is_dup"))
+    lines.join(dup, Seq("lh"), "left")
       .withColumn("kept", $"is_dup".isNull)
       .groupBy($"doc_id")
       .agg(count(lit(1)).as("n_lines"),
@@ -794,7 +821,7 @@ object Dedup {
       |l AS (SELECT doc_id, k AS line_no,
       |        array_to_string(words[(k * 8 + 1):(k * 8 + 8)], ' ') AS line
       |      FROM (SELECT doc_id, words,
-      |              unnest(range(0, CAST(ceil(len(words) / 8.0) AS BIGINT))) AS k
+      |              unnest(range(0, greatest(CAST(ceil(len(words) / 8.0) AS BIGINT), 1))) AS k
       |            FROM w)),
       |dup AS (SELECT line FROM l GROUP BY line HAVING count(DISTINCT doc_id) >= 2),
       |f AS (SELECT l.doc_id, l.line_no, l.line, dup.line IS NULL AS kept

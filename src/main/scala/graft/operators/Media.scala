@@ -280,18 +280,33 @@ object Media {
   // ---------- m6: perceptual-hash near-duplicate media ----------
 
   /** 2^(8j) multipliers for assembling the 64-bit hash from 8 bytes
-    * (ASCII bytes ≤ 127 keep the total under 2^63 — plain BIGINT).
+    * (masked bytes ≤ 127 keep the total under 2^63 — plain BIGINT).
     */
   private val byteMul: Seq[Long] = (0 until 8).map(j => 1L << (8 * j))
 
   /** Payload byte j of the hash window (positions 5..12), 0 when the
     * payload is shorter — identical ord/ascii arithmetic both engines.
+    * Each byte is masked `& 127`: unmasked, one codepoint ≥ 128 in
+    * byte 7 overflows BIGINT (233·2^56 > 2^63−1) — Spark would wrap
+    * silently while DuckDB raises, so the mask ENFORCES the ASCII
+    * assumption instead of assuming it.
     */
   private def phashExpr(ascii: String => String): String =
     (0 until 8).map { j =>
       val pos = 5 + j
-      s"(CASE WHEN length(s) >= $pos THEN CAST(${ascii(s"substr(s, $pos, 1)")} AS BIGINT) ELSE CAST(0 AS BIGINT) END) * ${byteMul(j)}"
+      s"(CASE WHEN length(s) >= $pos THEN CAST((${ascii(s"substr(s, $pos, 1)")} & 127) AS BIGINT) ELSE CAST(0 AS BIGINT) END) * ${byteMul(j)}"
     }.mkString("(", " + ", ")")
+
+  /** Pigeonhole blocking scheme for the hamming ≤ 4 verify filter:
+    * k+1 = 5 blocks (13,13,13,13,12 bits — offsets 0/13/26/39/52), so
+    * any pair within hamming 4 leaves ≥ 1 block untouched and is
+    * guaranteed to meet in that block's bucket. 4 blocks of 16 bits
+    * would only guarantee hamming ≤ 3 (4 flips can hit all 4 blocks).
+    * The guarantee holds for ANY 64-bit hash — it is pure pigeonhole
+    * on bit positions — so swapping the stub for a real DCT pHash
+    * changes no blocking machinery (BlockingSpec pins this).
+    */
+  val m6Blocks: Seq[(Int, Int)] = Seq((0, 13), (13, 13), (26, 13), (39, 13), (52, 12))
 
   /** m6: perceptual-hash near-duplicate detection over media payloads
     * — the image-dedup pass of a multimodal pipeline (pHash/dHash +
@@ -299,11 +314,12 @@ object Media {
     * real pipeline computes pHash from decoded pixels; here it's 8
     * payload bytes — same width, same locality property: a small
     * payload perturbation flips few bits). Everything around the stub
-    * is the real scale machinery, shared with d3: 16-bit chunk
-    * pigeonhole blocking (hamming ≤ 4 ⇒ ≥ 1 of 4 chunks exactly
-    * equal), bucket equality join, bit_count(xor) verification —
-    * never an all-pairs pass. Near-dups are seeded by flipping one
-    * low bit of one hashed byte on every 6th payload (hamming 1).
+    * is the real scale machinery, shared in shape with d3: k+1-block
+    * pigeonhole blocking (hamming ≤ 4 ⇒ ≥ 1 of 5 blocks exactly
+    * equal — see [[m6Blocks]]), bucket equality join, bit_count(xor)
+    * verification — never an all-pairs pass. Near-dups are seeded by
+    * flipping one low bit of one hashed byte on every 6th payload
+    * (hamming 1).
     */
   def m6(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -315,8 +331,11 @@ object Media {
         "CASE WHEN length(s) >= 8 THEN concat(substring(s, 1, 7), chr(ascii(substring(s, 8, 1)) ^ 1), substring(s, 9, length(s))) ELSE s END AS s")
     val hashed = base.unionByName(variants)
       .selectExpr("doc_id", s"${phashExpr(s => s"ascii($s)")} AS ph")
+    val blockArr = m6Blocks.map { case (off, w) =>
+      s"shiftright(ph, $off) & ${(1 << w) - 1}"
+    }.mkString("array(", ", ", ")")
     val chunks = hashed.selectExpr("doc_id", "ph",
-      "posexplode(transform(sequence(0, 3), c -> shiftright(ph, c * 16) & 65535)) AS (chunk_idx, chunk)")
+      s"posexplode($blockArr) AS (chunk_idx, chunk)")
     chunks.as("a").join(chunks.as("b"),
         $"a.chunk_idx" === $"b.chunk_idx" && $"a.chunk" === $"b.chunk" &&
           $"a.doc_id" < $"b.doc_id")
@@ -332,9 +351,8 @@ object Media {
     * Hamming — all BIGINT-exact.
     */
   val m6Sql: String = {
-    val chunkSelects = (0 until 4).map { c =>
-      val pow = 1L << (16 * c)
-      s"SELECT doc_id, ph, $c AS chunk_idx, (ph // $pow) % 65536 AS chunk FROM hashed"
+    val chunkSelects = m6Blocks.zipWithIndex.map { case ((off, w), c) =>
+      s"SELECT doc_id, ph, $c AS chunk_idx, (ph // ${1L << off}) % ${1L << w} AS chunk FROM hashed"
     }.mkString("\n  UNION ALL ")
     s"""WITH base AS (SELECT doc_id,
       |  (CASE WHEN doc_id % 3 = 0 THEN 'IMG' WHEN doc_id % 3 = 1 THEN 'AUD' ELSE 'VID' END)

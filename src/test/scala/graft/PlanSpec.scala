@@ -206,6 +206,20 @@ class PlanSpec extends AnyFunSuite {
     assert(!pd.contains("BroadcastNestedLoopJoin") && !pd.contains("CartesianProduct"))
   }
 
+  test("d11: dup-count aggregate and dup join key on the 8-byte line digest") {
+    // only fnv64 digests may ride the dup-detection exchanges; the
+    // raw line string shuffles once, for the per-doc reassembly
+    val analyzed = graft.operators.Dedup.d11(spark, sf)
+      .queryExecution.optimizedPlan.toString
+    assert(analyzed.contains("fnv64"), s"expected digest keys in plan:\n$analyzed")
+    val aggOnLine = analyzed.linesIterator
+      .filter(l => l.contains("count(distinct doc_id") || l.contains("Aggregate"))
+      .filter(l => l.contains("[line"))
+      .toSeq
+    assert(aggOnLine.isEmpty,
+      s"dup aggregate must group on the digest, not the line string: $aggOnLine")
+  }
+
   test("q12: range join plans as an equality hash join, not nested-loop") {
     val p = plan(graft.operators.AsOf.rangeJoin(spark, sf))
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"))
