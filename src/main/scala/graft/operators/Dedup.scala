@@ -505,19 +505,35 @@ object Dedup {
     val e2 = docs.filter($"doc_id" % 14 === 0)
       .select(($"doc_id" + 10000).as("src"), ($"doc_id" + 20000).as("dst"))
     val edges = e1.unionByName(e2).cache()
+    // `graft.cc.algo = stars` switches to the O(log n)-round
+    // large-star/small-star contraction for pathological diameters;
+    // the default min-label propagation costs diameter rounds (fine
+    // for near-dup graphs, whose components are short copy chains).
+    val (labels, _, _) =
+      if (spark.conf.getOption("graft.cc.algo").contains("stars"))
+        ccStars(edges, 50)
+      else ccPropagate(edges, 20)
+    labels.groupBy($"lbl".as("component"))
+      .agg(count(lit(1)).as("size"), min($"id").as("canonical_id"))
+      .transform(graft.Tables.ordered(_, $"component"))
+  }
+
+  /** Min-label propagation over an undirected edge list (src, dst):
+    * each round is one shuffle; rounds needed = component DIAMETER.
+    * Convergence-detected — the per-round existence check is a
+    * limit(1) action, not a full count. Returns (labels(id, lbl),
+    * rounds run, converged).
+    */
+  private[graft] def ccPropagate(edges: DataFrame, maxRounds: Int): (DataFrame, Int, Boolean) = {
+    val spark = edges.sparkSession
+    import spark.implicits._
     val nodes = edges.select($"src".as("id"))
       .unionByName(edges.select($"dst".as("id"))).distinct()
     var labels = nodes.withColumn("lbl", $"id").cache()
-    // undirected edge list for propagation
     val und = edges.unionByName(edges.select($"dst".as("src"), $"src".as("dst"))).cache()
-    // min-label propagation, CONVERGENCE-DETECTED: each round is one
-    // shuffle; rounds needed = component diameter (small for near-dup
-    // graphs — a giant-diameter component would call for the
-    // large-star/small-star contraction instead). The existence check
-    // per round is a limit(1) action, not a full count.
     var converged = false
     var rounds = 0
-    while (!converged && rounds < 20) {
+    while (!converged && rounds < maxRounds) {
       val viaEdge = und.join(labels.withColumnRenamed("id", "src"), Seq("src"))
         .select($"dst".as("id"), $"lbl")
       val next = labels.unionByName(viaEdge)
@@ -529,9 +545,70 @@ object Dedup {
       labels = next
       rounds += 1
     }
-    labels.groupBy($"lbl".as("component"))
-      .agg(count(lit(1)).as("size"), min($"id").as("canonical_id"))
-      .transform(graft.Tables.ordered(_, $"component"))
+    und.unpersist()
+    (labels, rounds, converged)
+  }
+
+  /** Alternating large-star/small-star contraction (Kiveris et al.
+    * 2014, "Connected Components in MapReduce and Beyond") over an
+    * edge list (src, dst): converges in O(log n) ROUNDS regardless of
+    * diameter — the web-scale path for long-chain components where
+    * propagation needs diameter rounds.
+    *
+    * Large-star connects every neighbor LARGER than a node to the min
+    * of its closed neighborhood; small-star connects the
+    * smaller-or-equal neighbors (and the node) to that min. At the
+    * fixpoint the edges form stars rooted at each component's minimum
+    * node. Per round: two groupBy-min shuffles + a distinct.
+    * Convergence = edge-set fingerprint (count, xxhash XOR-fold) unchanged
+    * — one tiny aggregate row per round, no full set compare.
+    * Returns (labels(id, lbl), rounds run, converged).
+    */
+  private[graft] def ccStars(edges: DataFrame, maxRounds: Int): (DataFrame, Int, Boolean) = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    def canon(df: DataFrame): DataFrame = df
+      .select(least($"a", $"b").as("a"), greatest($"a", $"b").as("b"))
+      .filter($"a" =!= $"b").distinct()
+    def sig(df: DataFrame): (Long, Long) = df
+      .agg(count(lit(1)), coalesce(expr("bit_xor(xxhash64(a, b))"), lit(0L)))
+      .as[(Long, Long)].collect().head
+    // localCheckpoint (eager) per round: the alternating
+    // union/join/distinct multiplies the LOGICAL plan ~8× per round,
+    // so lineage must be cut — cache() alone leaves an exponentially
+    // growing plan for the analyzer.
+    var e = canon(edges.select($"src".as("a"), $"dst".as("b"))).localCheckpoint()
+    var curSig = sig(e)
+    var converged = false
+    var rounds = 0
+    while (!converged && rounds < maxRounds) {
+      // large-star: for each u, m = min(N(u) ∪ {u}); emit (v, m) ∀ v > u
+      val und = e.select($"a".as("u"), $"b".as("v"))
+        .unionByName(e.select($"b".as("u"), $"a".as("v")))
+      val mins = und.groupBy($"u").agg(min($"v").as("mn"))
+        .select($"u", least($"u", $"mn").as("m"))
+      val large = canon(und.join(mins, Seq("u"))
+        .filter($"v" > $"u")
+        .select($"v".as("a"), $"m".as("b")))
+      // small-star: orient big→small; for each u, m = min of its
+      // smaller neighbors; emit (v, m) ∀ v and (u, m)
+      val oriented = large.select($"b".as("u"), $"a".as("v"))
+      val mins2 = oriented.groupBy($"u").agg(min($"v").as("m"))
+      val small = oriented.join(mins2, Seq("u"))
+        .select($"v".as("a"), $"m".as("b"))
+        .unionByName(mins2.select($"u".as("a"), $"m".as("b")))
+      val en = canon(small).localCheckpoint()
+      val nSig = sig(en)
+      converged = nSig == curSig
+      e.unpersist()
+      e = en
+      curSig = nSig
+      rounds += 1
+    }
+    val labels = e.select($"b".as("id"), $"a".as("lbl"))
+      .unionByName(e.select($"a".as("id"), $"a".as("lbl")))
+      .groupBy($"id").agg(min($"lbl").as("lbl"))
+    (labels, rounds, converged)
   }
 
   /** Closed-form ground truth for [[d6]]'s seeded graph: x%14==0
@@ -832,4 +909,102 @@ object Dedup {
       |FROM f
       |GROUP BY doc_id
       |ORDER BY doc_id""".stripMargin
+
+  // ---------- d12: exact substring dedup (ExactSubstr grain) ----------
+
+  /** Window length in words for d12's duplicated-run detection. */
+  val d12K = 8
+
+  /** The planted duplicated run (11 words > K): appended to every
+    * 9th document so the spec has a known-recall target.
+    */
+  val d12Promo =
+    "limited time offer visit our site today for exclusive savings now"
+
+  /** d12: exact SUBSTRING dedup — the fourth dedup grain next to
+    * document (d1), near-dup (d2-d10) and line (d11): remove any
+    * ≥ K-word run that appears verbatim in ≥ 2 distinct documents
+    * (the ExactSubstr pass of Lee et al. 2022, "Deduplicating
+    * Training Data Makes Language Models Better" — standard in
+    * pretraining pipelines; boilerplate and licence blocks rarely
+    * align to line or document boundaries).
+    *
+    * Sliding word-K-grams per document → fnv64 digest; a digest held
+    * by ≥ 2 documents marks every start position it covers;
+    * overlapping/adjacent flagged windows merge into maximal
+    * removable spans (gaps-and-islands on start positions — equal
+    * window length makes "p − prev_p ≤ K" the merge test). Output is
+    * the per-document removal report.
+    *
+    * Scale shape: the gram exchange carries (doc_id, p, digest) only
+    * — the gram STRING dies before any shuffle, so the big aggregate
+    * keys 8-byte digests exactly like d11. Hot digests are
+    * boilerplate (d2's bucketCap/salting applies). The span merge is
+    * a per-doc window — bounded by words/doc, never corpus-global.
+    * The DuckDB oracle is the hash-free BRUTE FORCE on gram strings,
+    * so the gate doubles as a digest-path recall check.
+    */
+  def d12(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val K = d12K
+    val grams = Tables.documents(spark, dir)
+      .select($"doc_id",
+        when($"doc_id" % 9 === 0, concat($"text", lit(" " + d12Promo)))
+          .otherwise($"text").as("text"))
+      .selectExpr("doc_id", "split(trim(text), ' ') AS words")
+      .filter(size($"words") >= K)
+      .selectExpr("doc_id",
+        s"""posexplode(transform(
+           | sequence(0, size(words) - $K),
+           | p -> concat_ws(' ', slice(words, p + 1, $K)))) AS (p, gram)""".stripMargin)
+      .select($"doc_id", $"p", graft.functions.Fnv64.fnv64($"gram").as("gh"))
+    val dup = grams.groupBy($"gh")
+      .agg(countDistinct($"doc_id").as("nd"))
+      .filter($"nd" >= 2)
+      .select($"gh")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"doc_id").orderBy($"p")
+    grams.join(dup, Seq("gh"))
+      .select($"doc_id", $"p")
+      .withColumn("brk",
+        when(lag($"p", 1).over(w).isNull || $"p" - lag($"p", 1).over(w) > K, 1L)
+          .otherwise(0L))
+      .withColumn("grp", sum($"brk").over(w.rowsBetween(Long.MinValue, 0)))
+      .groupBy($"doc_id", $"grp")
+      .agg(min($"p").as("s"), (max($"p") + lit(K - 1)).as("e"))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_spans"),
+        sum($"e" - $"s" + 1).as("removed_words"))
+      .transform(graft.Tables.ordered(_, $"doc_id"))
+  }
+
+  val d12Sql: String = {
+    val K = d12K
+    s"""WITH seeded AS (
+      |  SELECT doc_id,
+      |    CASE WHEN doc_id % 9 = 0 THEN text || ' $d12Promo' ELSE text END AS text
+      |  FROM documents),
+      |w AS (SELECT doc_id, string_split(trim(text), ' ') AS words FROM seeded),
+      |g AS (SELECT doc_id, p, array_to_string(words[(p + 1):(p + $K)], ' ') AS gram
+      |      FROM (SELECT doc_id, words, unnest(range(0, len(words) - $K + 1)) AS p
+      |            FROM w WHERE len(words) >= $K)),
+      |dup AS (SELECT gram FROM g GROUP BY gram HAVING count(DISTINCT doc_id) >= 2),
+      |f AS (SELECT doc_id, p FROM g JOIN dup USING (gram)),
+      |m AS (SELECT doc_id, p,
+      |        CASE WHEN lag(p) OVER (PARTITION BY doc_id ORDER BY p) IS NULL
+      |               OR p - lag(p) OVER (PARTITION BY doc_id ORDER BY p) > $K
+      |             THEN 1 ELSE 0 END AS brk
+      |      FROM f),
+      |gi AS (SELECT doc_id, p,
+      |         sum(brk) OVER (PARTITION BY doc_id ORDER BY p
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+      |       FROM m),
+      |s AS (SELECT doc_id, grp, min(p) AS s, max(p) + $K - 1 AS e
+      |      FROM gi GROUP BY doc_id, grp)
+      |SELECT doc_id, count(*) AS n_spans,
+      |  CAST(sum(e - s + 1) AS BIGINT) AS removed_words
+      |FROM s
+      |GROUP BY doc_id
+      |ORDER BY doc_id""".stripMargin
+  }
 }

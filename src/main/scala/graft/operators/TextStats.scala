@@ -684,4 +684,135 @@ object TextStats {
       |WHERE t.doc_id % 13 <> 0
       |GROUP BY t.doc_id
       |ORDER BY t.doc_id""".stripMargin
+
+  // ---------- t17: corpus-learned BPE merge table ----------
+
+  /** Number of BPE merge rounds t17 learns (unrolled in the oracle —
+    * the v8 precedent for bounded greedy loops).
+    */
+  val t17Rounds = 5
+
+  /** t17: distributed byte-pair-encoding learning — the classic
+    * subword algorithm (Sennrich et al. 2016) run corpus-scale:
+    * production packing/quota logic operates on tokenizer tokens, not
+    * words, and the merge table IS the tokenizer.
+    *
+    * Shape: ONE corpus-wide shuffle builds the (distinct word, freq)
+    * vocab — Heaps' law keeps it ~1M rows at 100 TB while the corpus
+    * is billions of docs. Each of the [[t17Rounds]] rounds is then a
+    * distributed adjacent-pair count over the vocab (freq-weighted
+    * exact BIGINT sums) with a 1-ROW argmax collect (cnt DESC, pair
+    * ASC — deterministic), and a narrow map applying the merge.
+    * Merge application is leftmost non-overlapping pair rewriting via
+    * the doubled-space replace trick, so the DuckDB oracle reproduces
+    * it with plain `replace` — no lambda recursion: double every
+    * space (sentinel-wrapped), replace " a  b " with " ab ",
+    * collapse. Both engines scan left-to-right, so "a a a" merges to
+    * "aa a" exactly like sequential BPE.
+    *
+    * Output: the learned merge table (round, pair, merged, cnt) —
+    * deterministic, integer-counted, bitwise-comparable.
+    */
+  def t17(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val vocab = t17Vocab(spark, dir).cache()
+    val (rules, _) = t17Learn(vocab)
+    vocab.unpersist()
+    spark.createDataFrame(rules.zipWithIndex.map { case ((pair, cnt), i) =>
+      (i + 1, pair, pair.replace(" ", ""), cnt)
+    }).toDF("round", "pair", "merged", "cnt")
+      .transform(graft.Tables.ordered(_, $"round"))
+  }
+
+  /** (distinct word, freq) with words exploded to space-separated
+    * characters — the compact state the merge rounds iterate on.
+    */
+  private[graft] def t17Vocab(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .selectExpr("explode(split(lower(trim(text)), ' ')) AS w")
+      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+      .select(trim(regexp_replace(col("w"), "(.)", "$1 ")).as("s"), col("freq"))
+
+  /** Runs the merge rounds; returns the learned (pair, cnt) rules in
+    * order plus the final tokenized vocab (s = space-joined tokens).
+    */
+  private[graft] def t17Learn(vocab0: DataFrame): (Seq[(String, Long)], DataFrame) = {
+    val spark = vocab0.sparkSession
+    import spark.implicits._
+    var cur = vocab0
+    val rules = (1 to t17Rounds).map { _ =>
+      val top = cur
+        .filter(size(split($"s", " ")) >= 2)
+        .select($"freq", explode(expr(
+          """transform(sequence(0, size(split(s, ' ')) - 2),
+            | i -> concat(element_at(split(s, ' '), i + 1), ' ',
+            |             element_at(split(s, ' '), i + 2)))""".stripMargin)).as("pair"))
+        .groupBy($"pair").agg(sum($"freq").as("cnt"))
+        .orderBy($"cnt".desc, $"pair".asc)
+        .limit(1).as[(String, Long)].collect().head
+      val (pair, cnt) = top
+      val doubledPat = " " + pair.replace(" ", "  ") + " "
+      val mergedSym = " " + pair.replace(" ", "") + " "
+      cur = cur.select(
+        trim(regexp_replace(
+          org.apache.spark.sql.functions.replace(
+            org.apache.spark.sql.functions.replace(
+              concat(lit(" "), $"s", lit(" ")), lit(" "), lit("  ")),
+            lit(doubledPat), lit(mergedSym)),
+          lit(" +"), lit(" "))).as("s"),
+        $"freq")
+        .localCheckpoint(eager = false)
+      (pair, cnt)
+    }
+    (rules, cur)
+  }
+
+  /** Tokenizer-grain token counts per document using the learned
+    * merges — the input the t9 packing variant runs on (spec'd).
+    */
+  private[graft] def t17TokenCounts(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val vocab = t17Vocab(spark, dir).cache()
+    val (_, tokenized) = t17Learn(vocab)
+    val perWord = tokenized
+      .select($"s", size(split($"s", " ")).cast("long").as("n_tok"))
+      .select(org.apache.spark.sql.functions.replace($"s", lit(" "), lit("")).as("w"), $"n_tok")
+      .groupBy($"w").agg(first($"n_tok").as("n_tok"))
+    val out = Tables.documents(spark, dir)
+      .selectExpr("doc_id", "explode(split(lower(trim(text)), ' ')) AS w")
+      .join(perWord, Seq("w"))
+      .groupBy($"doc_id").agg(sum($"n_tok").as("n_tokens"))
+    vocab.unpersist()
+    out
+  }
+
+  /** Oracle: the identical 5 rounds unrolled as CTEs — pair counts,
+    * scalar-subquery argmax, doubled-space merge application. The
+    * regexp flags differ by engine ('g' is explicit in DuckDB) but
+    * the string algebra is the same.
+    */
+  val t17Sql: String = {
+    def pairCte(i: Int): String =
+      s"""p$i AS (SELECT l[i] || ' ' || l[i + 1] AS pair, freq
+         |  FROM (SELECT l, freq, unnest(range(1, len(l))) AS i
+         |        FROM (SELECT string_split(s, ' ') AS l, freq FROM w${i - 1}))),
+         |r$i AS (SELECT pair, CAST(sum(freq) AS BIGINT) AS cnt FROM p$i
+         |        GROUP BY pair ORDER BY cnt DESC, pair ASC LIMIT 1),
+         |w$i AS (SELECT trim(regexp_replace(
+         |          replace(replace(' ' || s || ' ', ' ', '  '),
+         |            ' ' || (SELECT replace(pair, ' ', '  ') FROM r$i) || ' ',
+         |            ' ' || (SELECT replace(pair, ' ', '') FROM r$i) || ' '),
+         |          ' +', ' ', 'g')) AS s, freq
+         |        FROM w${i - 1})""".stripMargin
+    val rounds = (1 to t17Rounds).map(pairCte).mkString(",\n")
+    val finalSel = (1 to t17Rounds)
+      .map(i => s"SELECT $i AS round, pair, replace(pair, ' ', '') AS merged, cnt FROM r$i")
+      .mkString("\n  UNION ALL ")
+    s"""WITH wx AS (SELECT unnest(string_split(lower(trim(text)), ' ')) AS w FROM documents),
+       |vocab AS (SELECT w, count(*) AS freq FROM wx GROUP BY w),
+       |w0 AS (SELECT trim(regexp_replace(w, '(.)', '\\1 ', 'g')) AS s, freq FROM vocab),
+       |$rounds
+       |$finalSel
+       |ORDER BY round""".stripMargin
+  }
 }

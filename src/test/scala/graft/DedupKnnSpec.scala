@@ -471,6 +471,66 @@ class DedupKnnSpec extends AnyFunSuite {
     }
   }
 
+  test("d6 stars: flag parity with propagation; log-round chain convergence") {
+    // the stars path must produce the identical component table
+    val base = Dedup.d6(spark, sf).collect().map(_.toSeq).toSeq
+    spark.conf.set("graft.cc.algo", "stars")
+    try {
+      val stars = Dedup.d6(spark, sf).collect().map(_.toSeq).toSeq
+      assert(stars == base)
+    } finally spark.conf.unset("graft.cc.algo")
+    // a 64-node path graph: diameter 63, so propagation needs ~63
+    // rounds while large-star/small-star contracts in O(log n)
+    val n = 64
+    val chain = spark.range(0, n - 1).selectExpr("id AS src", "id + 1 AS dst")
+    val (lbl, rounds, conv) = Dedup.ccStars(chain, 50)
+    assert(conv, "stars did not converge")
+    val bound = math.ceil(math.log(n.toDouble) / math.log(2.0)).toInt + 1
+    assert(rounds <= bound, s"stars took $rounds rounds (> log2($n)+1 = $bound)")
+    val labels = lbl.as[(Long, Long)].collect()
+    assert(labels.length == n && labels.forall(_._2 == 0L))
+    // propagation within the same round budget must NOT have converged
+    val (_, _, pconv) = Dedup.ccPropagate(chain, rounds)
+    assert(!pconv, "propagation should need diameter rounds, not log")
+  }
+
+  test("d12: planted substring is recalled in every seeded doc, spans merge") {
+    val rows = Dedup.d12(spark, sf).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_spans"),
+        r.getAs[Long]("removed_words")))
+    assert(rows.nonEmpty)
+    val promoLen = graft.operators.Dedup.d12Promo.split(" ").length
+    assert(promoLen > graft.operators.Dedup.d12K)
+    val seeded = Tables.documents(spark, sf)
+      .select($"doc_id").as[Long].collect().filter(_ % 9 == 0)
+    assert(seeded.nonEmpty)
+    val byId = rows.map(t => t._1 -> t).toMap
+    // every doc carrying the planted 11-word run is flagged, and its
+    // merged span covers at least the full run (the windows overlap
+    // into ONE span, not 4 separate K-word spans)
+    seeded.foreach { d =>
+      val t = byId.get(d)
+      assert(t.isDefined, s"seeded doc $d not flagged")
+      assert(t.get._3 >= promoLen, s"doc $d removed only ${t.get._3} words")
+    }
+    // brute-force cross-check on a sample: a flagged doc really shares
+    // a K-gram with some other doc (digest path introduces no false
+    // positives at this scale)
+    val texts = Tables.documents(spark, sf)
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+      .map { case (id, tx) =>
+        id -> (if (id % 9 == 0) tx + " " + graft.operators.Dedup.d12Promo else tx)
+      }.toMap
+    def grams(s: String) = s.trim.split(" ")
+      .sliding(graft.operators.Dedup.d12K).map(_.mkString(" ")).toSet
+    val allGrams = texts.toSeq.flatMap { case (id, tx) => grams(tx).map(_ -> id) }
+      .groupBy(_._1).view.mapValues(_.map(_._2).distinct.size).toMap
+    rows.take(20).foreach { case (id, _, _) =>
+      assert(grams(texts(id)).exists(g => allGrams(g) >= 2),
+        s"doc $id flagged but shares no $id-gram with another doc")
+    }
+  }
+
   test("m6: every seeded variant pairs with its base at hamming 1") {
     val pairs = graft.operators.Media.m6(spark, sf).collect()
       .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"),

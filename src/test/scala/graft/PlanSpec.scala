@@ -206,6 +206,19 @@ class PlanSpec extends AnyFunSuite {
     assert(!pd.contains("BroadcastNestedLoopJoin") && !pd.contains("CartesianProduct"))
   }
 
+  test("d12: gram aggregate keys on the digest; gram strings die pre-shuffle") {
+    val p = graft.operators.Dedup.d12(spark, sf)
+      .queryExecution.optimizedPlan.toString
+    assert(p.contains("fnv64"), s"expected digest keys in plan:\n$p")
+    // no Aggregate or Join may operate on the gram string — only on gh
+    val onGram = p.linesIterator
+      .filter(l => l.contains("Aggregate [gram") || l.contains("Join") && l.contains("gram#"))
+      .toSeq
+    assert(onGram.isEmpty, s"gram strings must not ride exchanges: $onGram")
+    val phys = plan(graft.operators.Dedup.d12(spark, sf))
+    assert(!phys.contains("BroadcastNestedLoopJoin") && !phys.contains("CartesianProduct"))
+  }
+
   test("d11: dup-count aggregate and dup join key on the 8-byte line digest") {
     // only fnv64 digests may ride the dup-detection exchanges; the
     // raw line string shuffles once, for the per-doc reassembly

@@ -136,6 +136,51 @@ class RelationalSpec extends AnyFunSuite {
     }
   }
 
+  test("t17: merges are deterministic; learned-token packing matches the sequential fold") {
+    val ts = graft.operators.TextStats
+    val merges = ts.t17(spark, sf).collect()
+      .map(r => (r.getAs[Int]("round"), r.getAs[String]("pair"), r.getAs[Long]("cnt")))
+    assert(merges.length == ts.t17Rounds)
+    assert(merges.map(_._1).toSeq == (1 to ts.t17Rounds))
+    // deterministic: a second learning pass yields the identical table
+    val again = ts.t17(spark, sf).collect()
+      .map(r => (r.getAs[Int]("round"), r.getAs[String]("pair"), r.getAs[Long]("cnt")))
+    assert(merges.toSeq == again.toSeq)
+    // tokenizer-grain counts: every word is >= 1 token, <= its chars
+    val toks = ts.t17TokenCounts(spark, sf)
+      .select($"doc_id", $"n_tokens").as[(Long, Long)].collect().toMap
+    val docs = Tables.documents(spark, sf)
+      .selectExpr("doc_id", "lower(trim(text)) AS t").as[(Long, String)].collect()
+    assert(toks.keySet == docs.map(_._1).toSet)
+    docs.foreach { case (id, t) =>
+      val words = t.split(" ")
+      assert(toks(id) >= words.length, s"doc $id under word count")
+      assert(toks(id) <= words.map(_.length.toLong).sum, s"doc $id over char count")
+    }
+    // the t9 packing variant: greedy bins over LEARNED TOKENS via the
+    // hierarchical scan must equal the sequential prefix-sum fold
+    val binTok = 256L
+    val tokDf = ts.t17TokenCounts(spark, sf)
+      .selectExpr("doc_id", "n_tokens", "doc_id div 16 AS bucket")
+    val wLocal = org.apache.spark.sql.expressions.Window
+      .partitionBy($"bucket").orderBy($"doc_id").rowsBetween(Long.MinValue, -1)
+    val wBuckets = org.apache.spark.sql.expressions.Window
+      .orderBy($"bucket").rowsBetween(Long.MinValue, -1)
+    val offs = tokDf.groupBy($"bucket").agg(sum($"n_tokens").as("btotal"))
+      .withColumn("bucket_off", coalesce(sum($"btotal").over(wBuckets), lit(0L)))
+      .select($"bucket", $"bucket_off")
+    val got = tokDf
+      .withColumn("local_off", coalesce(sum($"n_tokens").over(wLocal), lit(0L)))
+      .join(offs, Seq("bucket"))
+      .selectExpr("doc_id", s"(local_off + bucket_off) div $binTok AS bin")
+      .as[(Long, Long)].collect().toMap
+    var acc = 0L
+    val want = docs.map(_._1).sorted.map { id =>
+      val bin = acc / binTok; acc += toks(id); id -> bin
+    }.toMap
+    assert(got == want)
+  }
+
   test("q22: grouping sets reconcile with plain group-bys") {
     val rows = Relational.q22(spark, sf).collect()
     val detail = rows.filter(r => r.getAs[Int]("g_status") == 0 && r.getAs[Int]("g_prio") == 0)
