@@ -786,12 +786,28 @@ object TextStats {
     out
   }
 
+  /** t18: tokenizer-grain token counts per document — t1's counting
+    * at the grain production packing/quota logic actually uses: the
+    * learned t17 merges re-tokenize every word (the distinct-word
+    * table tokenizes ONCE; the corpus re-joins by word — the same
+    * vocab-join shape as t11's count tables, never collected), then
+    * one per-doc aggregate. Exact integer counts, so the unrolled
+    * oracle matches bitwise.
+    */
+  def t18(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    t17TokenCounts(spark, dir).transform(graft.Tables.ordered(_, $"doc_id"))
+  }
+
   /** Oracle: the identical 5 rounds unrolled as CTEs — pair counts,
     * scalar-subquery argmax, doubled-space merge application. The
     * regexp flags differ by engine ('g' is explicit in DuckDB) but
     * the string algebra is the same.
     */
-  val t17Sql: String = {
+  /** Shared CTE prefix: vocab init + the unrolled merge rounds
+    * (ends with `w<t17Rounds>` = the fully tokenized vocab).
+    */
+  private def t17Ctes: String = {
     def pairCte(i: Int): String =
       s"""p$i AS (SELECT l[i] || ' ' || l[i + 1] AS pair, freq
          |  FROM (SELECT l, freq, unnest(range(1, len(l))) AS i
@@ -805,14 +821,30 @@ object TextStats {
          |          ' +', ' ', 'g')) AS s, freq
          |        FROM w${i - 1})""".stripMargin
     val rounds = (1 to t17Rounds).map(pairCte).mkString(",\n")
+    s"""wx AS (SELECT unnest(string_split(lower(trim(text)), ' ')) AS w FROM documents),
+       |vocab AS (SELECT w, count(*) AS freq FROM wx GROUP BY w),
+       |w0 AS (SELECT trim(regexp_replace(w, '(.)', '\\1 ', 'g')) AS s, freq FROM vocab),
+       |$rounds""".stripMargin
+  }
+
+  val t17Sql: String = {
     val finalSel = (1 to t17Rounds)
       .map(i => s"SELECT $i AS round, pair, replace(pair, ' ', '') AS merged, cnt FROM r$i")
       .mkString("\n  UNION ALL ")
-    s"""WITH wx AS (SELECT unnest(string_split(lower(trim(text)), ' ')) AS w FROM documents),
-       |vocab AS (SELECT w, count(*) AS freq FROM wx GROUP BY w),
-       |w0 AS (SELECT trim(regexp_replace(w, '(.)', '\\1 ', 'g')) AS s, freq FROM vocab),
-       |$rounds
+    s"""WITH $t17Ctes
        |$finalSel
        |ORDER BY round""".stripMargin
   }
+
+  val t18Sql: String =
+    s"""WITH $t17Ctes,
+       |pertok AS (SELECT replace(s, ' ', '') AS w,
+       |             CAST(len(string_split(s, ' ')) AS BIGINT) AS n_tok
+       |           FROM w$t17Rounds),
+       |docw AS (SELECT doc_id, unnest(string_split(lower(trim(text)), ' ')) AS w
+       |         FROM documents)
+       |SELECT doc_id, CAST(sum(n_tok) AS BIGINT) AS n_tokens
+       |FROM docw JOIN pertok USING (w)
+       |GROUP BY doc_id
+       |ORDER BY doc_id""".stripMargin
 }
