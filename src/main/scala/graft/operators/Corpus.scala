@@ -1,0 +1,173 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** The composed LLM-corpus run — the training-data side's analogue of
+  * `W4hJob`'s composed ETL: one job that chains the curation gates a
+  * pretraining pipeline actually applies, reporting per-stage
+  * retention (the "data funnel" every corpus card publishes).
+  */
+object Corpus {
+
+  /** Quality gate threshold (t2's score; exactly representable, and
+    * both engines compute bitwise-identical scores, so the boundary
+    * compare is deterministic).
+    */
+  private val qualityMin = "0.5"
+
+  /** t10's word-8-gram set expression (whole-text fallback under 8
+    * words) over a `words` array column.
+    */
+  private val gramExpr =
+    """CASE WHEN size(words) >= 8
+      | THEN array_distinct(transform(sequence(0, size(words) - 8),
+      |        i -> concat_ws(' ', slice(words, i + 1, 8))))
+      | ELSE array(concat_ws(' ', words)) END""".stripMargin.replace("\n", "")
+
+  /** p5: the corpus curation funnel — quality gate (t2's score) →
+    * language-ID agreement gate (t3's classifier) → exact dedup
+    * (d1's digest, min-id survivor) → eval decontamination (t10's
+    * 8-gram overlap) — over a seeded corpus (train docs plus d1-style
+    * copies of every 5th; docs with doc_id % 13 == 0 are the held-out
+    * eval set and never enter the corpus). Output: one row per stage
+    * with (n_in, n_kept, n_removed), n_in chaining from the previous
+    * stage — the per-stage retention report.
+    *
+    * Scale shape: stages 1-2 are flags on the narrow feature map
+    * (zero extra shuffles); stage 3 is ONE window over the digest
+    * (survivor min restricted to still-alive rows via a conditional
+    * min — no second pass); stage 4 joins survivor grams to the
+    * broadcast-sized eval gram set (t10's equality-join shape, never
+    * train × eval). One final single-row aggregate feeds a 4-row
+    * stack — nothing per-doc ever reaches the driver.
+    */
+  def p5(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import TextStats.{markers, predExpr, scoreExpr, stopSqlSet}
+    val docs = Tables.documents(spark, dir).select($"doc_id", $"text", $"lang")
+    val train = docs.filter($"doc_id" % 13 =!= 0)
+    val corpus = train.unionByName(
+      train.filter($"doc_id" % 5 === 0)
+        .select(($"doc_id" + 10000).as("doc_id"), $"text", $"lang"))
+    // t2's features + t3's marker scores on one narrow map
+    val feats = corpus
+      .selectExpr("doc_id", "text", "lang",
+        "CAST(length(text) AS BIGINT) AS n_chars",
+        "CAST(size(split(trim(text), '\\\\s+')) AS BIGINT) AS n_words",
+        s"CAST(size(filter(split(lower(text), ' '), w -> w IN $stopSqlSet)) AS BIGINT) AS n_stop",
+        "CAST(regexp_count(text, '[.,;:!?]') AS BIGINT) AS n_punct",
+        "split(lower(text), ' ') AS lwords")
+      .selectExpr(Seq("doc_id", "text", "lang", "n_chars", "n_words",
+        "CAST(n_stop AS DOUBLE) / CAST(n_words AS DOUBLE) AS stop_ratio",
+        "CAST(n_punct AS DOUBLE) / CAST(n_chars AS DOUBLE) AS punct_ratio") ++
+        markers.map { case (l, set) => s"${scoreExpr("lwords", set)} AS s_$l" }: _*)
+      .selectExpr("doc_id", "text", "lang",
+        ("least(1.0, CAST(n_words AS DOUBLE) / 100.0) * 0.4" +
+          " + least(1.0, stop_ratio * 5.0) * 0.4" +
+          " + (1.0 - least(1.0, punct_ratio * 10.0)) * 0.2") + " AS quality",
+        s"($predExpr) AS predicted")
+      .selectExpr("doc_id", "text",
+        s"quality >= $qualityMin AS q_ok",
+        s"(quality >= $qualityMin AND predicted = lang) AS l_ok",
+        "md5(lower(trim(text))) AS digest")
+    // stage 3: survivor = min doc_id per digest AMONG l_ok rows
+    val wD = org.apache.spark.sql.expressions.Window.partitionBy($"digest")
+    val staged = feats
+      .withColumn("dmin", min(when($"l_ok", $"doc_id")).over(wD))
+      .withColumn("d_ok", $"l_ok" && $"doc_id" === $"dmin")
+    // stage 4: drop survivors sharing an 8-gram with any eval doc
+    val evalGrams = docs.filter($"doc_id" % 13 === 0)
+      .selectExpr("split(lower(trim(text)), ' ') AS words")
+      .selectExpr(s"explode($gramExpr) AS g").distinct()
+    val contaminated = staged.filter($"d_ok")
+      .selectExpr("doc_id", "split(lower(trim(text)), ' ') AS words")
+      .selectExpr("doc_id", s"explode($gramExpr) AS g")
+      .join(evalGrams, Seq("g"))
+      .select($"doc_id").distinct()
+      .withColumn("bad", lit(true))
+    staged.join(contaminated, Seq("doc_id"), "left")
+      .withColumn("c_ok", $"d_ok" && $"bad".isNull)
+      .agg(
+        count(lit(1)).as("n0"),
+        sum(when($"q_ok", 1L).otherwise(0L)).as("n1"),
+        sum(when($"l_ok", 1L).otherwise(0L)).as("n2"),
+        sum(when($"d_ok", 1L).otherwise(0L)).as("n3"),
+        sum(when($"c_ok", 1L).otherwise(0L)).as("n4"))
+      .selectExpr(
+        """stack(4,
+          | '1_quality',     n0, n1,
+          | '2_langid',      n1, n2,
+          | '3_exact_dedup', n2, n3,
+          | '4_decontam',    n3, n4) AS (stage, n_in, n_kept)""".stripMargin)
+      .selectExpr("stage", "n_in", "n_kept", "n_in - n_kept AS n_removed")
+      .transform(graft.Tables.ordered(_, $"stage"))
+  }
+
+  val p5Sql: String = {
+    import TextStats.{markers, predExpr, scoreSqlExpr, stopSqlSet}
+    val scores = markers.map { case (l, set) =>
+      s"${scoreSqlExpr("lwords", set)} AS s_$l"
+    }.mkString(",\n       ")
+    val gramSql =
+      """CASE WHEN len(words) >= 8
+        | THEN list_distinct(list_transform(range(0, len(words) - 7),
+        |        i -> array_to_string(words[(i + 1):(i + 8)], ' ')))
+        | ELSE [array_to_string(words, ' ')] END""".stripMargin.replace("\n", "")
+    s"""WITH docs AS (SELECT doc_id, text, lang FROM documents),
+       |train AS (SELECT * FROM docs WHERE doc_id % 13 <> 0),
+       |corpus AS (
+       |  SELECT doc_id, text, lang FROM train
+       |  UNION ALL
+       |  SELECT doc_id + 10000, text, lang FROM train WHERE doc_id % 5 = 0),
+       |f AS (SELECT doc_id, text, lang,
+       |        CAST(length(text) AS BIGINT) AS n_chars,
+       |        CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_words,
+       |        CAST(len(list_filter(string_split(lower(text), ' '), w -> w IN $stopSqlSet)) AS BIGINT) AS n_stop,
+       |        CAST(len(regexp_extract_all(text, '[.,;:!?]')) AS BIGINT) AS n_punct,
+       |        string_split(lower(text), ' ') AS lwords
+       |      FROM corpus),
+       |r AS (SELECT *,
+       |        CAST(n_stop AS DOUBLE) / CAST(n_words AS DOUBLE) AS stop_ratio,
+       |        CAST(n_punct AS DOUBLE) / CAST(n_chars AS DOUBLE) AS punct_ratio,
+       |       $scores
+       |      FROM f),
+       |q AS (SELECT doc_id, text, lang,
+       |        least(1.0, CAST(n_words AS DOUBLE) / 100.0) * 0.4
+       |          + least(1.0, stop_ratio * 5.0) * 0.4
+       |          + (1.0 - least(1.0, punct_ratio * 10.0)) * 0.2 AS quality,
+       |        ($predExpr) AS predicted
+       |      FROM r),
+       |g AS (SELECT doc_id, text,
+       |        quality >= $qualityMin AS q_ok,
+       |        (quality >= $qualityMin AND predicted = lang) AS l_ok,
+       |        md5(lower(trim(text))) AS digest
+       |      FROM q),
+       |d AS (SELECT *,
+       |        (l_ok AND doc_id = min(CASE WHEN l_ok THEN doc_id END)
+       |           OVER (PARTITION BY digest)) AS d_ok
+       |      FROM g),
+       |eg AS (SELECT DISTINCT unnest($gramSql) AS g2
+       |       FROM (SELECT string_split(lower(trim(text)), ' ') AS words
+       |             FROM docs WHERE doc_id % 13 = 0)),
+       |sg AS (SELECT doc_id, unnest($gramSql) AS g2
+       |       FROM (SELECT doc_id, string_split(lower(trim(text)), ' ') AS words
+       |             FROM d WHERE d_ok)),
+       |bad AS (SELECT DISTINCT doc_id FROM sg JOIN eg USING (g2)),
+       |fin AS (SELECT d.*,
+       |          (d_ok AND doc_id NOT IN (SELECT doc_id FROM bad)) AS c_ok
+       |        FROM d),
+       |c AS (SELECT CAST(count(*) AS BIGINT) AS n0,
+       |        CAST(sum(CASE WHEN q_ok THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+       |        CAST(sum(CASE WHEN l_ok THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+       |        CAST(sum(CASE WHEN d_ok THEN 1 ELSE 0 END) AS BIGINT) AS n3,
+       |        CAST(sum(CASE WHEN c_ok THEN 1 ELSE 0 END) AS BIGINT) AS n4
+       |      FROM fin)
+       |SELECT '1_quality' AS stage, n0 AS n_in, n1 AS n_kept, n0 - n1 AS n_removed FROM c
+       |UNION ALL SELECT '2_langid', n1, n2, n1 - n2 FROM c
+       |UNION ALL SELECT '3_exact_dedup', n2, n3, n2 - n3 FROM c
+       |UNION ALL SELECT '4_decontam', n3, n4, n3 - n4 FROM c
+       |ORDER BY stage""".stripMargin
+  }
+}

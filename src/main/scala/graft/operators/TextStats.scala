@@ -36,8 +36,8 @@ object TextStats {
 
   // ---------- t2: quality scoring ----------
 
-  private val stopList = Seq("the", "a", "and", "of", "to", "in", "is")
-  private def stopSqlSet = stopList.map(w => s"'$w'").mkString("(", ", ", ")")
+  private[operators] val stopList = Seq("the", "a", "and", "of", "to", "in", "is")
+  private[operators] def stopSqlSet = stopList.map(w => s"'$w'").mkString("(", ", ", ")")
 
   def t2(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -80,7 +80,7 @@ object TextStats {
 
   // ---------- t3: stopword-profile language identification ----------
 
-  private val markers: Seq[(String, Seq[String])] = Seq(
+  private[operators] val markers: Seq[(String, Seq[String])] = Seq(
     "en" -> Seq("the", "a", "of", "and", "is"),
     "de" -> Seq("der", "die", "und", "das", "ist"),
     "es" -> Seq("el", "los", "que", "y", "es"),
@@ -88,13 +88,13 @@ object TextStats {
     "zh" -> Seq("de", "shi", "zai", "le", "he"),
   )
 
-  private def scoreExpr(words: String, set: Seq[String]): String =
+  private[operators] def scoreExpr(words: String, set: Seq[String]): String =
     s"CAST(size(filter($words, w -> w IN ${set.map(w => s"'$w'").mkString("(", ", ", ")")})) AS BIGINT)"
 
-  private def scoreSqlExpr(words: String, set: Seq[String]): String =
+  private[operators] def scoreSqlExpr(words: String, set: Seq[String]): String =
     s"CAST(len(list_filter($words, w -> w IN ${set.map(w => s"'$w'").mkString("(", ", ", ")")})) AS BIGINT)"
 
-  private val predExpr: String = {
+  private[operators] val predExpr: String = {
     val langs = markers.map(_._1)
     langs.init.zipWithIndex.map { case (l, i) =>
       val geAll = langs.drop(i + 1).map(o => s"s_$l >= s_$o").mkString(" AND ")

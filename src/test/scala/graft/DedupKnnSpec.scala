@@ -471,6 +471,36 @@ class DedupKnnSpec extends AnyFunSuite {
     }
   }
 
+  test("p5: funnel chains; stage-3 removals equal the gate-surviving copies") {
+    val rows = graft.operators.Corpus.p5(spark, sf).collect()
+      .map(r => (r.getAs[String]("stage"), r.getAs[Long]("n_in"),
+        r.getAs[Long]("n_kept"), r.getAs[Long]("n_removed")))
+      .sortBy(_._1)
+    assert(rows.map(_._1).toSeq ==
+      Seq("1_quality", "2_langid", "3_exact_dedup", "4_decontam"))
+    rows.foreach { case (s, nIn, nKept, nRem) =>
+      assert(nIn - nKept == nRem && nKept <= nIn, s"stage $s inconsistent")
+    }
+    rows.sliding(2).foreach { w =>
+      assert(w(0)._3 == w(1)._2, "stages must chain n_kept -> n_in")
+    }
+    // n_in of stage 1 = train docs + seeded copies
+    val docs = Tables.documents(spark, sf).select($"doc_id").as[Long].collect()
+    val train = docs.filter(_ % 13 != 0)
+    assert(rows.head._2 == train.length + train.count(_ % 5 == 0))
+    // a copy shares its original's text, hence its gate flags — so
+    // dedup removes exactly the copies whose original survived both
+    // gates (the testdata corpus has no natural duplicates)
+    val q = TextStats.t2(spark, sf).select($"doc_id", $"quality")
+      .as[(Long, Double)].collect().toMap
+    val hit = TextStats.t3(spark, sf).select($"doc_id", $"hit")
+      .as[(Long, Int)].collect().toMap
+    val expected = train.filter(_ % 5 == 0)
+      .count(id => q(id) >= 0.5 && hit(id) == 1)
+    assert(rows(2)._4 == expected,
+      s"stage-3 removed ${rows(2)._4}, expected $expected surviving copies")
+  }
+
   test("d6 stars: flag parity with propagation; log-round chain convergence") {
     // the stars path must produce the identical component table
     val base = Dedup.d6(spark, sf).collect().map(_.toSeq).toSeq
