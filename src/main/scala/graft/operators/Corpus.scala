@@ -17,15 +17,6 @@ object Corpus {
     */
   private val qualityMin = "0.5"
 
-  /** t10's word-8-gram set expression (whole-text fallback under 8
-    * words) over a `words` array column.
-    */
-  private val gramExpr =
-    """CASE WHEN size(words) >= 8
-      | THEN array_distinct(transform(sequence(0, size(words) - 8),
-      |        i -> concat_ws(' ', slice(words, i + 1, 8))))
-      | ELSE array(concat_ws(' ', words)) END""".stripMargin.replace("\n", "")
-
   /** p5: the corpus curation funnel — quality gate (t2's score) →
     * language-ID agreement gate (t3's classifier) → exact dedup
     * (d1's digest, min-id survivor) → eval decontamination (t10's
@@ -39,13 +30,17 @@ object Corpus {
     * (zero extra shuffles); stage 3 is ONE window over the digest
     * (survivor min restricted to still-alive rows via a conditional
     * min — no second pass); stage 4 joins survivor grams to the
-    * broadcast-sized eval gram set (t10's equality-join shape, never
-    * train × eval). One final single-row aggregate feeds a 4-row
-    * stack — nothing per-doc ever reaches the driver.
+    * broadcast-sized eval gram set (t10's shared gram expression,
+    * never train × eval). Every contaminated id is by construction a
+    * distinct stage-3 survivor, so stage 4 is a COUNT SUBTRACTION
+    * (n4 = n3 − |contaminated|) — no per-doc join-back; the staged
+    * flags cache so the counts aggregate and the decontam branch
+    * share one computation of the feature map + digest window.
+    * Nothing per-doc ever reaches the driver.
     */
   def p5(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    import TextStats.{markers, predExpr, scoreExpr, stopSqlSet}
+    import TextStats.{gram8Expr, markers, predExpr, scoreExpr, stopSqlSet}
     val docs = Tables.documents(spark, dir).select($"doc_id", $"text", $"lang")
     val train = docs.filter($"doc_id" % 13 =!= 0)
     val corpus = train.unionByName(
@@ -77,44 +72,40 @@ object Corpus {
     val staged = feats
       .withColumn("dmin", min(when($"l_ok", $"doc_id")).over(wD))
       .withColumn("d_ok", $"l_ok" && $"doc_id" === $"dmin")
-    // stage 4: drop survivors sharing an 8-gram with any eval doc
+      .select($"doc_id", $"text", $"q_ok", $"l_ok", $"d_ok")
+      .cache()
+    // stage 4: survivors sharing an 8-gram with any eval doc
     val evalGrams = docs.filter($"doc_id" % 13 === 0)
       .selectExpr("split(lower(trim(text)), ' ') AS words")
-      .selectExpr(s"explode($gramExpr) AS g").distinct()
-    val contaminated = staged.filter($"d_ok")
+      .selectExpr(s"explode($gram8Expr) AS g").distinct()
+    val contamCount = staged.filter($"d_ok")
       .selectExpr("doc_id", "split(lower(trim(text)), ' ') AS words")
-      .selectExpr("doc_id", s"explode($gramExpr) AS g")
+      .selectExpr("doc_id", s"explode($gram8Expr) AS g")
       .join(evalGrams, Seq("g"))
       .select($"doc_id").distinct()
-      .withColumn("bad", lit(true))
-    staged.join(contaminated, Seq("doc_id"), "left")
-      .withColumn("c_ok", $"d_ok" && $"bad".isNull)
+      .agg(count(lit(1)).as("nbad"))
+    staged
       .agg(
         count(lit(1)).as("n0"),
         sum(when($"q_ok", 1L).otherwise(0L)).as("n1"),
         sum(when($"l_ok", 1L).otherwise(0L)).as("n2"),
-        sum(when($"d_ok", 1L).otherwise(0L)).as("n3"),
-        sum(when($"c_ok", 1L).otherwise(0L)).as("n4"))
+        sum(when($"d_ok", 1L).otherwise(0L)).as("n3"))
+      .crossJoin(contamCount)
       .selectExpr(
         """stack(4,
           | '1_quality',     n0, n1,
           | '2_langid',      n1, n2,
           | '3_exact_dedup', n2, n3,
-          | '4_decontam',    n3, n4) AS (stage, n_in, n_kept)""".stripMargin)
+          | '4_decontam',    n3, n3 - nbad) AS (stage, n_in, n_kept)""".stripMargin)
       .selectExpr("stage", "n_in", "n_kept", "n_in - n_kept AS n_removed")
       .transform(graft.Tables.ordered(_, $"stage"))
   }
 
   val p5Sql: String = {
-    import TextStats.{markers, predExpr, scoreSqlExpr, stopSqlSet}
+    import TextStats.{gram8Sql => gramSql, markers, predExpr, scoreSqlExpr, stopSqlSet}
     val scores = markers.map { case (l, set) =>
       s"${scoreSqlExpr("lwords", set)} AS s_$l"
     }.mkString(",\n       ")
-    val gramSql =
-      """CASE WHEN len(words) >= 8
-        | THEN list_distinct(list_transform(range(0, len(words) - 7),
-        |        i -> array_to_string(words[(i + 1):(i + 8)], ' ')))
-        | ELSE [array_to_string(words, ' ')] END""".stripMargin.replace("\n", "")
     s"""WITH docs AS (SELECT doc_id, text, lang FROM documents),
        |train AS (SELECT * FROM docs WHERE doc_id % 13 <> 0),
        |corpus AS (

@@ -355,7 +355,20 @@ object Dedup {
     }.mkString("array(", ", ", ")")
     val chunks = fp.selectExpr("doc_id", "fp",
       s"posexplode($blockArr) AS (chunk_idx, chunk)")
-    chunks.as("a").join(chunks.as("b"),
+    // d2's skew guard on the 9-10-bit block buckets: narrower keys
+    // than the old 16-bit chunks collide more on uniform (dissimilar)
+    // fingerprints (~7/2^9 per pair), so a flooding bucket must cap
+    // out instead of emitting O(bucket²) candidates — the guaranteed
+    // ≤6 recall holds for pairs in uncapped buckets (the d2 trade,
+    // mirrored in the oracle). The zero-extra-candidate alternative
+    // is Manku et al. 2007's multi-table block-combination keys —
+    // documented, not needed at the d3 radius.
+    val bounded = chunks
+      .join(chunks.groupBy($"chunk_idx", $"chunk").agg(count(lit(1)).as("bsz")),
+        Seq("chunk_idx", "chunk"))
+      .filter($"bsz" <= bucketCap)
+      .select($"doc_id", $"fp", $"chunk_idx", $"chunk")
+    bounded.as("a").join(bounded.as("b"),
         $"a.chunk_idx" === $"b.chunk_idx" && $"a.chunk" === $"b.chunk" &&
           $"a.doc_id" < $"b.doc_id")
       .select($"a.doc_id".as("id_a"), $"b.doc_id".as("id_b"),
@@ -397,9 +410,12 @@ object Dedup {
       |fpt AS (SELECT doc_id, ($fpExpr) AS fpu FROM votes),
       |fps AS (SELECT doc_id, fpu, ${Fnv64.duckToSigned("fpu")} AS fp FROM fpt),
       |chunks AS ($chunkSelects),
+      |bcnt AS (SELECT chunk_idx, chunk, count(*) AS bsz FROM chunks GROUP BY 1, 2),
+      |bounded AS (SELECT doc_id, fp, chunk_idx, chunk FROM chunks
+      |            JOIN bcnt USING (chunk_idx, chunk) WHERE bsz <= $bucketCap),
       |pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
       |            CAST(bit_count(xor(a.fp, b.fp)) AS INTEGER) AS hamming
-      |          FROM chunks a JOIN chunks b
+      |          FROM bounded a JOIN bounded b
       |            ON a.chunk_idx = b.chunk_idx AND a.chunk = b.chunk AND a.doc_id < b.doc_id)
       |SELECT id_a, id_b, hamming FROM pairs WHERE hamming <= 6
       |ORDER BY id_a, id_b""".stripMargin
@@ -509,10 +525,23 @@ object Dedup {
     // large-star/small-star contraction for pathological diameters;
     // the default min-label propagation costs diameter rounds (fine
     // for near-dup graphs, whose components are short copy chains).
-    val (labels, _, _) =
-      if (spark.conf.getOption("graft.cc.algo").contains("stars"))
-        ccStars(edges, 50)
-      else ccPropagate(edges, 20)
+    // NO SILENT CAPS: a propagation that hits its round budget
+    // without converging would return partially-merged components,
+    // so it falls back to the contraction (which converges in log
+    // rounds regardless of diameter); a stars cap-out is a hard
+    // error, never a wrong answer.
+    val labels =
+      if (spark.conf.getOption("graft.cc.algo").contains("stars")) {
+        val (l, _, conv) = ccStars(edges, 50)
+        require(conv, "ccStars did not converge within 50 rounds")
+        l
+      } else ccPropagate(edges, 20) match {
+        case (l, _, true) => l
+        case _ =>
+          val (l, _, conv) = ccStars(edges, 50)
+          require(conv, "ccStars fallback did not converge within 50 rounds")
+          l
+      }
     labels.groupBy($"lbl".as("component"))
       .agg(count(lit(1)).as("size"), min($"id").as("canonical_id"))
       .transform(graft.Tables.ordered(_, $"component"))
@@ -605,9 +634,18 @@ object Dedup {
       curSig = nSig
       rounds += 1
     }
-    val labels = e.select($"b".as("id"), $"a".as("lbl"))
-      .unionByName(e.select($"a".as("id"), $"a".as("lbl")))
-      .groupBy($"id").agg(min($"lbl").as("lbl"))
+    // every node of the INPUT graph gets a label: nodes whose only
+    // edges were self-loops vanish from the star set (canon filters
+    // a = b), so they rejoin here as singletons — keeps the stars
+    // path output-equivalent to propagation on any edge list.
+    val nodes = edges.select($"src".as("id"))
+      .unionByName(edges.select($"dst".as("id"))).distinct()
+    val labels = nodes
+      .join(e.select($"b".as("id"), $"a".as("lbl"))
+          .unionByName(e.select($"a".as("id"), $"a".as("lbl"))),
+        Seq("id"), "left")
+      .groupBy($"id").agg(min($"lbl").as("m"))
+      .select($"id", coalesce($"m", $"id").as("lbl"))
     (labels, rounds, converged)
   }
 

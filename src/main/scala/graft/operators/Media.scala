@@ -336,7 +336,17 @@ object Media {
     }.mkString("array(", ", ", ")")
     val chunks = hashed.selectExpr("doc_id", "ph",
       s"posexplode($blockArr) AS (chunk_idx, chunk)")
-    chunks.as("a").join(chunks.as("b"),
+    // d2's skew guard on the 12-13-bit block buckets (see d3): a
+    // flooding bucket caps out instead of emitting O(bucket²)
+    // candidates; recall stays guaranteed for pairs in uncapped
+    // buckets, and the oracle mirrors the cap.
+    val cap = Dedup.bucketCap
+    val bounded = chunks
+      .join(chunks.groupBy($"chunk_idx", $"chunk").agg(count(lit(1)).as("bsz")),
+        Seq("chunk_idx", "chunk"))
+      .filter($"bsz" <= cap)
+      .select($"doc_id", $"ph", $"chunk_idx", $"chunk")
+    bounded.as("a").join(bounded.as("b"),
         $"a.chunk_idx" === $"b.chunk_idx" && $"a.chunk" === $"b.chunk" &&
           $"a.doc_id" < $"b.doc_id")
       .select($"a.doc_id".as("id_a"), $"b.doc_id".as("id_b"),
@@ -368,9 +378,12 @@ object Media {
       |  FROM base WHERE doc_id % 6 = 0),
       |hashed AS (SELECT doc_id, ${phashExpr(s => s"ord($s)")} AS ph FROM corpus),
       |chunks AS ($chunkSelects),
+      |bcnt AS (SELECT chunk_idx, chunk, count(*) AS bsz FROM chunks GROUP BY 1, 2),
+      |bounded AS (SELECT doc_id, ph, chunk_idx, chunk FROM chunks
+      |            JOIN bcnt USING (chunk_idx, chunk) WHERE bsz <= ${Dedup.bucketCap}),
       |pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
       |            CAST(bit_count(xor(a.ph, b.ph)) AS INTEGER) AS hamming
-      |          FROM chunks a JOIN chunks b
+      |          FROM bounded a JOIN bounded b
       |            ON a.chunk_idx = b.chunk_idx AND a.chunk = b.chunk AND a.doc_id < b.doc_id)
       |SELECT id_a, id_b, hamming FROM pairs WHERE hamming <= 4
       |ORDER BY id_a, id_b""".stripMargin

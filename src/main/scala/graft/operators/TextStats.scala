@@ -349,16 +349,27 @@ object TextStats {
     * one hash shuffle of (gram, doc_id) pairs — never a doc×doc
     * comparison; hot grams can be salted like any skewed join key.
     */
+  /** Word-8-gram set over a `words` array column (whole-text
+    * fallback under 8 words) — shared by t10 and the p5 funnel's
+    * decontamination stage, Spark and DuckDB mirrors.
+    */
+  private[operators] val gram8Expr =
+    """CASE WHEN size(words) >= 8
+      | THEN array_distinct(transform(sequence(0, size(words) - 8),
+      |        i -> concat_ws(' ', slice(words, i + 1, 8))))
+      | ELSE array(concat_ws(' ', words)) END""".stripMargin.replace("\n", "")
+
+  private[operators] val gram8Sql =
+    """CASE WHEN len(words) >= 8
+      | THEN list_distinct(list_transform(range(0, len(words) - 7),
+      |        i -> array_to_string(words[(i + 1):(i + 8)], ' ')))
+      | ELSE [array_to_string(words, ' ')] END""".stripMargin.replace("\n", "")
+
   def t10(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val gramExpr =
-      """CASE WHEN size(words) >= 8
-        | THEN array_distinct(transform(sequence(0, size(words) - 8),
-        |        i -> concat_ws(' ', slice(words, i + 1, 8))))
-        | ELSE array(concat_ws(' ', words)) END""".stripMargin.replace("\n", "")
     val grams = Tables.documents(spark, dir)
       .selectExpr("doc_id", "split(lower(trim(text)), ' ') AS words")
-      .selectExpr("doc_id", s"explode($gramExpr) AS g")
+      .selectExpr("doc_id", s"explode($gram8Expr) AS g")
     val evalSet = grams.filter($"doc_id" % 13 === 0)
       .select($"doc_id".as("eval_id"), $"g")
     grams.filter($"doc_id" % 13 =!= 0)
@@ -671,12 +682,8 @@ object TextStats {
       |ORDER BY doc_id, rep""".stripMargin
 
   val t10Sql: String =
-    """WITH w AS (SELECT doc_id, string_split(lower(trim(text)), ' ') AS words FROM documents),
-      |g AS (SELECT doc_id, unnest(
-      |        CASE WHEN len(words) >= 8
-      |          THEN list_distinct(list_transform(range(0, len(words) - 7),
-      |                 i -> array_to_string(words[(i + 1):(i + 8)], ' ')))
-      |          ELSE [array_to_string(words, ' ')] END) AS g
+    s"""WITH w AS (SELECT doc_id, string_split(lower(trim(text)), ' ') AS words FROM documents),
+      |g AS (SELECT doc_id, unnest($gram8Sql) AS g
       |      FROM w)
       |SELECT t.doc_id, count(DISTINCT t.g) AS n_shared,
       |  count(DISTINCT e.doc_id) AS n_eval_docs
