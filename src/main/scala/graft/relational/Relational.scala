@@ -580,11 +580,11 @@ object Relational {
     * (delta DESC), so a session ending exactly when another starts
     * counts as overlap in both engines. The running sum is
     * HIERARCHICAL (the t9 scan decomposition): level 0 scans within
-    * (day, hour-bucket) partitions only; level 1 carries exclusive
-    * bucket offsets via a window over the ≤24 per-day bucket
+    * (day, 15-min-bucket) partitions only; level 1 carries exclusive
+    * bucket offsets via a window over the ≤96 per-day bucket
     * summaries; the day peak is max(offset + local max). No window
     * ever holds a whole day of boundary points, so billions of
-    * sessions/day spread over 24 tasks/day instead of one hot task.
+    * sessions/day spread over 96 tasks/day instead of one hot task.
     * Shuffle budget: one on user_id (sessionize), one on (day, hb),
     * one tiny one on day for the bucket-summary table.
     */
@@ -610,10 +610,13 @@ object Relational {
         s"least(e, day * $dayUs + ${dayUs - 1}) AS ce")
     val pts = spans.selectExpr("day", "cs AS t", "CAST(1 AS BIGINT) AS delta")
       .unionByName(spans.selectExpr("day", "ce AS t", "CAST(-1 AS BIGINT) AS delta"))
-      .withColumn("hb", expr(s"t div ${3600L * 1000000L}"))
-    // Level 0: running sum WITHIN an (day, hour-bucket) partition only.
-    // Equal-t ties stay inside one bucket (buckets are t value-ranges),
-    // so (t asc, delta desc) ordering is preserved across the split.
+      .withColumn("hb", expr(s"t div ${900L * 1000000L}"))
+    // Level 0: running sum WITHIN a (day, 15-min-bucket) partition
+    // only — 96 buckets/day, so the level-1 offset window stays tiny
+    // while the worst-case hot bucket is a quarter of an hour-grain
+    // one. Equal-t ties stay inside one bucket (buckets are t
+    // value-ranges), so (t asc, delta desc) ordering is preserved
+    // across the split.
     val wB = org.apache.spark.sql.expressions.Window
       .partitionBy($"day", $"hb").orderBy($"t".asc, $"delta".desc)
       .rowsBetween(Long.MinValue, 0)
@@ -621,7 +624,7 @@ object Relational {
       .groupBy($"day", $"hb")
       .agg(max($"run").as("local_max"), sum($"delta").as("btotal"),
         sum(when($"delta" === 1L, 1L).otherwise(0L)).as("starts"))
-    // Level 1: exclusive bucket offsets — a window over the ≤24
+    // Level 1: exclusive bucket offsets — a window over the ≤96
     // bucket-summary rows per day, never over the points themselves.
     // peak(day) = max over buckets of (offset + local running max):
     // exact BIGINT algebra, bitwise-equal to the sequential sweep.

@@ -46,10 +46,14 @@ class BlockingSpec extends AnyFunSuite {
       }
     }
     // sampled flip sets of every size up to k, incl. the adversarial
-    // placement with each flip in a different block
-    val rng = splitMix(0xadbeefL)
+    // placement with each flip in a different block (positions come
+    // from one pre-materialized stream — Iterator.take consumption
+    // order is not part of its contract)
+    val stream = splitMix(0xadbeefL).take(vals.size * k * k).toIndexedSeq
+    var si = 0
     for (base <- vals; size <- 3 to k) {
-      val positions = rng.take(size).map(r => ((r % 64) + 64) % 64).toSeq.distinct
+      val positions = stream.slice(si, si + size).map(r => ((r % 64) + 64) % 64).distinct
+      si += size
       val flipped = positions.foldLeft(base)((h, p) => h ^ (1L << p.toInt))
       assert(sharesBlock(base, flipped, blocks),
         s"hamming ${positions.size} pair lost by $blocks")
