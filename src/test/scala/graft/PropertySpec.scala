@@ -91,4 +91,34 @@ class PropertySpec extends AnyFunSuite {
       if (a != b) assert(isNewer(a, Some(b)) != isNewer(b, Some(a)))
     }
   }
+
+  test("ccStars matches union-find ground truth on seeded random graphs") {
+    val spark = SharedSpark.spark
+    import spark.implicits._
+    val rnd = new scala.util.Random(7L)
+    for (_ <- 1 to 3) {
+      val n = 30 + rnd.nextInt(20)
+      // random multigraph incl. self-loops and isolated-by-self-loop
+      // nodes — the edge cases the singleton path exists for
+      val edges = Seq.fill(n)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+      val (lblDf, _, conv) = graft.operators.Dedup.ccStars(
+        edges.toDF("src", "dst"), 50)
+      assert(conv)
+      val got = lblDf.as[(Long, Long)].collect().toMap
+      // driver-side union-find over the same edges
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+      val roots = nodes.groupBy(find).map { case (_, ms) => ms.min -> ms.toSet }
+      val want = roots.flatMap { case (m, ms) => ms.map(_ -> m) }.toMap
+      assert(got == want, s"labels diverged on $edges")
+    }
+  }
 }
