@@ -783,14 +783,25 @@ object Dedup {
         }
         (id, best, bestCos)
       }).toDF("vec_id", "cid", "cos_sim")
-    val w = org.apache.spark.sql.expressions.Window
+    // clusters are FEW, so a per-cid window would rank a cluster's
+    // every member in one task. Two-level argmax (the q26/t9
+    // hierarchy): level 0 picks the best member within (cid, salt);
+    // level 1 ranks the ≤32 salt winners per cid. Member counts come
+    // from a plain aggregate — no window touches the full membership.
+    val salts = 32
+    val w0 = org.apache.spark.sql.expressions.Window
+      .partitionBy($"cid", $"salt").orderBy($"cos_sim".desc, $"vec_id")
+    val w1 = org.apache.spark.sql.expressions.Window
       .partitionBy($"cid").orderBy($"cos_sim".desc, $"vec_id")
-    assigned.withColumn("rnk", row_number().over(w))
-      .groupBy($"cid")
-      .agg(count(lit(1)).as("n_members"),
-        max(when($"rnk" === 1, $"vec_id")).as("survivor_id"),
-        max(when($"rnk" === 1, $"cos_sim")).as("survivor_cos"),
-        (count(lit(1)) - 1).as("n_removed"))
+    val surv = assigned
+      .withColumn("salt", pmod($"vec_id", lit(salts)))
+      .withColumn("rn0", row_number().over(w0)).filter($"rn0" === 1)
+      .withColumn("rnk", row_number().over(w1)).filter($"rnk" === 1)
+      .select($"cid", $"vec_id".as("survivor_id"), $"cos_sim".as("survivor_cos"))
+    assigned.groupBy($"cid").agg(count(lit(1)).as("n_members"))
+      .join(surv, Seq("cid"))
+      .select($"cid", $"n_members", $"survivor_id", $"survivor_cos",
+        ($"n_members" - 1).as("n_removed"))
       .transform(graft.Tables.ordered(_, $"cid"))
   }
 

@@ -546,8 +546,15 @@ object Knn {
       .mapPartitions(_.flatMap { case (cid, cv) =>
         bc.value.iterator.map { case (qid, qv) => (qid, cid, cosQ(qv, cv), cv) }
       }).toDF("qid", "vec_id", "rel", "nv")
+    // queries are few — two-level pool prune (the q26/t9 hierarchy):
+    // level 0 ranks within (qid, salt) so no task ever holds a
+    // query's full candidate set; level 1 re-ranks ≤ 32×pool rows.
+    val w0 = Window.partitionBy($"qid", $"salt").orderBy($"rel".desc, $"vec_id")
     val w = Window.partitionBy($"qid").orderBy($"rel".desc, $"vec_id")
-    val pool = scored.withColumn("rn", row_number().over(w))
+    val pool = scored.withColumn("salt", pmod($"vec_id", lit(32)))
+      .withColumn("rn0", row_number().over(w0))
+      .filter($"rn0" <= mmrPool)
+      .withColumn("rn", row_number().over(w))
       .filter($"rn" <= mmrPool)
       .select($"qid", $"vec_id", $"rel", $"nv")
       .as[(Long, Long, Double, Array[Double])]
