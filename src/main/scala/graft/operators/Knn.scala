@@ -70,6 +70,27 @@ object Knn {
       .as[(Long, Array[Double])].collect().sortBy(_._1)
   }
 
+  /** Two-level per-query top-k over a (qid, vec_id, <score>) table —
+    * queries are FEW, so a single per-qid window would rank a
+    * query's every candidate in one task (at v1's brute-force scale,
+    * the whole corpus). Level 0 ranks within (qid, salt) — bounded
+    * windows that must contain the global winners — and level 1
+    * re-ranks the ≤ 32×k salt survivors. Same order keys, identical
+    * output, same hierarchy as q26/t9.
+    */
+  private def topK(scored: DataFrame, score: String, k: Int): DataFrame = {
+    val sess = scored.sparkSession
+    import sess.implicits._
+    val w0 = Window.partitionBy($"qid", $"salt")
+      .orderBy(col(score).desc, $"vec_id")
+    val w1 = Window.partitionBy($"qid").orderBy(col(score).desc, $"vec_id")
+    scored.withColumn("salt", pmod($"vec_id", lit(32)))
+      .withColumn("rn0", row_number().over(w0)).filter($"rn0" <= k)
+      .withColumn("rnk", row_number().over(w1)).filter($"rnk" <= k)
+      .select($"qid", $"rnk", $"vec_id", col(score))
+      .orderBy($"qid", $"rnk")
+  }
+
   // ---------- v1: brute-force cosine top-k (exact baseline) ----------
 
   def v1(spark: SparkSession, dir: String): DataFrame = {
@@ -81,11 +102,7 @@ object Knn {
       .mapPartitions(_.flatMap { case (cid, cv) =>
         bc.value.iterator.map { case (qid, qv) => (qid, cid, cosQ(qv, cv)) }
       }).toDF("qid", "vec_id", "cos_sim")
-    val w = Window.partitionBy($"qid").orderBy($"cos_sim".desc, $"vec_id")
-    scored.withColumn("rnk", row_number().over(w))
-      .filter($"rnk" <= 5)
-      .select($"qid", $"rnk", $"vec_id", $"cos_sim")
-      .orderBy($"qid", $"rnk")
+    topK(scored, "cos_sim", 5)
   }
 
   val v1Sql: String =
@@ -156,13 +173,9 @@ object Knn {
       .select($"vec_id".as("id_b"), $"nv".as("nv_b"), $"t", $"b")
     val cand = c.join(q, Seq("t", "b"))
       .select($"id_a", $"id_b", $"nv_a", $"nv_b").distinct()
-    val w = Window.partitionBy($"qid").orderBy($"cos_sim".desc, $"vec_id")
-    cosineOf(cand)
-      .select($"id_a".as("qid"), $"id_b".as("vec_id"), $"cos_sim")
-      .withColumn("rnk", row_number().over(w))
-      .filter($"rnk" <= 5)
-      .select($"qid", $"rnk", $"vec_id", $"cos_sim")
-      .orderBy($"qid", $"rnk")
+    topK(cosineOf(cand)
+      .select($"id_a".as("qid"), $"id_b".as("vec_id"), $"cos_sim"),
+      "cos_sim", 5)
   }
 
   /** Full oracle for v2: the hyperplanes are shared literal arrays
@@ -384,11 +397,7 @@ object Knn {
         (qid, id, acc / 1e6)
       }
     }).toDF("qid", "vec_id", "score")
-    val w = Window.partitionBy($"qid").orderBy($"score".desc, $"vec_id")
-    scored.withColumn("rnk", row_number().over(w))
-      .filter($"rnk" <= 5)
-      .select($"qid", $"rnk", $"vec_id", $"score")
-      .orderBy($"qid", $"rnk")
+    topK(scored, "score", 5)
   }
 
   /** Full v5 oracle: subvector slicing, quantized-L2 encoding with
@@ -455,11 +464,7 @@ object Knn {
           (qid, cid, dot / 16129.0) // 127^2: back to cosine scale
         }
       }).toDF("qid", "vec_id", "score")
-    val w = Window.partitionBy($"qid").orderBy($"score".desc, $"vec_id")
-    scored.withColumn("rnk", row_number().over(w))
-      .filter($"rnk" <= 5)
-      .select($"qid", $"rnk", $"vec_id", $"score")
-      .orderBy($"qid", $"rnk")
+    topK(scored, "score", 5)
   }
 
   /** Full v6 oracle: identical int8 clamp, exact integer dot (values
@@ -672,12 +677,8 @@ object Knn {
     val cand = probes.join(assigned, Seq("cid"))
       .select($"qid".as("id_a"), $"qnv".as("nv_a"),
         $"vec_id".as("id_b"), $"nv".as("nv_b"))
-    val w = Window.partitionBy($"qid").orderBy($"cos_sim".desc, $"vec_id")
-    cosineOf(cand)
-      .select($"id_a".as("qid"), $"id_b".as("vec_id"), $"cos_sim")
-      .withColumn("rnk", row_number().over(w))
-      .filter($"rnk" <= 3)
-      .select($"qid", $"rnk", $"vec_id", $"cos_sim")
-      .orderBy($"qid", $"rnk")
+    topK(cosineOf(cand)
+      .select($"id_a".as("qid"), $"id_b".as("vec_id"), $"cos_sim"),
+      "cos_sim", 3)
   }
 }
