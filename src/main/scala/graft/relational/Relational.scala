@@ -668,4 +668,83 @@ object Relational {
       |FROM run
       |GROUP BY day
       |ORDER BY day""".stripMargin
+
+  // ---------- q27: hierarchy resolution (recursive-CTE semantics) ----------
+
+  /** q27: resolve every node of a forest to its root and depth — the
+    * `WITH RECURSIVE` capability class (org charts, category trees,
+    * bill-of-materials rollups) that Spark SQL has no native syntax
+    * for. The forest is derived arithmetically from the customer
+    * keys: parent(k) = k div 2, with k = 1 and every multiple of 97
+    * cut loose as a root — multi-root, depth ~ log2(maxkey).
+    *
+    * Scale design: NOT the oracle's one-step-per-round walk (depth
+    * rounds, each touching every unfinished node). Pointer jumping /
+    * path doubling instead: state (id, ptr, dist) starts at the
+    * parent edge and each round replaces ptr by ptr's ptr, adding
+    * ptr's dist — distances to the CURRENT pointer stay exact, and
+    * every path halves each round, so ceil(log2(depth)) rounds
+    * total (5 rounds covers depth 2^32). Each round is one
+    * equality self-join (shuffle on ptr) — no driver-side walking,
+    * no per-node iteration. Convergence-detected like [[graft
+    * .operators.Dedup.ccPropagate]]: a limit(1) existence check per
+    * round, never a full count. Late rounds concentrate pointers on
+    * the few root keys; at 100 TB that join-side skew is the
+    * standard salt-the-build-side case (Skew.scala) — bounded here
+    * by the ~n/97 root count.
+    */
+  def q27(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val init = Tables.customer(spark, dir)
+      .selectExpr(
+        "c_custkey AS id",
+        "CASE WHEN c_custkey % 97 = 0 OR c_custkey = 1 THEN c_custkey ELSE c_custkey div 2 END AS ptr",
+        "CAST(CASE WHEN c_custkey % 97 = 0 OR c_custkey = 1 THEN 0 ELSE 1 END AS BIGINT) AS dist")
+    val (state, rounds, converged) = pointerJump(init, 12)
+    require(converged, s"q27 pointer jumping did not converge in $rounds rounds")
+    state.select($"id".as("c_custkey"), $"ptr".as("root"), $"dist".as("depth"))
+      .transform(Tables.ordered(_, $"c_custkey"))
+  }
+
+  /** Pointer-jumping fixpoint over a parent forest. `init` carries
+    * (id, ptr, dist) with ptr = parent(id) (self for roots) and dist
+    * the edge count to ptr. Each round replaces every pointer by its
+    * pointer's pointer — path lengths halve, so convergence needs
+    * ceil(log2(max depth)) + 1 rounds (the +1 is the detection
+    * round). Returns (state, rounds run, converged).
+    */
+  private[graft] def pointerJump(init: DataFrame, maxRounds: Int): (DataFrame, Int, Boolean) = {
+    val spark = init.sparkSession
+    import spark.implicits._
+    var state = init.cache()
+    var converged = false
+    var rounds = 0
+    while (!converged && rounds < maxRounds) {
+      val hops = state.select($"id".as("jid"), $"ptr".as("jptr"), $"dist".as("jdist"))
+      val next = state.join(hops, $"ptr" === $"jid")
+        .select($"id", $"jptr".as("ptr"), ($"dist" + $"jdist").as("dist"))
+        .cache()
+      converged = next.join(state.select($"id", $"ptr".as("prev")), Seq("id"))
+        .filter($"ptr" =!= $"prev").limit(1).count() == 0L
+      state.unpersist()
+      state = next
+      rounds += 1
+    }
+    (state, rounds, converged)
+  }
+
+  /** q27 oracle: the textbook recursive CTE — one parent step per
+    * recursion level, keep the row that reached a root. Same forest
+    * arithmetic (`//` = Spark's `div` on BIGINT keys).
+    */
+  val q27Sql: String =
+    """WITH RECURSIVE walk(id, cur, depth) AS (
+      |  SELECT c_custkey, c_custkey, CAST(0 AS BIGINT) FROM customer
+      |  UNION ALL
+      |  SELECT id, cur // 2, depth + 1 FROM walk
+      |  WHERE NOT (cur % 97 = 0 OR cur = 1))
+      |SELECT id AS c_custkey, cur AS root, depth
+      |FROM walk
+      |WHERE cur % 97 = 0 OR cur = 1
+      |ORDER BY c_custkey""".stripMargin
 }

@@ -535,6 +535,49 @@ object EventStreams {
       |WHERE prev_max IS NULL OR value > prev_max
       |ORDER BY user_id, event_id""".stripMargin
 
+  // ---------- s12: streaming stateful dedup ----------
+
+  /** s12: exactly-once-per-key event dedup on a live feed — the
+    * streaming counterpart of d1's batch exact dedup. An
+    * at-least-once ingest (replayed partitions, retried uploads)
+    * re-delivers events; `dropDuplicatesWithinWatermark` keeps one
+    * row per key and expires key state once the watermark passes it,
+    * so state grows with the stream's CHURN WINDOW (1 h of distinct
+    * keys), never its lifetime — plain streaming `dropDuplicates`
+    * holds every key forever, the state-store trap at 100 TB/day.
+    * The key (user_id, event_type, hour) collides across events by
+    * construction, so the suppression path is really exercised.
+    * WHICH physical row survives a collision is arrival-order
+    * dependent, so the contract output is the order-invariant
+    * survivor count per event_type over the sink table; the
+    * multi-batch spec covers cross-batch suppression.
+    */
+  /** The dedup transform alone, over any stream with (ts, user_id,
+    * event_type) — shared by the contract query and the multi-batch
+    * spec.
+    */
+  def dedupStream(ev: DataFrame): DataFrame = ev
+    .withColumn("hour", expr("unix_micros(ts) div 3600000000"))
+    .withWatermark("ts", "1 hour")
+    .dropDuplicatesWithinWatermark("user_id", "event_type", "hour")
+    .select(col("user_id"), col("event_type"), col("hour"))
+
+  def s12(spark: SparkSession, dir: String): DataFrame = {
+    val deduped = dedupStream(streamingEvents(spark, dir))
+    runToTable(spark, deduped, OutputMode.Append())
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_unique"))
+      .orderBy(col("event_type"))
+  }
+
+  /** s12 oracle: batch DISTINCT over the same derived key. */
+  val s12Sql: String =
+    """SELECT event_type, CAST(count(*) AS BIGINT) AS n_unique
+      |FROM (SELECT DISTINCT user_id, event_type,
+      |        epoch_us(ts) // 3600000000 AS hour FROM events)
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
+
   /** Exactly-once-style streaming sink: `foreachBatch` routed through
     * [[graft.pipeline.ChunkedSink]], keyed (batchId, partition, chunk)
     * so replays of a failed micro-batch overwrite instead of

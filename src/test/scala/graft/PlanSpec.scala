@@ -206,6 +206,21 @@ class PlanSpec extends AnyFunSuite {
     assert(!pd.contains("BroadcastNestedLoopJoin") && !pd.contains("CartesianProduct"))
   }
 
+  test("q27: each jump round is an equality join — no nested-loop, no cartesian") {
+    import spark.implicits._
+    // one round of the pointer-jump self-join, planned in isolation
+    val init = graft.Tables.customer(spark, sf)
+      .selectExpr("c_custkey AS id",
+        "CASE WHEN c_custkey % 97 = 0 OR c_custkey = 1 THEN c_custkey ELSE c_custkey div 2 END AS ptr",
+        "CAST(1 AS BIGINT) AS dist")
+    val hops = init.select($"id".as("jid"), $"ptr".as("jptr"), $"dist".as("jdist"))
+    val round = init.join(hops, $"ptr" === $"jid")
+      .select($"id", $"jptr".as("ptr"), ($"dist" + $"jdist").as("dist"))
+    val p = plan(round)
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"))
+    assert(p.contains("Join") || p.contains("HashJoin"), s"expected an equality join:\n$p")
+  }
+
   test("d12: gram aggregate keys on the digest; gram strings die pre-shuffle") {
     val p = graft.operators.Dedup.d12(spark, sf)
       .queryExecution.optimizedPlan.toString

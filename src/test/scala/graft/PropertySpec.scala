@@ -121,4 +121,23 @@ class PropertySpec extends AnyFunSuite {
       assert(got == want, s"labels diverged on $edges")
     }
   }
+
+  test("pointer jumping resolves a pure chain in log2(depth) rounds") {
+    val spark = SharedSpark.spark
+    import spark.implicits._
+    // a single chain 0 <- 1 <- 2 <- ... <- n: the worst case for
+    // one-step walking (n rounds) and the showcase for path doubling
+    val n = 200L
+    val init = spark.range(0, n + 1).toDF("id")
+      .selectExpr("id",
+        "CASE WHEN id = 0 THEN id ELSE id - 1 END AS ptr",
+        "CAST(CASE WHEN id = 0 THEN 0 ELSE 1 END AS BIGINT) AS dist")
+    val budget = (math.ceil(math.log(n.toDouble) / math.log(2.0)) + 1).toInt
+    val (state, rounds, conv) =
+      graft.relational.Relational.pointerJump(init, budget)
+    assert(conv, s"no convergence within $budget rounds")
+    assert(rounds <= budget)
+    val rows = state.as[(Long, Long, Long)].collect()
+    assert(rows.forall { case (id, root, depth) => root == 0L && depth == id })
+  }
 }

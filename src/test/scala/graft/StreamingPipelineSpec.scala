@@ -240,6 +240,28 @@ class StreamingPipelineSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("s12 dedup suppresses re-delivered keys across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String, Long)] // (user_id, event_type, tus)
+    val src = mem.toDF().toDF("user_id", "event_type", "tus")
+      .withColumn("ts", timestamp_micros($"tus"))
+    val name = "s12_state_test"
+    val q = EventStreams.dedupStream(src).writeStream
+      .outputMode(OutputMode.Append()).format("memory").queryName(name).start()
+    try {
+      // batch 1: an in-batch duplicate of (1, click, hour 0)
+      mem.addData((1L, "click", 0L), (1L, "click", 60L * 1000000L))
+      q.processAllAvailable()
+      // batch 2: a CROSS-batch re-delivery of the same key (state
+      // must remember it) plus one genuinely new key
+      mem.addData((1L, "click", 120L * 1000000L), (2L, "view", 200L * 1000000L))
+      q.processAllAvailable()
+      val rows = spark.table(name).as[(Long, String, Long)].collect().toSet
+      assert(rows == Set((1L, "click", 0L), (2L, "view", 0L)))
+    } finally q.stop()
+  }
+
   test("s9 stream-static enrichment covers every event exactly once") {
     import spark.implicits._
     val got = EventStreams.s9(spark, sf).collect()
