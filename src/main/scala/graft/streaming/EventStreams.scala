@@ -535,26 +535,13 @@ object EventStreams {
       |WHERE prev_max IS NULL OR value > prev_max
       |ORDER BY user_id, event_id""".stripMargin
 
-  // ---------- s12: streaming stateful dedup ----------
+  // ---------- s12: chained stateful operators (dedup → windowed agg) ----------
 
-  /** s12: exactly-once-per-key event dedup on a live feed — the
-    * streaming counterpart of d1's batch exact dedup. An
-    * at-least-once ingest (replayed partitions, retried uploads)
-    * re-delivers events; `dropDuplicatesWithinWatermark` keeps one
-    * row per key and expires key state once the watermark passes it,
-    * so state grows with the stream's CHURN WINDOW (1 h of distinct
-    * keys), never its lifetime — plain streaming `dropDuplicates`
-    * holds every key forever, the state-store trap at 100 TB/day.
-    * The key (user_id, event_type, hour) collides across events by
-    * construction, so the suppression path is really exercised.
-    * WHICH physical row survives a collision is arrival-order
-    * dependent, so the contract output is the order-invariant
-    * survivor count per event_type over the sink table; the
-    * multi-batch spec covers cross-batch suppression.
-    */
   /** The dedup transform alone, over any stream with (ts, user_id,
     * event_type) — shared by the contract query and the multi-batch
-    * spec.
+    * spec. `dropDuplicatesWithinWatermark` expires key state once
+    * the watermark passes it, so state grows with the stream's CHURN
+    * WINDOW (1 h of distinct keys), never its lifetime.
     */
   def dedupStream(ev: DataFrame): DataFrame = ev
     .withColumn("hour", expr("unix_micros(ts) div 3600000000"))
@@ -562,21 +549,68 @@ object EventStreams {
     .dropDuplicatesWithinWatermark("user_id", "event_type", "hour")
     .select(col("user_id"), col("event_type"), col("hour"))
 
+  /** Child session for append-mode emission: the trailing no-data
+    * micro-batch (disabled for the other streaming queries — they
+    * emit in the data batch) is exactly what advances the watermark
+    * and flushes finalized windows out of the chained aggregation,
+    * so it stays ENABLED (the default) here.
+    */
+  private def chainSession(spark: SparkSession): SparkSession =
+    graft.ChildSessions.of(spark, "streaming-chained") { ns =>
+      val parts = spark.conf.getOption("graft.streaming.statePartitions")
+        .orElse(sys.env.get("SPARK_GRAFT_STATE_PARTS")).getOrElse("8")
+      ns.conf.set("spark.sql.shuffle.partitions", parts)
+    }
+
+  /** s12: TWO stateful operators chained in one streaming query —
+    * watermark-bounded dedup of an at-least-once feed, then a
+    * tumbling-window aggregate over the survivors, in APPEND mode
+    * (every other aggregate in the suite runs Complete): hourly
+    * distinct users per event_type, each window emitted exactly once
+    * when the watermark passes its end. This is the shape of a real
+    * ingest topology (dedup replayed deliveries, then window) that
+    * before Spark 3.5 needed two queries with an intermediate sink.
+    *
+    * Determinism: dedup keys and the window both derive from the
+    * hour-truncated event time, so WHICH physical row survives a
+    * collision cannot affect window assignment or counts. Append
+    * emits windows with end <= watermark = max(tsh) - 1 h — the
+    * last two hours stay open and unEMITTED, which the oracle
+    * mirrors arithmetically (hr <= hmax - 2).
+    */
   def s12(spark: SparkSession, dir: String): DataFrame = {
-    val deduped = dedupStream(streamingEvents(spark, dir))
-    runToTable(spark, deduped, OutputMode.Append())
-      .groupBy(col("event_type"))
-      .agg(count(lit(1)).as("n_unique"))
-      .orderBy(col("event_type"))
+    val ss = chainSession(spark)
+    ss.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = ss.read.parquet(s"$dir/events.parquet").schema
+    val ev = ss.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet").parquet(dir)
+      .withColumn("tsh",
+        expr("timestamp_micros((ts div 1000 div 3600000000) * 3600000000)"))
+    val deduped = ev
+      .withWatermark("tsh", "1 hour")
+      .dropDuplicatesWithinWatermark("user_id", "event_type", "tsh")
+    val agg = deduped
+      .groupBy(window(col("tsh"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_unique_users"))
+    runToTable(ss, agg, OutputMode.Append())
+      .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
+        col("event_type"), col("n_unique_users"))
+      .orderBy(col("window_start"), col("event_type"))
   }
 
-  /** s12 oracle: batch DISTINCT over the same derived key. */
+  /** s12 oracle: batch DISTINCT + hour grouping, keeping only the
+    * windows the append watermark has finalized.
+    */
   val s12Sql: String =
-    """SELECT event_type, CAST(count(*) AS BIGINT) AS n_unique
-      |FROM (SELECT DISTINCT user_id, event_type,
-      |        epoch_us(ts) // 3600000000 AS hour FROM events)
-      |GROUP BY event_type
-      |ORDER BY event_type""".stripMargin
+    """WITH k AS (SELECT DISTINCT user_id, event_type,
+      |        epoch_us(ts) // 3600000000 AS hr FROM events),
+      |mx AS (SELECT max(epoch_us(ts)) // 3600000000 AS hmax FROM events)
+      |SELECT strftime(make_timestamp(hr * 3600000000), '%Y-%m-%d %H:%M:%S') AS window_start,
+      |  event_type, CAST(count(*) AS BIGINT) AS n_unique_users
+      |FROM k, mx
+      |WHERE hr <= hmax - 2
+      |GROUP BY 1, 2
+      |ORDER BY 1, 2""".stripMargin
 
   /** Exactly-once-style streaming sink: `foreachBatch` routed through
     * [[graft.pipeline.ChunkedSink]], keyed (batchId, partition, chunk)
