@@ -24,6 +24,13 @@ object Bench {
       .filter { case (n, _) => only.forall(_.contains(n)) }
     val results = selected.map { case (name, fn) =>
       var ok = true
+      // operators cache intermediates (iterative loops, reused
+      // subtrees) and legitimately leave them for the session; across
+      // 118 back-to-back queries those accumulate into memory
+      // pressure that inflates later queries (measured: w13 4.6 s in
+      // a full run vs 1.5 s isolated). A cluster doesn't run 118
+      // unrelated queries in one executor heap; drop the leftovers.
+      spark.catalog.clearCache()
       val times = (1 to 2).map { _ =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).foreach(_ => ()) }

@@ -721,16 +721,19 @@ object Relational {
     var rounds = 0
     while (!converged && rounds < maxRounds) {
       val hops = state.select($"id".as("jid"), $"ptr".as("jptr"), $"dist".as("jdist"))
+      // `moved` rides out of the jump join itself, so the
+      // convergence probe is a limit(1) filter on the cached result
+      // — no second join per round
       val next = state.join(hops, $"ptr" === $"jid")
-        .select($"id", $"jptr".as("ptr"), ($"dist" + $"jdist").as("dist"))
+        .select($"id", $"jptr".as("ptr"), ($"dist" + $"jdist").as("dist"),
+          ($"jptr" =!= $"ptr").as("moved"))
         .cache()
-      converged = next.join(state.select($"id", $"ptr".as("prev")), Seq("id"))
-        .filter($"ptr" =!= $"prev").limit(1).count() == 0L
+      converged = next.filter($"moved").limit(1).count() == 0L
       state.unpersist()
       state = next
       rounds += 1
     }
-    (state, rounds, converged)
+    (state.drop("moved"), rounds, converged)
   }
 
   /** q27 oracle: the textbook recursive CTE — one parent step per

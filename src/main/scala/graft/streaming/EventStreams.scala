@@ -578,21 +578,26 @@ object EventStreams {
     * last two hours stay open and unEMITTED, which the oracle
     * mirrors arithmetically (hr <= hmax - 2).
     */
+  /** The chained two-stateful-operator topology alone, over any
+    * stream with (ts, user_id, event_type) — shared by the contract
+    * query and the checkpoint-recovery spec.
+    */
+  def chainedDedupWindow(ev: DataFrame): DataFrame = ev
+    .withColumn("tsh",
+      expr("timestamp_micros((unix_micros(ts) div 3600000000) * 3600000000)"))
+    .withWatermark("tsh", "1 hour")
+    .dropDuplicatesWithinWatermark("user_id", "event_type", "tsh")
+    .groupBy(window(col("tsh"), "1 hour"), col("event_type"))
+    .agg(count(lit(1)).as("n_unique_users"))
+
   def s12(spark: SparkSession, dir: String): DataFrame = {
     val ss = chainSession(spark)
     ss.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = ss.read.parquet(s"$dir/events.parquet").schema
     val ev = ss.readStream.schema(schema)
       .option("pathGlobFilter", "events.parquet").parquet(dir)
-      .withColumn("tsh",
-        expr("timestamp_micros((ts div 1000 div 3600000000) * 3600000000)"))
-    val deduped = ev
-      .withWatermark("tsh", "1 hour")
-      .dropDuplicatesWithinWatermark("user_id", "event_type", "tsh")
-    val agg = deduped
-      .groupBy(window(col("tsh"), "1 hour"), col("event_type"))
-      .agg(count(lit(1)).as("n_unique_users"))
-    runToTable(ss, agg, OutputMode.Append())
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    runToTable(ss, chainedDedupWindow(ev), OutputMode.Append())
       .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
         col("event_type"), col("n_unique_users"))
       .orderBy(col("window_start"), col("event_type"))

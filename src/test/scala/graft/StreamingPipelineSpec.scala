@@ -262,6 +262,55 @@ class StreamingPipelineSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("s12 chained topology recovers BOTH state stores from a checkpoint restart") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val H = 3600L * 1000000L
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt_s12").toString
+    val mem = MemoryStream[(Long, String, Long)] // (user_id, event_type, tus)
+    val got = new java.util.concurrent.ConcurrentLinkedQueue[(String, Long)]()
+    def start() = EventStreams.chainedDedupWindow(
+      mem.toDF().toDF("user_id", "event_type", "tus")
+        .withColumn("ts", timestamp_micros($"tus")))
+      .writeStream.outputMode(OutputMode.Append())
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        b.collect().foreach(r => got.add((r.getAs[String]("event_type"),
+          r.getAs[Long]("n_unique_users"))))
+      }.start()
+    // NOT hour zero: the late-row filter drops event times <= the
+    // watermark, and the initial watermark is epoch 0 — an epoch-0
+    // event time is dropped in batch 0 (measured; real feeds never
+    // sit at the epoch)
+    val B = 10L * H
+    val q1 = start()
+    try {
+      // hour-10: users 1 and 2, plus an in-batch duplicate of user 1
+      mem.addData((1L, "a", B), (1L, "a", B + 600L * 1000000L), (2L, "a", B))
+      q1.processAllAvailable()
+    } finally q1.stop()
+    val q2 = start()
+    try {
+      // cross-restart re-delivery of (1, a, hour-10): only the
+      // RECOVERED dedup state can suppress it. The hour-13 event
+      // advances the watermark to 12 h (committed at batch end).
+      mem.addData((1L, "a", B + 1200L * 1000000L), (3L, "b", B + 3L * H))
+      q2.processAllAvailable()
+      // one more DATA batch so eviction runs under the committed
+      // watermark deterministically (emission via the trailing
+      // no-data batch can race processAllAvailable); the hour-13
+      // dummy never emits — its window stays open
+      mem.addData((4L, "c", B + 3L * H))
+      q2.processAllAvailable()
+      import scala.jdk.CollectionConverters._
+      // dedup state lost => count 3; agg state lost => count 1;
+      // both recovered => exactly 2
+      assert(got.asScala.toSet == Set(("a", 2L)))
+      assert(q2.lastProgress.stateOperators.length == 2,
+        "expected the dedup AND window-agg state operators in one query")
+    } finally q2.stop()
+  }
+
   test("s9 stream-static enrichment covers every event exactly once") {
     import spark.implicits._
     val got = EventStreams.s9(spark, sf).collect()
