@@ -22,6 +22,10 @@ object Verify {
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
+      // drop cached intermediates left by the previous query —
+      // accumulated caches across 118 queries create memory
+      // pressure that slows the tail of the run (see Bench)
+      spark.catalog.clearCache()
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
