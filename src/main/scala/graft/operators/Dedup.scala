@@ -133,6 +133,23 @@ object Dedup {
     */
   private[graft] val bucketCap = 100
 
+  /** Occupancy-relative cap for LOW-cardinality pigeonhole blocks
+    * (d3/m6). Those blocks have only 2^w distinct values, so EVERY
+    * bucket grows linearly with the corpus — under a fixed cap the
+    * entire block silently caps out once n > cap·2^w and recall
+    * collapses to zero (at 9-bit blocks that is already ~51k docs).
+    * Scaling the cap with the uniform expectation n/2^w keeps
+    * uniform growth uncapped forever; only buckets ≥ 8× the mean —
+    * true hot keys where the hash stopped discriminating — drop.
+    * d2's band signatures keep the FIXED cap: that key space is
+    * effectively unbounded, so a big bucket there is always
+    * pathological, never uniform growth.
+    */
+  private[graft] def occupancyCap(n: Long, widthBits: Int): Long = {
+    val buckets = 1L << widthBits
+    math.max(bucketCap.toLong, 8L * ((n + buckets - 1) / buckets))
+  }
+
   /** (doc_id, band, sig) bucket table from an exploded (doc_id,
     * shingle) index: shingle → 16 seeded-FNV minhashes → 4 band
     * signatures. Shared by d2 (self-join) and d10 (asymmetric
@@ -355,18 +372,24 @@ object Dedup {
     }.mkString("array(", ", ", ")")
     val chunks = fp.selectExpr("doc_id", "fp",
       s"posexplode($blockArr) AS (chunk_idx, chunk)")
-    // d2's skew guard on the 9-10-bit block buckets: narrower keys
-    // than the old 16-bit chunks collide more on uniform (dissimilar)
-    // fingerprints (~7/2^9 per pair), so a flooding bucket must cap
-    // out instead of emitting O(bucket²) candidates — the guaranteed
-    // ≤6 recall holds for pairs in uncapped buckets (the d2 trade,
-    // mirrored in the oracle). The zero-extra-candidate alternative
-    // is Manku et al. 2007's multi-table block-combination keys —
-    // documented, not needed at the d3 radius.
+    // Skew guard on the 9-10-bit block buckets — OCCUPANCY-RELATIVE
+    // ([[occupancyCap]]), not d2's fixed cap: with only 2^9 values
+    // per block every bucket grows ~n/512, so a fixed cap would
+    // silently zero the block's recall past ~51k docs. Only buckets
+    // ≥ 8× the uniform mean (hot keys where the hash stopped
+    // discriminating) drop; the guaranteed ≤6 recall holds for pairs
+    // in uncapped buckets (mirrored in the oracle). The
+    // zero-extra-candidate alternative is Manku et al. 2007's
+    // multi-table block-combination keys — documented, not needed at
+    // the d3 radius.
+    val nDocs = fp.count()
+    val capExpr = d3Blocks.zipWithIndex.map { case ((_, w), c) =>
+      s"WHEN $c THEN ${occupancyCap(nDocs, w)}"
+    }.mkString("CASE chunk_idx ", " ", " END")
     val bounded = chunks
       .join(chunks.groupBy($"chunk_idx", $"chunk").agg(count(lit(1)).as("bsz")),
         Seq("chunk_idx", "chunk"))
-      .filter($"bsz" <= bucketCap)
+      .filter($"bsz" <= expr(capExpr))
       .select($"doc_id", $"fp", $"chunk_idx", $"chunk")
     bounded.as("a").join(bounded.as("b"),
         $"a.chunk_idx" === $"b.chunk_idx" && $"a.chunk" === $"b.chunk" &&
@@ -397,6 +420,13 @@ object Dedup {
     val chunkSelects = d3Blocks.zipWithIndex.map { case ((off, w), c) =>
       s"SELECT doc_id, fp, $c AS chunk_idx, CAST((fpu // ${bigPow2(off)}) % ${1L << w} AS BIGINT) AS chunk FROM fps"
     }.mkString("\n  UNION ALL ")
+    // the occupancy-relative cap (occupancyCap) in SQL: n comes from
+    // a count CTE so the oracle tracks the corpus exactly like the
+    // Spark side's fp.count()
+    val capCase = d3Blocks.zipWithIndex.map { case ((_, w), c) =>
+      val b = 1L << w
+      s"WHEN $c THEN greatest(100, 8 * ((n + ${b - 1}) // $b))"
+    }.mkString("CASE chunk_idx ", " ", " END")
     s"""WITH corpus AS (
       |  SELECT doc_id, text FROM documents
       |  UNION ALL
@@ -411,8 +441,10 @@ object Dedup {
       |fps AS (SELECT doc_id, fpu, ${Fnv64.duckToSigned("fpu")} AS fp FROM fpt),
       |chunks AS ($chunkSelects),
       |bcnt AS (SELECT chunk_idx, chunk, count(*) AS bsz FROM chunks GROUP BY 1, 2),
+      |ncnt AS (SELECT count(*) AS n FROM fps),
       |bounded AS (SELECT doc_id, fp, chunk_idx, chunk FROM chunks
-      |            JOIN bcnt USING (chunk_idx, chunk) WHERE bsz <= $bucketCap),
+      |            JOIN bcnt USING (chunk_idx, chunk), ncnt
+      |            WHERE bsz <= $capCase),
       |pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
       |            CAST(bit_count(xor(a.fp, b.fp)) AS INTEGER) AS hamming
       |          FROM bounded a JOIN bounded b
@@ -783,20 +815,16 @@ object Dedup {
         }
         (id, best, bestCos)
       }).toDF("vec_id", "cid", "cos_sim")
+      // both the survivor windows and the member counts consume this
+      // — uncached, the full corpus×centroid scoring scan would run
+      // twice (the dominant cost of the query)
+      .cache()
     // clusters are FEW, so a per-cid window would rank a cluster's
-    // every member in one task. Two-level argmax (the q26/t9
-    // hierarchy): level 0 picks the best member within (cid, salt);
-    // level 1 ranks the ≤32 salt winners per cid. Member counts come
-    // from a plain aggregate — no window touches the full membership.
-    val salts = 32
-    val w0 = org.apache.spark.sql.expressions.Window
-      .partitionBy($"cid", $"salt").orderBy($"cos_sim".desc, $"vec_id")
-    val w1 = org.apache.spark.sql.expressions.Window
-      .partitionBy($"cid").orderBy($"cos_sim".desc, $"vec_id")
-    val surv = assigned
-      .withColumn("salt", pmod($"vec_id", lit(salts)))
-      .withColumn("rn0", row_number().over(w0)).filter($"rn0" === 1)
-      .withColumn("rnk", row_number().over(w1)).filter($"rnk" === 1)
+    // every member in one task — two-level argmax (TwoLevel.topK,
+    // k = 1). Member counts come from a plain aggregate — no window
+    // touches the full membership.
+    val surv = graft.functions.TwoLevel.topK(assigned, Seq($"cid"),
+        Seq($"cos_sim".desc, $"vec_id"), $"vec_id", 1)
       .select($"cid", $"vec_id".as("survivor_id"), $"cos_sim".as("survivor_cos"))
     assigned.groupBy($"cid").agg(count(lit(1)).as("n_members"))
       .join(surv, Seq("cid"))

@@ -70,23 +70,16 @@ object Knn {
       .as[(Long, Array[Double])].collect().sortBy(_._1)
   }
 
-  /** Two-level per-query top-k over a (qid, vec_id, <score>) table —
-    * queries are FEW, so a single per-qid window would rank a
-    * query's every candidate in one task (at v1's brute-force scale,
-    * the whole corpus). Level 0 ranks within (qid, salt) — bounded
-    * windows that must contain the global winners — and level 1
-    * re-ranks the ≤ 32×k salt survivors. Same order keys, identical
-    * output, same hierarchy as q26/t9.
+  /** Per-query top-k over a (qid, vec_id, <score>) table — queries
+    * are FEW, so a single per-qid window would rank a query's every
+    * candidate in one task (at v1's brute-force scale, the whole
+    * corpus). Delegates to [[graft.functions.TwoLevel.topK]].
     */
   private def topK(scored: DataFrame, score: String, k: Int): DataFrame = {
     val sess = scored.sparkSession
     import sess.implicits._
-    val w0 = Window.partitionBy($"qid", $"salt")
-      .orderBy(col(score).desc, $"vec_id")
-    val w1 = Window.partitionBy($"qid").orderBy(col(score).desc, $"vec_id")
-    scored.withColumn("salt", pmod($"vec_id", lit(32)))
-      .withColumn("rn0", row_number().over(w0)).filter($"rn0" <= k)
-      .withColumn("rnk", row_number().over(w1)).filter($"rnk" <= k)
+    graft.functions.TwoLevel.topK(scored, Seq($"qid"),
+        Seq(col(score).desc, $"vec_id"), $"vec_id", k)
       .select($"qid", $"rnk", $"vec_id", col(score))
       .orderBy($"qid", $"rnk")
   }
@@ -551,16 +544,10 @@ object Knn {
       .mapPartitions(_.flatMap { case (cid, cv) =>
         bc.value.iterator.map { case (qid, qv) => (qid, cid, cosQ(qv, cv), cv) }
       }).toDF("qid", "vec_id", "rel", "nv")
-    // queries are few — two-level pool prune (the q26/t9 hierarchy):
-    // level 0 ranks within (qid, salt) so no task ever holds a
-    // query's full candidate set; level 1 re-ranks ≤ 32×pool rows.
-    val w0 = Window.partitionBy($"qid", $"salt").orderBy($"rel".desc, $"vec_id")
-    val w = Window.partitionBy($"qid").orderBy($"rel".desc, $"vec_id")
-    val pool = scored.withColumn("salt", pmod($"vec_id", lit(32)))
-      .withColumn("rn0", row_number().over(w0))
-      .filter($"rn0" <= mmrPool)
-      .withColumn("rn", row_number().over(w))
-      .filter($"rn" <= mmrPool)
+    // queries are few — two-level pool prune (TwoLevel.topK): no
+    // task ever holds a query's full candidate set.
+    val pool = graft.functions.TwoLevel.topK(scored, Seq($"qid"),
+        Seq($"rel".desc, $"vec_id"), $"vec_id", mmrPool, rankName = "rn")
       .select($"qid", $"vec_id", $"rel", $"nv")
       .as[(Long, Long, Double, Array[Double])]
     pool.groupByKey(_._1)

@@ -331,20 +331,29 @@ object Media {
         "CASE WHEN length(s) >= 8 THEN concat(substring(s, 1, 7), chr(ascii(substring(s, 8, 1)) ^ 1), substring(s, 9, length(s))) ELSE s END AS s")
     val hashed = base.unionByName(variants)
       .selectExpr("doc_id", s"${phashExpr(s => s"ascii($s)")} AS ph")
+      // consumed by the bucket-count branch and both sides of the
+      // candidate self-join — uncached, the scan + hash assembly
+      // would run up to 4×
+      .cache()
     val blockArr = m6Blocks.map { case (off, w) =>
       s"shiftright(ph, $off) & ${(1 << w) - 1}"
     }.mkString("array(", ", ", ")")
     val chunks = hashed.selectExpr("doc_id", "ph",
       s"posexplode($blockArr) AS (chunk_idx, chunk)")
-    // d2's skew guard on the 12-13-bit block buckets (see d3): a
-    // flooding bucket caps out instead of emitting O(bucket²)
-    // candidates; recall stays guaranteed for pairs in uncapped
-    // buckets, and the oracle mirrors the cap.
-    val cap = Dedup.bucketCap
+    // Occupancy-relative skew guard on the 12-13-bit block buckets
+    // (Dedup.occupancyCap, see d3): a fixed cap would silently zero
+    // the block's recall once the corpus outgrows cap·2^w; scaling
+    // with the uniform mean drops only true hot buckets. Recall
+    // stays guaranteed for pairs in uncapped buckets, and the oracle
+    // mirrors the cap arithmetic.
+    val nDocs = hashed.count()
+    val capExpr = m6Blocks.zipWithIndex.map { case ((_, w), c) =>
+      s"WHEN $c THEN ${Dedup.occupancyCap(nDocs, w)}"
+    }.mkString("CASE chunk_idx ", " ", " END")
     val bounded = chunks
       .join(chunks.groupBy($"chunk_idx", $"chunk").agg(count(lit(1)).as("bsz")),
         Seq("chunk_idx", "chunk"))
-      .filter($"bsz" <= cap)
+      .filter($"bsz" <= expr(capExpr))
       .select($"doc_id", $"ph", $"chunk_idx", $"chunk")
     bounded.as("a").join(bounded.as("b"),
         $"a.chunk_idx" === $"b.chunk_idx" && $"a.chunk" === $"b.chunk" &&
@@ -364,6 +373,12 @@ object Media {
     val chunkSelects = m6Blocks.zipWithIndex.map { case ((off, w), c) =>
       s"SELECT doc_id, ph, $c AS chunk_idx, (ph // ${1L << off}) % ${1L << w} AS chunk FROM hashed"
     }.mkString("\n  UNION ALL ")
+    // occupancy-relative cap (Dedup.occupancyCap) in SQL — n from a
+    // count CTE, mirroring the Spark side's hashed.count()
+    val capCase = m6Blocks.zipWithIndex.map { case ((_, w), c) =>
+      val b = 1L << w
+      s"WHEN $c THEN greatest(100, 8 * ((n + ${b - 1}) // $b))"
+    }.mkString("CASE chunk_idx ", " ", " END")
     s"""WITH base AS (SELECT doc_id,
       |  (CASE WHEN doc_id % 3 = 0 THEN 'IMG' WHEN doc_id % 3 = 1 THEN 'AUD' ELSE 'VID' END)
       |    || substr(text, 1, 61) AS s
@@ -379,8 +394,10 @@ object Media {
       |hashed AS (SELECT doc_id, ${phashExpr(s => s"ord($s)")} AS ph FROM corpus),
       |chunks AS ($chunkSelects),
       |bcnt AS (SELECT chunk_idx, chunk, count(*) AS bsz FROM chunks GROUP BY 1, 2),
+      |ncnt AS (SELECT count(*) AS n FROM hashed),
       |bounded AS (SELECT doc_id, ph, chunk_idx, chunk FROM chunks
-      |            JOIN bcnt USING (chunk_idx, chunk) WHERE bsz <= ${Dedup.bucketCap}),
+      |            JOIN bcnt USING (chunk_idx, chunk), ncnt
+      |            WHERE bsz <= $capCase),
       |pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
       |            CAST(bit_count(xor(a.ph, b.ph)) AS INTEGER) AS hamming
       |          FROM bounded a JOIN bounded b

@@ -486,25 +486,13 @@ object TextStats {
   def t12(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val quota = 20
-    // TWO-LEVEL quota selection (the q26/t9 hierarchy applied to
-    // top-k): sources are few, so a per-source window would put a
-    // source's every document into ONE task. Level 0 takes the quota
-    // within (source, salt) — 32 bounded windows per source, each of
-    // which must contain the global quota winners; level 1 re-ranks
-    // the ≤ 32×quota survivors per source. Same keys, same order,
-    // identical output to the single-window plan.
-    val salts = 32
-    val w0 = org.apache.spark.sql.expressions.Window
-      .partitionBy($"source", $"salt").orderBy($"h", $"doc_id")
-    val w1 = org.apache.spark.sql.expressions.Window
-      .partitionBy($"source").orderBy($"h", $"doc_id")
-    Tables.documents(spark, dir)
+    // TWO-LEVEL quota selection (TwoLevel.topK): sources are few, so
+    // a per-source window would put a source's every document into
+    // ONE task.
+    val base = Tables.documents(spark, dir)
       .select($"doc_id", $"source", md5(concat($"source", lit(":"), $"doc_id")).as("h"))
-      .withColumn("salt", pmod($"doc_id", lit(salts)))
-      .withColumn("rn0", row_number().over(w0))
-      .filter($"rn0" <= quota)
-      .withColumn("rn", row_number().over(w1))
-      .filter($"rn" <= quota)
+    graft.functions.TwoLevel.topK(base, Seq($"source"),
+        Seq($"h", $"doc_id"), $"doc_id", quota, rankName = "rn")
       .groupBy($"source")
       .agg(count(lit(1)).as("n_kept"), min($"h").as("first_hash"))
       .orderBy($"source")
@@ -596,17 +584,9 @@ object TextStats {
       (2L, "customer order value")).toDF("qid", "qtext")
     val qterms = queries
       .selectExpr("qid", "explode(split(qtext, ' ')) AS term").distinct()
-    // TWO-LEVEL top-k (the q26/t9 hierarchy): queries are few, so a
-    // per-qid window would rank a query's every matching doc in ONE
-    // task. Level 0 ranks within (qid, salt) — bounded windows that
-    // must contain the global top-5; level 1 re-ranks ≤ 32×5
-    // survivors per query. Identical output to the single window.
-    val salts = 32
-    val w0 = org.apache.spark.sql.expressions.Window
-      .partitionBy($"qid", $"salt").orderBy($"score".desc, $"doc_id")
-    val w1 = org.apache.spark.sql.expressions.Window
-      .partitionBy($"qid").orderBy($"score".desc, $"doc_id")
-    qterms.join(tf, Seq("term"))
+    // TWO-LEVEL top-k (TwoLevel.topK): queries are few, so a per-qid
+    // window would rank a query's every matching doc in ONE task.
+    val scored = qterms.join(tf, Seq("term"))
       .join(dfT, Seq("term"))
       .join(dl, Seq("doc_id"))
       .crossJoin(broadcast(stats))
@@ -616,11 +596,8 @@ object TextStats {
           " * 1e6 + 0.5) AS BIGINT) AS c6")
       .groupBy($"qid", $"doc_id")
       .agg((sum($"c6") / 1e6).as("score"))
-      .withColumn("salt", pmod($"doc_id", lit(salts)))
-      .withColumn("rn0", row_number().over(w0))
-      .filter($"rn0" <= 5)
-      .withColumn("rnk", row_number().over(w1))
-      .filter($"rnk" <= 5)
+    graft.functions.TwoLevel.topK(scored, Seq($"qid"),
+        Seq($"score".desc, $"doc_id"), $"doc_id", 5)
       .select($"qid", $"rnk", $"doc_id", $"score")
       .transform(graft.Tables.ordered(_, $"qid", $"rnk"))
   }

@@ -712,11 +712,20 @@ object Relational {
     * pointer's pointer — path lengths halve, so convergence needs
     * ceil(log2(max depth)) + 1 rounds (the +1 is the detection
     * round). Returns (state, rounds run, converged).
+    *
+    * REQUIRES the id set to be closed under ptr (every non-self
+    * pointer resolves to a present id): the per-round join is inner,
+    * so a dangling pointer would silently delete its node — while an
+    * arithmetic recursive-CTE oracle would walk straight through the
+    * gap. Guarded by a row-count check at the end; a non-closed
+    * input (e.g. a filtered/sampled key set) is a hard error, never
+    * a silently smaller answer.
     */
   private[graft] def pointerJump(init: DataFrame, maxRounds: Int): (DataFrame, Int, Boolean) = {
     val spark = init.sparkSession
     import spark.implicits._
     var state = init.cache()
+    val n0 = state.count()
     var converged = false
     var rounds = 0
     while (!converged && rounds < maxRounds) {
@@ -733,6 +742,9 @@ object Relational {
       state = next
       rounds += 1
     }
+    require(state.count() == n0,
+      s"pointer jumping lost nodes (${n0 - state.count()} of $n0): " +
+        "the id set is not closed under ptr — dangling parents")
     (state.drop("moved"), rounds, converged)
   }
 

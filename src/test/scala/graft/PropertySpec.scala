@@ -122,6 +122,35 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("TwoLevel.topK equals the single-window top-k on random data") {
+    val spark = SharedSpark.spark
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, row_number}
+    val rnd = new scala.util.Random(11L)
+    val rows = Seq.tabulate(500)(i => (rnd.nextInt(4).toLong, i.toLong, rnd.nextInt(50)))
+    val df = rows.toDF("g", "id", "s")
+    val got = graft.functions.TwoLevel.topK(df, Seq(col("g")),
+        Seq(col("s").desc, col("id")), col("id"), 7)
+      .select("g", "rnk", "id", "s").as[(Long, Int, Long, Int)].collect().toSet
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("g")).orderBy(col("s").desc, col("id"))
+    val want = df.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= 7)
+      .select("g", "rnk", "id", "s").as[(Long, Int, Long, Int)].collect().toSet
+    assert(got == want)
+  }
+
+  test("occupancyCap floors at the fixed cap and outruns uniform growth") {
+    import graft.operators.Dedup.occupancyCap
+    assert(occupancyCap(1000, 9) == 100)  // small corpus: the fixed floor
+    assert(occupancyCap(51200, 9) == 800) // past the old fixed-cap cliff: scales
+    // a uniform corpus (every bucket ~ n/2^w) never caps out: the cap
+    // is always >= 8x the ceil'd mean occupancy
+    for (n <- Seq(10000L, 100000L, 10000000L); w <- Seq(9, 10, 12, 13)) {
+      val mean = (n + (1L << w) - 1) / (1L << w)
+      assert(occupancyCap(n, w) >= math.max(100L, 8L * mean))
+    }
+  }
+
   test("pointer jumping resolves a pure chain in log2(depth) rounds") {
     val spark = SharedSpark.spark
     import spark.implicits._
