@@ -353,16 +353,28 @@ object Weather {
   // on (cell, lday) + narrow maps; the wrap is a filter+union of one
   // longitude column, not a second pass.
 
-  def w18(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    val banded = w12Daily(spark, dir)
+  /** Shared w18 / W4hJob chart-raster shape: stack highs/lows, band
+    * via [[bandOf]], the chart's 0..360 glon convention, and the
+    * cyclic-wrap column. `tempC` converts the stacked value `t` to
+    * °C for banding (w12Daily carries Kelvin-offset synthetic
+    * values; W4hJob's extremes are already °C).
+    */
+  private[graft] def chartRaster(daily: DataFrame, tempC: String): DataFrame = {
+    val sess = daily.sparkSession
+    import sess.implicits._
+    val banded = daily
       .selectExpr("lat", "lon", "lday",
         "stack(2, 'highs', hi, 'lows', lo) AS (vertex, t)")
       .selectExpr("lat", "lon + 177.5 AS glon", "lday", "vertex",
-        s"(${bandOf("(t - 273.15)")}) AS band")
+        s"(${bandOf(tempC)}) AS band")
     banded
       .unionByName(banded.filter($"glon" === 0.0)
         .withColumn("glon", lit(360.0)))
+  }
+
+  def w18(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    chartRaster(w12Daily(spark, dir), "(t - 273.15)")
       .transform(Tables.ordered(_, $"lat", $"glon", $"lday", $"vertex"))
   }
 

@@ -144,8 +144,19 @@ object W4hJob {
         .parquet(s"$workRoot/charts/$sourceVersion")
       val chartDays = charts.select($"lday").distinct()
         .as[Long].collect().sorted
-      chartDays.filter(_ >= t.earliestChartDay)
-        .foreach(d => status.set(s"globalCharts.$d", sourceVersion))
+      // ---- PNG rendering + chart catalog (main.py:399-443): the
+      // reference's fig.savefig becomes a JDK ImageIO raster of the
+      // banded field; the storage PUT is environment-bound (zero
+      // egress) so files land in the work dir, and the catalog
+      // status updates per rendered file exactly like the
+      // upload → set_status sequence (main.py:425-440)
+      val nPng = graft.operators.ChartPng.renderAll(
+        graft.operators.Weather.chartRaster(
+          charts.filter($"lday" >= t.earliestChartDay), "t"),
+        java.nio.file.Paths.get(workRoot, "charts_png", sourceVersion),
+        sourceVersion) { (day, _) =>
+        status.set(s"globalCharts.$day", sourceVersion)
+      }
       // prune catalog entries older than the earliest retained day
       // (main.py:352-359: the reference deletes globalCharts.<date>
       // keys before earliest_global_chart_date)
@@ -153,7 +164,7 @@ object W4hJob {
         .filter(_.startsWith("globalCharts."))
         .filter(_.stripPrefix("globalCharts.").toLong < t.earliestChartDay)
         .foreach(status.unset)
-      timer.log("chart data written")
+      timer.log(s"chart data written, $nPng PNGs rendered")
 
       // ---- persist + bookkeeping (main.py:326-336)
       store.save(merged, sourceVersion)

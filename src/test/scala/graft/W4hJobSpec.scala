@@ -26,6 +26,20 @@ class W4hJobSpec extends AnyFunSuite {
     assert(st("isUpdating") == "false")
     assert(st.keys.exists(_.startsWith("globalCharts.")))
 
+    // rendered chart PNGs: one per retained (day, vertex), named per
+    // main.py:418, decodable, and every catalog day has its pair
+    val pngDir = java.nio.file.Paths.get(root, "charts_png", "gfs20240101_00z")
+    val pngs = java.nio.file.Files.list(pngDir).toArray.map(_.toString).sorted
+    assert(pngs.nonEmpty && pngs.forall(_.endsWith(".png")))
+    val catalogDays = st.keys.filter(_.startsWith("globalCharts."))
+      .map(_.stripPrefix("globalCharts.")).toSet
+    catalogDays.foreach { d =>
+      assert(pngs.exists(_.endsWith(s"${d}Z_utci_highs_from_gfs20240101_00z.png")))
+      assert(pngs.exists(_.endsWith(s"${d}Z_utci_lows_from_gfs20240101_00z.png")))
+    }
+    val img0 = javax.imageio.ImageIO.read(new java.io.File(pngs.head))
+    assert(img0.getWidth > 1 && img0.getHeight > 1)
+
     // idempotence: same source => no-op
     val r2 = W4hJob.run(spark, sf, root, "gfs20240101_00z")
     assert(r2.outcome == "already-current")
