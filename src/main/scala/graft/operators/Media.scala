@@ -428,4 +428,98 @@ object Media {
         }
       })
   }
+
+  // ---------- m7: REAL codec roundtrip (ImageIO PNG encode → decode) ----------
+
+  case class PngRow(doc_id: Long, png: Array[Byte])
+  case class PngFeat(doc_id: Long, width: Int, height: Int,
+      q00: Long, q01: Long, q10: Long, q11: Long)
+
+  /** Encode stage of [[m7]]: each IMG payload's 64 masked bytes
+    * become an 8×8 grayscale image written to REAL PNG bytes with
+    * javax.imageio — a binary media column (m1's schema) whose
+    * content is genuine compressed image data, produced distributed
+    * in the executors.
+    */
+  private[graft] def m7Png(spark: SparkSession, dir: String): Dataset[PngRow] = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .filter($"doc_id" % 3 === 0)
+      .selectExpr("doc_id",
+        "rpad(concat('IMG', substring(text, 1, 61)), 64, ' ') AS s")
+      .as[(Long, String)]
+      .mapPartitions(_.map { case (id, s) =>
+        val img = new java.awt.image.BufferedImage(
+          8, 8, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var i = 0
+        while (i < 64) {
+          val v = s.charAt(i).toInt & 127
+          img.setRGB(i % 8, i / 8, v * 0x010101)
+          i += 1
+        }
+        val baos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "png", baos)
+        PngRow(id, baos.toByteArray)
+      })
+  }
+
+  /** m7: the m-family stage with a REAL codec — javax.imageio ships
+    * with the JDK, so the PNG path needs no stub. Stage 1 ([[m7Png]])
+    * encodes each payload to real PNG bytes; stage 2 DECODES them
+    * with ImageIO.read and extracts per-quadrant luminance sums. PNG
+    * is lossless, so decoded pixels equal encoded ones bitwise, and
+    * the DuckDB oracle verifies the whole
+    * encode → compress → decode → feature pipeline arithmetically
+    * from the payload characters — a bitwise correctness gate OVER a
+    * real codec roundtrip. This narrows the m-family's stub boundary
+    * to external formats only (JPEG/video of arbitrary crawl data):
+    * running codecs inside executors, batched, with binary columns
+    * between stages, is demonstrated for real. Zero shuffles — two
+    * narrow stages.
+    */
+  def m7(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    m7Png(spark, dir).mapPartitions(_.map { r =>
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(r.png))
+      val w = img.getWidth
+      val h = img.getHeight
+      val q = Array.ofDim[Long](4)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          q((y / 4) * 2 + (x / 4)) += (img.getRGB(x, y) & 0xff).toLong
+          x += 1
+        }
+        y += 1
+      }
+      PngFeat(r.doc_id, w, h, q(0), q(1), q(2), q(3))
+    }).toDF()
+      .transform(graft.Tables.ordered(_, $"doc_id"))
+  }
+
+  /** m7 oracle: the quadrant sums straight from the payload
+    * characters (`ord & 127` — the exact pixel values the PNG
+    * roundtrip preserves losslessly).
+    */
+  val m7Sql: String = {
+    def qsum(q: Int): String = {
+      val rows = if (q < 2) 0 until 4 else 4 until 8
+      val cols = if (q % 2 == 0) 0 until 4 else 4 until 8
+      rows.flatMap(r => cols.map { c =>
+        val pos = r * 8 + c + 1
+        s"(ord(substr(s, $pos, 1)) & 127)"
+      }).mkString("(", " + ", ")")
+    }
+    s"""WITH p AS (SELECT doc_id, rpad('IMG' || substr(text, 1, 61), 64, ' ') AS s
+      |  FROM documents WHERE doc_id % 3 = 0)
+      |SELECT doc_id, 8 AS width, 8 AS height,
+      |  CAST(${qsum(0)} AS BIGINT) AS q00,
+      |  CAST(${qsum(1)} AS BIGINT) AS q01,
+      |  CAST(${qsum(2)} AS BIGINT) AS q10,
+      |  CAST(${qsum(3)} AS BIGINT) AS q11
+      |FROM p
+      |ORDER BY doc_id""".stripMargin
+  }
 }

@@ -36,4 +36,19 @@ class ChartPngSpec extends AnyFunSuite {
     // the cyclic wrap column: left and right edges agree pixelwise
     (0 until h).foreach(y => assert(img.getRGB(0, y) == img.getRGB(w - 1, y)))
   }
+
+  test("m7 intermediate bytes are genuine PNGs with the expected pixels") {
+    val rows = graft.operators.Media.m7Png(spark, sf).take(5)
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      // PNG signature: 0x89 'P' 'N' 'G'
+      assert((r.png(0) & 0xff) == 0x89 && r.png(1) == 'P' &&
+        r.png(2) == 'N' && r.png(3) == 'G')
+      val img = ImageIO.read(new java.io.ByteArrayInputStream(r.png))
+      assert(img.getWidth == 8 && img.getHeight == 8)
+      // pixel (0,0) is the 'I' of the IMG header — the codec
+      // roundtrip preserved the raw value
+      assert((img.getRGB(0, 0) & 0xff) == ('I'.toInt & 127))
+    }
+  }
 }
