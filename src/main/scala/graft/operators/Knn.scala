@@ -668,4 +668,178 @@ object Knn {
       .select($"id_a".as("qid"), $"id_b".as("vec_id"), $"cos_sim"),
       "cos_sim", 3)
   }
+
+  // ---------- v9: IVF-PQ (IVFADC) — pruning and compression composed ----------
+
+  private val ivfProbe = 2 // clusters probed per query (of 8)
+
+  /** v9: IVF-PQ — v3's coarse-quantizer pruning composed with v5's
+    * product-quantized scoring (the FAISS IVFADC architecture, Jégou
+    * et al. 2011 — the shape billion-vector serving actually runs).
+    * One narrow pass assigns each corpus vector to its nearest coarse
+    * centroid AND PQ-encodes the RESIDUAL (v − centroid) in 8
+    * subspace codes; queries probe their `ivfProbe` nearest centroids
+    * and score only those clusters' members via broadcast ADC tables.
+    *
+    * Inner-product ADC decomposes exactly: q·(c + r̂) = q·c + Σₛ
+    * q_s·code_s — the per-(query, centroid) term and the per-(subspace,
+    * code) lookup table are both integerized (1e6), so the reassembly
+    * sum is order-free and bitwise cross-engine.
+    *
+    * 100 TB shape: after the one-time encode, the corpus moves as
+    * (vec_id, cid, 8 codes) ≈ 17 bytes/vector; centroids, codebooks
+    * and per-query LUTs broadcast (nlist·dim + queries·pqSub·pqCodes
+    * entries — KBs); probing prunes scoring to nprobe/nlist of the
+    * corpus, scoring is a narrow map over the encoded rows, and the
+    * final top-k is the two-level (qid, salt) rank. No vector ever
+    * moves after encoding, and nothing shuffles but the bounded
+    * ranked candidates. The codebook entries reuse v5's deterministic
+    * corpus-slice seeds (ids 10-25) — codebook TRAINING (k-means in
+    * residual space, v4's kernel per subspace) is orthogonal to the
+    * serving shape measured here.
+    */
+  def v9(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = vectors(spark, dir)
+    val cents = codebook(e, "vec_id >= 10 AND vec_id < 18")
+    val cb = codebook(e, s"vec_id >= 10 AND vec_id < ${10 + pqCodes}")
+    val qs = codebook(e, "vec_id < 10")
+    val bcCents = spark.sparkContext.broadcast(cents)
+    val bcCb = spark.sparkContext.broadcast(cb)
+    // 1. assign + residual-encode in ONE narrow pass (no shuffle)
+    val enc = e.filter($"vec_id" >= 18).select($"vec_id", $"nv")
+      .as[(Long, Array[Double])]
+      .mapPartitions { it =>
+        val cs = bcCb.value
+        val cn = bcCents.value
+        it.map { case (id, v) =>
+          var bestCid = 0L
+          var bestCos = -2.0
+          var bestCnv: Array[Double] = null
+          cn.foreach { case (cid, cnv) =>
+            val c = cosQ(cnv, v)
+            if (c > bestCos || (c == bestCos && cid < bestCid)) {
+              bestCid = cid; bestCos = c; bestCnv = cnv
+            }
+          }
+          val codes = Array.tabulate(pqSub) { s =>
+            var bestCode = 0L
+            var bestD = Long.MaxValue
+            cs.foreach { case (kid, kv) =>
+              var d = 0.0
+              var i = 0
+              while (i < pqSubDim) {
+                val dx = (v(s * pqSubDim + i) - bestCnv(s * pqSubDim + i)) - kv(s * pqSubDim + i)
+                d += dx * dx
+                i += 1
+              }
+              val dq = math.floor(d * 1e12 + 0.5).toLong
+              if (dq < bestD || (dq == bestD && kid < bestCode)) { bestD = dq; bestCode = kid }
+            }
+            bestCode
+          }
+          (id, bestCid, codes)
+        }
+      }
+    // 2. driver-built probe tables (|queries| × nprobe — tiny):
+    //    cid -> [(qid, q·centroid term, (subspace, code) -> partial dot)]
+    val probes: Map[Long, Array[(Long, Long, Map[(Int, Long), Long])]] =
+      qs.flatMap { case (qid, qv) =>
+        cents.map { case (cid, cnv) => (cid, cnv, cosQ(cnv, qv)) }
+          .sortBy { case (cid, _, c) => (-c, cid) }
+          .take(ivfProbe)
+          .map { case (cid, cnv, _) =>
+            var qc = 0.0
+            var i = 0
+            while (i < dim) { qc += qv(i) * cnv(i); i += 1 }
+            val lut = (for {
+              s <- 0 until pqSub
+              (kid, kv) <- cb
+            } yield {
+              var p = 0.0
+              var j = 0
+              while (j < pqSubDim) { p += qv(s * pqSubDim + j) * kv(s * pqSubDim + j); j += 1 }
+              (s, kid) -> math.floor(p * 1e6 + 0.5).toLong
+            }).toMap
+            (cid, qid, math.floor(qc * 1e6 + 0.5).toLong, lut)
+          }
+      }.groupBy(_._1)
+        .map { case (cid, xs) => cid -> xs.map(t => (t._2, t._3, t._4)).toArray.sortBy(_._1) }
+    val bcProbes = spark.sparkContext.broadcast(probes)
+    // 3. ADC-score probed clusters only: a narrow map over encoded rows
+    val scored = enc.mapPartitions(_.flatMap { case (id, cid, codes) =>
+      bcProbes.value.getOrElse(cid, Array.empty[(Long, Long, Map[(Int, Long), Long])])
+        .iterator.map { case (qid, qc6, tab) =>
+          var acc = qc6
+          var s = 0
+          while (s < pqSub) { acc += tab((s, codes(s))); s += 1 }
+          (qid, id, acc / 1e6)
+        }
+    }).toDF("qid", "vec_id", "score")
+    topK(scored, "score", 3)
+  }
+
+  /** Full v9 oracle: coarse assignment (v3's CTEs), residual slicing,
+    * quantized-L2 residual encoding (v5's CTEs in residual space),
+    * probe selection, and the integerized q·centroid + ADC-sum
+    * reassembly — every tie-break and quantization mirrored.
+    */
+  val v9Sql: String =
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |n AS (SELECT vec_id, v, sqrt(list_inner_product(v, v)) AS nrm FROM e),
+      |m AS (SELECT vec_id, list_transform(v, x -> x / nrm) AS nv FROM n),
+      |cents AS (SELECT vec_id AS cid, nv AS cnv FROM m WHERE vec_id >= 10 AND vec_id < 18),
+      |corpus AS (SELECT vec_id, nv FROM m WHERE vec_id >= 18),
+      |asg0 AS (SELECT c.vec_id, ct.cid,
+      |           round(list_inner_product(ct.cnv, c.nv) * 1e6) / 1e6 AS cs
+      |         FROM corpus c CROSS JOIN cents ct),
+      |assigned AS (SELECT vec_id, cid FROM
+      |  (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cid) AS rn FROM asg0)
+      |  WHERE rn = 1),
+      |resid AS (SELECT a.vec_id, a.cid,
+      |            list_transform(range(1, ${dim + 1}), i -> c.nv[i] - ct.cnv[i]) AS r
+      |          FROM assigned a JOIN corpus c USING (vec_id) JOIN cents ct USING (cid)),
+      |sp AS (SELECT unnest(range(0, $pqSub)) AS s),
+      |rsub AS (SELECT vec_id, cid, sp.s,
+      |           r[(sp.s * $pqSubDim + 1):(sp.s * $pqSubDim + $pqSubDim)] AS sv
+      |         FROM resid CROSS JOIN sp),
+      |cb AS (SELECT vec_id AS code_id, sp.s,
+      |         nv[(sp.s * $pqSubDim + 1):(sp.s * $pqSubDim + $pqSubDim)] AS cv
+      |       FROM m CROSS JOIN sp WHERE vec_id >= 10 AND vec_id < ${10 + pqCodes}),
+      |enc0 AS (SELECT c.vec_id, c.s, cb.code_id,
+      |           CAST(floor(list_inner_product(
+      |             list_transform(range(1, ${pqSubDim + 1}), i -> c.sv[i] - cb.cv[i]),
+      |             list_transform(range(1, ${pqSubDim + 1}), i -> c.sv[i] - cb.cv[i])) * 1e12 + 0.5) AS BIGINT) AS d12
+      |         FROM rsub c JOIN cb USING (s)),
+      |enc AS (SELECT vec_id, s, code_id FROM (
+      |          SELECT vec_id, s, code_id,
+      |            row_number() OVER (PARTITION BY vec_id, s ORDER BY d12, code_id) AS rnk
+      |          FROM enc0) WHERE rnk = 1),
+      |qs AS (SELECT vec_id AS qid, nv FROM m WHERE vec_id < 10),
+      |pr0 AS (SELECT q.qid, ct.cid,
+      |          round(list_inner_product(ct.cnv, q.nv) * 1e6) / 1e6 AS cs
+      |        FROM qs q CROSS JOIN cents ct),
+      |probes AS (SELECT qid, cid FROM
+      |  (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cs DESC, cid) AS rn FROM pr0)
+      |  WHERE rn <= $ivfProbe),
+      |qc AS (SELECT p.qid, p.cid,
+      |         CAST(floor(list_inner_product(q.nv, ct.cnv) * 1e6 + 0.5) AS BIGINT) AS qc6
+      |       FROM probes p JOIN qs q USING (qid) JOIN cents ct USING (cid)),
+      |qsub AS (SELECT qid, sp.s,
+      |           nv[(sp.s * $pqSubDim + 1):(sp.s * $pqSubDim + $pqSubDim)] AS sv
+      |         FROM qs CROSS JOIN sp),
+      |adc AS (SELECT q.qid, q.s, cb.code_id,
+      |          CAST(floor(list_inner_product(q.sv, cb.cv) * 1e6 + 0.5) AS BIGINT) AS p6
+      |        FROM qsub q JOIN cb USING (s)),
+      |sc AS (SELECT qc.qid, a.vec_id,
+      |         (max(qc.qc6) + CAST(sum(adc.p6) AS BIGINT)) / 1e6 AS score
+      |       FROM qc JOIN assigned a ON a.cid = qc.cid
+      |       JOIN enc ON enc.vec_id = a.vec_id
+      |       JOIN adc ON adc.qid = qc.qid AND adc.s = enc.s AND adc.code_id = enc.code_id
+      |       GROUP BY qc.qid, a.vec_id),
+      |r AS (SELECT qid, vec_id, score,
+      |        row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id) AS rnk
+      |      FROM sc)
+      |SELECT qid, rnk, vec_id, score FROM r WHERE rnk <= 3
+      |ORDER BY qid, rnk""".stripMargin
 }

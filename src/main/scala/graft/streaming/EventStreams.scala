@@ -617,6 +617,97 @@ object EventStreams {
       |GROUP BY 1, 2
       |ORDER BY 1, 2""".stripMargin
 
+  /** s13: stream-stream LEFT OUTER interval join — s4's pairing with
+    * the unmatched side KEPT: every event either pairs with a
+    * same-user successor within (0, 5 min] or eventually emits one
+    * null-padded row when the watermark proves no match can arrive.
+    * Outer stream joins are their own semantics class: matched rows
+    * emit in the batch that finds them, but unmatched rows emit only
+    * at STATE EVICTION (watermark > ta + 5 min), so correctness
+    * depends on watermark advancement — exactly what this query pins.
+    *
+    * The §8.22 no-data-flush race is engineered away instead of
+    * trusted: the feed is staged as three DATA batches
+    * (maxFilesPerTrigger=1; ascending mtimes) — the real table, then
+    * two far-future sentinel rows whose only job is to push the
+    * watermark past every real row's match window. All eviction
+    * output therefore lands inside data batches that
+    * `processAllAvailable` is guaranteed to wait for; the sentinels
+    * themselves (user_id = −1, and by `tb > ta` strictness they never
+    * pair with each other) are filtered after the sink. The oracle is
+    * the plain batch LEFT JOIN — no emission-boundary arithmetic,
+    * because the sentinels make the outer output COMPLETE.
+    *
+    * At scale: join state is bounded by the watermark delay + the
+    * 5-min condition span per key (evicted rows leave the store), and
+    * the sentinel trick becomes unnecessary — a live feed advances
+    * its own watermark.
+    */
+  def s13(spark: SparkSession, dir: String): DataFrame = {
+    val ss = streamSession(spark)
+    ss.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = ss.read.parquet(s"$dir/events.parquet").schema
+    val stage = java.nio.file.Files.createTempDirectory("graft_s13_").toFile
+    val real = new java.io.File(stage, "b0_events.parquet")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/events.parquet"), real.toPath)
+    val maxNs = ss.read.schema(schema).parquet(real.getAbsolutePath)
+      .agg(max("ts")).head().getLong(0)
+    val base = real.lastModified()
+    def sentinel(name: String, tsNs: Long, mtime: Long): Unit = {
+      val df = ss.createDataFrame(
+        java.util.Collections.singletonList(
+          org.apache.spark.sql.Row(-1L, tsNs, -1L, "sentinel", 0.0, "{}")),
+        schema)
+      val outDir = new java.io.File(stage, name + ".tmp")
+      df.coalesce(1).write.parquet(outDir.getAbsolutePath)
+      val part = outDir.listFiles().filter(_.getName.endsWith(".parquet")).head
+      val tgt = new java.io.File(stage, name)
+      java.nio.file.Files.move(part.toPath, tgt.toPath)
+      outDir.listFiles().foreach(_.delete())
+      outDir.delete()
+      tgt.setLastModified(mtime)
+    }
+    val dayNs = 86400L * 1000000000L
+    sentinel("b1_events.parquet", maxNs + dayNs, base + 60000L)
+    sentinel("b2_events.parquet", maxNs + 2 * dayNs, base + 120000L)
+    val src = ss.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(stage.getAbsolutePath)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val a = src.select(col("user_id").as("ua"), col("ts").as("ta"))
+      .withWatermark("ta", "10 minutes")
+    val b = src.select(col("user_id").as("ub"), col("ts").as("tb"))
+      .withWatermark("tb", "10 minutes")
+    val joined = a.join(b,
+      expr("ua = ub AND tb > ta AND tb <= ta + INTERVAL 5 MINUTES"),
+      "left_outer")
+    val out = runToTable(ss, joined, OutputMode.Append())
+      .filter(col("ua") >= 0)
+      .groupBy(col("ua").as("user_id"))
+      .agg(count(col("tb")).as("n_pairs"),
+        count(when(col("tb").isNull, 1)).as("n_unmatched"))
+      .orderBy(col("user_id"))
+    // the memory sink holds the emitted rows; the staged feed can go
+    stage.listFiles().foreach(_.delete())
+    stage.delete()
+    out
+  }
+
+  /** s13 oracle: the batch LEFT JOIN — complete outer output, because
+    * the sentinel batches advance the stream watermark past every
+    * real row's match window.
+    */
+  val s13Sql: String =
+    """SELECT a.user_id, count(b.ts) AS n_pairs,
+      |  count(*) FILTER (WHERE b.ts IS NULL) AS n_unmatched
+      |FROM events a LEFT JOIN events b
+      |  ON b.user_id = a.user_id
+      | AND b.ts > a.ts
+      | AND b.ts <= a.ts + INTERVAL 5 MINUTE
+      |GROUP BY a.user_id
+      |ORDER BY a.user_id""".stripMargin
+
   /** Exactly-once-style streaming sink: `foreachBatch` routed through
     * [[graft.pipeline.ChunkedSink]], keyed (batchId, partition, chunk)
     * so replays of a failed micro-batch overwrite instead of

@@ -79,6 +79,40 @@ class DedupKnnSpec extends AnyFunSuite {
     assert(brute.intersect(ivf).nonEmpty)
   }
 
+  test("v9 IVF-PQ: candidates confined to probed clusters, ranked lists well-formed") {
+    val rows = Knn.v9(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // well-formed per-query lists: <= 3 results, ranks contiguous from 1
+    rows.groupBy(_.getAs[Long]("qid")).values.foreach { g =>
+      assert(g.length <= 3)
+      assert(g.map(_.getAs[Int]("rnk")).sorted.sameElements(1 to g.length))
+    }
+    // every result must live in a cluster its query probed: recompute
+    // assignment + probes with the independent exact path (v1All's
+    // quantized cosine) and check containment
+    val e = Tables.embeddings(spark, sf)
+      .selectExpr("vec_id", "transform(embedding, x -> CAST(x AS DOUBLE)) AS v")
+      .selectExpr("vec_id", "transform(v, x -> x / sqrt(aggregate(zip_with(v, v, (a, b) -> a * b), CAST(0 AS DOUBLE), (acc, x) -> acc + x))) AS nv")
+      .as[(Long, Array[Double])].collect().toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var i = 0
+      while (i < a.length) { d += a(i) * b(i); i += 1 }
+      val q = d * 1e6
+      (if (q >= 0) math.floor(q + 0.5) else math.ceil(q - 0.5)) / 1e6
+    }
+    val cents = (10L until 18L).map(c => c -> e(c))
+    def nearest(v: Array[Double], n: Int): Seq[Long] =
+      cents.map { case (cid, cv) => (cid, cos(cv, v)) }
+        .sortBy { case (cid, c) => (-c, cid) }.take(n).map(_._1)
+    rows.foreach { r =>
+      val qid = r.getAs[Long]("qid")
+      val vid = r.getAs[Long]("vec_id")
+      val probed = nearest(e(qid), 2).toSet
+      assert(probed.contains(nearest(e(vid), 1).head),
+        s"result $vid for query $qid is outside its probed clusters")
+    }
+  }
+
   test("TopKAgg typed aggregator equals window+rank top-k") {
     import spark.implicits._
     val ev = Tables.events(spark, sf)

@@ -240,6 +240,54 @@ class StreamingPipelineSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("s13 outer join: matches emit immediately, unmatched only after watermark eviction") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val memA = MemoryStream[(Long, Long)] // (user_id, tus)
+    val memB = MemoryStream[(Long, Long)]
+    val a = memA.toDF().toDF("ua", "tua")
+      .withColumn("ta", timestamp_micros($"tua")).drop("tua")
+      .withWatermark("ta", "10 minutes")
+    val b = memB.toDF().toDF("ub", "tub")
+      .withColumn("tb", timestamp_micros($"tub")).drop("tub")
+      .withWatermark("tb", "10 minutes")
+    val joined = a.join(b,
+      expr("ua = ub AND tb > ta AND tb <= ta + INTERVAL 5 MINUTES"), "left_outer")
+    val name = "s13_state_test"
+    val q = joined.writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName(name).start()
+    def rows(): Set[(Long, Option[Long])] = spark.table(name).collect()
+      .map(r => (r.getAs[Long]("ua"),
+        if (r.isNullAt(r.fieldIndex("ub"))) None else Some(r.getAs[Long]("ub"))))
+      .toSet
+    try {
+      val M = 60L * 1000000L
+      val base = 600L * M // not epoch 0: initial watermark starts there
+      // batch 1: user 1 pairs within 5 min; user 2 has no successor
+      memA.addData((1L, base), (2L, base))
+      memB.addData((1L, base + 3 * M))
+      q.processAllAvailable()
+      val afterB1 = rows()
+      assert(afterB1.contains((1L, Some(1L))), "match must emit in its own batch")
+      assert(!afterB1.exists(_._2.isEmpty),
+        "no null-padded row may emit before the watermark passes the match window")
+      // batch 2 advances the watermark far past base + 5 min; batch 3
+      // is one more DATA batch so eviction runs under the committed
+      // watermark (the no-data flush can race processAllAvailable)
+      memA.addData((99L, base + 120 * M))
+      memB.addData((99L, base + 120 * M))
+      q.processAllAvailable()
+      memA.addData((98L, base + 240 * M))
+      memB.addData((98L, base + 240 * M))
+      q.processAllAvailable()
+      val afterB3 = rows()
+      assert(afterB3.contains((2L, None)),
+        "expired unmatched row must emit null-padded")
+      assert(!afterB3.contains((1L, None)),
+        "a matched row must never also emit null-padded")
+    } finally q.stop()
+  }
+
   test("s12 dedup suppresses re-delivered keys across micro-batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
