@@ -762,4 +762,44 @@ object Relational {
       |FROM walk
       |WHERE cur % 97 = 0 OR cur = 1
       |ORDER BY c_custkey""".stripMargin
+
+  /** q28: UNPIVOT (melt) — the inverse relational surface of q17's
+    * pivot: a wide per-flag summary (three integerized measures as
+    * columns) melts into (key, measure, value) long form via the
+    * native `Dataset.unpivot` (Catalyst Expand — a NARROW row-local
+    * fan-out, zero shuffles beyond the one aggregate that built the
+    * wide input). Long form is what generic downstream consumers
+    * (metric stores, chart pipelines) ingest; measures integerize per
+    * §8.1 so the melt is exact BIGINT end-to-end.
+    */
+  def q28(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val wide = Tables.lineitem(spark, dir)
+      .groupBy($"l_returnflag")
+      .agg(sum(expr("CAST(floor(l_quantity + 0.5) AS BIGINT)")).as("sum_qty"),
+        sum(expr("CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)")).as("sum_price_c"),
+        sum(expr("CAST(floor(l_discount * 100 + 0.5) AS BIGINT)")).as("sum_disc_c"))
+    wide.unpivot(
+        Array(col("l_returnflag")),
+        Array(col("sum_qty"), col("sum_price_c"), col("sum_disc_c")),
+        "measure", "value")
+      .orderBy($"l_returnflag", $"measure")
+  }
+
+  /** q28 oracle: the melt unrolled as three UNION ALL legs (DuckDB's
+    * UNPIVOT syntax exists but the unrolled form pins the exact
+    * measure-name/column correspondence Spark emits).
+    */
+  val q28Sql: String =
+    """WITH w AS (SELECT l_returnflag,
+      |    CAST(sum(CAST(floor(l_quantity + 0.5) AS BIGINT)) AS BIGINT) AS sum_qty,
+      |    CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_price_c,
+      |    CAST(sum(CAST(floor(l_discount * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_disc_c
+      |  FROM lineitem GROUP BY 1)
+      |SELECT l_returnflag, 'sum_qty' AS measure, sum_qty AS value FROM w
+      |UNION ALL
+      |SELECT l_returnflag, 'sum_price_c' AS measure, sum_price_c AS value FROM w
+      |UNION ALL
+      |SELECT l_returnflag, 'sum_disc_c' AS measure, sum_disc_c AS value FROM w
+      |ORDER BY l_returnflag, measure""".stripMargin
 }

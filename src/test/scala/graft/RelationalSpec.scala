@@ -246,6 +246,41 @@ class RelationalSpec extends AnyFunSuite {
     }
   }
 
+  test("p6 MERGE: clause arithmetic — deletes win, updates add, inserts disjoint, rest kept") {
+    val cur = Tables.customer(spark, sf)
+      .selectExpr("c_custkey AS k", "CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS attr")
+      .as[(Long, Long)].collect().toMap
+    val out = graft.operators.Scd.p6(spark, sf).collect()
+      .map(r => r.getAs[Long]("k") -> (r.getAs[Long]("attr"), r.getAs[String]("action")))
+      .toMap
+    cur.keys.foreach { k =>
+      if (k % 7 == 0) assert(!out.contains(k), s"key $k should be deleted (delete wins)")
+      else if (k % 3 == 0) assert(out(k) == (cur(k) + 5000L, "updated"))
+      else assert(out(k) == (cur(k), "kept"))
+    }
+    cur.keys.filter(_ % 11 == 0).foreach { k =>
+      assert(out(k + 1000000L) == (777L, "inserted"))
+    }
+    // nothing beyond target ∪ inserts
+    assert(out.size ==
+      cur.keys.count(k => k % 7 != 0) + cur.keys.count(_ % 11 == 0))
+  }
+
+  test("q28 unpivot: melt legs reconcile with the wide aggregate") {
+    val rows = Relational.q28(spark, sf).collect()
+      .map(r => (r.getAs[String]("l_returnflag"), r.getAs[String]("measure"),
+        r.getAs[Long]("value")))
+    val flags = rows.map(_._1).distinct
+    // 3 measures per flag, every (flag, measure) exactly once
+    assert(rows.length == flags.length * 3)
+    assert(rows.toSet.size == rows.length)
+    // each leg matches an independent direct aggregate
+    val qty = Tables.lineitem(spark, sf).groupBy($"l_returnflag")
+      .agg(sum(expr("CAST(floor(l_quantity + 0.5) AS BIGINT)")).as("v"))
+      .as[(String, Long)].collect().toMap
+    rows.filter(_._2 == "sum_qty").foreach { case (f, _, v) => assert(v == qty(f)) }
+  }
+
   test("q24 gaps-and-islands: streaks tile the active days, disjoint and maximal") {
     val rows = Relational.q24(spark, sf).collect()
       .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("streak_start"),
