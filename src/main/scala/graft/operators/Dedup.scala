@@ -1030,11 +1030,14 @@ object Dedup {
           .otherwise($"text").as("text"))
       .selectExpr("doc_id", "split(trim(text), ' ') AS words")
       .filter(size($"words") >= K)
-      .selectExpr("doc_id",
-        s"""posexplode(transform(
-           | sequence(0, size(words) - $K),
-           | p -> concat_ws(' ', slice(words, p + 1, $K)))) AS (p, gram)""".stripMargin)
-      .select($"doc_id", $"p", graft.functions.Fnv64.fnv64($"gram").as("gh"))
+      // explode positions FIRST, then slice/concat/hash as plain
+      // (non-lambda) expressions: a transform(.., p -> concat_ws(..))
+      // lambda evaluates INTERPRETED inside the codegen'd projection
+      // (§8.12) — measured 4x this query's cost at sf0.1
+      .selectExpr("doc_id", s"explode(sequence(0, size(words) - $K)) AS p", "words")
+      .select($"doc_id", $"p",
+        graft.functions.Fnv64.fnv64(
+          concat_ws(" ", expr(s"slice(words, p + 1, $K)"))).as("gh"))
     val dup = grams.groupBy($"gh")
       .agg(countDistinct($"doc_id").as("nd"))
       .filter($"nd" >= 2)
