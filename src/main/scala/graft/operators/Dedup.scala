@@ -213,7 +213,12 @@ object Dedup {
     * off the per-row path); min/bucket/Jaccard math is all integer,
     * so the whole result is bitwise.
     */
-  val d2Sql: String = {
+  /** d2's full CTE chain (corpus → shingles → minhash sigs → capped
+    * band buckets → candidates → verified `j`), WITHOUT the leading
+    * `WITH` or a final SELECT — so d2Sql and d13Sql (which composes a
+    * recursive closure on top) share one bitwise-identical pipeline.
+    */
+  private lazy val d2Chain: String = {
     import graft.functions.Fnv64
     val hashCols = (0 until nHashes)
       .map(k => s"${Fnv64.duckSigned(s"('$k:' || s)")} AS h$k").mkString(",\n  ")
@@ -223,7 +228,7 @@ object Dedup {
         .map(k => s"CAST(mh$k AS VARCHAR)").mkString(" || ',' || ")
       s"SELECT doc_id, $b AS band, ${Fnv64.duckSigned(s"('$b:' || $catted)")} AS sig FROM sigs"
     }.mkString("\n  UNION ALL ")
-    s"""WITH corpus AS (
+    s"""corpus AS (
       |  SELECT doc_id, text FROM documents
       |  UNION ALL
       |  SELECT doc_id + 10000, text || ' zq extra tail token' FROM documents WHERE doc_id % 7 = 0),
@@ -250,10 +255,13 @@ object Dedup {
       |j AS (SELECT id_a, id_b,
       |        CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
       |          / CAST(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS DOUBLE) AS jaccard
-      |      FROM cand JOIN sh a ON a.doc_id = id_a JOIN sh b ON b.doc_id = id_b)
+      |      FROM cand JOIN sh a ON a.doc_id = id_a JOIN sh b ON b.doc_id = id_b)""".stripMargin
+  }
+
+  val d2Sql: String =
+    s"""WITH $d2Chain
       |SELECT id_a, id_b, jaccard FROM j WHERE jaccard >= 0.4
       |ORDER BY id_a, id_b""".stripMargin
-  }
 
   // ---------- d10: fuzzy cross-corpus decontamination ----------
 
@@ -1087,4 +1095,57 @@ object Dedup {
       |GROUP BY doc_id
       |ORDER BY doc_id""".stripMargin
   }
+
+  // ---------- d13: the composed near-dup dedup apply ----------
+
+  /** d13: the near-duplicate dedup pass RUN END-TO-END — the
+    * composition a pipeline actually executes (d7 is the EXACT-grain
+    * apply): d2's verified MinHash/LSH pairs → connected components
+    * (d6's convergence-detected propagation, stars fallback — same
+    * no-silent-caps contract) → canonical survivor per cluster
+    * (minimum doc_id = the component label by construction) → a
+    * keep/remove decision row for every document in a non-trivial
+    * cluster. The oracle composes d2's full CTE chain with a
+    * recursive-CTE transitive closure and min-reachable root (q27's
+    * recursive-oracle precedent), so the whole composition stays
+    * bitwise — including which side of every near-dup pair survives.
+    *
+    * Scale: pair discovery is d2's capped band-bucket shape;
+    * components touch ONLY dup-pair nodes (a sliver of the corpus);
+    * survivor selection is the label itself. Applying the removals to
+    * the full corpus is one broadcast/semi join of this decision
+    * table (d7's shape) — not re-run here.
+    */
+  def d13(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val pairs = d2(spark, dir)
+      .select($"id_a".as("src"), $"id_b".as("dst")).cache()
+    val labels = ccPropagate(pairs, 20) match {
+      case (l, _, true) => l
+      case _ =>
+        val (l, _, conv) = ccStars(pairs, 50)
+        require(conv, "ccStars fallback did not converge within 50 rounds")
+        l
+    }
+    labels.select($"id".as("doc_id"), $"lbl".as("root"))
+      .withColumn("kept", ($"doc_id" === $"root").cast("long"))
+      .transform(graft.Tables.ordered(_, $"doc_id"))
+  }
+
+  /** d13 oracle: d2's chain + undirected transitive closure (the
+    * recursive CTE walks every reachable node; components are tiny
+    * copy-chains, so the closure is bounded) + min-reachable root.
+    */
+  val d13Sql: String =
+    s"""WITH RECURSIVE $d2Chain,
+      |dpairs AS (SELECT id_a, id_b FROM j WHERE jaccard >= 0.4),
+      |edges AS (SELECT id_a AS x, id_b AS y FROM dpairs
+      |          UNION SELECT id_b, id_a FROM dpairs),
+      |reach AS (SELECT x, y FROM edges
+      |          UNION SELECT r.x, e.y FROM reach r JOIN edges e ON r.y = e.x),
+      |roots AS (SELECT x AS doc_id, least(x, min(y)) AS root
+      |          FROM reach GROUP BY x)
+      |SELECT doc_id, root, CAST(doc_id = root AS BIGINT) AS kept
+      |FROM roots
+      |ORDER BY doc_id""".stripMargin
 }

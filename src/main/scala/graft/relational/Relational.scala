@@ -786,6 +786,46 @@ object Relational {
       .orderBy($"l_returnflag", $"measure")
   }
 
+  /** q29: the analytic-function surface in one query — ntile
+    * (quartile bucketing), percent_rank, cume_dist and lead, over a
+    * TOTALLY ordered frame (integerized cents + the unique orderkey
+    * tiebreak, so every rank function is deterministic).
+    * percent_rank = (rank−1)/(n−1) and cume_dist = peers/n are single
+    * IEEE divisions of exact integers — bitwise cross-engine (§8).
+    * One window shuffle on the partition key; all four functions
+    * share it (one sort, no extra exchanges).
+    */
+  def q29(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"o_orderpriority")
+      .orderBy($"cents", $"o_orderkey")
+    Tables.orders(spark, dir)
+      .filter($"o_orderdate" >= lit("1998-06-01"))
+      .selectExpr("o_orderkey", "o_orderpriority",
+        "CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents")
+      .withColumn("quartile", ntile(4).over(w))
+      .withColumn("pct_rank", percent_rank().over(w))
+      .withColumn("cume", cume_dist().over(w))
+      .withColumn("next_gap",
+        lead($"cents", 1).over(w) - $"cents")
+      .orderBy($"o_orderpriority", $"cents", $"o_orderkey")
+  }
+
+  val q29Sql: String =
+    """SELECT o_orderkey, o_orderpriority,
+      |  CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents,
+      |  CAST(ntile(4) OVER w AS INT) AS quartile,
+      |  percent_rank() OVER w AS pct_rank,
+      |  cume_dist() OVER w AS cume,
+      |  lead(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT), 1) OVER w
+      |    - CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS next_gap
+      |FROM orders
+      |WHERE o_orderdate >= TIMESTAMP '1998-06-01 00:00:00'
+      |WINDOW w AS (PARTITION BY o_orderpriority
+      |             ORDER BY CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT), o_orderkey)
+      |ORDER BY o_orderpriority, cents, o_orderkey""".stripMargin
+
   /** q28 oracle: the melt unrolled as three UNION ALL legs (DuckDB's
     * UNPIVOT syntax exists but the unrolled form pins the exact
     * measure-name/column correspondence Spark emits).

@@ -79,6 +79,26 @@ class DedupKnnSpec extends AnyFunSuite {
     assert(brute.intersect(ivf).nonEmpty)
   }
 
+  test("d13: one survivor per cluster; clusters close over d2's verified pairs") {
+    val pairs = graft.operators.Dedup.d2(spark, sf)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect()
+    val rows = graft.operators.Dedup.d13(spark, sf).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("root"), r.getAs[Long]("kept")))
+    val byDoc = rows.map(t => t._1 -> t._2).toMap
+    // exactly the pair-graph nodes, no more
+    assert(byDoc.keySet == pairs.flatMap(p => Seq(p._1, p._2)).toSet)
+    // both ends of every verified pair landed in the same cluster
+    pairs.foreach { case (a, b) =>
+      assert(byDoc(a) == byDoc(b), s"pair ($a,$b) split across clusters")
+    }
+    // exactly one survivor per cluster, and it is the cluster min
+    rows.groupBy(_._2).foreach { case (root, members) =>
+      assert(members.count(_._3 == 1L) == 1)
+      assert(members.filter(_._3 == 1L).head._1 == root)
+      assert(members.map(_._1).min == root)
+    }
+  }
+
   test("v9 IVF-PQ: candidates confined to probed clusters, ranked lists well-formed") {
     val rows = Knn.v9(spark, sf).collect()
     assert(rows.nonEmpty)

@@ -281,6 +281,29 @@ class RelationalSpec extends AnyFunSuite {
     rows.filter(_._2 == "sum_qty").foreach { case (f, _, v) => assert(v == qty(f)) }
   }
 
+  test("q29 analytic funcs: quartiles balanced, pct_rank/cume monotone in [0,1]") {
+    val rows = Relational.q29(spark, sf).collect()
+    rows.groupBy(_.getAs[String]("o_orderpriority")).values.foreach { g =>
+      val n = g.length
+      // ntile balance: bucket sizes differ by at most 1
+      val sizes = g.groupBy(_.getAs[Int]("quartile")).values.map(_.size)
+      assert(sizes.max - sizes.min <= 1)
+      // ordered by cents: pct_rank and cume_dist are monotone, in [0,1]
+      val ord = g.sortBy(r => (r.getAs[Long]("cents"), r.getAs[Long]("o_orderkey")))
+      val pr = ord.map(_.getAs[Double]("pct_rank"))
+      val cd = ord.map(_.getAs[Double]("cume"))
+      assert(pr.head == 0.0 && pr.last == 1.0 || n == 1)
+      assert(pr.zip(pr.tail).forall { case (a, b) => a <= b })
+      assert(cd.zip(cd.tail).forall { case (a, b) => a <= b })
+      assert(cd.last == 1.0)
+      // next_gap: null only on the last row, consistent with cents deltas
+      assert(ord.init.zip(ord.tail).forall { case (a, b) =>
+        a.getAs[Long]("next_gap") == b.getAs[Long]("cents") - a.getAs[Long]("cents")
+      })
+      assert(ord.last.isNullAt(ord.last.fieldIndex("next_gap")))
+    }
+  }
+
   test("q24 gaps-and-islands: streaks tile the active days, disjoint and maximal") {
     val rows = Relational.q24(spark, sf).collect()
       .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("streak_start"),
