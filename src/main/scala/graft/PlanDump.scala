@@ -59,6 +59,10 @@ object PlanDump {
       "p5_corpus_funnel" -> "corpus funnel: gate flags on one narrow map, conditional-min dedup window, gram join, single-row report",
       "q27_hierarchy" -> "recursive-CTE semantics by pointer jumping: log2(depth) equality self-join rounds (final round's plan shown)",
       "v9_ivf_pq" -> "IVF-PQ: one narrow assign+encode pass, broadcast probe/ADC tables, bounded two-level rank",
+      "q28_unpivot" -> "unpivot: Expand fan-out is row-local — no shuffle beyond the wide aggregate",
+      "q29_analytic_funcs" -> "four analytic functions share one window shuffle and one sort",
+      "p6_merge_upsert" -> "MERGE: one full-outer pk join, clause arithmetic row-local",
+      "d13_neardup_apply" -> "composed near-dup apply: capped band buckets feed components; labels plan shown (final round)",
     )
     val sb = new StringBuilder
     sb.append("# PLANS — formatted physical plans (generated by graft.PlanDump at sf0.001)\n")

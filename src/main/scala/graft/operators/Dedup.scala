@@ -1118,8 +1118,13 @@ object Dedup {
     */
   def d13(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    // localCheckpoint (eager): materialize the verified pairs ONCE and
+    // cut their lineage — the propagation rounds otherwise carry the
+    // whole minhash pipeline in every per-round plan (§8.19), and a
+    // lazy cache can be populated redundantly by sibling subtrees of
+    // the first round's job
     val pairs = d2(spark, dir)
-      .select($"id_a".as("src"), $"id_b".as("dst")).cache()
+      .select($"id_a".as("src"), $"id_b".as("dst")).localCheckpoint()
     val labels = ccPropagate(pairs, 20) match {
       case (l, _, true) => l
       case _ =>
