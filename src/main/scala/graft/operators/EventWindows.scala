@@ -202,6 +202,49 @@ object EventWindows {
       |GROUP BY prev_type, event_type
       |ORDER BY prev_type, event_type""".stripMargin
 
+  // ---------- e9: k-step sequential path mining ----------
+
+  /** e9: top 3-step paths — e7's transition matrix generalized to
+    * higher order: every run of 3 consecutive event types in a user's
+    * time-ordered stream (two lags over the SAME window — still ONE
+    * user-key shuffle), counted corpus-wide, deterministic top-10
+    * (count DESC, path ASC). The journey-discovery pass of product
+    * analytics ("which 3-step paths dominate"), and the n-gram
+    * counting shape on event alphabets.
+    *
+    * Scale: one user shuffle shared by both lags; the path aggregate's
+    * key cardinality is |alphabet|³ (tiny); the global top-10 plans as
+    * TakeOrderedAndProject — O(k) partial top-k per partition, never a
+    * full sort.
+    */
+  def paths(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"tus", $"event_id")
+    Tables.events(spark, dir)
+      .select($"user_id", $"event_id", $"event_type", unix_micros($"ts").as("tus"))
+      .withColumn("t1", lag($"event_type", 2).over(w))
+      .withColumn("t2", lag($"event_type", 1).over(w))
+      .filter($"t1".isNotNull)
+      .select($"t1", $"t2", $"event_type".as("t3"))
+      .groupBy($"t1", $"t2", $"t3")
+      .agg(count(lit(1)).as("n"))
+      .orderBy($"n".desc, $"t1", $"t2", $"t3")
+      .limit(10)
+  }
+
+  val pathsSql: String =
+    """WITH o AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS tus FROM events),
+      |p AS (SELECT event_type AS t3,
+      |        lag(event_type, 1) OVER w AS t2,
+      |        lag(event_type, 2) OVER w AS t1
+      |      FROM o WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id)),
+      |f AS (SELECT t1, t2, t3 FROM p WHERE t1 IS NOT NULL)
+      |SELECT t1, t2, t3, count(*) AS n
+      |FROM f
+      |GROUP BY t1, t2, t3
+      |ORDER BY n DESC, t1, t2, t3
+      |LIMIT 10""".stripMargin
+
   // ---------- e8: per-user exponentially weighted moving average ----------
 
   /** e8: EWMA over each user's time-ordered values — a RECURSIVE

@@ -708,6 +708,119 @@ object EventStreams {
       |GROUP BY a.user_id
       |ORDER BY a.user_id""".stripMargin
 
+  /** One micro-batch's per-user partial state for [[s14]]: additive
+    * event count + lexicographic-max (tus, event_id, cents) "latest"
+    * tuple — both ALGEBRAIC, so merging partials in any batch order
+    * reproduces the global aggregate bitwise (p3's mergeability
+    * argument on the streaming surface).
+    */
+  private def s14Partial(batch: DataFrame): DataFrame = batch
+    .selectExpr("user_id", "unix_micros(ts) AS tus", "event_id",
+      "CAST(floor(value * 1e2 + 0.5) AS BIGINT) AS cents")
+    .groupBy(col("user_id"))
+    .agg(count(lit(1)).as("n_events"),
+      max(struct(col("tus"), col("event_id"), col("cents"))).as("latest"))
+
+  /** Merge one micro-batch into the persisted target, guarded for
+    * replay: `batchId` is encoded in the store version, and a batch
+    * whose id is <= the current version is SKIPPED — a foreachBatch
+    * retry after a sink-commit/checkpoint race must not double-merge
+    * (the MERGE-sink analog of ChunkedSink's (batch, part, chunk)
+    * idempotence keys).
+    */
+  private[graft] def s14MergeBatch(store: graft.sources.ForecastStore,
+      batch: DataFrame, batchId: Long): Unit = {
+    val applied = store.currentPath()
+      .map(p => java.nio.file.Paths.get(p).getFileName.toString)
+      .filter(_.startsWith("v")).flatMap(_.drop(1).toLongOption)
+    if (applied.exists(_ >= batchId)) return
+    val partial = s14Partial(batch)
+    val merged = store.load(batch.sparkSession) match {
+      case None => partial
+      case Some(cur) =>
+        cur.select(col("user_id"), col("n_events").as("cn"), col("latest").as("cl"))
+          .join(partial.select(col("user_id"), col("n_events").as("pn"),
+            col("latest").as("pl")), Seq("user_id"), "full_outer")
+          .selectExpr("user_id",
+            "coalesce(cn, 0L) + coalesce(pn, 0L) AS n_events",
+            "CASE WHEN cl IS NULL THEN pl WHEN pl IS NULL THEN cl " +
+              "WHEN pl > cl THEN pl ELSE cl END AS latest")
+    }
+    store.save(merged, s"v$batchId")
+  }
+
+  /** s14: streaming CDC apply — p6's MERGE as a STREAMING sink (the
+    * ingest topology that maintains a queryable per-key state table
+    * from a feed): each micro-batch reduces to an algebraic per-user
+    * partial, full-outer MERGEs into the persisted target, and
+    * commits via [[graft.sources.ForecastStore]]'s atomic version
+    * swap — readers never see a half-written state, and the
+    * batch-id-versioned guard makes replays no-ops (exactly-once
+    * effect on an at-least-once sink contract). The feed stages as
+    * two DATA batches (event_id parity split), so the contract run
+    * really exercises the multi-batch merge path; the oracle is the
+    * plain batch aggregate, which equals the merged state BECAUSE the
+    * partials are algebraic.
+    *
+    * At scale: the merge is one full-outer pk join per batch (state
+    * and partial both pk-bucketable → zero-exchange, §8.16), the
+    * partial is map-side-combined, and the store swap is O(1)
+    * metadata — no state store, no watermark, unbounded key lifetime.
+    */
+  def s14(spark: SparkSession, dir: String): DataFrame = {
+    val ss = streamSession(spark)
+    ss.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val stage = java.nio.file.Files.createTempDirectory("graft_s14_").toFile
+    val storeDir = java.nio.file.Files.createTempDirectory("graft_s14_store_").toFile
+    val ev = ss.read.parquet(s"$dir/events.parquet")
+    def half(name: String, pred: String, mtime: Long): Unit = {
+      val outDir = new java.io.File(stage, name + ".tmp")
+      ev.filter(pred).coalesce(1).write.parquet(outDir.getAbsolutePath)
+      val part = outDir.listFiles().filter(_.getName.endsWith(".parquet")).head
+      val tgt = new java.io.File(stage, name)
+      java.nio.file.Files.move(part.toPath, tgt.toPath)
+      outDir.listFiles().foreach(_.delete())
+      outDir.delete()
+      tgt.setLastModified(mtime)
+    }
+    val now = System.currentTimeMillis()
+    half("b0_events.parquet", "event_id % 2 = 0", now)
+    half("b1_events.parquet", "event_id % 2 = 1", now + 60000L)
+    val schema = ss.read.parquet(s"${stage.getAbsolutePath}/b0_events.parquet").schema
+    val store = new graft.sources.ForecastStore(storeDir.getAbsolutePath)
+    val q = ss.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(stage.getAbsolutePath)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .writeStream.outputMode(OutputMode.Append())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        s14MergeBatch(store, batch, batchId)
+      }.start()
+    try q.processAllAvailable() finally q.stop()
+    val out = store.load(ss).get
+      .selectExpr("user_id", "n_events", "latest.cents AS last_cents")
+      .orderBy(col("user_id"))
+    // materialize before deleting the staged feed (the store dir must
+    // outlive the returned plan, so only the stage is cleaned here)
+    stage.listFiles().foreach(_.delete())
+    stage.delete()
+    out
+  }
+
+  /** s14 oracle: the batch global aggregate — equal to the
+    * incrementally merged state because the partials are algebraic.
+    */
+  val s14Sql: String =
+    """WITH e AS (SELECT user_id, epoch_us(ts) AS tus, event_id,
+      |        CAST(floor(value * 1e2 + 0.5) AS BIGINT) AS cents FROM events),
+      |r AS (SELECT user_id, cents,
+      |        row_number() OVER (PARTITION BY user_id ORDER BY tus DESC, event_id DESC) AS rn
+      |      FROM e),
+      |c AS (SELECT user_id, count(*) AS n_events FROM e GROUP BY user_id)
+      |SELECT c.user_id, c.n_events, r.cents AS last_cents
+      |FROM c JOIN r ON r.user_id = c.user_id AND r.rn = 1
+      |ORDER BY c.user_id""".stripMargin
+
   /** Exactly-once-style streaming sink: `foreachBatch` routed through
     * [[graft.pipeline.ChunkedSink]], keyed (batchId, partition, chunk)
     * so replays of a failed micro-batch overwrite instead of

@@ -304,6 +304,22 @@ class RelationalSpec extends AnyFunSuite {
     }
   }
 
+  test("e9: top paths equal a brute-force trigram recount") {
+    val rows = graft.operators.EventWindows.paths(spark, sf).collect()
+      .map(r => ((r.getAs[String]("t1"), r.getAs[String]("t2"),
+        r.getAs[String]("t3")), r.getAs[Long]("n")))
+    val events = Tables.events(spark, sf)
+      .selectExpr("user_id", "unix_micros(ts) AS tus", "event_id", "event_type")
+      .as[(Long, Long, Long, String)].collect()
+    val counts = events.groupBy(_._1).values.flatMap { g =>
+      val t = g.sortBy(e => (e._2, e._3)).map(_._4)
+      t.sliding(3).filter(_.length == 3).map(s => (s(0), s(1), s(2)))
+    }.toSeq.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val want = counts.toSeq
+      .sortBy { case ((a, b, c), n) => (-n, a, b, c) }.take(10)
+    assert(rows.toSeq == want)
+  }
+
   test("q24 gaps-and-islands: streaks tile the active days, disjoint and maximal") {
     val rows = Relational.q24(spark, sf).collect()
       .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("streak_start"),

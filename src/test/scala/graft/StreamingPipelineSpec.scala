@@ -288,6 +288,30 @@ class StreamingPipelineSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("s14 merge sink: replayed batch is a no-op; merged state equals global aggregate") {
+    import spark.implicits._
+    val store = new graft.sources.ForecastStore(
+      java.nio.file.Files.createTempDirectory("graft_s14_spec_").toString)
+    def batch(rows: (Long, Long, Long, Double)*): org.apache.spark.sql.DataFrame =
+      rows.toSeq.toDF("user_id", "tus", "event_id", "value")
+        .withColumn("ts", timestamp_micros($"tus")).drop("tus")
+    def state(): Set[(Long, Long, Long)] = store.load(spark).get
+      .selectExpr("user_id", "n_events", "latest.cents")
+      .as[(Long, Long, Long)].collect().toSet
+    // batch 0: user 1 twice, user 2 once
+    EventStreams.s14MergeBatch(store, batch(
+      (1L, 100L, 1L, 1.0), (1L, 200L, 2L, 2.0), (2L, 100L, 3L, 9.0)), 0L)
+    assert(state() == Set((1L, 2L, 200L), (2L, 1L, 900L)))
+    // REPLAY of batch 0 (sink retry): must not double-merge
+    EventStreams.s14MergeBatch(store, batch((1L, 100L, 1L, 1.0)), 0L)
+    assert(state() == Set((1L, 2L, 200L), (2L, 1L, 900L)))
+    // batch 1: an older event for user 1 (count up, latest unchanged)
+    // and a new user 3
+    EventStreams.s14MergeBatch(store, batch(
+      (1L, 50L, 4L, 7.0), (3L, 10L, 5L, 3.5)), 1L)
+    assert(state() == Set((1L, 3L, 200L), (2L, 1L, 900L), (3L, 1L, 350L)))
+  }
+
   test("s12 dedup suppresses re-delivered keys across micro-batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
