@@ -248,6 +248,50 @@ class PlanSpec extends AnyFunSuite {
       s"dup aggregate must group on the digest, not the line string: $aggOnLine")
   }
 
+  test("e9: global top-10 plans as TakeOrdered, never a full sort") {
+    val p = plan(graft.operators.EventWindows.paths(spark, sf))
+    assert(p.contains("TakeOrderedAndProject"),
+      s"expected TakeOrderedAndProject in:\n$p")
+  }
+
+  test("q29: all four analytic functions share ONE window exchange") {
+    val p = plan(Relational.q29(spark, sf))
+    // exactly two exchanges in the final plan: ONE hash shuffle into
+    // the window (shared by all four functions) + the presentation
+    // range sort — a per-function shuffle would show as more
+    val ex = "Exchange \\(".r
+      .findAllIn(p.split("== Initial Plan ==")(0)).length
+    assert(ex == 2, s"expected window + output-sort exchanges only, got $ex:\n$p")
+    val windows = "\\bWindow\\b".r.findAllIn(p).length
+    assert(windows >= 1)
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("q28: unpivot is an Expand — no exchange beyond the aggregate + output sort") {
+    val p = plan(Relational.q28(spark, sf))
+    assert(p.contains("Expand"))
+    // the melt itself adds NO exchange: the final plan holds only the
+    // wide aggregate's shuffle + the presentation sort
+    val ex = "Exchange \\(".r
+      .findAllIn(p.split("== Initial Plan ==")(0)).length
+    assert(ex == 2, s"expected aggregate + output-sort exchanges only, got $ex:\n$p")
+  }
+
+  test("p6: MERGE is one full-outer pk join, no nested-loop anywhere") {
+    val p = plan(graft.operators.Scd.p6(spark, sf))
+    assert(p.contains("FullOuter"))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"))
+  }
+
+  test("v9: encoded corpus scores through narrow maps — no join in the scoring path") {
+    val p = plan(graft.operators.Knn.v9(spark, sf))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"))
+    // probe/ADC tables ride broadcast variables, not joins: the only
+    // plan nodes between the scan and the rank are object maps
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"),
+      s"v9 must not join for scoring:\n$p")
+  }
+
   test("q12: range join plans as an equality hash join, not nested-loop") {
     val p = plan(graft.operators.AsOf.rangeJoin(spark, sf))
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"))
