@@ -121,6 +121,22 @@ object Dedup {
   private val nBands = 4
   private val rowsPerBand = nHashes / nBands
 
+  /** Band count targeting a Jaccard threshold τ with r rows/band: the
+    * banding S-curve's midpoint (50% collision similarity) sits at
+    * (1/b)^(1/r), so b = ⌈τ^−r⌉ is the least band count placing the
+    * midpoint AT OR BELOW τ — pairs at the threshold then collide in
+    * ≥ 1 − (1 − τ^r)^b of runs. The d2/d10 knob for tuning banding to
+    * a corpus's dedup threshold (d8's `lshBitsFor` is the
+    * bucket-budget sibling); the suite's fixed 4×4 banding sits at
+    * midpoint (1/4)^(1/4) ≈ 0.71, above its 0.4 verify threshold —
+    * high precision and bounded fan-out, with recall measured by the
+    * d10 seeded spec rather than guaranteed by the curve.
+    */
+  def bandsFor(tau: Double, rowsPerBand: Int): Int = {
+    require(tau > 0 && tau < 1 && rowsPerBand >= 1)
+    math.max(1, math.ceil(math.pow(1.0 / tau, rowsPerBand.toDouble)).toInt)
+  }
+
   /** The LSH skew guard: buckets holding more than `bucketCap`
     * members are dropped from candidate generation entirely. A bucket
     * that big means the banding stopped discriminating (boilerplate /

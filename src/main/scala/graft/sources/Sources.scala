@@ -70,6 +70,33 @@ class ForecastStore(root: String) {
       StandardCopyOption.REPLACE_EXISTING)
   }
 
+  /** Delete all but the newest `keep` version directories, never the
+    * current one — the retention pass any version-per-write store
+    * needs (s14's MERGE sink writes one version per micro-batch, so
+    * an unbounded stream would otherwise accumulate forever). Safe
+    * against readers of CURRENT: the marker is never repointed here,
+    * and the current version is always retained regardless of age.
+    * Returns the removed version names.
+    */
+  def vacuum(keep: Int): Seq[String] = {
+    require(keep >= 1, "must keep at least one version")
+    val cur = currentPath().map(p => Paths.get(p).getFileName.toString)
+    // numeric-aware order: "v10" must outrank "v2" (falls back to
+    // name order for non-v<N> version schemes)
+    def num(n: String): Long =
+      (if (n.startsWith("v")) n.drop(1) else n).toLongOption.getOrElse(Long.MinValue)
+    val dirs = Option(Paths.get(root).toFile.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory)
+      .sortBy(f => (num(f.getName), f.getName))
+    val victims = dirs.dropRight(keep)
+      .filterNot(f => cur.contains(f.getName))
+    victims.foreach { d =>
+      d.listFiles().foreach(_.delete())
+      d.delete()
+    }
+    victims.map(_.getName).toSeq
+  }
+
   /** combine_first: prefer `fresh` rows, keep `previous` rows for keys
     * it lacks, and clip everything before `cutoff` — the reference's
     * merge of a new forecast over the stored one (main.py:245-250).

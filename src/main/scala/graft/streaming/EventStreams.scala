@@ -747,6 +747,9 @@ object EventStreams {
               "WHEN pl > cl THEN pl ELSE cl END AS latest")
     }
     store.save(merged, s"v$batchId")
+    // retention: an unbounded stream writes one version per batch —
+    // keep the current state + one rollback target, drop the rest
+    store.vacuum(keep = 2)
   }
 
   /** s14: streaming CDC apply — p6's MERGE as a STREAMING sink (the

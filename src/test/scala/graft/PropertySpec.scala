@@ -82,6 +82,22 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("bandsFor places the S-curve midpoint at or tightly below the target threshold") {
+    import graft.operators.Dedup.bandsFor
+    forAll(Gen.choose(0.2, 0.95), Gen.choose(1, 12)) { (tau, r) =>
+      val b = bandsFor(tau, r)
+      assert(b >= 1)
+      // midpoint (1/b)^(1/r) <= tau: pairs at tau collide in >= 50% of runs
+      assert(math.pow(1.0 / b, 1.0 / r) <= tau + 1e-9)
+      // and b is minimal: one fewer band would put the midpoint above tau
+      if (b > 1) assert(math.pow(1.0 / (b - 1), 1.0 / r) > tau - 1e-9)
+    }
+    // monotone: a stricter (lower) threshold never needs fewer bands
+    forAll(Gen.choose(0.3, 0.9), Gen.choose(1, 8)) { (tau, r) =>
+      assert(bandsFor(tau - 0.05, r) >= bandsFor(tau, r))
+    }
+  }
+
   test("Catalog.isNewer is a strict order on (date, cycle)") {
     val dc = Gen.zip(Gen.oneOf("20240101", "20240102", "20240103"),
       Gen.oneOf("00", "06", "12", "18"))

@@ -310,6 +310,31 @@ class StreamingPipelineSpec extends AnyFunSuite {
     EventStreams.s14MergeBatch(store, batch(
       (1L, 50L, 4L, 7.0), (3L, 10L, 5L, 3.5)), 1L)
     assert(state() == Set((1L, 3L, 200L), (2L, 1L, 900L), (3L, 1L, 350L)))
+    // retention: after batch 2 the sink's vacuum(keep=2) must have
+    // dropped v0 while CURRENT (v2) and the rollback target survive
+    EventStreams.s14MergeBatch(store, batch((2L, 300L, 6L, 1.0)), 2L)
+    assert(store.currentPath().get.endsWith("v2"))
+    val vers = new java.io.File(store.currentPath().get).getParentFile
+      .listFiles().filter(_.isDirectory).map(_.getName).toSet
+    assert(vers == Set("v1", "v2"), s"vacuum should keep v1+v2, found $vers")
+    assert(state() == Set((1L, 3L, 200L), (2L, 2L, 100L), (3L, 1L, 350L)))
+  }
+
+  test("ForecastStore.vacuum keeps the newest versions numerically and never CURRENT") {
+    import spark.implicits._
+    val store = new graft.sources.ForecastStore(
+      java.nio.file.Files.createTempDirectory("graft_vac_").toString)
+    (0 to 10).foreach { i =>
+      store.save(Seq((i.toLong, i.toLong)).toDF("k", "v"), s"v$i")
+    }
+    // repoint CURRENT at an OLD version, then vacuum: the current
+    // version must survive even though it is not among the newest
+    store.save(Seq((99L, 99L)).toDF("k", "v"), "v3")
+    val removed = store.vacuum(keep = 2)
+    // numeric order: v9, v10 are the newest two; v3 survives as CURRENT
+    assert(!removed.contains("v3") && !removed.contains("v9") && !removed.contains("v10"))
+    assert(removed.toSet == (0 to 8).map(i => s"v$i").toSet - "v3")
+    assert(store.load(spark).get.as[(Long, Long)].collect().toSet == Set((99L, 99L)))
   }
 
   test("s12 dedup suppresses re-delivered keys across micro-batches") {
