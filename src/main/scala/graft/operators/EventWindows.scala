@@ -165,6 +165,33 @@ object EventWindows {
       |GROUP BY user_id
       |ORDER BY user_id""".stripMargin
 
+  // ---------- e10: NATIVE session windows ----------
+
+  /** e10: gap sessionization through Spark's native `session_window`
+    * — the built-in merging-sessions operator next to e3's manual
+    * lag-window formulation (same semantics, one aggregation instead
+    * of window + aggregate; the operator Spark plans with
+    * MergingSessionsExec and, in streaming, a session state store).
+    *
+    * Boundary alignment: `session_window` starts a NEW session when
+    * `t − prev ≥ gap` (the [t, t+gap) intervals merely touch), while
+    * e3 splits only when strictly `> gap` — so the gap here is
+    * 30 min + 1 µs (event time is µs-resolution), which makes the
+    * native operator equal the lag formulation EXACTLY; both hash to
+    * e3's oracle. One shuffle on the user key, session merge is
+    * partition-local after the sort.
+    */
+  def sessionNative(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, dir)
+      .select($"user_id", $"ts")
+      .groupBy(session_window($"ts", "30 minutes 1 microsecond"), $"user_id")
+      .agg(count(lit(1)).as("sess_events"))
+      .groupBy($"user_id")
+      .agg(count(lit(1)).as("n_sessions"), sum($"sess_events").as("n_events"))
+      .orderBy($"user_id")
+  }
+
   // ---------- e7: event-type transition matrix (path analysis) ----------
 
   /** e7: first-order transition counts — for each user's time-ordered

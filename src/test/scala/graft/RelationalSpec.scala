@@ -304,6 +304,14 @@ class RelationalSpec extends AnyFunSuite {
     }
   }
 
+  test("e10: native session_window equals the manual lag sessionization exactly") {
+    val native = graft.operators.EventWindows.sessionNative(spark, sf)
+      .as[(Long, Long, Long)].collect().toSeq
+    val manual = graft.operators.EventWindows.sessionize(spark, sf)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(native == manual)
+  }
+
   test("e9: top paths equal a brute-force trigram recount") {
     val rows = graft.operators.EventWindows.paths(spark, sf).collect()
       .map(r => ((r.getAs[String]("t1"), r.getAs[String]("t2"),
