@@ -304,6 +304,10 @@ class RelationalSpec extends AnyFunSuite {
     }
   }
 
+  test("SparkEntry.entry: flagship thermal chain returns rows (driver smoke contract)") {
+    assert(SparkEntry.entry(spark).limit(1).count() == 1L)
+  }
+
   test("e10: native session_window equals the manual lag sessionization exactly") {
     val native = graft.operators.EventWindows.sessionNative(spark, sf)
       .as[(Long, Long, Long)].collect().toSeq
