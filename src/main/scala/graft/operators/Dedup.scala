@@ -1112,6 +1112,72 @@ object Dedup {
       |ORDER BY doc_id""".stripMargin
   }
 
+  // ---------- t19: corpus-duplication (memorization-risk) score ----------
+
+  /** t19: per-document duplicated-gram fraction — the doc-level score
+    * d12 does NOT emit: d12 reports removable spans only for docs
+    * carrying a duplicated run; t19 scores EVERY doc (with ≥ K words)
+    * by the share of its word-8-grams that appear in other documents,
+    * in exact permille. This is the memorization-risk / novelty
+    * signal pretraining curation thresholds on (near-1000 docs are
+    * boilerplate clones; near-0 docs are fresh text), and the
+    * corpus-level histogram input for dedup-policy tuning.
+    *
+    * Same scale shape as d12: gram strings die pre-shuffle (fnv64
+    * digests key the dup aggregate and the join), per-doc fractions
+    * are one aggregate on the doc key. CROSS-doc duplication only:
+    * a gram repeated inside one doc doesn't count (countDistinct
+    * doc_id >= 2 — that intra-doc case is t13's repetition signal).
+    */
+  def t19(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val K = d12K
+    val grams = Tables.documents(spark, dir)
+      .select($"doc_id",
+        when($"doc_id" % 9 === 0, concat($"text", lit(" " + d12Promo)))
+          .otherwise($"text").as("text"))
+      .selectExpr("doc_id", "split(trim(text), ' ') AS words")
+      .filter(size($"words") >= K)
+      .selectExpr("doc_id", s"explode(sequence(0, size(words) - $K)) AS p", "words")
+      .select($"doc_id", $"p",
+        graft.functions.Fnv64.fnv64(
+          concat_ws(" ", expr(s"slice(words, p + 1, $K)"))).as("gh"))
+    val dup = grams.groupBy($"gh")
+      .agg(countDistinct($"doc_id").as("nd"))
+      .filter($"nd" >= 2)
+      .select($"gh")
+    grams.join(dup, Seq("gh"), "left_semi")
+      .groupBy($"doc_id").agg(count(lit(1)).as("dup_grams"))
+      .join(grams.groupBy($"doc_id").agg(count(lit(1)).as("n_grams")),
+        Seq("doc_id"), "right")
+      .selectExpr("doc_id", "coalesce(dup_grams, 0L) AS dup_grams", "n_grams",
+        "CAST(floor(coalesce(dup_grams, 0L) * 1000.0 / n_grams) AS BIGINT) AS dup_permille")
+      .transform(graft.Tables.ordered(_, $"doc_id"))
+  }
+
+  /** t19 oracle: d12's seeded-corpus gram CTEs + the same dup join
+    * and exact permille arithmetic.
+    */
+  val t19Sql: String = {
+    val K = d12K
+    s"""WITH seeded AS (
+      |  SELECT doc_id,
+      |    CASE WHEN doc_id % 9 = 0 THEN text || ' $d12Promo' ELSE text END AS text
+      |  FROM documents),
+      |w AS (SELECT doc_id, string_split(trim(text), ' ') AS words FROM seeded),
+      |g AS (SELECT doc_id, p, array_to_string(words[(p + 1):(p + $K)], ' ') AS gram
+      |      FROM (SELECT doc_id, words, unnest(range(0, len(words) - $K + 1)) AS p
+      |            FROM w WHERE len(words) >= $K)),
+      |dup AS (SELECT gram FROM g GROUP BY gram HAVING count(DISTINCT doc_id) >= 2),
+      |d AS (SELECT doc_id, count(*) AS dup_grams FROM g JOIN dup USING (gram)
+      |      GROUP BY doc_id),
+      |t AS (SELECT doc_id, count(*) AS n_grams FROM g GROUP BY doc_id)
+      |SELECT t.doc_id, coalesce(d.dup_grams, 0) AS dup_grams, t.n_grams,
+      |  CAST(floor(coalesce(d.dup_grams, 0) * 1000.0 / t.n_grams) AS BIGINT) AS dup_permille
+      |FROM t LEFT JOIN d USING (doc_id)
+      |ORDER BY t.doc_id""".stripMargin
+  }
+
   // ---------- d13: the composed near-dup dedup apply ----------
 
   /** d13: the near-duplicate dedup pass RUN END-TO-END — the

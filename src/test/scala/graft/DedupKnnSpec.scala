@@ -79,6 +79,25 @@ class DedupKnnSpec extends AnyFunSuite {
     assert(brute.intersect(ivf).nonEmpty)
   }
 
+  test("t19: dup score covers every scored doc and agrees with d12's span docs") {
+    val scores = graft.operators.Dedup.t19(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("dup_grams"), r.getAs[Long]("n_grams"), r.getAs[Long]("dup_permille")))
+      .toMap
+    // permille arithmetic and bounds hold on every row
+    scores.values.foreach { case (d, n, pm) =>
+      assert(d >= 0 && d <= n && n > 0)
+      assert(pm == math.floor(d * 1000.0 / n).toLong && pm >= 0 && pm <= 1000)
+    }
+    // the seeded promo docs (doc_id % 9 == 0) share an 8-word tail ⇒ dup
+    val seeded = scores.keys.filter(_ % 9 == 0)
+    assert(seeded.nonEmpty && seeded.forall(k => scores(k)._1 > 0))
+    // every doc d12 flags with removable spans must carry dup grams here
+    graft.operators.Dedup.d12(spark, sf).collect()
+      .map(_.getAs[Long]("doc_id"))
+      .foreach(k => assert(scores(k)._1 > 0, s"d12 spans but t19 zero for $k"))
+  }
+
   test("d13: one survivor per cluster; clusters close over d2's verified pairs") {
     val pairs = graft.operators.Dedup.d2(spark, sf)
       .select($"id_a", $"id_b").as[(Long, Long)].collect()
