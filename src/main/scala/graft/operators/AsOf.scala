@@ -121,12 +121,17 @@ object AsOf {
       .transform(graft.Tables.ordered(_, col("user_id")))
   }
 
+  // Both engines must compare at the SAME grain: the Spark side
+  // joins on unix_micros (us), so the oracle joins on epoch_us too —
+  // an INTERVAL compare on raw nanosecond timestamps would diverge
+  // for a pair within <1us of the 5-minute boundary (§8.2).
   val rangeSql: String =
-    """SELECT a.user_id, count(*) AS n_pairs
-      |FROM events a JOIN events b
+    """WITH e AS (SELECT user_id, epoch_us(ts) AS tus FROM events)
+      |SELECT a.user_id, count(*) AS n_pairs
+      |FROM e a JOIN e b
       |  ON b.user_id = a.user_id
-      | AND b.ts > a.ts
-      | AND b.ts <= a.ts + INTERVAL 5 MINUTE
+      | AND b.tus > a.tus
+      | AND b.tus <= a.tus + 300000000
       |GROUP BY a.user_id
       |ORDER BY a.user_id""".stripMargin
 }

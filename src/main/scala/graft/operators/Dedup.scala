@@ -614,7 +614,13 @@ object Dedup {
     import spark.implicits._
     val nodes = edges.select($"src".as("id"))
       .unionByName(edges.select($"dst".as("id"))).distinct()
-    var labels = nodes.withColumn("lbl", $"id").cache()
+    // localCheckpoint (EAGER) per round, not cache(): each round's
+    // plan references the prior labels twice (the union feed and the
+    // convergence join), so the logical plan doubles per round —
+    // §8.19's analyzer blow-up. Cutting lineage makes the fallback
+    // contract real: a 15-round-diameter component now reaches the
+    // 20-round budget instead of dying in the analyzer at ~7.
+    var labels = nodes.withColumn("lbl", $"id").localCheckpoint()
     val und = edges.unionByName(edges.select($"dst".as("src"), $"src".as("dst"))).cache()
     var converged = false
     var rounds = 0
@@ -622,7 +628,7 @@ object Dedup {
       val viaEdge = und.join(labels.withColumnRenamed("id", "src"), Seq("src"))
         .select($"dst".as("id"), $"lbl")
       val next = labels.unionByName(viaEdge)
-        .groupBy($"id").agg(min($"lbl").as("lbl")).cache()
+        .groupBy($"id").agg(min($"lbl").as("lbl")).localCheckpoint()
       converged = next
         .join(labels.withColumnRenamed("lbl", "prev"), Seq("id"))
         .filter($"lbl" =!= $"prev").limit(1).count() == 0L

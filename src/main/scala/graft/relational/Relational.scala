@@ -724,19 +724,24 @@ object Relational {
   private[graft] def pointerJump(init: DataFrame, maxRounds: Int): (DataFrame, Int, Boolean) = {
     val spark = init.sparkSession
     import spark.implicits._
-    var state = init.cache()
+    // localCheckpoint (EAGER) per round, not cache(): the jump join
+    // references the prior state TWICE, so the logical plan doubles
+    // per round — §8.19's analyzer blow-up. Cutting lineage keeps
+    // round N's plan constant-size, so the doc'd depth-2³² budget
+    // (~33 rounds) is actually reachable.
+    var state = init.localCheckpoint()
     val n0 = state.count()
     var converged = false
     var rounds = 0
     while (!converged && rounds < maxRounds) {
       val hops = state.select($"id".as("jid"), $"ptr".as("jptr"), $"dist".as("jdist"))
       // `moved` rides out of the jump join itself, so the
-      // convergence probe is a limit(1) filter on the cached result
-      // — no second join per round
+      // convergence probe is a limit(1) filter on the checkpointed
+      // result — no second join per round
       val next = state.join(hops, $"ptr" === $"jid")
         .select($"id", $"jptr".as("ptr"), ($"dist" + $"jdist").as("dist"),
           ($"jptr" =!= $"ptr").as("moved"))
-        .cache()
+        .localCheckpoint()
       converged = next.filter($"moved").limit(1).count() == 0L
       state.unpersist()
       state = next

@@ -90,11 +90,15 @@ class ForecastStore(root: String) {
       .sortBy(f => (num(f.getName), f.getName))
     val victims = dirs.dropRight(keep)
       .filterNot(f => cur.contains(f.getName))
-    victims.foreach { d =>
-      d.listFiles().foreach(_.delete())
-      d.delete()
+    // recursive delete (a version dir may contain e.g. a _temporary
+    // subtree from an interrupted write), and report only versions
+    // that are actually gone — a survivor must not be listed as
+    // removed, or the caller's accounting diverges from disk.
+    def rmTree(f: java.io.File): Boolean = {
+      if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rmTree)
+      f.delete()
     }
-    victims.map(_.getName).toSeq
+    victims.filter(rmTree).map(_.getName).toSeq
   }
 
   /** combine_first: prefer `fresh` rows, keep `previous` rows for keys

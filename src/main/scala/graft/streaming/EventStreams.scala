@@ -699,12 +699,13 @@ object EventStreams {
     * real row's match window.
     */
   val s13Sql: String =
-    """SELECT a.user_id, count(b.ts) AS n_pairs,
-      |  count(*) FILTER (WHERE b.ts IS NULL) AS n_unmatched
-      |FROM events a LEFT JOIN events b
+    """WITH e AS (SELECT user_id, epoch_us(ts) AS tus FROM events)
+      |SELECT a.user_id, count(b.tus) AS n_pairs,
+      |  count(*) FILTER (WHERE b.tus IS NULL) AS n_unmatched
+      |FROM e a LEFT JOIN e b
       |  ON b.user_id = a.user_id
-      | AND b.ts > a.ts
-      | AND b.ts <= a.ts + INTERVAL 5 MINUTE
+      | AND b.tus > a.tus
+      | AND b.tus <= a.tus + 300000000
       |GROUP BY a.user_id
       |ORDER BY a.user_id""".stripMargin
 

@@ -185,4 +185,37 @@ class PropertySpec extends AnyFunSuite {
     val rows = state.as[(Long, Long, Long)].collect()
     assert(rows.forall { case (id, root, depth) => root == 0L && depth == id })
   }
+
+  test("deep graphs: both iterative loops survive >=12 rounds (lineage cut)") {
+    // Regression for §8.19's analyzer blow-up: with cache() instead
+    // of localCheckpoint() the per-round plan doubles, and the
+    // analyzer dies near round ~7-10 — neither loop below would
+    // finish. Both must genuinely RUN >= 12 rounds.
+    val spark = SharedSpark.spark
+    import spark.implicits._
+    // pointerJump: a depth-4096 chain needs ceil(log2(4096)) = 12
+    // doubling rounds + 1 detection round = 13.
+    val n = 4096L
+    val init = spark.range(0, n + 1).toDF("id")
+      .selectExpr("id",
+        "CASE WHEN id = 0 THEN id ELSE id - 1 END AS ptr",
+        "CAST(CASE WHEN id = 0 THEN 0 ELSE 1 END AS BIGINT) AS dist")
+    val (state, jRounds, jConv) =
+      graft.relational.Relational.pointerJump(init, 16)
+    assert(jConv, s"pointerJump no convergence in 16 rounds (ran $jRounds)")
+    assert(jRounds >= 12 && jRounds <= 13, s"pointerJump ran $jRounds rounds")
+    val deep = state.filter($"id" === n).as[(Long, Long, Long)].collect().head
+    assert(deep == ((n, 0L, n)))
+    state.unpersist()
+    // ccPropagate: min-label spreads ONE hop per round, so a 14-edge
+    // path graph needs diameter = 14 rounds + 1 detection = 15 —
+    // inside d6's 20-round budget only because lineage is cut.
+    val chain = spark.range(0, 14).selectExpr("id AS src", "id + 1 AS dst")
+    val (lbl, pRounds, pConv) = graft.operators.Dedup.ccPropagate(chain, 20)
+    assert(pConv, s"ccPropagate no convergence in 20 rounds (ran $pRounds)")
+    assert(pRounds >= 12, s"ccPropagate ran only $pRounds rounds")
+    val labels = lbl.as[(Long, Long)].collect()
+    assert(labels.length == 15 && labels.forall(_._2 == 0L))
+    lbl.unpersist()
+  }
 }

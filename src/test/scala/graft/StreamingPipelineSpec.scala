@@ -330,10 +330,19 @@ class StreamingPipelineSpec extends AnyFunSuite {
     // repoint CURRENT at an OLD version, then vacuum: the current
     // version must survive even though it is not among the newest
     store.save(Seq((99L, 99L)).toDF("k", "v"), "v3")
+    // plant a nested subtree (an interrupted write's _temporary dir)
+    // inside a victim: vacuum must remove it RECURSIVELY — and only
+    // report versions that actually left the disk
+    val root = new java.io.File(store.currentPath().get).getParentFile
+    val tmp = new java.io.File(root, "v0/_temporary/0")
+    assert(tmp.mkdirs())
+    assert(new java.io.File(tmp, "part-stub").createNewFile())
     val removed = store.vacuum(keep = 2)
     // numeric order: v9, v10 are the newest two; v3 survives as CURRENT
     assert(!removed.contains("v3") && !removed.contains("v9") && !removed.contains("v10"))
     assert(removed.toSet == (0 to 8).map(i => s"v$i").toSet - "v3")
+    val left = root.listFiles().filter(_.isDirectory).map(_.getName).toSet
+    assert(left == Set("v3", "v9", "v10"), s"survivors on disk: $left")
     assert(store.load(spark).get.as[(Long, Long)].collect().toSet == Set((99L, 99L)))
   }
 
