@@ -279,23 +279,80 @@ object Media {
 
   // ---------- m6: perceptual-hash near-duplicate media ----------
 
-  /** 2^(8j) multipliers for assembling the 64-bit hash from 8 bytes
-    * (masked bytes ≤ 127 keep the total under 2^63 — plain BIGINT).
+  /** Integer DCT-II basis, scaled ×64: W(k)(n) = round(64·cos(π(2n+1)k/16)).
+    * Integerizing the basis (instead of floating cosines) makes every
+    * DCT coefficient an EXACT BIGINT linear form of the pixels, so the
+    * DuckDB oracle reproduces the hash bitwise — |coef| ≤ 127·(8·64)²
+    * ≈ 2^25, nowhere near overflow. The same constants feed both
+    * engines (the oracle SQL below is generated from this table).
     */
-  private val byteMul: Seq[Long] = (0 until 8).map(j => 1L << (8 * j))
+  private[graft] val dctW: Array[Array[Long]] =
+    Array.tabulate(8, 8)((k, n) =>
+      math.round(64.0 * math.cos(math.Pi * (2 * n + 1) * k / 16.0)))
 
-  /** Payload byte j of the hash window (positions 5..12), 0 when the
-    * payload is shorter — identical ord/ascii arithmetic both engines.
-    * Each byte is masked `& 127`: unmasked, one codepoint ≥ 128 in
-    * byte 7 overflows BIGINT (233·2^56 > 2^63−1) — Spark would wrap
-    * silently while DuckDB raises, so the mask ENFORCES the ASCII
-    * assumption instead of assuming it.
+  /** REAL codec roundtrip for the hash input (m7's path): the 64
+    * masked payload chars become an 8×8 grayscale image, encoded to
+    * genuine PNG bytes and DECODED back with ImageIO inside the
+    * executor. PNG is lossless, so the decoded luminance equals
+    * `char & 127` — which is exactly what lets the oracle verify a
+    * real-codec pipeline arithmetically.
     */
-  private def phashExpr(ascii: String => String): String =
-    (0 until 8).map { j =>
-      val pos = 5 + j
-      s"(CASE WHEN length(s) >= $pos THEN CAST((${ascii(s"substr(s, $pos, 1)")} & 127) AS BIGINT) ELSE CAST(0 AS BIGINT) END) * ${byteMul(j)}"
-    }.mkString("(", " + ", ")")
+  private[graft] def pngLuminance(s: String): Array[Int] = {
+    val img = new java.awt.image.BufferedImage(
+      8, 8, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var i = 0
+    while (i < 64) {
+      img.setRGB(i % 8, i / 8, (s.charAt(i).toInt & 127) * 0x010101)
+      i += 1
+    }
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", baos)
+    val dec = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(baos.toByteArray))
+    Array.tabulate(64)(i => dec.getRGB(i % 8, i / 8) & 0xff)
+  }
+
+  /** pHash proper: 8×8 integer DCT-II of the luminance (row pass then
+    * column pass over [[dctW]]), one bit per AC coefficient's SIGN —
+    * 63 bits (DC is excluded, as in standard pHash: it carries mean
+    * brightness, not structure). Bit u*8+v−1 is set iff coef(u,v) > 0.
+    * A small pixel perturbation moves each coefficient by at most
+    * ±W(u)(x)·W(v)(y) ≤ 4096 ≪ the typical coefficient magnitude, so
+    * near-identical images land within small Hamming distance — the
+    * locality property the blocking needs, now from a real transform.
+    */
+  private[graft] def dctPhash(px: Array[Int]): Long = {
+    // r(u)(y) = Σ_x W(u)(x)·px(y·8+x): the horizontal pass
+    val r = Array.ofDim[Long](8, 8)
+    var u = 0
+    while (u < 8) {
+      var y = 0
+      while (y < 8) {
+        var acc = 0L
+        var x = 0
+        while (x < 8) { acc += dctW(u)(x) * px(y * 8 + x); x += 1 }
+        r(u)(y) = acc
+        y += 1
+      }
+      u += 1
+    }
+    var ph = 0L
+    u = 0
+    while (u < 8) {
+      var v = 0
+      while (v < 8) {
+        if (u != 0 || v != 0) {
+          var c = 0L
+          var y = 0
+          while (y < 8) { c += dctW(v)(y) * r(u)(y); y += 1 }
+          if (c > 0) ph |= 1L << (u * 8 + v - 1)
+        }
+        v += 1
+      }
+      u += 1
+    }
+    ph
+  }
 
   /** Pigeonhole blocking scheme for the hamming ≤ 4 verify filter:
     * k+1 = 5 blocks (13,13,13,13,12 bits — offsets 0/13/26/39/52), so
@@ -309,17 +366,19 @@ object Media {
   val m6Blocks: Seq[(Int, Int)] = Seq((0, 13), (13, 13), (26, 13), (39, 13), (52, 12))
 
   /** m6: perceptual-hash near-duplicate detection over media payloads
-    * — the image-dedup pass of a multimodal pipeline (pHash/dHash +
-    * Hamming blocking). The hash itself is the decode-side STUB (a
-    * real pipeline computes pHash from decoded pixels; here it's 8
-    * payload bytes — same width, same locality property: a small
-    * payload perturbation flips few bits). Everything around the stub
-    * is the real scale machinery, shared in shape with d3: k+1-block
-    * pigeonhole blocking (hamming ≤ 4 ⇒ ≥ 1 of 5 blocks exactly
-    * equal — see [[m6Blocks]]), bucket equality join, bit_count(xor)
+    * — the image-dedup pass of a multimodal pipeline, now END-TO-END
+    * REAL for the PNG path: each payload's 64 masked bytes are encoded
+    * to genuine PNG, DECODED back with the JDK's ImageIO inside the
+    * executor ([[pngLuminance]] — m7's proven codec path), and hashed
+    * with a real 8×8 integer DCT pHash ([[dctPhash]]): one sign bit
+    * per AC coefficient. Everything downstream is the scale machinery
+    * shared in shape with d3: k+1-block pigeonhole blocking (hamming
+    * ≤ 4 ⇒ ≥ 1 of 5 blocks exactly equal — see [[m6Blocks]], pure
+    * pigeonhole, hash-agnostic), bucket equality join, bit_count(xor)
     * verification — never an all-pairs pass. Near-dups are seeded by
-    * flipping one low bit of one hashed byte on every 6th payload
-    * (hamming 1).
+    * flipping one low bit of one payload byte on every 6th payload
+    * (a ±1 luminance change in one pixel — tiny DCT movement, so the
+    * pair stays within the hamming ≤ 4 verify bound).
     */
   def m6(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -330,9 +389,14 @@ object Media {
       .selectExpr("doc_id + 30000 AS doc_id",
         "CASE WHEN length(s) >= 8 THEN concat(substring(s, 1, 7), chr(ascii(substring(s, 8, 1)) ^ 1), substring(s, 9, length(s))) ELSE s END AS s")
     val hashed = base.unionByName(variants)
-      .selectExpr("doc_id", s"${phashExpr(s => s"ascii($s)")} AS ph")
+      .selectExpr("doc_id", "rpad(s, 64, ' ') AS s")
+      .as[(Long, String)]
+      // NARROW per-row codec + transform work (PNG roundtrip + DCT):
+      // embarrassingly parallel, no shuffle — the 100 TB decode shape
+      .mapPartitions(_.map { case (id, s) => (id, dctPhash(pngLuminance(s))) })
+      .toDF("doc_id", "ph")
       // consumed by the bucket-count branch and both sides of the
-      // candidate self-join — uncached, the scan + hash assembly
+      // candidate self-join — uncached, the codec roundtrip + DCT
       // would run up to 4×
       .cache()
     val blockArr = m6Blocks.map { case (off, w) =>
@@ -365,9 +429,12 @@ object Media {
       .transform(graft.Tables.ordered(_, $"id_a", $"id_b"))
   }
 
-  /** m6 oracle: ASCII payload mirror (ord == byte), the same 8-byte
-    * hash assembly, div/mod chunk extraction and bit_count(xor)
-    * Hamming — all BIGINT-exact.
+  /** m6 oracle: ASCII payload mirror (ord == byte — what the lossless
+    * PNG roundtrip preserves, m7's argument), the SAME integer DCT as
+    * a factored two-pass linear form (px → row pass r_u_y → sign
+    * bits), div/mod chunk extraction and bit_count(xor) Hamming — all
+    * BIGINT-exact. The weight literals are generated from [[dctW]],
+    * so both engines share one basis by construction.
     */
   val m6Sql: String = {
     val chunkSelects = m6Blocks.zipWithIndex.map { case ((off, w), c) =>
@@ -379,19 +446,35 @@ object Media {
       val b = 1L << w
       s"WHEN $c THEN greatest(100, 8 * ((n + ${b - 1}) // $b))"
     }.mkString("CASE chunk_idx ", " ", " END")
+    // px: one column per pixel; rows: the horizontal DCT pass
+    // (r_u_y = Σ_x W(u)(x)·p(y·8+x)); ph: vertical pass + sign bits
+    val pxCols = (0 until 64)
+      .map(i => s"(ord(substr(s, ${i + 1}, 1)) & 127) AS p$i")
+      .mkString(", ")
+    val rowCols = (for (u <- 0 until 8; y <- 0 until 8) yield {
+      val terms = (0 until 8).map(x => s"(${dctW(u)(x)})*p${y * 8 + x}").mkString("+")
+      s"($terms) AS r${u}_$y"
+    }).mkString(", ")
+    val phExpr = (for (u <- 0 until 8; v <- 0 until 8 if u != 0 || v != 0) yield {
+      val c = (0 until 8).map(y => s"(${dctW(v)(y)})*r${u}_$y").mkString("+")
+      s"(CASE WHEN ($c) > 0 THEN CAST(${1L << (u * 8 + v - 1)} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+    }).mkString(" + ")
     s"""WITH base AS (SELECT doc_id,
       |  (CASE WHEN doc_id % 3 = 0 THEN 'IMG' WHEN doc_id % 3 = 1 THEN 'AUD' ELSE 'VID' END)
       |    || substr(text, 1, 61) AS s
       |  FROM documents),
       |corpus AS (
+      |  SELECT doc_id, rpad(s, 64, ' ') AS s FROM (
       |  SELECT doc_id, s FROM base
       |  UNION ALL
       |  SELECT doc_id + 30000,
       |    CASE WHEN length(s) >= 8
       |         THEN substr(s, 1, 7) || chr(xor(ord(substr(s, 8, 1)), 1)) || substr(s, 9)
       |         ELSE s END
-      |  FROM base WHERE doc_id % 6 = 0),
-      |hashed AS (SELECT doc_id, ${phashExpr(s => s"ord($s)")} AS ph FROM corpus),
+      |  FROM base WHERE doc_id % 6 = 0)),
+      |px AS (SELECT doc_id, $pxCols FROM corpus),
+      |rows_ AS (SELECT doc_id, $rowCols FROM px),
+      |hashed AS (SELECT doc_id, $phExpr AS ph FROM rows_),
       |chunks AS ($chunkSelects),
       |bcnt AS (SELECT chunk_idx, chunk, count(*) AS bsz FROM chunks GROUP BY 1, 2),
       |ncnt AS (SELECT count(*) AS n FROM hashed),

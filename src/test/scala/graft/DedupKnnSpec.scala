@@ -634,21 +634,64 @@ class DedupKnnSpec extends AnyFunSuite {
     }
   }
 
-  test("m6: every seeded variant pairs with its base at hamming 1") {
-    val pairs = graft.operators.Media.m6(spark, sf).collect()
+  test("m6: seeded variants pair with their base within the DCT verify bound") {
+    import graft.operators.Media
+    val pairs = Media.m6(spark, sf).collect()
       .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"),
         r.getAs[Number]("hamming").intValue()))
     assert(pairs.nonEmpty)
-    val baseIds = Tables.documents(spark, sf)
-      .select($"doc_id").as[Long].collect().filter(_ % 6 == 0)
-    assert(baseIds.nonEmpty)
-    baseIds.foreach { d =>
-      val p = pairs.find(t => t._1 == d && t._2 == d + 30000)
-      assert(p.isDefined, s"missing seeded pair for $d")
-      assert(p.get._3 == 1, s"seeded flip should be hamming 1, got ${p.get._3}")
+    // reference hash per doc, computed locally through the SAME real
+    // PNG roundtrip + integer DCT — the distributed path must agree
+    def pay(id: Long, text: String): String = {
+      val pre = if (id % 3 == 0) "IMG" else if (id % 3 == 1) "AUD" else "VID"
+      (pre + text.take(61)).padTo(64, ' ')
     }
+    def flip8(s: String): String =
+      if (s.length >= 8) s.updated(7, (s.charAt(7).toInt ^ 1).toChar) else s
+    val texts = Tables.documents(spark, sf)
+      .select($"doc_id", $"text").as[(Long, String)].collect().toMap
+    val baseIds = texts.keys.filter(_ % 6 == 0).toSeq.sorted
+    assert(baseIds.nonEmpty)
+    val pairMap = pairs.map(t => (t._1, t._2) -> t._3).toMap
+    var found = 0
+    baseIds.foreach { d =>
+      val hBase = Media.dctPhash(Media.pngLuminance(pay(d, texts(d))))
+      val hVar = Media.dctPhash(Media.pngLuminance(
+        flip8((if (d % 3 == 0) "IMG" else if (d % 3 == 1) "AUD" else "VID") + texts(d).take(61)).padTo(64, ' ')))
+      val ham = java.lang.Long.bitCount(hBase ^ hVar)
+      val got = pairMap.get((d, d + 30000))
+      if (ham <= 4) {
+        assert(got.contains(ham), s"seeded pair $d: expected hamming $ham, got $got")
+        found += 1
+      } else assert(got.isEmpty, s"pair $d beyond bound (ham=$ham) must not appear")
+    }
+    // the ±1-pixel seeding must actually be recalled for nearly all
+    // seeds: a real DCT moves each coefficient by ≤ 4096 per unit
+    assert(found >= baseIds.size * 9 / 10,
+      s"only $found of ${baseIds.size} seeded pairs within hamming 4")
     // verification really bounds the distance
     assert(pairs.forall(_._3 <= 4))
+  }
+
+  test("m6: DCT pHash golden values and basis sanity") {
+    import graft.operators.Media
+    // DC row of the basis is flat 64s; AC rows sum to ~0 (rounding)
+    assert(Media.dctW(0).forall(_ == 64L))
+    (1 until 8).foreach(u => assert(math.abs(Media.dctW(u).sum) <= 2,
+      s"AC basis row $u sums to ${Media.dctW(u).sum}"))
+    // a constant image has NO positive AC coefficient: hash 0
+    assert(Media.dctPhash(Array.fill(64)(80)) == 0L)
+    // a horizontal step edge excites only horizontal AC terms: the
+    // sign pattern is confined to bits u*8 (v = 0), u >= 1
+    val edge = Array.tabulate(64)(i => if (i % 8 < 4) 100 else 20)
+    val hEdge = Media.dctPhash(edge)
+    assert(hEdge != 0L)
+    val vBitsMask = (for (u <- 1 until 8) yield 1L << (u * 8 - 1)).reduce(_ | _)
+    assert((hEdge & ~vBitsMask) == 0L,
+      f"edge hash 0x$hEdge%x has bits outside horizontal AC positions")
+    // PNG roundtrip is lossless: luminance == char & 127
+    val s = ("IMG" + ("The quick brown fox jumps over the lazy dog again " * 2)).take(64)
+    assert(Media.pngLuminance(s).toSeq == s.map(_.toInt & 127).toSeq)
   }
 
   test("v8 MMR: 5 diverse picks from the top-10 pool, step 1 = argmax relevance") {
