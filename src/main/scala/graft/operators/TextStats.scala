@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 
@@ -695,10 +695,46 @@ object TextStats {
 
   // ---------- t17: corpus-learned BPE merge table ----------
 
-  /** Number of BPE merge rounds t17 learns (unrolled in the oracle —
-    * the v8 precedent for bounded greedy loops).
+  /** Number of batched BPE merge rounds t17 learns (unrolled in the
+    * oracle — the v8 precedent for bounded greedy loops), and the
+    * within-round batch width. Total merges ≈ rounds × batch — the
+    * production-depth path: a 50k-merge vocabulary at batch 256 is
+    * ~200 rounds, NOT 50k driver round-trips. The candidate pool per
+    * round is capped at [[t17CandK]] ranked pairs (the dominance
+    * filter below needs a bounded, identical pool in both engines).
     */
-  val t17Rounds = 5
+  val t17Rounds = 8
+  val t17BatchM = 16
+  val t17CandK = 128
+
+  /** Greedy batched merge selection, shared by both engines: rank the
+    * round's pair counts by (cnt DESC, pair ASC) — a TOTAL order —
+    * keep the top [[t17CandK]], then scan in rank order selecting
+    * every pair whose symbols are both unused by an ALREADY-SELECTED
+    * pair, up to [[t17BatchM]]. Selected merges are mutually
+    * symbol-disjoint, so applying them within one round commutes —
+    * batched application equals any sequential order of the same
+    * set. The oracle expresses the same scan as a recursive
+    * single-row state machine over the ranked candidates (the greedy
+    * set is inherently sequential — a pure dominance anti-join was
+    * measured to select ~4/round on a character alphabet, where
+    * greedy selects ~13).
+    */
+  private[graft] def selectBatch(ranked: Seq[(String, Long)]): Seq[(String, Long)] = {
+    val out = scala.collection.mutable.ArrayBuffer[(String, Long)]()
+    val used = scala.collection.mutable.Set[String]()
+    var i = 0
+    while (i < ranked.length && out.size < t17BatchM) {
+      val Array(a, b) = ranked(i)._1.split(" ", 2)
+      if (!used(a) && !used(b)) {
+        out += ranked(i)
+        used += a
+        used += b
+      }
+      i += 1
+    }
+    out.toSeq
+  }
 
   /** t17: distributed byte-pair-encoding learning — the classic
     * subword algorithm (Sennrich et al. 2016) run corpus-scale:
@@ -709,16 +745,23 @@ object TextStats {
     * vocab — Heaps' law keeps it ~1M rows at 100 TB while the corpus
     * is billions of docs. Each of the [[t17Rounds]] rounds is then a
     * distributed adjacent-pair count over the vocab (freq-weighted
-    * exact BIGINT sums) with a 1-ROW argmax collect (cnt DESC, pair
-    * ASC — deterministic), and a narrow map applying the merge.
+    * exact BIGINT sums), ONE bounded [[t17CandK]]-row collect, the
+    * [[selectBatch]] dominance filter picking up to [[t17BatchM]]
+    * mutually-disjoint merges, and a narrow map applying them all —
+    * so round count ≪ merge count (the per-merge driver round-trip
+    * of naive distributed BPE is the scale killer this buys out of).
+    * Counts are start-of-round counts, the standard parallel-BPE
+    * batching trade, recorded as such.
+    *
     * Merge application is leftmost non-overlapping pair rewriting via
     * the doubled-space replace trick, so the DuckDB oracle reproduces
-    * it with plain `replace` — no lambda recursion: double every
-    * space (sentinel-wrapped), replace " a  b " with " ab ",
-    * collapse. Both engines scan left-to-right, so "a a a" merges to
-    * "aa a" exactly like sequential BPE.
+    * it with plain `replace` chained through `list_reduce`: double
+    * every space (sentinel-wrapped), replace " a  b " with " ab " per
+    * merge in rank order, collapse once. Both engines scan
+    * left-to-right, so "a a a" merges to "aa a" exactly like
+    * sequential BPE.
     *
-    * Output: the learned merge table (round, pair, merged, cnt) —
+    * Output: the learned merge table (round, rk, pair, merged, cnt) —
     * deterministic, integer-counted, bitwise-comparable.
     */
   def t17(spark: SparkSession, dir: String): DataFrame = {
@@ -726,10 +769,10 @@ object TextStats {
     val vocab = t17Vocab(spark, dir).cache()
     val (rules, _) = t17Learn(vocab)
     vocab.unpersist()
-    spark.createDataFrame(rules.zipWithIndex.map { case ((pair, cnt), i) =>
-      (i + 1, pair, pair.replace(" ", ""), cnt)
-    }).toDF("round", "pair", "merged", "cnt")
-      .transform(graft.Tables.ordered(_, $"round"))
+    spark.createDataFrame(rules.map { case (round, rk, pair, cnt) =>
+      (round, rk, pair, pair.replace(" ", ""), cnt)
+    }).toDF("round", "rk", "pair", "merged", "cnt")
+      .transform(graft.Tables.ordered(_, $"round", $"rk"))
   }
 
   /** (distinct word, freq) with words exploded to space-separated
@@ -741,15 +784,22 @@ object TextStats {
       .groupBy(col("w")).agg(count(lit(1)).as("freq"))
       .select(trim(regexp_replace(col("w"), "(.)", "$1 ")).as("s"), col("freq"))
 
-  /** Runs the merge rounds; returns the learned (pair, cnt) rules in
-    * order plus the final tokenized vocab (s = space-joined tokens).
+  /** Runs the batched merge rounds; returns the learned
+    * (round, rk, pair, cnt) rules in order plus the final tokenized
+    * vocab (s = space-joined tokens). Per-round state is
+    * localCheckpoint'd EAGERLY — §8.25's lesson: a lazy checkpoint
+    * under iteration recomputes/races; and the lineage cut keeps the
+    * analyzer safe at production round counts (§8.19).
     */
-  private[graft] def t17Learn(vocab0: DataFrame): (Seq[(String, Long)], DataFrame) = {
+  private[graft] def t17Learn(vocab0: DataFrame): (Seq[(Int, Int, String, Long)], DataFrame) = {
     val spark = vocab0.sparkSession
     import spark.implicits._
     var cur = vocab0
-    val rules = (1 to t17Rounds).map { _ =>
-      val top = cur
+    val rules = scala.collection.mutable.ArrayBuffer[(Int, Int, String, Long)]()
+    var round = 1
+    var exhausted = false
+    while (round <= t17Rounds && !exhausted) {
+      val ranked = cur
         .filter(size(split($"s", " ")) >= 2)
         .select($"freq", explode(expr(
           """transform(sequence(0, size(split(s, ' ')) - 2),
@@ -757,22 +807,33 @@ object TextStats {
             |             element_at(split(s, ' '), i + 2)))""".stripMargin)).as("pair"))
         .groupBy($"pair").agg(sum($"freq").as("cnt"))
         .orderBy($"cnt".desc, $"pair".asc)
-        .limit(1).as[(String, Long)].collect().head
-      val (pair, cnt) = top
-      val doubledPat = " " + pair.replace(" ", "  ") + " "
-      val mergedSym = " " + pair.replace(" ", "") + " "
-      cur = cur.select(
-        trim(regexp_replace(
-          org.apache.spark.sql.functions.replace(
-            org.apache.spark.sql.functions.replace(
-              concat(lit(" "), $"s", lit(" ")), lit(" "), lit("  ")),
-            lit(doubledPat), lit(mergedSym)),
-          lit(" +"), lit(" "))).as("s"),
-        $"freq")
-        .localCheckpoint(eager = false)
-      (pair, cnt)
+        .limit(t17CandK).as[(String, Long)].collect().toSeq
+      val sel = selectBatch(ranked)
+      if (sel.isEmpty) exhausted = true // every word fully merged
+      else {
+        sel.zipWithIndex.foreach { case ((pair, cnt), j) =>
+          rules += ((round, j + 1, pair, cnt))
+        }
+        // all merges of a round chain on ONE doubled form (the
+        // doubling is preserved around each merged token), collapsed
+        // once — survivors are symbol-disjoint so order is moot, but
+        // rank order is applied for bit-identical parity with the
+        // oracle's list_reduce
+        var s: Column = org.apache.spark.sql.functions.replace(
+          concat(lit(" "), $"s", lit(" ")), lit(" "), lit("  "))
+        sel.foreach { case (pair, _) =>
+          s = org.apache.spark.sql.functions.replace(s,
+            lit(" " + pair.replace(" ", "  ") + " "),
+            lit(" " + pair.replace(" ", "") + " "))
+        }
+        val next = cur
+          .select(trim(regexp_replace(s, lit(" +"), lit(" "))).as("s"), $"freq")
+          .localCheckpoint()
+        cur = next
+        round += 1
+      }
     }
-    (rules, cur)
+    (rules.toSeq, cur)
   }
 
   /** Tokenizer-grain token counts per document using the learned
@@ -807,12 +868,15 @@ object TextStats {
     t17TokenCounts(spark, dir).transform(graft.Tables.ordered(_, $"doc_id"))
   }
 
-  /** Oracle: the identical 5 rounds unrolled as CTEs — pair counts,
-    * scalar-subquery argmax, doubled-space merge application. The
-    * regexp flags differ by engine ('g' is explicit in DuckDB) but
-    * the string algebra is the same.
-    */
-  /** Shared CTE prefix: vocab init + the unrolled merge rounds
+  /** Oracle: the identical batched rounds unrolled as CTEs — pair
+    * counts, QUALIFY'd total-order ranking capped at [[t17CandK]],
+    * the dominance anti-join (NOT EXISTS a higher-ranked candidate
+    * sharing a symbol — declarative, no greedy state), and the
+    * doubled-space merge application chained through `list_reduce`
+    * in rank order. The regexp flags differ by engine ('g' is
+    * explicit in DuckDB) but the string algebra is the same.
+    *
+    * Shared CTE prefix: vocab init + the unrolled merge rounds
     * (ends with `w<t17Rounds>` = the fully tokenized vocab).
     */
   private def t17Ctes: String = {
@@ -820,12 +884,34 @@ object TextStats {
       s"""p$i AS (SELECT l[i] || ' ' || l[i + 1] AS pair, freq
          |  FROM (SELECT l, freq, unnest(range(1, len(l))) AS i
          |        FROM (SELECT string_split(s, ' ') AS l, freq FROM w${i - 1}))),
-         |r$i AS (SELECT pair, CAST(sum(freq) AS BIGINT) AS cnt FROM p$i
-         |        GROUP BY pair ORDER BY cnt DESC, pair ASC LIMIT 1),
-         |w$i AS (SELECT trim(regexp_replace(
-         |          replace(replace(' ' || s || ' ', ' ', '  '),
-         |            ' ' || (SELECT replace(pair, ' ', '  ') FROM r$i) || ' ',
-         |            ' ' || (SELECT replace(pair, ' ', '') FROM r$i) || ' '),
+         |c$i AS MATERIALIZED (SELECT pair, cnt, row_number() OVER (ORDER BY cnt DESC, pair ASC) AS rnk
+         |        FROM (SELECT pair, CAST(sum(freq) AS BIGINT) AS cnt FROM p$i GROUP BY pair)
+         |        QUALIFY rnk <= $t17CandK),
+         |g$i AS (
+         |  SELECT 0 AS step, []::VARCHAR[] AS used, []::VARCHAR[] AS sel
+         |  UNION ALL
+         |  SELECT c.rnk AS step,
+         |    CASE WHEN NOT (list_contains(g.used, split_part(c.pair, ' ', 1))
+         |               OR list_contains(g.used, split_part(c.pair, ' ', 2))) AND len(g.sel) < $t17BatchM
+         |         THEN g.used || [split_part(c.pair, ' ', 1), split_part(c.pair, ' ', 2)]
+         |         ELSE g.used END AS used,
+         |    CASE WHEN NOT (list_contains(g.used, split_part(c.pair, ' ', 1))
+         |               OR list_contains(g.used, split_part(c.pair, ' ', 2))) AND len(g.sel) < $t17BatchM
+         |         THEN list_append(g.sel, c.pair) ELSE g.sel END AS sel
+         |  FROM g$i g JOIN c$i c ON c.rnk = g.step + 1),
+         |sel$i AS (SELECT sel FROM g$i ORDER BY step DESC LIMIT 1),
+         |s$i AS (SELECT p.pair, p.mrk, c.cnt
+         |        FROM (SELECT unnest(sel) AS pair,
+         |                CAST(unnest(range(1, len(sel) + 1)) AS INTEGER) AS mrk
+         |              FROM sel$i) p
+         |        JOIN c$i c USING (pair)),
+         |w$i AS MATERIALIZED (SELECT trim(regexp_replace(
+         |          list_reduce(
+         |            list_prepend(replace(' ' || s || ' ', ' ', '  '),
+         |              coalesce((SELECT list(pair ORDER BY mrk) FROM s$i), []::VARCHAR[])),
+         |            (acc, p) -> replace(acc,
+         |              ' ' || replace(p, ' ', '  ') || ' ',
+         |              ' ' || replace(p, ' ', '') || ' ')),
          |          ' +', ' ', 'g')) AS s, freq
          |        FROM w${i - 1})""".stripMargin
     val rounds = (1 to t17Rounds).map(pairCte).mkString(",\n")
@@ -837,15 +923,15 @@ object TextStats {
 
   val t17Sql: String = {
     val finalSel = (1 to t17Rounds)
-      .map(i => s"SELECT $i AS round, pair, replace(pair, ' ', '') AS merged, cnt FROM r$i")
+      .map(i => s"SELECT $i AS round, mrk AS rk, pair, replace(pair, ' ', '') AS merged, cnt FROM s$i")
       .mkString("\n  UNION ALL ")
-    s"""WITH $t17Ctes
+    s"""WITH RECURSIVE $t17Ctes
        |$finalSel
-       |ORDER BY round""".stripMargin
+       |ORDER BY round, rk""".stripMargin
   }
 
   val t18Sql: String =
-    s"""WITH $t17Ctes,
+    s"""WITH RECURSIVE $t17Ctes,
        |pertok AS (SELECT replace(s, ' ', '') AS w,
        |             CAST(len(string_split(s, ' ')) AS BIGINT) AS n_tok
        |           FROM w$t17Rounds),

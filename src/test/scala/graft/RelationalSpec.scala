@@ -139,12 +139,27 @@ class RelationalSpec extends AnyFunSuite {
   test("t17: merges are deterministic; learned-token packing matches the sequential fold") {
     val ts = graft.operators.TextStats
     val merges = ts.t17(spark, sf).collect()
-      .map(r => (r.getAs[Int]("round"), r.getAs[String]("pair"), r.getAs[Long]("cnt")))
-    assert(merges.length == ts.t17Rounds)
-    assert(merges.map(_._1).toSeq == (1 to ts.t17Rounds))
+      .map(r => (r.getAs[Int]("round"), r.getAs[Int]("rk"),
+        r.getAs[String]("pair"), r.getAs[Long]("cnt")))
+    // production depth: batching must yield merges >> rounds — >= 64
+    // learned merges from only t17Rounds driver round-trips
+    assert(merges.length >= 64,
+      s"batched BPE learned only ${merges.length} merges")
+    assert(merges.map(_._1).distinct.toSeq == (1 to ts.t17Rounds))
+    // within a round, merges are mutually symbol-disjoint (the greedy
+    // filter's guarantee that batch application commutes); a pair may
+    // use one symbol twice itself ("g g")
+    merges.groupBy(_._1).values.foreach { rm =>
+      val symSets = rm.map(_._3.split(" ", 2).toSet).toSeq
+      symSets.combinations(2).foreach { c =>
+        assert((c(0) & c(1)).isEmpty,
+          s"round ${rm.head._1} shares symbols across merges: ${rm.map(_._3).mkString(", ")}")
+      }
+    }
     // deterministic: a second learning pass yields the identical table
     val again = ts.t17(spark, sf).collect()
-      .map(r => (r.getAs[Int]("round"), r.getAs[String]("pair"), r.getAs[Long]("cnt")))
+      .map(r => (r.getAs[Int]("round"), r.getAs[Int]("rk"),
+        r.getAs[String]("pair"), r.getAs[Long]("cnt")))
     assert(merges.toSeq == again.toSeq)
     // tokenizer-grain counts: every word is >= 1 token, <= its chars
     val toks = ts.t17TokenCounts(spark, sf)
