@@ -46,4 +46,37 @@ object Skew {
       explode(sequence(lit(0), lit(buckets - 1)).cast("array<long>")))
     saltedLarge.join(replicated, keys :+ "_salt").drop("_salt")
   }
+
+  /** Split-and-broadcast inner join for a skewed PROBE side against a
+    * build side whose keys are UNIQUE (≤ 1 build row per key) — the
+    * iterative-graph case: pointer jumping's late rounds concentrate
+    * most probe rows on a few root keys, so hash-partitioning the
+    * join puts ~all of a root's rows on one task. Because build keys
+    * are unique, the build rows for hot keys number at most |hot| —
+    * so the scale-correct fix is NOT buckets× replication
+    * ([[saltedJoin]]'s trade) but a split: detect hot keys with a
+    * partial-agg-safe count (the hot key's partials spread across
+    * tasks, so the detector itself cannot straggle), BROADCAST the
+    * few hot build rows to the probe (narrow, no shuffle of the hot
+    * rows at all), and shuffle-join only the cold remainder — where
+    * every key now contributes ≤ hotThreshold rows, which bounds any
+    * task's per-key input. Exact: hot and cold probe rows partition
+    * the probe, each meets its unique build row exactly once.
+    * |hot| ≤ probe.count / hotThreshold keys, so the broadcast is
+    * bounded by construction.
+    */
+  def hotKeyJoin(probe: DataFrame, build: DataFrame, probeKey: String,
+      buildKey: String, hotThreshold: Long): DataFrame = {
+    val hot = probe.groupBy(col(probeKey)).agg(count(lit(1)).as("_n"))
+      .filter(col("_n") > hotThreshold)
+      .select(col(probeKey).as("_hotkey"))
+    val hotBuild = build.join(broadcast(hot),
+      col(buildKey) === col("_hotkey"), "left_semi")
+    val hotPart = probe.join(broadcast(hotBuild),
+      col(probeKey) === col(buildKey))
+    val coldPart = probe.join(broadcast(hot),
+        col(probeKey) === col("_hotkey"), "left_anti")
+      .join(build, col(probeKey) === col(buildKey))
+    hotPart.unionByName(coldPart)
+  }
 }

@@ -689,9 +689,10 @@ object Relational {
     * no per-node iteration. Convergence-detected like [[graft
     * .operators.Dedup.ccPropagate]]: a limit(1) existence check per
     * round, never a full count. Late rounds concentrate pointers on
-    * the few root keys; at 100 TB that join-side skew is the
-    * standard salt-the-build-side case (Skew.scala) — bounded here
-    * by the ~n/97 root count.
+    * the few root keys; that join-side skew is handled per round by
+    * [[graft.operators.Skew.hotKeyJoin]] — hot roots' (unique) hop
+    * rows broadcast, cold keys shuffle with a ≤ hotThreshold
+    * per-key row bound (seeded-skew spec pins equality + the bound).
     */
   def q27(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -721,7 +722,8 @@ object Relational {
     * input (e.g. a filtered/sampled key set) is a hard error, never
     * a silently smaller answer.
     */
-  private[graft] def pointerJump(init: DataFrame, maxRounds: Int): (DataFrame, Int, Boolean) = {
+  private[graft] def pointerJump(init: DataFrame, maxRounds: Int,
+      hotThreshold: Long = 100000L): (DataFrame, Int, Boolean) = {
     val spark = init.sparkSession
     import spark.implicits._
     // localCheckpoint (EAGER) per round, not cache(): the jump join
@@ -737,8 +739,13 @@ object Relational {
       val hops = state.select($"id".as("jid"), $"ptr".as("jptr"), $"dist".as("jdist"))
       // `moved` rides out of the jump join itself, so the
       // convergence probe is a limit(1) filter on the checkpointed
-      // result — no second join per round
-      val next = state.join(hops, $"ptr" === $"jid")
+      // result — no second join per round.
+      // Late rounds concentrate ~all ptrs on the few root keys —
+      // hotKeyJoin broadcasts the (unique-keyed, hence few) hot hop
+      // rows and shuffle-joins only the cold remainder, so no task
+      // ever receives more than hotThreshold rows of one key.
+      val next = graft.operators.Skew
+        .hotKeyJoin(state, hops, "ptr", "jid", hotThreshold)
         .select($"id", $"jptr".as("ptr"), ($"dist" + $"jdist").as("dist"),
           ($"jptr" =!= $"ptr").as("moved"))
         .localCheckpoint()

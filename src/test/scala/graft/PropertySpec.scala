@@ -218,4 +218,49 @@ class PropertySpec extends AnyFunSuite {
     assert(labels.length == 15 && labels.forall(_._2 == 0L))
     lbl.unpersist()
   }
+
+  test("hotKeyJoin: equals the plain join under seeded skew, with the straggler bounded") {
+    val spark = SharedSpark.spark
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{broadcast, max}
+    // a mega-root forest: 5000 of 5100 nodes point straight at node 0
+    // (the pointer-jump late-round shape); the rest at node 1
+    val probe = spark.range(0, 5100).toDF("id")
+      .selectExpr("id", "CASE WHEN id < 2 THEN id WHEN id < 5002 THEN 0L ELSE 1L END AS ptr")
+    val build = spark.range(0, 5100).toDF("jid")
+      .selectExpr("jid", "jid % 7 AS payload")
+    val threshold = 200L
+    val salted = graft.operators.Skew
+      .hotKeyJoin(probe, build, "ptr", "jid", threshold)
+      .select($"id", $"ptr", $"payload")
+    val plain = probe.join(build, $"ptr" === $"jid")
+      .select($"id", $"ptr", $"payload")
+    assert(salted.collect().map(_.toSeq).toSet == plain.collect().map(_.toSeq).toSet)
+    // straggler bound, semantically: after the hot/cold split no cold
+    // key exceeds the threshold — so no shuffle task can receive more
+    // than `threshold` rows of any one key
+    val hot = probe.groupBy($"ptr").count().filter($"count" > threshold)
+      .select($"ptr".as("_hotkey"))
+    val coldMax = probe.join(broadcast(hot), $"ptr" === $"_hotkey", "left_anti")
+      .groupBy($"ptr").count().agg(max($"count")).as[Long].collect().head
+    assert(coldMax <= threshold, s"cold side still has a key with $coldMax rows")
+    // and the hot rows meet their hop rows via BROADCAST, never a
+    // shuffle of the hot key
+    val planStr = salted.queryExecution.executedPlan.toString
+    assert(planStr.contains("BroadcastHashJoin"), s"no broadcast join in:\n$planStr")
+    // the whole jump still resolves exactly on this forest
+    val (state, _, conv) = graft.relational.Relational.pointerJump(
+      probe.selectExpr("id", "ptr",
+        "CAST(CASE WHEN id < 2 THEN 0 ELSE 1 END AS BIGINT) AS dist"),
+      8, hotThreshold = threshold)
+    assert(conv)
+    val rows = state.as[(Long, Long, Long)].collect()
+    assert(rows.length == 5100)
+    assert(rows.forall { case (id, root, depth) =>
+      if (id < 2) root == id && depth == 0
+      else if (id < 5002) root == 0L && depth == 1
+      else root == 1L && depth == 1
+    })
+    state.unpersist()
+  }
 }
