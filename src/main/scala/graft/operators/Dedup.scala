@@ -1203,6 +1203,12 @@ object Dedup {
     * survivor selection is the label itself. Applying the removals to
     * the full corpus is one broadcast/semi join of this decision
     * table (d7's shape) — not re-run here.
+    *
+    * A pipeline that has ALREADY verified pairs (d2 standalone, or
+    * any other candidate generator) calls [[d13Apply]] directly with
+    * them — the composed pass then costs components + survivors
+    * only, no second minhash run. The gate entry composes both
+    * stages so the full path stays under the bitwise oracle.
     */
   def d13(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -1211,8 +1217,20 @@ object Dedup {
     // whole minhash pipeline in every per-round plan (§8.19), and a
     // lazy cache can be populated redundantly by sibling subtrees of
     // the first round's job
-    val pairs = d2(spark, dir)
-      .select($"id_a".as("src"), $"id_b".as("dst")).localCheckpoint()
+    d13Apply(d2(spark, dir).select($"id_a".as("src"), $"id_b".as("dst")))
+  }
+
+  /** The apply stage of [[d13]], parameterized on precomputed
+    * verified pairs (src, dst) — the d7 decision-table pattern at
+    * the near-dup grain: components over dup-pair nodes only, then
+    * one keep/remove row per clustered doc. Eagerly localCheckpoints
+    * the pairs (the caller's generator pipeline must not ride every
+    * propagation round's plan — §8.19/§8.25).
+    */
+  def d13Apply(verifiedPairs: DataFrame): DataFrame = {
+    val spark = verifiedPairs.sparkSession
+    import spark.implicits._
+    val pairs = verifiedPairs.localCheckpoint()
     val labels = ccPropagate(pairs, 20) match {
       case (l, _, true) => l
       case _ =>

@@ -116,6 +116,13 @@ class DedupKnnSpec extends AnyFunSuite {
       assert(members.filter(_._3 == 1L).head._1 == root)
       assert(members.map(_._1).min == root)
     }
+    // the single-pass path: d13Apply on PRECOMPUTED pairs (the shape
+    // a pipeline that already ran d2 ships) is row-identical to the
+    // composed gate entry — no second minhash run required
+    val precomputed = spark.createDataset(pairs).toDF("src", "dst")
+    val applied = graft.operators.Dedup.d13Apply(precomputed).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("root"), r.getAs[Long]("kept")))
+    assert(applied.toSeq == rows.toSeq)
   }
 
   test("v9 IVF-PQ: candidates confined to probed clusters, ranked lists well-formed") {
