@@ -63,6 +63,8 @@ object PlanDump {
       "q29_analytic_funcs" -> "four analytic functions share one window shuffle and one sort",
       "p6_merge_upsert" -> "MERGE: one full-outer pk join, clause arithmetic row-local",
       "d13_neardup_apply" -> "composed near-dup apply: capped band buckets feed components; labels plan shown (final round)",
+      "v10_hybrid_rrf" -> "hybrid RRF: both arms' bounded top-20 fused by one tiny full-outer join — fusion cost independent of corpus size",
+      "t17_bpe_learn" -> "batched BPE: vocab-sized pair aggregate per round, bounded candidate collect, merges applied in one narrow map (final round's plan)",
     )
     val sb = new StringBuilder
     sb.append("# PLANS — formatted physical plans (generated by graft.PlanDump at sf0.001)\n")

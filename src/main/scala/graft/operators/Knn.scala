@@ -842,4 +842,89 @@ object Knn {
       |      FROM sc)
       |SELECT qid, rnk, vec_id, score FROM r WHERE rnk <= 3
       |ORDER BY qid, rnk""".stripMargin
+
+  // ---------- v10: hybrid retrieval — BM25 ⊕ dense, RRF fusion ----------
+
+  /** v10: hybrid retrieval with reciprocal-rank fusion (Cormack et
+    * al. 2009) — the production retrieval shape behind RAG serving
+    * and hard-negative mining: a lexical arm (t16's BM25 over the
+    * documents table) and a dense arm (v1's exact quantized cosine
+    * over the 1:1-aligned embeddings table) each rank their top-20
+    * per query, then fuse by Σ 1/(60 + rank) with absent arms
+    * contributing 0 — rank-based fusion needs no score calibration
+    * between arms, which is exactly why RRF is the default fusion in
+    * hybrid search engines.
+    *
+    * Determinism: each RRF term is a single IEEE division of exact
+    * integers and the two-term sum is evaluated in a fixed order
+    * (lex + vec), so the fused score is bitwise cross-engine (the
+    * q29 percent_rank argument); ties break on doc_id.
+    *
+    * Scale: both arms are the already-proven shapes (BM25's one
+    * term-shuffle with broadcast queries; the dense arm broadcast
+    * codebook + narrow JIT scoring, or any v2-v9 ANN variant in
+    * front); arm ranking is the two-level (qid, salt) top-k, the
+    * fusion joins two ≤(k·queries)-row tables — negligible at any
+    * corpus size. One extra shuffle total.
+    */
+  def v10(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val lex = graft.functions.TwoLevel.topK(
+        TextStats.bm25Scores(spark, dir).filter($"doc_id" >= 10),
+        Seq($"qid"), Seq($"score".desc, $"doc_id"), $"doc_id", 20)
+      .select($"qid", $"doc_id", $"rnk".as("lex_rnk"))
+    val e = vectors(spark, dir)
+    val bc = spark.sparkContext.broadcast(codebook(e, "vec_id < 3"))
+    val scored = e.filter($"vec_id" >= 10).select($"vec_id", $"nv")
+      .as[(Long, Array[Double])]
+      .mapPartitions(_.flatMap { case (cid, cv) =>
+        bc.value.iterator.map { case (qid, qv) => (qid, cid, cosQ(qv, cv)) }
+      }).toDF("qid", "vec_id", "cos_sim")
+    val vec = graft.functions.TwoLevel.topK(scored, Seq($"qid"),
+        Seq($"cos_sim".desc, $"vec_id"), $"vec_id", 20)
+      .select($"qid", $"vec_id".as("doc_id"), $"rnk".as("vec_rnk"))
+    val fused = lex.join(vec, Seq("qid", "doc_id"), "full_outer")
+      .select($"qid", $"doc_id",
+        (coalesce(lit(1.0) / ($"lex_rnk" + lit(60)), lit(0.0)) +
+          coalesce(lit(1.0) / ($"vec_rnk" + lit(60)), lit(0.0))).as("rrf"),
+        coalesce($"lex_rnk", lit(0)).as("lex_rnk"),
+        coalesce($"vec_rnk", lit(0)).as("vec_rnk"))
+    graft.functions.TwoLevel.topK(fused, Seq($"qid"),
+        Seq($"rrf".desc, $"doc_id"), $"doc_id", 10)
+      .select($"qid", $"rnk", $"doc_id", $"rrf", $"lex_rnk", $"vec_rnk")
+      .transform(graft.Tables.ordered(_, $"qid", $"rnk"))
+  }
+
+  /** v10 oracle: t16's BM25 CTE chain + v1's normalized-cosine CTEs,
+    * both ranked to 20, FULL OUTER joined and RRF-fused with the
+    * identical fixed-order double arithmetic (CAST(1 AS DOUBLE)
+    * divisions — a bare 1.0 literal would be DECIMAL in DuckDB and
+    * diverge from IEEE).
+    */
+  val v10Sql: String =
+    s"""WITH ${TextStats.bm25Ctes},
+      |lexr AS (SELECT qid, doc_id,
+      |           CAST(row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id) AS INTEGER) AS lex_rnk
+      |         FROM s WHERE doc_id >= 10 QUALIFY lex_rnk <= 20),
+      |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |n AS (SELECT vec_id, v, sqrt(list_inner_product(v, v)) AS nrm FROM e),
+      |m AS (SELECT vec_id, list_transform(v, x -> x / nrm) AS nv FROM n),
+      |vs AS (SELECT q.vec_id AS qid, c.vec_id AS doc_id,
+      |         round(list_inner_product(q.nv, c.nv) * 1e6) / 1e6 AS cos_sim
+      |       FROM m q JOIN m c ON q.vec_id < 3 AND c.vec_id >= 10),
+      |vecr AS (SELECT qid, doc_id,
+      |           CAST(row_number() OVER (PARTITION BY qid ORDER BY cos_sim DESC, doc_id) AS INTEGER) AS vec_rnk
+      |         FROM vs QUALIFY vec_rnk <= 20),
+      |f AS (SELECT coalesce(l.qid, v.qid) AS qid,
+      |        coalesce(l.doc_id, v.doc_id) AS doc_id,
+      |        coalesce(CAST(1 AS DOUBLE) / (l.lex_rnk + 60), CAST(0 AS DOUBLE))
+      |          + coalesce(CAST(1 AS DOUBLE) / (v.vec_rnk + 60), CAST(0 AS DOUBLE)) AS rrf,
+      |        coalesce(l.lex_rnk, 0) AS lex_rnk,
+      |        coalesce(v.vec_rnk, 0) AS vec_rnk
+      |      FROM lexr l FULL JOIN vecr v ON l.qid = v.qid AND l.doc_id = v.doc_id),
+      |r AS (SELECT qid, doc_id, rrf, lex_rnk, vec_rnk,
+      |        CAST(row_number() OVER (PARTITION BY qid ORDER BY rrf DESC, doc_id) AS INTEGER) AS rnk
+      |      FROM f)
+      |SELECT qid, rnk, doc_id, rrf, lex_rnk, vec_rnk FROM r WHERE rnk <= 10
+      |ORDER BY qid, rnk""".stripMargin
 }

@@ -571,7 +571,11 @@ object TextStats {
     * df/avgdl are aggregates of the same index, N rides a 1-row
     * broadcast — nothing is ever collected.
     */
-  def t16(spark: SparkSession, dir: String): DataFrame = {
+  /** The BM25 scoring pipeline of [[t16]], shared with the hybrid
+    * retrieval fusion (v10): (qid, doc_id, score) for the three fixed
+    * queries over the whole corpus — callers rank/filter on top.
+    */
+  private[graft] def bm25Scores(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val toks = Tables.documents(spark, dir)
       .selectExpr("doc_id", "explode(split(lower(trim(text)), ' ')) AS term")
@@ -584,9 +588,7 @@ object TextStats {
       (2L, "customer order value")).toDF("qid", "qtext")
     val qterms = queries
       .selectExpr("qid", "explode(split(qtext, ' ')) AS term").distinct()
-    // TWO-LEVEL top-k (TwoLevel.topK): queries are few, so a per-qid
-    // window would rank a query's every matching doc in ONE task.
-    val scored = qterms.join(tf, Seq("term"))
+    qterms.join(tf, Seq("term"))
       .join(dfT, Seq("term"))
       .join(dl, Seq("doc_id"))
       .crossJoin(broadcast(stats))
@@ -596,14 +598,23 @@ object TextStats {
           " * 1e6 + 0.5) AS BIGINT) AS c6")
       .groupBy($"qid", $"doc_id")
       .agg((sum($"c6") / 1e6).as("score"))
-    graft.functions.TwoLevel.topK(scored, Seq($"qid"),
+  }
+
+  def t16(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    // TWO-LEVEL top-k (TwoLevel.topK): queries are few, so a per-qid
+    // window would rank a query's every matching doc in ONE task.
+    graft.functions.TwoLevel.topK(bm25Scores(spark, dir), Seq($"qid"),
         Seq($"score".desc, $"doc_id"), $"doc_id", 5)
       .select($"qid", $"rnk", $"doc_id", $"score")
       .transform(graft.Tables.ordered(_, $"qid", $"rnk"))
   }
 
-  val t16Sql: String =
-    """WITH toks AS (SELECT doc_id, unnest(string_split(lower(trim(text)), ' ')) AS term
+  /** t16's scoring CTE chain (ends with `s` = (qid, doc_id, score)),
+    * shared with the v10 hybrid-fusion oracle.
+    */
+  private[graft] val bm25Ctes: String =
+    """toks AS (SELECT doc_id, unnest(string_split(lower(trim(text)), ' ')) AS term
       |              FROM documents),
       |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
       |dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
@@ -622,7 +633,10 @@ object TextStats {
       |      FROM qt JOIN tf USING (term) JOIN dfx USING (term)
       |      JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN stats),
       |s AS (SELECT qid, doc_id, CAST(sum(c6) AS BIGINT) / 1e6 AS score
-      |      FROM c GROUP BY 1, 2),
+      |      FROM c GROUP BY 1, 2)""".stripMargin
+
+  val t16Sql: String =
+    s"""WITH $bm25Ctes,
       |r AS (SELECT qid, doc_id, score,
       |        CAST(row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id) AS INTEGER) AS rnk
       |      FROM s)

@@ -701,6 +701,42 @@ class DedupKnnSpec extends AnyFunSuite {
     assert(Media.pngLuminance(s).toSeq == s.map(_.toInt & 127).toSeq)
   }
 
+  test("v10 hybrid RRF: fused ranks reconcile with both arms' independent rankings") {
+    import graft.operators.{Knn, TextStats}
+    val rows = Knn.v10(spark, sf).collect()
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Int]("rnk"), r.getAs[Long]("doc_id"),
+        r.getAs[Double]("rrf"), r.getAs[Int]("lex_rnk"), r.getAs[Int]("vec_rnk")))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (qid, g) =>
+      // contiguous ranks, rrf non-increasing, ties broken by doc_id
+      assert(g.map(_._2).sorted.sameElements(1 to g.length))
+      val ordered = g.sortBy(_._2)
+      ordered.sliding(2).foreach { case Array(a, b) =>
+        assert(a._4 > b._4 || (a._4 == b._4 && a._3 < b._3),
+          s"qid $qid not ordered at rnk ${b._2}")
+      case _ => }
+      // every row appears in >= 1 arm and its rrf is EXACTLY the
+      // fixed-order two-term sum of its recorded arm ranks
+      g.foreach { case (_, _, doc, rrf, lr, vr) =>
+        assert(lr > 0 || vr > 0, s"doc $doc in neither arm")
+        assert(lr <= 20 && vr <= 20)
+        val expect = (if (lr > 0) 1.0 / (lr + 60) else 0.0) +
+          (if (vr > 0) 1.0 / (vr + 60) else 0.0)
+        assert(rrf == expect, s"doc $doc rrf $rrf != $expect")
+      }
+    }
+    // recorded arm ranks equal the arms' own independent rankings
+    val lex = TextStats.bm25Scores(spark, sf)
+      .filter($"doc_id" >= 10)
+      .select($"qid", $"doc_id", $"score").as[(Long, Long, Double)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(t => (-t._3, t._2)).map(_._2)
+        .take(20).zipWithIndex.map { case (d, i) => d -> (i + 1) }.toMap).toMap
+    rows.foreach { case (qid, _, doc, _, lr, _) =>
+      assert(lex.get(qid).flatMap(_.get(doc)).getOrElse(0) == lr,
+        s"qid $qid doc $doc lex_rnk mismatch")
+    }
+  }
+
   test("v8 MMR: 5 diverse picks from the top-10 pool, step 1 = argmax relevance") {
     val rows = Knn.v8(spark, sf)
       .select($"qid", $"rnk", $"vec_id", $"mmr_score")
