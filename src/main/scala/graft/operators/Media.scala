@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
 
@@ -604,5 +605,75 @@ object Media {
       |  CAST(${qsum(3)} AS BIGINT) AS q11
       |FROM p
       |ORDER BY doc_id""".stripMargin
+  }
+
+  // ---------- m8: video scene segmentation over sampled frames ----------
+
+  /** m8: scene segmentation — the video-curation pass that cuts each
+    * video into shots before per-scene captioning/sampling (training
+    * pipelines dedupe and caption SCENES, not whole videos). Composes
+    * [[m3Frames]]'s sampled frames with the gaps-and-islands shape
+    * (w21/q24): a per-frame signature (here a bounded projection of
+    * the frame checksum — the decode-side stand-in for a frame
+    * histogram, consistent with the m-family's stub boundary), a
+    * frame-to-frame delta via lag, a cut wherever the delta exceeds
+    * the threshold, and a running cut-count as the scene id; one
+    * aggregate emits (video, scene, start_frame, length).
+    *
+    * Scale: one shuffle on doc_id shared by the lag/scene windows and
+    * the aggregate; per-video frame counts bound every window. Exact
+    * integer arithmetic end-to-end — bitwise oracle.
+    */
+  def m8(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"doc_id").orderBy($"frame_idx")
+    m3Frames(spark, dir).toDF()
+      .withColumn("sig", pmod($"frame_checksum", lit(997L)))
+      .withColumn("delta", abs($"sig" - lag($"sig", 1).over(w)))
+      .withColumn("cut",
+        when($"delta".isNull, 0).when($"delta" > 500, 1).otherwise(0))
+      .withColumn("scene_id",
+        sum($"cut").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy($"doc_id", $"scene_id")
+      .agg(min($"frame_idx").as("start_frame"),
+        count(lit(1)).as("n_scene_frames"))
+      .transform(graft.Tables.ordered(_, $"doc_id", $"scene_id"))
+  }
+
+  /** m8 oracle: m3's frame-checksum CTEs (shared FNV HUGEINT fold) +
+    * the identical signed-mod signature, lag delta, cut flag and
+    * running-sum scene id.
+    */
+  val m8Sql: String = {
+    import graft.functions.Fnv64
+    val hu = Fnv64.duckUnsigned("s")
+    val hu2 = s"((xor($hu, CAST(frame_idx AS HUGEINT)) * CAST('1099511628211' AS HUGEINT))" +
+      s" % CAST('18446744073709551616' AS HUGEINT))"
+    s"""WITH p AS (SELECT doc_id,
+      |  'VID' || substr(text, 1, 61) AS s
+      |  FROM documents WHERE doc_id % 3 = 2),
+      |n AS (SELECT doc_id, s,
+      |        (ord(substr(s, length(s), 1)) & 31) + 8 AS n_frames
+      |      FROM p),
+      |f AS (SELECT doc_id, s, CAST(n_frames AS INTEGER) AS n_frames,
+      |        CAST(unnest(range(0, n_frames, 4)) AS INTEGER) AS frame_idx
+      |      FROM n),
+      |c AS (SELECT doc_id, frame_idx,
+      |        ${Fnv64.duckToSigned(hu2)} AS fc
+      |      FROM f),
+      |sg AS (SELECT doc_id, frame_idx, ((fc % 997) + 997) % 997 AS sig FROM c),
+      |d AS (SELECT doc_id, frame_idx, sig,
+      |        abs(sig - lag(sig) OVER (PARTITION BY doc_id ORDER BY frame_idx)) AS delta
+      |      FROM sg),
+      |cuts AS (SELECT doc_id, frame_idx,
+      |           CASE WHEN delta IS NULL THEN 0 WHEN delta > 500 THEN 1 ELSE 0 END AS cut
+      |         FROM d),
+      |sc AS (SELECT doc_id, frame_idx,
+      |         CAST(sum(cut) OVER (PARTITION BY doc_id ORDER BY frame_idx) AS BIGINT) AS scene_id
+      |       FROM cuts)
+      |SELECT doc_id, scene_id, CAST(min(frame_idx) AS INTEGER) AS start_frame,
+      |  count(*) AS n_scene_frames
+      |FROM sc GROUP BY doc_id, scene_id
+      |ORDER BY doc_id, scene_id""".stripMargin
   }
 }

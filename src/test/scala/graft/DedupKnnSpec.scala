@@ -701,6 +701,34 @@ class DedupKnnSpec extends AnyFunSuite {
     assert(Media.pngLuminance(s).toSeq == s.map(_.toInt & 127).toSeq)
   }
 
+  test("m8: scenes partition each video's frames contiguously at the cut points") {
+    import graft.operators.Media
+    val frames = Media.m3(spark, sf).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("frame_idx"),
+        r.getAs[Long]("frame_checksum")))
+    val scenes = Media.m8(spark, sf).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("scene_id"),
+        r.getAs[Int]("start_frame"), r.getAs[Long]("n_scene_frames")))
+    assert(scenes.nonEmpty)
+    val byDoc = frames.groupBy(_._1)
+    scenes.groupBy(_._1).foreach { case (doc, sc) =>
+      val fs = byDoc(doc).sortBy(_._2)
+      // scenes tile the video: ids contiguous from 0, lengths sum to
+      // the frame count, each scene starts where the previous ended
+      val ordered = sc.sortBy(_._2)
+      assert(ordered.map(_._2).sameElements(0L until ordered.length))
+      assert(ordered.map(_._4).sum == fs.length)
+      assert(ordered.head._3 == fs.head._2)
+      // recompute the cuts independently from the m3 checksums
+      val sigs = fs.map(f => ((f._3 % 997) + 997) % 997)
+      val cutIdx = sigs.zip(sigs.tail).zipWithIndex.collect {
+        case ((a, b), i) if math.abs(b - a) > 500 => fs(i + 1)._2
+      }
+      assert(ordered.tail.map(_._3).toSeq == cutIdx.toSeq,
+        s"doc $doc scene starts != recomputed cuts")
+    }
+  }
+
   test("v10 hybrid RRF: fused ranks reconcile with both arms' independent rankings") {
     import graft.operators.{Knn, TextStats}
     val rows = Knn.v10(spark, sf).collect()

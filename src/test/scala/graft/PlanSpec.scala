@@ -199,11 +199,15 @@ class PlanSpec extends AnyFunSuite {
     assert(exchanges <= 3, s"expected at most the pk co-partitioning; got $exchanges\n$p")
   }
 
-  test("m6/d11: candidate generation never plans a nested-loop or cartesian join") {
+  test("m6/d11/v10: candidate generation never plans a nested-loop or cartesian join") {
     val pm = plan(graft.operators.Media.m6(spark, sf))
     assert(!pm.contains("BroadcastNestedLoopJoin") && !pm.contains("CartesianProduct"))
     val pd = plan(graft.operators.Dedup.d11(spark, sf))
     assert(!pd.contains("BroadcastNestedLoopJoin") && !pd.contains("CartesianProduct"))
+    // v10's arms and fusion are equality joins throughout (the only
+    // crossJoin is BM25's broadcast of a 1-row stats aggregate)
+    val pv = plan(graft.operators.Knn.v10(spark, sf))
+    assert(!pv.contains("CartesianProduct"))
   }
 
   test("q27: each jump round is an equality join — no nested-loop, no cartesian") {
