@@ -437,16 +437,11 @@ object Media {
     * BIGINT-exact. The weight literals are generated from [[dctW]],
     * so both engines share one basis by construction.
     */
-  val m6Sql: String = {
-    val chunkSelects = m6Blocks.zipWithIndex.map { case ((off, w), c) =>
-      s"SELECT doc_id, ph, $c AS chunk_idx, (ph // ${1L << off}) % ${1L << w} AS chunk FROM hashed"
-    }.mkString("\n  UNION ALL ")
-    // occupancy-relative cap (Dedup.occupancyCap) in SQL — n from a
-    // count CTE, mirroring the Spark side's hashed.count()
-    val capCase = m6Blocks.zipWithIndex.map { case ((_, w), c) =>
-      val b = 1L << w
-      s"WHEN $c THEN greatest(100, 8 * ((n + ${b - 1}) // $b))"
-    }.mkString("CASE chunk_idx ", " ", " END")
+  /** The corpus + integer-DCT hash CTE chain of [[m6Sql]] (ends with
+    * `hashed` = (doc_id, ph)), shared with the streaming media-dedup
+    * oracle (s15).
+    */
+  val m6HashCtes: String = {
     // px: one column per pixel; rows: the horizontal DCT pass
     // (r_u_y = Σ_x W(u)(x)·p(y·8+x)); ph: vertical pass + sign bits
     val pxCols = (0 until 64)
@@ -460,7 +455,7 @@ object Media {
       val c = (0 until 8).map(y => s"(${dctW(v)(y)})*r${u}_$y").mkString("+")
       s"(CASE WHEN ($c) > 0 THEN CAST(${1L << (u * 8 + v - 1)} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
     }).mkString(" + ")
-    s"""WITH base AS (SELECT doc_id,
+    s"""base AS (SELECT doc_id,
       |  (CASE WHEN doc_id % 3 = 0 THEN 'IMG' WHEN doc_id % 3 = 1 THEN 'AUD' ELSE 'VID' END)
       |    || substr(text, 1, 61) AS s
       |  FROM documents),
@@ -475,8 +470,22 @@ object Media {
       |  FROM base WHERE doc_id % 6 = 0)),
       |px AS (SELECT doc_id, $pxCols FROM corpus),
       |rows_ AS (SELECT doc_id, $rowCols FROM px),
-      |hashed AS (SELECT doc_id, $phExpr AS ph FROM rows_),
-      |chunks AS ($chunkSelects),
+      |hashed AS (SELECT doc_id, $phExpr AS ph FROM rows_)""".stripMargin
+  }
+
+  val m6Sql: String = {
+    val chunkSelects = m6Blocks.zipWithIndex.map { case ((off, w), c) =>
+      s"SELECT doc_id, ph, $c AS chunk_idx, (ph // ${1L << off}) % ${1L << w} AS chunk FROM hashed"
+    }.mkString("\n  UNION ALL ")
+    // occupancy-relative cap (Dedup.occupancyCap) in SQL — n from a
+    // count CTE, mirroring the Spark side's hashed.count()
+    val capCase = m6Blocks.zipWithIndex.map { case ((_, w), c) =>
+      val b = 1L << w
+      s"WHEN $c THEN greatest(100, 8 * ((n + ${b - 1}) // $b))"
+    }.mkString("CASE chunk_idx ", " ", " END")
+    // concatenated, NOT interpolated under stripMargin: the embedded
+    // chain's "||" concat lines would lose a pipe to a second strip
+    s"WITH $m6HashCtes,\n" + s"""chunks AS ($chunkSelects),
       |bcnt AS (SELECT chunk_idx, chunk, count(*) AS bsz FROM chunks GROUP BY 1, 2),
       |ncnt AS (SELECT count(*) AS n FROM hashed),
       |bounded AS (SELECT doc_id, ph, chunk_idx, chunk FROM chunks

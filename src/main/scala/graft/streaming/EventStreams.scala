@@ -825,6 +825,64 @@ object EventStreams {
       |FROM c JOIN r ON r.user_id = c.user_id AND r.rn = 1
       |ORDER BY c.user_id""".stripMargin
 
+  // ---------- s15: streaming media-ingest dedup by perceptual hash ----------
+
+  /** s15: the multimodal INGEST shape — a stream of media payloads
+    * deduplicated by the REAL integer-DCT pHash before anything
+    * downstream pays for decode/caption/storage (crawl ingest dedups
+    * at the door, not in nightly batches). Composes m6's executor-side
+    * PNG-roundtrip hash ([[graft.operators.Media.pngLuminance]] +
+    * [[graft.operators.Media.dctPhash]] — a narrow typed map on the
+    * stream) with `dropDuplicatesWithinWatermark` keyed on the hash:
+    * state holds one entry per DISTINCT hash and expires with the
+    * watermark, so an unbounded crawl keeps bounded dedup state — the
+    * churn-window contract s3/s12 established, at the media grain.
+    * Output survives arrival-order nondeterminism by aggregating the
+    * deduped stream per hash bucket (which duplicate wins is
+    * irrelevant to distinct counts), so the batch oracle is exact:
+    * m6's hash CTEs + count(DISTINCT ph).
+    */
+  def s15(spark: SparkSession, dir: String): DataFrame = {
+    val ss = streamSession(spark)
+    import ss.implicits._
+    val schema = ss.read.parquet(s"$dir/documents.parquet").schema
+    def docs = ss.readStream.schema(schema)
+      .option("pathGlobFilter", "documents.parquet").parquet(dir)
+      .selectExpr("doc_id",
+        "concat(CASE WHEN doc_id % 3 = 0 THEN 'IMG' WHEN doc_id % 3 = 1 THEN 'AUD' ELSE 'VID' END, substring(text, 1, 61)) AS s")
+    val variants = docs.filter(col("doc_id") % 6 === 0)
+      .selectExpr("doc_id + 30000 AS doc_id",
+        "CASE WHEN length(s) >= 8 THEN concat(substring(s, 1, 7), chr(ascii(substring(s, 8, 1)) ^ 1), substring(s, 9, length(s))) ELSE s END AS s")
+    val deduped = docs.unionByName(variants)
+      .selectExpr("doc_id", "rpad(s, 64, ' ') AS s")
+      .as[(Long, String)]
+      .mapPartitions(_.map { case (id, s) =>
+        (id, graft.operators.Media.dctPhash(graft.operators.Media.pngLuminance(s)))
+      }).toDF("doc_id", "ph")
+      // +1: an event time at EXACTLY epoch 0 dies against the initial
+      // watermark 0 (§8.22's late-row filter) — doc 0 must not
+      .withColumn("ts", timestamp_micros((col("doc_id") + 1) * 1000000L))
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("ph")
+    runToTable(ss, deduped, OutputMode.Append())
+      .groupBy((col("ph") % 64).as("bucket"))
+      .agg(count(lit(1)).as("n_unique"))
+      .orderBy(col("bucket"))
+  }
+
+  /** s15 oracle: m6's corpus + integer-DCT CTE chain, distinct hashes
+    * per bucket — survivor-choice-free, so the stream's arrival order
+    * cannot diverge from the batch mirror.
+    */
+  val s15Sql: String =
+    // concatenated, NOT interpolated under stripMargin: the embedded
+    // chain's "||" concat lines would lose a pipe to a second strip
+    s"WITH ${graft.operators.Media.m6HashCtes}\n" +
+      """SELECT ph % 64 AS bucket, count(DISTINCT ph) AS n_unique
+        |FROM hashed
+        |GROUP BY 1
+        |ORDER BY bucket""".stripMargin
+
   /** Exactly-once-style streaming sink: `foreachBatch` routed through
     * [[graft.pipeline.ChunkedSink]], keyed (batchId, partition, chunk)
     * so replays of a failed micro-batch overwrite instead of

@@ -181,6 +181,47 @@ class SourcesSpec extends AnyFunSuite {
     assert(!p.contains("region") || p.contains("ReadSchema: struct<event_id:bigint>"))
   }
 
+  test("parquet compression codecs roundtrip identically (snappy/gzip/zstd)") {
+    import spark.implicits._
+    // codec choice is a storage knob, never a semantics knob: the
+    // same rows must come back bit-identical under every codec a
+    // 100 TB lake realistically uses (zstd for cold, snappy for hot)
+    val src = Tables.lineitem(spark, SharedSpark.sf)
+      .select($"l_orderkey", $"l_partkey", $"l_quantity", $"l_shipdate")
+    val want = src.collect().map(_.toSeq).toSet
+    Seq("snappy" -> "snappy", "gzip" -> "gz", "zstd" -> "zstd").foreach { case (codec, ext) =>
+      val dir = java.nio.file.Files.createTempDirectory(s"graft_codec_$codec").toString
+      src.write.mode("overwrite").option("compression", codec).parquet(dir)
+      val files = new java.io.File(dir).listFiles().filter(_.getName.endsWith(".parquet"))
+      assert(files.nonEmpty)
+      // the codec must actually be applied, visible in the filename
+      assert(files.forall(_.getName.contains(s".$ext.parquet")),
+        s"$codec not reflected in ${files.head.getName}")
+      val got = spark.read.parquet(dir).collect().map(_.toSeq).toSet
+      assert(got == want, s"$codec roundtrip diverged")
+    }
+  }
+
+  test("dynamic partition overwrite replaces only the written partitions") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_dpo_").toString
+    val writer = spark.conf
+    writer.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try {
+      Seq((1L, "a", 10L), (2L, "b", 20L), (3L, "c", 30L))
+        .toDF("id", "pt", "v")
+        .write.partitionBy("pt").mode("overwrite").parquet(dir)
+      // dynamic overwrite of ONLY pt=b must leave a and c untouched —
+      // the incremental-backfill contract a partitioned lake relies on
+      // (static mode would wipe the whole table root)
+      Seq((9L, "b", 99L)).toDF("id", "pt", "v")
+        .write.partitionBy("pt").mode("overwrite").parquet(dir)
+      val got = spark.read.parquet(dir)
+        .select($"id", $"pt", $"v").as[(Long, String, Long)].collect().toSet
+      assert(got == Set((1L, "a", 10L), (9L, "b", 99L), (3L, "c", 30L)))
+    } finally writer.unset("spark.sql.sources.partitionOverwriteMode")
+  }
+
   test("Catalog.latestComplete and isNewer") {
     import spark.implicits._
     val cat = Seq(("20240101", "06", true), ("20240101", "12", false),

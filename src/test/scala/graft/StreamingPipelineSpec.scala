@@ -346,6 +346,33 @@ class StreamingPipelineSpec extends AnyFunSuite {
     assert(store.load(spark).get.as[(Long, Long)].collect().toSet == Set((99L, 99L)))
   }
 
+  test("s15 media-ingest dedup matches the locally hashed distinct set") {
+    import spark.implicits._
+    import graft.operators.Media
+    val got = graft.streaming.EventStreams.s15(spark, SharedSpark.sf).collect()
+      .map(r => (r.getAs[Long]("bucket"), r.getAs[Long]("n_unique"))).toMap
+    // recompute every payload hash locally through the same real
+    // PNG-roundtrip + DCT path, base + seeded variants
+    val texts = Tables.documents(spark, SharedSpark.sf)
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+    def pay(id: Long, text: String): String = {
+      val pre = if (id % 3 == 0) "IMG" else if (id % 3 == 1) "AUD" else "VID"
+      pre + text.take(61)
+    }
+    def flip8(s: String): String =
+      if (s.length >= 8) s.updated(7, (s.charAt(7).toInt ^ 1).toChar) else s
+    val payloads = texts.map { case (id, t) => pay(id, t) } ++
+      texts.filter(_._1 % 6 == 0).map { case (id, t) => flip8(pay(id, t)) }
+    val hashes = payloads.map(s =>
+      Media.dctPhash(Media.pngLuminance(s.padTo(64, ' ')))).toSeq
+    val want = hashes.distinct.groupBy(_ % 64).view.mapValues(_.size.toLong).toMap
+    assert(got == want)
+    // the variant seeding makes the dedup real: most ±1-pixel
+    // variants collapse onto their base hash (mean 0.09 flipped bits)
+    assert(hashes.distinct.size < hashes.size,
+      "no duplicate hashes — the dedup state was never exercised")
+  }
+
   test("s12 dedup suppresses re-delivered keys across micro-batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
