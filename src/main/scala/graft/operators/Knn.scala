@@ -843,6 +843,42 @@ object Knn {
       |SELECT qid, rnk, vec_id, score FROM r WHERE rnk <= 3
       |ORDER BY qid, rnk""".stripMargin
 
+  // ---------- v11: ANN recall evaluation (index-quality tracking) ----------
+
+  /** v11: recall@k of the LSH index (v2) against the exact baseline
+    * (v1) — the index-quality regression job every production ANN
+    * deployment schedules: when a re-trained embedding or a re-drawn
+    * hash family silently degrades recall, THIS query is the alarm.
+    * Per query: |approx top-5 ∩ exact top-5| / 5, via one left join
+    * of two k-bounded result sets — evaluation cost is independent of
+    * corpus size (both arms' own scale shapes do the heavy lifting).
+    * recall is a single IEEE division of exact integers — bitwise.
+    */
+  def v11(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val exact = v1(spark, dir).select($"qid", $"vec_id")
+    val approx = v2(spark, dir).select($"qid", $"vec_id", lit(1).as("hit"))
+    exact.join(approx, Seq("qid", "vec_id"), "left_outer")
+      .groupBy($"qid")
+      .agg(count($"hit").as("n_overlap"))
+      .select($"qid", $"n_overlap",
+        ($"n_overlap".cast("double") / 5).as("recall"))
+      .transform(graft.Tables.ordered(_, $"qid"))
+  }
+
+  /** v11 oracle: v1Sql and v2Sql embedded whole as subqueries (their
+    * CTE scopes stay separate), left join, matched count / 5.
+    */
+  val v11Sql: String =
+    s"""WITH a AS (SELECT qid, vec_id FROM ($v1Sql)),
+      |b AS (SELECT qid, vec_id FROM ($v2Sql)),
+      |o AS (SELECT a.qid, count(b.vec_id) AS n_overlap
+      |      FROM a LEFT JOIN b ON a.qid = b.qid AND a.vec_id = b.vec_id
+      |      GROUP BY a.qid)
+      |SELECT qid, n_overlap, CAST(n_overlap AS DOUBLE) / 5 AS recall
+      |FROM o
+      |ORDER BY qid""".stripMargin
+
   // ---------- v10: hybrid retrieval — BM25 ⊕ dense, RRF fusion ----------
 
   /** v10: hybrid retrieval with reciprocal-rank fusion (Cormack et

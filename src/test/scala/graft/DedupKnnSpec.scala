@@ -765,6 +765,31 @@ class DedupKnnSpec extends AnyFunSuite {
     }
   }
 
+  test("v11 ANN recall: per-query overlap equals the two arms' set intersection") {
+    import graft.operators.Knn
+    val exact = Knn.v1(spark, sf).collect()
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("vec_id")))
+    val approx = Knn.v2(spark, sf).collect()
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("vec_id"))).toSet
+    val rows = Knn.v11(spark, sf).collect()
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("n_overlap"), r.getAs[Double]("recall")))
+    // one row per exact-arm query, even a zero-overlap one
+    assert(rows.map(_._1).toSet == exact.map(_._1).toSet)
+    val wantOverlap = exact.groupBy(_._1).view
+      .mapValues(_.count(approx.contains)).toMap
+    rows.foreach { case (qid, n, rec) =>
+      assert(n == wantOverlap(qid), s"qid $qid overlap $n != ${wantOverlap(qid)}")
+      assert(rec == n / 5.0 && rec >= 0.0 && rec <= 1.0)
+    }
+    // sanity floor, not a quality gate: v2's 8-table/6-bit family
+    // measures mean recall 0.46 on this corpus (the number v11
+    // exists to surface — v2's candidates are bucket-bound by
+    // design, d8's lshBitsFor discussion). A collapse toward 0 means
+    // the hash family or the harness broke, which IS spec-worthy.
+    val mean = rows.map(_._3).sum / rows.length
+    assert(mean >= 0.25, s"mean recall $mean — LSH index or harness broke")
+  }
+
   test("v8 MMR: 5 diverse picks from the top-10 pool, step 1 = argmax relevance") {
     val rows = Knn.v8(spark, sf)
       .select($"qid", $"rnk", $"vec_id", $"mmr_score")
