@@ -65,6 +65,8 @@ object PlanDump {
       "d13_neardup_apply" -> "composed near-dup apply: capped band buckets feed components; labels plan shown (final round)",
       "v10_hybrid_rrf" -> "hybrid RRF: both arms' bounded top-20 fused by one tiny full-outer join — fusion cost independent of corpus size",
       "t17_bpe_learn" -> "batched BPE: vocab-sized pair aggregate per round, bounded candidate collect, merges applied in one narrow map (final round's plan)",
+      "m8_scene_split" -> "scene split: one doc-key shuffle shared by the lag/scene windows and the per-scene aggregate",
+      "v11_ann_recall" -> "ANN recall: two k-bounded arm outputs joined — evaluation cost independent of corpus size",
     )
     val sb = new StringBuilder
     sb.append("# PLANS — formatted physical plans (generated by graft.PlanDump at sf0.001)\n")
