@@ -632,7 +632,9 @@ object Dedup {
       converged = next
         .join(labels.withColumnRenamed("lbl", "prev"), Seq("id"))
         .filter($"lbl" =!= $"prev").limit(1).count() == 0L
-      labels.unpersist()
+      // RDD-level free — Dataset.unpersist() cannot see a
+      // localCheckpoint (see graft.functions.Lineage)
+      graft.functions.Lineage.freeCheckpoint(labels)
       labels = next
       rounds += 1
     }
@@ -691,7 +693,9 @@ object Dedup {
       val en = canon(small).localCheckpoint()
       val nSig = sig(en)
       converged = nSig == curSig
-      e.unpersist()
+      // RDD-level free — Dataset.unpersist() cannot see a
+      // localCheckpoint (see graft.functions.Lineage)
+      graft.functions.Lineage.freeCheckpoint(e)
       e = en
       curSig = nSig
       rounds += 1

@@ -86,27 +86,41 @@ object Knn {
 
   // ---------- v1: brute-force cosine top-k (exact baseline) ----------
 
-  def v1(spark: SparkSession, dir: String): DataFrame = {
+  /** The top-k every ranked KNN query emits — shared by v1/v2 and by
+    * v11's recall denominator, so a future k change cannot silently
+    * rescale the recall@k metric while both engines stay consistent.
+    */
+  private[operators] val knnK = 5
+
+  /** Broadcast-codebook exact cosine scoring: queries from
+    * `queryPred`, corpus from `corpusPred`, one (qid, vec_id,
+    * cos_sim) row per pair — the scoring arm v1 ranks and v10's
+    * dense arm reuses (ONE copy of the JIT dot loop).
+    */
+  private[operators] def denseScored(spark: SparkSession, dir: String,
+      queryPred: String, corpusPred: String): DataFrame = {
     import spark.implicits._
     val e = vectors(spark, dir)
-    val bc = spark.sparkContext.broadcast(codebook(e, "vec_id < 10"))
-    val scored = e.filter($"vec_id" >= 10).select($"vec_id", $"nv")
+    val bc = spark.sparkContext.broadcast(codebook(e, queryPred))
+    e.filter(corpusPred).select($"vec_id", $"nv")
       .as[(Long, Array[Double])]
       .mapPartitions(_.flatMap { case (cid, cv) =>
         bc.value.iterator.map { case (qid, qv) => (qid, cid, cosQ(qv, cv)) }
       }).toDF("qid", "vec_id", "cos_sim")
-    topK(scored, "cos_sim", 5)
   }
 
+  def v1(spark: SparkSession, dir: String): DataFrame =
+    topK(denseScored(spark, dir, "vec_id < 10", "vec_id >= 10"), "cos_sim", knnK)
+
   val v1Sql: String =
-    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
       |n AS (SELECT vec_id, v, sqrt(list_inner_product(v, v)) AS nrm FROM e),
       |m AS (SELECT vec_id, list_transform(v, x -> x / nrm) AS nv FROM n),
       |s AS (SELECT q.vec_id AS qid, c.vec_id AS vec_id,
       |        round(list_inner_product(q.nv, c.nv) * 1e6) / 1e6 AS cos_sim
       |      FROM m q JOIN m c ON q.vec_id < 10 AND c.vec_id >= 10),
       |r AS (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cos_sim DESC, vec_id) AS rnk FROM s)
-      |SELECT qid, rnk, vec_id, cos_sim FROM r WHERE rnk <= 5
+      |SELECT qid, rnk, vec_id, cos_sim FROM r WHERE rnk <= $knnK
       |ORDER BY qid, rnk""".stripMargin
 
   // ---------- v2: random-hyperplane LSH, multi-table (rows-only) ----------
@@ -168,7 +182,7 @@ object Knn {
       .select($"id_a", $"id_b", $"nv_a", $"nv_b").distinct()
     topK(cosineOf(cand)
       .select($"id_a".as("qid"), $"id_b".as("vec_id"), $"cos_sim"),
-      "cos_sim", 5)
+      "cos_sim", knnK)
   }
 
   /** Full oracle for v2: the hyperplanes are shared literal arrays
@@ -200,7 +214,7 @@ object Knn {
       |             round(list_inner_product(a.nv, b.nv) * 1e6) / 1e6 AS cos_sim
       |           FROM cand c JOIN m a ON a.vec_id = c.id_a JOIN m b ON b.vec_id = c.id_b),
       |r AS (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cos_sim DESC, vec_id) AS rnk FROM scored)
-      |SELECT qid, rnk, vec_id, cos_sim FROM r WHERE rnk <= 5
+      |SELECT qid, rnk, vec_id, cos_sim FROM r WHERE rnk <= $knnK
       |ORDER BY qid, rnk""".stripMargin
   }
 
@@ -849,7 +863,8 @@ object Knn {
     * (v1) — the index-quality regression job every production ANN
     * deployment schedules: when a re-trained embedding or a re-drawn
     * hash family silently degrades recall, THIS query is the alarm.
-    * Per query: |approx top-5 ∩ exact top-5| / 5, via one left join
+    * Per query: |approx top-k ∩ exact top-k| / k (k = [[knnK]],
+    * shared with both arms), via one left join
     * of two k-bounded result sets — evaluation cost is independent of
     * corpus size (both arms' own scale shapes do the heavy lifting).
     * recall is a single IEEE division of exact integers — bitwise.
@@ -862,7 +877,7 @@ object Knn {
       .groupBy($"qid")
       .agg(count($"hit").as("n_overlap"))
       .select($"qid", $"n_overlap",
-        ($"n_overlap".cast("double") / 5).as("recall"))
+        ($"n_overlap".cast("double") / knnK).as("recall"))
       .transform(graft.Tables.ordered(_, $"qid"))
   }
 
@@ -875,7 +890,7 @@ object Knn {
       |o AS (SELECT a.qid, count(b.vec_id) AS n_overlap
       |      FROM a LEFT JOIN b ON a.qid = b.qid AND a.vec_id = b.vec_id
       |      GROUP BY a.qid)
-      |SELECT qid, n_overlap, CAST(n_overlap AS DOUBLE) / 5 AS recall
+      |SELECT qid, n_overlap, CAST(n_overlap AS DOUBLE) / $knnK AS recall
       |FROM o
       |ORDER BY qid""".stripMargin
 
@@ -909,13 +924,7 @@ object Knn {
         TextStats.bm25Scores(spark, dir).filter($"doc_id" >= 10),
         Seq($"qid"), Seq($"score".desc, $"doc_id"), $"doc_id", 20)
       .select($"qid", $"doc_id", $"rnk".as("lex_rnk"))
-    val e = vectors(spark, dir)
-    val bc = spark.sparkContext.broadcast(codebook(e, "vec_id < 3"))
-    val scored = e.filter($"vec_id" >= 10).select($"vec_id", $"nv")
-      .as[(Long, Array[Double])]
-      .mapPartitions(_.flatMap { case (cid, cv) =>
-        bc.value.iterator.map { case (qid, qv) => (qid, cid, cosQ(qv, cv)) }
-      }).toDF("qid", "vec_id", "cos_sim")
+    val scored = denseScored(spark, dir, "vec_id < 3", "vec_id >= 10")
     val vec = graft.functions.TwoLevel.topK(scored, Seq($"qid"),
         Seq($"cos_sim".desc, $"vec_id"), $"vec_id", 20)
       .select($"qid", $"vec_id".as("doc_id"), $"rnk".as("vec_rnk"))

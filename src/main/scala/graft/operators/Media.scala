@@ -125,16 +125,13 @@ object Media {
       .orderBy($"doc_id", $"frame_idx")
   }
 
-  /** m3 oracle: the per-frame checksum is FNV over the payload bytes
-    * plus ONE extra fold step for the frame index byte — expressed as
-    * the shared HUGEINT FNV state with one more (xor · prime · mod).
+  /** m3's frame-explode CTE chain (ends with `f` = (doc_id, s,
+    * n_frames, frame_idx)) and the signed per-frame FNV checksum
+    * expression — shared by the m3 and m8 oracles so the frame
+    * derivation cannot silently diverge between them.
     */
-  val m3Sql: String = {
-    import graft.functions.Fnv64
-    val hu = Fnv64.duckUnsigned("s")
-    val hu2 = s"((xor($hu, CAST(frame_idx AS HUGEINT)) * CAST('1099511628211' AS HUGEINT))" +
-      s" % CAST('18446744073709551616' AS HUGEINT))"
-    s"""WITH p AS (SELECT doc_id,
+  private val m3FrameCtes: String =
+    """p AS (SELECT doc_id,
       |  'VID' || substr(text, 1, 61) AS s
       |  FROM documents WHERE doc_id % 3 = 2),
       |n AS (SELECT doc_id, s,
@@ -142,12 +139,26 @@ object Media {
       |      FROM p),
       |f AS (SELECT doc_id, s, CAST(n_frames AS INTEGER) AS n_frames,
       |        CAST(unnest(range(0, n_frames, 4)) AS INTEGER) AS frame_idx
-      |      FROM n)
-      |SELECT doc_id, n_frames, frame_idx,
-      |  ${Fnv64.duckToSigned(hu2)} AS frame_checksum
-      |FROM f
-      |ORDER BY doc_id, frame_idx""".stripMargin
+      |      FROM n)""".stripMargin
+
+  /** The per-frame checksum: FNV over the payload bytes plus ONE
+    * extra fold step for the frame index byte — the shared HUGEINT
+    * FNV state with one more (xor · prime · mod), re-signed.
+    */
+  private def frameChecksumExpr: String = {
+    import graft.functions.Fnv64
+    val hu = Fnv64.duckUnsigned("s")
+    Fnv64.duckToSigned(
+      s"((xor($hu, CAST(frame_idx AS HUGEINT)) * CAST('1099511628211' AS HUGEINT))" +
+        s" % CAST('18446744073709551616' AS HUGEINT))")
   }
+
+  val m3Sql: String =
+    s"WITH $m3FrameCtes\n" +
+      s"""SELECT doc_id, n_frames, frame_idx,
+        |  $frameChecksumExpr AS frame_checksum
+        |FROM f
+        |ORDER BY doc_id, frame_idx""".stripMargin
 
   /** m2: resize stage — decode metadata, compute a target box
     * (max 256 on the long edge, aspect preserved), emit a derived
@@ -291,14 +302,13 @@ object Media {
     Array.tabulate(8, 8)((k, n) =>
       math.round(64.0 * math.cos(math.Pi * (2 * n + 1) * k / 16.0)))
 
-  /** REAL codec roundtrip for the hash input (m7's path): the 64
-    * masked payload chars become an 8×8 grayscale image, encoded to
-    * genuine PNG bytes and DECODED back with ImageIO inside the
-    * executor. PNG is lossless, so the decoded luminance equals
-    * `char & 127` — which is exactly what lets the oracle verify a
-    * real-codec pipeline arithmetically.
+  /** ONE PNG encode convention for the whole m-family: 64 masked
+    * payload chars as an 8×8 grayscale TYPE_INT_RGB image, written
+    * to genuine PNG bytes with javax.imageio. Shared by [[m7Png]]
+    * (the codec-roundtrip query) and [[pngLuminance]] (m6/s15's hash
+    * input) so the two paths cannot drift apart.
     */
-  private[graft] def pngLuminance(s: String): Array[Int] = {
+  private[graft] def encodePng8x8(s: String): Array[Byte] = {
     val img = new java.awt.image.BufferedImage(
       8, 8, java.awt.image.BufferedImage.TYPE_INT_RGB)
     var i = 0
@@ -308,8 +318,18 @@ object Media {
     }
     val baos = new java.io.ByteArrayOutputStream()
     javax.imageio.ImageIO.write(img, "png", baos)
+    baos.toByteArray
+  }
+
+  /** REAL codec roundtrip for the hash input (m7's path): encode via
+    * [[encodePng8x8]], DECODE back with ImageIO inside the executor.
+    * PNG is lossless, so the decoded luminance equals `char & 127` —
+    * which is exactly what lets the oracle verify a real-codec
+    * pipeline arithmetically.
+    */
+  private[graft] def pngLuminance(s: String): Array[Int] = {
     val dec = javax.imageio.ImageIO.read(
-      new java.io.ByteArrayInputStream(baos.toByteArray))
+      new java.io.ByteArrayInputStream(encodePng8x8(s)))
     Array.tabulate(64)(i => dec.getRGB(i % 8, i / 8) & 0xff)
   }
 
@@ -541,19 +561,7 @@ object Media {
       .selectExpr("doc_id",
         "rpad(concat('IMG', substring(text, 1, 61)), 64, ' ') AS s")
       .as[(Long, String)]
-      .mapPartitions(_.map { case (id, s) =>
-        val img = new java.awt.image.BufferedImage(
-          8, 8, java.awt.image.BufferedImage.TYPE_INT_RGB)
-        var i = 0
-        while (i < 64) {
-          val v = s.charAt(i).toInt & 127
-          img.setRGB(i % 8, i / 8, v * 0x010101)
-          i += 1
-        }
-        val baos = new java.io.ByteArrayOutputStream()
-        javax.imageio.ImageIO.write(img, "png", baos)
-        PngRow(id, baos.toByteArray)
-      })
+      .mapPartitions(_.map { case (id, s) => PngRow(id, encodePng8x8(s)) })
   }
 
   /** m7: the m-family stage with a REAL codec — javax.imageio ships
@@ -649,26 +657,15 @@ object Media {
       .transform(graft.Tables.ordered(_, $"doc_id", $"scene_id"))
   }
 
-  /** m8 oracle: m3's frame-checksum CTEs (shared FNV HUGEINT fold) +
-    * the identical signed-mod signature, lag delta, cut flag and
-    * running-sum scene id.
+  /** m8 oracle: m3's SHARED frame CTEs + checksum expression
+    * ([[m3FrameCtes]]/[[frameChecksumExpr]] — one source of truth
+    * for the frame derivation) + the identical signed-mod signature,
+    * lag delta, cut flag and running-sum scene id.
     */
-  val m8Sql: String = {
-    import graft.functions.Fnv64
-    val hu = Fnv64.duckUnsigned("s")
-    val hu2 = s"((xor($hu, CAST(frame_idx AS HUGEINT)) * CAST('1099511628211' AS HUGEINT))" +
-      s" % CAST('18446744073709551616' AS HUGEINT))"
-    s"""WITH p AS (SELECT doc_id,
-      |  'VID' || substr(text, 1, 61) AS s
-      |  FROM documents WHERE doc_id % 3 = 2),
-      |n AS (SELECT doc_id, s,
-      |        (ord(substr(s, length(s), 1)) & 31) + 8 AS n_frames
-      |      FROM p),
-      |f AS (SELECT doc_id, s, CAST(n_frames AS INTEGER) AS n_frames,
-      |        CAST(unnest(range(0, n_frames, 4)) AS INTEGER) AS frame_idx
-      |      FROM n),
-      |c AS (SELECT doc_id, frame_idx,
-      |        ${Fnv64.duckToSigned(hu2)} AS fc
+  val m8Sql: String =
+    s"WITH $m3FrameCtes,\n" +
+      s"""c AS (SELECT doc_id, frame_idx,
+      |        $frameChecksumExpr AS fc
       |      FROM f),
       |sg AS (SELECT doc_id, frame_idx, ((fc % 997) + 997) % 997 AS sig FROM c),
       |d AS (SELECT doc_id, frame_idx, sig,
@@ -684,5 +681,4 @@ object Media {
       |  count(*) AS n_scene_frames
       |FROM sc GROUP BY doc_id, scene_id
       |ORDER BY doc_id, scene_id""".stripMargin
-  }
 }

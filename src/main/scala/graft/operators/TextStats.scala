@@ -724,11 +724,17 @@ object TextStats {
   /** Greedy batched merge selection, shared by both engines: rank the
     * round's pair counts by (cnt DESC, pair ASC) — a TOTAL order —
     * keep the top [[t17CandK]], then scan in rank order selecting
-    * every pair whose symbols are both unused by an ALREADY-SELECTED
-    * pair, up to [[t17BatchM]]. Selected merges are mutually
-    * symbol-disjoint, so applying them within one round commutes —
-    * batched application equals any sequential order of the same
-    * set. The oracle expresses the same scan as a recursive
+    * every pair none of whose symbols — NOR its merged output — was
+    * used by an already-selected pair, up to [[t17BatchM]]. The
+    * merged-output check matters: ("a","b") and ("ab","c") are
+    * disjoint as symbol sets, but applying "a b"→"ab" first lets
+    * " ab  c " fire on the SAME word in the same round (a two-level
+    * cascade), so application order would leak into the result.
+    * Excluding a pair when {a, b, ab} intersects the used set (which
+    * itself holds every selected pair's symbols AND merged output)
+    * blocks both cascade directions — selected merges then truly
+    * commute, and batched application equals any sequential order of
+    * the same set. The oracle expresses the same scan as a recursive
     * single-row state machine over the ranked candidates (the greedy
     * set is inherently sequential — a pure dominance anti-join was
     * measured to select ~4/round on a character alphabet, where
@@ -740,10 +746,12 @@ object TextStats {
     var i = 0
     while (i < ranked.length && out.size < t17BatchM) {
       val Array(a, b) = ranked(i)._1.split(" ", 2)
-      if (!used(a) && !used(b)) {
+      val merged = a + b
+      if (!used(a) && !used(b) && !used(merged)) {
         out += ranked(i)
         used += a
         used += b
+        used += merged
       }
       i += 1
     }
@@ -843,6 +851,9 @@ object TextStats {
         val next = cur
           .select(trim(regexp_replace(s, lit(" +"), lit(" "))).as("s"), $"freq")
           .localCheckpoint()
+        // free the prior round's checkpoint blocks (no-op on round
+        // 1's cached vocab — it has no LogicalRDD leaf)
+        graft.functions.Lineage.freeCheckpoint(cur)
         cur = next
         round += 1
       }
@@ -906,11 +917,13 @@ object TextStats {
          |  UNION ALL
          |  SELECT c.rnk AS step,
          |    CASE WHEN NOT (list_contains(g.used, split_part(c.pair, ' ', 1))
-         |               OR list_contains(g.used, split_part(c.pair, ' ', 2))) AND len(g.sel) < $t17BatchM
-         |         THEN g.used || [split_part(c.pair, ' ', 1), split_part(c.pair, ' ', 2)]
+         |               OR list_contains(g.used, split_part(c.pair, ' ', 2))
+         |               OR list_contains(g.used, replace(c.pair, ' ', ''))) AND len(g.sel) < $t17BatchM
+         |         THEN g.used || [split_part(c.pair, ' ', 1), split_part(c.pair, ' ', 2), replace(c.pair, ' ', '')]
          |         ELSE g.used END AS used,
          |    CASE WHEN NOT (list_contains(g.used, split_part(c.pair, ' ', 1))
-         |               OR list_contains(g.used, split_part(c.pair, ' ', 2))) AND len(g.sel) < $t17BatchM
+         |               OR list_contains(g.used, split_part(c.pair, ' ', 2))
+         |               OR list_contains(g.used, replace(c.pair, ' ', ''))) AND len(g.sel) < $t17BatchM
          |         THEN list_append(g.sel, c.pair) ELSE g.sel END AS sel
          |  FROM g$i g JOIN c$i c ON c.rnk = g.step + 1),
          |sel$i AS (SELECT sel FROM g$i ORDER BY step DESC LIMIT 1),

@@ -750,7 +750,10 @@ object Relational {
           ($"jptr" =!= $"ptr").as("moved"))
         .localCheckpoint()
       converged = next.filter($"moved").limit(1).count() == 0L
-      state.unpersist()
+      // Dataset.unpersist() is a no-op on a localCheckpoint (RDD-level
+      // persist, invisible to the CacheManager) — free the blocks
+      // for real or every round's full state would pile up
+      graft.functions.Lineage.freeCheckpoint(state)
       state = next
       rounds += 1
     }

@@ -859,9 +859,16 @@ object EventStreams {
       .mapPartitions(_.map { case (id, s) =>
         (id, graft.operators.Media.dctPhash(graft.operators.Media.pngLuminance(s)))
       }).toDF("doc_id", "ph")
-      // +1: an event time at EXACTLY epoch 0 dies against the initial
-      // watermark 0 (§8.22's late-row filter) — doc 0 must not
-      .withColumn("ts", timestamp_micros((col("doc_id") + 1) * 1000000L))
+      // Event time maps the seeded variant (doc_id + 30000) onto its
+      // BASE's second (% 30000), so a duplicate always lands within
+      // the dedup window of its original no matter how the source is
+      // batched — with raw doc_id seconds the variants would sit
+      // ~8.3 h after their bases, and a multi-batch execution
+      // (maxFilesPerTrigger, a multi-file corpus) would evict the
+      // base hash's state before its duplicate ever arrived. The +1
+      // keeps doc 0 off EXACTLY epoch 0, which dies against the
+      // initial watermark (§8.22's late-row filter).
+      .withColumn("ts", timestamp_micros(((col("doc_id") % 30000L) + 1) * 1000000L))
       .withWatermark("ts", "1 hour")
       .dropDuplicatesWithinWatermark("ph")
     runToTable(ss, deduped, OutputMode.Append())

@@ -146,11 +146,16 @@ class RelationalSpec extends AnyFunSuite {
     assert(merges.length >= 64,
       s"batched BPE learned only ${merges.length} merges")
     assert(merges.map(_._1).distinct.toSeq == (1 to ts.t17Rounds))
-    // within a round, merges are mutually symbol-disjoint (the greedy
-    // filter's guarantee that batch application commutes); a pair may
-    // use one symbol twice itself ("g g")
+    // within a round, merges are mutually disjoint over symbols AND
+    // merged outputs (the greedy filter's guarantee that batch
+    // application commutes — a merged output equal to another pair's
+    // symbol would cascade order-dependently); a pair may use one
+    // symbol twice itself ("g g")
     merges.groupBy(_._1).values.foreach { rm =>
-      val symSets = rm.map(_._3.split(" ", 2).toSet).toSeq
+      val symSets = rm.map { t =>
+        val Array(a, b) = t._3.split(" ", 2)
+        Set(a, b, a + b)
+      }.toSeq
       symSets.combinations(2).foreach { c =>
         assert((c(0) & c(1)).isEmpty,
           s"round ${rm.head._1} shares symbols across merges: ${rm.map(_._3).mkString(", ")}")
