@@ -368,4 +368,73 @@ object EventWindows {
       |SELECT user_id, event_id, CAST(floor(z * 1e6 + 0.5) AS BIGINT) / 1e6 AS z
       |FROM z WHERE abs(z) > 2.0
       |ORDER BY user_id, event_id""".stripMargin
+
+  // ---------- e11: row-pattern run detection (MATCH_RECOGNIZE-lite) ----------
+
+  /** e11: sequence-pattern detection — the SQL:2016 MATCH_RECOGNIZE /
+    * CEP capability class (Flink CEP, Snowflake/Oracle
+    * MATCH_RECOGNIZE) that Spark SQL has no syntax for: find every
+    * MAXIMAL run of strictly-increasing values per user and report
+    * the runs long enough to matter (≥ 3 steps — the "A B+" pattern
+    * with a length guard). Declarative formulation: one lag to mark
+    * each row as continuing (value strictly above its predecessor) or
+    * breaking, a running sum of the breaks as the run id (q24's
+    * islands arithmetic at the VALUE-DIRECTION grain rather than the
+    * id-gap or threshold grain), then one aggregate per run — start /
+    * end times, step count, total gain. Values integerize to cents so
+    * run boundaries and gains are exact in both engines; ordering is
+    * total via the (tus, event_id) tiebreak.
+    *
+    * Scale: one user_id shuffle shared by the lag window, the
+    * running-sum window and the aggregate; state per row is O(1) —
+    * never a per-user buffer, never a self-join. Pattern depth (run
+    * length) costs nothing: a million-event run is still the same
+    * two windows.
+    */
+  def e11(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"tus", $"event_id")
+    val wRun = w.rowsBetween(Window.unboundedPreceding, 0)
+    Tables.events(spark, dir)
+      .select($"user_id", $"event_id", unix_micros($"ts").as("tus"),
+        expr("CAST(floor(value * 1e2 + 0.5) AS BIGINT)").as("cents"))
+      .withColumn("inc",
+        when($"cents" > lag($"cents", 1).over(w), 1).otherwise(0))
+      .withColumn("run_id", sum(lit(1) - $"inc").over(wRun))
+      .groupBy($"user_id", $"run_id")
+      .agg(min($"tus").as("start_us"), max($"tus").as("end_us"),
+        sum($"inc").as("n_steps"),
+        (max(struct($"tus", $"event_id", $"cents")).getField("cents") -
+          min(struct($"tus", $"event_id", $"cents")).getField("cents")).as("gain_cents"))
+      .filter($"n_steps" >= 3)
+      .select($"user_id", $"start_us", $"end_us", $"n_steps", $"gain_cents")
+      .transform(graft.Tables.ordered(_, $"user_id", $"start_us"))
+  }
+
+  /** e11 oracle: identical lag / break-sum / per-run aggregate; the
+    * run's gain is last-minus-first cents via the same
+    * (tus, event_id)-ordered struct min/max arithmetic (arg-min/max
+    * by the total order, exact BIGINT).
+    */
+  val e11Sql: String =
+    """WITH o AS (SELECT user_id, event_id, epoch_us(ts) AS tus,
+      |             CAST(floor(value * 1e2 + 0.5) AS BIGINT) AS cents
+      |           FROM events),
+      |m AS (SELECT user_id, event_id, tus, cents,
+      |        CASE WHEN cents > lag(cents) OVER w THEN 1 ELSE 0 END AS inc
+      |      FROM o WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id)),
+      |r AS (SELECT user_id, event_id, tus, cents, inc,
+      |        CAST(sum(1 - inc) OVER (PARTITION BY user_id ORDER BY tus, event_id
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS run_id
+      |      FROM m),
+      |g AS (SELECT user_id, run_id,
+      |        CAST(min(tus) AS BIGINT) AS start_us,
+      |        CAST(max(tus) AS BIGINT) AS end_us,
+      |        CAST(sum(inc) AS BIGINT) AS n_steps,
+      |        (max({'t': tus, 'e': event_id, 'c': cents})).c
+      |          - (min({'t': tus, 'e': event_id, 'c': cents})).c AS gain_cents
+      |      FROM r GROUP BY user_id, run_id)
+      |SELECT user_id, start_us, end_us, n_steps, gain_cents
+      |FROM g WHERE n_steps >= 3
+      |ORDER BY user_id, start_us""".stripMargin
 }

@@ -336,6 +336,34 @@ class RelationalSpec extends AnyFunSuite {
     assert(native == manual)
   }
 
+  test("e11: pattern runs equal a sequential per-user rescan") {
+    import graft.operators.EventWindows
+    val rows = EventWindows.e11(spark, sf).collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("start_us"),
+        r.getAs[Long]("end_us"), r.getAs[Long]("n_steps"), r.getAs[Long]("gain_cents")))
+    assert(rows.nonEmpty)
+    // sequential reference: walk each user's (tus, event_id)-ordered
+    // series and cut maximal strictly-increasing runs by hand
+    val evs = Tables.events(spark, sf)
+      .selectExpr("user_id", "event_id", "unix_micros(ts) AS tus",
+        "CAST(floor(value * 1e2 + 0.5) AS BIGINT) AS cents")
+      .as[(Long, Long, Long, Long)].collect()
+    val want = evs.groupBy(_._1).toSeq.flatMap { case (uid, g) =>
+      val s = g.sortBy(t => (t._3, t._2))
+      val runs = scala.collection.mutable.ArrayBuffer[(Long, Long, Long, Long, Long)]()
+      var i = 0
+      while (i < s.length) {
+        var j = i
+        while (j + 1 < s.length && s(j + 1)._4 > s(j)._4) j += 1
+        if (j - i >= 3)
+          runs += ((uid, s(i)._3, s(j)._3, (j - i).toLong, s(j)._4 - s(i)._4))
+        i = j + 1
+      }
+      runs
+    }.sortBy(t => (t._1, t._2))
+    assert(rows.toSeq == want, s"got ${rows.length} runs, want ${want.length}")
+  }
+
   test("e9: top paths equal a brute-force trigram recount") {
     val rows = graft.operators.EventWindows.paths(spark, sf).collect()
       .map(r => ((r.getAs[String]("t1"), r.getAs[String]("t2"),
