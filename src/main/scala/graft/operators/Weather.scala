@@ -639,4 +639,74 @@ object Weather {
       |FROM a
       |GROUP BY lat, lon
       |ORDER BY lat, lon""".stripMargin
+
+  // ---------- w22: bilinear spatial regrid ----------
+
+  /** w22: bilinear regridding — the spatial-resampling pass every
+    * gridded product needs when a consumer wants values off the
+    * native grid (downscaling, sensor-site extraction, model-to-model
+    * remap; the reference serves fixed grid points, this is the step
+    * beyond). Target points sit at a quarter-cell offset
+    * (+1.25°, +1.25°) from each source cell, so the bilinear weights
+    * are genuinely fractional: (0.75, 0.25) per axis → corner weights
+    * 5625/1875/1875/625 over 10⁴ — kept as EXACT integers so each
+    * target's weighted sum is one BIGINT dot product (value already
+    * 1e6-integerized ⇒ 1e10 fixed point, far from overflow) and the
+    * single final /1e10 division is bitwise cross-engine.
+    *
+    * Shape: targets explode their 4 corner keys (lon wraps with
+    * w19's arithmetic) and equality-join the cell table — ONE
+    * shuffle, never a spatial cross product; only targets with all
+    * 4 corners emit (the lat boundary row drops, lon wraps around).
+    * At 100 TB the corner join is the standard co-partitioned grid
+    * join: both sides key on (lat, lon) cells.
+    */
+  def w22(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cells = chain(spark, dir, 2)
+      .groupBy($"lat", $"lon").agg(max($"tmp2m").as("t"))
+      .cache()
+    val corners = cells.selectExpr("lat AS clat", "lon AS clon",
+      "CAST(floor(t * 1e6 + 0.5) AS BIGINT) AS c6")
+    val targets = cells
+      .selectExpr("lat AS lat0", "lon AS lon0", "explode(array(0.0, 5.0)) AS dlat")
+      .selectExpr("lat0", "lon0", "dlat", "explode(array(0.0, 5.0)) AS dlon")
+      .selectExpr("lat0", "lon0",
+        "lat0 + dlat AS clat",
+        "((lon0 + 177.5 + dlon + 360.0) % 360.0) - 177.5 AS clon",
+        "CAST((CASE WHEN dlat = 0.0 THEN 75 ELSE 25 END) " +
+          "* (CASE WHEN dlon = 0.0 THEN 75 ELSE 25 END) AS BIGINT) AS w4")
+    targets.join(corners, Seq("clat", "clon"))
+      .groupBy($"lat0", $"lon0")
+      .agg(count(lit(1)).as("n_corners"),
+        (sum($"w4" * $"c6") / 1e10).as("t_bilinear"))
+      .filter($"n_corners" === 4)
+      .selectExpr("lat0 + 1.25 AS lat",
+        "((lon0 + 177.5 + 1.25 + 360.0) % 360.0) - 177.5 AS lon",
+        "t_bilinear")
+      .transform(Tables.ordered(_, $"lat", $"lon"))
+  }
+
+  val w22Sql: String =
+    s"""WITH g AS (${ThermalChain.sql(2)}),
+      |c AS (SELECT lat, lon, max(tmp2m) AS t FROM g GROUP BY 1, 2),
+      |cor AS (SELECT lat AS clat, lon AS clon,
+      |          CAST(floor(t * 1e6 + 0.5) AS BIGINT) AS c6 FROM c),
+      |tg AS (SELECT lat AS lat0, lon AS lon0,
+      |         lat + dlat.d AS clat,
+      |         ((lon + 177.5 + dlon.d + 360.0) % 360.0) - 177.5 AS clon,
+      |         CAST((CASE WHEN dlat.d = 0.0 THEN 75 ELSE 25 END)
+      |           * (CASE WHEN dlon.d = 0.0 THEN 75 ELSE 25 END) AS BIGINT) AS w4
+      |       FROM c
+      |       CROSS JOIN (SELECT unnest([0.0, 5.0]) AS d) dlat
+      |       CROSS JOIN (SELECT unnest([0.0, 5.0]) AS d) dlon),
+      |s AS (SELECT lat0, lon0, count(*) AS n_corners,
+      |        CAST(sum(w4 * c6) AS BIGINT) / 1e10 AS t_bilinear
+      |      FROM tg JOIN cor USING (clat, clon)
+      |      GROUP BY 1, 2)
+      |SELECT lat0 + 1.25 AS lat,
+      |  ((lon0 + 177.5 + 1.25 + 360.0) % 360.0) - 177.5 AS lon,
+      |  t_bilinear
+      |FROM s WHERE n_corners = 4
+      |ORDER BY 1, 2""".stripMargin
 }

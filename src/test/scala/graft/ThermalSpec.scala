@@ -188,4 +188,36 @@ class ThermalSpec extends AnyFunSuite {
     // and smoothed values stay inside the raw envelope
     assert(ss.min >= ts.min - 1e-6 && ss.max <= ts.max + 1e-6)
   }
+
+  test("w22: bilinear values equal the 4-corner weighted sum and stay in the corner envelope") {
+    val spark = SharedSpark.spark
+    import spark.implicits._
+    val raw = graft.functions.ThermalChain.df(spark, SharedSpark.sf, 2)
+      .groupBy($"lat", $"lon").agg(max($"tmp2m").as("t"))
+      .as[(Double, Double, Double)].collect()
+    val c6 = raw.map(r => (r._1, r._2) ->
+      math.floor(r._3 * 1e6 + 0.5).toLong).toMap
+    def wrap(lon: Double, d: Double): Double =
+      ((lon + 177.5 + d + 360.0) % 360.0) - 177.5
+    val got = Weather.w22(spark, SharedSpark.sf)
+      .as[(Double, Double, Double)].collect()
+    assert(got.nonEmpty)
+    // exactly the targets whose 4 corners exist
+    val wantKeys = raw.map(r => (r._1, r._2)).filter { case (la, lo) =>
+      Seq((0.0, 0.0), (5.0, 0.0), (0.0, 5.0), (5.0, 5.0)).forall { case (dy, dx) =>
+        c6.contains((la + dy, wrap(lo, dx))) }
+    }.map { case (la, lo) => (la + 1.25, wrap(lo, 1.25)) }.toSet
+    assert(got.map(r => (r._1, r._2)).toSet == wantKeys)
+    got.foreach { case (lat, lon, t) =>
+      val (la, lo) = (lat - 1.25, wrap(lon, -1.25))
+      val corners = Seq(
+        (c6((la, lo)), 5625L), (c6((la + 5.0, lo)), 1875L),
+        (c6((la, wrap(lo, 5.0))), 1875L), (c6((la + 5.0, wrap(lo, 5.0))), 625L))
+      val expect = corners.map { case (v, w) => v * w }.sum / 1e10
+      assert(t == expect, s"target ($lat,$lon): $t != $expect")
+      // interpolation stays inside its corner envelope
+      val vs = corners.map(_._1 / 1e6)
+      assert(t >= vs.min - 1e-9 && t <= vs.max + 1e-9)
+    }
+  }
 }
