@@ -47,6 +47,28 @@ object Graft {
   def fnv64(c: Column): Column = functions.Fnv64.fnv64(c)
   def topK(k: Int) = new functions.TopKAgg(k)
 
+  // ---- dedup decision tables, applied (the d7/d13 pattern) ----
+  /** Near-dup keep/remove decisions from PRE-VERIFIED pairs (src, dst)
+    * — components + min-id survivor; join the result back to the
+    * corpus to apply.
+    */
+  def neardupDecisions(verifiedPairs: DataFrame): DataFrame =
+    operators.Dedup.d13Apply(verifiedPairs)
+
+  // ---- skew tooling ----
+  /** Split-and-broadcast equi-join for a skewed probe side against a
+    * unique-keyed build side (see [[operators.Skew.hotKeyJoin]]).
+    */
+  def hotKeyJoin(probe: DataFrame, build: DataFrame, probeKey: String,
+      buildKey: String, hotThreshold: Long): DataFrame =
+    operators.Skew.hotKeyJoin(probe, build, probeKey, buildKey, hotThreshold)
+
+  /** Release the block-manager storage of a localCheckpoint'd
+    * DataFrame — `Dataset.unpersist()` cannot see it (see
+    * [[functions.Lineage]]); iterative callers need this per round.
+    */
+  def freeCheckpoint(df: DataFrame): Unit = functions.Lineage.freeCheckpoint(df)
+
   /** Registry of every operator: name -> (session, sfDir) => result. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = SparkEntry.queries
 }

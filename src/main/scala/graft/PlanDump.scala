@@ -67,6 +67,8 @@ object PlanDump {
       "t17_bpe_learn" -> "batched BPE: vocab-sized pair aggregate per round, bounded candidate collect, merges applied in one narrow map (final round's plan)",
       "m8_scene_split" -> "scene split: one doc-key shuffle shared by the lag/scene windows and the per-scene aggregate",
       "v11_ann_recall" -> "ANN recall: two k-bounded arm outputs joined — evaluation cost independent of corpus size",
+      "e11_pattern_runs" -> "row-pattern runs: lag + break-sum islands + per-run aggregate on one user-key shuffle",
+      "w22_regrid_bilinear" -> "bilinear regrid: corner-key explode + one equality join on the cell key, integer-weight blend",
     )
     val sb = new StringBuilder
     sb.append("# PLANS — formatted physical plans (generated by graft.PlanDump at sf0.001)\n")
