@@ -336,6 +336,34 @@ class RelationalSpec extends AnyFunSuite {
     assert(native == manual)
   }
 
+  test("g1: distributed integer PageRank equals a sequential reimplementation bitwise") {
+    val rows = graft.operators.Graph.g1(spark, sf).collect()
+      .map(r => (r.getAs[Long]("c_custkey"), r.getAs[Long]("rank_mass")))
+    val n = Tables.customer(spark, sf).count()
+    assert(rows.length == n)
+    // sequential reference: same graph, same truncating arithmetic
+    val S = 1000000000000L
+    val ids = (0L until n).toArray
+    val edges = ids.flatMap { u =>
+      Seq(u -> ((u * 31 + 7) % n), u -> ((u * 17 + 3) % n)) ++
+        (if (u >= 2) Seq(u -> (u / 2)) else Nil)
+    }
+    val deg = edges.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    val base = (S * 15L / 100L) / n
+    var r = ids.map(_ -> (S / n)).toMap
+    (1 to 10).foreach { _ =>
+      val in = scala.collection.mutable.Map[Long, Long]().withDefaultValue(0L)
+      edges.foreach { case (u, v) => in(v) += ((r(u) * 85L) / 100L) / deg(u) }
+      r = ids.map(id => id -> (base + in(id))).toMap
+    }
+    rows.foreach { case (id, m) =>
+      assert(m == r(id), s"node $id: $m != ${r(id)}")
+    }
+    // mass sanity: truncation leaks a little, never inflates
+    val total = rows.map(_._2).sum
+    assert(total <= S && total >= S * 8 / 10, s"total mass $total")
+  }
+
   test("e11: pattern runs equal a sequential per-user rescan") {
     import graft.operators.EventWindows
     val rows = EventWindows.e11(spark, sf).collect()
