@@ -894,6 +894,84 @@ object Knn {
       |FROM o
       |ORDER BY qid""".stripMargin
 
+  // ---------- v12: cluster-quality evaluation (simplified silhouette) ----------
+
+  /** v12: simplified silhouette (Rousseeuw 1987, centroid variant) —
+    * the clustering-quality sibling of v11's recall eval: semantic
+    * dedup (d9) and IVF partitioning (v3/v9) both ride a centroid
+    * set, and when a re-trained embedding degrades cluster
+    * separation, THIS query is the alarm. Per corpus vector: a =
+    * cosine distance to its own (nearest) centroid, b = distance to
+    * the second-nearest, s = (b − a)/b ∈ [0, 1] (b ≥ a by rank;
+    * b = 0 guards to 0) — the centroid-based simplification that
+    * avoids the O(n²) pairwise silhouette while preserving the
+    * separation-vs-cohesion reading. s quantizes to 1e6 BEFORE the
+    * per-cluster mean so the aggregate is an order-free integer sum.
+    *
+    * Scale: centroids broadcast; ONE narrow pass scores every vector
+    * against all centroids (the v3/v9 assignment loop, JIT dot);
+    * one cid aggregate. Evaluation cost = one corpus scan regardless
+    * of corpus size.
+    */
+  def v12(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = vectors(spark, dir)
+    val bc = spark.sparkContext.broadcast(
+      codebook(e, "vec_id >= 10 AND vec_id < 18"))
+    e.filter($"vec_id" >= 18).select($"vec_id", $"nv")
+      .as[(Long, Array[Double])]
+      .mapPartitions(_.map { case (_, v) =>
+        // best + second-best cosine over the centroid set, (cs DESC,
+        // cid ASC) total order — the v4 assignment tie-break
+        var c1 = -2.0; var id1 = Long.MaxValue
+        var c2 = -2.0
+        bc.value.foreach { case (cid, cv) =>
+          val c = cosQ(cv, v)
+          if (c > c1 || (c == c1 && cid < id1)) { c2 = c1; c1 = c; id1 = cid }
+          else if (c > c2) c2 = c
+        }
+        val da = 1.0 - c1
+        val db = 1.0 - c2
+        val s6 = if (db == 0.0) 0L
+          else math.floor(((db - da) / db) * 1e6 + 0.5).toLong
+        (id1, s6)
+      }).toDF("cid", "s6")
+      .groupBy($"cid")
+      .agg(count(lit(1)).as("n_members"),
+        (sum($"s6") / count(lit(1)) / 1e6).as("mean_silhouette"))
+      .transform(graft.Tables.ordered(_, $"cid"))
+  }
+
+  /** v12 oracle: v1's normalization CTEs, rank-1/rank-2 centroid
+    * distances per vector, the same guarded ratio quantized at 1e6,
+    * integer-mean per cluster. CAST(1 AS DOUBLE) — a bare 1.0 is
+    * DECIMAL in DuckDB.
+    */
+  val v12Sql: String =
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |n AS (SELECT vec_id, v, sqrt(list_inner_product(v, v)) AS nrm FROM e),
+      |m AS (SELECT vec_id, list_transform(v, x -> x / nrm) AS nv FROM n),
+      |cents AS (SELECT vec_id AS cid, nv FROM m WHERE vec_id >= 10 AND vec_id < 18),
+      |corpus AS (SELECT vec_id, nv FROM m WHERE vec_id >= 18),
+      |sc AS (SELECT c.vec_id, ct.cid,
+      |         round(list_inner_product(ct.nv, c.nv) * 1e6) / 1e6 AS cs
+      |       FROM corpus c CROSS JOIN cents ct),
+      |r AS (SELECT vec_id, cid, cs,
+      |        row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cid) AS rn
+      |      FROM sc),
+      |ab AS (SELECT a.vec_id, a.cid,
+      |         CAST(1 AS DOUBLE) - a.cs AS da,
+      |         CAST(1 AS DOUBLE) - b.cs AS db
+      |       FROM r a JOIN r b ON a.vec_id = b.vec_id AND a.rn = 1 AND b.rn = 2),
+      |s AS (SELECT vec_id, cid,
+      |        CASE WHEN db = 0 THEN CAST(0 AS BIGINT)
+      |             ELSE CAST(floor(((db - da) / db) * 1e6 + 0.5) AS BIGINT) END AS s6
+      |      FROM ab)
+      |SELECT cid, count(*) AS n_members,
+      |  (CAST(sum(s6) AS BIGINT) / count(*)) / 1e6 AS mean_silhouette
+      |FROM s GROUP BY cid
+      |ORDER BY cid""".stripMargin
+
   // ---------- v10: hybrid retrieval — BM25 ⊕ dense, RRF fusion ----------
 
   /** v10: hybrid retrieval with reciprocal-rank fusion (Cormack et

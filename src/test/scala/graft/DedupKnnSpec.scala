@@ -790,6 +790,41 @@ class DedupKnnSpec extends AnyFunSuite {
     assert(mean >= 0.25, s"mean recall $mean — LSH index or harness broke")
   }
 
+  test("v12 silhouette: cluster means equal a local recomputation; scores stay in [0,1]") {
+    import graft.operators.Knn
+    val rows = Knn.v12(spark, sf).collect()
+      .map(r => (r.getAs[Long]("cid"), r.getAs[Long]("n_members"),
+        r.getAs[Double]("mean_silhouette")))
+    assert(rows.nonEmpty)
+    rows.foreach { case (_, n, s) =>
+      assert(n > 0 && s >= 0.0 && s <= 1.0)
+    }
+    // local recompute through the same quantized-cosine kernel
+    val nv = Tables.embeddings(spark, sf)
+      .selectExpr("vec_id", "transform(embedding, x -> CAST(x AS DOUBLE)) AS v")
+      .selectExpr("vec_id", "transform(v, x -> x / sqrt(aggregate(zip_with(v, v, (a, b) -> a * b), CAST(0 AS DOUBLE), (acc, x) -> acc + x))) AS nv")
+      .as[(Long, Array[Double])].collect().toMap
+    def cosQ(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var i = 0
+      while (i < a.length) { d += a(i) * b(i); i += 1 }
+      val q = d * 1e6
+      (if (q >= 0) math.floor(q + 0.5) else math.ceil(q - 0.5)) / 1e6
+    }
+    val cents = (10L until 18L).map(c => c -> nv(c))
+    val per = nv.keys.filter(_ >= 18).toSeq.map { id =>
+      val scored = cents.map { case (cid, cv) => (cid, cosQ(cv, nv(id))) }
+        .sortBy { case (cid, c) => (-c, cid) }
+      val (own, c1) = scored.head
+      val c2 = scored(1)._2
+      val (da, db) = (1.0 - c1, 1.0 - c2)
+      own -> (if (db == 0.0) 0L else math.floor(((db - da) / db) * 1e6 + 0.5).toLong)
+    }
+    val want = per.groupBy(_._1).map { case (cid, ss) =>
+      cid -> (ss.size.toLong, ss.map(_._2).sum.toDouble / ss.size / 1e6)
+    }
+    assert(rows.map(r => r._1 -> ((r._2, r._3))).toMap == want)
+  }
+
   test("v8 MMR: 5 diverse picks from the top-10 pool, step 1 = argmax relevance") {
     val rows = Knn.v8(spark, sf)
       .select($"qid", $"rnk", $"vec_id", $"mmr_score")
