@@ -70,6 +70,7 @@ object PlanDump {
       "e11_pattern_runs" -> "row-pattern runs: lag + break-sum islands + per-run aggregate on one user-key shuffle",
       "w22_regrid_bilinear" -> "bilinear regrid: corner-key explode + one equality join on the cell key, integer-weight blend",
       "g1_pagerank" -> "integer PageRank: per-round edges-rank equality join + dst partial aggregate (final round's plan)",
+      "v12_silhouette" -> "silhouette: broadcast centroids, one narrow corpus scan, one cid aggregate of pre-quantized integers",
     )
     val sb = new StringBuilder
     sb.append("# PLANS — formatted physical plans (generated by graft.PlanDump at sf0.001)\n")

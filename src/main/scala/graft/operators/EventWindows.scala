@@ -402,19 +402,20 @@ object EventWindows {
         when($"cents" > lag($"cents", 1).over(w), 1).otherwise(0))
       .withColumn("run_id", sum(lit(1) - $"inc").over(wRun))
       .groupBy($"user_id", $"run_id")
+      // cents is strictly increasing along a run by construction
+      // (every non-break row has cents > lag), so min/max ARE the
+      // first/last values — no arg-min/max machinery needed
       .agg(min($"tus").as("start_us"), max($"tus").as("end_us"),
         sum($"inc").as("n_steps"),
-        (max(struct($"tus", $"event_id", $"cents")).getField("cents") -
-          min(struct($"tus", $"event_id", $"cents")).getField("cents")).as("gain_cents"))
+        (max($"cents") - min($"cents")).as("gain_cents"))
       .filter($"n_steps" >= 3)
       .select($"user_id", $"start_us", $"end_us", $"n_steps", $"gain_cents")
       .transform(graft.Tables.ordered(_, $"user_id", $"start_us"))
   }
 
   /** e11 oracle: identical lag / break-sum / per-run aggregate; the
-    * run's gain is last-minus-first cents via the same
-    * (tus, event_id)-ordered struct min/max arithmetic (arg-min/max
-    * by the total order, exact BIGINT).
+    * run's gain is plain max − min cents (exact BIGINT) — identical
+    * to last-minus-first because a run is strictly increasing.
     */
   val e11Sql: String =
     """WITH o AS (SELECT user_id, event_id, epoch_us(ts) AS tus,
@@ -431,8 +432,7 @@ object EventWindows {
       |        CAST(min(tus) AS BIGINT) AS start_us,
       |        CAST(max(tus) AS BIGINT) AS end_us,
       |        CAST(sum(inc) AS BIGINT) AS n_steps,
-      |        (max({'t': tus, 'e': event_id, 'c': cents})).c
-      |          - (min({'t': tus, 'e': event_id, 'c': cents})).c AS gain_cents
+      |        max(cents) - min(cents) AS gain_cents
       |      FROM r GROUP BY user_id, run_id)
       |SELECT user_id, start_us, end_us, n_steps, gain_cents
       |FROM g WHERE n_steps >= 3

@@ -51,14 +51,17 @@ object Graph {
     val edges = nodes.selectExpr("id AS src", s"(id * 31 + 7) % $n AS dst")
       .unionAll(nodes.selectExpr("id AS src", s"(id * 17 + 3) % $n AS dst"))
       .unionAll(nodes.filter($"id" >= 2).selectExpr("id AS src", "id div 2 AS dst"))
+    // out-degree is loop-invariant: fold it into the CACHED edge
+    // table ONCE — left lazy outside the loop, the deg aggregate
+    // (a full-edge-set shuffle) would re-execute in all 10 rounds
+    val linked = edges
+      .join(edges.groupBy($"src").agg(count(lit(1)).as("deg")), Seq("src"))
       .cache()
-    val deg = edges.groupBy($"src").agg(count(lit(1)).as("deg"))
     val base = (massS * 15L / 100L) / n
     var rank = nodes.withColumn("r", lit(massS / n)).localCheckpoint()
     (1 to g1Rounds).foreach { _ =>
-      val contrib = edges
+      val contrib = linked
         .join(rank.withColumnRenamed("id", "src"), Seq("src"))
-        .join(deg, Seq("src"))
         .selectExpr("dst", "((r * 85) div 100) div deg AS share")
         .groupBy($"dst").agg(sum($"share").as("m"))
       val next = nodes
