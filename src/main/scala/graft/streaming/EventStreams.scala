@@ -867,9 +867,13 @@ object EventStreams {
       // (maxFilesPerTrigger, a multi-file corpus) would evict the
       // base hash's state before its duplicate ever arrived. The +1
       // keeps doc 0 off EXACTLY epoch 0, which dies against the
-      // initial watermark (§8.22's late-row filter).
+      // initial watermark (§8.22's late-row filter). The 10 h delay
+      // covers the corpus's whole ~8.3 h event-time span, so the
+      // stream equals the batch GLOBAL distinct under ANY batching —
+      // production tuning shrinks the delay to the real dup-arrival
+      // window and the state bound shrinks with it.
       .withColumn("ts", timestamp_micros(((col("doc_id") % 30000L) + 1) * 1000000L))
-      .withWatermark("ts", "1 hour")
+      .withWatermark("ts", "10 hours")
       .dropDuplicatesWithinWatermark("ph")
     runToTable(ss, deduped, OutputMode.Append())
       .groupBy((col("ph") % 64).as("bucket"))
