@@ -1247,6 +1247,66 @@ object Dedup {
       .transform(graft.Tables.ordered(_, $"doc_id"))
   }
 
+  // ---------- d14: incremental batch-vs-archive dedup (Bloom prefilter) ----------
+
+  /** d14: INCREMENTAL exact dedup — the production ingest mode (d1 is
+    * the batch-global pass): a new batch checks against a standing
+    * archive without the archive ever shuffling for the batch. The
+    * archive's digests build a REAL Bloom filter
+    * (org.apache.spark.util.sketch — a distributed partial-bloom
+    * aggregate, ~1.2 MB per 1M keys at 1% fpp) broadcast to the
+    * batch; rows the bloom rejects are DEFINITELY new (blooms have
+    * no false negatives), and the ~1% false positives die in an
+    * exact digest semi-join that touches only candidates. The bloom
+    * can therefore never change the answer — only the work: the
+    * verify join's probe side shrinks from |batch| to
+    * |dups| + 1% of |batch|. At archive scales where one bloom
+    * outgrows broadcast (billions of keys), partition blooms by
+    * digest prefix or raise fpp — the exact verify join keeps
+    * correctness either way. Output is per-batch-row (doc_id,
+    * is_dup), bloom-parameter-INDEPENDENT by construction, so the
+    * plain EXISTS oracle is exact.
+    */
+  def d14(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir).select($"doc_id", $"text")
+    val archive = docs.filter($"doc_id" % 2 === 0)
+      .select(md5(lower(trim($"text"))).as("digest")).cache()
+    // batch: the odd half + every 10th archive doc re-ingested under
+    // a shifted id (the seeded true duplicates)
+    val batch = docs.filter($"doc_id" % 2 === 1)
+      .unionByName(docs.filter($"doc_id" % 10 === 0)
+        .select(($"doc_id" + 50000).as("doc_id"), $"text"))
+      .select($"doc_id", md5(lower(trim($"text"))).as("digest"))
+    val bloom = archive.stat.bloomFilter("digest", math.max(archive.count(), 1L), 0.01)
+    val bc = spark.sparkContext.broadcast(bloom)
+    val candidates = batch.as[(Long, String)]
+      .mapPartitions { it =>
+        val b = bc.value
+        it.filter { case (_, digest) => b.mightContainString(digest) }
+      }.toDF("doc_id", "digest")
+    val verified = candidates
+      .join(archive.distinct(), Seq("digest"), "left_semi")
+      .select($"doc_id", lit(1L).as("is_dup"))
+    batch.join(verified, Seq("doc_id"), "left_outer")
+      .select($"doc_id", coalesce($"is_dup", lit(0L)).as("is_dup"))
+      .transform(graft.Tables.ordered(_, $"doc_id"))
+  }
+
+  /** d14 oracle: the bloom is invisible to the result — plain EXISTS
+    * against the archive digests.
+    */
+  val d14Sql: String =
+    """WITH a AS (SELECT md5(lower(trim(text))) AS digest FROM documents WHERE doc_id % 2 = 0),
+      |b AS (SELECT doc_id, md5(lower(trim(text))) AS digest FROM documents WHERE doc_id % 2 = 1
+      |      UNION ALL
+      |      SELECT doc_id + 50000, md5(lower(trim(text))) FROM documents WHERE doc_id % 10 = 0)
+      |SELECT doc_id,
+      |  CAST(CASE WHEN EXISTS (SELECT 1 FROM a WHERE a.digest = b.digest)
+      |       THEN 1 ELSE 0 END AS BIGINT) AS is_dup
+      |FROM b
+      |ORDER BY doc_id""".stripMargin
+
   /** d13 oracle: d2's chain + undirected transitive closure (the
     * recursive CTE walks every reachable node; components are tiny
     * copy-chains, so the closure is bounded) + min-reachable root.

@@ -125,6 +125,39 @@ class DedupKnnSpec extends AnyFunSuite {
     assert(applied.toSeq == rows.toSeq)
   }
 
+  test("d14: bloom prefilter prunes without changing the plain-join answer") {
+    import graft.operators.Dedup
+    val rows = Dedup.d14(spark, sf).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("is_dup")))
+    assert(rows.nonEmpty)
+    // plain-join reference (no bloom anywhere)
+    val docs = Tables.documents(spark, sf)
+      .selectExpr("doc_id", "md5(lower(trim(text))) AS digest")
+      .as[(Long, String)].collect()
+    val archive = docs.filter(_._1 % 2 == 0).map(_._2).toSet
+    val batch = docs.filter(_._1 % 2 == 1) ++
+      docs.filter(_._1 % 10 == 0).map { case (id, d) => (id + 50000, d) }
+    val want = batch.map { case (id, d) => (id, if (archive(d)) 1L else 0L) }
+      .sortBy(_._1)
+    assert(rows.toSeq == want.toSeq)
+    // the seeded re-ingestions are all flagged; dedup is non-trivial
+    val dupIds = rows.filter(_._2 == 1L).map(_._1).toSet
+    val seeded = docs.filter(_._1 % 10 == 0).map(_._1 + 50000).toSet
+    assert(seeded.subsetOf(dupIds))
+    assert(rows.count(_._2 == 0L) > 0)
+    // the prefilter really prunes: candidates (bloom-passing rows)
+    // sit between the true dups (no false negatives) and well below
+    // the whole batch at 1% fpp
+    val bloom = Tables.documents(spark, sf)
+      .filter($"doc_id" % 2 === 0)
+      .selectExpr("md5(lower(trim(text))) AS digest")
+      .stat.bloomFilter("digest", archive.size.toLong, 0.01)
+    val nCand = batch.count { case (_, d) => bloom.mightContainString(d) }
+    assert(nCand >= dupIds.size, "bloom produced a false negative")
+    assert(nCand <= dupIds.size + math.max(10, batch.length / 20),
+      s"bloom barely pruned: $nCand candidates of ${batch.length}")
+  }
+
   test("v9 IVF-PQ: candidates confined to probed clusters, ranked lists well-formed") {
     val rows = Knn.v9(spark, sf).collect()
     assert(rows.nonEmpty)
