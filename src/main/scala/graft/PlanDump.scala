@@ -71,6 +71,7 @@ object PlanDump {
       "w22_regrid_bilinear" -> "bilinear regrid: corner-key explode + one equality join on the cell key, integer-weight blend",
       "g1_pagerank" -> "integer PageRank: per-round edges-rank equality join + dst partial aggregate (final round's plan)",
       "v12_silhouette" -> "silhouette: broadcast centroids, one narrow corpus scan, one cid aggregate of pre-quantized integers",
+      "d14_incremental_dedup" -> "incremental dedup: broadcast-bloom narrow prefilter, exact verify semi-join probes candidates only",
     )
     val sb = new StringBuilder
     sb.append("# PLANS — formatted physical plans (generated by graft.PlanDump at sf0.001)\n")
