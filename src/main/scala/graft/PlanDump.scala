@@ -72,6 +72,9 @@ object PlanDump {
       "g1_pagerank" -> "integer PageRank: per-round edges-rank equality join + dst partial aggregate (final round's plan)",
       "v12_silhouette" -> "silhouette: broadcast centroids, one narrow corpus scan, one cid aggregate of pre-quantized integers",
       "d14_incremental_dedup" -> "incremental dedup: broadcast-bloom narrow prefilter, exact verify semi-join probes candidates only",
+      "g2_hits" -> "integer HITS: per-half-step edges-state equality join + partial aggregate, 1-row norm broadcast (final round's plan)",
+      "p7_compaction" -> "compaction plan: one inventory shuffle on the partition key, in-partition window prefix sum + manifest aggregate",
+      "t20_importance_weights" -> "DSIR weights: fixed-size hashed-feature tables broadcast, per-doc aggregate, 1-row threshold broadcast",
     )
     val sb = new StringBuilder
     sb.append("# PLANS — formatted physical plans (generated by graft.PlanDump at sf0.001)\n")

@@ -75,6 +75,101 @@ object Graph {
       .transform(graft.Tables.ordered(_, $"c_custkey"))
   }
 
+  private val g2Rounds = 8
+
+  /** g2: HITS hubs & authorities (Kleinberg 1999, JACM 46(5)) over
+    * g1's derived link graph — the second classic crawl-ranking
+    * signal: authorities are what you KEEP, hubs are where you CRAWL
+    * NEXT. Mutual recursion per round: auth(v) = Σ_{u→v} hub(u),
+    * then hub(u) = Σ_{u→v} auth(v) using the NEW auth (the standard
+    * update order).
+    *
+    * Integerization: HITS needs a norm each round or scores explode.
+    * The float L2 norm is order-dependent across engines, so instead
+    * each half-step rescales integer mass: x'(v) = xraw(v) div
+    * max(total div S, 1) with S = [[massS]]. All values stay
+    * positive BIGINTs (per-node raw ≤ total ≈ 3S — no overflow, and
+    * no BIGINT·BIGINT product anywhere, which DuckDB would reject);
+    * total mass stays in [S, 2S); truncation loss is deterministic
+    * and identical in both engines (g1's fixed-point argument). The
+    * 1-row total rides a broadcast cross join INSIDE each round's
+    * checkpointed plan — no driver collect.
+    *
+    * Scale shape per half-step: one edges⋈state equality join + one
+    * dst (resp. src) partial aggregate + a 1-row total broadcast;
+    * state localCheckpoint'd per round and freed
+    * ([[graft.functions.Lineage.freeCheckpoint]]) — the q27/d6/g1
+    * iterative contract. Edges co-partition by the join side across
+    * rounds, so a cluster reuses one exchange per direction.
+    */
+  def g2(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val nodes = Tables.customer(spark, dir).select($"c_custkey".as("id")).cache()
+    val n = nodes.count()
+    val edges = nodes.selectExpr("id AS src", s"(id * 31 + 7) % $n AS dst")
+      .unionAll(nodes.selectExpr("id AS src", s"(id * 17 + 3) % $n AS dst"))
+      .unionAll(nodes.filter($"id" >= 2).selectExpr("id AS src", "id div 2 AS dst"))
+      .cache()
+    // one normalized half-step: raw = Σ over edges of the other
+    // score, then rescale to ~S total via the integer quotient
+    def halfStep(state: DataFrame, scoreCol: String, keyIn: String,
+                 keyOut: String, outCol: String): DataFrame = {
+      val raw = edges
+        .join(state.withColumnRenamed("id", keyIn), Seq(keyIn))
+        .groupBy(col(keyOut).as("id"))
+        .agg(sum(col(scoreCol)).as("raw"))
+      val total = raw.agg(expr(s"greatest(sum(raw) div $massS, CAST(1 AS BIGINT)) AS q"))
+      nodes.join(raw, Seq("id"), "left_outer")
+        .crossJoin(broadcast(total))
+        .selectExpr("id", s"coalesce(raw, CAST(0 AS BIGINT)) div q AS $outCol")
+    }
+    var auth = nodes.withColumn("a", lit(massS / n)).localCheckpoint()
+    var hub = nodes.withColumn("h", lit(massS / n)).localCheckpoint()
+    (1 to g2Rounds).foreach { _ =>
+      val nextAuth = halfStep(hub, "h", "src", "dst", "a").localCheckpoint()
+      graft.functions.Lineage.freeCheckpoint(auth)
+      auth = nextAuth
+      val nextHub = halfStep(auth, "a", "dst", "src", "h").localCheckpoint()
+      graft.functions.Lineage.freeCheckpoint(hub)
+      hub = nextHub
+    }
+    auth.join(hub, Seq("id"))
+      .select($"id".as("c_custkey"), $"a".as("auth_mass"), $"h".as("hub_mass"))
+      .transform(graft.Tables.ordered(_, $"c_custkey"))
+  }
+
+  /** g2 oracle: the identical normalized integer mutual recursion
+    * unrolled — an (araw, a, hraw, h) CTE quad per round; `//` equals
+    * Spark's `div` on these all-positive values; BIGINT sums cast
+    * back from DuckDB's HUGEINT.
+    */
+  val g2Sql: String = {
+    val rounds = (1 to g2Rounds).map { i =>
+      s"""ar$i AS MATERIALIZED (SELECT e.dst AS id, CAST(sum(h.h) AS BIGINT) AS raw
+         |         FROM e JOIN h${i - 1} h ON h.id = e.src GROUP BY e.dst),
+         |a$i AS MATERIALIZED (SELECT nd.id,
+         |          coalesce(r.raw, 0) // (SELECT greatest(CAST(sum(raw) AS BIGINT) // $massS, 1) FROM ar$i) AS a
+         |        FROM nodes nd LEFT JOIN ar$i r ON r.id = nd.id),
+         |hr$i AS MATERIALIZED (SELECT e.src AS id, CAST(sum(a.a) AS BIGINT) AS raw
+         |         FROM e JOIN a$i a ON a.id = e.dst GROUP BY e.src),
+         |h$i AS MATERIALIZED (SELECT nd.id,
+         |          coalesce(r.raw, 0) // (SELECT greatest(CAST(sum(raw) AS BIGINT) // $massS, 1) FROM hr$i) AS h
+         |        FROM nodes nd LEFT JOIN hr$i r ON r.id = nd.id)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH nn AS (SELECT count(*) AS n FROM customer),
+      |nodes AS (SELECT c_custkey AS id FROM customer),
+      |e AS MATERIALIZED (SELECT id AS src, (id * 31 + 7) % nn.n AS dst FROM nodes, nn
+      |      UNION ALL SELECT id, (id * 17 + 3) % nn.n FROM nodes, nn
+      |      UNION ALL SELECT id, id // 2 FROM nodes WHERE id >= 2),
+      |a0 AS (SELECT id, CAST($massS // nn.n AS BIGINT) AS a FROM nodes, nn),
+      |h0 AS (SELECT id, CAST($massS // nn.n AS BIGINT) AS h FROM nodes, nn),
+      |$rounds
+      |SELECT a.id AS c_custkey, CAST(a.a AS BIGINT) AS auth_mass,
+      |       CAST(h.h AS BIGINT) AS hub_mass
+      |FROM a$g2Rounds a JOIN h$g2Rounds h ON h.id = a.id
+      |ORDER BY c_custkey""".stripMargin
+  }
+
   /** g1 oracle: the identical integer power method unrolled — one
     * (contrib, rank) CTE pair per round over the same arithmetic
     * edge multiset; `//` (floor) equals Spark's `div` on these

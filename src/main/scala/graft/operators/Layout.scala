@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
 
@@ -78,4 +79,61 @@ object Layout {
       |GROUP BY 1
       |ORDER BY 1""".stripMargin
   }
+
+  /** Compaction plan target size, in document characters (stands in
+    * for bytes of the real file inventory).
+    */
+  private val compactTarget = 2048L
+
+  /** p7: small-file compaction planning — THE recurring maintenance
+    * op of a 100 TB table that ingests incrementally: millions of
+    * small files destroy scan throughput (one task + one open per
+    * file), so a nightly pass bin-packs them into ~target-size
+    * outputs. Input here is the documents inventory read AS file
+    * metadata — (source = partition, doc_id = file, n_chars = size);
+    * a real run would `binaryFile`-list or read the table manifest,
+    * and the planner is pure metadata either way.
+    *
+    * Plan rule (concatenate-and-cut): within each partition, order
+    * files by id, take the running byte offset, and assign each file
+    * to output group start_offset div target — deterministic, one
+    * pass, no driver loop (greedy first-fit would serialize). Output
+    * is the per-output-file manifest: file count, byte total, and
+    * the id range each compacted file covers (what the rewrite job
+    * consumes).
+    *
+    * Scale shape: ONE shuffle on the partition key; the prefix sum
+    * is a window WITHIN each partition — bounded by per-partition
+    * file counts, never a global sort (t9's three-level scan is the
+    * escape hatch if one partition alone held billions of files).
+    * The plan is metadata-sized (rows = files, not data), so the
+    * planner costs ~nothing next to the rewrite it schedules.
+    */
+  def p7(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"source").orderBy($"doc_id")
+    Tables.documents(spark, dir)
+      .select($"source", $"doc_id", $"n_chars")
+      .withColumn("start_off",
+        coalesce(sum($"n_chars").over(w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .selectExpr("source", "doc_id", "n_chars",
+        s"start_off div $compactTarget AS out_file")
+      .groupBy($"source", $"out_file")
+      .agg(count(lit(1)).as("n_files"), sum($"n_chars").as("bytes"),
+        min($"doc_id").as("first_id"), max($"doc_id").as("last_id"))
+      .transform(Tables.ordered(_, $"source", $"out_file"))
+  }
+
+  val p7Sql: String =
+    s"""WITH inv AS (
+      |  SELECT source, doc_id, n_chars,
+      |    coalesce(sum(n_chars) OVER (PARTITION BY source ORDER BY doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_off
+      |  FROM documents)
+      |SELECT source, CAST(start_off // $compactTarget AS BIGINT) AS out_file,
+      |  count(*) AS n_files, CAST(sum(n_chars) AS BIGINT) AS bytes,
+      |  min(doc_id) AS first_id, max(doc_id) AS last_id
+      |FROM inv
+      |GROUP BY 1, 2
+      |ORDER BY 1, 2""".stripMargin
 }

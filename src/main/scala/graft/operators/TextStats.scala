@@ -957,6 +957,145 @@ object TextStats {
        |ORDER BY round, rk""".stripMargin
   }
 
+  // ---------- t20: data-selection importance weights (DSIR) ----------
+
+  /** Hashed-feature bucket count for t20 — vocabulary-independent,
+    * so the feature tables are FIXED-SIZE regardless of corpus scale.
+    */
+  private val dsirBuckets = 512
+
+  /** t20: importance-weighted data selection (DSIR — Xie et al. 2024,
+    * "Data Selection for Language Models via Importance Resampling",
+    * NeurIPS). t15 resamples to HAND-PICKED per-source weights; t20
+    * DERIVES each document's weight from the data itself: estimate
+    * target and raw feature distributions from hashed-unigram counts,
+    * and weight every document by its log importance ratio
+    * log p_target(doc) − log p_raw(doc) = Σ_w lr(f(w)) under the
+    * bag-of-hashed-features model. The target here is the sclass-0
+    * "curated" source class (t15's convention); a real pipeline
+    * points it at any high-quality reference corpus.
+    *
+    * Determinism: per-feature Laplace-smoothed log-probs are
+    * quantized once (floor(ln·1e9+0.5) — §8.4), so every downstream
+    * sum/compare is exact BIGINT. Selection avoids BIGINT division
+    * entirely (Spark `div` truncates toward zero, DuckDB `//`
+    * floors — they DIVERGE on the negative weights this op
+    * produces): `selected = iw9·n_docs > Σ iw9` cross-multiplies
+    * the above-mean test (safe: n_docs > 0; magnitudes ~1e12·1e4 at
+    * gate scale — at billions of docs, drop the flag to a driver-side
+    * threshold or rescale the quantization).
+    *
+    * Scale shape: the feature tables are ≤ [[dsirBuckets]] rows by
+    * construction (the POINT of hashed features) — both distribution
+    * estimates and the scoring join BROADCAST; the only corpus
+    * shuffles are the per-doc aggregate and the two bounded count
+    * aggregates. The 1-row selection threshold rides a broadcast
+    * cross join. One cached explode feeds all passes.
+    */
+  /** The shared DSIR estimator internals: the cached hashed-feature
+    * occurrence table, the raw per-feature counts, and the quantized
+    * per-feature log-ratio table — used by the distributed t20 query
+    * and by [[dsirModel]]'s serving export.
+    */
+  private def dsirParts(spark: SparkSession, dir: String): (DataFrame, DataFrame, DataFrame) = {
+    import spark.implicits._
+    val occ = Tables.documents(spark, dir)
+      .selectExpr("doc_id",
+        "CAST(substring(source, 4) AS INT) % 5 AS sclass",
+        "explode(split(lower(trim(text)), ' ')) AS w")
+      .selectExpr("doc_id", "sclass",
+        s"CAST(conv(substring(md5(w), 1, 4), 16, 10) AS BIGINT) % $dsirBuckets AS f")
+      .cache() // feeds raw counts, target counts, totals and scoring
+    val raw = occ.groupBy($"f").agg(count(lit(1)).as("cr"))
+    val tgt = occ.filter($"sclass" === 0).groupBy($"f").agg(count(lit(1)).as("ct"))
+    val nt = occ.filter($"sclass" === 0).agg(count(lit(1)).as("nt"))
+    val nr = occ.agg(count(lit(1)).as("nr"))
+    val feat = raw.join(tgt, Seq("f"), "left_outer")
+      .crossJoin(broadcast(nt)).crossJoin(broadcast(nr))
+      .selectExpr("f",
+        s"floor(ln((coalesce(ct, CAST(0 AS BIGINT)) + 1) / CAST(nt + $dsirBuckets AS DOUBLE)) * 1e9 + 0.5)" +
+          s" - floor(ln((cr + 1) / CAST(nr + $dsirBuckets AS DOUBLE)) * 1e9 + 0.5) AS lr9")
+    (occ, raw, feat)
+  }
+
+  def t20(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val (occ, _, feat) = dsirParts(spark, dir)
+    val scored = occ.join(broadcast(feat), Seq("f"))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_words"), sum($"lr9").as("iw9"))
+    val thr = scored.agg(sum($"iw9").as("tot"), count(lit(1)).as("nd"))
+    scored.crossJoin(broadcast(thr))
+      .selectExpr("doc_id", "n_words", "iw9",
+        "CAST(CASE WHEN iw9 * nd > tot THEN 1 ELSE 0 END AS BIGINT) AS selected")
+      .transform(Tables.ordered(_, $"doc_id"))
+  }
+
+  /** DSIR model export — the SERVING boundary: the trained estimator
+    * is a [[dsirBuckets]]-entry quantized log-ratio table plus the
+    * selection threshold (Σiw9, n_docs), and collecting it to the
+    * driver is the standard model-deploy step (bounded by
+    * construction — 512 rows + 1 row, never corpus-sized). The
+    * threshold total needs NO second corpus pass: Σ_docs iw9 =
+    * Σ_f cr(f)·lr9(f) over the fixed-size feature table.
+    */
+  def dsirModel(spark: SparkSession, dir: String): (Map[Long, Long], Long, Long) = {
+    import spark.implicits._
+    val (_, raw, feat) = dsirParts(spark, dir)
+    val m = feat.as[(Long, Long)].collect().toMap
+    val tot = raw.join(feat, Seq("f"))
+      .agg(sum($"cr" * $"lr9").as("tot")).as[Long].head()
+    // every doc contributes ≥1 occurrence (split of any string is
+    // non-empty) and every occurrence's feature is in the raw table,
+    // so the scored-doc count is exactly the document count
+    val nd = Tables.documents(spark, dir).count()
+    (m, tot, nd)
+  }
+
+  /** Score documents against a trained DSIR model as a PURE NARROW
+    * MAP — the model rides the plan as a literal lookup table, so
+    * the same function serves the batch corpus and the streaming
+    * ingest door (s16): zero shuffles, zero state, stream-safe.
+    * Bitwise-identical to t20's distributed scoring by construction
+    * (same quantized table, same integer arithmetic; spec'd).
+    */
+  def dsirScore(docs: DataFrame, lr9: Map[Long, Long], tot: Long, nd: Long): DataFrame =
+    docs
+      .withColumn("ws", expr("split(lower(trim(text)), ' ')"))
+      .withColumn("m", typedLit(lr9))
+      .selectExpr("doc_id", "CAST(size(ws) AS BIGINT) AS n_words",
+        s"aggregate(ws, CAST(0 AS BIGINT), (acc, w) -> acc + " +
+          s"coalesce(element_at(m, CAST(conv(substring(md5(w), 1, 4), 16, 10) AS BIGINT) % $dsirBuckets), CAST(0 AS BIGINT))) AS iw9")
+      .selectExpr("doc_id", "n_words", "iw9",
+        s"CAST(CASE WHEN iw9 * ${nd}L > ${tot}L THEN 1 ELSE 0 END AS BIGINT) AS selected")
+
+  /** t20 oracle: identical hashed-feature estimate — same md5-prefix
+    * bucket idiom as t15's, quantized logs, cross-multiplied
+    * above-mean selection; BIGINT sums cast back from HUGEINT.
+    */
+  val t20Sql: String =
+    s"""WITH occ AS (
+      |  SELECT doc_id,
+      |    CAST(substring(source, 4) AS INT) % 5 AS sclass,
+      |    CAST(('0x' || substring(md5(w), 1, 4))::BIGINT AS BIGINT) % $dsirBuckets AS f
+      |  FROM (SELECT doc_id, source, unnest(string_split(lower(trim(text)), ' ')) AS w
+      |        FROM documents)),
+      |raw AS (SELECT f, count(*) AS cr FROM occ GROUP BY f),
+      |tgt AS (SELECT f, count(*) AS ct FROM occ WHERE sclass = 0 GROUP BY f),
+      |nt AS (SELECT count(*) AS nt FROM occ WHERE sclass = 0),
+      |nr AS (SELECT count(*) AS nr FROM occ),
+      |feat AS (SELECT f,
+      |    CAST(floor(ln((coalesce(ct, 0) + 1) / CAST(nt.nt + $dsirBuckets AS DOUBLE)) * 1e9 + 0.5) AS BIGINT)
+      |    - CAST(floor(ln((cr + 1) / CAST(nr.nr + $dsirBuckets AS DOUBLE)) * 1e9 + 0.5) AS BIGINT) AS lr9
+      |  FROM raw LEFT JOIN tgt USING (f), nt, nr),
+      |scored AS (SELECT doc_id, count(*) AS n_words, CAST(sum(lr9) AS BIGINT) AS iw9
+      |           FROM occ JOIN feat USING (f) GROUP BY doc_id),
+      |thr AS (SELECT CAST(sum(iw9) AS BIGINT) AS tot, count(*) AS nd FROM scored)
+      |SELECT doc_id, n_words, iw9,
+      |  CAST(CASE WHEN iw9 * nd > tot THEN 1 ELSE 0 END AS BIGINT) AS selected
+      |FROM scored, thr
+      |ORDER BY doc_id""".stripMargin
+
   val t18Sql: String =
     s"""WITH RECURSIVE $t17Ctes,
        |pertok AS (SELECT replace(s, ' ', '') AS w,

@@ -917,4 +917,28 @@ object EventStreams {
         ()
       }.start()
   }
+
+  /** s16: t20's DSIR data selection at the streaming ingest door —
+    * TRAIN OFFLINE, SERVE ONLINE, the deployment shape importance
+    * resampling actually ships with: the batch-estimated model
+    * ([[graft.operators.TextStats.dsirModel]] — a 512-entry
+    * quantized log-ratio table + the selection threshold, bounded
+    * by construction) rides the stream plan as a literal lookup, so
+    * scoring is a STATELESS narrow map (zero shuffles, zero state
+    * stores, no watermark) and each arriving document gets its
+    * keep/drop flag immediately. Output is bitwise-identical to the
+    * batch t20 (same quantized table, same integer arithmetic) —
+    * oracle reuses t20's SQL; the spec asserts row parity.
+    */
+  def s16(spark: SparkSession, dir: String): DataFrame = {
+    val ts = graft.operators.TextStats
+    val (m, tot, nd) = ts.dsirModel(spark, dir)
+    val ss = streamSession(spark)
+    import ss.implicits._
+    val schema = ss.read.parquet(s"$dir/documents.parquet").schema
+    val src = ss.readStream.schema(schema)
+      .option("pathGlobFilter", "documents.parquet").parquet(dir)
+    runToTable(ss, ts.dsirScore(src, m, tot, nd), OutputMode.Append())
+      .orderBy($"doc_id")
+  }
 }

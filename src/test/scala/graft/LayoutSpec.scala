@@ -53,4 +53,40 @@ class LayoutSpec extends AnyFunSuite {
     assert(zOrder < lexOrder * 0.6, s"z=$zOrder lex=$lexOrder")
     cells.unpersist()
   }
+
+  test("p7: compaction plan equals the sequential concatenate-and-cut bitwise") {
+    val rows = Layout.p7(spark, sf).collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[Long]("out_file"),
+        r.getAs[Long]("n_files"), r.getAs[Long]("bytes"),
+        r.getAs[Long]("first_id"), r.getAs[Long]("last_id")))
+    val inv = Tables.documents(spark, sf)
+      .selectExpr("source", "doc_id", "n_chars")
+      .as[(String, Long, Long)].collect()
+    // sequential reference: running offset per source, cut at 2048
+    val want = inv.groupBy(_._1).toSeq.flatMap { case (src, g) =>
+      var off = 0L
+      val assigned = g.sortBy(_._2).map { case (_, id, sz) =>
+        val grp = off / 2048L; off += sz; (grp, id, sz)
+      }
+      assigned.groupBy(_._1).map { case (grp, fs) =>
+        (src, grp, fs.length.toLong, fs.map(_._3).sum,
+          fs.map(_._2).min, fs.map(_._2).max)
+      }
+    }.sortBy(t => (t._1, t._2))
+    assert(rows.toSeq == want)
+    // the plan PARTITIONS the inventory (every file lands exactly once)
+    assert(rows.map(_._3).sum == inv.length)
+    // within a source, output files cover disjoint increasing id
+    // ranges (the rewrite job can run them independently)
+    rows.groupBy(_._1).foreach { case (src, g) =>
+      val sorted = g.sortBy(_._2)
+      sorted.sliding(2).foreach {
+        case Array(a, b) => assert(a._6 < b._5, s"$src: ranges overlap")
+        case _ =>
+      }
+      // and actually compacts: fewer outputs than inputs
+      val nIn = inv.count(_._1 == src)
+      assert(sorted.length < nIn, s"$src: no compaction ($nIn files)")
+    }
+  }
 }

@@ -356,4 +356,29 @@ class PlanSpec extends AnyFunSuite {
       case (k, None) => spark.conf.unset(k)
     }
   }
+
+  test("p7: the plan costs one inventory shuffle — window and aggregate share it") {
+    val p = plan(graft.operators.Layout.p7(spark, sf)).split("== Initial Plan ==")(0)
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"))
+    // source-hash exchange (window + same-keyed agg reuse it) + the
+    // presentation sort — never a single-partition global window
+    assert(!p.contains("SinglePartition"), s"global window leaked:\n$p")
+    val exchanges = "ShuffleQueryStage".r.findAllIn(p).length
+    assert(exchanges <= 2, s"expected window+agg to share the source shuffle; got $exchanges\n$p")
+  }
+
+  test("t20: feature tables broadcast — corpus never shuffle-joins") {
+    val p = plan(graft.operators.TextStats.t20(spark, sf)).split("== Initial Plan ==")(0)
+    assert(!p.contains("CartesianProduct"))
+    // the occurrence⋈feature scoring join rides a broadcast; a
+    // sort-merge join would mean the corpus shuffled on the feature
+    // key. The only nested-loop joins are the Cross-build broadcasts
+    // of 1-row totals (nt/nr/threshold) — assert nothing else
+    // nested-loops
+    assert(!p.contains("SortMergeJoin"), s"corpus shuffle-joined:\n$p")
+    assert(p.contains("BroadcastHashJoin"))
+    val bnlj = "BroadcastNestedLoopJoin ([a-zA-Z]+)".r.findAllMatchIn(p).map(_.group(1)).toSeq
+    assert(bnlj.forall(_ == "Cross"), s"non-cross nested-loop: $bnlj")
+    assert(bnlj.length <= 5, s"more 1-row broadcasts than the totals need: $bnlj")
+  }
 }

@@ -364,6 +364,85 @@ class RelationalSpec extends AnyFunSuite {
     assert(total <= S && total >= S * 8 / 10, s"total mass $total")
   }
 
+  test("g2: distributed integer HITS equals a sequential reimplementation bitwise") {
+    val rows = graft.operators.Graph.g2(spark, sf).collect()
+      .map(r => (r.getAs[Long]("c_custkey"), r.getAs[Long]("auth_mass"),
+        r.getAs[Long]("hub_mass")))
+    val n = Tables.customer(spark, sf).count()
+    assert(rows.length == n)
+    // sequential reference: same graph, same normalized truncating
+    // mutual recursion (auth from old hub, hub from NEW auth)
+    val S = 1000000000000L
+    val ids = (0L until n).toArray
+    val edges = ids.flatMap { u =>
+      Seq(u -> ((u * 31 + 7) % n), u -> ((u * 17 + 3) % n)) ++
+        (if (u >= 2) Seq(u -> (u / 2)) else Nil)
+    }
+    def half(score: Map[Long, Long], in: Boolean): Map[Long, Long] = {
+      val raw = scala.collection.mutable.Map[Long, Long]().withDefaultValue(0L)
+      edges.foreach { case (u, v) =>
+        if (in) raw(v) += score(u) else raw(u) += score(v)
+      }
+      val q = math.max(raw.values.sum / S, 1L)
+      ids.map(id => id -> raw(id) / q).toMap
+    }
+    var a = ids.map(_ -> (S / n)).toMap
+    var h = ids.map(_ -> (S / n)).toMap
+    (1 to 8).foreach { _ => a = half(h, in = true); h = half(a, in = false) }
+    rows.foreach { case (id, am, hm) =>
+      assert(am == a(id) && hm == h(id), s"node $id: ($am,$hm) != (${a(id)},${h(id)})")
+    }
+    // normalization keeps total mass in a bounded band, never explodes
+    val ta = rows.map(_._2).sum; val th = rows.map(_._3).sum
+    assert(ta > S / 2 && ta < 3 * S, s"auth mass $ta")
+    assert(th > S / 2 && th < 3 * S, s"hub mass $th")
+  }
+
+  test("t20: DSIR importance weights equal a sequential reimplementation bitwise") {
+    val ts = graft.operators.TextStats
+    val rows = ts.t20(spark, sf).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_words"),
+        r.getAs[Long]("iw9"), r.getAs[Long]("selected")))
+    val docs = Tables.documents(spark, sf)
+      .selectExpr("doc_id", "source", "lower(trim(text)) AS t")
+      .as[(Long, String, String)].collect()
+    assert(rows.length == docs.length)
+    // sequential reference: identical hashed features, Laplace logs
+    // quantized with the same java.lang.Math.log Spark executes
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def feat(w: String): Long = {
+      val hex = md.digest(w.getBytes("UTF-8")).take(2).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex, 16) % 512
+    }
+    val occ = docs.flatMap { case (id, src, t) =>
+      val sclass = src.substring(3).toInt % 5
+      t.split(" ", -1).map(w => (id, sclass, feat(w)))
+    }
+    val cr = occ.groupBy(_._3).view.mapValues(_.length.toLong).toMap
+    val tOcc = occ.filter(_._2 == 0)
+    val ct = tOcc.groupBy(_._3).view.mapValues(_.length.toLong).toMap
+    val nt = tOcc.length.toLong; val nr = occ.length.toLong
+    def lp9(c: Long, tot: Long): Long =
+      math.floor(math.log((c + 1).toDouble / (tot + 512).toDouble) * 1e9 + 0.5).toLong
+    val lr9 = cr.keys.map(f => f -> (lp9(ct.getOrElse(f, 0L), nt) - lp9(cr(f), nr))).toMap
+    val scored = occ.groupBy(_._1).view
+      .mapValues(g => (g.length.toLong, g.map(o => lr9(o._3)).sum)).toMap
+    val tot = scored.values.map(_._2).sum; val nd = scored.size.toLong
+    rows.foreach { case (id, nw, iw, sel) =>
+      val (wnw, wiw) = scored(id)
+      assert(nw == wnw && iw == wiw, s"doc $id: ($nw,$iw) != ($wnw,$wiw)")
+      assert(sel == (if (wiw * nd > tot) 1L else 0L), s"doc $id selected")
+    }
+    // the estimator must actually prefer target-class documents
+    val bySel = docs.map { case (id, src, _) =>
+      (src.substring(3).toInt % 5 == 0, scored(id)._2.toDouble / scored(id)._1)
+    }
+    val tgtMean = bySel.filter(_._1).map(_._2).sum / bySel.count(_._1)
+    val restMean = bySel.filter(!_._1).map(_._2).sum / bySel.count(!_._1)
+    assert(tgtMean > restMean,
+      s"target-class mean per-word weight $tgtMean !> rest $restMean")
+  }
+
   test("e11: pattern runs equal a sequential per-user rescan") {
     import graft.operators.EventWindows
     val rows = EventWindows.e11(spark, sf).collect()

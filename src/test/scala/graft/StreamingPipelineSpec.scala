@@ -373,6 +373,21 @@ class StreamingPipelineSpec extends AnyFunSuite {
       "no duplicate hashes — the dedup state was never exercised")
   }
 
+  test("s16 streamed DSIR scoring equals the batch t20 row-for-row") {
+    // train-offline / serve-online: the literal-map narrow scorer on
+    // the stream must reproduce the distributed batch estimator
+    // bitwise — same quantized table, same integer arithmetic
+    val streamed = graft.streaming.EventStreams.s16(spark, SharedSpark.sf).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_words"),
+        r.getAs[Long]("iw9"), r.getAs[Long]("selected"))).toSeq
+    val batch = graft.operators.TextStats.t20(spark, SharedSpark.sf).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_words"),
+        r.getAs[Long]("iw9"), r.getAs[Long]("selected"))).toSeq
+    assert(streamed == batch)
+    // the gate is real: both keep and drop decisions occur
+    assert(streamed.exists(_._4 == 1L) && streamed.exists(_._4 == 0L))
+  }
+
   test("s12 dedup suppresses re-delivered keys across micro-batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
