@@ -69,6 +69,20 @@ object Graft {
     */
   def freeCheckpoint(df: DataFrame): Unit = functions.Lineage.freeCheckpoint(df)
 
+  // ---- data selection (DSIR), train offline / serve online ----
+  /** Train the DSIR importance estimator on a corpus directory:
+    * returns (quantized per-feature log-ratio table, Σ corpus weight,
+    * doc count) — bounded by construction (512 + 1 rows).
+    */
+  def dsirModel(spark: SparkSession, dataDir: String): (Map[Long, Long], Long, Long) =
+    operators.TextStats.dsirModel(spark, dataDir)
+
+  /** Score (doc_id, text) rows against a trained DSIR model as a
+    * stateless narrow map — safe on `readStream` (see s16).
+    */
+  def dsirScore(docs: DataFrame, lr9: Map[Long, Long], tot: Long, nd: Long): DataFrame =
+    operators.TextStats.dsirScore(docs, lr9, tot, nd)
+
   /** Registry of every operator: name -> (session, sfDir) => result. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = SparkEntry.queries
 }

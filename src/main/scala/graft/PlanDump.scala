@@ -75,6 +75,8 @@ object PlanDump {
       "g2_hits" -> "integer HITS: per-half-step edges-state equality join + partial aggregate, 1-row norm broadcast (final round's plan)",
       "p7_compaction" -> "compaction plan: one inventory shuffle on the partition key, in-partition window prefix sum + manifest aggregate",
       "t20_importance_weights" -> "DSIR weights: fixed-size hashed-feature tables broadcast, per-doc aggregate, 1-row threshold broadcast",
+      "v13_centroid_drift" -> "drift monitor: broadcast centroids, one narrow both-halves assignment pass, (cid,half) aggregate + k-row stitch",
+      "d15_soft_dedup" -> "soft dedup: d13's component labels left-join the corpus id set, one root-key mass aggregate",
     )
     val sb = new StringBuilder
     sb.append("# PLANS — formatted physical plans (generated by graft.PlanDump at sf0.001)\n")

@@ -1323,4 +1323,50 @@ object Dedup {
       |SELECT doc_id, root, CAST(doc_id = root AS BIGINT) AS kept
       |FROM roots
       |ORDER BY doc_id""".stripMargin
+
+  // ---------- d15: weight-preserving (soft) dedup ----------
+
+  /** d15: soft dedup — d13's hard keep/remove loses the corpus's
+    * duplication MASS, but repetition count is training signal
+    * (upweighting naturally-repeated content is deliberate in some
+    * mixtures, and sampling pipelines need the mass to keep source
+    * proportions after dedup). d15 emits one row per SURVIVOR with
+    * its replication weight = near-dup cluster size (singletons
+    * weight 1): downstream sampling draws survivors proportional to
+    * weight and the post-dedup corpus preserves the pre-dedup
+    * distribution exactly, with none of the redundant bytes.
+    *
+    * Scale: d13's labels (components over dup-pair nodes ONLY) left-
+    * join the corpus id set — the full corpus never enters the
+    * component computation; the weight aggregate is one shuffle on
+    * the root key. Survivor choice inherits d13's determinism (root
+    * = min id of the component).
+    */
+  def d15(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val labels = d13(spark, dir).select($"doc_id", $"root")
+    val docs = Tables.documents(spark, dir).select($"doc_id")
+    docs.join(labels, Seq("doc_id"), "left_outer")
+      .select(coalesce($"root", $"doc_id").as("doc_id"))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("weight"))
+      .transform(graft.Tables.ordered(_, $"doc_id"))
+  }
+
+  /** d15 oracle: d13's closure CTEs + per-root mass over the whole
+    * corpus (singletons weight 1 via the left join).
+    */
+  val d15Sql: String =
+    s"""WITH RECURSIVE $d2Chain,
+      |dpairs AS (SELECT id_a, id_b FROM j WHERE jaccard >= 0.4),
+      |edges AS (SELECT id_a AS x, id_b AS y FROM dpairs
+      |          UNION SELECT id_b, id_a FROM dpairs),
+      |reach AS (SELECT x, y FROM edges
+      |          UNION SELECT r.x, e.y FROM reach r JOIN edges e ON r.y = e.x),
+      |roots AS (SELECT x AS doc_id, least(x, min(y)) AS root
+      |          FROM reach GROUP BY x)
+      |SELECT coalesce(r.root, d.doc_id) AS doc_id, count(*) AS weight
+      |FROM documents d LEFT JOIN roots r ON r.doc_id = d.doc_id
+      |GROUP BY 1
+      |ORDER BY 1""".stripMargin
 }

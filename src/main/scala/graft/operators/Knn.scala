@@ -972,6 +972,102 @@ object Knn {
       |FROM s GROUP BY cid
       |ORDER BY cid""".stripMargin
 
+  // ---------- v13: embedding-distribution drift monitor ----------
+
+  /** v13: embedding drift monitoring — the scheduled data-ops job a
+    * production corpus runs BETWEEN retrains: has the incoming
+    * distribution moved relative to the reference snapshot the
+    * centroids (and everything built on them — d9's semantic dedup,
+    * v3/v9's IVF partitions) were fit on? Two snapshot halves (even
+    * vec_id = reference, odd = current) assign to the SAME centroid
+    * set; per cluster the monitor reports member counts, integerized
+    * dispersion sums (Σ quantized cosine distance to the centroid),
+    * and the population-shift signal: |share_ref − share_cur| in
+    * exact permille — the first-line drift alarm (a cluster gaining
+    * or losing corpus share means the new data lives elsewhere in
+    * embedding space). Dispersion sums quantize BEFORE summing
+    * (order-free integers, §8.4/§8.1); the share delta uses integer
+    * division on non-negative operands only (Spark div == DuckDB //
+    * there), totals ride a 1-row broadcast.
+    *
+    * Scale: centroids broadcast; ONE narrow pass assigns both halves
+    * (the v3/v9/v12 loop); one (cid, half) aggregate + a full-outer
+    * stitch of two k-row tables. Monitoring cost = one corpus scan,
+    * independent of corpus size — run it per ingest batch.
+    */
+  def v13(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = vectors(spark, dir)
+    val bc = spark.sparkContext.broadcast(
+      codebook(e, "vec_id >= 10 AND vec_id < 18"))
+    val assigned = e.filter($"vec_id" >= 18).select($"vec_id", $"nv")
+      .as[(Long, Array[Double])]
+      .mapPartitions(_.map { case (id, v) =>
+        // nearest centroid, (cs DESC, cid ASC) total order — the v4
+        // assignment tie-break
+        var c1 = -2.0; var id1 = Long.MaxValue
+        bc.value.foreach { case (cid, cv) =>
+          val c = cosQ(cv, v)
+          if (c > c1 || (c == c1 && cid < id1)) { c1 = c; id1 = cid }
+        }
+        val d6 = math.floor((1.0 - c1) * 1e6 + 0.5).toLong
+        (id1, id % 2, d6)
+      }).toDF("cid", "half", "d6")
+    val agg = assigned.groupBy($"cid", $"half")
+      .agg(count(lit(1)).as("n"), sum($"d6").as("sd")).cache()
+    val ref = agg.filter($"half" === 0)
+      .select($"cid", $"n".as("n_ref"), $"sd".as("dist_ref"))
+    val cur = agg.filter($"half" === 1)
+      .select($"cid", $"n".as("n_cur"), $"sd".as("dist_cur"))
+    val totals = agg.agg(
+      sum(when($"half" === 0, $"n").otherwise(0L)).as("nrt"),
+      sum(when($"half" === 1, $"n").otherwise(0L)).as("nct"))
+    ref.join(cur, Seq("cid"), "full_outer")
+      .select($"cid",
+        coalesce($"n_ref", lit(0L)).as("n_ref"),
+        coalesce($"n_cur", lit(0L)).as("n_cur"),
+        coalesce($"dist_ref", lit(0L)).as("dist_ref"),
+        coalesce($"dist_cur", lit(0L)).as("dist_cur"))
+      .crossJoin(broadcast(totals))
+      .selectExpr("cid", "n_ref", "n_cur", "dist_ref", "dist_cur",
+        "abs((n_ref * 1000) div nrt - (n_cur * 1000) div nct) AS share_delta_pm")
+      .transform(graft.Tables.ordered(_, $"cid"))
+  }
+
+  /** v13 oracle: v12's normalization + rank-1 assignment CTEs over
+    * both halves, (cid, half) aggregate, full-outer stitch, 1-row
+    * totals; all divisions integer on non-negative operands.
+    */
+  val v13Sql: String =
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |n AS (SELECT vec_id, v, sqrt(list_inner_product(v, v)) AS nrm FROM e),
+      |m AS (SELECT vec_id, list_transform(v, x -> x / nrm) AS nv FROM n),
+      |cents AS (SELECT vec_id AS cid, nv FROM m WHERE vec_id >= 10 AND vec_id < 18),
+      |corpus AS (SELECT vec_id, nv FROM m WHERE vec_id >= 18),
+      |sc AS (SELECT c.vec_id, ct.cid,
+      |         round(list_inner_product(ct.nv, c.nv) * 1e6) / 1e6 AS cs
+      |       FROM corpus c CROSS JOIN cents ct),
+      |r AS (SELECT vec_id, cid, cs,
+      |        row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cid) AS rn
+      |      FROM sc),
+      |asg AS (SELECT vec_id % 2 AS half, cid,
+      |          CAST(floor((CAST(1 AS DOUBLE) - cs) * 1e6 + 0.5) AS BIGINT) AS d6
+      |        FROM r WHERE rn = 1),
+      |a AS (SELECT cid, half, count(*) AS n, CAST(sum(d6) AS BIGINT) AS sd
+      |      FROM asg GROUP BY 1, 2),
+      |t AS (SELECT CAST(sum(CASE WHEN half = 0 THEN n ELSE 0 END) AS BIGINT) AS nrt,
+      |             CAST(sum(CASE WHEN half = 1 THEN n ELSE 0 END) AS BIGINT) AS nct
+      |      FROM a),
+      |f AS (SELECT coalesce(rf.cid, cu.cid) AS cid,
+      |        coalesce(rf.n, 0) AS n_ref, coalesce(cu.n, 0) AS n_cur,
+      |        coalesce(rf.sd, 0) AS dist_ref, coalesce(cu.sd, 0) AS dist_cur
+      |      FROM (SELECT * FROM a WHERE half = 0) rf
+      |      FULL JOIN (SELECT * FROM a WHERE half = 1) cu ON cu.cid = rf.cid)
+      |SELECT cid, n_ref, n_cur, dist_ref, dist_cur,
+      |  CAST(abs((n_ref * 1000) // t.nrt - (n_cur * 1000) // t.nct) AS BIGINT) AS share_delta_pm
+      |FROM f, t
+      |ORDER BY cid""".stripMargin
+
   // ---------- v10: hybrid retrieval — BM25 ⊕ dense, RRF fusion ----------
 
   /** v10: hybrid retrieval with reciprocal-rank fusion (Cormack et

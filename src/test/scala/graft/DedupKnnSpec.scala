@@ -858,6 +858,69 @@ class DedupKnnSpec extends AnyFunSuite {
     assert(rows.map(r => r._1 -> ((r._2, r._3))).toMap == want)
   }
 
+  test("v13 drift: halves partition the corpus; counts, dispersion and share deltas match a local replay") {
+    import graft.operators.Knn
+    val rows = Knn.v13(spark, sf).collect()
+      .map(r => (r.getAs[Long]("cid"), r.getAs[Long]("n_ref"), r.getAs[Long]("n_cur"),
+        r.getAs[Long]("dist_ref"), r.getAs[Long]("dist_cur"),
+        r.getAs[Long]("share_delta_pm")))
+    assert(rows.nonEmpty)
+    // local replay through the same quantized-cosine assignment
+    val nv = Tables.embeddings(spark, sf)
+      .selectExpr("vec_id", "transform(embedding, x -> CAST(x AS DOUBLE)) AS v")
+      .selectExpr("vec_id", "transform(v, x -> x / sqrt(aggregate(zip_with(v, v, (a, b) -> a * b), CAST(0 AS DOUBLE), (acc, x) -> acc + x))) AS nv")
+      .as[(Long, Array[Double])].collect().toMap
+    def cosQ(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var i = 0
+      while (i < a.length) { d += a(i) * b(i); i += 1 }
+      val q = d * 1e6
+      (if (q >= 0) math.floor(q + 0.5) else math.ceil(q - 0.5)) / 1e6
+    }
+    val cents = (10L until 18L).map(c => c -> nv(c))
+    val asg = nv.keys.filter(_ >= 18).toSeq.map { id =>
+      val (cid, c1) = cents.map { case (c, cv) => (c, cosQ(cv, nv(id))) }
+        .minBy { case (c, s) => (-s, c) }
+      (cid, id % 2, math.floor((1.0 - c1) * 1e6 + 0.5).toLong)
+    }
+    val nrt = asg.count(_._2 == 0L).toLong; val nct = asg.count(_._2 == 1L).toLong
+    val want = asg.groupBy(_._1).map { case (cid, g) =>
+      val (r, c) = g.partition(_._2 == 0L)
+      (cid, r.size.toLong, c.size.toLong, r.map(_._3).sum, c.map(_._3).sum,
+        math.abs(r.size.toLong * 1000 / nrt - c.size.toLong * 1000 / nct))
+    }.toSeq.sortBy(_._1)
+    assert(rows.toSeq == want)
+    // the two halves partition the monitored corpus exactly
+    assert(rows.map(_._2).sum + rows.map(_._3).sum == nv.keys.count(_ >= 18))
+  }
+
+  test("d15 soft dedup: survivor weights preserve the corpus mass and match d13's clusters") {
+    import graft.operators.Dedup
+    val w = Dedup.d15(spark, sf).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("weight"))).toMap
+    val nDocs = Tables.documents(spark, sf).count()
+    // mass conservation: Σ weight == corpus size (nothing lost, the
+    // soft-dedup contract)
+    assert(w.values.sum == nDocs)
+    // survivors are exactly d13's kept CORPUS docs plus every
+    // unclustered doc — d2's pair universe also contains its seeded
+    // re-ingestion fixtures (doc_id ≥ 10000, not documents rows);
+    // they participate in components but carry no corpus mass
+    val labels = Dedup.d13(spark, sf).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("root"), r.getAs[Long]("kept")))
+    val corpus = (0L until nDocs).toSet
+    val clustered = labels.map(_._1).toSet
+    val kept = labels.filter(_._3 == 1L).map(_._1).toSet.intersect(corpus)
+    assert(w.keySet == corpus.diff(clustered) ++ kept)
+    // each survivor's weight is its component's CORPUS member count;
+    // singletons weigh 1
+    val sizes = labels.filter(l => corpus(l._1)).groupBy(_._2).view
+      .mapValues(_.length.toLong).toMap
+    kept.foreach(r => assert(w(r) == sizes(r), s"root $r"))
+    w.keySet.filterNot(kept).foreach(d => assert(w(d) == 1L, s"singleton $d"))
+    // dedup is real: at least one survivor carries mass > 1
+    assert(w.values.exists(_ > 1L))
+  }
+
   test("v8 MMR: 5 diverse picks from the top-10 pool, step 1 = argmax relevance") {
     val rows = Knn.v8(spark, sf)
       .select($"qid", $"rnk", $"vec_id", $"mmr_score")
