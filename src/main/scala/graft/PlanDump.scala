@@ -77,6 +77,13 @@ object PlanDump {
       "t20_importance_weights" -> "DSIR weights: fixed-size hashed-feature tables broadcast, per-doc aggregate, 1-row threshold broadcast",
       "v13_centroid_drift" -> "drift monitor: broadcast centroids, one narrow both-halves assignment pass, (cid,half) aggregate + k-row stitch",
       "d15_soft_dedup" -> "soft dedup: d13's component labels left-join the corpus id set, one root-key mass aggregate",
+      "q30_exact_median" -> "exact median/mode: value-histogram aggregate below the window — order statistics over distinct values, not raw rows",
+      "g3_triangles" -> "triangles: degree-ordered orientation, two equality wedge joins, positional corner union",
+      "t21_quality_filters" -> "Gopher/C4 gates: pure narrow map, integerized rules, zero shuffles",
+      "v14_pq_refine" -> "PQ refine: ADC shortlist via two-level rank, vector fetch by equality join, exact re-rank bounded",
+      "p8_table_stats" -> "column stats: one scan, multi-distinct Expand, 1-row stack unpivot",
+      "e12_attribution" -> "last-touch attribution: forward-fill groups + equality join sharing the user-key hash — no inequality as-of pair blow-up",
+      "q31_hll_distinct" -> "HLL sketch: narrow hash+rank map, 1024-row register aggregate (map-side partial max), 1-row estimate",
     )
     val sb = new StringBuilder
     sb.append("# PLANS — formatted physical plans (generated by graft.PlanDump at sf0.001)\n")

@@ -437,4 +437,78 @@ object EventWindows {
       |SELECT user_id, start_us, end_us, n_steps, gain_cents
       |FROM g WHERE n_steps >= 3
       |ORDER BY user_id, start_us""".stripMargin
+
+  // ---------- e12: last-touch attribution ----------
+
+  /** Attribution lookback: a touch older than this at conversion
+    * time gets credit 'none'.
+    */
+  private val e12LookbackUs: Long = 30L * 60L * 1000000L
+
+  /** e12: LAST-TOUCH ATTRIBUTION — each purchase is credited to the
+    * user's most recent preceding click/view (the standard marketing
+    * attribution model), with a 30-minute lookback after which the
+    * conversion is 'none'-attributed.
+    *
+    * Shape: the forward-fill idiom (w20's), not an inequality join —
+    * one user-key window assigns every row its running touch count,
+    * so a conversion's group number IS the sequence number of its
+    * most recent preceding touch; an EQUALITY join on
+    * (user_id, grp) then fetches that touch. Both the window and
+    * the join hash on user_id, so the join reuses the window's
+    * partitioning (one logical shuffle of the event stream); the
+    * per-pair inequality join a naive as-of formulation would do is
+    * never materialized. Ties (touch and purchase in the same
+    * microsecond) order deterministically by (tus, event_id) in
+    * both engines.
+    */
+  def e12(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"tus", $"event_id")
+    val base = Tables.events(spark, dir)
+      .filter($"event_type".isin("click", "view", "purchase"))
+      .select($"user_id", $"event_id", $"event_type", unix_micros($"ts").as("tus"))
+      .withColumn("is_touch", when($"event_type" =!= "purchase", 1L).otherwise(0L))
+      .withColumn("grp",
+        sum($"is_touch").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+    val convs = base.filter($"is_touch" === 0 && $"grp" > 0)
+      .select($"user_id", $"event_id".as("conv_id"), $"tus".as("conv_us"), $"grp")
+    val touches = base.filter($"is_touch" === 1)
+      .select($"user_id", $"grp", $"event_id".as("touch_id"),
+        $"event_type".as("touch_type"), $"tus".as("touch_us"))
+    convs.join(touches, Seq("user_id", "grp"))
+      .withColumn("lag_us", $"conv_us" - $"touch_us")
+      .selectExpr("user_id", "conv_id", "conv_us",
+        s"CASE WHEN lag_us <= $e12LookbackUs THEN touch_id END AS touch_id",
+        s"CASE WHEN lag_us <= $e12LookbackUs THEN touch_type ELSE 'none' END AS touch_type",
+        s"CASE WHEN lag_us <= $e12LookbackUs THEN lag_us END AS lag_us")
+      .transform(graft.Tables.ordered(_, $"conv_id"))
+  }
+
+  /** e12 oracle: identical running-touch-count groups + equality
+    * join; all comparisons on epoch_us.
+    */
+  val e12Sql: String =
+    s"""WITH o AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS tus
+      |           FROM events
+      |           WHERE event_type IN ('click', 'view', 'purchase')),
+      |b AS (SELECT *, CASE WHEN event_type <> 'purchase' THEN 1 ELSE 0 END AS is_touch
+      |      FROM o),
+      |g AS (SELECT *, CAST(sum(is_touch) OVER (PARTITION BY user_id
+      |          ORDER BY tus, event_id
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS grp
+      |      FROM b),
+      |convs AS (SELECT user_id, event_id AS conv_id, tus AS conv_us, grp
+      |          FROM g WHERE is_touch = 0 AND grp > 0),
+      |touches AS (SELECT user_id, grp, event_id AS touch_id,
+      |              event_type AS touch_type, tus AS touch_us
+      |            FROM g WHERE is_touch = 1)
+      |SELECT user_id, conv_id, conv_us,
+      |  CASE WHEN conv_us - touch_us <= $e12LookbackUs THEN touch_id END AS touch_id,
+      |  CASE WHEN conv_us - touch_us <= $e12LookbackUs THEN touch_type
+      |       ELSE 'none' END AS touch_type,
+      |  CASE WHEN conv_us - touch_us <= $e12LookbackUs
+      |       THEN conv_us - touch_us END AS lag_us
+      |FROM convs JOIN touches USING (user_id, grp)
+      |ORDER BY conv_id""".stripMargin
 }

@@ -198,4 +198,82 @@ object Graph {
       |FROM r$g1Rounds
       |ORDER BY c_custkey""".stripMargin
   }
+
+  /** g3: triangle counting with DEGREE-ORDERED edge orientation
+    * (Suri & Vassilvitskii 2011, WWW — the MapReduce/Spark-standard
+    * scheme) over g1's derived link graph, plus each node's degree:
+    * the local-clustering / community-density signal next to g1's
+    * centrality and g2's hub-authority scores (dense triangle
+    * neighborhoods = topically coherent link clusters a curation
+    * pass keeps or collapses together).
+    *
+    * Shape: self-loops dropped, the multigraph collapsed to DISTINCT
+    * undirected pairs, then each edge oriented from its
+    * (degree, id)-smaller endpoint so every wedge is enumerated
+    * exactly once at its lowest-degree apex — the orientation that
+    * bounds per-node fan-out by O(sqrt(|E|)) and kills the
+    * high-degree-hub wedge explosion a naive src-join suffers at
+    * scale. Two equality joins close the wedges; counts come back
+    * per node via a positional union of the three corners. All
+    * integer; output is nodes participating in >= 1 triangle.
+    */
+  def g3(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val nodes = Tables.customer(spark, dir).select($"c_custkey".as("id")).cache()
+    val n = nodes.count()
+    val e0 = nodes.selectExpr("id AS src", s"(id * 31 + 7) % $n AS dst")
+      .unionAll(nodes.selectExpr("id AS src", s"(id * 17 + 3) % $n AS dst"))
+      .unionAll(nodes.filter($"id" >= 2).selectExpr("id AS src", "id div 2 AS dst"))
+    val und = e0.filter($"src" =!= $"dst")
+      .selectExpr("least(src, dst) AS u", "greatest(src, dst) AS v")
+      .distinct()
+    val deg = und.selectExpr("u AS x").unionAll(und.selectExpr("v AS x"))
+      .groupBy($"x").agg(count(lit(1)).as("d"))
+    val o = und
+      .join(deg.withColumnRenamed("x", "u").withColumnRenamed("d", "du"), Seq("u"))
+      .join(deg.withColumnRenamed("x", "v").withColumnRenamed("d", "dv"), Seq("v"))
+      .selectExpr(
+        "CASE WHEN du < dv OR (du = dv AND u < v) THEN u ELSE v END AS a",
+        "CASE WHEN du < dv OR (du = dv AND u < v) THEN v ELSE u END AS b")
+      .cache()
+    val tri = o.as("e1")
+      .join(o.as("e2"), col("e1.b") === col("e2.a"))
+      .join(o.as("e3"),
+        col("e3.a") === col("e1.a") && col("e3.b") === col("e2.b"))
+      .select(col("e1.a").as("x"), col("e1.b").as("y"), col("e2.b").as("z"))
+    tri.selectExpr("x AS id")
+      .unionAll(tri.selectExpr("y AS id"))
+      .unionAll(tri.selectExpr("z AS id"))
+      .groupBy($"id").agg(count(lit(1)).as("tri_cnt"))
+      .join(deg.withColumnRenamed("x", "id"), Seq("id"))
+      .select($"id".as("c_custkey"), $"tri_cnt", $"d".as("deg"))
+      .transform(Tables.ordered(_, $"c_custkey"))
+  }
+
+  /** g3 oracle: identical orientation and wedge-closing joins. */
+  val g3Sql: String =
+    """WITH nn AS (SELECT count(*) AS n FROM customer),
+      |nodes AS (SELECT c_custkey AS id FROM customer),
+      |e0 AS (SELECT id AS src, (id * 31 + 7) % nn.n AS dst FROM nodes, nn
+      |       UNION ALL SELECT id, (id * 17 + 3) % nn.n FROM nodes, nn
+      |       UNION ALL SELECT id, id // 2 FROM nodes WHERE id >= 2),
+      |und AS (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+      |        FROM e0 WHERE src <> dst),
+      |deg AS (SELECT x, count(*) AS d
+      |        FROM (SELECT u AS x FROM und UNION ALL SELECT v FROM und)
+      |        GROUP BY x),
+      |o AS (SELECT CASE WHEN du.d < dv.d OR (du.d = dv.d AND u < v) THEN u ELSE v END AS a,
+      |             CASE WHEN du.d < dv.d OR (du.d = dv.d AND u < v) THEN v ELSE u END AS b
+      |      FROM und JOIN deg du ON du.x = u JOIN deg dv ON dv.x = v),
+      |tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+      |        FROM o e1 JOIN o e2 ON e1.b = e2.a
+      |        JOIN o e3 ON e3.a = e1.a AND e3.b = e2.b),
+      |cnt AS (SELECT id, CAST(count(*) AS BIGINT) AS tri_cnt
+      |        FROM (SELECT x AS id FROM tri
+      |              UNION ALL SELECT y FROM tri
+      |              UNION ALL SELECT z FROM tri)
+      |        GROUP BY id)
+      |SELECT id AS c_custkey, tri_cnt, CAST(d AS BIGINT) AS deg
+      |FROM cnt JOIN deg ON deg.x = cnt.id
+      |ORDER BY c_custkey""".stripMargin
 }

@@ -355,7 +355,15 @@ object Knn {
     * scoring is a narrow map + bounded top-k — no vector ever moves
     * after encoding.
     */
-  def v5(spark: SparkSession, dir: String): DataFrame = {
+  def v5(spark: SparkSession, dir: String): DataFrame =
+    topK(pqAdcScored(spark, dir), "score", 5)
+
+  /** The PQ encode + ADC scoring arm shared by v5 (ranks it
+    * directly) and v14 (shortlists from it, then re-ranks exactly):
+    * one (qid, vec_id, score) row per query x corpus pair, scores
+    * integerized ADC reassemblies.
+    */
+  private[operators] def pqAdcScored(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val e = vectors(spark, dir)
     val cb = codebook(e, s"vec_id >= 10 AND vec_id < ${10 + pqCodes}")
@@ -404,17 +412,18 @@ object Knn {
         (qid, id, acc / 1e6)
       }
     }).toDF("qid", "vec_id", "score")
-    topK(scored, "score", 5)
+    scored
   }
 
-  /** Full v5 oracle: subvector slicing, quantized-L2 encoding with
-    * (distance, code) tie-break, integerized ADC partials and
-    * order-free reassembly, all as DuckDB CTEs over the same
-    * normalized vectors.
+  /** The PQ encode + ADC scoring CTE chain (through `sc`) shared by
+    * the v5 and v14 oracles: subvector slicing, quantized-L2
+    * encoding with (distance, code) tie-break, integerized ADC
+    * partials and order-free reassembly, over the same normalized
+    * vectors.
     */
-  val v5Sql: String = {
+  private val pqScoredCtes: String = {
     val diffs = s"list_transform(range(1, ${pqSubDim + 1}), i -> c.sv[i] - cb.cv[i])"
-    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    s"""e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
       |n AS (SELECT vec_id, v, sqrt(list_inner_product(v, v)) AS nrm FROM e),
       |m AS (SELECT vec_id, list_transform(v, x -> x / nrm) AS nv FROM n),
       |subv AS (SELECT vec_id, p.s,
@@ -434,13 +443,74 @@ object Knn {
       |        FROM subv q JOIN cb USING (s) WHERE q.vec_id < 10),
       |sc AS (SELECT adc.qid, enc.vec_id, CAST(sum(p6) AS BIGINT) / 1e6 AS score
       |       FROM enc JOIN adc ON adc.s = enc.s AND adc.code_id = enc.code_id
-      |       GROUP BY adc.qid, enc.vec_id),
+      |       GROUP BY adc.qid, enc.vec_id)""".stripMargin
+  }
+
+  val v5Sql: String =
+    s"""WITH $pqScoredCtes,
       |r AS (SELECT qid, vec_id, score,
       |        row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id) AS rnk
       |      FROM sc)
       |SELECT qid, rnk, vec_id, score FROM r WHERE rnk <= 5
       |ORDER BY qid, rnk""".stripMargin
+
+  // ---------- v14: PQ shortlist + exact refine (two-stage search) ----------
+
+  /** Refine shortlist depth: candidates per query surviving the ADC
+    * stage into exact re-ranking (FAISS's IndexRefineFlat `k_factor`
+    * x k shape: 4 x 5).
+    */
+  private[operators] val refineR = 20
+
+  /** v14: two-stage retrieval — PQ/ADC scores shortlist [[refineR]]
+    * candidates per query, then ONLY those re-rank by exact cosine
+    * (the FAISS refine pattern: IVFADC recall at PQ cost, final
+    * ordering at full precision). This is the standard serving
+    * compromise: the corpus-wide pass touches 16-byte codes, full
+    * vectors are fetched for refineR << |corpus| rows per query.
+    *
+    * Scale shape: shortlist via the salted two-level top-k (no
+    * per-query hot partition), then an equality join on vec_id
+    * pulls exactly the shortlisted vectors (at 100 TB: a point-lookup
+    * join against the vector store, not a scan), queries broadcast,
+    * exact scoring a narrow map, final top-k bounded. Refine can
+    * only IMPROVE ranking vs v5 — the spec pins recall@5 vs exact
+    * v1 for both.
+    */
+  def v14(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val short = graft.functions.TwoLevel.topK(pqAdcScored(spark, dir), Seq($"qid"),
+        Seq($"score".desc, $"vec_id"), $"vec_id", refineR)
+      .select($"qid", $"vec_id")
+    val e = vectors(spark, dir)
+    val bcQ = spark.sparkContext.broadcast(codebook(e, "vec_id < 10").toMap)
+    val exact = short.join(e.select($"vec_id", $"nv"), Seq("vec_id"))
+      .select($"qid", $"vec_id", $"nv")
+      .as[(Long, Long, Array[Double])]
+      .mapPartitions(_.map { case (qid, cid, cv) =>
+        (qid, cid, cosQ(bcQ.value(qid), cv))
+      }).toDF("qid", "vec_id", "cos_sim")
+    topK(exact, "cos_sim", knnK)
   }
+
+  /** v14 oracle: v5's CTE chain to ADC scores, the same top-20
+    * shortlist, exact-cosine re-rank with v1's quantization.
+    */
+  val v14Sql: String =
+    s"""WITH $pqScoredCtes,
+      |shortl AS (SELECT qid, vec_id FROM (
+      |    SELECT qid, vec_id,
+      |      row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id) AS srnk
+      |    FROM sc) WHERE srnk <= $refineR),
+      |ex AS (SELECT s.qid, s.vec_id,
+      |         round(list_inner_product(q.nv, c.nv) * 1e6) / 1e6 AS cos_sim
+      |       FROM shortl s JOIN m q ON q.vec_id = s.qid
+      |       JOIN m c ON c.vec_id = s.vec_id),
+      |r AS (SELECT qid, vec_id, cos_sim,
+      |        row_number() OVER (PARTITION BY qid ORDER BY cos_sim DESC, vec_id) AS rnk
+      |      FROM ex)
+      |SELECT qid, rnk, vec_id, cos_sim FROM r WHERE rnk <= $knnK
+      |ORDER BY qid, rnk""".stripMargin
 
   // ---------- v6: int8 scalar quantization (SQ) ANN ----------
 

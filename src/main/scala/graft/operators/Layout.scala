@@ -136,4 +136,56 @@ object Layout {
       |FROM inv
       |GROUP BY 1, 2
       |ORDER BY 1, 2""".stripMargin
+
+  /** Columns p8 profiles — one numeric, one low-cardinality string,
+    * one timestamp, one high-cardinality key, so the stats row set
+    * exercises every cast path.
+    */
+  private val p8Cols = Seq("l_orderkey", "l_quantity", "l_returnflag", "l_shipdate")
+
+  /** p8: ANALYZE-style per-column table statistics — row count,
+    * null count, EXACT distinct count, min and max (canonical string
+    * form) — the optimizer/pruning metadata a 100 TB table
+    * maintenance pass materializes (Spark's own ANALYZE TABLE ...
+    * COMPUTE STATISTICS FOR COLUMNS writes exactly these to the
+    * catalog for CBO join reordering and broadcast decisions).
+    *
+    * Shape: ONE scan — all four columns' aggregates ride a single
+    * multi-distinct aggregate (Catalyst plans n distinct aggregates
+    * as one Expand ×(n+1) + two-phase aggregate: one pass over the
+    * data, partial combine on every branch), then a 1-row stack()
+    * unpivots to the per-column layout. No per-column rescan; at
+    * scale the Expand's extra rows are all nulls outside their
+    * branch and compress to nothing in the shuffle.
+    */
+  def p8(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val li = Tables.lineitem(spark, dir)
+    val aggs = count(lit(1)).as("n_rows") +: p8Cols.flatMap { c =>
+      Seq(
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"nulls_$c"),
+        countDistinct(col(c)).as(s"ndv_$c"),
+        min(col(c)).cast("string").as(s"min_$c"),
+        max(col(c)).cast("string").as(s"max_$c"))
+    }
+    val stackArgs = p8Cols.map(c =>
+      s"'$c', nulls_$c, ndv_$c, min_$c, max_$c").mkString(", ")
+    li.agg(aggs.head, aggs.tail: _*)
+      .selectExpr("n_rows",
+        s"stack(${p8Cols.size}, $stackArgs) AS (col_name, n_nulls, ndv, min_s, max_s)")
+      .select($"col_name", $"n_rows", $"n_nulls", $"ndv", $"min_s", $"max_s")
+      .transform(Tables.ordered(_, $"col_name"))
+  }
+
+  /** p8 oracle: the same stats as four UNION ALL legs (DuckDB reads
+    * the parquet four times; the compared VALUES are what matter).
+    */
+  val p8Sql: String =
+    p8Cols.map { c =>
+      s"""SELECT '$c' AS col_name, count(*) AS n_rows,
+         |  CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+         |  CAST(count(DISTINCT $c) AS BIGINT) AS ndv,
+         |  CAST(min($c) AS VARCHAR) AS min_s, CAST(max($c) AS VARCHAR) AS max_s
+         |FROM lineitem""".stripMargin
+    }.mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
 }

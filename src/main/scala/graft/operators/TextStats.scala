@@ -1107,4 +1107,100 @@ object TextStats {
        |FROM docw JOIN pertok USING (w)
        |GROUP BY doc_id
        |ORDER BY doc_id""".stripMargin
+
+  // ---------- t21: rule-based quality filtering (Gopher/C4 gates) ----------
+
+  /** Gopher word-count gate [min, max] (Rae et al. 2021, App. A:
+    * 50..100k words). The other rule thresholds below are likewise
+    * the published ones: mean word length in [3, 10], symbol:word
+    * ratio <= 0.1, >= 2 distinct required stopwords, >= 80% of words
+    * containing an alphabetic character.
+    */
+  private val t21MinWords = 50L
+  private val t21MaxWords = 100000L
+
+  /** t21: rule-based document FILTERING — the decision layer over
+    * t2's continuous quality signals. Each document gets one boolean
+    * gate per published crawl-cleaning heuristic (Rae et al. 2021
+    * "Scaling Language Models: Methods, Analysis & Insights from
+    * Training Gopher" App. A MassiveWeb filters; Raffel et al. 2020
+    * C4 §2.2) and the composed keep decision: word-count bounds,
+    * mean-word-length bounds, symbol-to-word ratio (# and ...),
+    * required-stopword presence (>= 2 distinct of the corpus
+    * function-word list [[stopList]]), and alphabetic-word fraction.
+    *
+    * Every ratio rule is INTEGERIZED by cross-multiplication (e.g.
+    * `10*n_sym <= n_words` instead of `n_sym/n_words <= 0.1`), so
+    * the verdicts reproduce bitwise across engines — no double
+    * division anywhere. Scale shape: a pure narrow map over the
+    * corpus (zero shuffles, zero state); [[gopherFlags]] is shared
+    * verbatim by the streaming ingest gate (s17), so batch curation
+    * and the stream door cannot drift.
+    */
+  def gopherFlags(docs: DataFrame): DataFrame = {
+    val stopCases = stopList.map(w =>
+      s"CASE WHEN array_contains(ws, '$w') THEN 1 ELSE 0 END").mkString(" + ")
+    docs
+      .selectExpr("doc_id", "split(lower(trim(text)), ' ') AS ws",
+        "CAST(length(replace(text, ' ', '')) AS BIGINT) AS n_chars_nw",
+        "CAST(regexp_count(text, '#') AS BIGINT)" +
+          " + (CAST(length(text) AS BIGINT)" +
+          " - CAST(length(replace(text, '...', '')) AS BIGINT)) div 3 AS n_sym")
+      .selectExpr("doc_id", "CAST(size(ws) AS BIGINT) AS n_words", "n_chars_nw", "n_sym",
+        s"CAST($stopCases AS BIGINT) AS n_stop",
+        "CAST(size(filter(ws, x -> x rlike '[a-z]')) AS BIGINT) AS n_alpha")
+      .selectExpr("doc_id", "n_words", "n_chars_nw", "n_stop",
+        s"CAST(CASE WHEN n_words BETWEEN $t21MinWords AND $t21MaxWords THEN 1 ELSE 0 END AS BIGINT) AS f_nwords",
+        "CAST(CASE WHEN 3 * n_words <= n_chars_nw AND n_chars_nw <= 10 * n_words THEN 1 ELSE 0 END AS BIGINT) AS f_wordlen",
+        "CAST(CASE WHEN 10 * n_sym <= n_words THEN 1 ELSE 0 END AS BIGINT) AS f_symbol",
+        "CAST(CASE WHEN n_stop >= 2 THEN 1 ELSE 0 END AS BIGINT) AS f_stop",
+        "CAST(CASE WHEN 5 * n_alpha >= 4 * n_words THEN 1 ELSE 0 END AS BIGINT) AS f_alpha")
+      .selectExpr("*",
+        "f_nwords * f_wordlen * f_symbol * f_stop * f_alpha AS keep_doc")
+  }
+
+  def t21(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    gopherFlags(Tables.documents(spark, dir))
+      .transform(Tables.ordered(_, $"doc_id"))
+  }
+
+  /** t21's rule CTE chain (w → f → g), shared by the t21 oracle and
+    * the s17 streaming-gate oracle (which filters it to kept docs).
+    */
+  private[graft] val t21Ctes: String = {
+    val stopCases = stopList.map(w =>
+      s"CASE WHEN list_contains(ws, '$w') THEN 1 ELSE 0 END").mkString(" + ")
+    s"""w AS (
+      |  SELECT doc_id, string_split(lower(trim(text)), ' ') AS ws,
+      |    CAST(length(replace(text, ' ', '')) AS BIGINT) AS n_chars_nw,
+      |    CAST(len(regexp_extract_all(text, '#')) AS BIGINT)
+      |      + (CAST(length(text) AS BIGINT)
+      |         - CAST(length(replace(text, '...', '')) AS BIGINT)) // 3 AS n_sym
+      |  FROM documents),
+      |f AS (
+      |  SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_words, n_chars_nw, n_sym,
+      |    CAST($stopCases AS BIGINT) AS n_stop,
+      |    CAST(len(list_filter(ws, x -> regexp_matches(x, '[a-z]'))) AS BIGINT) AS n_alpha
+      |  FROM w),
+      |g AS (
+      |  SELECT doc_id, n_words, n_chars_nw, n_stop,
+      |    CAST(CASE WHEN n_words BETWEEN $t21MinWords AND $t21MaxWords THEN 1 ELSE 0 END AS BIGINT) AS f_nwords,
+      |    CAST(CASE WHEN 3 * n_words <= n_chars_nw AND n_chars_nw <= 10 * n_words THEN 1 ELSE 0 END AS BIGINT) AS f_wordlen,
+      |    CAST(CASE WHEN 10 * n_sym <= n_words THEN 1 ELSE 0 END AS BIGINT) AS f_symbol,
+      |    CAST(CASE WHEN n_stop >= 2 THEN 1 ELSE 0 END AS BIGINT) AS f_stop,
+      |    CAST(CASE WHEN 5 * n_alpha >= 4 * n_words THEN 1 ELSE 0 END AS BIGINT) AS f_alpha
+      |  FROM f),
+      |verdicts AS (
+      |  SELECT *, f_nwords * f_wordlen * f_symbol * f_stop * f_alpha AS keep_doc
+      |  FROM g)""".stripMargin
+  }
+
+  /** t21 oracle: the identical integerized rule set in DuckDB —
+    * same single-space word split, same cross-multiplied bounds.
+    */
+  val t21Sql: String =
+    s"""WITH $t21Ctes
+      |SELECT * FROM verdicts
+      |ORDER BY doc_id""".stripMargin
 }

@@ -941,4 +941,31 @@ object EventStreams {
     runToTable(ss, ts.dsirScore(src, m, tot, nd), OutputMode.Append())
       .orderBy($"doc_id")
   }
+
+  /** s17: streaming quality GATE — t21's Gopher/C4 rule verdicts
+    * applied at the ingest door. The rule map is
+    * [[graft.operators.TextStats.gopherFlags]] ITSELF (one shared
+    * function — the batch curation pass and the stream admission
+    * decision cannot drift), a stateless narrow map over the
+    * document stream; only admitted (keep_doc = 1) documents pass
+    * the sink. Zero state, zero shuffles — the filter runs
+    * per-micro-batch at source parallelism, the s16 serving shape.
+    */
+  def s17(spark: SparkSession, dir: String): DataFrame = {
+    val ss = streamSession(spark)
+    import ss.implicits._
+    val schema = ss.read.parquet(s"$dir/documents.parquet").schema
+    val src = ss.readStream.schema(schema)
+      .option("pathGlobFilter", "documents.parquet").parquet(dir)
+    runToTable(ss,
+      graft.operators.TextStats.gopherFlags(src).filter($"keep_doc" === 1),
+      OutputMode.Append())
+      .orderBy($"doc_id")
+  }
+
+  /** s17 oracle: the batch rule chain restricted to kept docs. */
+  val s17Sql: String =
+    s"""WITH ${graft.operators.TextStats.t21Ctes}
+      |SELECT * FROM verdicts WHERE keep_doc = 1
+      |ORDER BY doc_id""".stripMargin
 }

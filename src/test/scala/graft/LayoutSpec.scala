@@ -1,6 +1,7 @@
 package graft
 
 import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions.col
 import graft.operators.Layout
 
 /** Z-order layout: the Morton key is injective on the cell grid and
@@ -88,5 +89,28 @@ class LayoutSpec extends AnyFunSuite {
       val nIn = inv.count(_._1 == src)
       assert(sorted.length < nIn, s"$src: no compaction ($nIn files)")
     }
+  }
+
+  test("p8: column stats agree with per-column direct aggregates") {
+    import graft.operators.Layout
+    val rows = Layout.p8(spark, sf).collect()
+      .map(r => r.getAs[String]("col_name") ->
+        (r.getAs[Long]("n_rows"), r.getAs[Long]("n_nulls"), r.getAs[Long]("ndv"),
+          r.getAs[String]("min_s"), r.getAs[String]("max_s"))).toMap
+    assert(rows.keySet ==
+      Set("l_orderkey", "l_quantity", "l_returnflag", "l_shipdate"))
+    val li = Tables.lineitem(spark, sf).cache()
+    val total = li.count()
+    rows.foreach { case (c, (nr, nn, ndv, mn, mx)) =>
+      assert(nr == total, s"$c n_rows")
+      // independent recompute per column (the one-pass stack result
+      // must equal what four separate scans would produce)
+      assert(nn == li.filter(col(c).isNull).count(), s"$c nulls")
+      assert(ndv == li.select(c).na.drop().distinct().count(), s"$c ndv")
+      val (wmn, wmx) = li.selectExpr(s"CAST(min($c) AS STRING)", s"CAST(max($c) AS STRING)")
+        .as[(String, String)].head()
+      assert(mn == wmn && mx == wmx, s"$c min/max: ($mn,$mx) != ($wmn,$wmx)")
+    }
+    li.unpersist()
   }
 }

@@ -381,4 +381,30 @@ class PlanSpec extends AnyFunSuite {
     assert(bnlj.forall(_ == "Cross"), s"non-cross nested-loop: $bnlj")
     assert(bnlj.length <= 5, s"more 1-row broadcasts than the totals need: $bnlj")
   }
+
+  test("p8: all four columns' stats ride ONE lineitem scan") {
+    val p = plan(graft.operators.Layout.p8(spark, sf)).split("== Initial Plan ==")(0)
+    // one scan + the multi-distinct Expand — not a rescan per column
+    assert("Scan parquet".r.findAllIn(p).length == 1, s"per-column rescan:\n$p")
+    assert(p.contains("Expand"), s"multi-distinct Expand missing:\n$p")
+  }
+
+  test("q30: order statistics run over the value histogram, not raw rows") {
+    val p = plan(Relational.q30(spark, sf)).split("== Initial Plan ==")(0)
+    // histogram aggregate + final per-group aggregate surround the
+    // window; a raw-row formulation would have a Window directly
+    // over the scan with no aggregate below it
+    assert("HashAggregate".r.findAllIn(p).length >= 2, s"no histogram stage:\n$p")
+    assert(p.contains("Window"))
+    assert("Scan parquet".r.findAllIn(p).length == 1)
+  }
+
+  test("g3/v14: wedge closing and refine are equality joins — no cartesian") {
+    Seq(graft.operators.Graph.g3(spark, sf),
+        graft.operators.Knn.v14(spark, sf)).foreach { df =>
+      val p = plan(df)
+      assert(!p.contains("CartesianProduct") &&
+        !p.contains("BroadcastNestedLoopJoin"), s"non-equality join:\n$p")
+    }
+  }
 }

@@ -617,4 +617,157 @@ class RelationalSpec extends AnyFunSuite {
     // outliers should be rare: well under 10% of events
     assert(rows.length.toDouble / Tables.events(spark, sf).count() < 0.1)
   }
+
+  test("q30: histogram median/mode equal a full-sort recomputation per group") {
+    val rows = Relational.q30(spark, sf).collect()
+      .map(r => ((r.getAs[String]("l_returnflag"), r.getAs[String]("l_linestatus")),
+        (r.getAs[Long]("n_rows"), r.getAs[Double]("median_qty"),
+          r.getAs[Double]("mode_qty"), r.getAs[Long]("mode_cnt")))).toMap
+    val groups = Tables.lineitem(spark, sf)
+      .selectExpr("l_returnflag", "l_linestatus", "l_quantity")
+      .as[(String, String, Double)].collect()
+      .groupBy(t => (t._1, t._2)).view.mapValues(_.map(_._3).sorted).toMap
+    assert(rows.keySet == groups.keySet)
+    groups.foreach { case (k, qs) =>
+      val n = qs.length
+      // middle order statistics straight off the sorted rows
+      val lo = qs((n - 1) / 2); val hi = qs(n / 2)
+      val byCnt = qs.groupBy(identity).view.mapValues(_.length).toMap
+      val maxC = byCnt.values.max
+      val mode = byCnt.filter(_._2 == maxC).keys.min
+      val (gn, med, gm, gc) = rows(k)
+      assert(gn == n && med == (lo + hi) / 2.0, s"$k median: $med vs ${(lo + hi) / 2.0}")
+      assert(gm == mode && gc == maxC, s"$k mode: ($gm,$gc) vs ($mode,$maxC)")
+    }
+  }
+
+  test("g3: oriented triangle counts equal a brute-force enumeration") {
+    val rows = graft.operators.Graph.g3(spark, sf).collect()
+      .map(r => (r.getAs[Long]("c_custkey"),
+        (r.getAs[Long]("tri_cnt"), r.getAs[Long]("deg")))).toMap
+    val n = Tables.customer(spark, sf).count()
+    val und = (0L until n).flatMap { u =>
+      val ts = Seq((u * 31 + 7) % n, (u * 17 + 3) % n) ++
+        (if (u >= 2) Seq(u / 2) else Nil)
+      ts.map(v => (math.min(u, v), math.max(u, v)))
+    }.filter(p => p._1 != p._2).distinct.toSet
+    val adj = und.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      .withDefaultValue(Set.empty[Long])
+    // brute force: for every undirected edge (u,v), common higher neighbors
+    val triCnt = scala.collection.mutable.Map[Long, Long]().withDefaultValue(0L)
+    und.foreach { case (u, v) =>
+      (adj(u) & adj(v)).foreach { w =>
+        triCnt(u) += 1; triCnt(v) += 1; triCnt(w) += 1
+      }
+    }
+    val deg = und.toSeq.flatMap(p => Seq(p._1, p._2))
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    assert(rows.keySet == triCnt.keys.toSet, "participating node sets differ")
+    rows.foreach { case (id, (tc, d)) =>
+      assert(tc == triCnt(id), s"node $id: $tc != ${triCnt(id)}")
+      assert(d == deg(id), s"node $id degree: $d != ${deg(id)}")
+    }
+    // total participation = 3x the triangle count, and some triangles exist
+    assert(rows.values.map(_._1).sum % 3 == 0 && rows.nonEmpty)
+  }
+
+  test("t21: every gate flag recomputes from the raw text; keep is their product") {
+    val ts = graft.operators.TextStats
+    val rows = ts.t21(spark, sf).collect()
+    val raw = Tables.documents(spark, sf)
+      .selectExpr("doc_id", "text").as[(Long, String)].collect().toMap
+    assert(rows.length == raw.size)
+    val stops = Seq("the", "a", "and", "of", "to", "in", "is")
+    rows.foreach { r =>
+      val text = raw(r.getAs[Long]("doc_id"))
+      val ws = text.trim.toLowerCase.split(" ", -1)
+      val nw = ws.length.toLong
+      val ncnw = text.replace(" ", "").length.toLong
+      val nsym = text.count(_ == '#').toLong +
+        (text.length - text.replace("...", "").length) / 3
+      val nstop = stops.count(ws.contains).toLong
+      val nalpha = ws.count(_.exists(c => c >= 'a' && c <= 'z')).toLong
+      assert(r.getAs[Long]("n_words") == nw)
+      val want = Map(
+        "f_nwords" -> (nw >= 50 && nw <= 100000),
+        "f_wordlen" -> (3 * nw <= ncnw && ncnw <= 10 * nw),
+        "f_symbol" -> (10 * nsym <= nw),
+        "f_stop" -> (nstop >= 2),
+        "f_alpha" -> (5 * nalpha >= 4 * nw))
+      want.foreach { case (c, b) =>
+        assert(r.getAs[Long](c) == (if (b) 1L else 0L), s"doc ${r.get(0)} $c")
+      }
+      assert(r.getAs[Long]("keep_doc") ==
+        want.values.map(b => if (b) 1L else 0L).product)
+    }
+    // the gate must actually split the corpus (neither degenerate)
+    val kept = rows.count(_.getAs[Long]("keep_doc") == 1L)
+    assert(kept > 0 && kept < rows.length, s"degenerate gate: $kept/${rows.length}")
+  }
+
+  test("e12: every purchase credits its true most recent prior touch") {
+    val rows = EventWindows.e12(spark, sf).collect()
+      .map(r => r.getAs[Long]("conv_id") ->
+        (Option(r.getAs[java.lang.Long]("touch_id")).map(_.toLong),
+          r.getAs[String]("touch_type"),
+          Option(r.getAs[java.lang.Long]("lag_us")).map(_.toLong))).toMap
+    val ev = Tables.events(spark, sf)
+      .filter("event_type IN ('click','view','purchase')")
+      .selectExpr("user_id", "event_id", "event_type", "unix_micros(ts) AS tus")
+      .as[(Long, Long, String, Long)].collect()
+    // brute force: per user, walk the ordered stream carrying the
+    // last-seen touch
+    val want = scala.collection.mutable.Map[Long, (Long, String, Long)]()
+    ev.groupBy(_._1).foreach { case (_, g) =>
+      var last: Option[(Long, String, Long)] = None
+      g.sortBy(t => (t._4, t._2)).foreach { case (_, id, typ, tus) =>
+        if (typ == "purchase") last.foreach { case (tid, ttyp, ttus) =>
+          want(id) = (tid, ttyp, tus - ttus)
+        }
+        else last = Some((id, typ, tus))
+      }
+    }
+    assert(rows.keySet == want.keySet,
+      s"conversion sets differ by ${(rows.keySet diff want.keySet).size}/${(want.keySet diff rows.keySet).size}")
+    val lookback = 30L * 60 * 1000000
+    rows.foreach { case (cid, (tid, ttyp, lag)) =>
+      val (wtid, wtyp, wlag) = want(cid)
+      if (wlag <= lookback)
+        assert(tid.contains(wtid) && ttyp == wtyp && lag.contains(wlag), s"conv $cid")
+      else
+        assert(tid.isEmpty && ttyp == "none" && lag.isEmpty, s"conv $cid not none")
+    }
+    // both attributed and out-of-window conversions occur
+    assert(rows.values.exists(_._2 != "none") && rows.values.exists(_._2 == "none"))
+  }
+
+  test("q31: HLL estimate equals a sequential sketch replay; error within spec") {
+    val r = Relational.q31(spark, sf).collect().head
+    val keys = Tables.lineitem(spark, sf).select("l_orderkey")
+      .as[Long].collect().distinct
+    // sequential replay: same md5-prefix hash, same register math
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val regs = scala.collection.mutable.Map[Long, Long]().withDefaultValue(0L)
+    keys.foreach { k =>
+      val hex = md.digest(k.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(15)
+      val hv = java.lang.Long.parseLong(hex, 16)
+      val reg = hv % 1024; val w = hv / 1024
+      val rank = if (w == 0) 51L else 51L - (64 - java.lang.Long.numberOfLeadingZeros(w))
+      regs(reg) = math.max(regs(reg), rank)
+    }
+    val vZero = 1024 - regs.size
+    val sSum = regs.values.map(rk => 1L << (51 - rk)).sum +
+      vZero.toLong * (1L << 51)
+    assert(r.getAs[Long]("n_exact") == keys.length)
+    assert(r.getAs[Long]("v_zero") == vZero && r.getAs[Long]("s_sum") == sSum)
+    val est = (BigInt(720540) * BigInt(2).pow(71) / (BigInt(sSum) * 1000000)).toLong
+    val lc = if (est * 2 <= 5 * 1024 && vZero > 0)
+      (1024L * math.floor(math.log(1024.0 / vZero) * 1e9 + 0.5).toLong) / 1000000000L
+    else est
+    assert(r.getAs[Long]("est") == lc, s"est ${r.getAs[Long]("est")} != $lc")
+    // HLL at m=1024: 1.04/sqrt(m) ~ 3.2% standard error — allow 4 sigma
+    assert(r.getAs[Long]("err_permille") < 130,
+      s"error ${r.getAs[Long]("err_permille")} permille out of spec")
+  }
 }

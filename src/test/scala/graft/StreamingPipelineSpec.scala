@@ -388,6 +388,19 @@ class StreamingPipelineSpec extends AnyFunSuite {
     assert(streamed.exists(_._4 == 1L) && streamed.exists(_._4 == 0L))
   }
 
+  test("s17 streaming quality gate admits exactly the batch-kept documents") {
+    // the shared rule map (gopherFlags) must make the stream door and
+    // the batch curation pass bitwise-identical on every column
+    val streamed = graft.streaming.EventStreams.s17(spark, SharedSpark.sf)
+      .collect().map(_.toSeq).toSeq
+    val batch = graft.operators.TextStats.t21(spark, SharedSpark.sf)
+      .filter("keep_doc = 1").collect().map(_.toSeq).toSeq
+    assert(streamed == batch)
+    // the gate rejects something (it is a filter, not a pass-through)
+    val total = Tables.documents(spark, SharedSpark.sf).count()
+    assert(streamed.nonEmpty && streamed.length < total)
+  }
+
   test("s12 dedup suppresses re-delivered keys across micro-batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
