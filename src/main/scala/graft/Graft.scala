@@ -83,6 +83,28 @@ object Graft {
   def dsirScore(docs: DataFrame, lr9: Map[Long, Long], tot: Long, nd: Long): DataFrame =
     operators.TextStats.dsirScore(docs, lr9, tot, nd)
 
+  // ---- rule-based quality gating (Gopher/C4), batch or stream ----
+  /** Per-document gate flags + composed keep verdict for (doc_id,
+    * text) rows — a stateless narrow map, safe on `readStream`
+    * (t21 batch / s17 stream door share this exact function).
+    */
+  def qualityGate(docs: DataFrame): DataFrame =
+    operators.TextStats.gopherFlags(docs)
+
+  // ---- deterministic HyperLogLog ndv (batch or streaming) ----
+  /** The ≤1024-row HLL register table for any value expression —
+    * mergeable by max-per-register; run it as a streaming aggregate
+    * for an always-on distinct monitor (s18).
+    */
+  def hllRegisters(df: DataFrame, valueExpr: String): DataFrame =
+    functions.Hll.registers(df, valueExpr)
+
+  /** 1-row ndv estimate (raw HLL + linear-counting correction) from
+    * a register table.
+    */
+  def hllEstimate(registers: DataFrame): DataFrame =
+    functions.Hll.estimate(registers)
+
   /** Registry of every operator: name -> (session, sfDir) => result. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = SparkEntry.queries
 }

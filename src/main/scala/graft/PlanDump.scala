@@ -81,7 +81,7 @@ object PlanDump {
       "g3_triangles" -> "triangles: degree-ordered orientation, two equality wedge joins, positional corner union",
       "t21_quality_filters" -> "Gopher/C4 gates: pure narrow map, integerized rules, zero shuffles",
       "v14_pq_refine" -> "PQ refine: ADC shortlist via two-level rank, vector fetch by equality join, exact re-rank bounded",
-      "p8_table_stats" -> "column stats: one scan, multi-distinct Expand, 1-row stack unpivot",
+      "p8_table_stats" -> "column stats: one scan, (col,value) explode, count-only codegen level 1, tiny typed-recovery level 2",
       "e12_attribution" -> "last-touch attribution: forward-fill groups + equality join sharing the user-key hash — no inequality as-of pair blow-up",
       "q31_hll_distinct" -> "HLL sketch: narrow hash+rank map, 1024-row register aggregate (map-side partial max), 1-row estimate",
     )

@@ -919,108 +919,24 @@ object Relational {
 
   // ---------- q31: HyperLogLog distinct-count sketch ----------
 
-  /** HLL register-index bits: m = 2^10 = 1024 registers (standard
-    * error 1.04/√m ≈ 3.2%); the 60-bit md5-prefix hash leaves a
-    * 50-bit rank window (max rank 51).
-    */
-  private val hllBits = 10
-  private val hllM = 1L << hllBits // 1024
-  private val hllWBits = 50
-  /** α_m · 10⁶ for m = 1024 (Flajolet et al. 2007 §4), embedded as
-    * the same integer literal in both engines.
-    */
-  private val hllAlpha6: Long = (0.7213 / (1 + 1.079 / hllM) * 1e6).toLong
-  /** m²·2^(wBits+1) = 2^71: the estimate's integer numerator scale
-    * (S is Σ2^(51−M_j), i.e. the harmonic sum scaled by 2^(wBits+1)).
-    */
-  private val hllNum = java.math.BigInteger.TWO.pow(hllWBits + 1 + 2 * hllBits).toString
-
-  /** q31: DETERMINISTIC HyperLogLog distinct-count (Flajolet et al.
-    * 2007) with a built-in accuracy audit against the exact count.
-    * `approx_count_distinct` exists in both engines but their
-    * sketches differ — this implementation IS the cross-engine
-    * sketch: md5-prefix 60-bit hash, low [[hllBits]] bits pick the
-    * register, rank = leading-zero count of the 50-bit window + 1
-    * (via the binary-string length, integer-only), registers =
-    * max(rank) per index.
-    *
-    * Everything after hashing is integer: the harmonic sum Σ2^(−M_j)
-    * scales to S = Σ2^(51−M_j) (BIGINT-exact; empty registers
-    * contribute 2^51), and the estimate α_m·m²/Σ2^(−M_j) becomes
-    * one DECIMAL(38,0) integral division (α₆·2^70)/(S·10⁶) — Spark
-    * `div` and DuckDB `//` agree on positives. The small-range
-    * linear-counting branch (m·ln(m/V)) quantizes its one log at
-    * 10⁻⁹ (§8.4).
-    *
-    * Scale shape: hash+register is a narrow map; the only shuffle
-    * is the m-row register aggregate (map-side partial max — each
-    * executor emits ≤ 1024 rows no matter how many billions it
-    * scanned). The register table IS the sketch: mergeable by
-    * max-per-register, so per-partition/per-day sketches union
-    * without rescanning — the property that makes HLL the
-    * 100 TB ndv tool. The exact-count audit column is the only
-    * corpus-sized aggregate and exists to grade the sketch.
+  /** q31: DETERMINISTIC HyperLogLog ndv (Flajolet et al. 2007) with
+    * a built-in accuracy audit against the exact count — the sketch
+    * machinery lives in [[graft.functions.Hll]] (shared with the
+    * streaming twin s18; full determinism and scale rationale
+    * there). The only shuffle is the ≤ 1024-row register aggregate;
+    * the exact-count audit is the one corpus-sized aggregate and
+    * exists to grade the sketch.
     */
   def q31(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val li = Tables.lineitem(spark, dir)
-    val regs = li.selectExpr(
-        "CAST(conv(substring(md5(CAST(l_orderkey AS STRING)), 1, 15), 16, 10) AS BIGINT) AS hv")
-      .selectExpr(s"hv % $hllM AS reg", s"hv div $hllM AS w")
-      .selectExpr("reg",
-        s"CASE WHEN w = 0 THEN ${hllWBits + 1} " +
-          s"ELSE ${hllWBits + 1} - length(trim(LEADING '0' FROM bin(w))) END AS rnk")
-      .groupBy($"reg").agg(max($"rnk").as("r"))
-    val agg = regs.agg(count(lit(1)).as("n_present"),
-      sum(expr(s"shiftleft(CAST(1 AS BIGINT), CAST(${hllWBits + 1} - r AS INT))"))
-        .as("s_present"))
-    val exact = li.agg(countDistinct($"l_orderkey").as("n_exact"))
-    agg.crossJoin(broadcast(exact))
-      .selectExpr("n_exact", s"$hllM - n_present AS v_zero",
-        s"s_present + CAST($hllM - n_present AS BIGINT) * shiftleft(CAST(1 AS BIGINT), ${hllWBits + 1}) AS s_sum")
-      .selectExpr("n_exact", "v_zero", "s_sum",
-        s"CAST((CAST($hllAlpha6 AS DECIMAL(38,0)) * CAST('$hllNum' AS DECIMAL(38,0)))" +
-          s" div (CAST(s_sum AS DECIMAL(38,0)) * 1000000) AS BIGINT) AS est_raw")
-      .selectExpr("n_exact", "v_zero", "s_sum", "est_raw",
-        s"CASE WHEN est_raw * 2 <= 5 * $hllM AND v_zero > 0 " +
-          s"THEN ($hllM * CAST(floor(ln(CAST($hllM AS DOUBLE) / v_zero) * 1e9 + 0.5) AS BIGINT)) div 1000000000 " +
-          "ELSE est_raw END AS est")
-      .selectExpr("*", "abs(est - n_exact) * 1000 div n_exact AS err_permille")
+    graft.functions.Hll.estimateWithAudit(
+      graft.functions.Hll.registers(li, "l_orderkey"),
+      li.agg(countDistinct($"l_orderkey").as("n_exact")))
   }
 
   /** q31 oracle: the identical sketch in DuckDB — same hash prefix,
     * same binary-string rank, HUGEINT for the one wide product.
     */
-  val q31Sql: String =
-    s"""WITH h AS (
-      |  SELECT CAST(('0x' || substring(md5(CAST(l_orderkey AS VARCHAR)), 1, 15)) AS BIGINT) AS hv
-      |  FROM lineitem),
-      |rr AS (
-      |  SELECT hv % $hllM AS reg,
-      |    CASE WHEN hv // $hllM = 0 THEN ${hllWBits + 1}
-      |         ELSE ${hllWBits + 1} - length(ltrim(bin(CAST(hv // $hllM AS BIGINT)), '0')) END AS rnk
-      |  FROM h),
-      |regs AS (SELECT reg, max(rnk) AS r FROM rr GROUP BY reg),
-      |agg AS (SELECT count(*) AS n_present,
-      |          CAST(sum(CAST(1 AS BIGINT) << CAST(${hllWBits + 1} - r AS INTEGER)) AS BIGINT) AS s_present
-      |        FROM regs),
-      |ex AS (SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_exact FROM lineitem),
-      |est0 AS (
-      |  SELECT n_exact, $hllM - n_present AS v_zero,
-      |    s_present + CAST($hllM - n_present AS BIGINT) * (CAST(1 AS BIGINT) << ${hllWBits + 1}) AS s_sum
-      |  FROM agg, ex),
-      |est1 AS (
-      |  SELECT *,
-      |    CAST((CAST($hllAlpha6 AS HUGEINT) * CAST('$hllNum' AS HUGEINT))
-      |      // (CAST(s_sum AS HUGEINT) * 1000000) AS BIGINT) AS est_raw
-      |  FROM est0),
-      |est2 AS (
-      |  SELECT *,
-      |    CASE WHEN est_raw * 2 <= 5 * $hllM AND v_zero > 0
-      |         THEN ($hllM * CAST(floor(ln(CAST($hllM AS DOUBLE) / v_zero) * 1e9 + 0.5) AS BIGINT)) // 1000000000
-      |         ELSE est_raw END AS est
-      |  FROM est1)
-      |SELECT n_exact, v_zero, s_sum, est_raw, est,
-      |  abs(est - n_exact) * 1000 // n_exact AS err_permille
-      |FROM est2""".stripMargin
+  val q31Sql: String = graft.functions.Hll.oracleSql("lineitem", "l_orderkey")
 }

@@ -968,4 +968,32 @@ object EventStreams {
     s"""WITH ${graft.operators.TextStats.t21Ctes}
       |SELECT * FROM verdicts WHERE keep_doc = 1
       |ORDER BY doc_id""".stripMargin
+
+  /** s18: STREAMING ndv — [[graft.functions.Hll]]'s register
+    * aggregate run as a stateful streaming aggregate over the event
+    * stream. This is the sketch's mergeability made operational:
+    * state = the ≤ 1024 max-rank registers (bounded FOREVER, no
+    * watermark needed — registers only ever ratchet up), each
+    * micro-batch folds in with a map-side partial max, and the
+    * estimate reads the register table after ingest. The same
+    * registers would merge across streams/days by max — the
+    * always-on "how many distinct X have we ever seen" monitor that
+    * an exact streaming distinct (unbounded key state) cannot be.
+    * The exact-count audit joins from the batch side to grade the
+    * sketch; oracle = the batch sketch (bitwise — max is
+    * order-free), instantiated by the same SQL generator as q31's.
+    */
+  def s18(spark: SparkSession, dir: String): DataFrame = {
+    val ss = streamSession(spark)
+    import ss.implicits._
+    val regs = runToTable(ss,
+      graft.functions.Hll.registers(streamingEvents(spark, dir), "event_id"),
+      OutputMode.Complete())
+    val exact = graft.Tables.events(ss, dir)
+      .agg(count_distinct($"event_id").as("n_exact"))
+    graft.functions.Hll.estimateWithAudit(regs, exact)
+  }
+
+  /** s18 oracle: the batch-equivalent audited sketch over events. */
+  val s18Sql: String = graft.functions.Hll.oracleSql("events", "event_id")
 }

@@ -382,11 +382,28 @@ class PlanSpec extends AnyFunSuite {
     assert(bnlj.length <= 5, s"more 1-row broadcasts than the totals need: $bnlj")
   }
 
-  test("p8: all four columns' stats ride ONE lineitem scan") {
+  test("p8: all four columns' stats ride ONE lineitem scan, level 1 in codegen") {
     val p = plan(graft.operators.Layout.p8(spark, sf)).split("== Initial Plan ==")(0)
-    // one scan + the multi-distinct Expand — not a rescan per column
+    // one scan + the pair explode — not a rescan per column
     assert("Scan parquet".r.findAllIn(p).length == 1, s"per-column rescan:\n$p")
-    assert(p.contains("Expand"), s"multi-distinct Expand missing:\n$p")
+    assert(p.contains("Generate"), s"pair explode missing:\n$p")
+    // the DATA-SIZED aggregate — (col_name, v) counts — must stay a
+    // codegen HashAggregate: its count-only buffer is fixed-size.
+    // (The 4-row level 2 may SortAggregate; its string min/max
+    // buffers are var-length and its input is Σndv rows — §8.32.)
+    // Structurally: the tree prints root-down, so every level-2
+    // SortAggregate line must sit ABOVE the codegen HashAggregates,
+    // which in turn sit above the Generate they consume.
+    val lines = p.linesIterator.toSeq
+    val firstHash = lines.indexWhere(_.contains("* HashAggregate"))
+    val lastHash = lines.lastIndexWhere(_.contains("* HashAggregate"))
+    val gen = lines.indexWhere(_.contains("Generate"))
+    assert(firstHash >= 0 && gen > lastHash,
+      s"pair counts not a codegen HashAggregate over the explode:\n$p")
+    val badSort = lines.zipWithIndex.exists { case (l, i) =>
+      (l.contains("SortAggregate") || l.contains("ObjectHashAggregate")) && i > firstHash
+    }
+    assert(!badSort, s"non-codegen aggregate at/below the data-sized level:\n$p")
   }
 
   test("q30: order statistics run over the value histogram, not raw rows") {

@@ -388,6 +388,22 @@ class StreamingPipelineSpec extends AnyFunSuite {
     assert(streamed.exists(_._4 == 1L) && streamed.exists(_._4 == 0L))
   }
 
+  test("s18 streamed HLL registers equal the batch sketch; estimate audited") {
+    // mergeability made operational: micro-batch max-per-register
+    // folds must land on exactly the batch register table (max is
+    // order-free), so the streamed estimate IS the batch estimate
+    val streamed = graft.streaming.EventStreams.s18(spark, SharedSpark.sf).collect()
+    assert(streamed.length == 1)
+    val ev = Tables.events(spark, SharedSpark.sf)
+    val batch = graft.functions.Hll.estimateWithAudit(
+      graft.functions.Hll.registers(ev, "event_id"),
+      ev.agg(org.apache.spark.sql.functions.count_distinct(
+        org.apache.spark.sql.functions.col("event_id")).as("n_exact"))).collect()
+    assert(streamed.head.toSeq == batch.head.toSeq)
+    // the sketch is honest: error within 4 sigma of 1.04/sqrt(1024)
+    assert(streamed.head.getAs[Long]("err_permille") < 130)
+  }
+
   test("s17 streaming quality gate admits exactly the batch-kept documents") {
     // the shared rule map (gopherFlags) must make the stream door and
     // the batch curation pass bitwise-identical on every column
