@@ -105,6 +105,20 @@ object Graft {
   def hllEstimate(registers: DataFrame): DataFrame =
     functions.Hll.estimate(registers)
 
+  // ---- deterministic Count-Min frequency sketch (batch or streaming) ----
+  /** The ≤ d·w = 2048-cell CMS table for any key expression —
+    * mergeable by cell-wise sum; run it as a streaming aggregate for
+    * an always-on heavy-hitter monitor (s19).
+    */
+  def cmsCells(df: DataFrame, keyExpr: String): DataFrame =
+    functions.Cms.cells(df, keyExpr)
+
+  /** Point estimates (min over rows; only ever overcounts) for a
+    * tiny (ks, n_exact) candidate frame against a cell table.
+    */
+  def cmsEstimate(cells: DataFrame, keys: DataFrame): DataFrame =
+    functions.Cms.estimate(cells, keys)
+
   /** Registry of every operator: name -> (session, sfDir) => result. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = SparkEntry.queries
 }

@@ -84,6 +84,9 @@ object PlanDump {
       "p8_table_stats" -> "column stats: one scan, (col,value) explode, count-only codegen level 1, tiny typed-recovery level 2",
       "e12_attribution" -> "last-touch attribution: forward-fill groups + equality join sharing the user-key hash — no inequality as-of pair blow-up",
       "q31_hll_distinct" -> "HLL sketch: narrow hash+rank map, 1024-row register aggregate (map-side partial max), 1-row estimate",
+      "q32_cms_heavy" -> "CMS sketch: 4-way posexplode, 2048-cell aggregate (map-side partial sum), broadcast probe of the top-10 audit",
+      "t22_stratified_sample" -> "stratified sample: two-level salted rank with WindowGroupLimit pushdown, one scan",
+      "t23_weighted_sample" -> "A-ES weighted sample: narrow integerized-key map, TakeOrderedAndProject bounded top-k",
     )
     val sb = new StringBuilder
     sb.append("# PLANS — formatted physical plans (generated by graft.PlanDump at sf0.001)\n")

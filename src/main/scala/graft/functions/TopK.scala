@@ -30,3 +30,33 @@ class TopKAgg(k: Int) extends Aggregator[(Double, Long), Seq[(Double, Long)], Se
   override def outputEncoder: Encoder[Seq[(Double, Long)]] =
     org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[(Double, Long)]]()
 }
+
+/** Bounded bottom-k over INTEGER keys — [[TopKAgg]]'s exact-order
+  * sibling for hash-rank sampling (operators/Sampling.scala): keeps
+  * the k smallest (key, id) pairs in O(k) state with map-side
+  * partial aggregation. Integer keys, not Double: a 60-bit hash
+  * rank does not survive a 53-bit mantissa, and sampling ranks must
+  * compare EXACTLY (the oracle does). The natural tuple order
+  * (key asc, id asc) is the sample's tiebreak. Merge is order-free,
+  * which is what lets the same aggregator run as streaming state
+  * (s20): the streamed sample provably equals the batch sample.
+  */
+class BottomKAgg(k: Int) extends Aggregator[(Long, Long), Seq[(Long, Long)], Seq[(Long, Long)]] {
+
+  override def zero: Seq[(Long, Long)] = Vector.empty
+
+  private def trim(s: Seq[(Long, Long)]): Seq[(Long, Long)] = s.sorted.take(k)
+
+  override def reduce(buf: Seq[(Long, Long)], row: (Long, Long)): Seq[(Long, Long)] =
+    trim(buf :+ row)
+
+  override def merge(a: Seq[(Long, Long)], b: Seq[(Long, Long)]): Seq[(Long, Long)] =
+    trim(a ++ b)
+
+  override def finish(buf: Seq[(Long, Long)]): Seq[(Long, Long)] = trim(buf)
+
+  override def bufferEncoder: Encoder[Seq[(Long, Long)]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[(Long, Long)]]()
+  override def outputEncoder: Encoder[Seq[(Long, Long)]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[(Long, Long)]]()
+}

@@ -939,4 +939,40 @@ object Relational {
     * same binary-string rank, HUGEINT for the one wide product.
     */
   val q31Sql: String = graft.functions.Hll.oracleSql("lineitem", "l_orderkey")
+
+  // ---------- q32: Count-Min heavy hitters ----------
+
+  private val q32TopN = 10
+
+  /** q32: DETERMINISTIC Count-Min frequency sketch (Cormode &
+    * Muthukrishnan 2005) over supplier activity, with a built-in
+    * accuracy audit: the true top-[[q32TopN]] suppliers by lineitem
+    * count are point-estimated against the sketch and the
+    * overcount (always ≥ 0 — CMS only overcounts) is reported per
+    * key. The sketch machinery lives in [[graft.functions.Cms]]
+    * (shared with the streaming twin s19; determinism and scale
+    * rationale there).
+    *
+    * Scale shape: the cell aggregate moves ≤ d·w = 2048 rows per
+    * executor (map-side partial sum) no matter how many billions
+    * were scanned; the exact top-N audit is one key-grain aggregate
+    * feeding a TakeOrderedAndProject (map-side partial top-N, no
+    * global sort) and exists to grade the sketch.
+    */
+  def q32(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val li = Tables.lineitem(spark, dir)
+    val top = li.selectExpr("CAST(l_suppkey AS STRING) AS ks")
+      .groupBy($"ks").agg(count(lit(1)).as("n_exact"))
+      .orderBy($"n_exact".desc, $"ks").limit(q32TopN)
+    graft.functions.Cms.estimate(
+        graft.functions.Cms.cells(li, "l_suppkey"), top)
+      .transform(Tables.ordered(_, $"n_exact".desc, $"ks"))
+  }
+
+  /** q32 oracle: the identical sketch in DuckDB — same salted hash
+    * prefix per row, same min-over-rows estimate.
+    */
+  val q32Sql: String =
+    graft.functions.Cms.oracleSql("lineitem", "l_suppkey", q32TopN)
 }

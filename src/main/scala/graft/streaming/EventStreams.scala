@@ -996,4 +996,69 @@ object EventStreams {
 
   /** s18 oracle: the batch-equivalent audited sketch over events. */
   val s18Sql: String = graft.functions.Hll.oracleSql("events", "event_id")
+
+  private val s19TopN = 10
+
+  /** s19: STREAMING heavy hitters — [[graft.functions.Cms]]'s cell
+    * aggregate run as a stateful streaming aggregate over the event
+    * stream, s18's frequency-counting sibling. State = the ≤ d·w =
+    * 2048 count cells (bounded FOREVER, no watermark — counts only
+    * grow), each micro-batch folds in with a map-side partial sum,
+    * and the true top-[[s19TopN]] users (from the batch side, the
+    * audit) are point-estimated after ingest. Cells merge across
+    * streams/days by cell-wise sum — the always-on "who is
+    * hammering us" monitor that an exact streaming per-key count
+    * (unbounded key state) cannot be. Oracle = the batch sketch
+    * (bitwise — sum is order-free), instantiated by the same SQL
+    * generator as q32's.
+    */
+  def s19(spark: SparkSession, dir: String): DataFrame = {
+    val ss = streamSession(spark)
+    import ss.implicits._
+    val cells = runToTable(ss,
+      graft.functions.Cms.cells(streamingEvents(spark, dir), "user_id"),
+      OutputMode.Complete())
+    val top = graft.Tables.events(ss, dir)
+      .selectExpr("CAST(user_id AS STRING) AS ks")
+      .groupBy($"ks").agg(count(lit(1)).as("n_exact"))
+      .orderBy($"n_exact".desc, $"ks").limit(s19TopN)
+    graft.functions.Cms.estimate(cells, top)
+      .transform(graft.Tables.ordered(_, $"n_exact".desc, $"ks"))
+  }
+
+  /** s19 oracle: the batch-equivalent audited sketch over events. */
+  val s19Sql: String =
+    graft.functions.Cms.oracleSql("events", "user_id", s19TopN)
+
+  /** s20: STREAMING uniform sample — the bottom-k hash-rank sketch
+    * (operators/Sampling.scala) run as a typed streaming aggregate:
+    * state = ONE [[graft.functions.BottomKAgg]] buffer of ≤ k
+    * (rank, id) pairs, bounded forever; each micro-batch's partial
+    * bottom-k merges in order-free, so the streamed sample is
+    * PROVABLY the batch sample over everything ever seen (the
+    * oracle is exactly that batch query). The always-on "give me a
+    * uniform sample of the stream so far" — a true distributed
+    * reservoir with deterministic replay, where a classic reservoir
+    * (random eviction) is irreproducible and single-threaded.
+    * Map-side partial aggregation does the heavy lifting: the one
+    * single-key reduce sees only k-bounded buffers, never rows.
+    */
+  def s20(spark: SparkSession, dir: String): DataFrame = {
+    val ss = streamSession(spark)
+    import ss.implicits._
+    val pairs = graft.operators.Sampling
+      .s20Pairs(streamingEvents(spark, dir)).as[(Long, Long)]
+    val agg = pairs.groupByKey(_ => 0)
+      .agg(new graft.functions.BottomKAgg(graft.operators.Sampling.s20K)
+        .toColumn.name("sample"))
+      .toDF("g", "sample")
+    runToTable(ss, agg, OutputMode.Complete())
+      .selectExpr("posexplode(sample) AS (i, p)")
+      .selectExpr("CAST(i + 1 AS BIGINT) AS rk",
+        "p._2 AS event_id", "p._1 AS hvr")
+      .transform(graft.Tables.ordered(_, $"rk"))
+  }
+
+  /** s20 oracle: the batch bottom-k sample over events. */
+  val s20Sql: String = graft.operators.Sampling.s20Sql
 }

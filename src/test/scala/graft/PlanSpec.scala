@@ -424,4 +424,26 @@ class PlanSpec extends AnyFunSuite {
         !p.contains("BroadcastNestedLoopJoin"), s"non-equality join:\n$p")
     }
   }
+
+  test("q32/t23: audit top-k is TakeOrderedAndProject, never a global sort") {
+    // orderBy.limit must compile to per-partition bounded heaps + a
+    // k-row merge; a Sort feeding the limit would sort the corpus
+    Seq(plan(Relational.q32(spark, sf)),
+        plan(graft.operators.Sampling.t23(spark, sf))).foreach { p0 =>
+      val p = p0.split("== Initial Plan ==")(0)
+      assert(p.contains("TakeOrderedAndProject"), s"no bounded top-k:\n$p")
+    }
+  }
+
+  test("t22: stratified sample windows are salt-bounded, one scan") {
+    val p = plan(graft.operators.Sampling.t22(spark, sf))
+      .split("== Initial Plan ==")(0)
+    // two window passes (level 0 salted, level 1 over survivors) —
+    // never a single stratum-wide ranking of the full corpus
+    assert("Window \\(".r.findAllIn(p).length == 2, s"two-level rank missing:\n$p")
+    // and Spark's rank-limit pushdown guards each: rows beyond k die
+    // in WindowGroupLimit BEFORE the sort/shuffle, map-side
+    assert(p.contains("WindowGroupLimit"), s"rank pushdown missing:\n$p")
+    assert("Scan parquet".r.findAllIn(p).length == 1)
+  }
 }

@@ -770,4 +770,31 @@ class RelationalSpec extends AnyFunSuite {
     assert(r.getAs[Long]("err_permille") < 130,
       s"error ${r.getAs[Long]("err_permille")} permille out of spec")
   }
+
+  test("q32: CMS never undercounts; cells merge by sum; audit is exact") {
+    val rows = Relational.q32(spark, sf).collect()
+    assert(rows.length == 10)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("overcount") >= 0 &&
+        r.getAs[Long]("est") >= r.getAs[Long]("n_exact"))
+    }
+    // the exact top-10 audit matches a direct aggregate
+    val li = Tables.lineitem(spark, sf)
+    val direct = li.groupBy($"l_suppkey").count().collect()
+      .map(r => (r.getLong(0).toString, r.getLong(1)))
+      .sortBy { case (k, n) => (-n, k) }.take(10).toSeq
+    assert(rows.map(r => (r.getAs[String]("ks"), r.getAs[Long]("n_exact"))).toSeq
+      == direct)
+    // mergeability: per-half sketches summed cell-wise == whole-corpus sketch
+    def cellMap(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => ((r.getAs[Int]("j"), r.getAs[Long]("c")), r.getAs[Long]("cnt"))).toMap
+    val whole = cellMap(graft.functions.Cms.cells(li, "l_suppkey"))
+    val merged = cellMap(
+      graft.functions.Cms.cells(li.filter($"l_orderkey" % 2 === 0), "l_suppkey")
+        .unionAll(graft.functions.Cms.cells(li.filter($"l_orderkey" % 2 =!= 0), "l_suppkey"))
+        .groupBy($"j", $"c").agg(sum($"cnt").as("cnt")))
+    assert(merged == whole)
+    // conservation: total sketch mass = d x input rows
+    assert(whole.values.sum == graft.functions.Cms.d * li.count())
+  }
 }

@@ -653,4 +653,33 @@ class StreamingPipelineSpec extends AnyFunSuite {
     val (w, c) = t.diff()
     assert(w > 0 && c >= 0 && x > 0)
   }
+
+  test("s19 streamed CMS cells equal the batch sketch; estimates audited") {
+    // micro-batch cell-wise sums must land on exactly the batch cell
+    // table (sum is order-free), so the streamed estimates ARE batch
+    val streamed = graft.streaming.EventStreams.s19(spark, SharedSpark.sf).collect()
+    val ev = Tables.events(spark, SharedSpark.sf)
+    val top = ev.selectExpr("CAST(user_id AS STRING) AS ks")
+      .groupBy(col("ks")).agg(count(lit(1)).as("n_exact"))
+      .orderBy(col("n_exact").desc, col("ks")).limit(10)
+    val batch = graft.functions.Cms
+      .estimate(graft.functions.Cms.cells(ev, "user_id"), top)
+      .orderBy(col("n_exact").desc, col("ks")).collect()
+    assert(streamed.map(_.toSeq).toSeq == batch.map(_.toSeq).toSeq)
+    streamed.foreach(r => assert(r.getAs[Long]("overcount") >= 0))
+  }
+
+  test("s20 streamed bottom-k sample equals the batch sample bitwise") {
+    import spark.implicits._
+    val streamed = graft.streaming.EventStreams.s20(spark, SharedSpark.sf).collect()
+    assert(streamed.length == 100)
+    // the batch sample: ALL pairs sorted, first k — state never saw
+    // more than k-bounded partial buffers, yet lands on exactly this
+    val pairs = graft.operators.Sampling
+      .s20Pairs(Tables.events(spark, SharedSpark.sf))
+      .as[(Long, Long)].collect().sorted.take(100).toSeq
+    assert(streamed.map(r => (r.getAs[Long]("hvr"), r.getAs[Long]("event_id"))).toSeq
+      == pairs)
+    assert(streamed.map(_.getAs[Long]("rk")).toSeq == (1L to 100L))
+  }
 }
