@@ -10,8 +10,26 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  def load(spark: SparkSession, dir: String, name: String): DataFrame =
+  /** The driver's testdata has shipped two parquet timestamp layouts:
+    * TIMESTAMP(NANOS) (unreadable as a Spark timestamp — the legacy
+    * nanosAsLong conf exposes raw BIGINT nanos) and
+    * TIMESTAMP(MICROS, isAdjustedToUTC=false), which Spark 4 infers
+    * as TIMESTAMP_NTZ by default. Every operator (and every oracle)
+    * assumes session-zone TimestampType, so disable NTZ inference —
+    * the micros columns then read natively as TimestampType (the
+    * session runs UTC, so the instant is identical) and parquet
+    * filter pushdown keeps working (a post-scan NTZ→LTZ cast would
+    * block it).
+    */
+  private[graft] def tsConfs(spark: SparkSession): Unit = {
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+  }
+
+  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    tsConfs(spark)
     spark.read.parquet(s"$dir/$name.parquet")
+  }
 
   def region(s: SparkSession, d: String): DataFrame = load(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame = load(s, d, "nation")
@@ -20,16 +38,20 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame = load(s, d, "lineitem")
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark 4 refuses to
-    * read as a timestamp. Read it as raw nanos (legacy conf) and
-    * convert with integer arithmetic (`div`, not `/` — epoch-nanos
-    * exceed a double's exact range) to a microsecond timestamp.
+  /** `events.ts`: under the legacy TIMESTAMP(NANOS) layout it reads
+    * as raw BIGINT nanos and needs integer conversion (`div`, not `/`
+    * — epoch-nanos exceed a double's exact range) to a microsecond
+    * timestamp; under the current micros layout [[load]]'s confs make
+    * it a plain TimestampType already.
     */
   def events(s: SparkSession, d: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    load(s, d, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts div 1000")))
+    val raw = load(s, d, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
+          org.apache.spark.sql.functions.expr("ts div 1000")))
+      case _ => raw
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")

@@ -511,4 +511,54 @@ object EventWindows {
       |       THEN conv_us - touch_us END AS lag_us
       |FROM convs JOIN touches USING (user_id, grp)
       |ORDER BY conv_id""".stripMargin
+
+  // ---------- e13: view→purchase conversion lag ----------
+
+  /** e13: TIME-TO-CONVERT — for each user, the lag from their FIRST
+    * view to their first purchase at-or-after it (the funnel-latency
+    * metric next to e4's funnel counts: e4 says how many converted,
+    * e13 says how fast). Users who never view, or never purchase
+    * after their first view, do not convert and are excluded.
+    *
+    * Shape: ONE user_id exchange shared by two windows and the final
+    * group-by (Catalyst plans no further shuffle once the stream is
+    * hash-partitioned by user) — the conditional-min-over-window
+    * idiom instead of the aggregate→self-join a naive two-pass
+    * formulation would shuffle twice for. The second window's
+    * predicate references the first window's result, so they are
+    * sequential selects but share the single partitioning.
+    */
+  def e13(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"user_id")
+    Tables.events(spark, dir)
+      .select($"user_id", $"event_type", unix_micros($"ts").as("tus"))
+      .withColumn("first_view",
+        min(when($"event_type" === "view", $"tus")).over(w))
+      .withColumn("conv",
+        min(when($"event_type" === "purchase" && $"tus" >= $"first_view",
+          $"tus")).over(w))
+      .groupBy($"user_id")
+      .agg(max($"first_view").as("first_view_us"), max($"conv").as("conv_us"))
+      .filter($"conv_us".isNotNull)
+      .withColumn("lag_us", $"conv_us" - $"first_view_us")
+      .transform(graft.Tables.ordered(_, $"user_id"))
+  }
+
+  /** e13 oracle: the two-pass aggregate formulation — ground truth
+    * for the shared-window decomposition; all comparisons on
+    * epoch_us.
+    */
+  val e13Sql: String =
+    """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS tus FROM events),
+      |v AS (SELECT user_id, min(CASE WHEN event_type = 'view' THEN tus END) AS first_view
+      |      FROM e GROUP BY user_id),
+      |c AS (SELECT e.user_id, min(e.tus) AS conv
+      |      FROM e JOIN v ON v.user_id = e.user_id
+      |      WHERE e.event_type = 'purchase' AND e.tus >= v.first_view
+      |      GROUP BY e.user_id)
+      |SELECT v.user_id, v.first_view AS first_view_us, c.conv AS conv_us,
+      |  c.conv - v.first_view AS lag_us
+      |FROM v JOIN c ON c.user_id = v.user_id
+      |ORDER BY v.user_id""".stripMargin
 }

@@ -250,6 +250,70 @@ object Graph {
       .transform(Tables.ordered(_, $"c_custkey"))
   }
 
+  /** g4: weakly connected components over a SPARSE derived link
+    * graph — the web-graph partition pass crawl curation runs before
+    * per-component work (a component ≈ a site/mirror cluster; CC
+    * feeds mirror detection and per-site quotas the way d6 feeds
+    * dedup survivor choice). Unlike d6's seeded copy-chains, this
+    * graph's component structure is NOT closed-form: edges exist only
+    * where the arithmetic predicates fire (~73% of nodes carry any),
+    * so components range from singletons to long chains.
+    *
+    * Runs the O(log n)-round large-star/small-star contraction
+    * ([[graft.operators.Dedup.ccPropagate]]'s sibling `ccStars`,
+    * Kiveris et al. 2014) unconditionally: with unknown diameter the
+    * log-round bound is the right default, and near-dup-style
+    * propagation (diameter rounds) could be the pathological case
+    * here. Per round: two groupBy-min shuffles + a distinct; lineage
+    * cut per round. Edgeless customers rejoin as singletons via the
+    * final left join (labels(id,lbl) covers edge endpoints only).
+    * Output: one row per node with its component root and the
+    * component size — the per-node grain downstream quota/mirror
+    * logic joins against.
+    */
+  def g4(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val nodes = Tables.customer(spark, dir).select($"c_custkey".as("id")).cache()
+    val n = nodes.count()
+    val edges = nodes.filter($"id" % 5 < 2)
+      .selectExpr("id AS src", s"(id * 31 + 7) % $n AS dst")
+      .unionAll(nodes.filter($"id" % 3 === 0)
+        .selectExpr("id AS src", s"(id * 17 + 3) % $n AS dst"))
+    val (labels, _, conv) = Dedup.ccStars(edges, 50)
+    require(conv, "g4 ccStars did not converge within 50 rounds")
+    val labeled = nodes
+      .join(labels, Seq("id"), "left_outer")
+      .select($"id", coalesce($"lbl", $"id").as("component"))
+    labeled
+      .join(labeled.groupBy($"component").agg(count(lit(1)).as("csize")),
+        Seq("component"))
+      .select($"id".as("c_custkey"), $"component", $"csize")
+      .transform(Tables.ordered(_, $"c_custkey"))
+  }
+
+  /** g4 oracle: min-label transitive closure via DuckDB's recursive
+    * CTE (UNION dedups rows, so the recursion reaches the fixpoint) —
+    * an implementation-independent ground truth for the contraction.
+    * Closure size is Σ|component|² rows — fine at oracle scale; the
+    * Spark side never materializes it.
+    */
+  val g4Sql: String =
+    """WITH RECURSIVE nn AS (SELECT count(*) AS n FROM customer),
+      |nodes AS (SELECT c_custkey AS id FROM customer),
+      |e AS (SELECT id AS src, (id * 31 + 7) % nn.n AS dst FROM nodes, nn WHERE id % 5 < 2
+      |      UNION ALL SELECT id, (id * 17 + 3) % nn.n FROM nodes, nn WHERE id % 3 = 0),
+      |und AS (SELECT src, dst FROM e UNION SELECT dst, src FROM e),
+      |reach(id, lbl) AS (
+      |  SELECT id, id FROM nodes
+      |  UNION
+      |  SELECT u.dst, r.lbl FROM reach r JOIN und u ON u.src = r.id),
+      |comp AS (SELECT id, min(lbl) AS component FROM reach GROUP BY id)
+      |SELECT c.id AS c_custkey, c.component, s.csize
+      |FROM comp c
+      |JOIN (SELECT component, count(*) AS csize FROM comp GROUP BY component) s
+      |  ON s.component = c.component
+      |ORDER BY c_custkey""".stripMargin
+
   /** g3 oracle: identical orientation and wedge-closing joins. */
   val g3Sql: String =
     """WITH nn AS (SELECT count(*) AS n FROM customer),

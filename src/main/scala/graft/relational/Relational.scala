@@ -975,4 +975,68 @@ object Relational {
     */
   val q32Sql: String =
     graft.functions.Cms.oracleSql("lineitem", "l_suppkey", q32TopN)
+
+  // ---------- q33: 2-D skyline (Pareto frontier) ----------
+
+  /** q33: the 2-D SKYLINE of parts minimizing (p_retailprice,
+    * p_size) — "no other part is both cheaper and smaller"
+    * (Börzsönyi et al. 2001, ICDE). The naive formulation is a
+    * quadratic dominance anti-join (the oracle below); the
+    * distributed shape exploits the 2-D structure: after sorting by
+    * price, a part is on the skyline iff its size beats the running
+    * minimum size of all STRICTLY cheaper parts (and the minimum of
+    * its own price group — equal-(price,size) rows dominate neither
+    * way and all survive).
+    *
+    * Scale decomposition (t9's hierarchical-scan argument for a
+    * prefix MIN): (1) one price-grain aggregate (map-side combine)
+    * collapses the corpus to its distinct prices; (2) the strict
+    * prefix min runs as an in-bucket window (partitioned by the
+    * integer price bucket) plus a bucket-grain carry window —
+    * the only unpartitioned window rides the BUCKET grain
+    * (one row per distinct currency unit — value-bounded metadata,
+    * never corpus-sized); (3) the corpus joins back on price,
+    * reusing the price hash partitioning. min is idempotent, so the
+    * two-level split is exactly the sequential fold.
+    */
+  def q33(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val parts = Tables.part(spark, dir)
+      .select($"p_partkey", $"p_retailprice", $"p_size")
+    val gmin = parts.groupBy($"p_retailprice")
+      .agg(min($"p_size").as("gmin"))
+      .withColumn("pb", expr("CAST(floor(p_retailprice) AS BIGINT)"))
+    val wIn = Window.partitionBy($"pb").orderBy($"p_retailprice")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wBucket = Window.orderBy($"pb")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val carry = gmin.groupBy($"pb").agg(min($"gmin").as("bmin"))
+      .withColumn("carry", min($"bmin").over(wBucket))
+    // least() skips nulls: null strict_min marks the cheapest price
+    // (nothing strictly cheaper exists — always on the skyline)
+    val thresh = gmin
+      .withColumn("in_min", min($"gmin").over(wIn))
+      .join(carry.select($"pb", $"carry"), Seq("pb"))
+      .select($"p_retailprice", $"gmin",
+        least($"in_min", $"carry").as("strict_min"))
+    parts.join(thresh, Seq("p_retailprice"))
+      .filter($"p_size" === $"gmin" &&
+        ($"strict_min".isNull || $"p_size" < $"strict_min"))
+      .select($"p_partkey", $"p_retailprice", $"p_size")
+      .transform(Tables.ordered(_, $"p_partkey"))
+  }
+
+  /** q33 oracle: the definitional quadratic dominance anti-join —
+    * implementation-independent ground truth for the prefix-min
+    * decomposition.
+    */
+  val q33Sql: String =
+    """SELECT p_partkey, p_retailprice, p_size
+      |FROM part a
+      |WHERE NOT EXISTS (
+      |  SELECT 1 FROM part b
+      |  WHERE b.p_retailprice <= a.p_retailprice
+      |    AND b.p_size <= a.p_size
+      |    AND (b.p_retailprice < a.p_retailprice OR b.p_size < a.p_size))
+      |ORDER BY p_partkey""".stripMargin
 }

@@ -46,15 +46,33 @@ object EventStreams {
       ns.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
     }
 
+  /** events.ts has shipped as TIMESTAMP(NANOS) (BIGINT nanos under
+    * the legacy conf) and as micros (TimestampType once NTZ inference
+    * is off — [[graft.Tables.tsConfs]]' rationale). The streaming
+    * readers take the file schema verbatim, so both layouts reach
+    * them; normalize to a session-zone TimestampType `ts`.
+    */
+  private def tsToTimestamp(df: DataFrame): DataFrame = df.schema("ts").dataType match {
+    case org.apache.spark.sql.types.LongType =>
+      df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    case _ => df
+  }
+
+  /** SQL fragment producing epoch-micros of `ts` under either layout. */
+  private def tusSql(schema: org.apache.spark.sql.types.StructType): String =
+    schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => "ts div 1000"
+      case _ => "unix_micros(ts)"
+    }
+
   private def streamingEvents(spark0: SparkSession, dir: String): DataFrame = {
     val spark = streamSession(spark0)
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    graft.Tables.tsConfs(spark)
     val schema = spark.read.parquet(s"$dir/events.parquet").schema
     // the streaming file source needs a directory; select the single
     // table file out of the sf dir with a glob filter
-    spark.readStream.schema(schema)
-      .option("pathGlobFilter", "events.parquet").parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    tsToTimestamp(spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet").parquet(dir))
   }
 
   private def runToTable(spark: SparkSession, df: DataFrame, mode: OutputMode): DataFrame = {
@@ -406,11 +424,11 @@ object EventStreams {
   def s8(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val rs = rocksSession(spark)
-    rs.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    graft.Tables.tsConfs(rs)
     val schema = rs.read.parquet(s"$dir/events.parquet").schema
     val src = rs.readStream.schema(schema)
       .option("pathGlobFilter", "events.parquet").parquet(dir)
-      .selectExpr("user_id", "event_id", "ts div 1000 AS tus", "value").as[RecEv]
+      .selectExpr("user_id", "event_id", s"${tusSql(schema)} AS tus", "value").as[RecEv]
     runToTable(rs, topkStream(src).toDF(), OutputMode.Append())
       .orderBy($"user_id", $"rnk")
   }
@@ -428,11 +446,11 @@ object EventStreams {
   def s7(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val rs = rocksSession(spark)
-    rs.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    graft.Tables.tsConfs(rs)
     val schema = rs.read.parquet(s"$dir/events.parquet").schema
     val src = rs.readStream.schema(schema)
       .option("pathGlobFilter", "events.parquet").parquet(dir)
-      .selectExpr("user_id", "event_id", "ts div 1000 AS tus", "value").as[RecEv]
+      .selectExpr("user_id", "event_id", s"${tusSql(schema)} AS tus", "value").as[RecEv]
     runToTable(rs, ewmaStream(src).toDF(), OutputMode.Append())
       .orderBy($"user_id")
   }
@@ -480,11 +498,11 @@ object EventStreams {
   def s10(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val rs = rocksSession(spark)
-    rs.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    graft.Tables.tsConfs(rs)
     val schema = rs.read.parquet(s"$dir/events.parquet").schema
     val src = rs.readStream.schema(schema)
       .option("pathGlobFilter", "events.parquet").parquet(dir)
-      .selectExpr("event_type", "event_id", "ts div 1000 AS tus").as[QEv]
+      .selectExpr("event_type", "event_id", s"${tusSql(schema)} AS tus").as[QEv]
     runToTable(rs, quotaStream(src, 50L).toDF(), OutputMode.Append())
       .orderBy($"event_type", $"rnk")
   }
@@ -516,11 +534,11 @@ object EventStreams {
   def s6(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val rs = rocksSession(spark)
-    rs.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    graft.Tables.tsConfs(rs)
     val schema = rs.read.parquet(s"$dir/events.parquet").schema
     val src = rs.readStream.schema(schema)
       .option("pathGlobFilter", "events.parquet").parquet(dir)
-      .selectExpr("user_id", "event_id", "ts div 1000 AS tus", "value").as[RecEv]
+      .selectExpr("user_id", "event_id", s"${tusSql(schema)} AS tus", "value").as[RecEv]
     runToTable(rs, records(src).toDF(), OutputMode.Append())
       .orderBy($"user_id", $"event_id")
   }
@@ -592,11 +610,10 @@ object EventStreams {
 
   def s12(spark: SparkSession, dir: String): DataFrame = {
     val ss = chainSession(spark)
-    ss.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    graft.Tables.tsConfs(ss)
     val schema = ss.read.parquet(s"$dir/events.parquet").schema
-    val ev = ss.readStream.schema(schema)
-      .option("pathGlobFilter", "events.parquet").parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val ev = tsToTimestamp(ss.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet").parquet(dir))
     runToTable(ss, chainedDedupWindow(ev), OutputMode.Append())
       .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
         col("event_type"), col("n_unique_users"))
@@ -645,19 +662,26 @@ object EventStreams {
     */
   def s13(spark: SparkSession, dir: String): DataFrame = {
     val ss = streamSession(spark)
-    ss.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    graft.Tables.tsConfs(ss)
     val schema = ss.read.parquet(s"$dir/events.parquet").schema
+    val tsIsLong = schema("ts").dataType == org.apache.spark.sql.types.LongType
     val stage = java.nio.file.Files.createTempDirectory("graft_s13_").toFile
     val real = new java.io.File(stage, "b0_events.parquet")
     java.nio.file.Files.copy(
       java.nio.file.Paths.get(s"$dir/events.parquet"), real.toPath)
-    val maxNs = ss.read.schema(schema).parquet(real.getAbsolutePath)
-      .agg(max("ts")).head().getLong(0)
+    // max event time in epoch micros, under either ts layout
+    val maxUs = ss.read.schema(schema).parquet(real.getAbsolutePath)
+      .selectExpr(s"${tusSql(schema)} AS tus").agg(max("tus")).head().getLong(0)
     val base = real.lastModified()
-    def sentinel(name: String, tsNs: Long, mtime: Long): Unit = {
+    def sentinel(name: String, tsUs: Long, mtime: Long): Unit = {
+      // the sentinel row must carry ts in the FILE's own layout so the
+      // staged batch reads under the same schema as the real table
+      val tsVal: Any =
+        if (tsIsLong) tsUs * 1000L
+        else java.time.Instant.ofEpochSecond(tsUs / 1000000L, (tsUs % 1000000L) * 1000L)
       val df = ss.createDataFrame(
         java.util.Collections.singletonList(
-          org.apache.spark.sql.Row(-1L, tsNs, -1L, "sentinel", 0.0, "{}")),
+          org.apache.spark.sql.Row(-1L, tsVal, -1L, "sentinel", 0.0, "{}")),
         schema)
       val outDir = new java.io.File(stage, name + ".tmp")
       df.coalesce(1).write.parquet(outDir.getAbsolutePath)
@@ -668,13 +692,12 @@ object EventStreams {
       outDir.delete()
       tgt.setLastModified(mtime)
     }
-    val dayNs = 86400L * 1000000000L
-    sentinel("b1_events.parquet", maxNs + dayNs, base + 60000L)
-    sentinel("b2_events.parquet", maxNs + 2 * dayNs, base + 120000L)
-    val src = ss.readStream.schema(schema)
+    val dayUs = 86400L * 1000000L
+    sentinel("b1_events.parquet", maxUs + dayUs, base + 60000L)
+    sentinel("b2_events.parquet", maxUs + 2 * dayUs, base + 120000L)
+    val src = tsToTimestamp(ss.readStream.schema(schema)
       .option("maxFilesPerTrigger", "1")
-      .parquet(stage.getAbsolutePath)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .parquet(stage.getAbsolutePath))
     val a = src.select(col("user_id").as("ua"), col("ts").as("ta"))
       .withWatermark("ta", "10 minutes")
     val b = src.select(col("user_id").as("ub"), col("ts").as("tb"))
@@ -773,7 +796,7 @@ object EventStreams {
     */
   def s14(spark: SparkSession, dir: String): DataFrame = {
     val ss = streamSession(spark)
-    ss.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    graft.Tables.tsConfs(ss)
     val stage = java.nio.file.Files.createTempDirectory("graft_s14_").toFile
     val storeDir = java.nio.file.Files.createTempDirectory("graft_s14_store_").toFile
     val ev = ss.read.parquet(s"$dir/events.parquet")
@@ -792,10 +815,9 @@ object EventStreams {
     half("b1_events.parquet", "event_id % 2 = 1", now + 60000L)
     val schema = ss.read.parquet(s"${stage.getAbsolutePath}/b0_events.parquet").schema
     val store = new graft.sources.ForecastStore(storeDir.getAbsolutePath)
-    val q = ss.readStream.schema(schema)
+    val q = tsToTimestamp(ss.readStream.schema(schema)
       .option("maxFilesPerTrigger", "1")
-      .parquet(stage.getAbsolutePath)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .parquet(stage.getAbsolutePath))
       .writeStream.outputMode(OutputMode.Append())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         s14MergeBatch(store, batch, batchId)

@@ -398,6 +398,77 @@ class RelationalSpec extends AnyFunSuite {
     assert(th > S / 2 && th < 3 * S, s"hub mass $th")
   }
 
+  test("g4: components equal a sequential union-find over the same edges") {
+    val rows = graft.operators.Graph.g4(spark, sf).collect()
+      .map(r => (r.getAs[Long]("c_custkey"), r.getAs[Long]("component"),
+        r.getAs[Long]("csize")))
+    val n = Tables.customer(spark, sf).count()
+    assert(rows.length == n)
+    // sequential union-find over the identical derived edge set
+    val parent = (0L until n).toArray
+    def find(x: Long): Long = {
+      var r = x.toInt
+      while (parent(r) != r) r = parent(r).toInt
+      var c = x.toInt
+      while (parent(c) != c) { val nx = parent(c).toInt; parent(c) = r; c = nx }
+      r
+    }
+    def union(a: Long, b: Long): Unit = {
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb).toInt) = math.min(ra, rb)
+    }
+    (0L until n).foreach { id =>
+      if (id % 5 < 2) union(id, (id * 31 + 7) % n)
+      if (id % 3 == 0) union(id, (id * 17 + 3) % n)
+    }
+    // path-compress to the minimum root (union always roots the min)
+    val lbl = (0L until n).map(find).toArray
+    val sizes = lbl.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    rows.foreach { case (id, comp, cs) =>
+      assert(comp == lbl(id.toInt), s"node $id: $comp != ${lbl(id.toInt)}")
+      assert(cs == sizes(lbl(id.toInt)), s"size of $id")
+    }
+    // the derived graph must actually be interesting: many components,
+    // at least one non-trivial
+    assert(sizes.size > 10 && sizes.values.max > 5, s"components=${sizes.size}")
+  }
+
+  test("q33: skyline equals brute-force dominance filtering") {
+    val got = Relational.q33(spark, sf).collect()
+      .map(r => (r.getAs[Long]("p_partkey"), r.getAs[Double]("p_retailprice"),
+        r.getAs[Int]("p_size"))).toSet
+    val all = Tables.part(spark, sf)
+      .selectExpr("p_partkey", "p_retailprice", "p_size")
+      .as[(Long, Double, Int)].collect()
+    val want = all.filter { case (_, pa, sa) =>
+      !all.exists { case (_, pb, sb) =>
+        pb <= pa && sb <= sa && (pb < pa || sb < sa)
+      }
+    }.toSet
+    assert(got == want, s"got=${got.size} want=${want.size}")
+    assert(got.nonEmpty && got.size < all.length)
+  }
+
+  test("e13: conversion lags equal a sequential per-user recompute") {
+    val got = EventWindows.e13(spark, sf).collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("first_view_us"),
+        r.getAs[Long]("conv_us"), r.getAs[Long]("lag_us")))
+    val ev = Tables.events(spark, sf)
+      .selectExpr("user_id", "event_type", "unix_micros(ts) AS tus")
+      .as[(Long, String, Long)].collect()
+    val want = ev.groupBy(_._1).flatMap { case (u, rows) =>
+      val views = rows.filter(_._2 == "view").map(_._3)
+      if (views.isEmpty) None
+      else {
+        val fv = views.min
+        val convs = rows.filter(r => r._2 == "purchase" && r._3 >= fv).map(_._3)
+        if (convs.isEmpty) None else Some((u, fv, convs.min, convs.min - fv))
+      }
+    }.toSet
+    assert(got.toSet == want && got.nonEmpty)
+    got.foreach { case (_, _, _, lag) => assert(lag >= 0) }
+  }
+
   test("t20: DSIR importance weights equal a sequential reimplementation bitwise") {
     val ts = graft.operators.TextStats
     val rows = ts.t20(spark, sf).collect()

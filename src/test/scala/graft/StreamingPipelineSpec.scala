@@ -501,7 +501,7 @@ class StreamingPipelineSpec extends AnyFunSuite {
   test("foreachBatch chunked file sink writes every event exactly once") {
     import spark.implicits._
     val out = java.nio.file.Files.createTempDirectory("graft_fsink").toString
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    graft.Tables.tsConfs(spark)
     val schema = spark.read.parquet(s"$sf/events.parquet").schema
     val src = spark.readStream.schema(schema)
       .option("pathGlobFilter", "events.parquet").parquet(sf)
