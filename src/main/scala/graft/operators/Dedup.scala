@@ -1369,4 +1369,79 @@ object Dedup {
       |FROM documents d LEFT JOIN roots r ON r.doc_id = d.doc_id
       |GROUP BY 1
       |ORDER BY 1""".stripMargin
+
+  // ---------- d16: URL canonicalization dedup ----------
+
+  /** d16: URL-CANONICALIZATION dedup — the crawl-frontier pass that
+    * runs BEFORE any content fetch: the same page hides behind
+    * scheme/host case variants, default ports, trailing slashes,
+    * tracking query params and fragments, and collapsing those
+    * variants to one canonical URL is the first dedup a crawl
+    * pipeline applies (CommonCrawl normalizes to SURT form for
+    * exactly this). Since the corpus carries no URL column, a crawl
+    * URL is DERIVED deterministically per doc (scheme/host/port/
+    * path/query/fragment variants keyed off doc_id arithmetic — the
+    * g1 derived-graph discipline), then canonicalized back from the
+    * STRING ONLY (split/replace/lower — the parse is the operator;
+    * the synthesis is just the fixture).
+    *
+    * Canonicalization rules (each a pure string function shared
+    * verbatim with the oracle): drop fragment, drop the (tracking)
+    * query, lowercase, strip the default `:80` port, strip the
+    * trailing slash. Dedup then keys ONE shuffle on the 8-byte
+    * fnv64 digest of the canonical string (d11's digest-keyed
+    * exchange: URL strings die in the map-side partial, only
+    * digests + one canonical representative per partition ride),
+    * keeping the min-doc_id survivor per canonical URL.
+    */
+  def d16(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val urls = Tables.documents(spark, dir).selectExpr("doc_id",
+      // derived crawl URL: deterministic case/port/slash/query/fragment noise
+      """concat(
+        |  CASE WHEN doc_id % 2 = 0 THEN 'http://' ELSE 'HTTP://' END,
+        |  CASE WHEN doc_id % 4 = 1 THEN upper(source) ELSE source END,
+        |  '.Example.COM',
+        |  CASE WHEN doc_id % 4 = 0 THEN ':80' ELSE '' END,
+        |  '/p/', CAST(doc_id % 10 AS STRING),
+        |  CASE WHEN doc_id % 3 = 0 THEN '/' ELSE '' END,
+        |  CASE WHEN doc_id % 5 = 0 THEN '?utm_campaign=feed' ELSE '' END,
+        |  CASE WHEN doc_id % 6 = 0 THEN '#sec1' ELSE '' END
+        |) AS url""".stripMargin)
+    // regexp '/$' (not rtrim) — Spark and DuckDB disagree on
+    // two-arg rtrim argument order, the regex anchors identically
+    val canon = urls.selectExpr("doc_id",
+      "regexp_replace(replace(lower(split_part(split_part(url, '#', 1), '?', 1)), ':80', ''), '/$', '') AS curl")
+    canon
+      .withColumn("k", graft.functions.Fnv64.fnv64($"curl"))
+      .groupBy($"k")
+      .agg(min($"curl").as("canonical_url"),
+        count(lit(1)).as("n_dups"),
+        min($"doc_id").as("survivor_id"))
+      .drop("k")
+      .transform(graft.Tables.ordered(_, $"canonical_url"))
+  }
+
+  /** d16 oracle: identical synthesis + canonicalization strings;
+    * groups directly by the canonical URL (digest-keying is the
+    * engine's exchange optimization, not part of the contract).
+    */
+  val d16Sql: String =
+    """WITH u AS (SELECT doc_id,
+      |    (CASE WHEN doc_id % 2 = 0 THEN 'http://' ELSE 'HTTP://' END)
+      |    || (CASE WHEN doc_id % 4 = 1 THEN upper(source) ELSE source END)
+      |    || '.Example.COM'
+      |    || (CASE WHEN doc_id % 4 = 0 THEN ':80' ELSE '' END)
+      |    || '/p/' || CAST(doc_id % 10 AS VARCHAR)
+      |    || (CASE WHEN doc_id % 3 = 0 THEN '/' ELSE '' END)
+      |    || (CASE WHEN doc_id % 5 = 0 THEN '?utm_campaign=feed' ELSE '' END)
+      |    || (CASE WHEN doc_id % 6 = 0 THEN '#sec1' ELSE '' END) AS url
+      |  FROM documents),
+      |c AS (SELECT doc_id,
+      |        regexp_replace(replace(lower(split_part(split_part(url, '#', 1), '?', 1)), ':80', ''), '/$', '') AS curl
+      |      FROM u)
+      |SELECT curl AS canonical_url, count(*) AS n_dups,
+      |  min(doc_id) AS survivor_id
+      |FROM c GROUP BY curl
+      |ORDER BY canonical_url""".stripMargin
 }

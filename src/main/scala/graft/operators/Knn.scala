@@ -1216,4 +1216,105 @@ object Knn {
       |      FROM f)
       |SELECT qid, rnk, doc_id, rrf, lex_rnk, vec_rnk FROM r WHERE rnk <= 10
       |ORDER BY qid, rnk""".stripMargin
+
+  // ---------- v15: binary-signature hamming search + exact rerank ----------
+
+  private val v15PlaneOffset = 300 // disjoint from v2's 0-47 and d8's 100-199
+  private val v15Bits = 63         // bit 63 unused: signatures stay non-negative
+                                   // BIGINTs (m6's discipline), so ^ and
+                                   // bit_count agree cross-engine with no
+                                   // two's-complement edge
+  private val v15Shortlist = 20
+
+  /** v15: 1-BIT QUANTIZATION — each vector compressed to a 63-bit
+    * sign signature (sign of 63 fixed hyperplane projections), ranked
+    * by hamming distance, then the top-[[v15Shortlist]] shortlist
+    * exact-reranked to the final top-[[knnK]]. This is the
+    * binary-quantization serving shape (8 B/vector — even leaner than
+    * v6's int8 and v5/v9's PQ codes; Charikar 2002 simhash over
+    * real vectors): the hamming scan is pure integer xor+popcount on
+    * a 64-bit word, so the first-stage scan needs no floats at all.
+    *
+    * Scale shape: signatures build in one narrow JIT pass (the v2
+    * plane loop); the hamming scan is a broadcast of the ≤10 query
+    * signatures — 16 bytes/row × corpus, all inside codegen
+    * (`bit_count(sig ^ qsig)`, no JIT boundary) — pruned to the
+    * shortlist by the salted two-level top-k; only shortlist rows
+    * (|q|·20) ever touch a float vector again (one equality join +
+    * broadcast-codebook rerank). Embeddings never ride a shuffle.
+    */
+  def v15(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = vectors(spark, dir)
+    val bcPlanes = spark.sparkContext.broadcast(
+      (0 until v15Bits).map(b => planeRow(v15PlaneOffset + b).toArray).toArray)
+    val sigs = e.select($"vec_id", $"nv").as[(Long, Array[Double])]
+      .mapPartitions { it =>
+        val ps = bcPlanes.value
+        it.map { case (id, nv) =>
+          var sig = 0L
+          var b = 0
+          while (b < v15Bits) {
+            val p = ps(b)
+            var dot = 0.0
+            var i = 0
+            while (i < dim) { dot += nv(i) * p(i); i += 1 }
+            if (math.floor(dot * 1e6 + 0.5) >= 0) sig |= (1L << b)
+            b += 1
+          }
+          (id, sig)
+        }
+      }.toDF("vec_id", "sig")
+    val qs = sigs.filter($"vec_id" < 10)
+      .select($"vec_id".as("qid"), $"sig".as("qsig"))
+    val ham = sigs.filter($"vec_id" >= 10)
+      .crossJoin(broadcast(qs))
+      .selectExpr("qid", "vec_id", "CAST(bit_count(sig ^ qsig) AS INT) AS ham")
+    val short = graft.functions.TwoLevel.topK(ham, Seq($"qid"),
+      Seq($"ham", $"vec_id"), $"vec_id", v15Shortlist)
+    val bcQ = spark.sparkContext.broadcast(codebook(e, "vec_id < 10").toMap)
+    val rer = short.select($"qid", $"vec_id", $"ham")
+      .join(e.select($"vec_id", $"nv"), Seq("vec_id"))
+      .select($"qid", $"vec_id", $"ham", $"nv")
+      .as[(Long, Long, Int, Array[Double])]
+      .mapPartitions(_.map { case (qid, cid, hm, cv) =>
+        (qid, cid, hm, cosQ(bcQ.value(qid), cv))
+      }).toDF("qid", "vec_id", "ham", "cos_sim")
+    graft.functions.TwoLevel.topK(rer, Seq($"qid"),
+        Seq($"cos_sim".desc, $"vec_id"), $"vec_id", knnK)
+      .select($"qid", $"rnk", $"vec_id", $"ham", $"cos_sim")
+      .orderBy($"qid", $"rnk")
+  }
+
+  /** v15 oracle: the signatures are 63 shared-literal hyperplane sign
+    * bits (v2's bitwise-deterministic quantized sign test), so the
+    * hamming ranks, the shortlist cut and the rerank all mirror
+    * exactly; xor/bit_count run on non-negative BIGINTs in both
+    * engines.
+    */
+  val v15Sql: String = {
+    def planeList(p: Seq[Double]) =
+      p.map(x => s"CAST($x AS DOUBLE)").mkString("[", ", ", "]")
+    val sigExpr = (0 until v15Bits).map { b =>
+      s"(CASE WHEN floor(list_inner_product(nv, ${planeList(planeRow(v15PlaneOffset + b))}) * 1e6 + 0.5) >= 0 THEN CAST(${1L << b} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+    }.mkString(" + ")
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |n AS (SELECT vec_id, v, sqrt(list_inner_product(v, v)) AS nrm FROM e),
+      |m AS (SELECT vec_id, list_transform(v, x -> x / nrm) AS nv FROM n),
+      |sg AS (SELECT vec_id, CAST($sigExpr AS BIGINT) AS sig FROM m),
+      |h AS (SELECT q.vec_id AS qid, c.vec_id AS vec_id,
+      |        CAST(bit_count(xor(c.sig, q.sig)) AS INTEGER) AS ham
+      |      FROM sg q JOIN sg c ON q.vec_id < 10 AND c.vec_id >= 10),
+      |sh AS (SELECT qid, vec_id, ham,
+      |         row_number() OVER (PARTITION BY qid ORDER BY ham, vec_id) AS srn
+      |       FROM h QUALIFY srn <= $v15Shortlist),
+      |rr AS (SELECT s.qid, s.vec_id, s.ham,
+      |         round(list_inner_product(q.nv, c.nv) * 1e6) / 1e6 AS cos_sim
+      |       FROM sh s JOIN m q ON q.vec_id = s.qid JOIN m c ON c.vec_id = s.vec_id),
+      |r AS (SELECT qid, vec_id, ham, cos_sim,
+      |        CAST(row_number() OVER (PARTITION BY qid ORDER BY cos_sim DESC, vec_id) AS INTEGER) AS rnk
+      |      FROM rr)
+      |SELECT qid, rnk, vec_id, ham, cos_sim FROM r WHERE rnk <= $knnK
+      |ORDER BY qid, rnk""".stripMargin
+  }
 }

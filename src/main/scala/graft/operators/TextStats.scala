@@ -1203,4 +1203,59 @@ object TextStats {
     s"""WITH $t21Ctes
       |SELECT * FROM verdicts
       |ORDER BY doc_id""".stripMargin
+
+  // ---------- t24: feature-hashing document embeddings ----------
+
+  private val t24Dims = 64
+
+  /** t24: the HASHING TRICK (Weinberger et al. 2009, ICML) — signed
+    * feature-hashed bag-of-words vectors, the text→vector bridge: a
+    * fixed-size embedding computed with NO vocabulary (no fitting
+    * pass, no dictionary to broadcast), which is what makes it usable
+    * at open-vocabulary corpus scale where t6-style vocab tables keep
+    * growing. Each word lands in dimension fnv64(word) mod
+    * [[t24Dims]] with sign = hash bit 6 (the standard signed variant
+    * that makes collisions cancel in expectation rather than
+    * accumulate); the doc's vector is the per-dimension signed count,
+    * emitted LONG-FORM (doc_id, dim, w) — the sparse layout
+    * downstream similarity/clustering joins consume directly, and
+    * zero-weight dims never exist to ship.
+    *
+    * Scale shape: one narrow explode+hash map (the codegen'd
+    * [[graft.functions.Fnv64]] expression — no UDF), then ONE
+    * (doc_id, dim) shuffle with map-side combine; output ≤ 64 rows
+    * per doc. No driver state, no second pass.
+    */
+  def t24(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select($"doc_id", explode(split(lower(trim($"text")), " ")).as("word"))
+      .filter($"word" =!= "")
+      .withColumn("h", graft.functions.Fnv64.fnv64($"word"))
+      .selectExpr("doc_id", s"h & ${t24Dims - 1} AS dim",
+        "CASE WHEN (h >> 6) & 1 = 1 THEN 1 ELSE -1 END AS sgn")
+      .groupBy($"doc_id", $"dim").agg(sum($"sgn").as("w"))
+      .filter($"w" =!= 0)
+      .transform(graft.Tables.ordered(_, $"doc_id", $"dim"))
+  }
+
+  /** t24 oracle: the FNV fold per word in HUGEINT
+    * ([[graft.functions.Fnv64.duckUnsigned]]); `% 64` and bit 6 on
+    * the unsigned state equal Spark's `& 63` / `>> 6` on the signed
+    * view (power-of-two masks see only the low bits).
+    */
+  val t24Sql: String = {
+    val hu = graft.functions.Fnv64.duckUnsigned("word")
+    s"""WITH w AS (SELECT doc_id, unnest(string_split(lower(trim(text)), ' ')) AS word
+      |           FROM documents),
+      |f AS (SELECT doc_id, word FROM w WHERE word <> ''),
+      |h AS (SELECT doc_id, $hu AS hu FROM f),
+      |s AS (SELECT doc_id, CAST(hu % $t24Dims AS BIGINT) AS dim,
+      |        CASE WHEN (hu // 64) % 2 = 1 THEN 1 ELSE -1 END AS sgn
+      |      FROM h)
+      |SELECT doc_id, dim, CAST(sum(sgn) AS BIGINT) AS w
+      |FROM s GROUP BY doc_id, dim
+      |HAVING sum(sgn) <> 0
+      |ORDER BY doc_id, dim""".stripMargin
+  }
 }

@@ -983,4 +983,80 @@ class DedupKnnSpec extends AnyFunSuite {
     assert(r14 >= r5, s"refine recall $r14 < ADC recall $r5")
     assert(r14 > 0.0, s"refine recall zero — shortlist misses all truth")
   }
+
+  test("v15: hamming shortlist + exact rerank equals a sequential recompute") {
+    val got = Knn.v15(spark, sf).collect()
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Int]("rnk"),
+        r.getAs[Long]("vec_id"), r.getAs[Int]("ham"), r.getAs[Double]("cos_sim")))
+    // sequential reference from the raw embeddings
+    val vecs = Tables.embeddings(spark, sf)
+      .selectExpr("vec_id", "transform(embedding, x -> CAST(x AS DOUBLE)) AS v")
+      .as[(Long, Array[Double])].collect()
+      .map { case (id, v) =>
+        val nrm = math.sqrt(v.map(x => x * x).sum)
+        (id, v.map(_ / nrm))
+      }.toMap
+    def q6(x: Double) =
+      (if (x * 1e6 >= 0) math.floor(x * 1e6 + 0.5) else math.ceil(x * 1e6 - 0.5)) / 1e6
+    def dot(a: Array[Double], b: Array[Double]) = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }
+      s
+    }
+    // signatures over the identical planes (offset 300, 63 bits)
+    val planes = (0 until 63).map { b =>
+      (0 until 64).map { i =>
+        val x = math.sin((300 + b) * 131.7 + i * 17.3) * 43758.5453
+        x - math.floor(x) - 0.5
+      }.toArray
+    }.toArray
+    def sig(nv: Array[Double]): Long =
+      (0 until 63).foldLeft(0L) { (s, b) =>
+        if (math.floor(dot(nv, planes(b)) * 1e6 + 0.5) >= 0) s | (1L << b) else s
+      }
+    val sigs = vecs.map { case (id, nv) => id -> sig(nv) }
+    val want = sigs.filter(_._1 < 10).toSeq.sortBy(_._1).flatMap { case (qid, qs) =>
+      val short = sigs.filter(_._1 >= 10).toSeq
+        .map { case (cid, cs) => (cid, java.lang.Long.bitCount(qs ^ cs)) }
+        .sortBy { case (cid, h) => (h, cid) }.take(20)
+      short.map { case (cid, h) => (qid, cid, h, q6(dot(vecs(qid), vecs(cid)))) }
+        .sortBy { case (_, cid, _, c) => (-c, cid) }.take(5).zipWithIndex
+        .map { case ((q, cid, h, c), i) => (q, i + 1, cid, h, c) }
+    }
+    assert(got.toSeq == want, s"got=${got.length} want=${want.length}")
+  }
+
+  test("t24: hashed features equal a sequential FNV recompute; dims bounded") {
+    val got = TextStats.t24(spark, sf).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("dim"), r.getAs[Long]("w")))
+    val docs = Tables.documents(spark, sf)
+      .selectExpr("doc_id", "lower(trim(text)) AS t")
+      .as[(Long, String)].collect()
+    val want = docs.flatMap { case (id, t) =>
+      t.split(" ", -1).filter(_.nonEmpty).map { w =>
+        val h = graft.functions.Fnv64.hashBytes(w.getBytes("UTF-8"))
+        ((id, h & 63L), if (((h >> 6) & 1L) == 1L) 1L else -1L)
+      }
+    }.groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+      .filter(_._2 != 0).toSeq
+      .map { case ((id, d), w) => (id, d, w) }.sortBy(x => (x._1, x._2))
+    assert(got.toSeq == want)
+    assert(got.forall(_._2 < 64) && got.nonEmpty)
+  }
+
+  test("d16: canonical URL groups are exact; survivors are min ids; mass conserved") {
+    val rows = Dedup.d16(spark, sf).collect()
+      .map(r => (r.getAs[String]("canonical_url"), r.getAs[Long]("n_dups"),
+        r.getAs[Long]("survivor_id")))
+    val docs = Tables.documents(spark, sf)
+      .selectExpr("doc_id", "source").as[(Long, String)].collect()
+    def canon(id: Long, src: String): String =
+      s"http://${src.toLowerCase}.example.com/p/${id % 10}"
+    val want = docs.groupBy { case (id, src) => canon(id, src) }
+      .map { case (u, g) => (u, g.length.toLong, g.map(_._1).min) }
+      .toSeq.sortBy(_._1)
+    assert(rows.toSeq == want)
+    assert(rows.map(_._2).sum == docs.length, "every doc lands in exactly one group")
+    assert(rows.length < docs.length, "the URL noise actually collapses")
+  }
 }
