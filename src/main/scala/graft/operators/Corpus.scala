@@ -161,4 +161,60 @@ object Corpus {
        |UNION ALL SELECT '4_decontam', n3, n4, n3 - n4 FROM c
        |ORDER BY stage""".stripMargin
   }
+
+  // ---------- p9: opt-out purge (right-to-be-forgotten) ----------
+
+  /** Opt-out derivation threshold: users whose error-event count
+    * reaches this are treated as the consent-revocation registry
+    * (the corpus carries no real registry; the derivation is the
+    * fixture, the purge is the operator).
+    */
+  private val p9ErrorMin = 18L
+
+  /** p9: OPT-OUT PURGE — the retroactive data-subject-deletion pass
+    * every stored corpus needs (GDPR/CCPA erasure, robots.txt
+    * honored after the fact, author takedowns): given a registry of
+    * revoked users, remove ALL their events and report the removal
+    * per event_type (n_before, n_removed, n_after) — the audit trail
+    * a deletion request must produce. The registry is derived here
+    * (users with ≥ [[p9ErrorMin]] error events); a real run reads a
+    * consent table.
+    *
+    * Scale shape: the registry is user-grain TINY next to the event
+    * corpus — it BROADCASTS, so the purge flag is a broadcast hash
+    * join (no shuffle of the corpus by user), and the audit is one
+    * event_type aggregate (map-side combine, type-bounded output).
+    * The corpus is scanned ONCE; n_after = n_before − n_removed
+    * comes from the same pass. A registry too large to broadcast
+    * falls back to the pk-bucketed anti join (p4/p6's zero-exchange
+    * posture).
+    */
+  def p9(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.events(spark, dir)
+    val optout = ev.filter($"event_type" === "error")
+      .groupBy($"user_id").agg(count(lit(1)).as("n_err"))
+      .filter($"n_err" >= p9ErrorMin)
+      .select($"user_id", lit(1L).as("revoked"))
+    ev.join(broadcast(optout), Seq("user_id"), "left_outer")
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n_before"),
+        sum(coalesce($"revoked", lit(0L))).as("n_removed"))
+      .withColumn("n_after", $"n_before" - $"n_removed")
+      .transform(graft.Tables.ordered(_, $"event_type"))
+  }
+
+  /** p9 oracle: the same derived registry as a plain IN-subquery. */
+  val p9Sql: String =
+    s"""WITH optout AS (
+      |  SELECT user_id FROM events WHERE event_type = 'error'
+      |  GROUP BY user_id HAVING count(*) >= $p9ErrorMin)
+      |SELECT event_type, count(*) AS n_before,
+      |  CAST(sum(CASE WHEN user_id IN (SELECT user_id FROM optout)
+      |           THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+      |  count(*) - CAST(sum(CASE WHEN user_id IN (SELECT user_id FROM optout)
+      |           THEN 1 ELSE 0 END) AS BIGINT) AS n_after
+      |FROM events
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
 }

@@ -245,26 +245,34 @@ object Media {
     * audio-featurization plumbing (VAD, loudness gating, silence
     * trimming all start exactly here); only the codec is stubbed.
     */
-  def m5(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    payloads(spark, dir)
-      .mapPartitions(_.grouped(FakeDecoder.batchSize).flatMap { batch =>
-        batch.flatMap { row =>
-          val fmt = new String(row.payload.take(3), "UTF-8")
-          val len = row.payload.length
-          if (fmt != "AUD" || len < 16) Iterator.empty
-          else {
-            val samples = row.payload.map(b => ((b & 0xff) - 128).toLong)
-            val nFrames = (len - 16) / 8 + 1
-            (0 until nFrames).map { f =>
-              var e = 0L
-              var i = 0
-              while (i < 16) { val s = samples(f * 8 + i); e += s * s; i += 1 }
-              AudioFrame(row.doc_id, nFrames, f, e)
-            }
+  /** The m5 frame loop, shared with m9's fingerprint corpus: 16-sample
+    * windows at stride 8 over the 8-bit-PCM decode stub, exact
+    * integer energies.
+    */
+  private def audioFrames(rows: Dataset[MediaRow]): Dataset[AudioFrame] = {
+    import rows.sparkSession.implicits._
+    rows.mapPartitions(_.grouped(FakeDecoder.batchSize).flatMap { batch =>
+      batch.flatMap { row =>
+        val fmt = new String(row.payload.take(3), "UTF-8")
+        val len = row.payload.length
+        if (fmt != "AUD" || len < 16) Iterator.empty
+        else {
+          val samples = row.payload.map(b => ((b & 0xff) - 128).toLong)
+          val nFrames = (len - 16) / 8 + 1
+          (0 until nFrames).map { f =>
+            var e = 0L
+            var i = 0
+            while (i < 16) { val s = samples(f * 8 + i); e += s * s; i += 1 }
+            AudioFrame(row.doc_id, nFrames, f, e)
           }
         }
-      }).toDF()
+      }
+    })
+  }
+
+  def m5(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    audioFrames(payloads(spark, dir)).toDF()
       .orderBy($"doc_id", $"frame_idx")
   }
 
@@ -681,4 +689,107 @@ object Media {
       |  count(*) AS n_scene_frames
       |FROM sc GROUP BY doc_id, scene_id
       |ORDER BY doc_id, scene_id""".stripMargin
+
+  // ---------- m9: audio landmark fingerprinting ----------
+
+  /** Landmark-bucket cap: a fingerprint shared by more audios than
+    * this is a stop-landmark (non-discriminative) and is dropped
+    * before pairing — the d2 bucketCap discipline keeping the
+    * fp self-join from going quadratic on common landmarks.
+    */
+  private val m9FpCap = 16
+
+  /** m9: AUDIO LANDMARK FINGERPRINTING (the Shazam scheme — Wang
+    * 2003, ISMIR): energy peaks per audio become anchor→next-peak
+    * landmark pairs, hashed as (frame gap, coarse anchor energy,
+    * coarse target energy); audios sharing landmarks are duplicate/
+    * containment candidates. The key property is SHIFT INVARIANCE:
+    * a stream-offset copy keeps every interior (gap, energies)
+    * landmark even though absolute frame indices moved — the seeded
+    * corpus proves it (every 30th AUD doc gets a copy with 8 extra
+    * leading bytes = exactly one stride, so its frames land one
+    * index later with identical energies).
+    *
+    * Scale shape: frames and peaks ride ONE doc_id shuffle (lag/lead
+    * + next-peak windows share the partitioning); fingerprints are
+    * 8-byte integers; the match is an equality self-join on fp with
+    * the [[m9FpCap]] stop-landmark cap — never all-pairs audio
+    * comparison, and payload bytes never leave the frame stage.
+    */
+  def m9(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val shifted = Tables.documents(spark, dir)
+      .filter($"doc_id" % 30 === 25)
+      .select(($"doc_id" + 200000L).as("doc_id"),
+        encode(concat(lit("AUDXXXXXXXX"), substring($"text", 1, 61)), "UTF-8")
+          .as("payload"))
+      .as[MediaRow]
+    val frames = audioFrames(payloads(spark, dir).unionByName(shifted)).toDF()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"doc_id").orderBy($"frame_idx")
+    val peaks = frames
+      .withColumn("pe", lag($"energy", 1).over(w))
+      .withColumn("ne", lead($"energy", 1).over(w))
+      .filter($"pe".isNotNull && $"ne".isNotNull &&
+        $"energy" > $"pe" && $"energy" > $"ne")
+      .select($"doc_id", $"frame_idx", $"energy")
+    val lm = peaks
+      .withColumn("nf", lead($"frame_idx", 1).over(w))
+      .withColumn("nrg2", lead($"energy", 1).over(w))
+      .filter($"nf".isNotNull)
+      .selectExpr("doc_id",
+        "(nf - frame_idx) * 1048576 + (energy div 1024) * 1024 + (nrg2 div 1024) AS fp")
+      .distinct()
+    val ok = lm.groupBy($"fp").agg(count(lit(1)).as("n_docs"))
+      .filter($"n_docs" <= m9FpCap)
+    val capped = lm.join(ok.select($"fp"), Seq("fp"))
+    capped.as("a").join(capped.as("b"),
+        col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .transform(graft.Tables.ordered(_, $"id_a", $"id_b"))
+  }
+
+  /** m9 oracle: m5's byte-energy CTEs over the extended corpus +
+    * identical peak/landmark windows and capped fp self-join; all
+    * integer.
+    */
+  val m9Sql: String =
+    s"""WITH p AS (SELECT doc_id, 'AUD' || substr(text, 1, 61) AS s
+      |  FROM documents WHERE doc_id % 3 = 1
+      |  UNION ALL
+      |  SELECT doc_id + 200000, 'AUDXXXXXXXX' || substr(text, 1, 61)
+      |  FROM documents WHERE doc_id % 30 = 25),
+      |n AS (SELECT doc_id, s,
+      |        CAST((length(s) - 16) // 8 + 1 AS INTEGER) AS n_frames
+      |      FROM p WHERE length(s) >= 16),
+      |f AS (SELECT doc_id, s, n_frames,
+      |        CAST(unnest(range(0, n_frames)) AS INTEGER) AS frame_idx
+      |      FROM n),
+      |e AS (SELECT doc_id, frame_idx,
+      |        CAST(list_sum(list_transform(
+      |          list_transform(range(1, 17),
+      |            i -> CAST(ord(substr(s, frame_idx * 8 + i, 1)) AS BIGINT) - 128),
+      |          x -> x * x)) AS BIGINT) AS energy
+      |      FROM f),
+      |pk AS (SELECT doc_id, frame_idx, energy,
+      |         lag(energy) OVER (PARTITION BY doc_id ORDER BY frame_idx) AS pe,
+      |         lead(energy) OVER (PARTITION BY doc_id ORDER BY frame_idx) AS ne
+      |       FROM e),
+      |peaks AS (SELECT doc_id, frame_idx, energy FROM pk
+      |          WHERE pe IS NOT NULL AND ne IS NOT NULL
+      |            AND energy > pe AND energy > ne),
+      |lmr AS (SELECT doc_id, frame_idx, energy,
+      |          lead(frame_idx) OVER (PARTITION BY doc_id ORDER BY frame_idx) AS nf,
+      |          lead(energy) OVER (PARTITION BY doc_id ORDER BY frame_idx) AS nrg2
+      |        FROM peaks),
+      |lm AS (SELECT DISTINCT doc_id,
+      |         (nf - frame_idx) * 1048576 + (energy // 1024) * 1024 + (nrg2 // 1024) AS fp
+      |       FROM lmr WHERE nf IS NOT NULL),
+      |ok AS (SELECT fp FROM lm GROUP BY fp HAVING count(*) <= $m9FpCap),
+      |capped AS (SELECT doc_id, fp FROM lm JOIN ok USING (fp))
+      |SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared
+      |FROM capped a JOIN capped b ON a.fp = b.fp AND a.doc_id < b.doc_id
+      |GROUP BY 1, 2
+      |ORDER BY id_a, id_b""".stripMargin
 }

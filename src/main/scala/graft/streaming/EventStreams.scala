@@ -380,6 +380,46 @@ object EventStreams {
       |GROUP BY n_name
       |ORDER BY n_name""".stripMargin
 
+  /** s21: CONSENT ENFORCEMENT AT THE INGEST DOOR — p9's streaming
+    * twin: p9 is the retroactive purge over the stored corpus; s21
+    * is the gate that keeps a revoked user's events from entering it
+    * in the first place (the two sides every erasure workflow needs).
+    * The registry (p9's derivation, read batch-side) broadcasts into
+    * a stream-static LEFT join; the per-type audit (n_total,
+    * n_admitted) aggregates in complete mode over the type-bounded
+    * key space — no watermark, no per-user state: the gate itself is
+    * STATELESS, so it scales as a narrow map however many users
+    * revoke.
+    */
+  def s21(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ss = streamSession(spark)
+    val ev = graft.Tables.events(ss, dir)
+    val optout = ev.filter($"event_type" === "error")
+      .groupBy($"user_id").agg(count(lit(1)).as("n_err"))
+      .filter($"n_err" >= 18L)
+      .select($"user_id", lit(1L).as("revoked"))
+    val gated = streamingEvents(spark, dir)
+      .join(broadcast(optout), Seq("user_id"), "left_outer")
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n_total"),
+        sum(when($"revoked".isNull, 1L).otherwise(0L)).as("n_admitted"))
+    runToTable(spark, gated, OutputMode.Complete())
+      .orderBy(col("event_type"))
+  }
+
+  /** s21 oracle: the batch gate (p9's registry, admitted = NOT IN). */
+  val s21Sql: String =
+    """WITH optout AS (
+      |  SELECT user_id FROM events WHERE event_type = 'error'
+      |  GROUP BY user_id HAVING count(*) >= 18)
+      |SELECT event_type, count(*) AS n_total,
+      |  CAST(sum(CASE WHEN user_id IN (SELECT user_id FROM optout)
+      |           THEN 0 ELSE 1 END) AS BIGINT) AS n_admitted
+      |FROM events
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
+
   case class TopSt(vs: Array[Double], ids: Array[Long])
   case class TopOut(user_id: Long, rnk: Int, event_id: Long, value: Double)
 

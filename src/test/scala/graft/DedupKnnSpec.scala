@@ -1044,6 +1044,40 @@ class DedupKnnSpec extends AnyFunSuite {
     assert(got.forall(_._2 < 64) && got.nonEmpty)
   }
 
+  test("m9: landmark matches equal a sequential recompute; shifted copies match") {
+    val got = Media.m9(spark, sf).collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"),
+        r.getAs[Long]("n_shared")))
+    // sequential reference straight from the document text bytes
+    val docs = Tables.documents(spark, sf)
+      .selectExpr("doc_id", "substring(text, 1, 61) AS t")
+      .as[(Long, String)].collect()
+    val payloads = docs.filter(_._1 % 3 == 1).map { case (id, t) => (id, "AUD" + t) } ++
+      docs.filter(_._1 % 30 == 25).map { case (id, t) => (id + 200000L, "AUDXXXXXXXX" + t) }
+    def landmarks(s: String): Set[Long] = {
+      val bytes = s.getBytes("UTF-8").map(b => ((b & 0xff) - 128).toLong)
+      if (bytes.length < 16) return Set.empty
+      val n = (bytes.length - 16) / 8 + 1
+      val e = (0 until n).map(f => (0 until 16).map(i => { val x = bytes(f * 8 + i); x * x }).sum)
+      val peaks = (1 until n - 1).filter(f => e(f) > e(f - 1) && e(f) > e(f + 1))
+      peaks.zip(peaks.drop(1)).map { case (a, b) =>
+        (b - a).toLong * 1048576L + (e(a) / 1024) * 1024L + (e(b) / 1024)
+      }.toSet
+    }
+    val fps = payloads.map { case (id, s) => (id, landmarks(s)) }
+    val byFp = fps.flatMap { case (id, st) => st.map(f => (f, id)) }
+      .groupBy(_._1).filter(_._2.length <= 16)
+    val want = byFp.values.toSeq
+      .flatMap(g => for (a <- g.toSeq; b <- g.toSeq if a._2 < b._2) yield (a._2, b._2))
+      .groupBy(identity).view.mapValues(_.size.toLong)
+      .toSeq.map { case ((a, b), c) => (a, b, c) }.sortBy(x => (x._1, x._2))
+    assert(got.toSeq == want)
+    // shift invariance: at least one seeded (orig, orig+200000) pair
+    // survives with shared interior landmarks
+    assert(got.exists { case (a, b, _) => b == a + 200000L },
+      "no shifted copy matched its original")
+  }
+
   test("d16: canonical URL groups are exact; survivors are min ids; mass conserved") {
     val rows = Dedup.d16(spark, sf).collect()
       .map(r => (r.getAs[String]("canonical_url"), r.getAs[Long]("n_dups"),

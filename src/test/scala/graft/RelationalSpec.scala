@@ -469,6 +469,46 @@ class RelationalSpec extends AnyFunSuite {
     got.foreach { case (_, _, _, lag) => assert(lag >= 0) }
   }
 
+  test("q34: every reported bucket provably brackets the true quantile") {
+    val rows = Relational.q34(spark, sf).collect()
+      .map(r => (r.getAs[Int]("q_permille"), r.getAs[Long]("bucket"),
+        r.getAs[Long]("est_hi"), r.getAs[Long]("cum_before"),
+        r.getAs[Long]("cum_incl"), r.getAs[Long]("n_rows")))
+    assert(rows.map(_._1).toSeq == Seq(500, 900, 990))
+    val prices = Tables.lineitem(spark, sf)
+      .select($"l_extendedprice").as[Double].collect().sorted
+    rows.foreach { case (q, bucket, estHi, cumBefore, cumIncl, n) =>
+      assert(n == prices.length)
+      // rank bracketing: the target rank falls inside the bucket
+      val target = q.toLong * n
+      assert(cumBefore * 1000 < target && cumIncl * 1000 >= target,
+        s"q=$q rank not bracketed")
+      // value bracketing: the true order statistic lies in the bucket
+      val rank = math.ceil(target / 1000.0).toInt // 1-based
+      val truth = prices(rank - 1)
+      assert(truth >= bucket * 512.0 && truth < estHi + 512.0 &&
+        math.min(255, math.floor(truth / 512).toLong) == bucket,
+        s"q=$q truth=$truth bucket=$bucket")
+      assert(estHi == (bucket + 1) * 512)
+    }
+  }
+
+  test("p9: purge audit conserves mass and removes exactly the registry's events") {
+    val rows = graft.operators.Corpus.p9(spark, sf).collect()
+      .map(r => (r.getAs[String]("event_type"), r.getAs[Long]("n_before"),
+        r.getAs[Long]("n_removed"), r.getAs[Long]("n_after")))
+    rows.foreach { case (_, b, r, a) => assert(b == r + a) }
+    val ev = Tables.events(spark, sf)
+      .selectExpr("user_id", "event_type").as[(Long, String)].collect()
+    val optout = ev.filter(_._2 == "error").groupBy(_._1)
+      .collect { case (u, es) if es.length >= 18 => u }.toSet
+    assert(optout.nonEmpty, "the derived registry must not be empty")
+    val wantRemoved = ev.count(e => optout.contains(e._1)).toLong
+    assert(rows.map(_._3).sum == wantRemoved)
+    assert(rows.map(_._2).sum == ev.length.toLong)
+    assert(rows.exists(_._3 > 0) && rows.exists(_._4 > 0))
+  }
+
   test("t20: DSIR importance weights equal a sequential reimplementation bitwise") {
     val ts = graft.operators.TextStats
     val rows = ts.t20(spark, sf).collect()

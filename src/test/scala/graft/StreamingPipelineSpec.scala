@@ -488,6 +488,18 @@ class StreamingPipelineSpec extends AnyFunSuite {
     } finally q2.stop()
   }
 
+  test("s21 gate admits exactly what p9's batch purge keeps") {
+    import spark.implicits._
+    val gate = graft.streaming.EventStreams.s21(spark, sf).collect()
+      .map(r => (r.getAs[String]("event_type"), r.getAs[Long]("n_total"),
+        r.getAs[Long]("n_admitted"))).toSeq.sortBy(_._1)
+    val purge = graft.operators.Corpus.p9(spark, sf).collect()
+      .map(r => (r.getAs[String]("event_type"), r.getAs[Long]("n_before"),
+        r.getAs[Long]("n_after"))).toSeq.sortBy(_._1)
+    assert(gate == purge, "door gate and retro purge must agree per type")
+    assert(gate.map(_._2).sum > gate.map(_._3).sum, "the gate actually blocks")
+  }
+
   test("s9 stream-static enrichment covers every event exactly once") {
     import spark.implicits._
     val got = EventStreams.s9(spark, sf).collect()
