@@ -1077,14 +1077,17 @@ object Relational {
       .withColumn("cum", sum($"cnt").over(w.rowsBetween(Window.unboundedPreceding, 0)))
       .withColumn("tot", sum($"cnt").over(w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
     val qs = spark.createDataFrame(q34Quantiles.map(Tuple1(_))).toDF("q_permille")
+    // struct-argmin keeps the located bucket's cumulative bounds in
+    // the SAME aggregate (a join back to c would recompute the
+    // histogram subtree — a second corpus scan for 256 rows)
     c.crossJoin(broadcast(qs))
       .filter($"cum" * 1000 >= $"q_permille" * $"tot")
       .groupBy($"q_permille")
-      .agg(min($"bucket").as("bucket"), max($"tot").as("n_rows"))
-      .join(c.select($"bucket", ($"cum" - $"cnt").as("cum_before"), $"cum".as("cum_incl")),
-        Seq("bucket"))
-      .selectExpr("q_permille", "bucket", s"(bucket + 1) * $q34Width AS est_hi",
-        "cum_before", "cum_incl", "n_rows")
+      .agg(min(struct($"bucket", ($"cum" - $"cnt").as("cum_before"), $"cum".as("cum_incl"))).as("s"),
+        max($"tot").as("n_rows"))
+      .selectExpr("q_permille", "s.bucket AS bucket",
+        s"(s.bucket + 1) * $q34Width AS est_hi",
+        "s.cum_before AS cum_before", "s.cum_incl AS cum_incl", "n_rows")
       .transform(Tables.ordered(_, $"q_permille"))
   }
 

@@ -446,4 +446,93 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("WindowGroupLimit"), s"rank pushdown missing:\n$p")
     assert("Scan parquet".r.findAllIn(p).length == 1)
   }
+
+  test("g4/m9: component and landmark joins are equality joins — no cartesian") {
+    Seq(graft.operators.Graph.g4(spark, sf),
+        graft.operators.Media.m9(spark, sf)).foreach { df =>
+      val p = plan(df)
+      assert(!p.contains("CartesianProduct") &&
+        !p.contains("BroadcastNestedLoopJoin"), s"non-equality join:\n$p")
+    }
+  }
+
+  test("q33: the only single-partition work rides the bucket/presentation grain") {
+    val p = plan(Relational.q33(spark, sf)).split("== Initial Plan ==")(0)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+    // in-bucket prefix window (partitioned by pb) + bucket-grain carry
+    // window — the carry and the presentation sort are the only
+    // SinglePartition exchanges, and both ride aggregate-reduced rows
+    assert("Window \\(".r.findAllIn(p).length == 2, s"two-level prefix min missing:\n$p")
+    val single = "Exchange SinglePartition".r.findAllIn(p).length
+    assert(single <= 2, s"corpus-sized single-partition exchange:\n$p")
+    // the carry window's input is the bucket aggregate, never a scan:
+    // every SinglePartition exchange line sits above (consumes) a
+    // HashAggregate line in the root-down printout
+    val lines = p.linesIterator.toSeq
+    val firstSingle = lines.indexWhere(_.contains("Exchange SinglePartition"))
+    val lastAgg = lines.lastIndexWhere(_.contains("HashAggregate"))
+    assert(firstSingle < 0 || lastAgg > firstSingle,
+      s"single-partition exchange not over an aggregate grain:\n$p")
+  }
+
+  test("e13: both conversion windows and the aggregate share one user exchange") {
+    val p = plan(graft.operators.EventWindows.e13(spark, sf))
+      .split("== Initial Plan ==")(0)
+    assert("Window \\(".r.findAllIn(p).length == 2, s"two windows expected:\n$p")
+    assert("Scan parquet".r.findAllIn(p).length == 1)
+    // one user_id hash exchange + the presentation repartition(1)
+    val exchanges = "ShuffleQueryStage".r.findAllIn(p).length
+    assert(exchanges <= 2, s"windows/aggregate re-shuffled:\n$p")
+  }
+
+  test("v15: hamming scan stays in codegen; only 1-row/query broadcasts nest") {
+    val pFull = plan(graft.operators.Knn.v15(spark, sf))
+    val p = pFull.split("== Initial Plan ==")(0)
+    assert(!p.contains("CartesianProduct"))
+    // the query-signature fan-out is the one Cross broadcast; the
+    // shortlist id join and rerank must be hash joins
+    val bnlj = "BroadcastNestedLoopJoin ([a-zA-Z]+)".r.findAllMatchIn(p).map(_.group(1)).toSeq
+    assert(bnlj.forall(_ == "Cross") && bnlj.length <= 1, s"non-cross nested-loop: $bnlj")
+    // xor+popcount evaluated as a plain codegen projection (expression
+    // details live in the full formatted dump), and the shortlist cut
+    // guarded by the rank pushdown
+    assert(pFull.contains("bit_count"), s"hamming not in the plan:\n$pFull")
+    assert(p.contains("WindowGroupLimit"), s"shortlist rank pushdown missing:\n$p")
+  }
+
+  test("t24: hashed features cost one scan, one explode, one shuffle") {
+    val p = plan(graft.operators.TextStats.t24(spark, sf)).split("== Initial Plan ==")(0)
+    assert("Scan parquet".r.findAllIn(p).length == 1)
+    assert(p.contains("Generate"), s"word explode missing:\n$p")
+    // (doc_id, dim) aggregate exchange + presentation repartition(1)
+    val exchanges = "ShuffleQueryStage".r.findAllIn(p).length
+    assert(exchanges <= 2, s"extra shuffle in the hashing path:\n$p")
+    assert(!p.contains("BatchEvalPython") && !p.contains("SortMergeJoin"))
+  }
+
+  test("d16: the dedup exchange is keyed on the 8-byte digest") {
+    val pFull = plan(graft.operators.Dedup.d16(spark, sf))
+    // the group-by exchange hashes on the fnv64 digest column k —
+    // canonical strings ride only as map-side-combined representatives
+    assert(pFull.contains("hashpartitioning(k#"), s"digest-keyed exchange missing:\n$pFull")
+    assert("Scan parquet".r.findAllIn(pFull.split("== Initial Plan ==")(0)).length == 1)
+  }
+
+  test("q34: the sketch is one scan + a 256-row histogram — no join-back rescan") {
+    val p = plan(Relational.q34(spark, sf)).split("== Initial Plan ==")(0)
+    assert("Scan parquet".r.findAllIn(p).length == 1, s"histogram rescanned:\n$p")
+    // histogram aggregate below the window; quantile location joins
+    // nothing corpus-sized (the q values are a Cross broadcast)
+    assert("HashAggregate".r.findAllIn(p).length >= 2, s"no histogram stage:\n$p")
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("p9: the purge flag is a broadcast join — the corpus never shuffles by user") {
+    val pFull = plan(graft.operators.Corpus.p9(spark, sf))
+    val p = pFull.split("== Initial Plan ==")(0)
+    assert(p.contains("BroadcastHashJoin"), s"registry not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"corpus shuffled on user_id:\n$p")
+    // registry derivation pushes the type filter into its scan
+    assert(pFull.contains("EqualTo(event_type,error)"), s"registry filter not pushed:\n$pFull")
+  }
 }
