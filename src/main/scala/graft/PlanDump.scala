@@ -87,6 +87,17 @@ object PlanDump {
       "q32_cms_heavy" -> "CMS sketch: 4-way posexplode, 2048-cell aggregate (map-side partial sum), broadcast probe of the top-10 audit",
       "t22_stratified_sample" -> "stratified sample: two-level salted rank with WindowGroupLimit pushdown, one scan",
       "t23_weighted_sample" -> "A-ES weighted sample: narrow integerized-key map, TakeOrderedAndProject bounded top-k",
+      "q33_skyline" -> "2-D skyline: price-grain aggregate + hierarchical strict prefix-min — single-partition work on aggregate grain only",
+      "q34_quantile_hist" -> "histogram quantile sketch: one scan, 256-row aggregate, struct-argmin location (no join-back rescan)",
+      "e13_conversion_lag" -> "conversion lag: two conditional-min windows + aggregate on one shared user-key exchange",
+      "g4_components" -> "connected components: stars contraction round (two groupBy-min shuffles + distinct), labels joined back by id (final round's plan)",
+      "v15_binary_hamming" -> "binary ANN: codegen bit_count hamming over broadcast query signatures, salted shortlist, equality-join vector fetch for rerank",
+      "t24_hash_embed" -> "hashing trick: explode + codegen FNV narrow map, one (doc,dim) map-side-combined shuffle",
+      "d16_url_dedup" -> "URL dedup: narrow canonicalization, dedup exchange keyed on the fnv64 digest",
+      "p9_optout_purge" -> "opt-out purge: broadcast registry flag join + type-bounded audit aggregate, one corpus scan",
+      "m9_audio_fingerprint" -> "audio landmarks: frame/peak/landmark windows on one doc-key shuffle, capped fp equality self-join",
+      "d17_containment" -> "containment: inverted-index intersection counts — shingle arrays never shuffle, division-only delta vs Jaccard",
+      "w23_degree_days" -> "degree days: one cell-grain quantized-sum aggregate over w12's daily shuffle",
     )
     val sb = new StringBuilder
     sb.append("# PLANS — formatted physical plans (generated by graft.PlanDump at sf0.001)\n")

@@ -1444,4 +1444,71 @@ object Dedup {
       |  min(doc_id) AS survivor_id
       |FROM c GROUP BY curl
       |ORDER BY canonical_url""".stripMargin
+
+  // ---------- d17: containment scoring (asymmetric near-dup) ----------
+
+  /** d17: CONTAINMENT scoring (Broder 1997's second resemblance
+    * measure): C(A,B) = |sh(A) ∩ sh(B)| / |sh(A)| — "how much of A
+    * is inside B". Jaccard-gated dedup (d2/d4) MISSES the
+    * wire-copy-inside-longer-page case by construction: a short doc
+    * fully embedded in a long one has Jaccard ≈ |A|/|B| → 0 while
+    * containment = 1. The seeded corpus proves the gap — every 9th
+    * doc gets a 12-word-prefix copy, and the output carries BOTH
+    * scores so the divergence is visible per pair (containment ≈ 1,
+    * jaccard small).
+    *
+    * Shape: d4's inverted-index discipline — the intersection is a
+    * (doc_id, shingle) equality-join count (shingle arrays never
+    * ride a shuffle; fully codegen'd), sizes join back by id. At
+    * 100 TB candidates come from d2's banding exactly as for
+    * Jaccard verification; only the final division differs.
+    */
+  def d17(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir).select($"doc_id", $"text")
+    val prefixes = docs.filter($"doc_id" % 9 === 0)
+      .selectExpr("doc_id + 30000 AS doc_id",
+        "concat_ws(' ', slice(split(lower(trim(text)), ' '), 1, 12)) AS text")
+    val shx = shingleExplode(docs.unionByName(prefixes)).cache()
+    val sizes = shx.groupBy($"doc_id").agg(count(lit(1)).as("n"))
+    val pairs = docs.filter($"doc_id" % 9 === 0)
+      .select(($"doc_id" + 30000).as("id_a"), $"doc_id".as("id_b"))
+    pairs
+      .join(shx.select($"doc_id".as("id_a"), $"s"), Seq("id_a"))
+      .join(shx.select($"doc_id".as("id_b"), $"s"), Seq("id_b", "s"))
+      .groupBy($"id_a", $"id_b").agg(count(lit(1)).as("inter"))
+      .join(sizes.select($"doc_id".as("id_a"), $"n".as("na")), Seq("id_a"))
+      .join(sizes.select($"doc_id".as("id_b"), $"n".as("nb")), Seq("id_b"))
+      .selectExpr("id_a", "id_b",
+        "CAST(inter AS DOUBLE) / CAST(na AS DOUBLE) AS containment",
+        "CAST(inter AS DOUBLE) / CAST(na + nb - inter AS DOUBLE) AS jaccard")
+      .transform(graft.Tables.ordered(_, $"id_a"))
+  }
+
+  /** d17 oracle: the same prefix seeding + shingle lambdas as d4Sql,
+    * with both the asymmetric and symmetric scores.
+    */
+  val d17Sql: String =
+    """WITH corpus AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 30000,
+      |    array_to_string(string_split(lower(trim(text)), ' ')[1:12], ' ')
+      |  FROM documents WHERE doc_id % 9 = 0),
+      |w AS (SELECT doc_id, string_split(lower(trim(text)), ' ') AS words FROM corpus),
+      |sh AS (SELECT doc_id,
+      |         CASE WHEN len(words) >= 3
+      |           THEN list_distinct(list_transform(range(0, len(words) - 2),
+      |                  i -> array_to_string(words[(i + 1):(i + 3)], ' ')))
+      |           ELSE [array_to_string(words, ' ')] END AS s
+      |       FROM w),
+      |pairs AS (SELECT doc_id + 30000 AS id_a, doc_id AS id_b
+      |          FROM documents WHERE doc_id % 9 = 0)
+      |SELECT id_a, id_b,
+      |  CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+      |    / CAST(len(a.s) AS DOUBLE) AS containment,
+      |  CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+      |    / CAST(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS DOUBLE) AS jaccard
+      |FROM pairs JOIN sh a ON a.doc_id = id_a JOIN sh b ON b.doc_id = id_b
+      |ORDER BY id_a""".stripMargin
 }

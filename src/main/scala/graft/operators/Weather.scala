@@ -287,6 +287,45 @@ object Weather {
       |SELECT lat, lon, lday, hi, lo FROM daily
       |ORDER BY 1, 2, 3""".stripMargin
 
+  // ---------- w23: heating/cooling degree days ----------
+
+  /** w23: HEATING/COOLING DEGREE DAYS per cell — the classic
+    * climatological energy-demand metric (ASHRAE/NOAA degree days,
+    * base 18 °C): HDD = Σ_days max(0, 18 − mean), CDD = Σ_days
+    * max(0, mean − 18), with the standard (hi + lo)/2 daily-mean
+    * approximation over w12's hour-angle-shifted local days — the
+    * seasonal aggregation layer above w12's extremes and w16's
+    * climatology. One extra cell-grain aggregate over w12's daily
+    * table (which already costs its one (cell, lday) shuffle);
+    * the day-sum uses [[graft.functions.Stable]] quantized sums so
+    * the float accumulation is order-free and bitwise cross-engine.
+    */
+  def w23(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    w12Daily(spark, dir)
+      .withColumn("mean_t", ($"hi" + $"lo") / lit(2.0))
+      .groupBy($"lat", $"lon")
+      .agg(count(lit(1)).as("n_days"),
+        graft.functions.Stable.dsum(
+          greatest(lit(0.0), lit(18.0) - $"mean_t"), 2).as("hdd"),
+        graft.functions.Stable.dsum(
+          greatest(lit(0.0), $"mean_t" - lit(18.0)), 2).as("cdd"))
+      .transform(Tables.ordered(_, $"lat", $"lon"))
+  }
+
+  /** w23 oracle: w12's daily CTEs + the same quantized degree-day
+    * sums (greatest/CAST mirrors — no decimal literals, §8.2).
+    */
+  val w23Sql: String =
+    s"""$w12SqlDaily,
+      |m AS (SELECT lat, lon, (hi + lo) / CAST(2 AS DOUBLE) AS mean_t FROM daily)
+      |SELECT lat, lon, count(*) AS n_days,
+      |  ${graft.functions.Stable.sumSql("greatest(CAST(0 AS DOUBLE), CAST(18 AS DOUBLE) - mean_t)", 2)} AS hdd,
+      |  ${graft.functions.Stable.sumSql("greatest(CAST(0 AS DOUBLE), mean_t - CAST(18 AS DOUBLE))", 2)} AS cdd
+      |FROM m
+      |GROUP BY lat, lon
+      |ORDER BY lat, lon""".stripMargin
+
   // ---------- w13: per-cell forecast document assembly (main.py:286-304) ----------
 
   def w13(spark: SparkSession, dir: String): DataFrame = {

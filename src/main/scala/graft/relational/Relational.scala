@@ -1042,7 +1042,6 @@ object Relational {
 
   // ---------- q34: fixed-width histogram quantile sketch ----------
 
-  private val q34Buckets = 256
   private val q34Width = 512L
   private val q34Quantiles = Seq(500, 900, 990) // permille
 
@@ -1051,67 +1050,31 @@ object Relational {
     * column whose distinct-value count grows with the corpus (q30's
     * exact decomposition needs a value-bounded domain; a continuous
     * price has none, and an exact p99 of 10¹¹ rows needs a global
-    * sort nobody runs nightly). Values land in [[q34Buckets]] buckets
-    * of width [[q34Width]] (overflow clamps to the top bucket); each
-    * requested permille q reports the first bucket whose cumulative
-    * count reaches q·n/1000 (cross-multiplied — no division), its
-    * upper value edge as the estimate, and the bracketing cumulative
-    * counts [cum_before, cum_incl] that PROVE the rank guarantee:
-    * the true q-quantile's rank lies inside the reported bucket, so
-    * the value error is at most one bucket width.
+    * sort nobody runs nightly). The sketch machinery lives in
+    * [[graft.functions.HistQ]] (shared VERBATIM with the streaming
+    * twin s22 — the Hll/Cms sharing contract applied to rank):
+    * values land in 256 buckets of width [[q34Width]] (overflow
+    * clamps); each requested permille reports the first bucket whose
+    * cumulative count reaches q·n/1000 (cross-multiplied — no
+    * division), its upper value edge, and the bracketing cumulative
+    * counts that PROVE the one-bucket rank guarantee.
     *
     * Scale shape: one narrow bucket map + a ≤ 256-row aggregate
-    * (map-side combine ships per-partition partials — the sketch IS
-    * mergeable state, s18/s19's contract on the batch surface); the
-    * quantile location runs over the 256-row histogram. Nothing
-    * data-sized shuffles; HLL/CMS/bottom-k/histogram now cover
+    * (map-side combine — the sketch IS mergeable state); location
+    * rides a struct-argmin inside the same aggregate (a join back
+    * to the histogram would recompute its subtree — PlanSpec pins
+    * the single scan). HLL/CMS/bottom-k/histogram now cover
     * count-distinct, frequency, sampling and rank.
     */
-  def q34(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    val hist = Tables.lineitem(spark, dir)
-      .selectExpr(s"least(${q34Buckets - 1}, CAST(floor(l_extendedprice / $q34Width) AS BIGINT)) AS bucket")
-      .groupBy($"bucket").agg(count(lit(1)).as("cnt"))
-    val w = Window.orderBy($"bucket") // 256-row metadata grain
-    val c = hist
-      .withColumn("cum", sum($"cnt").over(w.rowsBetween(Window.unboundedPreceding, 0)))
-      .withColumn("tot", sum($"cnt").over(w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
-    val qs = spark.createDataFrame(q34Quantiles.map(Tuple1(_))).toDF("q_permille")
-    // struct-argmin keeps the located bucket's cumulative bounds in
-    // the SAME aggregate (a join back to c would recompute the
-    // histogram subtree — a second corpus scan for 256 rows)
-    c.crossJoin(broadcast(qs))
-      .filter($"cum" * 1000 >= $"q_permille" * $"tot")
-      .groupBy($"q_permille")
-      .agg(min(struct($"bucket", ($"cum" - $"cnt").as("cum_before"), $"cum".as("cum_incl"))).as("s"),
-        max($"tot").as("n_rows"))
-      .selectExpr("q_permille", "s.bucket AS bucket",
-        s"(s.bucket + 1) * $q34Width AS est_hi",
-        "s.cum_before AS cum_before", "s.cum_incl AS cum_incl", "n_rows")
-      .transform(Tables.ordered(_, $"q_permille"))
-  }
+  def q34(spark: SparkSession, dir: String): DataFrame =
+    graft.functions.HistQ.locate(
+      graft.functions.HistQ.histogram(
+        Tables.lineitem(spark, dir), "l_extendedprice", q34Width),
+      q34Width, q34Quantiles)
 
   /** q34 oracle: identical bucket arithmetic and cross-multiplied
-    * rank location.
+    * rank location (generated by the shared sketch module).
     */
-  val q34Sql: String = {
-    val qvals = q34Quantiles.map(q => s"($q)").mkString(", ")
-    s"""WITH h AS (
-      |  SELECT least(${q34Buckets - 1}, CAST(floor(l_extendedprice / $q34Width) AS BIGINT)) AS bucket,
-      |         count(*) AS cnt
-      |  FROM lineitem GROUP BY 1),
-      |c AS (SELECT bucket, cnt,
-      |        CAST(sum(cnt) OVER (ORDER BY bucket) AS BIGINT) AS cum,
-      |        CAST(sum(cnt) OVER () AS BIGINT) AS tot
-      |      FROM h),
-      |qs AS (SELECT * FROM (VALUES $qvals) AS t(q_permille)),
-      |loc AS (SELECT q_permille, min(bucket) AS bucket, max(tot) AS n_rows
-      |        FROM c CROSS JOIN qs
-      |        WHERE cum * 1000 >= q_permille * tot
-      |        GROUP BY q_permille)
-      |SELECT l.q_permille, l.bucket, (l.bucket + 1) * $q34Width AS est_hi,
-      |  c.cum - c.cnt AS cum_before, c.cum AS cum_incl, l.n_rows
-      |FROM loc l JOIN c ON c.bucket = l.bucket
-      |ORDER BY l.q_permille""".stripMargin
-  }
+  val q34Sql: String =
+    graft.functions.HistQ.oracleSql("lineitem", "l_extendedprice", q34Width, q34Quantiles)
 }

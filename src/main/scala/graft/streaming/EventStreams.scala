@@ -420,6 +420,35 @@ object EventStreams {
       |GROUP BY event_type
       |ORDER BY event_type""".stripMargin
 
+  private val s22Width = 2L
+  private val s22Quantiles = Seq(500, 900, 990)
+
+  /** s22: STREAMING quantile monitoring — [[graft.functions.HistQ]]'s
+    * histogram run as a stateful streaming aggregate over event
+    * values, the rank member of the mergeable-sketch streaming
+    * family (s18 HLL / s19 CMS / s20 bottom-k): state = ≤ 256 count
+    * cells, bounded FOREVER (no watermark — counts only grow), each
+    * micro-batch folds in map-side, cells merge by sum; the
+    * quantile location runs over the final 256-row table through
+    * the SAME locate() as the batch query, so q34's rank-guarantee
+    * contract holds on the stream verbatim. The always-on latency/
+    * value-percentile monitor an exact streaming sort could never
+    * be.
+    */
+  def s22(spark: SparkSession, dir: String): DataFrame = {
+    val ss = streamSession(spark)
+    val hist = runToTable(ss,
+      graft.functions.HistQ.histogram(streamingEvents(spark, dir), "value", s22Width),
+      OutputMode.Complete())
+    graft.functions.HistQ.locate(hist, s22Width, s22Quantiles)
+  }
+
+  /** s22 oracle: the batch sketch over the same stream (order-free —
+    * cell sums), from the shared SQL generator.
+    */
+  val s22Sql: String =
+    graft.functions.HistQ.oracleSql("events", "value", s22Width, s22Quantiles)
+
   case class TopSt(vs: Array[Double], ids: Array[Long])
   case class TopOut(user_id: Long, rnk: Int, event_id: Long, value: Double)
 

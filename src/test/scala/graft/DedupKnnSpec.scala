@@ -1078,6 +1078,33 @@ class DedupKnnSpec extends AnyFunSuite {
       "no shifted copy matched its original")
   }
 
+  test("d17: containment equals a sequential recompute and exposes what Jaccard misses") {
+    val got = Dedup.d17(spark, sf).collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"),
+        r.getAs[Double]("containment"), r.getAs[Double]("jaccard")))
+    def shingles(text: String): Set[String] = {
+      val words = text.toLowerCase.trim.split(" ", -1)
+      if (words.length >= 3) words.sliding(3).map(_.mkString(" ")).toSet
+      else Set(words.mkString(" "))
+    }
+    val docs = Tables.documents(spark, sf)
+      .selectExpr("doc_id", "text").as[(Long, String)].collect().toMap
+    val want = docs.keys.filter(_ % 9 == 0).toSeq.sorted.map { id =>
+      val orig = shingles(docs(id))
+      val prefix = shingles(
+        docs(id).toLowerCase.trim.split(" ", -1).take(12).mkString(" "))
+      val inter = (prefix & orig).size
+      (id + 30000L, id, inter.toDouble / prefix.size,
+        inter.toDouble / (prefix.size + orig.size - inter))
+    }
+    assert(got.toSeq == want)
+    // the asymmetry the operator exists for: full containment with
+    // small Jaccard on the seeded prefix copies
+    assert(got.count { case (_, _, c, j) => c == 1.0 && j < 0.5 } > got.length / 2,
+      s"prefix copies should be contained but not Jaccard-similar")
+    got.foreach { case (_, _, c, j) => assert(c >= j) }
+  }
+
   test("d16: canonical URL groups are exact; survivors are min ids; mass conserved") {
     val rows = Dedup.d16(spark, sf).collect()
       .map(r => (r.getAs[String]("canonical_url"), r.getAs[Long]("n_dups"),

@@ -500,6 +500,20 @@ class StreamingPipelineSpec extends AnyFunSuite {
     assert(gate.map(_._2).sum > gate.map(_._3).sum, "the gate actually blocks")
   }
 
+  test("s22 streamed histogram quantiles equal the batch sketch bitwise") {
+    val streamed = graft.streaming.EventStreams.s22(spark, sf).collect().toSeq
+    val batch = graft.functions.HistQ.locate(
+      graft.functions.HistQ.histogram(Tables.events(spark, sf), "value", 2L),
+      2L, Seq(500, 900, 990)).collect().toSeq
+    assert(streamed.map(_.toSeq) == batch.map(_.toSeq) && streamed.size == 3)
+    // the guarantee q34's contract promises, on the streamed result
+    streamed.foreach { r =>
+      val (q, cb, ci, n) = (r.getAs[Int]("q_permille"), r.getAs[Long]("cum_before"),
+        r.getAs[Long]("cum_incl"), r.getAs[Long]("n_rows"))
+      assert(cb * 1000 < q.toLong * n && ci * 1000 >= q.toLong * n)
+    }
+  }
+
   test("s9 stream-static enrichment covers every event exactly once") {
     import spark.implicits._
     val got = EventStreams.s9(spark, sf).collect()

@@ -220,4 +220,28 @@ class ThermalSpec extends AnyFunSuite {
       assert(t >= vs.min - 1e-9 && t <= vs.max + 1e-9)
     }
   }
+
+  test("w23: degree days equal a quantized recompute from w12's daily extremes") {
+    import spark.implicits._
+    val got = Weather.w23(spark, SharedSpark.sf).collect()
+      .map(r => ((r.getAs[Double]("lat"), r.getAs[Double]("lon")),
+        (r.getAs[Long]("n_days"), r.getAs[Double]("hdd"), r.getAs[Double]("cdd"))))
+      .toMap
+    val daily = Weather.w12(spark, SharedSpark.sf).collect()
+      .map(r => ((r.getAs[Double]("lat"), r.getAs[Double]("lon")),
+        (r.getAs[Double]("hi") + r.getAs[Double]("lo")) / 2.0))
+    val want = daily.groupBy(_._1).map { case (cell, rows) =>
+      val means = rows.map(_._2)
+      def q2sum(xs: Seq[Double]) =
+        xs.map(x => math.floor(x * 100.0 + 0.5).toLong).sum / 100.0
+      (cell, (means.length.toLong,
+        q2sum(means.map(m => math.max(0.0, 18.0 - m))),
+        q2sum(means.map(m => math.max(0.0, m - 18.0)))))
+    }
+    assert(got == want && got.nonEmpty)
+    // a cell's day cannot heat and cool past the base simultaneously
+    got.values.foreach { case (n, hdd, cdd) =>
+      assert(n > 0 && hdd >= 0.0 && cdd >= 0.0)
+    }
+  }
 }
