@@ -512,6 +512,63 @@ object EventWindows {
       |FROM convs JOIN touches USING (user_id, grp)
       |ORDER BY conv_id""".stripMargin
 
+  // ---------- e14: cohort lifetime value ----------
+
+  /** e14: COHORT LIFETIME VALUE — e5's retention grid with the
+    * MONETARY axis: per (first-active-day cohort, day offset),
+    * purchase revenue in exact cents plus the running cumulative
+    * (the LTV curve growth teams read next to retention counts;
+    * e5 says who came back, e14 what they were worth by day k).
+    *
+    * Shape: cohort derivation is e5's (distinct days → min); revenue
+    * is ONE (cohort, offset) aggregate of exact cents; the
+    * cumulative rides a per-cohort window over ≤ 8 offset rows
+    * (cohort-grain metadata, bounded by the window cap, never
+    * user-grain). Cents integerization makes every sum and the
+    * running total order-free and bitwise.
+    */
+  def e14(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.events(spark, dir)
+      .selectExpr("user_id", "event_type",
+        "CAST(extract(DOY FROM ts) AS BIGINT) AS day",
+        "CAST(floor(value * 1e2 + 0.5) AS BIGINT) AS cents")
+    val cohorts = ev.select($"user_id", $"day").distinct()
+      .groupBy($"user_id").agg(min($"day").as("cohort"))
+    val grid = ev.filter($"event_type" === "purchase")
+      .join(cohorts, Seq("user_id"))
+      .selectExpr("cohort", "day - cohort AS offset_days", "cents")
+      .filter($"offset_days" <= 7)
+      .groupBy($"cohort", $"offset_days")
+      .agg(count(lit(1)).as("n_purchases"), sum($"cents").as("rev_cents"))
+    val w = Window.partitionBy($"cohort").orderBy($"offset_days")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    grid.withColumn("cum_rev_cents", sum($"rev_cents").over(w))
+      .transform(graft.Tables.ordered(_, $"cohort", $"offset_days"))
+  }
+
+  /** e14 oracle: e5's cohort CTEs + exact-cents revenue and the same
+    * bounded per-cohort running sum.
+    */
+  val e14Sql: String =
+    """WITH e AS (SELECT user_id, event_type,
+      |        CAST(extract(doy FROM ts) AS BIGINT) AS day,
+      |        CAST(floor(value * 1e2 + 0.5) AS BIGINT) AS cents
+      |      FROM events),
+      |c AS (SELECT user_id, min(day) AS cohort
+      |      FROM (SELECT DISTINCT user_id, day FROM e) GROUP BY user_id),
+      |g AS (SELECT cohort, day - cohort AS offset_days,
+      |        count(*) AS n_purchases,
+      |        CAST(sum(cents) AS BIGINT) AS rev_cents
+      |      FROM e JOIN c USING (user_id)
+      |      WHERE event_type = 'purchase' AND day - cohort <= 7
+      |      GROUP BY 1, 2)
+      |SELECT cohort, offset_days, n_purchases, rev_cents,
+      |  CAST(sum(rev_cents) OVER (PARTITION BY cohort ORDER BY offset_days
+      |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_rev_cents
+      |FROM g
+      |ORDER BY cohort, offset_days""".stripMargin
+
   // ---------- e13: view→purchase conversion lag ----------
 
   /** e13: TIME-TO-CONVERT — for each user, the lag from their FIRST

@@ -314,6 +314,83 @@ object Graph {
       |  ON s.component = c.component
       |ORDER BY c_custkey""".stripMargin
 
+  private val g5Parts = 16L
+
+  /** g5: MODULARITY of a candidate partition over the link graph
+    * (Newman & Girvan 2004) — here the arithmetic host-shard
+    * `id % 16`, asking the data-layout question: does sharding by id
+    * keep linked pages together? Q = Σ_c [e_c/m − (d_c/2m)²]
+    * measures exactly that (0 ≈ random, >0.3 ≈ strong locality), and
+    * a layout job runs this audit BEFORE committing to a partition
+    * key (p2's z-order locality argument, measured on the graph
+    * instead of the grid).
+    *
+    * All inputs to the per-part contribution are exact integers
+    * (within-part edge count, degree sum, 2m); each output double is
+    * one division / one multiply / one subtract of those — single
+    * IEEE ops are bitwise cross-engine (the d4/jaccard discipline).
+    * Shape: one distinct-edge canonicalization, a degree aggregate,
+    * one part-grain edge aggregate; m rides a 1-row broadcast inside
+    * the plan (g2's idiom, no driver collect).
+    */
+  def g5(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val nodes = Tables.customer(spark, dir).select($"c_custkey".as("id")).cache()
+    val n = nodes.count()
+    val e0 = nodes.selectExpr("id AS src", s"(id * 31 + 7) % $n AS dst")
+      .unionAll(nodes.selectExpr("id AS src", s"(id * 17 + 3) % $n AS dst"))
+      .unionAll(nodes.filter($"id" >= 2).selectExpr("id AS src", "id div 2 AS dst"))
+    val und = e0.filter($"src" =!= $"dst")
+      .selectExpr("least(src, dst) AS a", "greatest(src, dst) AS b")
+      .distinct().cache()
+    val m = und.agg(count(lit(1)).as("m"))
+    val deg = und.selectExpr("a AS x").unionAll(und.selectExpr("b AS x"))
+      .groupBy($"x").agg(count(lit(1)).as("d"))
+    val eIn = und.filter($"a" % g5Parts === $"b" % g5Parts)
+      .groupBy(($"a" % g5Parts).as("part")).agg(count(lit(1)).as("e_in"))
+    val parts = nodes.select(($"id" % g5Parts).as("part"), $"id")
+      .join(deg.withColumnRenamed("x", "id"), Seq("id"), "left_outer")
+      .groupBy($"part")
+      .agg(count(lit(1)).as("n_nodes"),
+        sum(coalesce($"d", lit(0L))).as("deg_sum"))
+    parts.join(eIn, Seq("part"), "left_outer")
+      .withColumn("e_in", coalesce($"e_in", lit(0L)))
+      .crossJoin(broadcast(m))
+      .selectExpr("part", "n_nodes", "e_in", "deg_sum",
+        "CAST(e_in AS DOUBLE) / CAST(m AS DOUBLE) " +
+          "- (CAST(deg_sum AS DOUBLE) / CAST(2 * m AS DOUBLE)) " +
+          "* (CAST(deg_sum AS DOUBLE) / CAST(2 * m AS DOUBLE)) AS contribution")
+      .transform(Tables.ordered(_, $"part"))
+  }
+
+  /** g5 oracle: identical canonical edge set, degree and part
+    * aggregates, and single-op IEEE contribution arithmetic.
+    */
+  val g5Sql: String =
+    s"""WITH nn AS (SELECT count(*) AS n FROM customer),
+      |nodes AS (SELECT c_custkey AS id FROM customer),
+      |e0 AS (SELECT id AS src, (id * 31 + 7) % nn.n AS dst FROM nodes, nn
+      |       UNION ALL SELECT id, (id * 17 + 3) % nn.n FROM nodes, nn
+      |       UNION ALL SELECT id, id // 2 FROM nodes WHERE id >= 2),
+      |und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+      |        FROM e0 WHERE src <> dst),
+      |m AS (SELECT count(*) AS m FROM und),
+      |deg AS (SELECT x, count(*) AS d
+      |        FROM (SELECT a AS x FROM und UNION ALL SELECT b FROM und)
+      |        GROUP BY x),
+      |ein AS (SELECT a % $g5Parts AS part, count(*) AS e_in
+      |        FROM und WHERE a % $g5Parts = b % $g5Parts GROUP BY 1),
+      |parts AS (SELECT id % $g5Parts AS part, count(*) AS n_nodes,
+      |            CAST(sum(coalesce(d, 0)) AS BIGINT) AS deg_sum
+      |          FROM nodes LEFT JOIN deg ON deg.x = nodes.id
+      |          GROUP BY 1)
+      |SELECT p.part, p.n_nodes, coalesce(e.e_in, 0) AS e_in, p.deg_sum,
+      |  CAST(coalesce(e.e_in, 0) AS DOUBLE) / CAST(m.m AS DOUBLE)
+      |    - (CAST(p.deg_sum AS DOUBLE) / CAST(2 * m.m AS DOUBLE))
+      |    * (CAST(p.deg_sum AS DOUBLE) / CAST(2 * m.m AS DOUBLE)) AS contribution
+      |FROM parts p LEFT JOIN ein e ON e.part = p.part CROSS JOIN m
+      |ORDER BY p.part""".stripMargin
+
   /** g3 oracle: identical orientation and wedge-closing joins. */
   val g3Sql: String =
     """WITH nn AS (SELECT count(*) AS n FROM customer),

@@ -527,6 +527,20 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"))
   }
 
+  test("g5/e14: audit queries stay on equality joins; 1-row totals broadcast") {
+    val pg = plan(graft.operators.Graph.g5(spark, sf)).split("== Initial Plan ==")(0)
+    assert(!pg.contains("CartesianProduct"))
+    val bnlj = "BroadcastNestedLoopJoin ([a-zA-Z]+)".r.findAllMatchIn(pg).map(_.group(1)).toSeq
+    assert(bnlj.forall(_ == "Cross") && bnlj.length <= 1, s"non-cross nested-loop: $bnlj")
+    val peFull = plan(graft.operators.EventWindows.e14(spark, sf))
+    val pe = peFull.split("== Initial Plan ==")(0)
+    assert(!pe.contains("CartesianProduct") && !pe.contains("BroadcastNestedLoopJoin"))
+    // the LTV cumulative rides the cohort-partitioned window, never a
+    // corpus-global one
+    assert(peFull.contains("windowspecdefinition(cohort"),
+      s"cumulative window not cohort-partitioned:\n$peFull")
+  }
+
   test("p9: the purge flag is a broadcast join — the corpus never shuffles by user") {
     val pFull = plan(graft.operators.Corpus.p9(spark, sf))
     val p = pFull.split("== Initial Plan ==")(0)

@@ -509,6 +509,64 @@ class RelationalSpec extends AnyFunSuite {
     assert(rows.exists(_._3 > 0) && rows.exists(_._4 > 0))
   }
 
+  test("g5: modularity contributions equal a sequential recompute; Q bounded") {
+    val rows = graft.operators.Graph.g5(spark, sf).collect()
+      .map(r => (r.getAs[Long]("part"), r.getAs[Long]("n_nodes"),
+        r.getAs[Long]("e_in"), r.getAs[Long]("deg_sum"),
+        r.getAs[Double]("contribution")))
+    val n = Tables.customer(spark, sf).count()
+    val und = (0L until n).flatMap { u =>
+      Seq((u, (u * 31 + 7) % n), (u, (u * 17 + 3) % n)) ++
+        (if (u >= 2) Seq((u, u / 2)) else Nil)
+    }.filter { case (a, b) => a != b }
+      .map { case (a, b) => (math.min(a, b), math.max(a, b)) }.distinct
+    val m = und.size.toLong
+    val deg = und.flatMap { case (a, b) => Seq(a, b) }
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val want = (0L until 16L).map { p =>
+      val nodes = (0L until n).filter(_ % 16 == p)
+      val eIn = und.count { case (a, b) => a % 16 == p && b % 16 == p }.toLong
+      val ds = nodes.map(deg.getOrElse(_, 0L)).sum
+      val c = eIn.toDouble / m.toDouble -
+        (ds.toDouble / (2 * m).toDouble) * (ds.toDouble / (2 * m).toDouble)
+      (p, nodes.size.toLong, eIn, ds, c)
+    }
+    assert(rows.toSeq == want)
+    val q = rows.map(_._5).sum
+    assert(q > -1.0 && q < 1.0, s"modularity $q out of range")
+    assert(rows.map(_._3).sum <= m && rows.map(_._4).sum == 2 * m)
+  }
+
+  test("e14: cohort LTV equals a sequential recompute; cumulative is monotone") {
+    val rows = graft.operators.EventWindows.e14(spark, sf).collect()
+      .map(r => (r.getAs[Long]("cohort"), r.getAs[Long]("offset_days"),
+        r.getAs[Long]("n_purchases"), r.getAs[Long]("rev_cents"),
+        r.getAs[Long]("cum_rev_cents")))
+    val ev = Tables.events(spark, sf)
+      .selectExpr("user_id", "event_type",
+        "CAST(extract(DOY FROM ts) AS BIGINT) AS day",
+        "CAST(floor(value * 1e2 + 0.5) AS BIGINT) AS cents")
+      .as[(Long, String, Long, Long)].collect()
+    val cohort = ev.map(e => (e._1, e._3)).distinct.groupBy(_._1)
+      .view.mapValues(_.map(_._2).min).toMap
+    val grid = ev.filter(_._2 == "purchase")
+      .map(e => ((cohort(e._1), e._3 - cohort(e._1)), e._4))
+      .filter(_._1._2 <= 7)
+      .groupBy(_._1).view
+      .mapValues(g => (g.size.toLong, g.map(_._2).sum)).toMap
+    val want = grid.keys.toSeq.sorted.map { case (c, o) =>
+      val (np, rev) = grid((c, o))
+      val cum = grid.filter { case ((c2, o2), _) => c2 == c && o2 <= o }
+        .values.map(_._2).sum
+      (c, o, np, rev, cum)
+    }
+    assert(rows.toSeq == want && rows.nonEmpty)
+    rows.groupBy(_._1).values.foreach { g =>
+      val sorted = g.sortBy(_._2)
+      sorted.zip(sorted.drop(1)).foreach { case (a, b) => assert(b._5 >= a._5) }
+    }
+  }
+
   test("t20: DSIR importance weights equal a sequential reimplementation bitwise") {
     val ts = graft.operators.TextStats
     val rows = ts.t20(spark, sf).collect()
