@@ -47,4 +47,54 @@ object Incremental {
       |FROM events
       |GROUP BY user_id
       |ORDER BY user_id""".stripMargin
+
+  // ---------- p10: incremental view maintenance for JOINS ----------
+
+  /** p10: INCREMENTAL VIEW MAINTENANCE of a join view — p3's
+    * partial-merge argument extended from aggregates to JOINS, the
+    * other half of what a materialized-view refresh needs: for an
+    * append-only fact, Δview = Δfact ⋈ dim, and view' = view ∪
+    * Δview — the nightly refresh touches ONLY the delta (here the
+    * l_orderkey % 10 = 0 slice standing in for today's ingest),
+    * never rescanning the base fact. The ORACLE is the full
+    * recompute over fact ∪ delta, so the correctness gate itself
+    * proves incremental == recompute (p3's proof shape on the join
+    * grain). View rows carry the order's date and the line revenue
+    * in exact cents (order-free, bitwise).
+    *
+    * Scale shape: the base view is READ, not recomputed (its stored
+    * rows stream straight into the union); the delta join broadcasts
+    * nothing new — orders is the dimension side and joins by pk
+    * (bucketed layout ⇒ zero-exchange, §8.16); one union, no
+    * window, no driver state. At 100 TB the delta is the day's
+    * ingest — the refresh cost is O(|Δ|), independent of |view|.
+    */
+  def p10(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val li = Tables.lineitem(spark, dir)
+      .selectExpr("l_orderkey", "l_linenumber",
+        "CAST(floor(l_extendedprice * (1 - l_discount) * 1e2 + 0.5) AS BIGINT) AS rev_cents")
+    val ords = Tables.orders(spark, dir)
+      .selectExpr("o_orderkey AS l_orderkey",
+        "date_format(o_orderdate, 'yyyy-MM-dd') AS orderdate", "o_orderpriority")
+    def viewOf(fact: org.apache.spark.sql.DataFrame) =
+      fact.join(ords, Seq("l_orderkey"))
+        .select($"l_orderkey", $"l_linenumber", $"orderdate",
+          $"o_orderpriority", $"rev_cents")
+    // the "stored" base view (yesterday's state) + today's delta join
+    val base = viewOf(li.filter($"l_orderkey" % 10 =!= 0))
+    val delta = viewOf(li.filter($"l_orderkey" % 10 === 0))
+    base.unionByName(delta)
+      .transform(Tables.ordered(_, $"l_orderkey", $"l_linenumber"))
+  }
+
+  /** p10 oracle: the FULL recompute — the gate proves the
+    * incremental union equals it.
+    */
+  val p10Sql: String =
+    """SELECT l_orderkey, l_linenumber,
+      |  strftime(o_orderdate, '%Y-%m-%d') AS orderdate, o_orderpriority,
+      |  CAST(floor(l_extendedprice * (1 - l_discount) * 1e2 + 0.5) AS BIGINT) AS rev_cents
+      |FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+      |ORDER BY l_orderkey, l_linenumber""".stripMargin
 }

@@ -567,6 +567,29 @@ class RelationalSpec extends AnyFunSuite {
     }
   }
 
+  test("p10: the delta slices partition the fact; incremental equals monolithic") {
+    val inc = graft.operators.Incremental.p10(spark, sf).collect()
+      .map(_.toSeq)
+    val li = Tables.lineitem(spark, sf)
+    val n = li.count()
+    val nBase = li.filter($"l_orderkey" % 10 =!= 0).count()
+    val nDelta = li.filter($"l_orderkey" % 10 === 0).count()
+    assert(nBase + nDelta == n && nDelta > 0, "delta split must partition the fact")
+    // monolithic recompute of the same view, same ordering
+    val ords = Tables.orders(spark, sf)
+      .selectExpr("o_orderkey AS l_orderkey",
+        "date_format(o_orderdate, 'yyyy-MM-dd') AS orderdate", "o_orderpriority")
+    val whole = li
+      .selectExpr("l_orderkey", "l_linenumber",
+        "CAST(floor(l_extendedprice * (1 - l_discount) * 1e2 + 0.5) AS BIGINT) AS rev_cents")
+      .join(ords, Seq("l_orderkey"))
+      .select($"l_orderkey", $"l_linenumber", $"orderdate",
+        $"o_orderpriority", $"rev_cents")
+      .orderBy($"l_orderkey", $"l_linenumber")
+      .collect().map(_.toSeq)
+    assert(inc.toSeq == whole.toSeq)
+  }
+
   test("t20: DSIR importance weights equal a sequential reimplementation bitwise") {
     val ts = graft.operators.TextStats
     val rows = ts.t20(spark, sf).collect()
