@@ -119,6 +119,32 @@ object Graft {
   def cmsEstimate(cells: DataFrame, keys: DataFrame): DataFrame =
     functions.Cms.estimate(cells, keys)
 
+  // ---- mergeable histogram quantile sketch (batch or streaming) ----
+  /** The ≤256-cell equi-width histogram for any value expression —
+    * mergeable by cell-wise sum; run it as a streaming aggregate for
+    * an always-on percentile monitor (s22).
+    */
+  def histCells(df: DataFrame, valueExpr: String, width: Long): DataFrame =
+    functions.HistQ.histogram(df, valueExpr, width)
+
+  /** Per-permille bucket estimates with rank-guarantee bounds from a
+    * histogram cell table (q34/s22 share this).
+    */
+  def histQuantiles(hist: DataFrame, width: Long, permilles: Seq[Int]): DataFrame =
+    functions.HistQ.locate(hist, width, permilles)
+
+  // ---- connected components over any edge list ----
+  /** Labels (id, lbl) for an undirected (src, dst) edge list via the
+    * O(log n)-round large-star/small-star contraction —
+    * diameter-independent (g4/d6's engine). Throws if the contraction
+    * fails to converge within `maxRounds`.
+    */
+  def components(edges: DataFrame, maxRounds: Int = 50): DataFrame = {
+    val (labels, _, conv) = operators.Dedup.ccStars(edges, maxRounds)
+    require(conv, s"stars contraction did not converge within $maxRounds rounds")
+    labels
+  }
+
   /** Registry of every operator: name -> (session, sfDir) => result. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = SparkEntry.queries
 }

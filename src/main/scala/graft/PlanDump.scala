@@ -98,6 +98,7 @@ object PlanDump {
       "m9_audio_fingerprint" -> "audio landmarks: frame/peak/landmark windows on one doc-key shuffle, capped fp equality self-join",
       "d17_containment" -> "containment: inverted-index intersection counts — shingle arrays never shuffle, division-only delta vs Jaccard",
       "w23_degree_days" -> "degree days: one cell-grain quantized-sum aggregate over w12's daily shuffle",
+      "p10_ivm_join" -> "IVM join: stored view streams into the union; only the delta joins the dimension",
     )
     val sb = new StringBuilder
     sb.append("# PLANS — formatted physical plans (generated by graft.PlanDump at sf0.001)\n")
