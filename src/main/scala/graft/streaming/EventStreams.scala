@@ -449,6 +449,80 @@ object EventStreams {
   val s22Sql: String =
     graft.functions.HistQ.oracleSql("events", "value", s22Width, s22Quantiles)
 
+  case class ConvEv(user_id: Long, event_type: String, tus: Long)
+  case class ConvSt(first_view: Long, conv: Long) // -1 = unset
+  case class ConvOut(user_id: Long, first_view_us: Long, conv_us: Long, lag_us: Long)
+
+  /** e13's per-user conversion state machine: first view pins
+    * `first_view` once (the feed contract is event-time-ordered
+    * batches — s12's reasoning — so the first view seen IS the min);
+    * the first at-or-after purchase completes the conversion and
+    * emits the user's ONE output row. In-batch rows sort by
+    * (tus, views-before-purchases) so an equal-microsecond
+    * view+purchase pair resolves exactly like the batch `>=`.
+    * State is TWO longs per user, forever — O(1), no watermark.
+    */
+  class ConvProcessor extends org.apache.spark.sql.streaming.StatefulProcessor[Long, ConvEv, ConvOut] {
+    @transient private var st: org.apache.spark.sql.streaming.ValueState[ConvSt] = _
+
+    override def init(outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      st = getHandle.getValueState[ConvSt]("conv",
+        org.apache.spark.sql.Encoders.product[ConvSt],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[ConvEv],
+        tv: org.apache.spark.sql.streaming.TimerValues): Iterator[ConvOut] = {
+      val sorted = rows.toArray
+        .sortBy(e => (e.tus, if (e.event_type == "view") 0 else 1))
+      var s = if (st.exists()) st.get() else ConvSt(-1L, -1L)
+      val out = scala.collection.mutable.ArrayBuffer.empty[ConvOut]
+      sorted.foreach { e =>
+        if (s.conv < 0) {
+          if (e.event_type == "view" && s.first_view < 0)
+            s = s.copy(first_view = e.tus)
+          else if (e.event_type == "purchase" && s.first_view >= 0 &&
+            e.tus >= s.first_view) {
+            s = s.copy(conv = e.tus)
+            out += ConvOut(key, s.first_view, e.tus, e.tus - s.first_view)
+          }
+        }
+      }
+      st.update(s)
+      out.iterator
+    }
+  }
+
+  /** s23: REAL-TIME CONVERSION TRACKING — e13's streaming twin on
+    * `transformWithState`: the batch query reports every user's
+    * view→purchase latency nightly; s23 emits each user's row the
+    * micro-batch their first qualifying purchase ARRIVES (the
+    * marketing/alerting surface of the same metric). The purchase-
+    * and-view prefilter is the stateless door; per-user state is two
+    * longs with unbounded lifetime and no watermark; output is
+    * append-only, exactly one row per converting user. Oracle: the
+    * batch e13 SQL verbatim (single-batch contract run == batch).
+    */
+  def s23(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val rs = rocksSession(spark)
+    graft.Tables.tsConfs(rs)
+    val schema = rs.read.parquet(s"$dir/events.parquet").schema
+    val src = rs.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet").parquet(dir)
+      .filter(col("event_type").isin("view", "purchase"))
+      .selectExpr("user_id", "event_type", s"${tusSql(schema)} AS tus").as[ConvEv]
+    runToTable(rs, convStream(src).toDF(), OutputMode.Append())
+      .orderBy(col("user_id"))
+  }
+
+  def convStream(src: Dataset[ConvEv]): Dataset[ConvOut] = {
+    import src.sparkSession.implicits._
+    src.groupByKey(_.user_id)
+      .transformWithState(new ConvProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Append())
+  }
+
   case class TopSt(vs: Array[Double], ids: Array[Long])
   case class TopOut(user_id: Long, rnk: Int, event_id: Long, value: Double)
 

@@ -431,6 +431,16 @@ class RelationalSpec extends AnyFunSuite {
     // the derived graph must actually be interesting: many components,
     // at least one non-trivial
     assert(sizes.size > 10 && sizes.values.max > 5, s"components=${sizes.size}")
+    // round-count audit: the contraction must stay within its log
+    // bound (g4's bench cost is rounds x per-round fixed cost — this
+    // pins the rounds half of that adjudication)
+    val edges = Tables.customer(spark, sf).selectExpr("c_custkey AS id")
+      .filter("id % 5 < 2").selectExpr("id AS src", s"(id * 31 + 7) % $n AS dst")
+      .unionAll(Tables.customer(spark, sf).selectExpr("c_custkey AS id")
+        .filter("id % 3 = 0").selectExpr("id AS src", s"(id * 17 + 3) % $n AS dst"))
+    val (_, rounds, conv) = graft.operators.Dedup.ccStars(edges, 50)
+    assert(conv && rounds <= 2 * (64 - java.lang.Long.numberOfLeadingZeros(n)),
+      s"stars took $rounds rounds for n=$n")
   }
 
   test("q33: skyline equals brute-force dominance filtering") {

@@ -514,6 +514,43 @@ class StreamingPipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("s23 single-batch run equals batch e13; conversions complete across batches") {
+    // contract parity: one batch == the batch query
+    val streamed = graft.streaming.EventStreams.s23(spark, sf).collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("first_view_us"),
+        r.getAs[Long]("conv_us"), r.getAs[Long]("lag_us"))).toSet
+    val batch = graft.operators.EventWindows.e13(spark, sf).collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("first_view_us"),
+        r.getAs[Long]("conv_us"), r.getAs[Long]("lag_us"))).toSet
+    assert(streamed == batch && streamed.nonEmpty)
+    // multi-batch: the view arrives one batch, the purchase a later one
+    import EventStreams.{ConvEv, ConvOut}
+    val ns = spark.newSession()
+    ns.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    implicit val sqlCtx = ns.sqlContext
+    import ns.implicits._
+    val mem = MemoryStream[ConvEv]
+    val name = "s23_state_test"
+    val q = EventStreams.convStream(mem.toDS()).toDF()
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName(name).start()
+    try {
+      // u1: pre-view purchase must NOT convert; view pins first_view
+      mem.addData(ConvEv(1, "purchase", 50), ConvEv(1, "view", 100))
+      q.processAllAvailable()
+      assert(ns.table(name).count() == 0)
+      // later batch completes u1; u2 purchase-only never converts
+      mem.addData(ConvEv(1, "purchase", 300), ConvEv(2, "purchase", 400))
+      q.processAllAvailable()
+      // a second purchase must not emit a second row
+      mem.addData(ConvEv(1, "purchase", 500))
+      q.processAllAvailable()
+      val rows = ns.table(name).as[ConvOut].collect().toSeq
+      assert(rows == Seq(ConvOut(1, 100, 300, 200)))
+    } finally q.stop()
+  }
+
   test("s9 stream-static enrichment covers every event exactly once") {
     import spark.implicits._
     val got = EventStreams.s9(spark, sf).collect()
