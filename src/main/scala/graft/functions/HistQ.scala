@@ -24,10 +24,13 @@ object HistQ {
 
   /** The corpus→histogram aggregate: ≤ [[buckets]] rows move per
     * executor (map-side partial sum) regardless of input size.
+    * BOTH sides clamp — without the floor clamp, negative values
+    * would mint one cell per distinct bucket and break the bounded
+    * streaming-state contract the sketch exists for.
     */
   def histogram(df: DataFrame, valueExpr: String, width: Long): DataFrame =
     df.selectExpr(
-        s"least(${buckets - 1}, CAST(floor(($valueExpr) / $width) AS BIGINT)) AS bucket")
+        s"greatest(CAST(0 AS BIGINT), least(${buckets - 1}, CAST(floor(($valueExpr) / $width) AS BIGINT))) AS bucket")
       .groupBy(col("bucket")).agg(count(lit(1)).as("cnt"))
 
   /** Locate each requested permille in a (bucket, cnt) histogram:
@@ -60,7 +63,7 @@ object HistQ {
   def oracleSql(table: String, valueExpr: String, width: Long, qs: Seq[Int]): String = {
     val qvals = qs.map(q => s"($q)").mkString(", ")
     s"""WITH h AS (
-      |  SELECT least(${buckets - 1}, CAST(floor(($valueExpr) / $width) AS BIGINT)) AS bucket,
+      |  SELECT greatest(CAST(0 AS BIGINT), least(${buckets - 1}, CAST(floor(($valueExpr) / $width) AS BIGINT))) AS bucket,
       |         count(*) AS cnt
       |  FROM $table GROUP BY 1),
       |c AS (SELECT bucket, cnt,

@@ -169,7 +169,24 @@ object Corpus {
     * (the corpus carries no real registry; the derivation is the
     * fixture, the purge is the operator).
     */
-  private val p9ErrorMin = 18L
+  private[graft] val p9ErrorMin = 18L
+
+  /** The derived consent-revocation registry — ONE definition shared
+    * by the batch purge (p9) and the streaming door gate (s21), so
+    * the two sides of the erasure workflow cannot drift.
+    */
+  private[graft] def optoutRegistry(ev: DataFrame): DataFrame = {
+    import ev.sparkSession.implicits._
+    ev.filter($"event_type" === "error")
+      .groupBy($"user_id").agg(count(lit(1)).as("n_err"))
+      .filter($"n_err" >= p9ErrorMin)
+      .select($"user_id", lit(1L).as("revoked"))
+  }
+
+  /** The registry as oracle SQL (threshold from [[p9ErrorMin]]). */
+  private[graft] val optoutRegistrySql: String =
+    s"""SELECT user_id FROM events WHERE event_type = 'error'
+      |  GROUP BY user_id HAVING count(*) >= $p9ErrorMin""".stripMargin
 
   /** p9: OPT-OUT PURGE — the retroactive data-subject-deletion pass
     * every stored corpus needs (GDPR/CCPA erasure, robots.txt
@@ -192,11 +209,7 @@ object Corpus {
   def p9(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val ev = Tables.events(spark, dir)
-    val optout = ev.filter($"event_type" === "error")
-      .groupBy($"user_id").agg(count(lit(1)).as("n_err"))
-      .filter($"n_err" >= p9ErrorMin)
-      .select($"user_id", lit(1L).as("revoked"))
-    ev.join(broadcast(optout), Seq("user_id"), "left_outer")
+    ev.join(broadcast(optoutRegistry(ev)), Seq("user_id"), "left_outer")
       .groupBy($"event_type")
       .agg(count(lit(1)).as("n_before"),
         sum(coalesce($"revoked", lit(0L))).as("n_removed"))
@@ -207,8 +220,7 @@ object Corpus {
   /** p9 oracle: the same derived registry as a plain IN-subquery. */
   val p9Sql: String =
     s"""WITH optout AS (
-      |  SELECT user_id FROM events WHERE event_type = 'error'
-      |  GROUP BY user_id HAVING count(*) >= $p9ErrorMin)
+      |$optoutRegistrySql)
       |SELECT event_type, count(*) AS n_before,
       |  CAST(sum(CASE WHEN user_id IN (SELECT user_id FROM optout)
       |           THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,

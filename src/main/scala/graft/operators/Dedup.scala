@@ -1466,6 +1466,10 @@ object Dedup {
   def d17(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val docs = Tables.documents(spark, dir).select($"doc_id", $"text")
+    // +30000 is the d4/d6 seeded-copy id convention — a FIXTURE for
+    // the gate (valid while doc_ids stay below the offset, as the
+    // testdata's do); a production run scores real candidate pairs
+    // and derives nothing
     val prefixes = docs.filter($"doc_id" % 9 === 0)
       .selectExpr("doc_id + 30000 AS doc_id",
         "concat_ws(' ', slice(split(lower(trim(text)), ' '), 1, 12)) AS text")

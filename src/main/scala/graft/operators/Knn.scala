@@ -1248,26 +1248,32 @@ object Knn {
     val e = vectors(spark, dir)
     val bcPlanes = spark.sparkContext.broadcast(
       (0 until v15Bits).map(b => planeRow(v15PlaneOffset + b).toArray).toArray)
-    val sigs = e.select($"vec_id", $"nv").as[(Long, Array[Double])]
-      .mapPartitions { it =>
-        val ps = bcPlanes.value
-        it.map { case (id, nv) =>
-          var sig = 0L
-          var b = 0
-          while (b < v15Bits) {
-            val p = ps(b)
-            var dot = 0.0
-            var i = 0
-            while (i < dim) { dot += nv(i) * p(i); i += 1 }
-            if (math.floor(dot * 1e6 + 0.5) >= 0) sig |= (1L << b)
-            b += 1
+    // signatures for an already-filtered side: the query and corpus
+    // sides each run the 63-plane loop over THEIR OWN rows only — a
+    // single shared signature pass would execute twice (the vec_id
+    // filters cannot push through an opaque mapPartitions), doubling
+    // the dominant narrow stage
+    def sigOf(side: DataFrame): DataFrame =
+      side.select($"vec_id", $"nv").as[(Long, Array[Double])]
+        .mapPartitions { it =>
+          val ps = bcPlanes.value
+          it.map { case (id, nv) =>
+            var sig = 0L
+            var b = 0
+            while (b < v15Bits) {
+              val p = ps(b)
+              var dot = 0.0
+              var i = 0
+              while (i < dim) { dot += nv(i) * p(i); i += 1 }
+              if (math.floor(dot * 1e6 + 0.5) >= 0) sig |= (1L << b)
+              b += 1
+            }
+            (id, sig)
           }
-          (id, sig)
-        }
-      }.toDF("vec_id", "sig")
-    val qs = sigs.filter($"vec_id" < 10)
+        }.toDF("vec_id", "sig")
+    val qs = sigOf(e.filter($"vec_id" < 10))
       .select($"vec_id".as("qid"), $"sig".as("qsig"))
-    val ham = sigs.filter($"vec_id" >= 10)
+    val ham = sigOf(e.filter($"vec_id" >= 10))
       .crossJoin(broadcast(qs))
       .selectExpr("qid", "vec_id", "CAST(bit_count(sig ^ qsig) AS INT) AS ham")
     val short = graft.functions.TwoLevel.topK(ham, Seq($"qid"),

@@ -394,11 +394,9 @@ object EventStreams {
   def s21(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val ss = streamSession(spark)
-    val ev = graft.Tables.events(ss, dir)
-    val optout = ev.filter($"event_type" === "error")
-      .groupBy($"user_id").agg(count(lit(1)).as("n_err"))
-      .filter($"n_err" >= 18L)
-      .select($"user_id", lit(1L).as("revoked"))
+    // ONE registry definition shared with the batch purge (p9) — the
+    // two erasure sides cannot drift
+    val optout = graft.operators.Corpus.optoutRegistry(graft.Tables.events(ss, dir))
     val gated = streamingEvents(spark, dir)
       .join(broadcast(optout), Seq("user_id"), "left_outer")
       .groupBy($"event_type")
@@ -410,9 +408,8 @@ object EventStreams {
 
   /** s21 oracle: the batch gate (p9's registry, admitted = NOT IN). */
   val s21Sql: String =
-    """WITH optout AS (
-      |  SELECT user_id FROM events WHERE event_type = 'error'
-      |  GROUP BY user_id HAVING count(*) >= 18)
+    s"""WITH optout AS (
+      |${graft.operators.Corpus.optoutRegistrySql})
       |SELECT event_type, count(*) AS n_total,
       |  CAST(sum(CASE WHEN user_id IN (SELECT user_id FROM optout)
       |           THEN 0 ELSE 1 END) AS BIGINT) AS n_admitted
