@@ -326,6 +326,55 @@ object Weather {
       |GROUP BY lat, lon
       |ORDER BY lat, lon""".stripMargin
 
+  // ---------- w24: wind rose (directional climatology) ----------
+
+  /** w24: WIND ROSE — the 16-sector directional frequency/speed
+    * histogram every wind climatology publishes (WMO sector
+    * convention, 22.5° bins): per sector, observation count and
+    * the quantized speed sum (mean = sum/n downstream). Direction
+    * comes from the chain's u/v components via the §8.4 discipline —
+    * atan2 is the ONE transcendental and is quantized at 1e-6
+    * immediately (absorbing cross-engine libm ULP differences);
+    * everything after is single-op IEEE double arithmetic on exact
+    * constants (22.5 and 360 are exactly representable; the
+    * negative branch adds 360 instead of an engine-varying fmod).
+    *
+    * Scale shape: a pure narrow map over the chain + ONE 16-row
+    * aggregate (map-side combine) — the w1-w8 class with a bounded
+    * output; speed sums ride [[graft.functions.Stable]] so the
+    * float accumulation is order-free.
+    */
+  def w24(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    chain(spark, dir, 2)
+      .selectExpr("wind_speed",
+        "floor(degrees(atan2(vgrd10m, ugrd10m)) * 1e6 + 0.5) / 1e6 AS dq")
+      .selectExpr(
+        "CAST(floor((CASE WHEN dq < CAST(0 AS DOUBLE) THEN dq + CAST(360 AS DOUBLE) ELSE dq END) / CAST(22.5 AS DOUBLE)) AS BIGINT) AS sector",
+        "wind_speed")
+      .groupBy($"sector")
+      .agg(count(lit(1)).as("n_obs"),
+        graft.functions.Stable.dsum($"wind_speed", 2).as("speed_sum"))
+      .transform(Tables.ordered(_, $"sector"))
+  }
+
+  /** w24 oracle: identical quantized atan2 + exact-constant sector
+    * arithmetic over the chain CTE.
+    */
+  val w24Sql: String =
+    s"""WITH g AS (${graft.functions.ThermalChain.sql(2)}),
+      |d AS (SELECT wind_speed,
+      |        floor(degrees(atan2(vgrd10m, ugrd10m)) * 1e6 + 0.5) / 1e6 AS dq
+      |      FROM g),
+      |s AS (SELECT CAST(floor((CASE WHEN dq < CAST(0 AS DOUBLE) THEN dq + CAST(360 AS DOUBLE) ELSE dq END) / CAST(22.5 AS DOUBLE)) AS BIGINT) AS sector,
+      |        wind_speed
+      |      FROM d)
+      |SELECT sector, count(*) AS n_obs,
+      |  ${graft.functions.Stable.sumSql("wind_speed", 2)} AS speed_sum
+      |FROM s
+      |GROUP BY sector
+      |ORDER BY sector""".stripMargin
+
   // ---------- w13: per-cell forecast document assembly (main.py:286-304) ----------
 
   def w13(spark: SparkSession, dir: String): DataFrame = {

@@ -244,4 +244,24 @@ class ThermalSpec extends AnyFunSuite {
       assert(n > 0 && hdd >= 0.0 && cdd >= 0.0)
     }
   }
+
+  test("w24: sector histogram equals a sequential atan2 recompute; mass conserved") {
+    import spark.implicits._
+    val got = Weather.w24(spark, SharedSpark.sf).collect()
+      .map(r => (r.getAs[Long]("sector"),
+        (r.getAs[Long]("n_obs"), r.getAs[Double]("speed_sum")))).toMap
+    val rows = graft.functions.ThermalChain.df(spark, SharedSpark.sf, 2)
+      .selectExpr("ugrd10m", "vgrd10m", "wind_speed")
+      .as[(Double, Double, Double)].collect()
+    val want = rows.groupBy { case (u, v, _) =>
+      val dq = math.floor(math.toDegrees(math.atan2(v, u)) * 1e6 + 0.5) / 1e6
+      math.floor((if (dq < 0.0) dq + 360.0 else dq) / 22.5).toLong
+    }.map { case (sec, g) =>
+      (sec, (g.length.toLong,
+        g.map(r => math.floor(r._3 * 100.0 + 0.5).toLong).sum / 100.0))
+    }
+    assert(got == want)
+    assert(got.keys.forall(s => s >= 0 && s < 16))
+    assert(got.values.map(_._1).sum == rows.length.toLong)
+  }
 }
