@@ -99,6 +99,7 @@ object PlanDump {
       "d17_containment" -> "containment: inverted-index intersection counts — shingle arrays never shuffle, division-only delta vs Jaccard",
       "w23_degree_days" -> "degree days: one cell-grain quantized-sum aggregate over w12's daily shuffle",
       "p10_ivm_join" -> "IVM join: stored view streams into the union; only the delta joins the dimension",
+      "w24_wind_rose" -> "wind rose: narrow quantized-atan2 map + one 16-row map-side-combined aggregate",
     )
     val sb = new StringBuilder
     sb.append("# PLANS — formatted physical plans (generated by graft.PlanDump at sf0.001)\n")
