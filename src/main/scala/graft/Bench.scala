@@ -45,7 +45,10 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
+    // field order matters operationally: the driver keeps only a
+    // 2000-char TAIL of this line, so the headline total and the
+    // failure list go LAST — per-query times are what truncates
+    println(s"""{"metric":"total","unit":"sec","sf":"$sfDir","queries":$qs,"value":$total,"failed":$failedJson}""")
     spark.stop()
   }
 }

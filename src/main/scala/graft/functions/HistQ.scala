@@ -26,10 +26,15 @@ object HistQ {
     * executor (map-side partial sum) regardless of input size.
     * BOTH sides clamp — without the floor clamp, negative values
     * would mint one cell per distinct bucket and break the bounded
-    * streaming-state contract the sketch exists for.
+    * streaming-state contract the sketch exists for. NULLs are
+    * EXCLUDED — without the filter, floor(NULL/w) is NULL and both
+    * engines' least/greatest skip NULLs, so NULL values would land
+    * in the TOP bucket (and inflate n_rows): consistent cross-engine
+    * but a wrong semantic for a reusable rank sketch.
     */
   def histogram(df: DataFrame, valueExpr: String, width: Long): DataFrame =
-    df.selectExpr(
+    df.filter(s"($valueExpr) IS NOT NULL")
+      .selectExpr(
         s"greatest(CAST(0 AS BIGINT), least(${buckets - 1}, CAST(floor(($valueExpr) / $width) AS BIGINT))) AS bucket")
       .groupBy(col("bucket")).agg(count(lit(1)).as("cnt"))
 
@@ -65,7 +70,7 @@ object HistQ {
     s"""WITH h AS (
       |  SELECT greatest(CAST(0 AS BIGINT), least(${buckets - 1}, CAST(floor(($valueExpr) / $width) AS BIGINT))) AS bucket,
       |         count(*) AS cnt
-      |  FROM $table GROUP BY 1),
+      |  FROM $table WHERE ($valueExpr) IS NOT NULL GROUP BY 1),
       |c AS (SELECT bucket, cnt,
       |        CAST(sum(cnt) OVER (ORDER BY bucket) AS BIGINT) AS cum,
       |        CAST(sum(cnt) OVER () AS BIGINT) AS tot

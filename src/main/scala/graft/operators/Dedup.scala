@@ -1412,13 +1412,20 @@ object Dedup {
     // two-arg rtrim argument order, the regex anchors identically
     val canon = urls.selectExpr("doc_id",
       "regexp_replace(replace(lower(split_part(split_part(url, '#', 1), '?', 1)), ':80', ''), '/$', '') AS curl")
+    // group on (digest, curl), not digest alone: k = fnv64(curl) is a
+    // function of curl, so the groups are exactly the per-URL groups —
+    // but a 64-bit collision between two distinct canonical URLs can
+    // no longer silently merge them (at crawl scale, ~10^11 URLs make
+    // that an expected O(100) real rows). The digest still leads the
+    // exchange key, and the map-side partial means at most one
+    // representative string per group rides the shuffle — the same
+    // bytes the min(curl) aggregate buffer carried before.
     canon
       .withColumn("k", graft.functions.Fnv64.fnv64($"curl"))
-      .groupBy($"k")
-      .agg(min($"curl").as("canonical_url"),
-        count(lit(1)).as("n_dups"),
+      .groupBy($"k", $"curl")
+      .agg(count(lit(1)).as("n_dups"),
         min($"doc_id").as("survivor_id"))
-      .drop("k")
+      .select($"curl".as("canonical_url"), $"n_dups", $"survivor_id")
       .transform(graft.Tables.ordered(_, $"canonical_url"))
   }
 

@@ -107,6 +107,18 @@ object EventWindows {
       |GROUP BY 1
       |ORDER BY 1""".stripMargin
 
+  /** The cohort-day convention shared by e5 and e14: an ABSOLUTE day
+    * number (datediff from a fixed epoch), NOT extract(DOY) —
+    * day-of-year wraps at a calendar-year boundary, silently
+    * corrupting cohorts/offsets, and identically in both engines, so
+    * the oracle could never catch it. The epoch anchor makes day
+    * monotone across years (PropertySpec pins the Dec-31→Jan-1
+    * step); 2023-12-31 keeps the 2024 fixture's values equal to its
+    * former DOY labels.
+    */
+  private[graft] val dayExpr =
+    "CAST(datediff(CAST(ts AS DATE), DATE '2023-12-31') AS BIGINT)"
+
   /** e5: cohort retention — users grouped by first-active day, counted
     * by activity day offset. Two aggregations on (user) then
     * (cohort, offset).
@@ -114,7 +126,7 @@ object EventWindows {
   def retention(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val days = Tables.events(spark, dir)
-      .selectExpr("user_id", "CAST(extract(DOY FROM ts) AS BIGINT) AS day")
+      .selectExpr("user_id", s"$dayExpr AS day")
       .distinct()
     val cohorts = days.groupBy($"user_id").agg(min($"day").as("cohort"))
     days.join(cohorts, Seq("user_id"))
@@ -126,7 +138,7 @@ object EventWindows {
   }
 
   val retentionSql: String =
-    """WITH d AS (SELECT DISTINCT user_id, CAST(extract(doy FROM ts) AS BIGINT) AS day FROM events),
+    """WITH d AS (SELECT DISTINCT user_id, datediff('day', DATE '2023-12-31', CAST(ts AS DATE)) AS day FROM events),
       |c AS (SELECT user_id, min(day) AS cohort FROM d GROUP BY user_id)
       |SELECT cohort, day - cohort AS offset_days, count(DISTINCT d.user_id) AS n_users
       |FROM d JOIN c USING (user_id)
@@ -531,7 +543,8 @@ object EventWindows {
     import spark.implicits._
     val ev = Tables.events(spark, dir)
       .selectExpr("user_id", "event_type",
-        "CAST(extract(DOY FROM ts) AS BIGINT) AS day",
+        // e5's absolute-day convention (not DOY — year-boundary safe)
+        s"$dayExpr AS day",
         "CAST(floor(value * 1e2 + 0.5) AS BIGINT) AS cents")
     val cohorts = ev.select($"user_id", $"day").distinct()
       .groupBy($"user_id").agg(min($"day").as("cohort"))
@@ -552,7 +565,7 @@ object EventWindows {
     */
   val e14Sql: String =
     """WITH e AS (SELECT user_id, event_type,
-      |        CAST(extract(doy FROM ts) AS BIGINT) AS day,
+      |        datediff('day', DATE '2023-12-31', CAST(ts AS DATE)) AS day,
       |        CAST(floor(value * 1e2 + 0.5) AS BIGINT) AS cents
       |      FROM events),
       |c AS (SELECT user_id, min(day) AS cohort

@@ -62,12 +62,21 @@ object Incremental {
     * grain). View rows carry the order's date and the line revenue
     * in exact cents (order-free, bitwise).
     *
-    * Scale shape: the base view is READ, not recomputed (its stored
-    * rows stream straight into the union); the delta join broadcasts
-    * nothing new — orders is the dimension side and joins by pk
-    * (bucketed layout ⇒ zero-exchange, §8.16); one union, no
+    * The base view is MATERIALIZED (yesterday's refresh, staged
+    * through [[graft.sources.ForecastStore]]'s atomic version swap —
+    * the s14 persistence pattern) and the refresh READS it back: the
+    * base side of the union is a parquet scan of the stored view,
+    * not a recomputation — the fact table appears in the refresh
+    * plan ONLY under the delta filter (PlanSpec pins this: one join
+    * in the whole plan, base side a store scan). The delta join
+    * broadcasts nothing new — orders is the dimension side and joins
+    * by pk (bucketed layout ⇒ zero-exchange, §8.16); one union, no
     * window, no driver state. At 100 TB the delta is the day's
-    * ingest — the refresh cost is O(|Δ|), independent of |view|.
+    * ingest — the refresh cost is O(|Δ|) plus a view-sized
+    * scan-and-rewrite ONLY if the store is rewritten wholesale; an
+    * append-organized store (delta written as new files under the
+    * same root) makes the union itself the commit, keeping the whole
+    * refresh O(|Δ|) independent of |view|.
     */
   def p10(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -81,8 +90,15 @@ object Incremental {
       fact.join(ords, Seq("l_orderkey"))
         .select($"l_orderkey", $"l_linenumber", $"orderdate",
           $"o_orderpriority", $"rev_cents")
-    // the "stored" base view (yesterday's state) + today's delta join
-    val base = viewOf(li.filter($"l_orderkey" % 10 =!= 0))
+    // yesterday's refresh: materialize the base view ONCE (atomic
+    // version swap), then discard its plan — the refresh below can
+    // only get base rows by READING the store
+    val storeDir = java.nio.file.Files
+      .createTempDirectory("graft_p10_store_").toFile
+    val store = new graft.sources.ForecastStore(storeDir.getAbsolutePath)
+    store.save(viewOf(li.filter($"l_orderkey" % 10 =!= 0)), "v0")
+    // today's refresh: stored view scan ∪ (Δfact ⋈ dim)
+    val base = store.load(spark).get
     val delta = viewOf(li.filter($"l_orderkey" % 10 === 0))
     base.unionByName(delta)
       .transform(Tables.ordered(_, $"l_orderkey", $"l_linenumber"))

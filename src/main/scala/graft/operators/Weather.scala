@@ -329,15 +329,24 @@ object Weather {
   // ---------- w24: wind rose (directional climatology) ----------
 
   /** w24: WIND ROSE — the 16-sector directional frequency/speed
-    * histogram every wind climatology publishes (WMO sector
-    * convention, 22.5° bins): per sector, observation count and
-    * the quantized speed sum (mean = sum/n downstream). Direction
-    * comes from the chain's u/v components via the §8.4 discipline —
-    * atan2 is the ONE transcendental and is quantized at 1e-6
-    * immediately (absorbing cross-engine libm ULP differences);
-    * everything after is single-op IEEE double arithmetic on exact
-    * constants (22.5 and 360 are exactly representable; the
-    * negative branch adds 360 instead of an engine-varying fmod).
+    * histogram every wind climatology publishes, in the
+    * METEOROLOGICAL convention: direction the wind blows FROM,
+    * measured clockwise from north — dir = (270 − atan2°(v,u)) mod
+    * 360, the standard u/v → compass conversion (atan2 alone gives
+    * the math-convention angle the wind blows TOWARD, CCW from
+    * east). Sector k spans [k·22.5°, (k+1)·22.5°) edge-aligned from
+    * north, so sector 0 is N→NNE (not the center-on-north binning
+    * some atlases use — a labeling choice, stated here). Per
+    * sector: observation count and the quantized speed sum (mean =
+    * sum/n downstream).
+    *
+    * Determinism (§8.4): atan2 is the ONE transcendental and is
+    * quantized at 1e-6 immediately (absorbing cross-engine libm ULP
+    * differences); everything after is single-op IEEE double
+    * arithmetic on exact constants (270, 360 and 22.5 are exactly
+    * representable; the mod is a single conditional subtract on the
+    * (90, 450) range of 270 − dq, not an engine-varying fmod —
+    * quantized dq ∈ (−180, 180] makes that range exhaustive).
     *
     * Scale shape: a pure narrow map over the chain + ONE 16-row
     * aggregate (map-side combine) — the w1-w8 class with a bounded
@@ -349,8 +358,9 @@ object Weather {
     chain(spark, dir, 2)
       .selectExpr("wind_speed",
         "floor(degrees(atan2(vgrd10m, ugrd10m)) * 1e6 + 0.5) / 1e6 AS dq")
+      .selectExpr("CAST(270 AS DOUBLE) - dq AS met", "wind_speed")
       .selectExpr(
-        "CAST(floor((CASE WHEN dq < CAST(0 AS DOUBLE) THEN dq + CAST(360 AS DOUBLE) ELSE dq END) / CAST(22.5 AS DOUBLE)) AS BIGINT) AS sector",
+        "CAST(floor((CASE WHEN met >= CAST(360 AS DOUBLE) THEN met - CAST(360 AS DOUBLE) ELSE met END) / CAST(22.5 AS DOUBLE)) AS BIGINT) AS sector",
         "wind_speed")
       .groupBy($"sector")
       .agg(count(lit(1)).as("n_obs"),
@@ -358,17 +368,18 @@ object Weather {
       .transform(Tables.ordered(_, $"sector"))
   }
 
-  /** w24 oracle: identical quantized atan2 + exact-constant sector
-    * arithmetic over the chain CTE.
+  /** w24 oracle: identical quantized atan2 + exact-constant
+    * meteorological-conversion arithmetic over the chain CTE.
     */
   val w24Sql: String =
     s"""WITH g AS (${graft.functions.ThermalChain.sql(2)}),
       |d AS (SELECT wind_speed,
       |        floor(degrees(atan2(vgrd10m, ugrd10m)) * 1e6 + 0.5) / 1e6 AS dq
       |      FROM g),
-      |s AS (SELECT CAST(floor((CASE WHEN dq < CAST(0 AS DOUBLE) THEN dq + CAST(360 AS DOUBLE) ELSE dq END) / CAST(22.5 AS DOUBLE)) AS BIGINT) AS sector,
+      |m AS (SELECT CAST(270 AS DOUBLE) - dq AS met, wind_speed FROM d),
+      |s AS (SELECT CAST(floor((CASE WHEN met >= CAST(360 AS DOUBLE) THEN met - CAST(360 AS DOUBLE) ELSE met END) / CAST(22.5 AS DOUBLE)) AS BIGINT) AS sector,
       |        wind_speed
-      |      FROM d)
+      |      FROM m)
       |SELECT sector, count(*) AS n_obs,
       |  ${graft.functions.Stable.sumSql("wind_speed", 2)} AS speed_sum
       |FROM s

@@ -450,14 +450,21 @@ object EventStreams {
   case class ConvSt(first_view: Long, conv: Long) // -1 = unset
   case class ConvOut(user_id: Long, first_view_us: Long, conv_us: Long, lag_us: Long)
 
-  /** e13's per-user conversion state machine: first view pins
-    * `first_view` once (the feed contract is event-time-ordered
-    * batches — s12's reasoning — so the first view seen IS the min);
-    * the first at-or-after purchase completes the conversion and
-    * emits the user's ONE output row. In-batch rows sort by
-    * (tus, views-before-purchases) so an equal-microsecond
-    * view+purchase pair resolves exactly like the batch `>=`.
-    * State is TWO longs per user, forever — O(1), no watermark.
+  /** e13's per-user conversion state machine: `first_view` tracks
+    * the MINIMUM view time seen so far (not the first arrival —
+    * min-tracking makes every pre-conversion out-of-order view
+    * harmless, so the result matches batch e13 even when a later
+    * micro-batch delivers an earlier view); the first at-or-after
+    * purchase completes the conversion and emits the user's ONE
+    * output row. In-batch rows sort by (tus, views-before-purchases)
+    * so an equal-microsecond view+purchase pair resolves exactly
+    * like the batch `>=`. The one remaining ordering contract is the
+    * conversion boundary itself: once the append-mode row is
+    * emitted it cannot be recalled, so a view arriving AFTER the
+    * conversion with an earlier timestamp can no longer change the
+    * emitted lag (the state machine ignores it by construction —
+    * conv >= 0 freezes the state). State is TWO longs per user,
+    * forever — O(1), no watermark.
     */
   class ConvProcessor extends org.apache.spark.sql.streaming.StatefulProcessor[Long, ConvEv, ConvOut] {
     @transient private var st: org.apache.spark.sql.streaming.ValueState[ConvSt] = _
@@ -476,7 +483,8 @@ object EventStreams {
       val out = scala.collection.mutable.ArrayBuffer.empty[ConvOut]
       sorted.foreach { e =>
         if (s.conv < 0) {
-          if (e.event_type == "view" && s.first_view < 0)
+          if (e.event_type == "view" &&
+            (s.first_view < 0 || e.tus < s.first_view))
             s = s.copy(first_view = e.tus)
           else if (e.event_type == "purchase" && s.first_view >= 0 &&
             e.tus >= s.first_view) {

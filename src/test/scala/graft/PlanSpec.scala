@@ -541,6 +541,26 @@ class PlanSpec extends AnyFunSuite {
       s"cumulative window not cohort-partitioned:\n$peFull")
   }
 
+  test("p10: refresh reads the stored view — one delta join, no base recompute") {
+    val pFull = plan(graft.operators.Incremental.p10(spark, sf))
+    val p = pFull.split("== Initial Plan ==")(0)
+    // exactly ONE join in the whole refresh plan — the Δfact ⋈ dim
+    // leg; a second join would mean the base view was recomputed
+    // from the fact table instead of read from the store
+    val joins = "(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin)".r
+      .findAllIn(p).length
+    assert(joins == 1, s"expected exactly 1 join (delta leg only):\n$p")
+    // the base side IS a scan of the materialized store (the
+    // temp-dir naming is part of p10's contract with this spec)
+    assert(pFull.contains("graft_p10_store_"), s"stored-view scan missing:\n$pFull")
+    // and the fact table feeds ONLY the delta leg: of the three
+    // parquet scans (store, lineitem-delta, orders), lineitem's
+    // location appears once
+    val liScans = pFull.linesIterator.count(l =>
+      l.contains("Location") && l.contains("lineitem"))
+    assert(liScans == 1, s"fact table scanned more than once:\n$pFull")
+  }
+
   test("p9: the purge flag is a broadcast join — the corpus never shuffles by user") {
     val pFull = plan(graft.operators.Corpus.p9(spark, sf))
     val p = pFull.split("== Initial Plan ==")(0)

@@ -577,6 +577,20 @@ class RelationalSpec extends AnyFunSuite {
     }
   }
 
+  test("e5/e14 cohort day is monotone across a calendar-year boundary") {
+    import spark.implicits._
+    // DOY would read 365, 366, 1, 2 here — wrapping cohorts backwards;
+    // the absolute-day convention must step 365, 366, 367, 368
+    val days = Seq("2024-12-30 23:59:59", "2024-12-31 10:00:00",
+        "2025-01-01 00:00:01", "2025-01-02 12:00:00")
+      .zipWithIndex.map { case (s, i) => (i, s) }
+      .toDF("k", "s")
+      .selectExpr("k", "CAST(s AS TIMESTAMP) AS ts")
+      .selectExpr("k", s"${graft.operators.EventWindows.dayExpr} AS day")
+      .orderBy($"k").collect().map(_.getLong(1)).toSeq
+    assert(days == Seq(365L, 366L, 367L, 368L))
+  }
+
   test("p10: the delta slices partition the fact; incremental equals monolithic") {
     val inc = graft.operators.Incremental.p10(spark, sf).collect()
       .map(_.toSeq)

@@ -537,17 +537,25 @@ class StreamingPipelineSpec extends AnyFunSuite {
       .format("memory").queryName(name).start()
     try {
       // u1: pre-view purchase must NOT convert; view pins first_view
-      mem.addData(ConvEv(1, "purchase", 50), ConvEv(1, "view", 100))
+      // u3: first view arrives at 200...
+      mem.addData(ConvEv(1, "purchase", 50), ConvEv(1, "view", 100),
+        ConvEv(3, "view", 200))
       q.processAllAvailable()
       assert(ns.table(name).count() == 0)
-      // later batch completes u1; u2 purchase-only never converts
-      mem.addData(ConvEv(1, "purchase", 300), ConvEv(2, "purchase", 400))
+      // later batch completes u1; u2 purchase-only never converts;
+      // u3's EARLIER view (120) arrives out-of-order pre-conversion —
+      // min-tracking must adopt it
+      mem.addData(ConvEv(1, "purchase", 300), ConvEv(2, "purchase", 400),
+        ConvEv(3, "view", 120))
       q.processAllAvailable()
-      // a second purchase must not emit a second row
-      mem.addData(ConvEv(1, "purchase", 500))
+      // a second purchase must not emit a second row; u3's purchase at
+      // 150 (< the first-seen view 200) converts only because
+      // first_view was corrected down to 120 — and lag measures from it
+      mem.addData(ConvEv(1, "purchase", 500), ConvEv(3, "purchase", 150))
       q.processAllAvailable()
       val rows = ns.table(name).as[ConvOut].collect().toSeq
-      assert(rows == Seq(ConvOut(1, 100, 300, 200)))
+        .sortBy(_.user_id)
+      assert(rows == Seq(ConvOut(1, 100, 300, 200), ConvOut(3, 120, 150, 30)))
     } finally q.stop()
   }
 
