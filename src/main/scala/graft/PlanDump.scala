@@ -100,6 +100,7 @@ object PlanDump {
       "w23_degree_days" -> "degree days: one cell-grain quantized-sum aggregate over w12's daily shuffle",
       "p10_ivm_join" -> "IVM join: stored view streams into the union; only the delta joins the dimension",
       "w24_wind_rose" -> "wind rose: narrow quantized-atan2 map + one 16-row map-side-combined aggregate",
+      "d18_containment_dedup" -> "containment dedup: rarest-first prefix probe joins the capped inverted index; verification touches candidate pairs only",
     )
     val sb = new StringBuilder
     sb.append("# PLANS — formatted physical plans (generated by graft.PlanDump at sf0.001)\n")

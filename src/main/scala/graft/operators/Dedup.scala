@@ -1466,9 +1466,12 @@ object Dedup {
     *
     * Shape: d4's inverted-index discipline — the intersection is a
     * (doc_id, shingle) equality-join count (shingle arrays never
-    * ride a shuffle; fully codegen'd), sizes join back by id. At
-    * 100 TB candidates come from d2's banding exactly as for
-    * Jaccard verification; only the final division differs.
+    * ride a shuffle; fully codegen'd), sizes join back by id. The
+    * scorer is [[containmentOf]] — pairs in, scores out, the
+    * d13Apply pattern — so a pipeline with its own candidate
+    * generator plugs straight in; [[d18]] composes it with the
+    * LOSSLESS prefix-filter candidate join (d2's banding cannot
+    * surface these pairs — see d18's header for the math).
     */
   def d17(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -1476,7 +1479,7 @@ object Dedup {
     // +30000 is the d4/d6 seeded-copy id convention — a FIXTURE for
     // the gate (valid while doc_ids stay below the offset, as the
     // testdata's do); a production run scores real candidate pairs
-    // and derives nothing
+    // and derives nothing (d18 runs exactly that composition)
     val prefixes = docs.filter($"doc_id" % 9 === 0)
       .selectExpr("doc_id + 30000 AS doc_id",
         "concat_ws(' ', slice(split(lower(trim(text)), ' '), 1, 12)) AS text")
@@ -1484,17 +1487,30 @@ object Dedup {
     val sizes = shx.groupBy($"doc_id").agg(count(lit(1)).as("n"))
     val pairs = docs.filter($"doc_id" % 9 === 0)
       .select(($"doc_id" + 30000).as("id_a"), $"doc_id".as("id_b"))
-    pairs
-      .join(shx.select($"doc_id".as("id_a"), $"s"), Seq("id_a"))
-      .join(shx.select($"doc_id".as("id_b"), $"s"), Seq("id_b", "s"))
-      .groupBy($"id_a", $"id_b").agg(count(lit(1)).as("inter"))
-      .join(sizes.select($"doc_id".as("id_a"), $"n".as("na")), Seq("id_a"))
-      .join(sizes.select($"doc_id".as("id_b"), $"n".as("nb")), Seq("id_b"))
-      .selectExpr("id_a", "id_b",
-        "CAST(inter AS DOUBLE) / CAST(na AS DOUBLE) AS containment",
-        "CAST(inter AS DOUBLE) / CAST(na + nb - inter AS DOUBLE) AS jaccard")
+    containmentOf(pairs, shx, sizes)
+      .select($"id_a", $"id_b", $"containment", $"jaccard")
       .transform(graft.Tables.ordered(_, $"id_a"))
   }
+
+  /** Containment + Jaccard scoring for ARBITRARY candidate (id_a,
+    * id_b) pairs over an exploded (doc_id, shingle) index — the
+    * d13Apply parameterization for the asymmetric measure: pairs in,
+    * both scores (plus the raw inter/na/nb integers the thresholds
+    * cut on) out. [[jaccardOf]]'s inverted-index shape: the
+    * intersection is an equality-join count, sizes join by id,
+    * shingle arrays never ride a shuffle.
+    */
+  private[graft] def containmentOf(pairs: DataFrame, shx: DataFrame,
+      sizes: DataFrame): DataFrame =
+    pairs
+      .join(shx.select(col("doc_id").as("id_a"), col("s")), Seq("id_a"))
+      .join(shx.select(col("doc_id").as("id_b"), col("s")), Seq("id_b", "s"))
+      .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("inter"))
+      .join(sizes.select(col("doc_id").as("id_a"), col("n").as("na")), Seq("id_a"))
+      .join(sizes.select(col("doc_id").as("id_b"), col("n").as("nb")), Seq("id_b"))
+      .selectExpr("id_a", "id_b", "inter", "na", "nb",
+        "CAST(inter AS DOUBLE) / CAST(na AS DOUBLE) AS containment",
+        "CAST(inter AS DOUBLE) / CAST(na + nb - inter AS DOUBLE) AS jaccard")
 
   /** d17 oracle: the same prefix seeding + shingle lambdas as d4Sql,
     * with both the asymmetric and symmetric scores.
@@ -1522,4 +1538,113 @@ object Dedup {
       |    / CAST(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS DOUBLE) AS jaccard
       |FROM pairs JOIN sh a ON a.doc_id = id_a JOIN sh b ON b.doc_id = id_b
       |ORDER BY id_a""".stripMargin
+
+  // ---------- d18: containment dedup end-to-end (candidates + verify) ----------
+
+  /** d18: the containment dedup a user actually RUNS — candidate
+    * generation composed with [[containmentOf]] verification, no
+    * seeded pair list: every (A, B) with C(A,B) ≥ 0.8 in the corpus
+    * (d17's prefix-copy seeding included) must come out of the
+    * CANDIDATE JOIN, or it is not in the answer.
+    *
+    * Why not d2's banding as the candidate stage: MinHash banding's
+    * collision probability is an S-curve in JACCARD — a 12-word
+    * prefix copy inside a ~100-word page has C ≈ 1 but J ≈ 0.1, so a
+    * 4×4 banding surfaces it with probability ≈ 4·(0.1)⁴ = 0.04% —
+    * containment's whole point (d17's header) is that these pairs
+    * sit where the Jaccard machinery is blind. The correct,
+    * standard candidate generator for containment is the PREFIX
+    * FILTER (Chaudhuri/Ganti/Kaushik's SSJoin and Bayardo's
+    * All-Pairs): order each doc's shingles by a fixed global rank
+    * (ascending document frequency — rarest first, minimizing
+    * fan-out; ties on the shingle string), and index only each A's
+    * first |A| − ⌈τ|A|⌉ + 1 shingles. LOSSLESS by the pigeonhole
+    * argument: C(A,B) ≥ τ means B misses at most |A| − ⌈τ|A|⌉ of
+    * A's shingles, so it cannot miss ALL of the first
+    * |A| − ⌈τ|A|⌉ + 1 (PropertySpec proves this against brute
+    * force on random sets). ⌈τ|A|⌉ = (4·|A| + 4) div 5 keeps the
+    * threshold arithmetic INTEGER in both engines — the τ = 0.8
+    * gate itself is 5·inter ≥ 4·|A|, division-free.
+    *
+    * Scale shape: the prefix join ships (shingle, id) pairs only,
+    * and only for the ~20% rarest-per-doc shingles on the probe
+    * side; document-frequency > [[bucketCap]] stop-shingles are
+    * dropped from BOTH join sides (the skew guard every inverted
+    * index needs — a pair is missed only if its entire prefix
+    * overlap is stop-shingles, the same documented recall cut as
+    * d2's bucket cap, and mirrored exactly in the oracle).
+    * Verification touches candidate pairs only. One corpus index
+    * reused three ways (rank, probe, verify) — at 100 TB the freq
+    * table and ranks are a once-per-corpus byproduct of the same
+    * scan that builds d2's minhashes.
+    */
+  def d18(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, dir).select($"doc_id", $"text")
+    val prefixes = docs.filter($"doc_id" % 9 === 0)
+      .selectExpr("doc_id + 30000 AS doc_id",
+        "concat_ws(' ', slice(split(lower(trim(text)), ' '), 1, 12)) AS text")
+    val shx = shingleExplode(docs.unionByName(prefixes)).cache()
+    val sizes = shx.groupBy($"doc_id").agg(count(lit(1)).as("n"))
+    val freq = shx.groupBy($"s").agg(count(lit(1)).as("df"))
+    val ranked = shx.join(freq, Seq("s"))
+      .withColumn("pos", row_number().over(
+        Window.partitionBy($"doc_id").orderBy($"df", $"s")))
+    val probe = ranked.join(sizes, Seq("doc_id"))
+      .filter($"pos" <= $"n" - expr("(4 * n + 4) DIV 5") + lit(1) &&
+        $"df" <= bucketCap)
+      .select($"doc_id".as("id_a"), $"s")
+    val index = shx.join(freq, Seq("s")).filter($"df" <= bucketCap)
+      .select($"doc_id".as("id_b"), $"s")
+    val cand = probe.join(index, Seq("s"))
+      .filter($"id_a" =!= $"id_b")
+      .select($"id_a", $"id_b").distinct()
+    containmentOf(cand, shx, sizes)
+      .filter($"inter" * 5 >= $"na" * 4)
+      .select($"id_a", $"id_b", $"containment", $"jaccard")
+      .transform(graft.Tables.ordered(_, $"id_a", $"id_b"))
+  }
+
+  /** d18 oracle: the full composition in DuckDB — same corpus
+    * seeding, shingles, frequency ranks, integer prefix bound,
+    * stop-shingle cut, candidate join and integer threshold.
+    */
+  val d18Sql: String =
+    s"""WITH corpus AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 30000,
+      |    array_to_string(string_split(lower(trim(text)), ' ')[1:12], ' ')
+      |  FROM documents WHERE doc_id % 9 = 0),
+      |w AS (SELECT doc_id, string_split(lower(trim(text)), ' ') AS words FROM corpus),
+      |sh AS (SELECT doc_id,
+      |         CASE WHEN len(words) >= 3
+      |           THEN list_distinct(list_transform(range(0, len(words) - 2),
+      |                  i -> array_to_string(words[(i + 1):(i + 3)], ' ')))
+      |           ELSE [array_to_string(words, ' ')] END AS s
+      |       FROM w),
+      |shx AS (SELECT doc_id, unnest(s) AS s FROM sh),
+      |sizes AS (SELECT doc_id, count(*) AS n FROM shx GROUP BY doc_id),
+      |freq AS (SELECT s, count(*) AS df FROM shx GROUP BY s),
+      |ranked AS (SELECT shx.doc_id, shx.s, df,
+      |        row_number() OVER (PARTITION BY shx.doc_id ORDER BY df, shx.s) AS pos
+      |      FROM shx JOIN freq USING (s)),
+      |probe AS (SELECT r.doc_id AS id_a, r.s
+      |      FROM ranked r JOIN sizes z ON z.doc_id = r.doc_id
+      |      WHERE r.pos <= z.n - (4 * z.n + 4) // 5 + 1 AND r.df <= $bucketCap),
+      |idx AS (SELECT shx.doc_id AS id_b, shx.s FROM shx JOIN freq USING (s)
+      |      WHERE df <= $bucketCap),
+      |cand AS (SELECT DISTINCT id_a, id_b FROM probe JOIN idx USING (s)
+      |      WHERE id_a <> id_b),
+      |sc AS (SELECT id_a, id_b, count(*) AS inter
+      |      FROM cand JOIN shx a ON a.doc_id = id_a
+      |      JOIN shx b ON b.doc_id = id_b AND a.s = b.s
+      |      GROUP BY id_a, id_b)
+      |SELECT id_a, id_b,
+      |  CAST(inter AS DOUBLE) / CAST(za.n AS DOUBLE) AS containment,
+      |  CAST(inter AS DOUBLE) / CAST(za.n + zb.n - inter AS DOUBLE) AS jaccard
+      |FROM sc JOIN sizes za ON za.doc_id = id_a JOIN sizes zb ON zb.doc_id = id_b
+      |WHERE inter * 5 >= za.n * 4
+      |ORDER BY id_a, id_b""".stripMargin
 }

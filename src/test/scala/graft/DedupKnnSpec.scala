@@ -1105,6 +1105,29 @@ class DedupKnnSpec extends AnyFunSuite {
     got.foreach { case (_, _, c, j) => assert(c >= j) }
   }
 
+  test("d18: every seeded prefix copy surfaces through the candidate join") {
+    val got = Dedup.d18(spark, sf).collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"),
+        r.getAs[Double]("containment"), r.getAs[Double]("jaccard")))
+    // recall on the seeded ground truth: each 12-word-prefix copy is
+    // fully contained in its source, and d18's PREFIX-FILTER candidate
+    // stage (not an arithmetic pair list — this is the composed
+    // pipeline) must surface every one of them
+    val seeded = Tables.documents(spark, sf)
+      .filter($"doc_id" % 9 === 0).select($"doc_id").as[Long].collect()
+    assert(seeded.nonEmpty)
+    val byPair = got.map(t => (t._1, t._2) -> t._3).toMap
+    seeded.foreach { id =>
+      assert(byPair.get((id + 30000L, id)).contains(1.0),
+        s"seeded pair ${id + 30000}→$id missing or not fully contained")
+    }
+    // every emitted pair meets the integer threshold, and the
+    // asymmetry story holds: containment dominates Jaccard
+    got.foreach { case (a, b, c, j) =>
+      assert(c >= 0.8 && c >= j && a != b)
+    }
+  }
+
   test("d16: canonical URL groups are exact; survivors are min ids; mass conserved") {
     val rows = Dedup.d16(spark, sf).collect()
       .map(r => (r.getAs[String]("canonical_url"), r.getAs[Long]("n_dups"),

@@ -227,6 +227,31 @@ class PropertySpec extends AnyFunSuite {
       s"iterative rounds leaked persisted RDDs: $persistedBefore -> $persistedAfter")
   }
 
+  test("d18 prefix filter is lossless for containment >= 0.8 (pigeonhole)") {
+    // brute-force ground truth on random shingle-set universes: every
+    // pair with C(A,B) >= 4/5 must share at least one shingle of A's
+    // rarest-first prefix of size |A| - ceil(4|A|/5) + 1 — the exact
+    // integer arithmetic d18 runs in both engines (no frequency cap
+    // here: the cap is d18's separately-documented recall cut)
+    val gen = for {
+      n <- Gen.chooseNum(2, 10)
+      sets <- Gen.listOfN(n, Gen.nonEmptyListOf(Gen.chooseNum(0, 25)).map(_.toSet))
+    } yield sets
+    forAll(gen, 300) { sets =>
+      val freq = sets.flatten.groupBy(identity).view.mapValues(_.size).toMap
+      def prefix(s: Set[Int]): Set[Int] = {
+        val k = s.size - (4 * s.size + 4) / 5 + 1
+        s.toSeq.sortBy(x => (freq(x), x)).take(k).toSet
+      }
+      for (a <- sets; b <- sets if a != b) {
+        val inter = (a & b).size
+        if (5 * inter >= 4 * a.size)
+          assert(prefix(a).exists(b.contains),
+            s"pair missed by prefix filter: A=$a B=$b")
+      }
+    }
+  }
+
   test("dctPhash locality: a one-bit pixel flip moves the hash within the verify radius") {
     // the property m6's blocking RELIES on: near-identical images land
     // within hamming <= 4, so the 5-block pigeonhole guarantees their
