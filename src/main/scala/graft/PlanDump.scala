@@ -101,6 +101,7 @@ object PlanDump {
       "p10_ivm_join" -> "IVM join: stored view streams into the union; only the delta joins the dimension",
       "w24_wind_rose" -> "wind rose: narrow quantized-atan2 map + one 16-row map-side-combined aggregate",
       "d18_containment_dedup" -> "containment dedup: rarest-first prefix probe joins the capped inverted index; verification touches candidate pairs only",
+      "m10_jpeg_roundtrip" -> "JPEG roundtrip: one narrow codec stage, zero shuffles — bounded-error contract over real lossy decode",
     )
     val sb = new StringBuilder
     sb.append("# PLANS — formatted physical plans (generated by graft.PlanDump at sf0.001)\n")

@@ -632,6 +632,137 @@ object Media {
       |ORDER BY doc_id""".stripMargin
   }
 
+  // ---------- m10: REAL lossy codec (ImageIO JPEG encode → decode) ----------
+
+  case class JpegFeat(doc_id: Long, width: Int, height: Int,
+      q00: Long, q01: Long, q10: Long, q11: Long,
+      within_quadrant_tol: Boolean, within_pixel_tol: Boolean)
+
+  /** Fixed encode quality for the whole m10 path — golden spec values
+    * are pinned at this setting.
+    */
+  private[graft] val jpegQuality = 0.9f
+
+  /** Documented decode tolerances at [[jpegQuality]]: measured worst
+    * case over random text-derived payloads is 16 on both axes
+    * (8×8 single-component JPEG, one DCT block); the gate bounds at
+    * 2× resp. 4× that. A broken decode cannot hide inside them — a
+    * zeroed plane misses the ~1900-per-quadrant sums by 30×.
+    */
+  private[graft] val jpegPixelTol = 32L
+  private[graft] val jpegQuadrantTol = 64L
+
+  /** Encode 64 masked payload chars as a GRAYSCALE (single-component)
+    * JPEG at [[jpegQuality]] — TYPE_BYTE_GRAY keeps the codec on the
+    * luminance plane alone (no chroma subsampling noise), so the
+    * decode error is pure DCT quantization, the thing the tolerance
+    * bounds. The m-family's second REAL codec: PNG (m7) proves the
+    * lossless roundtrip bitwise; JPEG is the dominant crawl format,
+    * where only a bounded-error contract is possible.
+    */
+  private[graft] def encodeJpeg8x8(s: String): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      8, 8, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    var i = 0
+    while (i < 64) {
+      img.getRaster.setSample(i % 8, i / 8, 0, s.charAt(i).toInt & 127)
+      i += 1
+    }
+    val w = javax.imageio.ImageIO.getImageWritersByFormatName("jpeg").next()
+    val p = w.getDefaultWriteParam
+    p.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+    p.setCompressionQuality(jpegQuality)
+    val baos = new java.io.ByteArrayOutputStream()
+    val mos = new javax.imageio.stream.MemoryCacheImageOutputStream(baos)
+    w.setOutput(mos)
+    w.write(null, new javax.imageio.IIOImage(img, null, null), p)
+    w.dispose(); mos.close()
+    baos.toByteArray
+  }
+
+  /** Decoded 64-pixel luminance of a JPEG byte stream (executor-side,
+    * like [[pngLuminance]]).
+    */
+  private[graft] def jpegLuminance(bytes: Array[Byte]): Array[Int] = {
+    val dec = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(bytes))
+    Array.tabulate(64)(i => dec.getRaster.getSample(i % 8, i / 8, 0))
+  }
+
+  /** m10: LOSSY codec roundtrip — m7's pipeline with JPEG in place of
+    * PNG, which changes what the correctness gate CAN say: lossiness
+    * breaks the bitwise-oracle trick, so the contract becomes a
+    * BOUNDED-ERROR one, exactly like real crawl image processing.
+    * Each payload encodes to genuine JPEG bytes ([[encodeJpeg8x8]]),
+    * decodes back with ImageIO in the executor, and the row carries
+    * (a) the SOURCE quadrant luminance sums — lossless-side features
+    * the DuckDB oracle reproduces arithmetically from the payload
+    * chars, proving the feature derivation; and (b) two booleans
+    * computed from the REAL decoded plane: every quadrant sum within
+    * [[jpegQuadrantTol]] of its source, every pixel within
+    * [[jpegPixelTol]] — the oracle asserts both TRUE, so a decode
+    * that drifts outside JPEG's documented bound fails the hash
+    * gate. Golden decoded values at the fixed quality are pinned in
+    * the spec (regression against codec-parameter drift); the
+    * m-family stub boundary narrows to video codecs only.
+    *
+    * Zero shuffles — one narrow mapPartitions stage; codec work is
+    * embarrassingly parallel and batches per partition, the m7
+    * scale shape unchanged.
+    */
+  def m10(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .filter($"doc_id" % 3 === 1)
+      .selectExpr("doc_id",
+        "rpad(concat('JPG', substring(text, 1, 61)), 64, ' ') AS s")
+      .as[(Long, String)]
+      .mapPartitions(_.map { case (id, s) =>
+        val src = Array.tabulate(64)(i => s.charAt(i).toInt & 127)
+        val dec = jpegLuminance(encodeJpeg8x8(s))
+        val qs = Array.ofDim[Long](4)
+        val qd = Array.ofDim[Long](4)
+        var pixOk = true
+        var i = 0
+        while (i < 64) {
+          val q = (i / 8 / 4) * 2 + (i % 8 / 4)
+          qs(q) += src(i)
+          qd(q) += dec(i)
+          if (math.abs(dec(i) - src(i)) > jpegPixelTol) pixOk = false
+          i += 1
+        }
+        val quadOk = (0 until 4).forall(q => math.abs(qd(q) - qs(q)) <= jpegQuadrantTol)
+        JpegFeat(id, 8, 8, qs(0), qs(1), qs(2), qs(3), quadOk, pixOk)
+      }).toDF()
+      .transform(graft.Tables.ordered(_, $"doc_id"))
+  }
+
+  /** m10 oracle: source quadrant sums from the payload characters
+    * (m7's arithmetic) + the bounded-error contract — both booleans
+    * must be TRUE for every row.
+    */
+  val m10Sql: String = {
+    def qsum(q: Int): String = {
+      val rows = if (q < 2) 0 until 4 else 4 until 8
+      val cols = if (q % 2 == 0) 0 until 4 else 4 until 8
+      rows.flatMap(r => cols.map { c =>
+        val pos = r * 8 + c + 1
+        s"(ord(substr(s, $pos, 1)) & 127)"
+      }).mkString("(", " + ", ")")
+    }
+    s"""WITH p AS (SELECT doc_id, rpad('JPG' || substr(text, 1, 61), 64, ' ') AS s
+      |  FROM documents WHERE doc_id % 3 = 1)
+      |SELECT doc_id, 8 AS width, 8 AS height,
+      |  CAST(${qsum(0)} AS BIGINT) AS q00,
+      |  CAST(${qsum(1)} AS BIGINT) AS q01,
+      |  CAST(${qsum(2)} AS BIGINT) AS q10,
+      |  CAST(${qsum(3)} AS BIGINT) AS q11,
+      |  TRUE AS within_quadrant_tol,
+      |  TRUE AS within_pixel_tol
+      |FROM p
+      |ORDER BY doc_id""".stripMargin
+  }
+
   // ---------- m8: video scene segmentation over sampled frames ----------
 
   /** m8: scene segmentation — the video-curation pass that cuts each

@@ -37,6 +37,55 @@ class ChartPngSpec extends AnyFunSuite {
     (0 until h).foreach(y => assert(img.getRGB(0, y) == img.getRGB(w - 1, y)))
   }
 
+  test("m10 JPEG roundtrip: golden decoded features at fixed quality") {
+    import graft.operators.Media
+    // pinned decoded quadrant sums at jpegQuality = 0.9f — regression
+    // guard against codec-parameter drift (same JVM class of encoder;
+    // a quality or subsampling change moves these immediately)
+    val golden = Seq(
+      "JPG the quick brown fox jumps over the lazy dog again and more" ->
+        Seq(1511L, 1442L, 1490L, 1325L),
+      "JPGaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaa" ->
+        Seq(1484L, 1555L, 1555L, 1485L),
+      "JPG0123456789!@#$%^&*()_+-=[]{}|;:,.<>?/~` ABCDEFGHIJKLMNOPQRST" ->
+        Seq(939L, 1073L, 1129L, 1091L))
+    golden.foreach { case (s0, want) =>
+      val s = s0.padTo(64, ' ')
+      val bytes = Media.encodeJpeg8x8(s)
+      // genuine JPEG: SOI marker FF D8
+      assert((bytes(0) & 0xff) == 0xff && (bytes(1) & 0xff) == 0xd8)
+      val dec = Media.jpegLuminance(bytes)
+      val qd = Array.ofDim[Long](4)
+      (0 until 64).foreach { i =>
+        qd((i / 8 / 4) * 2 + (i % 8 / 4)) += dec(i)
+      }
+      assert(qd.toSeq == want, s"golden drift for '${s0.take(16)}…'")
+    }
+  }
+
+  test("m10 decode error stays inside the documented JPEG tolerance") {
+    import graft.operators.Media
+    // random payloads over the full masked-char domain: every pixel
+    // within jpegPixelTol of its source, every quadrant sum within
+    // jpegQuadrantTol — the property the oracle's TRUE booleans gate
+    val rnd = new scala.util.Random(11)
+    (1 to 100).foreach { _ =>
+      val s = new String(Array.fill(64)((32 + rnd.nextInt(95)).toChar))
+      val src = Array.tabulate(64)(i => s.charAt(i).toInt & 127)
+      val dec = Media.jpegLuminance(Media.encodeJpeg8x8(s))
+      val qs = Array.ofDim[Long](4)
+      val qd = Array.ofDim[Long](4)
+      (0 until 64).foreach { i =>
+        val q = (i / 8 / 4) * 2 + (i % 8 / 4)
+        qs(q) += src(i); qd(q) += dec(i)
+        assert(math.abs(dec(i) - src(i)) <= Media.jpegPixelTol,
+          s"pixel $i err ${math.abs(dec(i) - src(i))}")
+      }
+      (0 until 4).foreach(q =>
+        assert(math.abs(qd(q) - qs(q)) <= Media.jpegQuadrantTol))
+    }
+  }
+
   test("m7 intermediate bytes are genuine PNGs with the expected pixels") {
     val rows = graft.operators.Media.m7Png(spark, sf).take(5)
     assert(rows.nonEmpty)
