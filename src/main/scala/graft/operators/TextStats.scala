@@ -740,11 +740,12 @@ object TextStats {
     * measured to select ~4/round on a character alphabet, where
     * greedy selects ~13).
     */
-  private[graft] def selectBatch(ranked: Seq[(String, Long)]): Seq[(String, Long)] = {
+  private[graft] def selectBatch(ranked: Seq[(String, Long)],
+      batchM: Int = t17BatchM): Seq[(String, Long)] = {
     val out = scala.collection.mutable.ArrayBuffer[(String, Long)]()
     val used = scala.collection.mutable.Set[String]()
     var i = 0
-    while (i < ranked.length && out.size < t17BatchM) {
+    while (i < ranked.length && out.size < batchM) {
       val Array(a, b) = ranked(i)._1.split(" ", 2)
       val merged = a + b
       if (!used(a) && !used(b) && !used(merged)) {
@@ -813,14 +814,16 @@ object TextStats {
     * under iteration recomputes/races; and the lineage cut keeps the
     * analyzer safe at production round counts (§8.19).
     */
-  private[graft] def t17Learn(vocab0: DataFrame): (Seq[(Int, Int, String, Long)], DataFrame) = {
+  private[graft] def t17Learn(vocab0: DataFrame,
+      rounds: Int = t17Rounds, batchM: Int = t17BatchM,
+      candK: Int = t17CandK): (Seq[(Int, Int, String, Long)], DataFrame) = {
     val spark = vocab0.sparkSession
     import spark.implicits._
     var cur = vocab0
     val rules = scala.collection.mutable.ArrayBuffer[(Int, Int, String, Long)]()
     var round = 1
     var exhausted = false
-    while (round <= t17Rounds && !exhausted) {
+    while (round <= rounds && !exhausted) {
       val ranked = cur
         .filter(size(split($"s", " ")) >= 2)
         .select($"freq", explode(expr(
@@ -829,8 +832,8 @@ object TextStats {
             |             element_at(split(s, ' '), i + 2)))""".stripMargin)).as("pair"))
         .groupBy($"pair").agg(sum($"freq").as("cnt"))
         .orderBy($"cnt".desc, $"pair".asc)
-        .limit(t17CandK).as[(String, Long)].collect().toSeq
-      val sel = selectBatch(ranked)
+        .limit(candK).as[(String, Long)].collect().toSeq
+      val sel = selectBatch(ranked, batchM)
       if (sel.isEmpty) exhausted = true // every word fully merged
       else {
         sel.zipWithIndex.foreach { case ((pair, cnt), j) =>

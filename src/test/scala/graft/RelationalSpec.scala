@@ -577,6 +577,49 @@ class RelationalSpec extends AnyFunSuite {
     }
   }
 
+  test("t17 batching holds past 256 merges: rounds stay << merges at depth") {
+    // the production-depth question the batched scheme hangs on
+    // (§7.11's vocabulary pruning assumes it): push the merge budget
+    // past 256 and the invariants that make batching correct must
+    // still hold. The fixture corpus cannot carry this — its 31
+    // distinct words / 138 chars exhaust at ~89 merges (the earlier
+    // spec's depth ceiling), so the depth run uses a DETERMINISTIC
+    // synthetic vocabulary of 800 words over a 30-char alphabet
+    // (t17Learn is corpus-agnostic: vocab in, merge table out)
+    val ts = graft.operators.TextStats
+    import spark.implicits._
+    def lcg(x: Long): Long = x * 6364136223846793005L + 1442695040888963407L
+    val alphabet = "abcdefghijklmnopqrstuvwxyz0123".toCharArray
+    val words = (1 to 800).map { i =>
+      var st = lcg(i.toLong)
+      val len = 8 + (math.abs(st) % 5).toInt
+      val cs = Array.fill(len) {
+        st = lcg(st); alphabet((math.abs(st) % 30).toInt)
+      }
+      (cs.mkString(" "), 1000L + (math.abs(st) % 9000))
+    }.distinct
+    val vocab = words.toDF("s", "freq").cache()
+    val (rules, _) = ts.t17Learn(vocab, rounds = 24, batchM = 32, candK = 512)
+    vocab.unpersist()
+    assert(rules.length >= 256, s"only ${rules.length} merges at depth")
+    val roundsUsed = rules.map(_._1).distinct.length
+    assert(roundsUsed <= 24 && rules.length / roundsUsed >= 8,
+      s"batching degenerated: ${rules.length} merges over $roundsUsed rounds")
+    // merges stay globally distinct, counts positive
+    assert(rules.map(_._3).distinct.length == rules.length)
+    assert(rules.forall(_._4 > 0))
+    // the commutation invariant (disjoint symbols AND merged outputs
+    // within a round) survives at depth — the correctness core of
+    // applying a whole batch in one pass
+    rules.groupBy(_._1).values.foreach { rm =>
+      val symSets = rm.map { t =>
+        val Array(a, b) = t._3.split(" ", 2)
+        Set(a, b, a + b)
+      }.toSeq
+      symSets.combinations(2).foreach(c => assert((c(0) & c(1)).isEmpty))
+    }
+  }
+
   test("e5/e14 cohort day is monotone across a calendar-year boundary") {
     import spark.implicits._
     // DOY would read 365, 366, 1, 2 here — wrapping cohorts backwards;
