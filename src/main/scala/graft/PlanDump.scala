@@ -102,6 +102,7 @@ object PlanDump {
       "w24_wind_rose" -> "wind rose: narrow quantized-atan2 map + one 16-row map-side-combined aggregate",
       "d18_containment_dedup" -> "containment dedup: rarest-first prefix probe joins the capped inverted index; verification touches candidate pairs only",
       "m10_jpeg_roundtrip" -> "JPEG roundtrip: one narrow codec stage, zero shuffles — bounded-error contract over real lossy decode",
+      "v16_knn_graph" -> "kNN graph: id-only capped bucket self-join, vectors attach by pk at scoring, two-level per-source rank",
     )
     val sb = new StringBuilder
     sb.append("# PLANS — formatted physical plans (generated by graft.PlanDump at sf0.001)\n")

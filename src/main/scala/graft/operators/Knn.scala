@@ -1323,4 +1323,118 @@ object Knn {
       |SELECT qid, rnk, vec_id, ham, cos_sim FROM r WHERE rnk <= $knnK
       |ORDER BY qid, rnk""".stripMargin
   }
+
+  // ---------- v16: kNN GRAPH — the all-corpus self-join ----------
+
+  /** Bucket-size cap for the v16 self-join (mirrored in the oracle):
+    * a hyperplane bucket is a skew hazard exactly like d2's band
+    * buckets — a dense embedding cluster can pull thousands of
+    * vectors into one (t, b) cell, turning the self-join quadratic.
+    */
+  private[operators] val v16Cap = 100
+
+  /** v16: k-NEAREST-NEIGHBOR GRAPH over the corpus — every vector's
+    * top-k most-similar OTHER vectors, the structure semantic dedup
+    * clustering (d9), graph-based ANN indexes, and
+    * diversity/coverage analysis all build FIRST. v1-v15 answer
+    * query→corpus; v16 is corpus→corpus, where brute force is
+    * O(n²) and unthinkable at 10⁹ vectors — so candidates come
+    * from v2's EXACT machinery run as a SELF-join: the same 8
+    * deterministic hyperplane tables and quantized sign bits
+    * (one discipline, one oracle mirror), buckets capped at
+    * [[v16Cap]] ([[graft.operators.Dedup.bucketCap]]'s argument on
+    * the embedding grain), candidate pairs are bucket-mates in ≥ 1
+    * table. Deliberately UNLIKE v2's query path, vectors do NOT
+    * ride the bucket join — candidates are (id, id) pairs and the
+    * normalized vectors attach by pk equality join only at scoring
+    * (the d4 discipline applied to floats: at 8-17-64 B/vector
+    * tiers the payload is the cost, and it moves exactly twice —
+    * once per side — regardless of how many buckets collide).
+    * Scoring is the shared quantized-dot kernel; ranking is the
+    * two-level salted top-k per SOURCE node (every node is a
+    * "query" here, so the per-qid window of the query path would
+    * put the whole corpus in one task class — the salt grain is
+    * what makes the graph build shuffle-balanced).
+    *
+    * A node whose every bucket is capped (or solo) emits no edges —
+    * the documented recall cut, same contract as d2; the spec
+    * replays a sample's bucket signatures to prove every emitted
+    * edge really is a bucket collision (candidate honesty), and
+    * pins the per-node rank/shape invariants.
+    */
+  def v16(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = vectors(spark, dir)
+    val bcPlanes = spark.sparkContext.broadcast(planes.map(_.toArray).toArray)
+    // id-only bucket table (v2's signature loop and quantization,
+    // minus the carried vector)
+    val buckets = e.select($"vec_id", $"nv").as[(Long, Array[Double])]
+      .mapPartitions { it =>
+        val ps = bcPlanes.value
+        it.flatMap { case (id, nv) =>
+          (0 until nTables).iterator.map { t =>
+            var b = 0
+            var bit = 0
+            while (bit < bitsPerTable) {
+              val p = ps(t * bitsPerTable + bit)
+              var dot = 0.0
+              var i = 0
+              while (i < dim) { dot += nv(i) * p(i); i += 1 }
+              if (math.floor(dot * 1e6 + 0.5) >= 0) b |= (1 << bit)
+              bit += 1
+            }
+            (id, t, b)
+          }
+        }
+      }.toDF("vec_id", "t", "b")
+    val bounded = buckets
+      .join(buckets.groupBy($"t", $"b").agg(count(lit(1)).as("bsz")),
+        Seq("t", "b"))
+      .filter($"bsz" <= v16Cap)
+    val cand = bounded.as("a")
+      .join(bounded.as("b"),
+        $"a.t" === $"b.t" && $"a.b" === $"b.b" && $"a.vec_id" =!= $"b.vec_id")
+      .select($"a.vec_id".as("id_a"), $"b.vec_id".as("id_b"))
+      .distinct()
+    val scored = cosineOf(cand
+      .join(e.select($"vec_id".as("id_a"), $"nv".as("nv_a")), Seq("id_a"))
+      .join(e.select($"vec_id".as("id_b"), $"nv".as("nv_b")), Seq("id_b")))
+    graft.functions.TwoLevel.topK(
+        scored.select($"id_a".as("src_id"), $"id_b".as("nbr_id"), $"cos_sim"),
+        Seq($"src_id"), Seq($"cos_sim".desc, $"nbr_id"), $"nbr_id", knnK)
+      .select($"src_id", $"rnk", $"nbr_id", $"cos_sim")
+      .transform(graft.Tables.ordered(_, $"src_id", $"rnk"))
+  }
+
+  /** v16 oracle: v2's generated plane/bucket CTEs as a SELF-join
+    * with the same cap, scoring and (cos DESC, id) total order.
+    */
+  val v16Sql: String = {
+    def planeList(p: Seq[Double]) =
+      p.map(x => s"CAST($x AS DOUBLE)").mkString("[", ", ", "]")
+    val bucketExprs = (0 until nTables).map { t =>
+      val bits = (0 until bitsPerTable).map { b =>
+        s"(CASE WHEN floor(list_inner_product(nv, ${planeList(planes(t * bitsPerTable + b))}) * 1e6 + 0.5) >= 0 THEN ${1 << b} ELSE 0 END)"
+      }.mkString(" + ")
+      s"($bits) AS b$t"
+    }
+    val bucketUnion = (0 until nTables)
+      .map(t => s"SELECT vec_id, $t AS t, b$t AS b FROM eb")
+      .mkString(" UNION ALL ")
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |n AS (SELECT vec_id, v, sqrt(list_inner_product(v, v)) AS nrm FROM e),
+      |m AS (SELECT vec_id, list_transform(v, x -> x / nrm) AS nv FROM n),
+      |eb AS (SELECT vec_id, nv, ${bucketExprs.mkString(", ")} FROM m),
+      |buckets AS ($bucketUnion),
+      |bc AS (SELECT t, b, count(*) AS bsz FROM buckets GROUP BY 1, 2),
+      |bb AS (SELECT vec_id, t, b FROM buckets JOIN bc USING (t, b) WHERE bsz <= $v16Cap),
+      |cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+      |         FROM bb a JOIN bb b ON a.t = b.t AND a.b = b.b AND a.vec_id <> b.vec_id),
+      |scored AS (SELECT c.id_a, c.id_b,
+      |             round(list_inner_product(a.nv, b.nv) * 1e6) / 1e6 AS cos_sim
+      |           FROM cand c JOIN m a ON a.vec_id = c.id_a JOIN m b ON b.vec_id = c.id_b),
+      |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY id_a ORDER BY cos_sim DESC, id_b) AS INTEGER) AS rnk FROM scored)
+      |SELECT id_a AS src_id, rnk, id_b AS nbr_id, cos_sim FROM r WHERE rnk <= $knnK
+      |ORDER BY src_id, rnk""".stripMargin
+  }
 }

@@ -984,6 +984,60 @@ class DedupKnnSpec extends AnyFunSuite {
     assert(r14 > 0.0, s"refine recall zero — shortlist misses all truth")
   }
 
+  test("v16: the kNN graph equals an independent sequential recompute") {
+    val got = Knn.v16(spark, sf).collect()
+      .map(r => (r.getAs[Long]("src_id"), r.getAs[Int]("rnk"),
+        r.getAs[Long]("nbr_id"), r.getAs[Double]("cos_sim")))
+    // independent mirror of the whole pipeline: planes, sign buckets,
+    // cap, self-join candidates, quantized cosine, (cos DESC, id) top-k
+    val nTables = 8; val bits = 6; val dim = 64; val cap = 100; val k = 5
+    def plane(j: Int): Array[Double] = Array.tabulate(dim) { i =>
+      val x = math.sin(j * 131.7 + i * 17.3) * 43758.5453
+      x - math.floor(x) - 0.5
+    }
+    def q6(x: Double) =
+      (if (x * 1e6 >= 0) math.floor(x * 1e6 + 0.5) else math.ceil(x * 1e6 - 0.5)) / 1e6
+    val vecs = Tables.embeddings(spark, sf)
+      .selectExpr("vec_id", "transform(embedding, x -> CAST(x AS DOUBLE)) AS v")
+      .as[(Long, Array[Double])].collect()
+      .map { case (id, v) =>
+        val nrm = math.sqrt(v.map(x => x * x).sum)
+        (id, v.map(_ / nrm))
+      }
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }
+      s
+    }
+    val buckets: List[((Int, Int), Long)] = (for {
+      (id, nv) <- vecs.toList; t <- 0 until nTables
+    } yield {
+      var b = 0
+      (0 until bits).foreach { bit =>
+        if (math.floor(dot(nv, plane(t * bits + bit)) * 1e6 + 0.5) >= 0)
+          b |= (1 << bit)
+      }
+      ((t, b), id)
+    })
+    val byBucket: Map[(Int, Int), List[Long]] = buckets.groupBy(_._1)
+      .map { case (tb, v) => tb -> v.map(_._2) }
+      .filter(_._2.length <= cap)
+    val cand: Set[(Long, Long)] = byBucket.values.flatMap(ids =>
+      for (a <- ids; b <- ids if a != b) yield (a, b)).toSet
+    val nvOf: Map[Long, Array[Double]] = vecs.toMap
+    val want = cand.groupBy(_._1).toSeq.flatMap { case (src, ps) =>
+      ps.toSeq.map { case (_, nbr) => (nbr, q6(dot(nvOf(src), nvOf(nbr)))) }
+        .sortBy { case (nbr, c) => (-c, nbr) }.take(k).zipWithIndex
+        .map { case ((nbr, c), i) => (src, i + 1, nbr, c) }
+    }.sortBy(t => (t._1, t._2))
+    assert(got.toSeq == want && got.nonEmpty)
+    // shape invariants: no self-edges, ranks dense from 1, cos in range
+    got.foreach { case (s, _, n, c) => assert(s != n && c >= -1.0 && c <= 1.0) }
+    got.groupBy(_._1).values.foreach { g =>
+      assert(g.map(_._2).sorted.toSeq == (1 to g.length))
+    }
+  }
+
   test("v15: hamming shortlist + exact rerank equals a sequential recompute") {
     val got = Knn.v15(spark, sf).collect()
       .map(r => (r.getAs[Long]("qid"), r.getAs[Int]("rnk"),

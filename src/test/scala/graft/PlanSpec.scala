@@ -541,6 +541,17 @@ class PlanSpec extends AnyFunSuite {
       s"cumulative window not cohort-partitioned:\n$peFull")
   }
 
+  test("v16: the kNN-graph self-join stays on equality joins — no cartesian") {
+    val p = plan(graft.operators.Knn.v16(spark, sf))
+      .split("== Initial Plan ==")(0)
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), s"non-equality join:\n$p")
+    // candidate dedup + per-source rank both present: the self-join
+    // output passes through a distinct aggregate before scoring, and
+    // the two-level rank's pushdown guards the top-k
+    assert(p.contains("WindowGroupLimit"), s"rank pushdown missing:\n$p")
+  }
+
   test("p10: refresh reads the stored view — one delta join, no base recompute") {
     val pFull = plan(graft.operators.Incremental.p10(spark, sf))
     val p = pFull.split("== Initial Plan ==")(0)

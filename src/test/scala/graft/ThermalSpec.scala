@@ -254,8 +254,10 @@ class ThermalSpec extends AnyFunSuite {
       .selectExpr("ugrd10m", "vgrd10m", "wind_speed")
       .as[(Double, Double, Double)].collect()
     val want = rows.groupBy { case (u, v, _) =>
+      // meteorological from-direction: (270 − atan2°) mod 360
       val dq = math.floor(math.toDegrees(math.atan2(v, u)) * 1e6 + 0.5) / 1e6
-      math.floor((if (dq < 0.0) dq + 360.0 else dq) / 22.5).toLong
+      val met = 270.0 - dq
+      math.floor((if (met >= 360.0) met - 360.0 else met) / 22.5).toLong
     }.map { case (sec, g) =>
       (sec, (g.length.toLong,
         g.map(r => math.floor(r._3 * 100.0 + 0.5).toLong).sum / 100.0))
