@@ -417,4 +417,94 @@ object Graph {
       |SELECT id AS c_custkey, tri_cnt, CAST(d AS BIGINT) AS deg
       |FROM cnt JOIN deg ON deg.x = cnt.id
       |ORDER BY c_custkey""".stripMargin
+
+  // ---------- g6: label-propagation communities ----------
+
+  private val g6Rounds = 6
+
+  /** g6: COMMUNITY DETECTION by synchronous label propagation
+    * (Raghavan/Albert/Kumara 2007, Phys. Rev. E 76) over the derived
+    * link graph, symmetrized — the clustering pass a crawl pipeline
+    * runs to group domains/pages into topical communities for
+    * quota/sampling decisions (g5 scores a GIVEN partition's
+    * modularity; g6 PRODUCES the partition). Classic LPA is
+    * order-dependent (async updates, random tie-breaks) and would
+    * never cross an engine boundary; this is the DETERMINISTIC
+    * synchronous variant: every node simultaneously adopts the
+    * label with the highest neighbor vote count, ties broken by
+    * MINIMUM label — each round is a pure function of the previous
+    * labeling, so a fixed round count is a bitwise cross-engine
+    * contract (the snapshot-at-round-R semantics, documented; LPA
+    * converges in ~5 rounds on real graphs).
+    *
+    * Scale shape: per round, ONE edges ⋈ labels equality join
+    * (edge-partition-bound, g2's class), a (dst, lbl) vote count
+    * (map-side combined), and the argmax as a struct-MIN aggregate
+    * min((-cnt, lbl)) — also map-side combined, no window over
+    * node-grain rows. Labels are 8-byte ints; per-round state is
+    * lineage-cut and freed (g1/q27 discipline). Round count is
+    * FIXED, not diameter-bound — communities stabilize locally.
+    */
+  def g6(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val nodes = Tables.customer(spark, dir).select($"c_custkey".as("id")).cache()
+    val n = nodes.count()
+    val e0 = nodes.selectExpr("id AS src", s"(id * 31 + 7) % $n AS dst")
+      .unionAll(nodes.selectExpr("id AS src", s"(id * 17 + 3) % $n AS dst"))
+      .unionAll(nodes.filter($"id" >= 2).selectExpr("id AS src", "id div 2 AS dst"))
+    val und = e0.filter($"src" =!= $"dst")
+      .selectExpr("least(src, dst) AS a", "greatest(src, dst) AS b").distinct()
+    val edges = und.select($"a".as("src"), $"b".as("dst"))
+      .unionAll(und.select($"b".as("src"), $"a".as("dst"))).cache()
+    var labels = nodes.withColumn("lbl", $"id").localCheckpoint()
+    (1 to g6Rounds).foreach { _ =>
+      val votes = edges.join(labels.withColumnRenamed("id", "src"), Seq("src"))
+        .groupBy($"dst", $"lbl").agg(count(lit(1)).as("c"))
+      val winner = votes.groupBy($"dst")
+        .agg(min(struct(($"c" * -1).as("nc"), $"lbl")).as("w"))
+        .selectExpr("dst AS id", "w.lbl AS wlbl")
+      val next = labels.join(winner, Seq("id"), "left_outer")
+        .selectExpr("id", "coalesce(wlbl, lbl) AS lbl")
+        .localCheckpoint()
+      graft.functions.Lineage.freeCheckpoint(labels)
+      labels = next
+    }
+    edges.unpersist()
+    labels
+      .join(labels.groupBy($"lbl").agg(count(lit(1)).as("csize")), Seq("lbl"))
+      .select($"id".as("c_custkey"), $"lbl".as("community"), $"csize")
+      .transform(Tables.ordered(_, $"c_custkey"))
+  }
+
+  /** g6 oracle: the same synchronous rounds unrolled as generated
+    * CTEs — votes, (cnt DESC, lbl) argmax via row_number, isolated
+    * nodes keep their label.
+    */
+  val g6Sql: String = {
+    val rounds = (1 to g6Rounds).map { i =>
+      s"""v$i AS (SELECT e.dst AS id, l.lbl, count(*) AS c
+         |        FROM e JOIN l${i - 1} l ON l.id = e.src GROUP BY 1, 2),
+         |w$i AS (SELECT id, lbl FROM (
+         |          SELECT id, lbl, row_number() OVER (PARTITION BY id ORDER BY c DESC, lbl) AS rn
+         |          FROM v$i) WHERE rn = 1),
+         |l$i AS (SELECT n.id, coalesce(w.lbl, p.lbl) AS lbl
+         |        FROM nodes n LEFT JOIN w$i w ON w.id = n.id
+         |        JOIN l${i - 1} p ON p.id = n.id)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH nn AS (SELECT count(*) AS n FROM customer),
+      |nodes AS (SELECT c_custkey AS id FROM customer),
+      |e0 AS (SELECT id AS src, (id * 31 + 7) % nn.n AS dst FROM nodes, nn
+      |       UNION ALL SELECT id, (id * 17 + 3) % nn.n FROM nodes, nn
+      |       UNION ALL SELECT id, id // 2 FROM nodes WHERE id >= 2),
+      |und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+      |        FROM e0 WHERE src <> dst),
+      |e AS (SELECT a AS src, b AS dst FROM und
+      |      UNION ALL SELECT b, a FROM und),
+      |l0 AS (SELECT id, id AS lbl FROM nodes),
+      |$rounds,
+      |sz AS (SELECT lbl, count(*) AS csize FROM l$g6Rounds GROUP BY lbl)
+      |SELECT l.id AS c_custkey, l.lbl AS community, sz.csize
+      |FROM l$g6Rounds l JOIN sz ON sz.lbl = l.lbl
+      |ORDER BY c_custkey""".stripMargin
+  }
 }

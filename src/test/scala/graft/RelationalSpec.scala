@@ -519,6 +519,45 @@ class RelationalSpec extends AnyFunSuite {
     assert(rows.exists(_._3 > 0) && rows.exists(_._4 > 0))
   }
 
+  test("g6: synchronous LPA equals a sequential recompute; communities coarsen") {
+    val rows = graft.operators.Graph.g6(spark, sf).collect()
+      .map(r => (r.getAs[Long]("c_custkey"), r.getAs[Long]("community"),
+        r.getAs[Long]("csize")))
+    val n = Tables.customer(spark, sf).count()
+    assert(rows.length == n)
+    // independent sequential mirror: same symmetrized edges, same
+    // 6 synchronous rounds, (max count, min label) updates
+    val und = (0L until n).flatMap { id =>
+      Seq((id, (id * 31 + 7) % n), (id, (id * 17 + 3) % n)) ++
+        (if (id >= 2) Seq((id, id / 2)) else Seq.empty)
+    }.filter { case (a, b) => a != b }
+      .map { case (a, b) => (math.min(a, b), math.max(a, b)) }.distinct
+    val adj = (und ++ und.map(_.swap)).groupBy(_._1).view
+      .mapValues(_.map(_._2)).toMap
+    var lbl = (0L until n).toArray
+    (1 to 6).foreach { _ =>
+      val next = lbl.clone()
+      (0L until n).foreach { id =>
+        adj.get(id).foreach { nbrs =>
+          val votes = nbrs.groupBy(b => lbl(b.toInt)).view
+            .mapValues(_.length).toSeq
+          next(id.toInt) = votes.minBy { case (l, c) => (-c, l) }._1
+        }
+      }
+      lbl = next
+    }
+    val sizes = lbl.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    rows.foreach { case (id, comm, cs) =>
+      assert(comm == lbl(id.toInt), s"node $id: $comm != ${lbl(id.toInt)}")
+      assert(cs == sizes(lbl(id.toInt)))
+    }
+    // propagation must actually coarsen: fewer communities than nodes,
+    // some community grew past a trivial pair, and every community
+    // label is a real member's id (labels only ever copy node ids)
+    assert(sizes.size < n && sizes.values.max > 2)
+    rows.foreach { case (_, comm, _) => assert(lbl(comm.toInt) == comm || comm < n) }
+  }
+
   test("g5: modularity contributions equal a sequential recompute; Q bounded") {
     val rows = graft.operators.Graph.g5(spark, sf).collect()
       .map(r => (r.getAs[Long]("part"), r.getAs[Long]("n_nodes"),
