@@ -1394,24 +1394,33 @@ object Dedup {
     * digests + one canonical representative per partition ride),
     * keeping the min-doc_id survivor per canonical URL.
     */
+  /** The derived crawl URL (deterministic case/port/slash/query/
+    * fragment noise) and its canonicalization — ONE pair of
+    * expressions shared by batch d16 and the streaming frontier
+    * twin s24, so the two paths cannot drift.
+    */
+  private[graft] val d16UrlExpr: String =
+    """concat(
+      |  CASE WHEN doc_id % 2 = 0 THEN 'http://' ELSE 'HTTP://' END,
+      |  CASE WHEN doc_id % 4 = 1 THEN upper(source) ELSE source END,
+      |  '.Example.COM',
+      |  CASE WHEN doc_id % 4 = 0 THEN ':80' ELSE '' END,
+      |  '/p/', CAST(doc_id % 10 AS STRING),
+      |  CASE WHEN doc_id % 3 = 0 THEN '/' ELSE '' END,
+      |  CASE WHEN doc_id % 5 = 0 THEN '?utm_campaign=feed' ELSE '' END,
+      |  CASE WHEN doc_id % 6 = 0 THEN '#sec1' ELSE '' END
+      |) AS url""".stripMargin
+
+  /** regexp '/$' (not rtrim) — Spark and DuckDB disagree on two-arg
+    * rtrim argument order, the regex anchors identically.
+    */
+  private[graft] val d16CanonExpr: String =
+    "regexp_replace(replace(lower(split_part(split_part(url, '#', 1), '?', 1)), ':80', ''), '/$', '') AS curl"
+
   def d16(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val urls = Tables.documents(spark, dir).selectExpr("doc_id",
-      // derived crawl URL: deterministic case/port/slash/query/fragment noise
-      """concat(
-        |  CASE WHEN doc_id % 2 = 0 THEN 'http://' ELSE 'HTTP://' END,
-        |  CASE WHEN doc_id % 4 = 1 THEN upper(source) ELSE source END,
-        |  '.Example.COM',
-        |  CASE WHEN doc_id % 4 = 0 THEN ':80' ELSE '' END,
-        |  '/p/', CAST(doc_id % 10 AS STRING),
-        |  CASE WHEN doc_id % 3 = 0 THEN '/' ELSE '' END,
-        |  CASE WHEN doc_id % 5 = 0 THEN '?utm_campaign=feed' ELSE '' END,
-        |  CASE WHEN doc_id % 6 = 0 THEN '#sec1' ELSE '' END
-        |) AS url""".stripMargin)
-    // regexp '/$' (not rtrim) — Spark and DuckDB disagree on
-    // two-arg rtrim argument order, the regex anchors identically
-    val canon = urls.selectExpr("doc_id",
-      "regexp_replace(replace(lower(split_part(split_part(url, '#', 1), '?', 1)), ':80', ''), '/$', '') AS curl")
+    val urls = Tables.documents(spark, dir).selectExpr("doc_id", d16UrlExpr)
+    val canon = urls.selectExpr("doc_id", d16CanonExpr)
     // group on (digest, curl), not digest alone: k = fnv64(curl) is a
     // function of curl, so the groups are exactly the per-URL groups —
     // but a 64-bit collision between two distinct canonical URLs can

@@ -528,6 +528,55 @@ object EventStreams {
         org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Append())
   }
 
+  // ---------- s24: streaming crawl-frontier URL dedup ----------
+
+  /** s24: URL dedup AS A STREAM — a crawl frontier IS a stream in
+    * production (discovered links arrive continuously; the frontier
+    * asks "have I seen this canonical URL, and who saw it first"),
+    * so d16 gets the full batch/stream twin treatment: the SAME
+    * synthesis + canonicalization expressions
+    * ([[graft.operators.Dedup.d16UrlExpr]]/[[graft.operators.Dedup.d16CanonExpr]]
+    * — one source of truth, the s15/s16 sharing contract) feed a
+    * streaming (digest, curl) aggregate whose per-key state is the
+    * algebraic (count, min survivor) pair — mergeable in any batch
+    * order, so the stream converges to the batch answer regardless
+    * of how the feed is chopped. The oracle is d16's VERBATIM.
+    *
+    * State is one row per canonical URL — the frontier dedup table
+    * itself, exactly what a crawler persists; digest-led grouping
+    * keeps the exchange keyed on 8 bytes with the collision-proof
+    * (k, curl) grain (d16's round-9 fix inherited by construction).
+    * The contract run reads the final table in Complete mode
+    * (memory sink); a production frontier emits Update-mode upserts
+    * into an idempotent store (s14's ForecastStore pattern) — the
+    * aggregation state and semantics are identical either way.
+    */
+  /** The frontier aggregate over a (doc_id, source, …) document feed
+    * — shared by [[s24]] and its multi-batch spec (which stages the
+    * same feed as two files to prove the cross-batch merge).
+    */
+  private[graft] def s24Agg(docs: DataFrame): DataFrame =
+    docs
+      .selectExpr("doc_id", graft.operators.Dedup.d16UrlExpr)
+      .selectExpr("doc_id", graft.operators.Dedup.d16CanonExpr)
+      .withColumn("k", graft.functions.Fnv64.fnv64(col("curl")))
+      .groupBy(col("k"), col("curl"))
+      .agg(count(lit(1)).as("n_dups"), min(col("doc_id")).as("survivor_id"))
+
+  def s24(spark: SparkSession, dir: String): DataFrame = {
+    val ss = streamSession(spark)
+    graft.Tables.tsConfs(ss)
+    val schema = ss.read.parquet(s"$dir/documents.parquet").schema
+    val agg = s24Agg(ss.readStream.schema(schema)
+      .option("pathGlobFilter", "documents.parquet").parquet(dir))
+    runToTable(ss, agg, OutputMode.Complete())
+      .select(col("curl").as("canonical_url"), col("n_dups"), col("survivor_id"))
+      .orderBy(col("canonical_url"))
+  }
+
+  /** s24 oracle: d16's, verbatim — the twin contract. */
+  val s24Sql: String = graft.operators.Dedup.d16Sql
+
   case class TopSt(vs: Array[Double], ids: Array[Long])
   case class TopOut(user_id: Long, rnk: Int, event_id: Long, value: Double)
 

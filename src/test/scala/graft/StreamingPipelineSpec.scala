@@ -559,6 +559,35 @@ class StreamingPipelineSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("s24 frontier state merges across batches: counts sum, survivor is the global min") {
+    import EventStreams.{s24Agg}
+    val ns = spark.newSession()
+    implicit val sqlCtx = ns.sqlContext
+    import ns.implicits._
+    val mem = MemoryStream[(Long, String)]
+    val agg = s24Agg(mem.toDS().toDF("doc_id", "source"))
+    val name = "s24_state_test"
+    val q = agg.writeStream.outputMode(OutputMode.Complete())
+      .format("memory").queryName(name).start()
+    try {
+      // docs 13/23 (alpha) and 7 (beta) arrive first
+      mem.addData((13L, "alpha"), (23L, "alpha"), (7L, "beta"))
+      q.processAllAvailable()
+      // a LATER batch brings doc 3 — same canonical URL as 13/23
+      // (case/slash noise differs; canonicalization strips it) with a
+      // SMALLER id: the algebraic min-merge must adopt it as survivor,
+      // which first-arrival-wins state would get wrong
+      mem.addData((3L, "alpha"), (17L, "beta"))
+      q.processAllAvailable()
+      val rows = ns.table(name).collect()
+        .map(r => (r.getAs[String]("curl"), r.getAs[Long]("n_dups"),
+          r.getAs[Long]("survivor_id"))).toSet
+      assert(rows == Set(
+        ("http://alpha.example.com/p/3", 3L, 3L),
+        ("http://beta.example.com/p/7", 2L, 7L)))
+    } finally q.stop()
+  }
+
   test("s9 stream-static enrichment covers every event exactly once") {
     import spark.implicits._
     val got = EventStreams.s9(spark, sf).collect()
