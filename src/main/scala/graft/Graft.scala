@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, count, greatest, least, lit}
 
 /** Single façade over the library — the entry points a user of the
   * reference container needs to run the same workloads on Spark.
@@ -54,6 +55,34 @@ object Graft {
     */
   def neardupDecisions(verifiedPairs: DataFrame): DataFrame =
     operators.Dedup.d13Apply(verifiedPairs)
+
+  /** Containment + Jaccard scores for candidate (id_a, id_b) pairs
+    * over a (doc_id, text) corpus — d17/d18's `containmentOf` with
+    * the shingle index built in: returns (id_a, id_b, inter, na,
+    * nb, containment, jaccard); threshold downstream (containment
+    * ≥ τ as the integer cut `inter * q >= na * p` for τ = p/q).
+    */
+  def containment(pairs: DataFrame, corpus: DataFrame): DataFrame = {
+    val shx = operators.Dedup.shingleExplode(corpus)
+    val sizes = shx.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    operators.Dedup.containmentOf(pairs, shx, sizes)
+  }
+
+  /** Community labels by deterministic synchronous label
+    * propagation (g6's core) over an UNDIRECTED edge list (src,
+    * dst) — symmetrized and deduplicated here; returns (id,
+    * community) for every endpoint after `rounds` rounds.
+    */
+  def communities(edges: DataFrame, rounds: Int = 6): DataFrame = {
+    val und = edges.filter(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b")).distinct()
+    val sym = und.select(col("a").as("src"), col("b").as("dst"))
+      .unionAll(und.select(col("b").as("src"), col("a").as("dst")))
+    val nodes = sym.select(col("src").as("id")).distinct()
+    operators.Graph.lpaLabels(nodes, sym, rounds)
+      .select(col("id"), col("lbl").as("community"))
+  }
 
   // ---- skew tooling ----
   /** Split-and-broadcast equi-join for a skewed probe side against a

@@ -456,8 +456,25 @@ object Graph {
       .selectExpr("least(src, dst) AS a", "greatest(src, dst) AS b").distinct()
     val edges = und.select($"a".as("src"), $"b".as("dst"))
       .unionAll(und.select($"b".as("src"), $"a".as("dst"))).cache()
+    val labels = lpaLabels(nodes, edges, g6Rounds)
+    edges.unpersist()
+    labels
+      .join(labels.groupBy($"lbl").agg(count(lit(1)).as("csize")), Seq("lbl"))
+      .select($"id".as("c_custkey"), $"lbl".as("community"), $"csize")
+      .transform(Tables.ordered(_, $"c_custkey"))
+  }
+
+  /** The reusable synchronous-LPA core of [[g6]] (exposed as
+    * `Graft.communities`): `nodes` is (id), `edges` a SYMMETRIZED
+    * (src, dst) list; returns (id, lbl) after `rounds` deterministic
+    * (max vote, min label) rounds, per-round state lineage-cut.
+    */
+  private[graft] def lpaLabels(nodes: DataFrame, edges: DataFrame,
+      rounds: Int): DataFrame = {
+    val spark = nodes.sparkSession
+    import spark.implicits._
     var labels = nodes.withColumn("lbl", $"id").localCheckpoint()
-    (1 to g6Rounds).foreach { _ =>
+    (1 to rounds).foreach { _ =>
       val votes = edges.join(labels.withColumnRenamed("id", "src"), Seq("src"))
         .groupBy($"dst", $"lbl").agg(count(lit(1)).as("c"))
       val winner = votes.groupBy($"dst")
@@ -469,11 +486,7 @@ object Graph {
       graft.functions.Lineage.freeCheckpoint(labels)
       labels = next
     }
-    edges.unpersist()
     labels
-      .join(labels.groupBy($"lbl").agg(count(lit(1)).as("csize")), Seq("lbl"))
-      .select($"id".as("c_custkey"), $"lbl".as("community"), $"csize")
-      .transform(Tables.ordered(_, $"c_custkey"))
   }
 
   /** g6 oracle: the same synchronous rounds unrolled as generated

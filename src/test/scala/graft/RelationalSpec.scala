@@ -558,6 +558,25 @@ class RelationalSpec extends AnyFunSuite {
     rows.foreach { case (_, comm, _) => assert(lbl(comm.toInt) == comm || comm < n) }
   }
 
+  test("facade: containment and communities run on caller-supplied frames") {
+    import spark.implicits._
+    // containment: doc 2 is a verbatim prefix of doc 1
+    val corpus = Seq(
+      (1L, "a b c d e f g h"),
+      (2L, "a b c d")).toDF("doc_id", "text")
+    val pairs = Seq((2L, 1L)).toDF("id_a", "id_b")
+    val sc = Graft.containment(pairs, corpus).collect()
+    assert(sc.length == 1)
+    val r = sc.head
+    assert(r.getAs[Double]("containment") == 1.0 &&
+      r.getAs[Long]("inter") == 2L && r.getAs[Long]("na") == 2L)
+    // communities: a triangle collapses to one label (the minimum id)
+    val tri = Seq((1L, 2L), (2L, 3L), (1L, 3L)).toDF("src", "dst")
+    val comm = Graft.communities(tri).collect()
+      .map(row => (row.getAs[Long]("id"), row.getAs[Long]("community"))).toMap
+    assert(comm == Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+  }
+
   test("g5: modularity contributions equal a sequential recompute; Q bounded") {
     val rows = graft.operators.Graph.g5(spark, sf).collect()
       .map(r => (r.getAs[Long]("part"), r.getAs[Long]("n_nodes"),
