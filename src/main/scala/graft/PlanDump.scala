@@ -104,6 +104,7 @@ object PlanDump {
       "m10_jpeg_roundtrip" -> "JPEG roundtrip: one narrow codec stage, zero shuffles — bounded-error contract over real lossy decode",
       "v16_knn_graph" -> "kNN graph: id-only capped bucket self-join, vectors attach by pk at scoring, two-level per-source rank",
       "g6_label_communities" -> "LPA communities: per-round edges-labels equality join + map-side vote count + struct-min argmax (final round's plan)",
+      "v17_semdedup" -> "SemDeDup pruning: capped bucket self-join edges, components over dup-pair nodes only, one id join back (final round's plan)",
     )
     val sb = new StringBuilder
     sb.append("# PLANS — formatted physical plans (generated by graft.PlanDump at sf0.001)\n")

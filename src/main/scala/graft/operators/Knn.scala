@@ -1362,13 +1362,15 @@ object Knn {
     * edge really is a bucket collision (candidate honesty), and
     * pins the per-node rank/shape invariants.
     */
-  def v16(spark: SparkSession, dir: String): DataFrame = {
+  /** Id-only (vec_id, t, b) bucket table over a (vec_id, nv) frame —
+    * v2's signature loop and quantization minus the carried vector;
+    * shared by [[v16]] and [[v17]].
+    */
+  private[operators] def lshBucketIds(e: DataFrame): DataFrame = {
+    val spark = e.sparkSession
     import spark.implicits._
-    val e = vectors(spark, dir)
     val bcPlanes = spark.sparkContext.broadcast(planes.map(_.toArray).toArray)
-    // id-only bucket table (v2's signature loop and quantization,
-    // minus the carried vector)
-    val buckets = e.select($"vec_id", $"nv").as[(Long, Array[Double])]
+    e.select($"vec_id", $"nv").as[(Long, Array[Double])]
       .mapPartitions { it =>
         val ps = bcPlanes.value
         it.flatMap { case (id, nv) =>
@@ -1387,6 +1389,31 @@ object Knn {
           }
         }
       }.toDF("vec_id", "t", "b")
+  }
+
+  /** The generated eb/buckets oracle CTE pair over an `m` (vec_id,
+    * nv) CTE — one source of the plane literals for v2/v16/v17.
+    */
+  private def lshBucketCtes: String = {
+    def planeList(p: Seq[Double]) =
+      p.map(x => s"CAST($x AS DOUBLE)").mkString("[", ", ", "]")
+    val bucketExprs = (0 until nTables).map { t =>
+      val bits = (0 until bitsPerTable).map { b =>
+        s"(CASE WHEN floor(list_inner_product(nv, ${planeList(planes(t * bitsPerTable + b))}) * 1e6 + 0.5) >= 0 THEN ${1 << b} ELSE 0 END)"
+      }.mkString(" + ")
+      s"($bits) AS b$t"
+    }
+    val bucketUnion = (0 until nTables)
+      .map(t => s"SELECT vec_id, $t AS t, b$t AS b FROM eb")
+      .mkString(" UNION ALL ")
+    s"""eb AS (SELECT vec_id, nv, ${bucketExprs.mkString(", ")} FROM m),
+      |buckets AS ($bucketUnion)""".stripMargin
+  }
+
+  def v16(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = vectors(spark, dir)
+    val buckets = lshBucketIds(e)
     val bounded = buckets
       .join(buckets.groupBy($"t", $"b").agg(count(lit(1)).as("bsz")),
         Seq("t", "b"))
@@ -1410,22 +1437,10 @@ object Knn {
     * with the same cap, scoring and (cos DESC, id) total order.
     */
   val v16Sql: String = {
-    def planeList(p: Seq[Double]) =
-      p.map(x => s"CAST($x AS DOUBLE)").mkString("[", ", ", "]")
-    val bucketExprs = (0 until nTables).map { t =>
-      val bits = (0 until bitsPerTable).map { b =>
-        s"(CASE WHEN floor(list_inner_product(nv, ${planeList(planes(t * bitsPerTable + b))}) * 1e6 + 0.5) >= 0 THEN ${1 << b} ELSE 0 END)"
-      }.mkString(" + ")
-      s"($bits) AS b$t"
-    }
-    val bucketUnion = (0 until nTables)
-      .map(t => s"SELECT vec_id, $t AS t, b$t AS b FROM eb")
-      .mkString(" UNION ALL ")
     s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
       |n AS (SELECT vec_id, v, sqrt(list_inner_product(v, v)) AS nrm FROM e),
       |m AS (SELECT vec_id, list_transform(v, x -> x / nrm) AS nv FROM n),
-      |eb AS (SELECT vec_id, nv, ${bucketExprs.mkString(", ")} FROM m),
-      |buckets AS ($bucketUnion),
+      |$lshBucketCtes,
       |bc AS (SELECT t, b, count(*) AS bsz FROM buckets GROUP BY 1, 2),
       |bb AS (SELECT vec_id, t, b FROM buckets JOIN bc USING (t, b) WHERE bsz <= $v16Cap),
       |cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
@@ -1436,5 +1451,109 @@ object Knn {
       |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY id_a ORDER BY cos_sim DESC, id_b) AS INTEGER) AS rnk FROM scored)
       |SELECT id_a AS src_id, rnk, id_b AS nbr_id, cos_sim FROM r WHERE rnk <= $knnK
       |ORDER BY src_id, rnk""".stripMargin
+  }
+
+  // ---------- v17: semantic-duplicate cluster pruning (SemDeDup) ----------
+
+  /** The sequential-dot self-product expression both engines share
+    * (Spark spelling; the oracle uses list_inner_product).
+    */
+  private val dotVV =
+    "aggregate(zip_with(v, v, (x, y) -> x * y), CAST(0 AS DOUBLE), (acc, x) -> acc + x)"
+
+  /** v17: SEMANTIC DEDUP as cluster pruning (the SemDeDup recipe —
+    * Abbas et al. 2023, arXiv:2303.09540: embed, group semantic
+    * duplicates into clusters, keep ONE representative per
+    * cluster) — the operator d9 approximates with k-means cells,
+    * rebuilt on the exact machinery this round added: v16's capped
+    * bucket self-join proposes pairs, the quantized cosine keeps
+    * those ≥ 0.9 as SEMANTIC-DUPLICATE edges, d6's stars
+    * contraction (ccStars) closes them into clusters, and the
+    * min-id member of each cluster is the kept representative —
+    * every other member is pruned. The whole composition is the
+    * production topology: candidates bucketed (never all-pairs),
+    * components over DUP-PAIR nodes only, corpus rows touched once.
+    *
+    * The fixture seeds ground truth the d17 way: every 25th vector
+    * gets a +1000-id copy with its first coordinate shifted by
+    * 0.1·‖v‖ — cos(v, v′) ≥ 0.99 by construction, while the
+    * corpus's natural pair maximum is ~0.47 (measured) — so
+    * exactly the seeded pairs (and their transitive closures)
+    * cluster, and the spec can assert every copy is pruned and
+    * every source kept. Both engines derive the copies from the
+    * same single-IEEE-op expression (sqrt is exact; one multiply,
+    * one add), so the oracle is bitwise: bucket literals, cap,
+    * cosine quantization, min-label closure (recursive CTE),
+    * sizes, and the keep flag.
+    */
+  def v17(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val raw = Tables.embeddings(spark, dir)
+      .selectExpr("vec_id", "transform(embedding, x -> CAST(x AS DOUBLE)) AS v")
+    val copies = raw.filter($"vec_id" % 25 === 0)
+      .selectExpr("vec_id + 1000 AS vec_id",
+        s"concat(array(element_at(v, 1) + 0.1 * sqrt($dotVV)), slice(v, 2, ${dim - 1})) AS v")
+    val corpus = raw.unionByName(copies)
+      .selectExpr("vec_id", "v", s"sqrt($dotVV) AS nrm")
+      .selectExpr("vec_id", "transform(v, x -> x / nrm) AS nv")
+      .cache()
+    val buckets = lshBucketIds(corpus)
+    val bounded = buckets
+      .join(buckets.groupBy($"t", $"b").agg(count(lit(1)).as("bsz")),
+        Seq("t", "b"))
+      .filter($"bsz" <= v16Cap)
+    val cand = bounded.as("a")
+      .join(bounded.as("b"),
+        $"a.t" === $"b.t" && $"a.b" === $"b.b" && $"a.vec_id" < $"b.vec_id")
+      .select($"a.vec_id".as("id_a"), $"b.vec_id".as("id_b"))
+      .distinct()
+    val edges = cosineOf(cand
+      .join(corpus.select($"vec_id".as("id_a"), $"nv".as("nv_a")), Seq("id_a"))
+      .join(corpus.select($"vec_id".as("id_b"), $"nv".as("nv_b")), Seq("id_b")))
+      .filter($"cos_sim" >= 0.9)
+      .select($"id_a".as("src"), $"id_b".as("dst"))
+    val (labels, _, conv) = graft.operators.Dedup.ccStars(edges, 50)
+    require(conv, "v17 ccStars did not converge within 50 rounds")
+    val labeled = corpus.select($"vec_id".as("id"))
+      .join(labels, Seq("id"), "left_outer")
+      .select($"id".as("vec_id"), coalesce($"lbl", $"id").as("cluster"))
+    labeled
+      .join(labeled.groupBy($"cluster").agg(count(lit(1)).as("csize")),
+        Seq("cluster"))
+      .selectExpr("vec_id", "cluster", "csize", "vec_id = cluster AS keep")
+      .transform(graft.Tables.ordered(_, $"vec_id"))
+  }
+
+  /** v17 oracle: seeded copies from the same arithmetic, the
+    * generated bucket CTEs, capped self-join, quantized-cosine edge
+    * cut, min-label recursive closure, sizes and keep flag.
+    */
+  val v17Sql: String = {
+    s"""WITH RECURSIVE raw AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |cp AS (SELECT vec_id + 1000 AS vec_id,
+      |         list_concat([v[1] + 0.1 * sqrt(list_inner_product(v, v))], v[2:$dim]) AS v
+      |       FROM raw WHERE vec_id % 25 = 0),
+      |corpus AS (SELECT * FROM raw UNION ALL SELECT * FROM cp),
+      |n AS (SELECT vec_id, v, sqrt(list_inner_product(v, v)) AS nrm FROM corpus),
+      |m AS (SELECT vec_id, list_transform(v, x -> x / nrm) AS nv FROM n),
+      |$lshBucketCtes,
+      |bc AS (SELECT t, b, count(*) AS bsz FROM buckets GROUP BY 1, 2),
+      |bb AS (SELECT vec_id, t, b FROM buckets JOIN bc USING (t, b) WHERE bsz <= $v16Cap),
+      |cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+      |         FROM bb a JOIN bb b ON a.t = b.t AND a.b = b.b AND a.vec_id < b.vec_id),
+      |ed AS (SELECT id_a AS src, id_b AS dst
+      |       FROM cand c JOIN m a ON a.vec_id = c.id_a JOIN m b ON b.vec_id = c.id_b
+      |       WHERE round(list_inner_product(a.nv, b.nv) * 1e6) / 1e6 >= 0.9),
+      |und AS (SELECT src, dst FROM ed UNION SELECT dst, src FROM ed),
+      |nodes AS (SELECT vec_id AS id FROM corpus),
+      |reach(id, lbl) AS (
+      |  SELECT id, id FROM nodes
+      |  UNION
+      |  SELECT u.dst, r.lbl FROM reach r JOIN und u ON u.src = r.id),
+      |comp AS (SELECT id, min(lbl) AS cluster FROM reach GROUP BY id),
+      |sz AS (SELECT cluster, count(*) AS csize FROM comp GROUP BY cluster)
+      |SELECT c.id AS vec_id, c.cluster, sz.csize, c.id = c.cluster AS keep
+      |FROM comp c JOIN sz USING (cluster)
+      |ORDER BY vec_id""".stripMargin
   }
 }

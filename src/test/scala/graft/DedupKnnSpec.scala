@@ -1038,6 +1038,28 @@ class DedupKnnSpec extends AnyFunSuite {
     }
   }
 
+  test("v17: every seeded semantic copy is pruned, its source kept; rest singleton") {
+    val rows = Knn.v17(spark, sf).collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("cluster"),
+        r.getAs[Long]("csize"), r.getAs[Boolean]("keep")))
+    val byId = rows.map(t => t._1 -> t).toMap
+    val n = Tables.embeddings(spark, sf).count()
+    val seeded = (0L until n).filter(_ % 25 == 0)
+    assert(rows.length == n + seeded.length)
+    // each copy clusters with exactly its source (bucket collision +
+    // cos >= 0.9 + closure), is pruned, and the source survives
+    seeded.foreach { id =>
+      assert(byId(id + 1000) == (id + 1000, id, 2L, false), s"copy of $id")
+      assert(byId(id) == (id, id, 2L, true), s"source $id")
+    }
+    // the natural pair maximum (~0.47) is far under the 0.9 cut, so
+    // every non-seeded vector must be its own singleton cluster
+    rows.filter(t => t._1 < 1000 && !seeded.contains(t._1)).foreach { t =>
+      assert(t._2 == t._1 && t._3 == 1L && t._4, s"unexpected cluster: $t")
+    }
+    assert(rows.count(!_._4) == seeded.length)
+  }
+
   test("v15: hamming shortlist + exact rerank equals a sequential recompute") {
     val got = Knn.v15(spark, sf).collect()
       .map(r => (r.getAs[Long]("qid"), r.getAs[Int]("rnk"),
