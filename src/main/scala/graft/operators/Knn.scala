@@ -1475,7 +1475,10 @@ object Knn {
     * components over DUP-PAIR nodes only, corpus rows touched once.
     *
     * The fixture seeds ground truth the d17 way: every 25th vector
-    * gets a +1000-id copy with its first coordinate shifted by
+    * gets a +10⁶-id copy (the offset clears the id range at every
+    * testdata scale — a +1000 offset collided with real ids at
+    * sf0.1's 2000 vectors and corrupted the corpus, caught by the
+    * three-scale oracle run) with its first coordinate shifted by
     * 0.1·‖v‖ — cos(v, v′) ≥ 0.99 by construction, while the
     * corpus's natural pair maximum is ~0.47 (measured) — so
     * exactly the seeded pairs (and their transitive closures)
@@ -1491,7 +1494,7 @@ object Knn {
     val raw = Tables.embeddings(spark, dir)
       .selectExpr("vec_id", "transform(embedding, x -> CAST(x AS DOUBLE)) AS v")
     val copies = raw.filter($"vec_id" % 25 === 0)
-      .selectExpr("vec_id + 1000 AS vec_id",
+      .selectExpr("vec_id + 1000000 AS vec_id",
         s"concat(array(element_at(v, 1) + 0.1 * sqrt($dotVV)), slice(v, 2, ${dim - 1})) AS v")
     val corpus = raw.unionByName(copies)
       .selectExpr("vec_id", "v", s"sqrt($dotVV) AS nrm")
@@ -1530,7 +1533,7 @@ object Knn {
     */
   val v17Sql: String = {
     s"""WITH RECURSIVE raw AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-      |cp AS (SELECT vec_id + 1000 AS vec_id,
+      |cp AS (SELECT vec_id + 1000000 AS vec_id,
       |         list_concat([v[1] + 0.1 * sqrt(list_inner_product(v, v))], v[2:$dim]) AS v
       |       FROM raw WHERE vec_id % 25 = 0),
       |corpus AS (SELECT * FROM raw UNION ALL SELECT * FROM cp),

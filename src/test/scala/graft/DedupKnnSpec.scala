@@ -1049,12 +1049,12 @@ class DedupKnnSpec extends AnyFunSuite {
     // each copy clusters with exactly its source (bucket collision +
     // cos >= 0.9 + closure), is pruned, and the source survives
     seeded.foreach { id =>
-      assert(byId(id + 1000) == (id + 1000, id, 2L, false), s"copy of $id")
+      assert(byId(id + 1000000) == (id + 1000000, id, 2L, false), s"copy of $id")
       assert(byId(id) == (id, id, 2L, true), s"source $id")
     }
     // the natural pair maximum (~0.47) is far under the 0.9 cut, so
     // every non-seeded vector must be its own singleton cluster
-    rows.filter(t => t._1 < 1000 && !seeded.contains(t._1)).foreach { t =>
+    rows.filter(t => t._1 < 1000000 && !seeded.contains(t._1)).foreach { t =>
       assert(t._2 == t._1 && t._3 == 1L && t._4, s"unexpected cluster: $t")
     }
     assert(rows.count(!_._4) == seeded.length)
