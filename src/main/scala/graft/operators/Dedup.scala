@@ -1597,14 +1597,19 @@ object Dedup {
     val shx = shingleExplode(docs.unionByName(prefixes)).cache()
     val sizes = shx.groupBy($"doc_id").agg(count(lit(1)).as("n"))
     val freq = shx.groupBy($"s").agg(count(lit(1)).as("df"))
+    // ONE materialization feeds both candidate sides: the probe's
+    // rank filter and the index's stop-shingle cut both read the
+    // (doc_id, s, df, pos) table — without the cache, the freq join
+    // and rank window would execute once per branch
     val ranked = shx.join(freq, Seq("s"))
       .withColumn("pos", row_number().over(
         Window.partitionBy($"doc_id").orderBy($"df", $"s")))
+      .cache()
     val probe = ranked.join(sizes, Seq("doc_id"))
       .filter($"pos" <= $"n" - expr("(4 * n + 4) DIV 5") + lit(1) &&
         $"df" <= bucketCap)
       .select($"doc_id".as("id_a"), $"s")
-    val index = shx.join(freq, Seq("s")).filter($"df" <= bucketCap)
+    val index = ranked.filter($"df" <= bucketCap)
       .select($"doc_id".as("id_b"), $"s")
     val cand = probe.join(index, Seq("s"))
       .filter($"id_a" =!= $"id_b")
