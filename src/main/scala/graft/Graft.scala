@@ -84,6 +84,21 @@ object Graft {
       .select(col("id"), col("lbl").as("community"))
   }
 
+  /** k-core peel-depth labels (g7's core) over an UNDIRECTED edge
+    * list (src, dst) — symmetrize/canonicalize here; returns (id,
+    * peel_round, core_deg) for every endpoint after `rounds`
+    * synchronous sweeps at threshold `k` (peel_round 0 = still in
+    * the core, core_deg = degree inside the surviving subgraph).
+    */
+  def kcore(edges: DataFrame, k: Int = 3, rounds: Int = 8): DataFrame = {
+    val und = edges.filter(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b")).distinct()
+    val nodes = und.select(col("a").as("id"))
+      .unionAll(und.select(col("b").as("id"))).distinct()
+    operators.Graph.kcorePeel(nodes, und, k, rounds)
+  }
+
   // ---- skew tooling ----
   /** Split-and-broadcast equi-join for a skewed probe side against a
     * unique-keyed build side (see [[operators.Skew.hotKeyJoin]]).

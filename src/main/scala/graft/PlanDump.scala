@@ -105,6 +105,8 @@ object PlanDump {
       "v16_knn_graph" -> "kNN graph: id-only capped bucket self-join, vectors attach by pk at scoring, two-level per-source rank",
       "g6_label_communities" -> "LPA communities: per-round edges-labels equality join + map-side vote count + struct-min argmax (final round's plan)",
       "v17_semdedup" -> "SemDeDup pruning: capped bucket self-join edges, components over dup-pair nodes only, one id join back (final round's plan)",
+      "g7_kcore" -> "k-core peel: per-sweep degree aggregate + survivor left-join + two id-only semi-joins over checkpointed state (final sweep's plan)",
+      "g8_ppr" -> "personalized PageRank: g1's edges-rank equality join + dst partial aggregate, seed teleport as pure key arithmetic (final round's plan)",
     )
     val sb = new StringBuilder
     sb.append("# PLANS — formatted physical plans (generated by graft.PlanDump at sf0.001)\n")

@@ -489,6 +489,259 @@ object Graph {
     labels
   }
 
+  // ---------- g7: k-core peeling ----------
+
+  private val g7K = 2
+  private val g7Rounds = 12
+
+  /** g7: K-CORE PEELING (Seidman 1983, Social Networks 5; the
+    * distributed formulation of Montresor/De Pellegrini/Miorandi
+    * 2013) over the undirected link graph — the density filter a
+    * crawl pipeline runs AFTER g4's components and g6's communities:
+    * the k-core is the maximal subgraph where every node keeps ≥ k
+    * neighbors, and peel depth (how many sweeps a node survives) is
+    * the standard cheap proxy for "how embedded is this page in its
+    * link neighborhood" (low peel depth = fringe/doorway pages, the
+    * first candidates a quota pass drops).
+    *
+    * Graph: g1's arithmetic multiset is too regular for peeling
+    * (min degree ≥ k for any interesting k), so g7 derives the
+    * crawl-frontier shape peeling is actually run on — 10-page
+    * "site chains" (id → id+1 within each aligned block of 10)
+    * whose HEAD pages (id % 10 = 0) hub-link to two other heads
+    * ((id·31+7) % N and (id·17+3) % N, snapped down to their chain
+    * head). Peel depth then reads as distance from the hub core:
+    * chain tails peel in sweep 1, the cascade climbs one hop per
+    * sweep, and the 2-core that remains is the hub-linked head web.
+    *
+    * Semantics: [[g7Rounds]] synchronous peeling sweeps at k =
+    * [[g7K]] — each sweep simultaneously removes every node whose
+    * CURRENT degree is < k (zero-degree/edgeless nodes peel in sweep
+    * 1) and drops its incident edges. Each sweep is a pure function
+    * of the previous survivor set, so a fixed sweep count is a
+    * bitwise cross-engine contract (g6's snapshot-at-round-R
+    * argument); at the fixpoint further sweeps are no-ops (this
+    * graph converges in 10 sweeps at all three test scales — the
+    * spec proves fixpoint-within-R plus the true 3-core on a
+    * synthetic clique+chain). Output per node: `peel_round` (sweep
+    * that removed it, 0 = survived all sweeps) and `core_deg` (its
+    * degree inside the surviving subgraph, 0 if peeled).
+    *
+    * Scale shape per sweep: one both-endpoint degree aggregate
+    * (map-side combined), one survivor left-join + filter, two
+    * id-only semi-joins restricting the edge set — all equality
+    * exchanges on the node key; ids are 8-byte ints, state
+    * lineage-cut per sweep (g1/q27 discipline). Peeled rows are
+    * checkpointed per sweep and unioned once at the end (R tiny
+    * frames, no lineage growth). At 100 TB the edge table
+    * co-partitions by endpoint across sweeps so each sweep reuses
+    * one partitioning.
+    */
+  def g7(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val nodes = Tables.customer(spark, dir).select($"c_custkey".as("id")).cache()
+    val n = nodes.count()
+    val e0 = nodes.filter($"id" % 10 =!= 9 && $"id" + 1 < n)
+      .selectExpr("id AS src", "id + 1 AS dst")
+      .unionAll(nodes.filter($"id" % 10 === 0).selectExpr("id AS src",
+        s"((id * 31 + 7) % $n) - ((id * 31 + 7) % $n) % 10 AS dst"))
+      .unionAll(nodes.filter($"id" % 10 === 0).selectExpr("id AS src",
+        s"((id * 17 + 3) % $n) - ((id * 17 + 3) % $n) % 10 AS dst"))
+    val und = e0.filter($"src" =!= $"dst")
+      .selectExpr("least(src, dst) AS a", "greatest(src, dst) AS b").distinct()
+    kcorePeel(nodes, und, g7K, g7Rounds)
+      .select($"id".as("c_custkey"), $"peel_round", $"core_deg")
+      .transform(Tables.ordered(_, $"c_custkey"))
+  }
+
+  /** The reusable peeling core of [[g7]] (exposed as `Graft.kcore`):
+    * `nodes` is (id), `und` a canonical undirected (a, b) edge list
+    * with a < b, no duplicates; returns (id, peel_round, core_deg)
+    * after `rounds` synchronous sweeps at threshold `k` — per-sweep
+    * state lineage-cut, peeled rows checkpointed per sweep and
+    * unioned once at the end.
+    */
+  private[graft] def kcorePeel(nodes: DataFrame, und: DataFrame,
+      k: Int, rounds: Int): DataFrame = {
+    val spark = nodes.sparkSession
+    import spark.implicits._
+    var act = nodes.localCheckpoint()
+    var ed = und.localCheckpoint()
+    val peeled = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    (1 to rounds).foreach { i =>
+      val deg = ed.selectExpr("a AS id").unionAll(ed.selectExpr("b AS id"))
+        .groupBy($"id").agg(count(lit(1)).as("d"))
+      val next = act.join(deg, Seq("id"), "left_outer")
+        .filter(coalesce($"d", lit(0L)) >= k)
+        .select($"id").localCheckpoint()
+      val gone = act.join(next, Seq("id"), "left_anti")
+        .withColumn("peel_round", lit(i.toLong)).localCheckpoint()
+      val edNext = ed
+        .join(next.withColumnRenamed("id", "a"), Seq("a"), "left_semi")
+        .join(next.withColumnRenamed("id", "b"), Seq("b"), "left_semi")
+        .select($"a", $"b").localCheckpoint()
+      peeled += gone
+      graft.functions.Lineage.freeCheckpoint(act)
+      graft.functions.Lineage.freeCheckpoint(ed)
+      act = next
+      ed = edNext
+    }
+    val coreDeg = ed.selectExpr("a AS id").unionAll(ed.selectExpr("b AS id"))
+      .groupBy($"id").agg(count(lit(1)).as("cd"))
+    val peelAll = peeled.reduce(_ unionAll _)
+    nodes.join(peelAll, Seq("id"), "left_outer")
+      .join(coreDeg, Seq("id"), "left_outer")
+      .select($"id",
+        coalesce($"peel_round", lit(0L)).as("peel_round"),
+        coalesce($"cd", lit(0L)).as("core_deg"))
+  }
+
+  /** g7 oracle: the identical sweeps unrolled — per sweep a degree
+    * CTE, the survivor set (inner join drops zero-degree nodes, so
+    * only d ≥ k survives — k > 0), the peeled complement, and the
+    * restricted edge set; the final left joins re-attach peel round
+    * and core degree to every node.
+    */
+  val g7Sql: String = {
+    val rounds = (1 to g7Rounds).map { i =>
+      val p = i - 1
+      s"""kd$i AS MATERIALIZED (SELECT id, count(*) AS d
+         |         FROM (SELECT a AS id FROM eu$p UNION ALL SELECT b FROM eu$p)
+         |         GROUP BY id),
+         |act$i AS MATERIALIZED (SELECT a.id FROM act$p a JOIN kd$i d ON d.id = a.id WHERE d.d >= $g7K),
+         |peel$i AS MATERIALIZED (SELECT a.id, CAST($i AS BIGINT) AS peel_round
+         |           FROM act$p a WHERE a.id NOT IN (SELECT id FROM act$i)),
+         |eu$i AS MATERIALIZED (SELECT e.a, e.b FROM eu$p e
+         |         JOIN act$i x ON x.id = e.a JOIN act$i y ON y.id = e.b)""".stripMargin
+    }.mkString(",\n")
+    val peelUnion = (1 to g7Rounds).map(i => s"SELECT * FROM peel$i")
+      .mkString(" UNION ALL ")
+    s"""WITH nn AS (SELECT count(*) AS n FROM customer),
+      |nodes AS (SELECT c_custkey AS id FROM customer),
+      |e0 AS (SELECT id AS src, id + 1 AS dst FROM nodes, nn
+      |         WHERE id % 10 <> 9 AND id + 1 < nn.n
+      |       UNION ALL
+      |       SELECT id, ((id * 31 + 7) % nn.n) - ((id * 31 + 7) % nn.n) % 10
+      |         FROM nodes, nn WHERE id % 10 = 0
+      |       UNION ALL
+      |       SELECT id, ((id * 17 + 3) % nn.n) - ((id * 17 + 3) % nn.n) % 10
+      |         FROM nodes, nn WHERE id % 10 = 0),
+      |eu0 AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+      |        FROM e0 WHERE src <> dst),
+      |act0 AS (SELECT id FROM nodes),
+      |$rounds,
+      |cd AS (SELECT id, CAST(count(*) AS BIGINT) AS core_deg
+      |       FROM (SELECT a AS id FROM eu$g7Rounds UNION ALL SELECT b FROM eu$g7Rounds)
+      |       GROUP BY id),
+      |pall AS ($peelUnion)
+      |SELECT n.id AS c_custkey,
+      |       CAST(coalesce(p.peel_round, 0) AS BIGINT) AS peel_round,
+      |       CAST(coalesce(cd.core_deg, 0) AS BIGINT) AS core_deg
+      |FROM nodes n
+      |LEFT JOIN pall p ON p.id = n.id
+      |LEFT JOIN cd ON cd.id = n.id
+      |ORDER BY c_custkey""".stripMargin
+  }
+
+  // ---------- g8: personalized PageRank ----------
+
+  private val g8Rounds = 10
+  private val g8SeedMod = 97L
+
+  /** g8: PERSONALIZED PAGERANK (topic-sensitive PageRank,
+    * Haveliwala 2002 WWW; Jeh & Widom 2003) — g1's power method with
+    * the teleport vector restricted to a SEED SET instead of uniform:
+    * rank mass re-enters only at seeds, so scores measure proximity
+    * to the seeds through the link structure. This is the standard
+    * crawl-frontier expansion signal: seed the pages you trust
+    * (here the arithmetic set id % [[g8SeedMod]] = 0), rank
+    * everything else by how much seed-originated mass reaches it,
+    * crawl/keep the top of that ranking (the "harvest" ordering a
+    * focused crawler runs).
+    *
+    * Integerization is g1's exactly: all-BIGINT mass, share(u) =
+    * ((r·85) div 100) div deg per out-edge, teleport base =
+    * (S·15/100) div nseed paid ONLY to seeds, initial mass S div
+    * nseed at seeds and 0 elsewhere. Truncation loss is
+    * deterministic and identical cross-engine (g1's fixed-point
+    * argument). Non-seeds with no in-links correctly converge to 0.
+    *
+    * Scale shape: identical to g1 — per round one edges⋈rank
+    * equality join + one dst partial aggregate, loop-invariant
+    * out-degree folded into the cached edge table once, state
+    * lineage-cut per round. The seed predicate is pure key
+    * arithmetic (no seed-table join anywhere in the loop).
+    */
+  def g8(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val nodes = Tables.customer(spark, dir).select($"c_custkey".as("id")).cache()
+    val n = nodes.count()
+    val edges = nodes.selectExpr("id AS src", s"(id * 31 + 7) % $n AS dst")
+      .unionAll(nodes.selectExpr("id AS src", s"(id * 17 + 3) % $n AS dst"))
+      .unionAll(nodes.filter($"id" >= 2).selectExpr("id AS src", "id div 2 AS dst"))
+    val linked = edges
+      .join(edges.groupBy($"src").agg(count(lit(1)).as("deg")), Seq("src"))
+      .cache()
+    val nseed = nodes.filter($"id" % g8SeedMod === 0).count()
+    require(nseed > 0, "g8 seed set is empty")
+    val base = (massS * 15L / 100L) / nseed
+    val init = massS / nseed
+    var rank = nodes.selectExpr("id",
+      s"CASE WHEN id % $g8SeedMod = 0 THEN CAST($init AS BIGINT) " +
+        s"ELSE CAST(0 AS BIGINT) END AS r").localCheckpoint()
+    (1 to g8Rounds).foreach { _ =>
+      val contrib = linked
+        .join(rank.withColumnRenamed("id", "src"), Seq("src"))
+        .selectExpr("dst", "((r * 85) div 100) div deg AS share")
+        .groupBy($"dst").agg(sum($"share").as("m"))
+      val next = nodes
+        .join(contrib.withColumnRenamed("dst", "id"), Seq("id"), "left_outer")
+        .selectExpr("id",
+          s"CASE WHEN id % $g8SeedMod = 0 THEN CAST($base AS BIGINT) " +
+            s"ELSE CAST(0 AS BIGINT) END + coalesce(m, CAST(0 AS BIGINT)) AS r")
+        .localCheckpoint()
+      graft.functions.Lineage.freeCheckpoint(rank)
+      rank = next
+    }
+    rank.selectExpr("id AS c_custkey", "r AS ppr_mass",
+      s"CAST(CASE WHEN id % $g8SeedMod = 0 THEN 1 ELSE 0 END AS BIGINT) AS is_seed")
+      .transform(graft.Tables.ordered(_, $"c_custkey"))
+  }
+
+  /** g8 oracle: g1's unrolled integer power method with the seeded
+    * teleport — base mass CASEs onto seeds only.
+    */
+  val g8Sql: String = {
+    val rounds = (1 to g8Rounds).map { i =>
+      s"""c$i AS (SELECT e.dst, ((r.r * 85) // 100) // d.deg AS share
+         |        FROM e JOIN r${i - 1} r ON r.id = e.src JOIN deg d ON d.src = e.src),
+         |r$i AS (SELECT nd.id,
+         |          CASE WHEN nd.id % $g8SeedMod = 0 THEN b.base ELSE CAST(0 AS BIGINT) END
+         |            + coalesce(s.m, 0) AS r
+         |        FROM nodes nd
+         |        LEFT JOIN (SELECT dst, CAST(sum(share) AS BIGINT) AS m FROM c$i GROUP BY dst) s
+         |          ON s.dst = nd.id
+         |        CROSS JOIN bs b)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH nn AS (SELECT count(*) AS n FROM customer),
+      |nodes AS (SELECT c_custkey AS id FROM customer),
+      |sn AS (SELECT count(*) AS ns FROM nodes WHERE id % $g8SeedMod = 0),
+      |e AS (SELECT id AS src, (id * 31 + 7) % nn.n AS dst FROM nodes, nn
+      |      UNION ALL SELECT id, (id * 17 + 3) % nn.n FROM nodes, nn
+      |      UNION ALL SELECT id, id // 2 FROM nodes WHERE id >= 2),
+      |deg AS (SELECT src, count(*) AS deg FROM e GROUP BY src),
+      |bs AS (SELECT CAST(($massS * 15 / 100) // ns AS BIGINT) AS base FROM sn),
+      |r0 AS (SELECT id,
+      |         CASE WHEN id % $g8SeedMod = 0 THEN CAST($massS // sn.ns AS BIGINT)
+      |              ELSE CAST(0 AS BIGINT) END AS r
+      |       FROM nodes, sn),
+      |$rounds
+      |SELECT id AS c_custkey, CAST(r AS BIGINT) AS ppr_mass,
+      |       CAST(CASE WHEN id % $g8SeedMod = 0 THEN 1 ELSE 0 END AS BIGINT) AS is_seed
+      |FROM r$g8Rounds
+      |ORDER BY c_custkey""".stripMargin
+  }
+
   /** g6 oracle: the same synchronous rounds unrolled as generated
     * CTEs — votes, (cnt DESC, lbl) argmax via row_number, isolated
     * nodes keep their label.

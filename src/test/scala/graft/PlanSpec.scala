@@ -456,6 +456,21 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("g7/g8: iterative graph rounds are equality joins over checkpointed state — no cartesian, no window") {
+    Seq(graft.operators.Graph.g7(spark, sf),
+        graft.operators.Graph.g8(spark, sf)).foreach { df =>
+      val p = plan(df)
+      assert(!p.contains("CartesianProduct") &&
+        !p.contains("BroadcastNestedLoopJoin"), s"non-equality join:\n$p")
+      // the loop state enters the final round as a checkpointed RDD
+      // scan, not a re-derived lineage (the g1/q27 iterative contract)
+      assert(p.contains("Scan ExistingRDD"), s"no checkpointed state leaf:\n$p")
+      // per-node results come from joins and aggregates only — a
+      // node-grain window would serialize on the single node key
+      assert(!p.contains("Window ("), s"unexpected window:\n$p")
+    }
+  }
+
   test("q33: the only single-partition work rides the bucket/presentation grain") {
     val p = plan(Relational.q33(spark, sf)).split("== Initial Plan ==")(0)
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))

@@ -1114,4 +1114,108 @@ class RelationalSpec extends AnyFunSuite {
     // conservation: total sketch mass = d x input rows
     assert(whole.values.sum == graft.functions.Cms.d * li.count())
   }
+
+  test("g7: peeling equals a sequential recompute; clique+chain reaches the true 3-core") {
+    val got = graft.operators.Graph.g7(spark, sf).collect()
+      .map(r => (r.getAs[Long]("c_custkey"), r.getAs[Long]("peel_round"),
+        r.getAs[Long]("core_deg"))).toSet
+    val n = Tables.customer(spark, sf).count()
+    // independent sequential mirror: same chain+hub edges, 12
+    // synchronous sweeps at k=2
+    var und = (0L until n).flatMap { id =>
+      val chain = if (id % 10 != 9 && id + 1 < n) Seq((id, id + 1)) else Seq.empty
+      val hubs = if (id % 10 == 0) {
+        val h1 = (id * 31 + 7) % n
+        val h2 = (id * 17 + 3) % n
+        Seq((id, h1 - h1 % 10), (id, h2 - h2 % 10))
+      } else Seq.empty
+      chain ++ hubs
+    }.filter { case (a, b) => a != b }
+      .map { case (a, b) => (math.min(a, b), math.max(a, b)) }.distinct
+    var active = (0L until n).toSet
+    val peelAt = scala.collection.mutable.Map.empty[Long, Long]
+    (1 to 12).foreach { i =>
+      val deg = (und.map(_._1) ++ und.map(_._2)).groupBy(identity)
+        .view.mapValues(_.size.toLong).toMap
+      val gone = active.filter(id => deg.getOrElse(id, 0L) < 2L)
+      gone.foreach(peelAt(_) = i.toLong)
+      active = active -- gone
+      und = und.filter { case (a, b) => active(a) && active(b) }
+    }
+    val cd = (und.map(_._1) ++ und.map(_._2)).groupBy(identity)
+      .view.mapValues(_.size.toLong).toMap
+    val want = (0L until n).map { id =>
+      (id, peelAt.getOrElse(id, 0L), if (active(id)) cd.getOrElse(id, 0L) else 0L)
+    }.toSet
+    assert(got == want)
+    // the result must be non-trivial in both directions, and the
+    // cascade must be DEEP — the chain structure peels one hop per
+    // sweep, which is exactly what multi-sweep peeling is for
+    assert(peelAt.nonEmpty, "nothing peeled")
+    assert(active.nonEmpty, "2-core empty — peel rounds prove nothing")
+    assert(peelAt.values.max >= 9L, s"cascade too shallow: ${peelAt.values.max}")
+    // fixpoint within the sweep budget: nothing peeled in the final
+    // sweep, so every survivor provably keeps >= k core neighbors
+    assert(!peelAt.values.exists(_ == 12L), "not converged within 12 sweeps")
+    active.foreach(id => assert(cd.getOrElse(id, 0L) >= 2L))
+    // synthetic fixpoint: K5 clique + pendant chain — the true
+    // 3-core is exactly the clique, reached well inside 8 sweeps
+    val cliqueEdges = for (a <- 0L to 4L; b <- a + 1 to 4L) yield (a, b)
+    val chain = Seq((4L, 5L), (5L, 6L), (6L, 7L))
+    val edf = spark.createDataFrame((cliqueEdges ++ chain)).toDF("a", "b")
+    val ndf = spark.range(8).toDF("id")
+    val byId = graft.operators.Graph.kcorePeel(ndf, edf, 3, 8).collect()
+      .map(r => (r.getAs[Long]("id"),
+        (r.getAs[Long]("peel_round"), r.getAs[Long]("core_deg")))).toMap
+    (0L to 4L).foreach { id =>
+      assert(byId(id) == (0L, 4L), s"clique node $id: ${byId(id)}")
+    }
+    (5L to 7L).foreach { id =>
+      assert(byId(id)._1 > 0L && byId(id)._2 == 0L, s"chain node $id: ${byId(id)}")
+    }
+    assert(byId.size == 8)
+  }
+
+  test("g8: personalized ranks equal a sequential integer recompute; mass stays near seeds") {
+    val got = graft.operators.Graph.g8(spark, sf).collect()
+      .map(r => (r.getAs[Long]("c_custkey"), r.getAs[Long]("ppr_mass"),
+        r.getAs[Long]("is_seed")))
+    val n = Tables.customer(spark, sf).count()
+    val s = 1000000000000L
+    val edges = (0L until n).flatMap { id =>
+      Seq((id, (id * 31 + 7) % n), (id, (id * 17 + 3) % n)) ++
+        (if (id >= 2) Seq((id, id / 2)) else Seq.empty)
+    }
+    val deg = edges.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val seeds = (0L until n).filter(_ % 97 == 0)
+    val base = (s * 15L / 100L) / seeds.size
+    var r = (0L until n).map(id => if (id % 97 == 0) s / seeds.size else 0L).toArray
+    (1 to 10).foreach { _ =>
+      val in = Array.fill(n.toInt)(0L)
+      edges.foreach { case (u, v) =>
+        in(v.toInt) += ((r(u.toInt) * 85L) / 100L) / deg(u)
+      }
+      r = (0L until n).map(id =>
+        (if (id % 97 == 0) base else 0L) + in(id.toInt)).toArray
+    }
+    got.foreach { case (id, mass, isSeed) =>
+      assert(mass == r(id.toInt), s"node $id: $mass != ${r(id.toInt)}")
+      assert(isSeed == (if (id % 97 == 0) 1L else 0L))
+    }
+    // personalization must bite: seeds hold far more than their
+    // uniform share of the total surviving mass, and some non-seed
+    // reachable from a seed has positive mass while distant nodes
+    // hold zero
+    val total = got.map(_._2).sum
+    val seedMass = got.filter(_._3 == 1L).map(_._2).sum
+    assert(seedMass * n > total * seeds.size * 5L,
+      s"seeds not concentrated: $seedMass / $total")
+    assert(got.exists(g => g._3 == 0L && g._2 > 0L))
+    // and the non-seed mass must be strongly non-uniform: nodes near
+    // a seed hold orders of magnitude more than the fringe (uniform
+    // teleport — plain g1 — would keep the spread within ~one order)
+    val nonSeed = got.filter(_._3 == 0L).map(_._2)
+    assert(nonSeed.max > 20L * math.max(nonSeed.min, 1L),
+      s"non-seed spread too flat: ${nonSeed.min}..${nonSeed.max}")
+  }
 }
