@@ -1261,4 +1261,90 @@ object TextStats {
       |HAVING sum(sgn) <> 0
       |ORDER BY doc_id, dim""".stripMargin
   }
+
+  // ---------- t25: co-occurrence lift ----------
+
+  private val t25Window = 3
+  private val t25MinCount = 5L
+
+  /** t25: WINDOWED CO-OCCURRENCE with LIFT scoring (association
+    * ratio, Church & Hanks 1990 "Word association norms, mutual
+    * information, and lexicography" — lift is their PMI without the
+    * log) — the collocation/phrase-mining pass a corpus pipeline
+    * runs to find multi-word expressions worth protecting from
+    * tokenizer splits and to build distributional features: pairs
+    * of words appearing within [[t25Window]] positions far more
+    * often than their unigram frequencies predict.
+    *
+    * Determinism: PMI's log is a transcendental whose cross-engine
+    * reproducibility we never rely on (§8 discipline); lift(a,b) =
+    * P(a,b)/(P(a)P(b)) = (pair_cnt · N) / (cnt_a · cnt_b) is two
+    * EXACT BIGINT products (all counts ≪ 2^26 even at 100 TB per
+    * partition-of-interest; document the 2^53 exactness bound) and
+    * ONE IEEE division — bitwise identical everywhere. Ranking by
+    * lift downstream equals ranking by PMI (log is monotone).
+    *
+    * Scale shape: pair generation is a PURE NARROW MAP — a nested
+    * array transform enumerates the ≤ W·len in-window pairs per doc
+    * (canonicalized least/greatest so (a,b) and (b,a) merge), no
+    * positional self-join anywhere. Then ONE (w1, w2) aggregate
+    * with map-side combine, bounded by min(Σ W·len, vocab²); the
+    * ≥ [[t25MinCount]] filter cuts the hapax tail before the two
+    * vocab-sized unigram equality joins; N rides a 1-row broadcast
+    * (g2's idiom). Token strings shuffle once, at pair grain.
+    */
+  def t25(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Tables.documents(spark, dir)
+      .selectExpr("doc_id", "split(lower(trim(text)), ' ') AS words")
+    val toks = w.selectExpr("explode(words) AS term")
+    val uni = toks.groupBy($"term").agg(count(lit(1)).as("cnt"))
+    // N = Σ unigram counts — derived from the vocab-sized count
+    // table, NOT a third corpus scan
+    val ntot = uni.agg(sum($"cnt").as("n_tokens"))
+    val pairs = w.filter(size($"words") >= 2)
+      .selectExpr(
+        s"""explode(flatten(transform(sequence(0, size(words) - 2), i ->
+           |  transform(sequence(i + 1, least(i + $t25Window, size(words) - 1)), j ->
+           |    struct(least(element_at(words, i + 1), element_at(words, j + 1)) AS w1,
+           |           greatest(element_at(words, i + 1), element_at(words, j + 1)) AS w2)))))
+           |  AS pr""".stripMargin)
+      .selectExpr("pr.w1 AS w1", "pr.w2 AS w2")
+      .groupBy($"w1", $"w2").agg(count(lit(1)).as("pair_cnt"))
+      .filter($"pair_cnt" >= t25MinCount)
+    pairs
+      .join(uni.withColumnRenamed("term", "w1").withColumnRenamed("cnt", "cnt_a"), Seq("w1"))
+      .join(uni.withColumnRenamed("term", "w2").withColumnRenamed("cnt", "cnt_b"), Seq("w2"))
+      .crossJoin(broadcast(ntot))
+      .selectExpr("w1", "w2", "pair_cnt", "cnt_a", "cnt_b",
+        "CAST(pair_cnt * n_tokens AS DOUBLE) / CAST(cnt_a * cnt_b AS DOUBLE) AS lift")
+      .transform(graft.Tables.ordered(_, $"w1", $"w2"))
+  }
+
+  /** t25 oracle: the identical nested list comprehension (DuckDB
+    * 1-based list indexing; range(a, b) is [a, b) like Spark's
+    * sequence endpoints shifted), identical canonical pair grain and
+    * single-division lift.
+    */
+  val t25Sql: String =
+    s"""WITH w AS (SELECT doc_id, string_split(lower(trim(text)), ' ') AS words
+      |           FROM documents),
+      |toks AS (SELECT unnest(words) AS term FROM w),
+      |uni AS (SELECT term, CAST(count(*) AS BIGINT) AS cnt FROM toks GROUP BY term),
+      |nt AS (SELECT CAST(sum(cnt) AS BIGINT) AS n_tokens FROM uni),
+      |pr AS (SELECT unnest(flatten(list_transform(range(0, len(words) - 1), i ->
+      |         list_transform(range(i + 1, least(i + $t25Window, len(words) - 1) + 1), j ->
+      |           [least(words[i + 1], words[j + 1]),
+      |            greatest(words[i + 1], words[j + 1])])))) AS p
+      |       FROM w WHERE len(words) >= 2),
+      |pairs AS (SELECT p[1] AS w1, p[2] AS w2, CAST(count(*) AS BIGINT) AS pair_cnt
+      |          FROM pr GROUP BY 1, 2 HAVING count(*) >= $t25MinCount)
+      |SELECT p.w1, p.w2, p.pair_cnt, a.cnt AS cnt_a, b.cnt AS cnt_b,
+      |       CAST(p.pair_cnt * nt.n_tokens AS DOUBLE)
+      |         / CAST(a.cnt * b.cnt AS DOUBLE) AS lift
+      |FROM pairs p
+      |JOIN uni a ON a.term = p.w1
+      |JOIN uni b ON b.term = p.w2
+      |CROSS JOIN nt
+      |ORDER BY w1, w2""".stripMargin
 }

@@ -1219,4 +1219,38 @@ class DedupKnnSpec extends AnyFunSuite {
     assert(rows.map(_._2).sum == docs.length, "every doc lands in exactly one group")
     assert(rows.length < docs.length, "the URL noise actually collapses")
   }
+
+  test("t25: co-occurrence lift equals a sequential recompute; lift separates pairs") {
+    val got = TextStats.t25(spark, sf).collect()
+      .map(r => (r.getAs[String]("w1"), r.getAs[String]("w2"),
+        r.getAs[Long]("pair_cnt"), r.getAs[Long]("cnt_a"),
+        r.getAs[Long]("cnt_b"), r.getAs[Double]("lift")))
+    val docs = Tables.documents(spark, sf)
+      .selectExpr("lower(trim(text)) AS t").as[String].collect()
+    val toks = docs.map(_.split(" ", -1).toSeq)
+    val uni = toks.flatten.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val n = toks.map(_.size.toLong).sum
+    val pairCnt = scala.collection.mutable.Map.empty[(String, String), Long]
+    toks.foreach { ws =>
+      for (i <- 0 until ws.length - 1; j <- i + 1 to math.min(i + 3, ws.length - 1)) {
+        val k = if (ws(i) <= ws(j)) (ws(i), ws(j)) else (ws(j), ws(i))
+        pairCnt(k) = pairCnt.getOrElse(k, 0L) + 1L
+      }
+    }
+    val want = pairCnt.filter(_._2 >= 5L).toSeq.map { case ((a, b), c) =>
+      (a, b, c, uni(a), uni(b), (c * n).toDouble / (uni(a) * uni(b)).toDouble)
+    }.sortBy(x => (x._1, x._2))
+    assert(got.toSeq == want, s"got=${got.length} want=${want.length}")
+    assert(got.nonEmpty)
+    // lift must actually separate: the strongest collocation scores
+    // far above the weakest surviving pair — a flat lift surface
+    // would mean the window count carries no signal beyond unigram
+    // frequency (at tiny corpus scale all survivors sit above 1, so
+    // the spread, not the absolute level, is the discriminator)
+    assert(got.exists(_._6 > 1.5) && got.map(_._6).max > 10.0 * got.map(_._6).min,
+      s"lift range: ${got.map(_._6).min}..${got.map(_._6).max}")
+    // canonical pair grain: w1 <= w2 always, no duplicate pairs
+    got.foreach { case (a, b, _, _, _, _) => assert(a <= b) }
+    assert(got.map(x => (x._1, x._2)).distinct.length == got.length)
+  }
 }

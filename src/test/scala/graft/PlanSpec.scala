@@ -556,6 +556,20 @@ class PlanSpec extends AnyFunSuite {
       s"cumulative window not cohort-partitioned:\n$peFull")
   }
 
+  test("t25: pair generation is a narrow map — two corpus scans, no positional self-join") {
+    val p = plan(graft.operators.TextStats.t25(spark, sf))
+      .split("== Initial Plan ==")(0)
+    assert(!p.contains("CartesianProduct"))
+    // the only nested-loop is the 1-row N broadcast
+    val bnlj = "BroadcastNestedLoopJoin ([a-zA-Z]+)".r.findAllMatchIn(p).map(_.group(1)).toSeq
+    assert(bnlj.forall(_ == "Cross") && bnlj.length <= 1, s"non-cross nested-loop: $bnlj")
+    // in-window pairs come from the array transform, never a
+    // positional token self-join: documents is scanned exactly twice
+    // (pair arm + unigram arm; N derives from the unigram table)
+    assert("Scan parquet".r.findAllIn(p).length == 2, s"scan count:\n$p")
+    assert(!p.contains("Window ("), s"unexpected window:\n$p")
+  }
+
   test("v16: the kNN-graph self-join stays on equality joins — no cartesian") {
     val p = plan(graft.operators.Knn.v16(spark, sf))
       .split("== Initial Plan ==")(0)
