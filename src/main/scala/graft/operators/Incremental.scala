@@ -113,4 +113,79 @@ object Incremental {
       |  CAST(floor(l_extendedprice * (1 - l_discount) * 1e2 + 0.5) AS BIGINT) AS rev_cents
       |FROM lineitem JOIN orders ON o_orderkey = l_orderkey
       |ORDER BY l_orderkey, l_linenumber""".stripMargin
+
+  // ---------- p11: time travel ----------
+
+  /** p11: TIME-TRAVEL READS over a multi-version store — the AS OF
+    * query every versioned table format owes its consumers (Delta/
+    * Iceberg `VERSION AS OF`; the reference's GCS object store keeps
+    * the same superseded-generation readability): reproduce
+    * yesterday's training run, audit what a model saw, diff survivor
+    * sets across curation policies. [[graft.sources.ForecastStore]]
+    * already writes one immutable directory per version behind an
+    * atomic CURRENT swap; this operator adds the reader half —
+    * `loadVersion` (any retained version by name) and `versions`
+    * (the readable history) — and gates it end-to-end.
+    *
+    * The gate stages three order-book snapshots (ingest cutoffs
+    * 1997-01-01 / 1999-01-01 / all — three growing versions, v2
+    * current), then answers an audit per RETAINED version by READING
+    * it back: row count and exact-cents total. The oracle recomputes
+    * each snapshot from the live table — proving the stored bytes
+    * still equal what the cutoff semantics say they held, i.e. that
+    * superseded versions are immutable and faithful.
+    *
+    * Scale shape: each AS OF read is one parquet scan of that
+    * version's directory (pushdown intact — it's just a path);
+    * per-version audits are single map-side-combined aggregates;
+    * the version list is a driver-side directory listing (bounded
+    * by the retention policy, never by data size). At 100 TB,
+    * snapshot-per-version becomes manifest-per-version (only Δ
+    * files new, the Delta/Iceberg trick) with identical read
+    * semantics; vacuum(keep=N) = N readable points in time.
+    */
+  def p11(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    def ts(s: String) = java.sql.Timestamp.valueOf(s + " 00:00:00")
+    val ords = Tables.orders(spark, dir).selectExpr("o_orderkey",
+      "CAST(floor(o_totalprice * 1e2 + 0.5) AS BIGINT) AS total_cents",
+      "o_orderdate")
+    val storeDir = java.nio.file.Files
+      .createTempDirectory("graft_p11_store_").toFile
+    val store = new graft.sources.ForecastStore(storeDir.getAbsolutePath)
+    store.save(ords.filter($"o_orderdate" < lit(ts("1997-01-01")))
+      .drop("o_orderdate"), "v0")
+    store.save(ords.filter($"o_orderdate" < lit(ts("1999-01-01")))
+      .drop("o_orderdate"), "v1")
+    store.save(ords.drop("o_orderdate"), "v2")
+    store.versions().map { case (v, isCur) =>
+      store.loadVersion(spark, v).get
+        .agg(count(lit(1)).as("n_orders"), sum($"total_cents").as("sum_cents"))
+        .select(lit(v).as("version"),
+          lit(if (isCur) 1L else 0L).as("is_current"),
+          $"n_orders", $"sum_cents")
+    }.reduce(_ unionAll _)
+      .transform(Tables.ordered(_, $"version"))
+  }
+
+  /** p11 oracle: each snapshot recomputed from the live table under
+    * its ingest cutoff — stored versions must still equal this.
+    */
+  val p11Sql: String =
+    """WITH o AS (SELECT o_orderkey,
+      |  CAST(floor(o_totalprice * 1e2 + 0.5) AS BIGINT) AS total_cents,
+      |  o_orderdate FROM orders)
+      |SELECT 'v0' AS version, CAST(0 AS BIGINT) AS is_current,
+      |       CAST(count(*) AS BIGINT) AS n_orders,
+      |       CAST(sum(total_cents) AS BIGINT) AS sum_cents
+      |FROM o WHERE o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+      |UNION ALL
+      |SELECT 'v1', CAST(0 AS BIGINT), CAST(count(*) AS BIGINT),
+      |       CAST(sum(total_cents) AS BIGINT)
+      |FROM o WHERE o_orderdate < TIMESTAMP '1999-01-01 00:00:00'
+      |UNION ALL
+      |SELECT 'v2', CAST(1 AS BIGINT), CAST(count(*) AS BIGINT),
+      |       CAST(sum(total_cents) AS BIGINT)
+      |FROM o
+      |ORDER BY version""".stripMargin
 }

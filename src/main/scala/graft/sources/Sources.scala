@@ -70,6 +70,34 @@ class ForecastStore(root: String) {
       StandardCopyOption.REPLACE_EXISTING)
   }
 
+  /** TIME TRAVEL: read a specific stored version by name, whether or
+    * not it is current — the AS OF read every versioned store owes
+    * its consumers (reproducing yesterday's training run, auditing
+    * what a model saw, diffing survivor sets across curation
+    * policies). A version is immutable once written (save() never
+    * rewrites an existing dir, it swaps the CURRENT marker), so this
+    * read is stable under concurrent writers; it races only vacuum,
+    * which is the retention contract (keep N versions = N readable
+    * points in time).
+    */
+  def loadVersion(spark: SparkSession, version: String): Option[DataFrame] = {
+    val dir = Paths.get(root, version)
+    if (Files.isDirectory(dir)) Some(spark.read.parquet(dir.toString)) else None
+  }
+
+  /** All readable version names, oldest first (vacuum's numeric-aware
+    * order), with the current one flagged.
+    */
+  def versions(): Seq[(String, Boolean)] = {
+    val cur = currentPath().map(p => Paths.get(p).getFileName.toString)
+    def num(n: String): Long =
+      (if (n.startsWith("v")) n.drop(1) else n).toLongOption.getOrElse(Long.MinValue)
+    Option(Paths.get(root).toFile.listFiles()).getOrElse(Array.empty)
+      .filter(_.isDirectory)
+      .sortBy(f => (num(f.getName), f.getName))
+      .map(f => (f.getName, cur.contains(f.getName))).toSeq
+  }
+
   /** Delete all but the newest `keep` version directories, never the
     * current one — the retention pass any version-per-write store
     * needs (s14's MERGE sink writes one version per micro-batch, so
