@@ -1559,4 +1559,63 @@ object Knn {
       |FROM comp c JOIN sz USING (cluster)
       |ORDER BY vec_id""".stripMargin
   }
+
+  // ---------- v18: filtered (metadata-constrained) kNN ----------
+
+  /** v18: FILTERED VECTOR SEARCH — top-k under a metadata predicate
+    * (here: candidate label must equal the query's label), the
+    * constrained-ANN shape every production vector store serves
+    * ("similar documents from the SAME source/language/licence
+    * tier"). This is PRE-FILTERING: the predicate prunes the
+    * candidate set BEFORE scoring, so top-k is exact within the
+    * filtered set — post-filtering (rank first, filter the top-k
+    * after) returns < k or misses qualifying neighbors whenever the
+    * filter is selective, which is the documented failure mode this
+    * operator exists to avoid.
+    *
+    * Scale shape: queries broadcast WITH their filter values; the
+    * corpus streams once through the JIT dot-product loop scoring
+    * only label-matching queries (the filter is a per-row equality
+    * check against the broadcast side — no join, no shuffle of
+    * vectors); per-query top-k is the two-level salted rank. At
+    * 100 TB the corpus is PARTITIONED BY the filter column, so the
+    * predicate becomes partition pruning at the scan and each
+    * query's scoring touches only its label's files — selectivity
+    * turns into proportional scan savings, the pre-filtering
+    * payoff.
+    */
+  def v18(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = vectors(spark, dir)
+      .join(Tables.embeddings(spark, dir).select($"vec_id", $"label"), Seq("vec_id"))
+    val bc = spark.sparkContext.broadcast(
+      e.filter("vec_id < 10").select($"vec_id", $"label", $"nv")
+        .as[(Long, Int, Array[Double])].collect().sortBy(_._1))
+    val scored = e.filter("vec_id >= 10").select($"vec_id", $"label", $"nv")
+      .as[(Long, Int, Array[Double])]
+      .mapPartitions(_.flatMap { case (cid, clb, cv) =>
+        bc.value.iterator.filter(_._2 == clb).map { case (qid, _, qv) =>
+          (qid, cid, clb, cosQ(qv, cv))
+        }
+      }).toDF("qid", "vec_id", "label", "cos_sim")
+    graft.functions.TwoLevel.topK(scored, Seq($"qid"),
+        Seq($"cos_sim".desc, $"vec_id"), $"vec_id", knnK)
+      .select($"qid", $"rnk", $"vec_id", $"label", $"cos_sim")
+      .orderBy($"qid", $"rnk")
+  }
+
+  /** v18 oracle: v1's exact ranking with the label-equality
+    * predicate inside the pair join.
+    */
+  val v18Sql: String =
+    s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |n AS (SELECT vec_id, label, v, sqrt(list_inner_product(v, v)) AS nrm FROM e),
+      |m AS (SELECT vec_id, label, list_transform(v, x -> x / nrm) AS nv FROM n),
+      |s AS (SELECT q.vec_id AS qid, c.vec_id AS vec_id, c.label AS label,
+      |        round(list_inner_product(q.nv, c.nv) * 1e6) / 1e6 AS cos_sim
+      |      FROM m q JOIN m c
+      |        ON q.vec_id < 10 AND c.vec_id >= 10 AND c.label = q.label),
+      |r AS (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cos_sim DESC, vec_id) AS rnk FROM s)
+      |SELECT qid, rnk, vec_id, label, cos_sim FROM r WHERE rnk <= $knnK
+      |ORDER BY qid, rnk""".stripMargin
 }

@@ -1253,4 +1253,56 @@ class DedupKnnSpec extends AnyFunSuite {
     got.foreach { case (a, b, _, _, _, _) => assert(a <= b) }
     assert(got.map(x => (x._1, x._2)).distinct.length == got.length)
   }
+
+  test("v18: filtered kNN equals a sequential recompute; post-filtering provably loses") {
+    val got = Knn.v18(spark, sf).collect()
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Int]("rnk"),
+        r.getAs[Long]("vec_id"), r.getAs[Int]("label"),
+        r.getAs[Double]("cos_sim")))
+    val raw = Tables.embeddings(spark, sf)
+      .selectExpr("vec_id", "label", "transform(embedding, x -> CAST(x AS DOUBLE)) AS v")
+      .as[(Long, Int, Array[Double])].collect()
+    def norm(v: Array[Double]): Array[Double] = {
+      var i = 0; var d = 0.0
+      while (i < v.length) { d += v(i) * v(i); i += 1 }
+      val nrm = math.sqrt(d)
+      v.map(_ / nrm)
+    }
+    def cosQ(a: Array[Double], b: Array[Double]): Double = {
+      var i = 0; var dot = 0.0
+      while (i < a.length) { dot += a(i) * b(i); i += 1 }
+      val q = dot * 1e6
+      (if (q >= 0) math.floor(q + 0.5) else math.ceil(q - 0.5)) / 1e6
+    }
+    val all = raw.map { case (id, l, v) => (id, l, norm(v)) }
+    val queries = all.filter(_._1 < 10).sortBy(_._1)
+    val corpus = all.filter(_._1 >= 10)
+    val want = queries.flatMap { case (qid, ql, qv) =>
+      corpus.filter(_._2 == ql)
+        .map { case (cid, cl, cv) => (cid, cl, cosQ(qv, cv)) }
+        .sortBy { case (cid, _, s) => (-s, cid) }.take(5).zipWithIndex
+        .map { case ((cid, cl, s), i) => (qid, i + 1, cid, cl, s) }
+    }
+    assert(got.toSeq == want.toSeq, s"got=${got.length} want=${want.length}")
+    assert(got.nonEmpty && got.forall { case (qid, _, _, l, _) =>
+      l == queries.find(_._1 == qid).get._2
+    })
+    // why pre-filtering: post-filtering the UNFILTERED top-5 by the
+    // query's label must lose qualifying neighbors for at least one
+    // query (selective filter ⇒ the global top-k is mostly other
+    // labels); the pre-filtered result always returns the full k
+    // when the label has >= k corpus members
+    val postFiltered = queries.map { case (qid, ql, qv) =>
+      val top = corpus.map { case (cid, _, cv) => (cid, cosQ(qv, cv)) }
+        .sortBy { case (cid, s) => (-s, cid) }.take(5)
+        .count { case (cid, _) => corpus.find(_._1 == cid).get._2 == ql }
+      (qid, top)
+    }
+    assert(postFiltered.exists(_._2 < 5),
+      "post-filtering lost nothing — the filter is not selective enough to gate this property")
+    got.groupBy(_._1).foreach { case (qid, rows) =>
+      val ql = queries.find(_._1 == qid).get._2
+      if (corpus.count(_._2 == ql) >= 5) assert(rows.length == 5)
+    }
+  }
 }
