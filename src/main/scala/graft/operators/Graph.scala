@@ -742,6 +742,86 @@ object Graph {
       |ORDER BY c_custkey""".stripMargin
   }
 
+  // ---------- g9: BFS crawl depth ----------
+
+  private val g9Rounds = 10
+
+  /** g9: BFS DEPTH FROM THE SEED SET — unit-weight single-source
+    * (multi-source) shortest paths by synchronous Bellman-Ford
+    * relaxation (the Pregel/BSP formulation, Malewicz et al. 2010
+    * SIGMOD), over g1's directed link graph with g8's seed set
+    * (id % 97 = 0). depth(v) = min hops from any seed following
+    * out-links — the CRAWL DEPTH every frontier policy caps ("crawl
+    * at most 6 from a trusted seed"), and the discrete companion to
+    * g8's mass-proximity: g8 says HOW MUCH seed authority reaches a
+    * page, g9 says HOW FAR it sits.
+    *
+    * All-integer state (depths are exact BIGINTs; nothing float
+    * anywhere), so determinism is free. [[g9Rounds]] synchronous
+    * rounds — depth_R(v) is the true BFS depth wherever depth ≤ R
+    * and the frontier provably converges in ≤ 8 rounds at all three
+    * test scales (the spec asserts fixpoint); nodes unreached after
+    * R report -1 (the snapshot-at-R contract, g6/g7's argument).
+    *
+    * Scale shape per round: one edges ⋈ frontier equality join
+    * (only not-yet-infinite rows ship) + one dst min-aggregate
+    * (map-side combined) + a node-key left join folding `least`
+    * (both engines' least skips NULLs — the documented shared
+    * semantics); state lineage-cut per round. Edges co-partition by
+    * src across rounds; depth state is 16 bytes/node.
+    */
+  def g9(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val nodes = Tables.customer(spark, dir).select($"c_custkey".as("id")).cache()
+    val n = nodes.count()
+    val edges = nodes.selectExpr("id AS src", s"(id * 31 + 7) % $n AS dst")
+      .unionAll(nodes.selectExpr("id AS src", s"(id * 17 + 3) % $n AS dst"))
+      .unionAll(nodes.filter($"id" >= 2).selectExpr("id AS src", "id div 2 AS dst"))
+      .cache()
+    var dist = nodes.selectExpr("id",
+      s"CASE WHEN id % $g8SeedMod = 0 THEN CAST(0 AS BIGINT) " +
+        "ELSE CAST(NULL AS BIGINT) END AS d").localCheckpoint()
+    (1 to g9Rounds).foreach { _ =>
+      val relax = edges
+        .join(dist.filter($"d".isNotNull).withColumnRenamed("id", "src"), Seq("src"))
+        .groupBy($"dst").agg((min($"d") + 1L).as("nd"))
+      val next = dist
+        .join(relax.withColumnRenamed("dst", "id"), Seq("id"), "left_outer")
+        .selectExpr("id", "least(d, nd) AS d")
+        .localCheckpoint()
+      graft.functions.Lineage.freeCheckpoint(dist)
+      dist = next
+    }
+    dist.selectExpr("id AS c_custkey", "CAST(coalesce(d, -1) AS BIGINT) AS depth")
+      .transform(graft.Tables.ordered(_, $"c_custkey"))
+  }
+
+  /** g9 oracle: the relaxation unrolled as MATERIALIZED CTE pairs
+    * (frontier min-join, then the least-fold onto every node).
+    */
+  val g9Sql: String = {
+    val rounds = (1 to g9Rounds).map { i =>
+      val p = i - 1
+      s"""x$i AS MATERIALIZED (SELECT e.dst AS id, min(p.d) + 1 AS nd
+         |        FROM e JOIN d$p p ON p.id = e.src AND p.d IS NOT NULL
+         |        GROUP BY e.dst),
+         |d$i AS MATERIALIZED (SELECT n.id, least(p.d, x.nd) AS d
+         |        FROM nodes n JOIN d$p p ON p.id = n.id
+         |        LEFT JOIN x$i x ON x.id = n.id)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH nn AS (SELECT count(*) AS n FROM customer),
+      |nodes AS (SELECT c_custkey AS id FROM customer),
+      |e AS MATERIALIZED (SELECT id AS src, (id * 31 + 7) % nn.n AS dst FROM nodes, nn
+      |      UNION ALL SELECT id, (id * 17 + 3) % nn.n FROM nodes, nn
+      |      UNION ALL SELECT id, id // 2 FROM nodes WHERE id >= 2),
+      |d0 AS (SELECT id, CASE WHEN id % $g8SeedMod = 0 THEN CAST(0 AS BIGINT)
+      |                       ELSE CAST(NULL AS BIGINT) END AS d FROM nodes),
+      |$rounds
+      |SELECT id AS c_custkey, CAST(coalesce(d, -1) AS BIGINT) AS depth
+      |FROM d$g9Rounds
+      |ORDER BY c_custkey""".stripMargin
+  }
+
   /** g6 oracle: the same synchronous rounds unrolled as generated
     * CTEs — votes, (cnt DESC, lbl) argmax via row_number, isolated
     * nodes keep their label.

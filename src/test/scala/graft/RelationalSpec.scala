@@ -1218,4 +1218,36 @@ class RelationalSpec extends AnyFunSuite {
     assert(nonSeed.max > 20L * math.max(nonSeed.min, 1L),
       s"non-seed spread too flat: ${nonSeed.min}..${nonSeed.max}")
   }
+
+  test("g9: BFS depths equal a sequential recompute and converge within budget") {
+    val got = graft.operators.Graph.g9(spark, sf).collect()
+      .map(r => (r.getAs[Long]("c_custkey"), r.getAs[Long]("depth"))).toMap
+    val n = Tables.customer(spark, sf).count().toInt
+    val adj = (0 until n).map { i =>
+      Seq((i * 31 + 7) % n, (i * 17 + 3) % n) ++ (if (i >= 2) Seq(i / 2) else Seq.empty)
+    }
+    // textbook queue BFS from the seed set — a different algorithm
+    // than the engine's synchronous relaxation
+    val dist = Array.fill(n)(-1L)
+    val q = scala.collection.mutable.Queue.empty[Int]
+    (0 until n).filter(_ % 97 == 0).foreach { s => dist(s) = 0L; q.enqueue(s) }
+    while (q.nonEmpty) {
+      val u = q.dequeue()
+      adj(u).foreach { v =>
+        if (dist(v) == -1L) { dist(v) = dist(u) + 1L; q.enqueue(v) }
+      }
+    }
+    assert(got.size == n)
+    (0 until n).foreach { i =>
+      assert(got(i.toLong) == dist(i), s"node $i: ${got(i.toLong)} != ${dist(i)}")
+    }
+    // convergence within the 10-round budget: a true BFS depth > 10
+    // would make the snapshot diverge from the fixpoint — guard it
+    assert(dist.max <= 10L, s"diameter outgrew the round budget: ${dist.max}")
+    // the depth field must carry real signal: several distinct
+    // levels, seeds at 0, and everyone reached on this graph
+    assert(dist.distinct.length >= 4)
+    assert(got.filter(_._1 % 97 == 0).values.forall(_ == 0L))
+    assert(got.values.forall(_ >= 0L))
+  }
 }
