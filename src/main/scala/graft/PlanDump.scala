@@ -110,6 +110,7 @@ object PlanDump {
       "t25_cooc_lift" -> "co-occurrence lift: narrow in-window pair transform (no positional self-join), one pair aggregate, vocab-sized unigram joins, 1-row N broadcast",
       "v18_filtered_knn" -> "filtered kNN: label predicate pre-filters scoring against the broadcast query codebook, corpus streams once, two-level bounded rank",
       "g9_bfs_depth" -> "BFS depth: per-round frontier equality join + dst min-aggregate + least-fold on the node key (final round's plan)",
+      "d19_boilerplate" -> "boilerplate removal: digest-led (source,line) frequency aggregate, source-grain ratio join, one doc-key reassembly shuffle",
     )
     val sb = new StringBuilder
     sb.append("# PLANS — formatted physical plans (generated by graft.PlanDump at sf0.001)\n")

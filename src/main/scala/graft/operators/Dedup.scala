@@ -1661,4 +1661,100 @@ object Dedup {
       |FROM sc JOIN sizes za ON za.doc_id = id_a JOIN sizes zb ON zb.doc_id = id_b
       |WHERE inter * 5 >= za.n * 4
       |ORDER BY id_a, id_b""".stripMargin
+
+  // ---------- d19: per-source boilerplate (template) removal ----------
+
+  /** The seeded per-source template: two exactly-8-word lines
+    * (source + 7 nav words, source + 7 footer words) prepended to
+    * every document — the site chrome a real crawl carries on every
+    * page of a domain.
+    */
+  private[graft] val d19Tpl =
+    "concat(source, ' home navigation menu login search contact about ', " +
+      "source, ' terms privacy cookies copyright footer banner legal ', text)"
+
+  /** d19: BOILERPLATE REMOVAL — per-source template-line stripping,
+    * the fifth line-grain pass next to d11's cross-corpus line dedup:
+    * remove lines appearing in MORE THAN HALF of a SOURCE's documents
+    * (site chrome: navigation, footers, cookie banners — C4 strips
+    * the "lines appearing repeatedly" the same way, trafilatura calls
+    * it template removal). The two deliberate deltas vs d11: the
+    * grain is (source, line) — a phrase legitimately shared across
+    * sites is NOT chrome — and the trigger is a frequency RATIO, not
+    * "≥ 2 docs", so organic quotation below the ratio survives (d11
+    * would delete it); the spec proves that contrast on the same
+    * corpus.
+    *
+    * Scale shape (d11's discipline): lines are 8-word windows from a
+    * narrow array transform; the frequency aggregate keys on
+    * (source, fnv64(line), line) — the digest LEADS the key so the
+    * exchange hashes 8 bytes and a 64-bit collision cannot merge two
+    * distinct lines (the d16 lesson); per-source doc counts are a
+    * source-grain tiny table joined by equality; the boiler flag
+    * joins back on the same composite key; reassembly rides ONE
+    * doc-key shuffle. Nothing is corpus-global: every aggregate is
+    * (source, ·)-keyed, so sources scale out independently — at
+    * 100 TB, partition the corpus by source and all four exchanges
+    * are partition-local.
+    */
+  def d19(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+      .selectExpr("doc_id", "source", s"$d19Tpl AS text")
+    val lines = docs
+      .selectExpr("doc_id", "source", "split(trim(text), ' ') AS words")
+      .selectExpr("doc_id", "source",
+        """posexplode(transform(
+          | sequence(0, greatest(CAST(ceil(size(words) / 8.0) AS INT), 1) - 1),
+          | k -> concat_ws(' ', slice(words, k * 8 + 1, 8)))) AS (line_no, line)""".stripMargin)
+      .withColumn("lh", graft.functions.Fnv64.fnv64($"line"))
+    val ndocs = docs.groupBy($"source").agg(countDistinct($"doc_id").as("nd_src"))
+    val boiler = lines.groupBy($"source", $"lh", $"line")
+      .agg(countDistinct($"doc_id").as("ndl"))
+      .join(ndocs, Seq("source"))
+      .filter($"ndl" * 2 > $"nd_src")
+      .select($"source", $"lh", $"line", lit(true).as("is_boiler"))
+    lines.join(boiler, Seq("source", "lh", "line"), "left")
+      .withColumn("kept", $"is_boiler".isNull)
+      .groupBy($"doc_id", $"source")
+      .agg(count(lit(1)).as("n_lines"),
+        sum(when($"kept", 0L).otherwise(1L)).as("n_boiler"),
+        array_join(
+          expr("transform(sort_array(collect_list(CASE WHEN kept THEN struct(line_no, line) END)), s -> s.line)"),
+          " ").as("joined"))
+      .selectExpr("doc_id", "source", "n_lines", "n_boiler",
+        "nullif(joined, '') AS new_text")
+      .transform(graft.Tables.ordered(_, $"doc_id"))
+  }
+
+  /** d19 oracle: line grouping on the STRING (implementation-
+    * independent ground truth — the engine's digest-led key must
+    * agree or a collision merged lines).
+    */
+  val d19Sql: String =
+    """WITH t AS (SELECT doc_id, source,
+      |    source || ' home navigation menu login search contact about ' ||
+      |    source || ' terms privacy cookies copyright footer banner legal ' ||
+      |    text AS text
+      |  FROM documents),
+      |w AS (SELECT doc_id, source, string_split(trim(text), ' ') AS words FROM t),
+      |l AS (SELECT doc_id, source, k AS line_no,
+      |        array_to_string(words[(k * 8 + 1):(k * 8 + 8)], ' ') AS line
+      |      FROM (SELECT doc_id, source, words,
+      |              unnest(range(0, greatest(CAST(ceil(len(words) / 8.0) AS BIGINT), 1))) AS k
+      |            FROM w)),
+      |nd AS (SELECT source, count(DISTINCT doc_id) AS nd_src FROM t GROUP BY source),
+      |b AS (SELECT f.source, f.line
+      |      FROM (SELECT source, line, count(DISTINCT doc_id) AS ndl
+      |            FROM l GROUP BY 1, 2) f
+      |      JOIN nd ON nd.source = f.source
+      |      WHERE f.ndl * 2 > nd.nd_src),
+      |f AS (SELECT l.doc_id, l.source, l.line_no, l.line, b.line IS NULL AS kept
+      |      FROM l LEFT JOIN b ON b.source = l.source AND b.line = l.line)
+      |SELECT doc_id, source, count(*) AS n_lines,
+      |  CAST(sum(CASE WHEN kept THEN 0 ELSE 1 END) AS BIGINT) AS n_boiler,
+      |  nullif(string_agg(CASE WHEN kept THEN line END, ' ' ORDER BY line_no, line), '') AS new_text
+      |FROM f
+      |GROUP BY doc_id, source
+      |ORDER BY doc_id""".stripMargin
 }

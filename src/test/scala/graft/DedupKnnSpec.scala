@@ -1305,4 +1305,52 @@ class DedupKnnSpec extends AnyFunSuite {
       if (corpus.count(_._2 == ql) >= 5) assert(rows.length == 5)
     }
   }
+
+  test("d19: boilerplate strips exactly the template; sub-ratio repeats survive") {
+    val got = Dedup.d19(spark, sf).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("source"),
+        r.getAs[Long]("n_lines"), r.getAs[Long]("n_boiler"),
+        r.getAs[String]("new_text")))
+    val docs = Tables.documents(spark, sf)
+      .selectExpr("doc_id", "source", "text").as[(Long, String, String)].collect()
+    assert(got.length == docs.length)
+    val byId = docs.map(d => d._1 -> d).toMap
+    got.foreach { case (id, src, nLines, nBoiler, newText) =>
+      val (_, wantSrc, text) = byId(id)
+      assert(src == wantSrc)
+      // exactly the two seeded 8-word template lines are chrome
+      assert(nBoiler == 2L, s"doc $id: $nBoiler")
+      val words = text.trim.split(" ", -1)
+      assert(nLines == 2L + math.max((words.length + 7) / 8, 1).toLong)
+      // the organic content survives byte-identically (re-chunked
+      // and re-joined on single spaces)
+      assert(newText == words.mkString(" "), s"doc $id content damaged")
+    }
+    // the d11 contrast: an 8-word window shared by >= 2 docs of one
+    // source but <= half of them must SURVIVE here (d11 would cut it)
+    val bySource = docs.groupBy(_._2)
+    val shared = bySource.view.mapValues { ds =>
+      val lineDocs = ds.flatMap { case (id, _, t) =>
+        val ws = t.trim.split(" ", -1)
+        (0 until math.max((ws.length + 7) / 8, 1))
+          .map(k => ws.slice(k * 8, k * 8 + 8).mkString(" ")).distinct.map((_, id))
+      }.groupBy(_._1).view.mapValues(_.map(_._2).distinct.length).toMap
+      (lineDocs, ds.length)
+    }.toMap
+    val subRatio = shared.flatMap { case (src, (lineDocs, nd)) =>
+      lineDocs.collect { case (l, c) if c >= 2 && c * 2 <= nd => (src, l) }
+    }
+    if (subRatio.nonEmpty) {
+      val (src, line) = subRatio.head
+      val holder = docs.find { case (_, s, t) =>
+        s == src && {
+          val ws = t.trim.split(" ", -1)
+          (0 until math.max((ws.length + 7) / 8, 1))
+            .exists(k => ws.slice(k * 8, k * 8 + 8).mkString(" ") == line)
+        }
+      }.get._1
+      val newText = got.find(_._1 == holder).get._5
+      assert(newText.contains(line), s"sub-ratio shared line was wrongly removed")
+    }
+  }
 }
