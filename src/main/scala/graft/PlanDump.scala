@@ -111,6 +111,7 @@ object PlanDump {
       "v18_filtered_knn" -> "filtered kNN: label predicate pre-filters scoring against the broadcast query codebook, corpus streams once, two-level bounded rank",
       "g9_bfs_depth" -> "BFS depth: per-round frontier equality join + dst min-aggregate + least-fold on the node key (final round's plan)",
       "d19_boilerplate" -> "boilerplate removal: digest-led (source,line) frequency aggregate, source-grain ratio join, one doc-key reassembly shuffle",
+      "m11_patch_extract" -> "patch extraction: one narrow codec stage, row-local 16-patch fan-out, zero shuffles",
     )
     val sb = new StringBuilder
     sb.append("# PLANS — formatted physical plans (generated by graft.PlanDump at sf0.001)\n")

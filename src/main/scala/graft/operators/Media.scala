@@ -763,6 +763,101 @@ object Media {
       |ORDER BY doc_id""".stripMargin
   }
 
+  // ---------- m11: ViT-style patch extraction ----------
+
+  case class PatchRow(doc_id: Long, py: Int, px: Int,
+      p_sum: Long, p_min: Long, p_max: Long)
+
+  /** 16x16 grayscale PNG from 256 masked payload chars — m7's
+    * encoder at the resolution patching needs (4x4 patch grid).
+    */
+  private[graft] def encodePng16x16(s: String): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      16, 16, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var i = 0
+    while (i < 256) {
+      img.setRGB(i % 16, i / 16, (s.charAt(i).toInt & 127) * 0x010101)
+      i += 1
+    }
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", baos)
+    baos.toByteArray
+  }
+
+  /** m11: PATCH EXTRACTION — the ViT tokenization step (Dosovitskiy
+    * et al. 2021, "An Image is Worth 16x16 Words"): split each image
+    * into a fixed grid of non-overlapping patches and emit one row
+    * per patch, the long-form grain a vision-training pipeline
+    * feeds to embedding/masking/packing stages (m-family's analog
+    * of t5's text chunking). Runs over a REAL codec roundtrip
+    * (m7's proven path at 16x16): encode the payload to genuine
+    * PNG bytes, DECODE with ImageIO in the executor, then window
+    * the decoded plane into 4x4-pixel patches (a 4x4 grid) with
+    * integer stats per patch (sum / min / max luminance) — lossless
+    * PNG keeps the whole pipeline bitwise, so the oracle verifies
+    * codec + patch geometry + stats arithmetically from the payload
+    * characters.
+    *
+    * Scale shape: ONE narrow mapPartitions stage (codec work is
+    * embarrassingly parallel; the 16-patch fan-out is row-local),
+    * zero shuffles — the output grain is (doc, py, px), ready for a
+    * downstream (doc, patch)-keyed exchange only if a later stage
+    * needs one. Completes the m-family residue classes: m7 takes
+    * doc_id % 3 = 0, m10 = 1, m11 = 2.
+    */
+  def m11(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .filter($"doc_id" % 3 === 2)
+      .selectExpr("doc_id",
+        "rpad(concat('PAT', substring(text, 1, 253)), 256, ' ') AS s")
+      .as[(Long, String)]
+      .mapPartitions(_.flatMap { case (id, s) =>
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(encodePng16x16(s)))
+        (0 until 4).iterator.flatMap { py =>
+          (0 until 4).iterator.map { px =>
+            var sum = 0L
+            var mn = Long.MaxValue
+            var mx = Long.MinValue
+            var dy = 0
+            while (dy < 4) {
+              var dx = 0
+              while (dx < 4) {
+                val v = (img.getRGB(px * 4 + dx, py * 4 + dy) & 0xff).toLong
+                sum += v
+                if (v < mn) mn = v
+                if (v > mx) mx = v
+                dx += 1
+              }
+              dy += 1
+            }
+            PatchRow(id, py, px, sum, mn, mx)
+          }
+        }
+      }).toDF()
+      .transform(graft.Tables.ordered(_, $"doc_id", $"py", $"px"))
+  }
+
+  /** m11 oracle: per-patch stats straight from the payload chars
+    * (`ord & 127` — the pixels the PNG roundtrip preserves), the
+    * patch grid generated by a 16-element index comprehension.
+    */
+  val m11Sql: String =
+    """WITH p AS (SELECT doc_id, rpad('PAT' || substr(text, 1, 253), 256, ' ') AS s
+      |  FROM documents WHERE doc_id % 3 = 2),
+      |g AS (SELECT doc_id, pi,
+      |        list_transform(range(0, 16), j ->
+      |          ord(substr(s,
+      |            CAST(((pi // 4) * 4 + (j // 4)) * 16 + (pi % 4) * 4 + (j % 4) + 1 AS INTEGER),
+      |            1)) & 127) AS vals
+      |      FROM p, (SELECT unnest(range(0, 16)) AS pi))
+      |SELECT doc_id, CAST(pi // 4 AS INTEGER) AS py, CAST(pi % 4 AS INTEGER) AS px,
+      |  CAST(list_sum(vals) AS BIGINT) AS p_sum,
+      |  CAST(list_min(vals) AS BIGINT) AS p_min,
+      |  CAST(list_max(vals) AS BIGINT) AS p_max
+      |FROM g ORDER BY doc_id, py, px""".stripMargin
+
   // ---------- m8: video scene segmentation over sampled frames ----------
 
   /** m8: scene segmentation — the video-curation pass that cuts each

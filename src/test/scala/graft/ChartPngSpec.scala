@@ -86,6 +86,33 @@ class ChartPngSpec extends AnyFunSuite {
     }
   }
 
+  test("m11 patches tile the decoded image exactly and match a sequential recompute") {
+    import spark.implicits._
+    val got = graft.operators.Media.m11(spark, sf).collect()
+      .map(r => ((r.getAs[Long]("doc_id"), r.getAs[Int]("py"), r.getAs[Int]("px")),
+        (r.getAs[Long]("p_sum"), r.getAs[Long]("p_min"), r.getAs[Long]("p_max")))).toMap
+    val docs = Tables.documents(spark, sf)
+      .filter("doc_id % 3 = 2")
+      .selectExpr("doc_id", "rpad(concat('PAT', substring(text, 1, 253)), 256, ' ') AS s")
+      .as[(Long, String)].collect()
+    assert(got.size == docs.length * 16, "16 patches per image, no more, no fewer")
+    docs.foreach { case (id, s) =>
+      val px = Array.tabulate(256)(i => (s.charAt(i).toInt & 127).toLong)
+      var total = 0L
+      for (py <- 0 until 4; qx <- 0 until 4) {
+        val vals = for (dy <- 0 until 4; dx <- 0 until 4)
+          yield px((py * 4 + dy) * 16 + qx * 4 + dx)
+        val (wSum, wMin, wMax) = (vals.sum, vals.min, vals.max)
+        assert(got((id, py, qx)) == ((wSum, wMin, wMax)),
+          s"doc $id patch ($py,$qx)")
+        total += wSum
+      }
+      // the grid TILES: patch sums add up to the whole image's
+      // luminance — no pixel dropped or double-counted
+      assert(total == px.sum, s"doc $id patches do not tile")
+    }
+  }
+
   test("m7 intermediate bytes are genuine PNGs with the expected pixels") {
     val rows = graft.operators.Media.m7Png(spark, sf).take(5)
     assert(rows.nonEmpty)
