@@ -1697,23 +1697,42 @@ object Dedup {
     * 100 TB, partition the corpus by source and all four exchanges
     * are partition-local.
     */
-  def d19(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    val docs = Tables.documents(spark, dir)
-      .selectExpr("doc_id", "source", s"$d19Tpl AS text")
-    val lines = docs
+  /** d19's line grain over (doc_id, source, text) rows — a pure
+    * narrow map, stream-safe (s25 runs it verbatim on readStream).
+    */
+  private[graft] def d19Lines(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    docs
       .selectExpr("doc_id", "source", "split(trim(text), ' ') AS words")
       .selectExpr("doc_id", "source",
         """posexplode(transform(
           | sequence(0, greatest(CAST(ceil(size(words) / 8.0) AS INT), 1) - 1),
           | k -> concat_ws(' ', slice(words, k * 8 + 1, 8)))) AS (line_no, line)""".stripMargin)
       .withColumn("lh", graft.functions.Fnv64.fnv64($"line"))
+  }
+
+  /** d19's trained template table: (source, lh, line, is_boiler) for
+    * lines in MORE THAN HALF of their source's documents — the
+    * offline-trained model s25's stream door joins against (site
+    * chrome is O(10) lines/source, so the table is source-count
+    * bounded, never corpus bounded).
+    */
+  private[graft] def d19Boiler(docs: DataFrame, lines: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
     val ndocs = docs.groupBy($"source").agg(countDistinct($"doc_id").as("nd_src"))
-    val boiler = lines.groupBy($"source", $"lh", $"line")
+    lines.groupBy($"source", $"lh", $"line")
       .agg(countDistinct($"doc_id").as("ndl"))
       .join(ndocs, Seq("source"))
       .filter($"ndl" * 2 > $"nd_src")
       .select($"source", $"lh", $"line", lit(true).as("is_boiler"))
+  }
+
+  /** d19's strip+reassemble: drop boiler lines, rebuild each doc —
+    * ONE doc-key aggregate (stream-safe as a Complete-mode
+    * aggregate; the boiler join is stream-static and stateless).
+    */
+  private[graft] def d19Strip(lines: DataFrame, boiler: DataFrame): DataFrame = {
+    import lines.sparkSession.implicits._
     lines.join(boiler, Seq("source", "lh", "line"), "left")
       .withColumn("kept", $"is_boiler".isNull)
       .groupBy($"doc_id", $"source")
@@ -1724,6 +1743,14 @@ object Dedup {
           " ").as("joined"))
       .selectExpr("doc_id", "source", "n_lines", "n_boiler",
         "nullif(joined, '') AS new_text")
+  }
+
+  def d19(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+      .selectExpr("doc_id", "source", s"$d19Tpl AS text")
+    val lines = d19Lines(docs)
+    d19Strip(lines, d19Boiler(docs, lines))
       .transform(graft.Tables.ordered(_, $"doc_id"))
   }
 

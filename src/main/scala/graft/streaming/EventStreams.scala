@@ -577,6 +577,41 @@ object EventStreams {
   /** s24 oracle: d16's, verbatim — the twin contract. */
   val s24Sql: String = graft.operators.Dedup.d16Sql
 
+  /** s25: STREAMING BOILERPLATE DOOR — d19's template stripping at
+    * the ingest boundary, the train-offline/serve-online pattern
+    * (s16 DSIR / s17 Gopher / s21 opt-out's sibling): the template
+    * table is TRAINED in batch on yesterday's corpus
+    * ([[graft.operators.Dedup.d19Boiler]] — site chrome is
+    * O(10) lines/source, source-count bounded), and the stream
+    * applies it as a STREAM-STATIC left join (stateless — no
+    * streaming state grows with it) after d19's narrow line map,
+    * with the doc reassembly as the one Complete-mode aggregate.
+    * Batch/stream share the splitter, the trainer and the strip
+    * verbatim, so the twin contract is d19's oracle unchanged.
+    */
+  def s25(spark: SparkSession, dir: String): DataFrame = {
+    val ss = streamSession(spark)
+    graft.Tables.tsConfs(ss)
+    import ss.implicits._
+    // offline half: train the template table on the stored corpus
+    val batchDocs = ss.read.parquet(s"$dir/documents.parquet")
+      .selectExpr("doc_id", "source", s"${graft.operators.Dedup.d19Tpl} AS text")
+    val boiler = graft.operators.Dedup
+      .d19Boiler(batchDocs, graft.operators.Dedup.d19Lines(batchDocs))
+    // online half: the same docs arriving as a stream hit the door
+    val schema = ss.read.parquet(s"$dir/documents.parquet").schema
+    val streamDocs = ss.readStream.schema(schema)
+      .option("pathGlobFilter", "documents.parquet").parquet(dir)
+      .selectExpr("doc_id", "source", s"${graft.operators.Dedup.d19Tpl} AS text")
+    val stripped = graft.operators.Dedup
+      .d19Strip(graft.operators.Dedup.d19Lines(streamDocs), boiler)
+    runToTable(ss, stripped, OutputMode.Complete())
+      .orderBy(col("doc_id"))
+  }
+
+  /** s25 oracle: d19's, verbatim — the twin contract. */
+  val s25Sql: String = graft.operators.Dedup.d19Sql
+
   case class TopSt(vs: Array[Double], ids: Array[Long])
   case class TopOut(user_id: Long, rnk: Int, event_id: Long, value: Double)
 

@@ -588,6 +588,53 @@ class StreamingPipelineSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("s25 equals batch d19 bitwise; the door strips docs it never trained on") {
+    // twin parity: the streamed door over the whole corpus == d19
+    val stream = EventStreams.s25(spark, sf).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("source"),
+        r.getAs[Long]("n_lines"), r.getAs[Long]("n_boiler"),
+        r.getAs[String]("new_text"))).sortBy(_._1)
+    val batch = graft.operators.Dedup.d19(spark, sf).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("source"),
+        r.getAs[Long]("n_lines"), r.getAs[Long]("n_boiler"),
+        r.getAs[String]("new_text"))).sortBy(_._1)
+    assert(stream.toSeq == batch.toSeq && stream.nonEmpty)
+    // multi-batch door: template trained offline, docs arrive in two
+    // batches — including a doc the trainer NEVER saw (doc 9): the
+    // door still strips its template line (model-vs-data separation)
+    val ns = spark.newSession()
+    implicit val sqlCtx = ns.sqlContext
+    import ns.implicits._
+    def doc(src: String, i: Int) = (i.toLong, src,
+      s"$src nav one two three four five six " +
+        s"u$i w$i x$i y$i z$i a$i b$i c$i")
+    val trainDocs = ((1 to 4).map(doc("alpha", _)) ++ (5 to 8).map(doc("beta", _)))
+      .toDF("doc_id", "source", "text")
+    val boiler = graft.operators.Dedup.d19Boiler(trainDocs,
+      graft.operators.Dedup.d19Lines(trainDocs))
+    val mem = MemoryStream[(Long, String, String)]
+    val door = graft.operators.Dedup.d19Strip(
+      graft.operators.Dedup.d19Lines(mem.toDS().toDF("doc_id", "source", "text")),
+      boiler)
+    val name = "s25_door_test"
+    val q = door.writeStream.outputMode(OutputMode.Complete())
+      .format("memory").queryName(name).start()
+    try {
+      mem.addData(doc("alpha", 1), doc("beta", 5))
+      q.processAllAvailable()
+      mem.addData(doc("alpha", 2), doc("beta", 6), doc("alpha", 9))
+      q.processAllAvailable()
+      val rows = ns.table(name).collect()
+        .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_lines"),
+          r.getAs[Long]("n_boiler"), r.getAs[String]("new_text"))).toSet
+      val want = Seq(("alpha", 1), ("beta", 5), ("alpha", 2), ("beta", 6), ("alpha", 9))
+        .map { case (_, i) =>
+          (i.toLong, 2L, 1L, s"u$i w$i x$i y$i z$i a$i b$i c$i")
+        }.toSet
+      assert(rows == want, s"got $rows")
+    } finally q.stop()
+  }
+
   test("s9 stream-static enrichment covers every event exactly once") {
     import spark.implicits._
     val got = EventStreams.s9(spark, sf).collect()
