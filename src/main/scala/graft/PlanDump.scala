@@ -112,6 +112,7 @@ object PlanDump {
       "g9_bfs_depth" -> "BFS depth: per-round frontier equality join + dst min-aggregate + least-fold on the node key (final round's plan)",
       "d19_boilerplate" -> "boilerplate removal: digest-led (source,line) frequency aggregate, source-grain ratio join, one doc-key reassembly shuffle",
       "m11_patch_extract" -> "patch extraction: one narrow codec stage, row-local 16-patch fan-out, zero shuffles",
+      "g10_hyperball" -> "HyperBall: per-round edges-registers equality join + (node,reg) max-merge aggregate, n-row estimate tables joined by node key",
     )
     val sb = new StringBuilder
     sb.append("# PLANS — formatted physical plans (generated by graft.PlanDump at sf0.001)\n")

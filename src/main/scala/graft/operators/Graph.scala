@@ -822,6 +822,159 @@ object Graph {
       |ORDER BY c_custkey""".stripMargin
   }
 
+  // ---------- g10: HyperBall harmonic centrality ----------
+
+  private val g10Rounds = 3
+  private val g10M = 64L
+  private val g10MaxRank = 55 // 60-bit md5 prefix minus 6 register bits, +1
+  private val g10Alpha6 = 709000L // alpha_64 * 1e6 (Flajolet et al. 2007 section 4)
+  private val g10Num = java.math.BigInteger.TWO.pow(67).toString // m^2 * 2^maxRank
+
+  /** g10: HARMONIC CENTRALITY by HyperBall (Boldi & Vigna 2013,
+    * "In-Core Computation of Geometric Centralities with HyperBall";
+    * the algorithm behind CommonCrawl's published host rankings —
+    * the ranking signal this family opened with). Harmonic
+    * centrality H(v) = sum over u != v of 1/d(v,u) needs all-pairs
+    * distances; HyperBall replaces each node's exact reachability
+    * ball with a MERGEABLE HLL register set: b_r(v) = union of
+    * b_{r-1}(w) over out-neighbors w (plus self) becomes a
+    * max-merge of 64 registers, and |B(v,r)| falls out of the
+    * standard estimator, so H(v) is approximated by
+    * sum_r (|B(v,r)| - |B(v,r-1)|)/r in O(R) rounds instead of
+    * all-pairs BFS.
+    *
+    * Fully integer end-to-end (the q31/s18 HLL discipline at
+    * m = 64): register ranks from the md5-prefix hash, the harmonic
+    * sum scaled to Sigma 2^(55-M_j) (BIGINT-exact), the estimate as
+    * ONE integral DECIMAL(38)/HUGEINT division, the small-range
+    * linear-counting branch with its single ln quantized at 1e-9,
+    * and the final centrality in integer MICRO-units with
+    * truncating division per radius — nothing order-dependent
+    * anywhere, so the whole operator is bitwise cross-engine.
+    * Ball increments are clamped at 0 (the correction-branch
+    * switch could otherwise step an estimate down).
+    *
+    * Scale shape per round: ONE edges join state equality join
+    * (registers flow src <- dst: the out-ball grows by the
+    * successors' balls) + a (node, reg) max aggregate (map-side
+    * combined, idempotent); state is <= 64 rows x 3 ints per node
+    * (m is the precision dial — production HyperBall runs m = 64
+    * too), lineage-cut per round. Ball estimates are per-node
+    * aggregates off each round's checkpointed state; the three
+    * estimate tables join back by node key. This is exactly the
+    * WebGraph/HyperBall shape expressed as Spark relational
+    * algebra.
+    */
+  def g10(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val nodes = Tables.customer(spark, dir).select($"c_custkey".as("id")).cache()
+    val n = nodes.count()
+    val edges = nodes.selectExpr("id AS src", s"(id * 31 + 7) % $n AS dst")
+      .unionAll(nodes.selectExpr("id AS src", s"(id * 17 + 3) % $n AS dst"))
+      .unionAll(nodes.filter($"id" >= 2).selectExpr("id AS src", "id div 2 AS dst"))
+      .distinct().cache()
+    var st = nodes
+      .selectExpr("id",
+        s"CAST(conv(substring(md5(CAST(id AS STRING)), 1, 15), 16, 10) AS BIGINT) AS hv")
+      .selectExpr("id", s"hv % $g10M AS reg", s"hv div $g10M AS w")
+      .selectExpr("id", "reg",
+        s"CASE WHEN w = 0 THEN $g10MaxRank " +
+          s"ELSE $g10MaxRank - length(trim(LEADING '0' FROM bin(w))) END AS rk")
+      .localCheckpoint()
+    def ballEst(state: DataFrame, name: String): DataFrame =
+      state.groupBy($"id")
+        .agg(count(lit(1)).as("np"),
+          sum(expr(s"shiftleft(CAST(1 AS BIGINT), CAST($g10MaxRank - rk AS INT))")).as("sp"))
+        .selectExpr("id", s"$g10M - np AS vz",
+          s"sp + CAST($g10M - np AS BIGINT) * shiftleft(CAST(1 AS BIGINT), $g10MaxRank) AS s_sum")
+        .selectExpr("id", "vz",
+          s"CAST((CAST($g10Alpha6 AS DECIMAL(38,0)) * CAST('$g10Num' AS DECIMAL(38,0)))" +
+            s" div (CAST(s_sum AS DECIMAL(38,0)) * 1000000) AS BIGINT) AS est_raw")
+        .selectExpr("id",
+          s"CASE WHEN est_raw * 2 <= 5 * $g10M AND vz > 0 " +
+            s"THEN ($g10M * CAST(floor(ln(CAST($g10M AS DOUBLE) / vz) * 1e9 + 0.5) AS BIGINT)) div 1000000000 " +
+            s"ELSE est_raw END AS $name")
+    val ests = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    (1 to g10Rounds).foreach { r =>
+      val flow = edges
+        .join(st.withColumnRenamed("id", "dst"), Seq("dst"))
+        .select($"src".as("id"), $"reg", $"rk")
+      val next = st.unionAll(flow)
+        .groupBy($"id", $"reg").agg(max($"rk").as("rk"))
+        .localCheckpoint()
+      // the round's n-row ball-estimate table is materialized BEFORE
+      // the previous state's blocks are released — it is the only
+      // consumer of that state surviving the round
+      ests += ballEst(next, s"b$r").localCheckpoint()
+      graft.functions.Lineage.freeCheckpoint(st)
+      st = next
+    }
+    graft.functions.Lineage.freeCheckpoint(st)
+    nodes
+      .join(ests(0), Seq("id")).join(ests(1), Seq("id")).join(ests(2), Seq("id"))
+      .selectExpr("id AS c_custkey", "b1", "b2", "b3",
+        "greatest(b1 - 1, 0) * 1000000 " +
+          "+ (greatest(b2 - b1, 0) * 1000000) div 2 " +
+          "+ (greatest(b3 - b2, 0) * 1000000) div 3 AS harmonic_micro")
+      .transform(graft.Tables.ordered(_, $"c_custkey"))
+  }
+
+  /** g10 oracle: the register propagation unrolled as MATERIALIZED
+    * max-merge CTEs, each round's ball estimate through the
+    * HUGEINT pipeline (Hll.oracleSql's idioms at m = 64).
+    */
+  val g10Sql: String = {
+    def estCte(r: Int): String =
+      s"""be$r AS MATERIALIZED (
+         |  SELECT id,
+         |    CASE WHEN est_raw * 2 <= 5 * $g10M AND vz > 0
+         |         THEN ($g10M * CAST(floor(ln(CAST($g10M AS DOUBLE) / vz) * 1e9 + 0.5) AS BIGINT)) // 1000000000
+         |         ELSE est_raw END AS b$r
+         |  FROM (
+         |    SELECT id, vz,
+         |      CAST((CAST($g10Alpha6 AS HUGEINT) * CAST('$g10Num' AS HUGEINT))
+         |        // (CAST(s_sum AS HUGEINT) * 1000000) AS BIGINT) AS est_raw
+         |    FROM (
+         |      SELECT id, $g10M - np AS vz,
+         |        sp + CAST($g10M - np AS BIGINT) * (CAST(1 AS BIGINT) << $g10MaxRank) AS s_sum
+         |      FROM (SELECT id, count(*) AS np,
+         |              CAST(sum(CAST(1 AS BIGINT) << CAST($g10MaxRank - rk AS INTEGER)) AS BIGINT) AS sp
+         |            FROM st$r GROUP BY id))))""".stripMargin
+    val rounds = (1 to g10Rounds).map { r =>
+      val p = r - 1
+      s"""st$r AS MATERIALIZED (
+         |  SELECT id, reg, max(rk) AS rk FROM (
+         |    SELECT id, reg, rk FROM st$p
+         |    UNION ALL
+         |    SELECT e.src, s.reg, s.rk FROM e JOIN st$p s ON s.id = e.dst)
+         |  GROUP BY id, reg),
+         |${estCte(r)}""".stripMargin
+    }.mkString(",\n")
+    s"""WITH nn AS (SELECT count(*) AS n FROM customer),
+      |nodes AS (SELECT c_custkey AS id FROM customer),
+      |e AS MATERIALIZED (SELECT DISTINCT src, dst FROM (
+      |      SELECT id AS src, (id * 31 + 7) % nn.n AS dst FROM nodes, nn
+      |      UNION ALL SELECT id, (id * 17 + 3) % nn.n FROM nodes, nn
+      |      UNION ALL SELECT id, id // 2 FROM nodes WHERE id >= 2)),
+      |st0 AS MATERIALIZED (
+      |  SELECT id, hv % $g10M AS reg,
+      |    CASE WHEN hv // $g10M = 0 THEN $g10MaxRank
+      |         ELSE $g10MaxRank - length(ltrim(bin(CAST(hv // $g10M AS BIGINT)), '0')) END AS rk
+      |  FROM (SELECT id,
+      |          CAST(('0x' || substring(md5(CAST(id AS VARCHAR)), 1, 15)) AS BIGINT) AS hv
+      |        FROM nodes)),
+      |$rounds
+      |SELECT n.id AS c_custkey, be1.b1, be2.b2, be3.b3,
+      |  greatest(b1 - 1, 0) * 1000000
+      |    + (greatest(b2 - b1, 0) * 1000000) // 2
+      |    + (greatest(b3 - b2, 0) * 1000000) // 3 AS harmonic_micro
+      |FROM nodes n
+      |JOIN be1 ON be1.id = n.id
+      |JOIN be2 ON be2.id = n.id
+      |JOIN be3 ON be3.id = n.id
+      |ORDER BY c_custkey""".stripMargin
+  }
+
   /** g6 oracle: the same synchronous rounds unrolled as generated
     * CTEs — votes, (cnt DESC, lbl) argmax via row_number, isolated
     * nodes keep their label.

@@ -1250,4 +1250,73 @@ class RelationalSpec extends AnyFunSuite {
     assert(got.filter(_._1 % 97 == 0).values.forall(_ == 0L))
     assert(got.values.forall(_ >= 0L))
   }
+
+  test("g10: HyperBall equals a sequential register recompute; estimates track true balls") {
+    val got = graft.operators.Graph.g10(spark, sf).collect()
+      .map(r => (r.getAs[Long]("c_custkey"),
+        (r.getAs[Long]("b1"), r.getAs[Long]("b2"), r.getAs[Long]("b3"),
+          r.getAs[Long]("harmonic_micro")))).toMap
+    val n = Tables.customer(spark, sf).count().toInt
+    val edges = (0 until n).flatMap { i =>
+      Seq((i, (i * 31 + 7) % n), (i, (i * 17 + 3) % n)) ++
+        (if (i >= 2) Seq((i, i / 2)) else Seq.empty)
+    }.distinct
+    val out = edges.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val m = 64; val maxRank = 55
+    def hv(id: Int): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+      java.lang.Long.parseLong(
+        md.take(8).map(b => f"${b & 0xff}%02x").mkString.take(15), 16)
+    }
+    def est(regs: Map[Int, Int]): Long = {
+      val vz = m - regs.size
+      val sSum = regs.values.map(r => 1L << (maxRank - r)).sum +
+        vz.toLong * (1L << maxRank)
+      val raw = ((BigInt(709000) * BigInt(2).pow(67)) /
+        (BigInt(sSum) * 1000000)).toLong
+      if (raw * 2 <= 5L * m && vz > 0)
+        (m * math.floor(math.log(m.toDouble / vz) * 1e9 + 0.5).toLong) / 1000000000L
+      else raw
+    }
+    var st = (0 until n).map { i =>
+      val h = hv(i); val w = h / m
+      Map((h % m).toInt ->
+        (if (w == 0) maxRank else maxRank - java.lang.Long.toBinaryString(w).length))
+    }.toArray
+    var ball = (0 until n).map(Set(_)).toArray
+    val ests = scala.collection.mutable.ArrayBuffer(Array.fill(n)(1L))
+    val balls = scala.collection.mutable.ArrayBuffer(ball.map(_.size))
+    (1 to 3).foreach { _ =>
+      val nst = st.map(identity)
+      val nb = ball.map(identity)
+      (0 until n).foreach { v =>
+        out.getOrElse(v, Seq.empty).foreach { w =>
+          nst(v) = (nst(v).keySet ++ st(w).keySet).map { k =>
+            k -> math.max(nst(v).getOrElse(k, 0), st(w).getOrElse(k, 0))
+          }.toMap
+          nb(v) = nb(v) ++ ball(w)
+        }
+      }
+      st = nst; ball = nb
+      ests += st.map(est)
+      balls += ball.map(_.size)
+    }
+    (0 until n).foreach { i =>
+      val harm = (1 to 3).map(r =>
+        (math.max(ests(r)(i) - ests(r - 1)(i), 0L) * 1000000L) / r).sum
+      assert(got(i.toLong) == ((ests(1)(i), ests(2)(i), ests(3)(i), harm)),
+        s"node $i: ${got(i.toLong)}")
+    }
+    // the sketch must TRACK the truth: mean |est-true| within the
+    // m=64 error regime, and the max excursion bounded
+    val errs = (0 until n).map(i =>
+      math.abs(ests(3)(i) - balls(3)(i)) * 1000 / math.max(balls(3)(i), 1))
+    assert(errs.sum / n <= 150, s"mean err ${errs.sum / n} permille")
+    assert(errs.max <= 450, s"max err ${errs.max} permille")
+    // registers only grow: b is non-decreasing per node pre-clamp in
+    // the raw branch; post-correction the harmonic clamp guards it —
+    // assert the emitted harmonic is non-negative and positive overall
+    assert(got.values.forall(_._4 >= 0L) && got.values.exists(_._4 > 0L))
+  }
 }
