@@ -113,6 +113,7 @@ object PlanDump {
       "d19_boilerplate" -> "boilerplate removal: digest-led (source,line) frequency aggregate, source-grain ratio join, one doc-key reassembly shuffle",
       "m11_patch_extract" -> "patch extraction: one narrow codec stage, row-local 16-patch fan-out, zero shuffles",
       "g10_hyperball" -> "HyperBall: per-round edges-registers equality join + (node,reg) max-merge aggregate, n-row estimate tables joined by node key",
+      "v19_recall_sweep" -> "IVF sweep: candidates scored once with their min probe level, 4-row grid expansion, one (nprobe,qid) two-level rank",
     )
     val sb = new StringBuilder
     sb.append("# PLANS — formatted physical plans (generated by graft.PlanDump at sf0.001)\n")

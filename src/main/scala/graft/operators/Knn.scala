@@ -1618,4 +1618,149 @@ object Knn {
       |r AS (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cos_sim DESC, vec_id) AS rnk FROM s)
       |SELECT qid, rnk, vec_id, label, cos_sim FROM r WHERE rnk <= $knnK
       |ORDER BY qid, rnk""".stripMargin
+
+  // ---------- v19: IVF tuning sweep (recall vs probe cost) ----------
+
+  private val v19MaxProbe = 4
+  private val v19K = 3
+
+  /** v19: the INDEX-TUNING SWEEP — recall@k versus scan cost as a
+    * function of nprobe (the dial every IVF deployment turns; the
+    * recall/latency trade FAISS documents as THE operating decision
+    * for IVF indexes). One run emits the whole curve: for nprobe =
+    * 1..[[v19MaxProbe]], the summed exact-overlap of the pruned
+    * top-[[v19K]] against the exhaustive top-[[v19K]], the
+    * candidate-pair count actually scored, and both as integer
+    * MICRO-ratios (truncating division — no float aggregate
+    * anywhere): recall_micro rises with nprobe while
+    * cand_frac_micro grows linearly, and where the recall curve
+    * flattens is the operating point.
+    *
+    * The sweep is ONE plan, not four runs: candidates carry the
+    * MINIMUM nprobe at which their cluster is probed (= the
+    * cluster's probe rank), a 4-row probe-level grid expands them
+    * (row-local, bounded ×4), and one (nprobe, qid) two-level rank
+    * prunes each level's top-k. Assignment and candidate scoring
+    * happen ONCE on the distinct pair set; the exhaustive arm is
+    * v1's broadcast-codebook scan at k = [[v19K]]. Counts ride
+    * 1-row broadcasts (g2's idiom).
+    */
+  /** The sweep's internals (lev = per-level candidate pairs, approx
+    * = per-level pruned top-k) — exposed so the spec can pin
+    * approx@nprobe=2 == v3's independently-oracled result.
+    */
+  private[graft] def v19Parts(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    import spark.implicits._
+    val e = vectors(spark, dir)
+    val cents = e.filter($"vec_id" >= 10 && $"vec_id" < 18)
+      .select($"vec_id".as("id_a"), $"nv".as("nv_a"), lit(1).as("one"))
+    val corpus = e.filter($"vec_id" >= 18)
+      .select($"vec_id".as("id_b"), $"nv".as("nv_b"), lit(1).as("one"))
+    val wAssign = Window.partitionBy($"id_b").orderBy($"cos_sim".desc, $"id_a")
+    val assigned = cosineOf(corpus.join(broadcast(cents), Seq("one")))
+      .withColumn("arnk", row_number().over(wAssign))
+      .filter($"arnk" === 1)
+      .select($"id_b".as("vec_id"), $"id_a".as("cid"))
+    val queries = e.filter($"vec_id" < 10)
+      .select($"vec_id".as("id_b"), $"nv".as("nv_b"), lit(1).as("one"))
+    val wProbe = Window.partitionBy($"id_b").orderBy($"cos_sim".desc, $"id_a")
+    val probes = cosineOf(queries.join(broadcast(cents), Seq("one")))
+      .withColumn("prnk", row_number().over(wProbe))
+      .filter($"prnk" <= v19MaxProbe)
+      .select($"id_b".as("qid"), $"id_a".as("cid"), $"prnk")
+    // distinct candidate pairs scored ONCE, tagged with the minimum
+    // probe level that reaches them
+    val scored = cosineOf(
+      probes.join(assigned, Seq("cid"))
+        .select($"qid", $"prnk", $"vec_id")
+        .join(e.select($"vec_id".as("qid"), $"nv".as("nv_a")), Seq("qid"))
+        .join(e.select($"vec_id", $"nv".as("nv_b")), Seq("vec_id"))
+        .select($"qid".as("id_a"), $"vec_id".as("id_b"), $"nv_a", $"nv_b", $"prnk")
+        .withColumnRenamed("prnk", "minp"))
+      .join(probes.join(assigned, Seq("cid"))
+          .select($"qid".as("id_a"), $"vec_id".as("id_b"), $"prnk".as("minp")),
+        Seq("id_a", "id_b"))
+    // expand by probe level (row-local, bounded x4) and rank per level
+    val grid = spark.range(1, v19MaxProbe + 1).toDF("nprobe")
+    val lev = scored.join(broadcast(grid), $"minp" <= $"nprobe")
+      .select($"nprobe", $"id_a".as("qid"), $"id_b".as("vec_id"), $"cos_sim")
+    val approx = graft.functions.TwoLevel.topK(lev, Seq($"nprobe", $"qid"),
+      Seq($"cos_sim".desc, $"vec_id"), $"vec_id", v19K)
+    (lev, approx)
+  }
+
+  def v19(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = vectors(spark, dir)
+    val (lev, approx) = v19Parts(spark, dir)
+    val exact = graft.functions.TwoLevel.topK(
+      denseScored(spark, dir, "vec_id < 10", "vec_id >= 18"),
+      Seq($"qid"), Seq($"cos_sim".desc, $"vec_id"), $"vec_id", v19K)
+      .select($"qid", $"vec_id", lit(1).as("hit"))
+    val nq = e.filter($"vec_id" < 10).agg(count(lit(1)).as("nq"))
+    val nc = e.filter($"vec_id" >= 18).agg(count(lit(1)).as("ncorp"))
+    val perLevel = lev.groupBy($"nprobe").agg(count(lit(1)).as("n_cand"))
+    approx.join(exact, Seq("qid", "vec_id"), "left_outer")
+      .groupBy($"nprobe").agg(sum(coalesce($"hit", lit(0))).as("sum_overlap"))
+      .join(perLevel, Seq("nprobe"))
+      .crossJoin(broadcast(nq)).crossJoin(broadcast(nc))
+      .selectExpr("nprobe", "CAST(sum_overlap AS BIGINT) AS sum_overlap",
+        s"(CAST(sum_overlap AS BIGINT) * 1000000) div (nq * $v19K) AS recall_micro",
+        "n_cand",
+        "(n_cand * 1000000) div (nq * ncorp) AS cand_frac_micro")
+      .transform(graft.Tables.ordered(_, $"nprobe"))
+  }
+
+  /** v19 oracle: assignment + probe ranks + the minp expansion over
+    * an unnested probe grid, per-level ranking, exhaustive top-k and
+    * the integer micro-ratios — v3Sql's CTE conventions throughout.
+    */
+  val v19Sql: String =
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |n AS (SELECT vec_id, v, sqrt(list_inner_product(v, v)) AS nrm FROM e),
+      |m AS (SELECT vec_id, list_transform(v, x -> x / nrm) AS nv FROM n),
+      |cents AS (SELECT vec_id AS cid, nv AS cnv FROM m WHERE vec_id >= 10 AND vec_id < 18),
+      |corpus AS (SELECT vec_id, nv FROM m WHERE vec_id >= 18),
+      |asg AS (SELECT c.vec_id, ct.cid,
+      |          round(list_inner_product(ct.cnv, c.nv) * 1e6) / 1e6 AS cs
+      |        FROM corpus c CROSS JOIN cents ct),
+      |assigned AS (SELECT vec_id, cid FROM
+      |  (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cid) AS rn FROM asg)
+      |  WHERE rn = 1),
+      |qs AS (SELECT vec_id AS qid, nv AS qnv FROM m WHERE vec_id < 10),
+      |ps AS (SELECT q.qid, ct.cid,
+      |         round(list_inner_product(ct.cnv, q.qnv) * 1e6) / 1e6 AS cs
+      |       FROM qs q CROSS JOIN cents ct),
+      |probes AS (SELECT qid, cid, rn AS prnk FROM
+      |  (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cs DESC, cid) AS rn FROM ps)
+      |  WHERE rn <= $v19MaxProbe),
+      |scored AS (SELECT p.qid, a.vec_id, p.prnk AS minp,
+      |             round(list_inner_product(q.nv, v.nv) * 1e6) / 1e6 AS cos_sim
+      |           FROM probes p JOIN assigned a USING (cid)
+      |           JOIN m q ON q.vec_id = p.qid JOIN m v ON v.vec_id = a.vec_id),
+      |grid AS (SELECT unnest(range(1, ${v19MaxProbe + 1})) AS nprobe),
+      |lev AS (SELECT g.nprobe, s.qid, s.vec_id, s.cos_sim
+      |        FROM scored s JOIN grid g ON s.minp <= g.nprobe),
+      |ar AS (SELECT *, row_number() OVER (PARTITION BY nprobe, qid ORDER BY cos_sim DESC, vec_id) AS rnk
+      |       FROM lev),
+      |approx AS (SELECT nprobe, qid, vec_id FROM ar WHERE rnk <= $v19K),
+      |es AS (SELECT q.vec_id AS qid, c.vec_id AS vec_id,
+      |         round(list_inner_product(q.nv, c.nv) * 1e6) / 1e6 AS cos_sim
+      |       FROM m q JOIN m c ON q.vec_id < 10 AND c.vec_id >= 18),
+      |er AS (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cos_sim DESC, vec_id) AS rnk FROM es),
+      |exact AS (SELECT qid, vec_id FROM er WHERE rnk <= $v19K),
+      |nqc AS (SELECT count(*) AS nq FROM qs),
+      |ncc AS (SELECT count(*) AS ncorp FROM corpus),
+      |pl AS (SELECT nprobe, CAST(count(*) AS BIGINT) AS n_cand FROM lev GROUP BY nprobe),
+      |ov AS (SELECT a.nprobe,
+      |         CAST(sum(CASE WHEN x.vec_id IS NULL THEN 0 ELSE 1 END) AS BIGINT) AS sum_overlap
+      |       FROM approx a LEFT JOIN exact x ON x.qid = a.qid AND x.vec_id = a.vec_id
+      |       GROUP BY a.nprobe)
+      |SELECT CAST(ov.nprobe AS BIGINT) AS nprobe, ov.sum_overlap,
+      |  (ov.sum_overlap * 1000000) // (nqc.nq * $v19K) AS recall_micro,
+      |  pl.n_cand,
+      |  (pl.n_cand * 1000000) // (nqc.nq * ncc.ncorp) AS cand_frac_micro
+      |FROM ov JOIN pl ON pl.nprobe = ov.nprobe
+      |CROSS JOIN nqc CROSS JOIN ncc
+      |ORDER BY nprobe""".stripMargin
 }

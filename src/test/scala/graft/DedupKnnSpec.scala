@@ -1306,6 +1306,33 @@ class DedupKnnSpec extends AnyFunSuite {
     }
   }
 
+  test("v19: sweep is monotone and its nprobe=2 level IS v3") {
+    val rows = Knn.v19(spark, sf).collect()
+      .map(r => (r.getAs[Long]("nprobe"), r.getAs[Long]("sum_overlap"),
+        r.getAs[Long]("recall_micro"), r.getAs[Long]("n_cand"),
+        r.getAs[Long]("cand_frac_micro"))).sortBy(_._1)
+    assert(rows.map(_._1).toSeq == Seq(1L, 2L, 3L, 4L))
+    // widening the probe set can only add candidates and overlap
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(b._2 >= a._2 && b._3 >= a._3 && b._4 > a._4 && b._5 > a._5,
+        s"non-monotone: $a -> $b")
+    }
+    // recall must be real but imperfect on untrained centroids (a
+    // perfect curve would mean the prune isn't pruning)
+    assert(rows.last._3 > rows.head._3, "nprobe carries no recall signal")
+    assert(rows.head._3 > 0L && rows.last._3 < 1000000L)
+    // cross-operator pin: the sweep's nprobe=2 pruned top-k must be
+    // EXACTLY v3's independently-oracled result set
+    val (_, approx) = Knn.v19Parts(spark, sf)
+    val lvl2 = approx.filter("nprobe = 2").collect()
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Int]("rnk"),
+        r.getAs[Long]("vec_id"))).toSet
+    val v3rows = Knn.v3(spark, sf).collect()
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Int]("rnk"),
+        r.getAs[Long]("vec_id"))).toSet
+    assert(lvl2 == v3rows, s"sweep level 2 != v3: ${lvl2.size} vs ${v3rows.size}")
+  }
+
   test("d19: boilerplate strips exactly the template; sub-ratio repeats survive") {
     val got = Dedup.d19(spark, sf).collect()
       .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("source"),
