@@ -114,6 +114,7 @@ object PlanDump {
       "m11_patch_extract" -> "patch extraction: one narrow codec stage, row-local 16-patch fan-out, zero shuffles",
       "g10_hyperball" -> "HyperBall: per-round edges-registers equality join + (node,reg) max-merge aggregate, n-row estimate tables joined by node key",
       "v19_recall_sweep" -> "IVF sweep: candidates scored once with their min probe level, 4-row grid expansion, one (nprobe,qid) two-level rank",
+      "e15_rfm" -> "RFM: events reduce to user grain map-side before the quintile windows; corpus max-day is a 1-row broadcast",
     )
     val sb = new StringBuilder
     sb.append("# PLANS — formatted physical plans (generated by graft.PlanDump at sf0.001)\n")

@@ -634,4 +634,90 @@ object EventWindows {
       |  c.conv - v.first_view AS lag_us
       |FROM v JOIN c ON c.user_id = v.user_id
       |ORDER BY v.user_id""".stripMargin
+
+  // ---------- e15: RFM segmentation ----------
+
+  /** e15: RFM SEGMENTATION (Hughes 1994's recency/frequency/monetary
+    * scoring — the standard behavioral user segmentation an event
+    * pipeline feeds to retention/marketing logic): per purchasing
+    * user, days since last purchase (vs the corpus' latest day),
+    * purchase count and exact-cents spend, each quintile-scored 1-5
+    * (5 best) and CASE-mapped to the canonical segments (champion /
+    * loyal / big_spender / at_risk / lost / other).
+    *
+    * Determinism: all three metrics are exact integers (e14's
+    * absolute-day and cents conventions); ntile(5) is the ANSI
+    * bucketing both engines implement identically (first n mod 5
+    * buckets one larger) and every ORDER BY carries a user_id
+    * tie-break, so scores are bitwise.
+    *
+    * Scale shape: events reduce to USER GRAIN in one
+    * map-side-combined aggregate before anything windows — the
+    * ntile windows ride the aggregate (users ≪ events), and the
+    * corpus max-day is a 1-row broadcast (g2's idiom). The exact
+    * global ntile is presentation-exact for the gate; at 100 TB
+    * (10⁹ users) the same scores come from histogram-sketch
+    * thresholds (q34's HistQ at 1/5 permilles) with the window
+    * dropped — the aggregate shape below is unchanged.
+    */
+  def e15(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.events(spark, dir)
+      .selectExpr("user_id", "event_type", s"$dayExpr AS day",
+        "CAST(floor(value * 1e2 + 0.5) AS BIGINT) AS cents")
+    val maxDay = ev.agg(max($"day").as("max_day"))
+    val users = ev.filter($"event_type" === "purchase")
+      .groupBy($"user_id")
+      .agg(max($"day").as("last_day"), count(lit(1)).as("freq"),
+        sum($"cents").as("cents"))
+      .crossJoin(broadcast(maxDay))
+      .selectExpr("user_id", "max_day - last_day AS recency_days",
+        "freq", "cents")
+    val r = ntile(5).over(Window.orderBy($"recency_days".desc, $"user_id"))
+    val f = ntile(5).over(Window.orderBy($"freq".asc, $"user_id"))
+    val m = ntile(5).over(Window.orderBy($"cents".asc, $"user_id"))
+    users
+      .withColumn("r_score", r.cast("long"))
+      .withColumn("f_score", f.cast("long"))
+      .withColumn("m_score", m.cast("long"))
+      .selectExpr("user_id", "recency_days", "freq", "cents",
+        "r_score", "f_score", "m_score",
+        """CASE WHEN r_score >= 4 AND f_score >= 4 AND m_score >= 4 THEN 'champion'
+          |     WHEN f_score >= 4 THEN 'loyal'
+          |     WHEN m_score >= 4 THEN 'big_spender'
+          |     WHEN r_score <= 2 AND f_score >= 3 THEN 'at_risk'
+          |     WHEN r_score = 1 AND f_score <= 2 THEN 'lost'
+          |     ELSE 'other' END AS segment""".stripMargin)
+      .transform(graft.Tables.ordered(_, $"user_id"))
+  }
+
+  /** e15 oracle: identical integer metrics, ntile bucketing and
+    * CASE ladder.
+    */
+  val e15Sql: String =
+    """WITH e AS (SELECT user_id, event_type,
+      |        datediff('day', DATE '2023-12-31', CAST(ts AS DATE)) AS day,
+      |        CAST(floor(value * 1e2 + 0.5) AS BIGINT) AS cents
+      |      FROM events),
+      |md AS (SELECT max(day) AS max_day FROM e),
+      |u AS (SELECT user_id, max_day - max(day) AS recency_days,
+      |        CAST(count(*) AS BIGINT) AS freq,
+      |        CAST(sum(cents) AS BIGINT) AS cents
+      |      FROM e, md WHERE event_type = 'purchase'
+      |      GROUP BY user_id, max_day),
+      |sc AS (SELECT *,
+      |         CAST(ntile(5) OVER (ORDER BY recency_days DESC, user_id) AS BIGINT) AS r_score,
+      |         CAST(ntile(5) OVER (ORDER BY freq ASC, user_id) AS BIGINT) AS f_score,
+      |         CAST(ntile(5) OVER (ORDER BY cents ASC, user_id) AS BIGINT) AS m_score
+      |       FROM u)
+      |SELECT user_id, CAST(recency_days AS BIGINT) AS recency_days, freq, cents,
+      |  r_score, f_score, m_score,
+      |  CASE WHEN r_score >= 4 AND f_score >= 4 AND m_score >= 4 THEN 'champion'
+      |       WHEN f_score >= 4 THEN 'loyal'
+      |       WHEN m_score >= 4 THEN 'big_spender'
+      |       WHEN r_score <= 2 AND f_score >= 3 THEN 'at_risk'
+      |       WHEN r_score = 1 AND f_score <= 2 THEN 'lost'
+      |       ELSE 'other' END AS segment
+      |FROM sc
+      |ORDER BY user_id""".stripMargin
 }

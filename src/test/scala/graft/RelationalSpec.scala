@@ -1251,6 +1251,56 @@ class RelationalSpec extends AnyFunSuite {
     assert(got.values.forall(_ >= 0L))
   }
 
+  test("e15: RFM scores equal a sequential recompute and bucket evenly") {
+    val got = EventWindows.e15(spark, sf).collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("recency_days"),
+        r.getAs[Long]("freq"), r.getAs[Long]("cents"),
+        r.getAs[Long]("r_score"), r.getAs[Long]("f_score"),
+        r.getAs[Long]("m_score"), r.getAs[String]("segment")))
+    val ev = Tables.events(spark, sf)
+      .selectExpr("user_id", "event_type",
+        "CAST(datediff(CAST(ts AS DATE), DATE '2023-12-31') AS BIGINT) AS day",
+        "CAST(floor(value * 1e2 + 0.5) AS BIGINT) AS cents")
+      .as[(Long, String, Long, Long)].collect()
+    val maxDay = ev.map(_._3).max
+    val users = ev.filter(_._2 == "purchase").groupBy(_._1).map { case (u, rows) =>
+      (u, maxDay - rows.map(_._3).max, rows.size.toLong, rows.map(_._4).sum)
+    }.toSeq
+    def ntile5(ordered: Seq[Long]): Map[Long, Long] = {
+      val n = ordered.size
+      val base = n / 5; val extra = n % 5
+      ordered.zipWithIndex.map { case (u, i) =>
+        // ANSI ntile: first (n mod 5) buckets are one larger
+        var acc = 0; var b = 0
+        while ({ b += 1; acc += base + (if (b <= extra) 1 else 0); acc <= i }) ()
+        (u, b.toLong)
+      }.toMap
+    }
+    val rS = ntile5(users.sortBy { case (u, r, _, _) => (-r, u) }.map(_._1))
+    val fS = ntile5(users.sortBy { case (u, _, f, _) => (f, u) }.map(_._1))
+    val mS = ntile5(users.sortBy { case (u, _, _, m) => (m, u) }.map(_._1))
+    val want = users.map { case (u, r, f, m) =>
+      val (rs, fs, ms) = (rS(u), fS(u), mS(u))
+      val seg =
+        if (rs >= 4 && fs >= 4 && ms >= 4) "champion"
+        else if (fs >= 4) "loyal"
+        else if (ms >= 4) "big_spender"
+        else if (rs <= 2 && fs >= 3) "at_risk"
+        else if (rs == 1 && fs <= 2) "lost"
+        else "other"
+      (u, r, f, m, rs, fs, ms, seg)
+    }.sortBy(_._1)
+    assert(got.toSeq == want)
+    // every quintile populated on every axis, and bucket sizes are
+    // balanced to within one (the ANSI ntile contract)
+    Seq(got.map(_._5), got.map(_._6), got.map(_._7)).foreach { scores =>
+      val sizes = scores.groupBy(identity).view.mapValues(_.size).toMap
+      assert(sizes.keySet == Set(1L, 2L, 3L, 4L, 5L))
+      assert(sizes.values.max - sizes.values.min <= 1)
+    }
+    assert(got.map(_._8).distinct.length >= 3, "segmentation degenerate")
+  }
+
   test("g10: HyperBall equals a sequential register recompute; estimates track true balls") {
     val got = graft.operators.Graph.g10(spark, sf).collect()
       .map(r => (r.getAs[Long]("c_custkey"),
