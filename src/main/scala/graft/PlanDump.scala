@@ -115,6 +115,8 @@ object PlanDump {
       "g10_hyperball" -> "HyperBall: per-round edges-registers equality join + (node,reg) max-merge aggregate, n-row estimate tables joined by node key",
       "v19_recall_sweep" -> "IVF sweep: candidates scored once with their min probe level, 4-row grid expansion, one (nprobe,qid) two-level rank",
       "e15_rfm" -> "RFM: events reduce to user grain map-side before the quintile windows; corpus max-day is a 1-row broadcast",
+      "d20_threshold_sweep" -> "dedup sweep: pairs scored once via inverted-index joins, 5-row tau grid expands row-local, one (tau,grade) aggregate",
+      "g11_assortativity" -> "assortativity: distinct edges + degree joins, one 4-sum global aggregate — exact integers, single final division",
     )
     val sb = new StringBuilder
     sb.append("# PLANS — formatted physical plans (generated by graft.PlanDump at sf0.001)\n")

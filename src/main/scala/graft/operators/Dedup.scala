@@ -1784,4 +1784,92 @@ object Dedup {
       |FROM f
       |GROUP BY doc_id, source
       |ORDER BY doc_id""".stripMargin
+
+  // ---------- d20: dedup threshold sweep (calibration curve) ----------
+
+  /** Junk suffix for mutation grade g: 4g+1 tokens that exist nowhere
+    * in the corpus, so each grade shifts the copy's Jaccard down a
+    * known notch.
+    */
+  private[graft] def d20Suffix(g: Int): String =
+    (0 to g * 4).map(i => s"zq${g}x$i").mkString(" ")
+
+  /** d20: the DEDUP THRESHOLD SWEEP — v19's tuning-curve idea for
+    * the dedup family: before committing a near-dup threshold τ, a
+    * corpus owner wants the pass-rate curve over pairs of KNOWN
+    * mutation severity (MinHash banding parameters and the verify
+    * cut are both chosen from exactly this calibration — Broder's
+    * S-curve made empirical). Every document gets one copy at
+    * mutation grade g = doc_id % 5 (4g+1 appended junk tokens ⇒
+    * Jaccard steps from ~0.92 down to ~0.65); exact Jaccard runs
+    * once per pair through d4's inverted-index machinery, and a
+    * 5-row τ-grid (500‰..900‰) expands row-locally — the pass test
+    * is the INTEGER cross-multiplication inter·1000 ≥ τ·(na+nb−inter)
+    * (the d18 discipline: no float threshold anywhere), so the
+    * whole 25-cell calibration table is bitwise.
+    *
+    * Scale shape: one shingle index over corpus+copies (the
+    * d17/d18 seeding pattern), candidate pairs scored ONCE via two
+    * id-keyed equality joins + one (id_a, id_b) count aggregate,
+    * grid expansion bounded ×5 row-local, final (τ, grade)
+    * aggregate map-side combined. A production run swaps the
+    * seeded pairs for d2's banding candidates (d18's stage) — the
+    * sweep shape is unchanged.
+    */
+  def d20(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val base = Tables.documents(spark, dir).select($"doc_id", $"text")
+    val copies = (0 until 5).map { g =>
+      base.filter($"doc_id" % 5 === g)
+        .select(($"doc_id" + 100000).as("doc_id"),
+          concat($"text", lit(" " + d20Suffix(g))).as("text"))
+    }.reduce(_ unionAll _)
+    val shx = shingleExplode(base.unionByName(copies)).cache()
+    val sizes = shx.groupBy($"doc_id").agg(count(lit(1)).as("n"))
+    val pairs = base.select($"doc_id".as("id_a"), ($"doc_id" + 100000).as("id_b"))
+    val scored = containmentOf(pairs, shx, sizes)
+      .selectExpr("id_a % 5 AS grade", "inter", "na", "nb")
+    val grid = Seq(500L, 600L, 700L, 800L, 900L).toDF("tau_permille")
+    scored.crossJoin(broadcast(grid))
+      .groupBy($"tau_permille", $"grade")
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(when(expr("inter * 1000 >= tau_permille * (na + nb - inter)"), 1L)
+          .otherwise(0L)).as("n_over"))
+      .transform(graft.Tables.ordered(_, $"tau_permille", $"grade"))
+  }
+
+  /** d20 oracle: the graded corpus as five literal-suffix branches,
+    * d4Sql's shingle lambdas, the unnested τ-grid and the integer
+    * cross-multiplication.
+    */
+  val d20Sql: String = {
+    val branches = (0 until 5).map { g =>
+      s"""SELECT doc_id + 100000, text || ' ${d20Suffix(g)}'
+         |  FROM documents WHERE doc_id % 5 = $g""".stripMargin
+    }.mkString("\n  UNION ALL\n  ")
+    s"""WITH corpus AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  $branches),
+      |w AS (SELECT doc_id, string_split(lower(trim(text)), ' ') AS words FROM corpus),
+      |sh AS (SELECT doc_id,
+      |         CASE WHEN len(words) >= 3
+      |           THEN list_distinct(list_transform(range(0, len(words) - 2),
+      |                  i -> array_to_string(words[(i + 1):(i + 3)], ' ')))
+      |           ELSE [array_to_string(words, ' ')] END AS s
+      |       FROM w),
+      |pairs AS (SELECT doc_id AS id_a, doc_id + 100000 AS id_b FROM documents),
+      |sc AS (SELECT id_a % 5 AS grade,
+      |         CAST(len(list_intersect(a.s, b.s)) AS BIGINT) AS inter,
+      |         CAST(len(a.s) AS BIGINT) AS na, CAST(len(b.s) AS BIGINT) AS nb
+      |       FROM pairs JOIN sh a ON a.doc_id = id_a JOIN sh b ON b.doc_id = id_b),
+      |grid AS (SELECT unnest([500, 600, 700, 800, 900]) AS tau_permille)
+      |SELECT CAST(g.tau_permille AS BIGINT) AS tau_permille, s.grade,
+      |  CAST(count(*) AS BIGINT) AS n_pairs,
+      |  CAST(sum(CASE WHEN s.inter * 1000 >= g.tau_permille * (s.na + s.nb - s.inter)
+      |                THEN 1 ELSE 0 END) AS BIGINT) AS n_over
+      |FROM sc s CROSS JOIN grid g
+      |GROUP BY 1, 2
+      |ORDER BY tau_permille, grade""".stripMargin
+  }
 }

@@ -975,6 +975,86 @@ object Graph {
       |ORDER BY c_custkey""".stripMargin
   }
 
+  // ---------- g11: degree assortativity ----------
+
+  /** g11: DEGREE ASSORTATIVITY (Newman 2002, "Assortative mixing in
+    * networks", PRL 89) over the undirected link graph — the one
+    * number that says whether hubs link to hubs (r > 0, social-web
+    * shape) or hubs link to leaves (r < 0, the classic
+    * crawler-frontier / star topology): a crawl pipeline reads it
+    * before choosing quota and sampling policy, because
+    * disassortative graphs concentrate reach in few hubs (g5 asks
+    * "does MY partition respect the structure", g11 asks what the
+    * structure IS).
+    *
+    * r is the Pearson correlation of the degrees at either end of
+    * every edge, both orientations counted (the undirected
+    * convention). Every sum involved — ends count 2M, Σx, Σxy,
+    * Σx² over the symmetrized end list — is an EXACT BIGINT
+    * (degrees are integers; magnitudes ≪ 2^63 at any realistic
+    * scale), numerator 2M·Σxy − (Σx)² and denominator
+    * 2M·Σx² − (Σx)² are exact BIGINT expressions, and r is ONE
+    * IEEE division of the two — bitwise cross-engine with zero
+    * float aggregates (by symmetry Σy = Σx and Σy² = Σx², so the
+    * general Pearson collapses to this form).
+    *
+    * Scale shape: one distinct-edge canonicalization, one degree
+    * aggregate, one edges⋈degrees equality join per side, one
+    * 4-sum global aggregate (map-side combined) — a single-pass
+    * audit at any corpus size.
+    */
+  def g11(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val nodes = Tables.customer(spark, dir).select($"c_custkey".as("id")).cache()
+    val n = nodes.count()
+    val e0 = nodes.selectExpr("id AS src", s"(id * 31 + 7) % $n AS dst")
+      .unionAll(nodes.selectExpr("id AS src", s"(id * 17 + 3) % $n AS dst"))
+      .unionAll(nodes.filter($"id" >= 2).selectExpr("id AS src", "id div 2 AS dst"))
+    val und = e0.filter($"src" =!= $"dst")
+      .selectExpr("least(src, dst) AS a", "greatest(src, dst) AS b")
+      .distinct().cache()
+    val deg = und.selectExpr("a AS x").unionAll(und.selectExpr("b AS x"))
+      .groupBy($"x").agg(count(lit(1)).as("d"))
+    val ends = und.select($"a", $"b")
+      .unionAll(und.select($"b".as("a"), $"a".as("b")))
+      .join(deg.withColumnRenamed("x", "a").withColumnRenamed("d", "dx"), Seq("a"))
+      .join(deg.withColumnRenamed("x", "b").withColumnRenamed("d", "dy"), Seq("b"))
+    ends.agg(count(lit(1)).as("n_ends"),
+        sum($"dx").as("sum_x"),
+        sum($"dx" * $"dy").as("sum_xy"),
+        sum($"dx" * $"dx").as("sum_x2"))
+      .selectExpr("n_ends", "sum_x", "sum_xy", "sum_x2",
+        "CAST(n_ends * sum_xy - sum_x * sum_x AS DOUBLE) " +
+          "/ CAST(n_ends * sum_x2 - sum_x * sum_x AS DOUBLE) AS assortativity")
+  }
+
+  /** g11 oracle: identical canonical edges, degree join and exact
+    * integer sums; one final division.
+    */
+  val g11Sql: String =
+    """WITH nn AS (SELECT count(*) AS n FROM customer),
+      |nodes AS (SELECT c_custkey AS id FROM customer),
+      |e0 AS (SELECT id AS src, (id * 31 + 7) % nn.n AS dst FROM nodes, nn
+      |       UNION ALL SELECT id, (id * 17 + 3) % nn.n FROM nodes, nn
+      |       UNION ALL SELECT id, id // 2 FROM nodes WHERE id >= 2),
+      |und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+      |        FROM e0 WHERE src <> dst),
+      |deg AS (SELECT x, CAST(count(*) AS BIGINT) AS d
+      |        FROM (SELECT a AS x FROM und UNION ALL SELECT b FROM und)
+      |        GROUP BY x),
+      |ends AS (SELECT a, b FROM und UNION ALL SELECT b, a FROM und),
+      |j AS (SELECT da.d AS dx, db.d AS dy
+      |      FROM ends JOIN deg da ON da.x = ends.a JOIN deg db ON db.x = ends.b)
+      |SELECT CAST(count(*) AS BIGINT) AS n_ends,
+      |  CAST(sum(dx) AS BIGINT) AS sum_x,
+      |  CAST(sum(dx * dy) AS BIGINT) AS sum_xy,
+      |  CAST(sum(dx * dx) AS BIGINT) AS sum_x2,
+      |  CAST(CAST(count(*) AS BIGINT) * CAST(sum(dx * dy) AS BIGINT)
+      |         - CAST(sum(dx) AS BIGINT) * CAST(sum(dx) AS BIGINT) AS DOUBLE)
+      |    / CAST(CAST(count(*) AS BIGINT) * CAST(sum(dx * dx) AS BIGINT)
+      |         - CAST(sum(dx) AS BIGINT) * CAST(sum(dx) AS BIGINT) AS DOUBLE) AS assortativity
+      |FROM j""".stripMargin
+
   /** g6 oracle: the same synchronous rounds unrolled as generated
     * CTEs — votes, (cnt DESC, lbl) argmax via row_number, isolated
     * nodes keep their label.

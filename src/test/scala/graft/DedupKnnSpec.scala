@@ -1333,6 +1333,45 @@ class DedupKnnSpec extends AnyFunSuite {
     assert(lvl2 == v3rows, s"sweep level 2 != v3: ${lvl2.size} vs ${v3rows.size}")
   }
 
+  test("d20: threshold sweep equals a sequential recompute and is monotone in tau") {
+    val got = Dedup.d20(spark, sf).collect()
+      .map(r => ((r.getAs[Long]("tau_permille"), r.getAs[Long]("grade")),
+        (r.getAs[Long]("n_pairs"), r.getAs[Long]("n_over")))).toMap
+    val docs = Tables.documents(spark, sf)
+      .selectExpr("doc_id", "lower(trim(text)) AS t").as[(Long, String)].collect()
+    def shingles(t: String): Set[String] = {
+      val ws = t.split(" ", -1)
+      if (ws.length >= 3) ws.sliding(3).map(_.mkString(" ")).toSet
+      else Set(ws.mkString(" "))
+    }
+    val taus = Seq(500L, 600L, 700L, 800L, 900L)
+    val scored = docs.map { case (id, t) =>
+      val g = (id % 5).toInt
+      val junk = (0 to g * 4).map(i => s"zq${g}x$i").mkString(" ")
+      val a = shingles(t)
+      val b = shingles(t + " " + junk)
+      (g.toLong, (a & b).size.toLong, a.size.toLong, b.size.toLong)
+    }
+    val want = (for {
+      tau <- taus; g <- 0L until 5L
+    } yield {
+      val ps = scored.filter(_._1 == g)
+      ((tau, g), (ps.size.toLong,
+        ps.count { case (_, i, na, nb) => i * 1000 >= tau * (na + nb - i) }.toLong))
+    }).toMap
+    assert(got == want)
+    // tightening tau can only shrink the pass set (same pairs, same
+    // scores) — and it must actually bite somewhere
+    (0L until 5L).foreach { g =>
+      taus.sliding(2).foreach { case Seq(t1, t2) =>
+        assert(got((t2, g))._2 <= got((t1, g))._2)
+      }
+    }
+    val total: Long => Long = tau => (0L until 5L).map(g => got((tau, g))._2).sum
+    assert(total(900L) < total(500L), "the sweep never discriminates")
+    assert(total(500L) > 0L)
+  }
+
   test("d19: boilerplate strips exactly the template; sub-ratio repeats survive") {
     val got = Dedup.d19(spark, sf).collect()
       .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("source"),

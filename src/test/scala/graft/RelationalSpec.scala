@@ -1251,6 +1251,33 @@ class RelationalSpec extends AnyFunSuite {
     assert(got.values.forall(_ >= 0L))
   }
 
+  test("g11: assortativity sums equal a sequential recompute") {
+    val r = graft.operators.Graph.g11(spark, sf).collect().head
+    val n = Tables.customer(spark, sf).count()
+    val und = (0L until n).flatMap { id =>
+      Seq((id, (id * 31 + 7) % n), (id, (id * 17 + 3) % n)) ++
+        (if (id >= 2) Seq((id, id / 2)) else Seq.empty)
+    }.filter { case (a, b) => a != b }
+      .map { case (a, b) => (math.min(a, b), math.max(a, b)) }.distinct
+    val deg = (und.map(_._1) ++ und.map(_._2)).groupBy(identity)
+      .view.mapValues(_.size.toLong).toMap
+    val ends = und ++ und.map(_.swap)
+    val sx = ends.map(e => deg(e._1)).sum
+    val sxy = ends.map(e => deg(e._1) * deg(e._2)).sum
+    val sx2 = ends.map(e => deg(e._1) * deg(e._1)).sum
+    assert(r.getAs[Long]("n_ends") == ends.size.toLong)
+    assert(r.getAs[Long]("sum_x") == sx)
+    assert(r.getAs[Long]("sum_xy") == sxy)
+    assert(r.getAs[Long]("sum_x2") == sx2)
+    val want = (ends.size * sxy - sx * sx).toDouble / (ends.size * sx2 - sx * sx)
+    assert(r.getAs[Double]("assortativity") == want)
+    // a near-random arithmetic graph must sit close to neutral
+    // mixing — a strongly assortative answer would be a degree-join
+    // bug, not a property of this graph
+    assert(math.abs(want) < 0.5)
+    assert(ends.size * sx2 - sx * sx > 0L, "degenerate degree variance")
+  }
+
   test("e15: RFM scores equal a sequential recompute and bucket evenly") {
     val got = EventWindows.e15(spark, sf).collect()
       .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("recency_days"),
