@@ -117,6 +117,10 @@ object PlanDump {
       "e15_rfm" -> "RFM: events reduce to user grain map-side before the quintile windows; corpus max-day is a 1-row broadcast",
       "d20_threshold_sweep" -> "dedup sweep: pairs scored once via inverted-index joins, 5-row tau grid expands row-local, one (tau,grade) aggregate",
       "g11_assortativity" -> "assortativity: distinct edges + degree joins, one 4-sum global aggregate — exact integers, single final division",
+      "g12_link_prediction" -> "link prediction: capped-adjacency wedge self-join, anti-join on edges, degree joins on candidate grain, bounded top-100 take",
+      "w25_heat_blobs" -> "heat blobs: w12's daily shuffle + hot-cell aggregate, arithmetic neighbor-key self-join, stars-contraction labels joined back (final round's plan)",
+      "d21_dedup_audit" -> "dedup audit: cluster aggregate over d13's checkpointed labels, size-grain histogram, 1-row singleton stitch (final labels plan)",
+      "t26_readability" -> "readability: pure narrow map — regex counts + fixed formulas in one codegen stage, zero shuffles",
     )
     val sb = new StringBuilder
     sb.append("# PLANS — formatted physical plans (generated by graft.PlanDump at sf0.001)\n")

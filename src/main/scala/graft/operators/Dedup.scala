@@ -1872,4 +1872,86 @@ object Dedup {
       |GROUP BY 1, 2
       |ORDER BY tau_permille, grade""".stripMargin
   }
+
+  // ---------- d21: dedup audit (cluster-size distribution + savings) ----------
+
+  /** d21: the DEDUP AUDIT REPORT — the read a corpus owner takes
+    * BEFORE committing to a destructive dedup run (d20 calibrates
+    * the threshold; d21 reports what the chosen pipeline would
+    * delete): the near-dup cluster-SIZE distribution plus, per size,
+    * how many documents and characters the canonical-survivor rule
+    * removes. Cluster-size shape is diagnostic in itself — a heavy
+    * tail of giant clusters usually means boilerplate (d19's
+    * territory) rather than true duplication, and chars_removed is
+    * the storage/compute savings estimate that justifies the run.
+    *
+    * Composition: d13's end-to-end labels (d2 banding → verified
+    * pairs → components over dup-pair nodes ONLY) → per-cluster
+    * aggregate (size, chars, survivor chars) → size-grain histogram
+    * (bounded rows). Singletons never enter the component machinery;
+    * their one histogram row is corpus_count − clustered_count,
+    * computed from two 1-row aggregates stitched by an in-plan
+    * broadcast (the g5 idiom — no driver collect). All outputs are
+    * exact BIGINTs; chars come from length(text) over the seeded
+    * corpus (the +10000 copies have no `documents` row, so the
+    * audit measures the corpus the pipeline actually deduped).
+    *
+    * Scale: the histogram grain is cluster SIZES — bounded by the
+    * largest cluster, not the corpus; every per-doc row dies in the
+    * root-key aggregate (one shuffle over clustered docs only).
+    */
+  def d21(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val chars = nearDupCorpus(spark, dir)
+      .selectExpr("doc_id", "CAST(length(text) AS BIGINT) AS chars")
+    val decisions = d13(spark, dir)
+    val perCluster = decisions.join(chars, Seq("doc_id"))
+      .groupBy($"root")
+      .agg(count(lit(1)).as("csize"),
+        sum($"chars").as("chars_total"),
+        sum(when($"kept" === 1L, $"chars").otherwise(lit(0L))).as("chars_kept"))
+    val hist = perCluster.groupBy($"csize")
+      .agg(count(lit(1)).as("n_clusters"),
+        sum($"csize" - lit(1L)).as("docs_removed"),
+        sum($"chars_total" - $"chars_kept").as("chars_removed"))
+    val singletons = chars.agg(count(lit(1)).as("n_docs"))
+      .crossJoin(decisions.agg(count(lit(1)).as("n_clustered")))
+      .selectExpr("CAST(1 AS BIGINT) AS csize",
+        "n_docs - n_clustered AS n_clusters",
+        "CAST(0 AS BIGINT) AS docs_removed",
+        "CAST(0 AS BIGINT) AS chars_removed")
+    hist.unionByName(singletons)
+      .transform(graft.Tables.ordered(_, $"csize"))
+  }
+
+  /** d21 oracle: d13's recursive chain + the same per-cluster and
+    * size-grain aggregates; the singleton row from two 1-row counts.
+    */
+  val d21Sql: String =
+    s"""WITH RECURSIVE $d2Chain,
+      |dpairs AS (SELECT id_a, id_b FROM j WHERE jaccard >= 0.4),
+      |edges AS (SELECT id_a AS x, id_b AS y FROM dpairs
+      |          UNION SELECT id_b, id_a FROM dpairs),
+      |reach AS (SELECT x, y FROM edges
+      |          UNION SELECT r.x, e.y FROM reach r JOIN edges e ON r.y = e.x),
+      |roots AS (SELECT x AS doc_id, least(x, min(y)) AS root
+      |          FROM reach GROUP BY x),
+      |chars AS (SELECT doc_id, CAST(length(text) AS BIGINT) AS chars FROM corpus),
+      |cl AS (SELECT r.root, c.chars,
+      |         CASE WHEN r.doc_id = r.root THEN c.chars ELSE 0 END AS kept_chars
+      |       FROM roots r JOIN chars c USING (doc_id)),
+      |pc AS (SELECT root, CAST(count(*) AS BIGINT) AS csize,
+      |         CAST(sum(chars) AS BIGINT) AS chars_total,
+      |         CAST(sum(kept_chars) AS BIGINT) AS chars_kept
+      |       FROM cl GROUP BY root),
+      |hist AS (SELECT csize, CAST(count(*) AS BIGINT) AS n_clusters,
+      |           CAST(sum(csize - 1) AS BIGINT) AS docs_removed,
+      |           CAST(sum(chars_total - chars_kept) AS BIGINT) AS chars_removed
+      |         FROM pc GROUP BY csize)
+      |SELECT csize, n_clusters, docs_removed, chars_removed FROM hist
+      |UNION ALL
+      |SELECT CAST(1 AS BIGINT),
+      |  (SELECT count(*) FROM chars) - (SELECT count(*) FROM roots),
+      |  CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+      |ORDER BY csize""".stripMargin
 }

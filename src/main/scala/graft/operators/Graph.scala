@@ -1086,4 +1086,107 @@ object Graph {
       |FROM l$g6Rounds l JOIN sz ON sz.lbl = l.lbl
       |ORDER BY c_custkey""".stripMargin
   }
+
+  // ---------- g12: link prediction ----------
+
+  /** Per-center neighbor cap for the wedge join. At web scale a hub
+    * with degree d contributes d² wedge pairs, so every production
+    * common-neighbor candidate generator caps the per-center list
+    * (Liben-Nowell & Kleinberg 2007 evaluate on exactly such
+    * truncated neighborhoods); the cap is part of the operator's
+    * contract and the oracle mirrors it, so it is not a silent
+    * approximation. 32 ≫ this graph's max degree — the gate
+    * exercises the capped PLAN while the fixture stays exact.
+    */
+  private val g12Cap = 32
+
+  /** g12: LINK PREDICTION by common neighbors (Liben-Nowell &
+    * Kleinberg 2007, "The link-prediction problem for social
+    * networks") over g11's undirected link graph — the crawl
+    *-frontier ranking question: which un-linked page pairs are most
+    * likely to be joined next (equivalently: which near-miss links
+    * indicate pages that should be crawled/kept together)? Scores
+    * per candidate pair (a,b): common-neighbor count cn, preferential
+    * attachment deg(a)·deg(b) (Barabási), and Jaccard
+    * cn / (deg(a)+deg(b)−cn) — cn/pa/degrees all EXACT BIGINTs,
+    * Jaccard ONE IEEE division of two of them (the d4 discipline).
+    *
+    * Scale shape: candidates come ONLY from the wedge join — the
+    * ranked adjacency list self-joined on the center key (g3's
+    * inverted-index discipline, Σ_u min(deg u, [[g12Cap]])² pairs,
+    * id-only payloads) — never from a pair enumeration; existing
+    * edges leave by left-anti join on the canonical edge key;
+    * degrees attach AFTER the cn aggregate (joins touch candidate
+    * pairs, not wedges); the top-100 is TakeOrderedAndProject —
+    * bounded driver result, no global sort. Total-ordered by
+    * (cn DESC, pa DESC, a, b) so LIMIT is deterministic.
+    */
+  def g12(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val nodes = Tables.customer(spark, dir).select($"c_custkey".as("id")).cache()
+    val n = nodes.count()
+    val e0 = nodes.selectExpr("id AS src", s"(id * 31 + 7) % $n AS dst")
+      .unionAll(nodes.selectExpr("id AS src", s"(id * 17 + 3) % $n AS dst"))
+      .unionAll(nodes.filter($"id" >= 2).selectExpr("id AS src", "id div 2 AS dst"))
+    val und = e0.filter($"src" =!= $"dst")
+      .selectExpr("least(src, dst) AS a", "greatest(src, dst) AS b")
+      .distinct().cache()
+    val adj = und.select($"a".as("u"), $"b".as("v"))
+      .unionAll(und.select($"b".as("u"), $"a".as("v")))
+    val deg = adj.groupBy($"u").agg(count(lit(1)).as("d"))
+    val ranked = adj
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy($"u").orderBy($"v")))
+      .filter($"rn" <= g12Cap)
+      .select($"u", $"v")
+    val wedges = ranked.select($"u", $"v".as("x"))
+      .join(ranked.select($"u", $"v".as("y")), Seq("u"))
+      .filter($"x" < $"y")
+    val cand = wedges.groupBy($"x".as("a"), $"y".as("b"))
+      .agg(count(lit(1)).as("cn"))
+      .join(und, Seq("a", "b"), "left_anti")
+    cand
+      .join(deg.select($"u".as("a"), $"d".as("deg_a")), Seq("a"))
+      .join(deg.select($"u".as("b"), $"d".as("deg_b")), Seq("b"))
+      .selectExpr("a", "b", "cn", "deg_a", "deg_b",
+        "deg_a * deg_b AS pa",
+        "deg_a + deg_b - cn AS union_sz",
+        "CAST(cn AS DOUBLE) / CAST(deg_a + deg_b - cn AS DOUBLE) AS jaccard")
+      .orderBy($"cn".desc, $"pa".desc, $"a", $"b")
+      .limit(100)
+  }
+
+  /** g12 oracle: identical capped adjacency (row_number mirror of the
+    * cap), wedge self-join, anti-join on existing edges, one final
+    * division, same total order.
+    */
+  val g12Sql: String =
+    s"""WITH nn AS (SELECT count(*) AS n FROM customer),
+      |nodes AS (SELECT c_custkey AS id FROM customer),
+      |e0 AS (SELECT id AS src, (id * 31 + 7) % nn.n AS dst FROM nodes, nn
+      |       UNION ALL SELECT id, (id * 17 + 3) % nn.n FROM nodes, nn
+      |       UNION ALL SELECT id, id // 2 FROM nodes WHERE id >= 2),
+      |und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+      |        FROM e0 WHERE src <> dst),
+      |adj AS (SELECT a AS u, b AS v FROM und UNION ALL SELECT b, a FROM und),
+      |deg AS (SELECT u, CAST(count(*) AS BIGINT) AS d FROM adj GROUP BY u),
+      |ranked AS (SELECT u, v FROM (
+      |    SELECT u, v, row_number() OVER (PARTITION BY u ORDER BY v) AS rn
+      |    FROM adj) WHERE rn <= $g12Cap),
+      |wedges AS (SELECT r1.v AS a, r2.v AS b
+      |           FROM ranked r1 JOIN ranked r2 ON r1.u = r2.u
+      |           WHERE r1.v < r2.v),
+      |cand AS (SELECT a, b, CAST(count(*) AS BIGINT) AS cn FROM wedges
+      |         GROUP BY a, b),
+      |nonedge AS (SELECT c.a, c.b, c.cn FROM cand c
+      |            ANTI JOIN und e ON e.a = c.a AND e.b = c.b)
+      |SELECT c.a, c.b, c.cn, da.d AS deg_a, db.d AS deg_b,
+      |  da.d * db.d AS pa,
+      |  da.d + db.d - c.cn AS union_sz,
+      |  CAST(c.cn AS DOUBLE) / CAST(da.d + db.d - c.cn AS DOUBLE) AS jaccard
+      |FROM nonedge c
+      |JOIN deg da ON da.u = c.a
+      |JOIN deg db ON db.u = c.b
+      |ORDER BY c.cn DESC, pa DESC, c.a, c.b
+      |LIMIT 100""".stripMargin
 }

@@ -1347,4 +1347,59 @@ object TextStats {
       |JOIN uni b ON b.term = p.w2
       |CROSS JOIN nt
       |ORDER BY w1, w2""".stripMargin
+
+  // ---------- t26: readability scoring (Flesch / Flesch-Kincaid) ----------
+
+  /** t26: READABILITY scoring — Flesch reading ease (Flesch 1948)
+    * and Flesch–Kincaid grade level (Kincaid et al. 1975), the
+    * classic text-difficulty features educational-quality filters
+    * compute per document (alongside t2's ratios and t21's Gopher
+    * gates; FineWeb-Edu-style classifiers consume exactly such
+    * signals). Counts are deterministic integer surrogates of the
+    * linguistic quantities: words = whitespace tokens (the corpus
+    * convention), sentences = terminal-mark RUNS (`[.!?]+` — "!!!"
+    * ends one sentence), syllables = vowel GROUPS (`[aeiouy]+`, the
+    * standard dictionary-free heuristic). The scores are then fixed
+    * formulas over three exact BIGINTs: each is a composition of
+    * single IEEE ops (two divisions, two multiplies, two subtracts)
+    * in identical textual order in both engines — bitwise without
+    * quantization because no transcendental and no float AGGREGATE
+    * is involved (§8.4's boundary: order-free scalar math is safe;
+    * only accumulation and libm vary).
+    *
+    * Scale: a pure narrow map — one scan, zero shuffles beyond the
+    * presentation sort (the t2/t21 class); regex counting stays in
+    * codegen.
+    */
+  def t26(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .selectExpr("doc_id",
+        "CAST(size(split(lower(trim(text)), ' ')) AS BIGINT) AS n_words",
+        "CAST(greatest(regexp_count(text, '[.!?]+'), 1) AS BIGINT) AS n_sentences",
+        "CAST(regexp_count(lower(text), '[aeiouy]+') AS BIGINT) AS n_syllables")
+      .selectExpr("doc_id", "n_words", "n_sentences", "n_syllables",
+        "206.835 - 1.015 * (CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE)) " +
+          "- 84.6 * (CAST(n_syllables AS DOUBLE) / CAST(n_words AS DOUBLE)) AS flesch_ease",
+        "0.39 * (CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE)) " +
+          "+ 11.8 * (CAST(n_syllables AS DOUBLE) / CAST(n_words AS DOUBLE)) - 15.59 AS fk_grade")
+      .transform(graft.Tables.ordered(_, $"doc_id"))
+  }
+
+  /** t26 oracle: identical counts (len(regexp_extract_all) ≡
+    * regexp_count) and textually identical formula order.
+    */
+  val t26Sql: String =
+    """WITH c AS (SELECT doc_id,
+      |  CAST(len(string_split(lower(trim(text)), ' ')) AS BIGINT) AS n_words,
+      |  CAST(greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS BIGINT) AS n_sentences,
+      |  CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS BIGINT) AS n_syllables
+      |FROM documents)
+      |SELECT doc_id, n_words, n_sentences, n_syllables,
+      |  206.835 - 1.015 * (CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE))
+      |    - 84.6 * (CAST(n_syllables AS DOUBLE) / CAST(n_words AS DOUBLE)) AS flesch_ease,
+      |  0.39 * (CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE))
+      |    + 11.8 * (CAST(n_syllables AS DOUBLE) / CAST(n_words AS DOUBLE)) - 15.59 AS fk_grade
+      |FROM c
+      |ORDER BY doc_id""".stripMargin
 }

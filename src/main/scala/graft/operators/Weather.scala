@@ -808,4 +808,97 @@ object Weather {
       |  t_bilinear
       |FROM s WHERE n_corners = 4
       |ORDER BY 1, 2""".stripMargin
+
+  // ---------- w25: heat blobs (spatial components of hot cells) ----------
+
+  /** Hot-day threshold (K) and minimum hot-day count for a cell to
+    * enter the blob graph: 300.15 K (27 °C) daily max on ≥ 10 of the
+    * ~30 local days — the persistent-heat criterion (a one-day
+    * spike is w21's per-cell episode; w25 asks which cells are hot
+    * TOGETHER in space).
+    */
+  private val w25HotK = 300.15
+  private val w25MinDays = 10L
+
+  /** w25: HEAT BLOBS — spatially CONNECTED regions of persistently
+    * hot cells, the event-detection layer climatology products run
+    * above per-cell extremes (heatwave-region extraction: NOAA/
+    * Copernicus publish exactly such contiguous-area event masks).
+    * w21 found heat episodes in TIME per cell; w25 finds the blobs
+    * in SPACE: cells whose daily max exceeded [[w25HotK]] on ≥
+    * [[w25MinDays]] local days, connected by 4-neighborhood
+    * adjacency on the 5° grid WITH east-west wraparound (lon is
+    * circular; lat is not), labeled by connected component.
+    *
+    * Composition: w12's daily-extremes core (one (cell, lday)
+    * shuffle) → hot-cell aggregate → arithmetic neighbor-key edges
+    * (east = (li, (lj+1) mod 72), north = (li+1, lj); an equality
+    * SELF-join of the hot-cell id set on the computed key — id-only
+    * payloads, no spatial range join) → [[Dedup.ccStars]]
+    * contraction (log-round bound, diameter-independent — the g4
+    * path, which matters here: the fixture's largest blob spans 450
+    * cells and wraps the globe, so label propagation would need
+    * hundreds of rounds). Blob grain: cells, hot-day mass, peak
+    * temperature (max of quantized values — exact cross-engine).
+    * Oracle: recursive min-label closure (g4's implementation-
+    * independent ground truth).
+    */
+  def w25(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val hot = w12Daily(spark, dir)
+      .filter($"hi" > w25HotK)
+      .groupBy($"lat", $"lon")
+      .agg(count(lit(1)).as("hot_days"), max($"hi").as("peak"))
+      .filter($"hot_days" >= w25MinDays)
+      .selectExpr(
+        "CAST(floor((lat + 70.0) / 5.0 + 0.5) AS BIGINT) * 72 " +
+          "+ CAST(floor((lon + 177.5) / 5.0 + 0.5) AS BIGINT) AS id",
+        "hot_days", "peak")
+      .cache()
+    val ids = hot.select($"id")
+    val edges = ids
+      .selectExpr("id AS src", "(id div 72) * 72 + ((id % 72) + 1) % 72 AS nb")
+      .unionAll(ids.selectExpr("id AS src", "id + 72 AS nb"))
+      .join(ids.withColumnRenamed("id", "nb"), Seq("nb"))
+      .selectExpr("src", "nb AS dst")
+    val (labels, _, conv) = Dedup.ccStars(edges, 50)
+    require(conv, "w25 ccStars did not converge within 50 rounds")
+    hot.join(labels, Seq("id"), "left_outer")
+      .select(coalesce($"lbl", $"id").as("blob"), $"hot_days", $"peak")
+      .groupBy($"blob")
+      .agg(count(lit(1)).as("n_cells"),
+        sum($"hot_days").as("hot_day_total"),
+        max($"peak").as("peak_hi"))
+      .transform(Tables.ordered(_, $"blob"))
+  }
+
+  /** w25 oracle: w12's daily CTE prefix, the same arithmetic
+    * neighbor keys, min-label transitive closure via recursive CTE
+    * (UNION dedups → fixpoint), blob-grain aggregate.
+    */
+  val w25Sql: String =
+    s"""${w12SqlDaily.replaceFirst("WITH ", "WITH RECURSIVE ")},
+      |hotc AS (
+      |  SELECT CAST(floor((lat + 70.0) / 5.0 + 0.5) AS BIGINT) * 72
+      |           + CAST(floor((lon + 177.5) / 5.0 + 0.5) AS BIGINT) AS id,
+      |    CAST(count(*) AS BIGINT) AS hot_days, max(hi) AS peak
+      |  FROM daily WHERE hi > $w25HotK
+      |  GROUP BY 1 HAVING count(*) >= $w25MinDays),
+      |e AS (
+      |  SELECT h.id AS src, n.id AS dst FROM hotc h
+      |  JOIN hotc n ON n.id = (h.id // 72) * 72 + ((h.id % 72) + 1) % 72
+      |  UNION ALL
+      |  SELECT h.id, n.id FROM hotc h JOIN hotc n ON n.id = h.id + 72),
+      |und AS (SELECT src, dst FROM e UNION SELECT dst, src FROM e),
+      |reach(id, lbl) AS (
+      |  SELECT id, id FROM hotc
+      |  UNION
+      |  SELECT u.dst, r.lbl FROM reach r JOIN und u ON u.src = r.id),
+      |comp AS (SELECT id, min(lbl) AS blob FROM reach GROUP BY id)
+      |SELECT c.blob, count(*) AS n_cells,
+      |  CAST(sum(h.hot_days) AS BIGINT) AS hot_day_total,
+      |  max(h.peak) AS peak_hi
+      |FROM hotc h JOIN comp c ON c.id = h.id
+      |GROUP BY c.blob
+      |ORDER BY c.blob""".stripMargin
 }

@@ -921,6 +921,39 @@ class DedupKnnSpec extends AnyFunSuite {
     assert(w.values.exists(_ > 1L))
   }
 
+  test("d21: audit histogram equals a union-find recompute over d2's pairs; mass conserves") {
+    import graft.operators.Dedup
+    val got = Dedup.d21(spark, sf).collect()
+      .map(r => (r.getAs[Long]("csize"), r.getAs[Long]("n_clusters"),
+        r.getAs[Long]("docs_removed"), r.getAs[Long]("chars_removed"))).toSeq.sortBy(_._1)
+    val docs = Tables.documents(spark, sf).selectExpr("doc_id", "text")
+      .as[(Long, String)].collect().toSeq
+    val corpus = docs ++ docs.filter(_._1 % 7 == 0)
+      .map { case (id, t) => (id + 10000, t + " zq extra tail token") }
+    val chars = corpus.map { case (id, t) => id -> t.length.toLong }.toMap
+    val pairs = Dedup.d2(spark, sf).collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")))
+    val nodes = (pairs.map(_._1) ++ pairs.map(_._2)).toSet
+    val parent = scala.collection.mutable.Map(nodes.map(n => n -> n).toSeq: _*)
+    def find(x: Long): Long = if (parent(x) == x) x else { val r = find(parent(x)); parent(x) = r; r }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b)); if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val clusters = nodes.groupBy(find)
+    val perCluster = clusters.map { case (root, ms) =>
+      (ms.size.toLong, ms.map(chars).sum, chars(root))
+    }
+    val hist = perCluster.groupBy(_._1).map { case (s, cs) =>
+      (s, cs.size.toLong, (s - 1) * cs.size, cs.map(c => c._2 - c._3).sum)
+    }.toSeq
+    val want = (hist :+ ((1L, corpus.size.toLong - nodes.size, 0L, 0L))).sortBy(_._1)
+    assert(got == want)
+    // mass conservation: the histogram accounts for every corpus doc
+    assert(got.map { case (s, n, _, _) => s * n }.sum == corpus.size.toLong)
+    // dedup is real: some multi-doc cluster with positive savings
+    assert(got.exists { case (s, _, dr, cr) => s > 1 && dr > 0 && cr > 0 })
+  }
+
   test("v8 MMR: 5 diverse picks from the top-10 pool, step 1 = argmax relevance") {
     val rows = Knn.v8(spark, sf)
       .select($"qid", $"rnk", $"vec_id", $"mmr_score")

@@ -603,6 +603,34 @@ class PlanSpec extends AnyFunSuite {
     assert(liScans == 1, s"fact table scanned more than once:\n$pFull")
   }
 
+  test("g12: candidates come from the capped wedge join; top-100 is a bounded take, not a global sort") {
+    val p = plan(graft.operators.Graph.g12(spark, sf))
+      .split("== Initial Plan ==")(0)
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), s"non-equality join:\n$p")
+    // the final LIMIT 100 must be TakeOrderedAndProject (bounded
+    // per-partition top-k + driver merge), never a full global sort
+    assert(p.contains("TakeOrderedAndProject"), s"global sort instead of bounded take:\n$p")
+    // the per-center cap is a guarded rank: pushdown kills rows > cap
+    // before the wedge join's shuffle
+    assert(p.contains("WindowGroupLimit"), s"cap rank pushdown missing:\n$p")
+  }
+
+  test("w25: blob components enter as checkpointed state; the only nested-loop joins are the dense-grid broadcasts") {
+    val pFull = plan(graft.operators.Weather.w25(spark, sf))
+    val p = pFull.split("== Initial Plan ==")(0)
+    assert(!p.contains("CartesianProduct"), s"cartesian:\n$p")
+    // w12's dense grid expands via exactly two bounded broadcasts
+    // (the 30-day and 24-hour tables, condition-free BNLJ); every
+    // other join must be an equality join
+    val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(p).length
+    assert(bnlj <= 2, s"nested-loop beyond the two dense-grid broadcasts ($bnlj):\n$p")
+    // ccStars labels arrive as a checkpointed RDD leaf, not
+    // re-derived (the leaf sits below the first nested cached
+    // subplan's Initial section, so check the full dump)
+    assert(pFull.contains("Scan ExistingRDD"), s"no checkpointed component state:\n$pFull")
+  }
+
   test("p9: the purge flag is a broadcast join — the corpus never shuffles by user") {
     val pFull = plan(graft.operators.Corpus.p9(spark, sf))
     val p = pFull.split("== Initial Plan ==")(0)

@@ -988,6 +988,29 @@ class RelationalSpec extends AnyFunSuite {
     assert(rows.values.map(_._1).sum % 3 == 0 && rows.nonEmpty)
   }
 
+  test("t26: readability counts and formulas recompute from the raw text") {
+    val rows = graft.operators.TextStats.t26(spark, sf).collect()
+    val raw = Tables.documents(spark, sf)
+      .selectExpr("doc_id", "text").as[(Long, String)].collect().toMap
+    assert(rows.length == raw.size)
+    rows.foreach { r =>
+      val text = raw(r.getAs[Long]("doc_id"))
+      val w = text.trim.toLowerCase.split(" ", -1).length.toLong
+      val s = math.max("[.!?]+".r.findAllIn(text).length.toLong, 1L)
+      val y = "[aeiouy]+".r.findAllIn(text.toLowerCase).length.toLong
+      assert(r.getAs[Long]("n_words") == w)
+      assert(r.getAs[Long]("n_sentences") == s)
+      assert(r.getAs[Long]("n_syllables") == y)
+      val ease = 206.835 - 1.015 * (w.toDouble / s.toDouble) - 84.6 * (y.toDouble / w.toDouble)
+      val grade = 0.39 * (w.toDouble / s.toDouble) + 11.8 * (y.toDouble / w.toDouble) - 15.59
+      assert(r.getAs[Double]("flesch_ease") == ease, s"doc ${r.get(0)} ease")
+      assert(r.getAs[Double]("fk_grade") == grade, s"doc ${r.get(0)} grade")
+    }
+    // the metric must discriminate across the corpus
+    val eases = rows.map(_.getAs[Double]("flesch_ease")).distinct
+    assert(eases.length > 10)
+  }
+
   test("t21: every gate flag recomputes from the raw text; keep is their product") {
     val ts = graft.operators.TextStats
     val rows = ts.t21(spark, sf).collect()
@@ -1276,6 +1299,39 @@ class RelationalSpec extends AnyFunSuite {
     // bug, not a property of this graph
     assert(math.abs(want) < 0.5)
     assert(ends.size * sx2 - sx * sx > 0L, "degenerate degree variance")
+  }
+
+  test("g12: link-prediction top-100 equals a sequential recompute; no candidate is an edge") {
+    val got = graft.operators.Graph.g12(spark, sf).collect()
+      .map(r => (r.getAs[Long]("a"), r.getAs[Long]("b"), r.getAs[Long]("cn"),
+        r.getAs[Long]("pa"), r.getAs[Long]("union_sz"), r.getAs[Double]("jaccard")))
+    val n = Tables.customer(spark, sf).count()
+    val und = (0L until n).flatMap { id =>
+      Seq((id, (id * 31 + 7) % n), (id, (id * 17 + 3) % n)) ++
+        (if (id >= 2) Seq((id, id / 2)) else Seq.empty)
+    }.filter { case (a, b) => a != b }
+      .map { case (a, b) => (math.min(a, b), math.max(a, b)) }.distinct
+    val edgeSet = und.toSet
+    val nbrs = (und ++ und.map(_.swap)).groupBy(_._1)
+      .view.mapValues(_.map(_._2).sorted.take(32)).toMap
+    val deg = (und.map(_._1) ++ und.map(_._2)).groupBy(identity)
+      .view.mapValues(_.size.toLong).toMap
+    val cn = scala.collection.mutable.Map.empty[(Long, Long), Long]
+    nbrs.values.foreach { vs =>
+      for (i <- vs.indices; j <- (i + 1) until vs.size)
+        cn((vs(i), vs(j))) = cn.getOrElse((vs(i), vs(j)), 0L) + 1L
+    }
+    val want = cn.toSeq
+      .filterNot { case (p, _) => edgeSet.contains(p) }
+      .map { case ((a, b), c) =>
+        val u = deg(a) + deg(b) - c
+        (a, b, c, deg(a) * deg(b), u, c.toDouble / u.toDouble)
+      }
+      .sortBy { case (a, b, c, pa, _, _) => (-c, -pa, a, b) }
+      .take(100)
+    assert(got.toSeq == want)
+    // predicted pairs must never be existing edges
+    assert(got.forall { case (a, b, _, _, _, _) => !edgeSet.contains((a, b)) })
   }
 
   test("e15: RFM scores equal a sequential recompute and bucket evenly") {

@@ -132,6 +132,37 @@ class ThermalSpec extends AnyFunSuite {
     }
   }
 
+  test("w25: blobs equal a sequential union-find over w12's hot cells (wrap included)") {
+    val daily = Weather.w12(spark, sf).collect()
+      .map(r => (r.getAs[Double]("lat"), r.getAs[Double]("lon"), r.getAs[Double]("hi")))
+    val hot = daily.filter(_._3 > 300.15)
+      .groupBy(r => (r._1, r._2))
+      .map { case ((lat, lon), rs) =>
+        val id = math.round((lat + 70.0) / 5.0) * 72L + math.round((lon + 177.5) / 5.0)
+        (id, rs.size.toLong, rs.map(_._3).max)
+      }
+      .filter(_._2 >= 10L).toSeq
+    val cells = hot.map(_._1).toSet
+    val parent = scala.collection.mutable.Map(cells.map(c => c -> c).toSeq: _*)
+    def find(x: Long): Long = if (parent(x) == x) x else { val r = find(parent(x)); parent(x) = r; r }
+    cells.foreach { id =>
+      val east = (id / 72) * 72 + ((id % 72) + 1) % 72
+      Seq(east, id + 72).filter(cells.contains).foreach { nb =>
+        val (ra, rb) = (find(id), find(nb)); if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+    }
+    val want = hot.groupBy(h => find(h._1)).map { case (blob, hs) =>
+      (blob, hs.size.toLong, hs.map(_._2).sum, hs.map(_._3).max)
+    }.toSeq.sortBy(_._1)
+    val got = Weather.w25(spark, sf).collect()
+      .map(r => (r.getAs[Long]("blob"), r.getAs[Long]("n_cells"),
+        r.getAs[Long]("hot_day_total"), r.getAs[Double]("peak_hi"))).toSeq
+    assert(got == want)
+    assert(got.nonEmpty)
+    // blob labels are the component minimum, so every blob id is a member cell
+    assert(got.forall { case (b, _, _, _) => cells.contains(b) })
+  }
+
   test("w20: fills carry the latest prior observation; leading holes stay absent") {
     val spark = SharedSpark.spark
     import spark.implicits._
