@@ -121,6 +121,8 @@ object PlanDump {
       "w25_heat_blobs" -> "heat blobs: w12's daily shuffle + hot-cell aggregate, arithmetic neighbor-key self-join, stars-contraction labels joined back (final round's plan)",
       "d21_dedup_audit" -> "dedup audit: cluster aggregate over d13's checkpointed labels, size-grain histogram, 1-row singleton stitch (final labels plan)",
       "t26_readability" -> "readability: pure narrow map — regex counts + fixed formulas in one codegen stage, zero shuffles",
+      "e16_burstiness" -> "burstiness: lag window and moment aggregate share one user-key exchange, single final division",
+      "p12_data_skipping" -> "data skipping: one scan per audited layout, file-grain map-side-combined aggregate, bounded report",
     )
     val sb = new StringBuilder
     sb.append("# PLANS — formatted physical plans (generated by graft.PlanDump at sf0.001)\n")

@@ -720,4 +720,71 @@ object EventWindows {
       |       ELSE 'other' END AS segment
       |FROM sc
       |ORDER BY user_id""".stripMargin
+
+  // ---------- e16: inter-event burstiness (bot/automation signal) ----------
+
+  /** e16: BURSTINESS of each user's inter-event gaps — the index of
+    * dispersion (variance-to-mean ratio; Cox & Lewis 1966) of the
+    * per-user gap sequence, the classic traffic-shape signal a
+    * training-data pipeline reads to separate human activity
+    * (bursty: gap variance ≫ gap mean, D large; a Poisson stream
+    * sits near D ≈ mean) from machine-generated streams
+    * (near-constant intervals, D → 0) before user-generated text
+    * enters a corpus.
+    *
+    * Gap grain is SECONDS (epoch-second floor — the µs grain would
+    * overflow the exact second moment: span² must stay ≪ 2⁶³).
+    * Everything up to the last step is exact BIGINT: gaps, n, Σg,
+    * Σg²; the reported dispersion is ONE IEEE division of the exact
+    * numerator n·Σg² − (Σg)² by the exact n·Σg (the g11 discipline
+    * — algebraically the population variance-to-mean ratio). Users
+    * need ≥ 5 gaps and a positive span to be scored (below that the
+    * statistic is noise; all-same-second streams are excluded by
+    * sum_gap > 0).
+    *
+    * Scale shape: the lag window and the aggregate share ONE
+    * user-key exchange (the e-family contract); output is user
+    * grain. Overflow bound: n·Σg² ≤ n·span·max_gap — at any
+    * realistic per-user event density (seconds-grain gaps over
+    * months) this sits orders below 2⁶³; a pipeline with years-long
+    * spans per key quantizes gaps to minutes first.
+    */
+  def e16(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"s", $"event_id")
+    Tables.events(spark, dir)
+      .selectExpr("user_id", "event_id", "unix_micros(ts) div 1000000 AS s")
+      .withColumn("gap", $"s" - lag($"s", 1).over(w))
+      .filter($"gap".isNotNull)
+      .groupBy($"user_id")
+      .agg(count(lit(1)).as("n_gaps"),
+        sum($"gap").as("sum_gap"),
+        sum($"gap" * $"gap").as("sum_gap2"))
+      .filter($"n_gaps" >= 5 && $"sum_gap" > 0)
+      .selectExpr("user_id", "n_gaps", "sum_gap", "sum_gap2",
+        "CAST(n_gaps * sum_gap2 - sum_gap * sum_gap AS DOUBLE) " +
+          "/ CAST(n_gaps * sum_gap AS DOUBLE) AS dispersion")
+      .transform(graft.Tables.ordered(_, $"user_id"))
+  }
+
+  /** e16 oracle: identical second-grain gaps, exact moments, one
+    * division.
+    */
+  val e16Sql: String =
+    """WITH ev AS (SELECT user_id, event_id,
+      |        epoch_us(ts) // 1000000 AS s FROM events),
+      |g AS (SELECT user_id,
+      |        s - lag(s) OVER (PARTITION BY user_id ORDER BY s, event_id) AS gap
+      |      FROM ev),
+      |a AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_gaps,
+      |        CAST(sum(gap) AS BIGINT) AS sum_gap,
+      |        CAST(sum(gap * gap) AS BIGINT) AS sum_gap2
+      |      FROM g WHERE gap IS NOT NULL
+      |      GROUP BY user_id)
+      |SELECT user_id, n_gaps, sum_gap, sum_gap2,
+      |  CAST(n_gaps * sum_gap2 - sum_gap * sum_gap AS DOUBLE)
+      |    / CAST(n_gaps * sum_gap AS DOUBLE) AS dispersion
+      |FROM a
+      |WHERE n_gaps >= 5 AND sum_gap > 0
+      |ORDER BY user_id""".stripMargin
 }

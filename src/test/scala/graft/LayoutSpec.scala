@@ -113,4 +113,37 @@ class LayoutSpec extends AnyFunSuite {
     }
     li.unpersist()
   }
+
+  test("p12: skipping audit equals a sequential recompute; the date layout actually skips") {
+    val got = Layout.p12(spark, sf).collect()
+      .map(r => r.getAs[String]("layout") ->
+        ((r.getAs[Long]("n_files"), r.getAs[Long]("files_scanned"),
+          r.getAs[Long]("rows_scanned"), r.getAs[Long]("rows_matched")))).toMap
+    val inv = Tables.lineitem(spark, sf)
+      .selectExpr("l_orderkey",
+        "CAST(datediff(CAST(l_shipdate AS DATE), DATE '1995-01-01') AS BIGINT) AS day")
+      .as[(Long, Long)].collect()
+    def mirror(fileOf: ((Long, Long)) => Long) = {
+      val files = inv.groupBy(fileOf).map { case (_, rs) =>
+        val days = rs.map(_._2)
+        (rs.size.toLong, days.min, days.max,
+          days.count(d => d >= 1000L && d <= 1029L).toLong)
+      }
+      (files.size.toLong,
+        files.count { case (_, mn, mx, _) => mn <= 1029L && mx >= 1000L }.toLong,
+        files.collect { case (n, mn, mx, _) if mn <= 1029L && mx >= 1000L => n }.sum,
+        files.map(_._4).sum)
+    }
+    assert(got("insertion") == mirror { case (k, _) => k / 256 })
+    assert(got("shipdate_week") == mirror { case (_, d) => d / 7 })
+    val (ins, wk) = (got("insertion"), got("shipdate_week"))
+    // both layouts agree on the true match count (the audit's
+    // internal consistency invariant)
+    assert(ins._4 == wk._4 && ins._4 > 0)
+    // the date layout must actually skip: a small fraction of files
+    // scanned, while the insertion layout's zone maps prune nothing
+    assert(wk._2 * 10 <= wk._1, s"date layout scanned ${wk._2}/${wk._1} files")
+    assert(ins._2 == ins._1, s"insertion layout unexpectedly skipped")
+    assert(wk._3 < ins._3)
+  }
 }

@@ -631,6 +631,24 @@ class PlanSpec extends AnyFunSuite {
     assert(pFull.contains("Scan ExistingRDD"), s"no checkpointed component state:\n$pFull")
   }
 
+  test("e16: lag window and moment aggregate share one user exchange") {
+    val p = plan(graft.operators.EventWindows.e16(spark, sf))
+      .split("== Initial Plan ==")(0)
+    assert("Window \\(".r.findAllIn(p).length == 1, s"one lag window expected:\n$p")
+    assert("Scan parquet".r.findAllIn(p).length == 1)
+    // one user_id hash exchange + the presentation repartition(1)
+    val exchanges = "ShuffleQueryStage".r.findAllIn(p).length
+    assert(exchanges <= 2, s"window/aggregate re-shuffled:\n$p")
+  }
+
+  test("p12: the audit is scans + aggregates only — no join, no window") {
+    val p = plan(graft.operators.Layout.p12(spark, sf))
+      .split("== Initial Plan ==")(0)
+    assert("Scan parquet".r.findAllIn(p).length == 2, s"one scan per layout:\n$p")
+    assert(!p.contains("Join"), s"unexpected join:\n$p")
+    assert(!p.contains("Window ("), s"unexpected window:\n$p")
+  }
+
   test("p9: the purge flag is a broadcast join — the corpus never shuffles by user") {
     val pFull = plan(graft.operators.Corpus.p9(spark, sf))
     val p = pFull.split("== Initial Plan ==")(0)

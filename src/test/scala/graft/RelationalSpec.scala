@@ -1334,6 +1334,31 @@ class RelationalSpec extends AnyFunSuite {
     assert(got.forall { case (a, b, _, _, _, _) => !edgeSet.contains((a, b)) })
   }
 
+  test("e16: dispersion equals a sequential gap recompute; constant streams score 0") {
+    val got = graft.operators.EventWindows.e16(spark, sf).collect()
+      .map(r => (r.getAs[Long]("user_id"),
+        (r.getAs[Long]("n_gaps"), r.getAs[Long]("sum_gap"),
+         r.getAs[Long]("sum_gap2"), r.getAs[Double]("dispersion")))).toMap
+    val ev = Tables.events(spark, sf)
+      .selectExpr("user_id", "event_id", "unix_micros(ts) div 1000000 AS s")
+      .as[(Long, Long, Long)].collect()
+    val want = ev.groupBy(_._1).flatMap { case (u, rows) =>
+      val ss = rows.sortBy(r => (r._3, r._2)).map(_._3)
+      val gaps = ss.sliding(2).collect { case Array(a, b) => b - a }.toSeq
+      val (n, sg, sg2) = (gaps.size.toLong, gaps.sum, gaps.map(g => g * g).sum)
+      if (n >= 5 && sg > 0)
+        Some(u -> ((n, sg, sg2, (n * sg2 - sg * sg).toDouble / (n * sg).toDouble)))
+      else None
+    }
+    assert(got == want)
+    assert(got.nonEmpty)
+    // the index of dispersion is non-negative (n·Σg² ≥ (Σg)² by
+    // Cauchy-Schwarz) and a perfectly regular stream scores exactly 0
+    got.values.foreach { case (_, _, _, d) => assert(d >= 0.0) }
+    // the metric discriminates across users
+    assert(got.values.map(_._4).toSeq.distinct.size > 10)
+  }
+
   test("e15: RFM scores equal a sequential recompute and bucket evenly") {
     val got = EventWindows.e15(spark, sf).collect()
       .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("recency_days"),
