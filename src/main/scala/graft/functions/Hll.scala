@@ -78,6 +78,78 @@ object Hll {
           s"THEN ($m * CAST(floor(ln(CAST($m AS DOUBLE) / v_zero) * 1e9 + 0.5) AS BIGINT)) div 1000000000 " +
           "ELSE est_raw END AS est")
 
+  /** Tag-preserving rank map: (key, reg, rnk) — ONE corpus pass
+    * feeds several sketches (q35's segment fan-out).
+    */
+  def ranksKeyed(df: DataFrame, key: String, valueExpr: String): DataFrame =
+    df.selectExpr(key,
+        s"CAST(conv(substring(md5(CAST(($valueExpr) AS STRING)), 1, 15), 16, 10) AS BIGINT) AS hv")
+      .selectExpr(key, s"hv % $m AS reg", s"hv div $m AS w")
+      .selectExpr(key, "reg",
+        s"CASE WHEN w = 0 THEN $maxRank " +
+          s"ELSE $maxRank - length(trim(LEADING '0' FROM bin(w))) END AS rnk")
+
+  /** Per-key register tables (key, reg, r): ≤ m rows per key,
+    * mergeable by max WITHIN and ACROSS keys (a cross-key max-merge
+    * is the union sketch — the set-operation property q35 audits).
+    */
+  def registersKeyed(df: DataFrame, key: String, valueExpr: String): DataFrame =
+    ranksKeyed(df, key, valueExpr)
+      .groupBy(col(key), col("reg")).agg(max(col("rnk")).as("r"))
+
+  /** DuckDB mirror of [[registersKeyed]] + [[estimateGrouped]]: CTE
+    * text from `tagged`(sketch, v) through `hest`(sketch, v_zero,
+    * s_sum, est_raw, est); `regs` holds the per-sketch registers for
+    * callers that add merged sketches before estimating (append to
+    * `allregs` via the returned text's seam — see q35Sql).
+    */
+  def groupedOracleCtes(extraRegsSql: String): String =
+    s"""hh AS (
+      |  SELECT sketch,
+      |    CAST(('0x' || substring(md5(CAST(v AS VARCHAR)), 1, 15)) AS BIGINT) AS hv
+      |  FROM tagged),
+      |rr AS (
+      |  SELECT sketch, hv % $m AS reg,
+      |    CASE WHEN hv // $m = 0 THEN $maxRank
+      |         ELSE $maxRank - length(ltrim(bin(CAST(hv // $m AS BIGINT)), '0')) END AS rnk
+      |  FROM hh),
+      |regs AS (SELECT sketch, reg, max(rnk) AS r FROM rr GROUP BY 1, 2),
+      |allregs AS (SELECT sketch, reg, r FROM regs$extraRegsSql),
+      |hagg AS (SELECT sketch, count(*) AS n_present,
+      |          CAST(sum(CAST(1 AS BIGINT) << CAST($maxRank - r AS INTEGER)) AS BIGINT) AS s_present
+      |        FROM allregs GROUP BY sketch),
+      |he0 AS (SELECT sketch, $m - n_present AS v_zero,
+      |    s_present + CAST($m - n_present AS BIGINT) * (CAST(1 AS BIGINT) << $maxRank) AS s_sum
+      |  FROM hagg),
+      |he1 AS (SELECT *,
+      |    CAST((CAST($alpha6 AS HUGEINT) * CAST('$num' AS HUGEINT))
+      |      // (CAST(s_sum AS HUGEINT) * 1000000) AS BIGINT) AS est_raw
+      |  FROM he0),
+      |hest AS (SELECT *,
+      |    CASE WHEN est_raw * 2 <= 5 * $m AND v_zero > 0
+      |         THEN ($m * CAST(floor(ln(CAST($m AS DOUBLE) / v_zero) * 1e9 + 0.5) AS BIGINT)) // 1000000000
+      |         ELSE est_raw END AS est
+      |  FROM he1)""".stripMargin
+
+  /** Per-group estimate over a TAGGED register table (`key`, reg, r)
+    * — the multi-sketch variant q35 uses to estimate several
+    * segments (and their max-merge union) in ONE aggregate pass;
+    * the estimate chain is [[estimate]]'s, carried per key.
+    */
+  def estimateGrouped(regs: DataFrame, key: String): DataFrame =
+    regs.groupBy(col(key)).agg(count(lit(1)).as("n_present"),
+        sum(expr(s"shiftleft(CAST(1 AS BIGINT), CAST($maxRank - r AS INT))"))
+          .as("s_present"))
+      .selectExpr(key, s"$m - n_present AS v_zero",
+        s"s_present + CAST($m - n_present AS BIGINT) * shiftleft(CAST(1 AS BIGINT), $maxRank) AS s_sum")
+      .selectExpr(key, "v_zero", "s_sum",
+        s"CAST((CAST($alpha6 AS DECIMAL(38,0)) * CAST('$num' AS DECIMAL(38,0)))" +
+          s" div (CAST(s_sum AS DECIMAL(38,0)) * 1000000) AS BIGINT) AS est_raw")
+      .selectExpr(key, "v_zero", "s_sum", "est_raw",
+        s"CASE WHEN est_raw * 2 <= 5 * $m AND v_zero > 0 " +
+          s"THEN ($m * CAST(floor(ln(CAST($m AS DOUBLE) / v_zero) * 1e9 + 0.5) AS BIGINT)) div 1000000000 " +
+          "ELSE est_raw END AS est")
+
   /** Estimate + accuracy audit against a 1-row exact count
     * (`n_exact`): the audit is the only corpus-sized aggregate and
     * exists to grade the sketch.

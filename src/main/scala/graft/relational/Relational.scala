@@ -1077,4 +1077,93 @@ object Relational {
     */
   val q34Sql: String =
     graft.functions.HistQ.oracleSql("lineitem", "l_extendedprice", q34Width, q34Quantiles)
+
+  // ---------- q35: HLL set operations (audience overlap) ----------
+
+  /** q35: SKETCHED SET OPERATIONS — audience-overlap estimation from
+    * mergeable HLL register tables (Flajolet et al. 2007; the
+    * inclusion–exclusion intersection is the standard
+    * theta/HLL-family audience workflow): |A|, |B|, |A∪B| each from
+    * a sketch, |A∩B| = est(A) + est(B) − est(A∪B) — the measurement
+    * a 100 TB pipeline runs when segment pairs are too many to
+    * count-distinct exactly. The UNION sketch is the per-register
+    * MAX-MERGE of A's and B's registers (never a data rescan) —
+    * exactly why HLL is the right monitoring sketch: registers
+    * merge across segments, partitions, days, or streams.
+    *
+    * Segments (order keys by disjoint predicates over the same
+    * fact table): A = orders shipping any quantity ≥ 25 line, B =
+    * orders with any discount ≥ 0.05 line — overlapping but
+    * distinct key sets. ONE tagged corpus pass builds both register
+    * tables ([[graft.functions.Hll.registersKeyed]]); the exact
+    * audit (the only corpus-sized work, present to GRADE the
+    * sketch, as in q31) is one distinct + tiny aggregates. Output:
+    * 4 rows (a, b, union, intersection) × (n_exact, est,
+    * err_permille) — all integer, the sketch chain bitwise per
+    * [[graft.functions.Hll]]'s determinism argument.
+    */
+  def q35(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.functions.Hll
+    val tagged = Tables.lineitem(spark, dir)
+      .selectExpr("l_orderkey AS v",
+        "filter(array(CASE WHEN l_quantity >= 25 THEN 'a' END, " +
+          "CASE WHEN l_discount >= 0.05 THEN 'b' END), x -> x IS NOT NULL) AS tags")
+      .selectExpr("v", "explode(tags) AS sketch")
+    val regsAB = Hll.registersKeyed(tagged, "sketch", "v").cache()
+    val regU = regsAB.groupBy($"reg").agg(max($"r").as("r"))
+      .withColumn("sketch", lit("union"))
+    val ests = Hll.estimateGrouped(
+        regsAB.unionByName(regU.select($"sketch", $"reg", $"r")), "sketch")
+      .select($"sketch", $"est").cache()
+    val inter = ests.agg(
+        min(when($"sketch" === "a", $"est")).as("ea"),
+        min(when($"sketch" === "b", $"est")).as("eb"),
+        min(when($"sketch" === "union", $"est")).as("eu"))
+      .selectExpr("'intersection' AS sketch", "ea + eb - eu AS est")
+    val dv = tagged.distinct().cache()
+    val exAB = dv.groupBy($"sketch").agg(count(lit(1)).as("n_exact"))
+    val perV = dv.groupBy($"v").agg(count(lit(1)).as("nt"))
+    val exU = perV.agg(count(lit(1)).as("n_exact"))
+      .withColumn("sketch", lit("union"))
+    val exI = perV.filter($"nt" === 2).agg(count(lit(1)).as("n_exact"))
+      .withColumn("sketch", lit("intersection"))
+    ests.unionByName(inter)
+      .join(exAB.unionByName(exU.select($"sketch", $"n_exact"))
+        .unionByName(exI.select($"sketch", $"n_exact")), Seq("sketch"))
+      .selectExpr("sketch", "n_exact", "est",
+        "abs(est - n_exact) * 1000 div n_exact AS err_permille")
+      .transform(Tables.ordered(_, $"sketch"))
+  }
+
+  /** q35 oracle: the identical tagged sketch chain
+    * ([[graft.functions.Hll.groupedOracleCtes]] — max-merged union
+    * registers appended via the `allregs` seam), exact audit from
+    * one DISTINCT, inclusion–exclusion row stitched from scalar
+    * subqueries.
+    */
+  val q35Sql: String = {
+    val unionRegs =
+      "\n  UNION ALL SELECT 'union', reg, max(r) FROM regs GROUP BY reg"
+    s"""WITH tagged AS (
+      |  SELECT l_orderkey AS v, 'a' AS sketch FROM lineitem WHERE l_quantity >= 25
+      |  UNION ALL
+      |  SELECT l_orderkey, 'b' FROM lineitem WHERE l_discount >= 0.05),
+      |${graft.functions.Hll.groupedOracleCtes(unionRegs)},
+      |dv AS (SELECT DISTINCT v, sketch FROM tagged),
+      |exab AS (SELECT sketch, CAST(count(*) AS BIGINT) AS n_exact FROM dv GROUP BY sketch),
+      |perv AS (SELECT v, count(*) AS nt FROM dv GROUP BY v),
+      |ex AS (SELECT * FROM exab
+      |  UNION ALL SELECT 'union', CAST(count(*) AS BIGINT) FROM perv
+      |  UNION ALL SELECT 'intersection', CAST(count(*) AS BIGINT) FROM perv WHERE nt = 2),
+      |est4 AS (SELECT sketch, est FROM hest
+      |  UNION ALL SELECT 'intersection',
+      |    (SELECT est FROM hest WHERE sketch = 'a')
+      |    + (SELECT est FROM hest WHERE sketch = 'b')
+      |    - (SELECT est FROM hest WHERE sketch = 'union'))
+      |SELECT e.sketch, x.n_exact, e.est,
+      |  abs(e.est - x.n_exact) * 1000 // x.n_exact AS err_permille
+      |FROM est4 e JOIN ex x USING (sketch)
+      |ORDER BY sketch""".stripMargin
+  }
 }

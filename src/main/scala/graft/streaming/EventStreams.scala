@@ -612,6 +612,119 @@ object EventStreams {
   /** s25 oracle: d19's, verbatim — the twin contract. */
   val s25Sql: String = graft.operators.Dedup.d19Sql
 
+  // ---------- s26: streaming bot door (burstiness at ingest) ----------
+
+  case class GapEv(user_id: Long, event_id: Long, s: Long)
+  case class GapSt(last_s: Long, n: Long, sg: Long, sg2: Long, done: Boolean)
+  case class GapOut(user_id: Long, n_gaps: Long, sum_gap: Long, sum_gap2: Long,
+      dispersion: Double, is_bot: Long)
+
+  /** Gaps observed before the door decides, and the dispersion below
+    * which a stream is flagged machine-generated (e16's metric; the
+    * cut sits near this corpus' median so the door demonstrably
+    * swings both ways).
+    */
+  private[graft] val s26Gaps = 20L
+  private[graft] val s26BotBelow = 30000.0
+
+  /** e16's per-user moment state machine: second-grain gaps from the
+    * last-seen timestamp, exact BIGINT moments, ONE decision row the
+    * micro-batch the [[s26Gaps]]-th gap arrives (then the key goes
+    * quiet — `done` pins state growth at one row per user forever).
+    * Within-batch rows sort by (s, event_id); across batches the
+    * feed is event-time ordered (s23's documented contract).
+    */
+  class GapProcessor extends org.apache.spark.sql.streaming.StatefulProcessor[Long, GapEv, GapOut] {
+    @transient private var st: org.apache.spark.sql.streaming.ValueState[GapSt] = _
+
+    override def init(outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      st = getHandle.getValueState[GapSt]("gaps",
+        org.apache.spark.sql.Encoders.product[GapSt],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[GapEv],
+        tv: org.apache.spark.sql.streaming.TimerValues): Iterator[GapOut] = {
+      val sorted = rows.toArray.sortBy(e => (e.s, e.event_id))
+      var s = if (st.exists()) st.get() else GapSt(-1L, 0L, 0L, 0L, done = false)
+      val out = scala.collection.mutable.ArrayBuffer.empty[GapOut]
+      sorted.foreach { e =>
+        if (!s.done) {
+          if (s.last_s >= 0L) {
+            val gap = e.s - s.last_s
+            s = s.copy(last_s = e.s, n = s.n + 1, sg = s.sg + gap,
+              sg2 = s.sg2 + gap * gap)
+            if (s.n == s26Gaps) {
+              val d = if (s.sg == 0L) 0.0
+                else (s.n * s.sg2 - s.sg * s.sg).toDouble / (s.n * s.sg).toDouble
+              out += GapOut(key, s.n, s.sg, s.sg2, d,
+                if (d < s26BotBelow) 1L else 0L)
+              s = s.copy(done = true)
+            }
+          } else s = s.copy(last_s = e.s)
+        }
+      }
+      st.update(s)
+      out.iterator
+    }
+  }
+
+  def gapStream(src: Dataset[GapEv]): Dataset[GapOut] = {
+    import src.sparkSession.implicits._
+    src.groupByKey(_.user_id)
+      .transformWithState(new GapProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Append())
+  }
+
+  /** s26: the STREAMING BOT DOOR — e16's burstiness decided AT
+    * INGEST: the micro-batch a user's [[s26Gaps]]-th inter-event gap
+    * arrives, the door emits that user's dispersion and verdict ONCE
+    * (append-only — the admission decision a corpus pipeline
+    * gates user-generated text on, taken on the stream rather than
+    * in the nightly batch). State is five scalars per user, pinned
+    * by the `done` flag; output exactly one row per user with ≥
+    * [[s26Gaps]] gaps. Oracle: e16's moment algebra restricted to
+    * each user's first [[s26Gaps]]+1 events — the batch recompute
+    * of the same decision.
+    */
+  def s26(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val rs = rocksSession(spark)
+    graft.Tables.tsConfs(rs)
+    val schema = rs.read.parquet(s"$dir/events.parquet").schema
+    val src = rs.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet").parquet(dir)
+      .selectExpr("user_id", "event_id", s"(${tusSql(schema)}) div 1000000 AS s")
+      .as[GapEv]
+    runToTable(rs, gapStream(src).toDF(), OutputMode.Append())
+      .orderBy(col("user_id"))
+  }
+
+  /** s26 oracle: batch recompute of the first-20-gaps decision. */
+  val s26Sql: String =
+    s"""WITH ev AS (SELECT user_id, event_id,
+      |        epoch_us(ts) // 1000000 AS s FROM events),
+      |r AS (SELECT user_id, s,
+      |        row_number() OVER (PARTITION BY user_id ORDER BY s, event_id) AS rn
+      |      FROM ev),
+      |f AS (SELECT user_id, s, rn FROM r WHERE rn <= ${s26Gaps + 1}),
+      |g AS (SELECT user_id,
+      |        s - lag(s) OVER (PARTITION BY user_id ORDER BY rn) AS gap
+      |      FROM f),
+      |a AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_gaps,
+      |        CAST(sum(gap) AS BIGINT) AS sum_gap,
+      |        CAST(sum(gap * gap) AS BIGINT) AS sum_gap2
+      |      FROM g WHERE gap IS NOT NULL GROUP BY user_id),
+      |b AS (SELECT *,
+      |        CASE WHEN sum_gap = 0 THEN 0.0
+      |             ELSE CAST(n_gaps * sum_gap2 - sum_gap * sum_gap AS DOUBLE)
+      |                  / CAST(n_gaps * sum_gap AS DOUBLE) END AS dispersion
+      |      FROM a WHERE n_gaps = $s26Gaps)
+      |SELECT user_id, n_gaps, sum_gap, sum_gap2, dispersion,
+      |  CAST(CASE WHEN dispersion < $s26BotBelow THEN 1 ELSE 0 END AS BIGINT) AS is_bot
+      |FROM b
+      |ORDER BY user_id""".stripMargin
+
   case class TopSt(vs: Array[Double], ids: Array[Long])
   case class TopOut(user_id: Long, rnk: Int, event_id: Long, value: Double)
 

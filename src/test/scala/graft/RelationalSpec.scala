@@ -1111,6 +1111,58 @@ class RelationalSpec extends AnyFunSuite {
       s"error ${r.getAs[Long]("err_permille")} permille out of spec")
   }
 
+  test("q35: union registers equal the direct union sketch; inclusion-exclusion and audit hold") {
+    val rows = Relational.q35(spark, sf).collect()
+      .map(r => r.getAs[String]("sketch") ->
+        ((r.getAs[Long]("n_exact"), r.getAs[Long]("est"), r.getAs[Long]("err_permille")))).toMap
+    assert(rows.keySet == Set("a", "b", "union", "intersection"))
+    // exact audit: recompute the three set cardinalities directly
+    val li = Tables.lineitem(spark, sf)
+      .selectExpr("l_orderkey", "l_quantity", "l_discount")
+      .as[(Long, Double, Double)].collect()
+    val a = li.filter(_._2 >= 25).map(_._1).toSet
+    val b = li.filter(_._3 >= 0.05).map(_._1).toSet
+    assert(rows("a")._1 == a.size && rows("b")._1 == b.size)
+    assert(rows("union")._1 == (a ++ b).size)
+    assert(rows("intersection")._1 == (a & b).size)
+    // the MERGE property: the max-merged union registers must give
+    // the same estimate as a sketch built directly from A ∪ B —
+    // replay both sequentially
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def regsOf(keys: Iterable[Long]): Map[Long, Long] = {
+      val m = scala.collection.mutable.Map[Long, Long]().withDefaultValue(0L)
+      keys.foreach { k =>
+        val hex = md.digest(k.toString.getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString.take(15)
+        val hv = java.lang.Long.parseLong(hex, 16)
+        val reg = hv % 1024; val w = hv / 1024
+        val rank = if (w == 0) 51L else 51L - (64 - java.lang.Long.numberOfLeadingZeros(w))
+        m(reg) = math.max(m(reg), rank)
+      }
+      m.toMap
+    }
+    val (ra, rb) = (regsOf(a), regsOf(b))
+    val merged = (ra.keySet ++ rb.keySet)
+      .map(k => k -> math.max(ra.getOrElse(k, 0L), rb.getOrElse(k, 0L))).toMap
+    assert(merged == regsOf(a ++ b), "max-merge != direct union sketch")
+    def estOf(regs: Map[Long, Long]): Long = {
+      val vZero = 1024 - regs.size
+      val sSum = regs.values.map(rk => 1L << (51 - rk)).sum + vZero.toLong * (1L << 51)
+      val est = (BigInt(720540) * BigInt(2).pow(71) / (BigInt(sSum) * 1000000)).toLong
+      if (est * 2 <= 5 * 1024 && vZero > 0)
+        (1024L * math.floor(math.log(1024.0 / vZero) * 1e9 + 0.5).toLong) / 1000000000L
+      else est
+    }
+    assert(rows("a")._2 == estOf(ra) && rows("b")._2 == estOf(rb))
+    assert(rows("union")._2 == estOf(merged))
+    // inclusion-exclusion is exactly how the intersection row is built
+    assert(rows("intersection")._2 ==
+      rows("a")._2 + rows("b")._2 - rows("union")._2)
+    // every estimate within 4 sigma of HLL's 3.2% standard error
+    Seq("a", "b", "union").foreach(s =>
+      assert(rows(s)._3 < 130, s"$s error ${rows(s)._3} permille out of spec"))
+  }
+
   test("q32: CMS never undercounts; cells merge by sum; audit is exact") {
     val rows = Relational.q32(spark, sf).collect()
     assert(rows.length == 10)

@@ -559,6 +559,54 @@ class StreamingPipelineSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("s26 single-batch run equals the batch decision; moments accumulate across batches, door fires once") {
+    // contract parity: one batch == the batch first-20-gaps recompute
+    val streamed = graft.streaming.EventStreams.s26(spark, sf).collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("n_gaps"),
+        r.getAs[Long]("sum_gap"), r.getAs[Long]("sum_gap2"), r.getAs[Long]("is_bot"))).toSet
+    val first21 = Tables.events(spark, sf)
+      .selectExpr("user_id", "event_id", "unix_micros(ts) div 1000000 AS s")
+      .collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("event_id"), r.getAs[Long]("s")))
+      .groupBy(_._1).flatMap { case (u, rows) =>
+        val ss = rows.sortBy(r => (r._3, r._2)).map(_._3).take(21)
+        val gaps = ss.sliding(2).collect { case Array(x, y) => y - x }.toSeq
+        if (gaps.size == 20) {
+          val (n, sg, sg2) = (20L, gaps.sum, gaps.map(g => g * g).sum)
+          val d = if (sg == 0) 0.0 else (n * sg2 - sg * sg).toDouble / (n * sg).toDouble
+          Some((u, n, sg, sg2, if (d < 30000.0) 1L else 0L))
+        } else None
+      }.toSet
+    assert(streamed == first21 && streamed.nonEmpty)
+    // multi-batch: 11 events in batch 1 (10 gaps), 11 more in batch 2
+    // (11 gaps; the 20th gap lands mid-batch) — ONE decision row whose
+    // moments span both batches; batch 3 must not re-emit
+    import EventStreams.{GapEv, GapOut}
+    val ns = spark.newSession()
+    ns.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = ns.sqlContext
+    import ns.implicits._
+    val mem = MemoryStream[GapEv]
+    val name = "s26_state_test"
+    val q = EventStreams.gapStream(mem.toDS()).toDF()
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName(name).start()
+    try {
+      // constant 7-second cadence: dispersion must be exactly 0 → bot
+      mem.addData((0 until 11).map(i => GapEv(9L, i.toLong, 1000L + 7L * i)): _*)
+      q.processAllAvailable()
+      assert(ns.table(name).count() == 0, "door fired before 20 gaps")
+      mem.addData((11 until 22).map(i => GapEv(9L, i.toLong, 1000L + 7L * i)): _*)
+      q.processAllAvailable()
+      mem.addData(GapEv(9L, 22L, 5000L))
+      q.processAllAvailable()
+      val rows = ns.table(name).as[GapOut].collect().toSeq
+      assert(rows == Seq(GapOut(9L, 20L, 140L, 980L, 0.0, 1L)),
+        s"unexpected door output: $rows")
+    } finally q.stop()
+  }
+
   test("s24 frontier state merges across batches: counts sum, survivor is the global min") {
     import EventStreams.{s24Agg}
     val ns = spark.newSession()
