@@ -276,11 +276,12 @@ object Media {
       .orderBy($"doc_id", $"frame_idx")
   }
 
-  /** m5 oracle: ASCII payload bytes mirror to ord(substr(..)) − 128;
-    * the window energies are exact BIGINT sums in both engines.
+  /** m5's oracle CTE chain through `e`(doc_id, n_frames, frame_idx,
+    * energy) — shared by m5Sql and m12Sql (the VAD composes islands
+    * on top of the same frames).
     */
-  val m5Sql: String =
-    """WITH p AS (SELECT doc_id, 'AUD' || substr(text, 1, 61) AS s
+  private val m5Chain: String =
+    """p AS (SELECT doc_id, 'AUD' || substr(text, 1, 61) AS s
       |  FROM documents WHERE doc_id % 3 = 1),
       |n AS (SELECT doc_id, s,
       |        CAST((length(s) - 16) // 8 + 1 AS INTEGER) AS n_frames
@@ -293,9 +294,73 @@ object Media {
       |          list_transform(range(1, 17),
       |            i -> CAST(ord(substr(s, frame_idx * 8 + i, 1)) AS BIGINT) - 128),
       |          x -> x * x)) AS BIGINT) AS energy
-      |      FROM f)
+      |      FROM f)""".stripMargin
+
+  /** m5 oracle: ASCII payload bytes mirror to ord(substr(..)) − 128;
+    * the window energies are exact BIGINT sums in both engines.
+    */
+  val m5Sql: String =
+    s"""WITH $m5Chain
       |SELECT doc_id, n_frames, frame_idx, energy FROM e
       |ORDER BY doc_id, frame_idx""".stripMargin
+
+  // ---------- m12: voice-activity detection (speech segments) ----------
+
+  /** Energy gate and minimum run length for a speech segment: the
+    * corpus' median frame energy (so the gate provably swings both
+    * ways) and the standard ≥ 3-frame hangover.
+    */
+  private val m12Thresh = 33000L
+  private val m12MinFrames = 3L
+
+  /** m12: VOICE-ACTIVITY DETECTION — the speech-segment extraction
+    * every ASR-training-data pipeline runs over raw audio (silence
+    * trimming / utterance splitting; m5's docstring promised VAD
+    * starts at its frames, and this is that operator): frames with
+    * energy ≥ [[m12Thresh]] group into maximal CONSECUTIVE runs
+    * (gaps-and-islands — frame_idx minus the per-doc dense rank, the
+    * w21/e11 idiom), runs shorter than [[m12MinFrames]] are dropped
+    * (the hangover rule), and each surviving segment reports its
+    * frame span, exact BIGINT energy mass and peak. Everything is
+    * integer — bitwise cross-engine by m5's argument.
+    *
+    * Scale shape: m5's batched decode fan-out, then ONE doc-key
+    * shuffle shared by the islands window and the segment aggregate
+    * (the m8 scene-split contract) — per-doc frame counts bound the
+    * window, never a global sort.
+    */
+  def m12(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"doc_id").orderBy($"frame_idx")
+    audioFrames(payloads(spark, dir)).toDF()
+      .filter($"energy" >= m12Thresh)
+      .withColumn("grp", $"frame_idx" - row_number().over(w))
+      .groupBy($"doc_id", $"grp")
+      .agg(min($"frame_idx").as("seg_start"), max($"frame_idx").as("seg_end"),
+        count(lit(1)).as("n_frames"), sum($"energy").as("energy_total"),
+        max($"energy").as("peak_energy"))
+      .filter($"n_frames" >= m12MinFrames)
+      .select($"doc_id", $"seg_start", $"seg_end", $"n_frames",
+        $"energy_total", $"peak_energy")
+      .transform(graft.Tables.ordered(_, $"doc_id", $"seg_start"))
+  }
+
+  /** m12 oracle: m5's frame chain + the identical islands grouping. */
+  val m12Sql: String =
+    s"""WITH $m5Chain,
+      |h AS (SELECT doc_id, frame_idx, energy,
+      |        frame_idx - row_number() OVER (PARTITION BY doc_id ORDER BY frame_idx) AS grp
+      |      FROM e WHERE energy >= $m12Thresh),
+      |seg AS (SELECT doc_id, grp,
+      |          min(frame_idx) AS seg_start, max(frame_idx) AS seg_end,
+      |          CAST(count(*) AS BIGINT) AS n_frames,
+      |          CAST(sum(energy) AS BIGINT) AS energy_total,
+      |          CAST(max(energy) AS BIGINT) AS peak_energy
+      |        FROM h GROUP BY 1, 2)
+      |SELECT doc_id, seg_start, seg_end, n_frames, energy_total, peak_energy
+      |FROM seg WHERE n_frames >= $m12MinFrames
+      |ORDER BY doc_id, seg_start""".stripMargin
 
   // ---------- m6: perceptual-hash near-duplicate media ----------
 

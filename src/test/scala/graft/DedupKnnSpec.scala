@@ -734,6 +734,35 @@ class DedupKnnSpec extends AnyFunSuite {
     assert(Media.pngLuminance(s).toSeq == s.map(_.toInt & 127).toSeq)
   }
 
+  test("m12: VAD segments are maximal dense runs over m5's frames; the gate swings both ways") {
+    import graft.operators.Media
+    val frames = Media.m5(spark, sf).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("frame_idx"), r.getAs[Long]("energy")))
+    val segs = Media.m12(spark, sf).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("seg_start"), r.getAs[Int]("seg_end"),
+        r.getAs[Long]("n_frames"), r.getAs[Long]("energy_total"), r.getAs[Long]("peak_energy")))
+    assert(segs.nonEmpty)
+    // independent recompute: walk each doc's frames, collect runs >= 3
+    val want = frames.groupBy(_._1).toSeq.flatMap { case (doc, fs) =>
+      val hot = fs.sortBy(_._2).filter(_._3 >= 33000L)
+      val runs = scala.collection.mutable.ArrayBuffer.empty[Seq[(Long, Int, Long)]]
+      hot.foreach { f =>
+        if (runs.nonEmpty && runs.last.last._2 + 1 == f._2)
+          runs(runs.size - 1) = runs.last :+ f
+        else runs += Seq(f)
+      }
+      runs.filter(_.size >= 3).map { r =>
+        (doc, r.head._2, r.last._2, r.size.toLong, r.map(_._3).sum, r.map(_._3).max)
+      }
+    }.sortBy(s => (s._1, s._2))
+    assert(segs.toSeq == want)
+    // the gate discriminates: some frames pass, some fail, and not
+    // every hot run survives the >= 3 hangover
+    val hotN = frames.count(_._3 >= 33000L)
+    assert(hotN > 0 && hotN < frames.length)
+    assert(segs.map(_._4).sum < hotN, "every hot frame landed in a segment — hangover never bit")
+  }
+
   test("m8: scenes partition each video's frames contiguously at the cut points") {
     import graft.operators.Media
     val frames = Media.m3(spark, sf).collect()
