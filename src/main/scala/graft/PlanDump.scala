@@ -125,6 +125,7 @@ object PlanDump {
       "p12_data_skipping" -> "data skipping: one scan per audited layout, file-grain map-side-combined aggregate, bounded report",
       "q35_hll_setops" -> "HLL set ops: one tagged scan feeds both register tables, union by max-merge (no rescan), one distinct for the exact audit",
       "m12_audio_vad" -> "audio VAD: batched decode fan-out, islands window and segment aggregate share one doc-key shuffle",
+      "dq2_psi_drift" -> "PSI drift: one scan, row-local struct explode, 60-row histogram aggregate, decimal term algebra",
     )
     val sb = new StringBuilder
     sb.append("# PLANS — formatted physical plans (generated by graft.PlanDump at sf0.001)\n")

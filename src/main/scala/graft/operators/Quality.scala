@@ -56,6 +56,120 @@ object Quality {
       |SELECT 'events_ts_not_null', count(*) FILTER (WHERE ts IS NULL) FROM events
       |ORDER BY 1""".stripMargin
 
+  // ---------- dq2: distribution-drift monitor (PSI) ----------
+
+  /** (column, bin lo, bin width) for the 10-bin equi-width
+    * histograms; widths cover each column's full domain.
+    */
+  private val dq2Cols = Seq(
+    ("l_quantity", "0.0", "5.0"),
+    ("l_extendedprice", "0.0", "11000.0"),
+    ("l_discount", "0.0", "0.011"))
+  private val dq2Bins = 10L
+
+  /** PSI > 0.2 — the standard "significant shift" cut of the
+    * credit-scoring literature the metric comes from.
+    */
+  private val dq2DriftMicro = 200000L
+
+  /** dq2: DISTRIBUTION DRIFT between two table snapshots by
+    * POPULATION STABILITY INDEX — PSI = Σ_bins (p−q)·ln(p/q), the
+    * ML-monitoring twin of v13's embedding drift for TABULAR
+    * features (training-data pipelines alarm on feature drift
+    * before models consume a new snapshot). Snapshot fixture: the
+    * current period re-lands lineitem after a quantity-cap policy
+    * change (q' = least(q, 30) — d2's seeded-fixture discipline:
+    * the drift is constructed, so the detector's answer is known),
+    * so l_quantity MUST alarm while price/discount MUST stay quiet
+    * — the gate swings both ways by construction.
+    *
+    * Exactness: per occupied bin (the metric's documented domain),
+    * Laplace-smoothed proportions padj = (na+1)/(Na+B) share the
+    * common denominator (Na+B)(Nb+B), so each term's sign-carrying
+    * factor diff = (na+1)(Nb+B) − (nb+1)(Na+B) is an exact BIGINT;
+    * the single transcendental ln(padj/qadj) quantizes at 1e-9
+    * (§8.4) into a BIGINT; term products and their sum ride
+    * DECIMAL(38,0)/HUGEINT (≤ 10^29 ≪ 10^38); and the reported
+    * psi_micro = (Σ diff·lnq · 10⁶) div ((Na+B)(Nb+B)·10⁹) is ONE
+    * integral division — every output column exact cross-engine.
+    * Each term is ≥ 0 (diff and lnq share sign), so PSI ≥ 0 holds
+    * in the integer algebra too.
+    *
+    * Scale shape: ONE scan; the 6 (col, period) structs explode
+    * row-locally; one (col, bucket) map-side-combined aggregate
+    * (≤ 60 rows), column-grain totals join at bin grain; the
+    * report is 3 rows. At 100 TB the histogram aggregate is the
+    * only data-sized stage — exactly a monitoring pass' cost.
+    */
+  def dq2(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val legs = dq2Cols.flatMap { case (c, lo, w) =>
+      val cur = if (c == "l_quantity") s"least($c, 30.0)" else c
+      Seq(
+        s"named_struct('col_name', '$c', 'period', 'ref', 'bucket', " +
+          s"CAST(least(${dq2Bins - 1}, greatest(0, floor(($c - $lo) / $w))) AS BIGINT))",
+        s"named_struct('col_name', '$c', 'period', 'cur', 'bucket', " +
+          s"CAST(least(${dq2Bins - 1}, greatest(0, floor(($cur - $lo) / $w))) AS BIGINT))")
+    }.mkString(", ")
+    val binned = Tables.lineitem(spark, dir)
+      .selectExpr(s"explode(array($legs)) AS cb")
+      .selectExpr("cb.col_name AS col_name", "cb.period AS period", "cb.bucket AS bucket")
+      .groupBy($"col_name", $"bucket")
+      .agg(sum(when($"period" === "ref", 1L).otherwise(0L)).as("na"),
+        sum(when($"period" === "cur", 1L).otherwise(0L)).as("nb"))
+    val totals = binned.groupBy($"col_name")
+      .agg(sum($"na").as("tot_a"), sum($"nb").as("tot_b"))
+    binned.join(totals, Seq("col_name"))
+      .selectExpr("col_name", "tot_a", "tot_b",
+        s"(na + 1) * (tot_b + $dq2Bins) - (nb + 1) * (tot_a + $dq2Bins) AS diff",
+        s"CAST(floor(ln(CAST((na + 1) * (tot_b + $dq2Bins) AS DOUBLE) " +
+          s"/ CAST((nb + 1) * (tot_a + $dq2Bins) AS DOUBLE)) * 1e9 + 0.5) AS BIGINT) AS lnq")
+      .groupBy($"col_name", $"tot_a", $"tot_b")
+      .agg(sum(expr("CAST(diff AS DECIMAL(38,0)) * lnq")).as("num"))
+      .selectExpr("col_name", "tot_a AS n_ref", "tot_b AS n_cur",
+        s"CAST((num * 1000000) div (CAST(tot_a + $dq2Bins AS DECIMAL(38,0)) " +
+          s"* (tot_b + $dq2Bins) * 1000000000) AS BIGINT) AS psi_micro")
+      .selectExpr("col_name", "n_ref", "n_cur", "psi_micro",
+        s"CAST(CASE WHEN psi_micro > $dq2DriftMicro THEN 1 ELSE 0 END AS BIGINT) AS drifted")
+      .transform(Tables.ordered(_, $"col_name"))
+  }
+
+  /** dq2 oracle: identical bins, smoothing, quantized ln and
+    * HUGEINT term algebra.
+    */
+  val dq2Sql: String = {
+    val legs = dq2Cols.flatMap { case (c, lo, w) =>
+      val cur = if (c == "l_quantity") s"least($c, 30.0)" else c
+      Seq(
+        s"SELECT '$c' AS col_name, 'ref' AS period, CAST(least(${dq2Bins - 1}, greatest(0, floor(($c - $lo) / $w))) AS BIGINT) AS bucket FROM lineitem",
+        s"SELECT '$c', 'cur', CAST(least(${dq2Bins - 1}, greatest(0, floor(($cur - $lo) / $w))) AS BIGINT) FROM lineitem")
+    }.mkString("\n  UNION ALL ")
+    s"""WITH b0 AS (
+      |  $legs),
+      |b AS (SELECT col_name, bucket,
+      |        CAST(count(*) FILTER (WHERE period = 'ref') AS BIGINT) AS na,
+      |        CAST(count(*) FILTER (WHERE period = 'cur') AS BIGINT) AS nb
+      |      FROM b0 GROUP BY 1, 2),
+      |t AS (SELECT col_name, CAST(sum(na) AS BIGINT) AS tot_a,
+      |        CAST(sum(nb) AS BIGINT) AS tot_b FROM b GROUP BY 1),
+      |terms AS (SELECT b.col_name, t.tot_a, t.tot_b,
+      |        (na + 1) * (tot_b + $dq2Bins) - (nb + 1) * (tot_a + $dq2Bins) AS diff,
+      |        CAST(floor(ln(CAST((na + 1) * (tot_b + $dq2Bins) AS DOUBLE)
+      |          / CAST((nb + 1) * (tot_a + $dq2Bins) AS DOUBLE)) * 1e9 + 0.5) AS BIGINT) AS lnq
+      |      FROM b JOIN t ON t.col_name = b.col_name),
+      |agg AS (SELECT col_name, tot_a, tot_b,
+      |        sum(CAST(diff AS HUGEINT) * lnq) AS num
+      |      FROM terms GROUP BY 1, 2, 3)
+      |SELECT col_name, tot_a AS n_ref, tot_b AS n_cur,
+      |  CAST((num * 1000000) // (CAST(tot_a + $dq2Bins AS HUGEINT)
+      |    * (tot_b + $dq2Bins) * 1000000000) AS BIGINT) AS psi_micro,
+      |  CAST(CASE WHEN CAST((num * 1000000) // (CAST(tot_a + $dq2Bins AS HUGEINT)
+      |    * (tot_b + $dq2Bins) * 1000000000) AS BIGINT) > $dq2DriftMicro
+      |    THEN 1 ELSE 0 END AS BIGINT) AS drifted
+      |FROM agg
+      |ORDER BY col_name""".stripMargin
+  }
+
   /** Haversine distance (km) between quantized radian coordinates —
     * shared template, q-quantized trig keeps both engines bitwise.
     */

@@ -1011,6 +1011,47 @@ class RelationalSpec extends AnyFunSuite {
     assert(eases.length > 10)
   }
 
+  test("dq2: PSI equals a sequential recompute; the seeded cap alarms, untouched columns stay quiet") {
+    val got = graft.operators.Quality.dq2(spark, sf).collect()
+      .map(r => r.getAs[String]("col_name") ->
+        ((r.getAs[Long]("n_ref"), r.getAs[Long]("n_cur"),
+          r.getAs[Long]("psi_micro"), r.getAs[Long]("drifted")))).toMap
+    assert(got.keySet == Set("l_quantity", "l_extendedprice", "l_discount"))
+    val li = Tables.lineitem(spark, sf)
+      .selectExpr("l_quantity", "l_extendedprice", "l_discount")
+      .as[(Double, Double, Double)].collect()
+    def psiMicro(ref: Seq[Double], cur: Seq[Double], lo: Double, w: Double): Long = {
+      def bins(vs: Seq[Double]) = vs.groupBy(v =>
+        math.min(9L, math.max(0L, math.floor((v - lo) / w).toLong)))
+        .view.mapValues(_.size.toLong).toMap
+      val (ba, bb) = (bins(ref), bins(cur))
+      val (na, nb) = (ref.size.toLong, cur.size.toLong)
+      val num = (ba.keySet ++ bb.keySet).toSeq.map { k =>
+        val (a, b) = (ba.getOrElse(k, 0L), bb.getOrElse(k, 0L))
+        val diff = BigInt((a + 1) * (nb + 10) - (b + 1) * (na + 10))
+        val lnq = math.floor(math.log(((a + 1) * (nb + 10)).toDouble /
+          ((b + 1) * (na + 10)).toDouble) * 1e9 + 0.5).toLong
+        diff * BigInt(lnq)
+      }.sum
+      ((num * BigInt(1000000)) /
+        (BigInt(na + 10) * BigInt(nb + 10) * BigInt(1000000000))).toLong
+    }
+    val q = li.map(_._1)
+    assert(got("l_quantity")._3 ==
+      psiMicro(q, q.map(math.min(_, 30.0)), 0.0, 5.0))
+    assert(got("l_extendedprice")._3 ==
+      psiMicro(li.map(_._2), li.map(_._2), 0.0, 11000.0))
+    assert(got("l_discount")._3 ==
+      psiMicro(li.map(_._3), li.map(_._3), 0.0, 0.011))
+    // identical distributions score exactly 0; the seeded cap alarms
+    assert(got("l_extendedprice")._3 == 0L && got("l_extendedprice")._4 == 0L)
+    assert(got("l_discount")._3 == 0L && got("l_discount")._4 == 0L)
+    assert(got("l_quantity")._3 > 200000L && got("l_quantity")._4 == 1L)
+    got.values.foreach { case (nr, nc, psi, _) =>
+      assert(psi >= 0L && nr == li.length.toLong && nc == li.length.toLong)
+    }
+  }
+
   test("t21: every gate flag recomputes from the raw text; keep is their product") {
     val ts = graft.operators.TextStats
     val rows = ts.t21(spark, sf).collect()
