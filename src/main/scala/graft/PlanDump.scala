@@ -126,6 +126,7 @@ object PlanDump {
       "q35_hll_setops" -> "HLL set ops: one tagged scan feeds both register tables, union by max-merge (no rescan), one distinct for the exact audit",
       "m12_audio_vad" -> "audio VAD: batched decode fan-out, islands window and segment aggregate share one doc-key shuffle",
       "dq2_psi_drift" -> "PSI drift: one scan, row-local struct explode, 60-row histogram aggregate, decimal term algebra",
+      "t27_zipf_audit" -> "Zipf audit: one explode + term aggregate, vocab-grain rank window, 1-row fit + broadcast totals",
     )
     val sb = new StringBuilder
     sb.append("# PLANS — formatted physical plans (generated by graft.PlanDump at sf0.001)\n")

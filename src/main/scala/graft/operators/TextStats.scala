@@ -1386,6 +1386,85 @@ object TextStats {
       .transform(graft.Tables.ordered(_, $"doc_id"))
   }
 
+  // ---------- t27: Zipf rank-frequency audit ----------
+
+  /** Fit region: the top-K terms by count. Capping K (not the full
+    * vocabulary) is what keeps the regression sums BIGINT-exact at
+    * ANY vocab size — and it is also the statistically right call
+    * (Zipf's law holds in the head; the long tail is noise).
+    */
+  private val t27K = 1000L
+
+  /** t27: ZIPF RANK-FREQUENCY AUDIT — the corpus-health check that a
+    * token distribution looks like natural language (Zipf 1949:
+    * log-count vs log-rank is a line of slope ≈ −1; template-heavy,
+    * machine-generated or over-deduplicated corpora bend it —
+    * corpus curation reads this once per snapshot next to t2/t21's
+    * per-doc gates). Least-squares slope over (x, y) =
+    * (quantized-ln rank, quantized-ln count) for the top-[[t27K]]
+    * terms: both lns quantize at 1e-3 (coarse on purpose — it
+    * bounds every regression sum: |Σxy| ≤ K·(14·10³)² ≈ 2·10¹¹ ≪
+    * 2⁶³), the four sums are exact BIGINTs, and slope =
+    * (K·Σxy − Σx·Σy) / (K·Σx² − (Σx)²) is ONE IEEE division of two
+    * exact BIGINTs (the g11 discipline — integral `div` is out
+    * because Spark truncates toward zero while DuckDB floors, and
+    * the slope is NEGATIVE).
+    *
+    * Scale shape: one token explode + one term aggregate (the
+    * vocab table — distributed); the rank is the one vocab-grain
+    * window (metadata-sized, the q33 presentation-grain class,
+    * WindowGroupLimit-bounded by the K filter); the fit is a 1-row
+    * aggregate; corpus totals ride a 1-row broadcast.
+    */
+  def t27(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val uni = Tables.documents(spark, dir)
+      .selectExpr("explode(split(lower(trim(text)), ' ')) AS term")
+      .groupBy($"term").agg(count(lit(1)).as("cnt"))
+      .cache()
+    val tot = uni.agg(count(lit(1)).as("vocab"), sum($"cnt").as("n_tokens"))
+    val ranked = uni
+      .withColumn("rnk", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy($"cnt".desc, $"term")))
+      .filter($"rnk" <= t27K)
+      .selectExpr(
+        "CAST(floor(ln(CAST(rnk AS DOUBLE)) * 1e3 + 0.5) AS BIGINT) AS x",
+        "CAST(floor(ln(CAST(cnt AS DOUBLE)) * 1e3 + 0.5) AS BIGINT) AS y")
+    ranked
+      .agg(count(lit(1)).as("n_terms"),
+        sum($"x").as("sum_x"), sum($"y").as("sum_y"),
+        sum($"x" * $"y").as("sum_xy"), sum($"x" * $"x").as("sum_x2"))
+      .crossJoin(broadcast(tot))
+      .selectExpr("n_terms", "vocab", "n_tokens",
+        "sum_x", "sum_y", "sum_xy", "sum_x2",
+        "CAST(n_terms * sum_xy - sum_x * sum_y AS DOUBLE) " +
+          "/ CAST(n_terms * sum_x2 - sum_x * sum_x AS DOUBLE) AS zipf_slope")
+  }
+
+  /** t27 oracle: identical rank window, 1e-3 ln quantization, exact
+    * sums, one division.
+    */
+  val t27Sql: String =
+    s"""WITH toks AS (SELECT unnest(string_split(lower(trim(text)), ' ')) AS term
+      |              FROM documents),
+      |uni AS (SELECT term, CAST(count(*) AS BIGINT) AS cnt FROM toks GROUP BY term),
+      |tot AS (SELECT CAST(count(*) AS BIGINT) AS vocab,
+      |          CAST(sum(cnt) AS BIGINT) AS n_tokens FROM uni),
+      |r AS (SELECT cnt, row_number() OVER (ORDER BY cnt DESC, term) AS rnk FROM uni),
+      |xy AS (SELECT
+      |         CAST(floor(ln(CAST(rnk AS DOUBLE)) * 1e3 + 0.5) AS BIGINT) AS x,
+      |         CAST(floor(ln(CAST(cnt AS DOUBLE)) * 1e3 + 0.5) AS BIGINT) AS y
+      |       FROM r WHERE rnk <= $t27K),
+      |s AS (SELECT CAST(count(*) AS BIGINT) AS n_terms,
+      |        CAST(sum(x) AS BIGINT) AS sum_x, CAST(sum(y) AS BIGINT) AS sum_y,
+      |        CAST(sum(x * y) AS BIGINT) AS sum_xy,
+      |        CAST(sum(x * x) AS BIGINT) AS sum_x2
+      |      FROM xy)
+      |SELECT n_terms, vocab, n_tokens, sum_x, sum_y, sum_xy, sum_x2,
+      |  CAST(n_terms * sum_xy - sum_x * sum_y AS DOUBLE)
+      |    / CAST(n_terms * sum_x2 - sum_x * sum_x AS DOUBLE) AS zipf_slope
+      |FROM s, tot""".stripMargin
+
   /** t26 oracle: identical counts (len(regexp_extract_all) ≡
     * regexp_count) and textually identical formula order.
     */

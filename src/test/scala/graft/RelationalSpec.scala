@@ -988,6 +988,33 @@ class RelationalSpec extends AnyFunSuite {
     assert(rows.values.map(_._1).sum % 3 == 0 && rows.nonEmpty)
   }
 
+  test("t27: Zipf fit equals a sequential recompute; the synthetic corpus reads as non-natural") {
+    val r = graft.operators.TextStats.t27(spark, sf).collect().head
+    val counts = Tables.documents(spark, sf)
+      .selectExpr("text").as[String].collect()
+      .flatMap(_.trim.toLowerCase.split(" ", -1))
+      .groupBy(identity).view.mapValues(_.length.toLong).toSeq
+    val ranked = counts.sortBy { case (t, c) => (-c, t) }.take(1000).zipWithIndex
+      .map { case ((_, c), i) =>
+        (math.floor(math.log((i + 1).toDouble) * 1e3 + 0.5).toLong,
+         math.floor(math.log(c.toDouble) * 1e3 + 0.5).toLong)
+      }
+    val k = ranked.size.toLong
+    val (sx, sy) = (ranked.map(_._1).sum, ranked.map(_._2).sum)
+    val (sxy, sx2) = (ranked.map(p => p._1 * p._2).sum, ranked.map(p => p._1 * p._1).sum)
+    assert(r.getAs[Long]("n_terms") == k)
+    assert(r.getAs[Long]("vocab") == counts.size.toLong)
+    assert(r.getAs[Long]("n_tokens") == counts.map(_._2).sum)
+    assert((r.getAs[Long]("sum_x"), r.getAs[Long]("sum_y"),
+      r.getAs[Long]("sum_xy"), r.getAs[Long]("sum_x2")) == ((sx, sy, sxy, sx2)))
+    val want = (k * sxy - sx * sy).toDouble / (k * sx2 - sx * sx).toDouble
+    assert(r.getAs[Double]("zipf_slope") == want)
+    // frequencies fall with rank, so the fit must slope down — and
+    // this near-uniform 31-word synthetic vocab must sit far from a
+    // natural corpus' -1 (the audit's whole point: it DETECTS that)
+    assert(want < 0.0 && want > -0.6)
+  }
+
   test("t26: readability counts and formulas recompute from the raw text") {
     val rows = graft.operators.TextStats.t26(spark, sf).collect()
     val raw = Tables.documents(spark, sf)
