@@ -127,6 +127,7 @@ object PlanDump {
       "m12_audio_vad" -> "audio VAD: batched decode fan-out, islands window and segment aggregate share one doc-key shuffle",
       "dq2_psi_drift" -> "PSI drift: one scan, row-local struct explode, 60-row histogram aggregate, decimal term algebra",
       "t27_zipf_audit" -> "Zipf audit: one explode + term aggregate, vocab-grain rank window, 1-row fit + broadcast totals",
+      "v20_mips" -> "MIPS: broadcast query codebook over the weighted corpus stream, quantized raw dot, two-level bounded rank",
     )
     val sb = new StringBuilder
     sb.append("# PLANS — formatted physical plans (generated by graft.PlanDump at sf0.001)\n")

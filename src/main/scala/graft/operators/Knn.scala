@@ -1763,4 +1763,66 @@ object Knn {
       |FROM ov JOIN pl ON pl.nprobe = ov.nprobe
       |CROSS JOIN nqc CROSS JOIN ncc
       |ORDER BY nprobe""".stripMargin
+
+  // ---------- v20: maximum inner-product search (MIPS) ----------
+
+  /** v20: MAXIMUM INNER-PRODUCT SEARCH — the retrieval mode where
+    * vector NORM carries signal (recommender scores, learned
+    * rerankers, popularity-weighted retrieval), so cosine is the
+    * WRONG metric: top-k by raw q·x. The corpus gets a seeded
+    * deterministic norm profile (w = (10 + vec_id % 5)/10 — the
+    * testdata ships unit-normalized, and a fixture norm spread is
+    * the d2 seeding discipline: it makes MIPS provably diverge from
+    * cosine, which the spec asserts), queries stay unit. Scoring is
+    * v1's broadcast-codebook kernel over the RAW weighted vectors —
+    * same sequential quantized dot ([[cosQ]] is metric-agnostic),
+    * same two-level bounded rank.
+    *
+    * The 100 TB path is the norm-augmentation reduction (Bachrach
+    * et al. 2014, RecSys; Neyshabur & Srebro 2015): x* =
+    * [x; √(M²−|x|²)]/M with M = max corpus norm has unit norm and
+    * cos(q*, x*) = (q·x)/(|q|M) — ORDER-EQUAL to inner product, so
+    * every cosine ANN structure in this family (v2 LSH, v4 IVF, v9
+    * IVF-PQ) serves MIPS after one narrow augmentation pass; the
+    * spec proves the rank equality on this corpus. The gate ranks
+    * by the exact quantized inner product (the implementation-
+    * independent semantics); the oracle mirrors it directly.
+    */
+  def v20(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = Tables.embeddings(spark, dir)
+      .selectExpr("vec_id",
+        "transform(embedding, x -> CAST(x AS DOUBLE) " +
+          "* (CAST(10 + vec_id % 5 AS DOUBLE) / 10.0)) AS v")
+    val bc = spark.sparkContext.broadcast(
+      Tables.embeddings(spark, dir)
+        .selectExpr("vec_id", "transform(embedding, x -> CAST(x AS DOUBLE)) AS v")
+        .filter("vec_id < 10")
+        .as[(Long, Array[Double])].collect().sortBy(_._1))
+    val scored = e.filter("vec_id >= 10").as[(Long, Array[Double])]
+      .mapPartitions(_.flatMap { case (cid, cv) =>
+        bc.value.iterator.map { case (qid, qv) => (qid, cid, cosQ(qv, cv)) }
+      }).toDF("qid", "vec_id", "ip")
+    graft.functions.TwoLevel.topK(scored, Seq($"qid"),
+        Seq($"ip".desc, $"vec_id"), $"vec_id", knnK)
+      .select($"qid", $"rnk", $"vec_id", $"ip")
+      .orderBy($"qid", $"rnk")
+  }
+
+  /** v20 oracle: raw inner product over the same weighted corpus,
+    * unit queries, identical quantization and rank.
+    */
+  val v20Sql: String =
+    s"""WITH e AS (SELECT vec_id,
+      |         list_transform(CAST(embedding AS DOUBLE[]),
+      |           x -> x * (CAST(10 + vec_id % 5 AS DOUBLE) / 10.0)) AS v
+      |       FROM embeddings),
+      |q AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+      |      WHERE vec_id < 10),
+      |s AS (SELECT q.vec_id AS qid, c.vec_id AS vec_id,
+      |        round(list_inner_product(q.v, c.v) * 1e6) / 1e6 AS ip
+      |      FROM q JOIN e c ON c.vec_id >= 10),
+      |r AS (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY ip DESC, vec_id) AS rnk FROM s)
+      |SELECT qid, rnk, vec_id, ip FROM r WHERE rnk <= $knnK
+      |ORDER BY qid, rnk""".stripMargin
 }

@@ -983,6 +983,50 @@ class DedupKnnSpec extends AnyFunSuite {
     assert(got.exists { case (s, _, dr, cr) => s > 1 && dr > 0 && cr > 0 })
   }
 
+  test("v20: MIPS equals a sequential recompute, diverges from cosine, and the norm-augmentation preserves its order") {
+    import graft.operators.Knn
+    val got = Knn.v20(spark, sf).collect()
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("rnk"), r.getAs[Long]("vec_id")))
+    val emb = Tables.embeddings(spark, sf)
+      .selectExpr("vec_id", "transform(embedding, x -> CAST(x AS DOUBLE)) AS v")
+      .as[(Long, Array[Double])].collect().sortBy(_._1)
+    val queries = emb.filter(_._1 < 10)
+    val corpus = emb.filter(_._1 >= 10)
+      .map { case (id, v) => (id, v.map(_ * ((10 + id % 5).toDouble / 10.0))) }
+    def dotQ(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var i = 0
+      while (i < a.length) { d += a(i) * b(i); i += 1 }
+      val q = d * 1e6
+      (if (q >= 0) math.floor(q + 0.5) else math.ceil(q - 0.5)) / 1e6
+    }
+    val want = queries.flatMap { case (qid, qv) =>
+      corpus.map { case (cid, cv) => (qid, cid, dotQ(qv, cv)) }
+        .sortBy { case (_, cid, ip) => (-ip, cid) }.take(5).zipWithIndex
+        .map { case ((_, cid, _), i) => (qid, (i + 1).toLong, cid) }
+    }
+    assert(got.toSeq == want.toSeq)
+    // norm signal is real: MIPS top-5 differs from cosine top-5 (v1)
+    // for at least one query
+    val cosTop = Knn.v1(spark, sf).collect()
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("rnk"), r.getAs[Long]("vec_id"))).toSet
+    assert(got.exists(!cosTop.contains(_)), "MIPS never diverged from cosine")
+    // the reduction: augmented unit vectors x* = [x; sqrt(M^2-|x|^2)]/M
+    // rank by cosine exactly as raw vectors rank by inner product
+    val bigM = corpus.map { case (_, v) => math.sqrt(v.map(x => x * x).sum) }.max
+    queries.foreach { case (qid, qv) =>
+      val byIp = corpus.map { case (cid, cv) =>
+        (cid, cv.zip(qv).map { case (a, b) => a * b }.sum)
+      }.sortBy { case (cid, ip) => (-ip, cid) }.map(_._1).take(20).toSeq
+      val byAug = corpus.map { case (cid, cv) =>
+        val aug = math.sqrt(math.max(0.0, bigM * bigM - cv.map(x => x * x).sum))
+        // cos(q*, x*) = (q.x + 0*aug) / (|q| * M): rank-equal to q.x
+        (cid, cv.zip(qv).map { case (a, b) => a * b }.sum /
+          (math.sqrt(qv.map(x => x * x).sum) * bigM) + 0.0 * aug)
+      }.sortBy { case (cid, c) => (-c, cid) }.map(_._1).take(20).toSeq
+      assert(byIp == byAug, s"augmentation reordered query $qid")
+    }
+  }
+
   test("v8 MMR: 5 diverse picks from the top-10 pool, step 1 = argmax relevance") {
     val rows = Knn.v8(spark, sf)
       .select($"qid", $"rnk", $"vec_id", $"mmr_score")
