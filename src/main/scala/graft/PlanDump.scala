@@ -128,6 +128,8 @@ object PlanDump {
       "dq2_psi_drift" -> "PSI drift: one scan, row-local struct explode, 60-row histogram aggregate, decimal term algebra",
       "t27_zipf_audit" -> "Zipf audit: one explode + term aggregate, vocab-grain rank window, 1-row fit + broadcast totals",
       "v20_mips" -> "MIPS: broadcast query codebook over the weighted corpus stream, quantized raw dot, two-level bounded rank",
+      "e17_seasonality" -> "seasonality: epoch-arithmetic hour key, one 24-row map-side-combined aggregate, 1-row broadcast totals",
+      "g13_reciprocity" -> "reciprocity: distinct directed edges, id-only swapped-key semi-join, 1-row report",
     )
     val sb = new StringBuilder
     sb.append("# PLANS — formatted physical plans (generated by graft.PlanDump at sf0.001)\n")

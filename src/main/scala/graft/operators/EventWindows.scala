@@ -787,4 +787,56 @@ object EventWindows {
       |FROM a
       |WHERE n_gaps >= 5 AND sum_gap > 0
       |ORDER BY user_id""".stripMargin
+
+  // ---------- e17: hour-of-day seasonality profile ----------
+
+  /** e17: SEASONALITY PROFILE — the hour-of-day traffic/value index
+    * (ratio-to-overall, the classical ratio-to-moving-average
+    * seasonal index at daily period) an event pipeline reads for
+    * capacity planning, anomaly-baseline normalization (e6's z-score
+    * against the RIGHT mean) and bot forensics (machine traffic is
+    * flat across hours; e16 scores per user, e17 profiles the
+    * corpus). Per UTC hour-of-day: event count, exact-cents value,
+    * and two indexes scaled ×10⁶ — (share of hour h) / (uniform
+    * 1/24), for traffic and for value.
+    *
+    * Hour-of-day derives from epoch arithmetic ((µs div 3.6e9) mod
+    * 24), NOT from `hour()` — pure integers, no calendar/zone
+    * machinery in either engine. Both indexes are non-negative, so
+    * integral `div` is safe (§8.39's bound documented: counts and
+    * cents are ≥ 0). One map-side-combined 24-row aggregate; totals
+    * ride a 1-row broadcast (the g5 idiom).
+    */
+  def e17(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val hourly = Tables.events(spark, dir)
+      .selectExpr("(unix_micros(ts) div 3600000000) % 24 AS hod",
+        "CAST(floor(value * 1e2 + 0.5) AS BIGINT) AS cents")
+      .groupBy($"hod")
+      .agg(count(lit(1)).as("n_events"), sum($"cents").as("cents"))
+    val tot = hourly.agg(sum($"n_events").as("tot_n"), sum($"cents").as("tot_c"))
+    hourly.crossJoin(broadcast(tot))
+      .selectExpr("hod", "n_events", "cents",
+        "(n_events * 24 * 1000000) div tot_n AS traffic_index_micro",
+        "(cents * 24 * 1000000) div tot_c AS value_index_micro")
+      .transform(graft.Tables.ordered(_, $"hod"))
+  }
+
+  /** e17 oracle: identical epoch-hour key, exact sums, non-negative
+    * integral divisions.
+    */
+  val e17Sql: String =
+    """WITH e AS (SELECT (epoch_us(ts) // 3600000000) % 24 AS hod,
+      |        CAST(floor(value * 1e2 + 0.5) AS BIGINT) AS cents
+      |      FROM events),
+      |h AS (SELECT hod, CAST(count(*) AS BIGINT) AS n_events,
+      |        CAST(sum(cents) AS BIGINT) AS cents
+      |      FROM e GROUP BY hod),
+      |t AS (SELECT CAST(sum(n_events) AS BIGINT) AS tot_n,
+      |        CAST(sum(cents) AS BIGINT) AS tot_c FROM h)
+      |SELECT hod, n_events, cents,
+      |  (n_events * 24 * 1000000) // tot_n AS traffic_index_micro,
+      |  (cents * 24 * 1000000) // tot_c AS value_index_micro
+      |FROM h, t
+      |ORDER BY hod""".stripMargin
 }

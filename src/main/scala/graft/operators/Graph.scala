@@ -1087,6 +1087,61 @@ object Graph {
       |ORDER BY c_custkey""".stripMargin
   }
 
+  // ---------- g13: directed reciprocity ----------
+
+  /** g13: LINK RECIPROCITY (Newman, Forrest & Balthrop 2002; Garlaschelli
+    * & Loffredo 2004) over the DIRECTED link graph — the fraction of
+    * directed edges whose reverse also exists. The webgraph-shape
+    * audit a crawler reads next to g11's assortativity: mutual links
+    * mark endorsement/nav structure (high r), one-way links mark
+    * hierarchy/spam farms (r → 0) — and the answer parameterizes
+    * frontier policy (whether a backlink predicts a future crawl
+    * hit). g1-g12 consume the symmetrized graph; g13 is the one
+    * audit where DIRECTION IS THE SIGNAL.
+    *
+    * Exactness: distinct directed non-loop edges; the reciprocated
+    * count is a self semi-join on the swapped key (id-only, equality
+    * — never a pair enumeration); n_edges, n_reciprocated exact
+    * BIGINTs; reciprocity is ONE IEEE division (the g11 discipline —
+    * non-negative here, but the double form keeps the report
+    * uniform). One distinct + one equality self-join + a 1-row
+    * aggregate at any scale.
+    */
+  def g13(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val nodes = Tables.customer(spark, dir).select($"c_custkey".as("id")).cache()
+    val n = nodes.count()
+    val d = nodes.selectExpr("id AS src", s"(id * 31 + 7) % $n AS dst")
+      .unionAll(nodes.selectExpr("id AS src", s"(id * 17 + 3) % $n AS dst"))
+      .unionAll(nodes.filter($"id" >= 2).selectExpr("id AS src", "id div 2 AS dst"))
+      .filter($"src" =!= $"dst").distinct().cache()
+    val recip = d.join(d.select($"dst".as("src"), $"src".as("dst")),
+      Seq("src", "dst"), "left_semi")
+    d.agg(count(lit(1)).as("n_edges"))
+      .crossJoin(recip.agg(count(lit(1)).as("n_reciprocated")))
+      .selectExpr("n_edges", "n_reciprocated",
+        "CAST(n_reciprocated AS DOUBLE) / CAST(n_edges AS DOUBLE) AS reciprocity")
+  }
+
+  /** g13 oracle: identical distinct directed edges and swapped
+    * semi-join, one division.
+    */
+  val g13Sql: String =
+    """WITH nn AS (SELECT count(*) AS n FROM customer),
+      |nodes AS (SELECT c_custkey AS id FROM customer),
+      |d AS (SELECT DISTINCT src, dst FROM (
+      |        SELECT id AS src, (id * 31 + 7) % nn.n AS dst FROM nodes, nn
+      |        UNION ALL SELECT id, (id * 17 + 3) % nn.n FROM nodes, nn
+      |        UNION ALL SELECT id, id // 2 FROM nodes WHERE id >= 2)
+      |      WHERE src <> dst),
+      |r AS (SELECT count(*) AS n_reciprocated FROM d
+      |      WHERE EXISTS (SELECT 1 FROM d d2 WHERE d2.src = d.dst AND d2.dst = d.src)),
+      |t AS (SELECT count(*) AS n_edges FROM d)
+      |SELECT CAST(t.n_edges AS BIGINT) AS n_edges,
+      |  CAST(r.n_reciprocated AS BIGINT) AS n_reciprocated,
+      |  CAST(r.n_reciprocated AS DOUBLE) / CAST(t.n_edges AS DOUBLE) AS reciprocity
+      |FROM t, r""".stripMargin
+
   // ---------- g12: link prediction ----------
 
   /** Per-center neighbor cap for the wedge join. At web scale a hub

@@ -72,6 +72,56 @@ object Quality {
     */
   private val dq2DriftMicro = 200000L
 
+  /** The (col_name, bucket) leg for one period over a lineitem-shaped
+    * df — ONE implementation shared by dq2 and its streaming twin
+    * s27 (the s15/s16 batch/stream sharing contract). `cur` applies
+    * the seeded quantity-cap snapshot transform.
+    */
+  private[graft] def dq2Binned(df: DataFrame, period: String): DataFrame = {
+    val legs = dq2Cols.map { case (c, lo, w) =>
+      val v = if (period == "cur" && c == "l_quantity") s"least($c, 30.0)" else c
+      s"named_struct('col_name', '$c', 'bucket', " +
+        s"CAST(least(${dq2Bins - 1}, greatest(0, floor(($v - $lo) / $w))) AS BIGINT))"
+    }.mkString(", ")
+    df.selectExpr(s"explode(array($legs)) AS cb")
+      .selectExpr("cb.col_name AS col_name", "cb.bucket AS bucket")
+  }
+
+  /** Per-(col, bucket) counts for one period — the histogram state
+    * (≤ 30 rows per period): a plain algebraic count, which is why
+    * s27 can hold it as bounded streaming aggregation state.
+    */
+  private[graft] def dq2Counts(df: DataFrame, period: String): DataFrame =
+    dq2Binned(df, period).groupBy(col("col_name"), col("bucket"))
+      .agg(count(lit(1)).as("n"))
+
+  /** The PSI report from the two count tables — shared by dq2 and
+    * s27 (full-outer join keeps single-period buckets; the exact
+    * term algebra is documented on [[dq2]]).
+    */
+  private[graft] def dq2Report(refC: DataFrame, curC: DataFrame): DataFrame = {
+    import refC.sparkSession.implicits._
+    val binned = refC.withColumnRenamed("n", "na")
+      .join(curC.withColumnRenamed("n", "nb"), Seq("col_name", "bucket"), "full_outer")
+      .select($"col_name", $"bucket",
+        coalesce($"na", lit(0L)).as("na"), coalesce($"nb", lit(0L)).as("nb"))
+    val totals = binned.groupBy($"col_name")
+      .agg(sum($"na").as("tot_a"), sum($"nb").as("tot_b"))
+    binned.join(totals, Seq("col_name"))
+      .selectExpr("col_name", "tot_a", "tot_b",
+        s"(na + 1) * (tot_b + $dq2Bins) - (nb + 1) * (tot_a + $dq2Bins) AS diff",
+        s"CAST(floor(ln(CAST((na + 1) * (tot_b + $dq2Bins) AS DOUBLE) " +
+          s"/ CAST((nb + 1) * (tot_a + $dq2Bins) AS DOUBLE)) * 1e9 + 0.5) AS BIGINT) AS lnq")
+      .groupBy($"col_name", $"tot_a", $"tot_b")
+      .agg(sum(expr("CAST(diff AS DECIMAL(38,0)) * lnq")).as("num"))
+      .selectExpr("col_name", "tot_a AS n_ref", "tot_b AS n_cur",
+        s"CAST((num * 1000000) div (CAST(tot_a + $dq2Bins AS DECIMAL(38,0)) " +
+          s"* (tot_b + $dq2Bins) * 1000000000) AS BIGINT) AS psi_micro")
+      .selectExpr("col_name", "n_ref", "n_cur", "psi_micro",
+        s"CAST(CASE WHEN psi_micro > $dq2DriftMicro THEN 1 ELSE 0 END AS BIGINT) AS drifted")
+      .transform(Tables.ordered(_, $"col_name"))
+  }
+
   /** dq2: DISTRIBUTION DRIFT between two table snapshots by
     * POPULATION STABILITY INDEX — PSI = Σ_bins (p−q)·ln(p/q), the
     * ML-monitoring twin of v13's embedding drift for TABULAR
@@ -95,43 +145,17 @@ object Quality {
     * Each term is ≥ 0 (diff and lnq share sign), so PSI ≥ 0 holds
     * in the integer algebra too.
     *
-    * Scale shape: ONE scan; the 6 (col, period) structs explode
-    * row-locally; one (col, bucket) map-side-combined aggregate
-    * (≤ 60 rows), column-grain totals join at bin grain; the
-    * report is 3 rows. At 100 TB the histogram aggregate is the
-    * only data-sized stage — exactly a monitoring pass' cost.
+    * Scale shape: one scan per period ([[dq2Counts]] — structs
+    * explode row-locally into a ≤ 30-row map-side-combined
+    * histogram each), then [[dq2Report]]'s term algebra on the
+    * joined histograms; the report is 3 rows. At 100 TB the
+    * histogram aggregates are the only data-sized stages — a
+    * monitoring pass' cost. The two halves are shared VERBATIM
+    * with the streaming twin s27.
     */
   def dq2(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    val legs = dq2Cols.flatMap { case (c, lo, w) =>
-      val cur = if (c == "l_quantity") s"least($c, 30.0)" else c
-      Seq(
-        s"named_struct('col_name', '$c', 'period', 'ref', 'bucket', " +
-          s"CAST(least(${dq2Bins - 1}, greatest(0, floor(($c - $lo) / $w))) AS BIGINT))",
-        s"named_struct('col_name', '$c', 'period', 'cur', 'bucket', " +
-          s"CAST(least(${dq2Bins - 1}, greatest(0, floor(($cur - $lo) / $w))) AS BIGINT))")
-    }.mkString(", ")
-    val binned = Tables.lineitem(spark, dir)
-      .selectExpr(s"explode(array($legs)) AS cb")
-      .selectExpr("cb.col_name AS col_name", "cb.period AS period", "cb.bucket AS bucket")
-      .groupBy($"col_name", $"bucket")
-      .agg(sum(when($"period" === "ref", 1L).otherwise(0L)).as("na"),
-        sum(when($"period" === "cur", 1L).otherwise(0L)).as("nb"))
-    val totals = binned.groupBy($"col_name")
-      .agg(sum($"na").as("tot_a"), sum($"nb").as("tot_b"))
-    binned.join(totals, Seq("col_name"))
-      .selectExpr("col_name", "tot_a", "tot_b",
-        s"(na + 1) * (tot_b + $dq2Bins) - (nb + 1) * (tot_a + $dq2Bins) AS diff",
-        s"CAST(floor(ln(CAST((na + 1) * (tot_b + $dq2Bins) AS DOUBLE) " +
-          s"/ CAST((nb + 1) * (tot_a + $dq2Bins) AS DOUBLE)) * 1e9 + 0.5) AS BIGINT) AS lnq")
-      .groupBy($"col_name", $"tot_a", $"tot_b")
-      .agg(sum(expr("CAST(diff AS DECIMAL(38,0)) * lnq")).as("num"))
-      .selectExpr("col_name", "tot_a AS n_ref", "tot_b AS n_cur",
-        s"CAST((num * 1000000) div (CAST(tot_a + $dq2Bins AS DECIMAL(38,0)) " +
-          s"* (tot_b + $dq2Bins) * 1000000000) AS BIGINT) AS psi_micro")
-      .selectExpr("col_name", "n_ref", "n_cur", "psi_micro",
-        s"CAST(CASE WHEN psi_micro > $dq2DriftMicro THEN 1 ELSE 0 END AS BIGINT) AS drifted")
-      .transform(Tables.ordered(_, $"col_name"))
+    val li = Tables.lineitem(spark, dir)
+    dq2Report(dq2Counts(li, "ref"), dq2Counts(li, "cur"))
   }
 
   /** dq2 oracle: identical bins, smoothing, quantized ln and

@@ -700,6 +700,43 @@ object EventStreams {
       .orderBy(col("user_id"))
   }
 
+  // ---------- s27: streaming PSI drift monitor ----------
+
+  /** s27: PSI DRIFT AS A STREAM — dq2's monitor in the always-on
+    * deployment it is actually run as: the REFERENCE histogram is
+    * trained on the stored snapshot in batch, the CURRENT snapshot
+    * arrives as a stream, and the per-(col, bucket) counts are the
+    * streaming aggregation state — ALGEBRAIC and ≤ 30 rows total
+    * (the sketch-family bounded-state argument: a histogram is a
+    * mergeable sketch, so the stream converges to the batch answer
+    * in any batch order). Binning, histogram and the PSI term
+    * algebra are [[graft.operators.Quality.dq2Binned]]/
+    * [[graft.operators.Quality.dq2Report]] SHARED VERBATIM (the
+    * s15/s16 contract), so the twin's oracle is dq2's unchanged.
+    * The contract run reads the final count table in Complete mode;
+    * a production monitor emits the 3-row report per micro-batch
+    * from the same state.
+    */
+  def s27(spark: SparkSession, dir: String): DataFrame = {
+    val ss = streamSession(spark)
+    graft.Tables.tsConfs(ss)
+    // offline half: the reference histogram from the stored table
+    val refC = graft.operators.Quality.dq2Counts(
+      ss.read.parquet(s"$dir/lineitem.parquet"), "ref")
+    // online half: the current snapshot arriving as a stream
+    val schema = ss.read.parquet(s"$dir/lineitem.parquet").schema
+    val curStream = graft.operators.Quality.dq2Binned(
+        ss.readStream.schema(schema)
+          .option("pathGlobFilter", "lineitem.parquet").parquet(dir), "cur")
+      .groupBy(col("col_name"), col("bucket"))
+      .agg(count(lit(1)).as("n"))
+    val curC = runToTable(ss, curStream, OutputMode.Complete())
+    graft.operators.Quality.dq2Report(refC, curC)
+  }
+
+  /** s27 oracle: dq2's, verbatim — the twin contract. */
+  val s27Sql: String = graft.operators.Quality.dq2Sql
+
   /** s26 oracle: batch recompute of the first-20-gaps decision. */
   val s26Sql: String =
     s"""WITH ev AS (SELECT user_id, event_id,

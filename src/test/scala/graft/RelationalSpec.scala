@@ -1421,6 +1421,22 @@ class RelationalSpec extends AnyFunSuite {
     assert(ends.size * sx2 - sx * sx > 0L, "degenerate degree variance")
   }
 
+  test("g13: reciprocity equals a sequential recompute over the directed edge set") {
+    val r = graft.operators.Graph.g13(spark, sf).collect().head
+    val n = Tables.customer(spark, sf).count()
+    val d = (0L until n).flatMap { id =>
+      Seq((id, (id * 31 + 7) % n), (id, (id * 17 + 3) % n)) ++
+        (if (id >= 2) Seq((id, id / 2)) else Seq.empty)
+    }.filter { case (a, b) => a != b }.distinct
+    val dset = d.toSet
+    val recip = d.count { case (a, b) => dset.contains((b, a)) }
+    assert(r.getAs[Long]("n_edges") == d.size.toLong)
+    assert(r.getAs[Long]("n_reciprocated") == recip.toLong)
+    assert(r.getAs[Double]("reciprocity") == recip.toDouble / d.size.toDouble)
+    // an arithmetic near-random digraph sits far below full mutuality
+    assert(r.getAs[Double]("reciprocity") >= 0.0 && r.getAs[Double]("reciprocity") < 0.5)
+  }
+
   test("g12: link-prediction top-100 equals a sequential recompute; no candidate is an edge") {
     val got = graft.operators.Graph.g12(spark, sf).collect()
       .map(r => (r.getAs[Long]("a"), r.getAs[Long]("b"), r.getAs[Long]("cn"),
@@ -1477,6 +1493,27 @@ class RelationalSpec extends AnyFunSuite {
     got.values.foreach { case (_, _, _, d) => assert(d >= 0.0) }
     // the metric discriminates across users
     assert(got.values.map(_._4).toSeq.distinct.size > 10)
+  }
+
+  test("e17: seasonality indexes equal a sequential recompute; shares sum to the whole") {
+    val got = graft.operators.EventWindows.e17(spark, sf).collect()
+      .map(r => (r.getAs[Long]("hod"), r.getAs[Long]("n_events"), r.getAs[Long]("cents"),
+        r.getAs[Long]("traffic_index_micro"), r.getAs[Long]("value_index_micro")))
+    val ev = Tables.events(spark, sf)
+      .selectExpr("unix_micros(ts) AS tus", "value").collect()
+      .map(r => ((r.getAs[Long]("tus") / 3600000000L) % 24,
+        math.floor(r.getAs[Double]("value") * 1e2 + 0.5).toLong))
+    val byH = ev.groupBy(_._1).view.mapValues(rs => (rs.length.toLong, rs.map(_._2).sum)).toMap
+    val (totN, totC) = (ev.length.toLong, ev.map(_._2).sum)
+    val want = byH.toSeq.sortBy(_._1).map { case (h, (n, c)) =>
+      (h, n, c, n * 24 * 1000000L / totN, c * 24 * 1000000L / totC)
+    }
+    assert(got.toSeq == want)
+    // conservation: hourly masses add back to the corpus totals, and
+    // the traffic index averages to ~1e6 (each hour's share vs 1/24)
+    assert(got.map(_._2).sum == totN && got.map(_._3).sum == totC)
+    val meanIdx = got.map(_._4).sum / got.length
+    assert(math.abs(meanIdx - 1000000L) < 1000, s"mean index $meanIdx")
   }
 
   test("e15: RFM scores equal a sequential recompute and bucket evenly") {

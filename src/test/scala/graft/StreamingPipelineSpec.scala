@@ -607,6 +607,42 @@ class StreamingPipelineSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("s27 single-batch run equals batch dq2; histogram state merges across batches") {
+    // contract parity: one batch == the batch PSI report, bitwise
+    val streamed = graft.streaming.EventStreams.s27(spark, sf).collect()
+      .map(r => (r.getAs[String]("col_name"), r.getAs[Long]("n_ref"), r.getAs[Long]("n_cur"),
+        r.getAs[Long]("psi_micro"), r.getAs[Long]("drifted"))).toSeq
+    val batch = graft.operators.Quality.dq2(spark, sf).collect()
+      .map(r => (r.getAs[String]("col_name"), r.getAs[Long]("n_ref"), r.getAs[Long]("n_cur"),
+        r.getAs[Long]("psi_micro"), r.getAs[Long]("drifted"))).toSeq
+    assert(streamed == batch && streamed.nonEmpty)
+    // multi-batch: the same rows split across two batches must land
+    // the identical histogram (counts are algebraic state)
+    val ns = spark.newSession()
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = ns.sqlContext
+    import ns.implicits._
+    val mem = MemoryStream[(Double, Double, Double)]
+    val agg = graft.operators.Quality.dq2Binned(
+        mem.toDS().toDF("l_quantity", "l_extendedprice", "l_discount"), "cur")
+      .groupBy($"col_name", $"bucket").agg(count(lit(1)).as("n"))
+    val name = "s27_state_test"
+    val q = agg.writeStream.outputMode(OutputMode.Complete())
+      .format("memory").queryName(name).start()
+    try {
+      mem.addData((10.0, 5000.0, 0.02), (45.0, 99000.0, 0.09))
+      q.processAllAvailable()
+      mem.addData((45.0, 5000.0, 0.02), (3.0, 50000.0, 0.05))
+      q.processAllAvailable()
+      val rows = ns.table(name).collect()
+        .map(r => ((r.getAs[String]("col_name"), r.getAs[Long]("bucket")), r.getAs[Long]("n"))).toMap
+      // quantity 45 capped to 30 -> bucket 6 twice; 10 -> 2; 3 -> 0
+      assert(rows(("l_quantity", 6L)) == 2L)
+      assert(rows(("l_quantity", 2L)) == 1L && rows(("l_quantity", 0L)) == 1L)
+      assert(rows(("l_extendedprice", 0L)) == 2L)
+      assert(rows.filterKeys(_._1 == "l_quantity").values.sum == 4L)
+    } finally q.stop()
+  }
+
   test("s24 frontier state merges across batches: counts sum, survivor is the global min") {
     import EventStreams.{s24Agg}
     val ns = spark.newSession()
