@@ -130,6 +130,7 @@ object PlanDump {
       "v20_mips" -> "MIPS: broadcast query codebook over the weighted corpus stream, quantized raw dot, two-level bounded rank",
       "e17_seasonality" -> "seasonality: epoch-arithmetic hour key, one 24-row map-side-combined aggregate, 1-row broadcast totals",
       "g13_reciprocity" -> "reciprocity: distinct directed edges, id-only swapped-key semi-join, 1-row report",
+      "p13_quarantine" -> "quarantine: narrow corruption/flag maps, one equality FK join, 4-row routing audit",
     )
     val sb = new StringBuilder
     sb.append("# PLANS — formatted physical plans (generated by graft.PlanDump at sf0.001)\n")

@@ -229,4 +229,76 @@ object Corpus {
       |FROM events
       |GROUP BY event_type
       |ORDER BY event_type""".stripMargin
+
+  // ---------- p13: constraint enforcement with quarantine routing ----------
+
+  /** The seeded-corruption ingest batch (the d2/dq2 fixture
+    * discipline — the testdata is CLEAN, so violations are
+    * constructed and the router's answer is known): three disjoint
+    * deterministic slices get a negated quantity, an out-of-domain
+    * discount, and an orphaned order key.
+    */
+  private val p13CorruptExprs = Seq(
+    "CASE WHEN l_orderkey % 83 = 5 AND l_linenumber = 1 " +
+      "THEN l_orderkey + 10000000 ELSE l_orderkey END AS bkey",
+    "CASE WHEN l_orderkey % 97 = 0 AND l_linenumber = 1 " +
+      "THEN -l_quantity ELSE l_quantity END AS bqty",
+    "CASE WHEN l_orderkey % 89 = 3 AND l_linenumber = 1 " +
+      "THEN 0.9 ELSE l_discount END AS bdisc")
+
+  private val p13VerdictExpr =
+    """CASE WHEN bqty <= 0 THEN 'q1_quantity'
+      |     WHEN bdisc < 0 OR bdisc > 0.5 THEN 'q2_discount'
+      |     WHEN fk_ok IS NULL THEN 'q3_orphan'
+      |     ELSE 'pass' END AS verdict""".stripMargin
+
+  /** p13: CONSTRAINT ENFORCEMENT with QUARANTINE — dq1 REPORTS
+    * violations; p13 is the pipeline stage that ACTS on them (the
+    * Delta-Live-Tables "expectations" pattern): every ingest row is
+    * routed to `pass` or to its FIRST violated constraint (priority
+    * order: quantity domain → discount domain → referential
+    * integrity), and the gate emits the routing audit — row count +
+    * offending-key range per verdict — that a quarantine table's
+    * writer and the on-call both consume. A real run writes the
+    * quarantined rows alongside; the routing decision audited here
+    * is the whole logic.
+    *
+    * Scale shape: one scan + narrow corruption/flag maps; the FK
+    * check is an equality left-semi-style join against the order-key
+    * set (co-partitionable on the key at 100 TB — the one exchange
+    * rows pay); the audit is a ≤ 4-row aggregate. First-violated
+    * routing makes verdicts DISJOINT, so quarantine counts add up
+    * to the batch (spec conservation).
+    */
+  def p13(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val batch = Tables.lineitem(spark, dir).selectExpr(p13CorruptExprs: _*)
+    val withFk = batch.join(
+      Tables.orders(spark, dir).select($"o_orderkey".as("bkey"), lit(1L).as("fk_ok")),
+      Seq("bkey"), "left_outer")
+    withFk
+      .selectExpr("bkey", p13VerdictExpr)
+      .groupBy($"verdict")
+      .agg(count(lit(1)).as("n_rows"),
+        min($"bkey").as("min_key"), max($"bkey").as("max_key"))
+      .transform(Tables.ordered(_, $"verdict"))
+  }
+
+  /** p13 oracle: identical corruption, first-violated routing and
+    * audit.
+    */
+  val p13Sql: String =
+    s"""WITH b AS (SELECT ${p13CorruptExprs.mkString(", ")} FROM lineitem),
+      |f AS (SELECT b.*,
+      |        CASE WHEN EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = b.bkey)
+      |             THEN 1 ELSE NULL END AS fk_ok
+      |      FROM b),
+      |v AS (SELECT bkey, $p13VerdictExpr
+      |      FROM f)
+      |SELECT verdict, CAST(count(*) AS BIGINT) AS n_rows,
+      |  CAST(min(bkey) AS BIGINT) AS min_key,
+      |  CAST(max(bkey) AS BIGINT) AS max_key
+      |FROM v
+      |GROUP BY verdict
+      |ORDER BY verdict""".stripMargin
 }

@@ -1079,6 +1079,38 @@ class RelationalSpec extends AnyFunSuite {
     }
   }
 
+  test("p13: quarantine routing equals a sequential recompute; verdicts partition the batch") {
+    val got = graft.operators.Corpus.p13(spark, sf).collect()
+      .map(r => r.getAs[String]("verdict") ->
+        ((r.getAs[Long]("n_rows"), r.getAs[Long]("min_key"), r.getAs[Long]("max_key")))).toMap
+    val li = Tables.lineitem(spark, sf)
+      .selectExpr("l_orderkey", "l_linenumber", "l_quantity", "l_discount").collect()
+      .map(r => (r.getAs[Long]("l_orderkey"), r.getAs[Int]("l_linenumber"),
+        r.getAs[Double]("l_quantity"), r.getAs[Double]("l_discount")))
+    val orderKeys = Tables.orders(spark, sf).selectExpr("o_orderkey")
+      .as[Long].collect().toSet
+    val routed = li.map { case (k, ln, q, d) =>
+      val bkey = if (k % 83 == 5 && ln == 1) k + 10000000L else k
+      val bqty = if (k % 97 == 0 && ln == 1) -q else q
+      val bdisc = if (k % 89 == 3 && ln == 1) 0.9 else d
+      val verdict =
+        if (bqty <= 0) "q1_quantity"
+        else if (bdisc < 0 || bdisc > 0.5) "q2_discount"
+        else if (!orderKeys.contains(bkey)) "q3_orphan"
+        else "pass"
+      (verdict, bkey)
+    }
+    val want = routed.groupBy(_._1).view.mapValues { rs =>
+      (rs.length.toLong, rs.map(_._2).min, rs.map(_._2).max)
+    }.toMap
+    assert(got == want)
+    // routing is a PARTITION of the batch: disjoint verdicts re-sum
+    // to the full row count, and all four verdicts actually occur
+    assert(got.values.map(_._1).sum == li.length.toLong)
+    assert(got.keySet == Set("pass", "q1_quantity", "q2_discount", "q3_orphan"))
+    assert(got("pass")._1 > li.length * 9L / 10L, "quarantine ate the batch")
+  }
+
   test("t21: every gate flag recomputes from the raw text; keep is their product") {
     val ts = graft.operators.TextStats
     val rows = ts.t21(spark, sf).collect()
