@@ -131,6 +131,8 @@ object PlanDump {
       "e17_seasonality" -> "seasonality: epoch-arithmetic hour key, one 24-row map-side-combined aggregate, 1-row broadcast totals",
       "g13_reciprocity" -> "reciprocity: distinct directed edges, id-only swapped-key semi-join, 1-row report",
       "p13_quarantine" -> "quarantine: narrow corruption/flag maps, one equality FK join, 4-row routing audit",
+      "w26_temp_anomaly" -> "temperature anomaly: normals window rides w12's cell-key shuffle — no extra exchange",
+      "t28_langid_confusion" -> "lang-ID confusion: t3's narrow scoring map, one (true, predicted) aggregate, totals join",
     )
     val sb = new StringBuilder
     sb.append("# PLANS — formatted physical plans (generated by graft.PlanDump at sf0.001)\n")

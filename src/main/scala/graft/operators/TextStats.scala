@@ -104,17 +104,22 @@ object TextStats {
     }.mkString("CASE ", " ", s" ELSE '${langs.last}' END")
   }
 
-  def t3(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    Tables.documents(spark, dir)
-      .selectExpr(Seq("doc_id", "lang",
-        "split(lower(text), ' ') AS words") ++ Nil: _*)
+  /** t3's scoring chain over an arbitrary (doc_id, lang, text)
+    * corpus — shared by t3 and t28 (which grades it on a seeded
+    * corpus).
+    */
+  private[operators] def t3Scored(docs: DataFrame): DataFrame =
+    docs
+      .selectExpr("doc_id", "lang", "split(lower(text), ' ') AS words")
       .selectExpr(Seq("doc_id", "lang") ++
         markers.map { case (l, set) => s"${scoreExpr("words", set)} AS s_$l" }: _*)
       .selectExpr("doc_id", "lang", "s_en", "s_de", "s_es", "s_fr", "s_zh",
         s"($predExpr) AS predicted")
       .selectExpr("*", "CASE WHEN predicted = lang THEN 1 ELSE 0 END AS hit")
-      .orderBy($"doc_id")
+
+  def t3(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    t3Scored(Tables.documents(spark, dir)).orderBy($"doc_id")
   }
 
   val t3Sql: String = {
@@ -1384,6 +1389,78 @@ object TextStats {
         "0.39 * (CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE)) " +
           "+ 11.8 * (CAST(n_syllables AS DOUBLE) / CAST(n_words AS DOUBLE)) - 15.59 AS fk_grade")
       .transform(graft.Tables.ordered(_, $"doc_id"))
+  }
+
+  // ---------- t28: language-ID confusion matrix ----------
+
+  /** The t28 evaluation corpus: docs with doc_id % 3 = 0 get their
+    * LABELED language's five marker words appended three times (the
+    * seeded-fixture discipline — the synthetic corpus's 31-word
+    * vocabulary carries only English markers, so every raw doc
+    * scores 'en'; the seeded slice gives the matrix its diagonal
+    * while the raw remainder shows the honest collapse).
+    */
+  private val t28SeedExpr: String = {
+    val perLang = markers.map { case (l, set) =>
+      s"WHEN lang = '$l' THEN ' ' || '${(set ++ set ++ set).mkString(" ")}'"
+    }.mkString(" ")
+    s"CASE WHEN doc_id % 3 = 0 THEN text || (CASE $perLang END) ELSE text END"
+  }
+
+  /** t28: LANG-ID CONFUSION MATRIX — the classifier-eval audit over
+    * t3's marker-based language ID against the labeled `lang`
+    * column (the v11-recall pattern applied to the text family: t3
+    * emits per-doc predictions, t28 grades the MODEL): per
+    * (true, predicted) cell, document count and row share in
+    * permille — the matrix a curation pipeline reads before
+    * trusting a lang filter's routing (off-diagonal mass = wrongly
+    * binned training data). Run over [[t28SeedExpr]]'s corpus, the
+    * matrix shows BOTH behaviors: the seeded third routes to its
+    * true language (diagonal), the raw synthetic remainder
+    * collapses to 'en' — exposing a real classifier failure mode is
+    * the audit's purpose (t27's detection argument). Counts exact;
+    * share is a non-negative integral division (§8.39's bound).
+    *
+    * Scale shape: t3's narrow scoring map ([[t3Scored]] shared
+    * verbatim) + ONE (lang, predicted) map-side-combined aggregate
+    * (≤ |langs|² rows) + a lang-grain totals join — evaluation is
+    * one corpus pass at any size.
+    */
+  def t28(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val seeded = Tables.documents(spark, dir)
+      .selectExpr("doc_id", "lang", s"$t28SeedExpr AS text")
+    val cells = t3Scored(seeded)
+      .groupBy($"lang", $"predicted")
+      .agg(count(lit(1)).as("n_docs"))
+    cells
+      .join(cells.groupBy($"lang").agg(sum($"n_docs").as("class_total")), Seq("lang"))
+      .selectExpr("lang", "predicted", "n_docs", "class_total",
+        "(n_docs * 1000) div class_total AS share_permille")
+      .transform(graft.Tables.ordered(_, $"lang", $"predicted"))
+  }
+
+  /** t28 oracle: the identical seeded corpus + t3's scoring chain +
+    * identical aggregates.
+    */
+  val t28Sql: String = {
+    val scores = markers.map { case (l, set) =>
+      s"${scoreSqlExpr("words", set)} AS s_$l"
+    }.mkString(",\n    ")
+    s"""WITH seeded AS (SELECT doc_id, lang, $t28SeedExpr AS text FROM documents),
+      |w AS (SELECT doc_id, lang, string_split(lower(text), ' ') AS words FROM seeded),
+      |s AS (SELECT doc_id, lang,
+      |    $scores
+      |  FROM w),
+      |p AS (SELECT lang, ($predExpr) AS predicted FROM s),
+      |cells AS (SELECT lang, predicted, CAST(count(*) AS BIGINT) AS n_docs
+      |          FROM p GROUP BY 1, 2),
+      |tot AS (SELECT lang, CAST(sum(n_docs) AS BIGINT) AS class_total
+      |        FROM cells GROUP BY 1)
+      |SELECT c.lang, c.predicted, c.n_docs, t.class_total,
+      |  (c.n_docs * 1000) // t.class_total AS share_permille
+      |FROM cells c JOIN tot t ON t.lang = c.lang
+      |ORDER BY c.lang, c.predicted""".stripMargin
   }
 
   // ---------- t27: Zipf rank-frequency audit ----------

@@ -809,6 +809,49 @@ object Weather {
       |FROM s WHERE n_corners = 4
       |ORDER BY 1, 2""".stripMargin
 
+  // ---------- w26: temperature anomaly vs cell normals ----------
+
+  /** w26: TEMPERATURE ANOMALY — each cell-day's daily max as a
+    * DEPARTURE FROM THE CELL'S NORMAL (its mean daily max over the
+    * record), the standard climate product (NOAA/Copernicus anomaly
+    * maps are exactly this): absolute temperatures hide geography,
+    * anomalies expose events, and w21/w25 both implicitly threshold
+    * what w26 makes explicit per cell-day. Composition: w12's daily
+    * extremes; the normal is the per-cell mean via the w16 integer
+    * trick (hi quantized to c6 = floor(hi·10⁶ + ½), summed exactly,
+    * ONE IEEE division by the day count, /1e6) so the mean is
+    * order-free; the anomaly is one subtract of deterministic
+    * doubles. The normal's window PARTITIONS on the cell key w12's
+    * aggregate already hashed by — no additional exchange (the
+    * w21 shared-shuffle contract).
+    */
+  def w26(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = org.apache.spark.sql.expressions.Window.partitionBy($"lat", $"lon")
+    w12Daily(spark, dir)
+      .withColumn("c6", floor($"hi" * 1e6 + lit(0.5)).cast("long"))
+      .withColumn("normal_hi", (sum($"c6").over(w) / count(lit(1)).over(w)) / 1e6)
+      .withColumn("anom", $"hi" - $"normal_hi")
+      .select($"lat", $"lon", $"lday", $"hi", $"normal_hi", $"anom")
+      .transform(Tables.ordered(_, $"lat", $"lon", $"lday"))
+  }
+
+  /** w26 oracle: w12's daily CTE + the identical quantized-mean
+    * normal and subtraction.
+    */
+  val w26Sql: String =
+    s"""$w12SqlDaily,
+      |c AS (SELECT lat, lon, lday, hi,
+      |        CAST(floor(hi * 1e6 + 0.5) AS BIGINT) AS c6
+      |      FROM daily),
+      |n AS (SELECT lat, lon, lday, hi,
+      |        (sum(c6) OVER (PARTITION BY lat, lon)
+      |           / count(*) OVER (PARTITION BY lat, lon)) / 1e6 AS normal_hi
+      |      FROM c)
+      |SELECT lat, lon, lday, hi, normal_hi, hi - normal_hi AS anom
+      |FROM n
+      |ORDER BY lat, lon, lday""".stripMargin
+
   // ---------- w25: heat blobs (spatial components of hot cells) ----------
 
   /** Hot-day threshold (K) and minimum hot-day count for a cell to

@@ -988,6 +988,37 @@ class RelationalSpec extends AnyFunSuite {
     assert(rows.values.map(_._1).sum % 3 == 0 && rows.nonEmpty)
   }
 
+  test("t28: the confusion matrix separates the seeded diagonal from the raw-text collapse") {
+    val got = graft.operators.TextStats.t28(spark, sf).collect()
+      .map(r => (r.getAs[String]("lang"), r.getAs[String]("predicted")) ->
+        ((r.getAs[Long]("n_docs"), r.getAs[Long]("class_total"), r.getAs[Long]("share_permille")))).toMap
+    val docs = Tables.documents(spark, sf)
+      .selectExpr("doc_id", "lang").as[(Long, String)].collect()
+    val classTotals = docs.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val seededTotals = docs.filter(_._1 % 3 == 0).groupBy(_._2)
+      .view.mapValues(_.length.toLong).toMap
+    // cells re-sum to the class totals, and shares recompute exactly
+    classTotals.foreach { case (l, n) =>
+      val cells = got.filter(_._1._1 == l)
+      assert(cells.values.map(_._1).sum == n, s"class $l mass")
+      cells.foreach { case (_, (c, t, s)) =>
+        assert(t == n && s == c * 1000L / n)
+      }
+    }
+    // every seeded doc routes to its true language (the diagonal is
+    // exactly the seeded third) ...
+    seededTotals.foreach { case (l, n) =>
+      if (l == "en") assert(got((l, l))._1 == classTotals("en"))
+      else assert(got((l, l))._1 == n, s"diag $l")
+    }
+    // ... and every raw non-en doc collapses to 'en' — the matrix
+    // exposes the marker classifier's failure mode on synthetic text
+    classTotals.keys.filter(_ != "en").foreach { l =>
+      assert(got((l, "en"))._1 == classTotals(l) - seededTotals(l), s"collapse $l")
+      assert(got.keys.count(_._1 == l) == 2, s"unexpected cells for $l")
+    }
+  }
+
   test("t27: Zipf fit equals a sequential recompute; the synthetic corpus reads as non-natural") {
     val r = graft.operators.TextStats.t27(spark, sf).collect().head
     val counts = Tables.documents(spark, sf)

@@ -132,6 +132,31 @@ class ThermalSpec extends AnyFunSuite {
     }
   }
 
+  test("w26: anomalies equal a sequential normals recompute and sum to ~0 per cell") {
+    val daily = Weather.w12(spark, sf).collect()
+      .map(r => ((r.getAs[Double]("lat"), r.getAs[Double]("lon")),
+        r.getAs[Long]("lday"), r.getAs[Double]("hi")))
+    val normals = daily.groupBy(_._1).view.mapValues { rs =>
+      val c6 = rs.map(r => math.floor(r._3 * 1e6 + 0.5).toLong)
+      (c6.sum.toDouble / c6.length.toDouble) / 1e6
+    }.toMap
+    val got = Weather.w26(spark, sf).collect()
+      .map(r => ((r.getAs[Double]("lat"), r.getAs[Double]("lon")), r.getAs[Long]("lday"),
+        r.getAs[Double]("hi"), r.getAs[Double]("normal_hi"), r.getAs[Double]("anom")))
+    assert(got.length == daily.length && got.nonEmpty)
+    got.foreach { case (cell, _, hi, nrm, anom) =>
+      assert(nrm == normals(cell), s"normal mismatch at $cell")
+      assert(anom == hi - nrm)
+    }
+    // departures from the record mean cancel per cell (up to the
+    // 1e-6 quantization of the mean), and the field is not flat
+    got.groupBy(_._1).values.foreach { rs =>
+      val s = rs.map(_._5).sum
+      assert(math.abs(s) < 1e-3, s"per-cell anomaly sum $s")
+    }
+    assert(got.map(_._5).max > 1.0 && got.map(_._5).min < -1.0)
+  }
+
   test("w25: blobs equal a sequential union-find over w12's hot cells (wrap included)") {
     val daily = Weather.w12(spark, sf).collect()
       .map(r => (r.getAs[Double]("lat"), r.getAs[Double]("lon"), r.getAs[Double]("hi")))
