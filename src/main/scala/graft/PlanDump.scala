@@ -114,7 +114,7 @@ object PlanDump {
       "m11_patch_extract" -> "patch extraction: one narrow codec stage, row-local 16-patch fan-out, zero shuffles",
       "g10_hyperball" -> "HyperBall: per-round edges-registers equality join + (node,reg) max-merge aggregate, n-row estimate tables joined by node key",
       "v19_recall_sweep" -> "IVF sweep: candidates scored once with their min probe level, 4-row grid expansion, one (nprobe,qid) two-level rank",
-      "e15_rfm" -> "RFM: events reduce to user grain map-side before the quintile windows; corpus max-day is a 1-row broadcast",
+      "e15_rfm" -> "RFM: user-grain aggregate + sketch-threshold quintiles (axis-partitioned histogram windows, 1-row threshold broadcast) — no unpartitioned window",
       "d20_threshold_sweep" -> "dedup sweep: pairs scored once via inverted-index joins, 5-row tau grid expands row-local, one (tau,grade) aggregate",
       "g11_assortativity" -> "assortativity: distinct edges + degree joins, one 4-sum global aggregate — exact integers, single final division",
       "g12_link_prediction" -> "link prediction: capped-adjacency wedge self-join, anti-join on edges, degree joins on candidate grain, bounded top-100 take",

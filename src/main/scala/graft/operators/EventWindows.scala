@@ -642,23 +642,38 @@ object EventWindows {
     * pipeline feeds to retention/marketing logic): per purchasing
     * user, days since last purchase (vs the corpus' latest day),
     * purchase count and exact-cents spend, each quintile-scored 1-5
-    * (5 best) and CASE-mapped to the canonical segments (champion /
-    * loyal / big_spender / at_risk / lost / other).
+    * (5 best) via HISTOGRAM-SKETCH THRESHOLDS (q34's HistQ shape at
+    * the 200/400/600/800 permilles) and CASE-mapped to the canonical
+    * segments (champion / loyal / big_spender / at_risk / lost /
+    * other).
     *
-    * Determinism: all three metrics are exact integers (e14's
-    * absolute-day and cents conventions); ntile(5) is the ANSI
-    * bucketing both engines implement identically (first n mod 5
-    * buckets one larger) and every ORDER BY carries a user_id
-    * tie-break, so scores are bitwise.
+    * Scoring: each axis maps to a 256-cell equi-width bucket index
+    * (width = max div 256 + 1, so every value lands in [0, 255]);
+    * the quintile thresholds are the first buckets whose cumulative
+    * count reaches each permille rank (HistQ.locate's rule), and a
+    * user's score is 1 + the number of thresholds its bucket
+    * strictly exceeds (recency inverts: fresher = higher). This is
+    * the one-bucket-rank-guarantee quantile estimate — at least
+    * q permille of users score ≤ the q threshold's level on every
+    * axis (RelationalSpec proves it) — replacing round-9's exact
+    * global ntile, whose unpartitioned window was the suite's one
+    * plan that could not survive user grain at 100 TB.
     *
-    * Scale shape: events reduce to USER GRAIN in one
-    * map-side-combined aggregate before anything windows — the
-    * ntile windows ride the aggregate (users ≪ events), and the
-    * corpus max-day is a 1-row broadcast (g2's idiom). The exact
-    * global ntile is presentation-exact for the gate; at 100 TB
-    * (10⁹ users) the same scores come from histogram-sketch
-    * thresholds (q34's HistQ at 1/5 permilles) with the window
-    * dropped — the aggregate shape below is unchanged.
+    * Determinism: all metrics are exact integers (e14's absolute-day
+    * and cents conventions, all ≥ 0 so integral div is truncation ==
+    * floor in both engines, §8.39); bucketing, cumulative ranks and
+    * score comparisons are pure BIGINT — bitwise across engines.
+    *
+    * Scale shape: events reduce to USER GRAIN in one map-side-
+    * combined aggregate (cached — widths, histograms and scoring
+    * share the single materialization); the three per-axis
+    * histograms ride ONE exchange of id-free (axis, bucket) pairs
+    * collapsing to ≤ 768 rows; cumulative windows run PARTITIONED BY
+    * AXIS over that metadata grain; the 12 thresholds and the
+    * per-axis widths come back as 1-row broadcasts. No unpartitioned
+    * window anywhere (PlanSpec pins it) — user-grain rows never
+    * cross a SinglePartition exchange, so the plan holds at 10⁹
+    * users unchanged.
     */
   def e15(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -673,13 +688,58 @@ object EventWindows {
       .crossJoin(broadcast(maxDay))
       .selectExpr("user_id", "max_day - last_day AS recency_days",
         "freq", "cents")
-    val r = ntile(5).over(Window.orderBy($"recency_days".desc, $"user_id"))
-    val f = ntile(5).over(Window.orderBy($"freq".asc, $"user_id"))
-    val m = ntile(5).over(Window.orderBy($"cents".asc, $"user_id"))
-    users
-      .withColumn("r_score", r.cast("long"))
-      .withColumn("f_score", f.cast("long"))
-      .withColumn("m_score", m.cast("long"))
+      .cache()
+    // per-axis widths: ONE 1-row aggregate → broadcast (g2's idiom)
+    val widths = users
+      .agg(max($"recency_days").as("mr"), max($"freq").as("mf"),
+        max($"cents").as("mm"))
+      .selectExpr(
+        "(greatest(CAST(0 AS BIGINT), mr) div 256) + 1 AS wr",
+        "(greatest(CAST(0 AS BIGINT), mf) div 256) + 1 AS wf",
+        "(greatest(CAST(0 AS BIGINT), mm) div 256) + 1 AS wm")
+    val bucketed = users.crossJoin(broadcast(widths))
+      .selectExpr("user_id", "recency_days", "freq", "cents",
+        "least(CAST(255 AS BIGINT), greatest(CAST(0 AS BIGINT), recency_days) div wr) AS br",
+        "least(CAST(255 AS BIGINT), greatest(CAST(0 AS BIGINT), freq) div wf) AS bf",
+        "least(CAST(255 AS BIGINT), greatest(CAST(0 AS BIGINT), cents) div wm) AS bm")
+    // all three histograms in ONE id-free exchange: 3 (axis, bucket)
+    // pairs per user collapse map-side to ≤ 768 rows
+    val hist = bucketed
+      .selectExpr("stack(3, 0, br, 1, bf, 2, bm) AS (axis, bucket)")
+      .groupBy($"axis", $"bucket").agg(count(lit(1)).as("cnt"))
+    val wAxis = Window.partitionBy($"axis").orderBy($"bucket")
+    val cum = hist
+      .withColumn("cum", sum($"cnt").over(
+        wAxis.rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("tot", sum($"cnt").over(
+        wAxis.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+    val qdf = spark.createDataFrame(Seq(200, 400, 600, 800).map(Tuple1(_)))
+      .toDF("q")
+    // located threshold bucket per (axis, permille), pivoted by
+    // conditional aggregation to ONE 12-column broadcast row
+    val th = cum.crossJoin(broadcast(qdf))
+      .filter($"cum" * 1000 >= $"q" * $"tot")
+      .groupBy($"axis", $"q").agg(min($"bucket").as("tb"))
+      .groupBy()
+      .agg(
+        max(when($"axis" === 0 && $"q" === 200, $"tb")).as("r1"),
+        max(when($"axis" === 0 && $"q" === 400, $"tb")).as("r2"),
+        max(when($"axis" === 0 && $"q" === 600, $"tb")).as("r3"),
+        max(when($"axis" === 0 && $"q" === 800, $"tb")).as("r4"),
+        max(when($"axis" === 1 && $"q" === 200, $"tb")).as("f1"),
+        max(when($"axis" === 1 && $"q" === 400, $"tb")).as("f2"),
+        max(when($"axis" === 1 && $"q" === 600, $"tb")).as("f3"),
+        max(when($"axis" === 1 && $"q" === 800, $"tb")).as("f4"),
+        max(when($"axis" === 2 && $"q" === 200, $"tb")).as("m1"),
+        max(when($"axis" === 2 && $"q" === 400, $"tb")).as("m2"),
+        max(when($"axis" === 2 && $"q" === 600, $"tb")).as("m3"),
+        max(when($"axis" === 2 && $"q" === 800, $"tb")).as("m4"))
+    bucketed.crossJoin(broadcast(th))
+      .selectExpr("user_id", "recency_days", "freq", "cents",
+        // recency inverts: low recency (fresh) = few thresholds below = high score
+        "CAST(5 - (CAST(br > r1 AS INT) + CAST(br > r2 AS INT) + CAST(br > r3 AS INT) + CAST(br > r4 AS INT)) AS BIGINT) AS r_score",
+        "CAST(1 + (CAST(bf > f1 AS INT) + CAST(bf > f2 AS INT) + CAST(bf > f3 AS INT) + CAST(bf > f4 AS INT)) AS BIGINT) AS f_score",
+        "CAST(1 + (CAST(bm > m1 AS INT) + CAST(bm > m2 AS INT) + CAST(bm > m3 AS INT) + CAST(bm > m4 AS INT)) AS BIGINT) AS m_score")
       .selectExpr("user_id", "recency_days", "freq", "cents",
         "r_score", "f_score", "m_score",
         """CASE WHEN r_score >= 4 AND f_score >= 4 AND m_score >= 4 THEN 'champion'
@@ -691,8 +751,9 @@ object EventWindows {
       .transform(graft.Tables.ordered(_, $"user_id"))
   }
 
-  /** e15 oracle: identical integer metrics, ntile bucketing and
-    * CASE ladder.
+  /** e15 oracle: identical integer metrics, 256-bucket widths,
+    * permille threshold location and score comparisons. `u` and `b`
+    * are MATERIALIZED — both feed multiple consumers (§8.38).
     */
   val e15Sql: String =
     """WITH e AS (SELECT user_id, event_type,
@@ -700,17 +761,54 @@ object EventWindows {
       |        CAST(floor(value * 1e2 + 0.5) AS BIGINT) AS cents
       |      FROM events),
       |md AS (SELECT max(day) AS max_day FROM e),
-      |u AS (SELECT user_id, max_day - max(day) AS recency_days,
+      |u AS MATERIALIZED (SELECT user_id,
+      |        CAST(max_day - max(day) AS BIGINT) AS recency_days,
       |        CAST(count(*) AS BIGINT) AS freq,
       |        CAST(sum(cents) AS BIGINT) AS cents
       |      FROM e, md WHERE event_type = 'purchase'
       |      GROUP BY user_id, max_day),
-      |sc AS (SELECT *,
-      |         CAST(ntile(5) OVER (ORDER BY recency_days DESC, user_id) AS BIGINT) AS r_score,
-      |         CAST(ntile(5) OVER (ORDER BY freq ASC, user_id) AS BIGINT) AS f_score,
-      |         CAST(ntile(5) OVER (ORDER BY cents ASC, user_id) AS BIGINT) AS m_score
-      |       FROM u)
-      |SELECT user_id, CAST(recency_days AS BIGINT) AS recency_days, freq, cents,
+      |w AS (SELECT (greatest(CAST(0 AS BIGINT), max(recency_days)) // 256) + 1 AS wr,
+      |        (greatest(CAST(0 AS BIGINT), max(freq)) // 256) + 1 AS wf,
+      |        (greatest(CAST(0 AS BIGINT), max(cents)) // 256) + 1 AS wm
+      |      FROM u),
+      |b AS MATERIALIZED (SELECT user_id, recency_days, freq, cents,
+      |        least(CAST(255 AS BIGINT), greatest(CAST(0 AS BIGINT), recency_days) // wr) AS br,
+      |        least(CAST(255 AS BIGINT), greatest(CAST(0 AS BIGINT), freq) // wf) AS bf,
+      |        least(CAST(255 AS BIGINT), greatest(CAST(0 AS BIGINT), cents) // wm) AS bm
+      |      FROM u, w),
+      |h AS (SELECT axis, bucket, CAST(count(*) AS BIGINT) AS cnt FROM (
+      |        SELECT 0 AS axis, br AS bucket FROM b
+      |        UNION ALL SELECT 1, bf FROM b
+      |        UNION ALL SELECT 2, bm FROM b)
+      |      GROUP BY axis, bucket),
+      |c AS (SELECT axis, bucket, cnt,
+      |        CAST(sum(cnt) OVER (PARTITION BY axis ORDER BY bucket) AS BIGINT) AS cum,
+      |        CAST(sum(cnt) OVER (PARTITION BY axis) AS BIGINT) AS tot
+      |      FROM h),
+      |qs AS (SELECT * FROM (VALUES (200), (400), (600), (800)) AS t(q)),
+      |loc AS (SELECT axis, q, min(bucket) AS tb
+      |        FROM c CROSS JOIN qs WHERE cum * 1000 >= q * tot
+      |        GROUP BY axis, q),
+      |th AS (SELECT
+      |        max(CASE WHEN axis = 0 AND q = 200 THEN tb END) AS r1,
+      |        max(CASE WHEN axis = 0 AND q = 400 THEN tb END) AS r2,
+      |        max(CASE WHEN axis = 0 AND q = 600 THEN tb END) AS r3,
+      |        max(CASE WHEN axis = 0 AND q = 800 THEN tb END) AS r4,
+      |        max(CASE WHEN axis = 1 AND q = 200 THEN tb END) AS f1,
+      |        max(CASE WHEN axis = 1 AND q = 400 THEN tb END) AS f2,
+      |        max(CASE WHEN axis = 1 AND q = 600 THEN tb END) AS f3,
+      |        max(CASE WHEN axis = 1 AND q = 800 THEN tb END) AS f4,
+      |        max(CASE WHEN axis = 2 AND q = 200 THEN tb END) AS m1,
+      |        max(CASE WHEN axis = 2 AND q = 400 THEN tb END) AS m2,
+      |        max(CASE WHEN axis = 2 AND q = 600 THEN tb END) AS m3,
+      |        max(CASE WHEN axis = 2 AND q = 800 THEN tb END) AS m4
+      |      FROM loc),
+      |sc AS (SELECT user_id, recency_days, freq, cents,
+      |        CAST(5 - (CAST(br > r1 AS INT) + CAST(br > r2 AS INT) + CAST(br > r3 AS INT) + CAST(br > r4 AS INT)) AS BIGINT) AS r_score,
+      |        CAST(1 + (CAST(bf > f1 AS INT) + CAST(bf > f2 AS INT) + CAST(bf > f3 AS INT) + CAST(bf > f4 AS INT)) AS BIGINT) AS f_score,
+      |        CAST(1 + (CAST(bm > m1 AS INT) + CAST(bm > m2 AS INT) + CAST(bm > m3 AS INT) + CAST(bm > m4 AS INT)) AS BIGINT) AS m_score
+      |      FROM b, th)
+      |SELECT user_id, recency_days, freq, cents,
       |  r_score, f_score, m_score,
       |  CASE WHEN r_score >= 4 AND f_score >= 4 AND m_score >= 4 THEN 'champion'
       |       WHEN f_score >= 4 THEN 'loyal'

@@ -101,6 +101,28 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("e15: no unpartitioned window anywhere — user grain never crosses SinglePartition") {
+    val df = graft.operators.EventWindows.e15(spark, sf)
+    // logical pin: every Window node carries a partition key (the
+    // axis-partitioned cumulative sums over the ≤768-row histogram);
+    // round-9's three global ntile windows are gone
+    val wins = df.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }
+    assert(wins.nonEmpty, "expected the axis-partitioned cumulative windows")
+    val global = wins.filter(_.partitionSpec.isEmpty)
+    assert(global.isEmpty, s"unpartitioned window leaked: $global")
+    // physical pin: ntile is gone, and every physical Window sorts on
+    // (axis, bucket) — i.e. operates on the histogram metadata grain,
+    // not on a user-grain column
+    val p = plan(df)
+    assert(!p.contains("ntile"), "ntile must not reappear")
+    val winLines = p.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
+    assert(winLines.nonEmpty && winLines.forall(l =>
+      l.contains("axis") && l.contains("bucket")),
+      s"window must ride the (axis, bucket) histogram grain: $winLines")
+  }
+
   test("grid written clustered by cell: w12/w13-shaped agg+join needs zero exchanges") {
     import org.apache.spark.sql.functions._
     // SURVEY §9 row 1: write the thermal grid hive-partitioned by

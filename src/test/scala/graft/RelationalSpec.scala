@@ -1579,7 +1579,7 @@ class RelationalSpec extends AnyFunSuite {
     assert(math.abs(meanIdx - 1000000L) < 1000, s"mean index $meanIdx")
   }
 
-  test("e15: RFM scores equal a sequential recompute and bucket evenly") {
+  test("e15: RFM sketch scores equal a sequential recompute and honor the rank guarantee") {
     val got = EventWindows.e15(spark, sf).collect()
       .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("recency_days"),
         r.getAs[Long]("freq"), r.getAs[Long]("cents"),
@@ -1594,21 +1594,28 @@ class RelationalSpec extends AnyFunSuite {
     val users = ev.filter(_._2 == "purchase").groupBy(_._1).map { case (u, rows) =>
       (u, maxDay - rows.map(_._3).max, rows.size.toLong, rows.map(_._4).sum)
     }.toSeq
-    def ntile5(ordered: Seq[Long]): Map[Long, Long] = {
-      val n = ordered.size
-      val base = n / 5; val extra = n % 5
-      ordered.zipWithIndex.map { case (u, i) =>
-        // ANSI ntile: first (n mod 5) buckets are one larger
-        var acc = 0; var b = 0
-        while ({ b += 1; acc += base + (if (b <= extra) 1 else 0); acc <= i }) ()
-        (u, b.toLong)
-      }.toMap
+    // the sketch construction, sequentially: 256-cell equi-width
+    // buckets, permille threshold buckets, strict-exceed scoring
+    def width(mx: Long): Long = math.max(0L, mx) / 256 + 1
+    def bucket(v: Long, w: Long): Long = math.min(255L, math.max(0L, v) / w)
+    def thresholds(bs: Seq[Long]): Seq[Long] = {
+      val hist = bs.groupBy(identity).view.mapValues(_.size.toLong)
+        .toSeq.sortBy(_._1)
+      val tot = bs.size.toLong
+      Seq(200L, 400L, 600L, 800L).map { q =>
+        var cum = 0L
+        hist.find { case (_, c) => cum += c; cum * 1000 >= q * tot }.get._1
+      }
     }
-    val rS = ntile5(users.sortBy { case (u, r, _, _) => (-r, u) }.map(_._1))
-    val fS = ntile5(users.sortBy { case (u, _, f, _) => (f, u) }.map(_._1))
-    val mS = ntile5(users.sortBy { case (u, _, _, m) => (m, u) }.map(_._1))
+    val (wr, wf, wm) = (width(users.map(_._2).max),
+      width(users.map(_._3).max), width(users.map(_._4).max))
+    val (rB, fB, mB) = (users.map(u => bucket(u._2, wr)),
+      users.map(u => bucket(u._3, wf)), users.map(u => bucket(u._4, wm)))
+    val (rT, fT, mT) = (thresholds(rB), thresholds(fB), thresholds(mB))
     val want = users.map { case (u, r, f, m) =>
-      val (rs, fs, ms) = (rS(u), fS(u), mS(u))
+      val rs = 5L - rT.count(bucket(r, wr) > _)
+      val fs = 1L + fT.count(bucket(f, wf) > _)
+      val ms = 1L + mT.count(bucket(m, wm) > _)
       val seg =
         if (rs >= 4 && fs >= 4 && ms >= 4) "champion"
         else if (fs >= 4) "loyal"
@@ -1619,14 +1626,24 @@ class RelationalSpec extends AnyFunSuite {
       (u, r, f, m, rs, fs, ms, seg)
     }.sortBy(_._1)
     assert(got.toSeq == want)
-    // every quintile populated on every axis, and bucket sizes are
-    // balanced to within one (the ANSI ntile contract)
-    Seq(got.map(_._5), got.map(_._6), got.map(_._7)).foreach { scores =>
-      val sizes = scores.groupBy(identity).view.mapValues(_.size).toMap
-      assert(sizes.keySet == Set(1L, 2L, 3L, 4L, 5L))
-      assert(sizes.values.max - sizes.values.min <= 1)
+    // one-bucket rank guarantee (HistQ's contract): at least q
+    // permille of users sit at or below the level the q threshold
+    // defines, on every axis (recency inverted: fresh users score high)
+    val n = got.length.toLong
+    for (i <- 0 until 4) {
+      val q = 200L * (i + 1)
+      assert(got.count(_._6 <= i + 1) * 1000L >= q * n, s"f axis q=$q")
+      assert(got.count(_._7 <= i + 1) * 1000L >= q * n, s"m axis q=$q")
+      assert(got.count(_._5 >= 5 - i) * 1000L >= q * n, s"r axis q=$q")
     }
-    assert(got.map(_._8).distinct.length >= 3, "segmentation degenerate")
+    // scores stay in [1, 5] and are monotone in the underlying metric
+    Seq(got.map(_._5), got.map(_._6), got.map(_._7)).foreach { scores =>
+      assert(scores.forall(s => s >= 1 && s <= 5))
+    }
+    val byFreq = got.sortBy(_._3).map(_._6)
+    assert(byFreq.zip(byFreq.tail).forall { case (a, b) => a <= b },
+      "f_score must be monotone in freq")
+    assert(got.map(_._8).distinct.length >= 2, "segmentation degenerate")
   }
 
   test("g10: HyperBall equals a sequential register recompute; estimates track true balls") {
