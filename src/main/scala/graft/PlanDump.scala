@@ -128,6 +128,7 @@ object PlanDump {
       "dq2_psi_drift" -> "PSI drift: one scan, row-local struct explode, 60-row histogram aggregate, decimal term algebra",
       "t27_zipf_audit" -> "Zipf audit: one explode + term aggregate, vocab-grain rank window, 1-row fit + broadcast totals",
       "v20_mips" -> "MIPS: broadcast query codebook over the weighted corpus stream, quantized raw dot, two-level bounded rank",
+      "v21_graph_ann" -> "graph ANN: best-first beam over the undirected kNN graph — frontier-graph equality joins on node ids, bounded visited set, vectors attach by pk",
       "e17_seasonality" -> "seasonality: epoch-arithmetic hour key, one 24-row map-side-combined aggregate, 1-row broadcast totals",
       "g13_reciprocity" -> "reciprocity: distinct directed edges, id-only swapped-key semi-join, 1-row report",
       "p13_quarantine" -> "quarantine: narrow corruption/flag maps, one equality FK join, 4-row routing audit",

@@ -123,6 +123,38 @@ class PlanSpec extends AnyFunSuite {
       s"window must ride the (axis, bucket) histogram grain: $winLines")
   }
 
+  test("v21: beam-search hops are equality joins on node ids — vectors never shuffle") {
+    // one unfragmented hop (checkpoints hide the hop joins from
+    // explain; a single hop is representative of every hop)
+    spark.conf.set("graft.v21.hops", "1")
+    spark.conf.set("graft.v21.checkpoint", "false")
+    try {
+      val df = graft.operators.Knn.v21(spark, sf)
+      val p = plan(df)
+      // no all-pairs anywhere; the only nested-loop joins are
+      // replicas of the bounded ≤16-row seed cross (the unchecked
+      // lineage repeats that subtree once per visited consumer) —
+      // every one must be a broadcast Cross, never a large-large join
+      assert(!p.contains("CartesianProduct"), "all-pairs leaked")
+      val bnlTree = p.linesIterator
+        .filter(_.contains("BroadcastNestedLoopJoin"))
+        .filter(_.contains("Build")).toSeq
+      assert(bnlTree.nonEmpty && bnlTree.forall(_.contains("Cross")),
+        s"non-broadcast-cross nested loop leaked: $bnlTree")
+      // frontier expansion rides the graph by equality on node ids
+      assert(p.contains("src_id"), "expected the frontier-graph equality join")
+      // every window is per-query (qid-partitioned) — never global
+      val wins = df.queryExecution.optimizedPlan.collect {
+        case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+      }
+      assert(wins.nonEmpty && wins.forall(_.partitionSpec.nonEmpty),
+        "window must partition by qid")
+    } finally {
+      spark.conf.unset("graft.v21.hops")
+      spark.conf.unset("graft.v21.checkpoint")
+    }
+  }
+
   test("grid written clustered by cell: w12/w13-shaped agg+join needs zero exchanges") {
     import org.apache.spark.sql.functions._
     // SURVEY §9 row 1: write the thermal grid hive-partitioned by
