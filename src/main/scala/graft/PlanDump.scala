@@ -125,6 +125,7 @@ object PlanDump {
       "p12_data_skipping" -> "data skipping: one scan per audited layout, file-grain map-side-combined aggregate, bounded report",
       "q35_hll_setops" -> "HLL set ops: one tagged scan feeds both register tables, union by max-merge (no rescan), one distinct for the exact audit",
       "m12_audio_vad" -> "audio VAD: batched decode fan-out, islands window and segment aggregate share one doc-key shuffle",
+      "m13_mjpeg_scenes" -> "MJPEG scenes: two narrow codec stages (container build / parse + real per-frame JPEG decode), one doc-key shuffle for windows + aggregate",
       "dq2_psi_drift" -> "PSI drift: one scan, row-local struct explode, 60-row histogram aggregate, decimal term algebra",
       "t27_zipf_audit" -> "Zipf audit: one explode + term aggregate, vocab-grain rank window, 1-row fit + broadcast totals",
       "v20_mips" -> "MIPS: broadcast query codebook over the weighted corpus stream, quantized raw dot, two-level bounded rank",

@@ -725,12 +725,19 @@ object Media {
     * lossless roundtrip bitwise; JPEG is the dominant crawl format,
     * where only a bounded-error contract is possible.
     */
-  private[graft] def encodeJpeg8x8(s: String): Array[Byte] = {
+  private[graft] def encodeJpeg8x8(s: String): Array[Byte] =
+    encodeJpegGray8x8(Array.tabulate(64)(i => s.charAt(i).toInt & 127))
+
+  /** General 8×8 grayscale JPEG encode from explicit pixel values
+    * (0-255) at [[jpegQuality]] — [[encodeJpeg8x8]]'s body factored
+    * so m13's video frames share the exact codec path m10 gated.
+    */
+  private[graft] def encodeJpegGray8x8(px: Array[Int]): Array[Byte] = {
     val img = new java.awt.image.BufferedImage(
       8, 8, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
     var i = 0
     while (i < 64) {
-      img.getRaster.setSample(i % 8, i / 8, 0, s.charAt(i).toInt & 127)
+      img.getRaster.setSample(i % 8, i / 8, 0, px(i))
       i += 1
     }
     val w = javax.imageio.ImageIO.getImageWritersByFormatName("jpeg").next()
@@ -1083,4 +1090,153 @@ object Media {
       |FROM capped a JOIN capped b ON a.fp = b.fp AND a.doc_id < b.doc_id
       |GROUP BY 1, 2
       |ORDER BY id_a, id_b""".stripMargin
+
+  // ---------- m13: REAL video leg — MJPEG container → decoded scene split ----------
+
+  /** Per-frame scene-cut threshold and decode gate for [[m13]]:
+    * scene boundaries shift the whole frame's luminance by exactly
+    * 64·64 = 4096 (a pure DC offset), intra-scene frames differ by
+    * ≤ 30, and the JPEG decode error per frame sum is bounded by
+    * [[m13FrameTol]] (4 quadrants × [[jpegQuadrantTol]], doubled
+    * for margin) — so cut decisions from DECODED sums are exact:
+    * boundary deltas ≥ 4096 − 30 − 2·tol > threshold, intra-scene
+    * deltas ≤ 30 + 2·tol < threshold, for ANY document text.
+    */
+  private[graft] val m13CutThreshold = 2048L
+  private[graft] val m13FrameTol = 512L
+
+  case class MjFrame(doc_id: Long, frame_idx: Int, src_sum: Long, dec_sum: Long)
+
+  /** Build stage of [[m13]]: each VID document becomes a real MJPEG
+    * container — 8 + (doc_id mod 9) genuine 8×8 grayscale JPEG
+    * frames (the [[encodeJpegGray8x8]] codec m10 gated),
+    * concatenated length-prefixed (4-byte frame count, then 4-byte
+    * length + bytes per frame — the AVI-chunk idea reduced to its
+    * skeleton). Frame f's pixels: (char & 63) texture + a 64-unit
+    * DC offset that flips every 4 frames (the constructed scene
+    * structure) + a 10·(f mod 4) shift on pixel 0 (intra-scene
+    * motion, so consecutive frames are NOT byte-identical and the
+    * per-frame decode is provably real work).
+    */
+  private[graft] def m13Container(spark: SparkSession, dir: String): Dataset[(Long, Array[Byte], String)] = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .filter($"doc_id" % 3 === 0)
+      .selectExpr("doc_id",
+        "rpad(concat('VID', substring(text, 1, 61)), 64, ' ') AS s")
+      .as[(Long, String)]
+      .mapPartitions(_.map { case (id, s) =>
+        val n = (8 + id % 9).toInt
+        val baos = new java.io.ByteArrayOutputStream()
+        val out = new java.io.DataOutputStream(baos)
+        out.writeInt(n)
+        var f = 0
+        while (f < n) {
+          val px = Array.tabulate(64) { i =>
+            (s.charAt(i).toInt & 63) + 64 * ((f / 4) % 2) +
+              (if (i == 0) 10 * (f % 4) else 0)
+          }
+          val jb = encodeJpegGray8x8(px)
+          out.writeInt(jb.length)
+          out.write(jb)
+          f += 1
+        }
+        out.flush()
+        (id, baos.toByteArray, s)
+      })
+  }
+
+  /** m13: the VIDEO leg made REAL end-to-end — the round-9 verdict's
+    * #3: the JDK has no video codec, but MJPEG is just concatenated
+    * JPEG frames, so composing m10's real lossy decode with m8's
+    * scene-split shape erases the m-family's last stub. Stage 1
+    * ([[m13Container]]) writes a length-prefixed MJPEG container per
+    * document; stage 2 PARSES the binary container (frame count,
+    * per-frame lengths — real chunk walking), DECODES every frame
+    * with ImageIO in the executor, and runs m8's gaps-and-islands
+    * scene segmentation over the DECODED luminance sums: delta via
+    * lag, cut where |delta| > [[m13CutThreshold]], running cut-count
+    * as scene id. Output per scene: start frame, length, the exact
+    * SOURCE luminance total (the lossless-side feature the oracle
+    * reproduces arithmetically from the payload characters) and the
+    * m10-style bounded-error gate (every frame's decoded sum within
+    * [[m13FrameTol]] of its source sum — `every(...)` per scene).
+    *
+    * The oracle derives the same scenes from the CONSTRUCTION
+    * (scene = frame div 4): the margin argument on [[m13FrameTol]]
+    * proves decoded-side cuts land exactly there for any text, so a
+    * decode that drifts outside JPEG's bound breaks the hash gate —
+    * the m10 contract lifted from one image to a video container.
+    *
+    * Scale shape: both stages are ONE narrow mapPartitions each
+    * (codec work embarrassingly parallel, ~16 frames per row); the
+    * only shuffle is the doc_id exchange the lag/scene windows and
+    * the aggregate SHARE (m8's shape); per-video frame counts bound
+    * every window. Payload bytes never leave the decode stage.
+    */
+  def m13(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val frames = m13Container(spark, dir)
+      .mapPartitions(_.flatMap { case (id, video, s) =>
+        val in = new java.io.DataInputStream(
+          new java.io.ByteArrayInputStream(video))
+        val n = in.readInt()
+        var base = 0L
+        var i = 0
+        while (i < 64) { base += (s.charAt(i).toInt & 63); i += 1 }
+        val rows = new scala.collection.mutable.ArrayBuffer[MjFrame](n)
+        var f = 0
+        while (f < n) {
+          val len = in.readInt()
+          val jb = new Array[Byte](len)
+          in.readFully(jb)
+          val dec = jpegLuminance(jb)
+          var decSum = 0L
+          var j = 0
+          while (j < 64) { decSum += dec(j); j += 1 }
+          val srcSum = base + 4096L * ((f / 4) % 2) + 10L * (f % 4)
+          rows += MjFrame(id, f, srcSum, decSum)
+          f += 1
+        }
+        rows.iterator
+      }).toDF()
+    val w = Window.partitionBy($"doc_id").orderBy($"frame_idx")
+    frames
+      .withColumn("delta", abs($"dec_sum" - lag($"dec_sum", 1).over(w)))
+      .withColumn("cut",
+        when($"delta".isNull, 0).when($"delta" > m13CutThreshold, 1).otherwise(0))
+      .withColumn("scene_id",
+        sum($"cut").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("frame_ok", abs($"dec_sum" - $"src_sum") <= m13FrameTol)
+      .groupBy($"doc_id", $"scene_id")
+      .agg(min($"frame_idx").as("start_frame"),
+        count(lit(1)).as("n_scene_frames"),
+        sum($"src_sum").as("scene_src_sum"),
+        expr("every(frame_ok)").as("within_tol"))
+      .transform(graft.Tables.ordered(_, $"doc_id", $"scene_id"))
+  }
+
+  /** m13 oracle: frames and scenes from the construction arithmetic
+    * (base luminance from the payload chars, DC parity offset,
+    * pixel-0 motion; scene = frame div 4), the decode gate asserted
+    * TRUE — the bounded-error contract over the real container.
+    */
+  val m13Sql: String = {
+    val baseExpr = (1 to 64).map(p => s"(ord(substr(s, $p, 1)) & 63)")
+      .mkString("(", " + ", ")")
+    s"""WITH p AS (SELECT doc_id, rpad('VID' || substr(text, 1, 61), 64, ' ') AS s,
+      |         8 + doc_id % 9 AS n_frames
+      |       FROM documents WHERE doc_id % 3 = 0),
+      |b AS (SELECT doc_id, n_frames, CAST($baseExpr AS BIGINT) AS base FROM p),
+      |f AS (SELECT doc_id, CAST(fi AS INTEGER) AS frame_idx,
+      |        base + 4096 * ((fi // 4) % 2) + 10 * (fi % 4) AS src_sum
+      |      FROM b, (SELECT unnest(range(0, 16)) AS fi) WHERE fi < n_frames)
+      |SELECT doc_id, CAST(frame_idx // 4 AS BIGINT) AS scene_id,
+      |  CAST(min(frame_idx) AS INTEGER) AS start_frame,
+      |  count(*) AS n_scene_frames,
+      |  CAST(sum(src_sum) AS BIGINT) AS scene_src_sum,
+      |  TRUE AS within_tol
+      |FROM f GROUP BY doc_id, frame_idx // 4
+      |ORDER BY doc_id, scene_id""".stripMargin
+  }
 }

@@ -127,4 +127,48 @@ class ChartPngSpec extends AnyFunSuite {
       assert((img.getRGB(0, 0) & 0xff) == ('I'.toInt & 127))
     }
   }
+
+  test("m13: MJPEG container parses to genuine JPEG frames; decoded scene split matches construction") {
+    import graft.operators.Media
+    val conts = Media.m13Container(spark, sf).collect()
+    assert(conts.nonEmpty)
+    conts.take(10).foreach { case (id, video, _) =>
+      val in = new java.io.DataInputStream(
+        new java.io.ByteArrayInputStream(video))
+      val n = in.readInt()
+      assert(n == (8 + id % 9).toInt, s"frame count of doc $id")
+      val frames = (0 until n).map { _ =>
+        val len = in.readInt(); val b = new Array[Byte](len)
+        in.readFully(b); b
+      }
+      assert(in.available() == 0, "container exactly consumed")
+      // every chunk is a genuine JPEG (SOI marker), not a stub blob
+      frames.foreach(b =>
+        assert((b(0) & 0xff) == 0xff && (b(1) & 0xff) == 0xd8, "SOI"))
+      // intra-scene motion: consecutive frames differ bytewise, so
+      // the per-frame decode provably does distinct work
+      assert(frames.sliding(2).forall {
+        case Seq(a, b) => !java.util.Arrays.equals(a, b)
+        case _ => true
+      })
+    }
+    // the decoded-side segmentation equals the constructed scene
+    // structure (scene = frame div 4) with exact source sums, and
+    // every frame decoded inside the documented tolerance
+    val got = Media.m13(spark, sf).collect()
+      .map(r => ((r.getAs[Long]("doc_id"), r.getAs[Long]("scene_id")),
+        (r.getAs[Int]("start_frame"), r.getAs[Long]("n_scene_frames"),
+          r.getAs[Long]("scene_src_sum"), r.getAs[Boolean]("within_tol"))))
+    assert(got.forall(_._2._4), "decode drifted outside the frame tolerance")
+    val want = conts.flatMap { case (id, _, s) =>
+      val n = (8 + id % 9).toInt
+      val base = (0 until 64).map(i => (s.charAt(i) & 63).toLong).sum
+      (0 until n).groupBy(_ / 4).toSeq.map { case (sc, fs) =>
+        ((id, sc.toLong), (fs.min, fs.size.toLong,
+          fs.map(f => base + 4096L * ((f / 4) % 2) + 10L * (f % 4)).sum,
+          true))
+      }
+    }
+    assert(got.length == want.length && got.toMap == want.toMap)
+  }
 }
