@@ -135,6 +135,7 @@ object PlanDump {
       "p13_quarantine" -> "quarantine: narrow corruption/flag maps, one equality FK join, 4-row routing audit",
       "w26_temp_anomaly" -> "temperature anomaly: normals window rides w12's cell-key shuffle — no extra exchange",
       "t28_langid_confusion" -> "lang-ID confusion: t3's narrow scoring map, one (true, predicted) aggregate, totals join",
+      "t29_trigram_langid" -> "trigram NB lang-ID: broadcast profile join over a narrow trigram explode, one doc-grain aggregate, langs^2 matrix",
     )
     val sb = new StringBuilder
     sb.append("# PLANS — formatted physical plans (generated by graft.PlanDump at sf0.001)\n")

@@ -1558,4 +1558,200 @@ object TextStats {
       |    + 11.8 * (CAST(n_syllables AS DOUBLE) / CAST(n_words AS DOUBLE)) - 15.59 AS fk_grade
       |FROM c
       |ORDER BY doc_id""".stripMargin
+
+  // ---------- t29: trained char-trigram language ID ----------
+
+  /** Train-split seed words per language (high-frequency function
+    * words — public linguistic knowledge) and a DISJOINT test-split
+    * set: no test word appears in training, so marker lookup (t3's
+    * mechanism) scores zero on the test slice and only
+    * orthography-level trigram statistics can route it.
+    *
+    * The train sets are LENGTH-BALANCED — Σ len(w) = 21 per
+    * language, so every profile has exactly 21·[[t29Reps]] trigram
+    * tokens and the add-one floor ln(1/(tot+V)) for unknown trigrams is
+    * CLASS-INVARIANT: the huge unknown mass of a document's base
+    * text cancels in the argmax and only positively-matched
+    * trigrams differentiate (unbalanced profiles instead route
+    * every unknown-heavy doc to the smallest class — measured).
+    */
+  private[graft] val t29TrainWords: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "that", "with", "have", "should"),
+    "de" -> Seq("der", "und", "nicht", "sich", "machen"),
+    "es" -> Seq("que", "para", "como", "esta", "cuando"),
+    "fr" -> Seq("les", "pour", "dans", "vous", "depuis"),
+    "zh" -> Seq("shi", "zai", "zhong", "xiang", "sheng"),
+  )
+  private[graft] val t29TestWords: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("they", "there", "which", "other", "these"),
+    "de" -> Seq("durch", "wird", "nach", "schon", "sicht"),
+    "es" -> Seq("pero", "quiso", "comida", "parque", "estaba"),
+    "fr" -> Seq("nous", "tout", "leurs", "sans", "pouvoir"),
+    "zh" -> Seq("shuo", "zhei", "guan", "zhan", "shan"),
+  )
+
+  /** The t29 scoring corpus: the train third (doc_id % 3 = 1)
+    * carries its label's TRAIN words ×3, the eval third
+    * (doc_id % 3 = 0) its label's disjoint TEST words ×3, the last
+    * third stays raw.
+    */
+  /** Seed repetitions: ×10 (not t28's ×3) so the labeled material's
+    * trigram mass dominates the base text's accidental orthography
+    * (the synthetic vocabulary's -er agent nouns — order / filter /
+    * customer — hit the German der/er_ trigrams, and "query" hits
+    * the Spanish que; at ×3 that cross-talk outvoted the seeds —
+    * measured).
+    */
+  private[graft] val t29Reps = 10
+
+  private[graft] val t29CorpusExpr: String = {
+    def arm(words: Seq[(String, Seq[String])], residue: Int): String = {
+      val perLang = words.map { case (l, set) =>
+        s"WHEN lang = '$l' THEN ' ' || '${Seq.fill(t29Reps)(set).flatten.mkString(" ")}'"
+      }.mkString(" ")
+      s"WHEN doc_id % 3 = $residue THEN text || (CASE $perLang END)"
+    }
+    s"CASE ${arm(t29TrainWords, 1)} ${arm(t29TestWords, 0)} ELSE text END"
+  }
+
+  /** The TRAINING text per train-third doc: the labeled seed
+    * material ALONE. Training on the full seeded text instead pulls
+    * in the synthetic base vocabulary — identical across labels —
+    * and NB's smoothing then turns unequal class corpus sizes into
+    * a systematic small-class bias (measured: every eval-third 'en'
+    * doc routed 'de'); the seed-only profile is the clean labeled
+    * supervision the fixture provides.
+    */
+  private[graft] val t29TrainSeedExpr: String = {
+    val perLang = t29TrainWords.map { case (l, set) =>
+      s"WHEN lang = '$l' THEN '${Seq.fill(t29Reps)(set).flatten.mkString(" ")}'"
+    }.mkString(" ")
+    s"CASE $perLang END"
+  }
+
+  /** t29: TRAINED LANGUAGE ID — char-trigram Naive Bayes (the
+    * Cavnar–Trenkle 1994 n-gram family; t11's add-one idiom at
+    * character grain), the REAL classifier the round-9 verdict asked
+    * for in place of t3's marker-profile toy, graded by t28's
+    * confusion-matrix shape. Profiles train on the TRAIN third's
+    * labeled seed material ([[t29TrainSeedExpr]] — see its note on
+    * why the shared base vocabulary must stay out of training): per
+    * (lang, trigram) counts over '_'-padded word trigrams, add-one
+    * smoothed against the language's token total + the train
+    * vocabulary size. Every document then scores
+    * s_l = Σ_g c(doc, g) · ⌊ln((cnt_l(g)+1)/(tot_l+V))·10⁹⌋ — exact
+    * BIGINT sums of 1e9-quantized log-likelihoods (§8.4; overflow
+    * bound: |lp9| ≤ 2·10¹⁰, c ≤ 10³ per trigram, ≤ 10³ distinct
+    * trigrams per doc ⇒ |s_l| ≤ 2·10¹⁶ ≪ 2⁶³) — and predicts by
+    * t3's shared argmax ladder.
+    *
+    * What the matrix proves (vs t28): the EVAL third carries words
+    * the classifier NEVER SAW — marker lookup scores them zero —
+    * yet they route to their true language through shared
+    * orthography (der/durch, que/quiso, zhong/zhan…), so BOTH
+    * seeded thirds sit on the diagonal (~2/3 of every non-en class,
+    * vs t28's 1/3) while the raw third still honestly collapses to
+    * the corpus's actual language. Spec asserts diagonal dominance
+    * on the eval third specifically.
+    *
+    * Scale shape: training is one (lang, trigram) map-side-combined
+    * aggregate (≤ langs × vocab rows); the profile pivots to ONE
+    * broadcast table and totals/vocab to a 1-row broadcast; scoring
+    * is a narrow explode + per-doc-trigram count + broadcast join +
+    * one doc-grain aggregate; the matrix is ≤ |langs|² rows. No
+    * shuffle ever carries text beyond the trigram tokens.
+    */
+  def t29(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    def trigrams(df: DataFrame): DataFrame = df
+      .selectExpr("doc_id", "lang",
+        "explode(split(lower(trim(text)), ' ')) AS w")
+      .filter(length($"w") > 0)
+      .selectExpr("doc_id", "lang", "concat('_', w, '_') AS p")
+      .selectExpr("doc_id", "lang",
+        "explode(transform(sequence(1, length(p) - 2), i -> substring(p, i, 3))) AS g")
+    val tri = trigrams(Tables.documents(spark, dir)
+      .selectExpr("doc_id", "lang", s"$t29CorpusExpr AS text"))
+    // the train third's supervision is one identical seed per class,
+    // so profiles aggregate the DISTINCT supervision — training on
+    // every copy would scale each class's totals by its doc count
+    // and leak class priors into the per-trigram likelihoods (the
+    // textbook NB balance correction; unbalanced totals routed every
+    // unknown-heavy doc to the smallest class — measured)
+    val train = trigrams(Tables.documents(spark, dir)
+      .filter($"doc_id" % 3 === 1)
+      .select($"lang").distinct()
+      .selectExpr("CAST(0 AS BIGINT) AS doc_id", "lang",
+        s"$t29TrainSeedExpr AS text"))
+    val langs = markers.map(_._1)
+    val profCols = langs.map(l =>
+      sum(when($"lang" === l, 1L).otherwise(0L)).as(s"n_$l"))
+    val prof = train.groupBy($"g").agg(profCols.head, profCols.tail: _*)
+    val totCols = langs.map(l =>
+      sum(when($"lang" === l, 1L).otherwise(0L)).as(s"tot_$l")) :+
+      countDistinct($"g").cast("double").as("v")
+    val totv = train.agg(totCols.head, totCols.tail: _*)
+    val scoreCols = langs.map(l =>
+      sum($"c" * floor(log((coalesce(col(s"n_$l"), lit(0L)) + lit(1)) /
+        (col(s"tot_$l") + $"v")) * 1e9 + lit(0.5)).cast("long")).as(s"s_$l"))
+    val scored = tri
+      .groupBy($"doc_id", $"lang", $"g").agg(count(lit(1)).as("c"))
+      .join(broadcast(prof), Seq("g"), "left")
+      .crossJoin(broadcast(totv))
+      .groupBy($"doc_id", $"lang")
+      .agg(scoreCols.head, scoreCols.tail: _*)
+    val cells = scored
+      .selectExpr("doc_id", "lang", s"($predExpr) AS predicted")
+      .groupBy($"lang", $"predicted")
+      .agg(count(lit(1)).as("n_docs"))
+    cells
+      .join(cells.groupBy($"lang").agg(sum($"n_docs").as("class_total")), Seq("lang"))
+      .selectExpr("lang", "predicted", "n_docs", "class_total",
+        "(n_docs * 1000) div class_total AS share_permille")
+      .transform(graft.Tables.ordered(_, $"lang", $"predicted"))
+  }
+
+  /** t29 oracle: identical seeded corpus, padded-trigram explode,
+    * pivoted add-one profile, quantized log-likelihood sums, shared
+    * argmax ladder and matrix aggregates.
+    */
+  val t29Sql: String = {
+    val langs = markers.map(_._1)
+    val profCols = langs.map(l =>
+      s"CAST(sum(CASE WHEN lang = '$l' THEN 1 ELSE 0 END) AS BIGINT) AS n_$l").mkString(", ")
+    val totCols = langs.map(l =>
+      s"CAST(sum(CASE WHEN lang = '$l' THEN 1 ELSE 0 END) AS BIGINT) AS tot_$l").mkString(", ")
+    val scoreCols = langs.map(l =>
+      s"CAST(sum(c * CAST(floor(ln((coalesce(n_$l, 0) + 1) / (tot_$l + v)) * 1e9 + 0.5) AS BIGINT)) AS BIGINT) AS s_$l").mkString(",\n    ")
+    s"""WITH corpus AS (SELECT doc_id, lang, $t29CorpusExpr AS text FROM documents),
+      |wds AS (SELECT doc_id, lang, unnest(string_split(lower(trim(text)), ' ')) AS w FROM corpus),
+      |pd AS (SELECT doc_id, lang, '_' || w || '_' AS p FROM wds WHERE length(w) > 0),
+      |tri AS (SELECT doc_id, lang,
+      |          unnest(list_transform(range(1, length(p) - 1), i -> substr(p, CAST(i AS INTEGER), 3))) AS g
+      |        FROM pd),
+      |trainc AS (SELECT CAST(0 AS BIGINT) AS doc_id, lang, $t29TrainSeedExpr AS text
+      |           FROM (SELECT DISTINCT lang FROM documents WHERE doc_id % 3 = 1) tl),
+      |tww AS (SELECT doc_id, lang, unnest(string_split(lower(trim(text)), ' ')) AS w FROM trainc),
+      |tpd AS (SELECT doc_id, lang, '_' || w || '_' AS p FROM tww WHERE length(w) > 0),
+      |train AS (SELECT doc_id, lang,
+      |            unnest(list_transform(range(1, length(p) - 1), i -> substr(p, CAST(i AS INTEGER), 3))) AS g
+      |          FROM tpd),
+      |prof AS (SELECT g, $profCols FROM train GROUP BY g),
+      |totv AS (SELECT $totCols, CAST(count(DISTINCT g) AS DOUBLE) AS v FROM train),
+      |dt AS (SELECT doc_id, lang, g, CAST(count(*) AS BIGINT) AS c
+      |       FROM tri GROUP BY doc_id, lang, g),
+      |sc AS (SELECT doc_id, lang,
+      |    $scoreCols
+      |  FROM dt LEFT JOIN prof USING (g), totv
+      |  GROUP BY doc_id, lang),
+      |p AS (SELECT lang, ($predExpr) AS predicted FROM sc),
+      |cells AS (SELECT lang, predicted, CAST(count(*) AS BIGINT) AS n_docs
+      |          FROM p GROUP BY 1, 2),
+      |tot AS (SELECT lang, CAST(sum(n_docs) AS BIGINT) AS class_total
+      |        FROM cells GROUP BY 1)
+      |SELECT c.lang, c.predicted, c.n_docs, t.class_total,
+      |  (c.n_docs * 1000) // t.class_total AS share_permille
+      |FROM cells c JOIN tot t ON t.lang = c.lang
+      |ORDER BY c.lang, c.predicted""".stripMargin
+  }
 }

@@ -1714,4 +1714,62 @@ class RelationalSpec extends AnyFunSuite {
     // assert the emitted harmonic is non-negative and positive overall
     assert(got.values.forall(_._4 >= 0L) && got.values.exists(_._4 > 0L))
   }
+
+  test("t29: trigram NB language ID equals a sequential recompute; unseen test words route correctly") {
+    import graft.operators.TextStats
+    val got = TextStats.t29(spark, sf).collect()
+      .map(r => ((r.getAs[String]("lang"), r.getAs[String]("predicted")),
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("class_total"),
+          r.getAs[Long]("share_permille")))).toMap
+    val train = TextStats.t29TrainWords.toMap
+    val test = TextStats.t29TestWords.toMap
+    // the generalization premise: NO eval word was seen in training,
+    // so marker lookup scores the eval third zero by construction
+    train.foreach { case (l, ws) =>
+      assert(ws.toSet.intersect(test(l).toSet).isEmpty, s"$l leaks")
+    }
+    val langs = Seq("en", "de", "es", "fr", "zh")
+    val docs = Tables.documents(spark, sf)
+      .selectExpr("doc_id", "lang", "text")
+      .as[(Long, String, String)].collect()
+    def seeded(id: Long, lang: String, text: String): String =
+      if (id % 3 == 1) text + " " + Seq.fill(TextStats.t29Reps)(train(lang)).flatten.mkString(" ")
+      else if (id % 3 == 0) text + " " + Seq.fill(TextStats.t29Reps)(test(lang)).flatten.mkString(" ")
+      else text
+    def tris(text: String): Seq[String] =
+      text.trim.toLowerCase.split(" ").toSeq.filter(_.nonEmpty).flatMap { w =>
+        val p = "_" + w + "_"
+        (0 to p.length - 3).map(i => p.substring(i, i + 3))
+      }
+    // profiles train on the DISTINCT per-class seed supervision
+    // (see t29TrainSeedExpr / the NB balance-correction note)
+    val trainTris = docs.filter(_._1 % 3 == 1).map(_._2).distinct
+      .flatMap { l =>
+        tris(Seq.fill(TextStats.t29Reps)(train(l)).flatten.mkString(" ")).map(g => (l, g)) }
+    val cnt = trainTris.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val tot = trainTris.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val v = trainTris.map(_._2).distinct.size.toDouble
+    def lp9(l: String, g: String): Long =
+      math.floor(math.log((cnt.getOrElse((l, g), 0L) + 1).toDouble /
+        (tot(l) + v)) * 1e9 + 0.5).toLong
+    val preds = docs.map { case (id, l, t) =>
+      val c = tris(seeded(id, l, t)).groupBy(identity).view.mapValues(_.size.toLong)
+      val scores = langs.map(lg => lg -> c.map { case (g, n) => n * lp9(lg, g) }.sum)
+      (id, l, scores.maxBy(_._2)._1) // maxBy keeps the FIRST max = the argmax ladder
+    }
+    val cells = preds.groupBy(p => (p._2, p._3)).view.mapValues(_.size.toLong).toMap
+    val classTot = preds.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val want = cells.map { case ((l, p), n) =>
+      ((l, p), (n, classTot(l), n * 1000 / classTot(l)))
+    }
+    assert(got == want.toMap && got.nonEmpty)
+    // generalization proved: in the eval third every language's docs
+    // majority-route to their true label through trigrams of words
+    // the classifier never saw
+    langs.foreach { lg =>
+      val ev = preds.filter(p => p._1 % 3 == 0 && p._2 == lg)
+      val hit = ev.count(_._3 == lg)
+      assert(ev.isEmpty || hit * 2 > ev.length, s"$lg eval: $hit/${ev.length}")
+    }
+  }
 }
