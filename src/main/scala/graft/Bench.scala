@@ -45,10 +45,18 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    // the 20 slowest queries, repeated AFTER the full map: in-suite
+    // position confounds the full map's tail numbers as the suite
+    // grows, and the driver's 2000-char tail always keeps what sits
+    // near the END of the line — so the numbers worth adjudicating
+    // (plus total/failed) survive truncation every round
+    val slowest = results.filter(_._2 >= 0).sortBy(-_._2).take(20)
+      .map { case (k, v) => s"\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
     // field order matters operationally: the driver keeps only a
-    // 2000-char TAIL of this line, so the headline total and the
-    // failure list go LAST — per-query times are what truncates
-    println(s"""{"metric":"total","unit":"sec","sf":"$sfDir","queries":$qs,"value":$total,"failed":$failedJson}""")
+    // 2000-char TAIL of this line, so slowest/total/failed go LAST —
+    // per-query times are what truncates
+    println(s"""{"metric":"total","unit":"sec","sf":"$sfDir","queries":$qs,"slowest":$slowest,"value":$total,"failed":$failedJson}""")
     spark.stop()
   }
 }

@@ -1502,14 +1502,15 @@ object Knn {
     * cosine quantization, min-label closure (recursive CTE),
     * sizes, and the keep flag.
     */
-  def v17(spark: SparkSession, dir: String): DataFrame = {
+  /** The clustering core of [[v17]] over an arbitrary (vec_id, v)
+    * corpus — factored (round 10) so the spec can drive it with a
+    * hand-built TRANSITIVE CHAIN (a–b and b–c over the 0.9 cut but
+    * a–c under it) and prove which representative survives chaining.
+    */
+  private[graft] def v17Clusters(rawCorpus: DataFrame): DataFrame = {
+    val spark = rawCorpus.sparkSession
     import spark.implicits._
-    val raw = Tables.embeddings(spark, dir)
-      .selectExpr("vec_id", "transform(embedding, x -> CAST(x AS DOUBLE)) AS v")
-    val copies = raw.filter($"vec_id" % 25 === 0)
-      .selectExpr("vec_id + 1000000 AS vec_id",
-        s"concat(array(element_at(v, 1) + 0.1 * sqrt($dotVV)), slice(v, 2, ${dim - 1})) AS v")
-    val corpus = raw.unionByName(copies)
+    val corpus = rawCorpus
       .selectExpr("vec_id", "v", s"sqrt($dotVV) AS nrm")
       .selectExpr("vec_id", "transform(v, x -> x / nrm) AS nv")
       .cache()
@@ -1537,6 +1538,24 @@ object Knn {
       .join(labeled.groupBy($"cluster").agg(count(lit(1)).as("csize")),
         Seq("cluster"))
       .selectExpr("vec_id", "cluster", "csize", "vec_id = cluster AS keep")
+  }
+
+  def v17(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val raw = Tables.embeddings(spark, dir)
+      .selectExpr("vec_id", "transform(embedding, x -> CAST(x AS DOUBLE)) AS v")
+    val copies = raw.filter($"vec_id" % 25 === 0)
+      .selectExpr("vec_id + 1000000 AS vec_id",
+        s"concat(array(element_at(v, 1) + 0.1 * sqrt($dotVV)), slice(v, 2, ${dim - 1})) AS v")
+    val base = v17Clusters(raw.unionByName(copies))
+    // max cluster size surfaced in-row (round-9 verdict #5): the
+    // giant-cluster alarm a SemDeDup run reads before trusting the
+    // pruning — chaining concentrates mass on one representative,
+    // and this is the number that says how much (d21's audit idiom
+    // at the semantic grain). 1-row broadcast; labels/corpus are
+    // checkpointed/cached so the second consumer re-reads, not
+    // re-clusters.
+    base.crossJoin(broadcast(base.agg(max($"csize").as("max_csize"))))
       .transform(graft.Tables.ordered(_, $"vec_id"))
   }
 
@@ -1567,9 +1586,10 @@ object Knn {
       |  UNION
       |  SELECT u.dst, r.lbl FROM reach r JOIN und u ON u.src = r.id),
       |comp AS (SELECT id, min(lbl) AS cluster FROM reach GROUP BY id),
-      |sz AS (SELECT cluster, count(*) AS csize FROM comp GROUP BY cluster)
-      |SELECT c.id AS vec_id, c.cluster, sz.csize, c.id = c.cluster AS keep
-      |FROM comp c JOIN sz USING (cluster)
+      |sz AS (SELECT cluster, count(*) AS csize FROM comp GROUP BY cluster),
+      |mx AS (SELECT max(csize) AS max_csize FROM sz)
+      |SELECT c.id AS vec_id, c.cluster, sz.csize, c.id = c.cluster AS keep, mx.max_csize
+      |FROM comp c JOIN sz USING (cluster), mx
       |ORDER BY vec_id""".stripMargin
   }
 

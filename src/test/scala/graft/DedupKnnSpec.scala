@@ -1145,7 +1145,11 @@ class DedupKnnSpec extends AnyFunSuite {
   }
 
   test("v17: every seeded semantic copy is pruned, its source kept; rest singleton") {
-    val rows = Knn.v17(spark, sf).collect()
+    val raw = Knn.v17(spark, sf).collect()
+    // the giant-cluster alarm: on this corpus the largest cluster is
+    // exactly a seeded (source, copy) pair — every row carries it
+    assert(raw.forall(_.getAs[Long]("max_csize") == 2L))
+    val rows = raw
       .map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("cluster"),
         r.getAs[Long]("csize"), r.getAs[Boolean]("keep")))
     val byId = rows.map(t => t._1 -> t).toMap
@@ -1602,5 +1606,61 @@ class DedupKnnSpec extends AnyFunSuite {
     got.groupBy(_._1).values.foreach { g =>
       assert(g.map(_._2).sorted.toSeq == (1 to g.length))
     }
+  }
+
+  test("v17 chain: a-b and b-c similar but a-c not - chaining clusters all three, min-id kept") {
+    // hand-built transitive chain: b at the center, a/c displaced
+    // oppositely along e1 by 0.35*|b| => cos(a,b) = cos(b,c) =
+    // 1/sqrt(1.1225) ~ 0.944 >= 0.9, cos(a,c) = 0.8775/1.1225 ~ 0.78 < 0.9
+    val dim = 64; val nTables = 8; val bits = 6
+    def plane(j: Int): Array[Double] = Array.tabulate(dim) { i =>
+      val x = math.sin(j * 131.7 + i * 17.3) * 43758.5453
+      x - math.floor(x) - 0.5
+    }
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }
+      s
+    }
+    def bucketsOf(v: Array[Double]): Seq[(Int, Int)] = {
+      val nrm = math.sqrt(dot(v, v))
+      val nv = v.map(_ / nrm)
+      (0 until nTables).map { t =>
+        var b = 0
+        (0 until bits).foreach { bit =>
+          if (math.floor(dot(nv, plane(t * bits + bit)) * 1e6 + 0.5) >= 0)
+            b |= (1 << bit)
+        }
+        (t, b)
+      }
+    }
+    // deterministic seed search: first base whose chain collides in
+    // >= 1 bucket table for BOTH adjacent pairs (the candidate stage
+    // must propose them; the a-c pair may collide too - the 0.9
+    // edge cut rejects it regardless)
+    val found = (1 to 200).iterator.map { seed =>
+      val rnd = new scala.util.Random(seed)
+      val b = Array.tabulate(dim)(i => if (i == 0) 0.0 else rnd.nextGaussian())
+      val nb = math.sqrt(dot(b, b))
+      val a = b.clone(); a(0) = 0.35 * nb
+      val c = b.clone(); c(0) = -0.35 * nb
+      (a, b, c)
+    }.find { case (a, b, c) =>
+      val (ba, bb, bc) = (bucketsOf(a).toSet, bucketsOf(b).toSet, bucketsOf(c).toSet)
+      ba.intersect(bb).nonEmpty && bb.intersect(bc).nonEmpty
+    }
+    assert(found.nonEmpty, "no colliding chain base found")
+    val (a, b, c) = found.get
+    val corpus = spark.createDataFrame(Seq(
+      (1L, a.toSeq), (2L, b.toSeq), (3L, c.toSeq))).toDF("vec_id", "v")
+    val got = Knn.v17Clusters(corpus).collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("cluster"),
+        r.getAs[Long]("csize"), r.getAs[Boolean]("keep"))).sortBy(_._1)
+    // chaining merges all three through b even though a and c are
+    // NOT semantic duplicates of each other - and the min-id member
+    // (a, an endpoint, not the hub) is the surviving representative:
+    // exactly the concentration behavior max_csize exists to surface
+    assert(got.toSeq == Seq(
+      (1L, 1L, 3L, true), (2L, 1L, 3L, false), (3L, 1L, 3L, false)))
   }
 }
