@@ -134,6 +134,7 @@ object PlanDump {
       "g13_reciprocity" -> "reciprocity: distinct directed edges, id-only swapped-key semi-join, 1-row report",
       "p13_quarantine" -> "quarantine: narrow corruption/flag maps, one equality FK join, 4-row routing audit",
       "w26_temp_anomaly" -> "temperature anomaly: normals window rides w12's cell-key shuffle — no extra exchange",
+      "w27_blob_tracks" -> "blob tracks: (box, day)-grain arithmetic-key graph (spatial wrap + temporal successor), stars-contraction labels, track aggregate",
       "t28_langid_confusion" -> "lang-ID confusion: t3's narrow scoring map, one (true, predicted) aggregate, totals join",
       "t29_trigram_langid" -> "trigram NB lang-ID: broadcast profile join over a narrow trigram explode, one doc-grain aggregate, langs^2 matrix",
     )

@@ -944,4 +944,107 @@ object Weather {
       |FROM hotc h JOIN comp c ON c.id = h.id
       |GROUP BY c.blob
       |ORDER BY c.blob""".stripMargin
+
+  // ---------- w27: spatiotemporal heat-blob TRACKS ----------
+
+  /** The track threshold: within 0.02 K of the synthetic
+    * temperature's 303.15 K saturation cap — sparse (~20% of
+    * cell-days) yet persistent enough that blobs actually drift and
+    * survive across days (at the cap itself every box-day is an
+    * isolated singleton — measured), and bitwise identical in both
+    * engines (hi is the oracle-green w12 value).
+    */
+  private val w27HotK = 303.13
+
+  /** w27: HEAT-BLOB TRACKING — the spatioTEMPORAL extension of w25
+    * (storm/heatwave tracking: the event-catalog product a weather
+    * pipeline derives from gridded dailies; same shape as cyclone
+    * tracking in reanalysis post-processing). A TRACK is a connected
+    * component of hot (5°-box, day) nodes under BOTH adjacency
+    * kinds: spatial (w25's arithmetic east-with-wrap / north
+    * neighbor keys, same day) and temporal (the SAME box on
+    * consecutive days) — so a blob that drifts, splits or merges
+    * over days stays ONE event, exactly how storm catalogs define
+    * lifetime. Per track: box-day count, distinct boxes, distinct
+    * days, first/last day and the peak box occupancy (raw cells at
+    * cap inside one box-day).
+    *
+    * Scale shape: everything heavy rides w12's daily machinery; the
+    * track graph lives at the (box, day) grain — a ~100-1000×
+    * contraction of cell grain — with id-only arithmetic-key edges
+    * (no spatial join, no cartesian; w25's discipline plus one
+    * temporal equality self-join), closed by ccStars' log-round
+    * contraction. The node id packs (box, day) as box·1000 + day —
+    * collision-free (day < 1000) and pure integer math both engines.
+    */
+  def w27(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val hotd = w12Daily(spark, dir)
+      .filter($"hi" > w27HotK)
+      .selectExpr(
+        "CAST(floor((lat + 70.0) / 5.0 + 0.5) AS BIGINT) * 72 " +
+          "+ CAST(floor((lon + 177.5) / 5.0 + 0.5) AS BIGINT) AS cell",
+        "lday")
+      .groupBy($"cell", $"lday")
+      .agg(count(lit(1)).as("n_raw"))
+      .selectExpr("cell * 1000 + lday AS nid", "cell", "lday", "n_raw")
+      .cache()
+    val ids = hotd.select($"nid", $"cell", $"lday")
+    val spatialE = ids
+      .selectExpr("nid AS src",
+        "((cell div 72) * 72 + ((cell % 72) + 1) % 72) * 1000 + lday AS nb")
+      .unionAll(ids.selectExpr("nid AS src", "(cell + 72) * 1000 + lday AS nb"))
+    val temporalE = ids.selectExpr("nid AS src", "cell * 1000 + lday + 1 AS nb")
+    val edges = spatialE.unionAll(temporalE)
+      .join(ids.select($"nid".as("nb")), Seq("nb"))
+      .selectExpr("src", "nb AS dst")
+    val (labels, _, conv) = Dedup.ccStars(edges, 50)
+    require(conv, "w27 ccStars did not converge within 50 rounds")
+    hotd.join(labels.withColumnRenamed("id", "nid"), Seq("nid"), "left_outer")
+      .select(coalesce($"lbl", $"nid").as("track"), $"cell", $"lday", $"n_raw")
+      .groupBy($"track")
+      .agg(count(lit(1)).as("n_box_days"),
+        countDistinct($"cell").as("n_boxes"),
+        countDistinct($"lday").as("n_days"),
+        min($"lday").as("first_day"),
+        max($"lday").as("last_day"),
+        max($"n_raw").as("peak_box_cells"))
+      .transform(Tables.ordered(_, $"track"))
+  }
+
+  /** w27 oracle: w12's daily CTE prefix, identical packed (box, day)
+    * node ids and arithmetic edge keys (spatial wrap + temporal
+    * successor), min-label recursive closure, track-grain aggregate.
+    */
+  val w27Sql: String =
+    s"""${w12SqlDaily.replaceFirst("WITH ", "WITH RECURSIVE ")},
+      |hotd AS (
+      |  SELECT cell, lday, cell * 1000 + lday AS nid,
+      |    CAST(count(*) AS BIGINT) AS n_raw
+      |  FROM (SELECT CAST(floor((lat + 70.0) / 5.0 + 0.5) AS BIGINT) * 72
+      |            + CAST(floor((lon + 177.5) / 5.0 + 0.5) AS BIGINT) AS cell,
+      |          lday
+      |        FROM daily WHERE hi > $w27HotK)
+      |  GROUP BY cell, lday),
+      |e AS (
+      |  SELECT h.nid AS src, n.nid AS dst FROM hotd h
+      |  JOIN hotd n ON n.nid = ((h.cell // 72) * 72 + ((h.cell % 72) + 1) % 72) * 1000 + h.lday
+      |  UNION ALL
+      |  SELECT h.nid, n.nid FROM hotd h JOIN hotd n ON n.nid = (h.cell + 72) * 1000 + h.lday
+      |  UNION ALL
+      |  SELECT h.nid, n.nid FROM hotd h JOIN hotd n ON n.nid = h.cell * 1000 + h.lday + 1),
+      |und AS (SELECT src, dst FROM e UNION SELECT dst, src FROM e),
+      |reach(id, lbl) AS (
+      |  SELECT nid, nid FROM hotd
+      |  UNION
+      |  SELECT u.dst, r.lbl FROM reach r JOIN und u ON u.src = r.id),
+      |comp AS (SELECT id, min(lbl) AS track FROM reach GROUP BY id)
+      |SELECT c.track, count(*) AS n_box_days,
+      |  CAST(count(DISTINCT h.cell) AS BIGINT) AS n_boxes,
+      |  CAST(count(DISTINCT h.lday) AS BIGINT) AS n_days,
+      |  min(h.lday) AS first_day, max(h.lday) AS last_day,
+      |  max(h.n_raw) AS peak_box_cells
+      |FROM hotd h JOIN comp c ON c.id = h.nid
+      |GROUP BY c.track
+      |ORDER BY c.track""".stripMargin
 }

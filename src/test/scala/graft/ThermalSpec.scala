@@ -188,6 +188,48 @@ class ThermalSpec extends AnyFunSuite {
     assert(got.forall { case (b, _, _, _) => cells.contains(b) })
   }
 
+  test("w27: tracks equal a sequential spatiotemporal union-find; multi-day tracks exist") {
+    val daily = Weather.w12(spark, sf).collect()
+      .map(r => (r.getAs[Double]("lat"), r.getAs[Double]("lon"),
+        r.getAs[Long]("lday"), r.getAs[Double]("hi")))
+    // the same (box, day) nodes: 5-degree key, hot mask, packed nid
+    val hotd = daily.filter(_._4 > 303.13)
+      .groupBy(r => (math.round((r._1 + 70.0) / 5.0) * 72L +
+        math.round((r._2 + 177.5) / 5.0), r._3))
+      .map { case ((cell, lday), rs) => (cell * 1000 + lday, cell, lday, rs.size.toLong) }
+      .toSeq
+    val nodes = hotd.map(_._1).toSet
+    val parent = scala.collection.mutable.Map(nodes.map(c => c -> c).toSeq: _*)
+    def find(x: Long): Long =
+      if (parent(x) == x) x else { val r = find(parent(x)); parent(x) = r; r }
+    hotd.foreach { case (nid, cell, lday, _) =>
+      val east = ((cell / 72) * 72 + ((cell % 72) + 1) % 72) * 1000 + lday
+      val north = (cell + 72) * 1000 + lday
+      val tomorrow = cell * 1000 + lday + 1
+      Seq(east, north, tomorrow).filter(nodes.contains).foreach { nb =>
+        val (ra, rb) = (find(nid), find(nb))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+    }
+    val want = hotd.groupBy(h => find(h._1)).map { case (track, hs) =>
+      (track, hs.size.toLong, hs.map(_._2).distinct.size.toLong,
+        hs.map(_._3).distinct.size.toLong, hs.map(_._3).min, hs.map(_._3).max,
+        hs.map(_._4).max)
+    }.toSeq.sortBy(_._1)
+    val got = Weather.w27(spark, sf).collect()
+      .map(r => (r.getAs[Long]("track"), r.getAs[Long]("n_box_days"),
+        r.getAs[Long]("n_boxes"), r.getAs[Long]("n_days"),
+        r.getAs[Long]("first_day"), r.getAs[Long]("last_day"),
+        r.getAs[Long]("peak_box_cells"))).toSeq
+    assert(got == want && got.nonEmpty)
+    // the tracking is doing temporal work: some track spans multiple
+    // days, and lifetimes are consistent
+    assert(got.exists(_._4 > 1L), "no multi-day track — threshold degenerate")
+    got.foreach { case (_, nbd, nb, nd, fd, ld, _) =>
+      assert(ld - fd + 1 >= nd && nbd >= nb && nbd >= nd)
+    }
+  }
+
   test("w20: fills carry the latest prior observation; leading holes stay absent") {
     val spark = SharedSpark.spark
     import spark.implicits._
