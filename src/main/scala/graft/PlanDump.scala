@@ -130,6 +130,7 @@ object PlanDump {
       "t27_zipf_audit" -> "Zipf audit: one explode + term aggregate, vocab-grain rank window, 1-row fit + broadcast totals",
       "v20_mips" -> "MIPS: broadcast query codebook over the weighted corpus stream, quantized raw dot, two-level bounded rank",
       "v21_graph_ann" -> "graph ANN: best-first beam over the undirected kNN graph — frontier-graph equality joins on node ids, bounded visited set, vectors attach by pk",
+      "v22_beam_profile" -> "beam profile: one search, per-hop checkpointed states read as 1-row stat aggregates, 7-row curve",
       "e17_seasonality" -> "seasonality: epoch-arithmetic hour key, one 24-row map-side-combined aggregate, 1-row broadcast totals",
       "g13_reciprocity" -> "reciprocity: distinct directed edges, id-only swapped-key semi-join, 1-row report",
       "p13_quarantine" -> "quarantine: narrow corruption/flag maps, one equality FK join, 4-row routing audit",

@@ -1907,7 +1907,15 @@ object Knn {
     * score evaluations regardless of corpus size — the property
     * that makes graph ANN the serving structure of choice.
     */
-  def v21(spark: SparkSession, dir: String): DataFrame = {
+  /** The shared search engine of [[v21]]/[[v22]]: graph build, seed
+    * scoring and the best-first hop loop. Returns every hop's
+    * visited state (v22 profiles the whole anytime curve; v21 reads
+    * only the last) plus the brute-force ground-truth hits.
+    * `keepAll` retains intermediate checkpoints instead of freeing
+    * them (required when every state is still a consumer).
+    */
+  private[graft] def v21Search(spark: SparkSession, dir: String,
+      keepAll: Boolean = false): (Seq[DataFrame], DataFrame) = {
     import spark.implicits._
     val e = vectors(spark, dir)
     // traverse UNDIRECTED (kNN edges + their reverses, deduped) —
@@ -1948,6 +1956,7 @@ object Knn {
     // seeds is a ≤16-row bounded set: the crossJoin is a broadcast
     var visited = cut(score(qids.crossJoin(broadcast(seeds)))
       .withColumn("exp", lit(0)))
+    val states = scala.collection.mutable.ArrayBuffer(visited)
     var hop = 0
     while (hop < hops) {
       val wq = Window.partitionBy($"qid").orderBy($"score".desc, $"node")
@@ -1964,17 +1973,24 @@ object Knn {
         .join(visited.select($"qid", $"node"), Seq("qid", "node"), "left_anti")
       val next = cut(marked
         .unionByName(score(cand).withColumn("exp", lit(0))))
-      if (ckpt) graft.functions.Lineage.freeCheckpoint(visited)
+      if (ckpt && !keepAll) graft.functions.Lineage.freeCheckpoint(visited)
       visited = next
+      states += next
       hop += 1
     }
-    val beamTop = visited.withColumn("rnk", row_number().over(
-        Window.partitionBy($"qid").orderBy($"score".desc, $"node")))
-      .filter($"rnk" <= knnK)
-      .select($"qid", $"rnk", $"node".as("vec_id"), $"score".as("cos_sim"))
     val brute = topK(denseScored(spark, dir, "vec_id < 10", "vec_id >= 10"),
         "cos_sim", knnK)
       .select($"qid", $"vec_id", lit(1L).as("hit"))
+    (states.toSeq, brute)
+  }
+
+  def v21(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val (states, brute) = v21Search(spark, dir)
+    val beamTop = states.last.withColumn("rnk", row_number().over(
+        Window.partitionBy($"qid").orderBy($"score".desc, $"node")))
+      .filter($"rnk" <= knnK)
+      .select($"qid", $"rnk", $"node".as("vec_id"), $"score".as("cos_sim"))
     beamTop.join(brute, Seq("qid", "vec_id"), "left")
       .selectExpr("qid", "rnk", "vec_id", "cos_sim",
         "coalesce(hit, CAST(0 AS BIGINT)) AS in_exact")
@@ -1986,7 +2002,11 @@ object Knn {
     * scores / visited per hop), brute-force ground truth, and the
     * in_exact flag — bitwise.
     */
-  val v21Sql: String = {
+  /** The generated CTE chain shared by the v21 and v22 oracles:
+    * normalization, corpus-only graph, seeds, the unrolled best-first
+    * hops (v0..v[[v21Hops]]) and the brute-force ground truth.
+    */
+  private def v21CteChain: String = {
     def hop(i: Int): String =
       s"""f$i AS (SELECT qid, node FROM (
          |        SELECT qid, node, row_number() OVER (PARTITION BY qid ORDER BY score DESC, node) AS rn
@@ -2001,7 +2021,7 @@ object Knn {
          |          round(list_inner_product(q.nv, x.nv) * 1e6) / 1e6 AS score
          |        FROM c$i c JOIN mq q ON q.vec_id = c.qid JOIN mc x ON x.vec_id = c.node),
          |v$i AS MATERIALIZED (SELECT * FROM u$i UNION ALL SELECT qid, node, score, 0 AS exp FROM s$i)""".stripMargin
-    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    s"""e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
       |n AS (SELECT vec_id, v, sqrt(list_inner_product(v, v)) AS nrm FROM e),
       |m AS (SELECT vec_id, list_transform(v, x -> x / nrm) AS nv FROM n),
       |mq AS MATERIALIZED (SELECT vec_id, nv FROM m WHERE vec_id < 10),
@@ -2029,7 +2049,12 @@ object Knn {
       |          SELECT q.vec_id AS qid, c.vec_id,
       |            row_number() OVER (PARTITION BY q.vec_id
       |              ORDER BY round(list_inner_product(q.nv, c.nv) * 1e6) / 1e6 DESC, c.vec_id) AS rnk
-      |          FROM mq q CROSS JOIN mc c) WHERE rnk <= $knnK),
+      |          FROM mq q CROSS JOIN mc c) WHERE rnk <= $knnK)""".stripMargin
+  }
+
+  /** v21 oracle: the shared chain + final rank and in_exact flag. */
+  val v21Sql: String =
+    s"""WITH $v21CteChain,
       |r AS (SELECT qid, node AS vec_id, score AS cos_sim,
       |        CAST(row_number() OVER (PARTITION BY qid ORDER BY score DESC, node) AS INTEGER) AS rnk
       |      FROM v$v21Hops)
@@ -2038,5 +2063,61 @@ object Knn {
       |FROM r LEFT JOIN brute b ON b.qid = r.qid AND b.vec_id = r.vec_id
       |WHERE r.rnk <= $knnK
       |ORDER BY r.qid, r.rnk""".stripMargin
+
+  // ---------- v22: anytime beam profile (recall vs hops) ----------
+
+  /** v22: the ANYTIME PROFILE of v21's beam search — recall@k and
+    * exploration cost after EVERY hop (0 = seeds only), the tuning
+    * curve that answers "how many hops does this graph need?" the
+    * way v19 answers it for IVF's nprobe. One row per hop: total
+    * visited nodes across queries (the cost — each hop adds at most
+    * queries × beam × degree), the top-k size, ground-truth hits
+    * among the per-query top-k of the visited set, and recall in
+    * permille (non-negative integral division, §8.39). The curve's
+    * shape is the operator's value: recall monotone in hops with
+    * visibly diminishing returns per unit cost — the knob a serving
+    * deployment reads to trade latency for recall.
+    *
+    * Scale shape: identical to v21 (the search runs ONCE — profiling
+    * reads each hop's checkpointed state, never re-searches); the
+    * per-hop stats are 1-row aggregates crossed as broadcasts.
+    */
+  def v22(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val (states, brute) = v21Search(spark, dir, keepAll = true)
+    states.zipWithIndex.map { case (vis, h) =>
+      val top = vis.withColumn("rnk", row_number().over(
+          Window.partitionBy($"qid").orderBy($"score".desc, $"node")))
+        .filter($"rnk" <= knnK)
+        .select($"qid", $"node".as("vec_id"))
+        .join(brute, Seq("qid", "vec_id"), "left")
+        .agg(count(lit(1)).as("n_top"),
+          sum(coalesce($"hit", lit(0L))).as("n_hits"))
+      vis.agg(count(lit(1)).as("n_visited"))
+        .crossJoin(broadcast(top))
+        .selectExpr(s"CAST($h AS BIGINT) AS hop", "n_visited", "n_top",
+          "n_hits", "(n_hits * 1000) div n_top AS recall_permille")
+    }.reduce(_.unionByName(_))
+      .transform(graft.Tables.ordered(_, $"hop"))
+  }
+
+  /** v22 oracle: the shared chain + one rank/stat block per hop. */
+  val v22Sql: String = {
+    val stats = (0 to v21Hops).map { h =>
+      s"""r$h AS (SELECT qid, node, row_number() OVER (PARTITION BY qid ORDER BY score DESC, node) AS rnk FROM v$h),
+         |st$h AS (SELECT CAST($h AS BIGINT) AS hop,
+         |    (SELECT CAST(count(*) AS BIGINT) FROM v$h) AS n_visited,
+         |    CAST(count(*) AS BIGINT) AS n_top,
+         |    CAST(sum(CASE WHEN b.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits
+         |  FROM r$h r LEFT JOIN brute b ON b.qid = r.qid AND b.vec_id = r.node
+         |  WHERE r.rnk <= $knnK)""".stripMargin
+    }.mkString(",\n")
+    val un = (0 to v21Hops).map(h => s"SELECT * FROM st$h").mkString(" UNION ALL ")
+    s"""WITH $v21CteChain,
+      |$stats
+      |SELECT hop, n_visited, n_top, n_hits,
+      |  (n_hits * 1000) // n_top AS recall_permille
+      |FROM ($un)
+      |ORDER BY hop""".stripMargin
   }
 }

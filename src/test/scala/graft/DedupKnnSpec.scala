@@ -1663,4 +1663,28 @@ class DedupKnnSpec extends AnyFunSuite {
     assert(got.toSeq == Seq(
       (1L, 1L, 3L, true), (2L, 1L, 3L, false), (3L, 1L, 3L, false)))
   }
+
+  test("v22: the anytime curve is monotone and its last point equals v21's recall") {
+    val rows = Knn.v22(spark, sf).collect()
+      .map(r => (r.getAs[Long]("hop"), r.getAs[Long]("n_visited"),
+        r.getAs[Long]("n_top"), r.getAs[Long]("n_hits"),
+        r.getAs[Long]("recall_permille"))).sortBy(_._1)
+    assert(rows.map(_._1).toSeq == (0L to 6L))
+    // cost grows (until the reachable set saturates) and recall
+    // never goes DOWN with more exploration: the visited set only
+    // grows, so its top-k only improves
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(b._2 >= a._2, "visited set shrank")
+      assert(b._4 >= a._4 && b._5 >= a._5, "recall regressed with more hops")
+    }
+    // internal consistency + the curve's last point IS v21's recall
+    rows.foreach { case (_, _, nTop, nHits, rp) =>
+      assert(nHits <= nTop && rp == nHits * 1000 / nTop)
+    }
+    val v21Hits = Knn.v21(spark, sf).collect()
+      .map(_.getAs[Long]("in_exact")).sum
+    assert(rows.last._4 == v21Hits)
+    // the search does real work: the curve must actually rise
+    assert(rows.last._4 > rows.head._4, "flat curve - search useless")
+  }
 }
