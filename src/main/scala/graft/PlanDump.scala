@@ -127,6 +127,7 @@ object PlanDump {
       "m12_audio_vad" -> "audio VAD: batched decode fan-out, islands window and segment aggregate share one doc-key shuffle",
       "m13_mjpeg_scenes" -> "MJPEG scenes: two narrow codec stages (container build / parse + real per-frame JPEG decode), one doc-key shuffle for windows + aggregate",
       "dq2_psi_drift" -> "PSI drift: one scan, row-local struct explode, 60-row histogram aggregate, decimal term algebra",
+      "dq3_benford" -> "Benford audit: per-table scans, (column, digit) map-side aggregate, metadata totals join",
       "t27_zipf_audit" -> "Zipf audit: one explode + term aggregate, vocab-grain rank window, 1-row fit + broadcast totals",
       "v20_mips" -> "MIPS: broadcast query codebook over the weighted corpus stream, quantized raw dot, two-level bounded rank",
       "v21_graph_ann" -> "graph ANN: best-first beam over the undirected kNN graph — frontier-graph equality joins on node ids, bounded visited set, vectors attach by pk",

@@ -238,6 +238,102 @@ object Quality {
       |FROM scored WHERE rn = 1
       |ORDER BY lat, lon""".stripMargin
   }
+
+  // ---------- dq3: Benford first-digit audit ----------
+
+  /** Benford expected shares log10(1 + 1/d) in micro-units, baked as
+    * identical literals into BOTH engines (computed once here, so
+    * no cross-engine transcendental ever runs at query time).
+    */
+  private val benfordMicro: Seq[Long] =
+    (1 to 9).map(d => math.floor(math.log10(1.0 + 1.0 / d) * 1e6).toLong)
+
+  /** The audited (table, column) money/amount fields. */
+  private val dq3Cols = Seq(
+    ("lineitem", "l_extendedprice"),
+    ("lineitem", "l_quantity"),
+    ("orders", "o_totalprice"))
+
+  /** dq3: BENFORD FIRST-DIGIT AUDIT (Benford 1938; Nigrini 1996's
+    * fraud-detection use) — the distribution-shape check a quality
+    * pipeline runs on money/amount columns: naturally occurring
+    * multi-magnitude amounts put digit d first with probability
+    * log10(1+1/d) (30.1% ones … 4.6% nines); fabricated, capped or
+    * uniformly generated amounts don't. Per (column, first digit):
+    * exact count, observed share ×10⁶, the Benford expectation ×10⁶
+    * (baked literals — [[benfordMicro]]) and the absolute deviation.
+    * On THIS fixture all three columns deviate hard (uniform
+    * synthetic amounts, range caps) — the audit correctly flags the
+    * data as machine-generated, which is precisely the signal
+    * Benford screening exists for (t27's Zipf argument on the
+    * numeric grain; the spec asserts the detection).
+    *
+    * First-digit extraction is EXACT: the value's cents integer
+    * (floor(x·100 + 0.5), the e14 convention) renders to a string
+    * and takes its first character — no float log10 at query time,
+    * so boundary values cannot flip digits across engines. Shares
+    * and deviations are non-negative integral divisions (§8.39).
+    *
+    * Scale shape: one scan per audited table, a (column, digit)
+    * map-side-combined aggregate (≤ 9·|columns| rows), per-column
+    * totals joined at metadata grain — audit cost is the scans,
+    * state is bounded forever (the dq2/HistQ sketch contract:
+    * digit counts are mergeable, so the same aggregate IS a
+    * streaming state if needed).
+    */
+  def dq3(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val li = Tables.lineitem(spark, dir)
+    val ord = Tables.orders(spark, dir)
+    def leg(df: DataFrame, table: String, col0: String): DataFrame =
+      df.filter(org.apache.spark.sql.functions.col(col0) > 0)
+        .selectExpr(s"'$col0' AS col_name",
+          s"substring(CAST(CAST(floor($col0 * 100 + 0.5) AS BIGINT) AS STRING), 1, 1) AS digit")
+    val counts = dq3Cols.map { case (t, c) =>
+      leg(if (t == "lineitem") li else ord, t, c)
+    }.reduce(_.unionByName(_))
+      .groupBy($"col_name", $"digit")
+      .agg(count(lit(1)).as("n"))
+    val benfordCase = (1 to 9).map(d =>
+      s"WHEN '$d' THEN CAST(${benfordMicro(d - 1)} AS BIGINT)")
+      .mkString("CASE digit ", " ", " ELSE CAST(0 AS BIGINT) END")
+    counts
+      .join(counts.groupBy($"col_name").agg(sum($"n").as("col_total")),
+        Seq("col_name"))
+      .selectExpr("col_name", "CAST(digit AS BIGINT) AS digit", "n",
+        "(n * 1000000) div col_total AS share_micro",
+        s"$benfordCase AS benford_micro")
+      .selectExpr("col_name", "digit", "n", "share_micro", "benford_micro",
+        "abs(share_micro - benford_micro) AS dev_micro")
+      .transform(graft.Tables.ordered(_,
+        org.apache.spark.sql.functions.col("col_name"),
+        org.apache.spark.sql.functions.col("digit")))
+  }
+
+  /** dq3 oracle: identical cents-string digit extraction, counts,
+    * integral shares and the same baked Benford literals.
+    */
+  val dq3Sql: String = {
+    val legs = dq3Cols.map { case (t, c) =>
+      s"""SELECT '$c' AS col_name,
+         |  substr(CAST(CAST(floor($c * 100 + 0.5) AS BIGINT) AS VARCHAR), 1, 1) AS digit
+         |FROM $t WHERE $c > 0""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    val benfordCase = (1 to 9).map(d =>
+      s"WHEN '$d' THEN CAST(${benfordMicro(d - 1)} AS BIGINT)")
+      .mkString("CASE digit ", " ", " ELSE CAST(0 AS BIGINT) END")
+    s"""WITH d AS ($legs),
+      |c AS (SELECT col_name, digit, CAST(count(*) AS BIGINT) AS n
+      |      FROM d GROUP BY 1, 2),
+      |t AS (SELECT col_name, CAST(sum(n) AS BIGINT) AS col_total
+      |      FROM c GROUP BY 1)
+      |SELECT c.col_name, CAST(c.digit AS BIGINT) AS digit, c.n,
+      |  (c.n * 1000000) // t.col_total AS share_micro,
+      |  $benfordCase AS benford_micro,
+      |  abs((c.n * 1000000) // t.col_total - ($benfordCase)) AS dev_micro
+      |FROM c JOIN t USING (col_name)
+      |ORDER BY col_name, digit""".stripMargin
+  }
 }
 
 /** Distinct grid cells shared by w15's two sides. */
@@ -249,4 +345,5 @@ object ThermalCells {
 
   val cellsSql: String =
     s"SELECT DISTINCT lat, lon FROM (${graft.functions.ThermalChain.sql(1)})"
+
 }

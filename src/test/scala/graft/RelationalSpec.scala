@@ -1772,4 +1772,45 @@ class RelationalSpec extends AnyFunSuite {
       assert(ev.isEmpty || hit * 2 > ev.length, s"$lg eval: $hit/${ev.length}")
     }
   }
+
+  test("dq3: Benford audit equals a sequential recompute and flags the synthetic amounts") {
+    import graft.operators.Quality
+    val got = Quality.dq3(spark, sf).collect()
+      .map(r => ((r.getAs[String]("col_name"), r.getAs[Long]("digit")),
+        (r.getAs[Long]("n"), r.getAs[Long]("share_micro"),
+          r.getAs[Long]("benford_micro"), r.getAs[Long]("dev_micro")))).toMap
+    val benford = (1 to 9).map(d =>
+      d.toLong -> math.floor(math.log10(1.0 + 1.0 / d) * 1e6).toLong).toMap
+    // Benford shares are a probability distribution (floor slack < 9 micro)
+    assert(math.abs(benford.values.sum - 1000000L) < 9L)
+    def digits(vals: Seq[Double]): Map[Long, Long] =
+      vals.filter(_ > 0)
+        .map(v => math.floor(v * 100 + 0.5).toLong.toString.head.toString.toLong)
+        .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val li = Tables.lineitem(spark, sf)
+      .selectExpr("l_extendedprice", "CAST(l_quantity AS DOUBLE) AS q")
+      .as[(Double, Double)].collect()
+    val ord = Tables.orders(spark, sf).selectExpr("o_totalprice")
+      .as[Double].collect()
+    val cols = Seq(
+      "l_extendedprice" -> digits(li.map(_._1).toSeq),
+      "l_quantity" -> digits(li.map(_._2).toSeq),
+      "o_totalprice" -> digits(ord.toSeq))
+    val want = cols.flatMap { case (cn, dm) =>
+      val tot = dm.values.sum
+      dm.toSeq.map { case (d, n) =>
+        val share = n * 1000000L / tot
+        val b = benford.getOrElse(d, 0L)
+        ((cn, d), (n, share, b, math.abs(share - b)))
+      }
+    }.toMap
+    assert(got == want && got.nonEmpty)
+    // the detection: every synthetic amount column deviates far
+    // beyond the natural-data band (~2pp) - the audit correctly
+    // flags the fixture as machine-generated amounts
+    cols.foreach { case (cn, _) =>
+      val maxDev = got.collect { case ((c, _), v) if c == cn => v._4 }.max
+      assert(maxDev > 20000L, s"$cn looks Benford - fixture changed?")
+    }
+  }
 }
