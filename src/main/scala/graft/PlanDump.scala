@@ -113,6 +113,7 @@ object PlanDump {
       "d19_boilerplate" -> "boilerplate removal: digest-led (source,line) frequency aggregate, source-grain ratio join, one doc-key reassembly shuffle",
       "m11_patch_extract" -> "patch extraction: one narrow codec stage, row-local 16-patch fan-out, zero shuffles",
       "g10_hyperball" -> "HyperBall: per-round edges-registers equality join + (node,reg) max-merge aggregate, n-row estimate tables joined by node key",
+      "g14_anf" -> "ANF: one 1-row aggregate over the HyperBall ball table + row-local 4-row unpivot",
       "v19_recall_sweep" -> "IVF sweep: candidates scored once with their min probe level, 4-row grid expansion, one (nprobe,qid) two-level rank",
       "e15_rfm" -> "RFM: user-grain aggregate + sketch-threshold quintiles (axis-partitioned histogram windows, 1-row threshold broadcast) — no unpartitioned window",
       "d20_threshold_sweep" -> "dedup sweep: pairs scored once via inverted-index joins, 5-row tau grid expands row-local, one (tau,grade) aggregate",

@@ -1244,4 +1244,56 @@ object Graph {
       |JOIN deg db ON db.u = c.b
       |ORDER BY c.cn DESC, pa DESC, c.a, c.b
       |LIMIT 100""".stripMargin
+
+  // ---------- g14: neighborhood function / effective-diameter profile ----------
+
+  /** g14: the NEIGHBORHOOD FUNCTION N(r) — the corpus-level distance
+    * profile (Palmer et al. 2002's ANF; Boldi & Vigna 2013 §5 run
+    * HyperBall for exactly this, and the "effective diameter ≈ 6.x"
+    * web-graph headlines are read off this curve): N(r) = Σ_v
+    * |B(v, r)| counts reachable pairs within r hops, so the curve's
+    * saturation point IS the graph's effective diameter, the number
+    * that decides how many rounds every g-family traversal needs.
+    * One row per radius 0..3: the pair count (N(0) = n, self-balls),
+    * its growth over the previous radius, and reachable-pair
+    * coverage in permille of n² (§8.39 — all quantities ≥ 0, growth
+    * included: g10's ball estimates are clamped monotone).
+    *
+    * Built AS ONE AGGREGATE over g10's per-node HyperBall balls —
+    * the whole point of the register formulation: the all-pairs
+    * distance profile of a 10⁹-node graph costs g10's three rounds
+    * plus a 1-row aggregate, never an all-pairs BFS. The 4-row
+    * curve unpivots from that aggregate row-locally (stack).
+    */
+  def g14(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    g10(spark, dir)
+      .agg(count(lit(1)).as("n"), sum($"b1").as("s1"),
+        sum($"b2").as("s2"), sum($"b3").as("s3"))
+      .selectExpr(
+        """stack(4,
+          |  CAST(0 AS BIGINT), n, n, n,
+          |  CAST(1 AS BIGINT), s1, s1 - n, n,
+          |  CAST(2 AS BIGINT), s2, s2 - s1, n,
+          |  CAST(3 AS BIGINT), s3, s3 - s2, n) AS (r, nf, growth, n)""".stripMargin)
+      .selectExpr("r", "nf", "growth",
+        "(nf * 1000) div (n * n) AS coverage_permille")
+      .transform(graft.Tables.ordered(_, $"r"))
+  }
+
+  /** g14 oracle: g10's full generated query as a subquery, the same
+    * 1-row aggregate and 4-row unpivot.
+    */
+  val g14Sql: String =
+    s"""WITH hb AS ($g10Sql),
+      |a AS (SELECT CAST(count(*) AS BIGINT) AS n,
+      |        CAST(sum(b1) AS BIGINT) AS s1, CAST(sum(b2) AS BIGINT) AS s2,
+      |        CAST(sum(b3) AS BIGINT) AS s3 FROM hb),
+      |c AS (SELECT CAST(0 AS BIGINT) AS r, n AS nf, n AS growth, n FROM a
+      |      UNION ALL SELECT 1, s1, s1 - n, n FROM a
+      |      UNION ALL SELECT 2, s2, s2 - s1, n FROM a
+      |      UNION ALL SELECT 3, s3, s3 - s2, n FROM a)
+      |SELECT r, nf, growth, (nf * 1000) // (n * n) AS coverage_permille
+      |FROM c
+      |ORDER BY r""".stripMargin
 }

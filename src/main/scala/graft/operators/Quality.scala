@@ -281,19 +281,21 @@ object Quality {
     * digit counts are mergeable, so the same aggregate IS a
     * streaming state if needed).
     */
-  def dq3(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    val li = Tables.lineitem(spark, dir)
-    val ord = Tables.orders(spark, dir)
-    def leg(df: DataFrame, table: String, col0: String): DataFrame =
-      df.filter(org.apache.spark.sql.functions.col(col0) > 0)
-        .selectExpr(s"'$col0' AS col_name",
-          s"substring(CAST(CAST(floor($col0 * 100 + 0.5) AS BIGINT) AS STRING), 1, 1) AS digit")
-    val counts = dq3Cols.map { case (t, c) =>
-      leg(if (t == "lineitem") li else ord, t, c)
-    }.reduce(_.unionByName(_))
-      .groupBy($"col_name", $"digit")
-      .agg(count(lit(1)).as("n"))
+  /** The (col_name, digit) rows for one audited column — ONE
+    * implementation shared by dq3 and its streaming twin s28 (the
+    * dq2/s27 sharing contract): the digit extraction is row-local,
+    * so the downstream count is a bounded algebraic state.
+    */
+  private[graft] def dq3Digits(df: DataFrame, col0: String): DataFrame =
+    df.filter(org.apache.spark.sql.functions.col(col0) > 0)
+      .selectExpr(s"'$col0' AS col_name",
+        s"substring(CAST(CAST(floor($col0 * 100 + 0.5) AS BIGINT) AS STRING), 1, 1) AS digit")
+
+  /** The Benford report from a (col_name, digit, n) count table —
+    * shared by dq3 and s28.
+    */
+  private[graft] def dq3Report(counts: DataFrame): DataFrame = {
+    import counts.sparkSession.implicits._
     val benfordCase = (1 to 9).map(d =>
       s"WHEN '$d' THEN CAST(${benfordMicro(d - 1)} AS BIGINT)")
       .mkString("CASE digit ", " ", " ELSE CAST(0 AS BIGINT) END")
@@ -308,6 +310,18 @@ object Quality {
       .transform(graft.Tables.ordered(_,
         org.apache.spark.sql.functions.col("col_name"),
         org.apache.spark.sql.functions.col("digit")))
+  }
+
+  def dq3(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val li = Tables.lineitem(spark, dir)
+    val ord = Tables.orders(spark, dir)
+    val counts = dq3Cols.map { case (t, c) =>
+      dq3Digits(if (t == "lineitem") li else ord, c)
+    }.reduce(_.unionByName(_))
+      .groupBy($"col_name", $"digit")
+      .agg(count(lit(1)).as("n"))
+    dq3Report(counts)
   }
 
   /** dq3 oracle: identical cents-string digit extraction, counts,

@@ -737,6 +737,43 @@ object EventStreams {
   /** s27 oracle: dq2's, verbatim — the twin contract. */
   val s27Sql: String = graft.operators.Quality.dq2Sql
 
+  /** s28: STREAMING BENFORD AUDIT — dq3's first-digit screen at the
+    * ingest door (the s27 offline/online split on the numeric
+    * grain): the lineitem amount columns arrive AS A STREAM and
+    * their digit counts are the bounded algebraic streaming state
+    * (≤ 9 rows per column, forever — counts only grow and merge by
+    * sum, the HLL/CMS contract), while the orders leg reads
+    * offline; the shared [[graft.operators.Quality.dq3Report]]
+    * turns the merged counts into the same report, so a fabricated-
+    * amounts source alarms while data is still landing, not at the
+    * end of the day. Digit extraction is dq3Digits VERBATIM (the
+    * twin contract) — row-local, so the stream never holds rows.
+    */
+  def s28(spark: SparkSession, dir: String): DataFrame = {
+    val ss = streamSession(spark)
+    graft.Tables.tsConfs(ss)
+    val schema = ss.read.parquet(s"$dir/lineitem.parquet").schema
+    val liStream = ss.readStream.schema(schema)
+      .option("pathGlobFilter", "lineitem.parquet").parquet(dir)
+    val liCounts = graft.operators.Quality.dq3Digits(liStream, "l_extendedprice")
+      .unionByName(graft.operators.Quality.dq3Digits(liStream, "l_quantity"))
+      .groupBy(col("col_name"), col("digit"))
+      .agg(count(lit(1)).as("n"))
+    val liC = runToTable(ss, liCounts, OutputMode.Complete())
+    val ordC = graft.operators.Quality.dq3Digits(
+        ss.read.parquet(s"$dir/orders.parquet"), "o_totalprice")
+      .groupBy(col("col_name"), col("digit"))
+      .agg(count(lit(1)).as("n"))
+    // the report self-joins its count table (per-column totals);
+    // checkpoint the ≤27-row union so the memory-sink view's
+    // attributes don't conflict across the self-join
+    graft.operators.Quality.dq3Report(
+      liC.unionByName(ordC).localCheckpoint())
+  }
+
+  /** s28 oracle: dq3's, verbatim — the twin contract. */
+  val s28Sql: String = graft.operators.Quality.dq3Sql
+
   /** s26 oracle: batch recompute of the first-20-gaps decision. */
   val s26Sql: String =
     s"""WITH ev AS (SELECT user_id, event_id,

@@ -1813,4 +1813,26 @@ class RelationalSpec extends AnyFunSuite {
       assert(maxDev > 20000L, s"$cn looks Benford - fixture changed?")
     }
   }
+
+  test("g14: the neighborhood function is exactly the aggregate of g10's balls") {
+    val balls = graft.operators.Graph.g10(spark, sf).collect()
+      .map(r => (r.getAs[Long]("b1"), r.getAs[Long]("b2"), r.getAs[Long]("b3")))
+    val n = balls.length.toLong
+    val (s1, s2, s3) = (balls.map(_._1).sum, balls.map(_._2).sum, balls.map(_._3).sum)
+    val want = Seq(
+      (0L, n, n, n * 1000 / (n * n)),
+      (1L, s1, s1 - n, s1 * 1000 / (n * n)),
+      (2L, s2, s2 - s1, s2 * 1000 / (n * n)),
+      (3L, s3, s3 - s2, s3 * 1000 / (n * n)))
+    val got = graft.operators.Graph.g14(spark, sf).collect()
+      .map(r => (r.getAs[Long]("r"), r.getAs[Long]("nf"),
+        r.getAs[Long]("growth"), r.getAs[Long]("coverage_permille"))).toSeq
+    assert(got == want)
+    // the curve is a distance profile: monotone, anchored at the
+    // self-balls, still growing at the horizon (the fixture graph's
+    // effective diameter exceeds 3 rounds)
+    assert(got.head._2 == n)
+    assert(got.sliding(2).forall { case Seq(a, b) => b._2 >= a._2 })
+    assert(got.last._3 > 0, "balls saturated - fixture graph changed?")
+  }
 }

@@ -913,4 +913,36 @@ class StreamingPipelineSpec extends AnyFunSuite {
       == pairs)
     assert(streamed.map(_.getAs[Long]("rk")).toSeq == (1L to 100L))
   }
+
+  test("s28 single-batch run equals batch dq3; digit-count state merges across batches") {
+    // contract parity: one batch == the batch Benford report, bitwise
+    val streamed = graft.streaming.EventStreams.s28(spark, sf).collect()
+      .map(r => (r.getAs[String]("col_name"), r.getAs[Long]("digit"), r.getAs[Long]("n"),
+        r.getAs[Long]("share_micro"), r.getAs[Long]("benford_micro"), r.getAs[Long]("dev_micro"))).toSeq
+    val batch = graft.operators.Quality.dq3(spark, sf).collect()
+      .map(r => (r.getAs[String]("col_name"), r.getAs[Long]("digit"), r.getAs[Long]("n"),
+        r.getAs[Long]("share_micro"), r.getAs[Long]("benford_micro"), r.getAs[Long]("dev_micro"))).toSeq
+    assert(streamed == batch && streamed.nonEmpty)
+    // multi-batch: the same rows split across two batches must land
+    // the identical digit histogram (counts are algebraic state)
+    val ns = spark.newSession()
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = ns.sqlContext
+    import ns.implicits._
+    val mem = MemoryStream[Double]
+    val src = mem.toDS().toDF("l_extendedprice")
+    val agg = graft.operators.Quality.dq3Digits(src, "l_extendedprice")
+      .groupBy($"col_name", $"digit").agg(count(lit(1)).as("n"))
+    val name = "s28_state_test"
+    val q = agg.writeStream.outputMode(OutputMode.Complete())
+      .format("memory").queryName(name).start()
+    try {
+      mem.addData(123.45, 90.10, 0.0)   // digits 1, 9; zero excluded
+      q.processAllAvailable()
+      mem.addData(19999.99, 950.0)      // digits 1 (again), 9 (again)
+      q.processAllAvailable()
+      val rows = ns.table(name).collect()
+        .map(r => (r.getAs[String]("digit"), r.getAs[Long]("n"))).toMap
+      assert(rows == Map("1" -> 2L, "9" -> 2L), s"state merge wrong: $rows")
+    } finally q.stop()
+  }
 }
