@@ -29,6 +29,7 @@ object PlanDump {
       "q22_grouping_sets" -> "grouping sets: one Expand + partial/final hash aggregate",
       "t10_decontam" -> "decontamination: gram-equality join, no doc-pair blowup",
       "t11_lm_score" -> "bigram LM: distributed count tables joined back by gram",
+      "t30_perplexity_bins" -> "perplexity bins: distributed LM joins + one doc-grain aggregate + 256-row histogram + 1-row threshold broadcasts",
       "v5_pq_adc" -> "PQ: codes-only corpus scan + broadcast ADC tables",
       "e6_anomaly" -> "z-score: window moments, one shuffle, no self-join",
       "v6_sq_int8" -> "SQ: integer-dot scoring over the quantized corpus stream",

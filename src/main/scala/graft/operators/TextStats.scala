@@ -397,7 +397,11 @@ object TextStats {
     * not a broadcast. Each ln is quantized at 1e9 (SURVEY §8 rule 4)
     * and per-doc averaging is an exact integer sum / count.
     */
-  def t11(spark: SparkSession, dir: String): DataFrame = {
+  /** The per-bigram quantized log-likelihood table (doc_id, lp9) —
+    * t11's whole chain up to the per-doc aggregate, shared by t11
+    * and t30's perplexity binning.
+    */
+  private[operators] def t11Lp9(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val bi = Tables.documents(spark, dir)
       .selectExpr("doc_id", "split(lower(trim(text)), ' ') AS words")
@@ -416,14 +420,23 @@ object TextStats {
       .crossJoin(broadcast(vdf))
       .withColumn("lp9",
         floor(log(($"c12" + 1) / ($"c1" + $"v")) * 1e9 + lit(0.5)).cast("long"))
+      .select($"doc_id", $"lp9")
+  }
+
+  def t11(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    t11Lp9(spark, dir)
       .groupBy($"doc_id")
       .agg(count(lit(1)).as("n_bigrams"),
         ((sum($"lp9") / count(lit(1))) / 1e9).as("avg_logprob"))
       .orderBy($"doc_id")
   }
 
-  val t11Sql: String =
-    """WITH w AS (SELECT doc_id, string_split(lower(trim(text)), ' ') AS words FROM documents),
+  /** The oracle CTE chain producing `lp` (doc_id, lp9) — shared by
+    * t11 and t30.
+    */
+  private val t11LpCtes: String =
+    """w AS (SELECT doc_id, string_split(lower(trim(text)), ' ') AS words FROM documents),
       |bi AS (SELECT doc_id, unnest(
       |         CASE WHEN len(words) >= 2
       |           THEN list_transform(range(0, len(words) - 1),
@@ -437,7 +450,10 @@ object TextStats {
       |        (SELECT w1 AS w FROM bg UNION SELECT w2 FROM bg)),
       |lp AS (SELECT doc_id,
       |         CAST(floor(ln((c12 + 1) / (c1 + (SELECT CAST(v AS DOUBLE) FROM v))) * 1e9 + 0.5) AS BIGINT) AS lp9
-      |       FROM bg JOIN c12 USING (w1, w2) JOIN c1 USING (w1))
+      |       FROM bg JOIN c12 USING (w1, w2) JOIN c1 USING (w1))""".stripMargin
+
+  val t11Sql: String =
+    s"""WITH $t11LpCtes
       |SELECT doc_id, count(*) AS n_bigrams,
       |  (CAST(sum(lp9) AS BIGINT) / count(*)) / 1e9 AS avg_logprob
       |FROM lp GROUP BY doc_id
@@ -1754,4 +1770,93 @@ object TextStats {
       |FROM cells c JOIN tot t ON t.lang = c.lang
       |ORDER BY c.lang, c.predicted""".stripMargin
   }
+
+  // ---------- t30: perplexity binning (CCNet head/middle/tail) ----------
+
+  /** t30: PERPLEXITY BINNING — the CCNet data-selection recipe
+    * (Wenzek et al. 2020, "CCNet: Extracting High Quality Monolingual
+    * Datasets from Web Crawl Data"): score every document with the
+    * corpus LM and split the corpus into head / middle / tail
+    * perplexity thirds — the quality tiers LLM pretraining mixes at
+    * different rates. The LM is t11's add-one bigram chain SHARED
+    * VERBATIM ([[t11Lp9]]); per doc the exact mean negative
+    * log-likelihood in nano-units, nll9 = (−Σ lp9) div n — both
+    * operands non-negative (log-probs ≤ 0), so integral div is
+    * floor in both engines (§8.39) — and the tier from e15's
+    * sketch-threshold machinery: 256-cell nll9 histogram (width =
+    * max div 256 + 1), 333/667-permille threshold buckets off the
+    * cumulative sums, tier = 1 + #thresholds strictly below the
+    * doc's bucket (head = most fluent = lowest nll). No
+    * user-grain window anywhere — the e15 conversion's discipline
+    * from day one; the only window rides the ≤256-row histogram
+    * (HistQ.locate's documented metadata-grain class).
+    *
+    * Scale shape: t11's distributed count-table joins (the LM is a
+    * table, never a broadcast) + ONE doc-grain aggregate; the
+    * histogram is a ≤256-row id-free aggregate; width and the two
+    * thresholds ride 1-row broadcasts; labels attach in a final
+    * narrow map.
+    */
+  def t30(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val nll = t11Lp9(spark, dir)
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), sum($"lp9").as("s"))
+      .selectExpr("doc_id", "n_bigrams", "(-s) div n_bigrams AS nll9")
+      .cache()
+    val wdf = nll.agg(max($"nll9").as("mx"))
+      .selectExpr("(greatest(CAST(0 AS BIGINT), mx) div 256) + 1 AS w")
+    val bk = nll.crossJoin(broadcast(wdf))
+      .selectExpr("doc_id", "n_bigrams", "nll9",
+        "least(CAST(255 AS BIGINT), nll9 div w) AS bkt")
+    val hist = bk.groupBy($"bkt").agg(count(lit(1)).as("cnt"))
+    val wb = org.apache.spark.sql.expressions.Window.orderBy($"bkt") // ≤256 rows: metadata grain
+    val cum = hist
+      .withColumn("cum", sum($"cnt").over(wb.rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+      .withColumn("tot", sum($"cnt").over(wb.rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.unboundedFollowing)))
+    val th = cum
+      .crossJoin(broadcast(
+        spark.createDataFrame(Seq(333, 667).map(Tuple1(_))).toDF("q")))
+      .filter($"cum" * 1000 >= $"q" * $"tot")
+      .groupBy($"q").agg(min($"bkt").as("tb"))
+      .groupBy().agg(
+        max(when($"q" === 333, $"tb")).as("t1"),
+        max(when($"q" === 667, $"tb")).as("t2"))
+    bk.crossJoin(broadcast(th))
+      .selectExpr("doc_id", "n_bigrams", "nll9",
+        "CASE 1 + CAST(bkt > t1 AS INT) + CAST(bkt > t2 AS INT) " +
+          "WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS tier")
+      .transform(graft.Tables.ordered(_, $"doc_id"))
+  }
+
+  /** t30 oracle: t11's shared lp chain, identical exact nll, widths,
+    * permille thresholds and tier ladder (`nl`/`bk` MATERIALIZED —
+    * multi-consumer, §8.38).
+    */
+  val t30Sql: String =
+    s"""WITH $t11LpCtes,
+      |d AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+      |        CAST(sum(lp9) AS BIGINT) AS s FROM lp GROUP BY 1),
+      |nl AS MATERIALIZED (SELECT doc_id, n_bigrams, (-s) // n_bigrams AS nll9 FROM d),
+      |wd AS (SELECT (greatest(CAST(0 AS BIGINT), max(nll9)) // 256) + 1 AS w FROM nl),
+      |bk AS MATERIALIZED (SELECT doc_id, n_bigrams, nll9,
+      |        least(CAST(255 AS BIGINT), nll9 // w) AS bkt FROM nl, wd),
+      |h AS (SELECT bkt, CAST(count(*) AS BIGINT) AS cnt FROM bk GROUP BY 1),
+      |c AS (SELECT bkt, cnt,
+      |        CAST(sum(cnt) OVER (ORDER BY bkt) AS BIGINT) AS cum,
+      |        CAST(sum(cnt) OVER () AS BIGINT) AS tot
+      |      FROM h),
+      |qs AS (SELECT * FROM (VALUES (333), (667)) AS t(q)),
+      |loc AS (SELECT q, min(bkt) AS tb
+      |        FROM c CROSS JOIN qs WHERE cum * 1000 >= q * tot GROUP BY q),
+      |th AS (SELECT max(CASE WHEN q = 333 THEN tb END) AS t1,
+      |         max(CASE WHEN q = 667 THEN tb END) AS t2 FROM loc)
+      |SELECT doc_id, n_bigrams, nll9,
+      |  CASE 1 + CAST(bkt > t1 AS INT) + CAST(bkt > t2 AS INT)
+      |       WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS tier
+      |FROM bk, th
+      |ORDER BY doc_id""".stripMargin
 }

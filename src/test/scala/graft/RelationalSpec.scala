@@ -1835,4 +1835,52 @@ class RelationalSpec extends AnyFunSuite {
     assert(got.sliding(2).forall { case Seq(a, b) => b._2 >= a._2 })
     assert(got.last._3 > 0, "balls saturated - fixture graph changed?")
   }
+
+  test("t30: perplexity tiers equal a sequential recompute and honor the rank guarantee") {
+    import graft.operators.TextStats
+    val got = TextStats.t30(spark, sf).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_bigrams"),
+        r.getAs[Long]("nll9"), r.getAs[String]("tier")))
+    // sequential mirror: corpus bigram LM, add-one lp9, exact nll,
+    // 256-cell histogram, 333/667-permille thresholds, tier ladder
+    val docs = Tables.documents(spark, sf).selectExpr("doc_id", "lower(trim(text)) AS t")
+      .as[(Long, String)].collect()
+    val bigrams = docs.flatMap { case (id, t) =>
+      val ws = t.split(" ").toSeq
+      if (ws.length >= 2) ws.sliding(2).map(p => (id, p.head, p.last)).toSeq else Seq.empty
+    }
+    val c12 = bigrams.groupBy(b => (b._2, b._3)).view.mapValues(_.size.toLong).toMap
+    val c1 = bigrams.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val v = (bigrams.map(_._2) ++ bigrams.map(_._3)).distinct.size.toDouble
+    def lp9(w1: String, w2: String): Long =
+      math.floor(math.log((c12((w1, w2)) + 1).toDouble / (c1(w1) + v)) * 1e9 + 0.5).toLong
+    val nll = bigrams.groupBy(_._1).map { case (id, bs) =>
+      val s = bs.map(b => lp9(b._2, b._3)).sum
+      (id, bs.size.toLong, (-s) / bs.size)
+    }.toSeq
+    val w = math.max(0L, nll.map(_._3).max) / 256 + 1
+    def bkt(x: Long): Long = math.min(255L, x / w)
+    val hist = nll.map(n => bkt(n._3)).groupBy(identity).view.mapValues(_.size.toLong)
+      .toSeq.sortBy(_._1)
+    val tot = nll.size.toLong
+    val ths = Seq(333L, 667L).map { q =>
+      var cum = 0L
+      hist.find { case (_, c) => cum += c; cum * 1000 >= q * tot }.get._1
+    }
+    val want = nll.map { case (id, n, x) =>
+      val tier = 1 + ths.count(bkt(x) > _) match {
+        case 1 => "head"; case 2 => "middle"; case _ => "tail"
+      }
+      (id, n, x, tier)
+    }.sortBy(_._1)
+    assert(got.toSeq == want && got.nonEmpty)
+    // HistQ's one-sided rank guarantee: at least 333 permille of docs
+    // are head, at least 667 permille head-or-middle
+    assert(got.count(_._4 == "head") * 1000L >= 333L * tot)
+    assert(got.count(_._4 != "tail") * 1000L >= 667L * tot)
+    // tiers are monotone in nll: no head doc is less fluent than a tail doc
+    val maxHead = got.filter(_._4 == "head").map(_._3).max
+    val minTail = got.filter(_._4 == "tail").map(_._3).min
+    assert(maxHead <= minTail)
+  }
 }
