@@ -128,6 +128,7 @@ object PlanDump {
       "q35_hll_setops" -> "HLL set ops: one tagged scan feeds both register tables, union by max-merge (no rescan), one distinct for the exact audit",
       "m12_audio_vad" -> "audio VAD: batched decode fan-out, islands window and segment aggregate share one doc-key shuffle",
       "m13_mjpeg_scenes" -> "MJPEG scenes: two narrow codec stages (container build / parse + real per-frame JPEG decode), one doc-key shuffle for windows + aggregate",
+      "m14_png_meta" -> "PNG meta: one narrow chunk-walk mapPartitions stage, zero shuffles",
       "dq2_psi_drift" -> "PSI drift: one scan, row-local struct explode, 60-row histogram aggregate, decimal term algebra",
       "dq3_benford" -> "Benford audit: per-table scans, (column, digit) map-side aggregate, metadata totals join",
       "t27_zipf_audit" -> "Zipf audit: one explode + term aggregate, vocab-grain rank window, 1-row fit + broadcast totals",

@@ -1091,6 +1091,87 @@ object Media {
       |GROUP BY 1, 2
       |ORDER BY id_a, id_b""".stripMargin
 
+  // ---------- m14: PNG container metadata (chunk walk + CRC verify) ----------
+
+  case class PngMeta(doc_id: Long, width: Int, height: Int, bit_depth: Int,
+      color_type: Int, sig_ok: Boolean, ihdr_first: Boolean,
+      iend_last: Boolean, crc_ok: Boolean, idat_nonempty: Boolean)
+
+  /** Parse one PNG byte stream's container structure: signature,
+    * chunk walk (big-endian length, 4-char type, data, CRC32),
+    * IHDR geometry fields, per-chunk CRC VERIFICATION (the real
+    * java.util.zip.CRC32 over type+data vs the stored value) and
+    * stream-shape flags. Factored so the spec can feed a corrupted
+    * stream and prove the CRC check actually bites.
+    */
+  private[graft] def pngMeta(docId: Long, b: Array[Byte]): PngMeta = {
+    val sig = Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a)
+    val sigOk = b.length > 8 && (0 until 8).forall(i => (b(i) & 0xff) == sig(i))
+    def be32(p: Int): Int =
+      ((b(p) & 0xff) << 24) | ((b(p + 1) & 0xff) << 16) |
+        ((b(p + 2) & 0xff) << 8) | (b(p + 3) & 0xff)
+    var pos = 8
+    var first = true
+    var ihdrFirst = false
+    var lastTyp = ""
+    var crcOk = true
+    var idatLen = 0L
+    var w = 0; var h = 0; var depth = 0; var ct = 0
+    val crc = new java.util.zip.CRC32()
+    while (pos + 12 <= b.length) {
+      val len = be32(pos)
+      val typ = new String(b, pos + 4, 4, "US-ASCII")
+      crc.reset()
+      crc.update(b, pos + 4, 4 + len)
+      if (crc.getValue != (be32(pos + 8 + len) & 0xffffffffL)) crcOk = false
+      if (first) { ihdrFirst = typ == "IHDR"; first = false }
+      if (typ == "IHDR") {
+        w = be32(pos + 8); h = be32(pos + 12)
+        depth = b(pos + 16) & 0xff; ct = b(pos + 17) & 0xff
+      }
+      if (typ == "IDAT") idatLen += len
+      lastTyp = typ
+      pos += 12 + len
+    }
+    PngMeta(docId, w, h, depth, ct, sigOk, ihdrFirst,
+      lastTyp == "IEND" && pos == b.length, crcOk, idatLen > 0)
+  }
+
+  /** m14: MEDIA CONTAINER METADATA — the EXIF-class extraction pass
+    * every multimodal ingest runs before decode (format sniffing,
+    * geometry, integrity): walk the REAL PNG container m7 encodes
+    * (signature, length-prefixed chunks, IHDR geometry, CRC32 of
+    * every chunk VERIFIED against the stored value — corrupted
+    * payloads surface here, before a decoder ever runs) and emit
+    * geometry + structural health flags per document. The oracle
+    * side is the KNOWN structure of the encoder's output (8×8
+    * truecolor, depth 8, well-formed stream, all CRCs valid) — the
+    * m10 bounded-contract idiom: the executor PROVES the parse, the
+    * oracle pins what a healthy stream must look like, and the spec
+    * corrupts a byte to show the CRC gate bites (a broken parser
+    * or a constant-emitting fake cannot survive both).
+    *
+    * Scale: one narrow mapPartitions stage over the encoded
+    * binaries — zero shuffles; bytes never leave the stage.
+    */
+  def m14(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    m7Png(spark, dir)
+      .mapPartitions(_.map(r => pngMeta(r.doc_id, r.png)))
+      .toDF()
+      .transform(graft.Tables.ordered(_, $"doc_id"))
+  }
+
+  /** m14 oracle: the healthy-stream constants for every encoded doc
+    * (truecolor 8×8 at depth 8; flags all TRUE).
+    */
+  val m14Sql: String =
+    """SELECT doc_id, 8 AS width, 8 AS height, 8 AS bit_depth,
+      |  2 AS color_type, TRUE AS sig_ok, TRUE AS ihdr_first,
+      |  TRUE AS iend_last, TRUE AS crc_ok, TRUE AS idat_nonempty
+      |FROM documents WHERE doc_id % 3 = 0
+      |ORDER BY doc_id""".stripMargin
+
   // ---------- m13: REAL video leg — MJPEG container → decoded scene split ----------
 
   /** Per-frame scene-cut threshold and decode gate for [[m13]]:

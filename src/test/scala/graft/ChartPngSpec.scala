@@ -171,4 +171,46 @@ class ChartPngSpec extends AnyFunSuite {
     }
     assert(got.length == want.length && got.toMap == want.toMap)
   }
+
+  test("m14: chunk walk parses real PNGs; the CRC gate bites on corruption") {
+    import graft.operators.Media
+    val pngs = Media.m7Png(spark, sf).collect()
+    assert(pngs.nonEmpty)
+    // the engine result equals a direct per-doc parse
+    val got = Media.m14(spark, sf).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("width"), r.getAs[Int]("height"),
+        r.getAs[Int]("bit_depth"), r.getAs[Int]("color_type"), r.getAs[Boolean]("sig_ok"),
+        r.getAs[Boolean]("ihdr_first"), r.getAs[Boolean]("iend_last"),
+        r.getAs[Boolean]("crc_ok"), r.getAs[Boolean]("idat_nonempty"))).toSeq
+    val want = pngs.map { p =>
+      val m = Media.pngMeta(p.doc_id, p.png)
+      (m.doc_id, m.width, m.height, m.bit_depth, m.color_type, m.sig_ok,
+        m.ihdr_first, m.iend_last, m.crc_ok, m.idat_nonempty)
+    }.sortBy(_._1).toSeq
+    assert(got == want)
+    assert(got.forall(t => t._2 == 8 && t._3 == 8 && t._4 == 8 && t._5 == 2
+      && t._6 && t._7 && t._8 && t._9 && t._10))
+    // the verification is REAL: flip one data byte inside the IDAT
+    // chunk and the stored CRC no longer matches
+    val sample = pngs.head
+    val corrupted = sample.png.clone()
+    // find IDAT: walk chunks
+    var pos = 8
+    var idatData = -1
+    while (idatData < 0 && pos + 12 <= corrupted.length) {
+      val len = ((corrupted(pos) & 0xff) << 24) | ((corrupted(pos+1) & 0xff) << 16) |
+        ((corrupted(pos+2) & 0xff) << 8) | (corrupted(pos+3) & 0xff)
+      val typ = new String(corrupted, pos + 4, 4, "US-ASCII")
+      if (typ == "IDAT" && len > 0) idatData = pos + 8
+      pos += 12 + len
+    }
+    assert(idatData > 0, "no IDAT found")
+    corrupted(idatData) = (corrupted(idatData) ^ 0x5a).toByte
+    val cm = Media.pngMeta(sample.doc_id, corrupted)
+    assert(!cm.crc_ok, "corruption not caught - CRC check is fake")
+    assert(cm.sig_ok && cm.ihdr_first, "unrelated flags flipped")
+    // truncation kills the IEND/consumed invariant
+    val tm = Media.pngMeta(sample.doc_id, sample.png.dropRight(5))
+    assert(!tm.iend_last)
+  }
 }
