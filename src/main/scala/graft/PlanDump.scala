@@ -53,6 +53,7 @@ object PlanDump {
       "t16_bm25" -> "BM25: tf and df from one index subtree, broadcast query terms, bounded top-k",
       "q26_interval_overlap" -> "interval sweep: (day, hour-bucket) local scans + tiny day-keyed offset carry — no day-global point window",
       "d11_line_dedup" -> "line dedup: dup aggregate and join keyed on fnv64 digests; strings shuffle only for reassembly",
+      "d22_cdc_chunks" -> "CDC chunks: narrow window-hash chunker, (digest, length) distinct-mass aggregate, two 1-row stats crossed",
       "d12_substr_dedup" -> "substring dedup: gram digests through the dup aggregate, per-doc bounded span merge",
       "m6_phash_neardup" -> "pHash near-dup: 5-block pigeonhole bucket join, id-only payloads, bit_count verify",
       "p4_snapshot_diff" -> "snapshot diff: one full-outer pk join, row-local change classification",

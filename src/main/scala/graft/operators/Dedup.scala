@@ -1954,4 +1954,98 @@ object Dedup {
       |  (SELECT count(*) FROM chars) - (SELECT count(*) FROM roots),
       |  CAST(0 AS BIGINT), CAST(0 AS BIGINT)
       |ORDER BY csize""".stripMargin
+
+  // ---------- d22: content-defined chunking dedup ----------
+
+  /** The CDC window-hash boundary rule shared by both engines: a
+    * polynomial hash of the trailing 4 characters at position i,
+    * boundary where it ≡ 0 (mod 32) ⇒ expected chunk ≈ 32 chars.
+    * Pure positive integer arithmetic — identical everywhere.
+    */
+  private def d22HashExpr(ch: (String, String) => String, t: String, i: String): String =
+    s"(${ch(t, s"$i - 3")} * 29791 + ${ch(t, s"$i - 2")} * 961 + " +
+      s"${ch(t, s"$i - 1")} * 31 + ${ch(t, i)}) % 32 = 0"
+
+  /** d22: CONTENT-DEFINED CHUNKING dedup (the Rabin/Gear-CDC family
+    * — Muthitacharoen et al. 2001 "LBFS"; FastCDC, Xia et al. 2016)
+    * — the storage-dedup technique that splits text at CONTENT
+    * positions (where a rolling window hash hits a boundary
+    * pattern) instead of fixed offsets, so an insertion shifts only
+    * the chunk it lands in and every chunk after the next boundary
+    * realigns — the property fixed-size blocking fundamentally
+    * lacks (the spec PROVES it: a prefix-shifted copy re-shares all
+    * but its first chunks). Every document splits at positions
+    * where the trailing-4-char polynomial hash ≡ 0 mod 32; chunks
+    * digest through the shared FNV-1a expression; the corpus report
+    * is chunk-instance vs distinct-chunk mass: n_docs, chunks,
+    * distinct chunks (keyed (digest, length) — d16's collision
+    * discipline), character totals and the dedup savings in
+    * permille (§8.39 — all masses ≥ 0). The seeded exact-duplicate
+    * pairs (doc_id % 5 = 0, d1's fixture) guarantee real savings.
+    *
+    * Scale shape: boundary detection and chunk slicing are one
+    * NARROW map (per-char work bounded by text length); the only
+    * exchanges are the (digest, length) distinct-mass aggregate and
+    * two 1-row stat aggregates — chunk STRINGS never ride a
+    * shuffle, digests do (the d-family contract).
+    */
+  def d22(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val chunks = Tables.documents(spark, dir)
+      .selectExpr("doc_id", "lower(trim(text)) AS t")
+      .selectExpr("doc_id", "t",
+        "filter(transform(CASE WHEN length(t) >= 4 THEN sequence(4, length(t)) ELSE array() END, " +
+          s"i -> CASE WHEN ${d22HashExpr((t, i) => s"ascii(substring($t, $i, 1))", "t", "i")} THEN i ELSE -1 END), x -> x > 0) AS bs")
+      .selectExpr("doc_id", "t",
+        "concat(array(1), transform(bs, b -> b + 1)) AS ss",
+        "concat(bs, array(length(t))) AS es")
+      .selectExpr("doc_id",
+        "explode(filter(transform(sequence(1, size(ss)), " +
+          "j -> substring(t, element_at(ss, j), element_at(es, j) - element_at(ss, j) + 1)), c -> c <> '')) AS chunk")
+      .select($"doc_id", length($"chunk").as("clen"),
+        graft.functions.Fnv64.fnv64($"chunk").as("dg"))
+      .cache()
+    val inst = chunks.agg(countDistinct($"doc_id").as("n_docs"),
+      count(lit(1)).as("n_chunks"), sum($"clen").as("chars_total"))
+    val dist = chunks.groupBy($"dg", $"clen").agg(count(lit(1)).as("copies"))
+      .agg(count(lit(1)).as("n_distinct_chunks"),
+        sum($"clen").as("chars_distinct"))
+    inst.crossJoin(broadcast(dist))
+      .selectExpr("n_docs", "n_chunks", "n_distinct_chunks",
+        "chars_total", "chars_distinct",
+        "((chars_total - chars_distinct) * 1000) div chars_total AS savings_permille")
+  }
+
+  /** d22 oracle: identical window-hash boundaries, index-sliced
+    * chunks, FNV digests and mass aggregates.
+    */
+  val d22Sql: String = {
+    val ch = (t: String, i: String) => s"ord(substr($t, CAST($i AS INTEGER), 1))"
+    s"""WITH d AS (SELECT doc_id, lower(trim(text)) AS t FROM documents),
+      |bx AS (SELECT doc_id, t,
+      |    list_filter(list_transform(range(4, length(t) + 1),
+      |      i -> CASE WHEN ${d22HashExpr(ch, "t", "i")} THEN i ELSE CAST(-1 AS BIGINT) END), x -> x > 0) AS bs
+      |  FROM d),
+      |sx AS (SELECT doc_id, t,
+      |    list_concat([CAST(1 AS BIGINT)], list_transform(bs, b -> b + 1)) AS ss,
+      |    list_concat(bs, [CAST(length(t) AS BIGINT)]) AS es
+      |  FROM bx),
+      |ck AS (SELECT doc_id, unnest(list_filter(list_transform(range(1, len(ss) + 1),
+      |    j -> substr(t, CAST(ss[CAST(j AS INTEGER)] AS INTEGER),
+      |           CAST(es[CAST(j AS INTEGER)] - ss[CAST(j AS INTEGER)] + 1 AS INTEGER))),
+      |    c -> c <> '')) AS chunk
+      |  FROM sx),
+      |cd AS (SELECT doc_id, CAST(length(chunk) AS BIGINT) AS clen,
+      |    ${graft.functions.Fnv64.duckSigned("chunk")} AS dg
+      |  FROM ck),
+      |inst AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+      |    CAST(count(*) AS BIGINT) AS n_chunks,
+      |    CAST(sum(clen) AS BIGINT) AS chars_total FROM cd),
+      |dist AS (SELECT CAST(count(*) AS BIGINT) AS n_distinct_chunks,
+      |    CAST(sum(clen) AS BIGINT) AS chars_distinct
+      |  FROM (SELECT dg, clen FROM cd GROUP BY dg, clen))
+      |SELECT n_docs, n_chunks, n_distinct_chunks, chars_total, chars_distinct,
+      |  ((chars_total - chars_distinct) * 1000) // chars_total AS savings_permille
+      |FROM inst, dist""".stripMargin
+  }
 }

@@ -1687,4 +1687,45 @@ class DedupKnnSpec extends AnyFunSuite {
     // the search does real work: the curve must actually rise
     assert(rows.last._4 > rows.head._4, "flat curve - search useless")
   }
+
+  test("d22: CDC chunking equals a sequential recompute; boundaries realign after a shift") {
+    // sequential mirror of the chunker
+    def chunksOf(t: String): Seq[String] = {
+      val bs = (4 to t.length).filter { i =>
+        (t.charAt(i - 4).toInt * 29791 + t.charAt(i - 3).toInt * 961 +
+          t.charAt(i - 2).toInt * 31 + t.charAt(i - 1).toInt) % 32 == 0
+      }
+      val ss = 1 +: bs.map(_ + 1)
+      val es = bs :+ t.length
+      ss.zip(es).collect { case (s, e) if e >= s => t.substring(s - 1, e) }
+    }
+    val docs = Tables.documents(spark, sf)
+      .selectExpr("doc_id", "lower(trim(text)) AS t").as[(Long, String)].collect()
+    val all = docs.flatMap { case (id, t) => chunksOf(t).map(c => (id, c)) }
+    val nDocs = docs.length.toLong
+    val nChunks = all.length.toLong
+    val distinct = all.map { case (_, c) => (c.length.toLong, c) }.distinct
+    val charsTotal = all.map(_._2.length.toLong).sum
+    val charsDistinct = distinct.map(_._1).sum
+    val got = Dedup.d22(spark, sf).collect().map(r =>
+      (r.getAs[Long]("n_docs"), r.getAs[Long]("n_chunks"),
+        r.getAs[Long]("n_distinct_chunks"), r.getAs[Long]("chars_total"),
+        r.getAs[Long]("chars_distinct"), r.getAs[Long]("savings_permille"))).toSeq
+    // the engine keys distinct chunks by (fnv64, length); the mirror
+    // uses the strings themselves — equality also PROVES no digest
+    // collision merged distinct chunks on this corpus
+    assert(got == Seq((nDocs, nChunks, distinct.size.toLong, charsTotal,
+      charsDistinct, (charsTotal - charsDistinct) * 1000 / charsTotal)))
+    assert(got.head._6 > 0, "no savings - seeded duplicates missing?")
+    // the content-defined property: chunks realign after an insertion
+    // (fixed-size blocking would shift EVERY block after the edit)
+    val t = docs.map(_._2).find(_.length > 200).get
+    val shifted = "zq! " + t
+    val a = chunksOf(t).toSet
+    val b = chunksOf(shifted).toSet
+    val shared = a.intersect(b).map(_.length.toLong).sum
+    val mass = a.map(_.length.toLong).sum
+    assert(shared * 10 >= mass * 8,
+      s"CDC realignment failed: shared $shared of $mass")
+  }
 }
