@@ -21,6 +21,7 @@ object PlanDump {
       "w6_utci" -> "thermal chain: one scan, zero pre-sort shuffles",
       "q12_range_join" -> "band join via bucketed equality join",
       "q13_asof_custom" -> "custom as-of operator: exchanges/sorts inserted by EnsureRequirements",
+      "q36_asof_nearest" -> "nearest as-of: one union, one key exchange shared by the backward and forward window passes",
       "q14_range_custom" -> "custom interval operator: co-partitioned sliding merge",
       "d2_minhash_lsh" -> "MinHash/LSH: bucket joins + inverted-index verification",
       "v1_knn_brute" -> "broadcast-codebook scoring + bounded rank",

@@ -79,6 +79,80 @@ object AsOf {
       |  ON e.user_id = o.o_custkey AND e.ts2 >= o.o_orderdate
       |ORDER BY e.event_id""".stripMargin
 
+  /** q36: NEAREST as-of join (pandas merge_asof direction='nearest'
+    * — the variant Spark lacks even via composition recipes): for
+    * each event, the user's order CLOSEST in time, before OR after,
+    * ties to the earlier order. Built as TWO window passes over ONE
+    * union and ONE key shuffle: the backward pass is q11's
+    * last-ignoreNulls carry-forward; the forward pass mirrors it
+    * with first-ignoreNulls over the following frame — both windows
+    * partition on the same key, so Catalyst plans one Exchange with
+    * two Sorts (orders sort before events at equal t on the
+    * backward pass and after them on the forward pass, giving the
+    * inclusive ≥/≤ semantics on both sides). Linear in input like
+    * q11 — never an inequality-join pair blow-up. Distances are
+    * exact day integers; the tie rule (prev when equal) is the
+    * deterministic total order. The oracle runs DuckDB's native
+    * ASOF twice (≥ backward, ≤ forward) and combines with the same
+    * CASE — two engines, two mechanisms, one semantics.
+    */
+  def asOfNearest(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.events(spark, dir)
+      .withColumn("ts2", expr("timestampadd(DAY, CAST(event_id % 2400 AS INT), TIMESTAMP '1995-01-01 00:00:00')"))
+      .select($"user_id".as("key"), $"ts2".as("t"),
+        lit(1).as("is_event"), $"event_id",
+        lit(null).cast("timestamp").as("odate"))
+    val ord = Tables.orders(spark, dir)
+      .select($"o_custkey".as("key"), $"o_orderdate".as("t"),
+        lit(0).as("is_event"), lit(null).cast("long").as("event_id"),
+        $"o_orderdate".as("odate"))
+    val wB = Window.partitionBy($"key").orderBy($"t", $"is_event")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val wF = Window.partitionBy($"key").orderBy($"t", $"is_event".desc)
+      .rowsBetween(0, Window.unboundedFollowing)
+    ord.unionByName(ev)
+      .withColumn("prev_d", last($"odate", ignoreNulls = true).over(wB))
+      .withColumn("next_d", first($"odate", ignoreNulls = true).over(wF))
+      .filter($"is_event" === 1 && ($"prev_d".isNotNull || $"next_d".isNotNull))
+      .withColumn("dp", datediff($"t".cast("date"), $"prev_d".cast("date")))
+      .withColumn("dn", datediff($"next_d".cast("date"), $"t".cast("date")))
+      .withColumn("matched", when($"prev_d".isNull, $"next_d")
+        .when($"next_d".isNull, $"prev_d")
+        .when($"dp" <= $"dn", $"prev_d").otherwise($"next_d"))
+      .selectExpr("event_id", "key AS user_id",
+        "date_format(t, 'yyyy-MM-dd') AS event_day",
+        "date_format(matched, 'yyyy-MM-dd') AS order_day",
+        "CAST(least(coalesce(dp, 999999), coalesce(dn, 999999)) AS BIGINT) AS dist_days")
+      .orderBy($"event_id")
+  }
+
+  /** q36 oracle: DuckDB's native ASOF in both directions + the same
+    * nearest/tie CASE.
+    */
+  val asOfNearestSql: String =
+    """WITH e AS (SELECT event_id, user_id,
+      |        TIMESTAMP '1995-01-01 00:00:00' + (event_id % 2400) * INTERVAL 1 DAY AS ts2
+      |      FROM events),
+      |b AS (SELECT e.event_id, e.user_id, e.ts2, o.o_orderdate AS prev_d
+      |      FROM e ASOF LEFT JOIN orders o
+      |        ON e.user_id = o.o_custkey AND e.ts2 >= o.o_orderdate),
+      |f AS (SELECT e.event_id, o.o_orderdate AS next_d
+      |      FROM e ASOF LEFT JOIN orders o
+      |        ON e.user_id = o.o_custkey AND e.ts2 <= o.o_orderdate)
+      |SELECT b.event_id, b.user_id,
+      |  strftime(b.ts2, '%Y-%m-%d') AS event_day,
+      |  strftime(CASE WHEN prev_d IS NULL THEN next_d
+      |                WHEN next_d IS NULL THEN prev_d
+      |                WHEN datediff('day', CAST(prev_d AS DATE), CAST(b.ts2 AS DATE))
+      |                     <= datediff('day', CAST(b.ts2 AS DATE), CAST(next_d AS DATE)) THEN prev_d
+      |                ELSE next_d END, '%Y-%m-%d') AS order_day,
+      |  CAST(least(coalesce(datediff('day', CAST(prev_d AS DATE), CAST(b.ts2 AS DATE)), 999999),
+      |             coalesce(datediff('day', CAST(b.ts2 AS DATE), CAST(next_d AS DATE)), 999999)) AS BIGINT) AS dist_days
+      |FROM b JOIN f USING (event_id)
+      |WHERE prev_d IS NOT NULL OR next_d IS NOT NULL
+      |ORDER BY b.event_id""".stripMargin
+
   /** q12: band self-join — pairs of events of the same user within
     * (0, 5 min], counted per user, via time-bucketed equality join.
     */

@@ -920,6 +920,69 @@ object EventWindows {
       .transform(graft.Tables.ordered(_, $"hod"))
   }
 
+  // ---------- e18: inter-purchase hazard curve ----------
+
+  /** e18: PURCHASE HAZARD CURVE — the discrete time-to-event
+    * analysis (the Kaplan–Meier/life-table estimator's hazard
+    * column, Kaplan & Meier 1958) over inter-purchase gaps: for
+    * each gap length g (days between a user's consecutive purchase
+    * days), how many intervals ENDED at exactly g (events) out of
+    * those that REACHED g (at-risk), hazard = events/at-risk — the
+    * repurchase-timing curve a retention pipeline reads to place
+    * win-back interventions (where the hazard drops, customers have
+    * gone cold). Grain: distinct purchase DAYS per user (e14's
+    * absolute-day convention), gaps from one lag window.
+    *
+    * Exactness: gaps, counts and the suffix-cumulative at-risk are
+    * BIGINTs; hazard is a non-negative integral permille division
+    * (§8.39). The at-risk suffix sum runs on the GAP-VALUE grain
+    * (≤ observed-gap-range rows, bounded by the fixture's ~30-day
+    * span — HistQ's metadata-grain window class), never on user or
+    * event grain.
+    *
+    * Scale shape: ONE user-key exchange shared by the distinct and
+    * the lag window (the e-family contract), then a gap-value
+    * aggregate (map-side combined, ≤ range rows) and the bounded
+    * suffix window. At 10⁹ users the curve costs the purchase scan
+    * plus a ≤ few-hundred-row reduction.
+    */
+  def e18(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"day")
+    val gaps = Tables.events(spark, dir)
+      .filter($"event_type" === "purchase")
+      .selectExpr("user_id", s"$dayExpr AS day")
+      .distinct()
+      .withColumn("gap", $"day" - lag($"day", 1).over(w))
+      .filter($"gap".isNotNull)
+    val byGap = gaps.groupBy($"gap").agg(count(lit(1)).as("n_events"))
+    val ws = Window.orderBy($"gap") // gap-value grain: ≤ ~30 rows
+    byGap
+      .withColumn("n_at_risk", sum($"n_events").over(
+        ws.rowsBetween(0, Window.unboundedFollowing)))
+      .selectExpr("gap AS gap_day", "n_events", "n_at_risk",
+        "(n_events * 1000) div n_at_risk AS hazard_permille")
+      .transform(graft.Tables.ordered(_, $"gap_day"))
+  }
+
+  /** e18 oracle: identical day grain, lag gaps, gap-value counts,
+    * suffix at-risk and permille hazard.
+    */
+  val e18Sql: String =
+    """WITH p AS (SELECT DISTINCT user_id,
+      |        datediff('day', DATE '2023-12-31', CAST(ts AS DATE)) AS day
+      |      FROM events WHERE event_type = 'purchase'),
+      |g AS (SELECT user_id,
+      |        day - lag(day) OVER (PARTITION BY user_id ORDER BY day) AS gap
+      |      FROM p),
+      |c AS (SELECT CAST(gap AS BIGINT) AS gap, CAST(count(*) AS BIGINT) AS n_events
+      |      FROM g WHERE gap IS NOT NULL GROUP BY gap)
+      |SELECT gap AS gap_day, n_events,
+      |  CAST(sum(n_events) OVER (ORDER BY gap ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS BIGINT) AS n_at_risk,
+      |  (n_events * 1000) // CAST(sum(n_events) OVER (ORDER BY gap ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS BIGINT) AS hazard_permille
+      |FROM c
+      |ORDER BY gap_day""".stripMargin
+
   /** e17 oracle: identical epoch-hour key, exact sums, non-negative
     * integral divisions.
     */

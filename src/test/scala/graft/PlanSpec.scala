@@ -155,6 +155,21 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("q36: both nearest-as-of window passes share ONE key exchange") {
+    val p = plan(graft.operators.AsOf.asOfNearest(spark, sf))
+      .split("== Initial Plan ==")(0)
+    // two Sort+Window stages (backward carry / forward carry) must
+    // reuse ONE key exchange; the only other shuffle is the
+    // presentation orderBy. A third exchange would mean the forward
+    // pass re-shuffled the union.
+    val exchanges = "ShuffleQueryStage".r.findAllIn(p).length
+    val windows = p.linesIterator.count(_.matches(".*\\bWindow \\(\\d+\\).*"))
+    assert(windows == 2, s"expected two window passes, got $windows\n$p")
+    assert(exchanges <= 2,
+      s"expected one shared key exchange + presentation sort, got $exchanges\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("grid written clustered by cell: w12/w13-shaped agg+join needs zero exchanges") {
     import org.apache.spark.sql.functions._
     // SURVEY §9 row 1: write the thermal grid hive-partitioned by

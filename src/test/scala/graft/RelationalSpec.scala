@@ -1883,4 +1883,68 @@ class RelationalSpec extends AnyFunSuite {
     val minTail = got.filter(_._4 == "tail").map(_._3).min
     assert(maxHead <= minTail)
   }
+
+  test("e18: hazard curve equals a sequential life-table recompute") {
+    val got = EventWindows.e18(spark, sf).collect()
+      .map(r => (r.getAs[Long]("gap_day"), r.getAs[Long]("n_events"),
+        r.getAs[Long]("n_at_risk"), r.getAs[Long]("hazard_permille"))).toSeq
+    val days = Tables.events(spark, sf)
+      .filter("event_type = 'purchase'")
+      .selectExpr("user_id",
+        "CAST(datediff(CAST(ts AS DATE), DATE '2023-12-31') AS BIGINT) AS day")
+      .as[(Long, Long)].collect().distinct
+    val gaps = days.groupBy(_._1).values.flatMap { ds =>
+      val s = ds.map(_._2).sorted
+      s.zip(s.tail).map { case (a, b) => b - a }
+    }.toSeq
+    val byGap = gaps.groupBy(identity).view.mapValues(_.size.toLong).toSeq.sortBy(_._1)
+    val want = byGap.map { case (g, n) =>
+      val atRisk = gaps.count(_ >= g).toLong
+      (g, n, atRisk, n * 1000 / atRisk)
+    }
+    assert(got == want && got.nonEmpty)
+    // life-table invariants: the first at-risk pool is every interval,
+    // at-risk never grows with gap length, events exhaust the pool
+    assert(got.head._3 == gaps.length.toLong)
+    assert(got.sliding(2).forall { case Seq(a, b) => b._3 <= a._3 })
+    assert(got.map(_._2).sum == gaps.length.toLong)
+  }
+
+  test("q36: nearest as-of equals a sequential recompute and genuinely beats backward-only") {
+    import graft.operators.AsOf
+    val got = AsOf.asOfNearest(spark, sf).collect()
+      .map(r => (r.getAs[Long]("event_id"), r.getAs[Long]("user_id"),
+        r.getAs[String]("event_day"), r.getAs[String]("order_day"),
+        r.getAs[Long]("dist_days"))).toSeq
+    val ev = Tables.events(spark, sf)
+      .selectExpr("event_id", "user_id",
+        "CAST(timestampadd(DAY, CAST(event_id % 2400 AS INT), TIMESTAMP '1995-01-01 00:00:00') AS DATE) AS d")
+      .as[(Long, Long, java.sql.Date)].collect()
+    val ords = Tables.orders(spark, sf)
+      .selectExpr("o_custkey", "CAST(o_orderdate AS DATE) AS d")
+      .as[(Long, java.sql.Date)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2.toLocalDate.toEpochDay).sorted).toMap
+    val fmt = java.time.format.DateTimeFormatter.ISO_LOCAL_DATE
+    val want = ev.flatMap { case (eid, uid, d) =>
+      val t = d.toLocalDate.toEpochDay
+      ords.get(uid).filter(_.nonEmpty).map { os =>
+        val prev = os.filter(_ <= t).lastOption
+        val next = os.find(_ >= t)
+        val m = (prev, next) match {
+          case (Some(p), Some(n)) => if (t - p <= n - t) p else n
+          case (Some(p), None) => p
+          case (None, Some(n)) => n
+          case _ => sys.error("unreachable")
+        }
+        (eid, uid, java.time.LocalDate.ofEpochDay(t).format(fmt),
+          java.time.LocalDate.ofEpochDay(m).format(fmt), math.abs(m - t))
+      }
+    }.sortBy(_._1).toSeq
+    assert(got == want && got.nonEmpty)
+    // the forward arm does real work: some events match a FUTURE order
+    assert(got.exists(r => r._4 > r._3), "nearest degenerated to backward as-of")
+    // and the backward-only variant (q11) covers fewer events
+    val backRows = AsOf.asOfJoin(spark, sf).collect().length
+    assert(got.length > backRows, "nearest should cover events q11 cannot")
+  }
 }
