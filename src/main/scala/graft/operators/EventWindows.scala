@@ -956,6 +956,17 @@ object EventWindows {
       .withColumn("gap", $"day" - lag($"day", 1).over(w))
       .filter($"gap".isNotNull)
     val byGap = gaps.groupBy($"gap").agg(count(lit(1)).as("n_events"))
+    e18Report(byGap)
+  }
+
+  /** e18's report stage over a (gap, n_events) count table — shared
+    * verbatim with the streaming twin (s29), the s27/dq2 contract:
+    * the gap histogram is a mergeable sketch, so wherever the counts
+    * come from (one batch lag window or per-user streaming state),
+    * the same suffix at-risk + hazard algebra lands the same curve.
+    */
+  private[graft] def e18Report(byGap: DataFrame): DataFrame = {
+    import byGap.sparkSession.implicits._
     val ws = Window.orderBy($"gap") // gap-value grain: ≤ ~30 rows
     byGap
       .withColumn("n_at_risk", sum($"n_events").over(

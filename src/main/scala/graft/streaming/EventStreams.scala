@@ -774,6 +774,80 @@ object EventStreams {
   /** s28 oracle: dq3's, verbatim — the twin contract. */
   val s28Sql: String = graft.operators.Quality.dq3Sql
 
+  // ---------- s29: streaming repurchase hazard curve ----------
+
+  case class DayEv(user_id: Long, day: Long)
+  case class GapRow(user_id: Long, gap: Long)
+  case class LastDay(last: Long)
+
+  /** e18's distinct-day + lag gap extraction as per-user streaming
+    * state: ONE scalar (the last purchase day seen) per user,
+    * forever — each arriving purchase day strictly after it emits
+    * one gap row and advances the scalar; same-day repeats are
+    * swallowed (the batch `distinct()`). Within-batch rows sort by
+    * day; across batches the feed is event-time ordered (s23's
+    * documented contract).
+    */
+  class HazardGapProcessor extends org.apache.spark.sql.streaming.StatefulProcessor[Long, DayEv, GapRow] {
+    @transient private var st: org.apache.spark.sql.streaming.ValueState[LastDay] = _
+
+    override def init(outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      st = getHandle.getValueState[LastDay]("last",
+        org.apache.spark.sql.Encoders.product[LastDay],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[DayEv],
+        tv: org.apache.spark.sql.streaming.TimerValues): Iterator[GapRow] = {
+      val days = rows.map(_.day).toArray.sorted
+      var last = if (st.exists()) st.get().last else Long.MinValue
+      val out = scala.collection.mutable.ArrayBuffer.empty[GapRow]
+      days.foreach { d =>
+        if (last == Long.MinValue) last = d
+        else if (d > last) { out += GapRow(key, d - last); last = d }
+      }
+      st.update(LastDay(last))
+      out.iterator
+    }
+  }
+
+  def hazardStream(src: Dataset[DayEv]): Dataset[GapRow] = {
+    import src.sparkSession.implicits._
+    src.groupByKey(_.user_id)
+      .transformWithState(new HazardGapProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Append())
+  }
+
+  /** s29: STREAMING REPURCHASE HAZARD — e18's life-table curve kept
+    * live as purchases arrive (the s26/s27 always-on deployment):
+    * per-user state is ONE scalar (last purchase day — O(1) however
+    * long the user's history), each completed inter-purchase
+    * interval lands as an append-only gap row the micro-batch it
+    * closes, and the curve re-derives from the gap-value-grain
+    * count table (≤ ~30 rows — a mergeable histogram, the s27
+    * bounded-sketch argument) through
+    * [[graft.operators.EventWindows.e18Report]] SHARED VERBATIM.
+    * Oracle: e18's, unchanged — the twin contract.
+    */
+  def s29(spark: SparkSession, dir: String): DataFrame = {
+    val rs = rocksSession(spark)
+    graft.Tables.tsConfs(rs)
+    import rs.implicits._
+    val schema = rs.read.parquet(s"$dir/events.parquet").schema
+    val src = tsToTimestamp(rs.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet").parquet(dir))
+      .filter(col("event_type") === "purchase")
+      .selectExpr("user_id",
+        s"${graft.operators.EventWindows.dayExpr} AS day")
+      .as[DayEv]
+    val landed = runToTable(rs, hazardStream(src).toDF(), OutputMode.Append())
+    val byGap = landed.groupBy(col("gap")).agg(count(lit(1)).as("n_events"))
+    graft.operators.EventWindows.e18Report(byGap)
+  }
+
+  /** s29 oracle: e18's, verbatim — the twin contract. */
+  val s29Sql: String = graft.operators.EventWindows.e18Sql
+
   /** s26 oracle: batch recompute of the first-20-gaps decision. */
   val s26Sql: String =
     s"""WITH ev AS (SELECT user_id, event_id,

@@ -945,4 +945,37 @@ class StreamingPipelineSpec extends AnyFunSuite {
       assert(rows == Map("1" -> 2L, "9" -> 2L), s"state merge wrong: $rows")
     } finally q.stop()
   }
+
+  test("s29 single-batch run equals batch e18; last-day state carries gaps across batches") {
+    // contract parity: one micro-batch == the batch hazard curve, bitwise
+    def curve(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("gap_day"), r.getAs[Long]("n_events"),
+        r.getAs[Long]("n_at_risk"), r.getAs[Long]("hazard_permille"))).toSeq
+    val streamed = curve(graft.streaming.EventStreams.s29(spark, sf))
+    val batch = curve(graft.operators.EventWindows.e18(spark, sf))
+    assert(streamed == batch && streamed.nonEmpty)
+    // multi-batch: gaps must close ACROSS micro-batches from the one
+    // last-day scalar, and same-day repeats must be swallowed
+    val ns = spark.newSession()
+    ns.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = ns.sqlContext
+    import ns.implicits._
+    import graft.streaming.EventStreams.{DayEv, hazardStream}
+    val mem = MemoryStream[DayEv]
+    val name = "s29_state_test"
+    val q = hazardStream(mem.toDS()).toDF().writeStream
+      .outputMode(OutputMode.Append()).format("memory").queryName(name).start()
+    try {
+      mem.addData(DayEv(1L, 10L), DayEv(1L, 10L), DayEv(2L, 5L)) // dup day swallowed
+      q.processAllAvailable()
+      mem.addData(DayEv(1L, 13L), DayEv(2L, 5L), DayEv(2L, 9L))  // gaps close across batches
+      q.processAllAvailable()
+      mem.addData(DayEv(1L, 14L))
+      q.processAllAvailable()
+      val rows = ns.table(name).collect()
+        .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("gap"))).toSeq.sorted
+      assert(rows == Seq((1L, 1L), (1L, 3L), (2L, 4L)), s"gap stream wrong: $rows")
+    } finally q.stop()
+  }
 }
