@@ -96,6 +96,7 @@ object PlanDump {
       "g4_components" -> "connected components: stars contraction round (two groupBy-min shuffles + distinct), labels joined back by id (final round's plan)",
       "v15_binary_hamming" -> "binary ANN: codegen bit_count hamming over broadcast query signatures, salted shortlist, equality-join vector fetch for rerank",
       "t24_hash_embed" -> "hashing trick: explode + codegen FNV narrow map, one (doc,dim) map-side-combined shuffle",
+      "t31_nfc_normalize" -> "NFC canonicalization: native codegen expression, one scan, zero data exchanges",
       "d16_url_dedup" -> "URL dedup: narrow canonicalization, dedup exchange keyed on the fnv64 digest",
       "p9_optout_purge" -> "opt-out purge: broadcast registry flag join + type-bounded audit aggregate, one corpus scan",
       "m9_audio_fingerprint" -> "audio landmarks: frame/peak/landmark windows on one doc-key shuffle, capped fp equality self-join",

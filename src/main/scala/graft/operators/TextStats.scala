@@ -1859,4 +1859,68 @@ object TextStats {
       |       WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS tier
       |FROM bk, th
       |ORDER BY doc_id""".stripMargin
+
+  // ---------- t31: Unicode NFC canonicalization audit ----------
+
+  /** t31: NFC CANONICALIZATION (UAX #15; round 10) — the
+    * normalization pass a corpus pipeline runs BEFORE every
+    * hash-keyed stage (d1's digest, d2's shingles, t4's
+    * fingerprint), because the composed ("é" U+00E9) and decomposed
+    * ("e"+U+0301 combining acute) spellings of the same text are
+    * different byte sequences that hash apart and silently survive
+    * exact dedup. The synthetic corpus is ASCII (already NFC), so
+    * the fixture DERIVES both real spellings per doc in-query — the
+    * t28 seeded-fixture discipline: `dirty` spells every 'e' with
+    * the combining mark, `composed` spells it precomposed — and the
+    * audit proves [[graft.functions.NfcNormalize]] (a native
+    * codegen'd Catalyst expression; Spark has no built-in
+    * normalizer) collapses dirty onto composed byte-for-byte:
+    * `collapses` = 1 on every doc, `n_composed` counts the
+    * compositions (= the doc's 'e' count), the length columns pin
+    * the codepoint arithmetic. Canonical composition is fully
+    * specified by Unicode and stable across versions, so the JDK
+    * normalizer and DuckDB's utf8proc `nfc_normalize` agree
+    * bitwise — the cross-engine oracle IS the conformance check.
+    *
+    * Scale shape: one narrow row-local projection inside
+    * whole-stage codegen (the expression fast-paths
+    * already-normalized strings with a scan-only check and zero
+    * copies) — zero data exchanges; the only shuffle is the
+    * presentation sort. At 100 TB this runs at scan speed alongside
+    * the digest it feeds.
+    */
+  def t31(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    // Spark's chr() keeps byte semantics (n % 256), so the marks are
+    // source unicode escapes: dirty = decomposed e+U+0301, composed =
+    // precomposed U+00E9
+    Tables.documents(spark, dir)
+      .selectExpr("doc_id",
+        "regexp_replace(text, 'e', 'e\u0301') AS dirty",
+        "regexp_replace(text, 'e', '\u00e9') AS composed")
+      .withColumn("norm", graft.functions.NfcNormalize.nfc($"dirty"))
+      .selectExpr("doc_id",
+        "CAST(length(dirty) AS BIGINT) AS len_decomposed",
+        "CAST(length(norm) AS BIGINT) AS len_nfc",
+        "CAST(length(dirty) - length(norm) AS BIGINT) AS n_composed",
+        "CAST(CASE WHEN norm = composed THEN 1 ELSE 0 END AS BIGINT) AS collapses")
+      .transform(graft.Tables.ordered(_, $"doc_id"))
+  }
+
+  /** t31 oracle: the same derived spellings, DuckDB's utf8proc
+    * `nfc_normalize`, the same codepoint-length algebra.
+    */
+  val t31Sql: String =
+    """WITH v AS (SELECT doc_id,
+      |        regexp_replace(text, 'e', 'e' || chr(769), 'g') AS dirty,
+      |        regexp_replace(text, 'e', chr(233), 'g') AS composed
+      |      FROM documents),
+      |n AS (SELECT doc_id, dirty, composed, nfc_normalize(dirty) AS norm FROM v)
+      |SELECT doc_id,
+      |  CAST(length(dirty) AS BIGINT) AS len_decomposed,
+      |  CAST(length(norm) AS BIGINT) AS len_nfc,
+      |  CAST(length(dirty) - length(norm) AS BIGINT) AS n_composed,
+      |  CAST(CASE WHEN norm = composed THEN 1 ELSE 0 END AS BIGINT) AS collapses
+      |FROM n
+      |ORDER BY doc_id""".stripMargin
 }

@@ -586,6 +586,19 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("WindowGroupLimit"), s"shortlist rank pushdown missing:\n$p")
   }
 
+  test("t31: NFC normalization is one codegen projection, zero data exchanges") {
+    val pFull = plan(graft.operators.TextStats.t31(spark, sf))
+    val p = pFull.split("== Initial Plan ==")(0)
+    assert("Scan parquet".r.findAllIn(p).length == 1)
+    // the native expression appears in the projection and never
+    // falls out of whole-stage codegen (no UDF eval nodes)
+    assert(pFull.contains("nfcnormalize"), s"native expression missing:\n$pFull")
+    assert(!p.contains("BatchEvalPython") && !p.contains("MapElements"))
+    // row-local audit: the only shuffle is the presentation sort
+    val exchanges = "ShuffleQueryStage".r.findAllIn(p).length
+    assert(exchanges <= 1, s"normalization path shuffled:\n$p")
+  }
+
   test("t24: hashed features cost one scan, one explode, one shuffle") {
     val p = plan(graft.operators.TextStats.t24(spark, sf)).split("== Initial Plan ==")(0)
     assert("Scan parquet".r.findAllIn(p).length == 1)

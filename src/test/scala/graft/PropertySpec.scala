@@ -33,6 +33,24 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("NfcNormalize matches the JDK normalizer, is idempotent, and fast-paths NFC input") {
+    import org.apache.spark.unsafe.types.UTF8String
+    val nfc = java.text.Normalizer.Form.NFC
+    // random mixes of ASCII, precomposed latin-1 accents and combining marks
+    val piece = Gen.oneOf(Gen.asciiPrintableStr,
+      Gen.oneOf("é", "à", "ñ", "é", "à", "ñ", "́"))
+    forAll(Gen.listOf(piece).map(_.mkString)) { s =>
+      val got = graft.functions.NfcNormalize.nfc(UTF8String.fromString(s)).toString
+      assert(got == java.text.Normalizer.normalize(s, nfc))
+      // idempotent: normalizing the output is the identity
+      val u = UTF8String.fromString(got)
+      assert(graft.functions.NfcNormalize.nfc(u) eq u) // fast path: SAME object back
+    }
+    // the canonical pairs the t31 fixture rests on
+    assert(graft.functions.NfcNormalize.nfc(UTF8String.fromString("é")).toString == "é")
+    assert(graft.functions.NfcNormalize.nfc(UTF8String.fromString("café")).toString == "café")
+  }
+
   test("integerized sums are invariant under permutation") {
     forAll(Gen.listOf(Gen.chooseNum(0.0, 1e6).map(x => math.floor(x * 100) / 100))) { xs =>
       def isum(l: Seq[Double]): Long =
