@@ -1320,4 +1320,140 @@ object Media {
       |FROM f GROUP BY doc_id, frame_idx // 4
       |ORDER BY doc_id, scene_id""".stripMargin
   }
+
+  // ---------- m15: WAV/RIFF container metadata (chunk walk + PCM stats) ----------
+
+  /** m15's fixed fmt parameters: mono 8-bit unsigned PCM at 8 kHz —
+    * the canonical telephony capture format; byte rate and block
+    * align DERIVE from them (sr·ch·bits/8), which is exactly the
+    * consistency the parser re-checks.
+    */
+  private val m15SampleRate = 8000
+
+  case class WavMeta(doc_id: Long, riff_ok: Boolean, wave_ok: Boolean,
+      fmt_ok: Boolean, audio_format: Int, channels: Int, sample_rate: Int,
+      byte_rate_ok: Boolean, bits_per_sample: Int, data_len: Long,
+      size_ok: Boolean, pcm_energy: Long, pcm_peak: Long)
+
+  /** Build one REAL canonical WAV file: RIFF header, 16-byte PCM fmt
+    * chunk, data chunk carrying the samples as unsigned 8-bit PCM,
+    * odd-length data padded per the RIFF spec.
+    */
+  private[graft] def buildWav(samples: Array[Byte]): Array[Byte] = {
+    val dataLen = samples.length
+    val padded = dataLen + (dataLen & 1) // RIFF: chunks pad to even
+    val out = java.nio.ByteBuffer.allocate(44 + padded)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    out.put("RIFF".getBytes("US-ASCII")).putInt(36 + padded)
+    out.put("WAVE".getBytes("US-ASCII"))
+    out.put("fmt ".getBytes("US-ASCII")).putInt(16)
+    out.putShort(1.toShort).putShort(1.toShort)           // PCM, mono
+    out.putInt(m15SampleRate).putInt(m15SampleRate)       // rate, byte rate
+    out.putShort(1.toShort).putShort(8.toShort)           // block align, bits
+    out.put("data".getBytes("US-ASCII")).putInt(dataLen)
+    out.put(samples)
+    out.array()
+  }
+
+  /** Parse one WAV byte stream's container structure: RIFF/WAVE
+    * magic, generic chunk walk (4-char id, little-endian length,
+    * even padding), fmt field extraction with byte-rate/block-align
+    * consistency re-derivation, declared-vs-actual size check, and
+    * exact integer PCM stats over the data chunk (energy =
+    * Σ(s−128)², peak = max |s−128| — m5's sample convention).
+    * Factored so the spec can corrupt bytes and prove each gate
+    * bites.
+    */
+  private[graft] def wavMeta(docId: Long, b: Array[Byte]): WavMeta = {
+    def le32(p: Int): Int =
+      (b(p) & 0xff) | ((b(p + 1) & 0xff) << 8) |
+        ((b(p + 2) & 0xff) << 16) | ((b(p + 3) & 0xff) << 24)
+    def le16(p: Int): Int = (b(p) & 0xff) | ((b(p + 1) & 0xff) << 8)
+    def tag(p: Int): String = new String(b, p, 4, "US-ASCII")
+    val riffOk = b.length >= 12 && tag(0) == "RIFF"
+    val waveOk = riffOk && tag(8) == "WAVE"
+    val sizeOk = riffOk && le32(4).toLong == b.length - 8
+    var pos = 12
+    var fmtOk = false; var audioFmt = 0; var ch = 0; var sr = 0
+    var byteRateOk = false; var bits = 0
+    var dataLen = 0L; var energy = 0L; var peak = 0L
+    while (pos + 8 <= b.length) {
+      val id = tag(pos)
+      val len = le32(pos + 4)
+      if (id == "fmt " && len >= 16 && pos + 8 + 16 <= b.length) {
+        audioFmt = le16(pos + 8); ch = le16(pos + 10)
+        sr = le32(pos + 12); bits = le16(pos + 22)
+        // re-derive: byteRate = sr*ch*bits/8, blockAlign = ch*bits/8
+        byteRateOk = ch > 0 && bits > 0 &&
+          le32(pos + 16) == sr * ch * bits / 8 &&
+          le16(pos + 20) == ch * bits / 8
+        fmtOk = true
+      }
+      if (id == "data") {
+        dataLen = len.toLong
+        val end = math.min(pos + 8 + len, b.length)
+        var i = pos + 8
+        while (i < end) {
+          val s = (b(i) & 0xff) - 128L
+          energy += s * s
+          if (math.abs(s) > peak) peak = math.abs(s)
+          i += 1
+        }
+      }
+      pos += 8 + len + (len & 1) // even padding
+    }
+    WavMeta(docId, riffOk, waveOk, fmtOk, audioFmt, ch, sr,
+      byteRateOk, bits, dataLen, sizeOk, energy, peak)
+  }
+
+  /** m15: WAV/RIFF CONTAINER METADATA — m14's container-integrity
+    * pass for the AUDIO leg (the EXIF-class extraction an ASR
+    * ingest runs before any resampling/VAD): the AUD payloads are
+    * packed into REAL canonical WAV files in executors
+    * ([[buildWav]] — RIFF header, 16-byte PCM fmt, data chunk, the
+    * actual on-disk format), then [[wavMeta]] walks the container
+    * back generically (chunk ids, little-endian lengths, even
+    * padding), RE-DERIVES the fmt consistency equations
+    * (byteRate = sr·ch·bits/8) instead of trusting them, checks
+    * declared-vs-actual sizes, and computes exact integer PCM
+    * stats over the data chunk. The oracle pins the healthy
+    * structure constants AND the per-doc energy/peak from the
+    * document text (the m14 bounded-contract idiom: the executor
+    * proves the roundtrip, the oracle pins what a canonical file
+    * must contain, the spec corrupts bytes to show each gate
+    * bites — a constant-emitting fake survives neither).
+    *
+    * Scale: one narrow mapPartitions stage (build + parse fused,
+    * bytes never leave it) — zero shuffles but presentation; the
+    * decode-fleet shape of m7/m10.
+    */
+  def m15(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    payloads(spark, dir)
+      .filter($"doc_id" % 3 === 1) // the AUD leg
+      .mapPartitions(_.map(r => wavMeta(r.doc_id, buildWav(r.payload))))
+      .toDF()
+      .transform(graft.Tables.ordered(_, $"doc_id"))
+  }
+
+  /** m15 oracle: healthy-structure constants for the canonical
+    * encoder + exact PCM energy/peak from the ASCII payload bytes
+    * (m5's ord−128 convention).
+    */
+  val m15Sql: String =
+    """WITH p AS (SELECT doc_id, 'AUD' || substr(text, 1, 61) AS s
+      |      FROM documents WHERE doc_id % 3 = 1),
+      |st AS (SELECT doc_id, CAST(length(s) AS BIGINT) AS data_len,
+      |        CAST(list_sum(list_transform(range(1, length(s) + 1),
+      |          i -> (CAST(ord(substr(s, i, 1)) AS BIGINT) - 128)
+      |               * (CAST(ord(substr(s, i, 1)) AS BIGINT) - 128))) AS BIGINT) AS pcm_energy,
+      |        CAST(list_max(list_transform(range(1, length(s) + 1),
+      |          i -> abs(CAST(ord(substr(s, i, 1)) AS BIGINT) - 128))) AS BIGINT) AS pcm_peak
+      |      FROM p)
+      |SELECT doc_id, TRUE AS riff_ok, TRUE AS wave_ok, TRUE AS fmt_ok,
+      |  1 AS audio_format, 1 AS channels, 8000 AS sample_rate,
+      |  TRUE AS byte_rate_ok, 8 AS bits_per_sample, data_len,
+      |  TRUE AS size_ok, pcm_energy, pcm_peak
+      |FROM st
+      |ORDER BY doc_id""".stripMargin
 }

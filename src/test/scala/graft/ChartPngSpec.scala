@@ -213,4 +213,34 @@ class ChartPngSpec extends AnyFunSuite {
     val tm = Media.pngMeta(sample.doc_id, sample.png.dropRight(5))
     assert(!tm.iend_last)
   }
+
+  test("m15: WAV roundtrip parses back exactly; each consistency gate bites") {
+    import graft.operators.Media
+    // build → parse equals a direct sequential recompute of the stats
+    val samples = "AUDhello world, this is pcm".getBytes("US-ASCII")
+    val wav = Media.buildWav(samples)
+    val m = Media.wavMeta(7L, wav)
+    val ref = samples.map(b => (b & 0xff) - 128L)
+    assert(m.riff_ok && m.wave_ok && m.fmt_ok && m.byte_rate_ok && m.size_ok)
+    assert(m.audio_format == 1 && m.channels == 1 && m.sample_rate == 8000
+      && m.bits_per_sample == 8)
+    assert(m.data_len == samples.length.toLong)
+    assert(m.pcm_energy == ref.map(s => s * s).sum)
+    assert(m.pcm_peak == ref.map(math.abs).max)
+    // odd-length data: RIFF pad byte must keep the walk aligned
+    val odd = Media.wavMeta(8L, Media.buildWav(samples.dropRight(1)))
+    assert(odd.size_ok && odd.data_len == samples.length - 1L)
+    // corrupt the declared byte rate → consistency re-derivation bites
+    val badRate = wav.clone(); badRate(28) = (badRate(28) ^ 0x01).toByte
+    assert(!Media.wavMeta(7L, badRate).byte_rate_ok)
+    // corrupt the RIFF size → declared-vs-actual bites
+    val badSize = wav.clone(); badSize(4) = (badSize(4) ^ 0x01).toByte
+    assert(!Media.wavMeta(7L, badSize).size_ok)
+    // corrupt one PCM byte → the energy is really read from the data chunk
+    val badPcm = wav.clone(); badPcm(44) = (badPcm(44) ^ 0x7f).toByte
+    assert(Media.wavMeta(7L, badPcm).pcm_energy != m.pcm_energy)
+    // flip the WAVE magic → format sniffing bites
+    val badMagic = wav.clone(); badMagic(8) = 'X'.toByte
+    assert(!Media.wavMeta(7L, badMagic).wave_ok)
+  }
 }
