@@ -348,6 +348,77 @@ object Quality {
       |FROM c JOIN t USING (col_name)
       |ORDER BY col_name, digit""".stripMargin
   }
+
+  // ---------- dq4: p-chart rate control (SPC monitoring) ----------
+
+  /** The monitored attribute: high-quantity lines. The generator
+    * draws quantity uniformly, so per-day rates are a clean
+    * binomial around the center line and the 3σ alarms that fire
+    * are the genuine ~0.3% statistical tail — the honest-audit
+    * idiom (the chart demonstrably swings both ways without a
+    * seeded fault).
+    */
+  private[graft] val dq4FlagExpr = "l_quantity >= 45"
+
+  /** dq4: SHEWHART p-CHART (Shewhart 1931; the SPC control chart a
+    * data-platform runs per ingest partition to catch the day a
+    * source silently breaks — null-rate spikes, truncated loads,
+    * upstream filter changes): per ship day, the monitored-attribute
+    * rate vs the corpus center line with 3σ binomial control
+    * limits. The limit test is EXACT integer algebra — the p-chart
+    * inequality |x/n − X/N| > 3·√(p̂(1−p̂)/n) squared and cleared of
+    * denominators: (x·N − n·X)² > 9·X·(N−X)·n, evaluated in
+    * DECIMAL(38,0)/HUGEINT (x·N ≤ 10^11 at sf0.1, squared ≤ 10^23
+    * ≪ 10^38 — and still inside 38 digits at 10⁹ rows/day ×
+    * 10⁴ days) — no square root, no IEEE anywhere, bitwise
+    * cross-engine. Per-day rate is a §8.39-safe permille division.
+    *
+    * Scale shape: ONE map-side-combined day-grain aggregate (the
+    * chart's grain is days — ≤ ~10⁴ rows forever) + a 1-row total
+    * broadcast cross join; the limit test is row-local on the
+    * day grain. At 100 TB the chart costs the scan plus a
+    * metadata-grain reduction — the dq2/dq3 economics.
+    */
+  def dq4(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val perDay = Tables.lineitem(spark, dir)
+      .groupBy(date_format($"l_shipdate", "yyyy-MM-dd").as("day"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(expr(s"CASE WHEN $dq4FlagExpr THEN 1 ELSE 0 END"))
+          .cast("long").as("n_flag"))
+    val tot = perDay.agg(sum($"n_rows").as("tot_rows"),
+      sum($"n_flag").as("tot_flag"))
+    val dd = "(CAST(n_flag AS DECIMAL(38,0)) * CAST(tot_rows AS DECIMAL(38,0))" +
+      " - CAST(n_rows AS DECIMAL(38,0)) * CAST(tot_flag AS DECIMAL(38,0)))"
+    perDay.crossJoin(broadcast(tot))
+      .selectExpr("day", "n_rows", "n_flag",
+        "(n_flag * 1000) div n_rows AS rate_permille",
+        s"""CAST(CASE WHEN $dd * $dd
+           | > CAST(9 AS DECIMAL(38,0)) * CAST(tot_flag AS DECIMAL(38,0))
+           |   * (CAST(tot_rows AS DECIMAL(38,0)) - CAST(tot_flag AS DECIMAL(38,0)))
+           |   * CAST(n_rows AS DECIMAL(38,0))
+           |THEN 1 ELSE 0 END AS BIGINT) AS out_of_control""".stripMargin)
+      .transform(graft.Tables.ordered(_, $"day"))
+  }
+
+  /** dq4 oracle: identical day counts and the same cleared-denominator
+    * squared 3σ inequality in HUGEINT.
+    */
+  val dq4Sql: String =
+    s"""WITH d AS (SELECT strftime(CAST(l_shipdate AS DATE), '%Y-%m-%d') AS day,
+      |        CAST(count(*) AS BIGINT) AS n_rows,
+      |        CAST(sum(CASE WHEN $dq4FlagExpr THEN 1 ELSE 0 END) AS BIGINT) AS n_flag
+      |      FROM lineitem GROUP BY 1),
+      |t AS (SELECT CAST(sum(n_rows) AS BIGINT) AS tot_rows,
+      |        CAST(sum(n_flag) AS BIGINT) AS tot_flag FROM d)
+      |SELECT day, n_rows, n_flag,
+      |  (n_flag * 1000) // n_rows AS rate_permille,
+      |  CAST(CASE WHEN (CAST(n_flag AS HUGEINT) * tot_rows - CAST(n_rows AS HUGEINT) * tot_flag)
+      |       * (CAST(n_flag AS HUGEINT) * tot_rows - CAST(n_rows AS HUGEINT) * tot_flag)
+      |       > 9 * CAST(tot_flag AS HUGEINT) * (tot_rows - tot_flag) * n_rows
+      |       THEN 1 ELSE 0 END AS BIGINT) AS out_of_control
+      |FROM d, t
+      |ORDER BY day""".stripMargin
 }
 
 /** Distinct grid cells shared by w15's two sides. */

@@ -1884,6 +1884,33 @@ class RelationalSpec extends AnyFunSuite {
     assert(maxHead <= minTail)
   }
 
+  test("dq4: p-chart equals a sequential recompute; limits match the float 3sigma rule") {
+    val got = graft.operators.Quality.dq4(spark, sf).collect()
+      .map(r => (r.getAs[String]("day"), r.getAs[Long]("n_rows"), r.getAs[Long]("n_flag"),
+        r.getAs[Long]("rate_permille"), r.getAs[Long]("out_of_control"))).toSeq
+    val rows = Tables.lineitem(spark, sf)
+      .selectExpr("date_format(l_shipdate, 'yyyy-MM-dd') AS day",
+        "CASE WHEN l_quantity >= 45 THEN 1L ELSE 0L END AS f")
+      .as[(String, Long)].collect()
+    val byDay = rows.groupBy(_._1).view
+      .mapValues(v => (v.size.toLong, v.map(_._2).sum)).toMap
+    val totN = rows.length.toLong
+    val totF = rows.map(_._2).sum
+    val want = byDay.toSeq.sortBy(_._1).map { case (d, (n, x)) =>
+      // the exact integer inequality vs the textbook float p-chart
+      val diff = BigInt(x) * totN - BigInt(n) * totF
+      val oc = if (diff * diff > BigInt(9) * totF * (totN - totF) * n) 1L else 0L
+      val p = totF.toDouble / totN
+      val sigma = math.sqrt(p * (1 - p) / n)
+      val ocFloat = math.abs(x.toDouble / n - p) > 3 * sigma
+      assert(oc == (if (ocFloat) 1L else 0L), s"integer/float limit disagree on $d")
+      (d, n, x, x * 1000 / n, oc)
+    }
+    assert(got == want && got.nonEmpty)
+    // the chart genuinely swings both ways on this corpus
+    assert(got.exists(_._5 == 1L) && got.exists(_._5 == 0L))
+  }
+
   test("e18: hazard curve equals a sequential life-table recompute") {
     val got = EventWindows.e18(spark, sf).collect()
       .map(r => (r.getAs[Long]("gap_day"), r.getAs[Long]("n_events"),
