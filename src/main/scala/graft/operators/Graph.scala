@@ -1296,4 +1296,144 @@ object Graph {
       |SELECT r, nf, growth, (nf * 1000) // (n * n) AS coverage_permille
       |FROM c
       |ORDER BY r""".stripMargin
+
+  // ---------- g15: pivot-sampled stress centrality (Brandes) ----------
+
+  private val g15Rounds = 8
+  private val g15Pivots = Seq(0L, 1L, 2L, 3L)
+
+  /** g15: STRESS CENTRALITY (Shimbel 1953) by the Brandes
+    * two-pass scheme (Brandes 2001, "A Faster Algorithm for
+    * Betweenness Centrality") with PIVOT SAMPLING (Brandes & Pich
+    * 2007) — the shortest-path load ranking: stress(v) =
+    * Σ_{s,t} σ_st(v), the NUMBER of shortest s→t paths passing
+    * through v. Unlike betweenness' fractional pair dependencies
+    * (σ_st(v)/σ_st — IEEE division inside an iterated recursion),
+    * stress is INTEGER-EXACT end-to-end, so the whole two-pass
+    * recursion is bitwise cross-engine: the forward pass is a
+    * level-synchronous BFS from each pivot carrying path counts
+    * (σ(w) = Σ σ(v) over frontier in-neighbors — the new-frontier
+    * anti-join makes levels exact), and the backward pass walks
+    * levels DOWN computing continuation counts P(v) = Σ_{w ∈
+    * DAG-succ(v)} (1 + P(w)) (the number of shortest-path
+    * continuations leaving v; DAG edges are exactly the edges into
+    * the next level, so the per-level join needs no edge
+    * classification pass). Per pivot s: paths through interior v =
+    * σ_s(v)·P_s(v); summed over the deterministic pivot set
+    * [[g15Pivots]] (fixed lowest ids — the sampled estimator's
+    * pivot draw made reproducible) within the [[g15Rounds]]-hop
+    * radius. Bounds: out-degree ≤ 3 ⇒ σ ≤ 3⁸, P ≤ 10⁴ at radius 8,
+    * stress ≪ 2⁶³ — BIGINT-safe at any graph size (radius and
+    * pivot count pin the magnitudes, not n).
+    *
+    * Scale shape: every round is an id-keyed equality join of the
+    * edge table with a (pivot·frontier)-sized state — the g9
+    * contract: state is (pivot, node) grain (|pivots| × reach, not
+    * n²); per-round localCheckpoint + freeCheckpoint cuts lineage;
+    * the backward pass touches one LEVEL per round, so its joins
+    * shrink as the BFS tree narrows. At 10⁹ nodes stress-by-pivots
+    * costs |pivots| BFS sweeps — the published scalable estimator,
+    * not the all-pairs quadratic.
+    */
+  def g15(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val nodes = Tables.customer(spark, dir).select($"c_custkey".as("id")).cache()
+    val n = nodes.count()
+    val edges = nodes.selectExpr("id AS src", s"(id * 31 + 7) % $n AS dst")
+      .unionAll(nodes.selectExpr("id AS src", s"(id * 17 + 3) % $n AS dst"))
+      .unionAll(nodes.filter($"id" >= 2).selectExpr("id AS src", "id div 2 AS dst"))
+      .cache()
+    // forward: level-synchronous BFS with exact path counts
+    var reached = g15Pivots.map(p => (p, p, 0L, 1L))
+      .toDF("pivot", "id", "d", "sigma").localCheckpoint()
+    var frontier = reached
+    (1 to g15Rounds).foreach { r =>
+      val cand = edges.join(frontier.withColumnRenamed("id", "src"), Seq("src"))
+        .groupBy($"pivot", $"dst").agg(sum($"sigma").as("sig"))
+      val newf = cand
+        .join(reached.select($"pivot", $"id".as("dst")), Seq("pivot", "dst"), "left_anti")
+        .selectExpr("pivot", "dst AS id", s"CAST($r AS BIGINT) AS d", "sig AS sigma")
+        .localCheckpoint()
+      val nr = reached.unionByName(newf).localCheckpoint()
+      graft.functions.Lineage.freeCheckpoint(reached)
+      if (frontier ne reached) graft.functions.Lineage.freeCheckpoint(frontier)
+      reached = nr
+      frontier = newf
+    }
+    // backward: continuation counts by DESCENDING level (DAG edges =
+    // edges into the next level, so joining the next level's P table
+    // restricts to them automatically)
+    var pPrev = reached.filter($"d" === g15Rounds)
+      .selectExpr("pivot", "id", "CAST(0 AS BIGINT) AS p").localCheckpoint()
+    var pAll = pPrev
+    ((g15Rounds - 1) to 0 by -1).foreach { k =>
+      val levelK = reached.filter($"d" === k).select($"pivot", $"id")
+      val raw = levelK.withColumnRenamed("id", "src")
+        .join(edges, Seq("src"))
+        .join(pPrev.selectExpr("pivot", "id AS dst", "p"), Seq("pivot", "dst"))
+        .groupBy($"pivot", $"src").agg(sum($"p" + 1L).as("pr"))
+        .selectExpr("pivot", "src AS id", "pr")
+      val pk = levelK.join(raw, Seq("pivot", "id"), "left_outer")
+        .selectExpr("pivot", "id", "coalesce(pr, CAST(0 AS BIGINT)) AS p")
+        .localCheckpoint()
+      pAll = pAll.unionByName(pk)
+      pPrev = pk
+    }
+    reached.join(pAll, Seq("pivot", "id"))
+      .filter($"d" > 0) // interior only: v == pivot is an endpoint
+      .groupBy($"id")
+      .agg(count(lit(1)).as("n_sources"), sum($"sigma" * $"p").as("stress"))
+      .selectExpr("id AS c_custkey", "n_sources", "stress")
+      .transform(graft.Tables.ordered(_, $"c_custkey"))
+  }
+
+  /** g15 oracle: both passes unrolled as MATERIALIZED CTE groups —
+    * forward (candidate sum-join, NOT-EXISTS new-frontier cut,
+    * running reach union) then backward (per-level continuation
+    * join + zero-fill), identical integer algebra.
+    */
+  val g15Sql: String = {
+    val pv = g15Pivots.mkString(", ")
+    val fwd = (1 to g15Rounds).map { i =>
+      val p = i - 1
+      s"""c$i AS MATERIALIZED (SELECT f.pv, e.dst AS id, CAST(sum(f.sigma) AS BIGINT) AS sigma
+         |        FROM e JOIN f$p f ON f.id = e.src GROUP BY 1, 2),
+         |f$i AS MATERIALIZED (SELECT c.pv, c.id, CAST($i AS BIGINT) AS d, c.sigma
+         |        FROM c$i c WHERE NOT EXISTS (SELECT 1 FROM r$p r
+         |          WHERE r.pv = c.pv AND r.id = c.id)),
+         |r$i AS MATERIALIZED (SELECT * FROM r$p UNION ALL SELECT * FROM f$i)""".stripMargin
+    }.mkString(",\n")
+    val bwd = ((g15Rounds - 1) to 0 by -1).map { k =>
+      val nx = k + 1
+      s"""q$k AS (SELECT a.pv, a.id, CAST(sum(1 + b.p) AS BIGINT) AS p
+         |        FROM r$g15Rounds a JOIN e ON e.src = a.id
+         |        JOIN p$nx b ON b.pv = a.pv AND b.id = e.dst
+         |        WHERE a.d = $k GROUP BY 1, 2),
+         |p$k AS MATERIALIZED (SELECT a.pv, a.id, coalesce(q.p, CAST(0 AS BIGINT)) AS p
+         |        FROM r$g15Rounds a LEFT JOIN q$k q
+         |          ON q.pv = a.pv AND q.id = a.id
+         |        WHERE a.d = $k)""".stripMargin
+    }.mkString(",\n")
+    val pAll = (0 to g15Rounds).map(k => s"SELECT * FROM p$k").mkString(" UNION ALL ")
+    s"""WITH nn AS (SELECT count(*) AS n FROM customer),
+      |nodes AS (SELECT c_custkey AS id FROM customer),
+      |e AS MATERIALIZED (SELECT id AS src, (id * 31 + 7) % nn.n AS dst FROM nodes, nn
+      |      UNION ALL SELECT id, (id * 17 + 3) % nn.n FROM nodes, nn
+      |      UNION ALL SELECT id, id // 2 FROM nodes WHERE id >= 2),
+      |f0 AS MATERIALIZED (SELECT CAST(unnest([$pv]) AS BIGINT) AS pv,
+      |        CAST(unnest([$pv]) AS BIGINT) AS id,
+      |        CAST(0 AS BIGINT) AS d, CAST(1 AS BIGINT) AS sigma),
+      |r0 AS (SELECT * FROM f0),
+      |$fwd,
+      |p$g15Rounds AS MATERIALIZED (SELECT pv, id, CAST(0 AS BIGINT) AS p
+      |        FROM r$g15Rounds WHERE d = $g15Rounds),
+      |$bwd,
+      |pa AS ($pAll)
+      |SELECT a.id AS c_custkey, CAST(count(*) AS BIGINT) AS n_sources,
+      |  CAST(sum(a.sigma * pa.p) AS BIGINT) AS stress
+      |FROM r$g15Rounds a JOIN pa ON pa.pv = a.pv AND pa.id = a.id
+      |WHERE a.d > 0
+      |GROUP BY 1
+      |ORDER BY c_custkey""".stripMargin
+  }
 }

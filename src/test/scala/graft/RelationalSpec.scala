@@ -1457,6 +1457,53 @@ class RelationalSpec extends AnyFunSuite {
     assert(got.values.forall(_ >= 0L))
   }
 
+  test("g15: stress centrality equals a sequential Brandes recompute") {
+    val got = graft.operators.Graph.g15(spark, sf).collect()
+      .map(r => (r.getAs[Long]("c_custkey"), r.getAs[Long]("n_sources"),
+        r.getAs[Long]("stress"))).toSeq.sortBy(_._1)
+    val n = Tables.customer(spark, sf).count().toInt
+    // the MULTISET adjacency (parallel edges count as distinct paths)
+    val adj = (0 until n).map { i =>
+      Seq((i * 31 + 7) % n, (i * 17 + 3) % n) ++ (if (i >= 2) Seq(i / 2) else Seq.empty)
+    }
+    val rounds = 8
+    // per pivot: textbook level-synchronous BFS carrying sigma, then
+    // the backward continuation recursion — independent of the
+    // engine's join formulation
+    val acc = scala.collection.mutable.Map.empty[Long, (Long, Long)]
+    Seq(0, 1, 2, 3).foreach { s =>
+      val d = Array.fill(n)(-1); val sg = Array.fill(n)(0L)
+      d(s) = 0; sg(s) = 1L
+      var frontier = Seq(s)
+      (1 to rounds).foreach { r =>
+        val next = scala.collection.mutable.LinkedHashMap.empty[Int, Long]
+        frontier.foreach(u => adj(u).foreach { v =>
+          if (d(v) == -1 || d(v) == r) next(v) = next.getOrElse(v, 0L) + sg(u)
+        })
+        next.keys.foreach(v => d(v) = r)
+        next.foreach { case (v, x) => sg(v) = x }
+        frontier = next.keys.toSeq
+      }
+      val p = Array.fill(n)(0L)
+      (rounds - 1 to 0 by -1).foreach { k =>
+        (0 until n).filter(d(_) == k).foreach { v =>
+          p(v) = adj(v).filter(w => d(w) == k + 1).map(w => 1L + p(w)).sum
+        }
+      }
+      (0 until n).filter(v => d(v) > 0).foreach { v =>
+        val (c, st) = acc.getOrElse(v.toLong, (0L, 0L))
+        acc(v.toLong) = (c + 1L, st + sg(v) * p(v))
+      }
+    }
+    val want = acc.toSeq.map { case (id, (c, st)) => (id, c, st) }.sortBy(_._1)
+    assert(got == want && got.nonEmpty)
+    // real signal: multiple sources converge on hub nodes and path
+    // counts genuinely multiply (some sigma·P product exceeds any
+    // single path count)
+    assert(got.exists(_._2 >= 2L))
+    assert(got.exists(_._3 > 100L))
+  }
+
   test("g11: assortativity sums equal a sequential recompute") {
     val r = graft.operators.Graph.g11(spark, sf).collect().head
     val n = Tables.customer(spark, sf).count()
