@@ -639,6 +639,49 @@ object Weather {
       |ORDER BY event_id""".stripMargin
   }
 
+  // ---------- w28: the remaining operational thermal indices ----------
+  // Completes the public thermal-index suite around the reference's
+  // UTCI/WBGT core (thermofeel's catalogue: w17 covered NWS heat
+  // index + wind chill; these are the other three in operational
+  // use): Environment Canada's humidex (Masterton & Richardson
+  // 1979), the Australian BoM apparent temperature (Steadman 1994,
+  // non-radiative form) and the Hong Kong Observatory net effective
+  // temperature (Li & Chan 2000). All ride the chain's already
+  // quantized es_td (actual vapor pressure, hPa), rh and
+  // wind_speed; the ONLY new transcendental (v^0.75 in NET's
+  // convective term) goes through quantized exp(ln) per §8.3 —
+  // every other term is single IEEE ops textually identical in
+  // both dialects, the w17 bitwise discipline.
+
+  private val w28Exprs: Seq[(String, String)] = {
+    val v075 = q("exp(0.75 * ln(greatest(wind_speed, 1.0e-9)))")
+    Seq(
+      "humidex" -> "(ta_c + 0.5555 * (es_td - 10.0))",
+      "apparent_t" -> "(ta_c + 0.33 * es_td - 0.70 * wind_speed - 4.00)",
+      "net_effective" -> (s"(37.0 - (37.0 - ta_c) / (0.68 - 0.0014 * rh" +
+        s" + 1.0 / (1.76 + 1.4 * $v075)) - 0.29 * ta_c * (1.0 - 0.01 * rh))"),
+    )
+  }
+
+  def w28(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    w28Exprs.foldLeft(chain(spark, dir, 5)) { case (d, (n, e)) =>
+      d.selectExpr("*", s"($e) AS $n")
+    }
+      .select($"event_id", $"ta_c", $"es_td", $"humidex", $"apparent_t",
+        $"net_effective")
+      .transform(Tables.ordered(_, $"event_id"))
+  }
+
+  val w28Sql: String = {
+    val inner = w28Exprs.foldLeft(s"(${ThermalChain.sql(5)})") {
+      case (from, (n, e)) => s"(SELECT *, ($e) AS $n FROM $from)"
+    }
+    s"""SELECT event_id, ta_c, es_td, humidex, apparent_t, net_effective
+      |FROM $inner
+      |ORDER BY event_id""".stripMargin
+  }
+
   // ---------- w16: hour-of-day climatology + anomaly count ----------
   // The normals/anomalies shape of grid analytics: each reading is
   // compared with its cell's climatological mean FOR THAT HOUR OF

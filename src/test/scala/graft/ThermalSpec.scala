@@ -24,6 +24,30 @@ class ThermalSpec extends AnyFunSuite {
     assert(hotHumid > 0 && chilled > 0)
   }
 
+  test("w28: humidex/apparent/NET behave physically and match a direct recompute") {
+    val spark = SharedSpark.spark
+    val rows = graft.operators.Weather.w28(spark, SharedSpark.sf).collect()
+    assert(rows.nonEmpty)
+    var humidBoost = 0
+    var windCooled = 0
+    rows.foreach { r =>
+      val t = r.getAs[Double]("ta_c")
+      val e = r.getAs[Double]("es_td")
+      val hx = r.getAs[Double]("humidex")
+      val at = r.getAs[Double]("apparent_t")
+      // humidex formula is exactly reconstructible from its inputs
+      assert(math.abs(hx - (t + 0.5555 * (e - 10.0))) < 1e-9)
+      // moist air raises humidex above T; wind drags apparent T below
+      // the calm-air value (0.33e − 4 alone)
+      if (e > 10.0 && hx > t) humidBoost += 1
+      if (at < t + 0.33 * e - 4.0 - 1e-12) windCooled += 1
+      // NET stays a temperature-like quantity on physical inputs
+      val net = r.getAs[Double]("net_effective")
+      assert(net > -90.0 && net < 60.0, s"NET unphysical: $net at t=$t")
+    }
+    assert(humidBoost > 0 && windCooled > 0)
+  }
+
   test("w16: anomalies bounded by the synthetic field's amplitude") {
     val spark = SharedSpark.spark
     val rows = graft.operators.Weather.w16(spark, SharedSpark.sf).collect()
