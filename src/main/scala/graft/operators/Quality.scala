@@ -379,13 +379,24 @@ object Quality {
     * day grain. At 100 TB the chart costs the scan plus a
     * metadata-grain reduction — the dq2/dq3 economics.
     */
-  def dq4(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    val perDay = Tables.lineitem(spark, dir)
-      .groupBy(date_format($"l_shipdate", "yyyy-MM-dd").as("day"))
+  /** dq4's per-day count aggregate over a lineitem-shaped frame —
+    * shared with the streaming twin (s30): counts are algebraic
+    * (merge = sum), so the day table is a mergeable sketch.
+    */
+  private[graft] def dq4Counts(df: DataFrame): DataFrame = {
+    import df.sparkSession.implicits._
+    df.groupBy(date_format($"l_shipdate", "yyyy-MM-dd").as("day"))
       .agg(count(lit(1)).as("n_rows"),
         sum(expr(s"CASE WHEN $dq4FlagExpr THEN 1 ELSE 0 END"))
           .cast("long").as("n_flag"))
+  }
+
+  /** dq4's chart report from a (day, n_rows, n_flag) count table —
+    * shared verbatim with s30 (center line, exact squared 3σ limit
+    * test, permille rate).
+    */
+  private[graft] def dq4Report(perDay: DataFrame): DataFrame = {
+    import perDay.sparkSession.implicits._
     val tot = perDay.agg(sum($"n_rows").as("tot_rows"),
       sum($"n_flag").as("tot_flag"))
     val dd = "(CAST(n_flag AS DECIMAL(38,0)) * CAST(tot_rows AS DECIMAL(38,0))" +
@@ -400,6 +411,9 @@ object Quality {
            |THEN 1 ELSE 0 END AS BIGINT) AS out_of_control""".stripMargin)
       .transform(graft.Tables.ordered(_, $"day"))
   }
+
+  def dq4(spark: SparkSession, dir: String): DataFrame =
+    dq4Report(dq4Counts(Tables.lineitem(spark, dir)))
 
   /** dq4 oracle: identical day counts and the same cleared-denominator
     * squared 3σ inequality in HUGEINT.

@@ -848,6 +848,31 @@ object EventStreams {
   /** s29 oracle: e18's, verbatim — the twin contract. */
   val s29Sql: String = graft.operators.EventWindows.e18Sql
 
+  /** s30: STREAMING CONTROL CHART — dq4's Shewhart p-chart kept
+    * live as the load lands (the s27/s28 always-on split): the
+    * per-day (n_rows, n_flag) counts ARE the streaming aggregation
+    * state — algebraic, merge = sum, bounded by the calendar-day
+    * grain (≤ ~10⁴ rows forever; the histogram-as-mergeable-sketch
+    * argument) — and the chart re-derives from the landed count
+    * table through [[graft.operators.Quality.dq4Report]] SHARED
+    * VERBATIM, so the day a source silently breaks alarms while
+    * its rows are still arriving. Oracle: dq4's, unchanged — the
+    * twin contract.
+    */
+  def s30(spark: SparkSession, dir: String): DataFrame = {
+    val ss = streamSession(spark)
+    graft.Tables.tsConfs(ss)
+    val schema = ss.read.parquet(s"$dir/lineitem.parquet").schema
+    val counts = graft.operators.Quality.dq4Counts(
+      ss.readStream.schema(schema)
+        .option("pathGlobFilter", "lineitem.parquet").parquet(dir))
+    graft.operators.Quality.dq4Report(
+      runToTable(ss, counts, OutputMode.Complete()))
+  }
+
+  /** s30 oracle: dq4's, verbatim — the twin contract. */
+  val s30Sql: String = graft.operators.Quality.dq4Sql
+
   /** s26 oracle: batch recompute of the first-20-gaps decision. */
   val s26Sql: String =
     s"""WITH ev AS (SELECT user_id, event_id,

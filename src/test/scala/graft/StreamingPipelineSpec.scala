@@ -978,4 +978,36 @@ class StreamingPipelineSpec extends AnyFunSuite {
       assert(rows == Seq((1L, 1L), (1L, 3L), (2L, 4L)), s"gap stream wrong: $rows")
     } finally q.stop()
   }
+
+  test("s30 single-batch run equals batch dq4; day-count state merges across batches") {
+    def chart(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[String]("day"), r.getAs[Long]("n_rows"), r.getAs[Long]("n_flag"),
+        r.getAs[Long]("rate_permille"), r.getAs[Long]("out_of_control"))).toSeq
+    val streamed = chart(graft.streaming.EventStreams.s30(spark, sf))
+    val batch = chart(graft.operators.Quality.dq4(spark, sf))
+    assert(streamed == batch && streamed.nonEmpty)
+    // multi-batch: the same rows split across batches land identical
+    // day counts (counts are algebraic state)
+    val ns = spark.newSession()
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = ns.sqlContext
+    import ns.implicits._
+    val mem = MemoryStream[(java.sql.Date, Double)]
+    val src = mem.toDS().toDF("l_shipdate", "l_quantity")
+    val agg = graft.operators.Quality.dq4Counts(src)
+    val name = "s30_state_test"
+    val q = agg.writeStream.outputMode(OutputMode.Complete())
+      .format("memory").queryName(name).start()
+    val d1 = java.sql.Date.valueOf("1995-03-01")
+    val d2 = java.sql.Date.valueOf("1995-03-02")
+    try {
+      mem.addData((d1, 10.0), (d1, 47.0), (d2, 3.0))
+      q.processAllAvailable()
+      mem.addData((d1, 46.0), (d2, 45.0), (d2, 12.0))
+      q.processAllAvailable()
+      val rows = ns.table(name).collect()
+        .map(r => (r.getAs[String]("day"), r.getAs[Long]("n_rows"), r.getAs[Long]("n_flag"))).toSet
+      assert(rows == Set(("1995-03-01", 3L, 2L), ("1995-03-02", 3L, 1L)),
+        s"day-count state merge wrong: $rows")
+    } finally q.stop()
+  }
 }
