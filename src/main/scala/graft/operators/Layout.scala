@@ -292,4 +292,134 @@ object Layout {
       |${leg("shipdate_week", "day // 7")}
       |ORDER BY layout""".stripMargin
   }
+
+  // ---------- p14: Bloom-filter data-skipping audit ----------
+
+  /** p14 geometry: 4096-bit per-file blooms as (file, lane) rows of
+    * 32-bit BIGINT lanes (DuckDB refuses 1<<63, so lanes stay at 32
+    * bits), k = 2 seeded FNV hashes, files of 64 orders (~256 rows)
+    * ⇒ measured FP ≈ 1-2% — the Parquet-bloom operating point.
+    * Position = hash & 4095: the POWER-OF-TWO mask is load-bearing —
+    * signed pmod and the oracle's unsigned % agree only when the
+    * modulus divides 2^64 (a non-power modulus would break bitwise
+    * parity on negative hashes). The seed index is a PREFIX, not a
+    * suffix: FNV-1a hashes differing only in the LAST byte differ by
+    * a constant (h1 = h0 + p·Δ), so suffix-seeded "independent"
+    * hashes share one masked offset and the bloom degenerates to
+    * k = 1 — measured FP 12.8% vs 1.3% (the spec pins the fixed
+    * geometry's FP budget so the regression cannot return).
+    */
+  private val p14Bits = 4096L
+  private val p14Probes: Seq[Long] = (0L to 9L) ++ (0L to 9L).map(1000000000L + _)
+
+  /** p14: BLOOM-FILTER DATA SKIPPING (the Parquet column-index
+    * bloom / Delta bloom story): p12's zone maps skip NOTHING for
+    * point lookups on a high-cardinality column the layout is not
+    * sorted by (every file's min/max straddles every key), but a
+    * per-file Bloom filter prunes almost every file — the audit
+    * measures exactly that complement. Per-file 4096-bit blooms
+    * from the distinct (file, key) grain (insertion is idempotent,
+    * so the distinct costs nothing semantically and bounds work);
+    * each probe key needs BOTH its lanes present-and-set
+    * (inner-join on lane + per-(probe, file) both-hashes check —
+    * missing lane rows ARE the zero lanes). Bloom soundness is
+    * structural: a containing file always hits (no false
+    * negatives — spec-pinned), so files_bloom_hit −
+    * files_containing is exactly the false-positive count the FP
+    * budget grades. All integer/bit ops, bitwise cross-engine.
+    *
+    * Scale shape: the bloom build is ONE map-side-combined
+    * (file, lane)-keyed bit_or aggregate over 2 id-free rows per
+    * distinct key — the p8-stats economics; the probe side is a
+    * ≤ 40-row broadcast; the audit join touches only the probes'
+    * lanes. At petabyte scale this is the metadata-sidecar build
+    * every lakehouse runs beside the data files.
+    */
+  def p14(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val fk = Tables.lineitem(spark, dir)
+      .selectExpr("l_orderkey div 64 AS file_id", "l_partkey AS k").distinct()
+    def pos(e: org.apache.spark.sql.Column, i: Int) =
+      graft.functions.Fnv64.fnv64(concat(lit(s"$i#"), e.cast("string")))
+        .bitwiseAND(lit(p14Bits - 1L))
+    def bitsOf(df: DataFrame, keyCol: String): DataFrame =
+      (0 to 1).map { i =>
+        df.withColumn("pos", pos(col(keyCol), i)).withColumn("hix", lit(i.toLong))
+      }.reduce(_.unionByName(_))
+        .selectExpr("*", "pos div 32 AS lane",
+          "shiftleft(CAST(1 AS BIGINT), CAST(pos % 32 AS INT)) AS mask")
+    val blooms = bitsOf(fk, "k")
+      .groupBy($"file_id", $"lane").agg(expr("bit_or(mask)").as("bits"))
+    val nFiles = fk.select($"file_id").distinct()
+      .agg(count(lit(1)).as("n_files"))
+    val probes = p14Probes.toDF("probe_key")
+    val hits = bitsOf(probes, "probe_key")
+      .select($"probe_key", $"hix", $"lane", $"mask")
+      .join(blooms, Seq("lane"))
+      .filter(($"bits".bitwiseAND($"mask")) =!= 0L)
+      .groupBy($"probe_key", $"file_id")
+      .agg(countDistinct($"hix").as("nh"))
+      .filter($"nh" === 2L)
+      .groupBy($"probe_key").agg(count(lit(1)).as("files_bloom_hit"))
+    val containing = fk.join(probes, $"k" === $"probe_key")
+      .groupBy($"probe_key")
+      .agg(countDistinct($"file_id").as("files_containing"))
+    probes
+      .join(hits, Seq("probe_key"), "left_outer")
+      .join(containing, Seq("probe_key"), "left_outer")
+      .crossJoin(broadcast(nFiles))
+      .selectExpr("probe_key",
+        "CAST(CASE WHEN coalesce(files_containing, 0) > 0 THEN 1 ELSE 0 END AS BIGINT) AS present",
+        "n_files",
+        "coalesce(files_bloom_hit, CAST(0 AS BIGINT)) AS files_bloom_hit",
+        "coalesce(files_containing, CAST(0 AS BIGINT)) AS files_containing",
+        "coalesce(files_bloom_hit, CAST(0 AS BIGINT)) - coalesce(files_containing, CAST(0 AS BIGINT)) AS false_pos")
+      .transform(Tables.ordered(_, $"probe_key"))
+  }
+
+  /** p14 oracle: the same seeded-FNV positions (unsigned HUGEINT %
+    * 4096 — power-of-two equivalence with the signed mask), lane
+    * bit_or build, both-lanes probe test and containment count.
+    */
+  val p14Sql: String = {
+    def posSql(e: String, i: Int) =
+      s"(${graft.functions.Fnv64.duckUnsigned(s"'$i#' || CAST($e AS VARCHAR)")}) % $p14Bits"
+    val probeList = p14Probes.mkString(", ")
+    s"""WITH fk AS (SELECT DISTINCT l_orderkey // 64 AS file_id, l_partkey AS k
+      |      FROM lineitem),
+      |kb AS (SELECT file_id, k, CAST(0 AS BIGINT) AS hix,
+      |        CAST(${posSql("k", 0)} AS BIGINT) AS pos FROM fk
+      |      UNION ALL
+      |      SELECT file_id, k, 1, CAST(${posSql("k", 1)} AS BIGINT) FROM fk),
+      |bl AS (SELECT file_id, pos // 32 AS lane,
+      |        bit_or(CAST(1 AS BIGINT) << CAST(pos % 32 AS INTEGER)) AS bits
+      |      FROM kb GROUP BY 1, 2),
+      |nf AS (SELECT CAST(count(DISTINCT file_id) AS BIGINT) AS n_files FROM fk),
+      |pr AS (SELECT CAST(unnest([$probeList]) AS BIGINT) AS probe_key),
+      |pb AS (SELECT probe_key, CAST(0 AS BIGINT) AS hix,
+      |        CAST(${posSql("probe_key", 0)} AS BIGINT) AS pos FROM pr
+      |      UNION ALL
+      |      SELECT probe_key, 1, CAST(${posSql("probe_key", 1)} AS BIGINT) FROM pr),
+      |pm AS (SELECT probe_key, hix, pos // 32 AS lane,
+      |        CAST(1 AS BIGINT) << CAST(pos % 32 AS INTEGER) AS mask FROM pb),
+      |ht AS (SELECT p.probe_key, b.file_id
+      |      FROM pm p JOIN bl b ON b.lane = p.lane
+      |      WHERE (b.bits & p.mask) != 0
+      |      GROUP BY 1, 2 HAVING count(DISTINCT p.hix) = 2),
+      |hc AS (SELECT probe_key, CAST(count(*) AS BIGINT) AS files_bloom_hit
+      |      FROM ht GROUP BY 1),
+      |ct AS (SELECT p.probe_key, CAST(count(DISTINCT f.file_id) AS BIGINT) AS files_containing
+      |      FROM fk f JOIN pr p ON f.k = p.probe_key GROUP BY 1)
+      |SELECT pr.probe_key,
+      |  CAST(CASE WHEN coalesce(ct.files_containing, 0) > 0 THEN 1 ELSE 0 END AS BIGINT) AS present,
+      |  nf.n_files,
+      |  coalesce(hc.files_bloom_hit, CAST(0 AS BIGINT)) AS files_bloom_hit,
+      |  coalesce(ct.files_containing, CAST(0 AS BIGINT)) AS files_containing,
+      |  coalesce(hc.files_bloom_hit, CAST(0 AS BIGINT)) - coalesce(ct.files_containing, CAST(0 AS BIGINT)) AS false_pos
+      |FROM pr
+      |LEFT JOIN hc ON hc.probe_key = pr.probe_key
+      |LEFT JOIN ct ON ct.probe_key = pr.probe_key
+      |CROSS JOIN nf
+      |ORDER BY pr.probe_key""".stripMargin
+  }
 }

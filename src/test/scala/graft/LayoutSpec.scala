@@ -146,4 +146,36 @@ class LayoutSpec extends AnyFunSuite {
     assert(ins._2 == ins._1, s"insertion layout unexpectedly skipped")
     assert(wk._3 < ins._3)
   }
+
+  test("p14: blooms have zero false negatives and hold the k=2 FP budget") {
+    val got = graft.operators.Layout.p14(spark, SharedSpark.sf).collect()
+      .map(r => (r.getAs[Long]("probe_key"), r.getAs[Long]("present"),
+        r.getAs[Long]("n_files"), r.getAs[Long]("files_bloom_hit"),
+        r.getAs[Long]("files_containing"), r.getAs[Long]("false_pos"))).toSeq
+    assert(got.length == 20)
+    val nFiles = got.head._3
+    got.foreach { case (k, present, nf, hit, cont, fp) =>
+      assert(nf == nFiles)
+      // soundness: a containing file always hits — no false negatives
+      assert(hit >= cont, s"probe $k: bloom missed a containing file")
+      assert(fp == hit - cont)
+      assert((present == 1L) == (cont > 0L))
+    }
+    // the existing probes are found, the absent billion-range ones are not
+    assert(got.filter(_._1 < 1000000000L).exists(_._2 == 1L))
+    assert(got.filter(_._1 >= 1000000000L).forall(_._2 == 0L))
+    // FP budget: k=2 independent seeded hashes at ~12% load give
+    // ~1-3% — a correlated/degenerate hash pair (the suffix-seed
+    // trap: FNV suffix variants differ by a constant) reads ~12%
+    val totalPairs = got.map(_._3).sum
+    val totalFp = got.map(_._6).sum
+    assert(totalFp * 100 <= totalPairs * 5,
+      s"FP rate ${totalFp.toDouble / totalPairs} exceeds the k=2 budget")
+    // and the filter genuinely prunes: an ABSENT key keeps almost no
+    // files (a present key may legitimately live in most files at
+    // small scale — pruning is only promised where nothing matches)
+    got.filter(_._1 >= 1000000000L).foreach { case (k, _, nf, hit, _, _) =>
+      assert(hit * 2 <= nf, s"absent probe $k: bloom kept $hit/$nf files")
+    }
+  }
 }
