@@ -2120,4 +2120,81 @@ object Knn {
       |FROM ($un)
       |ORDER BY hop""".stripMargin
   }
+
+  // ---------- v23: kNN label-noise audit ----------
+
+  /** v23: kNN LABEL-NOISE AUDIT (the deep-kNN label-quality check —
+    * Bahri et al. 2020, "Deep k-NN for Noisy Labels"; the geometric
+    * half of cleanlab-style confident learning): before training a
+    * classifier head on labeled embeddings, measure per example how
+    * many of its k nearest neighbors SHARE its label — low
+    * agreement means the label is geometry-free or the example is
+    * mislabeled (`noise_suspect` = zero agreeing neighbors). Runs
+    * over v16's capped-bucket kNN graph (the scalable build — never
+    * all-pairs), in TWO legs so the audit demonstrably swings both
+    * ways on this fixture (the t28 discipline): the GIVEN labels
+    * measure ≈ chance (≈100‰ for 10 balanced classes — the honest
+    * finding: this corpus' labels carry no embedding signal, which
+    * is exactly what you want to know before training), while a
+    * GEOMETRIC pseudo-label (the quantized sign of the first
+    * normalized component — a label that by construction follows
+    * the geometry) measures far above chance, proving the metric
+    * discriminates rather than reads low everywhere. Counts and
+    * the agree permille are exact integers (§8.39-safe); the sign
+    * test is quantized (§8.4).
+    *
+    * Scale shape: v16's graph build + two id-keyed label joins and
+    * one (node)-grain aggregate — label transfer at kNN-graph
+    * cost; at 10⁹ examples this is the only shape that isn't
+    * quadratic (the v16 argument verbatim).
+    */
+  def v23(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = vectors(spark, dir)
+    val given = graft.Tables.embeddings(spark, dir)
+      .selectExpr("vec_id", "CAST(label AS BIGINT) AS lbl")
+    val geo = e.selectExpr("vec_id",
+      "CAST(CASE WHEN floor(nv[0] * 1e6 + 0.5) >= 0 THEN 1 ELSE 0 END AS BIGINT) AS lbl")
+    val g = knnGraphEdges(e).select($"src_id", $"nbr_id")
+    def leg(name: String, labels: DataFrame): DataFrame =
+      g.join(labels.selectExpr("vec_id AS src_id", "lbl AS src_lbl"), Seq("src_id"))
+        .join(labels.selectExpr("vec_id AS nbr_id", "lbl AS nbr_lbl"), Seq("nbr_id"))
+        .groupBy($"src_id", $"src_lbl")
+        .agg(count(lit(1)).as("n_nbrs"),
+          sum(when($"nbr_lbl" === $"src_lbl", 1L).otherwise(0L)).as("n_same"))
+        .selectExpr(s"'$name' AS label_src", "src_id AS vec_id",
+          "src_lbl AS label", "n_nbrs", "n_same",
+          "(n_same * 1000) div n_nbrs AS agree_permille",
+          "CAST(CASE WHEN n_same = 0 THEN 1 ELSE 0 END AS BIGINT) AS noise_suspect")
+    leg("given", given).unionByName(leg("geometric", geo))
+      .transform(graft.Tables.ordered(_, $"label_src", $"vec_id"))
+  }
+
+  /** v23 oracle: v16's generated graph as a subquery + the same
+    * label joins, vote counts and quantized geometric sign.
+    */
+  val v23Sql: String = {
+    def leg(name: String, lblCte: String): String =
+      s"""SELECT '$name' AS label_src, g.src_id AS vec_id, sl.lbl AS label,
+         |  CAST(count(*) AS BIGINT) AS n_nbrs,
+         |  CAST(sum(CASE WHEN nl.lbl = sl.lbl THEN 1 ELSE 0 END) AS BIGINT) AS n_same,
+         |  (CAST(sum(CASE WHEN nl.lbl = sl.lbl THEN 1 ELSE 0 END) AS BIGINT) * 1000)
+         |    // CAST(count(*) AS BIGINT) AS agree_permille,
+         |  CAST(CASE WHEN sum(CASE WHEN nl.lbl = sl.lbl THEN 1 ELSE 0 END) = 0
+         |       THEN 1 ELSE 0 END AS BIGINT) AS noise_suspect
+         |FROM g JOIN $lblCte sl ON sl.vec_id = g.src_id
+         |JOIN $lblCte nl ON nl.vec_id = g.nbr_id
+         |GROUP BY 1, 2, 3""".stripMargin
+    s"""WITH g AS MATERIALIZED (SELECT src_id, nbr_id FROM ($v16Sql)),
+      |gl AS (SELECT vec_id, CAST(label AS BIGINT) AS lbl FROM embeddings),
+      |ev AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |nm AS (SELECT vec_id, list_transform(v, x -> x / sqrt(list_inner_product(v, v))) AS nv
+      |      FROM ev),
+      |ge AS (SELECT vec_id, CAST(CASE WHEN floor(nv[1] * 1e6 + 0.5) >= 0
+      |        THEN 1 ELSE 0 END AS BIGINT) AS lbl FROM nm)
+      |${leg("given", "gl")}
+      |UNION ALL
+      |${leg("geometric", "ge")}
+      |ORDER BY label_src, vec_id""".stripMargin
+  }
 }

@@ -1728,4 +1728,31 @@ class DedupKnnSpec extends AnyFunSuite {
     assert(shared * 10 >= mass * 8,
       s"CDC realignment failed: shared $shared of $mass")
   }
+
+  test("v23: label-noise audit discriminates geometric from geometry-free labels") {
+    val rows = graft.operators.Knn.v23(spark, SharedSpark.sf).collect()
+      .map(r => (r.getAs[String]("label_src"), r.getAs[Long]("vec_id"),
+        r.getAs[Long]("label"), r.getAs[Long]("n_nbrs"), r.getAs[Long]("n_same"),
+        r.getAs[Long]("agree_permille"), r.getAs[Long]("noise_suspect"))).toSeq
+    val (geo, given) = rows.partition(_._1 == "geometric")
+    assert(geo.nonEmpty && given.nonEmpty)
+    // both legs audit the identical node set (the same kNN graph)
+    assert(geo.map(_._2).toSet == given.map(_._2).toSet)
+    rows.foreach { case (_, id, _, nn, ns, ap, sus) =>
+      assert(ns >= 0 && ns <= nn, s"vote count out of range at $id")
+      assert(ap == ns * 1000 / nn)
+      assert((sus == 1L) == (ns == 0L))
+    }
+    // the given labels measure ~chance for 10 balanced classes;
+    // the geometric pseudo-label rides the embedding space — the
+    // audit must separate them decisively
+    def mean(xs: Seq[Long]): Double = xs.sum.toDouble / xs.size
+    val mGiven = mean(given.map(_._6))
+    val mGeo = mean(geo.map(_._6))
+    assert(mGiven > 30 && mGiven < 250, s"given-label agreement $mGiven off the chance band")
+    assert(mGeo > 2 * mGiven, s"audit failed to discriminate: $mGeo vs $mGiven")
+    // geometry-free labels produce many zero-agreement suspects;
+    // geometric labels almost none
+    assert(given.count(_._7 == 1L) > 10 * math.max(1, geo.count(_._7 == 1L)) / 2)
+  }
 }
