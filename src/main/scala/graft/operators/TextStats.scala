@@ -1923,4 +1923,77 @@ object TextStats {
       |  CAST(CASE WHEN norm = composed THEN 1 ELSE 0 END AS BIGINT) AS collapses
       |FROM n
       |ORDER BY doc_id""".stripMargin
+
+  // ---------- t32: code-vs-prose routing ----------
+
+  /** t32 fixture: the corpus is pure prose (space-separated words —
+    * zero code symbols), so the t28 seeded-fixture discipline
+    * applies: docs with doc_id % 7 = 3 get a deterministic code
+    * block appended, parameterized by doc_id so the blocks are not
+    * byte-identical across docs.
+    */
+  private val t32Seed =
+    "CASE WHEN doc_id % 7 = 3 THEN text || ' def f(x) { return x + '" +
+      " || CAST(doc_id % 10 AS STRING) || '; } val y = f(2); if (y > 0) { y = y * 2; }'" +
+      " ELSE text END"
+
+  /** Symbol-density routing threshold (permille of characters) and
+    * the keyword floor — prose measures 0 on both, the seeded code
+    * block ~45‰ and 4 keywords, so the gate swings decisively.
+    */
+  private val t32SymPermille = 20L
+  private val t32KwFloor = 2L
+
+  /** t32: CODE-vs-PROSE ROUTING — the mixture-separation gate every
+    * pretraining pipeline runs before sampling (code and prose are
+    * weighted differently in the data mixture, and code leaking
+    * into the prose pot skews dedup/quality stats; the
+    * StarCoder/StackOverflow-class ingest split, done with the
+    * classic symbol-density heuristic rather than a learned
+    * model): per doc, exact counts of code SYMBOLS
+    * ({};()=+*<>) and code KEYWORDS (def/return/val/if as words),
+    * symbol density in permille (§8.39-safe), and the route
+    * verdict = density ≥ [[t32SymPermille]] AND keywords ≥
+    * [[t32KwFloor]] — the two-feature AND keeps symbol-heavy
+    * math prose and keyword-mentioning prose out (both features
+    * alone miss differently). On the seeded corpus the gate routes
+    * exactly the doc_id % 7 = 3 slice to 'code' — spec-pinned
+    * two-way swing.
+    *
+    * Scale shape: one narrow row-local projection (regex counts +
+    * integer algebra) — zero data exchanges, scan speed; the t21
+    * quality-gate economics.
+    */
+  def t32(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .selectExpr("doc_id", s"$t32Seed AS s")
+      .selectExpr("doc_id",
+        "CAST(length(s) AS BIGINT) AS n_chars",
+        """CAST(regexp_count(s, '[{};()=+*<>]') AS BIGINT) AS n_sym""",
+        """CAST(regexp_count(s, '\\b(def|return|val|if)\\b') AS BIGINT) AS n_kw""")
+      .selectExpr("doc_id", "n_chars", "n_sym", "n_kw",
+        "(n_sym * 1000) div n_chars AS sym_permille",
+        s"""CASE WHEN (n_sym * 1000) div n_chars >= $t32SymPermille
+           | AND n_kw >= $t32KwFloor THEN 'code' ELSE 'prose' END AS route""".stripMargin)
+      .transform(graft.Tables.ordered(_, $"doc_id"))
+  }
+
+  /** t32 oracle: identical seed expression, len(regexp_extract_all)
+    * counts and the same two-feature gate.
+    */
+  val t32Sql: String = {
+    val seed = t32Seed.replace("AS STRING", "AS VARCHAR")
+    s"""WITH v AS (SELECT doc_id, $seed AS s FROM documents),
+      |c AS (SELECT doc_id, CAST(length(s) AS BIGINT) AS n_chars,
+      |        CAST(len(regexp_extract_all(s, '[{};()=+*<>]')) AS BIGINT) AS n_sym,
+      |        CAST(len(regexp_extract_all(s, '\\b(def|return|val|if)\\b')) AS BIGINT) AS n_kw
+      |      FROM v)
+      |SELECT doc_id, n_chars, n_sym, n_kw,
+      |  (n_sym * 1000) // n_chars AS sym_permille,
+      |  CASE WHEN (n_sym * 1000) // n_chars >= $t32SymPermille
+      |       AND n_kw >= $t32KwFloor THEN 'code' ELSE 'prose' END AS route
+      |FROM c
+      |ORDER BY doc_id""".stripMargin
+  }
 }

@@ -1046,6 +1046,29 @@ class RelationalSpec extends AnyFunSuite {
     assert(want < 0.0 && want > -0.6)
   }
 
+  test("t32: code routing fires exactly on the seeded slice and recomputes sequentially") {
+    val got = graft.operators.TextStats.t32(spark, sf).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_chars"), r.getAs[Long]("n_sym"),
+        r.getAs[Long]("n_kw"), r.getAs[Long]("sym_permille"), r.getAs[String]("route"))).toSeq
+    assert(got.nonEmpty)
+    val texts = Tables.documents(spark, sf).selectExpr("doc_id", "text")
+      .as[(Long, String)].collect().toMap
+    got.foreach { case (id, nc, ns, nk, sp, route) =>
+      val s = if (id % 7 == 3)
+        texts(id) + s" def f(x) { return x + ${id % 10}; } val y = f(2); if (y > 0) { y = y * 2; }"
+      else texts(id)
+      // sequential feature recompute
+      assert(nc == s.length.toLong)
+      assert(ns == s.count("{};()=+*<>".contains(_)).toLong)
+      assert(nk == "\\b(def|return|val|if)\\b".r.findAllIn(s).length.toLong)
+      assert(sp == ns * 1000 / nc)
+      // the gate routes the seeded slice and ONLY the seeded slice
+      assert((route == "code") == (id % 7 == 3), s"doc $id misrouted: $route")
+    }
+    // both routes are populated — the gate genuinely swings
+    assert(got.exists(_._6 == "code") && got.exists(_._6 == "prose"))
+  }
+
   test("t26: readability counts and formulas recompute from the raw text") {
     val rows = graft.operators.TextStats.t26(spark, sf).collect()
     val raw = Tables.documents(spark, sf)
