@@ -1436,6 +1436,104 @@ object Media {
       .transform(graft.Tables.ordered(_, $"doc_id"))
   }
 
+  // ---------- m16: JPEG marker-segment walk ----------
+
+  case class JpegMarkers(doc_id: Long, soi_ok: Boolean, width: Int, height: Int,
+      precision: Int, n_components: Int, n_dqt: Long, n_dht: Long,
+      has_app0: Boolean, sos_ok: Boolean, eoi_last: Boolean, scan_nonempty: Boolean)
+
+  /** Walk one JPEG byte stream's marker segments: SOI, then
+    * length-prefixed segments (0xFF type + big-endian length
+    * including itself) up to SOS, then the entropy-coded scan
+    * (skipping 0xFF00 byte stuffing and RSTn markers) to EOI.
+    * Extracts SOF0 geometry (precision, height, width, component
+    * count) and table/structure counts. Factored so the spec can
+    * corrupt bytes and prove the gates bite.
+    */
+  private[graft] def jpegMarkers(docId: Long, b: Array[Byte]): JpegMarkers = {
+    def u8(p: Int): Int = b(p) & 0xff
+    def be16(p: Int): Int = (u8(p) << 8) | u8(p + 1)
+    val soiOk = b.length >= 4 && u8(0) == 0xff && u8(1) == 0xd8
+    var pos = 2
+    var w = 0; var h = 0; var prec = 0; var ncomp = 0
+    var nDqt = 0L; var nDht = 0L
+    var app0 = false; var sos = false
+    var scanBytes = 0L; var eoiLast = false
+    var done = false
+    while (!done && pos + 4 <= b.length && u8(pos) == 0xff) {
+      val typ = u8(pos + 1)
+      if (typ == 0xdb) nDqt += 1
+      if (typ == 0xc4) nDht += 1
+      if (typ == 0xe0) app0 = true
+      if (typ == 0xc0) { // SOF0: baseline geometry
+        prec = u8(pos + 4); h = be16(pos + 5); w = be16(pos + 7)
+        ncomp = u8(pos + 9)
+      }
+      if (typ == 0xda) { // SOS: skip header, walk the entropy scan
+        sos = true
+        var p = pos + 2 + be16(pos + 2)
+        var stop = false
+        while (!stop && p + 1 < b.length) {
+          if (u8(p) == 0xff && u8(p + 1) == 0xd9) {
+            eoiLast = p + 2 == b.length; stop = true
+          } else {
+            // 0xFF00 stuffing and RSTn (D0-D7) stay inside the scan
+            scanBytes += 1
+            p += (if (u8(p) == 0xff) 2 else 1)
+          }
+        }
+        done = true
+      } else pos += 2 + be16(pos + 2)
+    }
+    JpegMarkers(docId, soiOk, w, h, prec, ncomp, nDqt, nDht,
+      app0, sos, eoiLast, scanBytes > 0L)
+  }
+
+  /** m16: JPEG MARKER METADATA — the third container walk (PNG m14,
+    * WAV m15): the EXIF-class marker-segment parse a crawl ingest
+    * runs on the dominant image format before decode (format
+    * sniff, geometry, table inventory, truncation detection). Over
+    * m10's REAL encoder output the parse must recover the known
+    * baseline structure — 8×8 single-component precision-8 SOF0,
+    * ≥1 quantization and ≥1 Huffman table, JFIF APP0, an SOS scan
+    * that ends in EOI exactly at the last byte — the m14 contract
+    * idiom (executor proves the parse, oracle pins the healthy
+    * constants, spec corrupts bytes so each gate bites). The scan
+    * walk honors 0xFF00 byte stuffing and RSTn — the classic JPEG
+    * parser traps.
+    *
+    * Scale: encode+walk fused in one narrow mapPartitions stage —
+    * zero shuffles, the m7/m10 decode-fleet shape.
+    */
+  def m16(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .filter($"doc_id" % 3 === 1)
+      .selectExpr("doc_id",
+        "rpad(concat('JPG', substring(text, 1, 61)), 64, ' ') AS s")
+      .as[(Long, String)]
+      .mapPartitions(_.map { case (id, s) =>
+        jpegMarkers(id, encodeJpeg8x8(s))
+      })
+      .toDF()
+      .transform(graft.Tables.ordered(_, $"doc_id"))
+  }
+
+  /** m16 oracle: the healthy baseline-JPEG constants for every
+    * encoded doc (ImageIO's fixed segment inventory at the fixed
+    * quality: one DQT segment, TWO DHT segments — DC and AC
+    * Huffman tables ship separately — JFIF APP0; measured, then
+    * pinned).
+    */
+  val m16Sql: String =
+    """SELECT doc_id, TRUE AS soi_ok, 8 AS width, 8 AS height,
+      |  8 AS precision, 1 AS n_components,
+      |  CAST(1 AS BIGINT) AS n_dqt, CAST(2 AS BIGINT) AS n_dht,
+      |  TRUE AS has_app0, TRUE AS sos_ok, TRUE AS eoi_last,
+      |  TRUE AS scan_nonempty
+      |FROM documents WHERE doc_id % 3 = 1
+      |ORDER BY doc_id""".stripMargin
+
   /** m15 oracle: healthy-structure constants for the canonical
     * encoder + exact PCM energy/peak from the ASCII payload bytes
     * (m5's ord−128 convention).

@@ -243,4 +243,29 @@ class ChartPngSpec extends AnyFunSuite {
     val badMagic = wav.clone(); badMagic(8) = 'X'.toByte
     assert(!Media.wavMeta(7L, badMagic).wave_ok)
   }
+
+  test("m16: JPEG marker walk recovers real structure; truncation and dim edits bite") {
+    import graft.operators.Media
+    val jb = Media.encodeJpeg8x8(
+      "JPGthe quick brown fox jumps over the lazy dog pad".padTo(64, ' '))
+    val m = Media.jpegMarkers(3L, jb)
+    assert(m.soi_ok && m.has_app0 && m.sos_ok && m.eoi_last && m.scan_nonempty)
+    assert(m.width == 8 && m.height == 8 && m.precision == 8 && m.n_components == 1)
+    assert(m.n_dqt == 1L && m.n_dht == 2L)
+    // find SOF0 and edit the width → geometry is really read from it
+    var pos = 2
+    var sof = -1
+    while (sof < 0 && pos + 4 <= jb.length && (jb(pos) & 0xff) == 0xff) {
+      if ((jb(pos + 1) & 0xff) == 0xc0) sof = pos
+      else pos += 2 + (((jb(pos + 2) & 0xff) << 8) | (jb(pos + 3) & 0xff))
+    }
+    assert(sof > 0, "no SOF0 found")
+    val widened = jb.clone(); widened(sof + 8) = 16.toByte // width low byte
+    assert(Media.jpegMarkers(3L, widened).width == 16)
+    // truncation kills the EOI-at-end invariant
+    assert(!Media.jpegMarkers(3L, jb.dropRight(3)).eoi_last)
+    // a wrecked SOI kills the signature
+    val bad = jb.clone(); bad(1) = 0x00
+    assert(!Media.jpegMarkers(3L, bad).soi_ok)
+  }
 }
