@@ -1964,10 +1964,11 @@ object TextStats {
     * integer algebra) — zero data exchanges, scan speed; the t21
     * quality-gate economics.
     */
-  def t32(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    Tables.documents(spark, dir)
-      .selectExpr("doc_id", s"$t32Seed AS s")
+  /** t32's seed + features + gate over a (doc_id, text) frame —
+    * shared verbatim with the streaming ingest door (s31).
+    */
+  private[graft] def t32Route(df: DataFrame): DataFrame =
+    df.selectExpr("doc_id", s"$t32Seed AS s")
       .selectExpr("doc_id",
         "CAST(length(s) AS BIGINT) AS n_chars",
         """CAST(regexp_count(s, '[{};()=+*<>]') AS BIGINT) AS n_sym""",
@@ -1976,6 +1977,10 @@ object TextStats {
         "(n_sym * 1000) div n_chars AS sym_permille",
         s"""CASE WHEN (n_sym * 1000) div n_chars >= $t32SymPermille
            | AND n_kw >= $t32KwFloor THEN 'code' ELSE 'prose' END AS route""".stripMargin)
+
+  def t32(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    t32Route(Tables.documents(spark, dir))
       .transform(graft.Tables.ordered(_, $"doc_id"))
   }
 

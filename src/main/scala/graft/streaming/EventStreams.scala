@@ -873,6 +873,27 @@ object EventStreams {
   /** s30 oracle: dq4's, verbatim — the twin contract. */
   val s30Sql: String = graft.operators.Quality.dq4Sql
 
+  /** s31: STREAMING CODE DOOR — t32's code-vs-prose mixture gate
+    * applied STATELESSLY at the ingest boundary (the s17
+    * Gopher-door class: a pure narrow map per arriving document,
+    * no streaming state at all — the cheapest door there is), so
+    * code is binned away from the prose pot the moment it lands
+    * rather than in the nightly batch. `t32Route` SHARED VERBATIM;
+    * oracle IS t32Sql (twin contract).
+    */
+  def s31(spark: SparkSession, dir: String): DataFrame = {
+    val ss = streamSession(spark)
+    import ss.implicits._
+    val schema = ss.read.parquet(s"$dir/documents.parquet").schema
+    val src = ss.readStream.schema(schema)
+      .option("pathGlobFilter", "documents.parquet").parquet(dir)
+    runToTable(ss, graft.operators.TextStats.t32Route(src), OutputMode.Append())
+      .orderBy($"doc_id")
+  }
+
+  /** s31 oracle: t32's, verbatim — the twin contract. */
+  val s31Sql: String = graft.operators.TextStats.t32Sql
+
   /** s26 oracle: batch recompute of the first-20-gaps decision. */
   val s26Sql: String =
     s"""WITH ev AS (SELECT user_id, event_id,

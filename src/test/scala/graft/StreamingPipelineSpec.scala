@@ -1010,4 +1010,14 @@ class StreamingPipelineSpec extends AnyFunSuite {
         s"day-count state merge wrong: $rows")
     } finally q.stop()
   }
+
+  test("s31 stateless code door equals batch t32 row for row") {
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_sym"),
+        r.getAs[Long]("n_kw"), r.getAs[String]("route"))).toSeq
+    val streamed = rows(graft.streaming.EventStreams.s31(spark, sf))
+    val batch = rows(graft.operators.TextStats.t32(spark, sf))
+    assert(streamed == batch && streamed.nonEmpty)
+    assert(streamed.exists(_._4 == "code") && streamed.exists(_._4 == "prose"))
+  }
 }
