@@ -994,6 +994,90 @@ object EventWindows {
       |FROM c
       |ORDER BY gap_day""".stripMargin
 
+  // ---------- e19: Markov stationary distribution ----------
+
+  private val e19Rounds = 12
+
+  /** e19: MARKOV STATIONARY DISTRIBUTION — the long-run occupancy
+    * of e7's first-order behavior chain (power iteration on the
+    * row-stochastic transition matrix; the PageRank recursion on
+    * the ≤|event-types| behavioral state space): where a user
+    * session settles if it ran forever — the steady-state mix a
+    * capacity/recommendation model reads off the transition model.
+    * Fully integer (the g1 discipline): mass in micro-units,
+    * each edge moves (mass·n) div rowsum (both operands
+    * non-negative, §8.39), truncation drains ≤ |states|²/2 micro
+    * per round — bounded and identical in both engines, so the
+    * fixpoint is bitwise. [[e19Rounds]] synchronous rounds (the
+    * chain is dense — 5 states, mixing time ≪ 12; spec pins
+    * convergence: last two rounds equal).
+    *
+    * Scale shape: the transition matrix is a ≤|types|²-row
+    * METADATA table (one user-key window pass to build — e7's
+    * exchange) and every round is a ≤36-row join — the w24
+    * bounded-output class; at 10¹² events the iteration costs the
+    * same 12 micro-joins.
+    */
+  def e19(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"tus", $"event_id")
+    val pairs = Tables.events(spark, dir)
+      .select($"user_id", $"event_id", $"event_type", unix_micros($"ts").as("tus"))
+      .withColumn("prev_type", lag($"event_type", 1).over(w))
+      .filter($"prev_type".isNotNull)
+    val m = pairs.groupBy($"prev_type", $"event_type")
+      .agg(count(lit(1)).as("n"))
+      .withColumn("rowsum", sum($"n").over(Window.partitionBy($"prev_type")))
+      .localCheckpoint()
+    val states = m.select($"prev_type".as("state")).distinct()
+    val nStates = states.count()
+    var pi = states
+      .selectExpr("state", s"CAST(1000000 div $nStates AS BIGINT) AS mass")
+      .localCheckpoint()
+    (1 to e19Rounds).foreach { _ =>
+      val next = m.join(pi.withColumnRenamed("state", "prev_type"), Seq("prev_type"))
+        .selectExpr("event_type AS state", "(mass * n) div rowsum AS part")
+        .groupBy($"state").agg(sum($"part").as("mass"))
+        .localCheckpoint()
+      graft.functions.Lineage.freeCheckpoint(pi)
+      pi = next
+    }
+    pi.join(m.groupBy($"prev_type".as("state")).agg(count(lit(1)).as("n_out")),
+        Seq("state"))
+      .selectExpr("state AS event_type", "mass AS pi_micro", "n_out")
+      .transform(graft.Tables.ordered(_, $"event_type"))
+  }
+
+  /** e19 oracle: e7's pair CTEs + the matrix and the 12 rounds
+    * unrolled with identical integral-division mass moves.
+    */
+  val e19Sql: String = {
+    val rounds = (1 to e19Rounds).map { r =>
+      val p = r - 1
+      s"""p$r AS MATERIALIZED (SELECT m.event_type AS state,
+         |        CAST(sum((p.mass * m.n) // m.rowsum) AS BIGINT) AS mass
+         |      FROM m JOIN p$p p ON p.state = m.prev_type GROUP BY 1)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH o AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS tus FROM events),
+      |pr AS (SELECT event_type,
+      |        lag(event_type) OVER (PARTITION BY user_id ORDER BY tus, event_id) AS prev_type
+      |      FROM o),
+      |f AS (SELECT prev_type, event_type FROM pr WHERE prev_type IS NOT NULL),
+      |m AS MATERIALIZED (SELECT prev_type, event_type, CAST(count(*) AS BIGINT) AS n,
+      |        CAST(sum(count(*)) OVER (PARTITION BY prev_type) AS BIGINT) AS rowsum
+      |      FROM f GROUP BY 1, 2),
+      |st AS (SELECT DISTINCT prev_type AS state FROM m),
+      |ns AS (SELECT count(*) AS n FROM st),
+      |p0 AS (SELECT state, CAST(1000000 // ns.n AS BIGINT) AS mass FROM st, ns),
+      |$rounds
+      |SELECT p.state AS event_type, p.mass AS pi_micro,
+      |  CAST(oc.n_out AS BIGINT) AS n_out
+      |FROM p$e19Rounds p
+      |JOIN (SELECT prev_type AS state, count(*) AS n_out FROM m GROUP BY 1) oc
+      |  ON oc.state = p.state
+      |ORDER BY event_type""".stripMargin
+  }
+
   /** e17 oracle: identical epoch-hour key, exact sums, non-negative
     * integral divisions.
     */

@@ -2007,6 +2007,45 @@ class RelationalSpec extends AnyFunSuite {
     assert(got.map(_._2).sum == gaps.length.toLong)
   }
 
+  test("e19: stationary masses equal a sequential power iteration and have converged") {
+    val got = EventWindows.e19(spark, sf).collect()
+      .map(r => (r.getAs[String]("event_type"), r.getAs[Long]("pi_micro"),
+        r.getAs[Long]("n_out"))).toSeq
+    // sequential mirror: rebuild the chain and iterate with the same
+    // integral-division mass moves
+    val pairs = Tables.events(spark, sf)
+      .selectExpr("user_id", "event_id", "event_type", "unix_micros(ts) AS tus")
+      .as[(Long, Long, String, Long)].collect()
+      .groupBy(_._1).values.flatMap { es =>
+        val s = es.sortBy(e => (e._4, e._2)).map(_._3)
+        s.zip(s.tail)
+      }.toSeq
+    val m = pairs.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val rowsum = m.groupBy(_._1._1).view.mapValues(_.values.sum).toMap
+    val states = rowsum.keys.toSeq.sorted
+    var pi = states.map(s => s -> 1000000L / states.size).toMap
+    var prev = pi
+    (1 to 12).foreach { r =>
+      prev = pi
+      pi = states.map { j =>
+        j -> states.map(i => pi.getOrElse(i, 0L) * m.getOrElse((i, j), 0L) / rowsum(i)).sum
+      }.toMap
+    }
+    val want = states.map(s => (s, pi(s),
+      m.keys.count(_._1 == s).toLong)).sortBy(_._1)
+    assert(got == want && got.nonEmpty)
+    // converged within budget: the last round moved each state by no
+    // more than the per-round truncation drain (masses keep shrinking
+    // by a few micro per round, so exact fixpoint equality never
+    // happens — the DISTRIBUTION is what has converged)
+    val maxMove = states.map(s => math.abs(pi(s) - prev(s))).max
+    assert(maxMove <= states.size.toLong * states.size,
+      s"not converged: max per-state move $maxMove: $prev -> $pi")
+    // bounded truncation drain: total mass within states^2/2 * rounds
+    val drain = 1000000L - pi.values.sum
+    assert(drain >= 0 && drain <= states.size.toLong * states.size * 12 / 2 + states.size)
+  }
+
   test("q36: nearest as-of equals a sequential recompute and genuinely beats backward-only") {
     import graft.operators.AsOf
     val got = AsOf.asOfNearest(spark, sf).collect()
