@@ -1166,4 +1166,65 @@ object Relational {
       |FROM est4 e JOIN ex x USING (sketch)
       |ORDER BY sketch""".stripMargin
   }
+
+  // ---------- q37: time-weighted average (TWAP) ----------
+
+  /** q37: TIME-WEIGHTED AVERAGE — the TWAP/TWA aggregation every
+    * market-data and IoT-telemetry store exposes (value held
+    * constant until the next observation, weighted by how long it
+    * held): per user, Σ value·Δt / ΣΔt over consecutive events.
+    * Exact to the last step: values integerize to cents (e14's
+    * convention), durations to whole seconds by truncating
+    * division (both operands non-negative, §8.39 — sub-second
+    * gaps weigh 0, identically in both engines), the weighted sum
+    * and denominator are BIGINTs, and the final TWAP is ONE IEEE
+    * division of exact integers (the g11 discipline — bitwise).
+    * Users whose gaps all truncate to zero are excluded (zero
+    * denominator).
+    *
+    * Scale shape: ONE user-key exchange shared by the lead window
+    * and the aggregate (the e-family contract); output is user
+    * grain. The classic formulation needs no as-of machinery —
+    * lead + aggregate is the whole plan.
+    */
+  def q37(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"tus", $"event_id")
+    Tables.events(spark, dir)
+      .selectExpr("user_id", "event_id", "unix_micros(ts) AS tus",
+        "CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents")
+      .withColumn("ntus", lead($"tus", 1).over(w))
+      .filter($"ntus".isNotNull)
+      .selectExpr("user_id", "(ntus - tus) div 1000000 AS dur_s", "cents")
+      .groupBy($"user_id")
+      .agg(count(lit(1)).as("n_holds"),
+        sum($"dur_s").as("span_s"),
+        sum($"dur_s" * $"cents").as("wsum_cents_s"))
+      .filter($"span_s" > 0L)
+      .selectExpr("user_id", "n_holds", "span_s", "wsum_cents_s",
+        "CAST(wsum_cents_s AS DOUBLE) / CAST(span_s AS DOUBLE) AS twap_cents")
+      .transform(graft.Tables.ordered(_, $"user_id"))
+  }
+
+  /** q37 oracle: identical cents/seconds integerization, lead
+    * window, exact sums and the single IEEE division.
+    */
+  val q37Sql: String =
+    """WITH o AS (SELECT user_id, event_id, epoch_us(ts) AS tus,
+      |        CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+      |      FROM events),
+      |l AS (SELECT user_id, cents,
+      |        lead(tus) OVER (PARTITION BY user_id ORDER BY tus, event_id) AS ntus,
+      |        tus
+      |      FROM o),
+      |d AS (SELECT user_id, (ntus - tus) // 1000000 AS dur_s, cents
+      |      FROM l WHERE ntus IS NOT NULL),
+      |a AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_holds,
+      |        CAST(sum(dur_s) AS BIGINT) AS span_s,
+      |        CAST(sum(dur_s * cents) AS BIGINT) AS wsum_cents_s
+      |      FROM d GROUP BY 1)
+      |SELECT user_id, n_holds, span_s, wsum_cents_s,
+      |  CAST(wsum_cents_s AS DOUBLE) / CAST(span_s AS DOUBLE) AS twap_cents
+      |FROM a WHERE span_s > 0
+      |ORDER BY user_id""".stripMargin
 }

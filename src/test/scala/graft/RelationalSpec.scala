@@ -2007,6 +2007,35 @@ class RelationalSpec extends AnyFunSuite {
     assert(got.map(_._2).sum == gaps.length.toLong)
   }
 
+  test("q37: TWAP equals a sequential hold-weighted recompute") {
+    val got = Relational.q37(spark, sf).collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("n_holds"),
+        r.getAs[Long]("span_s"), r.getAs[Long]("wsum_cents_s"),
+        r.getAs[Double]("twap_cents"))).toSeq
+    val want = Tables.events(spark, sf)
+      .selectExpr("user_id", "event_id", "unix_micros(ts) AS tus",
+        "CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents")
+      .as[(Long, Long, Long, Long)].collect()
+      .groupBy(_._1).toSeq.flatMap { case (uid, es) =>
+        val s = es.sortBy(e => (e._3, e._2))
+        val holds = s.zip(s.tail).map { case (a, b) => ((b._3 - a._3) / 1000000L, a._4) }
+        val span = holds.map(_._1).sum
+        val wsum = holds.map { case (d, c) => d * c }.sum
+        if (holds.nonEmpty && span > 0)
+          Some((uid, holds.size.toLong, span, wsum, wsum.toDouble / span.toDouble))
+        else None
+      }.sortBy(_._1)
+    assert(got == want && got.nonEmpty)
+    // the weighting is real: some user's TWAP differs from their
+    // unweighted mean by a visible margin
+    val plain = Tables.events(spark, sf)
+      .selectExpr("user_id", "CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents")
+      .as[(Long, Long)].collect().groupBy(_._1).view
+      .mapValues(v => v.map(_._2).sum.toDouble / v.size).toMap
+    assert(got.exists(g => math.abs(g._5 - plain(g._1)) > 1.0),
+      "TWAP never deviates from the plain mean - weighting inert")
+  }
+
   test("e19: stationary masses equal a sequential power iteration and have converged") {
     val got = EventWindows.e19(spark, sf).collect()
       .map(r => (r.getAs[String]("event_type"), r.getAs[Long]("pi_micro"),
