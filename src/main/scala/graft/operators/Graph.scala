@@ -1297,6 +1297,134 @@ object Graph {
       |FROM c
       |ORDER BY r""".stripMargin
 
+  // ---------- g16: degree-distribution power-law audit ----------
+
+  /** The hub-attachment rule for [[g16]]'s crawl-shaped graph:
+    * every node links to the highest power of two ≤ its id (the
+    * "front page" of its octave), computed by the branch-free
+    * bit smear — s = id | id>>1 | ... | id>>32, hub = s ^ (s>>1) —
+    * integer-exact in both dialects (no float log2, whose
+    * boundary rounding at exact powers would disagree). One hub
+    * per octave with in-degree 2^k: a deterministic heavy tail
+    * spanning every octave of the graph.
+    */
+  private def g16HubCols(shr: (String, Int) => String): Seq[(String, String)] =
+    Seq(
+      "s1" -> s"(id | ${shr("id", 1)})",
+      "s2" -> s"(s1 | ${shr("s1", 2)})",
+      "s3" -> s"(s2 | ${shr("s2", 4)})",
+      "s4" -> s"(s3 | ${shr("s3", 8)})",
+      "s5" -> s"(s4 | ${shr("s4", 16)})",
+      "s6" -> s"(s5 | ${shr("s5", 32)})",
+      // s6 is all-ones below the MSB, so MSB = s6 - (s6 >> 1) —
+      // subtraction spells identically in both dialects (DuckDB's ^
+      // is POWER, not xor)
+      "hub" -> s"(s6 - ${shr("s6", 1)})",
+    )
+
+  /** g16: DEGREE POWER-LAW AUDIT (Faloutsos³ 1999, "On Power-Law
+    * Relationships of the Internet Topology"; Broder et al. 2000's
+    * web measurements) — the graph-health analogue of t27's Zipf
+    * audit: a real crawl graph's in-degree CCDF P(D ≥ d) falls as
+    * a straight line in log-log space (heavy tail: hubs exist),
+    * and the audit fits ln P(D ≥ d) against ln d over the
+    * degree-grain CCDF with t27's EXACT regression machinery
+    * (1e-3-quantized ln per §8.4, BIGINT moment sums, ONE final
+    * IEEE division), reporting the fit inputs beside the slope.
+    * The modular base rules alone make a DEGENERATE spectrum
+    * (every in-degree ∈ {2,4} — two permutations plus the binary
+    * tree; a 2-point "fit" is meaningless), so the graph adds the
+    * [[g16HubCols]] octave-hub rule: one hub per power of two with
+    * in-degree 2^k — a deterministic heavy tail spanning every
+    * octave, giving the CCDF ~log₂ n genuine points (15 at
+    * sf0.1, slope ≈ −0.64 — the spec pins the exact hub degrees).
+    *
+    * Scale shape: one dst-keyed in-degree aggregate (map-side
+    * combined), a ≤ max-degree-row histogram, a suffix window on
+    * the DEGREE grain (HistQ's metadata-grain class) and a 1-row
+    * summary — degree-distribution cost is the edge scan plus a
+    * metadata reduction at any graph size.
+    */
+  def g16(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val nodes = Tables.customer(spark, dir).select($"c_custkey".as("id")).cache()
+    val n = nodes.count()
+    val hub = g16HubCols((e, s) => s"shiftright($e, $s)")
+      .foldLeft(nodes.filter($"id" >= 1L)) { case (d, (c, ex)) =>
+        d.selectExpr("*", s"$ex AS $c")
+      }
+      .selectExpr("id AS src", "hub AS dst")
+    val edges = nodes.selectExpr("id AS src", s"(id * 31 + 7) % $n AS dst")
+      .unionAll(nodes.selectExpr("id AS src", s"(id * 17 + 3) % $n AS dst"))
+      .unionAll(nodes.filter($"id" >= 2).selectExpr("id AS src", "id div 2 AS dst"))
+      .unionAll(hub)
+    val indeg = nodes
+      .join(edges.groupBy($"dst".as("id")).agg(count(lit(1)).as("deg")),
+        Seq("id"), "left_outer")
+      .selectExpr("id", "coalesce(deg, CAST(0 AS BIGINT)) AS deg")
+    val hist = indeg.groupBy($"deg").agg(count(lit(1)).as("n_nodes"))
+    val wS = org.apache.spark.sql.expressions.Window
+      .orderBy($"deg") // degree grain: ≤ max-degree rows
+    val xy = hist
+      .withColumn("n_ge", sum($"n_nodes").over(
+        wS.rowsBetween(0, org.apache.spark.sql.expressions.Window.unboundedFollowing)))
+      .filter($"deg" >= 1L)
+      .selectExpr(
+        "CAST(floor(ln(CAST(deg AS DOUBLE)) * 1e3 + 0.5) AS BIGINT) AS x",
+        "CAST(floor(ln(CAST(n_ge AS DOUBLE)) * 1e3 + 0.5) AS BIGINT) AS y")
+    xy.agg(count(lit(1)).as("n_points"),
+        sum($"x").as("sum_x"), sum($"y").as("sum_y"),
+        sum($"x" * $"y").as("sum_xy"), sum($"x" * $"x").as("sum_x2"))
+      .crossJoin(broadcast(
+        indeg.agg(count(lit(1)).as("n_nodes"), max($"deg").as("max_deg"))))
+      .selectExpr("n_points", "n_nodes", "max_deg",
+        "sum_x", "sum_y", "sum_xy", "sum_x2",
+        "CAST(n_points * sum_xy - sum_x * sum_y AS DOUBLE) " +
+          "/ CAST(n_points * sum_x2 - sum_x * sum_x AS DOUBLE) AS powerlaw_slope")
+  }
+
+  /** g16 oracle: identical bit-smear hub rule, degree histogram,
+    * suffix CCDF, 1e-3 ln quantization, exact moment sums, one
+    * division.
+    */
+  val g16Sql: String = {
+    val hubChain = g16HubCols((e, s) => s"($e >> $s)")
+      .map { case (c, ex) => s"$ex AS $c" }
+    val hubSel = hubChain.foldLeft("SELECT id FROM nodes WHERE id >= 1") {
+      case (from, col) => s"SELECT *, $col FROM ($from)"
+    }
+    s"""WITH nn AS (SELECT count(*) AS n FROM customer),
+      |nodes AS (SELECT c_custkey AS id FROM customer),
+      |hb AS (SELECT id AS src, hub AS dst FROM ($hubSel)),
+      |e AS (SELECT id AS src, (id * 31 + 7) % nn.n AS dst FROM nodes, nn
+      |      UNION ALL SELECT id, (id * 17 + 3) % nn.n FROM nodes, nn
+      |      UNION ALL SELECT id, id // 2 FROM nodes WHERE id >= 2
+      |      UNION ALL SELECT src, dst FROM hb),
+      |dc AS (SELECT dst AS id, CAST(count(*) AS BIGINT) AS deg FROM e GROUP BY 1),
+      |indeg AS (SELECT n.id, coalesce(dc.deg, CAST(0 AS BIGINT)) AS deg
+      |      FROM nodes n LEFT JOIN dc ON dc.id = n.id),
+      |h AS (SELECT deg, CAST(count(*) AS BIGINT) AS n_nodes FROM indeg GROUP BY 1),
+      |c AS (SELECT deg, n_nodes,
+      |        CAST(sum(n_nodes) OVER (ORDER BY deg
+      |          ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS BIGINT) AS n_ge
+      |      FROM h),
+      |xy AS (SELECT
+      |         CAST(floor(ln(CAST(deg AS DOUBLE)) * 1e3 + 0.5) AS BIGINT) AS x,
+      |         CAST(floor(ln(CAST(n_ge AS DOUBLE)) * 1e3 + 0.5) AS BIGINT) AS y
+      |       FROM c WHERE deg >= 1),
+      |s AS (SELECT CAST(count(*) AS BIGINT) AS n_points,
+      |        CAST(sum(x) AS BIGINT) AS sum_x, CAST(sum(y) AS BIGINT) AS sum_y,
+      |        CAST(sum(x * y) AS BIGINT) AS sum_xy,
+      |        CAST(sum(x * x) AS BIGINT) AS sum_x2
+      |      FROM xy),
+      |t AS (SELECT CAST(count(*) AS BIGINT) AS n_nodes,
+      |        CAST(max(deg) AS BIGINT) AS max_deg FROM indeg)
+      |SELECT n_points, n_nodes, max_deg, sum_x, sum_y, sum_xy, sum_x2,
+      |  CAST(n_points * sum_xy - sum_x * sum_y AS DOUBLE)
+      |    / CAST(n_points * sum_x2 - sum_x * sum_x AS DOUBLE) AS powerlaw_slope
+      |FROM s, t""".stripMargin
+  }
+
   // ---------- g15: pivot-sampled stress centrality (Brandes) ----------
 
   private val g15Rounds = 8

@@ -1480,6 +1480,42 @@ class RelationalSpec extends AnyFunSuite {
     assert(got.values.forall(_ >= 0L))
   }
 
+  test("g16: the degree audit equals a sequential recompute and sees the octave hubs") {
+    val got = graft.operators.Graph.g16(spark, sf).collect().head
+    val n = Tables.customer(spark, sf).count().toInt
+    def hp(x: Int): Int = Integer.highestOneBit(x)
+    val indeg = Array.fill(n)(0L)
+    (0 until n).foreach { i =>
+      indeg((i * 31 + 7) % n) += 1
+      indeg((i * 17 + 3) % n) += 1
+      if (i >= 2) indeg(i / 2) += 1
+      if (i >= 1) indeg(hp(i)) += 1
+    }
+    val hist = indeg.groupBy(identity).view.mapValues(_.size.toLong).toSeq.sortBy(_._1)
+    val xy = hist.map(_._1).filter(_ >= 1L).map { d =>
+      val nGe = hist.filter(_._1 >= d).map(_._2).sum
+      (math.floor(math.log(d.toDouble) * 1e3 + 0.5).toLong,
+        math.floor(math.log(nGe.toDouble) * 1e3 + 0.5).toLong)
+    }
+    val (np, sx, sy, sxy, sx2) = (xy.size.toLong, xy.map(_._1).sum, xy.map(_._2).sum,
+      xy.map(p => p._1 * p._2).sum, xy.map(p => p._1 * p._1).sum)
+    assert(got.getAs[Long]("n_points") == np)
+    assert(got.getAs[Long]("max_deg") == indeg.max)
+    assert(got.getAs[Long]("sum_xy") == sxy && got.getAs[Long]("sum_x2") == sx2)
+    assert(got.getAs[Double]("powerlaw_slope") ==
+      (np * sxy - sx * sy).toDouble / (np * sx2 - sx * sx).toDouble)
+    // the octave hubs are real: the degree spectrum spans decades
+    // (without the hub rule it collapses to {2,4} — 2 points)
+    assert(np >= 8, s"degenerate spectrum: $np points")
+    assert(indeg.max >= n / 4, s"no hub: max degree ${indeg.max}")
+    // every power-of-two node is the hub of its octave
+    (2 until 5).foreach { k =>
+      val t = 1 << k
+      assert(indeg(t) >= (1 << k), s"hub $t under-attached: ${indeg(t)}")
+    }
+    assert(got.getAs[Double]("powerlaw_slope") < -0.3)
+  }
+
   test("g15: stress centrality equals a sequential Brandes recompute") {
     val got = graft.operators.Graph.g15(spark, sf).collect()
       .map(r => (r.getAs[Long]("c_custkey"), r.getAs[Long]("n_sources"),
