@@ -894,6 +894,92 @@ object EventStreams {
   /** s31 oracle: t32's, verbatim — the twin contract. */
   val s31Sql: String = graft.operators.TextStats.t32Sql
 
+  // ---------- s32: streaming TWAP ----------
+
+  case class TwapEv(user_id: Long, event_id: Long, tus: Long, cents: Long)
+  case class TwapSt(last_tus: Long, last_cents: Long, n_holds: Long,
+      span_s: Long, wsum: Long)
+  case class TwapOut(user_id: Long, n_holds: Long, span_s: Long,
+      wsum_cents_s: Long)
+
+  /** q37's hold-weighted accumulation as per-user streaming state:
+    * FIVE scalars (last observation + running moments — O(1)
+    * however long the series), each arriving event closes the
+    * previous hold exactly as the batch lead window does
+    * (truncating whole-second duration, §8.39). Emits the running
+    * aggregate every batch in Complete-through-latest fashion:
+    * the LAST emitted row per user equals the batch answer.
+    */
+  class TwapProcessor extends org.apache.spark.sql.streaming.StatefulProcessor[Long, TwapEv, TwapOut] {
+    @transient private var st: org.apache.spark.sql.streaming.ValueState[TwapSt] = _
+
+    override def init(outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      st = getHandle.getValueState[TwapSt]("twap",
+        org.apache.spark.sql.Encoders.product[TwapSt],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[TwapEv],
+        tv: org.apache.spark.sql.streaming.TimerValues): Iterator[TwapOut] = {
+      val sorted = rows.toArray.sortBy(e => (e.tus, e.event_id))
+      var s = if (st.exists()) st.get()
+        else TwapSt(Long.MinValue, 0L, 0L, 0L, 0L)
+      sorted.foreach { e =>
+        if (s.last_tus != Long.MinValue) {
+          val d = (e.tus - s.last_tus) / 1000000L
+          s = TwapSt(e.tus, e.cents, s.n_holds + 1L,
+            s.span_s + d, s.wsum + d * s.last_cents)
+        } else s = s.copy(last_tus = e.tus, last_cents = e.cents)
+      }
+      st.update(s)
+      Iterator.single(TwapOut(key, s.n_holds, s.span_s, s.wsum))
+    }
+  }
+
+  def twapStream(src: Dataset[TwapEv]): Dataset[TwapOut] = {
+    import src.sparkSession.implicits._
+    src.groupByKey(_.user_id)
+      .transformWithState(new TwapProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Append())
+  }
+
+  /** s32: STREAMING TWAP — q37's time-weighted average maintained
+    * ONLINE (the telemetry/market-data deployment: the running TWA
+    * per sensor/instrument, updated as each observation lands):
+    * per-user state is five scalars (last observation + running
+    * moments — O(1) forever, the s26 bounded-state class); every
+    * event closes the previous hold with the batch's exact
+    * truncating-second algebra, and the latest emitted row per
+    * user IS the batch answer (the contract run keeps the
+    * max-event row per user; a production monitor reads the same
+    * append stream continuously). Oracle: q37's, verbatim — the
+    * twin contract.
+    */
+  def s32(spark: SparkSession, dir: String): DataFrame = {
+    val rs = rocksSession(spark)
+    graft.Tables.tsConfs(rs)
+    import rs.implicits._
+    val schema = rs.read.parquet(s"$dir/events.parquet").schema
+    val src = tsToTimestamp(rs.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet").parquet(dir))
+      .selectExpr("user_id", "event_id", "unix_micros(ts) AS tus",
+        "CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents")
+      .as[TwapEv]
+    val landed = runToTable(rs, twapStream(src).toDF(), OutputMode.Append())
+    // latest emission per user = the completed aggregate (one row per
+    // user per micro-batch; n_holds only grows)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("n_holds").desc)
+    landed.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .filter(col("span_s") > 0L)
+      .selectExpr("user_id", "n_holds", "span_s", "wsum_cents_s",
+        "CAST(wsum_cents_s AS DOUBLE) / CAST(span_s AS DOUBLE) AS twap_cents")
+      .transform(graft.Tables.ordered(_, col("user_id")))
+  }
+
+  /** s32 oracle: q37's, verbatim — the twin contract. */
+  val s32Sql: String = graft.relational.Relational.q37Sql
+
   /** s26 oracle: batch recompute of the first-20-gaps decision. */
   val s26Sql: String =
     s"""WITH ev AS (SELECT user_id, event_id,

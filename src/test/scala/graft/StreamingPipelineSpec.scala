@@ -1011,6 +1011,42 @@ class StreamingPipelineSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("s32 single-batch run equals batch q37; holds close across batches from O(1) state") {
+    def twap(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("n_holds"),
+        r.getAs[Long]("span_s"), r.getAs[Long]("wsum_cents_s"),
+        r.getAs[Double]("twap_cents"))).toSeq
+    val streamed = twap(graft.streaming.EventStreams.s32(spark, sf))
+    val batch = twap(graft.relational.Relational.q37(spark, sf))
+    assert(streamed == batch && streamed.nonEmpty)
+    // multi-batch: a hold must close ACROSS micro-batches with the
+    // PREVIOUS batch's value carried in state
+    val ns = spark.newSession()
+    ns.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = ns.sqlContext
+    import ns.implicits._
+    import graft.streaming.EventStreams.{TwapEv, twapStream}
+    val mem = MemoryStream[TwapEv]
+    val name = "s32_state_test"
+    val q = twapStream(mem.toDS()).toDF().writeStream
+      .outputMode(OutputMode.Append()).format("memory").queryName(name).start()
+    try {
+      mem.addData(TwapEv(1L, 1L, 0L, 500L))            // open at value 5.00
+      q.processAllAvailable()
+      mem.addData(TwapEv(1L, 2L, 10000000L, 900L))     // +10 s at 5.00
+      q.processAllAvailable()
+      mem.addData(TwapEv(1L, 3L, 14000000L, 100L))     // +4 s at 9.00
+      q.processAllAvailable()
+      val rows = ns.table(name).collect()
+        .map(r => (r.getAs[Long]("n_holds"), r.getAs[Long]("span_s"),
+          r.getAs[Long]("wsum_cents_s"))).toSet
+      // emissions: after b1 (open), b2 (one 10s hold at 500), b3 (+4s at 900)
+      assert(rows == Set((0L, 0L, 0L), (1L, 10L, 5000L), (2L, 14L, 8600L)),
+        s"cross-batch hold algebra wrong: $rows")
+    } finally q.stop()
+  }
+
   test("s31 stateless code door equals batch t32 row for row") {
     def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
       .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_sym"),
