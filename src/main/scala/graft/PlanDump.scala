@@ -97,6 +97,11 @@ object PlanDump {
       "v15_binary_hamming" -> "binary ANN: codegen bit_count hamming over broadcast query signatures, salted shortlist, equality-join vector fetch for rerank",
       "t24_hash_embed" -> "hashing trick: explode + codegen FNV narrow map, one (doc,dim) map-side-combined shuffle",
       "t31_nfc_normalize" -> "NFC canonicalization: native codegen expression, one scan, zero data exchanges",
+      "q37_twap" -> "TWAP: one user-key exchange shared by lead window and aggregate",
+      "dq4_control_chart" -> "p-chart: day-grain map-side-combined aggregate + 1-row total broadcast",
+      "p14_bloom_skipping" -> "bloom sidecar: (file,lane) bit_or aggregate + probe-lane joins",
+      "g15_stress" -> "stress centrality: id-keyed per-round joins, (pivot,node)-grain state",
+      "e19_markov" -> "markov: one window pass builds the metadata matrix; 12 micro-round joins",
       "d16_url_dedup" -> "URL dedup: narrow canonicalization, dedup exchange keyed on the fnv64 digest",
       "p9_optout_purge" -> "opt-out purge: broadcast registry flag join + type-bounded audit aggregate, one corpus scan",
       "m9_audio_fingerprint" -> "audio landmarks: frame/peak/landmark windows on one doc-key shuffle, capped fp equality self-join",
