@@ -153,6 +153,34 @@ object AsOf {
       |WHERE prev_d IS NOT NULL OR next_d IS NOT NULL
       |ORDER BY b.event_id""".stripMargin
 
+  /** q38: the BAND-JOIN OPTIMIZER RULE exercised end-to-end — the
+    * query writes the NATURAL inner join (`a.key = b.key AND b.t >
+    * a.t AND b.t <= a.t + 5min`; no custom API anywhere) and
+    * [[graft.plans.BandJoinRewrite]] rewrites it to the custom
+    * [[graft.plans.RangeJoinPlan]] during optimization — so the
+    * O(n + matches) sliding merge replaces Catalyst's hash-join +
+    * post-filter (which materializes every same-key pair before
+    * the band cuts: the per-hot-key quadratic trap). Same
+    * semantics and oracle as q12/q14; PlanSpec pins that
+    * RangeJoinExec actually appears in THIS plan (the rule fired)
+    * and the rewrite is attested by the result matching the
+    * bitwise oracle. The third Catalyst extension surface:
+    * expression, plan+strategy, and now an optimizer Rule.
+    */
+  def bandRewrite(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    graft.plans.BandJoinRewrite.install(spark)
+    val ev = Tables.events(spark, dir)
+    val a = ev.select($"user_id".as("ua"), unix_micros($"ts").as("ta_us"))
+    val b = ev.select($"user_id".as("ub"), unix_micros($"ts").as("tb_us"))
+    a.join(b, a("ua") === b("ub") && b("tb_us") > a("ta_us") &&
+        b("tb_us") <= a("ta_us") + 300000000L)
+      .groupBy($"ua")
+      .agg(count(lit(1)).as("n_pairs"))
+      .select($"ua".as("user_id"), $"n_pairs")
+      .transform(graft.Tables.ordered(_, col("user_id")))
+  }
+
   /** q12: band self-join — pairs of events of the same user within
     * (0, 5 min], counted per user, via time-bucketed equality join.
     */

@@ -163,6 +163,9 @@ object AsOfJoin {
   * built once: `spark.sql.extensions=graft.plans.GraftSessionExtensions`.
   */
 class GraftSessionExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
-  override def apply(e: org.apache.spark.sql.SparkSessionExtensions): Unit =
+  override def apply(e: org.apache.spark.sql.SparkSessionExtensions): Unit = {
     e.injectPlannerStrategy(_ => AsOfStrategy)
+    e.injectPlannerStrategy(_ => RangeJoinStrategy)
+    e.injectOptimizerRule(_ => BandJoinRewrite)
+  }
 }

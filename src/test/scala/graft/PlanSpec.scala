@@ -170,6 +170,55 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("q38: the band-join rule fires — RangeJoinExec replaces hash-join+filter") {
+    val p = plan(graft.operators.AsOf.bandRewrite(spark, sf))
+    assert(p.contains("RangeJoin"), s"band rewrite did not fire:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin")
+      && !p.contains("BroadcastHashJoin") && !p.contains("CartesianProduct"),
+      s"a generic join survived where the custom operator should run:\n$p")
+  }
+
+  test("BandJoinRewrite trigger is conservative: non-matching joins are untouched") {
+    import org.apache.spark.sql.functions._
+    graft.plans.BandJoinRewrite.install(spark)
+    val ev = graft.Tables.events(spark, sf)
+    val a = ev.select(col("user_id").as("ua"), expr("unix_micros(ts)").as("ta"))
+    val b = ev.select(col("user_id").as("ub"), expr("unix_micros(ts)").as("tb"))
+    def optimized(df: org.apache.spark.sql.DataFrame): String =
+      df.queryExecution.optimizedPlan.toString
+    // inclusive LOWER bound (>=) is NOT the exec's semantics — no rewrite
+    val incLow = a.join(b, a("ua") === b("ub") && b("tb") >= a("ta") &&
+      b("tb") <= a("ta") + 1000000L)
+    assert(!optimized(incLow).contains("RangeJoinPlan"), optimized(incLow))
+    // a fourth TWO-SIDED conjunct stays in the join — no rewrite
+    // (a single-sided extra like b.ub > 5 gets pushed below the join
+    // by Catalyst first, after which the remaining band DOES rewrite —
+    // that composition is the point of running as an optimizer rule)
+    val extra = a.join(b, a("ua") === b("ub") && b("tb") > a("ta") &&
+      b("tb") <= a("ta") + 1000000L && (a("ta") + b("tb")) % 2L === 0L)
+    assert(!optimized(extra).contains("RangeJoinPlan"), optimized(extra))
+    val pushed = a.join(b, a("ua") === b("ub") && b("tb") > a("ta") &&
+      b("tb") <= a("ta") + 1000000L && b("ub") > 5L)
+    assert(optimized(pushed).contains("RangeJoinPlan"), optimized(pushed))
+    // empty band (lo >= hi) — no rewrite
+    val empty = a.join(b, a("ua") === b("ub") && b("tb") > a("ta") + 2000000L &&
+      b("tb") <= a("ta") + 1000000L)
+    assert(!optimized(empty).contains("RangeJoinPlan"), optimized(empty))
+    // and the canonical shape DOES rewrite
+    val good = a.join(b, a("ua") === b("ub") && b("tb") > a("ta") &&
+      b("tb") <= a("ta") + 300000000L)
+    assert(optimized(good).contains("RangeJoinPlan"), optimized(good))
+    // semantics attested: rewritten result equals the composed q12-style
+    // bucket join on the same band
+    val got = good.groupBy(col("ua")).count().collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+    val want = a.join(b, a("ua") === b("ub"))
+      .filter(b("tb") > a("ta") && b("tb") <= a("ta") + 300000000L)
+      .groupBy(col("ua")).count().collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+    assert(got == want && got.nonEmpty)
+  }
+
   test("grid written clustered by cell: w12/w13-shaped agg+join needs zero exchanges") {
     import org.apache.spark.sql.functions._
     // SURVEY §9 row 1: write the thermal grid hive-partitioned by
