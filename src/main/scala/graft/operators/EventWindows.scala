@@ -1025,8 +1025,21 @@ object EventWindows {
       .select($"user_id", $"event_id", $"event_type", unix_micros($"ts").as("tus"))
       .withColumn("prev_type", lag($"event_type", 1).over(w))
       .filter($"prev_type".isNotNull)
-    val m = pairs.groupBy($"prev_type", $"event_type")
-      .agg(count(lit(1)).as("n"))
+    e19Stationary(pairs.groupBy($"prev_type", $"event_type")
+      .agg(count(lit(1)).as("n")))
+  }
+
+  /** e19's power iteration over a (prev_type, event_type, n)
+    * transition-count table — shared verbatim with the streaming
+    * twin (s33): the count matrix is algebraic (merge = sum), so
+    * wherever the counts come from (one batch lag window or
+    * per-user streaming state), the same 12 rounds land the same
+    * fixpoint.
+    */
+  private[graft] def e19Stationary(counts: DataFrame): DataFrame = {
+    val spark = counts.sparkSession
+    import spark.implicits._
+    val m = counts
       .withColumn("rowsum", sum($"n").over(Window.partitionBy($"prev_type")))
       .localCheckpoint()
     val states = m.select($"prev_type".as("state")).distinct()

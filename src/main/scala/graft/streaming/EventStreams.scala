@@ -980,6 +980,76 @@ object EventStreams {
   /** s32 oracle: q37's, verbatim — the twin contract. */
   val s32Sql: String = graft.relational.Relational.q37Sql
 
+  // ---------- s33: streaming Markov chain ----------
+
+  case class TypeEv(user_id: Long, event_id: Long, tus: Long, event_type: String)
+  case class PairRow(prev_type: String, event_type: String)
+  case class LastType(last: String)
+
+  /** e19's per-user transition-pair extraction as streaming state:
+    * ONE string scalar (the user's last event type) — each arriving
+    * event emits one (prev, next) pair row and advances it. The
+    * s29 ordered-feed contract; within-batch rows sort by
+    * (tus, event_id).
+    */
+  class TransitionProcessor extends org.apache.spark.sql.streaming.StatefulProcessor[Long, TypeEv, PairRow] {
+    @transient private var st: org.apache.spark.sql.streaming.ValueState[LastType] = _
+
+    override def init(outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      st = getHandle.getValueState[LastType]("last",
+        org.apache.spark.sql.Encoders.product[LastType],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[TypeEv],
+        tv: org.apache.spark.sql.streaming.TimerValues): Iterator[PairRow] = {
+      val sorted = rows.toArray.sortBy(e => (e.tus, e.event_id))
+      var last = if (st.exists()) st.get().last else null
+      val out = scala.collection.mutable.ArrayBuffer.empty[PairRow]
+      sorted.foreach { e =>
+        if (last != null) out += PairRow(last, e.event_type)
+        last = e.event_type
+      }
+      st.update(LastType(last))
+      out.iterator
+    }
+  }
+
+  def transitionStream(src: Dataset[TypeEv]): Dataset[PairRow] = {
+    import src.sparkSession.implicits._
+    src.groupByKey(_.user_id)
+      .transformWithState(new TransitionProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Append())
+  }
+
+  /** s33: STREAMING MARKOV CHAIN — e19's behavior model kept live
+    * (the recommendation/capacity model retrained as sessions
+    * evolve): per-user state is ONE scalar (the last event type —
+    * O(1) forever), transition pairs land append-only the
+    * micro-batch they close, and the ≤|types|²-row count matrix
+    * they aggregate into is a mergeable sketch, so the shared
+    * [[graft.operators.EventWindows.e19Stationary]] power
+    * iteration re-derives the same bitwise fixpoint from the
+    * landed counts. Oracle: e19's, verbatim — the twin contract.
+    */
+  def s33(spark: SparkSession, dir: String): DataFrame = {
+    val rs = rocksSession(spark)
+    graft.Tables.tsConfs(rs)
+    import rs.implicits._
+    val schema = rs.read.parquet(s"$dir/events.parquet").schema
+    val src = tsToTimestamp(rs.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet").parquet(dir))
+      .selectExpr("user_id", "event_id", "unix_micros(ts) AS tus", "event_type")
+      .as[TypeEv]
+    val landed = runToTable(rs, transitionStream(src).toDF(), OutputMode.Append())
+    graft.operators.EventWindows.e19Stationary(
+      landed.groupBy(col("prev_type"), col("event_type"))
+        .agg(count(lit(1)).as("n")))
+  }
+
+  /** s33 oracle: e19's, verbatim — the twin contract. */
+  val s33Sql: String = graft.operators.EventWindows.e19Sql
+
   /** s26 oracle: batch recompute of the first-20-gaps decision. */
   val s26Sql: String =
     s"""WITH ev AS (SELECT user_id, event_id,

@@ -1047,6 +1047,37 @@ class StreamingPipelineSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("s33 single-batch run equals batch e19; transitions close across batches") {
+    def pi(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[String]("event_type"), r.getAs[Long]("pi_micro"),
+        r.getAs[Long]("n_out"))).toSeq
+    val streamed = pi(graft.streaming.EventStreams.s33(spark, sf))
+    val batch = pi(graft.operators.EventWindows.e19(spark, sf))
+    assert(streamed == batch && streamed.nonEmpty)
+    // multi-batch: a transition must close ACROSS micro-batches from
+    // the one last-type scalar
+    val ns = spark.newSession()
+    ns.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = ns.sqlContext
+    import ns.implicits._
+    import graft.streaming.EventStreams.{TypeEv, transitionStream}
+    val mem = MemoryStream[TypeEv]
+    val name = "s33_state_test"
+    val q = transitionStream(mem.toDS()).toDF().writeStream
+      .outputMode(OutputMode.Append()).format("memory").queryName(name).start()
+    try {
+      mem.addData(TypeEv(1L, 1L, 10L, "view"), TypeEv(1L, 2L, 20L, "click"))
+      q.processAllAvailable()
+      mem.addData(TypeEv(1L, 3L, 30L, "purchase")) // closes click->purchase cross-batch
+      q.processAllAvailable()
+      val rows = ns.table(name).collect()
+        .map(r => (r.getAs[String]("prev_type"), r.getAs[String]("event_type"))).toSeq.sorted
+      assert(rows == Seq(("click", "purchase"), ("view", "click")),
+        s"cross-batch transition wrong: $rows")
+    } finally q.stop()
+  }
+
   test("s31 stateless code door equals batch t32 row for row") {
     def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
       .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_sym"),
