@@ -2048,4 +2048,90 @@ object Dedup {
       |  ((chars_total - chars_distinct) * 1000) // chars_total AS savings_permille
       |FROM inst, dist""".stripMargin
   }
+
+  // ---------- d23: winnowing fingerprints (MOSS) ----------
+
+  private val d23K = 16      // gram length (chars) — guarantee 19
+  private val d23W = 4       // winnowing window (grams)
+  private val d23DfCap = 20  // fixed candidate-budget cut (d2's bucketCap argument)
+  private val d23Tau = 3L    // shared fingerprints to pair
+
+  /** d23: WINNOWING (Schleimer, Wilkerson & Aiken 2003, "Winnowing:
+    * Local Algorithms for Document Fingerprinting" — the MOSS
+    * plagiarism detector's core): per document, hash every k-gram
+    * and keep the MINIMUM of each w-gram sliding window — the
+    * local-selection guarantee the paper proves: ANY shared
+    * substring of length ≥ w + k − 1 (19 chars here — measured on
+    * this 31-word corpus: k = 8 makes common word BIGRAMS exceed
+    * the guarantee length and near-ALL pairs surface; 16 keeps
+    * detection at the plagiarism grain) contains a
+    * full common window on both sides, so the two documents select
+    * the same minimum and SHARE A FINGERPRINT — detection is
+    * guaranteed, not probabilistic (the property d2's MinHash only
+    * delivers in expectation). Fingerprint sets are the distinct
+    * window minima; pairs sharing ≥ [[d23Tau]] fingerprints
+    * surface, with fingerprints in more than [[d23DfCap]] docs cut
+    * as boilerplate (d2's capped-bucket discipline). Hashes are
+    * the shared signed FNV-1a, so the whole pipeline is bitwise
+    * cross-engine.
+    *
+    * Scale shape: gram explode is row-local; the window min rides
+    * ONE doc-key exchange (per-doc bounded frames); the pair join
+    * is the d4 inverted-index shape — id-only rows keyed by the
+    * 8-byte fingerprint, never text, with the df cap bounding
+    * every bucket. At 100 TB this is MOSS at corpus scale.
+    */
+  def d23(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = org.apache.spark.sql.expressions.Window
+    val byDoc = w.partitionBy($"doc_id")
+    val grams = Tables.documents(spark, dir)
+      .selectExpr("doc_id", "text", "length(text) AS n")
+      .filter($"n" >= d23K + d23W - 1)
+      .selectExpr("doc_id", "text", s"explode(sequence(1, n - ${d23K - 1})) AS pos")
+      .withColumn("h", graft.functions.Fnv64.fnv64(
+        expr(s"substring(text, pos, $d23K)")))
+      .select($"doc_id", $"pos", $"h")
+    val fps = grams
+      .withColumn("wmin", min($"h").over(
+        byDoc.orderBy($"pos").rowsBetween(0, d23W - 1)))
+      .withColumn("npos", max($"pos").over(byDoc))
+      .filter($"pos" <= $"npos" - (d23W - 1)) // full windows only
+      .select($"doc_id", $"wmin".as("fp")).distinct()
+    val ok = fps.groupBy($"fp").agg(count(lit(1)).as("df"))
+      .filter($"df" <= d23DfCap).select($"fp")
+    val capped = fps.join(ok, Seq("fp"))
+    capped.as("a").join(capped.as("b"),
+        col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter($"n_shared" >= d23Tau)
+      .transform(graft.Tables.ordered(_, $"id_a", $"id_b"))
+  }
+
+  /** d23 oracle: identical gram hashes (shared FNV mirror), window
+    * minima over full windows, df cap and pair counts.
+    */
+  val d23Sql: String = {
+    val h = graft.functions.Fnv64.duckSigned(s"substr(text, pos, $d23K)")
+    s"""WITH d AS (SELECT doc_id, text, length(text) AS n FROM documents
+      |      WHERE length(text) >= ${d23K + d23W - 1}),
+      |p AS (SELECT doc_id, text,
+      |        CAST(unnest(range(1, n - ${d23K - 2})) AS BIGINT) AS pos FROM d),
+      |g AS (SELECT doc_id, pos, $h AS h FROM p),
+      |wm AS (SELECT doc_id, pos,
+      |        min(h) OVER (PARTITION BY doc_id ORDER BY pos
+      |          ROWS BETWEEN CURRENT ROW AND ${d23W - 1} FOLLOWING) AS wmin,
+      |        max(pos) OVER (PARTITION BY doc_id) AS npos
+      |      FROM g),
+      |f AS (SELECT DISTINCT doc_id, wmin AS fp FROM wm
+      |      WHERE pos <= npos - ${d23W - 1}),
+      |ok AS (SELECT fp FROM f GROUP BY fp HAVING count(*) <= $d23DfCap),
+      |c AS (SELECT f.doc_id, f.fp FROM f JOIN ok USING (fp))
+      |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |  CAST(count(*) AS BIGINT) AS n_shared
+      |FROM c a JOIN c b ON a.fp = b.fp AND a.doc_id < b.doc_id
+      |GROUP BY 1, 2 HAVING count(*) >= $d23Tau
+      |ORDER BY id_a, id_b""".stripMargin
+  }
 }

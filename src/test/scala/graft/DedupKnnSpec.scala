@@ -1729,6 +1729,55 @@ class DedupKnnSpec extends AnyFunSuite {
       s"CDC realignment failed: shared $shared of $mass")
   }
 
+  test("d23: winnowing equals a sequential recompute; the w+k-1 guarantee holds") {
+    def fps(text: String): Set[Long] = {
+      val (k, w) = (16, 4)
+      if (text.length < k + w - 1) Set.empty
+      else {
+        val hs = (0 to text.length - k)
+          .map(i => graft.functions.Fnv64.hashBytes(text.substring(i, i + k).getBytes("UTF-8")))
+        (0 to hs.length - w).map(i => hs.slice(i, i + w).min).toSet
+      }
+    }
+    // engine result == per-doc sequential winnowing + pair recount
+    val docs = Tables.documents(spark, SharedSpark.sf)
+      .selectExpr("doc_id", "text").as[(Long, String)].collect()
+    val perDoc = docs.map { case (id, t) => id -> fps(t) }.toMap
+    val df = perDoc.toSeq.flatMap { case (id, s) => s.map(f => (f, id)) }
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val kept = df.filter(_._2.size <= 20)
+    val pairCounts = kept.values.toSeq.flatMap { ids =>
+      val s = ids.toSeq.sorted
+      for (i <- s.indices; j <- (i + 1) until s.size) yield (s(i), s(j))
+    }.groupBy(identity).view.mapValues(_.size.toLong)
+      .filter(_._2 >= 3L).toSeq.map { case ((a, b), n) => (a, b, n) }.sortBy(p => (p._1, p._2))
+    val got = graft.operators.Dedup.d23(spark, SharedSpark.sf).collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"), r.getAs[Long]("n_shared"))).toSeq
+    assert(got == pairCounts && got.nonEmpty)
+    // the paper's guarantee: ANY shared substring of length >= w+k-1
+    // = 19 yields a shared fingerprint — seeded random trials
+    val rnd = new scala.util.Random(7)
+    (1 to 200).foreach { _ =>
+      def randStr(n: Int) = (1 to n).map(_ => ('a' + rnd.nextInt(26)).toChar).mkString
+      val shared = randStr(19)
+      val a = randStr(rnd.nextInt(40)) + shared + randStr(rnd.nextInt(40))
+      val b = randStr(rnd.nextInt(40)) + shared + randStr(rnd.nextInt(40))
+      assert(fps(a).intersect(fps(b)).nonEmpty,
+        s"guarantee violated for shared '$shared'")
+    }
+    // and an 18-char share carries NO guarantee (found violable):
+    // at least one trial with empty intersection outside the share
+    val viol = (1 to 300).exists { i =>
+      val r2 = new scala.util.Random(i)
+      def rs(n: Int) = (1 to n).map(_ => ('a' + r2.nextInt(26)).toChar).mkString
+      val shared = rs(18)
+      val a = rs(30) + shared + rs(30)
+      val b = rs(30) + shared + rs(30)
+      fps(a).intersect(fps(b)).isEmpty
+    }
+    assert(viol, "below-threshold shares never miss - window math suspect")
+  }
+
   test("v23: label-noise audit discriminates geometric from geometry-free labels") {
     val rows = graft.operators.Knn.v23(spark, SharedSpark.sf).collect()
       .map(r => (r.getAs[String]("label_src"), r.getAs[Long]("vec_id"),
