@@ -2121,6 +2121,92 @@ object Knn {
       |ORDER BY hop""".stripMargin
   }
 
+  // ---------- v24: embedding OOD gate ----------
+
+  /** v24: OUT-OF-DISTRIBUTION GATE — the embedding-space outlier
+    * filter a curation pipeline runs before training (the
+    * Mahalanobis/kNN-distance OOD family — Lee et al. 2018, Sun et
+    * al. 2022 — reduced to its serving form: distance to the
+    * nearest reference centroid, thresholded at a corpus
+    * percentile): vectors far from EVERY centroid of the reference
+    * clustering are mixture outliers (wrong language, corrupt
+    * embeddings, adversarial content) and get flagged before they
+    * skew the mixture. Assignment is v13's broadcast-codebook
+    * rank-1 loop (quantized cos, the v4 tie-break); the p95
+    * threshold comes from e15/t30's 256-bucket histogram-sketch
+    * machinery — bucket at d6-grain, cumulative window on the
+    * BUCKET grain, strictly-above ladder — never a global sort of
+    * the corpus. Exact integers end-to-end.
+    *
+    * Scale shape: one narrow assignment pass (centroids
+    * broadcast), one ≤256-row id-free histogram exchange, a 1-row
+    * threshold broadcast — the t30 economics on the vector grain;
+    * at 10⁹ vectors the gate costs the scan.
+    */
+  def v24(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = vectors(spark, dir)
+    val bc = spark.sparkContext.broadcast(
+      codebook(e, "vec_id >= 10 AND vec_id < 18"))
+    val assigned = e.filter($"vec_id" >= 18).select($"vec_id", $"nv")
+      .as[(Long, Array[Double])]
+      .mapPartitions(_.map { case (id, v) =>
+        var c1 = -2.0; var id1 = Long.MaxValue
+        bc.value.foreach { case (cid, cv) =>
+          val c = cosQ(cv, v)
+          if (c > c1 || (c == c1 && cid < id1)) { c1 = c; id1 = cid }
+        }
+        (id, id1, math.floor((1.0 - c1) * 1e6 + 0.5).toLong)
+      }).toDF("vec_id", "cid", "d6").cache()
+    val wmax = assigned.agg(expr("(max(d6) div 256) + 1").as("w"))
+    val bucketed = assigned.crossJoin(broadcast(wmax))
+      .selectExpr("vec_id", "cid", "d6", "least(CAST(255 AS BIGINT), d6 div w) AS bkt")
+    val hist = bucketed.groupBy($"bkt").agg(count(lit(1)).as("cnt"))
+    val wS = org.apache.spark.sql.expressions.Window.orderBy($"bkt")
+    val thr = hist
+      .withColumn("cum", sum($"cnt").over(
+        wS.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+      .withColumn("tot", sum($"cnt").over(
+        wS.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.unboundedFollowing)))
+      .filter($"cum" * 1000L >= $"tot" * 950L)
+      .agg(min($"bkt").as("tb"))
+    bucketed.crossJoin(broadcast(thr))
+      .selectExpr("vec_id", "cid", "d6",
+        "CAST(CASE WHEN bkt > tb THEN 1 ELSE 0 END AS BIGINT) AS ood")
+      .transform(graft.Tables.ordered(_, $"vec_id"))
+  }
+
+  /** v24 oracle: v12's normalization + rank-1 assignment CTEs, the
+    * same 256-bucket histogram threshold and strictly-above ladder.
+    */
+  val v24Sql: String =
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |n AS (SELECT vec_id, v, sqrt(list_inner_product(v, v)) AS nrm FROM e),
+      |m AS (SELECT vec_id, list_transform(v, x -> x / nrm) AS nv FROM n),
+      |cents AS (SELECT vec_id AS cid, nv FROM m WHERE vec_id >= 10 AND vec_id < 18),
+      |corpus AS (SELECT vec_id, nv FROM m WHERE vec_id >= 18),
+      |sc AS (SELECT c.vec_id, ct.cid,
+      |         round(list_inner_product(ct.nv, c.nv) * 1e6) / 1e6 AS cs
+      |       FROM corpus c CROSS JOIN cents ct),
+      |r AS (SELECT vec_id, cid, cs,
+      |        row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cid) AS rn
+      |      FROM sc),
+      |a AS (SELECT vec_id, cid,
+      |        CAST(floor((CAST(1 AS DOUBLE) - cs) * 1e6 + 0.5) AS BIGINT) AS d6
+      |      FROM r WHERE rn = 1),
+      |wd AS (SELECT (max(d6) // 256) + 1 AS w FROM a),
+      |bkt AS MATERIALIZED (SELECT vec_id, cid, d6,
+      |        least(CAST(255 AS BIGINT), d6 // w) AS bkt FROM a, wd),
+      |h AS (SELECT bkt, CAST(count(*) AS BIGINT) AS cnt FROM bkt GROUP BY 1),
+      |c AS (SELECT bkt, CAST(sum(cnt) OVER (ORDER BY bkt) AS BIGINT) AS cum,
+      |        CAST(sum(cnt) OVER () AS BIGINT) AS tot FROM h),
+      |th AS (SELECT min(bkt) AS tb FROM c WHERE cum * 1000 >= tot * 950)
+      |SELECT vec_id, cid, d6,
+      |  CAST(CASE WHEN bkt.bkt > th.tb THEN 1 ELSE 0 END AS BIGINT) AS ood
+      |FROM bkt, th
+      |ORDER BY vec_id""".stripMargin
+
   // ---------- v23: kNN label-noise audit ----------
 
   /** v23: kNN LABEL-NOISE AUDIT (the deep-kNN label-quality check —

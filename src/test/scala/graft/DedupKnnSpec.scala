@@ -1729,6 +1729,27 @@ class DedupKnnSpec extends AnyFunSuite {
       s"CDC realignment failed: shared $shared of $mass")
   }
 
+  test("v24: the OOD gate flags the far tail with strict separation at ~p95") {
+    val rows = graft.operators.Knn.v24(spark, SharedSpark.sf).collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("cid"),
+        r.getAs[Long]("d6"), r.getAs[Long]("ood"))).toSeq
+    assert(rows.nonEmpty)
+    val (out, in) = rows.partition(_._4 == 1L)
+    assert(out.nonEmpty && in.nonEmpty)
+    // bucketed threshold ⇒ STRICT distance separation between the
+    // flagged tail and everything kept
+    assert(out.map(_._3).min > in.map(_._3).max,
+      "a kept vector sits beyond a flagged one")
+    // strictly-above-p95 ladder: at most ~5% + one bucket's mass
+    assert(out.size.toLong * 1000 <= rows.size.toLong * 50 + rows.size.toLong / 10,
+      s"gate flags too much: ${out.size}/${rows.size}")
+    // and the gate is live: it flags SOMETHING on this corpus
+    assert(out.size.toLong * 1000 >= rows.size.toLong * 20,
+      s"gate inert: ${out.size}/${rows.size}")
+    // assignment sanity: every cid is one of the 8 reference centroids
+    assert(rows.forall(r => r._2 >= 10L && r._2 < 18L))
+  }
+
   test("d23: winnowing equals a sequential recompute; the w+k-1 guarantee holds") {
     def fps(text: String): Set[Long] = {
       val (k, w) = (16, 4)
