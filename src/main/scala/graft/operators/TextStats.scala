@@ -2001,4 +2001,106 @@ object TextStats {
       |FROM c
       |ORDER BY doc_id""".stripMargin
   }
+
+  // ---------- t33: RAKE keyword extraction ----------
+
+  private val t33TopK = 50
+  private val t33MaxWords = 4 // standard RAKE candidate cap
+
+  /** t33: RAKE KEYWORD EXTRACTION (Rose, Engel, Cramer & Cowley
+    * 2010, "Automatic Keyword Extraction from Individual
+    * Documents") — the unsupervised keyphrase miner a corpus
+    * pipeline runs for topical indexing/tagging: candidate phrases
+    * are the maximal stopword-free word runs (segmentation by the
+    * gaps-and-islands trick — phrase id = running stopword count,
+    * the q24 idiom on the WORD grain), each word scores
+    * deg/freq where freq counts its phrase occurrences and deg
+    * sums the lengths of the phrases it appears in (rake-nltk's
+    * self-inclusive degree), and a phrase scores the sum of its
+    * words' scores — multi-word collocations outrank frequent
+    * single words, RAKE's whole point; candidates cap at
+    * [[t33MaxWords]] words (the standard RAKE max_words — without
+    * it this sparse-stopword corpus promotes document-length
+    * run-ons, measured). Exact integers:
+    * deg/freq are BIGINT corpus stats; the per-word ratio is a
+    * non-negative integral milli division (§8.39, truncation
+    * documented); phrase score sums those. Top [[t33TopK]] under
+    * the (score DESC, phrase ASC) total order.
+    *
+    * Scale shape: one doc-key exchange for segmentation windows,
+    * a VOCAB-grain word-stat aggregate (Heaps-bounded — the t6/t17
+    * class), phrase assembly from per-(doc, phrase) bounded
+    * groups, and a bounded top-k — never a corpus-wide sort.
+    */
+  def t33(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = org.apache.spark.sql.expressions.Window
+    val byDocPos = w.partitionBy($"doc_id").orderBy($"pos")
+    val words = Tables.documents(spark, dir)
+      .selectExpr("doc_id",
+        "posexplode(split(lower(trim(text)), ' ')) AS (pos, word)")
+      .withColumn("is_stop",
+        $"word".isInCollection(stopList).cast("long"))
+      .withColumn("phrase_id", sum($"is_stop").over(byDocPos))
+      .filter($"is_stop" === 0L && length($"word") > 0)
+      .select($"doc_id", $"phrase_id", $"pos", $"word")
+      .localCheckpoint()
+    val phraseLen = words.groupBy($"doc_id", $"phrase_id")
+      .agg(count(lit(1)).as("plen"))
+      .filter($"plen" <= t33MaxWords) // drop run-on candidates (RAKE max_words)
+    val occ = words.join(phraseLen, Seq("doc_id", "phrase_id"))
+    val wordStats = occ.groupBy($"word")
+      .agg(count(lit(1)).as("freq"), sum($"plen").as("deg"))
+      .selectExpr("word", "(deg * 1000) div freq AS wscore_milli")
+    val phrases = occ.join(wordStats, Seq("word"))
+      .groupBy($"doc_id", $"phrase_id")
+      .agg(
+        expr("array_join(transform(array_sort(collect_list(struct(pos, word)))," +
+          " s -> s.word), ' ')").as("phrase"),
+        sum($"wscore_milli").as("score_milli"))
+    phrases.groupBy($"phrase")
+      .agg(count(lit(1)).as("n_occ"), max($"score_milli").as("score_milli"))
+      .orderBy($"score_milli".desc, $"phrase")
+      .limit(t33TopK)
+      .transform(graft.Tables.ordered(_, $"score_milli".desc, $"phrase"))
+  }
+
+  /** t33 oracle: identical segmentation (running stopword count),
+    * vocab stats, milli word scores and (score DESC, phrase ASC)
+    * top-k.
+    */
+  val t33Sql: String = {
+    val stops = stopList.map(s => s"'$s'").mkString(", ")
+    s"""WITH t AS (SELECT doc_id, lower(trim(text)) AS s FROM documents),
+      |wx AS (SELECT doc_id,
+      |        CAST(unnest(range(1, len(string_split(s, ' ')) + 1)) AS BIGINT) AS pos,
+      |        unnest(string_split(s, ' ')) AS word
+      |      FROM t),
+      |m AS (SELECT doc_id, pos, word,
+      |        CASE WHEN word IN ($stops) THEN 1 ELSE 0 END AS is_stop
+      |      FROM wx),
+      |seg AS (SELECT doc_id, pos, word,
+      |        CAST(sum(is_stop) OVER (PARTITION BY doc_id ORDER BY pos) AS BIGINT) AS phrase_id,
+      |        is_stop
+      |      FROM m),
+      |wd AS (SELECT doc_id, phrase_id, pos, word FROM seg
+      |      WHERE is_stop = 0 AND length(word) > 0),
+      |pl AS (SELECT doc_id, phrase_id, CAST(count(*) AS BIGINT) AS plen
+      |      FROM wd GROUP BY 1, 2 HAVING count(*) <= $t33MaxWords),
+      |occ AS (SELECT wd.doc_id, wd.phrase_id, wd.pos, wd.word, pl.plen
+      |      FROM wd JOIN pl USING (doc_id, phrase_id)),
+      |ws AS (SELECT word,
+      |        (CAST(sum(plen) AS BIGINT) * 1000) // CAST(count(*) AS BIGINT) AS wscore_milli
+      |      FROM occ GROUP BY 1),
+      |ph AS (SELECT o.doc_id, o.phrase_id,
+      |        string_agg(o.word, ' ' ORDER BY o.pos) AS phrase,
+      |        CAST(sum(ws.wscore_milli) AS BIGINT) AS score_milli
+      |      FROM occ o JOIN ws USING (word) GROUP BY 1, 2),
+      |agg AS (SELECT phrase, CAST(count(*) AS BIGINT) AS n_occ,
+      |        CAST(max(score_milli) AS BIGINT) AS score_milli
+      |      FROM ph GROUP BY 1)
+      |SELECT phrase, n_occ, score_milli FROM agg
+      |ORDER BY score_milli DESC, phrase
+      |LIMIT $t33TopK""".stripMargin
+  }
 }

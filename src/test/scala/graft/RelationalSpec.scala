@@ -1046,6 +1046,43 @@ class RelationalSpec extends AnyFunSuite {
     assert(want < 0.0 && want > -0.6)
   }
 
+  test("t33: RAKE top phrases equal a sequential recompute; length and score laws hold") {
+    val got = graft.operators.TextStats.t33(spark, sf).collect()
+      .map(r => (r.getAs[String]("phrase"), r.getAs[Long]("n_occ"),
+        r.getAs[Long]("score_milli"))).toSeq
+    val stops = Set("the", "a", "and", "of", "to", "in", "is")
+    val docs = Tables.documents(spark, sf).selectExpr("doc_id", "lower(trim(text))")
+      .as[(Long, String)].collect()
+    // sequential RAKE: segment, per-phrase words, corpus word stats
+    val allPhrases = docs.flatMap { case (_, t) =>
+      val words = t.split(" ").filter(_.nonEmpty)
+      val runs = scala.collection.mutable.ArrayBuffer.empty[Vector[String]]
+      var cur = Vector.empty[String]
+      words.foreach { w =>
+        if (stops(w)) { if (cur.nonEmpty) runs += cur; cur = Vector.empty }
+        else cur :+= w
+      }
+      if (cur.nonEmpty) runs += cur
+      runs.filter(_.size <= 4)
+    }
+    val occ = allPhrases.flatMap(p => p.map(w => (w, p.size.toLong)))
+    val wstat = occ.groupBy(_._1).view.mapValues { os =>
+      os.map(_._2).sum * 1000 / os.size
+    }.toMap
+    val scored = allPhrases.map(p => (p.mkString(" "), p.map(wstat).sum))
+    val want = scored.groupBy(_._1).toSeq
+      .map { case (ph, xs) => (ph, xs.size.toLong, xs.map(_._2).max) }
+      .sortBy { case (ph, _, sc) => (-sc, ph) }
+      .take(50)
+    assert(got == want && got.nonEmpty)
+    // RAKE's law on this corpus: the top phrase is multi-word (degree
+    // rewards collocations), and no candidate exceeds the cap
+    assert(got.head._1.split(" ").length > 1)
+    assert(got.forall(_._1.split(" ").length <= 4))
+    // scores are monotone down the list
+    assert(got.sliding(2).forall { case Seq(a, b) => a._3 >= b._3 })
+  }
+
   test("t32: code routing fires exactly on the seeded slice and recomputes sequentially") {
     val got = graft.operators.TextStats.t32(spark, sf).collect()
       .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_chars"), r.getAs[Long]("n_sym"),
