@@ -682,6 +682,44 @@ object Weather {
       |ORDER BY event_id""".stripMargin
   }
 
+  // ---------- w29: sunrise / sunset / day length ----------
+  // The classic sunset-hour-angle identity cos H0 = −tan φ · tan δ
+  // (NOAA's solar calculator; Spencer declination already in the
+  // chain), clamped for polar day/night. The ONLY new
+  // transcendental (acos) is quantized per §8.3; everything else is
+  // single IEEE ops on already-quantized chain columns (sinlat,
+  // coslat from level 5; sindecl, cosdecl from level 7) — the w17
+  // bitwise discipline. Day length and solar sunrise/sunset hours
+  // derive from H0 by constant factors.
+
+  private val w29Exprs: Seq[(String, String)] = Seq(
+    "x0" -> "least(1.0, greatest(-1.0, -(sinlat / coslat) * (sindecl / cosdecl)))",
+    "h0" -> q("acos(x0)"),
+    "daylight_h" -> "(h0 * (24.0 / pi()))",
+    "sunrise_h" -> "(12.0 - h0 * (12.0 / pi()))",
+    "sunset_h" -> "(12.0 + h0 * (12.0 / pi()))",
+  )
+
+  def w29(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    w29Exprs.foldLeft(chain(spark, dir, 7)) { case (d, (n, e)) =>
+      d.selectExpr("*", s"($e) AS $n")
+    }
+      .selectExpr("event_id", "lat", "doy", "daylight_h", "sunrise_h", "sunset_h",
+        "CAST(CASE WHEN x0 = -1.0 THEN 1 WHEN x0 = 1.0 THEN -1 ELSE 0 END AS BIGINT) AS polar")
+      .transform(Tables.ordered(_, $"event_id"))
+  }
+
+  val w29Sql: String = {
+    val inner = w29Exprs.foldLeft(s"(${ThermalChain.sql(7)})") {
+      case (from, (n, e)) => s"(SELECT *, ($e) AS $n FROM $from)"
+    }
+    s"""SELECT event_id, lat, doy, daylight_h, sunrise_h, sunset_h,
+      |  CAST(CASE WHEN x0 = -1.0 THEN 1 WHEN x0 = 1.0 THEN -1 ELSE 0 END AS BIGINT) AS polar
+      |FROM $inner
+      |ORDER BY event_id""".stripMargin
+  }
+
   // ---------- w16: hour-of-day climatology + anomaly count ----------
   // The normals/anomalies shape of grid analytics: each reading is
   // compared with its cell's climatological mean FOR THAT HOUR OF

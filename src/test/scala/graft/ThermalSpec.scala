@@ -48,6 +48,31 @@ class ThermalSpec extends AnyFunSuite {
     assert(humidBoost > 0 && windCooled > 0)
   }
 
+  test("w29: day length obeys the sunset-hour-angle physics") {
+    val spark = SharedSpark.spark
+    val rows = graft.operators.Weather.w29(spark, SharedSpark.sf).collect()
+      .map(r => (r.getAs[Double]("lat"), r.getAs[Long]("doy"),
+        r.getAs[Double]("daylight_h"), r.getAs[Double]("sunrise_h"),
+        r.getAs[Double]("sunset_h"), r.getAs[Long]("polar")))
+    assert(rows.nonEmpty)
+    rows.foreach { case (lat, _, dl, sr, ss, polar) =>
+      // bounds (quantized acos may overshoot pi by <= 5e-7)
+      assert(dl >= 0.0 && dl <= 24.0 + 1e-4, s"day length $dl at lat $lat")
+      assert(math.abs(ss - sr - dl) < 1e-9, "sunrise/sunset/daylight inconsistent")
+      assert(math.abs((sr + ss) - 24.0) < 1e-9, "solar noon not at 12")
+      if (polar == 1L) assert(dl > 23.999, s"midnight sun should be ~24h, got $dl")
+      if (polar == -1L) assert(dl < 1e-9, s"polar night should be 0h, got $dl")
+      // near the equator every day is ~12 h
+      if (math.abs(lat) < 5.0) assert(math.abs(dl - 12.0) < 1.0,
+        s"equatorial day length $dl at lat $lat")
+    }
+    // the fixture genuinely exercises the polar branches and the
+    // seasonal spread
+    assert(rows.exists(_._6 != 0L))
+    val dls = rows.filter(r => math.abs(r._1) > 55 && r._6 == 0L).map(_._3)
+    assert(dls.nonEmpty && dls.max - dls.min > 4.0, "no seasonal spread at high lat")
+  }
+
   test("w16: anomalies bounded by the synthetic field's amplitude") {
     val spark = SharedSpark.spark
     val rows = graft.operators.Weather.w16(spark, SharedSpark.sf).collect()
