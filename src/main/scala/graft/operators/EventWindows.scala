@@ -1091,6 +1091,153 @@ object EventWindows {
       |ORDER BY event_type""".stripMargin
   }
 
+  // ---------- e20: Markov removal-effect attribution ----------
+
+  private val e20Rounds = 24
+  private val e20Channels = Seq("click", "error", "signup", "view")
+
+  /** The journey transition counts e20 attributes over: per user,
+    * events ordered to the FIRST purchase (the absorbing
+    * conversion), START prepended, NULL appended to non-converting
+    * journeys — the standard first-conversion Markov graph.
+    */
+  private def e20Matrix(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"tus", $"event_id")
+    val ev = Tables.events(spark, dir)
+      .select($"user_id", $"event_id", $"event_type", unix_micros($"ts").as("tus"))
+      .withColumn("rn", row_number().over(w))
+    val pmin = ev.filter($"event_type" === "purchase")
+      .groupBy($"user_id").agg(min($"rn").as("pmin"))
+    val kept = ev.join(pmin, Seq("user_id"), "left_outer")
+      .filter($"pmin".isNull || $"rn" <= $"pmin")
+      .withColumn("nxt", lead($"event_type", 1).over(w))
+      .localCheckpoint()
+    val inner = kept.filter($"nxt".isNotNull)
+      .select($"event_type".as("s"), $"nxt".as("t"))
+    val start = kept.filter($"rn" === 1)
+      .select(lit("START").as("s"), $"event_type".as("t"))
+    val fin = kept.filter($"nxt".isNull && $"event_type" =!= "purchase")
+      .select($"event_type".as("s"), lit("NULL").as("t"))
+    inner.unionByName(start).unionByName(fin)
+      .groupBy($"s", $"t").agg(count(lit(1)).as("n"))
+  }
+
+  /** e20: MARKOV REMOVAL-EFFECT ATTRIBUTION (Anderl, Becker, von
+    * Wangenheim & Schumann 2016 — the data-driven multi-touch
+    * attribution model): which channel actually DRIVES conversion?
+    * For each channel c, remove it from the journey chain
+    * (transitions into c fail to NULL) and measure how much the
+    * absorption probability into conversion drops — removal
+    * effect RE(c) = 1 − P₋c(conv)/P(conv); attribution shares
+    * normalize the REs. Beats e12's last-touch heuristic by
+    * crediting assist channels. Absorption probabilities come
+    * from [[e20Rounds]] synchronous rounds of the absorbing-chain
+    * recursion x_s = Σ_t P(s→t)·x_t with x(purchase) = 1,
+    * x(NULL) = 0, in exact micro-integers (per-edge (x·n) div
+    * rowsum moves, §8.39 — e19's discipline; the chain is
+    * absorbing, so 24 rounds converge far past micro precision,
+    * spec-pinned). All five scenarios (full + 4 removals) iterate
+    * TOGETHER as one (scenario, state) keyed table.
+    *
+    * Scale shape: one user-key window pass builds the journey
+    * matrix (≤ (|channels|+2)² rows — metadata); scenario
+    * expansion ×5 and every round's join stay on that grain — at
+    * 10¹² events attribution costs the journey scan plus 24
+    * micro-joins (the e19 argument).
+    */
+  def e20(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val base = e20Matrix(spark, dir).localCheckpoint()
+    val scens = ("none" +: e20Channels).toDF("scen")
+    val m = base.crossJoin(scens)
+      .selectExpr("scen", "s",
+        "CASE WHEN t = scen THEN 'NULL' ELSE t END AS t", "n")
+      .groupBy($"scen", $"s", $"t").agg(sum($"n").as("n"))
+      .withColumn("rowsum", sum($"n").over(Window.partitionBy($"scen", $"s")))
+      .localCheckpoint()
+    val transient = m.select($"scen", $"s").distinct()
+    var x = transient.withColumn("x", lit(0L)).localCheckpoint()
+    (1 to e20Rounds).foreach { _ =>
+      val xAll = x.unionByName(
+        scens.selectExpr("scen", "'purchase' AS s", "CAST(1000000 AS BIGINT) AS x"))
+      // NULL-state x = 0: absent rows contribute nothing via inner join
+      val next = m.join(xAll.withColumnRenamed("s", "t"), Seq("scen", "t"))
+        .selectExpr("scen", "s", "(x * n) div rowsum AS part")
+        .groupBy($"scen", $"s").agg(sum($"part").as("xn"))
+      val nx = transient.join(next, Seq("scen", "s"), "left_outer")
+        .selectExpr("scen", "s", "coalesce(xn, CAST(0 AS BIGINT)) AS x")
+        .localCheckpoint()
+      graft.functions.Lineage.freeCheckpoint(x)
+      x = nx
+    }
+    val pconv = x.filter($"s" === "START").select($"scen", $"x".as("p"))
+    val full = pconv.filter($"scen" === "none").select($"p".as("p_full"))
+    val re = pconv.filter($"scen" =!= "none")
+      .crossJoin(broadcast(full))
+      .selectExpr("scen AS channel", "p_full AS p_full_micro", "p AS p_removed_micro",
+        "greatest(CAST(0 AS BIGINT), 1000000 - (p * 1000000) div p_full) AS re_micro")
+    re.crossJoin(broadcast(re.agg(sum($"re_micro").as("re_tot"))))
+      .selectExpr("channel", "p_full_micro", "p_removed_micro", "re_micro",
+        "(re_micro * 1000) div re_tot AS attr_permille")
+      .transform(graft.Tables.ordered(_, $"channel"))
+  }
+
+  /** e20 oracle: journey CTEs, the ×5 scenario redirect, 24
+    * unrolled absorbing-chain rounds and the same RE/share algebra.
+    */
+  val e20Sql: String = {
+    val rounds = (1 to e20Rounds).map { r =>
+      val p = r - 1
+      s"""x$r AS MATERIALIZED (SELECT tr.scen, tr.s,
+         |        coalesce(nx.xn, CAST(0 AS BIGINT)) AS x
+         |      FROM tr LEFT JOIN (
+         |        SELECT m.scen, m.s, CAST(sum((xa.x * m.n) // m.rowsum) AS BIGINT) AS xn
+         |        FROM m JOIN (SELECT scen, s, x FROM x$p
+         |                     UNION ALL SELECT scen, 'purchase', 1000000 FROM sc) xa
+         |          ON xa.scen = m.scen AND xa.s = m.t
+         |        GROUP BY 1, 2) nx
+         |        ON nx.scen = tr.scen AND nx.s = tr.s)""".stripMargin
+    }.mkString(",\n")
+    val chans = e20Channels.map(c => s"('$c')").mkString(", ")
+    s"""WITH ev AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS tus FROM events),
+      |r0 AS (SELECT user_id, event_type,
+      |        row_number() OVER (PARTITION BY user_id ORDER BY tus, event_id) AS rn
+      |      FROM ev),
+      |pm AS (SELECT user_id, min(rn) AS pmin FROM r0
+      |      WHERE event_type = 'purchase' GROUP BY 1),
+      |kept AS (SELECT r0.user_id, r0.event_type, r0.rn,
+      |        lead(r0.event_type) OVER (PARTITION BY r0.user_id ORDER BY r0.rn) AS nxt
+      |      FROM r0 LEFT JOIN pm USING (user_id)
+      |      WHERE pm.pmin IS NULL OR r0.rn <= pm.pmin),
+      |tcounts AS (SELECT s, t, CAST(count(*) AS BIGINT) AS n FROM (
+      |        SELECT event_type AS s, nxt AS t FROM kept WHERE nxt IS NOT NULL
+      |        UNION ALL SELECT 'START', event_type FROM kept WHERE rn = 1
+      |        UNION ALL SELECT event_type, 'NULL' FROM kept
+      |          WHERE nxt IS NULL AND event_type != 'purchase') u
+      |      GROUP BY 1, 2),
+      |sc AS (SELECT 'none' AS scen UNION ALL SELECT * FROM (VALUES $chans) v(c)),
+      |m AS MATERIALIZED (SELECT scen, s, t, n, CAST(sum(n) OVER (PARTITION BY scen, s) AS BIGINT) AS rowsum
+      |      FROM (SELECT sc.scen, tc.s,
+      |              CASE WHEN tc.t = sc.scen THEN 'NULL' ELSE tc.t END AS t,
+      |              CAST(sum(tc.n) AS BIGINT) AS n
+      |            FROM tcounts tc CROSS JOIN sc GROUP BY 1, 2, 3) g),
+      |tr AS MATERIALIZED (SELECT DISTINCT scen, s FROM m),
+      |x0 AS (SELECT scen, s, CAST(0 AS BIGINT) AS x FROM tr),
+      |$rounds,
+      |pc AS (SELECT scen, x AS p FROM x$e20Rounds WHERE s = 'START'),
+      |fl AS (SELECT p AS p_full FROM pc WHERE scen = 'none'),
+      |re AS (SELECT pc.scen AS channel, fl.p_full AS p_full_micro,
+      |        pc.p AS p_removed_micro,
+      |        greatest(CAST(0 AS BIGINT), 1000000 - (pc.p * 1000000) // fl.p_full) AS re_micro
+      |      FROM pc, fl WHERE pc.scen != 'none'),
+      |tot AS (SELECT CAST(sum(re_micro) AS BIGINT) AS re_tot FROM re)
+      |SELECT channel, p_full_micro, p_removed_micro, re_micro,
+      |  (re_micro * 1000) // re_tot AS attr_permille
+      |FROM re, tot
+      |ORDER BY channel""".stripMargin
+  }
+
   /** e17 oracle: identical epoch-hour key, exact sums, non-negative
     * integral divisions.
     */

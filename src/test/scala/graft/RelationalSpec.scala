@@ -2080,6 +2080,61 @@ class RelationalSpec extends AnyFunSuite {
     assert(got.map(_._2).sum == gaps.length.toLong)
   }
 
+  test("e20: removal-effect attribution equals a sequential absorbing-chain recompute") {
+    val got = EventWindows.e20(spark, sf).collect()
+      .map(r => (r.getAs[String]("channel"), r.getAs[Long]("p_full_micro"),
+        r.getAs[Long]("p_removed_micro"), r.getAs[Long]("re_micro"),
+        r.getAs[Long]("attr_permille"))).toSeq
+    // sequential mirror: journeys truncated at first purchase,
+    // START/NULL framing, per-scenario integer absorbing iteration
+    val ev = Tables.events(spark, sf)
+      .selectExpr("user_id", "event_id", "event_type", "unix_micros(ts) AS tus")
+      .as[(Long, Long, String, Long)].collect()
+    val journeys = ev.groupBy(_._1).values.map { es =>
+      val types = es.sortBy(e => (e._4, e._2)).map(_._3).toVector
+      val p = types.indexOf("purchase")
+      if (p >= 0) types.take(p + 1) else types
+    }.toSeq
+    val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+    def bump(s: String, t: String): Unit =
+      counts((s, t)) = counts.getOrElse((s, t), 0L) + 1L
+    journeys.foreach { j =>
+      bump("START", j.head)
+      j.sliding(2).foreach { case Seq(a, b) => bump(a, b); case _ => }
+      if (j.last != "purchase") bump(j.last, "NULL")
+    }
+    def solve(removed: Option[String]): Long = {
+      val m = counts.toSeq.map { case ((s, t), n) =>
+        (s, if (removed.contains(t)) "NULL" else t, n)
+      }.groupBy(p => (p._1, p._2)).view.mapValues(_.map(_._3).sum).toSeq
+        .map { case ((s, t), n) => (s, t, n) }
+      val rowsum = m.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+      val states = m.map(_._1).distinct
+      var x = states.map(_ -> 0L).toMap
+      (1 to 24).foreach { _ =>
+        val withAbs = x ++ Map("purchase" -> 1000000L) - "NULL"
+        x = states.map { s =>
+          s -> m.filter(_._1 == s).map { case (_, t, n) =>
+            withAbs.getOrElse(t, 0L) * n / rowsum(s)
+          }.sum
+        }.toMap
+      }
+      x("START")
+    }
+    val pFull = solve(None)
+    val want0 = Seq("click", "error", "signup", "view").map { c =>
+      val pr = solve(Some(c))
+      (c, pFull, pr, math.max(0L, 1000000L - pr * 1000000L / pFull))
+    }
+    val reTot = want0.map(_._4).sum
+    val want = want0.map { case (c, pf, pr, re) => (c, pf, pr, re, re * 1000 / reTot) }
+    assert(got == want && got.nonEmpty)
+    // sanity laws: removal never helps; shares ~ sum to 1000
+    got.foreach { g => assert(g._3 <= g._2 && g._4 >= 0L) }
+    val shareSum = got.map(_._5).sum
+    assert(shareSum >= 996L && shareSum <= 1000L, s"shares sum to $shareSum")
+  }
+
   test("q37: TWAP equals a sequential hold-weighted recompute") {
     val got = Relational.q37(spark, sf).collect()
       .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("n_holds"),
