@@ -349,6 +349,73 @@ object Quality {
       |ORDER BY col_name, digit""".stripMargin
   }
 
+  // ---------- dq5: column entropy / uniqueness profile ----------
+
+  private val dq5Cols = Seq("l_returnflag", "l_quantity", "l_shipdate", "l_orderkey")
+
+  /** dq5: COLUMN ENTROPY PROFILE — the data-profiling pass
+    * (key-candidate discovery, join-selectivity estimation,
+    * compression-codec choice all read it): per column, exact row
+    * count, distinct count, Shannon entropy and a uniqueness
+    * score. Entropy works on the COUNT-OF-COUNTS grain — group by
+    * value, then by count — so values themselves never matter
+    * (no cross-engine string-canonicalization problem; the
+    * histogram of counts is engine-neutral) and the compute grain
+    * collapses from |values| to the handful of distinct
+    * multiplicities. H = ln N − (Σ cnt·ln cnt)/N in exact
+    * nano-units: ln quantized at 1e-9 (§8.4), BIGINT products
+    * (cnt·ln9 ≤ 10¹⁷ at sf0.1 — and a DECIMAL widen away at any
+    * scale), ONE §8.39-safe integral division. is_key = ndv = N —
+    * the profile correctly separates the key column (entropy =
+    * ln N, uniqueness 1000‰) from the 3-value flag.
+    *
+    * Scale shape: per column one map-side-combined value aggregate
+    * + a count-of-counts reduction to metadata grain — the p8
+    * ANALYZE economics with an information-theoretic column.
+    */
+  def dq5(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val li = Tables.lineitem(spark, dir)
+    dq5Cols.map { c =>
+      val counts = li.groupBy(col(c)).agg(count(lit(1)).as("cnt"))
+        .groupBy($"cnt").agg(count(lit(1)).as("nv"))
+      counts
+        .agg(sum($"nv" * $"cnt").as("n_rows"), sum($"nv").as("ndv"),
+          sum($"nv" * $"cnt" *
+            expr("CAST(floor(ln(CAST(cnt AS DOUBLE)) * 1e9 + 0.5) AS BIGINT)"))
+            .as("slc"))
+        .selectExpr(s"'$c' AS col_name", "n_rows", "ndv",
+          "CAST(floor(ln(CAST(n_rows AS DOUBLE)) * 1e9 + 0.5) AS BIGINT)" +
+            " - slc div n_rows AS entropy_nano",
+          "(ndv * 1000) div n_rows AS uniq_permille",
+          "CAST(CASE WHEN ndv = n_rows THEN 1 ELSE 0 END AS BIGINT) AS is_key")
+    }.reduce(_.unionByName(_))
+      .transform(graft.Tables.ordered(_, $"col_name"))
+  }
+
+  /** dq5 oracle: identical count-of-counts grain, 1e-9 ln
+    * quantization, exact products and the single integral division.
+    */
+  val dq5Sql: String = {
+    val legs = dq5Cols.map { c =>
+      s"""SELECT '$c' AS col_name, n_rows, ndv,
+         |  CAST(floor(ln(CAST(n_rows AS DOUBLE)) * 1e9 + 0.5) AS BIGINT)
+         |    - slc // n_rows AS entropy_nano,
+         |  (ndv * 1000) // n_rows AS uniq_permille,
+         |  CAST(CASE WHEN ndv = n_rows THEN 1 ELSE 0 END AS BIGINT) AS is_key
+         |FROM (SELECT CAST(sum(nv * cnt) AS BIGINT) AS n_rows,
+         |        CAST(sum(nv) AS BIGINT) AS ndv,
+         |        CAST(sum(nv * cnt *
+         |          CAST(floor(ln(CAST(cnt AS DOUBLE)) * 1e9 + 0.5) AS BIGINT)) AS BIGINT) AS slc
+         |      FROM (SELECT cnt, CAST(count(*) AS BIGINT) AS nv
+         |            FROM (SELECT $c, CAST(count(*) AS BIGINT) AS cnt
+         |                  FROM lineitem GROUP BY 1) v
+         |            GROUP BY 1) cc)""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""$legs
+      |ORDER BY col_name""".stripMargin
+  }
+
   // ---------- dq4: p-chart rate control (SPC monitoring) ----------
 
   /** The monitored attribute: high-quantity lines. The generator

@@ -2027,6 +2027,36 @@ class RelationalSpec extends AnyFunSuite {
     assert(maxHead <= minTail)
   }
 
+  test("dq5: column entropies equal a sequential recompute and the closed forms") {
+    val got = graft.operators.Quality.dq5(spark, sf).collect()
+      .map(r => (r.getAs[String]("col_name"), r.getAs[Long]("n_rows"), r.getAs[Long]("ndv"),
+        r.getAs[Long]("entropy_nano"), r.getAs[Long]("uniq_permille"),
+        r.getAs[Long]("is_key"))).toSeq
+    assert(got.length == 4)
+    def ln9(x: Long): Long = math.floor(math.log(x.toDouble) * 1e9 + 0.5).toLong
+    // sequential mirror per column
+    Seq("l_returnflag", "l_quantity", "l_shipdate", "l_orderkey").foreach { c =>
+      val cnts = Tables.lineitem(spark, sf).groupBy(col(c)).count()
+        .select("count").as[Long].collect()
+      val n = cnts.sum
+      val want = (c, n, cnts.length.toLong,
+        ln9(n) - cnts.map(k => k * ln9(k)).sum / n,
+        cnts.length.toLong * 1000 / n,
+        if (cnts.length.toLong == n) 1L else 0L)
+      assert(got.find(_._1 == c).get == want, s"$c mismatch")
+    }
+    // closed forms: a uniform k-class column has entropy ln k
+    val flag = got.find(_._1 == "l_returnflag").get
+    assert(math.abs(flag._4 - math.log(3.0) * 1e9) < 1e6, s"flag entropy ${flag._4}")
+    // entropy never exceeds ln(ndv)
+    got.foreach(g => assert(g._4 <= ln9(g._3) + 1, s"${g._1} exceeds ln(ndv)"))
+    // the profile separates grades (orderkey/shipdate order is
+    // scale-dependent; both dominate the bounded-domain columns)
+    def e(c: String) = got.find(_._1 == c).get._4
+    assert(e("l_orderkey") > e("l_quantity") && e("l_shipdate") > e("l_quantity")
+      && e("l_quantity") > e("l_returnflag"))
+  }
+
   test("dq4: p-chart equals a sequential recompute; limits match the float 3sigma rule") {
     val got = graft.operators.Quality.dq4(spark, sf).collect()
       .map(r => (r.getAs[String]("day"), r.getAs[Long]("n_rows"), r.getAs[Long]("n_flag"),
