@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.Tables
@@ -22,13 +22,18 @@ import graft.Tables
 object Knn {
 
   /** L2-normalize once (tiny table, cached). */
-  private[operators] def vectors(spark: SparkSession, dir: String): DataFrame =
-    Tables.embeddings(spark, dir)
-      .selectExpr("vec_id", "transform(embedding, x -> CAST(x AS DOUBLE)) AS v")
+  /** The v-family normalization over any (vec_id, embedding) frame
+    * (batch or stream) — the one spelling every operator and the
+    * s34 door share.
+    */
+  private[graft] def normalized(df: DataFrame): DataFrame =
+    df.selectExpr("vec_id", "transform(embedding, x -> CAST(x AS DOUBLE)) AS v")
       .selectExpr("vec_id", "v",
         "sqrt(aggregate(zip_with(v, v, (x, y) -> x * y), CAST(0 AS DOUBLE), (acc, x) -> acc + x)) AS nrm")
       .selectExpr("vec_id", "nrm", "transform(v, x -> x / nrm) AS nv")
-      .cache()
+
+  private[operators] def vectors(spark: SparkSession, dir: String): DataFrame =
+    normalized(Tables.embeddings(spark, dir)).cache()
 
   /** Score (id_a, id_b, nv_a, nv_b) pairs: sequential dot product of
     * the normalized vectors, quantized at 1e-6 with round-half-away
@@ -2143,37 +2148,70 @@ object Knn {
     * threshold broadcast — the t30 economics on the vector grain;
     * at 10⁹ vectors the gate costs the scan.
     */
-  def v24(spark: SparkSession, dir: String): DataFrame = {
+  /** v24's nearest-centroid assignment over a (vec_id, nv) frame —
+    * a stateless narrow map, shared verbatim with the streaming
+    * door (s34).
+    */
+  private[graft] def v24Assign(e: Dataset[(Long, Array[Double])],
+      cents: Array[(Long, Array[Double])]): DataFrame = {
+    val spark = e.sparkSession
     import spark.implicits._
-    val e = vectors(spark, dir)
-    val bc = spark.sparkContext.broadcast(
-      codebook(e, "vec_id >= 10 AND vec_id < 18"))
-    val assigned = e.filter($"vec_id" >= 18).select($"vec_id", $"nv")
-      .as[(Long, Array[Double])]
-      .mapPartitions(_.map { case (id, v) =>
-        var c1 = -2.0; var id1 = Long.MaxValue
-        bc.value.foreach { case (cid, cv) =>
-          val c = cosQ(cv, v)
-          if (c > c1 || (c == c1 && cid < id1)) { c1 = c; id1 = cid }
-        }
-        (id, id1, math.floor((1.0 - c1) * 1e6 + 0.5).toLong)
-      }).toDF("vec_id", "cid", "d6").cache()
+    val bc = spark.sparkContext.broadcast(cents)
+    e.mapPartitions(_.map { case (id, v) =>
+      var c1 = -2.0; var id1 = Long.MaxValue
+      bc.value.foreach { case (cid, cv) =>
+        val c = cosQ(cv, v)
+        if (c > c1 || (c == c1 && cid < id1)) { c1 = c; id1 = cid }
+      }
+      (id, id1, math.floor((1.0 - c1) * 1e6 + 0.5).toLong)
+    }).toDF("vec_id", "cid", "d6")
+  }
+
+  /** v24's (bucket width, threshold bucket) from an assigned
+    * distance table — the trained gate (shared with s34).
+    */
+  private[graft] def v24Thresholds(assigned: DataFrame): DataFrame = {
+    import assigned.sparkSession.implicits._
     val wmax = assigned.agg(expr("(max(d6) div 256) + 1").as("w"))
-    val bucketed = assigned.crossJoin(broadcast(wmax))
-      .selectExpr("vec_id", "cid", "d6", "least(CAST(255 AS BIGINT), d6 div w) AS bkt")
-    val hist = bucketed.groupBy($"bkt").agg(count(lit(1)).as("cnt"))
+    val hist = assigned.crossJoin(broadcast(wmax))
+      .selectExpr("least(CAST(255 AS BIGINT), d6 div w) AS bkt", "w")
+      .groupBy($"bkt", $"w").agg(count(lit(1)).as("cnt"))
     val wS = org.apache.spark.sql.expressions.Window.orderBy($"bkt")
-    val thr = hist
+    hist
       .withColumn("cum", sum($"cnt").over(
         wS.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
       .withColumn("tot", sum($"cnt").over(
         wS.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
           org.apache.spark.sql.expressions.Window.unboundedFollowing)))
       .filter($"cum" * 1000L >= $"tot" * 950L)
-      .agg(min($"bkt").as("tb"))
-    bucketed.crossJoin(broadcast(thr))
+      .agg(min($"bkt").as("tb"), min($"w").as("w"))
+  }
+
+  /** The trained gate from the STORED corpus: reference centroids
+    * plus the (threshold bucket, bucket width) pair — what the s34
+    * door loads before serving.
+    */
+  private[graft] def v24Trained(spark: SparkSession, dir: String)
+      : (Array[(Long, Array[Double])], Long, Long) = {
+    import spark.implicits._
+    val e = vectors(spark, dir)
+    val cents = codebook(e, "vec_id >= 10 AND vec_id < 18")
+    val assigned = v24Assign(
+      e.filter($"vec_id" >= 18).select($"vec_id", $"nv").as[(Long, Array[Double])],
+      cents)
+    val r = v24Thresholds(assigned).collect()(0)
+    (cents, r.getAs[Long]("tb"), r.getAs[Long]("w"))
+  }
+
+  def v24(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = vectors(spark, dir)
+    val assigned = v24Assign(
+      e.filter($"vec_id" >= 18).select($"vec_id", $"nv").as[(Long, Array[Double])],
+      codebook(e, "vec_id >= 10 AND vec_id < 18")).cache()
+    assigned.crossJoin(broadcast(v24Thresholds(assigned)))
       .selectExpr("vec_id", "cid", "d6",
-        "CAST(CASE WHEN bkt > tb THEN 1 ELSE 0 END AS BIGINT) AS ood")
+        "CAST(CASE WHEN least(CAST(255 AS BIGINT), d6 div w) > tb THEN 1 ELSE 0 END AS BIGINT) AS ood")
       .transform(graft.Tables.ordered(_, $"vec_id"))
   }
 

@@ -1050,6 +1050,39 @@ object EventStreams {
   /** s33 oracle: e19's, verbatim — the twin contract. */
   val s33Sql: String = graft.operators.EventWindows.e19Sql
 
+  /** s34: STREAMING OOD DOOR — v24's embedding outlier gate at the
+    * vector-ingest boundary, the train-offline/serve-online split
+    * (s16 DSIR / s25 boilerplate's sibling on the vector grain):
+    * centroids AND the p95 threshold are trained in batch on the
+    * stored corpus ([[graft.operators.Knn.v24Trained]] — three
+    * driver constants), and the stream applies the shared
+    * [[graft.operators.Knn.normalized]] + [[graft.operators.Knn.v24Assign]]
+    * narrow map plus a row-local bucket test — ZERO streaming
+    * state (the s17/s31 stateless-door class). Corrupt or
+    * off-distribution vectors are flagged the moment they land.
+    * Oracle IS v24Sql (twin contract).
+    */
+  def s34(spark: SparkSession, dir: String): DataFrame = {
+    val ss = streamSession(spark)
+    graft.Tables.tsConfs(ss)
+    import ss.implicits._
+    val (cents, tb, w) = graft.operators.Knn.v24Trained(ss, dir)
+    val schema = ss.read.parquet(s"$dir/embeddings.parquet").schema
+    val src = graft.operators.Knn.normalized(
+        ss.readStream.schema(schema)
+          .option("pathGlobFilter", "embeddings.parquet").parquet(dir))
+      .filter(col("vec_id") >= 18)
+      .select(col("vec_id"), col("nv")).as[(Long, Array[Double])]
+    val flagged = graft.operators.Knn.v24Assign(src, cents)
+      .selectExpr("vec_id", "cid", "d6",
+        s"CAST(CASE WHEN least(CAST(255 AS BIGINT), d6 div $w) > $tb THEN 1 ELSE 0 END AS BIGINT) AS ood")
+    runToTable(ss, flagged, OutputMode.Append())
+      .transform(graft.Tables.ordered(_, col("vec_id")))
+  }
+
+  /** s34 oracle: v24's, verbatim — the twin contract. */
+  val s34Sql: String = graft.operators.Knn.v24Sql
+
   /** s26 oracle: batch recompute of the first-20-gaps decision. */
   val s26Sql: String =
     s"""WITH ev AS (SELECT user_id, event_id,

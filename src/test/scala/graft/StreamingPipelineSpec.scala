@@ -1078,6 +1078,16 @@ class StreamingPipelineSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("s34 stateless OOD door equals batch v24 row for row") {
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("cid"),
+        r.getAs[Long]("d6"), r.getAs[Long]("ood"))).toSeq
+    val streamed = rows(graft.streaming.EventStreams.s34(spark, sf))
+    val batch = rows(graft.operators.Knn.v24(spark, sf))
+    assert(streamed == batch && streamed.nonEmpty)
+    assert(streamed.exists(_._4 == 1L) && streamed.exists(_._4 == 0L))
+  }
+
   test("s31 stateless code door equals batch t32 row for row") {
     def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
       .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_sym"),
