@@ -418,6 +418,70 @@ object Graph {
       |FROM cnt JOIN deg ON deg.x = cnt.id
       |ORDER BY c_custkey""".stripMargin
 
+  // ---------- g17: local clustering coefficient ----------
+
+  /** g17: LOCAL CLUSTERING COEFFICIENT (Watts & Strogatz 1998,
+    * "Collective dynamics of 'small-world' networks") — per node,
+    * the fraction of its neighbor pairs that are themselves
+    * linked: C(v) = 2·t(v) / (deg(v)·(deg(v)−1)) — the small-world
+    * audit beside g16's degree tail (a crawl graph is both
+    * heavy-tailed AND clustered; a random graph is neither — and
+    * this fixture's near-random base measures accordingly low,
+    * the honest g16/t27 detection idiom). Composes g3's
+    * degree-ordered per-corner triangle counts verbatim; nodes in
+    * no triangle enter with t = 0 via the left join (dropping them
+    * would bias C upward — the classic mistake); deg ≥ 2 required
+    * (C undefined below). Exact: lcc in micro-units by one
+    * §8.39-safe division of BIGINTs.
+    *
+    * Scale shape: g3's two wedge equality joins + one left join on
+    * the node grain — the triangle bound (Σ min-deg orientation)
+    * is the cost, the coefficient is free arithmetic after it.
+    */
+  def g17(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val tri = g3(spark, dir)
+      .select($"c_custkey".as("id"), $"tri_cnt")
+    val nodes = Tables.customer(spark, dir).select($"c_custkey".as("id")).cache()
+    val n = nodes.count()
+    val und = nodes.selectExpr("id AS src", s"(id * 31 + 7) % $n AS dst")
+      .unionAll(nodes.selectExpr("id AS src", s"(id * 17 + 3) % $n AS dst"))
+      .unionAll(nodes.filter($"id" >= 2).selectExpr("id AS src", "id div 2 AS dst"))
+      .filter($"src" =!= $"dst")
+      .selectExpr("least(src, dst) AS u", "greatest(src, dst) AS v")
+      .distinct()
+    val deg = und.selectExpr("u AS id").unionAll(und.selectExpr("v AS id"))
+      .groupBy($"id").agg(count(lit(1)).as("deg"))
+    deg.filter($"deg" >= 2L)
+      .join(tri, Seq("id"), "left_outer")
+      .selectExpr("id AS c_custkey", "deg",
+        "coalesce(tri_cnt, CAST(0 AS BIGINT)) AS tri_cnt",
+        "(coalesce(tri_cnt, CAST(0 AS BIGINT)) * 2000000) div (deg * (deg - 1)) AS lcc_micro")
+      .transform(Tables.ordered(_, $"c_custkey"))
+  }
+
+  /** g17 oracle: g3's generated triangle query + the same degree
+    * table, zero-fill left join and micro division.
+    */
+  val g17Sql: String =
+    s"""WITH t3 AS ($g3Sql),
+      |nn AS (SELECT count(*) AS n FROM customer),
+      |nodes AS (SELECT c_custkey AS id FROM customer),
+      |e0 AS (SELECT id AS src, (id * 31 + 7) % nn.n AS dst FROM nodes, nn
+      |       UNION ALL SELECT id, (id * 17 + 3) % nn.n FROM nodes, nn
+      |       UNION ALL SELECT id, id // 2 FROM nodes WHERE id >= 2),
+      |und AS (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+      |        FROM e0 WHERE src <> dst),
+      |deg AS (SELECT x AS id, CAST(count(*) AS BIGINT) AS deg
+      |        FROM (SELECT u AS x FROM und UNION ALL SELECT v FROM und)
+      |        GROUP BY 1)
+      |SELECT deg.id AS c_custkey, deg.deg,
+      |  coalesce(t3.tri_cnt, CAST(0 AS BIGINT)) AS tri_cnt,
+      |  (coalesce(t3.tri_cnt, CAST(0 AS BIGINT)) * 2000000) // (deg.deg * (deg.deg - 1)) AS lcc_micro
+      |FROM deg LEFT JOIN t3 ON t3.c_custkey = deg.id
+      |WHERE deg.deg >= 2
+      |ORDER BY c_custkey""".stripMargin
+
   // ---------- g6: label-propagation communities ----------
 
   private val g6Rounds = 6

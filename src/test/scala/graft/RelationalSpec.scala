@@ -1553,6 +1553,34 @@ class RelationalSpec extends AnyFunSuite {
     assert(got.getAs[Double]("powerlaw_slope") < -0.3)
   }
 
+  test("g17: clustering coefficients equal a sequential neighbor-pair recompute") {
+    val got = graft.operators.Graph.g17(spark, sf).collect()
+      .map(r => (r.getAs[Long]("c_custkey"), r.getAs[Long]("deg"),
+        r.getAs[Long]("tri_cnt"), r.getAs[Long]("lcc_micro"))).toSeq
+    val n = Tables.customer(spark, sf).count().toInt
+    // simple undirected adjacency
+    val adj = Array.fill(n)(scala.collection.mutable.Set.empty[Int])
+    def add(a: Int, b: Int): Unit = if (a != b) { adj(a) += b; adj(b) += a }
+    (0 until n).foreach { i =>
+      add(i, (i * 31 + 7) % n); add(i, (i * 17 + 3) % n)
+      if (i >= 2) add(i, i / 2)
+    }
+    // direct definition: linked neighbor pairs / all neighbor pairs
+    val want = (0 until n).filter(adj(_).size >= 2).map { v =>
+      val nb = adj(v).toSeq.sorted
+      var t = 0L
+      for (i <- nb.indices; j <- (i + 1) until nb.size)
+        if (adj(nb(i)).contains(nb(j))) t += 1
+      val d = nb.size.toLong
+      (v.toLong, d, t, t * 2000000L / (d * (d - 1)))
+    }.sortBy(_._1)
+    assert(got == want && got.nonEmpty)
+    // laws: C in [0, 1e6]; zero-triangle nodes present (no drop bias);
+    // and some genuine clustering exists
+    got.foreach { g => assert(g._4 >= 0L && g._4 <= 1000000L) }
+    assert(got.exists(_._3 == 0L) && got.exists(_._3 > 0L))
+  }
+
   test("g15: stress centrality equals a sequential Brandes recompute") {
     val got = graft.operators.Graph.g15(spark, sf).collect()
       .map(r => (r.getAs[Long]("c_custkey"), r.getAs[Long]("n_sources"),
