@@ -1,7 +1,7 @@
 package graft.plans
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.expressions.{Add, And, Attribute, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual, Literal}
+import org.apache.spark.sql.catalyst.expressions.{Add, And, Attribute, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, IsNotNull, LessThan, LessThanOrEqual, Literal}
 import org.apache.spark.sql.catalyst.plans.Inner
 import org.apache.spark.sql.catalyst.plans.logical.{Join, LogicalPlan}
 import org.apache.spark.sql.catalyst.rules.Rule
@@ -29,6 +29,24 @@ import org.apache.spark.sql.types.LongType
   * upper, all LongType, lo < hi, sides resolved to opposite join
   * children, no other conjuncts). Anything else is left untouched;
   * a missed rewrite is a slower plan, a wrong one is a wrong answer.
+  *
+  * NULL safety: an inner equality join drops NULL keys/times, but
+  * [[RangeJoinExec]] reads both through `UnsafeRow.getLong` (NULL
+  * reads as 0) and sorts NULLS FIRST — a NULL key would spuriously
+  * match key 0 and break the merge's monotone-key invariant. When
+  * any matched attribute is nullable the rewrite therefore wraps
+  * each child in `Filter(IsNotNull(key) && IsNotNull(time))` —
+  * semantics-preserving for THIS inner join (a NULL on either
+  * column can never satisfy `=`, `<`, `<=`), and the filters then
+  * push into the scans like any other predicate.
+  *
+  * Overflow: the original `t + delta` is whatever `Add` the user
+  * wrote — under ANSI mode it RAISES on Long overflow. The exec
+  * computes the band with saturating arithmetic instead
+  * ([[RangeJoinExec.satAdd]]), which yields the mathematically
+  * correct comparison result (a bound past Long.MaxValue is above
+  * every representable time). Divergence on overflow inputs is
+  * thus error-vs-correct-answer, never wraparound-vs-error.
   */
 object BandJoinRewrite extends Rule[LogicalPlan] {
 
@@ -93,7 +111,12 @@ object BandJoinRewrite extends Rule[LogicalPlan] {
         (eq, bounds.find(_._4), bounds.find(!_._4)) match {
           case (Some((lk, rk)), Some((lt1, rt1, lo, _)), Some((lt2, rt2, hi, _)))
               if lt1.semanticEquals(lt2) && rt1.semanticEquals(rt2) && lo < hi =>
-            RangeJoinPlan(left, right, lk, lt1, rk, rt1, lo, hi)
+            def notNull(child: LogicalPlan, key: Attribute, time: Attribute): LogicalPlan =
+              if (!key.nullable && !time.nullable) child
+              else org.apache.spark.sql.catalyst.plans.logical.Filter(
+                And(IsNotNull(key), IsNotNull(time)), child)
+            RangeJoinPlan(notNull(left, lk, lt1), notNull(right, rk, rt1),
+              lk, lt1, rk, rt1, lo, hi)
           case _ => j
         }
       }
@@ -101,6 +124,15 @@ object BandJoinRewrite extends Rule[LogicalPlan] {
 
   /** Runtime installation (the `spark.experimental` twin of
     * [[GraftSessionExtensions]]'s injectOptimizerRule path).
+    *
+    * SESSION-GLOBAL: `spark.experimental` is shared session state,
+    * so after install() the rewrite applies to every subsequent
+    * query in the session (that is the point — users get the custom
+    * operator from the natural join shape). The nullable-attribute
+    * filter wrap above keeps that safe on arbitrary user data. Use
+    * [[uninstall]] to remove it, or prefer the scoped
+    * `spark.sql.extensions=graft.plans.GraftSessionExtensions`
+    * config at session build.
     */
   def install(spark: SparkSession): Unit = {
     if (!spark.experimental.extraStrategies.contains(RangeJoinStrategy))
@@ -110,4 +142,11 @@ object BandJoinRewrite extends Rule[LogicalPlan] {
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ BandJoinRewrite
   }
+
+  /** Reverse [[install]] — removes the rule (leaves the strategy,
+    * which is inert without a RangeJoinPlan node to match).
+    */
+  def uninstall(spark: SparkSession): Unit =
+    spark.experimental.extraOptimizations =
+      spark.experimental.extraOptimizations.filterNot(_ == BandJoinRewrite)
 }

@@ -48,6 +48,8 @@ case class RangeJoinExec(left: SparkPlan, right: SparkPlan,
     rightKey: Expression, rightTime: Expression,
     lowDelta: Long, highDelta: Long) extends BinaryExecNode {
 
+  import RangeJoinExec.satAdd
+
   override def output: Seq[Attribute] = left.output ++ right.output
 
   override def requiredChildDistribution: Seq[Distribution] =
@@ -89,11 +91,13 @@ case class RangeJoinExec(left: SparkPlan, right: SparkPlan,
         val k = kv.getLong(0)
         val t = kv.getLong(1)
         if (k != lastKey) { window.clear(); lastKey = k }
+        val tLo = satAdd(t, lo)
+        val tHi = satAdd(t, hi)
         // evict rights at or below the window's low bound
-        while (window.nonEmpty && window.head._1 <= t + lo) window.removeHead()
+        while (window.nonEmpty && window.head._1 <= tLo) window.removeHead()
         // pull rights up to the high bound (dropping other-key rows)
-        while (rHasCur && (rCurKey < k || (rCurKey == k && rCurTime <= t + hi))) {
-          if (rCurKey == k && rCurTime > t + lo)
+        while (rHasCur && (rCurKey < k || (rCurKey == k && rCurTime <= tHi))) {
+          if (rCurKey == k && rCurTime > tLo)
             window.append((rCurTime, rProjCopy(rCurRow)))
           advanceRight()
         }
@@ -109,6 +113,23 @@ case class RangeJoinExec(left: SparkPlan, right: SparkPlan,
   override protected def withNewChildrenInternal(
       newLeft: SparkPlan, newRight: SparkPlan): RangeJoinExec =
     copy(left = newLeft, right = newRight)
+}
+
+object RangeJoinExec {
+  /** Saturating Long add: `t + delta` clamped to [Long.Min, Long.Max].
+    * A band bound past either end of the representable range compares
+    * the way the true (unbounded-integer) bound would — above every
+    * time / below every time — so band membership stays mathematically
+    * correct on inputs where plain `+` would wrap (and ANSI `+` would
+    * raise). See [[BandJoinRewrite]]'s overflow note.
+    */
+  def satAdd(t: Long, delta: Long): Long = {
+    val s = t + delta
+    // overflow iff operands share a sign and the sum flipped it
+    if (((t ^ s) & (delta ^ s)) < 0L)
+      if (delta > 0L) Long.MaxValue else Long.MinValue
+    else s
+  }
 }
 
 object RangeJoin {

@@ -208,6 +208,34 @@ class PlanSpec extends AnyFunSuite {
     val good = a.join(b, a("ua") === b("ub") && b("tb") > a("ta") &&
       b("tb") <= a("ta") + 300000000L)
     assert(optimized(good).contains("RangeJoinPlan"), optimized(good))
+    // NULLABLE key/time: the rewrite must still fire but wrap both
+    // children in IsNotNull filters — the exec reads NULL as 0 and
+    // sorts NULLS FIRST, so an unguarded NULL key would spuriously
+    // match key 0 / other NULLs and break the monotone-key merge.
+    val an = a.select(when(col("ua") % 7L === 0L, lit(null)).otherwise(col("ua"))
+      .cast("long").as("ua"), col("ta"))
+    val bn = b.select(when(col("ub") % 5L === 0L, lit(null)).otherwise(col("ub"))
+      .cast("long").as("ub"), col("tb"))
+    val nullable = an.join(bn, an("ua") === bn("ub") && bn("tb") > an("ta") &&
+      bn("tb") <= an("ta") + 300000000L)
+    val nOpt = optimized(nullable)
+    assert(nOpt.contains("RangeJoinPlan"), nOpt)
+    assert("isnotnull".r.findAllIn(nOpt.toLowerCase).length >= 2,
+      s"nullable children must be wrapped in IsNotNull filters:\n$nOpt")
+    // semantics attested against a driver-side recompute (no join engine)
+    val gotN = nullable.groupBy(an("ua")).count().collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+    val aRows = an.collect().map(r => (if (r.isNullAt(0)) None else Some(r.getLong(0)), r.getLong(1)))
+    val bRows = bn.collect().map(r => (if (r.isNullAt(0)) None else Some(r.getLong(0)), r.getLong(1)))
+    val wantN = aRows.flatMap { case (k, ta) =>
+      if (k.isEmpty) Nil
+      else {
+        val n = bRows.count { case (k2, tb) => k2 == k && tb > ta && tb <= ta + 300000000L }
+        if (n > 0) Some((k.get, n.toLong)) else None
+      }
+    }.groupBy(_._1).map { case (k, v) => (k, v.map(_._2).sum) }.toSeq.sortBy(_._1)
+    assert(gotN == wantN && gotN.nonEmpty,
+      s"null-key band join mismatch: got ${gotN.take(5)} want ${wantN.take(5)}")
     // semantics attested: rewritten result equals the composed q12-style
     // bucket join on the same band
     val got = good.groupBy(col("ua")).count().collect()
