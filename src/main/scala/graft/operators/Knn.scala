@@ -1423,7 +1423,7 @@ object Knn {
     * vectors attach by pk equality join only at scoring, ranking is
     * the two-level salted top-[[knnK]] per source node.
     */
-  private[operators] def knnGraphEdges(e: DataFrame): DataFrame = {
+  private[operators] def knnGraphEdges(e: DataFrame, degree: Int = knnK): DataFrame = {
     val spark = e.sparkSession
     import spark.implicits._
     val buckets = lshBucketIds(e)
@@ -1441,7 +1441,7 @@ object Knn {
       .join(e.select($"vec_id".as("id_b"), $"nv".as("nv_b")), Seq("id_b")))
     graft.functions.TwoLevel.topK(
         scored.select($"id_a".as("src_id"), $"id_b".as("nbr_id"), $"cos_sim"),
-        Seq($"src_id"), Seq($"cos_sim".desc, $"nbr_id"), $"nbr_id", knnK)
+        Seq($"src_id"), Seq($"cos_sim".desc, $"nbr_id"), $"nbr_id", degree)
   }
 
   def v16(spark: SparkSession, dir: String): DataFrame = {
@@ -1866,7 +1866,10 @@ object Knn {
 
   // ---------- v21: graph-ANN beam search over the kNN graph ----------
 
-  private[operators] val v21Seeds = 16
+  private[operators] val v21Degree = 16 // serving-graph out-degree (HNSW's M)
+  private[operators] val v21Cents = 8 // coarse centroids (entry-index cells)
+  private[operators] val v21Probes = 2 // coarse clusters probed per query
+  private[operators] val v21Reps = 8 // entry nodes per probed cluster
   private[operators] val v21Beam = 8
   private[operators] val v21Hops = 6
 
@@ -1877,40 +1880,71 @@ object Knn {
     * nodes). v16 BUILDS the graph (capped-bucket LSH candidates,
     * top-[[knnK]] neighbors per node — here over the corpus side
     * only, traversed UNDIRECTED per HNSW's bidirectional-link
-    * rule); v21 SERVES queries over it: seed every query at the
-    * same [[v21Seeds]] deterministic entry nodes (the lowest graph
-    * node ids), then run [[v21Hops]] synchronous bounded hops of
-    * BEST-FIRST search — frontier = per-query top-[[v21Beam]] of
-    * the not-yet-expanded visited set by quantized cosine,
-    * expansion = frontier ⋈ graph EQUALITY join on node id, new
-    * candidates = anti-join against visited — and return the
-    * per-query top-[[knnK]] of everything visited, each hit flagged
-    * `in_exact` against the brute-force ground truth (v11's recall
-    * idiom carried in-row: avg(in_exact) IS recall@k — 0.82 / 0.64
-    * / 0.38 at sf0.001/0.01/0.1, well above the ~20% exploration
-    * coverage, i.e. the hill-climb is doing real work even on this
-    * mostly-random corpus).
+    * rule); v21 SERVES queries over it with IVF-SEEDED entry
+    * points (round 11 — the fix for fixed-seed recall decay): every
+    * graph node is assigned to its nearest coarse centroid (v3's
+    * deterministic 8-vector codebook, a broadcast narrow map), each
+    * cluster keeps its [[v21Reps]] members nearest the centroid as
+    * entry representatives, and each query seeds at the
+    * representatives of its [[v21Probes]] nearest clusters — so the
+    * search starts IN the query's region of space instead of at a
+    * corpus-position-correlated corner, the role HNSW's upper
+    * layers / FAISS's coarse quantizer play. Then [[v21Hops]]
+    * synchronous bounded hops of BEST-FIRST search — frontier =
+    * per-query top-[[v21Beam]] of the not-yet-expanded visited set
+    * by quantized cosine, expansion = frontier ⋈ graph EQUALITY
+    * join on node id, new candidates = anti-join against visited —
+    * and return the per-query top-[[knnK]] of everything visited,
+    * each hit flagged `in_exact` against the brute-force ground
+    * truth (v11's recall idiom carried in-row: avg(in_exact) IS
+    * recall@k).
+    *
+    * Round-11 recall engineering, measured at the fixed 16-seed /
+    * beam-8 / 6-hop budget: the round-10 build (fixed lowest-id
+    * seeds, degree-[[knnK]] graph) decayed 0.82 / 0.64 / 0.38
+    * across sf0.001/0.01/0.1. Swapping IVF seeds alone did NOT
+    * recover it (0.38 at sf0.1 with 8 cells; 0.34 with 64 — on
+    * this near-random corpus Voronoi cells of a few centroids
+    * carry little neighbor locality), which localizes the decay in
+    * GRAPH NAVIGABILITY, not entry distance: a degree-5 kNN graph
+    * over random high-dim vectors strands the beam in local
+    * optima. The published knob for exactly this is the graph
+    * degree (HNSW's M, typically 16-48): at [[v21Degree]] = 16 the
+    * same budget measures recall@5 = 0.98 / 1.00 / 0.74 — scale-
+    * STABLE (sf0.1 now above the old sf0.01 level), with the IVF
+    * entry keeping hop-0 inside the query's cell. Degree sweep at
+    * sf0.1, 6 hops: 5→0.38, 8→0.58, 12→0.64, 16→0.74, 24→0.90.
     *
     * Determinism: scoring is the shared 1e-6-quantized sequential
-    * dot kernel ([[cosQ]] ≡ the oracle's list_inner_product + round);
-    * frontier/result ranks tie-break on node id; seeds are an
-    * ORDER BY/LIMIT on ids; hops are fixed-count. The oracle unrolls
-    * the three hops as explicit CTEs (f/c/s/v per hop, visited
-    * MATERIALIZED — §8.38) over the same generated plane literals.
+    * dot kernel ([[cosQ]] ≡ the oracle's list_inner_product + round,
+    * arg order matched per site: centroid-first for assignment,
+    * query-first for probes and hop scores); node→centroid and
+    * query→cluster ranks tie-break (score DESC, cid/node ASC); hops
+    * are fixed-count. The oracle builds the SAME entry index (nass/
+    * reps/probes/seeds CTEs) and unrolls the hops as explicit CTEs
+    * (f/c/s/v per hop, visited MATERIALIZED — §8.38) over the same
+    * generated plane literals.
     *
     * Scale shape: the graph is the ONLY corpus-sized table and it
-    * moves once into the build's equality joins; per hop the
-    * frontier is ≤ queries × beam id-only rows (a broadcast side),
-    * expansion is an equality join on node id, and candidate
+    * moves once into the build's equality joins; the IVF entry
+    * index adds ONE build-time narrow assignment pass (centroids
+    * broadcast) and a per-cluster top-[[v21Reps]] via the salted
+    * two-level rank (8 clusters would otherwise funnel the corpus
+    * through 8 window tasks); the per-query probe runs over two
+    * bounded driver-side codebooks (queries × 8 centroids). Per hop
+    * the frontier is ≤ queries × beam id-only rows (a broadcast
+    * side), expansion is an equality join on node id, and candidate
     * vectors attach by pk lookup — ≤ queries × beam × degree rows
-    * per hop, so the visited set is capped at seeds + hops × beam ×
-    * degree per query BY CONSTRUCTION (no data-dependent growth).
-    * Vectors never ride a shuffle. localCheckpoint per hop cuts the
-    * tripled-lineage blow-up (§8.19), exactly g9's synchronous-
-    * relaxation discipline. At 10⁹ nodes the same plan serves any
-    * query batch: per-query work is O(seeds + hops·beam·degree)
-    * score evaluations regardless of corpus size — the property
-    * that makes graph ANN the serving structure of choice.
+    * per hop, so the visited set is capped at probes × reps + hops
+    * × beam × degree per query BY CONSTRUCTION (no data-dependent
+    * growth). Vectors never ride a shuffle. localCheckpoint per hop
+    * cuts the tripled-lineage blow-up (§8.19), exactly g9's
+    * synchronous-relaxation discipline. At 10⁹ nodes the same plan
+    * serves any query batch: per-query work is O(seeds +
+    * hops·beam·degree) score evaluations regardless of corpus size
+    * — and with IVF-seeded entries the RECALL at that fixed budget
+    * no longer degrades as the corpus grows, because the seeds
+    * track the query's cluster rather than a fixed id corner.
     */
   /** The shared search engine of [[v21]]/[[v22]]: graph build, seed
     * scoring and the best-first hop loop. Returns every hop's
@@ -1927,13 +1961,16 @@ object Knn {
     // HNSW's bidirectional-link rule: a node many others point at
     // becomes reachable THROUGH them, where the directed kNN graph
     // only lets it point outward
-    val knn = knnGraphEdges(e.filter("vec_id >= 10"))
+    val deg = spark.conf.getOption("graft.v21.degree").map(_.toInt)
+      .getOrElse(v21Degree)
+    val knn = knnGraphEdges(e.filter("vec_id >= 10"), deg)
       .select($"src_id", $"nbr_id")
     val graph = knn
       .unionByName(knn.select($"nbr_id".as("src_id"), $"src_id".as("nbr_id")))
       .distinct().cache()
     // ≤ 10-query codebook broadcast (the bounded boundary all v-ops share)
-    val qCb = spark.sparkContext.broadcast(codebook(e, "vec_id < 10").toMap)
+    val qsArr = codebook(e, "vec_id < 10")
+    val qCb = spark.sparkContext.broadcast(qsArr.toMap)
     def score(nodes: DataFrame): DataFrame =
       nodes.join(e.select($"vec_id".as("node"), $"nv"), Seq("node"))
         .select($"qid", $"node", $"nv")
@@ -1942,9 +1979,49 @@ object Knn {
           val qs = qCb.value
           it.map { case (qid, node, nv) => (qid, node, cosQ(qs(qid), nv)) }
         }.toDF("qid", "node", "score")
-    val seeds = graph.select($"src_id".as("node")).distinct()
-      .orderBy($"node").limit(v21Seeds)
-    val qids = e.filter("vec_id < 10").select($"vec_id".as("qid"))
+    // IVF-seeded entry points: assign every graph node to its
+    // nearest coarse centroid (v3's deterministic codebook — the
+    // first 8 corpus vectors), keep each cluster's v21Reps members
+    // nearest the centroid as entry representatives, and seed each
+    // query at its v21Probes nearest clusters' representatives.
+    val nCents = spark.conf.getOption("graft.v21.ncents").map(_.toInt)
+      .getOrElse(v21Cents)
+    val nProbes = spark.conf.getOption("graft.v21.probes").map(_.toInt)
+      .getOrElse(v21Probes)
+    val nReps = spark.conf.getOption("graft.v21.reps").map(_.toInt)
+      .getOrElse(v21Reps)
+    val cents = codebook(e, s"vec_id >= 10 AND vec_id < ${10 + nCents}")
+    val cCb = spark.sparkContext.broadcast(cents)
+    val nodeCent = graph.select($"src_id".as("node")).distinct()
+      .join(e.select($"vec_id".as("node"), $"nv"), Seq("node"))
+      .as[(Long, Array[Double])]
+      .mapPartitions { it =>
+        val cs = cCb.value
+        it.map { case (node, nv) =>
+          var bestCid = Long.MaxValue
+          var bestS = Double.NegativeInfinity
+          cs.foreach { case (cid, cv) =>
+            val s = cosQ(cv, nv) // centroid-first arg order == oracle
+            if (s > bestS || (s == bestS && cid < bestCid)) {
+              bestS = s; bestCid = cid
+            }
+          }
+          (node, bestCid, bestS)
+        }
+      }.toDF("node", "cid", "cs")
+    // per-cluster top-reps via the salted two-level rank: 8 clusters
+    // must not funnel the corpus through 8 window tasks
+    val reps = graft.functions.TwoLevel.topK(nodeCent, Seq($"cid"),
+        Seq($"cs".desc, $"node"), $"node", nReps)
+      .select($"cid", $"node")
+    // per-query probes over the two bounded driver-side codebooks
+    val probes = qsArr.toSeq.flatMap { case (qid, qv) =>
+      cents.map { case (cid, cv) => (cid, cosQ(qv, cv)) }
+        .sortBy { case (cid, s) => (-s, cid) }
+        .take(nProbes).map { case (cid, _) => (qid, cid) }
+    }.toDF("qid", "cid")
+    val seeds = broadcast(probes).join(reps, Seq("cid"))
+      .select($"qid", $"node")
     // best-first discipline: `exp` marks nodes already expanded, so
     // every hop's frontier is the top-beam of the UNEXPANDED visited
     // set — without the flag the same best nodes re-expand each hop
@@ -1958,8 +2035,8 @@ object Knn {
       .getOrElse(v21Hops)
     val ckpt = spark.conf.getOption("graft.v21.checkpoint").forall(_.toBoolean)
     def cut(df: DataFrame): DataFrame = if (ckpt) df.localCheckpoint() else df
-    // seeds is a ≤16-row bounded set: the crossJoin is a broadcast
-    var visited = cut(score(qids.crossJoin(broadcast(seeds)))
+    // seeds is ≤ queries × probes × reps rows — a broadcast side
+    var visited = cut(score(broadcast(seeds))
       .withColumn("exp", lit(0)))
     val states = scala.collection.mutable.ArrayBuffer(visited)
     var hop = 0
@@ -2041,14 +2118,30 @@ object Knn {
       |       FROM candp c JOIN mc a ON a.vec_id = c.id_a JOIN mc b ON b.vec_id = c.id_b),
       |knn AS (SELECT id_a AS src_id, id_b AS nbr_id FROM (
       |          SELECT *, row_number() OVER (PARTITION BY id_a ORDER BY cos_sim DESC, id_b) AS rnk
-      |          FROM ge) WHERE rnk <= $knnK),
+      |          FROM ge) WHERE rnk <= $v21Degree),
       |graph AS MATERIALIZED (SELECT DISTINCT * FROM (
       |          SELECT src_id, nbr_id FROM knn
       |          UNION ALL SELECT nbr_id, src_id FROM knn)),
-      |seeds AS (SELECT DISTINCT src_id AS node FROM graph ORDER BY node LIMIT $v21Seeds),
-      |v0 AS MATERIALIZED (SELECT q.vec_id AS qid, s.node,
+      |cents AS MATERIALIZED (SELECT vec_id AS cid, nv FROM mc WHERE vec_id < 18),
+      |gn AS (SELECT DISTINCT src_id AS node FROM graph),
+      |nass AS (SELECT node, cid, cs FROM (
+      |        SELECT g.node, c.cid,
+      |          round(list_inner_product(c.nv, x.nv) * 1e6) / 1e6 AS cs,
+      |          row_number() OVER (PARTITION BY g.node
+      |            ORDER BY round(list_inner_product(c.nv, x.nv) * 1e6) / 1e6 DESC, c.cid) AS rn
+      |        FROM gn g JOIN mc x ON x.vec_id = g.node CROSS JOIN cents c) WHERE rn = 1),
+      |reps AS (SELECT cid, node FROM (
+      |        SELECT cid, node, row_number() OVER (PARTITION BY cid ORDER BY cs DESC, node) AS rn
+      |        FROM nass) WHERE rn <= $v21Reps),
+      |probes AS (SELECT qid, cid FROM (
+      |        SELECT q.vec_id AS qid, c.cid,
+      |          row_number() OVER (PARTITION BY q.vec_id
+      |            ORDER BY round(list_inner_product(q.nv, c.nv) * 1e6) / 1e6 DESC, c.cid) AS rn
+      |        FROM mq q CROSS JOIN cents c) WHERE rn <= $v21Probes),
+      |seeds AS (SELECT p.qid, r.node FROM probes p JOIN reps r ON r.cid = p.cid),
+      |v0 AS MATERIALIZED (SELECT s.qid, s.node,
       |        round(list_inner_product(q.nv, c.nv) * 1e6) / 1e6 AS score, 0 AS exp
-      |      FROM mq q CROSS JOIN seeds s JOIN mc c ON c.vec_id = s.node),
+      |      FROM seeds s JOIN mq q ON q.vec_id = s.qid JOIN mc c ON c.vec_id = s.node),
       |${(1 to v21Hops).map(hop).mkString(",\n")},
       |brute AS (SELECT qid, vec_id FROM (
       |          SELECT q.vec_id AS qid, c.vec_id,

@@ -1536,11 +1536,14 @@ class DedupKnnSpec extends AnyFunSuite {
         r.getAs[Long]("vec_id"), r.getAs[Double]("cos_sim"),
         r.getAs[Long]("in_exact")))
     // --- sequential mirror of the whole serving path: corpus-only
-    // graph (v16's mirror restricted to vec_id >= 10) traversed
-    // undirected, 16 lowest-id seeds, 6 best-first hops at beam 8,
-    // top-5, brute-force ground truth for the in_exact flag ---
+    // degree-16 graph (v16's mirror restricted to vec_id >= 10,
+    // top-16 per node) traversed undirected, IVF-seeded entries
+    // (8 centroids = first corpus vectors, 8 reps per cell, 2
+    // probed cells per query), 6 best-first hops at beam 8, top-5,
+    // brute-force ground truth for the in_exact flag ---
     val nTables = 8; val bits = 6; val dim = 64; val cap = 100; val k = 5
-    val seedsN = 16; val beam = 8; val hops = 6
+    val deg = 16; val nCents = 8; val nReps = 8; val nProbes = 2
+    val beam = 8; val hops = 6
     def plane(j: Int): Array[Double] = Array.tabulate(dim) { i =>
       val x = math.sin(j * 131.7 + i * 17.3) * 43758.5453
       x - math.floor(x) - 0.5
@@ -1574,14 +1577,28 @@ class DedupKnnSpec extends AnyFunSuite {
       for (a <- ids; b <- ids if a != b) yield (a, b)).toSet
     val knn = cand.groupBy(_._1).map { case (src, ps) =>
       src -> ps.toSeq.map { case (_, nbr) => (nbr, q6(dot(nvOf(src), nvOf(nbr)))) }
-        .sortBy { case (nbr, c) => (-c, nbr) }.take(k).map(_._1)
+        .sortBy { case (nbr, c) => (-c, nbr) }.take(deg).map(_._1)
     }
     val und = knn.toSeq
       .flatMap { case (s, ns) => ns.flatMap(n => Seq((s, n), (n, s))) }
       .distinct.groupBy(_._1).map { case (s, ps) => s -> ps.map(_._2).toSet }
-    val seeds = und.keys.toSeq.sorted.take(seedsN)
+    // IVF entry index: assign every graph node to its nearest of the
+    // first nCents corpus vectors (centroid-first dot order), keep
+    // each cell's nReps members nearest the centroid
+    val cents = corpus.filter(_._1 < 10 + nCents).sortBy(_._1)
+    val nodeCell = und.keys.toSeq.sorted.map { n =>
+      val (cid, cs) = cents.map { case (cid, cv) => (cid, q6(dot(cv, nvOf(n)))) }
+        .minBy { case (cid, s) => (-s, cid) }
+      (n, cid, cs)
+    }
+    val reps = nodeCell.groupBy(_._2).map { case (cid, ms) =>
+      cid -> ms.sortBy { case (n, _, cs) => (-cs, n) }.take(nReps).map(_._1)
+    }
     val queries = vecs.filter(_._1 < 10).sortBy(_._1)
     val want = queries.flatMap { case (qid, qv) =>
+      val probed = cents.map { case (cid, cv) => (cid, q6(dot(qv, cv))) }
+        .sortBy { case (cid, s) => (-s, cid) }.take(nProbes).map(_._1)
+      val seeds = probed.flatMap(cid => reps.getOrElse(cid, Seq.empty))
       var visited = seeds.map(n => n -> q6(dot(qv, nvOf(n)))).toMap
       var expanded = Set.empty[Long]
       (1 to hops).foreach { _ =>
@@ -1599,8 +1616,9 @@ class DedupKnnSpec extends AnyFunSuite {
     }
     assert(got.toSeq == want.toSeq && got.nonEmpty)
     // the hill-climb finds most true neighbors (recall@5 measured
-    // 0.82 at this scale; exploration touches far less than the
-    // whole corpus at sf0.1 where it still reaches 0.38)
+    // 0.98 / 1.00 / 0.74 at sf0.001/0.01/0.1 with the degree-16
+    // graph + IVF entries — scale-stable, vs 0.82/0.64/0.38 for
+    // the round-10 degree-5 fixed-seed build)
     val recall = got.map(_._5).sum.toDouble / got.length
     assert(recall >= 0.6, s"recall@5 $recall")
     got.groupBy(_._1).values.foreach { g =>

@@ -131,15 +131,16 @@ class PlanSpec extends AnyFunSuite {
     try {
       val df = graft.operators.Knn.v21(spark, sf)
       val p = plan(df)
-      // no all-pairs anywhere; the only nested-loop joins are
-      // replicas of the bounded ≤16-row seed cross (the unchecked
-      // lineage repeats that subtree once per visited consumer) —
-      // every one must be a broadcast Cross, never a large-large join
+      // no all-pairs anywhere; with IVF-seeded entries every seed
+      // attach is an EQUALITY join (probes ⋈ reps on cid, seeds ⋈
+      // vectors on node) — any nested-loop join that still appears
+      // must be a broadcast Cross of bounded sides, never a
+      // large-large join
       assert(!p.contains("CartesianProduct"), "all-pairs leaked")
       val bnlTree = p.linesIterator
         .filter(_.contains("BroadcastNestedLoopJoin"))
         .filter(_.contains("Build")).toSeq
-      assert(bnlTree.nonEmpty && bnlTree.forall(_.contains("Cross")),
+      assert(bnlTree.forall(_.contains("Cross")),
         s"non-broadcast-cross nested loop leaked: $bnlTree")
       // frontier expansion rides the graph by equality on node ids
       assert(p.contains("src_id"), "expected the frontier-graph equality join")
