@@ -1628,4 +1628,205 @@ object Graph {
       |GROUP BY 1
       |ORDER BY c_custkey""".stripMargin
   }
+
+  // ---------- g18: directed strongly connected components ----------
+
+  private[graft] val g18Pivots = 32 // pivots per peel (bits of one BIGINT mask)
+  private[graft] val g18Peels = 2
+  private[graft] val g18Rounds = 18 // ≥ max SCC diameter (measured 7/11/15)
+
+  /** Multi-pivot forward-backward SCC labeling — the scalable
+    * directed-components algorithm (FW-BW: Fleischer/Hendrickson/
+    * Pinar 2000; parallelized with multi-source bitmask BFS in the
+    * style of MS-BFS, Then et al. VLDB 2014): per peel, take the
+    * [[g18Pivots]] smallest unassigned node ids as pivots, give
+    * pivot i bit i of a BIGINT mask, and run [[g18Rounds]]
+    * synchronous rounds propagating `fm` (pivots that REACH the
+    * node) along edges and `bm` (pivots the node reaches) against
+    * them — two equality joins + two `bit_or` aggregates per round,
+    * all-integer state. A node with `fm & bm ≠ 0` is mutually
+    * reachable with every pivot in the intersection (p→v and v→p
+    * ⇒ p ∈ SCC(v); any two such pivots are mutually reachable
+    * THROUGH v), so its SCC label is the least-bit pivot —
+    * `(fm & bm) & -(fm & bm)` mapped back through the ≤32-row
+    * bit→pivot table. Claimed nodes leave the vertex set; the next
+    * peel restricts edges to the unassigned subgraph (sound:
+    * every path witnessing mutual reachability lies INSIDE the
+    * SCC, and peels always remove whole SCCs). Unassigned after
+    * [[g18Peels]] peels report -1 — the snapshot-at-R contract
+    * (g6/g9), with the spec asserting fixpoint on the fixture.
+    *
+    * Determinism: masks are exact BIGINTs under `bit_or` (order-
+    * free), pivot bits are rank-in-sorted-order, the least-bit
+    * rule is total. Rounds converge wherever R ≥ the SCC's
+    * diameter; labels only ever ADD bits, and the least pivot of
+    * each fixture SCC is its min member (asserted in spec), so the
+    * snapshot equals true SCCs on the fixture.
+    */
+  private[graft] def sccLabels(nodes: DataFrame, edges: DataFrame,
+      peels: Int = g18Peels, rounds: Int = g18Rounds,
+      pivots: Int = g18Pivots): DataFrame = {
+    val spark = nodes.sparkSession
+    import spark.implicits._
+    var lab = nodes.select($"id", lit(null).cast("long").as("scc"))
+      .localCheckpoint()
+    (1 to peels).foreach { _ =>
+      val un = lab.filter($"scc".isNull).select($"id")
+      // bounded driver-side pivot draw (≤ [[g18Pivots]] rows), the
+      // codebook idiom: pivot i is the i-th smallest unassigned id
+      val pv = un.orderBy($"id").limit(pivots).collect().map(_.getLong(0))
+      if (pv.nonEmpty) {
+        val pvDf = pv.zipWithIndex.toSeq
+          .map { case (p, i) => (p, i) }.toDF("pid", "bit")
+        val eU = edges
+          .join(un.withColumnRenamed("id", "src"), Seq("src"))
+          .join(un.withColumnRenamed("id", "dst"), Seq("dst"))
+          .select($"src", $"dst").localCheckpoint()
+        var m = un
+          .join(broadcast(pvDf), un("id") === pvDf("pid"), "left")
+          .selectExpr("id",
+            "CASE WHEN bit IS NOT NULL THEN shiftleft(CAST(1 AS BIGINT), bit) " +
+              "ELSE CAST(0 AS BIGINT) END AS fm")
+          .withColumn("bm", $"fm").localCheckpoint()
+        (1 to rounds).foreach { _ =>
+          val f = eU
+            .join(m.filter($"fm" =!= 0L).selectExpr("id AS src", "fm"), Seq("src"))
+            .groupBy($"dst").agg(expr("bit_or(fm)").as("nf"))
+          val b = eU
+            .join(m.filter($"bm" =!= 0L).selectExpr("id AS dst", "bm"), Seq("dst"))
+            .groupBy($"src").agg(expr("bit_or(bm)").as("nb"))
+          val next = m
+            .join(f.withColumnRenamed("dst", "id"), Seq("id"), "left")
+            .join(b.withColumnRenamed("src", "id"), Seq("id"), "left")
+            .selectExpr("id",
+              "fm | coalesce(nf, CAST(0 AS BIGINT)) AS fm",
+              "bm | coalesce(nb, CAST(0 AS BIGINT)) AS bm")
+            .localCheckpoint()
+          graft.functions.Lineage.freeCheckpoint(m)
+          m = next
+        }
+        val bv = pv.zipWithIndex
+          .map { case (p, i) => (1L << i, p) }.toSeq.toDF("bv", "pid")
+        val claimed = m.filter(expr("(fm & bm) <> 0"))
+          .withColumn("lb", expr("(fm & bm) & -(fm & bm)"))
+          .join(broadcast(bv), $"lb" === $"bv")
+          .select($"id", $"pid".as("newscc"))
+        val nl = lab.join(claimed, Seq("id"), "left")
+          .selectExpr("id", "coalesce(scc, newscc) AS scc")
+          .localCheckpoint()
+        graft.functions.Lineage.freeCheckpoint(lab)
+        graft.functions.Lineage.freeCheckpoint(m)
+        graft.functions.Lineage.freeCheckpoint(eU)
+        lab = nl
+      }
+    }
+    lab.selectExpr("id", "coalesce(scc, CAST(-1 AS BIGINT)) AS scc")
+  }
+
+  /** g18: DIRECTED SCC over a condensation-rich link graph — the
+    * directed structure audit a crawl pipeline runs next to
+    * PageRank/HITS (link farms, redirect cycles and crawl traps are
+    * exactly the large/anomalous SCCs; the web's bow-tie picture —
+    * Broder et al. 2000 — is drawn from this decomposition). g1's
+    * fixture graph is one giant SCC (union of two permutations), so
+    * g18 derives a richer one from the same customer keys: nodes
+    * split into 4 residue classes (id % 4), each class internally a
+    * union of two affine permutations on its own index space (j →
+    * 31j+7, 17j+3 mod |class| — strongly connected, measured
+    * diameter 7/11/15 at the three scales), plus sparse FORWARD
+    * cross-class edges (class c → c+1 at every 8th index) — so the
+    * true decomposition is 4 quarter-size SCCs whose condensation
+    * is the chain 0→1→2→3, and the expected labels are exactly
+    * {0,1,2,3} (each class's min id, always a peel-1 pivot).
+    *
+    * Output: (c_custkey, scc, scc_size) — label = min mutual pivot,
+    * size via one label-grain aggregate.
+    *
+    * Scale shape: state is (id, fm, bm) = 24 bytes/node/peel; each
+    * round is two edge⋈mask equality joins + two `bit_or` dst/src
+    * aggregates (map-side combined), lineage-cut per round (the
+    * g1/q27 iterative contract); the pivot draw is a bounded ≤32-row
+    * driver-side collect; claims attach through a broadcast 32-row
+    * bit table. 64 SCCs resolvable per 2-peel run REGARDLESS of
+    * graph size; edges co-partition by src across rounds.
+    */
+  def g18(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val nodes = Tables.customer(spark, dir).select($"c_custkey".as("id")).cache()
+    val n = nodes.count()
+    def cls(m: Long, a: Long) =
+      s"4 * (((id div 4) * $m + $a) % ((($n - 1 - id % 4) div 4) + 1)) + id % 4 AS dst"
+    val edges = nodes.selectExpr("id AS src", cls(31L, 7L))
+      .unionAll(nodes.selectExpr("id AS src", cls(17L, 3L)))
+      .unionAll(nodes
+        .filter(expr(s"(id div 4) % 8 = 0 AND id % 4 < 3 AND id + 1 < $n"))
+        .selectExpr("id AS src", "id + 1 AS dst"))
+      .cache()
+    val labs = sccLabels(nodes, edges)
+    labs.join(labs.groupBy($"scc").agg(count(lit(1)).as("scc_size")), Seq("scc"))
+      .select($"id".as("c_custkey"), $"scc", $"scc_size")
+      .transform(graft.Tables.ordered(_, $"c_custkey"))
+  }
+
+  /** g18 oracle: the same peel/round schedule unrolled — per peel a
+    * pivot CTE (rank-in-sorted-order bits), the unassigned-subgraph
+    * edge CTE, [[g18Rounds]] mask-propagation CTEs (two outer-join
+    * folds of `bit_or` aggregates), and the least-bit claim joined
+    * through the bit→pivot table.
+    */
+  val g18Sql: String = {
+    def peel(p: Int, unassigned: String): String = {
+      val rounds = (1 to g18Rounds).map { r =>
+        val prev = s"m${p}_${r - 1}"
+        s"""m${p}_$r AS MATERIALIZED (SELECT m.id,
+           |    m.fm | coalesce(f.nf, CAST(0 AS BIGINT)) AS fm,
+           |    m.bm | coalesce(b.nb, CAST(0 AS BIGINT)) AS bm
+           |  FROM $prev m
+           |  LEFT JOIN (SELECT e.dst AS id, bit_or(x.fm) AS nf
+           |             FROM e$p e JOIN $prev x ON x.id = e.src AND x.fm <> 0
+           |             GROUP BY e.dst) f ON f.id = m.id
+           |  LEFT JOIN (SELECT e.src AS id, bit_or(x.bm) AS nb
+           |             FROM e$p e JOIN $prev x ON x.id = e.dst AND x.bm <> 0
+           |             GROUP BY e.src) b ON b.id = m.id)""".stripMargin
+      }.mkString(",\n")
+      s"""u$p AS MATERIALIZED ($unassigned),
+         |p$p AS MATERIALIZED (SELECT id AS pid,
+         |        row_number() OVER (ORDER BY id) - 1 AS bit
+         |      FROM u$p ORDER BY id LIMIT $g18Pivots),
+         |e$p AS MATERIALIZED (SELECT e.src, e.dst FROM e
+         |      JOIN u$p a ON a.id = e.src JOIN u$p b ON b.id = e.dst),
+         |m${p}_0 AS MATERIALIZED (SELECT u.id,
+         |        coalesce((CAST(1 AS BIGINT) << p.bit), CAST(0 AS BIGINT)) AS fm,
+         |        coalesce((CAST(1 AS BIGINT) << p.bit), CAST(0 AS BIGINT)) AS bm
+         |      FROM u$p u LEFT JOIN p$p p ON p.pid = u.id),
+         |$rounds,
+         |l$p AS MATERIALIZED (SELECT m.id, v.pid AS scc
+         |      FROM m${p}_$g18Rounds m
+         |      JOIN (SELECT pid, (CAST(1 AS BIGINT) << bit) AS bv FROM p$p) v
+         |        ON v.bv = ((m.fm & m.bm) & -(m.fm & m.bm))
+         |      WHERE (m.fm & m.bm) <> 0)""".stripMargin
+    }
+    s"""WITH nn AS (SELECT count(*) AS n FROM customer),
+      |nodes AS (SELECT c_custkey AS id FROM customer),
+      |e AS MATERIALIZED (
+      |  SELECT id AS src,
+      |    4 * (((id // 4) * 31 + 7) % (((n - 1 - id % 4) // 4) + 1)) + id % 4 AS dst
+      |  FROM nodes, nn
+      |  UNION ALL SELECT id,
+      |    4 * (((id // 4) * 17 + 3) % (((n - 1 - id % 4) // 4) + 1)) + id % 4
+      |  FROM nodes, nn
+      |  UNION ALL SELECT id, id + 1 FROM nodes, nn
+      |  WHERE (id // 4) % 8 = 0 AND id % 4 < 3 AND id + 1 < n),
+      |${peel(1, "SELECT id FROM nodes")},
+      |${peel(2, "SELECT id FROM nodes WHERE id NOT IN (SELECT id FROM l1)")},
+      |lab AS (SELECT n.id,
+      |          coalesce(l1.scc, l2.scc, CAST(-1 AS BIGINT)) AS scc
+      |        FROM nodes n
+      |        LEFT JOIN l1 ON l1.id = n.id
+      |        LEFT JOIN l2 ON l2.id = n.id),
+      |sz AS (SELECT scc, CAST(count(*) AS BIGINT) AS scc_size FROM lab GROUP BY scc)
+      |SELECT lab.id AS c_custkey, lab.scc, sz.scc_size
+      |FROM lab JOIN sz ON sz.scc = lab.scc
+      |ORDER BY c_custkey""".stripMargin
+  }
 }

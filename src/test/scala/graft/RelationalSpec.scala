@@ -1581,6 +1581,105 @@ class RelationalSpec extends AnyFunSuite {
     assert(got.exists(_._3 == 0L) && got.exists(_._3 > 0L))
   }
 
+  test("g18: SCC labels equal a sequential Tarjan recompute on the fixture") {
+    val got = graft.operators.Graph.g18(spark, sf).collect()
+      .map(r => (r.getAs[Long]("c_custkey"), r.getAs[Long]("scc"),
+        r.getAs[Long]("scc_size"))).toSeq.sortBy(_._1)
+    val n = Tables.customer(spark, sf).count().toInt
+    val out = Array.fill(n)(List.empty[Int])
+    (0 until n).foreach { i =>
+      val c = i % 4; val j = i / 4; val m = (n - 1 - c) / 4 + 1
+      out(i) ::= 4 * ((j * 31 + 7) % m) + c
+      out(i) ::= 4 * ((j * 17 + 3) % m) + c
+      if (j % 8 == 0 && c < 3 && i + 1 < n) out(i) ::= i + 1
+    }
+    // iterative Tarjan
+    val idx = Array.fill(n)(-1); val low = new Array[Int](n)
+    val onStk = Array.fill(n)(false); val comp = Array.fill(n)(-1)
+    var counter = 0; var nComp = 0
+    val stk = scala.collection.mutable.ArrayBuffer.empty[Int]
+    (0 until n).foreach { s =>
+      if (idx(s) == -1) {
+        val work = scala.collection.mutable.ArrayBuffer((s, 0))
+        while (work.nonEmpty) {
+          val (v, pi) = work.last
+          if (pi == 0) {
+            idx(v) = counter; low(v) = counter; counter += 1
+            stk += v; onStk(v) = true
+          }
+          val succ = out(v)
+          var advanced = false
+          var i = pi
+          while (i < succ.length && !advanced) {
+            val w = succ(i)
+            if (idx(w) == -1) {
+              work(work.length - 1) = (v, i + 1); work += ((w, 0)); advanced = true
+            } else { if (onStk(w)) low(v) = math.min(low(v), idx(w)); i += 1 }
+          }
+          if (!advanced) {
+            if (low(v) == idx(v)) {
+              var w = -1
+              while (w != v) {
+                w = stk.remove(stk.length - 1); onStk(w) = false; comp(w) = nComp
+              }
+              nComp += 1
+            }
+            work.remove(work.length - 1)
+            if (work.nonEmpty) {
+              val (u, _) = work.last; low(u) = math.min(low(u), low(v))
+            }
+          }
+        }
+      }
+    }
+    val members = (0 until n).groupBy(comp)
+    val minOf = members.map { case (c, ms) => c -> ms.min.toLong }
+    val sizeOf = members.map { case (c, ms) => c -> ms.size.toLong }
+    val want = (0 until n)
+      .map(v => (v.toLong, minOf(comp(v)), sizeOf(comp(v)))).sortBy(_._1)
+    assert(got == want && got.nonEmpty)
+    // the fixture decomposes into exactly 4 quarter-size class SCCs
+    // (min members 0..3 — all peel-1 pivots, so labels are true mins)
+    assert(got.map(_._2).distinct.sorted == Seq(0L, 1L, 2L, 3L))
+    assert(got.forall(_._3 >= n / 4 - 1))
+    // snapshot converged: nothing left unassigned at the round budget
+    assert(!got.exists(_._2 == -1L))
+  }
+
+  test("g18: known cycle + DAG tail + isolated node label correctly") {
+    import spark.implicits._
+    // 1→2→3→10, cycle 10→11→12→10, isolated 99
+    val ids = Seq(1L, 2L, 3L, 10L, 11L, 12L, 99L)
+    val nodes = ids.toDF("id")
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 10L),
+      (10L, 11L), (11L, 12L), (12L, 10L)).toDF("src", "dst")
+    val got = graft.operators.Graph.sccLabels(nodes, edges, peels = 2,
+        rounds = 6, pivots = 32)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+    // chain nodes are singleton SCCs labeled themselves; the 3-cycle
+    // collapses to its min member; the isolated node is its own SCC
+    assert(got == Seq((1L, 1L), (2L, 2L), (3L, 3L),
+      (10L, 10L), (11L, 10L), (12L, 10L), (99L, 99L)))
+  }
+
+  test("g18: more SCCs than one peel's pivot budget — peel 2 claims the rest") {
+    import spark.implicits._
+    // 40 isolated nodes = 40 singleton SCCs > 32 pivots/peel
+    val nodes = (0L until 40L).toDF("id")
+    val edges = Seq.empty[(Long, Long)].toDF("src", "dst")
+    val got = graft.operators.Graph.sccLabels(nodes, edges, peels = 2,
+        rounds = 2, pivots = 32)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+    assert(got == (0L until 40L).map(i => (i, i)))
+    // and with ONE peel the tail stays unassigned (-1): the snapshot
+    // contract, proving peel 2 is what claimed it above
+    val one = graft.operators.Graph.sccLabels(nodes, edges, peels = 1,
+        rounds = 2, pivots = 32)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+    assert(one == ((0L until 32L).map(i => (i, i)) ++
+      (32L until 40L).map(i => (i, -1L))))
+  }
+
   test("g15: stress centrality equals a sequential Brandes recompute") {
     val got = graft.operators.Graph.g15(spark, sf).collect()
       .map(r => (r.getAs[Long]("c_custkey"), r.getAs[Long]("n_sources"),
