@@ -1953,14 +1953,19 @@ object Knn {
     * `keepAll` retains intermediate checkpoints instead of freeing
     * them (required when every state is still a consumer).
     */
-  private[graft] def v21Search(spark: SparkSession, dir: String,
-      keepAll: Boolean = false): (Seq[DataFrame], DataFrame) = {
+  /** The distributed BUILD of v21's serving index, shared verbatim
+    * by the batch search and the streaming door's index load:
+    * undirected degree-[[v21Degree]] kNN graph (HNSW's
+    * bidirectional-link rule), the node→coarse-cell assignment
+    * (broadcast centroid codebook, centroid-first arg order ==
+    * oracle), and each cell's [[v21Reps]] nearest-to-centroid
+    * entry representatives via the salted two-level rank (8 cells
+    * must not funnel the corpus through 8 window tasks). Honors
+    * the `graft.v21.*` tuning confs ([[graft.Probe]]).
+    */
+  private[graft] def v21Index(spark: SparkSession, e: DataFrame)
+      : (DataFrame, DataFrame, Array[(Long, Array[Double])]) = {
     import spark.implicits._
-    val e = vectors(spark, dir)
-    // traverse UNDIRECTED (kNN edges + their reverses, deduped) —
-    // HNSW's bidirectional-link rule: a node many others point at
-    // becomes reachable THROUGH them, where the directed kNN graph
-    // only lets it point outward
     val deg = spark.conf.getOption("graft.v21.degree").map(_.toInt)
       .getOrElse(v21Degree)
     val knn = knnGraphEdges(e.filter("vec_id >= 10"), deg)
@@ -1968,26 +1973,8 @@ object Knn {
     val graph = knn
       .unionByName(knn.select($"nbr_id".as("src_id"), $"src_id".as("nbr_id")))
       .distinct().cache()
-    // ≤ 10-query codebook broadcast (the bounded boundary all v-ops share)
-    val qsArr = codebook(e, "vec_id < 10")
-    val qCb = spark.sparkContext.broadcast(qsArr.toMap)
-    def score(nodes: DataFrame): DataFrame =
-      nodes.join(e.select($"vec_id".as("node"), $"nv"), Seq("node"))
-        .select($"qid", $"node", $"nv")
-        .as[(Long, Long, Array[Double])]
-        .mapPartitions { it =>
-          val qs = qCb.value
-          it.map { case (qid, node, nv) => (qid, node, cosQ(qs(qid), nv)) }
-        }.toDF("qid", "node", "score")
-    // IVF-seeded entry points: assign every graph node to its
-    // nearest coarse centroid (v3's deterministic codebook — the
-    // first 8 corpus vectors), keep each cluster's v21Reps members
-    // nearest the centroid as entry representatives, and seed each
-    // query at its v21Probes nearest clusters' representatives.
     val nCents = spark.conf.getOption("graft.v21.ncents").map(_.toInt)
       .getOrElse(v21Cents)
-    val nProbes = spark.conf.getOption("graft.v21.probes").map(_.toInt)
-      .getOrElse(v21Probes)
     val nReps = spark.conf.getOption("graft.v21.reps").map(_.toInt)
       .getOrElse(v21Reps)
     val cents = codebook(e, s"vec_id >= 10 AND vec_id < ${10 + nCents}")
@@ -2009,16 +1996,50 @@ object Knn {
           (node, bestCid, bestS)
         }
       }.toDF("node", "cid", "cs")
-    // per-cluster top-reps via the salted two-level rank: 8 clusters
-    // must not funnel the corpus through 8 window tasks
     val reps = graft.functions.TwoLevel.topK(nodeCent, Seq($"cid"),
         Seq($"cs".desc, $"node"), $"node", nReps)
       .select($"cid", $"node")
-    // per-query probes over the two bounded driver-side codebooks
+    (graph, reps, cents)
+  }
+
+  /** Per-query cell probe over the two bounded codebooks
+    * (query-first arg order == oracle). Pure — runs on the driver
+    * or inside the streaming door's executors alike. */
+  private[graft] def v21Probe(qv: Array[Double],
+      cents: Array[(Long, Array[Double])], nProbes: Int): Seq[Long] =
+    cents.map { case (cid, cv) => (cid, cosQ(qv, cv)) }
+      .sortBy { case (cid, s) => (-s, cid) }
+      .take(nProbes).map(_._1).toSeq
+
+  private[graft] def v21Search(spark: SparkSession, dir: String,
+      keepAll: Boolean = false): (Seq[DataFrame], DataFrame) = {
+    import spark.implicits._
+    val e = vectors(spark, dir)
+    // traverse UNDIRECTED (kNN edges + their reverses, deduped) —
+    // HNSW's bidirectional-link rule: a node many others point at
+    // becomes reachable THROUGH them, where the directed kNN graph
+    // only lets it point outward. IVF-seeded entry points: assign
+    // every graph node to its nearest coarse centroid (v3's
+    // deterministic codebook — the first 8 corpus vectors), keep
+    // each cluster's v21Reps members nearest the centroid as entry
+    // representatives, and seed each query at its v21Probes nearest
+    // clusters' representatives.
+    val (graph, reps, cents) = v21Index(spark, e)
+    // ≤ 10-query codebook broadcast (the bounded boundary all v-ops share)
+    val qsArr = codebook(e, "vec_id < 10")
+    val qCb = spark.sparkContext.broadcast(qsArr.toMap)
+    def score(nodes: DataFrame): DataFrame =
+      nodes.join(e.select($"vec_id".as("node"), $"nv"), Seq("node"))
+        .select($"qid", $"node", $"nv")
+        .as[(Long, Long, Array[Double])]
+        .mapPartitions { it =>
+          val qs = qCb.value
+          it.map { case (qid, node, nv) => (qid, node, cosQ(qs(qid), nv)) }
+        }.toDF("qid", "node", "score")
+    val nProbes = spark.conf.getOption("graft.v21.probes").map(_.toInt)
+      .getOrElse(v21Probes)
     val probes = qsArr.toSeq.flatMap { case (qid, qv) =>
-      cents.map { case (cid, cv) => (cid, cosQ(qv, cv)) }
-        .sortBy { case (cid, s) => (-s, cid) }
-        .take(nProbes).map { case (cid, _) => (qid, cid) }
+      v21Probe(qv, cents, nProbes).map(cid => (qid, cid))
     }.toDF("qid", "cid")
     val seeds = broadcast(probes).join(reps, Seq("cid"))
       .select($"qid", $"node")
@@ -2217,6 +2238,68 @@ object Knn {
       |  (n_hits * 1000) // n_top AS recall_permille
       |FROM ($un)
       |ORDER BY hop""".stripMargin
+  }
+
+  // ---------- v21 serving kernel (the streaming door's index) ----------
+
+  /** The COLLECTED form of [[v21Index]] — what an ANN serving fleet
+    * actually holds in memory: adjacency, node vectors, per-cell
+    * entry representatives and the centroid codebook, trained once
+    * in batch and broadcast to the query path (exactly how
+    * HNSW/FAISS serving deploys: the index lives on the servers,
+    * queries are stateless). `exact` carries the corpus vectors for
+    * the in_exact evaluation flag — at real scale that column is
+    * the offline-eval harness's job, here it keeps the streaming
+    * door bitwise-equal to batch v21.
+    */
+  private[graft] case class V21Served(adj: Map[Long, Array[Long]],
+      vecs: Map[Long, Array[Double]],
+      reps: Map[Long, Array[Long]],
+      cents: Array[(Long, Array[Double])])
+
+  private[graft] def v21Trained(spark: SparkSession, dir: String): V21Served = {
+    import spark.implicits._
+    val e = vectors(spark, dir)
+    val (graph, reps, cents) = v21Index(spark, e)
+    val adj = graph.as[(Long, Long)].collect().groupBy(_._1)
+      .map { case (s, ps) => s -> ps.map(_._2).sorted }
+    val vecs = e.filter("vec_id >= 10").select($"vec_id", $"nv")
+      .as[(Long, Array[Double])].collect().toMap
+    val repsM = reps.as[(Long, Long)].collect().groupBy(_._1)
+      .map { case (c, ps) => c -> ps.map(_._2).sorted }
+    V21Served(adj, vecs, repsM, cents)
+  }
+
+  /** One query served against the loaded index — the EXACT
+    * sequential equivalent of [[v21Search]]'s distributed hop loop
+    * (same IVF probe, same best-first `exp` discipline, same
+    * quantized scores and (score DESC, node) tie-breaks), so the
+    * streaming door's rows are bitwise-equal to batch v21's.
+    * Work per query: O(probes·reps + hops·beam·degree) score
+    * evaluations — corpus-size-independent (the in_exact ground
+    * truth is the one evaluation-only exception, documented above).
+    */
+  private[graft] def v21ServeOne(qid: Long, qv: Array[Double],
+      ix: V21Served, hops: Int = v21Hops, nProbes: Int = v21Probes)
+      : Seq[(Long, Int, Long, Double, Long)] = {
+    val seeds = v21Probe(qv, ix.cents, nProbes)
+      .flatMap(cid => ix.reps.getOrElse(cid, Array.empty[Long]))
+    var visited = seeds.map(n => n -> cosQ(qv, ix.vecs(n))).toMap
+    var expanded = Set.empty[Long]
+    (1 to hops).foreach { _ =>
+      val frontier = visited.filterNot(kv => expanded(kv._1)).toSeq
+        .sortBy { case (n, s) => (-s, n) }.take(v21Beam).map(_._1)
+      expanded ++= frontier
+      val cands = frontier.flatMap(n => ix.adj.getOrElse(n, Array.empty[Long]))
+        .distinct.filterNot(visited.contains)
+      visited ++= cands.map(n => n -> cosQ(qv, ix.vecs(n)))
+    }
+    val brute = ix.vecs.toSeq.map { case (cid, cv) => (cid, cosQ(qv, cv)) }
+      .sortBy { case (cid, c) => (-c, cid) }.take(knnK).map(_._1).toSet
+    visited.toSeq.sortBy { case (n, s) => (-s, n) }.take(knnK).zipWithIndex
+      .map { case ((n, s), i) =>
+        (qid, i + 1, n, s, if (brute(n)) 1L else 0L)
+      }
   }
 
   // ---------- v24: embedding OOD gate ----------

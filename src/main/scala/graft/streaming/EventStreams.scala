@@ -1083,6 +1083,56 @@ object EventStreams {
   /** s34 oracle: v24's, verbatim — the twin contract. */
   val s34Sql: String = graft.operators.Knn.v24Sql
 
+  /** s35: STREAMING GRAPH-ANN DOOR — v21's beam search at the
+    * query-ingest boundary, the v24/s34 train-offline/serve-online
+    * pattern applied to the serving index itself: the degree-16
+    * kNN graph, node vectors, IVF entry representatives and the
+    * centroid codebook are trained in batch
+    * ([[graft.operators.Knn.v21Trained]] — the same distributed
+    * build v21 runs, collected the way an ANN serving fleet loads
+    * its index) and BROADCAST to the stream; each arriving query
+    * vector is served by a stateless per-row best-first search
+    * ([[graft.operators.Knn.v21ServeOne]] — same probe, same `exp`
+    * discipline, same quantized scores and tie-breaks), emitting
+    * v21's exact rows. ZERO streaming state (the s17/s31/s34
+    * stateless-door class): per-query work is O(probes·reps +
+    * hops·beam·degree) score evaluations against the loaded index,
+    * whatever the arrival rate. Oracle IS v21Sql (twin contract);
+    * the spec feeds queries across multiple MemoryStream batches
+    * and pins bitwise equality with batch v21.
+    */
+  def s35(spark: SparkSession, dir: String): DataFrame = {
+    val ss = streamSession(spark)
+    graft.Tables.tsConfs(ss)
+    import ss.implicits._
+    val ix = ss.sparkContext.broadcast(graft.operators.Knn.v21Trained(ss, dir))
+    val schema = ss.read.parquet(s"$dir/embeddings.parquet").schema
+    val src = graft.operators.Knn.normalized(
+        ss.readStream.schema(schema)
+          .option("pathGlobFilter", "embeddings.parquet").parquet(dir))
+      .filter(col("vec_id") < 10)
+      .select(col("vec_id"), col("nv")).as[(Long, Array[Double])]
+    runToTable(ss, graphAnnDoor(src, ix), OutputMode.Append())
+      .transform(graft.Tables.ordered(_, col("qid"), col("rnk")))
+  }
+
+  /** The door's serving stage over any normalized (qid, nv) query
+    * feed — factored so the MemoryStream spec drives the identical
+    * code across batches. Stateless: one flatMap row → ≤k rows.
+    */
+  private[graft] def graphAnnDoor(src: Dataset[(Long, Array[Double])],
+      ix: org.apache.spark.broadcast.Broadcast[graft.operators.Knn.V21Served])
+      : DataFrame = {
+    val ss = src.sparkSession
+    import ss.implicits._
+    src.mapPartitions(_.flatMap { case (qid, qv) =>
+      graft.operators.Knn.v21ServeOne(qid, qv, ix.value)
+    }).toDF("qid", "rnk", "vec_id", "cos_sim", "in_exact")
+  }
+
+  /** s35 oracle: v21's, verbatim — the twin contract. */
+  val s35Sql: String = graft.operators.Knn.v21Sql
+
   /** s26 oracle: batch recompute of the first-20-gaps decision. */
   val s26Sql: String =
     s"""WITH ev AS (SELECT user_id, event_id,

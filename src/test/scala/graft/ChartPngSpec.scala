@@ -244,6 +244,58 @@ class ChartPngSpec extends AnyFunSuite {
     assert(!Media.wavMeta(7L, badMagic).wave_ok)
   }
 
+  test("m17: MP4 box walk recovers the built tree; every structural gate bites") {
+    import graft.operators.Media
+    val s = "MP4the quick brown fox jumps over the lazy dog pad".padTo(64, ' ')
+    val n = 11
+    val mp4 = Media.buildMp4(s, n)
+    val m = Media.mp4Meta(3L, mp4)
+    val sizes = (0 until n).map(f => 100L + (s.charAt(f).toInt & 63))
+    assert(m.major_brand == "isom" && m.brands_ok)
+    assert(m.timescale == 1000 && m.duration == 40L * n)
+    assert(m.width == 8 && m.height == 8)
+    assert(m.n_samples == n.toLong && m.sample_bytes == sizes.sum)
+    assert(m.mdat_bytes == sizes.sum && m.stsz_matches_mdat)
+    assert(m.sizes_ok && m.moov_before_mdat)
+    // corrupt a nested box size → exact size closure bites
+    // (moov starts at 24; its first child mvhd's size is at 24+8)
+    val badSize = mp4.clone(); badSize(24 + 8 + 3) = (badSize(24 + 8 + 3) ^ 0x01).toByte
+    assert(!Media.mp4Meta(3L, badSize).sizes_ok)
+    // corrupt one stsz entry → declared-vs-mdat accounting bites
+    val stszData = {
+      // ftyp 24, moov hdr 8, mvhd 108, trak hdr 8, tkhd 92,
+      // mdia hdr 8, mdhd 32, minf hdr 8, stbl hdr 8, stsz hdr+vf+fs+cnt 20
+      24 + 8 + 108 + 8 + 92 + 8 + 32 + 8 + 8 + 20
+    }
+    val badStsz = mp4.clone(); badStsz(stszData + 3) = (badStsz(stszData + 3) ^ 0x02).toByte
+    val bm = Media.mp4Meta(3L, badStsz)
+    assert(!bm.stsz_matches_mdat && bm.sizes_ok, "stsz gate must bite alone")
+    // truncation → the top-level walk no longer closes
+    assert(!Media.mp4Meta(3L, mp4.dropRight(3)).sizes_ok)
+    // mdat before moov → the ordering gate bites (swap the two spans)
+    val moovStart = 24
+    val moovLen = 8 + 108 + 8 + 92 + 8 + 32 + 8 + 8 + 20 + 4 * n
+    val moovSpan = mp4.slice(moovStart, moovStart + moovLen)
+    val mdatSpan = mp4.drop(moovStart + moovLen)
+    val swapped = mp4.take(24) ++ mdatSpan ++ moovSpan
+    val sm = Media.mp4Meta(3L, swapped)
+    assert(!sm.moov_before_mdat && sm.sizes_ok && sm.stsz_matches_mdat)
+    // hand-built spec cases: 64-bit largesize and size-0 (to end)
+    def be32(v: Long): Array[Byte] =
+      Array(((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+        ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    val free = be32(16) ++ "free".getBytes ++ be32(0) ++ be32(0)
+    // largesize mdat: size field 1, 64-bit size 16+5, 5 payload bytes
+    val largeMdat = be32(1) ++ "mdat".getBytes ++ be32(0) ++ be32(21) ++
+      Array[Byte](1, 2, 3, 4, 5)
+    val lm = Media.mp4Meta(4L, free ++ largeMdat)
+    assert(lm.sizes_ok && lm.mdat_bytes == 5L)
+    // size-0 mdat: extends to end of file
+    val zeroMdat = be32(0) ++ "mdat".getBytes ++ Array[Byte](9, 9, 9, 9, 9, 9, 9)
+    val zm = Media.mp4Meta(5L, free ++ zeroMdat)
+    assert(zm.sizes_ok && zm.mdat_bytes == 7L)
+  }
+
   test("m16: JPEG marker walk recovers real structure; truncation and dim edits bite") {
     import graft.operators.Media
     val jb = Media.encodeJpeg8x8(

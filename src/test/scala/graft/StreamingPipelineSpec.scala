@@ -1088,6 +1088,50 @@ class StreamingPipelineSpec extends AnyFunSuite {
     assert(streamed.exists(_._4 == 1L) && streamed.exists(_._4 == 0L))
   }
 
+  test("s35 stateless graph-ANN door equals batch v21 row for row") {
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Int]("rnk"),
+        r.getAs[Long]("vec_id"), r.getAs[Double]("cos_sim"),
+        r.getAs[Long]("in_exact"))).toSeq
+    val streamed = rows(graft.streaming.EventStreams.s35(spark, sf))
+    val batch = rows(graft.operators.Knn.v21(spark, sf))
+    assert(streamed == batch && streamed.nonEmpty)
+    assert(streamed.exists(_._5 == 1L), "ground-truth hits must exist")
+  }
+
+  test("s35 door is batch-split invariant: queries across MemoryStream batches") {
+    import spark.implicits._
+    val ix = spark.sparkContext.broadcast(
+      graft.operators.Knn.v21Trained(spark, sf))
+    // raw (un-normalized) query vectors, as they'd arrive on the wire
+    val raw = graft.Tables.embeddings(spark, sf)
+      .filter(col("vec_id") < 10)
+      .selectExpr("vec_id", "transform(embedding, x -> CAST(x AS DOUBLE)) AS v")
+      .as[(Long, Seq[Double])].collect().sortBy(_._1)
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Seq[Double])]
+    val src = graft.operators.Knn.normalized(
+        mem.toDF().toDF("vec_id", "embedding"))
+      .select(col("vec_id"), col("nv")).as[(Long, Array[Double])]
+    val out = graft.streaming.EventStreams.graphAnnDoor(src, ix)
+    val q = out.writeStream.format("memory").queryName("s35_mem")
+      .outputMode("append").start()
+    try {
+      mem.addData(raw.take(4).toSeq); q.processAllAvailable()
+      mem.addData(raw.slice(4, 7).toSeq); q.processAllAvailable()
+      mem.addData(raw.drop(7).toSeq); q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("s35_mem").collect()
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Int]("rnk"),
+        r.getAs[Long]("vec_id"), r.getAs[Double]("cos_sim"),
+        r.getAs[Long]("in_exact"))).toSeq.sorted
+    val batch = graft.operators.Knn.v21(spark, sf).collect()
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Int]("rnk"),
+        r.getAs[Long]("vec_id"), r.getAs[Double]("cos_sim"),
+        r.getAs[Long]("in_exact"))).toSeq.sorted
+    assert(got == batch && got.nonEmpty)
+  }
+
   test("s31 stateless code door equals batch t32 row for row") {
     def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
       .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_sym"),
