@@ -1527,7 +1527,44 @@ object Graph {
     * costs |pivots| BFS sweeps — the published scalable estimator,
     * not the all-pairs quadratic.
     */
-  def g15(spark: SparkSession, dir: String): DataFrame = {
+  def g15(spark: SparkSession, dir: String): DataFrame =
+    stressByPivots(spark, dir, g15Pivots)
+
+  /** g19: g15's estimator under a HASH-RANKED pivot draw — the
+    * bottom-[[g15Pivots]].size node ids by 60-bit md5 rank
+    * (Sampling's t22 idiom), so the sampled pivots are
+    * position-UNCORRELATED with the graph's id structure (the
+    * lowest-id draw sits inside the id-arithmetic edge formulas;
+    * Brandes & Pich 2007's estimator assumes a uniform draw — this
+    * IS one, made reproducible). Same two-pass integer recursion,
+    * same oracle construction with the pivot CTE swapped from
+    * ORDER BY id to ORDER BY hash rank.
+    *
+    * Measured draw-stability (the reason this variant exists): at
+    * the bounded 8-hop radius the two draws' estimates correlate
+    * POSITIVELY but weakly (Spearman ρ ≈ 0.33 over the 1499 nodes
+    * both cover at sf0.01) and their top-10 sets are DISJOINT —
+    * truncated-radius stress concentrates σ·P mass near the
+    * pivots, so the top ranks are pivot-local. That is a property
+    * of the radius truncation (Brandes & Pich's convergence
+    * guarantee is for untruncated sweeps; sweeping more pivots at
+    * the same radius does not fix it — measured 0/10 overlap even
+    * at 32 pivots), made VISIBLE by running both draws. The spec
+    * pins the positive correlation and the sequential mirror; a
+    * production ranking should union several draws or extend the
+    * radius before trusting top-k stress.
+    */
+  def g19(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val pivots = Tables.customer(spark, dir)
+      .selectExpr("c_custkey AS id", s"${Sampling.hv("c_custkey")} AS hvr")
+      .orderBy($"hvr", $"id").limit(g15Pivots.size)
+      .collect().map(_.getLong(0)).toSeq
+    stressByPivots(spark, dir, pivots)
+  }
+
+  private def stressByPivots(spark: SparkSession, dir: String,
+      pivotIds: Seq[Long]): DataFrame = {
     import spark.implicits._
     val nodes = Tables.customer(spark, dir).select($"c_custkey".as("id")).cache()
     val n = nodes.count()
@@ -1536,7 +1573,7 @@ object Graph {
       .unionAll(nodes.filter($"id" >= 2).selectExpr("id AS src", "id div 2 AS dst"))
       .cache()
     // forward: level-synchronous BFS with exact path counts
-    var reached = g15Pivots.map(p => (p, p, 0L, 1L))
+    var reached = pivotIds.map(p => (p, p, 0L, 1L))
       .toDF("pivot", "id", "d", "sigma").localCheckpoint()
     var frontier = reached
     (1 to g15Rounds).foreach { r =>
@@ -1586,6 +1623,25 @@ object Graph {
     */
   val g15Sql: String = {
     val pv = g15Pivots.mkString(", ")
+    g15SqlFor(
+      s"""f0 AS MATERIALIZED (SELECT CAST(unnest([$pv]) AS BIGINT) AS pv,
+         |        CAST(unnest([$pv]) AS BIGINT) AS id,
+         |        CAST(0 AS BIGINT) AS d, CAST(1 AS BIGINT) AS sigma)""".stripMargin)
+  }
+
+  /** g19 oracle: g15's generated two-pass chain with the pivot CTE
+    * swapped to the bottom-k-by-md5-rank draw (t22's DuckDB hash
+    * spelling).
+    */
+  val g19Sql: String =
+    g15SqlFor(
+      s"""hp AS (SELECT id FROM (
+         |        SELECT id, ${Sampling.duckHv("id")} AS hvr FROM nodes)
+         |      ORDER BY hvr, id LIMIT ${g15Pivots.size}),
+         |f0 AS MATERIALIZED (SELECT id AS pv, id,
+         |        CAST(0 AS BIGINT) AS d, CAST(1 AS BIGINT) AS sigma FROM hp)""".stripMargin)
+
+  private def g15SqlFor(f0Cte: String): String = {
     val fwd = (1 to g15Rounds).map { i =>
       val p = i - 1
       s"""c$i AS MATERIALIZED (SELECT f.pv, e.dst AS id, CAST(sum(f.sigma) AS BIGINT) AS sigma
@@ -1612,9 +1668,7 @@ object Graph {
       |e AS MATERIALIZED (SELECT id AS src, (id * 31 + 7) % nn.n AS dst FROM nodes, nn
       |      UNION ALL SELECT id, (id * 17 + 3) % nn.n FROM nodes, nn
       |      UNION ALL SELECT id, id // 2 FROM nodes WHERE id >= 2),
-      |f0 AS MATERIALIZED (SELECT CAST(unnest([$pv]) AS BIGINT) AS pv,
-      |        CAST(unnest([$pv]) AS BIGINT) AS id,
-      |        CAST(0 AS BIGINT) AS d, CAST(1 AS BIGINT) AS sigma),
+      |$f0Cte,
       |r0 AS (SELECT * FROM f0),
       |$fwd,
       |p$g15Rounds AS MATERIALIZED (SELECT pv, id, CAST(0 AS BIGINT) AS p
@@ -1750,7 +1804,12 @@ object Graph {
     * bit table. 64 SCCs resolvable per 2-peel run REGARDLESS of
     * graph size; edges co-partition by src across rounds.
     */
-  def g18(spark: SparkSession, dir: String): DataFrame = {
+  /** The condensation-rich directed fixture g18 and g20 share: 4
+    * residue-class SCCs chained 0→1→2→3 by sparse forward cross
+    * edges (see [[g18]]).
+    */
+  private def g18Fixture(spark: SparkSession, dir: String)
+      : (DataFrame, DataFrame) = {
     import spark.implicits._
     val nodes = Tables.customer(spark, dir).select($"c_custkey".as("id")).cache()
     val n = nodes.count()
@@ -1762,6 +1821,26 @@ object Graph {
         .filter(expr(s"(id div 4) % 8 = 0 AND id % 4 < 3 AND id + 1 < $n"))
         .selectExpr("id AS src", "id + 1 AS dst"))
       .cache()
+    (nodes, edges)
+  }
+
+  /** The shared edge CTE of the g18/g20 oracles. */
+  private val g18FixtureCte: String =
+    """nn AS (SELECT count(*) AS n FROM customer),
+      |nodes AS (SELECT c_custkey AS id FROM customer),
+      |e AS MATERIALIZED (
+      |  SELECT id AS src,
+      |    4 * (((id // 4) * 31 + 7) % (((n - 1 - id % 4) // 4) + 1)) + id % 4 AS dst
+      |  FROM nodes, nn
+      |  UNION ALL SELECT id,
+      |    4 * (((id // 4) * 17 + 3) % (((n - 1 - id % 4) // 4) + 1)) + id % 4
+      |  FROM nodes, nn
+      |  UNION ALL SELECT id, id + 1 FROM nodes, nn
+      |  WHERE (id // 4) % 8 = 0 AND id % 4 < 3 AND id + 1 < n)""".stripMargin
+
+  def g18(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val (nodes, edges) = g18Fixture(spark, dir)
     val labs = sccLabels(nodes, edges)
     labs.join(labs.groupBy($"scc").agg(count(lit(1)).as("scc_size")), Seq("scc"))
       .select($"id".as("c_custkey"), $"scc", $"scc_size")
@@ -1806,17 +1885,7 @@ object Graph {
          |        ON v.bv = ((m.fm & m.bm) & -(m.fm & m.bm))
          |      WHERE (m.fm & m.bm) <> 0)""".stripMargin
     }
-    s"""WITH nn AS (SELECT count(*) AS n FROM customer),
-      |nodes AS (SELECT c_custkey AS id FROM customer),
-      |e AS MATERIALIZED (
-      |  SELECT id AS src,
-      |    4 * (((id // 4) * 31 + 7) % (((n - 1 - id % 4) // 4) + 1)) + id % 4 AS dst
-      |  FROM nodes, nn
-      |  UNION ALL SELECT id,
-      |    4 * (((id // 4) * 17 + 3) % (((n - 1 - id % 4) // 4) + 1)) + id % 4
-      |  FROM nodes, nn
-      |  UNION ALL SELECT id, id + 1 FROM nodes, nn
-      |  WHERE (id // 4) % 8 = 0 AND id % 4 < 3 AND id + 1 < n),
+    s"""WITH $g18FixtureCte,
       |${peel(1, "SELECT id FROM nodes")},
       |${peel(2, "SELECT id FROM nodes WHERE id NOT IN (SELECT id FROM l1)")},
       |lab AS (SELECT n.id,
@@ -1827,6 +1896,118 @@ object Graph {
       |sz AS (SELECT scc, CAST(count(*) AS BIGINT) AS scc_size FROM lab GROUP BY scc)
       |SELECT lab.id AS c_custkey, lab.scc, sz.scc_size
       |FROM lab JOIN sz ON sz.scc = lab.scc
+      |ORDER BY c_custkey""".stripMargin
+  }
+
+  // ---------- g20: bow-tie decomposition relative to a seed's SCC ----------
+
+  private[graft] val g20Seed = 2L
+  private[graft] val g20Rounds = 20 // ≥ single-seed closure depth (measured ≤17)
+
+  /** Classify every node of a directed graph relative to the SCC of
+    * one seed: `scc` (mutually reachable with the seed), `in`
+    * (reaches it), `out` (reached from it), `other` (tendrils/
+    * disconnected) — the web BOW-TIE decomposition (Broder et al.
+    * 2000, "Graph structure in the Web") anchored at a designated
+    * trusted host, the picture a crawl planner draws before
+    * spending budget: IN feeds authority toward the core, OUT is
+    * reachable inventory, OTHER is unreachable without new seeds.
+    *
+    * The whole decomposition costs exactly TWO single-seed
+    * reachability closures ([[g20Rounds]] synchronous frontier
+    * rounds each way): core = fwd ∩ bwd, and — because the core is
+    * one SCC containing the seed — reachable-from-core equals
+    * reachable-from-seed, so OUT = fwd \ core and IN = bwd \ core
+    * with NO second multi-source sweep. All-boolean state; the
+    * snapshot-at-R contract (g9) wherever R < true eccentricity.
+    */
+  private[graft] def bowtieParts(nodes: DataFrame, edges: DataFrame,
+      seed: Long, rounds: Int = g20Rounds): DataFrame = {
+    val spark = nodes.sparkSession
+    import spark.implicits._
+    def closure(keyIn: String, keyOut: String): DataFrame = {
+      var reach = nodes.filter($"id" === seed).select($"id").localCheckpoint()
+      var frontier = reach
+      (1 to rounds).foreach { _ =>
+        val nf = edges
+          .join(frontier.withColumnRenamed("id", keyIn), Seq(keyIn))
+          .select(col(keyOut).as("id")).distinct()
+          .join(reach, Seq("id"), "left_anti")
+          .localCheckpoint()
+        val nr = reach.unionByName(nf).localCheckpoint()
+        graft.functions.Lineage.freeCheckpoint(reach)
+        if (frontier ne reach) graft.functions.Lineage.freeCheckpoint(frontier)
+        reach = nr
+        frontier = nf
+      }
+      reach
+    }
+    val fwd = closure("src", "dst").withColumn("f", lit(1))
+    val bwd = closure("dst", "src").withColumn("b", lit(1))
+    nodes.join(fwd, Seq("id"), "left").join(bwd, Seq("id"), "left")
+      .selectExpr("id",
+        """CASE WHEN f IS NOT NULL AND b IS NOT NULL THEN 'scc'
+          |     WHEN b IS NOT NULL THEN 'in'
+          |     WHEN f IS NOT NULL THEN 'out'
+          |     ELSE 'other' END AS part""".stripMargin)
+  }
+
+  /** g20: BOW-TIE DECOMPOSITION over the g18 fixture, seeded at
+    * node [[g20Seed]] (class 2 of the condensation chain 0→1→2→3):
+    * expected buckets are `scc` = class 2, `in` = classes 0 and 1,
+    * `out` = class 3, `other` empty — every bucket size an exact
+    * class size. Output (c_custkey, part, part_size).
+    *
+    * Scale shape: two single-seed boolean closures ([[g20Rounds]]
+    * frontier-only equality joins + anti-joins, lineage-cut per
+    * round — only NEW nodes ship each round) + one node-grain
+    * classification join + a 4-row size aggregate. State is one
+    * bit per reached node per direction; edges co-partition by
+    * src/dst across rounds.
+    */
+  def g20(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val (nodes, edges) = g18Fixture(spark, dir)
+    val parts = bowtieParts(nodes, edges, g20Seed)
+    parts.join(parts.groupBy($"part").agg(count(lit(1)).as("part_size")),
+        Seq("part"))
+      .select($"id".as("c_custkey"), $"part", $"part_size")
+      .transform(graft.Tables.ordered(_, $"c_custkey"))
+  }
+
+  /** g20 oracle: both closures unrolled as frontier/reach CTE pairs
+    * (NOT-EXISTS new-frontier cut, running union — g15's forward
+    * idiom without path counts), then the 4-way CASE and the
+    * part-size aggregate.
+    */
+  val g20Sql: String = {
+    def chain(tag: String, keyIn: String, keyOut: String): String = {
+      val rounds = (1 to g20Rounds).map { i =>
+        val p = i - 1
+        s"""${tag}f$i AS (SELECT DISTINCT e.$keyOut AS id
+           |        FROM e JOIN ${tag}f$p f ON f.id = e.$keyIn
+           |        WHERE NOT EXISTS (SELECT 1 FROM ${tag}r$p r WHERE r.id = e.$keyOut)),
+           |${tag}r$i AS MATERIALIZED (SELECT * FROM ${tag}r$p UNION ALL SELECT * FROM ${tag}f$i)""".stripMargin
+      }.mkString(",\n")
+      s"""${tag}f0 AS (SELECT CAST($g20Seed AS BIGINT) AS id),
+         |${tag}r0 AS (SELECT * FROM ${tag}f0),
+         |$rounds""".stripMargin
+    }
+    s"""WITH $g18FixtureCte,
+      |${chain("a", "src", "dst")},
+      |${chain("b", "dst", "src")},
+      |parts AS (SELECT n.id,
+      |    CASE WHEN f.id IS NOT NULL AND b.id IS NOT NULL THEN 'scc'
+      |         WHEN b.id IS NOT NULL THEN 'in'
+      |         WHEN f.id IS NOT NULL THEN 'out'
+      |         ELSE 'other' END AS part
+      |  FROM nodes n
+      |  LEFT JOIN ar$g20Rounds f ON f.id = n.id
+      |  LEFT JOIN br$g20Rounds b ON b.id = n.id),
+      |sz AS (SELECT part, CAST(count(*) AS BIGINT) AS part_size
+      |       FROM parts GROUP BY part)
+      |SELECT parts.id AS c_custkey, parts.part, sz.part_size
+      |FROM parts JOIN sz ON sz.part = parts.part
       |ORDER BY c_custkey""".stripMargin
   }
 }

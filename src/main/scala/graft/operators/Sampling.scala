@@ -29,10 +29,10 @@ object Sampling {
   /** The shared 60-bit md5-prefix rank (the [[graft.functions.Hll]]
     * hash idiom): uniform on [0, 2^60), identical in both engines.
     */
-  private def hv(expr: String) =
+  private[graft] def hv(expr: String) =
     s"CAST(conv(substring(md5(CAST(($expr) AS STRING)), 1, 15), 16, 10) AS BIGINT)"
 
-  private def duckHv(expr: String) =
+  private[graft] def duckHv(expr: String) =
     s"CAST(('0x' || substring(md5(CAST(($expr) AS VARCHAR)), 1, 15)) AS BIGINT)"
 
   private val t22K = 50

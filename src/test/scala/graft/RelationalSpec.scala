@@ -1727,6 +1727,125 @@ class RelationalSpec extends AnyFunSuite {
     assert(got.exists(_._3 > 100L))
   }
 
+  test("g19: hash-pivot stress equals the sequential mirror; draws correlate") {
+    val got = graft.operators.Graph.g19(spark, sf).collect()
+      .map(r => (r.getAs[Long]("c_custkey"), r.getAs[Long]("n_sources"),
+        r.getAs[Long]("stress"))).toSeq.sortBy(_._1)
+    val n = Tables.customer(spark, sf).count().toInt
+    // the hash draw mirrored: bottom-4 ids by 60-bit md5-prefix rank
+    def hv(i: Int): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(i.toString.getBytes("UTF-8"))
+        .map(b => f"${b & 0xff}%02x").mkString
+      java.lang.Long.parseLong(hex.take(15), 16)
+    }
+    val pivots = (0 until n).sortBy(i => (hv(i), i)).take(4)
+    assert(pivots != Seq(0, 1, 2, 3), "hash draw must differ from the id draw")
+    val adj = (0 until n).map { i =>
+      Seq((i * 31 + 7) % n, (i * 17 + 3) % n) ++ (if (i >= 2) Seq(i / 2) else Seq.empty)
+    }
+    val rounds = 8
+    val acc = scala.collection.mutable.Map.empty[Long, (Long, Long)]
+    pivots.foreach { s =>
+      val d = Array.fill(n)(-1); val sg = Array.fill(n)(0L)
+      d(s) = 0; sg(s) = 1L
+      var frontier = Seq(s)
+      (1 to rounds).foreach { r =>
+        val next = scala.collection.mutable.LinkedHashMap.empty[Int, Long]
+        frontier.foreach(u => adj(u).foreach { v =>
+          if (d(v) == -1 || d(v) == r) next(v) = next.getOrElse(v, 0L) + sg(u)
+        })
+        next.keys.foreach(v => d(v) = r)
+        next.foreach { case (v, x) => sg(v) = x }
+        frontier = next.keys.toSeq
+      }
+      val p = Array.fill(n)(0L)
+      (rounds - 1 to 0 by -1).foreach { k =>
+        (0 until n).filter(d(_) == k).foreach { v =>
+          p(v) = adj(v).filter(w => d(w) == k + 1).map(w => 1L + p(w)).sum
+        }
+      }
+      (0 until n).filter(v => d(v) > 0).foreach { v =>
+        val (c, st) = acc.getOrElse(v.toLong, (0L, 0L))
+        acc(v.toLong) = (c + 1L, st + sg(v) * p(v))
+      }
+    }
+    val want = acc.toSeq.map { case (id, (c, st)) => (id, c, st) }.sortBy(_._1)
+    assert(got == want && got.nonEmpty)
+    // draw-stability, measured honestly: the id draw (g15) and the
+    // hash draw estimate with POSITIVE rank correlation, but the
+    // top-10 sets are pivot-local at the bounded radius (see the
+    // g19 Scaladoc) — both facts pinned so a regression in either
+    // direction is visible
+    val g15m = graft.operators.Graph.g15(spark, sf).collect()
+      .map(r => (r.getAs[Long]("c_custkey"), r.getAs[Long]("stress"))).toMap
+    val g19m = got.map(t => (t._1, t._3)).toMap
+    val common = g15m.keySet.intersect(g19m.keySet).toSeq
+    def rankOf(m: Map[Long, Long]) = common
+      .sortBy(v => (-m(v), v)).zipWithIndex.toMap
+    val (ra, rb) = (rankOf(g15m), rankOf(g19m))
+    val nn = common.size.toDouble
+    val rho = 1.0 - 6.0 * common.map(v => math.pow(ra(v) - rb(v), 2)).sum /
+      (nn * (nn * nn - 1.0))
+    assert(rho > 0.25, s"draws should correlate positively, rho=$rho")
+    val topA = common.sortBy(v => (-g15m(v), v)).take(10).toSet
+    val topB = common.sortBy(v => (-g19m(v), v)).take(10).toSet
+    assert(topA.intersect(topB).size < 5,
+      "top-10 agreement appeared - radius-truncation locality changed, update the Scaladoc")
+  }
+
+  test("g20: bow-tie buckets equal a sequential BFS recompute on the fixture") {
+    val got = graft.operators.Graph.g20(spark, sf).collect()
+      .map(r => (r.getAs[Long]("c_custkey"), r.getAs[String]("part"),
+        r.getAs[Long]("part_size"))).toSeq.sortBy(_._1)
+    val n = Tables.customer(spark, sf).count().toInt
+    val out = Array.fill(n)(List.empty[Int]); val rin = Array.fill(n)(List.empty[Int])
+    (0 until n).foreach { i =>
+      val c = i % 4; val j = i / 4; val m = (n - 1 - c) / 4 + 1
+      Seq(4 * ((j * 31 + 7) % m) + c, 4 * ((j * 17 + 3) % m) + c)
+        .foreach { d => out(i) ::= d; rin(d) ::= i }
+      if (j % 8 == 0 && c < 3 && i + 1 < n) { out(i) ::= i + 1; rin(i + 1) ::= i }
+    }
+    def reach(adj: Array[List[Int]], s: Int): Set[Int] = {
+      val seen = scala.collection.mutable.Set(s)
+      val q = scala.collection.mutable.Queue(s)
+      while (q.nonEmpty) {
+        val v = q.dequeue()
+        adj(v).foreach(w => if (!seen(w)) { seen += w; q += w })
+      }
+      seen.toSet
+    }
+    val f = reach(out, 2); val b = reach(rin, 2)
+    val parts = (0 until n).map { v =>
+      v.toLong -> (if (f(v) && b(v)) "scc" else if (b(v)) "in"
+        else if (f(v)) "out" else "other")
+    }.toMap
+    val sizes = parts.values.groupBy(identity).map { case (p, vs) => p -> vs.size.toLong }
+    val want = (0 until n).map(v => (v.toLong, parts(v.toLong), sizes(parts(v.toLong))))
+    assert(got == want && got.nonEmpty)
+    // the fixture's condensation chain 0→1→2→3 seeded at class 2:
+    // in = classes 0+1, scc = class 2, out = class 3
+    assert(got.forall { case (id, p, _) =>
+      p == (if (id % 4 == 2) "scc" else if (id % 4 < 2) "in" else "out")
+    })
+  }
+
+  test("g20: hand graph covers every bucket including tendrils") {
+    import spark.implicits._
+    // in-chain 1→10, core cycle 10→11→12→10, out-chain 12→20→21,
+    // tendril 1→30 (hangs off IN, never reaches the core),
+    // disconnected 99
+    val ids = Seq(1L, 10L, 11L, 12L, 20L, 21L, 30L, 99L)
+    val nodes = ids.toDF("id")
+    val edges = Seq((1L, 10L), (10L, 11L), (11L, 12L), (12L, 10L),
+      (12L, 20L), (20L, 21L), (1L, 30L)).toDF("src", "dst")
+    val got = graft.operators.Graph.bowtieParts(nodes, edges, seed = 10L,
+        rounds = 6)
+      .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1).toSeq
+    assert(got == Seq((1L, "in"), (10L, "scc"), (11L, "scc"), (12L, "scc"),
+      (20L, "out"), (21L, "out"), (30L, "other"), (99L, "other")))
+  }
+
   test("g11: assortativity sums equal a sequential recompute") {
     val r = graft.operators.Graph.g11(spark, sf).collect().head
     val n = Tables.customer(spark, sf).count()
