@@ -1255,4 +1255,126 @@ object EventWindows {
       |  (cents * 24 * 1000000) // tot_c AS value_index_micro
       |FROM h, t
       |ORDER BY hod""".stripMargin
+
+  // ---------- e21: gapped sequential-pattern support (GSP) ----------
+
+  private val e21FreqPermille = 500L
+  private val e21Prefix = 8L
+
+  /** e21: SEQUENTIAL PATTERN MINING with GAPS — the classic GSP /
+    * PrefixSpan support semantics (Agrawal & Srikant 1995; Pei et
+    * al. 2001): a user SUPPORTS pattern a→b (or a→b→c) iff their
+    * time-ordered event stream contains those types as a — not
+    * necessarily contiguous — subsequence, and a pattern's support
+    * is the NUMBER OF USERS supporting it. This is what e9's
+    * contiguous path counting cannot express ("signup eventually
+    * leads to purchase, whatever happens in between"), the journey
+    * question retention analysis actually asks.
+    *
+    * The subsequence test never materializes subsequences: by the
+    * leftmost-greedy argument, u supports (a,b) iff
+    * first_u(a) < last_u(b) in the per-user total order
+    * (ts, event_id), and supports (a,b,c) iff the earliest b
+    * AFTER first_u(a) still precedes last_u(c) — so the whole
+    * miner is order STATISTICS: one (user, type) min/max
+    * aggregate, one earliest-after min-join at (user, a, b) grain,
+    * and candidate-grain count-up. With alphabet A the per-user
+    * blowup is |A|² (25 here) — bounded by the type alphabet, not
+    * the stream. Mining runs over each user's FIRST [[e21Prefix]]
+    * events (the onboarding-prefix question retention teams
+    * actually mine; it also keeps support DISCRIMINATING — over
+    * the full ~67-event streams every candidate is supported by
+    * every user, measured 150/150 at 1000 permille, telling the
+    * analyst nothing). Output: every length-2/3 candidate with
+    * support, §8.39 support permille over the distinct-user
+    * total, and the ≥ [[e21FreqPermille]] frequent flag.
+    *
+    * Scale shape: one user-key shuffle for the order ranks (same
+    * exchange e7/e9 ride), then all state lives at (user, type) ≤
+    * |A| and (user, a, b) ≤ |A|² grains; the final aggregates land
+    * on the ≤ |A|³ candidate grain (metadata). At 10⁹ users
+    * everything between the scan and the 150-row answer is
+    * map-side-combinable.
+    */
+  def e21(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"tus", $"event_id")
+    val occ = Tables.events(spark, dir)
+      .select($"user_id", $"event_id", $"event_type".as("t"),
+        unix_micros($"ts").as("tus"))
+      .withColumn("ord", row_number().over(w).cast("long"))
+      .filter($"ord" <= e21Prefix)
+      .select($"user_id", $"t", $"ord")
+      .cache()
+    val ft = occ.groupBy($"user_id", $"t")
+      .agg(min($"ord").as("fo"), max($"ord").as("lo"))
+      .cache()
+    val nUsers = occ.select($"user_id").distinct().count()
+    // full candidate grid (bounded: |A|² + |A|³ rows) so unsupported
+    // patterns report support 0 instead of silently vanishing
+    val types = occ.select($"t").distinct()
+    val cand2 = broadcast(types.select($"t".as("p1")))
+      .crossJoin(broadcast(types.select($"t".as("p2"))))
+    val cand3 = cand2.crossJoin(broadcast(types.select($"t".as("p3"))))
+    val s2 = ft.select($"user_id", $"t".as("p1"), $"fo")
+      .join(ft.select($"user_id", $"t".as("p2"), $"lo"), Seq("user_id"))
+      .filter($"fo" < $"lo")
+      .groupBy($"p1", $"p2").agg(count(lit(1)).as("sup"))
+    val s2x = cand2.join(s2, Seq("p1", "p2"), "left_outer")
+      .selectExpr("CAST(2 AS BIGINT) AS plen", "p1", "p2", "'' AS p3",
+        "coalesce(sup, CAST(0 AS BIGINT)) AS support")
+    val m = ft.select($"user_id", $"t".as("p1"), $"fo")
+      .join(occ.select($"user_id", $"t".as("p2"), $"ord"), Seq("user_id"))
+      .filter($"ord" > $"fo")
+      .groupBy($"user_id", $"p1", $"p2").agg(min($"ord").as("mo"))
+    val s3 = m.join(ft.select($"user_id", $"t".as("p3"), $"lo"), Seq("user_id"))
+      .filter($"lo" > $"mo")
+      .groupBy($"p1", $"p2", $"p3").agg(count(lit(1)).as("sup"))
+    val s3x = cand3.join(s3, Seq("p1", "p2", "p3"), "left_outer")
+      .selectExpr("CAST(3 AS BIGINT) AS plen", "p1", "p2", "p3",
+        "coalesce(sup, CAST(0 AS BIGINT)) AS support")
+    s2x.unionByName(s3x)
+      .selectExpr("plen", "p1", "p2", "p3", "support",
+        s"(support * 1000) div $nUsers AS sup_permille",
+        s"CAST(CASE WHEN (support * 1000) div $nUsers >= $e21FreqPermille THEN 1 ELSE 0 END AS BIGINT) AS frequent")
+      .transform(graft.Tables.ordered(_, $"plen", $"p1", $"p2", $"p3"))
+  }
+
+  val e21Sql: String =
+    s"""WITH o AS MATERIALIZED (
+      |  SELECT user_id, t, ord FROM (
+      |    SELECT user_id, event_type AS t,
+      |      CAST(row_number() OVER (PARTITION BY user_id
+      |        ORDER BY epoch_us(ts), event_id) AS BIGINT) AS ord
+      |    FROM events) WHERE ord <= $e21Prefix),
+      |ft AS MATERIALIZED (SELECT user_id, t,
+      |        min(ord) AS fo, max(ord) AS lo FROM o GROUP BY 1, 2),
+      |nu AS (SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n FROM o),
+      |ty AS MATERIALIZED (SELECT DISTINCT t FROM o),
+      |s2 AS (SELECT a.t AS p1, b.t AS p2, CAST(count(*) AS BIGINT) AS sup
+      |      FROM ft a JOIN ft b ON b.user_id = a.user_id AND a.fo < b.lo
+      |      GROUP BY 1, 2),
+      |s2x AS (SELECT x.t AS p1, y.t AS p2,
+      |        coalesce(s2.sup, CAST(0 AS BIGINT)) AS support
+      |      FROM ty x CROSS JOIN ty y
+      |      LEFT JOIN s2 ON s2.p1 = x.t AND s2.p2 = y.t),
+      |m AS (SELECT a.user_id, a.t AS p1, o.t AS p2, min(o.ord) AS mo
+      |      FROM ft a JOIN o ON o.user_id = a.user_id AND o.ord > a.fo
+      |      GROUP BY 1, 2, 3),
+      |s3 AS (SELECT m.p1, m.p2, c.t AS p3, CAST(count(*) AS BIGINT) AS sup
+      |      FROM m JOIN ft c ON c.user_id = m.user_id AND c.lo > m.mo
+      |      GROUP BY 1, 2, 3),
+      |s3x AS (SELECT x.t AS p1, y.t AS p2, z.t AS p3,
+      |        coalesce(s3.sup, CAST(0 AS BIGINT)) AS support
+      |      FROM ty x CROSS JOIN ty y CROSS JOIN ty z
+      |      LEFT JOIN s3 ON s3.p1 = x.t AND s3.p2 = y.t AND s3.p3 = z.t),
+      |un AS (SELECT CAST(2 AS BIGINT) AS plen, p1, p2, '' AS p3, support FROM s2x
+      |      UNION ALL
+      |      SELECT CAST(3 AS BIGINT), p1, p2, p3, support FROM s3x)
+      |SELECT plen, p1, p2, p3, support,
+      |  (support * 1000) // nu.n AS sup_permille,
+      |  CAST(CASE WHEN (support * 1000) // nu.n >= $e21FreqPermille
+      |       THEN 1 ELSE 0 END AS BIGINT) AS frequent
+      |FROM un, nu
+      |ORDER BY plen, p1, p2, p3""".stripMargin
 }

@@ -377,6 +377,120 @@ object Layout {
       .transform(Tables.ordered(_, $"probe_key"))
   }
 
+  // ---------- p15: merge-on-read position deletes (deletion vectors) ----------
+
+  private val p15RewritePermille = 220L
+
+  /** p15: ROW-LEVEL DELETES, MERGE-ON-READ — the position-delete
+    * sidecar every modern table format runs (Iceberg v2 position
+    * deletes, Delta deletion vectors): data files are immutable, so
+    * a delete commit writes (file, row_position) tombstones instead
+    * of rewriting files, readers subtract them at scan time, and a
+    * maintenance job rewrites a file only once its dead fraction
+    * crosses a threshold. Mechanics exercised end-to-end: row
+    * positions are assigned at the FILE grain (row_number within
+    * file over the (orderkey, linenumber) clustering key — the
+    * Parquet row-group position, bounded by file size, which is why
+    * a per-file window is the legitimate grain here); two delete
+    * commits (quantity > 45; returnflag R with discount > 0.05)
+    * record OVERLAPPING position sets; the deletion vector is their
+    * position-distinct union keeping the FIRST commit id (min —
+    * the commit that actually killed the row); the read path
+    * subtracts by (file, pos) ANTI-JOIN — positions, NOT
+    * predicates, exactly what the format's reader does. Per file:
+    * row/tombstone/live accounting, dead fraction in permille
+    * (§8.39 non-negative integral division), the ≥
+    * [[p15RewritePermille]] rewrite decision, and a live-content
+    * attestation (Σ 7·orderkey + linenumber over surviving rows —
+    * exact BIGINT) proving the anti-join dropped exactly the
+    * tombstoned rows and nothing else.
+    *
+    * Scale shape: position assignment is per-file (bounded by file
+    * size — the row-group contract); the delete scans are plain
+    * filters; the vector build is one (file, pos) aggregate; the
+    * read-path subtraction is one anti-join on the same key the
+    * positions were assigned on (co-partitioned); the audit is one
+    * file-grain aggregate. At petabyte scale this is the
+    * read-amplification-vs-write-amplification dial every lakehouse
+    * table tunes.
+    */
+  def p15(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"file_id").orderBy($"l_orderkey", $"l_linenumber")
+    // (orderkey, linenumber) is NOT unique in the synthetic table, so
+    // position assignment under ties is engine-arbitrary — every
+    // consumer (delete scans, read path, audit) must therefore read
+    // ONE materialized assignment (localCheckpoint here, the CTE
+    // MATERIALIZED in the oracle — §8.38's multi-consumer trap), and
+    // every output column is position-INDEPENDENT (counts and sums
+    // over predicate-determined row sets), so cross-engine parity
+    // survives the tie-order difference.
+    val rows = Tables.lineitem(spark, dir)
+      .selectExpr("l_orderkey div 64 AS file_id", "l_orderkey",
+        "l_linenumber", "l_quantity", "l_returnflag", "l_discount")
+      .withColumn("pos", row_number().over(w).cast("long") - 1L)
+      .localCheckpoint()
+    val del1 = rows.filter($"l_quantity" > 45.0)
+      .select($"file_id", $"pos", lit(1L).as("commit"))
+    val del2 = rows.filter($"l_returnflag" === "R" && $"l_discount" > 0.05)
+      .select($"file_id", $"pos", lit(2L).as("commit"))
+    // the deletion vector: position-distinct, first deleting commit
+    val dv = del1.unionByName(del2)
+      .groupBy($"file_id", $"pos").agg(min($"commit").as("first_commit"))
+    val live = rows.join(dv.select($"file_id", $"pos"),
+      Seq("file_id", "pos"), "left_anti")
+    val stats = rows.groupBy($"file_id").agg(count(lit(1)).as("n_rows"))
+      .join(dv.groupBy($"file_id").agg(count(lit(1)).as("n_deleted")),
+        Seq("file_id"), "left_outer")
+      .join(live.groupBy($"file_id").agg(count(lit(1)).as("live_rows"),
+          sum($"l_orderkey" * 7L + $"l_linenumber").as("live_sum")),
+        Seq("file_id"), "left_outer")
+    stats.selectExpr("file_id", "n_rows",
+        "coalesce(n_deleted, CAST(0 AS BIGINT)) AS n_deleted",
+        "coalesce(live_rows, CAST(0 AS BIGINT)) AS live_rows",
+        "(coalesce(n_deleted, CAST(0 AS BIGINT)) * 1000) div n_rows AS del_permille",
+        s"CAST(CASE WHEN (coalesce(n_deleted, CAST(0 AS BIGINT)) * 1000) div n_rows >= $p15RewritePermille THEN 1 ELSE 0 END AS BIGINT) AS rewrite",
+        "coalesce(live_sum, CAST(0 AS BIGINT)) AS live_sum")
+      .transform(Tables.ordered(_, $"file_id"))
+  }
+
+  /** p15 oracle: the same per-file positions, the two delete scans,
+    * the min-commit distinct vector, the NOT-EXISTS position
+    * subtraction and the file-grain audit.
+    */
+  val p15Sql: String =
+    s"""WITH rows_ AS MATERIALIZED (
+      |  SELECT l_orderkey // 64 AS file_id, l_orderkey, l_linenumber,
+      |    l_quantity, l_returnflag, l_discount,
+      |    CAST(row_number() OVER (PARTITION BY l_orderkey // 64
+      |      ORDER BY l_orderkey, l_linenumber) AS BIGINT) - 1 AS pos
+      |  FROM lineitem),
+      |dv AS (SELECT file_id, pos, CAST(min(c) AS BIGINT) AS first_commit FROM (
+      |    SELECT file_id, pos, 1 AS c FROM rows_ WHERE l_quantity > 45.0
+      |    UNION ALL
+      |    SELECT file_id, pos, 2 FROM rows_
+      |    WHERE l_returnflag = 'R' AND l_discount > 0.05) GROUP BY 1, 2),
+      |live AS (SELECT r.* FROM rows_ r
+      |    WHERE NOT EXISTS (SELECT 1 FROM dv d
+      |      WHERE d.file_id = r.file_id AND d.pos = r.pos)),
+      |st AS (SELECT file_id, CAST(count(*) AS BIGINT) AS n_rows FROM rows_ GROUP BY 1),
+      |dd AS (SELECT file_id, CAST(count(*) AS BIGINT) AS n_deleted FROM dv GROUP BY 1),
+      |lv AS (SELECT file_id, CAST(count(*) AS BIGINT) AS live_rows,
+      |        CAST(sum(l_orderkey * 7 + l_linenumber) AS BIGINT) AS live_sum
+      |      FROM live GROUP BY 1)
+      |SELECT st.file_id, st.n_rows,
+      |  coalesce(dd.n_deleted, CAST(0 AS BIGINT)) AS n_deleted,
+      |  coalesce(lv.live_rows, CAST(0 AS BIGINT)) AS live_rows,
+      |  (coalesce(dd.n_deleted, CAST(0 AS BIGINT)) * 1000) // st.n_rows AS del_permille,
+      |  CAST(CASE WHEN (coalesce(dd.n_deleted, CAST(0 AS BIGINT)) * 1000) // st.n_rows >= $p15RewritePermille
+      |       THEN 1 ELSE 0 END AS BIGINT) AS rewrite,
+      |  coalesce(lv.live_sum, CAST(0 AS BIGINT)) AS live_sum
+      |FROM st
+      |LEFT JOIN dd ON dd.file_id = st.file_id
+      |LEFT JOIN lv ON lv.file_id = st.file_id
+      |ORDER BY st.file_id""".stripMargin
+
   /** p14 oracle: the same seeded-FNV positions (unsigned HUGEINT %
     * 4096 — power-of-two equivalence with the signed mask), lane
     * bit_or build, both-lanes probe test and containment count.

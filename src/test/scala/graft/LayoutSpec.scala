@@ -147,6 +147,40 @@ class LayoutSpec extends AnyFunSuite {
     assert(wk._3 < ins._3)
   }
 
+  test("p15: delete vectors subtract exactly the predicate rows; accounting closes") {
+    val got = Layout.p15(spark, sf).collect()
+      .map(r => (r.getAs[Long]("file_id"), r.getAs[Long]("n_rows"),
+        r.getAs[Long]("n_deleted"), r.getAs[Long]("live_rows"),
+        r.getAs[Long]("del_permille"), r.getAs[Long]("rewrite"),
+        r.getAs[Long]("live_sum"))).toSeq.sortBy(_._1)
+    // sequential mirror: the surviving set is predicate-determined,
+    // so the audit is computable with NO positions at all — the
+    // position machinery must agree with it exactly
+    val rows = Tables.lineitem(spark, sf)
+      .selectExpr("l_orderkey div 64 AS f", "l_orderkey", "l_linenumber",
+        "l_quantity", "l_returnflag", "l_discount")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3),
+        r.getString(4), r.getDouble(5)))
+    val want = rows.groupBy(_._1).toSeq.map { case (f, rs) =>
+      val dead = rs.filter(t => t._4 > 45.0 || (t._5 == "R" && t._6 > 0.05))
+      val live = rs.filterNot(t => t._4 > 45.0 || (t._5 == "R" && t._6 > 0.05))
+      val perm = dead.length.toLong * 1000L / rs.length
+      (f, rs.length.toLong, dead.length.toLong, live.length.toLong, perm,
+        if (perm >= 220L) 1L else 0L,
+        live.map(t => t._2 * 7L + t._3).sum)
+    }.sortBy(_._1)
+    assert(got == want && got.nonEmpty)
+    // accounting closes per file; both rewrite verdicts appear; the
+    // two commits genuinely overlap (dedup does real work)
+    got.foreach { t => assert(t._3 + t._4 == t._2) }
+    assert(got.exists(_._6 == 1L) && got.exists(_._6 == 0L))
+    val rawDeletes = rows.count(_._4 > 45.0) +
+      rows.count(t => t._5 == "R" && t._6 > 0.05)
+    assert(rawDeletes > got.map(_._3).sum,
+      "commits should overlap so the position-distinct union dedups")
+  }
+
   test("p14: blooms have zero false negatives and hold the k=2 FP budget") {
     val got = graft.operators.Layout.p14(spark, SharedSpark.sf).collect()
       .map(r => (r.getAs[Long]("probe_key"), r.getAs[Long]("present"),

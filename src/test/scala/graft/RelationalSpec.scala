@@ -2356,6 +2356,48 @@ class RelationalSpec extends AnyFunSuite {
     assert(got.map(_._2).sum == gaps.length.toLong)
   }
 
+  test("e21: GSP support equals a brute-force subsequence recompute") {
+    val got = EventWindows.e21(spark, sf).collect()
+      .map(r => (r.getAs[Long]("plen"), r.getAs[String]("p1"),
+        r.getAs[String]("p2"), r.getAs[String]("p3"),
+        r.getAs[Long]("support"), r.getAs[Long]("sup_permille"),
+        r.getAs[Long]("frequent"))).toSeq
+    // brute force: each user's first-8 prefix, literal subsequence test
+    val seqs = Tables.events(spark, sf)
+      .selectExpr("user_id", "event_id", "event_type", "unix_micros(ts) AS tus")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+      .groupBy(_._1)
+      .map { case (u, es) =>
+        u -> es.sortBy(e => (e._4, e._2)).map(_._3).take(8).toSeq
+      }
+    def supports(s: Seq[String], pat: Seq[String]): Boolean = {
+      var i = 0
+      s.foreach { t => if (i < pat.length && t == pat(i)) i += 1 }
+      i == pat.length
+    }
+    val types = seqs.values.flatten.toSeq.distinct.sorted
+    val nU = seqs.size.toLong
+    def row(pat: Seq[String]): (Long, String, String, String, Long, Long, Long) = {
+      val sup = seqs.values.count(supports(_, pat)).toLong
+      val perm = sup * 1000L / nU
+      (pat.length.toLong, pat.head, pat(1), if (pat.length == 3) pat(2) else "",
+        sup, perm, if (perm >= 500L) 1L else 0L)
+    }
+    val want = (for (a <- types; b <- types) yield row(Seq(a, b))) ++
+      (for (a <- types; b <- types; c <- types) yield row(Seq(a, b, c)))
+    assert(got == want.sortBy(t => (t._1, t._2, t._3, t._4)) && got.nonEmpty)
+    // the support spectrum discriminates (not the degenerate all-1000
+    // the full-stream formulation measured) and both verdicts appear
+    assert(got.map(_._6).distinct.size > 10)
+    assert(got.exists(_._7 == 1L) && got.exists(_._7 == 0L))
+    // monotonicity law: extending a pattern never gains support
+    val s2m = got.filter(_._1 == 2L).map(t => (t._2, t._3) -> t._5).toMap
+    got.filter(_._1 == 3L).foreach { t =>
+      assert(t._5 <= s2m((t._2, t._3)), s"support grew on extension: $t")
+    }
+  }
+
   test("e20: removal-effect attribution equals a sequential absorbing-chain recompute") {
     val got = EventWindows.e20(spark, sf).collect()
       .map(r => (r.getAs[String]("channel"), r.getAs[Long]("p_full_micro"),
