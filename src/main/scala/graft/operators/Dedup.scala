@@ -2053,8 +2053,8 @@ object Dedup {
 
   private val d23K = 16      // gram length (chars) — guarantee 19
   private val d23W = 4       // winnowing window (grams)
-  private val d23DfCap = 20  // fixed candidate-budget cut (d2's bucketCap argument)
-  private val d23Tau = 3L    // shared fingerprints to pair
+  private[graft] val d23DfCap = 20  // fixed candidate-budget cut (d2's bucketCap argument)
+  private[graft] val d23Tau = 3L    // shared fingerprints to pair
 
   /** d23: WINNOWING (Schleimer, Wilkerson & Aiken 2003, "Winnowing:
     * Local Algorithms for Document Fingerprinting" — the MOSS
@@ -2081,7 +2081,11 @@ object Dedup {
     * 8-byte fingerprint, never text, with the df cap bounding
     * every bucket. At 100 TB this is MOSS at corpus scale.
     */
-  def d23(spark: SparkSession, dir: String): DataFrame = {
+  /** d23's per-document capped fingerprint table (doc_id, fp) — the
+    * winnowing selection + df cap, shared verbatim by the batch
+    * pair join and the streaming door's trained index (s36).
+    */
+  private[graft] def d23Fps(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val w = org.apache.spark.sql.expressions.Window
     val byDoc = w.partitionBy($"doc_id")
@@ -2100,7 +2104,36 @@ object Dedup {
       .select($"doc_id", $"wmin".as("fp")).distinct()
     val ok = fps.groupBy($"fp").agg(count(lit(1)).as("df"))
       .filter($"df" <= d23DfCap).select($"fp")
-    val capped = fps.join(ok, Seq("fp"))
+    fps.join(ok, Seq("fp"))
+  }
+
+  /** Row-local winnowing of ONE document — the sequential equivalent
+    * of [[d23Fps]]'s window formulation (same FNV gram hashes, same
+    * full-window minima, same distinct), for the streaming door's
+    * stateless per-row fingerprint extraction. The df cap is NOT
+    * applied here — the door intersects with the trained (capped)
+    * index, which applies it.
+    */
+  private[graft] def winnowOne(text: String): Set[Long] = {
+    val n = text.length
+    if (n < d23K + d23W - 1) Set.empty
+    else {
+      val nPos = n - (d23K - 1)
+      val h = Array.tabulate(nPos) { i =>
+        graft.functions.Fnv64.hashBytes(
+          text.substring(i, i + d23K).getBytes("UTF-8"))
+      }
+      (0 until (nPos - (d23W - 1))).map { i =>
+        var m = h(i); var j = 1
+        while (j < d23W) { if (h(i + j) < m) m = h(i + j); j += 1 }
+        m
+      }.toSet
+    }
+  }
+
+  def d23(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val capped = d23Fps(spark, dir)
     capped.as("a").join(capped.as("b"),
         col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))

@@ -500,6 +500,85 @@ object Quality {
       |       THEN 1 ELSE 0 END AS BIGINT) AS out_of_control
       |FROM d, t
       |ORDER BY day""".stripMargin
+
+  // ---------- dq6: MAD robust outlier detection ----------
+
+  /** dq6: ROBUST OUTLIER DETECTION by Median Absolute Deviation —
+    * the x̃ ± k·MAD rule (Hampel 1974; Leys et al. 2013's "do not
+    * use mean ± k·σ" guidance): the mean/σ control chart (dq4's
+    * complement) is itself DRAGGED by the outliers it is meant to
+    * find, while the median and the MAD have a 50% breakdown
+    * point — the right monitor when whole days go bad. Metric:
+    * daily event volume, with a ×4 spike SEEDED on days ≡ 3
+    * (mod 11) (the corpus ships clean — dq1/dq2's seeded-anomaly
+    * fixture discipline; 3 of the 30 days spike). Everything is
+    * EXACT INTEGERS at doubled/quadrupled scale: the dual-middle
+    * median trick (q30) gives med×2 = low-mid + high-mid over the
+    * day histogram; deviations dev×2 = |2·m − med×2|; MAD×4 =
+    * dual-middle of the dev×2 values; the k = 3 flag is the exact
+    * integer comparison 2·dev×2 > 3·MAD×4 — no IEEE anywhere, no
+    * 1.4826 σ-consistency scaling (the flag is "3 MADs", stated as
+    * such).
+    *
+    * Scale shape: ONE map-side-combined day aggregate off the
+    * scan; everything after lives on the ≤31-row day/metadata
+    * grain (the dq4/e17 bounded-output class) — windows there are
+    * windows over metadata, not data.
+    */
+  def dq6(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = org.apache.spark.sql.expressions.Window
+    val days = Tables.events(spark, dir)
+      .selectExpr("unix_micros(ts) div 86400000000 AS day")
+      .groupBy($"day").agg(count(lit(1)).as("n_events"))
+      .selectExpr("day", "n_events",
+        "CASE WHEN day % 11 = 3 THEN n_events * 4 ELSE n_events END AS m")
+    val medOf = { (df: DataFrame, vcol: String) =>
+      df.groupBy(col(vcol)).agg(count(lit(1)).as("cnt"))
+        .withColumn("cum", sum($"cnt").over(w.orderBy(col(vcol))))
+        .withColumn("tot", sum($"cnt").over(w.partitionBy()))
+        .agg((min(when($"cum" * 2 >= $"tot" + 1, col(vcol))) +
+          min(when($"cum" * 2 >= $"tot" + 2, col(vcol)))).as("med2"))
+    }
+    val med2 = medOf(days, "m")
+    val devs = days.crossJoin(broadcast(med2))
+      .selectExpr("day", "n_events", "m", "med2", "abs(2 * m - med2) AS dev2")
+    val mad4 = medOf(devs, "dev2")
+      .selectExpr("med2 AS mad4")
+    devs.crossJoin(broadcast(mad4))
+      .selectExpr("day", "n_events", "m", "med2", "dev2", "mad4",
+        "CAST(CASE WHEN 2 * dev2 > 3 * mad4 THEN 1 ELSE 0 END AS BIGINT) AS is_outlier")
+      .transform(Tables.ordered(_, $"day"))
+  }
+
+  /** dq6 oracle: the same day aggregate, seeded spike, dual-middle
+    * med×2 / MAD×4 construction and exact k = 3 comparison.
+    */
+  val dq6Sql: String =
+    """WITH d AS (SELECT epoch_us(ts) // 86400000000 AS day,
+      |        CAST(count(*) AS BIGINT) AS n_events
+      |      FROM events GROUP BY 1),
+      |dm AS (SELECT day, n_events,
+      |        CASE WHEN day % 11 = 3 THEN n_events * 4 ELSE n_events END AS m
+      |      FROM d),
+      |h1 AS (SELECT m, count(*) AS cnt FROM dm GROUP BY 1),
+      |c1 AS (SELECT m, sum(cnt) OVER (ORDER BY m) AS cum,
+      |        sum(cnt) OVER () AS tot FROM h1),
+      |md AS (SELECT CAST(min(CASE WHEN cum * 2 >= tot + 1 THEN m END)
+      |          + min(CASE WHEN cum * 2 >= tot + 2 THEN m END) AS BIGINT) AS med2
+      |      FROM c1),
+      |dv AS (SELECT day, n_events, m, med2, abs(2 * m - med2) AS dev2
+      |      FROM dm, md),
+      |h2 AS (SELECT dev2, count(*) AS cnt FROM dv GROUP BY 1),
+      |c2 AS (SELECT dev2, sum(cnt) OVER (ORDER BY dev2) AS cum,
+      |        sum(cnt) OVER () AS tot FROM h2),
+      |mc AS (SELECT CAST(min(CASE WHEN cum * 2 >= tot + 1 THEN dev2 END)
+      |          + min(CASE WHEN cum * 2 >= tot + 2 THEN dev2 END) AS BIGINT) AS mad4
+      |      FROM c2)
+      |SELECT day, n_events, m, med2, dev2, mad4,
+      |  CAST(CASE WHEN 2 * dev2 > 3 * mad4 THEN 1 ELSE 0 END AS BIGINT) AS is_outlier
+      |FROM dv, mc
+      |ORDER BY day""".stripMargin
 }
 
 /** Distinct grid cells shared by w15's two sides. */

@@ -1133,6 +1133,74 @@ object EventStreams {
   /** s35 oracle: v21's, verbatim — the twin contract. */
   val s35Sql: String = graft.operators.Knn.v21Sql
 
+  /** s36: STREAMING WINNOWING DOOR — d23's MOSS fingerprint dedup at
+    * the document-ingest boundary (the train-offline/serve-online
+    * split on the FINGERPRINT grain): the stored corpus's capped
+    * fingerprint index ([[graft.operators.Dedup.d23Fps]] — the SAME
+    * winnowing selection + df cap the batch pair join uses,
+    * collected fp → sorted doc list) is broadcast; each arriving
+    * document is fingerprinted ROW-LOCALLY
+    * ([[graft.operators.Dedup.winnowOne]] — winnowing needs only
+    * the document's own text, so extraction is stateless) and
+    * matched against index entries with SMALLER doc ids ("does
+    * this new document plagiarize anything already ingested"), so
+    * across the whole stream every d23 pair surfaces exactly once
+    * and the oracle IS d23Sql (twin contract). The w+k−1 = 19-char
+    * detection GUARANTEE holds at the door: any long-enough
+    * overlap with an indexed document shares a fingerprint by
+    * construction, not in expectation. ZERO streaming state; per
+    * arriving row the work is one winnowing pass + bounded index
+    * probes (each fp's posting list is df-capped at
+    * [[graft.operators.Dedup.d23DfCap]]).
+    */
+  def s36(spark: SparkSession, dir: String): DataFrame = {
+    val ss = streamSession(spark)
+    graft.Tables.tsConfs(ss)
+    import ss.implicits._
+    val index: Map[Long, Array[Long]] = graft.operators.Dedup.d23Fps(ss, dir)
+      .as[(Long, Long)].collect()
+      .groupBy(_._1).map { case (fp, ps) => fp -> ps.map(_._2).sorted }
+    val bc = ss.sparkContext.broadcast(index)
+    val schema = ss.read.parquet(s"$dir/documents.parquet").schema
+    val src = ss.readStream.schema(schema)
+      .option("pathGlobFilter", "documents.parquet").parquet(dir)
+      .selectExpr("doc_id", "text").as[(Long, String)]
+    val pairs = winnowDoor(src, bc)
+    runToTable(ss, pairs, OutputMode.Append())
+      .transform(graft.Tables.ordered(_, col("id_a"), col("id_b")))
+  }
+
+  /** The door's matching stage over any (doc_id, text) feed —
+    * factored so the MemoryStream spec drives the identical code
+    * across batches. Stateless flatMap: fingerprint, probe the
+    * broadcast index, count shared fingerprints per smaller-id
+    * indexed doc, emit pairs at the d23 τ.
+    */
+  private[graft] def winnowDoor(src: Dataset[(Long, String)],
+      bc: org.apache.spark.broadcast.Broadcast[Map[Long, Array[Long]]])
+      : DataFrame = {
+    val ss = src.sparkSession
+    import ss.implicits._
+    src.mapPartitions { it =>
+      val ix = bc.value
+      it.flatMap { case (docId, text) =>
+        val counts = scala.collection.mutable.Map.empty[Long, Long]
+        graft.operators.Dedup.winnowOne(text).foreach { fp =>
+          ix.getOrElse(fp, Array.empty[Long]).foreach { b =>
+            if (b < docId) counts(b) = counts.getOrElse(b, 0L) + 1L
+          }
+        }
+        counts.toSeq
+          .filter(_._2 >= graft.operators.Dedup.d23Tau)
+          .sortBy(_._1)
+          .map { case (b, n) => (b, docId, n) }
+      }
+    }.toDF("id_a", "id_b", "n_shared")
+  }
+
+  /** s36 oracle: d23's, verbatim — the twin contract. */
+  val s36Sql: String = graft.operators.Dedup.d23Sql
+
   /** s26 oracle: batch recompute of the first-20-gaps decision. */
   val s26Sql: String =
     s"""WITH ev AS (SELECT user_id, event_id,

@@ -2273,6 +2273,37 @@ class RelationalSpec extends AnyFunSuite {
     assert(maxHead <= minTail)
   }
 
+  test("dq6: MAD outliers equal a sequential recompute; every seeded spike flags") {
+    val got = graft.operators.Quality.dq6(spark, sf).collect()
+      .map(r => (r.getAs[Long]("day"), r.getAs[Long]("n_events"),
+        r.getAs[Long]("m"), r.getAs[Long]("med2"), r.getAs[Long]("dev2"),
+        r.getAs[Long]("mad4"), r.getAs[Long]("is_outlier"))).toSeq
+    val counts = Tables.events(spark, sf)
+      .selectExpr("unix_micros(ts) div 86400000000 AS day").collect()
+      .map(_.getLong(0)).groupBy(identity).map { case (d, xs) => d -> xs.length.toLong }
+    def med2Of(xs: Seq[Long]): Long = {
+      val s = xs.sorted; val n = s.length
+      s((n + 1) / 2 - 1) + s((n + 2) / 2 - 1)
+    }
+    val ms = counts.toSeq.map { case (d, n) => (d, n, if (d % 11 == 3) n * 4 else n) }
+    val med2 = med2Of(ms.map(_._3))
+    val mad4 = med2Of(ms.map(t => math.abs(2 * t._3 - med2)))
+    val want = ms.map { case (d, n, m) =>
+      val dev2 = math.abs(2 * m - med2)
+      (d, n, m, med2, dev2, mad4, if (2 * dev2 > 3 * mad4) 1L else 0L)
+    }.sortBy(_._1)
+    assert(got == want && got.nonEmpty)
+    // detection: every seeded ×4 spike day flags (the 50% breakdown
+    // point — 3 of 30 spikes cannot drag the median toward them);
+    // precision stays bounded (at sf0.001's ~33-events/day noise a
+    // clean day can legitimately sit beyond 3 MADs, so the law is
+    // all-spikes-caught + few flags, not exact set equality)
+    val flagged = got.filter(_._7 == 1L).map(_._1).toSet
+    assert(got.map(_._1).filter(_ % 11 == 3).forall(flagged.contains))
+    assert(flagged.size <= got.length / 3)
+    assert(got.exists(_._7 == 0L))
+  }
+
   test("dq5: column entropies equal a sequential recompute and the closed forms") {
     val got = graft.operators.Quality.dq5(spark, sf).collect()
       .map(r => (r.getAs[String]("col_name"), r.getAs[Long]("n_rows"), r.getAs[Long]("ndv"),

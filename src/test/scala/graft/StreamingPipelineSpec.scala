@@ -1132,6 +1132,54 @@ class StreamingPipelineSpec extends AnyFunSuite {
     assert(got == batch && got.nonEmpty)
   }
 
+  test("s36 stateless winnowing door equals batch d23 row for row") {
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"),
+        r.getAs[Long]("n_shared"))).toSeq
+    val streamed = rows(graft.streaming.EventStreams.s36(spark, sf))
+    val batch = rows(graft.operators.Dedup.d23(spark, sf))
+    assert(streamed == batch && streamed.nonEmpty)
+  }
+
+  test("s36 door is batch-split invariant and the guarantee bites at the door") {
+    import spark.implicits._
+    val index = graft.operators.Dedup.d23Fps(spark, sf)
+      .as[(Long, Long)].collect()
+      .groupBy(_._1).map { case (fp, ps) => fp -> ps.map(_._2).sorted }
+    val bc = spark.sparkContext.broadcast(index)
+    val docs = graft.Tables.documents(spark, sf)
+      .selectExpr("doc_id", "text").as[(Long, String)]
+      .collect().sortBy(_._1)
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val out = graft.streaming.EventStreams.winnowDoor(
+      mem.toDF().toDF("doc_id", "text").as[(Long, String)], bc)
+    val q = out.writeStream.format("memory").queryName("s36_mem")
+      .outputMode("append").start()
+    try {
+      val third = docs.length / 3
+      mem.addData(docs.take(third).toSeq); q.processAllAvailable()
+      mem.addData(docs.slice(third, 2 * third).toSeq); q.processAllAvailable()
+      mem.addData(docs.drop(2 * third).toSeq); q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("s36_mem").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq.sorted
+    val batch = graft.operators.Dedup.d23(spark, sf).collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"),
+        r.getAs[Long]("n_shared"))).toSeq.sorted
+    assert(got == batch && got.nonEmpty)
+    // the w+k-1 guarantee at the door: a doc sharing a >=19-char run
+    // with an indexed doc MUST surface (append a doc that copies a
+    // 40-char span of doc 0 and check it pairs with it)
+    val src = docs.head
+    val span = src._2.take(40)
+    val probe = (999999L, span + " entirely novel tail text to pad this out")
+    val hits = graft.streaming.EventStreams.winnowDoor(
+      Seq(probe).toDS(), bc).collect()
+    assert(hits.exists(r => r.getAs[Long]("id_a") == src._1),
+      s"guaranteed detection missed: ${hits.mkString(",")}")
+  }
+
   test("s31 stateless code door equals batch t32 row for row") {
     def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
       .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_sym"),
