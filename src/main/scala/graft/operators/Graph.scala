@@ -1899,6 +1899,84 @@ object Graph {
       |ORDER BY c_custkey""".stripMargin
   }
 
+  // ---------- g21: directed triangle motifs (FFL vs cycle) ----------
+
+  /** g21: DIRECTED TRIANGLE MOTIF CENSUS — feed-forward loops
+    * (a→b, b→c, a→c) versus 3-cycles (a→b→c→a), the two directed
+    * triangle isomorphism classes of the network-motif literature
+    * (Milo et al. 2002, "Network Motifs: Simple Building Blocks of
+    * Complex Networks"): FFLs are the redundant-shortcut pattern
+    * (link hierarchies, navigation chrome), directed cycles the
+    * circular-endorsement pattern next to which link farms show up
+    * — the directed refinement of g3's undirected triangle count.
+    * Over g1's directed link graph (distinct edges, self-loops
+    * dropped): ordered 2-paths a→b→c on distinct nodes close as an
+    * FFL when a→c exists, as a cycle when c→a does; each 3-cycle
+    * appears once per rotation, so instances = ordered/3 — EXACT
+    * (spec-pinned divisibility); FFL instances are already
+    * distinct per ordered triple. Output per motif: instances,
+    * the shared open-path denominator, and the §8.39 closure
+    * rate in micro-units (how often an open 2-path closes each way — the
+    * motif-significance ratio profile).
+    *
+    * Scale shape: the path join is E ⋈ E on the middle node, then
+    * one closing-edge equality join per motif — with per-node
+    * degrees bounded (≤3 out / ≤4 in here) the path table is O(N);
+    * on unbounded graphs the g12 capped-adjacency discipline
+    * applies first. Counts are 1-row aggregates.
+    */
+  def g21(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val nodes = Tables.customer(spark, dir).select($"c_custkey".as("id")).cache()
+    val n = nodes.count()
+    val edges = nodes.selectExpr("id AS src", s"(id * 31 + 7) % $n AS dst")
+      .unionAll(nodes.selectExpr("id AS src", s"(id * 17 + 3) % $n AS dst"))
+      .unionAll(nodes.filter($"id" >= 2).selectExpr("id AS src", "id div 2 AS dst"))
+      .filter($"src" =!= $"dst").distinct().cache()
+    val paths = edges.select($"src".as("a"), $"dst".as("b"))
+      .join(edges.select($"src".as("b"), $"dst".as("c")), Seq("b"))
+      .filter($"c" =!= $"a" && $"c" =!= $"b" && $"a" =!= $"b")
+    val nPaths = paths.agg(count(lit(1)).as("paths"))
+    val ffl = paths
+      .join(edges.select($"src".as("a"), $"dst".as("c")), Seq("a", "c"))
+      .agg(count(lit(1)).as("n"))
+      .selectExpr("'ffl' AS motif", "n")
+    val cyc = paths
+      .join(edges.select($"src".as("c"), $"dst".as("a")), Seq("a", "c"))
+      .agg((count(lit(1)) / 3).cast("long").as("n"))
+      .selectExpr("'cycle' AS motif", "n")
+    ffl.unionByName(cyc)
+      .crossJoin(broadcast(nPaths))
+      .selectExpr("motif", "n", "paths",
+        "(n * 1000000) div paths AS closure_micro")
+      .transform(graft.Tables.ordered(_, $"motif"))
+  }
+
+  /** g21 oracle: identical distinct-edge build, middle-node path
+    * join, per-motif closing joins and the /3 rotation collapse.
+    */
+  val g21Sql: String =
+    """WITH nn AS (SELECT count(*) AS n FROM customer),
+      |nodes AS (SELECT c_custkey AS id FROM customer),
+      |e AS MATERIALIZED (SELECT DISTINCT src, dst FROM (
+      |      SELECT id AS src, (id * 31 + 7) % nn.n AS dst FROM nodes, nn
+      |      UNION ALL SELECT id, (id * 17 + 3) % nn.n FROM nodes, nn
+      |      UNION ALL SELECT id, id // 2 FROM nodes WHERE id >= 2)
+      |    WHERE src <> dst),
+      |p AS MATERIALIZED (SELECT x.src AS a, x.dst AS b, y.dst AS c
+      |      FROM e x JOIN e y ON y.src = x.dst
+      |      WHERE y.dst <> x.src AND y.dst <> x.dst AND x.src <> x.dst),
+      |np AS (SELECT CAST(count(*) AS BIGINT) AS paths FROM p),
+      |f AS (SELECT CAST(count(*) AS BIGINT) AS n FROM p
+      |      JOIN e ON e.src = p.a AND e.dst = p.c),
+      |cy AS (SELECT CAST(count(*) // 3 AS BIGINT) AS n FROM p
+      |      JOIN e ON e.src = p.c AND e.dst = p.a),
+      |un AS (SELECT 'ffl' AS motif, n FROM f
+      |      UNION ALL SELECT 'cycle', n FROM cy)
+      |SELECT motif, n, np.paths, (n * 1000000) // np.paths AS closure_micro
+      |FROM un, np
+      |ORDER BY motif""".stripMargin
+
   // ---------- g20: bow-tie decomposition relative to a seed's SCC ----------
 
   private[graft] val g20Seed = 2L

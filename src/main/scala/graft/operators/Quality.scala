@@ -525,29 +525,44 @@ object Quality {
     * grain (the dq4/e17 bounded-output class) — windows there are
     * windows over metadata, not data.
     */
-  def dq6(spark: SparkSession, dir: String): DataFrame = {
+  /** dq6's spiked day-metric frame — shared with the streaming
+    * door's threshold training (s37). */
+  private[graft] def dq6Days(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val w = org.apache.spark.sql.expressions.Window
-    val days = Tables.events(spark, dir)
+    Tables.events(spark, dir)
       .selectExpr("unix_micros(ts) div 86400000000 AS day")
       .groupBy($"day").agg(count(lit(1)).as("n_events"))
       .selectExpr("day", "n_events",
         "CASE WHEN day % 11 = 3 THEN n_events * 4 ELSE n_events END AS m")
-    val medOf = { (df: DataFrame, vcol: String) =>
+  }
+
+  /** The trained robust thresholds (med×2, MAD×4) over the stored
+    * corpus — dq6's dual-middle construction, collected as two
+    * driver constants for the serve-online door (s37).
+    */
+  private[graft] def dq6Trained(spark: SparkSession, dir: String): (Long, Long) = {
+    import spark.implicits._
+    val w = org.apache.spark.sql.expressions.Window
+    def medOf(df: DataFrame, vcol: String): DataFrame =
       df.groupBy(col(vcol)).agg(count(lit(1)).as("cnt"))
         .withColumn("cum", sum($"cnt").over(w.orderBy(col(vcol))))
         .withColumn("tot", sum($"cnt").over(w.partitionBy()))
         .agg((min(when($"cum" * 2 >= $"tot" + 1, col(vcol))) +
           min(when($"cum" * 2 >= $"tot" + 2, col(vcol)))).as("med2"))
-    }
-    val med2 = medOf(days, "m")
-    val devs = days.crossJoin(broadcast(med2))
-      .selectExpr("day", "n_events", "m", "med2", "abs(2 * m - med2) AS dev2")
-    val mad4 = medOf(devs, "dev2")
-      .selectExpr("med2 AS mad4")
-    devs.crossJoin(broadcast(mad4))
-      .selectExpr("day", "n_events", "m", "med2", "dev2", "mad4",
-        "CAST(CASE WHEN 2 * dev2 > 3 * mad4 THEN 1 ELSE 0 END AS BIGINT) AS is_outlier")
+    val days = dq6Days(spark, dir)
+    val med2 = medOf(days, "m").collect()(0).getLong(0)
+    val mad4 = medOf(days.selectExpr(s"abs(2 * m - $med2) AS dev2"), "dev2")
+      .collect()(0).getLong(0)
+    (med2, mad4)
+  }
+
+  def dq6(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val (med2, mad4) = dq6Trained(spark, dir)
+    dq6Days(spark, dir)
+      .selectExpr("day", "n_events", "m", s"CAST($med2 AS BIGINT) AS med2",
+        s"abs(2 * m - $med2) AS dev2", s"CAST($mad4 AS BIGINT) AS mad4",
+        s"CAST(CASE WHEN 2 * abs(2 * m - $med2) > 3 * $mad4 THEN 1 ELSE 0 END AS BIGINT) AS is_outlier")
       .transform(Tables.ordered(_, $"day"))
   }
 

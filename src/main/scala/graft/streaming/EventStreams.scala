@@ -1201,6 +1201,39 @@ object EventStreams {
   /** s36 oracle: d23's, verbatim — the twin contract. */
   val s36Sql: String = graft.operators.Dedup.d23Sql
 
+  /** s37: STREAMING MAD DOOR — dq6's robust day-volume monitor as a
+    * live pipeline alarm: the median×2 / MAD×4 thresholds train in
+    * batch on the stored corpus
+    * ([[graft.operators.Quality.dq6Trained]] — two driver
+    * constants, the v24/s34 train-offline/serve-online split on
+    * the DAY grain), and the stream maintains ONE running count
+    * per day (a Complete-mode day aggregate — O(#days) state, the
+    * s1 windowed class) with the spike construction and the exact
+    * integer 2·dev×2 > 3·MAD×4 flag applied as stateless
+    * arithmetic on top. After full replay the day counts equal the
+    * batch scan's, so the oracle IS dq6Sql (twin contract) — and
+    * mid-stream the same query is the live "is today going bad"
+    * alarm the trained thresholds exist for.
+    */
+  def s37(spark: SparkSession, dir: String): DataFrame = {
+    val ss = streamSession(spark)
+    graft.Tables.tsConfs(ss)
+    val (med2, mad4) = graft.operators.Quality.dq6Trained(ss, dir)
+    val agg = streamingEvents(spark, dir)
+      .selectExpr("unix_micros(ts) div 86400000000 AS day")
+      .groupBy(col("day")).agg(count(lit(1)).as("n_events"))
+    runToTable(ss, agg, OutputMode.Complete())
+      .selectExpr("day", "n_events",
+        "CASE WHEN day % 11 = 3 THEN n_events * 4 ELSE n_events END AS m")
+      .selectExpr("day", "n_events", "m", s"CAST($med2 AS BIGINT) AS med2",
+        s"abs(2 * m - $med2) AS dev2", s"CAST($mad4 AS BIGINT) AS mad4",
+        s"CAST(CASE WHEN 2 * abs(2 * m - $med2) > 3 * $mad4 THEN 1 ELSE 0 END AS BIGINT) AS is_outlier")
+      .transform(graft.Tables.ordered(_, col("day")))
+  }
+
+  /** s37 oracle: dq6's, verbatim — the twin contract. */
+  val s37Sql: String = graft.operators.Quality.dq6Sql
+
   /** s26 oracle: batch recompute of the first-20-gaps decision. */
   val s26Sql: String =
     s"""WITH ev AS (SELECT user_id, event_id,

@@ -1794,6 +1794,33 @@ class RelationalSpec extends AnyFunSuite {
       "top-10 agreement appeared - radius-truncation locality changed, update the Scaladoc")
   }
 
+  test("g21: motif counts equal a brute-force directed-triangle census") {
+    val got = graft.operators.Graph.g21(spark, sf).collect()
+      .map(r => (r.getAs[String]("motif"), r.getAs[Long]("n"),
+        r.getAs[Long]("paths"), r.getAs[Long]("closure_micro"))).toSeq
+    val n = Tables.customer(spark, sf).count().toInt
+    val e = (0 until n).flatMap { i =>
+      Seq((i, (i * 31 + 7) % n), (i, (i * 17 + 3) % n)) ++
+        (if (i >= 2) Seq((i, i / 2)) else Seq.empty)
+    }.filter { case (a, b) => a != b }.distinct.toSet
+    val out = e.groupBy(_._1).map { case (a, es) => a -> es.map(_._2).toSeq }
+    var ffl = 0L; var cycOrdered = 0L; var paths = 0L
+    for (a <- out.keys; b <- out.getOrElse(a, Seq.empty);
+         c <- out.getOrElse(b, Seq.empty) if c != a && c != b && a != b) {
+      paths += 1
+      if (e((a, c))) ffl += 1
+      if (e((c, a))) cycOrdered += 1
+    }
+    // every 3-cycle is seen once per rotation: exact divisibility
+    assert(cycOrdered % 3 == 0L, s"rotation count not divisible by 3: $cycOrdered")
+    val want = Seq(
+      ("cycle", cycOrdered / 3, paths, (cycOrdered / 3) * 1000000L / paths),
+      ("ffl", ffl, paths, ffl * 1000000L / paths))
+    assert(got == want && got.nonEmpty)
+    // both motif classes genuinely occur in the fixture
+    assert(got.forall(_._2 > 0L))
+  }
+
   test("g20: bow-tie buckets equal a sequential BFS recompute on the fixture") {
     val got = graft.operators.Graph.g20(spark, sf).collect()
       .map(r => (r.getAs[Long]("c_custkey"), r.getAs[String]("part"),

@@ -1180,6 +1180,49 @@ class StreamingPipelineSpec extends AnyFunSuite {
       s"guaranteed detection missed: ${hits.mkString(",")}")
   }
 
+  test("s37 streaming MAD door equals batch dq6 row for row") {
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("day"), r.getAs[Long]("n_events"),
+        r.getAs[Long]("m"), r.getAs[Long]("med2"), r.getAs[Long]("dev2"),
+        r.getAs[Long]("mad4"), r.getAs[Long]("is_outlier"))).toSeq
+    val streamed = rows(graft.streaming.EventStreams.s37(spark, sf))
+    val batch = rows(graft.operators.Quality.dq6(spark, sf))
+    assert(streamed == batch && streamed.nonEmpty)
+    assert(streamed.exists(_._7 == 1L) && streamed.exists(_._7 == 0L))
+  }
+
+  test("s37 day counts accumulate correctly across MemoryStream batches") {
+    import spark.implicits._
+    val (med2, mad4) = graft.operators.Quality.dq6Trained(spark, sf)
+    val days = Tables.events(spark, sf)
+      .selectExpr("unix_micros(ts) div 86400000000 AS day")
+      .as[Long].collect().sorted
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Long]
+    val agg = mem.toDF().toDF("day")
+      .groupBy(col("day")).agg(count(lit(1)).as("n_events"))
+    val q = agg.writeStream.format("memory").queryName("s37_mem")
+      .outputMode("complete").start()
+    try {
+      // split mid-day so one day's count accumulates across batches
+      val third = days.length / 3 + 7
+      mem.addData(days.take(third).toSeq); q.processAllAvailable()
+      mem.addData(days.slice(third, 2 * third).toSeq); q.processAllAvailable()
+      mem.addData(days.drop(2 * third).toSeq); q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("s37_mem")
+      .selectExpr("day", "n_events",
+        "CASE WHEN day % 11 = 3 THEN n_events * 4 ELSE n_events END AS m")
+      .selectExpr("day", "n_events",
+        s"CAST(CASE WHEN 2 * abs(2 * m - $med2) > 3 * $mad4 THEN 1 ELSE 0 END AS BIGINT) AS is_outlier")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSeq.sortBy(_._1)
+    val batch = graft.operators.Quality.dq6(spark, sf).collect()
+      .map(r => (r.getAs[Long]("day"), r.getAs[Long]("n_events"),
+        r.getAs[Long]("is_outlier"))).toSeq.sortBy(_._1)
+    assert(got == batch && got.nonEmpty)
+  }
+
   test("s31 stateless code door equals batch t32 row for row") {
     def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
       .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_sym"),
