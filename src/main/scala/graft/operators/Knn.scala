@@ -2302,6 +2302,111 @@ object Knn {
       }
   }
 
+  // ---------- v25: contrastive hard-negative mining ----------
+
+  private val v25K = 5 // hard negatives kept per anchor
+
+  /** v25: HARD-NEGATIVE MINING for contrastive training — the
+    * batch-mining pass the dense-retrieval / contrastive literature
+    * runs between training rounds (DPR, Karpukhin et al. 2020;
+    * ANCE, Xiong et al. 2021: negatives that are SIMILAR to the
+    * anchor but of a different class teach the sharpest decision
+    * boundaries; random negatives are too easy to carry gradient).
+    * Classes here are the coarse-quantizer cells (v3's 8-vector
+    * codebook — the pseudo-label structure the suite already
+    * trains): per anchor query, every corpus vector is scored and
+    * assigned its cell in ONE narrow broadcast pass (the v12
+    * loop); the anchor's OWN cell is its top-1 centroid; the mined
+    * negatives are the top-[[v25K]] scorers from FOREIGN cells,
+    * each with the triplet-margin statistic
+    * `margin_micro = pos⁶ − neg⁶` against the anchor's hardest
+    * IN-cell positive (both sides already 1e-6-quantized, so the
+    * micro difference is an exact integer) — negative margins
+    * expose cell-boundary anchors, exactly what curriculum
+    * negative sampling wants surfaced.
+    *
+    * Scale shape: scoring is v1's broadcast-codebook brute arm
+    * (queries ride along, corpus streams; the oracle-checkable
+    * baseline) — at 10⁹ vectors the candidate set swaps to v2/v3's
+    * LSH/IVF candidates with this same mining tail, as v10/v14
+    * already demonstrate; cell attach is the same narrow pass;
+    * per-anchor top-k rides [[graft.functions.TwoLevel]].
+    */
+  def v25(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = vectors(spark, dir)
+    val cents = codebook(e, "vec_id >= 10 AND vec_id < 18")
+    val cb = spark.sparkContext.broadcast(cents)
+    def cellOf(nv: Array[Double]): Long = {
+      var best = Long.MaxValue; var bs = Double.NegativeInfinity
+      cb.value.foreach { case (cid, cv) =>
+        val s = cosQ(cv, nv)
+        if (s > bs || (s == bs && cid < best)) { bs = s; best = cid }
+      }
+      best
+    }
+    // anchors: the bounded query codebook; cell via the same loop
+    val anchors = codebook(e, "vec_id < 10")
+      .map { case (qid, qv) => (qid, cellOf(qv)) }.toSeq.toDF("qid", "acell")
+    // corpus scored against all anchors + cell-assigned, one pass
+    val scored = denseScored(spark, dir, "vec_id < 10", "vec_id >= 18")
+    val cells = e.filter("vec_id >= 18").select($"vec_id", $"nv")
+      .as[(Long, Array[Double])]
+      .mapPartitions(_.map { case (id, nv) => (id, cellOf(nv)) })
+      .toDF("vec_id", "cell")
+    val withCells = scored.join(cells, Seq("vec_id"))
+      .join(broadcast(anchors), Seq("qid"))
+    val posTop = withCells.filter($"cell" === $"acell")
+      .groupBy($"qid").agg(max($"cos_sim").as("pos_top"))
+    val negs = graft.functions.TwoLevel.topK(
+        withCells.filter($"cell" =!= $"acell"),
+        Seq($"qid"), Seq($"cos_sim".desc, $"vec_id"), $"vec_id", v25K)
+    negs.join(posTop, Seq("qid"))
+      .selectExpr("qid", "CAST(rnk AS BIGINT) AS rnk", "vec_id",
+        "cell AS neg_cell", "cos_sim",
+        "CAST(round(pos_top * 1e6) - round(cos_sim * 1e6) AS BIGINT) AS margin_micro")
+      .transform(graft.Tables.ordered(_, $"qid", $"rnk"))
+  }
+
+  /** v25 oracle: v12's assignment CTEs for corpus and anchors, the
+    * foreign-cell rank, the in-cell max positive and the exact
+    * micro margin.
+    */
+  val v25Sql: String =
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |n AS (SELECT vec_id, v, sqrt(list_inner_product(v, v)) AS nrm FROM e),
+      |m AS (SELECT vec_id, list_transform(v, x -> x / nrm) AS nv FROM n),
+      |cents AS (SELECT vec_id AS cid, nv FROM m WHERE vec_id >= 10 AND vec_id < 18),
+      |corpus AS (SELECT vec_id, nv FROM m WHERE vec_id >= 18),
+      |q AS (SELECT vec_id, nv FROM m WHERE vec_id < 10),
+      |ccell AS (SELECT vec_id, cid AS cell FROM (
+      |        SELECT c.vec_id, ct.cid,
+      |          row_number() OVER (PARTITION BY c.vec_id
+      |            ORDER BY round(list_inner_product(ct.nv, c.nv) * 1e6) / 1e6 DESC, ct.cid) AS rn
+      |        FROM corpus c CROSS JOIN cents ct) WHERE rn = 1),
+      |acell AS (SELECT vec_id AS qid, cid AS acell FROM (
+      |        SELECT qq.vec_id, ct.cid,
+      |          row_number() OVER (PARTITION BY qq.vec_id
+      |            ORDER BY round(list_inner_product(ct.nv, qq.nv) * 1e6) / 1e6 DESC, ct.cid) AS rn
+      |        FROM q qq CROSS JOIN cents ct) WHERE rn = 1),
+      |sc AS (SELECT qq.vec_id AS qid, c.vec_id,
+      |        round(list_inner_product(qq.nv, c.nv) * 1e6) / 1e6 AS cos_sim
+      |      FROM q qq CROSS JOIN corpus c),
+      |j AS (SELECT sc.qid, sc.vec_id, sc.cos_sim, cc.cell, a.acell
+      |      FROM sc JOIN ccell cc ON cc.vec_id = sc.vec_id
+      |      JOIN acell a ON a.qid = sc.qid),
+      |pt AS (SELECT qid, max(cos_sim) AS pos_top FROM j
+      |      WHERE cell = acell GROUP BY qid),
+      |ng AS (SELECT qid, vec_id, cos_sim, cell,
+      |        row_number() OVER (PARTITION BY qid ORDER BY cos_sim DESC, vec_id) AS rn
+      |      FROM j WHERE cell <> acell)
+      |SELECT ng.qid, CAST(ng.rn AS BIGINT) AS rnk, ng.vec_id,
+      |  ng.cell AS neg_cell, ng.cos_sim,
+      |  CAST(round(pt.pos_top * 1e6) - round(ng.cos_sim * 1e6) AS BIGINT) AS margin_micro
+      |FROM ng JOIN pt ON pt.qid = ng.qid
+      |WHERE ng.rn <= $v25K
+      |ORDER BY ng.qid, ng.rn""".stripMargin
+
   // ---------- v24: embedding OOD gate ----------
 
   /** v24: OUT-OF-DISTRIBUTION GATE — the embedding-space outlier

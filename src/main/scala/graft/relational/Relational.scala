@@ -1227,4 +1227,79 @@ object Relational {
       |  CAST(wsum_cents_s AS DOUBLE) / CAST(span_s AS DOUBLE) AS twap_cents
       |FROM a WHERE span_s > 0
       |ORDER BY user_id""".stripMargin
+
+  // ---------- q39: runtime bloom-filter join pruning ----------
+
+  /** q39: RUNTIME FILTER — Spark's own runtime bloom-filter join
+    * optimization (`InjectRuntimeFilter`, the Spark-native sibling
+    * of p14's metadata blooms and of every MPP engine's "sideways
+    * information passing"): when a selective dimension filter
+    * survives on one side of a SHUFFLE join, the optimizer builds a
+    * bloom filter of the surviving join keys as a subquery
+    * (`bloom_filter_agg`) and pushes `BloomFilterMightContain` into
+    * the OTHER side's scan — fact rows that cannot match are
+    * dropped BEFORE the shuffle, which at 100 TB is the difference
+    * between shuffling the whole fact table and shuffling the ~5%
+    * that survives. This query exercises the rule end-to-end on a
+    * date-filtered orders ⋈ lineitem revenue rollup and PlanSpec
+    * pins that the bloom actually lands in THIS plan; the result is
+    * of course filter-invariant, so the oracle is the plain join —
+    * correctness gates the SEMANTIC transparency of the rewrite.
+    *
+    * At fixture scale the dimension side would broadcast (which
+    * disables the rule — a broadcast join already prunes at probe
+    * time), so the query pins `autoBroadcastJoinThreshold = -1` and
+    * the rule's size thresholds DURING PLANNING to reproduce the
+    * large-large shuffle-join shape the optimization exists for;
+    * the physical plan is forced while the confs hold and every
+    * conf is restored before returning (the shared Verify session
+    * must not inherit them).
+    */
+  def q39(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val keys = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled",
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold")
+    val saved = keys.map(k => k -> spark.conf.getOption(k)).toMap
+    try {
+      spark.conf.set(keys(0), "true")
+      spark.conf.set(keys(1), "-1")
+      spark.conf.set(keys(2), "100MB")
+      spark.conf.set(keys(3), "0")
+      val o = Tables.orders(spark, dir)
+        .filter("o_orderdate >= TIMESTAMP '1995-01-01 00:00:00' AND " +
+          "o_orderdate < TIMESTAMP '1995-04-01 00:00:00'")
+        .select($"o_orderkey")
+      val l = Tables.lineitem(spark, dir)
+        .select($"l_orderkey", $"l_returnflag", $"l_quantity")
+      val df = l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .groupBy($"l_returnflag")
+        .agg(count(lit(1)).as("n_items"),
+          sum($"l_quantity".cast("long")).as("sum_qty"))
+        .transform(graft.Tables.ordered(_, $"l_returnflag"))
+      // force physical planning while the runtime-filter confs hold;
+      // the phases cache on the QueryExecution, so later execution
+      // reuses THIS plan
+      df.queryExecution.executedPlan
+      df
+    } finally {
+      saved.foreach {
+        case (k, Some(v)) => spark.conf.set(k, v)
+        case (k, None) => spark.conf.unset(k)
+      }
+    }
+  }
+
+  /** q39 oracle: the plain join — the rewrite must be semantically
+    * invisible. */
+  val q39Sql: String =
+    """SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_items,
+      |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+      |FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+      |WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+      |  AND o_orderdate < TIMESTAMP '1995-04-01 00:00:00'
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin
 }

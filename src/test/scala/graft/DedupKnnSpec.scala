@@ -1682,6 +1682,50 @@ class DedupKnnSpec extends AnyFunSuite {
       (1L, 1L, 3L, true), (2L, 1L, 3L, false), (3L, 1L, 3L, false)))
   }
 
+  test("v25: hard negatives equal a sequential mining recompute") {
+    val got = Knn.v25(spark, sf).collect()
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("rnk"),
+        r.getAs[Long]("vec_id"), r.getAs[Long]("neg_cell"),
+        r.getAs[Double]("cos_sim"), r.getAs[Long]("margin_micro"))).toSeq
+    def q6(x: Double) =
+      (if (x * 1e6 >= 0) math.floor(x * 1e6 + 0.5) else math.ceil(x * 1e6 - 0.5)) / 1e6
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }
+      s
+    }
+    val vecs = Tables.embeddings(spark, sf)
+      .selectExpr("vec_id", "transform(embedding, x -> CAST(x AS DOUBLE)) AS v")
+      .as[(Long, Array[Double])].collect()
+      .map { case (id, v) =>
+        val nrm = math.sqrt(v.map(x => x * x).sum); (id, v.map(_ / nrm))
+      }
+    val cents = vecs.filter(t => t._1 >= 10 && t._1 < 18).sortBy(_._1)
+    def cellOf(nv: Array[Double]): Long =
+      cents.map { case (cid, cv) => (cid, q6(dot(cv, nv))) }
+        .minBy { case (cid, s) => (-s, cid) }._1
+    val corpus = vecs.filter(_._1 >= 18)
+    val corpusCell = corpus.map { case (id, nv) => id -> cellOf(nv) }.toMap
+    val want = vecs.filter(_._1 < 10).sortBy(_._1).flatMap { case (qid, qv) =>
+      val acell = cellOf(qv)
+      val scored = corpus.map { case (id, nv) => (id, q6(dot(qv, nv))) }
+      val posTop = scored.filter(t => corpusCell(t._1) == acell).map(_._2).max
+      scored.filter(t => corpusCell(t._1) != acell)
+        .sortBy { case (id, s) => (-s, id) }.take(5).zipWithIndex
+        .map { case ((id, s), i) =>
+          (qid, (i + 1).toLong, id, corpusCell(id), s,
+            math.round(posTop * 1e6) - math.round(s * 1e6))
+        }
+    }.toSeq
+    assert(got == want && got.nonEmpty)
+    // mined negatives are all foreign-cell; boundary anchors exist
+    // (negative margins — the curriculum signal) but are a minority
+    val anchorCell = vecs.filter(_._1 < 10)
+      .map { case (id, nv) => id -> cellOf(nv) }.toMap
+    got.foreach { t => assert(t._4 != anchorCell(t._1)) }
+    assert(got.exists(_._6 < 0L) && got.count(_._6 < 0L) < got.length)
+  }
+
   test("v22: the anytime curve is monotone and its last point equals v21's recall") {
     val rows = Knn.v22(spark, sf).collect()
       .map(r => (r.getAs[Long]("hop"), r.getAs[Long]("n_visited"),

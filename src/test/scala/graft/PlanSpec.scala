@@ -156,6 +156,37 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("q39: the runtime bloom filter lands in the plan and confs restore") {
+    val before = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold")
+      .map(k => k -> spark.conf.getOption(k))
+    val df = graft.relational.Relational.q39(spark, sf)
+    // the physical plan was forced under the runtime-filter confs:
+    // the fact-side scan carries a bloom probe fed by a
+    // bloom_filter_agg subquery over the filtered dimension keys
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.toLowerCase.contains("bloom"),
+      s"runtime bloom filter did not inject:\n${p.take(4000)}")
+    // and the session is left exactly as found (shared Verify session)
+    before.foreach { case (k, v) =>
+      assert(spark.conf.getOption(k) == v, s"conf $k leaked")
+    }
+    // semantics: the rewrite is invisible (equals the plain join)
+    import org.apache.spark.sql.functions.{count => cnt, lit => l, sum => sm}
+    val got = df.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    val o = graft.Tables.orders(spark, sf)
+      .filter("o_orderdate >= TIMESTAMP '1995-01-01 00:00:00' AND " +
+        "o_orderdate < TIMESTAMP '1995-04-01 00:00:00'")
+    val want = graft.Tables.lineitem(spark, sf)
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_returnflag"))
+      .agg(cnt(l(1)).as("n"), sm(col("l_quantity").cast("long")).as("s"))
+      .orderBy(col("l_returnflag"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == want && got.nonEmpty)
+  }
+
   test("q36: both nearest-as-of window passes share ONE key exchange") {
     val p = plan(graft.operators.AsOf.asOfNearest(spark, sf))
       .split("== Initial Plan ==")(0)
