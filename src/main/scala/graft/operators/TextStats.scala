@@ -1132,6 +1132,76 @@ object TextStats {
        |GROUP BY doc_id
        |ORDER BY doc_id""".stripMargin
 
+  // ---------- t34: tokenizer fertility audit per language ----------
+
+  /** t34: TOKENIZER FERTILITY by language — tokens-per-word of the
+    * t17-learned BPE across the corpus's language strata, the
+    * multilingual tokenizer-equity audit (Ács 2019; Rust et al.
+    * 2021; Petrov et al. 2023 "Language Model Tokenizers Introduce
+    * Unfairness"): a tokenizer trained on mixed data merges
+    * English-frequent patterns first, so other languages pay more
+    * tokens for the same words — more compute, shorter effective
+    * context, worse per-byte pricing. Fertility(lang) =
+    * Σ tokens / Σ words over the language's documents, in §8.39
+    * micro-units, plus the premium vs the corpus's BEST (lowest)
+    * fertility — the equity gap number the audit exists for.
+    *
+    * Scale shape: the tokenizer applies on the DISTINCT-WORD grain
+    * exactly as t18 (vocab tokenized once, corpus re-joins by
+    * word — never per-occurrence retokenization); per-language
+    * sums are one map-side-combined aggregate; the premium join is
+    * a 1-row broadcast. At 100 TB the audit costs t18 + a
+    * 5-row table.
+    */
+  def t34(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val perDoc = t17TokenCounts(spark, dir)
+    val words = Tables.documents(spark, dir)
+      .selectExpr("doc_id", "lang",
+        "explode(split(lower(trim(text)), ' ')) AS w")
+      .groupBy($"doc_id", $"lang").agg(count(lit(1)).as("n_words"))
+    val byLang = words.join(perDoc, Seq("doc_id"))
+      .groupBy($"lang")
+      .agg(count(lit(1)).as("n_docs"), sum($"n_words").as("words"),
+        sum($"n_tokens").as("tokens"))
+      .selectExpr("lang", "n_docs", "words", "tokens",
+        "(tokens * 1000000) div words AS fertility_micro")
+    val best = byLang.agg(min($"fertility_micro").as("best_micro"))
+    byLang.crossJoin(broadcast(best))
+      .selectExpr("lang", "n_docs", "words", "tokens", "fertility_micro",
+        "fertility_micro - best_micro AS premium_micro")
+      .transform(graft.Tables.ordered(_, $"lang"))
+  }
+
+  /** t34 oracle: t18's tokenization chain + the per-language
+    * aggregate and best-fertility premium.
+    */
+  val t34Sql: String =
+    s"""WITH RECURSIVE $t17Ctes,
+       |pertok AS (SELECT replace(s, ' ', '') AS w,
+       |             CAST(len(string_split(s, ' ')) AS BIGINT) AS n_tok
+       |           FROM w$t17Rounds),
+       |docw AS (SELECT doc_id, lang,
+       |           unnest(string_split(lower(trim(text)), ' ')) AS w
+       |         FROM documents),
+       |wc AS (SELECT doc_id, lang, CAST(count(*) AS BIGINT) AS n_words
+       |       FROM docw GROUP BY doc_id, lang),
+       |tk AS (SELECT doc_id, CAST(sum(n_tok) AS BIGINT) AS n_tokens
+       |       FROM docw JOIN pertok USING (w) GROUP BY doc_id),
+       |perdoc AS (SELECT wc.doc_id, wc.lang, wc.n_words, tk.n_tokens
+       |           FROM wc JOIN tk ON tk.doc_id = wc.doc_id),
+       |bylang AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+       |             CAST(sum(n_words) AS BIGINT) AS words,
+       |             CAST(sum(n_tokens) AS BIGINT) AS tokens,
+       |             (CAST(sum(n_tokens) AS BIGINT) * 1000000)
+       |               // CAST(sum(n_words) AS BIGINT) AS fertility_micro
+       |           FROM perdoc GROUP BY lang),
+       |best AS (SELECT min(fertility_micro) AS best_micro FROM bylang)
+       |SELECT lang, n_docs, words, tokens, fertility_micro,
+       |  fertility_micro - best.best_micro AS premium_micro
+       |FROM bylang, best
+       |ORDER BY lang""".stripMargin
+
   // ---------- t21: rule-based quality filtering (Gopher/C4 gates) ----------
 
   /** Gopher word-count gate [min, max] (Rae et al. 2021, App. A:

@@ -136,6 +136,35 @@ class RelationalSpec extends AnyFunSuite {
     }
   }
 
+  test("t34: fertility equals the t18-composed recompute; equity laws hold") {
+    import graft.operators.TextStats
+    val got = TextStats.t34(spark, sf).collect()
+      .map(r => (r.getAs[String]("lang"), r.getAs[Long]("n_docs"),
+        r.getAs[Long]("words"), r.getAs[Long]("tokens"),
+        r.getAs[Long]("fertility_micro"), r.getAs[Long]("premium_micro"))).toSeq
+    // composition mirror: t18's (verified) per-doc token counts +
+    // driver-side word counts and language rollup
+    val tokens = TextStats.t18(spark, sf).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_tokens"))).toMap
+    val docs = Tables.documents(spark, sf)
+      .selectExpr("doc_id", "lang", "lower(trim(text)) AS t").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val byLang = docs.groupBy(_._2).toSeq.map { case (lang, ds) =>
+      val words = ds.map(_._3.split(" ", -1).length.toLong).sum
+      val toks = ds.map(d => tokens(d._1)).sum
+      (lang, ds.length.toLong, words, toks, toks * 1000000L / words)
+    }
+    val best = byLang.map(_._5).min
+    val want = byLang.map(t => (t._1, t._2, t._3, t._4, t._5, t._5 - best))
+      .sortBy(_._1)
+    assert(got == want && got.nonEmpty)
+    // laws: every word costs >= 1 token; exactly one language sits at
+    // the best fertility (premium 0); premiums non-negative
+    got.foreach { t => assert(t._4 >= t._3 && t._6 >= 0L) }
+    assert(got.count(_._6 == 0L) >= 1)
+    assert(got.exists(_._6 > 0L), "no fertility spread measured")
+  }
+
   test("t17: merges are deterministic; learned-token packing matches the sequential fold") {
     val ts = graft.operators.TextStats
     val merges = ts.t17(spark, sf).collect()
