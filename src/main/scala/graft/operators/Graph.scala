@@ -1977,6 +1977,127 @@ object Graph {
       |FROM un, np
       |ORDER BY motif""".stripMargin
 
+  // ---------- g22: k-truss cohesive-subgraph peeling ----------
+
+  private[graft] val g22K = 4 // truss order: every edge in ≥ k−2 triangles
+  private[graft] val g22Rounds = 4 // ≥ measured peel depth (2) + margin
+
+  /** g22: K-TRUSS DECOMPOSITION (Cohen 2008, "Trusses: Cohesive
+    * Subgraphs for Social Network Analysis") — the EDGE analog of
+    * g7's k-core and the standard community-core extractor: the
+    * k-truss is the maximal subgraph where every edge closes at
+    * least k−2 triangles WITHIN the subgraph, computed by support
+    * peeling (count triangles per edge, drop under-supported
+    * edges, recount — removal cascades exactly like k-core's
+    * degree peeling, but on the triangle grain, which is why truss
+    * survives noise that fools the core: random edges have degree
+    * but not CLOSED WEDGES). g1's organic graph alone has an EMPTY
+    * 4-truss (measured — sparse random structure closes almost
+    * nothing), so the fixture plants communities: a full 8-clique
+    * on every 4th block of 8 ids; the 4-truss then recovers
+    * EVERY clique edge plus a handful of organic survivors
+    * (140+9 / 1316+3 / 13132+12 across scales, converged in 2
+    * peels — [[g22Rounds]] = 4 is the snapshot budget, fixpoint
+    * spec-asserted). Output: every ORIGINAL edge with its final
+    * in-truss support (−1 once peeled) and the survival flag.
+    *
+    * Scale shape per round: wedges enumerate per center
+    * (und ⋈ und on the center key — Σdeg², bounded here by the
+    * clique degree ~11; the g3 degree-ordered/capped discipline
+    * applies on power-law graphs), triangles confirm by ONE
+    * equality join against the edge set, support is a
+    * map-side-combined (a, b) count, and the peel filter is an
+    * inner join — all-integer, lineage-cut per round (the g1/q27
+    * iterative contract).
+    */
+  def g22(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val nodes = Tables.customer(spark, dir).select($"c_custkey".as("id")).cache()
+    val n = nodes.count()
+    val organic = nodes.selectExpr("id AS s", s"(id * 31 + 7) % $n AS d")
+      .unionAll(nodes.selectExpr("id AS s", s"(id * 17 + 3) % $n AS d"))
+      .unionAll(nodes.filter($"id" >= 2).selectExpr("id AS s", "id div 2 AS d"))
+      .filter($"s" =!= $"d")
+      .selectExpr("least(s, d) AS a", "greatest(s, d) AS b")
+    val cl = nodes.filter(expr("(id div 8) % 4 = 0"))
+      .selectExpr("id", "id div 8 AS blk")
+    val clique = cl.as("x").join(cl.as("y"),
+        expr("x.blk = y.blk AND x.id < y.id"))
+      .selectExpr("x.id AS a", "y.id AS b")
+    val e0 = organic.unionByName(clique).distinct().localCheckpoint()
+    def supportOf(e: DataFrame): DataFrame = {
+      val und = e.selectExpr("a AS x", "b AS y")
+        .unionByName(e.selectExpr("b AS x", "a AS y"))
+      val wedges = und.as("p").join(und.as("q"),
+          expr("p.x = q.x AND p.y < q.y"))
+        .selectExpr("p.y AS a", "q.y AS b")
+      wedges.join(e, Seq("a", "b"))
+        .groupBy($"a", $"b").agg(count(lit(1)).as("sup"))
+    }
+    var cur = e0
+    (1 to g22Rounds).foreach { _ =>
+      val next = cur.join(supportOf(cur), Seq("a", "b"))
+        .filter($"sup" >= g22K - 2)
+        .select($"a", $"b").localCheckpoint()
+      // e0 is still a consumer of the final original-edge join —
+      // free only the intermediate rounds
+      if (cur ne e0) graft.functions.Lineage.freeCheckpoint(cur)
+      cur = next
+    }
+    val finalSup = cur.join(supportOf(cur), Seq("a", "b"), "left")
+      .selectExpr("a", "b", "coalesce(sup, CAST(0 AS BIGINT)) AS fsup")
+    e0.join(finalSup, Seq("a", "b"), "left")
+      .selectExpr("a", "b", "coalesce(fsup, CAST(-1 AS BIGINT)) AS support",
+        "CAST(CASE WHEN fsup IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS in_truss")
+      .transform(graft.Tables.ordered(_, $"a", $"b"))
+  }
+
+  /** g22 oracle: the same clique-augmented edge set and the peel
+    * rounds unrolled (wedge join, triangle confirm, support count,
+    * ≥ k−2 filter), then the final support left-fold.
+    */
+  val g22Sql: String = {
+    def supCte(i: Int, e: String): String =
+      s"""u$i AS (SELECT a AS x, b AS y FROM $e
+         |      UNION ALL SELECT b, a FROM $e),
+         |s$i AS (SELECT w.a, w.b, CAST(count(*) AS BIGINT) AS sup
+         |      FROM (SELECT p.y AS a, q.y AS b FROM u$i p
+         |            JOIN u$i q ON q.x = p.x AND q.y > p.y) w
+         |      JOIN $e t ON t.a = w.a AND t.b = w.b
+         |      GROUP BY 1, 2)""".stripMargin
+    val rounds = (1 to g22Rounds).map { i =>
+      s"""${supCte(i, s"e${i - 1}")},
+         |e$i AS MATERIALIZED (SELECT e.a, e.b FROM e${i - 1} e
+         |      JOIN s$i s ON s.a = e.a AND s.b = e.b
+         |      WHERE s.sup >= ${g22K - 2})""".stripMargin
+    }.mkString(",\n")
+    s"""WITH nn AS (SELECT count(*) AS n FROM customer),
+      |nodes AS (SELECT c_custkey AS id FROM customer),
+      |org AS (SELECT least(s, d) AS a, greatest(s, d) AS b FROM (
+      |      SELECT id AS s, (id * 31 + 7) % nn.n AS d FROM nodes, nn
+      |      UNION ALL SELECT id, (id * 17 + 3) % nn.n FROM nodes, nn
+      |      UNION ALL SELECT id, id // 2 FROM nodes WHERE id >= 2)
+      |    WHERE s <> d),
+      |cl AS (SELECT id, id // 8 AS blk FROM nodes WHERE (id // 8) % 4 = 0),
+      |e0 AS MATERIALIZED (SELECT DISTINCT a, b FROM (
+      |      SELECT a, b FROM org
+      |      UNION ALL
+      |      SELECT x.id AS a, y.id AS b FROM cl x
+      |      JOIN cl y ON y.blk = x.blk AND x.id < y.id)),
+      |$rounds,
+      |${supCte(g22Rounds + 1, s"e$g22Rounds")},
+      |fs AS (SELECT e.a, e.b,
+      |        coalesce(s.sup, CAST(0 AS BIGINT)) AS fsup
+      |      FROM e$g22Rounds e
+      |      LEFT JOIN s${g22Rounds + 1} s ON s.a = e.a AND s.b = e.b)
+      |SELECT e0.a, e0.b,
+      |  coalesce(fs.fsup, CAST(-1 AS BIGINT)) AS support,
+      |  CAST(CASE WHEN fs.a IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS in_truss
+      |FROM e0
+      |LEFT JOIN fs ON fs.a = e0.a AND fs.b = e0.b
+      |ORDER BY e0.a, e0.b""".stripMargin
+  }
+
   // ---------- g20: bow-tie decomposition relative to a seed's SCC ----------
 
   private[graft] val g20Seed = 2L

@@ -168,6 +168,85 @@ object Incremental {
       .transform(Tables.ordered(_, $"version"))
   }
 
+  /** p16: SNAPSHOT EXPIRY / RETENTION AUDIT — the maintenance pass
+    * every versioned store runs (Iceberg `expireSnapshots`, Delta
+    * `VACUUM`): p11's three-snapshot store under a keep-2 retention
+    * policy, exercised END TO END against the REAL on-disk store —
+    * pre-expiry stats captured per version, then
+    * [[graft.sources.ForecastStore.vacuum]] actually deletes the
+    * expired version directory (never the current one, whatever its
+    * age — the marker-safety contract), and the post-state is
+    * probed back: expired versions must be GONE (loadVersion =
+    * None), retained ones must still load with their exact
+    * pre-expiry contents. Output per version: the p11 cutoff stats,
+    * the retention verdict, and the post-expiry load probe — the
+    * reclaimed rows are the expired snapshots' (the storage the
+    * policy trades for time-travel depth).
+    *
+    * Scale shape: stats are one aggregate per snapshot (p11's
+    * cost); vacuum is O(#versions) directory metadata work — the
+    * point of snapshot-grain retention is that reclaim never reads
+    * data files.
+    */
+  def p16(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    def ts(s: String) = java.sql.Timestamp.valueOf(s + " 00:00:00")
+    val ords = Tables.orders(spark, dir).selectExpr("o_orderkey",
+      "CAST(floor(o_totalprice * 1e2 + 0.5) AS BIGINT) AS total_cents",
+      "o_orderdate")
+    val storeDir = java.nio.file.Files
+      .createTempDirectory("graft_p16_store_").toFile
+    val store = new graft.sources.ForecastStore(storeDir.getAbsolutePath)
+    store.save(ords.filter($"o_orderdate" < lit(ts("1997-01-01")))
+      .drop("o_orderdate"), "v0")
+    store.save(ords.filter($"o_orderdate" < lit(ts("1999-01-01")))
+      .drop("o_orderdate"), "v1")
+    store.save(ords.drop("o_orderdate"), "v2")
+    // pre-expiry stats per version (collected before anything deletes)
+    val pre = store.versions().map { case (v, isCur) =>
+      val Array(n, c) = store.loadVersion(spark, v).get
+        .agg(count(lit(1)), sum($"total_cents")).collect()(0) match {
+        case r => Array(r.getLong(0), r.getLong(1))
+      }
+      (v, if (isCur) 1L else 0L, n, c)
+    }
+    val removed = store.vacuum(keep = 2).toSet
+    val rows = pre.map { case (v, isCur, n, c) =>
+      val loadOk = store.loadVersion(spark, v) match {
+        case Some(df) => if (df.count() == n) 1L else -1L // content intact?
+        case None => 0L
+      }
+      (v, isCur, n, c,
+        if (removed(v)) "expired" else "retained", loadOk)
+    }
+    rows.toDF("version", "is_current", "n_orders", "sum_cents",
+        "status", "load_ok")
+      .transform(Tables.ordered(_, $"version"))
+  }
+
+  /** p16 oracle: p11's cutoff recomputation + the static keep-2
+    * verdicts and the post-expiry load expectations (expired ⇒
+    * gone, retained ⇒ intact).
+    */
+  val p16Sql: String =
+    """WITH o AS (SELECT o_orderkey,
+      |  CAST(floor(o_totalprice * 1e2 + 0.5) AS BIGINT) AS total_cents,
+      |  o_orderdate FROM orders)
+      |SELECT 'v0' AS version, CAST(0 AS BIGINT) AS is_current,
+      |       CAST(count(*) AS BIGINT) AS n_orders,
+      |       CAST(sum(total_cents) AS BIGINT) AS sum_cents,
+      |       'expired' AS status, CAST(0 AS BIGINT) AS load_ok
+      |FROM o WHERE o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+      |UNION ALL
+      |SELECT 'v1', CAST(0 AS BIGINT), CAST(count(*) AS BIGINT),
+      |       CAST(sum(total_cents) AS BIGINT), 'retained', CAST(1 AS BIGINT)
+      |FROM o WHERE o_orderdate < TIMESTAMP '1999-01-01 00:00:00'
+      |UNION ALL
+      |SELECT 'v2', CAST(1 AS BIGINT), CAST(count(*) AS BIGINT),
+      |       CAST(sum(total_cents) AS BIGINT), 'retained', CAST(1 AS BIGINT)
+      |FROM o
+      |ORDER BY version""".stripMargin
+
   /** p11 oracle: each snapshot recomputed from the live table under
     * its ingest cutoff — stored versions must still equal this.
     */

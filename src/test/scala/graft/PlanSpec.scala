@@ -634,12 +634,13 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
-  test("g7/g8/g9/g10/g18: iterative graph rounds are equality joins over checkpointed state — no cartesian, no window") {
+  test("g7/g8/g9/g10/g18/g22: iterative graph rounds are equality joins over checkpointed state — no cartesian, no window") {
     Seq(graft.operators.Graph.g7(spark, sf),
         graft.operators.Graph.g8(spark, sf),
         graft.operators.Graph.g9(spark, sf),
         graft.operators.Graph.g10(spark, sf),
-        graft.operators.Graph.g18(spark, sf)).foreach { df =>
+        graft.operators.Graph.g18(spark, sf),
+        graft.operators.Graph.g22(spark, sf)).foreach { df =>
       val p = plan(df)
       assert(!p.contains("CartesianProduct") &&
         !p.contains("BroadcastNestedLoopJoin"), s"non-equality join:\n$p")

@@ -1850,6 +1850,48 @@ class RelationalSpec extends AnyFunSuite {
     assert(got.forall(_._2 > 0L))
   }
 
+  test("g22: the 4-truss equals a sequential peel and recovers the planted cliques") {
+    val got = graft.operators.Graph.g22(spark, sf).collect()
+      .map(r => (r.getAs[Long]("a"), r.getAs[Long]("b"),
+        r.getAs[Long]("support"), r.getAs[Long]("in_truss"))).toSeq.sortBy(t => (t._1, t._2))
+    val n = Tables.customer(spark, sf).count().toInt
+    var e0 = scala.collection.mutable.Set.empty[(Long, Long)]
+    (0 until n).foreach { i =>
+      Seq((i * 31 + 7) % n, (i * 17 + 3) % n)
+        .++(if (i >= 2) Seq(i / 2) else Seq.empty)
+        .filter(_ != i)
+        .foreach(d => e0 += ((math.min(i, d).toLong, math.max(i, d).toLong)))
+    }
+    val cliqueEdges = (0 until n / 8).filter(_ % 4 == 0).flatMap { blk =>
+      val mem = (0 until 8).map(blk * 8 + _).filter(_ < n)
+      for (x <- mem.indices; y <- (x + 1) until mem.size)
+        yield (mem(x).toLong, mem(y).toLong)
+    }.toSet
+    e0 ++= cliqueEdges
+    def supports(es: Set[(Long, Long)]): Map[(Long, Long), Long] = {
+      val adj = scala.collection.mutable.Map.empty[Long, Set[Long]].withDefaultValue(Set.empty)
+      es.foreach { case (a, b) => adj(a) = adj(a) + b; adj(b) = adj(b) + a }
+      es.map(e => e -> (adj(e._1) & adj(e._2)).size.toLong).toMap
+    }
+    var cur = e0.toSet
+    (1 to 4).foreach { _ =>
+      val sup = supports(cur)
+      cur = cur.filter(e => sup(e) >= 2L)
+    }
+    val fsup = supports(cur)
+    val want = e0.toSeq.sorted.map { e =>
+      if (cur(e)) (e._1, e._2, fsup(e), 1L) else (e._1, e._2, -1L, 0L)
+    }
+    assert(got == want && got.nonEmpty)
+    // every planted clique edge survives (8-cliques give each edge
+    // support 6 within the clique alone — well above k-2 = 2)
+    cliqueEdges.foreach(e => assert(cur(e), s"clique edge $e peeled"))
+    // fixpoint at the round budget: one more peel removes nothing
+    assert(cur.forall(e => fsup(e) >= 2L), "snapshot not converged")
+    // and peeling genuinely removed organic edges
+    assert(got.exists(_._4 == 0L))
+  }
+
   test("g20: bow-tie buckets equal a sequential BFS recompute on the fixture") {
     val got = graft.operators.Graph.g20(spark, sf).collect()
       .map(r => (r.getAs[Long]("c_custkey"), r.getAs[String]("part"),

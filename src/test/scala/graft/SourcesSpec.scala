@@ -82,6 +82,27 @@ class SourcesSpec extends AnyFunSuite {
       == (0L until 30L))
   }
 
+  test("p16: the expiry audit matches the store's real post-vacuum state") {
+    val got = graft.operators.Incremental.p16(spark, sf).collect()
+      .map(r => (r.getAs[String]("version"), r.getAs[Long]("is_current"),
+        r.getAs[Long]("n_orders"), r.getAs[Long]("sum_cents"),
+        r.getAs[String]("status"), r.getAs[Long]("load_ok"))).toSeq.sortBy(_._1)
+    // keep-2 retention over three snapshots: v0 expired AND actually
+    // gone; v1/v2 retained AND re-loaded intact (load_ok -1 would
+    // mean vacuum corrupted a retained version)
+    assert(got.map(t => (t._1, t._5, t._6)) ==
+      Seq(("v0", "expired", 0L), ("v1", "retained", 1L), ("v2", "retained", 1L)))
+    assert(got.map(_._2) == Seq(0L, 0L, 1L), "current flag must stay on v2")
+    // snapshot stats equal p11's time-travel reads of the same store
+    // construction (shared cutoffs — the two ops must agree)
+    val p11 = graft.operators.Incremental.p11(spark, sf).collect()
+      .map(r => (r.getAs[String]("version"), r.getAs[Long]("n_orders"),
+        r.getAs[Long]("sum_cents"))).toSeq.sortBy(_._1)
+    assert(got.map(t => (t._1, t._3, t._4)) == p11)
+    // snapshots grow monotonically (cutoffs widen)
+    assert(got.map(_._3) == got.map(_._3).sorted)
+  }
+
   test("orc source roundtrips the events schema losslessly") {
     import spark.implicits._
     val base = Tables.events(spark, sf)
