@@ -2115,13 +2115,24 @@ object Dedup {
     * index, which applies it.
     */
   private[graft] def winnowOne(text: String): Set[Long] = {
-    val n = text.length
+    // Spark SQL length()/substring() count Unicode CODE POINTS while
+    // Java String.length/substring count UTF-16 code units — iterate
+    // by code point so the door's fingerprints (and the >= k+w-1
+    // length gate) stay bitwise-equal to d23Fps on text containing
+    // supplementary-plane characters.
+    val off = {
+      val b = scala.collection.mutable.ArrayBuffer[Int](0)
+      var i = 0
+      while (i < text.length) { i = text.offsetByCodePoints(i, 1); b += i }
+      b.toArray
+    }
+    val n = off.length - 1
     if (n < d23K + d23W - 1) Set.empty
     else {
       val nPos = n - (d23K - 1)
       val h = Array.tabulate(nPos) { i =>
         graft.functions.Fnv64.hashBytes(
-          text.substring(i, i + d23K).getBytes("UTF-8"))
+          text.substring(off(i), off(i + d23K)).getBytes("UTF-8"))
       }
       (0 until (nPos - (d23W - 1))).map { i =>
         var m = h(i); var j = 1

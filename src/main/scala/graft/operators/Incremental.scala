@@ -50,6 +50,22 @@ object Incremental {
 
   // ---------- p10: incremental view maintenance for JOINS ----------
 
+  /** Recursive delete for the operators' temp store directories.
+    * p16 deletes EAGERLY in a finally (its result rows are collected
+    * to the driver before the DataFrame is built); p10/p11 return
+    * DataFrames that lazily READ their store, so those directories
+    * are reclaimed by a JVM shutdown hook instead of accumulating in
+    * the system temp dir across runs.
+    */
+  private def deleteRecursively(f: java.io.File): Unit = {
+    val cs = f.listFiles(); if (cs != null) cs.foreach(deleteRecursively)
+    f.delete(); ()
+  }
+  private def cleanupOnExit(f: java.io.File): Unit =
+    Runtime.getRuntime.addShutdownHook(
+      new Thread(() => deleteRecursively(f), s"graft-tmp-clean-${f.getName}"))
+
+
   /** p10: INCREMENTAL VIEW MAINTENANCE of a join view — p3's
     * partial-merge argument extended from aggregates to JOINS, the
     * other half of what a materialized-view refresh needs: for an
@@ -95,6 +111,7 @@ object Incremental {
     // only get base rows by READING the store
     val storeDir = java.nio.file.Files
       .createTempDirectory("graft_p10_store_").toFile
+    cleanupOnExit(storeDir)
     val store = new graft.sources.ForecastStore(storeDir.getAbsolutePath)
     store.save(viewOf(li.filter($"l_orderkey" % 10 =!= 0)), "v0")
     // today's refresh: stored view scan ∪ (Δfact ⋈ dim)
@@ -152,6 +169,7 @@ object Incremental {
       "o_orderdate")
     val storeDir = java.nio.file.Files
       .createTempDirectory("graft_p11_store_").toFile
+    cleanupOnExit(storeDir)
     val store = new graft.sources.ForecastStore(storeDir.getAbsolutePath)
     store.save(ords.filter($"o_orderdate" < lit(ts("1997-01-01")))
       .drop("o_orderdate"), "v0")
@@ -196,32 +214,37 @@ object Incremental {
       "o_orderdate")
     val storeDir = java.nio.file.Files
       .createTempDirectory("graft_p16_store_").toFile
-    val store = new graft.sources.ForecastStore(storeDir.getAbsolutePath)
-    store.save(ords.filter($"o_orderdate" < lit(ts("1997-01-01")))
-      .drop("o_orderdate"), "v0")
-    store.save(ords.filter($"o_orderdate" < lit(ts("1999-01-01")))
-      .drop("o_orderdate"), "v1")
-    store.save(ords.drop("o_orderdate"), "v2")
-    // pre-expiry stats per version (collected before anything deletes)
-    val pre = store.versions().map { case (v, isCur) =>
-      val Array(n, c) = store.loadVersion(spark, v).get
-        .agg(count(lit(1)), sum($"total_cents")).collect()(0) match {
-        case r => Array(r.getLong(0), r.getLong(1))
+    try {
+      val store = new graft.sources.ForecastStore(storeDir.getAbsolutePath)
+      store.save(ords.filter($"o_orderdate" < lit(ts("1997-01-01")))
+        .drop("o_orderdate"), "v0")
+      store.save(ords.filter($"o_orderdate" < lit(ts("1999-01-01")))
+        .drop("o_orderdate"), "v1")
+      store.save(ords.drop("o_orderdate"), "v2")
+      // pre-expiry stats per version (collected before anything deletes)
+      val pre = store.versions().map { case (v, isCur) =>
+        val Array(n, c) = store.loadVersion(spark, v).get
+          .agg(count(lit(1)), sum($"total_cents")).collect()(0) match {
+          case r => Array(r.getLong(0), r.getLong(1))
+        }
+        (v, if (isCur) 1L else 0L, n, c)
       }
-      (v, if (isCur) 1L else 0L, n, c)
-    }
-    val removed = store.vacuum(keep = 2).toSet
-    val rows = pre.map { case (v, isCur, n, c) =>
-      val loadOk = store.loadVersion(spark, v) match {
-        case Some(df) => if (df.count() == n) 1L else -1L // content intact?
-        case None => 0L
+      val removed = store.vacuum(keep = 2).toSet
+      val rows = pre.map { case (v, isCur, n, c) =>
+        val loadOk = store.loadVersion(spark, v) match {
+          case Some(df) => if (df.count() == n) 1L else -1L // content intact?
+          case None => 0L
+        }
+        (v, isCur, n, c,
+          if (removed(v)) "expired" else "retained", loadOk)
       }
-      (v, isCur, n, c,
-        if (removed(v)) "expired" else "retained", loadOk)
-    }
-    rows.toDF("version", "is_current", "n_orders", "sum_cents",
-        "status", "load_ok")
-      .transform(Tables.ordered(_, $"version"))
+      // every probe above is already collected to the driver — the
+      // result DataFrame below is built from local rows, so the store
+      // can be reclaimed eagerly (no lazy scan escapes this method)
+      rows.toDF("version", "is_current", "n_orders", "sum_cents",
+          "status", "load_ok")
+        .transform(Tables.ordered(_, $"version"))
+    } finally deleteRecursively(storeDir)
   }
 
   /** p16 oracle: p11's cutoff recomputation + the static keep-2

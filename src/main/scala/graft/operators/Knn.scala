@@ -104,9 +104,18 @@ object Knn {
     */
   private[operators] def denseScored(spark: SparkSession, dir: String,
       queryPred: String, corpusPred: String): DataFrame = {
-    import spark.implicits._
     val e = vectors(spark, dir)
-    val bc = spark.sparkContext.broadcast(codebook(e, queryPred))
+    denseScoredFor(e, codebook(e, queryPred), corpusPred)
+  }
+
+  /** [[denseScored]] for an ARBITRARY query array (the serving door's
+    * per-micro-batch ground-truth arm): queries broadcast, corpus
+    * streams — the corpus never leaves its partitions.
+    */
+  private[operators] def denseScoredFor(e: DataFrame,
+      qs: Array[(Long, Array[Double])], corpusPred: String): DataFrame = {
+    import e.sparkSession.implicits._
+    val bc = e.sparkSession.sparkContext.broadcast(qs)
     e.filter(corpusPred).select($"vec_id", $"nv")
       .as[(Long, Array[Double])]
       .mapPartitions(_.flatMap { case (cid, cv) =>
@@ -2011,10 +2020,55 @@ object Knn {
       .sortBy { case (cid, s) => (-s, cid) }
       .take(nProbes).map(_._1).toSeq
 
+  /** The PARTITIONED serving index — the bounded-load form of the
+    * trained index: corpus vectors, the navigable graph and the
+    * per-cell entry representatives stay DataFrames (partitioned on
+    * executors, cached, NEVER collected); the only driver-resident
+    * piece is the ≤ [[v21Cents]]-entry coarse codebook. This is what
+    * the streaming door (s35) loads — at 100 TB the index side of
+    * every serve join stays distributed, where a collected-map index
+    * would OOM the driver before the first micro-batch.
+    */
+  private[graft] case class V21Static(e: DataFrame, graph: DataFrame,
+      reps: DataFrame, cents: Array[(Long, Array[Double])])
+
+  private[graft] def v21Static(spark: SparkSession, dir: String): V21Static = {
+    val e = vectors(spark, dir)
+    val (graph, reps, cents) = v21Index(spark, e)
+    // reps is (cells × v21Reps) rows — persist so per-micro-batch
+    // serve joins reuse it instead of re-ranking nodeCent each batch
+    V21Static(e, graph, reps.persist(), cents)
+  }
+
   private[graft] def v21Search(spark: SparkSession, dir: String,
       keepAll: Boolean = false): (Seq[DataFrame], DataFrame) = {
     import spark.implicits._
-    val e = vectors(spark, dir)
+    val ix = v21Static(spark, dir)
+    // ≤ 10-query codebook broadcast (the bounded boundary all v-ops share)
+    val qsArr = codebook(ix.e, "vec_id < 10")
+    val states = v21SearchOn(ix, qsArr, keepAll)
+    val brute = topK(denseScored(spark, dir, "vec_id < 10", "vec_id >= 10"),
+        "cos_sim", knnK)
+      .select($"qid", $"vec_id", lit(1L).as("hit"))
+    (states, brute)
+  }
+
+  /** The best-first hop loop over the PARTITIONED index for an
+    * arbitrary query set — factored from [[v21Search]] so the batch
+    * query (all 10 corpus queries at once) and the streaming door's
+    * per-micro-batch serve run the IDENTICAL code: same IVF probe,
+    * same `exp` discipline, same quantized scores and
+    * (score DESC, node) tie-breaks. Only the query set (bounded —
+    * micro-batch-sized at the door) is broadcast; graph hops and
+    * vector scoring are id-equality joins against the partitioned
+    * index.
+    */
+  private[graft] def v21SearchOn(ix: V21Static,
+      qsArr: Array[(Long, Array[Double])], keepAll: Boolean = false)
+      : Seq[DataFrame] = {
+    val spark = ix.e.sparkSession
+    import spark.implicits._
+    val e = ix.e
     // traverse UNDIRECTED (kNN edges + their reverses, deduped) —
     // HNSW's bidirectional-link rule: a node many others point at
     // becomes reachable THROUGH them, where the directed kNN graph
@@ -2024,9 +2078,7 @@ object Knn {
     // each cluster's v21Reps members nearest the centroid as entry
     // representatives, and seed each query at its v21Probes nearest
     // clusters' representatives.
-    val (graph, reps, cents) = v21Index(spark, e)
-    // ≤ 10-query codebook broadcast (the bounded boundary all v-ops share)
-    val qsArr = codebook(e, "vec_id < 10")
+    val (graph, reps, cents) = (ix.graph, ix.reps, ix.cents)
     val qCb = spark.sparkContext.broadcast(qsArr.toMap)
     def score(nodes: DataFrame): DataFrame =
       nodes.join(e.select($"vec_id".as("node"), $"nv"), Seq("node"))
@@ -2081,23 +2133,39 @@ object Knn {
       states += next
       hop += 1
     }
-    val brute = topK(denseScored(spark, dir, "vec_id < 10", "vec_id >= 10"),
-        "cos_sim", knnK)
-      .select($"qid", $"vec_id", lit(1L).as("hit"))
-    (states.toSeq, brute)
+    states.toSeq
   }
 
   def v21(spark: SparkSession, dir: String): DataFrame = {
+    val ix = v21Static(spark, dir)
+    v21ServeBatch(ix, codebook(ix.e, "vec_id < 10"))
+      .transform(graft.Tables.ordered(_, col("qid"), col("rnk")))
+  }
+
+  /** Serve a QUERY BATCH against the partitioned index — batch v21's
+    * exact tail (same beam top-k, same brute ground-truth flag) on an
+    * arbitrary query set. This is the streaming door's (s35) per-
+    * micro-batch unit: the only broadcast/driver-resident data is the
+    * query batch itself plus the ≤ [[v21Cents]]-entry codebook; the
+    * graph, the entry reps and every corpus vector stay partitioned.
+    * (The brute `in_exact` arm scans the corpus once per batch — the
+    * evaluation-only exception, exactly batch v21's; a production
+    * door drops the flag and with it the scan.)
+    */
+  private[graft] def v21ServeBatch(ix: V21Static,
+      qs: Array[(Long, Array[Double])]): DataFrame = {
+    val spark = ix.e.sparkSession
     import spark.implicits._
-    val (states, brute) = v21Search(spark, dir)
+    val states = v21SearchOn(ix, qs)
     val beamTop = states.last.withColumn("rnk", row_number().over(
         Window.partitionBy($"qid").orderBy($"score".desc, $"node")))
       .filter($"rnk" <= knnK)
       .select($"qid", $"rnk", $"node".as("vec_id"), $"score".as("cos_sim"))
+    val brute = topK(denseScoredFor(ix.e, qs, "vec_id >= 10"), "cos_sim", knnK)
+      .select($"qid", $"vec_id", lit(1L).as("hit"))
     beamTop.join(brute, Seq("qid", "vec_id"), "left")
       .selectExpr("qid", "rnk", "vec_id", "cos_sim",
         "coalesce(hit, CAST(0 AS BIGINT)) AS in_exact")
-      .transform(graft.Tables.ordered(_, $"qid", $"rnk"))
   }
 
   /** v21 oracle: the corpus-only graph from the generated plane
@@ -2238,68 +2306,6 @@ object Knn {
       |  (n_hits * 1000) // n_top AS recall_permille
       |FROM ($un)
       |ORDER BY hop""".stripMargin
-  }
-
-  // ---------- v21 serving kernel (the streaming door's index) ----------
-
-  /** The COLLECTED form of [[v21Index]] — what an ANN serving fleet
-    * actually holds in memory: adjacency, node vectors, per-cell
-    * entry representatives and the centroid codebook, trained once
-    * in batch and broadcast to the query path (exactly how
-    * HNSW/FAISS serving deploys: the index lives on the servers,
-    * queries are stateless). `exact` carries the corpus vectors for
-    * the in_exact evaluation flag — at real scale that column is
-    * the offline-eval harness's job, here it keeps the streaming
-    * door bitwise-equal to batch v21.
-    */
-  private[graft] case class V21Served(adj: Map[Long, Array[Long]],
-      vecs: Map[Long, Array[Double]],
-      reps: Map[Long, Array[Long]],
-      cents: Array[(Long, Array[Double])])
-
-  private[graft] def v21Trained(spark: SparkSession, dir: String): V21Served = {
-    import spark.implicits._
-    val e = vectors(spark, dir)
-    val (graph, reps, cents) = v21Index(spark, e)
-    val adj = graph.as[(Long, Long)].collect().groupBy(_._1)
-      .map { case (s, ps) => s -> ps.map(_._2).sorted }
-    val vecs = e.filter("vec_id >= 10").select($"vec_id", $"nv")
-      .as[(Long, Array[Double])].collect().toMap
-    val repsM = reps.as[(Long, Long)].collect().groupBy(_._1)
-      .map { case (c, ps) => c -> ps.map(_._2).sorted }
-    V21Served(adj, vecs, repsM, cents)
-  }
-
-  /** One query served against the loaded index — the EXACT
-    * sequential equivalent of [[v21Search]]'s distributed hop loop
-    * (same IVF probe, same best-first `exp` discipline, same
-    * quantized scores and (score DESC, node) tie-breaks), so the
-    * streaming door's rows are bitwise-equal to batch v21's.
-    * Work per query: O(probes·reps + hops·beam·degree) score
-    * evaluations — corpus-size-independent (the in_exact ground
-    * truth is the one evaluation-only exception, documented above).
-    */
-  private[graft] def v21ServeOne(qid: Long, qv: Array[Double],
-      ix: V21Served, hops: Int = v21Hops, nProbes: Int = v21Probes)
-      : Seq[(Long, Int, Long, Double, Long)] = {
-    val seeds = v21Probe(qv, ix.cents, nProbes)
-      .flatMap(cid => ix.reps.getOrElse(cid, Array.empty[Long]))
-    var visited = seeds.map(n => n -> cosQ(qv, ix.vecs(n))).toMap
-    var expanded = Set.empty[Long]
-    (1 to hops).foreach { _ =>
-      val frontier = visited.filterNot(kv => expanded(kv._1)).toSeq
-        .sortBy { case (n, s) => (-s, n) }.take(v21Beam).map(_._1)
-      expanded ++= frontier
-      val cands = frontier.flatMap(n => ix.adj.getOrElse(n, Array.empty[Long]))
-        .distinct.filterNot(visited.contains)
-      visited ++= cands.map(n => n -> cosQ(qv, ix.vecs(n)))
-    }
-    val brute = ix.vecs.toSeq.map { case (cid, cv) => (cid, cosQ(qv, cv)) }
-      .sortBy { case (cid, c) => (-c, cid) }.take(knnK).map(_._1).toSet
-    visited.toSeq.sortBy { case (n, s) => (-s, n) }.take(knnK).zipWithIndex
-      .map { case ((n, s), i) =>
-        (qid, i + 1, n, s, if (brute(n)) 1L else 0L)
-      }
   }
 
   // ---------- v25: contrastive hard-negative mining ----------

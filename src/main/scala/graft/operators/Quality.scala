@@ -547,8 +547,8 @@ object Quality {
       df.groupBy(col(vcol)).agg(count(lit(1)).as("cnt"))
         .withColumn("cum", sum($"cnt").over(w.orderBy(col(vcol))))
         .withColumn("tot", sum($"cnt").over(w.partitionBy()))
-        .agg((min(when($"cum" * 2 >= $"tot" + 1, col(vcol))) +
-          min(when($"cum" * 2 >= $"tot" + 2, col(vcol)))).as("med2"))
+        .agg((min(when($"cum" * 2 >= $"tot", col(vcol))) +
+          min(when($"cum" * 2 >= $"tot" + 1, col(vcol)))).as("med2"))
     val days = dq6Days(spark, dir)
     val med2 = medOf(days, "m").collect()(0).getLong(0)
     val mad4 = medOf(days.selectExpr(s"abs(2 * m - $med2) AS dev2"), "dev2")
@@ -579,16 +579,16 @@ object Quality {
       |h1 AS (SELECT m, count(*) AS cnt FROM dm GROUP BY 1),
       |c1 AS (SELECT m, sum(cnt) OVER (ORDER BY m) AS cum,
       |        sum(cnt) OVER () AS tot FROM h1),
-      |md AS (SELECT CAST(min(CASE WHEN cum * 2 >= tot + 1 THEN m END)
-      |          + min(CASE WHEN cum * 2 >= tot + 2 THEN m END) AS BIGINT) AS med2
+      |md AS (SELECT CAST(min(CASE WHEN cum * 2 >= tot THEN m END)
+      |          + min(CASE WHEN cum * 2 >= tot + 1 THEN m END) AS BIGINT) AS med2
       |      FROM c1),
       |dv AS (SELECT day, n_events, m, med2, abs(2 * m - med2) AS dev2
       |      FROM dm, md),
       |h2 AS (SELECT dev2, count(*) AS cnt FROM dv GROUP BY 1),
       |c2 AS (SELECT dev2, sum(cnt) OVER (ORDER BY dev2) AS cum,
       |        sum(cnt) OVER () AS tot FROM h2),
-      |mc AS (SELECT CAST(min(CASE WHEN cum * 2 >= tot + 1 THEN dev2 END)
-      |          + min(CASE WHEN cum * 2 >= tot + 2 THEN dev2 END) AS BIGINT) AS mad4
+      |mc AS (SELECT CAST(min(CASE WHEN cum * 2 >= tot THEN dev2 END)
+      |          + min(CASE WHEN cum * 2 >= tot + 1 THEN dev2 END) AS BIGINT) AS mad4
       |      FROM c2)
       |SELECT day, n_events, m, med2, dev2, mad4,
       |  CAST(CASE WHEN 2 * dev2 > 3 * mad4 THEN 1 ELSE 0 END AS BIGINT) AS is_outlier

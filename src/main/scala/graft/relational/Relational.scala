@@ -868,8 +868,9 @@ object Relational {
     * only — l_quantity has ~50 distinct values regardless of row
     * count, so the window input stays tiny at any corpus scale.
     * Median = mean of the two middle order statistics, located by
-    * cross-multiplied cumulative counts (`2*cum >= tot+1` resp.
-    * `tot+2` — integer, no division); mode = highest count with
+    * cross-multiplied cumulative counts (`2*cum >= tot` locates the
+    * lower middle, `2*cum >= tot+1` the upper — correct in both
+    * parities, integer, no division); mode = highest count with
     * smallest-value tie-break. The +/2.0 on two integral doubles is
     * exact in IEEE754, so the result is bitwise cross-engine.
     */
@@ -885,8 +886,8 @@ object Relational {
       .withColumn("rn", row_number().over(grp.orderBy($"cnt".desc, $"l_quantity")))
     c.groupBy($"l_returnflag", $"l_linestatus")
       .agg(max($"tot").as("n_rows"),
-        ((min(when($"cum" * 2 >= $"tot" + 1, $"l_quantity")) +
-          min(when($"cum" * 2 >= $"tot" + 2, $"l_quantity"))) / 2.0).as("median_qty"),
+        ((min(when($"cum" * 2 >= $"tot", $"l_quantity")) +
+          min(when($"cum" * 2 >= $"tot" + 1, $"l_quantity"))) / 2.0).as("median_qty"),
         min(when($"rn" === 1, $"l_quantity")).as("mode_qty"),
         max(when($"rn" === 1, $"cnt")).as("mode_cnt"))
       .transform(Tables.ordered(_, $"l_returnflag", $"l_linestatus"))
@@ -909,8 +910,8 @@ object Relational {
       |                       ORDER BY cnt DESC, l_quantity) AS rn
       |  FROM hist)
       |SELECT l_returnflag, l_linestatus, CAST(max(tot) AS BIGINT) AS n_rows,
-      |  (min(CASE WHEN cum * 2 >= tot + 1 THEN l_quantity END)
-      |   + min(CASE WHEN cum * 2 >= tot + 2 THEN l_quantity END)) / 2.0 AS median_qty,
+      |  (min(CASE WHEN cum * 2 >= tot THEN l_quantity END)
+      |   + min(CASE WHEN cum * 2 >= tot + 1 THEN l_quantity END)) / 2.0 AS median_qty,
       |  min(CASE WHEN rn = 1 THEN l_quantity END) AS mode_qty,
       |  CAST(max(CASE WHEN rn = 1 THEN cnt END) AS BIGINT) AS mode_cnt
       |FROM c
@@ -1249,47 +1250,33 @@ object Relational {
     * At fixture scale the dimension side would broadcast (which
     * disables the rule — a broadcast join already prunes at probe
     * time), so the query pins `autoBroadcastJoinThreshold = -1` and
-    * the rule's size thresholds DURING PLANNING to reproduce the
-    * large-large shuffle-join shape the optimization exists for;
-    * the physical plan is forced while the confs hold and every
-    * conf is restored before returning (the shared Verify session
-    * must not inherit them).
+    * the rule's size thresholds to reproduce the large-large
+    * shuffle-join shape the optimization exists for. The confs live
+    * in a dedicated CHILD SESSION ([[graft.ChildSessions]] — the
+    * same scoping streaming uses): the shared session is never
+    * mutated, so a query planned concurrently elsewhere cannot
+    * inherit the overrides (the set-and-restore window the previous
+    * formulation left open).
     */
   def q39(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    val keys = Seq(
-      "spark.sql.optimizer.runtime.bloomFilter.enabled",
-      "spark.sql.autoBroadcastJoinThreshold",
-      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
-      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold")
-    val saved = keys.map(k => k -> spark.conf.getOption(k)).toMap
-    try {
-      spark.conf.set(keys(0), "true")
-      spark.conf.set(keys(1), "-1")
-      spark.conf.set(keys(2), "100MB")
-      spark.conf.set(keys(3), "0")
-      val o = Tables.orders(spark, dir)
-        .filter("o_orderdate >= TIMESTAMP '1995-01-01 00:00:00' AND " +
-          "o_orderdate < TIMESTAMP '1995-04-01 00:00:00'")
-        .select($"o_orderkey")
-      val l = Tables.lineitem(spark, dir)
-        .select($"l_orderkey", $"l_returnflag", $"l_quantity")
-      val df = l.join(o, l("l_orderkey") === o("o_orderkey"))
-        .groupBy($"l_returnflag")
-        .agg(count(lit(1)).as("n_items"),
-          sum($"l_quantity".cast("long")).as("sum_qty"))
-        .transform(graft.Tables.ordered(_, $"l_returnflag"))
-      // force physical planning while the runtime-filter confs hold;
-      // the phases cache on the QueryExecution, so later execution
-      // reuses THIS plan
-      df.queryExecution.executedPlan
-      df
-    } finally {
-      saved.foreach {
-        case (k, Some(v)) => spark.conf.set(k, v)
-        case (k, None) => spark.conf.unset(k)
-      }
+    val ns = graft.ChildSessions.of(spark, "q39-runtime-filter") { s =>
+      s.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      s.conf.set("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "100MB")
+      s.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
     }
+    val o = Tables.orders(ns, dir)
+      .filter("o_orderdate >= TIMESTAMP '1995-01-01 00:00:00' AND " +
+        "o_orderdate < TIMESTAMP '1995-04-01 00:00:00'")
+      .select(col("o_orderkey"))
+    val l = Tables.lineitem(ns, dir)
+      .select(col("l_orderkey"), col("l_returnflag"), col("l_quantity"))
+    l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_items"),
+        sum(col("l_quantity").cast("long")).as("sum_qty"))
+      .transform(graft.Tables.ordered(_, col("l_returnflag")))
   }
 
   /** q39 oracle: the plain join — the rewrite must be semantically

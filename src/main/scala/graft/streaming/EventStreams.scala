@@ -1084,118 +1084,145 @@ object EventStreams {
   val s34Sql: String = graft.operators.Knn.v24Sql
 
   /** s35: STREAMING GRAPH-ANN DOOR — v21's beam search at the
-    * query-ingest boundary, the v24/s34 train-offline/serve-online
-    * pattern applied to the serving index itself: the degree-16
-    * kNN graph, node vectors, IVF entry representatives and the
-    * centroid codebook are trained in batch
-    * ([[graft.operators.Knn.v21Trained]] — the same distributed
-    * build v21 runs, collected the way an ANN serving fleet loads
-    * its index) and BROADCAST to the stream; each arriving query
-    * vector is served by a stateless per-row best-first search
-    * ([[graft.operators.Knn.v21ServeOne]] — same probe, same `exp`
-    * discipline, same quantized scores and tie-breaks), emitting
-    * v21's exact rows. ZERO streaming state (the s17/s31/s34
-    * stateless-door class): per-query work is O(probes·reps +
-    * hops·beam·degree) score evaluations against the loaded index,
-    * whatever the arrival rate. Oracle IS v21Sql (twin contract);
-    * the spec feeds queries across multiple MemoryStream batches
-    * and pins bitwise equality with batch v21.
+    * query-ingest boundary, PARTITION-ROUTED: the degree-16 kNN
+    * graph, node vectors and IVF entry representatives are trained
+    * in batch and stay PARTITIONED DataFrames
+    * ([[graft.operators.Knn.v21Static]] — cached on executors,
+    * never collected; the only driver-resident index piece is the
+    * ≤ 8-entry coarse codebook). Each micro-batch routes its
+    * arriving queries to their probed cells and runs batch v21's
+    * OWN hop-loop joins ([[graft.operators.Knn.v21ServeBatch]] —
+    * stream-static equality joins against the partitioned index,
+    * the exact join shape batch v21 uses), emitting v21's exact
+    * rows. ZERO streaming state; the bounded side of every join is
+    * the micro-batch's query set (arrival-rate-sized), so at 100 TB
+    * the index grows with the corpus while nothing
+    * corpus-proportional ever reaches the driver or a broadcast.
+    * Oracle IS v21Sql (twin contract); the spec feeds queries
+    * across multiple MemoryStream batches and pins bitwise equality
+    * with batch v21.
     */
   def s35(spark: SparkSession, dir: String): DataFrame = {
     val ss = streamSession(spark)
     graft.Tables.tsConfs(ss)
-    import ss.implicits._
-    val ix = ss.sparkContext.broadcast(graft.operators.Knn.v21Trained(ss, dir))
+    val ix = graft.operators.Knn.v21Static(ss, dir)
     val schema = ss.read.parquet(s"$dir/embeddings.parquet").schema
     val src = graft.operators.Knn.normalized(
         ss.readStream.schema(schema)
           .option("pathGlobFilter", "embeddings.parquet").parquet(dir))
       .filter(col("vec_id") < 10)
-      .select(col("vec_id"), col("nv")).as[(Long, Array[Double])]
-    runToTable(ss, graphAnnDoor(src, ix), OutputMode.Append())
+      .select(col("vec_id"), col("nv"))
+    runBatched(src, b => graphAnnServe(ix, b))
       .transform(graft.Tables.ordered(_, col("qid"), col("rnk")))
   }
 
-  /** The door's serving stage over any normalized (qid, nv) query
-    * feed — factored so the MemoryStream spec drives the identical
-    * code across batches. Stateless: one flatMap row → ≤k rows.
+  /** One micro-batch through the partition-routed serving path —
+    * factored so the MemoryStream spec drives the identical code
+    * across batches. The batch's queries (the BOUNDED side) are
+    * collected and broadcast; everything corpus-sized stays in the
+    * partitioned index joins.
     */
-  private[graft] def graphAnnDoor(src: Dataset[(Long, Array[Double])],
-      ix: org.apache.spark.broadcast.Broadcast[graft.operators.Knn.V21Served])
-      : DataFrame = {
-    val ss = src.sparkSession
+  private[graft] def graphAnnServe(ix: graft.operators.Knn.V21Static,
+      batch: DataFrame): DataFrame = {
+    val ss = batch.sparkSession
     import ss.implicits._
-    src.mapPartitions(_.flatMap { case (qid, qv) =>
-      graft.operators.Knn.v21ServeOne(qid, qv, ix.value)
-    }).toDF("qid", "rnk", "vec_id", "cos_sim", "in_exact")
+    val qs = batch.select(col("vec_id"), col("nv"))
+      .as[(Long, Array[Double])].collect().sortBy(_._1)
+    graft.operators.Knn.v21ServeBatch(ix, qs)
+  }
+
+  /** Drive a streaming source through a PER-MICRO-BATCH batch
+    * transform (`foreachBatch`) and return the accumulated output —
+    * the runner for serving doors whose trained index is the
+    * PARTITIONED static side of stream-static joins rather than a
+    * driver-collected map. Zero streaming state (any aggregation
+    * completes WITHIN the micro-batch); the driver accumulates only
+    * the door's OUTPUT rows — the memory sink's own contract,
+    * output-sized, never corpus-sized.
+    */
+  private def runBatched(src: DataFrame,
+      f: DataFrame => DataFrame): DataFrame = {
+    val ss = src.sparkSession
+    val buf = scala.collection.mutable.ArrayBuffer
+      .empty[org.apache.spark.sql.Row]
+    var schema: org.apache.spark.sql.types.StructType = null
+    val q = src.writeStream.outputMode(OutputMode.Append())
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        val r = f(b)
+        schema = r.schema
+        buf ++= r.collect()
+        ()
+      }.start()
+    try q.processAllAvailable() finally q.stop()
+    require(schema != null, "streaming source produced no micro-batch")
+    import scala.jdk.CollectionConverters._
+    ss.createDataFrame(buf.asJava, schema)
   }
 
   /** s35 oracle: v21's, verbatim — the twin contract. */
   val s35Sql: String = graft.operators.Knn.v21Sql
 
   /** s36: STREAMING WINNOWING DOOR — d23's MOSS fingerprint dedup at
-    * the document-ingest boundary (the train-offline/serve-online
-    * split on the FINGERPRINT grain): the stored corpus's capped
-    * fingerprint index ([[graft.operators.Dedup.d23Fps]] — the SAME
-    * winnowing selection + df cap the batch pair join uses,
-    * collected fp → sorted doc list) is broadcast; each arriving
-    * document is fingerprinted ROW-LOCALLY
+    * the document-ingest boundary, PARTITION-ROUTED (the
+    * train-offline/serve-online split on the FINGERPRINT grain):
+    * the stored corpus's capped fingerprint index
+    * ([[graft.operators.Dedup.d23Fps]] — the SAME winnowing
+    * selection + df cap the batch pair join uses) stays a
+    * PARTITIONED DataFrame, cached on executors and NEVER
+    * collected. Each arriving document is fingerprinted ROW-LOCALLY
     * ([[graft.operators.Dedup.winnowOne]] — winnowing needs only
-    * the document's own text, so extraction is stateless) and
-    * matched against index entries with SMALLER doc ids ("does
-    * this new document plagiarize anything already ingested"), so
-    * across the whole stream every d23 pair surfaces exactly once
-    * and the oracle IS d23Sql (twin contract). The w+k−1 = 19-char
-    * detection GUARANTEE holds at the door: any long-enough
-    * overlap with an indexed document shares a fingerprint by
-    * construction, not in expectation. ZERO streaming state; per
-    * arriving row the work is one winnowing pass + bounded index
-    * probes (each fp's posting list is df-capped at
-    * [[graft.operators.Dedup.d23DfCap]]).
+    * the document's own text, so extraction is stateless), exploded
+    * to its fingerprint keys, and equality-joined against the
+    * partitioned index per micro-batch — exactly batch d23's join
+    * shape, with the pair count completing WITHIN the batch (all of
+    * a document's fingerprints arrive with it). Matching keeps only
+    * SMALLER indexed doc ids ("does this new document plagiarize
+    * anything already ingested"), so across the whole stream every
+    * d23 pair surfaces exactly once and the oracle IS d23Sql (twin
+    * contract). The w+k−1 = 19-char detection GUARANTEE holds at
+    * the door: any long-enough overlap with an indexed document
+    * shares a fingerprint by construction, not in expectation.
+    * ZERO streaming state; at 100 TB the index side of the join
+    * grows with the corpus while the driver holds nothing
+    * corpus-proportional — per-fp fan-in stays df-capped at
+    * [[graft.operators.Dedup.d23DfCap]].
     */
   def s36(spark: SparkSession, dir: String): DataFrame = {
     val ss = streamSession(spark)
     graft.Tables.tsConfs(ss)
-    import ss.implicits._
-    val index: Map[Long, Array[Long]] = graft.operators.Dedup.d23Fps(ss, dir)
-      .as[(Long, Long)].collect()
-      .groupBy(_._1).map { case (fp, ps) => fp -> ps.map(_._2).sorted }
-    val bc = ss.sparkContext.broadcast(index)
+    val index = graft.operators.Dedup.d23Fps(ss, dir)
+      .select(col("doc_id").as("id_a"), col("fp")).persist()
+    index.count() // materialize ONCE — per-batch joins reuse the cache
     val schema = ss.read.parquet(s"$dir/documents.parquet").schema
     val src = ss.readStream.schema(schema)
       .option("pathGlobFilter", "documents.parquet").parquet(dir)
-      .selectExpr("doc_id", "text").as[(Long, String)]
-    val pairs = winnowDoor(src, bc)
-    runToTable(ss, pairs, OutputMode.Append())
+      .selectExpr("doc_id", "text")
+    try runBatched(src, b => winnowServe(index, b))
       .transform(graft.Tables.ordered(_, col("id_a"), col("id_b")))
+    finally index.unpersist()
   }
 
-  /** The door's matching stage over any (doc_id, text) feed —
+  /** One micro-batch through the partition-routed winnowing door —
     * factored so the MemoryStream spec drives the identical code
-    * across batches. Stateless flatMap: fingerprint, probe the
-    * broadcast index, count shared fingerprints per smaller-id
-    * indexed doc, emit pairs at the d23 τ.
+    * across batches. Row-local fingerprint extraction, then an
+    * fp-equality join against the partitioned index and an in-batch
+    * pair count at the d23 τ — no text and no corpus structure ever
+    * rides a broadcast or lands on the driver.
     */
-  private[graft] def winnowDoor(src: Dataset[(Long, String)],
-      bc: org.apache.spark.broadcast.Broadcast[Map[Long, Array[Long]]])
+  private[graft] def winnowServe(index: DataFrame, batch: DataFrame)
       : DataFrame = {
-    val ss = src.sparkSession
+    val ss = batch.sparkSession
     import ss.implicits._
-    src.mapPartitions { it =>
-      val ix = bc.value
-      it.flatMap { case (docId, text) =>
-        val counts = scala.collection.mutable.Map.empty[Long, Long]
-        graft.operators.Dedup.winnowOne(text).foreach { fp =>
-          ix.getOrElse(fp, Array.empty[Long]).foreach { b =>
-            if (b < docId) counts(b) = counts.getOrElse(b, 0L) + 1L
-          }
-        }
-        counts.toSeq
-          .filter(_._2 >= graft.operators.Dedup.d23Tau)
-          .sortBy(_._1)
-          .map { case (b, n) => (b, docId, n) }
-      }
-    }.toDF("id_a", "id_b", "n_shared")
+    val fps = batch.select(col("doc_id"), col("text")).as[(Long, String)]
+      .flatMap { case (docId, text) =>
+        graft.operators.Dedup.winnowOne(text).iterator.map(fp => (fp, docId))
+      }.toDF("fp", "id_b")
+    fps.join(index, Seq("fp"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= graft.operators.Dedup.d23Tau)
+      .select(col("id_a"), col("id_b"), col("n_shared"))
   }
 
   /** s36 oracle: d23's, verbatim — the twin contract. */

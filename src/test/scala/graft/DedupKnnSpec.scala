@@ -1861,6 +1861,31 @@ class DedupKnnSpec extends AnyFunSuite {
     assert(viol, "below-threshold shares never miss - window math suspect")
   }
 
+  test("winnowOne counts code points like Spark SQL — parity on supplementary-plane text") {
+    val w = org.apache.spark.sql.expressions.Window
+    val base = "the quick brown fox jumps over the lazy dog"
+    // U+1F600/U+1F680 are TWO UTF-16 code units but ONE code point to
+    // Spark SQL length()/substring() — the door must agree with the
+    // batch formulation on exactly this class of text
+    val text = base.take(10) + "\uD83D\uDE00\uD83D\uDE03" + base.drop(10) +
+      " \uD83D\uDE80 rocket tail"
+    val (k, win) = (16, 4)
+    val byDoc = w.partitionBy($"doc_id")
+    val sparkFps = Seq((1L, text)).toDF("doc_id", "text")
+      .selectExpr("doc_id", "text", "length(text) AS n")
+      .filter($"n" >= k + win - 1)
+      .selectExpr("doc_id", "text", s"explode(sequence(1, n - ${k - 1})) AS pos")
+      .withColumn("h", graft.functions.Fnv64.fnv64(expr(s"substring(text, pos, $k)")))
+      .withColumn("wmin", min($"h").over(byDoc.orderBy($"pos").rowsBetween(0, win - 1)))
+      .withColumn("npos", max($"pos").over(byDoc))
+      .filter($"pos" <= $"npos" - (win - 1))
+      .select($"wmin").as[Long].collect().toSet
+    assert(sparkFps.nonEmpty && Dedup.winnowOne(text) == sparkFps)
+    // the k+w-1 length gate must count code points too: 18 emoji =
+    // 36 UTF-16 units (old gate passes) but 18 code points (< 19)
+    assert(Dedup.winnowOne("\uD83D\uDE00" * 18).isEmpty)
+  }
+
   test("v23: label-noise audit discriminates geometric from geometry-free labels") {
     val rows = graft.operators.Knn.v23(spark, SharedSpark.sf).collect()
       .map(r => (r.getAs[String]("label_src"), r.getAs[Long]("vec_id"),

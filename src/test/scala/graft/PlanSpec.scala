@@ -156,7 +156,7 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
-  test("q39: the runtime bloom filter lands in the plan and confs restore") {
+  test("q39: the runtime bloom filter lands in the plan; shared session untouched") {
     val before = Seq(
       "spark.sql.autoBroadcastJoinThreshold",
       "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold")
@@ -168,7 +168,8 @@ class PlanSpec extends AnyFunSuite {
     val p = df.queryExecution.executedPlan.toString
     assert(p.toLowerCase.contains("bloom"),
       s"runtime bloom filter did not inject:\n${p.take(4000)}")
-    // and the session is left exactly as found (shared Verify session)
+    // the overrides live in q39's child session — the shared Verify
+    // session is never mutated, not even transiently
     before.foreach { case (k, v) =>
       assert(spark.conf.getOption(k) == v, s"conf $k leaked")
     }

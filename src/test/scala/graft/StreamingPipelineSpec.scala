@@ -1101,8 +1101,11 @@ class StreamingPipelineSpec extends AnyFunSuite {
 
   test("s35 door is batch-split invariant: queries across MemoryStream batches") {
     import spark.implicits._
-    val ix = spark.sparkContext.broadcast(
-      graft.operators.Knn.v21Trained(spark, sf))
+    val ix = graft.operators.Knn.v21Static(spark, sf)
+    // the driver-side state bound: the ONLY driver-resident index
+    // piece is the coarse codebook (≤ v21Cents entries) — adjacency,
+    // reps and corpus vectors are partitioned DataFrames, never maps
+    assert(ix.cents.length <= 8)
     // raw (un-normalized) query vectors, as they'd arrive on the wire
     val raw = graft.Tables.embeddings(spark, sf)
       .filter(col("vec_id") < 10)
@@ -1112,19 +1115,23 @@ class StreamingPipelineSpec extends AnyFunSuite {
     val mem = MemoryStream[(Long, Seq[Double])]
     val src = graft.operators.Knn.normalized(
         mem.toDF().toDF("vec_id", "embedding"))
-      .select(col("vec_id"), col("nv")).as[(Long, Array[Double])]
-    val out = graft.streaming.EventStreams.graphAnnDoor(src, ix)
-    val q = out.writeStream.format("memory").queryName("s35_mem")
-      .outputMode("append").start()
+      .select(col("vec_id"), col("nv"))
+    val buf = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Int, Long, Double, Long)]
+    val q = src.writeStream.outputMode("append")
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        buf ++= graft.streaming.EventStreams.graphAnnServe(ix, b).collect()
+          .map(r => (r.getAs[Long]("qid"), r.getAs[Int]("rnk"),
+            r.getAs[Long]("vec_id"), r.getAs[Double]("cos_sim"),
+            r.getAs[Long]("in_exact")))
+        ()
+      }.start()
     try {
       mem.addData(raw.take(4).toSeq); q.processAllAvailable()
       mem.addData(raw.slice(4, 7).toSeq); q.processAllAvailable()
       mem.addData(raw.drop(7).toSeq); q.processAllAvailable()
     } finally q.stop()
-    val got = spark.table("s35_mem").collect()
-      .map(r => (r.getAs[Long]("qid"), r.getAs[Int]("rnk"),
-        r.getAs[Long]("vec_id"), r.getAs[Double]("cos_sim"),
-        r.getAs[Long]("in_exact"))).toSeq.sorted
+    val got = buf.toSeq.sorted
     val batch = graft.operators.Knn.v21(spark, sf).collect()
       .map(r => (r.getAs[Long]("qid"), r.getAs[Int]("rnk"),
         r.getAs[Long]("vec_id"), r.getAs[Double]("cos_sim"),
@@ -1143,27 +1150,31 @@ class StreamingPipelineSpec extends AnyFunSuite {
 
   test("s36 door is batch-split invariant and the guarantee bites at the door") {
     import spark.implicits._
+    // the partitioned index — a DataFrame, never collected (the
+    // driver-side state bound the door claims)
     val index = graft.operators.Dedup.d23Fps(spark, sf)
-      .as[(Long, Long)].collect()
-      .groupBy(_._1).map { case (fp, ps) => fp -> ps.map(_._2).sorted }
-    val bc = spark.sparkContext.broadcast(index)
+      .select(col("doc_id").as("id_a"), col("fp")).persist()
     val docs = graft.Tables.documents(spark, sf)
       .selectExpr("doc_id", "text").as[(Long, String)]
       .collect().sortBy(_._1)
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, String)]
-    val out = graft.streaming.EventStreams.winnowDoor(
-      mem.toDF().toDF("doc_id", "text").as[(Long, String)], bc)
-    val q = out.writeStream.format("memory").queryName("s36_mem")
-      .outputMode("append").start()
+    val buf = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+    val q = mem.toDF().toDF("doc_id", "text").writeStream
+      .outputMode("append")
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        buf ++= graft.streaming.EventStreams.winnowServe(index, b).collect()
+          .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"),
+            r.getAs[Long]("n_shared")))
+        ()
+      }.start()
     try {
       val third = docs.length / 3
       mem.addData(docs.take(third).toSeq); q.processAllAvailable()
       mem.addData(docs.slice(third, 2 * third).toSeq); q.processAllAvailable()
       mem.addData(docs.drop(2 * third).toSeq); q.processAllAvailable()
     } finally q.stop()
-    val got = spark.table("s36_mem").collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq.sorted
+    val got = buf.toSeq.sorted
     val batch = graft.operators.Dedup.d23(spark, sf).collect()
       .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"),
         r.getAs[Long]("n_shared"))).toSeq.sorted
@@ -1174,8 +1185,9 @@ class StreamingPipelineSpec extends AnyFunSuite {
     val src = docs.head
     val span = src._2.take(40)
     val probe = (999999L, span + " entirely novel tail text to pad this out")
-    val hits = graft.streaming.EventStreams.winnowDoor(
-      Seq(probe).toDS(), bc).collect()
+    val hits = graft.streaming.EventStreams.winnowServe(index,
+      Seq(probe).toDF("doc_id", "text")).collect()
+    index.unpersist()
     assert(hits.exists(r => r.getAs[Long]("id_a") == src._1),
       s"guaranteed detection missed: ${hits.mkString(",")}")
   }
