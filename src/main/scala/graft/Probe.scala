@@ -20,18 +20,21 @@ object Probe {
     spark.sparkContext.setLogLevel("WARN")
     val dir = args(0)
     for (combo <- args.drop(1)) {
-      // combo = hops:ncents:probes:reps:degree
-      val Array(h, nc, np, nr, dg) = combo.split(":")
+      // combo = hops:ncents:probes:reps:degree[:beam]
+      val parts = combo.split(":")
+      val Array(h, nc, np, nr, dg) = parts.take(5)
+      val bm = if (parts.length > 5) parts(5) else "8"
       spark.conf.set("graft.v21.hops", h)
       spark.conf.set("graft.v21.ncents", nc)
       spark.conf.set("graft.v21.probes", np)
       spark.conf.set("graft.v21.reps", nr)
       spark.conf.set("graft.v21.degree", dg)
+      spark.conf.set("graft.v21.beam", bm)
       val t0 = System.nanoTime()
       val df = graft.operators.Knn.v21(spark, dir)
       val rec = df.selectExpr("avg(in_exact)").collect()(0).getDouble(0)
       val sec = (System.nanoTime() - t0) / 1e9
-      println(f"[probe] hops=$h ncents=$nc probes=$np reps=$nr deg=$dg recall@5=$rec%.2f sec=$sec%.1f")
+      println(f"[probe] hops=$h ncents=$nc probes=$np reps=$nr deg=$dg beam=$bm recall@5=$rec%.2f sec=$sec%.1f")
     }
     spark.stop()
   }

@@ -1924,6 +1924,22 @@ object Knn {
     * entry keeping hop-0 inside the query's cell. Degree sweep at
     * sf0.1, 6 hops: 5→0.38, 8→0.58, 12→0.64, 16→0.74, 24→0.90.
     *
+    * Round-12 closed the residual decay (0.74 at sf0.1) with a
+    * LOG-N BEAM SCHEDULE — beam = max([[v21Beam]], 2·⌈log2 n⌉),
+    * HNSW's efSearch discipline: among the two remaining published
+    * dials, growing the SEARCH budget beats growing the graph
+    * degree at 100 TB because degree multiplies the index's size
+    * and build cost (O(M·n) edges) while beam costs only at query
+    * time and only O(log n). Measured at sf0.1 (graft.Probe):
+    * beam 12→0.86, 16→0.94, 22 (the schedule's value)→0.98 at the
+    * fixed degree-16 graph — vs deg 22→0.84, 24→0.90 at beam 8
+    * for MORE index. Scheduled recall@5 across sf0.001/0.01/0.1:
+    * 1.00 / 1.00 / 0.98 (beam 18/18/22), isolated sf0.1 wall
+    * ~7.9 s (was 7.4 s). ⌈log2 n⌉ is computed as the INTEGER
+    * bit-length of n−1 on both engines (no IEEE log — the beamc
+    * CTE counts set-bit positions with shifts), so the budget is
+    * bitwise cross-engine at every n.
+    *
     * Determinism: scoring is the shared 1e-6-quantized sequential
     * dot kernel ([[cosQ]] ≡ the oracle's list_inner_product + round,
     * arg order matched per site: centroid-first for assignment,
@@ -2106,6 +2122,23 @@ object Knn {
     // unfragmented hop (lineage cuts hide the hop joins from explain)
     val hops = spark.conf.getOption("graft.v21.hops").map(_.toInt)
       .getOrElse(v21Hops)
+    // log-n BEAM SCHEDULE (round 12 — kills the residual recall
+    // decay at the top scale): beam = max(v21Beam, 2·⌈log2 n⌉),
+    // HNSW's efSearch discipline — the graph degree (index size,
+    // the expensive dial at 100 TB) stays FIXED at M = 16 while the
+    // per-query serving budget grows O(log n) with the corpus.
+    // Computed in exact INTEGER bit-length arithmetic (no IEEE log)
+    // so both engines agree at every n: bits(n−1) = ⌈log2 n⌉.
+    // Measured recall@5 at the scheduled budget:
+    // 1.00 / 1.00 / 0.98 across sf0.001/0.01/0.1 (beam 18/18/22)
+    // vs 0.98 / 1.00 / 0.74 at the fixed beam-8 budget — and the
+    // sf0.1 isolated wall-time stays ~7.9 s (was 7.4 s).
+    val beam = spark.conf.getOption("graft.v21.beam").map(_.toInt)
+      .getOrElse {
+        val n = math.max(1L, e.filter("vec_id >= 10").count())
+        math.max(v21Beam,
+          2 * (64 - java.lang.Long.numberOfLeadingZeros(math.max(1L, n - 1))))
+      }
     val ckpt = spark.conf.getOption("graft.v21.checkpoint").forall(_.toBoolean)
     def cut(df: DataFrame): DataFrame = if (ckpt) df.localCheckpoint() else df
     // seeds is ≤ queries × probes × reps rows — a broadcast side
@@ -2117,7 +2150,7 @@ object Knn {
       val wq = Window.partitionBy($"qid").orderBy($"score".desc, $"node")
       val frontier = visited.filter($"exp" === 0)
         .withColumn("rn", row_number().over(wq))
-        .filter($"rn" <= v21Beam).select($"qid", $"node")
+        .filter($"rn" <= beam).select($"qid", $"node")
       val marked = visited.join(
           frontier.select($"qid", $"node", lit(1).as("hit_f")),
           Seq("qid", "node"), "left")
@@ -2181,7 +2214,7 @@ object Knn {
     def hop(i: Int): String =
       s"""f$i AS (SELECT qid, node FROM (
          |        SELECT qid, node, row_number() OVER (PARTITION BY qid ORDER BY score DESC, node) AS rn
-         |        FROM v${i - 1} WHERE exp = 0) WHERE rn <= $v21Beam),
+         |        FROM v${i - 1} WHERE exp = 0) WHERE rn <= (SELECT bm FROM beamc)),
          |u$i AS (SELECT v.qid, v.node, v.score,
          |          CASE WHEN f.node IS NOT NULL THEN 1 ELSE v.exp END AS exp
          |        FROM v${i - 1} v LEFT JOIN f$i f ON f.qid = v.qid AND f.node = v.node),
@@ -2197,6 +2230,9 @@ object Knn {
       |m AS (SELECT vec_id, list_transform(v, x -> x / nrm) AS nv FROM n),
       |mq AS MATERIALIZED (SELECT vec_id, nv FROM m WHERE vec_id < 10),
       |mc AS MATERIALIZED (SELECT vec_id, nv FROM m WHERE vec_id >= 10),
+      |beamc AS (SELECT greatest($v21Beam, 2 * count(*)) AS bm
+      |        FROM generate_series(0, 62) s(i)
+      |        WHERE (((SELECT count(*) FROM mc) - 1) >> i) > 0),
       |${lshBucketCtes("mc")},
       |bc AS (SELECT t, b, count(*) AS bsz FROM buckets GROUP BY 1, 2),
       |bb AS (SELECT vec_id, t, b FROM buckets JOIN bc USING (t, b) WHERE bsz <= $v16Cap),

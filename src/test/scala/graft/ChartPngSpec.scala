@@ -296,6 +296,64 @@ class ChartPngSpec extends AnyFunSuite {
     assert(zm.sizes_ok && zm.mdat_bytes == 7L)
   }
 
+
+  test("m18: fMP4 walk recovers fragments; every cross-fragment gate bites") {
+    import graft.operators.Media
+    val s = "FMPthe quick brown fox jumps over the lazy dog pad".padTo(64, ' ')
+    val nf = 6
+    val f4 = Media.buildFmp4(s, nf)
+    val m = Media.fmp4Meta(3L, f4)
+    val ks = (1 to nf).map(f => 2 + (s.charAt(f - 1).toInt & 3))
+    val bytesTot = (1 to nf).map { f =>
+      val c = s.charAt(f - 1).toInt
+      (1 to (2 + (c & 3))).map(j => 60L + ((c + 7 * j) & 63)).sum
+    }.sum
+    assert(m.major_brand == "iso6" && m.brands_ok)
+    assert(m.n_fragments == nf.toLong && m.seq_contiguous)
+    assert(m.n_samples == ks.sum.toLong && m.sample_bytes == bytesTot)
+    assert(m.mdat_bytes == bytesTot && m.frag_sizes_ok)
+    assert(m.sizes_ok && m.moov_before_moof)
+    assert(m.default_dur == 3600L && m.duration == 3600L * ks.sum)
+    // offsets: ftyp 24, moov 332 (mvhd 108 + trak 176 + mvex 40) →
+    // fragment 1's moof at 356; inside it mfhd seq at +20, first
+    // trun size entry at +64
+    val moof1 = 24 + (8 + 108 + (8 + 92 + (8 + 32 + (8 + 28))) + (8 + 32))
+    assert(new String(f4.slice(moof1 + 4, moof1 + 8), "ISO-8859-1") == "moof")
+    // corrupt one trun size entry → the moof↔mdat accounting bites
+    val badTrun = f4.clone()
+    badTrun(moof1 + 64 + 3) = (badTrun(moof1 + 64 + 3) ^ 0x02).toByte
+    val bt = Media.fmp4Meta(3L, badTrun)
+    assert(!bt.frag_sizes_ok && bt.sizes_ok, "trun gate must bite alone")
+    // corrupt fragment 1's mfhd sequence number → contiguity bites
+    val badSeq = f4.clone()
+    badSeq(moof1 + 20 + 3) = (badSeq(moof1 + 20 + 3) ^ 0x04).toByte
+    val bs = Media.fmp4Meta(3L, badSeq)
+    assert(!bs.seq_contiguous && bs.sizes_ok && bs.frag_sizes_ok)
+    // truncation mid-fragment → size closure bites
+    assert(!Media.fmp4Meta(3L, f4.dropRight(5)).sizes_ok)
+    // drop fragment 1 wholesale (its moof + mdat are both
+    // well-formed boxes, so closure holds) → the lost-segment gate
+    val k1 = 2 + (s.charAt(0).toInt & 3)
+    val sz1 = (1 to k1).map(j => 60 + ((s.charAt(0).toInt + 7 * j) & 63)).sum
+    val frag1Len = (8 + 16 + 8 + 16 + 16 + 4 * k1) + (8 + sz1)
+    val dm = Media.fmp4Meta(3L, f4.take(moof1) ++ f4.drop(moof1 + frag1Len))
+    assert(!dm.seq_contiguous && dm.sizes_ok && dm.frag_sizes_ok &&
+      dm.n_fragments == (nf - 1).toLong)
+    // sever the LAST fragment's mdat → a moof left awaiting its
+    // mdat fails the pairing even though every box still closes
+    val kN = 2 + (s.charAt(nf - 1).toInt & 3)
+    val szN = (1 to kN).map(j => 60 + ((s.charAt(nf - 1).toInt + 7 * j) & 63)).sum
+    val nm = Media.fmp4Meta(3L, f4.dropRight(8 + szN))
+    assert(!nm.frag_sizes_ok && nm.sizes_ok && nm.seq_contiguous)
+    // an orphan mdat (no owning moof) also fails the pairing
+    def be32(v: Long): Array[Byte] =
+      Array(((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+        ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    val orphan = be32(13) ++ "mdat".getBytes ++ Array[Byte](1, 2, 3, 4, 5)
+    val om = Media.fmp4Meta(4L, orphan)
+    assert(!om.frag_sizes_ok && om.sizes_ok && om.mdat_bytes == 5L)
+  }
+
   test("m16: JPEG marker walk recovers real structure; truncation and dim edits bite") {
     import graft.operators.Media
     val jb = Media.encodeJpeg8x8(

@@ -1539,11 +1539,12 @@ class DedupKnnSpec extends AnyFunSuite {
     // degree-16 graph (v16's mirror restricted to vec_id >= 10,
     // top-16 per node) traversed undirected, IVF-seeded entries
     // (8 centroids = first corpus vectors, 8 reps per cell, 2
-    // probed cells per query), 6 best-first hops at beam 8, top-5,
-    // brute-force ground truth for the in_exact flag ---
+    // probed cells per query), 6 best-first hops at the log-n
+    // scheduled beam (max(8, 2*ceil(log2 n)) — integer bit-length),
+    // top-5, brute-force ground truth for the in_exact flag ---
     val nTables = 8; val bits = 6; val dim = 64; val cap = 100; val k = 5
     val deg = 16; val nCents = 8; val nReps = 8; val nProbes = 2
-    val beam = 8; val hops = 6
+    val hops = 6
     def plane(j: Int): Array[Double] = Array.tabulate(dim) { i =>
       val x = math.sin(j * 131.7 + i * 17.3) * 43758.5453
       x - math.floor(x) - 0.5
@@ -1564,6 +1565,8 @@ class DedupKnnSpec extends AnyFunSuite {
       }
     val nvOf = vecs.toMap
     val corpus = vecs.filter(_._1 >= 10)
+    val beam = math.max(8, 2 * (64 - java.lang.Long
+      .numberOfLeadingZeros(math.max(1L, corpus.length.toLong - 1))))
     val buckets = (for { (id, nv) <- corpus.toList; t <- 0 until nTables } yield {
       var b = 0
       (0 until bits).foreach { bit =>
