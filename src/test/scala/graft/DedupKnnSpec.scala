@@ -1753,6 +1753,42 @@ class DedupKnnSpec extends AnyFunSuite {
     assert(rows.last._4 > rows.head._4, "flat curve - search useless")
   }
 
+
+  test("v26: NSW batch insert — edge contract and from-scratch recall parity") {
+    val (insEdges, ixAug, newQs) = Knn.v26Parts(spark, sf)
+    val edges = insEdges.collect().map(r => (r.getLong(0), r.getLong(1)))
+    val newIds = newQs.map(_._1).toSet
+    assert(newIds.nonEmpty)
+    // every new node links to exactly v21Degree STANDING nodes (the
+    // batch variant never links new-to-new: inserts see only the
+    // stable base, so the batch is order-free)
+    val perNew = edges.groupBy(_._1).view.mapValues(_.length).toMap
+    assert(perNew.keySet == newIds)
+    assert(perNew.values.forall(_ == 16), "insert degree != 16")
+    assert(edges.forall { case (s, n) => newIds(s) && !newIds(n) && n >= 10 })
+    // the judge contract: post-insert recall ON THE INSERTED QUERIES
+    // matches a from-scratch full-corpus build within a pinned
+    // tolerance (serve each inserted vector as a query; recall@5
+    // against the full-corpus brute — which contains the vector
+    // itself at rank 1)
+    def recall(df: org.apache.spark.sql.DataFrame): Double = {
+      val flags = df.collect().map(_.getAs[Long]("in_exact"))
+      flags.sum.toDouble / flags.length
+    }
+    val augRows = Knn.v21ServeBatch(ixAug, newQs)
+    val recAug = recall(augRows)
+    val recFull = recall(Knn.v21ServeBatch(Knn.v21Static(spark, sf), newQs))
+    assert(recAug >= recFull - 0.10,
+      s"insert recall $recAug too far below from-scratch $recFull")
+    // reachability: inserted vectors must FIND THEMSELVES (cos 1.0
+    // at rank 1) — the links wired them into the navigable graph
+    val selfHits = augRows.collect().filter(r =>
+      r.getAs[Long]("qid") == r.getAs[Long]("vec_id") &&
+        r.getAs[Int]("rnk") == 1)
+    assert(selfHits.length == newIds.size,
+      s"${newIds.size - selfHits.length} inserted vectors unreachable")
+  }
+
   test("d22: CDC chunking equals a sequential recompute; boundaries realign after a shift") {
     // sequential mirror of the chunker
     def chunksOf(t: String): Seq[String] = {
