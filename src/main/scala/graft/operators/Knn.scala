@@ -32,7 +32,7 @@ object Knn {
         "sqrt(aggregate(zip_with(v, v, (x, y) -> x * y), CAST(0 AS DOUBLE), (acc, x) -> acc + x)) AS nrm")
       .selectExpr("vec_id", "nrm", "transform(v, x -> x / nrm) AS nv")
 
-  private[operators] def vectors(spark: SparkSession, dir: String): DataFrame =
+  private[graft] def vectors(spark: SparkSession, dir: String): DataFrame =
     normalized(Tables.embeddings(spark, dir)).cache()
 
   /** Score (id_a, id_b, nv_a, nv_b) pairs: sequential dot product of
@@ -2663,7 +2663,7 @@ object Knn {
 
   // ---------- v26: incremental ANN insert (NSW batch insert) ----------
 
-  private[operators] val v26ModK = 41L // every 41st corpus vector is "today's ingest"
+  private[graft] val v26ModK = 41L // every 41st corpus vector is "today's ingest"
 
   /** v26: INCREMENTAL ANN INSERT — add a batch of new vectors to
     * v21's serving graph WITHOUT a full rebuild, the maintenance
@@ -2702,33 +2702,33 @@ object Knn {
     * append — the same asymptotics FAISS/Vamana incremental
     * ingestion publishes.
     */
-  def v26(spark: SparkSession, dir: String): DataFrame = {
+  /** NSW insert-edge selection for a batch of new vectors against
+    * an existing index: beam-search each, keep its top-[[v21Degree]]
+    * results with scores — the rows a serving fleet appends to its
+    * edge table. Shared by batch [[v26]] and the streaming insert
+    * door (s38).
+    */
+  private[graft] def v21InsertEdges(ix: V21Static,
+      qs: Array[(Long, Array[Double])]): DataFrame = {
+    val spark = ix.e.sparkSession
     import spark.implicits._
-    val e = vectors(spark, dir)
-    val basePred = s"vec_id >= 10 AND vec_id % $v26ModK <> 0"
-    val (gBase, reps, cents) = v21Index(spark, e, basePred)
-    val ixBase = V21Static(e, gBase, reps, cents)
-    val newQs = codebook(e, s"vec_id >= 10 AND vec_id % $v26ModK = 0")
-    // NSW batch insert: each new vector's top-degree search results
-    // become its undirected links (one materialized assignment)
-    val insStates = v21SearchOn(ixBase, newQs)
     val wq = Window.partitionBy($"qid").orderBy($"score".desc, $"node")
-    val insEdges = insStates.last
+    v21SearchOn(ix, qs).last
       .withColumn("rnk", row_number().over(wq))
       .filter($"rnk" <= v21Degree)
-      .select($"qid".as("src_id"), $"node".as("nbr_id"))
-      .localCheckpoint()
-    val gAug = gBase
-      .unionByName(insEdges)
-      .unionByName(insEdges.select($"nbr_id".as("src_id"), $"src_id".as("nbr_id")))
-      .distinct().cache()
-    val ixAug = V21Static(e, gAug, reps, cents)
-    v21ServeBatch(ixAug, codebook(e, "vec_id < 10"))
+      .select($"qid".as("new_id"), $"rnk", $"node".as("nbr_id"),
+        $"score".as("cos_sim"))
+  }
+
+  def v26(spark: SparkSession, dir: String): DataFrame = {
+    val (_, ixAug, _) = v26Parts(spark, dir)
+    v21ServeBatch(ixAug, codebook(ixAug.e, "vec_id < 10"))
       .transform(graft.Tables.ordered(_, col("qid"), col("rnk")))
   }
 
   /** The insert-search + augmented-serve halves of [[v26]], exposed
-    * for the spec's from-scratch-parity audit. */
+    * for the spec's from-scratch-parity audit and the streaming
+    * door. */
   private[graft] def v26Parts(spark: SparkSession, dir: String)
       : (DataFrame, V21Static, Array[(Long, Array[Double])]) = {
     val e = vectors(spark, dir)
@@ -2736,46 +2736,39 @@ object Knn {
     val (gBase, reps, cents) = v21Index(spark, e, basePred)
     val ixBase = V21Static(e, gBase, reps, cents)
     val newQs = codebook(e, s"vec_id >= 10 AND vec_id % $v26ModK = 0")
-    val insStates = v21SearchOn(ixBase, newQs)
-    val spark2 = e.sparkSession
-    import spark2.implicits._
-    val wq = Window.partitionBy($"qid").orderBy($"score".desc, $"node")
-    val insEdges = insStates.last
-      .withColumn("rnk", row_number().over(wq))
-      .filter($"rnk" <= v21Degree)
-      .select($"qid".as("src_id"), $"node".as("nbr_id"))
-      .localCheckpoint()
+    val ins = v21InsertEdges(ixBase, newQs)
+      .select(col("new_id").as("src_id"), col("nbr_id")).localCheckpoint()
     val gAug = gBase
-      .unionByName(insEdges)
-      .unionByName(insEdges.select($"nbr_id".as("src_id"), $"src_id".as("nbr_id")))
+      .unionByName(ins)
+      .unionByName(ins.select(col("nbr_id").as("src_id"),
+        col("src_id").as("nbr_id")))
       .distinct().cache()
-    (insEdges, V21Static(e, gAug, reps, cents), newQs)
+    (ins, V21Static(e, gAug, reps, cents), newQs)
   }
 
-  /** v26 oracle: the whole construction mirrored — base graph over
-    * the standing corpus only, the insert searches unrolled (i-hop
-    * CTEs, queries = the new batch), top-degree link selection, the
-    * augmented undirected graph, then the query searches unrolled
-    * again (q-hop CTEs) over it, brute ground truth over the FULL
-    * corpus. One generated chain, same quantized scoring and
-    * tie-breaks at every stage.
-    */
-  val v26Sql: String = {
-    def hop(p: String, g: String, q: String, x: String)(i: Int): String =
-      s"""${p}f$i AS (SELECT qid, node FROM (
-         |        SELECT qid, node, row_number() OVER (PARTITION BY qid ORDER BY score DESC, node) AS rn
-         |        FROM ${p}v${i - 1} WHERE exp = 0) WHERE rn <= (SELECT bm FROM beamc)),
-         |${p}u$i AS (SELECT v.qid, v.node, v.score,
-         |          CASE WHEN f.node IS NOT NULL THEN 1 ELSE v.exp END AS exp
-         |        FROM ${p}v${i - 1} v LEFT JOIN ${p}f$i f ON f.qid = v.qid AND f.node = v.node),
-         |${p}c$i AS (SELECT DISTINCT f.qid, g.nbr_id AS node
-         |        FROM ${p}f$i f JOIN $g g ON g.src_id = f.node
-         |        WHERE NOT EXISTS (SELECT 1 FROM ${p}v${i - 1} v WHERE v.qid = f.qid AND v.node = g.nbr_id)),
-         |${p}s$i AS (SELECT c.qid, c.node,
-         |          round(list_inner_product(q.nv, x.nv) * 1e6) / 1e6 AS score
-         |        FROM ${p}c$i c JOIN $q q ON q.vec_id = c.qid JOIN $x x ON x.vec_id = c.node),
-         |${p}v$i AS MATERIALIZED (SELECT * FROM ${p}u$i UNION ALL SELECT qid, node, score, 0 AS exp FROM ${p}s$i)""".stripMargin
-    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+  /** The generated hop CTE block shared by the v26/s38 oracles —
+    * v21's hop shape with parameterized CTE prefix, graph, query
+    * and vector tables. */
+  private def v26Hop(p: String, g: String, q: String, x: String)(i: Int): String =
+    s"""${p}f$i AS (SELECT qid, node FROM (
+       |        SELECT qid, node, row_number() OVER (PARTITION BY qid ORDER BY score DESC, node) AS rn
+       |        FROM ${p}v${i - 1} WHERE exp = 0) WHERE rn <= (SELECT bm FROM beamc)),
+       |${p}u$i AS (SELECT v.qid, v.node, v.score,
+       |          CASE WHEN f.node IS NOT NULL THEN 1 ELSE v.exp END AS exp
+       |        FROM ${p}v${i - 1} v LEFT JOIN ${p}f$i f ON f.qid = v.qid AND f.node = v.node),
+       |${p}c$i AS (SELECT DISTINCT f.qid, g.nbr_id AS node
+       |        FROM ${p}f$i f JOIN $g g ON g.src_id = f.node
+       |        WHERE NOT EXISTS (SELECT 1 FROM ${p}v${i - 1} v WHERE v.qid = f.qid AND v.node = g.nbr_id)),
+       |${p}s$i AS (SELECT c.qid, c.node,
+       |          round(list_inner_product(q.nv, x.nv) * 1e6) / 1e6 AS score
+       |        FROM ${p}c$i c JOIN $q q ON q.vec_id = c.qid JOIN $x x ON x.vec_id = c.node),
+       |${p}v$i AS MATERIALIZED (SELECT * FROM ${p}u$i UNION ALL SELECT qid, node, score, 0 AS exp FROM ${p}s$i)""".stripMargin
+
+  /** The shared v26/s38 oracle chain: base graph over the standing
+    * corpus, entry index, and the insert searches unrolled (i-hop
+    * CTEs, queries = the new batch). */
+  private def v26InsertChain: String =
+    s"""e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
       |n AS (SELECT vec_id, v, sqrt(list_inner_product(v, v)) AS nrm FROM e),
       |m AS (SELECT vec_id, list_transform(v, x -> x / nrm) AS nv FROM n),
       |mq AS MATERIALIZED (SELECT vec_id, nv FROM m WHERE vec_id < 10),
@@ -2819,7 +2812,16 @@ object Knn {
       |iv0 AS MATERIALIZED (SELECT s.qid, s.node,
       |        round(list_inner_product(q.nv, c.nv) * 1e6) / 1e6 AS score, 0 AS exp
       |      FROM iseeds s JOIN mnew q ON q.vec_id = s.qid JOIN mbase c ON c.vec_id = s.node),
-      |${(1 to v21Hops).map(hop("i", "graph", "mnew", "mbase")).mkString(",\n")},
+      |${(1 to v21Hops).map(v26Hop("i", "graph", "mnew", "mbase")).mkString(",\n")}""".stripMargin
+
+  /** v26 oracle: the whole construction mirrored — the shared
+    * insert chain, top-degree link selection, the augmented
+    * undirected graph, then the query searches unrolled again
+    * (q-hop CTEs) over it, brute ground truth over the FULL corpus.
+    * Same quantized scoring and tie-breaks at every stage.
+    */
+  val v26Sql: String =
+    s"""WITH $v26InsertChain,
       |insedges AS (SELECT qid AS src_id, node AS nbr_id FROM (
       |        SELECT qid, node, row_number() OVER (PARTITION BY qid ORDER BY score DESC, node) AS rn
       |        FROM iv$v21Hops) WHERE rn <= $v21Degree),
@@ -2836,7 +2838,7 @@ object Knn {
       |qv0 AS MATERIALIZED (SELECT s.qid, s.node,
       |        round(list_inner_product(q.nv, c.nv) * 1e6) / 1e6 AS score, 0 AS exp
       |      FROM qseeds s JOIN mq q ON q.vec_id = s.qid JOIN mall c ON c.vec_id = s.node),
-      |${(1 to v21Hops).map(hop("q", "graph2", "mq", "mall")).mkString(",\n")},
+      |${(1 to v21Hops).map(v26Hop("q", "graph2", "mq", "mall")).mkString(",\n")},
       |brute AS (SELECT qid, vec_id FROM (
       |          SELECT q.vec_id AS qid, c.vec_id,
       |            row_number() OVER (PARTITION BY q.vec_id
@@ -2850,5 +2852,17 @@ object Knn {
       |FROM r LEFT JOIN brute b ON b.qid = r.qid AND b.vec_id = r.vec_id
       |WHERE r.rnk <= $knnK
       |ORDER BY r.qid, r.rnk""".stripMargin
-  }
+
+  /** s38 oracle (the streaming insert door, single-replay batch):
+    * the shared insert chain's link selection WITH scores — one row
+    * per (new vector, link). */
+  val v26InsertSql: String =
+    s"""WITH $v26InsertChain
+      |SELECT qid AS new_id, CAST(rn AS INTEGER) AS rnk, node AS nbr_id,
+      |  score AS cos_sim
+      |FROM (SELECT qid, node, score,
+      |        row_number() OVER (PARTITION BY qid ORDER BY score DESC, node) AS rn
+      |      FROM iv$v21Hops)
+      |WHERE rn <= $v21Degree
+      |ORDER BY new_id, rnk""".stripMargin
 }

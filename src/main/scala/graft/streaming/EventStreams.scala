@@ -1228,6 +1228,94 @@ object EventStreams {
   /** s36 oracle: d23's, verbatim — the twin contract. */
   val s36Sql: String = graft.operators.Dedup.d23Sql
 
+
+  /** s38: STREAMING ANN-INSERT DOOR — v26's NSW insert at the
+    * vector-ingest boundary, the MAINTENANCE half of the serving
+    * pair (s35 answers queries over the index; s38 GROWS it as
+    * vectors arrive — what a daily-ingest ANN fleet actually runs
+    * between full rebuilds). The standing index trains in batch and
+    * stays PARTITIONED ([[graft.operators.Knn.v21Static]]'s shape
+    * on the base corpus); each micro-batch beam-searches its
+    * arriving vectors over the CURRENT graph and links each to its
+    * top-16 results ([[graft.operators.Knn.v21InsertEdges]] —
+    * batch v26's exact kernel), then the new undirected links join
+    * the graph the NEXT batch searches. Cross-batch semantics are
+    * SEQUENTIAL NSW by design: later arrivals can link to earlier
+    * arrivals (the property that keeps insert-only growth
+    * navigable — spec-proved with a planted near-duplicate across
+    * batches); within a batch the insert is order-free (all
+    * searches see the same pre-batch graph). The evolving edge
+    * table is executor-resident DataFrame state, localCheckpointed
+    * per batch (bounded lineage); the driver accumulates only the
+    * emitted link rows. Replayed as ONE batch (the Verify path)
+    * the door's rows ARE batch v26's insert edges — oracle
+    * [[graft.operators.Knn.v26InsertSql]] (twin contract).
+    */
+  def s38(spark: SparkSession, dir: String): DataFrame = {
+    val ss = streamSession(spark)
+    graft.Tables.tsConfs(ss)
+    val st = annInsertState(ss, dir)
+    val schema = ss.read.parquet(s"$dir/embeddings.parquet").schema
+    val src = graft.operators.Knn.normalized(
+        ss.readStream.schema(schema)
+          .option("pathGlobFilter", "embeddings.parquet").parquet(dir))
+      .filter(col("vec_id") >= 10 &&
+        col("vec_id") % graft.operators.Knn.v26ModK === 0)
+      .select(col("vec_id"), col("nv"))
+    runBatched(src, b => annInsertServe(st, b))
+      .transform(graft.Tables.ordered(_, col("new_id"), col("rnk")))
+  }
+
+  /** The door's evolving serving-index state: the growing vector
+    * table and the growing graph (an insert door must grow BOTH —
+    * a later arrival can only link to an earlier one if the earlier
+    * vector is scoreable). Everything is a partitioned DataFrame —
+    * the driver holds only the ≤ 8-entry codebook. */
+  private[graft] final class AnnInsertState(
+      var vecs: org.apache.spark.sql.DataFrame,
+      var graph: org.apache.spark.sql.DataFrame,
+      val reps: org.apache.spark.sql.DataFrame,
+      val cents: Array[(Long, Array[Double])])
+
+  private[graft] def annInsertState(ss: SparkSession, dir: String)
+      : AnnInsertState = {
+    val e = graft.operators.Knn.vectors(ss, dir)
+    val (g, reps, cents) = graft.operators.Knn.v21Index(ss, e,
+      s"vec_id >= 10 AND vec_id % ${graft.operators.Knn.v26ModK} <> 0")
+    new AnnInsertState(e.select(col("vec_id"), col("nv")), g,
+      reps.persist(), cents)
+  }
+
+  /** One micro-batch through the insert door — factored so the
+    * MemoryStream spec drives the identical code across batches.
+    * Searches run over the CURRENT graph and vector table; the
+    * batch's links then augment the graph and its vectors join the
+    * table (id-anti-joined, so replaying corpus members is a no-op)
+    * for the next batch — one materialized assignment each. */
+  private[graft] def annInsertServe(st: AnnInsertState,
+      batch: DataFrame): DataFrame = {
+    val ss = batch.sparkSession
+    import ss.implicits._
+    val qs = batch.select(col("vec_id"), col("nv"))
+      .as[(Long, Array[Double])].collect().sortBy(_._1)
+    val ix = graft.operators.Knn.V21Static(st.vecs, st.graph, st.reps, st.cents)
+    val ins = graft.operators.Knn.v21InsertEdges(ix, qs).localCheckpoint()
+    val edges = ins.select(col("new_id").as("src_id"), col("nbr_id"))
+    st.graph = st.graph
+      .unionByName(edges)
+      .unionByName(edges.select(col("nbr_id").as("src_id"),
+        col("src_id").as("nbr_id")))
+      .distinct().localCheckpoint()
+    val arrivals = batch.select(col("vec_id"), col("nv"))
+      .join(st.vecs.select(col("vec_id")), Seq("vec_id"), "left_anti")
+    st.vecs = st.vecs.unionByName(arrivals).localCheckpoint()
+    ins
+  }
+
+  /** s38 oracle: v26's insert-edge selection, verbatim — the twin
+    * contract on the single-replay batch. */
+  val s38Sql: String = graft.operators.Knn.v26InsertSql
+
   /** s37: STREAMING MAD DOOR — dq6's robust day-volume monitor as a
     * live pipeline alarm: the median×2 / MAD×4 thresholds train in
     * batch on the stored corpus

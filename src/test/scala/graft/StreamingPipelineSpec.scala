@@ -1139,6 +1139,63 @@ class StreamingPipelineSpec extends AnyFunSuite {
     assert(got == batch && got.nonEmpty)
   }
 
+
+  test("s38 insert door: replay equals batch v26 edges; cross-batch links are sequential") {
+    import spark.implicits._
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("new_id"), r.getAs[Int]("rnk"),
+        r.getAs[Long]("nbr_id"), r.getAs[Double]("cos_sim"))).toSeq
+    // twin contract: the whole stream replayed (one batch) == batch
+    // v26's insert-edge selection, bitwise
+    val streamed = rows(graft.streaming.EventStreams.s38(spark, sf)).sorted
+    val e = graft.operators.Knn.vectors(spark, sf)
+    val modK = graft.operators.Knn.v26ModK
+    val (g0, reps0, cents0) = graft.operators.Knn.v21Index(spark, e,
+      s"vec_id >= 10 AND vec_id % $modK <> 0")
+    val ixBase = graft.operators.Knn.V21Static(e, g0, reps0, cents0)
+    val newQs = e.filter(s"vec_id >= 10 AND vec_id % $modK = 0")
+      .selectExpr("vec_id", "nv").as[(Long, Array[Double])]
+      .collect().sortBy(_._1)
+    val batch = rows(graft.operators.Knn.v21InsertEdges(ixBase, newQs)).sorted
+    assert(streamed == batch && streamed.nonEmpty)
+    // sequential cross-batch semantics: plant two near-copies of one
+    // base vector in SEPARATE batches — the second arrival must link
+    // to the first (it saw the grown graph), where a batch-parallel
+    // insert of both cannot (it sees only the stable base)
+    val baseX = e.filter("vec_id = 50")
+      .selectExpr("vec_id", "transform(nv, x -> x)").as[(Long, Array[Double])]
+      .collect()(0)._2
+    val nrm = math.sqrt(baseX.map(x => x * x).sum)
+    def copyOf(sign: Double): Seq[Double] = {
+      val v = baseX.clone(); v(0) += sign * 0.1 * nrm; v.toSeq
+    }
+    val a = (9000001L, copyOf(1.0)); val b = (9000002L, copyOf(-1.0))
+    implicit val sqlCtx = spark.sqlContext
+    def runSplit(batches: Seq[Seq[(Long, Seq[Double])]]): Map[Long, Set[Long]] = {
+      val st = graft.streaming.EventStreams.annInsertState(spark, sf)
+      val mem = MemoryStream[(Long, Seq[Double])]
+      val links = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+      val src = graft.operators.Knn.normalized(
+          mem.toDF().toDF("vec_id", "embedding"))
+        .select(col("vec_id"), col("nv"))
+      val q = src.writeStream.outputMode("append")
+        .foreachBatch { (bdf: org.apache.spark.sql.DataFrame, _: Long) =>
+          links ++= graft.streaming.EventStreams.annInsertServe(st, bdf)
+            .collect().map(r => (r.getAs[Long]("new_id"), r.getAs[Long]("nbr_id")))
+          ()
+        }.start()
+      try batches.foreach { bs => mem.addData(bs); q.processAllAvailable() }
+      finally q.stop()
+      links.toSeq.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    }
+    val seq2 = runSplit(Seq(Seq(a), Seq(b)))
+    assert(seq2(b._1).contains(a._1),
+      s"second arrival did not link to the first: ${seq2(b._1)}")
+    val par1 = runSplit(Seq(Seq(a, b)))
+    assert(!par1(b._1).contains(a._1) && !par1(a._1).contains(b._1),
+      "batch-parallel insert must see only the stable base")
+  }
+
   test("s36 stateless winnowing door equals batch d23 row for row") {
     def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
       .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"),
