@@ -994,6 +994,104 @@ object EventWindows {
       |FROM c
       |ORDER BY gap_day""".stripMargin
 
+
+  // ---------- e22: Kaplan–Meier survival curve ----------
+
+  /** e22: KAPLAN–MEIER SURVIVAL CURVE with right-censoring (Kaplan
+    * & Meier 1958) over inter-purchase gaps — the estimator whose
+    * hazard column e18 computes, completed with the piece that
+    * makes it the PUBLISHED estimator: CENSORED intervals. Every
+    * user's OPEN last interval (last purchase → the global
+    * observation horizon) has produced no event yet but was at
+    * risk the whole time; dropping it (what a naive empirical
+    * survival over completed gaps does) biases survival LOW —
+    * handling it is the entire reason KM exists. Per event time t
+    * (a distinct completed-gap length): d_t = intervals ending at
+    * exactly t, n_t = intervals (completed OR censored) of length
+    * ≥ t, and S(t) = Π_{t'≤t} (n_t' − d_t')/n_t'.
+    *
+    * Exactness: the product is evaluated as the INTEGER recurrence
+    * s ← (s · (n_t − d_t)) div n_t from s = 10⁶ — one floor per
+    * step on non-negative operands (§8.39), bitwise in both
+    * engines (the oracle runs the same recurrence as a recursive
+    * CTE; no IEEE products, no exp/ln). s·n ≤ 10⁶·#intervals stays
+    * far inside BIGINT at any corpus size.
+    *
+    * Scale shape: one user-key exchange (distinct + lag, e18's
+    * contract) + one 1-row horizon aggregate; everything after
+    * lives on the GAP-VALUE grain (≤ observed day span — HistQ's
+    * metadata-grain class). The final recurrence folds over that
+    * bounded step table on the driver (the e20/dq6 bounded-
+    * metadata class — ≤ span rows regardless of corpus size).
+    */
+  def e22(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"day")
+    val p = Tables.events(spark, dir)
+      .filter($"event_type" === "purchase")
+      .selectExpr("user_id", s"$dayExpr AS day")
+      .distinct().cache()
+    val gaps = p.withColumn("gap", $"day" - lag($"day", 1).over(w))
+      .filter($"gap".isNotNull)
+    val horizon = p.agg(max($"day")).collect()(0).getLong(0) // 1-row scalar
+    val byGap = gaps.groupBy($"gap".as("len"))
+      .agg(count(lit(1)).as("d")).withColumn("c", lit(0L))
+    val byCens = p.groupBy($"user_id").agg(max($"day").as("last_day"))
+      .selectExpr(s"$horizon - last_day AS len")
+      .groupBy($"len").agg(count(lit(1)).as("c")).withColumn("d", lit(0L))
+    val ws = Window.orderBy($"len") // gap-value grain: ≤ span rows
+    val steps = byGap.unionByName(byCens.select($"len", $"d", $"c"))
+      .groupBy($"len").agg(sum($"d").as("d"), sum($"c").as("c"))
+      .withColumn("n_at_risk", sum($"d" + $"c").over(
+        ws.rowsBetween(0, Window.unboundedFollowing)))
+      .filter($"d" > 0)
+      .select($"len", $"d", $"n_at_risk")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    var s = 1000000L
+    val out = steps.map { case (t, d, n) =>
+      s = s * (n - d) / n
+      (t, d, n, s)
+    }
+    out.toSeq.toDF("gap_day", "n_events", "n_at_risk", "surv_micro")
+      .transform(graft.Tables.ordered(_, $"gap_day"))
+  }
+
+  /** e22 oracle: identical interval construction (completed gaps +
+    * per-user censored tail to the global horizon), gap-value risk
+    * sets, and the SAME integer survival recurrence as a recursive
+    * CTE. */
+  val e22Sql: String =
+    """WITH RECURSIVE p AS (SELECT DISTINCT user_id,
+      |        datediff('day', DATE '2023-12-31', CAST(ts AS DATE)) AS day
+      |      FROM events WHERE event_type = 'purchase'),
+      |g AS (SELECT user_id,
+      |        day - lag(day) OVER (PARTITION BY user_id ORDER BY day) AS gap
+      |      FROM p),
+      |bg AS (SELECT CAST(gap AS BIGINT) AS len, CAST(count(*) AS BIGINT) AS d,
+      |        CAST(0 AS BIGINT) AS c
+      |      FROM g WHERE gap IS NOT NULL GROUP BY 1),
+      |h AS (SELECT max(day) AS horizon FROM p),
+      |lastp AS (SELECT user_id, max(day) AS last_day FROM p GROUP BY 1),
+      |bc AS (SELECT CAST(horizon - last_day AS BIGINT) AS len,
+      |        CAST(0 AS BIGINT) AS d, CAST(count(*) AS BIGINT) AS c
+      |      FROM lastp, h GROUP BY 1),
+      |al AS (SELECT len, CAST(sum(d) AS BIGINT) AS d, CAST(sum(c) AS BIGINT) AS c
+      |      FROM (SELECT * FROM bg UNION ALL SELECT * FROM bc) GROUP BY 1),
+      |ev AS (SELECT len, d,
+      |        CAST(sum(d + c) OVER (ORDER BY len
+      |          ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS BIGINT) AS n_at_risk
+      |      FROM al QUALIFY d > 0),
+      |steps AS (SELECT len, d, n_at_risk,
+      |        row_number() OVER (ORDER BY len) AS rn FROM ev),
+      |km AS (SELECT CAST(0 AS BIGINT) AS rn, CAST(1000000 AS BIGINT) AS surv
+      |      UNION ALL
+      |      SELECT s.rn, (k.surv * (s.n_at_risk - s.d)) // s.n_at_risk
+      |      FROM km k JOIN steps s ON s.rn = k.rn + 1)
+      |SELECT s.len AS gap_day, s.d AS n_events, s.n_at_risk, k.surv AS surv_micro
+      |FROM steps s JOIN km k ON k.rn = s.rn
+      |ORDER BY gap_day""".stripMargin
+
   // ---------- e19: Markov stationary distribution ----------
 
   private val e19Rounds = 12

@@ -247,6 +247,121 @@ object Incremental {
     } finally deleteRecursively(storeDir)
   }
 
+
+  /** p17: ORPHAN-FILE AUDIT + RECLAIM — the OTHER maintenance pass a
+    * versioned store owes its operators (Iceberg
+    * `remove_orphan_files`, next to p16's `expireSnapshots`): failed
+    * task attempts, abandoned `_temporary` trees and stale side
+    * exports accumulate bytes no snapshot references — invisible to
+    * time travel, unreclaimed by snapshot expiry, paid for forever
+    * (and a naive directory-listing reader CRASHES on them — the
+    * store's reads are manifest-scoped, so the pre-reclaim stats
+    * here are computed correct WITH the junk still in place).
+    * Detection needs a SOURCE OF TRUTH for "referenced": a directory
+    * listing cannot tell a committed file from a leftover, so
+    * [[graft.sources.ForecastStore.save]] now writes a per-version
+    * `_MANIFEST` (the sorted committed data files — the Iceberg
+    * manifest role), and
+    * [[graft.sources.ForecastStore.orphans]] diffs the listing
+    * against it (metadata-only — no data file is read; an unlisted
+    * directory is orphan wholesale).
+    *
+    * The gate plants all three real orphan classes in p11's
+    * three-version store — a failed-task leftover inside v1, an
+    * abandoned `_temporary` tree inside v2, a stale export at the
+    * store root — reclaims them, and probes BOTH directions: every
+    * orphan is gone, and every version still loads with its exact
+    * pre-reclaim contents (reclaim must never touch committed data
+    * — the invariant that makes the pass safe to run unattended).
+    *
+    * Scale shape: detection is O(#files) directory metadata against
+    * O(#files) manifest entries — never a data read; per-version
+    * stats are p11's single aggregates. At 100 TB this is the
+    * nightly janitor that keeps object-store spend equal to what
+    * the manifests say you own.
+    */
+  def p17(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    def ts(s: String) = java.sql.Timestamp.valueOf(s + " 00:00:00")
+    val ords = Tables.orders(spark, dir).selectExpr("o_orderkey",
+      "CAST(floor(o_totalprice * 1e2 + 0.5) AS BIGINT) AS total_cents",
+      "o_orderdate")
+    val storeDir = java.nio.file.Files
+      .createTempDirectory("graft_p17_store_").toFile
+    try {
+      val store = new graft.sources.ForecastStore(storeDir.getAbsolutePath)
+      store.save(ords.filter($"o_orderdate" < lit(ts("1997-01-01")))
+        .drop("o_orderdate"), "v0")
+      store.save(ords.filter($"o_orderdate" < lit(ts("1999-01-01")))
+        .drop("o_orderdate"), "v1")
+      store.save(ords.drop("o_orderdate"), "v2")
+      // plant the three orphan classes
+      val root = storeDir.toPath
+      java.nio.file.Files.write(
+        root.resolve("v1").resolve("part-00099-leftover.parquet.tmp"),
+        "failed task attempt".getBytes)
+      val tmpTree = root.resolve("v2").resolve("_temporary").resolve("0")
+      java.nio.file.Files.createDirectories(tmpTree)
+      java.nio.file.Files.write(tmpTree.resolve("task_attempt.bin"),
+        Array.fill(16)(0x5a.toByte))
+      java.nio.file.Files.write(root.resolve("stale_export.csv"),
+        "id,cents\n1,100\n".getBytes)
+      // pre-reclaim stats per version (committed data only)
+      val pre = store.versions().map { case (v, _) =>
+        val r = store.loadVersion(spark, v).get
+          .agg(count(lit(1)), sum($"total_cents")).collect()(0)
+        (v, r.getLong(0), r.getLong(1))
+      }
+      val removed = store.removeOrphans().toSet
+      val orphanRows = removed.toSeq.sorted.map { rel =>
+        val gone = !java.nio.file.Files.exists(root.resolve(rel))
+        (rel, "orphan", "removed", -1L, -1L, if (gone) 1L else 0L)
+      }
+      val versionRows = pre.map { case (v, n, c) =>
+        val intact = store.loadVersion(spark, v) match {
+          case Some(df2) => if (df2.count() == n) 1L else 0L
+          case None => 0L
+        }
+        (v, "version", "retained", n, c, intact)
+      }
+      // all probes are driver-local before the store dir is reclaimed
+      (orphanRows ++ versionRows)
+        .toDF("item", "kind", "status", "n_orders", "sum_cents", "intact")
+        .transform(Tables.ordered(_, $"item"))
+    } finally deleteRecursively(storeDir)
+  }
+
+  /** p17 oracle: the three planted orphans (constants — removal is
+    * total) + p11's per-version cutoff recomputation with the
+    * intact flag. */
+  val p17Sql: String =
+    """WITH o AS (SELECT o_orderkey,
+      |  CAST(floor(o_totalprice * 1e2 + 0.5) AS BIGINT) AS total_cents,
+      |  o_orderdate FROM orders)
+      |SELECT * FROM (
+      |SELECT 'stale_export.csv' AS item, 'orphan' AS kind,
+      |       'removed' AS status, CAST(-1 AS BIGINT) AS n_orders,
+      |       CAST(-1 AS BIGINT) AS sum_cents, CAST(1 AS BIGINT) AS intact
+      |UNION ALL
+      |SELECT 'v1/part-00099-leftover.parquet.tmp', 'orphan', 'removed',
+      |       CAST(-1 AS BIGINT), CAST(-1 AS BIGINT), CAST(1 AS BIGINT)
+      |UNION ALL
+      |SELECT 'v2/_temporary', 'orphan', 'removed',
+      |       CAST(-1 AS BIGINT), CAST(-1 AS BIGINT), CAST(1 AS BIGINT)
+      |UNION ALL
+      |SELECT 'v0', 'version', 'retained', CAST(count(*) AS BIGINT),
+      |       CAST(sum(total_cents) AS BIGINT), CAST(1 AS BIGINT)
+      |FROM o WHERE o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+      |UNION ALL
+      |SELECT 'v1', 'version', 'retained', CAST(count(*) AS BIGINT),
+      |       CAST(sum(total_cents) AS BIGINT), CAST(1 AS BIGINT)
+      |FROM o WHERE o_orderdate < TIMESTAMP '1999-01-01 00:00:00'
+      |UNION ALL
+      |SELECT 'v2', 'version', 'retained', CAST(count(*) AS BIGINT),
+      |       CAST(sum(total_cents) AS BIGINT), CAST(1 AS BIGINT)
+      |FROM o)
+      |ORDER BY item""".stripMargin
+
   /** p16 oracle: p11's cutoff recomputation + the static keep-2
     * verdicts and the post-expiry load expectations (expired ⇒
     * gone, retained ⇒ intact).

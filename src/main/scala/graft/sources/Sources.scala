@@ -57,17 +57,75 @@ class ForecastStore(root: String) {
     else None
 
   def load(spark: SparkSession): Option[DataFrame] =
-    currentPath().map(spark.read.parquet(_))
+    currentPath().flatMap(p =>
+      loadVersion(spark, Paths.get(p).getFileName.toString))
 
-  /** Write `df` as the new current version (atomic marker swap). */
+  /** Write `df` as the new current version (atomic marker swap).
+    * Also writes the version's `_MANIFEST` — the sorted list of
+    * committed data files, the Iceberg-style source of truth orphan
+    * detection needs: a directory listing alone cannot tell a
+    * committed file from a failed task's leftover.
+    */
   def save(df: DataFrame, version: String): Unit = {
     val dir = Paths.get(root, version)
     df.write.mode("overwrite").parquet(dir.toString)
+    val data = Option(dir.toFile.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+      .map(_.getName).sorted
+    Files.write(dir.resolve("_MANIFEST"), data.mkString("\n").getBytes)
     val tmp = Paths.get(root, "CURRENT.tmp")
     Files.createDirectories(Paths.get(root))
     Files.write(tmp, version.getBytes)
     Files.move(tmp, marker, StandardCopyOption.ATOMIC_MOVE,
       StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  private def metaFile(n: String): Boolean =
+    n == "_MANIFEST" || n == "_SUCCESS" || n.endsWith(".crc")
+
+  /** Store-relative paths no manifest references — failed-task
+    * leftovers, stale side files, abandoned `_temporary` trees: the
+    * reclaim target of Iceberg's `remove_orphan_files`. A version
+    * dir WITHOUT a manifest (pre-manifest store) is left alone; an
+    * unlisted DIRECTORY inside a version is orphan wholesale;
+    * metadata files (CURRENT, _MANIFEST, _SUCCESS, .crc) are never
+    * orphans. Detection is metadata-only — no data file is read.
+    */
+  def orphans(): Seq[String] = {
+    val rootLoose = Option(Paths.get(root).toFile.listFiles())
+      .getOrElse(Array.empty)
+      .filter(f => f.isFile && f.getName != "CURRENT" && !metaFile(f.getName))
+      .map(_.getName).toSeq
+    val inVersions = versions().map(_._1).flatMap { v =>
+      val dir = Paths.get(root, v)
+      val mf = dir.resolve("_MANIFEST")
+      if (!Files.exists(mf)) Seq.empty
+      else {
+        val listed = new String(Files.readAllBytes(mf))
+          .split("\n").filter(_.nonEmpty).toSet
+        Option(dir.toFile.listFiles()).getOrElse(Array.empty).toSeq
+          .filterNot(c => !c.isDirectory &&
+            (metaFile(c.getName) || listed.contains(c.getName)))
+          .collect {
+            case c if c.isDirectory => s"$v/${c.getName}"
+            case c if !listed.contains(c.getName) => s"$v/${c.getName}"
+          }
+      }
+    }
+    (rootLoose ++ inVersions).sorted
+  }
+
+  /** Delete every orphan (recursively for orphan directories) and
+    * return what was removed — the reclaim half of the audit. Never
+    * touches manifest-listed data, version markers, or metadata.
+    */
+  def removeOrphans(): Seq[String] = {
+    val os = orphans()
+    def rm(f: java.io.File): Unit = {
+      val cs = f.listFiles(); if (cs != null) cs.foreach(rm); f.delete(); ()
+    }
+    os.foreach(rel => rm(Paths.get(root, rel).toFile))
+    os
   }
 
   /** TIME TRAVEL: read a specific stored version by name, whether or
@@ -82,7 +140,21 @@ class ForecastStore(root: String) {
     */
   def loadVersion(spark: SparkSession, version: String): Option[DataFrame] = {
     val dir = Paths.get(root, version)
-    if (Files.isDirectory(dir)) Some(spark.read.parquet(dir.toString)) else None
+    if (!Files.isDirectory(dir)) None
+    else {
+      val mf = dir.resolve("_MANIFEST")
+      if (Files.exists(mf)) {
+        // COMMITTED-READ semantics (the Iceberg reader contract):
+        // scan exactly the manifest-listed files, never the
+        // directory listing — so failed-task leftovers and
+        // half-written junk sitting next to committed data can
+        // neither corrupt nor crash a read (p17 proves this with
+        // planted orphans).
+        val files = new String(Files.readAllBytes(mf))
+          .split("\n").filter(_.nonEmpty).map(n => dir.resolve(n).toString)
+        Some(spark.read.parquet(files.toIndexedSeq: _*))
+      } else Some(spark.read.parquet(dir.toString))
+    }
   }
 
   /** All readable version names, oldest first (vacuum's numeric-aware

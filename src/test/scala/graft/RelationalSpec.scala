@@ -2485,6 +2485,43 @@ class RelationalSpec extends AnyFunSuite {
     assert(got.map(_._2).sum == gaps.length.toLong)
   }
 
+
+  test("e22: Kaplan-Meier equals a sequential recompute; censoring raises survival") {
+    val got = EventWindows.e22(spark, sf).collect()
+      .map(r => (r.getAs[Long]("gap_day"), r.getAs[Long]("n_events"),
+        r.getAs[Long]("n_at_risk"), r.getAs[Long]("surv_micro"))).toSeq
+    val days = Tables.events(spark, sf)
+      .filter("event_type = 'purchase'")
+      .selectExpr("user_id",
+        "CAST(datediff(CAST(ts AS DATE), DATE '2023-12-31') AS BIGINT) AS day")
+      .as[(Long, Long)].collect().distinct
+    val byUser = days.groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    val gaps = byUser.values.flatMap(s => s.zip(s.tail).map(p => p._2 - p._1)).toSeq
+    val horizon = days.map(_._2).max
+    val cens = byUser.values.map(horizon - _.max).toSeq
+    val steps = gaps.groupBy(identity).toSeq.sortBy(_._1).map { case (t, xs) =>
+      (t, xs.size.toLong,
+        gaps.count(_ >= t).toLong + cens.count(_ >= t).toLong)
+    }
+    var s = 1000000L
+    val want = steps.map { case (t, d, n) => s = s * (n - d) / n; (t, d, n, s) }
+    assert(got == want && got.nonEmpty)
+    // survival is non-increasing; the censored tails must RAISE it
+    // versus the completed-only naive product (the whole point of KM)
+    assert(got.sliding(2).forall { case Seq(a, b) => b._4 <= a._4 })
+    var naive = 1000000L
+    val naiveAt = gaps.groupBy(identity).toSeq.sortBy(_._1).map { case (t, xs) =>
+      val d = xs.size.toLong; val n = gaps.count(_ >= t).toLong
+      naive = naive * (n - d) / n; (t, naive)
+    }.toMap
+    assert(cens.exists(_ > 0), "no censored intervals - fixture vacuous")
+    // pointwise domination (each KM factor (n+c-d)/(n+c) >= (n-d)/n),
+    // strictly above somewhere before the curve is exhausted
+    assert(got.forall { case (t, _, _, sv) => sv >= naiveAt(t) })
+    assert(got.exists { case (t, _, _, sv) => sv > naiveAt(t) },
+      "censoring never moved the curve")
+  }
+
   test("e21: GSP support equals a brute-force subsequence recompute") {
     val got = EventWindows.e21(spark, sf).collect()
       .map(r => (r.getAs[Long]("plen"), r.getAs[String]("p1"),

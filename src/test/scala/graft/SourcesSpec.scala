@@ -53,6 +53,45 @@ class SourcesSpec extends AnyFunSuite {
     assert(store.currentPath().get.endsWith("v2"))
   }
 
+
+  test("ForecastStore orphans: manifest-diff detection, reclaim safety, committed reads") {
+    import spark.implicits._
+    val root = tmp() + "/orph"
+    val store = new ForecastStore(root)
+    store.save(spark.range(100).toDF("id"), "v0")
+    store.save(spark.range(200).toDF("id"), "v1")
+    // plant all three orphan classes
+    val rp = java.nio.file.Paths.get(root)
+    java.nio.file.Files.write(
+      rp.resolve("v0").resolve("part-00099-leftover.parquet.tmp"),
+      "junk".getBytes)
+    val tmpTree = rp.resolve("v1").resolve("_temporary").resolve("0")
+    java.nio.file.Files.createDirectories(tmpTree)
+    java.nio.file.Files.write(tmpTree.resolve("task.bin"), Array[Byte](1, 2))
+    java.nio.file.Files.write(rp.resolve("stale.csv"), "x\n".getBytes)
+    assert(store.orphans() == Seq("stale.csv",
+      "v0/part-00099-leftover.parquet.tmp", "v1/_temporary"))
+    // COMMITTED READS: correct with the junk still in place (a
+    // directory-listing reader would crash on the fake .parquet.tmp)
+    assert(store.loadVersion(spark, "v0").get.count() == 100)
+    assert(store.load(spark).get.count() == 200)
+    // reclaim: orphans gone, committed data untouched
+    val removed = store.removeOrphans()
+    assert(removed == Seq("stale.csv",
+      "v0/part-00099-leftover.parquet.tmp", "v1/_temporary"))
+    removed.foreach(r =>
+      assert(!java.nio.file.Files.exists(rp.resolve(r)), r))
+    assert(store.orphans().isEmpty)
+    assert(store.loadVersion(spark, "v0").get.count() == 100)
+    assert(store.loadVersion(spark, "v1").get.count() == 200)
+    // a PRE-MANIFEST version is left alone (no source of truth =>
+    // never guess): delete v0's manifest, re-plant junk, audit clean
+    java.nio.file.Files.delete(rp.resolve("v0").resolve("_MANIFEST"))
+    java.nio.file.Files.write(rp.resolve("v0").resolve("mystery.bin"),
+      "x".getBytes)
+    assert(store.orphans().isEmpty)
+  }
+
   test("ForecastStore: time travel reads retained versions; vacuum bounds the history") {
     import spark.implicits._
     val store = new ForecastStore(tmp() + "/tt")
