@@ -2178,4 +2178,122 @@ object Dedup {
       |GROUP BY 1, 2 HAVING count(*) >= $d23Tau
       |ORDER BY id_a, id_b""".stripMargin
   }
+
+  // ---------- d24: entity resolution (record linkage) ----------
+
+  private val d24P = 8 // blocking tile width (chars)
+
+  /** d24: ENTITY RESOLUTION / RECORD LINKAGE — match dirty records
+    * (typo'd duplicates) back to a clean reference by blocked
+    * fuzzy matching, the Fellegi–Sunter (1969) pipeline every
+    * cross-source dedup runs: BLOCK (cheap equality keys propose
+    * candidates — never all-pairs), SCORE (edit distance on
+    * candidates only), RESOLVE (best match per record with a
+    * second-best MARGIN — the abstain signal reviewers read).
+    * Blocking is PIGEONHOLE q-gram tiling (d10's argument on the
+    * record grain): the 40-char name splits into five disjoint
+    * 8-char tiles; ≤ 2 substitutions can break at most 2 tiles, so
+    * ≥ 3 intact tiles GUARANTEE the true pair shares a block —
+    * recall by construction, not in expectation. Scoring is
+    * `levenshtein` (classic unit-cost DP — identical in Spark
+    * codegen and DuckDB); resolution ranks (distance, entity id)
+    * and emits best, margin to second-best, and a correctness flag
+    * against the seeded truth.
+    *
+    * Fixture: entities are the documents' 40-char prefixes with an
+    * ' #id' tail (the tail is never blocked on — tiles live in the
+    * text part); every third entity spawns a dirty copy with TWO
+    * deterministic digit substitutions at id-derived positions —
+    * a digit never equals the letter/space it replaces, so the
+    * true-pair distance is exactly 2.
+    *
+    * Scale shape: blocking is an equality join on (tile_idx, tile)
+    * — id-only rows ride the shuffle, names attach by pk at
+    * scoring (the d2/d4 contract); per-block fan-in is data-bounded
+    * the d2 way (cap if a tile degenerates). At 100 TB this is the
+    * standard ER topology: candidates ∝ Σ block², never n².
+    */
+  def d24(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val clean = Tables.documents(spark, dir)
+      .selectExpr("doc_id AS ent_id",
+        "concat(substring(text, 1, 40), ' #', doc_id) AS name")
+    val dirty = Tables.documents(spark, dir)
+      .filter($"doc_id" % 3 === 1)
+      .selectExpr("doc_id AS dirty_id",
+        "1 + doc_id % 7 AS p1", "9 + doc_id % 11 AS p2",
+        "concat(substring(text, 1, 40), ' #', doc_id) AS name0")
+      .selectExpr("dirty_id",
+        """concat(substring(name0, 1, CAST(p1 AS INT) - 1),
+          |  chr(48 + (dirty_id % 10)),
+          |  substring(name0, CAST(p1 AS INT) + 1, CAST(p2 - p1 AS INT) - 1),
+          |  chr(48 + ((dirty_id + 3) % 10)),
+          |  substring(name0, CAST(p2 AS INT) + 1)) AS name""".stripMargin)
+    def tiles(df: DataFrame, idCol: String) = df
+      .selectExpr(idCol, s"explode(sequence(0, 4)) AS tile_idx", "name")
+      .selectExpr(idCol, "tile_idx",
+        s"substring(name, tile_idx * $d24P + 1, $d24P) AS tile")
+    val cand = tiles(dirty, "dirty_id")
+      .join(tiles(clean, "ent_id"), Seq("tile_idx", "tile"))
+      .select($"dirty_id", $"ent_id").distinct()
+    val scored = cand
+      .join(dirty.select($"dirty_id", $"name".as("dname")), Seq("dirty_id"))
+      .join(clean.select($"ent_id", $"name".as("cname")), Seq("ent_id"))
+      .selectExpr("dirty_id", "ent_id",
+        "CAST(levenshtein(dname, cname) AS BIGINT) AS dist")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"dirty_id").orderBy($"dist", $"ent_id")
+    scored.withColumn("rn", row_number().over(w))
+      .filter($"rn" <= 2)
+      .groupBy($"dirty_id")
+      .agg(min(when($"rn" === 1, $"ent_id")).as("matched_id"),
+        min(when($"rn" === 1, $"dist")).as("best_dist"),
+        coalesce(min(when($"rn" === 2, $"dist")), lit(999L)).as("second_dist"))
+      .selectExpr("dirty_id", "matched_id", "best_dist",
+        "second_dist - best_dist AS margin",
+        "CAST(CASE WHEN matched_id = dirty_id THEN 1 ELSE 0 END AS BIGINT) AS correct")
+      .transform(graft.Tables.ordered(_, $"dirty_id"))
+  }
+
+  /** d24 oracle: identical entity construction, digit typos, tile
+    * blocking, levenshtein scoring and (dist, id) resolution. */
+  val d24Sql: String =
+    s"""WITH clean AS (SELECT doc_id AS ent_id,
+      |        concat(substr(text, 1, 40), ' #', doc_id) AS name
+      |      FROM documents),
+      |d0 AS (SELECT doc_id AS dirty_id,
+      |        1 + doc_id % 7 AS p1, 9 + doc_id % 11 AS p2,
+      |        concat(substr(text, 1, 40), ' #', doc_id) AS name0
+      |      FROM documents WHERE doc_id % 3 = 1),
+      |dirty AS (SELECT dirty_id,
+      |        concat(substr(name0, 1, CAST(p1 AS INT) - 1),
+      |          chr(48 + CAST(dirty_id % 10 AS INT)),
+      |          substr(name0, CAST(p1 AS INT) + 1, CAST(p2 - p1 AS INT) - 1),
+      |          chr(48 + CAST((dirty_id + 3) % 10 AS INT)),
+      |          substr(name0, CAST(p2 AS INT) + 1)) AS name
+      |      FROM d0),
+      |dt AS (SELECT dirty_id, i AS tile_idx,
+      |        substr(name, i * $d24P + 1, $d24P) AS tile
+      |      FROM dirty, generate_series(0, 4) s(i)),
+      |ct AS (SELECT ent_id, i AS tile_idx,
+      |        substr(name, i * $d24P + 1, $d24P) AS tile
+      |      FROM clean, generate_series(0, 4) s(i)),
+      |cand AS (SELECT DISTINCT dirty_id, ent_id
+      |      FROM dt JOIN ct USING (tile_idx, tile)),
+      |sc AS (SELECT c.dirty_id, c.ent_id,
+      |        CAST(levenshtein(d.name, e.name) AS BIGINT) AS dist
+      |      FROM cand c JOIN dirty d USING (dirty_id)
+      |      JOIN clean e USING (ent_id)),
+      |r AS (SELECT *, row_number() OVER (PARTITION BY dirty_id
+      |        ORDER BY dist, ent_id) AS rn FROM sc)
+      |SELECT dirty_id,
+      |  CAST(min(CASE WHEN rn = 1 THEN ent_id END) AS BIGINT) AS matched_id,
+      |  CAST(min(CASE WHEN rn = 1 THEN dist END) AS BIGINT) AS best_dist,
+      |  CAST(coalesce(min(CASE WHEN rn = 2 THEN dist END), 999)
+      |    - min(CASE WHEN rn = 1 THEN dist END) AS BIGINT) AS margin,
+      |  CAST(CASE WHEN min(CASE WHEN rn = 1 THEN ent_id END) = dirty_id
+      |    THEN 1 ELSE 0 END AS BIGINT) AS correct
+      |FROM r WHERE rn <= 2
+      |GROUP BY dirty_id
+      |ORDER BY dirty_id""".stripMargin
 }

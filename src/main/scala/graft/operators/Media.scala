@@ -2024,4 +2024,109 @@ object Media {
       |  3600 * n_samples AS duration, TRUE AS brands_ok
       |FROM st
       |ORDER BY doc_id""".stripMargin
+
+  // ---------- m19: SRT subtitle-track parse ----------
+
+  /** Render one SRT text track (the SubRip format: per cue an
+    * index line, a `HH:MM:SS,mmm --> HH:MM:SS,mmm` range line, the
+    * caption text, then a blank line — the sidecar format most
+    * video corpora ship transcripts in). Cue i starts at
+    * (i−1)·2000 + (char i & 1023) ms, lasts 800 + ((char i · 7) &
+    * 127)·12 ms and carries 10 + (char i & 7) payload chars — all
+    * re-derivable arithmetically from the text. */
+  private[graft] def buildSrt(s: String, n: Int): String = {
+    def fmt(ms: Long): String =
+      f"${ms / 3600000}%02d:${ms / 60000 % 60}%02d:${ms / 1000 % 60}%02d,${ms % 1000}%03d"
+    (1 to n).map { i =>
+      val c = s.charAt(i - 1).toInt
+      val start = (i - 1) * 2000L + (c & 1023)
+      val dur = 800L + ((c * 7) & 127) * 12
+      val text = s.substring(i - 1, i - 1 + 10 + (c & 7))
+      s"$i\n${fmt(start)} --> ${fmt(start + dur)}\n$text\n"
+    }.mkString("\n")
+  }
+
+  /** Parse an SRT track generically (blank-line-separated cues,
+    * index line, timestamp-range line, verbatim caption text) —
+    * the real parser, not the builder inverted. */
+  private[graft] def srtCues(srt: String): Seq[(Int, Long, Long, String)] = {
+    val cueRe =
+      ("""(?s)(\d+)\n(\d{2}):(\d{2}):(\d{2}),(\d{3}) --> """ +
+        """(\d{2}):(\d{2}):(\d{2}),(\d{3})\n(.*)""").r
+    def t(h: String, m: String, sec: String, ms: String): Long =
+      h.toLong * 3600000 + m.toLong * 60000 + sec.toLong * 1000 + ms.toLong
+    srt.split("\n\n").toSeq.filter(_.trim.nonEmpty).map {
+      case cueRe(idx, h1, m1, s1, ms1, h2, m2, s2, ms2, text) =>
+        (idx.toInt, t(h1, m1, s1, ms1), t(h2, m2, s2, ms2),
+          text.stripSuffix("\n"))
+    }
+  }
+
+  /** m19: SRT SUBTITLE-TRACK PARSE + TIMING AUDIT — the sixth
+    * container leg, on the TEXT side of multimodal corpora: most
+    * video ships with a SubRip transcript, and an ASR/caption
+    * curation pass parses it back to cue timings before alignment,
+    * filtering on reading speed (chars/sec — the broadcast
+    * accessibility limit) and cue overlap (the malformed-track
+    * signal). Each doc renders a real SRT track ([[buildSrt]]) and
+    * [[srtCues]] parses it back GENERICALLY (regex over the public
+    * format — a parser that misreads any timestamp field or drops
+    * a cue breaks the hash gate, since the oracle re-derives every
+    * timing arithmetically from the payload characters). Output
+    * per cue: parsed start/end ms, caption length, reading speed
+    * in permille chars/sec (integral division, non-negative), and
+    * whether the cue overlaps the next (end > next start).
+    *
+    * Scale: build+parse fused in ONE narrow flatMap stage — zero
+    * shuffles (the m7/m17 decode-fleet shape); track text never
+    * leaves the stage.
+    */
+  def m19(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .filter($"doc_id" % 3 === 1)
+      .selectExpr("doc_id",
+        "rpad(concat('SRT', substring(text, 1, 61)), 64, ' ') AS s")
+      .as[(Long, String)]
+      .flatMap { case (id, s) =>
+        val n = (4 + id % 5).toInt
+        val cues = srtCues(buildSrt(s, n))
+        cues.zipWithIndex.map { case ((idx, st, en, tx), k) =>
+          val dur = en - st
+          val ov =
+            if (k + 1 < cues.size && en > cues(k + 1)._2) 1L else 0L
+          (id, idx.toLong, st, en, tx.length.toLong,
+            tx.length.toLong * 1000000L / dur, ov)
+        }
+      }
+      .toDF("doc_id", "cue_idx", "start_ms", "end_ms", "n_chars",
+        "cps_permille", "overlaps_next")
+      .transform(graft.Tables.ordered(_, $"doc_id", $"cue_idx"))
+  }
+
+  /** m19 oracle: every cue timing, length, reading speed and
+    * overlap flag re-derived arithmetically from the payload
+    * characters (the m13/m17 construction-oracle idiom). */
+  val m19Sql: String =
+    """WITH p AS (SELECT doc_id,
+      |        rpad(concat('SRT', substring(text, 1, 61)), 64, ' ') AS s,
+      |        CAST(4 + doc_id % 5 AS BIGINT) AS n
+      |      FROM documents WHERE doc_id % 3 = 1),
+      |c AS (SELECT doc_id, n, CAST(i AS BIGINT) AS i, s,
+      |        ord(substr(s, CAST(i AS INT), 1)) AS ch
+      |      FROM p, generate_series(1, 8) g(i) WHERE i <= n),
+      |m AS (SELECT doc_id, n, i,
+      |        (i - 1) * 2000 + (ch & 1023) AS start_ms,
+      |        800 + ((ch * 7) & 127) * 12 AS dur,
+      |        CAST(10 + (ch & 7) AS BIGINT) AS nch,
+      |        CASE WHEN i < n THEN i * 2000 +
+      |          (ord(substr(s, CAST(i + 1 AS INT), 1)) & 1023) END AS next_start
+      |      FROM c)
+      |SELECT doc_id, i AS cue_idx, CAST(start_ms AS BIGINT) AS start_ms,
+      |  CAST(start_ms + dur AS BIGINT) AS end_ms, nch AS n_chars,
+      |  CAST((nch * 1000000) // dur AS BIGINT) AS cps_permille,
+      |  CAST(CASE WHEN next_start IS NOT NULL AND start_ms + dur > next_start
+      |    THEN 1 ELSE 0 END AS BIGINT) AS overlaps_next
+      |FROM m
+      |ORDER BY doc_id, cue_idx""".stripMargin
 }

@@ -354,6 +354,50 @@ class ChartPngSpec extends AnyFunSuite {
     assert(!om.frag_sizes_ok && om.sizes_ok && om.mdat_bytes == 5L)
   }
 
+
+  test("m19: SRT parse recovers hand-built cues; malformed tracks fail loudly") {
+    import spark.implicits._
+    import graft.operators.Media
+    // generic-format checks: hour carry, multi-line captions,
+    // verbatim text (trailing spaces preserved)
+    val srt = "1\n01:02:03,004 --> 01:02:05,999\nhello there \n\n" +
+      "2\n00:01:00,000 --> 00:01:02,750\ntwo line\ncaption\n"
+    val cues = Media.srtCues(srt)
+    assert(cues == Seq(
+      (1, 3723004L, 3725999L, "hello there "),
+      (2, 60000L, 62750L, "two line\ncaption")))
+    // a malformed timestamp line must fail, not silently skip
+    intercept[MatchError](Media.srtCues("1\nbad --> worse\ntext\n"))
+    // end-to-end: the operator's rows equal a sequential recompute
+    // of the construction arithmetic (the oracle's formula)
+    val got = Media.m19(spark, SharedSpark.sf).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("cue_idx"),
+        r.getAs[Long]("start_ms"), r.getAs[Long]("end_ms"),
+        r.getAs[Long]("n_chars"), r.getAs[Long]("cps_permille"),
+        r.getAs[Long]("overlaps_next"))).toSeq
+    val want = Tables.documents(spark, SharedSpark.sf)
+      .filter("doc_id % 3 = 1")
+      .selectExpr("doc_id", "rpad(concat('SRT', substring(text, 1, 61)), 64, ' ')")
+      .as[(Long, String)].collect().toSeq.sortBy(_._1)
+      .flatMap { case (id, s) =>
+        val n = (4 + id % 5).toInt
+        (1 to n).map { i =>
+          val c = s.charAt(i - 1).toInt
+          val start = (i - 1) * 2000L + (c & 1023)
+          val dur = 800L + ((c * 7) & 127) * 12
+          val nch = 10L + (c & 7)
+          val ov = if (i < n) {
+            val ns = i * 2000L + (s.charAt(i).toInt & 1023)
+            if (start + dur > ns) 1L else 0L
+          } else 0L
+          (id, i.toLong, start, start + dur, nch, nch * 1000000L / dur, ov)
+        }
+      }
+    assert(got == want && got.nonEmpty)
+    // the fixture exercises both overlap outcomes
+    assert(got.exists(_._7 == 1L) && got.exists(_._7 == 0L))
+  }
+
   test("m16: JPEG marker walk recovers real structure; truncation and dim edits bite") {
     import graft.operators.Media
     val jb = Media.encodeJpeg8x8(

@@ -1925,6 +1925,60 @@ class DedupKnnSpec extends AnyFunSuite {
     assert(Dedup.winnowOne("\uD83D\uDE00" * 18).isEmpty)
   }
 
+
+  test("d24: blocked ER equals brute-force resolution; pigeonhole recall guarantee") {
+    val got = Dedup.d24(spark, sf).collect()
+      .map(r => (r.getAs[Long]("dirty_id"), r.getAs[Long]("matched_id"),
+        r.getAs[Long]("best_dist"), r.getAs[Long]("margin"),
+        r.getAs[Long]("correct"))).toSeq
+    // rebuild both sides sequentially
+    val docs = Tables.documents(spark, sf)
+      .selectExpr("doc_id", "substring(text, 1, 40) AS t")
+      .as[(Long, String)].collect().toSeq
+    val clean = docs.map { case (id, t) => id -> s"$t #$id" }.toMap
+    val dirty = docs.filter(_._1 % 3 == 1).map { case (id, t) =>
+      val n0 = s"$t #$id"
+      val p1 = (1 + id % 7).toInt; val p2 = (9 + id % 11).toInt
+      val a = n0.toCharArray
+      a(p1 - 1) = (48 + (id % 10)).toChar
+      a(p2 - 1) = (48 + ((id + 3) % 10)).toChar
+      id -> new String(a)
+    }
+    def lev(a: String, b: String): Int = {
+      val dp = Array.tabulate(b.length + 1)(identity)
+      for (i <- 1 to a.length) {
+        var prev = dp(0); dp(0) = i
+        for (j <- 1 to b.length) {
+          val cur = dp(j)
+          dp(j) = math.min(math.min(dp(j) + 1, dp(j - 1) + 1),
+            prev + (if (a.charAt(i - 1) == b.charAt(j - 1)) 0 else 1))
+          prev = cur
+        }
+      }
+      dp(b.length)
+    }
+    // every dirty record surfaces, and the pigeonhole argument holds:
+    // <= 2 substitutions break <= 2 of 5 disjoint tiles, so the true
+    // pair always shares a block => best_dist <= 2 always
+    assert(got.map(_._1) == dirty.map(_._1).sorted)
+    assert(got.forall(_._3 <= 2), "pigeonhole recall violated")
+    // brute-force resolution agrees on the match: any entity within
+    // distance 2 shares >= 3 tiles, so blocking cannot hide a better
+    // match than brute-force finds
+    got.foreach { case (did, mid, bd, _, corr) =>
+      val dn = dirty.toMap.apply(did)
+      val (bid, bdist) = clean.toSeq.map { case (eid, en) => (eid, lev(dn, en)) }
+        .minBy { case (eid, dd) => (dd, eid) }
+      assert(mid == bid && bd == bdist.toLong, s"dirty $did: ($mid,$bd) vs ($bid,$bdist)")
+      assert(corr == (if (mid == did) 1L else 0L))
+    }
+    // the seeded truth: digit typos never collide with the original
+    // chars, so the true-pair distance is exactly 2 — and on this
+    // fixture resolution is measured PERFECT (margin positive)
+    assert(got.forall(r => r._5 == 1L && r._3 == 2L && r._4 >= 1L),
+      s"mismatches: ${got.filterNot(r => r._5 == 1L && r._3 == 2L && r._4 >= 1L).take(5)}")
+  }
+
   test("v23: label-noise audit discriminates geometric from geometry-free labels") {
     val rows = graft.operators.Knn.v23(spark, SharedSpark.sf).collect()
       .map(r => (r.getAs[String]("label_src"), r.getAs[Long]("vec_id"),
