@@ -2865,4 +2865,76 @@ object Knn {
       |      FROM iv$v21Hops)
       |WHERE rn <= $v21Degree
       |ORDER BY new_id, rnk""".stripMargin
+
+  // ---------- v27: ANN soft delete (tombstones) ----------
+
+  private[operators] val v27ModK = 23L // every 23rd corpus vector is deleted
+
+  /** v27: ANN SOFT DELETE — serve queries over the index with a
+    * TOMBSTONE set excluded, the other half of the maintenance
+    * story v26 opened (insert ⇄ delete): GDPR erasure, licence
+    * takedowns and dedup verdicts all remove vectors daily, and a
+    * full graph rebuild per deletion is the cost this family must
+    * not pay. The published approach (HNSW mark-delete; FAISS
+    * `remove_ids` defers the same way) is SOFT deletion: tombstoned
+    * nodes STAY NAVIGABLE — removing them would sever graph paths
+    * and strand the beam — but are filtered from results and from
+    * the ground truth. Output: v21's rows over the live corpus,
+    * plus per query the number of tombstoned nodes the search
+    * traversed (`n_tomb_visited` — the soft-delete overhead dial: 
+    * when it grows past a threshold, a compaction rebuild pays for
+    * itself; this is the audit a serving fleet reads to schedule
+    * one).
+    *
+    * Scale shape: identical to v21 (the tombstone filter is a
+    * row-local predicate on the visited set — here a modular
+    * predicate, in production a Bloom/bitmap of deleted ids
+    * broadcast at O(|deleted|) bits); the brute arm re-grounds
+    * in_exact against the LIVE corpus only.
+    */
+  def v27(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ix = v21Static(spark, dir)
+    val qs = codebook(ix.e, "vec_id < 10")
+    val visited = v21SearchOn(ix, qs).last
+    val beamTop = visited.filter(s"node % $v27ModK <> 0")
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy($"qid").orderBy($"score".desc, $"node")))
+      .filter($"rnk" <= knnK)
+      .select($"qid", $"rnk", $"node".as("vec_id"), $"score".as("cos_sim"))
+    val brute = topK(denseScoredFor(ix.e, qs,
+        s"vec_id >= 10 AND vec_id % $v27ModK <> 0"), "cos_sim", knnK)
+      .select($"qid", $"vec_id", lit(1L).as("hit"))
+    val tombVis = visited.filter(s"node % $v27ModK = 0")
+      .groupBy($"qid").agg(count(lit(1)).as("n_tomb_visited"))
+    beamTop.join(brute, Seq("qid", "vec_id"), "left")
+      .join(tombVis, Seq("qid"), "left")
+      .selectExpr("qid", "rnk", "vec_id", "cos_sim",
+        "coalesce(hit, CAST(0 AS BIGINT)) AS in_exact",
+        "coalesce(n_tomb_visited, CAST(0 AS BIGINT)) AS n_tomb_visited")
+      .transform(graft.Tables.ordered(_, $"qid", $"rnk"))
+  }
+
+  /** v27 oracle: v21's chain with the tombstone filter on the final
+    * rank, live-only ground truth, and the per-query traversed-
+    * tombstone count. */
+  val v27Sql: String =
+    s"""WITH $v21CteChain,
+      |r AS (SELECT qid, node AS vec_id, score AS cos_sim,
+      |        CAST(row_number() OVER (PARTITION BY qid ORDER BY score DESC, node) AS INTEGER) AS rnk
+      |      FROM v$v21Hops WHERE node % $v27ModK <> 0),
+      |brute2 AS (SELECT qid, vec_id FROM (
+      |          SELECT q.vec_id AS qid, c.vec_id,
+      |            row_number() OVER (PARTITION BY q.vec_id
+      |              ORDER BY round(list_inner_product(q.nv, c.nv) * 1e6) / 1e6 DESC, c.vec_id) AS rnk
+      |          FROM mq q CROSS JOIN mc c WHERE c.vec_id % $v27ModK <> 0) WHERE rnk <= $knnK),
+      |tv AS (SELECT qid, CAST(count(*) AS BIGINT) AS n_tomb_visited
+      |      FROM v$v21Hops WHERE node % $v27ModK = 0 GROUP BY qid)
+      |SELECT r.qid, r.rnk, r.vec_id, r.cos_sim,
+      |  CAST(CASE WHEN b.vec_id IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS in_exact,
+      |  CAST(coalesce(tv.n_tomb_visited, 0) AS BIGINT) AS n_tomb_visited
+      |FROM r LEFT JOIN brute2 b ON b.qid = r.qid AND b.vec_id = r.vec_id
+      |LEFT JOIN tv ON tv.qid = r.qid
+      |WHERE r.rnk <= $knnK
+      |ORDER BY r.qid, r.rnk""".stripMargin
 }

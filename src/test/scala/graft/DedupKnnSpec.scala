@@ -1789,6 +1789,54 @@ class DedupKnnSpec extends AnyFunSuite {
       s"${newIds.size - selfHits.length} inserted vectors unreachable")
   }
 
+
+  test("v27: soft delete — tombstones never surface but stay navigable; live recall holds") {
+    val rows = Knn.v27(spark, sf).collect()
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Int]("rnk"),
+        r.getAs[Long]("vec_id"), r.getAs[Double]("cos_sim"),
+        r.getAs[Long]("in_exact"), r.getAs[Long]("n_tomb_visited"))).toSeq
+    assert(rows.nonEmpty)
+    // the delete contract: no tombstoned id ever surfaces
+    assert(rows.forall(_._3 % 23 != 0), "tombstoned id in results")
+    // in_exact re-grounds against the LIVE corpus: JVM brute mirror
+    def q6(x: Double) =
+      (if (x * 1e6 >= 0) math.floor(x * 1e6 + 0.5) else math.ceil(x * 1e6 - 0.5)) / 1e6
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }
+      s
+    }
+    val vecs = Tables.embeddings(spark, sf)
+      .selectExpr("vec_id", "transform(embedding, x -> CAST(x AS DOUBLE)) AS v")
+      .as[(Long, Array[Double])].collect()
+      .map { case (id, v) =>
+        val nrm = math.sqrt(v.map(x => x * x).sum); (id, v.map(_ / nrm))
+      }
+    val live = vecs.filter(t => t._1 >= 10 && t._1 % 23 != 0)
+    val bruteTop = vecs.filter(_._1 < 10).map { case (qid, qv) =>
+      qid -> live.map { case (cid, cv) => (cid, q6(dot(qv, cv))) }
+        .sortBy { case (cid, sc) => (-sc, cid) }.take(5).map(_._1).toSet
+    }.toMap
+    rows.foreach { case (qid, _, vid, _, ie, _) =>
+      assert(ie == (if (bruteTop(qid)(vid)) 1L else 0L), s"in_exact wrong at $qid/$vid")
+    }
+    // soft delete keeps tombstones NAVIGABLE: searches traverse them
+    // (n_tomb_visited recounted from the actual final search state)
+    assert(rows.exists(_._6 > 0L), "no tombstone ever traversed - filter too early?")
+    val ix = Knn.v21Static(spark, sf)
+    val qs = vecs.filter(_._1 < 10).sortBy(_._1)
+    val recount = Knn.v21SearchOn(ix, qs).last
+      .filter("node % 23 = 0").groupBy(col("qid"))
+      .agg(count(lit(1)).as("n")).collect()
+      .map(r => r.getAs[Long]("qid") -> r.getAs[Long]("n")).toMap
+    rows.groupBy(_._1).foreach { case (qid, rs) =>
+      assert(rs.map(_._6).distinct == Seq(recount.getOrElse(qid, 0L)))
+    }
+    // deleting ~4% must not crater live recall
+    val recall = rows.map(_._5).sum.toDouble / rows.length
+    assert(recall >= 0.8, s"live recall $recall")
+  }
+
   test("d22: CDC chunking equals a sequential recompute; boundaries realign after a shift") {
     // sequential mirror of the chunker
     def chunksOf(t: String): Seq[String] = {
