@@ -1675,6 +1675,48 @@ class RelationalSpec extends AnyFunSuite {
     assert(!got.exists(_._2 == -1L))
   }
 
+
+  test("g23: condensation DAG equals a sequential recompute and is a fixpoint") {
+    val got = graft.operators.Graph.g23(spark, sf).collect()
+      .map(r => (r.getAs[Long]("scc"), r.getAs[Long]("scc_size"),
+        r.getAs[Long]("out_deg"), r.getAs[Long]("in_deg"),
+        r.getAs[Long]("depth"))).toSeq.sortBy(_._1)
+    // labels from the (independently Tarjan-mirrored) g18 output
+    val lab = graft.operators.Graph.g18(spark, sf).collect()
+      .map(r => r.getAs[Long]("c_custkey") -> r.getAs[Long]("scc")).toMap
+    val n = lab.size.toLong
+    // fixture edges re-derived arithmetically (g18Fixture's formula)
+    val edges = (0L until n).flatMap { i =>
+      val cls = Seq((31L, 7L), (17L, 3L)).map { case (m, a) =>
+        4 * (((i / 4) * m + a) % (((n - 1 - i % 4) / 4) + 1)) + i % 4
+      }
+      val chain = if ((i / 4) % 8 == 0 && i % 4 < 3 && i + 1 < n) Seq(i + 1) else Nil
+      (cls ++ chain).map(d => (i, d))
+    }
+    val cel = edges.map { case (a, b) => (lab(a), lab(b)) }
+      .filter(p => p._1 != p._2).distinct
+    val sizes = lab.values.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    var depth = sizes.keys.map(_ -> 0L).toMap
+    var changed = true
+    while (changed) {
+      changed = false
+      cel.foreach { case (sa, sb) =>
+        if (depth(sa) + 1 > depth(sb)) { depth += sb -> (depth(sa) + 1); changed = true }
+      }
+    }
+    val want = sizes.keys.toSeq.sorted.map { s =>
+      (s, sizes(s), cel.count(_._1 == s).toLong, cel.count(_._2 == s).toLong, depth(s))
+    }
+    assert(got == want && got.nonEmpty)
+    // fixpoint (acyclicity made it converge): every DAG edge satisfies
+    // depth(dst) >= depth(src) + 1 — one more round changes nothing
+    cel.foreach { case (sa, sb) => assert(depth(sb) >= depth(sa) + 1) }
+    // the fixture's condensation: a 4-SCC chain of depth 3
+    assert(got.length == 4 && got.map(_._5).max == 3L)
+    assert(got.count(_._4 == 0L) == 1 && got.count(_._3 == 0L) == 1,
+      "chain must have exactly one source and one sink")
+  }
+
   test("g18: known cycle + DAG tail + isolated node label correctly") {
     import spark.implicits._
     // 1→2→3→10, cycle 10→11→12→10, isolated 99
