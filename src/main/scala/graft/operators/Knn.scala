@@ -2701,6 +2701,14 @@ object Knn {
     * 10⁹ nodes a day's insert costs |B| serve searches + an edge
     * append — the same asymptotics FAISS/Vamana incremental
     * ingestion publishes.
+    *
+    * Measured wall (sf0.1 local[32], ~24 s): almost entirely FIXED
+    * stage latency — the operator chains TWO 6-hop searches (insert
+    * + re-serve) at ~3 shuffles + a localCheckpoint per hop on top
+    * of the base-graph build; per-hop data volume is a few thousand
+    * id-only rows. At cluster scale the same ~40 stages amortize
+    * over arbitrarily large batches — the cost is round-count, not
+    * data.
     */
   /** NSW insert-edge selection for a batch of new vectors against
     * an existing index: beam-search each, keep its top-[[v21Degree]]
