@@ -2129,4 +2129,96 @@ object Media {
       |    THEN 1 ELSE 0 END AS BIGINT) AS overlaps_next
       |FROM m
       |ORDER BY doc_id, cue_idx""".stripMargin
+
+  // ---------- m20: frame→caption alignment ----------
+
+  /** m20: FRAME→CAPTION ALIGNMENT — the multimodal JOIN the
+    * vision-language literature trains on: pair every sampled video
+    * frame with the caption active at its timestamp (CLIP-style
+    * image–text pairs from video+subtitles; the frame grain of m3
+    * composed with the cue grain of m19). Semantics: a frame at t
+    * is captioned by the cue with the LARGEST start ≤ t whose end
+    * is still > t (the as-of rule — when malformed cues overlap,
+    * the most recent wins), else uncaptioned (cue_idx = −1) — the
+    * coverage gaps are exactly what a captioning pipeline routes to
+    * ASR backfill. Cues come through the REAL parser
+    * ([[srtCues]] over [[buildSrt]] — the m19 path, so a parser
+    * regression breaks this query too); frames tick every 200 ms (the
+    * clock was tightened from 400 ms after measuring that NO frame
+    * ever landed inside an overlap window at any scale — the as-of
+    * rule would have shipped untested; at 200 ms every scale
+    * exercises it, spec-pinned).
+    *
+    * Scale shape: a VARIABLE-WIDTH interval join — BandJoinRewrite
+    * needs fixed bands, so this is the q26 bucketed sweep instead:
+    * cue length is ≤ 2324 ms < 4096, so each cue spans ≤ 2 buckets;
+    * cues explode to their covered buckets, frames key by their
+    * bucket, and ONE (doc, bucket) equality join + row-local
+    * predicate replaces the theta join (the oracle, running on one
+    * node, states the theta join directly — same rows). Argmax by
+    * (start, idx) is a max + pk join-back (starts are strictly
+    * increasing per doc). Everything shuffles id+ms rows only.
+    */
+  def m20(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val bucket = 4096L
+    val docs = Tables.documents(spark, dir)
+      .filter($"doc_id" % 3 === 1)
+      .selectExpr("doc_id",
+        "rpad(concat('SRT', substring(text, 1, 61)), 64, ' ') AS s")
+      .as[(Long, String)].cache()
+    val cues = docs.flatMap { case (id, s) =>
+      srtCues(buildSrt(s, (4 + id % 5).toInt)).map { case (idx, st, en, _) =>
+        (id, idx.toLong, st, en)
+      }
+    }.toDF("doc_id", "cue_idx", "cue_start", "cue_end")
+    val frames = docs.flatMap { case (id, s) =>
+      val nf = 2 * (20 + (s.charAt(1).toInt & 15))
+      (0 until nf).map(f => (id, f.toLong, f * 200L))
+    }.toDF("doc_id", "frame_idx", "t")
+    val cueB = cues.withColumn("bkt",
+        explode(expr(s"sequence(cue_start div $bucket, (cue_end - 1) div $bucket)")))
+    val frameB = frames.withColumn("bkt", expr(s"t div $bucket"))
+    val cand = frameB.join(cueB, Seq("doc_id", "bkt"))
+      .filter($"cue_start" <= $"t" && $"t" < $"cue_end")
+    val best = cand.groupBy($"doc_id", $"frame_idx")
+      .agg(max($"cue_start").as("cs"))
+      .join(cues.select($"doc_id", $"cue_start".as("cs"), $"cue_idx"),
+        Seq("doc_id", "cs"))
+    frames.join(best.select($"doc_id", $"frame_idx", $"cue_idx"),
+        Seq("doc_id", "frame_idx"), "left")
+      .selectExpr("doc_id", "frame_idx", "t AS frame_ms",
+        "coalesce(cue_idx, CAST(-1 AS BIGINT)) AS cue_idx",
+        "CAST(CASE WHEN cue_idx IS NULL THEN 0 ELSE 1 END AS BIGINT) AS covered")
+      .transform(graft.Tables.ordered(_, $"doc_id", $"frame_idx"))
+  }
+
+  /** m20 oracle: m19's cue arithmetic + the 400 ms frame clock and
+    * the direct theta interval join with the same as-of argmax. */
+  val m20Sql: String =
+    """WITH p AS (SELECT doc_id,
+      |        rpad(concat('SRT', substring(text, 1, 61)), 64, ' ') AS s,
+      |        CAST(4 + doc_id % 5 AS BIGINT) AS n,
+      |        2 * (20 + (ord(substr(s, 2, 1)) & 15)) AS nf
+      |      FROM documents WHERE doc_id % 3 = 1),
+      |cu AS (SELECT doc_id, CAST(i AS BIGINT) AS cue_idx,
+      |        (i - 1) * 2000 + (ord(substr(s, CAST(i AS INT), 1)) & 1023) AS start_ms,
+      |        (i - 1) * 2000 + (ord(substr(s, CAST(i AS INT), 1)) & 1023)
+      |          + 800 + ((ord(substr(s, CAST(i AS INT), 1)) * 7) & 127) * 12 AS end_ms
+      |      FROM p, generate_series(1, 8) g(i) WHERE i <= n),
+      |fr AS (SELECT doc_id, CAST(f AS BIGINT) AS frame_idx,
+      |        CAST(f * 200 AS BIGINT) AS t
+      |      FROM p, generate_series(0, 80) q(f) WHERE f < nf),
+      |cand AS (SELECT f.doc_id, f.frame_idx, c.cue_idx, c.start_ms
+      |      FROM fr f JOIN cu c ON c.doc_id = f.doc_id
+      |        AND c.start_ms <= f.t AND f.t < c.end_ms),
+      |best AS (SELECT doc_id, frame_idx, max(start_ms) AS cs
+      |      FROM cand GROUP BY 1, 2),
+      |sel AS (SELECT b.doc_id, b.frame_idx, c.cue_idx
+      |      FROM best b JOIN cu c ON c.doc_id = b.doc_id AND c.start_ms = b.cs)
+      |SELECT f.doc_id, f.frame_idx, f.t AS frame_ms,
+      |  CAST(coalesce(s.cue_idx, -1) AS BIGINT) AS cue_idx,
+      |  CAST(CASE WHEN s.cue_idx IS NULL THEN 0 ELSE 1 END AS BIGINT) AS covered
+      |FROM fr f LEFT JOIN sel s ON s.doc_id = f.doc_id AND s.frame_idx = f.frame_idx
+      |ORDER BY f.doc_id, f.frame_idx""".stripMargin
 }

@@ -398,6 +398,43 @@ class ChartPngSpec extends AnyFunSuite {
     assert(got.exists(_._7 == 1L) && got.exists(_._7 == 0L))
   }
 
+
+  test("m20: frame-caption alignment equals a sequential recompute; as-of rule bites") {
+    import spark.implicits._
+    val got = graft.operators.Media.m20(spark, SharedSpark.sf).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("frame_idx"),
+        r.getAs[Long]("frame_ms"), r.getAs[Long]("cue_idx"),
+        r.getAs[Long]("covered"))).toSeq
+    var nMulti = 0
+    val want = Tables.documents(spark, SharedSpark.sf)
+      .filter("doc_id % 3 = 1")
+      .selectExpr("doc_id", "rpad(concat('SRT', substring(text, 1, 61)), 64, ' ')")
+      .as[(Long, String)].collect().toSeq.sortBy(_._1)
+      .flatMap { case (id, s) =>
+        val n = (4 + id % 5).toInt
+        val cues = (1 to n).map { i =>
+          val c = s.charAt(i - 1).toInt
+          val st = (i - 1) * 2000L + (c & 1023)
+          (i.toLong, st, st + 800L + ((c * 7) & 127) * 12)
+        }
+        val nf = 2 * (20 + (s.charAt(1).toInt & 15))
+        (0 until nf).map { f =>
+          val t = f * 200L
+          val covering = cues.filter(c => c._2 <= t && t < c._3)
+          if (covering.size > 1) nMulti += 1
+          val pick = covering.sortBy(-_._2).headOption
+          (id, f.toLong, t, pick.map(_._1).getOrElse(-1L),
+            if (pick.isDefined) 1L else 0L)
+        }
+      }
+    assert(got == want && got.nonEmpty)
+    // both coverage outcomes exist (gaps route to ASR backfill)
+    assert(got.exists(_._5 == 1L) && got.exists(_._5 == 0L))
+    // the as-of rule bites: some frame sat inside TWO overlapping
+    // cues and the later start won (checked by the mirror above)
+    assert(nMulti > 0, "no frame ever covered by overlapping cues - rule untested")
+  }
+
   test("m16: JPEG marker walk recovers real structure; truncation and dim edits bite") {
     import graft.operators.Media
     val jb = Media.encodeJpeg8x8(
