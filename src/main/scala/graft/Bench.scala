@@ -54,14 +54,21 @@ object Bench {
     // self-adjudicating. The driver's 2000-char tail always keeps
     // what sits near the END of the line, so the numbers worth
     // adjudicating (plus total/failed) survive truncation.
+    // BOTH numbers are reported ("k":[in_suite,re_run]) so the
+    // adjudication signal is lossless: min() alone would under-report
+    // regressions that reproduce only under suite load, and a query
+    // failing only on re-run would be indistinguishable from a clean
+    // run. A throwing re-run reads -1.0 — visibly broken, never a
+    // silent fallback.
     val qmap = selected.toMap
     val slowest = results.filter(_._2 >= 0).sortBy(-_._2).take(20)
       .map { case (k, v) =>
         spark.catalog.clearCache()
         val t0 = System.nanoTime()
         val re = try { qmap(k)(spark, sfDir).foreach(_ => ()); (System.nanoTime() - t0) / 1e9 }
-          catch { case _: Throwable => v }
-        s"\"" + k + "\":" + math.min(v, re)
+          catch { case t: Throwable =>
+            System.err.println(s"BENCH RERUN FAIL $k: $t"); -1.0 }
+        s"\"" + k + "\":[" + v + "," + re + "]"
       }
       .mkString("{", ",", "}")
     // field order matters operationally: the driver keeps only a

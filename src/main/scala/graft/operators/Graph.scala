@@ -2306,4 +2306,206 @@ object Graph {
       |FROM parts JOIN sz ON sz.part = parts.part
       |ORDER BY c_custkey""".stripMargin
   }
+
+  // ---------- g24: Louvain modularity optimization (single level) ----------
+
+  private[graft] val g24Rounds = 5
+
+  /** g24: MODULARITY-OPTIMIZING COMMUNITIES — one Louvain level
+    * (Blondel/Guillaume/Lambiotte/Lefebvre 2008, J. Stat. Mech.
+    * P10008) over the undirected link graph: the algorithm
+    * crawl-corpus curation actually runs for topic clustering,
+    * closing the family's community story (g5 AUDITS a given
+    * partition's modularity, g6 PROPAGATES labels with no
+    * objective; g24 OPTIMIZES Q by local moves). Classic Louvain
+    * is sequential (one vertex at a time) and order-dependent —
+    * useless across an engine boundary — so this is the
+    * DETERMINISTIC synchronous variant with the minimum-label
+    * swap-avoidance rule of parallel Louvain practice
+    * (Lu/Halappanavar/Kalyanaraman 2015, Parallel Computing 47):
+    * each round every node evaluates its neighbor communities'
+    * modularity gain SIMULTANEOUSLY against the current
+    * partition and may move only DOWNWARD in label space
+    * (target < current) on a strictly positive gain over staying.
+    * Downward flow makes a pairwise label swap impossible (it
+    * would need c < c' and c' < c), every node's label sequence
+    * non-increasing (termination), and each round a pure function
+    * of the previous labeling — g6's snapshot-at-round-R bitwise
+    * contract, here for [[g24Rounds]] rounds.
+    *
+    * EXACT INTEGER gain: moving i into community c changes Q by
+    * [k_in(i,c) − k_in(i,own∖i)]/m − k_i·[Σtot(c) − Σtot(own∖i)]
+    * /(2m²); comparing candidates for ONE node only needs the
+    * candidate-dependent part, scaled by 2m² to land in BIGINT:
+    * gain(c) = 2m·k_in(i,c) − k_i·Σtot′(c), with Σtot′ removing
+    * i's own degree when c is its current community (the standard
+    * remove-then-evaluate step). Stay is a candidate like any
+    * other (preferred on ties), so "move only if strictly better"
+    * is the argmax itself. Output carries the per-node community,
+    * its size, and the partition's exact modularity numerator
+    * Q·4m² = Σ_c [4m·e_in(c) − Σtot(c)²] — one BIGINT both
+    * engines agree on bitwise (the spec reads it per round:
+    * non-decreasing, and ≥ LPA's on the fixture).
+    *
+    * Scale shape per round: one edges⋈labels equality join, a
+    * (node, community) vote aggregate, a community-grain degree
+    * aggregate (≤ #communities rows) joined back, and the argmax
+    * as a struct-MIN aggregate — all map-side combinable, no
+    * node-grain window; state lineage-cut per round (g1/q27
+    * discipline). At 100 TB: identical exchanges to g6's LPA plus
+    * one community-grain broadcast-sized join.
+    */
+  def g24(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val nodes = Tables.customer(spark, dir).select($"c_custkey".as("id")).cache()
+    val n = nodes.count()
+    val e0 = nodes.selectExpr("id AS src", s"(id * 31 + 7) % $n AS dst")
+      .unionAll(nodes.selectExpr("id AS src", s"(id * 17 + 3) % $n AS dst"))
+      .unionAll(nodes.filter($"id" >= 2).selectExpr("id AS src", "id div 2 AS dst"))
+    val und = e0.filter($"src" =!= $"dst")
+      .selectExpr("least(src, dst) AS a", "greatest(src, dst) AS b")
+      .distinct().cache()
+    val labels = louvainStates(nodes, und, g24Rounds).last
+    val q = louvainQx4m2(und, labels)
+    labels
+      .join(labels.groupBy($"lbl").agg(count(lit(1)).as("csize")), Seq("lbl"))
+      .crossJoin(broadcast(q))
+      .select($"id".as("c_custkey"), $"lbl".as("community"), $"csize",
+        $"q_x4m2")
+      .transform(Tables.ordered(_, $"c_custkey"))
+  }
+
+  /** The synchronous min-label Louvain core: `und` is the canonical
+    * undirected (a < b) edge set; returns the label frame after each
+    * round (index 0 = singletons), per-round state lineage-cut —
+    * the spec reads the whole sequence for the monotone-Q pin.
+    */
+  private[graft] def louvainStates(nodes: DataFrame, und: DataFrame,
+      rounds: Int): Seq[DataFrame] = {
+    val spark = nodes.sparkSession
+    import spark.implicits._
+    val edges = und.select($"a".as("src"), $"b".as("dst"))
+      .unionAll(und.select($"b".as("src"), $"a".as("dst")))
+    val deg = edges.groupBy($"src".as("id")).agg(count(lit(1)).as("d"))
+    val degAll = nodes.join(deg, Seq("id"), "left_outer")
+      .selectExpr("id", "coalesce(d, CAST(0 AS BIGINT)) AS d").cache()
+    val m = und.count()
+    var labels = nodes.withColumn("lbl", $"id").localCheckpoint()
+    val states = scala.collection.mutable.ArrayBuffer(labels)
+    (1 to rounds).foreach { _ =>
+      val tot = labels.join(degAll, Seq("id"))
+        .groupBy($"lbl".as("c")).agg(sum($"d").as("tot"))
+      val kin = edges
+        .join(labels.select($"id".as("dst"), $"lbl".as("c")), Seq("dst"))
+        .groupBy($"src".as("id"), $"c").agg(count(lit(1)).as("kin"))
+      // stay is always a candidate, with kin = 0 when no neighbor
+      // shares the node's community
+      val stay = labels.select($"id", $"lbl".as("c"))
+        .join(kin, Seq("id", "c"), "left_anti")
+        .withColumn("kin", lit(0L))
+      val cand = kin.unionByName(stay)
+        .join(labels, Seq("id"))
+        .join(degAll, Seq("id"))
+        .join(tot, Seq("c"))
+        .selectExpr("id", "c", "lbl", "d",
+          "2 * " + m + " * kin - d * (tot - CASE WHEN c = lbl THEN d ELSE 0 END) AS gain",
+          "CASE WHEN c = lbl THEN 0 ELSE 1 END AS mv")
+        // min-label swap avoidance: moves flow DOWNWARD only
+        .filter($"c" <= $"lbl")
+      val winner = cand
+        .groupBy($"id")
+        // max gain, prefer stay on ties, then min label — one
+        // struct-MIN (map-side combinable)
+        .agg(min(struct(($"gain" * -1).as("ng"), $"mv", $"c")).as("w"))
+        .selectExpr("id", "w.c AS wlbl")
+      val next = labels.join(winner, Seq("id"), "left_outer")
+        .selectExpr("id", "coalesce(wlbl, lbl) AS lbl")
+        .localCheckpoint()
+      graft.functions.Lineage.freeCheckpoint(labels)
+      labels = next
+      states += next
+    }
+    states.toSeq
+  }
+
+  /** Exact modularity numerator Q·4m² of a labeling over `und` —
+    * the 1-row BIGINT both engines and the spec's round audit
+    * share. */
+  private[graft] def louvainQx4m2(und: DataFrame, labels: DataFrame)
+      : DataFrame = {
+    import und.sparkSession.implicits._
+    val m = und.count()
+    val ein = und
+      .join(labels.select($"id".as("a"), $"lbl".as("la")), Seq("a"))
+      .join(labels.select($"id".as("b"), $"lbl".as("lb")), Seq("b"))
+      .filter($"la" === $"lb")
+      .groupBy($"la".as("c")).agg(count(lit(1)).as("e_in"))
+    val edges = und.select($"a".as("src"), $"b".as("dst"))
+      .unionAll(und.select($"b".as("src"), $"a".as("dst")))
+    val tot = edges.join(labels.select($"id".as("src"), $"lbl"), Seq("src"))
+      .groupBy($"lbl".as("c")).agg(count(lit(1)).as("tot"))
+    tot.join(ein, Seq("c"), "left_outer")
+      .selectExpr(s"4 * $m * coalesce(e_in, CAST(0 AS BIGINT)) - tot * tot AS t")
+      .agg(sum($"t").as("q_x4m2"))
+  }
+
+  /** g24 oracle: the identical canonical edge set, then the rounds
+    * unrolled — per round the community-degree and neighbor-vote
+    * aggregates, the downward-only candidate set with the stay row
+    * zero-filled, and the (gain DESC, stay-first, label ASC) argmax;
+    * final community sizes and the exact Q·4m² numerator.
+    */
+  val g24Sql: String = {
+    def round(i: Int): String =
+      s"""tot$i AS (SELECT l.lbl AS c, CAST(sum(dg.d) AS BIGINT) AS tot
+         |      FROM l${i - 1} l JOIN degall dg ON dg.id = l.id GROUP BY 1),
+         |kin$i AS (SELECT e.src AS id, l.lbl AS c, CAST(count(*) AS BIGINT) AS kin
+         |      FROM edges e JOIN l${i - 1} l ON l.id = e.dst GROUP BY 1, 2),
+         |cand$i AS (SELECT id, c, kin FROM kin$i
+         |      UNION ALL
+         |      SELECT l.id, l.lbl, 0 FROM l${i - 1} l
+         |      WHERE NOT EXISTS (SELECT 1 FROM kin$i k WHERE k.id = l.id AND k.c = l.lbl)),
+         |g$i AS (SELECT cd.id, cd.c,
+         |        2 * (SELECT m FROM mm) * cd.kin
+         |          - dg.d * (t.tot - CASE WHEN cd.c = l.lbl THEN dg.d ELSE 0 END) AS gain,
+         |        CASE WHEN cd.c = l.lbl THEN 0 ELSE 1 END AS mv
+         |      FROM cand$i cd JOIN l${i - 1} l ON l.id = cd.id
+         |      JOIN degall dg ON dg.id = cd.id JOIN tot$i t ON t.c = cd.c
+         |      WHERE cd.c <= l.lbl),
+         |w$i AS (SELECT id, c AS wlbl FROM (
+         |        SELECT id, c, row_number() OVER (PARTITION BY id
+         |          ORDER BY gain DESC, mv, c) AS rn FROM g$i) WHERE rn = 1),
+         |l$i AS MATERIALIZED (SELECT l.id, coalesce(w.wlbl, l.lbl) AS lbl
+         |      FROM l${i - 1} l LEFT JOIN w$i w ON w.id = l.id)""".stripMargin
+    s"""WITH nn AS (SELECT count(*) AS n FROM customer),
+      |nodes AS (SELECT c_custkey AS id FROM customer),
+      |e0 AS (SELECT id AS src, (id * 31 + 7) % nn.n AS dst FROM nodes, nn
+      |       UNION ALL SELECT id, (id * 17 + 3) % nn.n FROM nodes, nn
+      |       UNION ALL SELECT id, id // 2 FROM nodes WHERE id >= 2),
+      |und AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+      |        FROM e0 WHERE src <> dst),
+      |edges AS MATERIALIZED (SELECT a AS src, b AS dst FROM und
+      |        UNION ALL SELECT b, a FROM und),
+      |mm AS (SELECT CAST(count(*) AS BIGINT) AS m FROM und),
+      |degall AS MATERIALIZED (SELECT n.id,
+      |        CAST(coalesce(d.d, 0) AS BIGINT) AS d
+      |      FROM nodes n LEFT JOIN (SELECT src AS id, count(*) AS d
+      |        FROM edges GROUP BY 1) d ON d.id = n.id),
+      |l0 AS MATERIALIZED (SELECT id, id AS lbl FROM nodes),
+      |${(1 to g24Rounds).map(round).mkString(",\n")},
+      |sz AS (SELECT lbl, CAST(count(*) AS BIGINT) AS csize
+      |      FROM l$g24Rounds GROUP BY 1),
+      |ein AS (SELECT la.lbl AS c, CAST(count(*) AS BIGINT) AS e_in
+      |      FROM und u JOIN l$g24Rounds la ON la.id = u.a
+      |      JOIN l$g24Rounds lb ON lb.id = u.b
+      |      WHERE la.lbl = lb.lbl GROUP BY 1),
+      |ctot AS (SELECT l.lbl AS c, CAST(sum(dg.d) AS BIGINT) AS tot
+      |      FROM l$g24Rounds l JOIN degall dg ON dg.id = l.id GROUP BY 1),
+      |q AS (SELECT CAST(sum(4 * (SELECT m FROM mm) * coalesce(e.e_in, 0)
+      |          - t.tot * t.tot) AS BIGINT) AS q_x4m2
+      |      FROM ctot t LEFT JOIN ein e ON e.c = t.c)
+      |SELECT l.id AS c_custkey, l.lbl AS community, sz.csize, q.q_x4m2
+      |FROM l$g24Rounds l JOIN sz ON sz.lbl = l.lbl CROSS JOIN q
+      |ORDER BY c_custkey""".stripMargin
+  }
 }

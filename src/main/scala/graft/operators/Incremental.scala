@@ -61,9 +61,24 @@ object Incremental {
     val cs = f.listFiles(); if (cs != null) cs.foreach(deleteRecursively)
     f.delete(); ()
   }
-  private def cleanupOnExit(f: java.io.File): Unit =
-    Runtime.getRuntime.addShutdownHook(
-      new Thread(() => deleteRecursively(f), s"graft-tmp-clean-${f.getName}"))
+  /** ONE shutdown hook for the whole JVM, draining a concurrent
+    * queue — registering a hook per invocation would accumulate
+    * threads unboundedly across a 279-query bench and can throw
+    * IllegalStateException if a query runs during shutdown. */
+  private val pendingCleanup =
+    new java.util.concurrent.ConcurrentLinkedQueue[java.io.File]
+  private lazy val cleanupHookOnce: Unit = {
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      var f = pendingCleanup.poll()
+      while (f != null) { deleteRecursively(f); f = pendingCleanup.poll() }
+    }, "graft-tmp-clean"))
+    ()
+  }
+  private def cleanupOnExit(f: java.io.File): Unit = {
+    cleanupHookOnce
+    pendingCleanup.add(f)
+    ()
+  }
 
 
   /** p10: INCREMENTAL VIEW MAINTENANCE of a join view — p3's
@@ -405,4 +420,100 @@ object Incremental {
       |       CAST(sum(total_cents) AS BIGINT)
       |FROM o
       |ORDER BY version""".stripMargin
+
+  // ---------- p18: snapshot rollback ----------
+
+  /** p18: SNAPSHOT ROLLBACK — Iceberg's `rollback_to_snapshot` as a
+    * library operation with its audit: a bad batch lands (here an
+    * upstream job that NEGATED the day's order totals — the classic
+    * sign-flip ingestion bug), the corruption audit on CURRENT
+    * catches it, and the store rolls back by repointing the marker
+    * to the last good version ([[graft.sources.ForecastStore.rollback]]
+    * — PURE METADATA, one atomic swap, no data file touched). The
+    * bad version stays readable for forensics (time travel) until
+    * retention reclaims it — the operational contract every
+    * versioned lakehouse publishes for exactly this failure. Output
+    * rows: the audit BEFORE (current = the corrupt v1, n_bad > 0),
+    * AFTER (current = v0, n_bad = 0 — the rollback undid the batch
+    * without rewriting a byte), and the FORENSIC read of the
+    * rolled-past v1 (intact — rollback deleted nothing).
+    *
+    * Scale shape: the audits are one aggregate per read (count +
+    * flagged count + exact-cents sum, map-side combined); the
+    * rollback itself is O(1) metadata regardless of data size —
+    * that asymmetry (audit scans, repair is free) is WHY rollback
+    * is the first-line repair at 100 TB.
+    */
+  def p18(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    def ts(s: String) = java.sql.Timestamp.valueOf(s + " 00:00:00")
+    val ords = Tables.orders(spark, dir).selectExpr("o_orderkey",
+      "CAST(floor(o_totalprice * 1e2 + 0.5) AS BIGINT) AS total_cents",
+      "o_orderdate")
+    val storeDir = java.nio.file.Files
+      .createTempDirectory("graft_p18_store_").toFile
+    try {
+      val store = new graft.sources.ForecastStore(storeDir.getAbsolutePath)
+      val clean = ords.filter($"o_orderdate" < lit(ts("1997-01-01")))
+        .drop("o_orderdate")
+      store.save(clean, "v0")
+      // the bad batch: 1997's orders land with negated cents
+      val bad = ords
+        .filter($"o_orderdate" >= lit(ts("1997-01-01")) &&
+          $"o_orderdate" < lit(ts("1998-01-01")))
+        .selectExpr("o_orderkey", "-total_cents AS total_cents")
+      store.save(clean.unionByName(bad), "v1")
+      def audit(phase: String): (String, String, Long, Long, Long) = {
+        val v = store.currentPath().map(p =>
+          java.nio.file.Paths.get(p).getFileName.toString).getOrElse("?")
+        val r = store.load(spark).get
+          .agg(count(lit(1)),
+            sum(expr("CASE WHEN total_cents < 0 THEN 1 ELSE 0 END")),
+            sum($"total_cents")).collect()(0)
+        (phase, v, r.getLong(0), r.getLong(1), r.getLong(2))
+      }
+      val before = audit("1_before")
+      // the corruption gate: roll back ONLY because the audit fired
+      val rolledBack =
+        if (before._4 > 0) store.rollback("v0") else false
+      val after = audit("2_after")
+      // forensics: the rolled-past version is still fully readable
+      val f = store.loadVersion(spark, "v1").get
+        .agg(count(lit(1)),
+          sum(expr("CASE WHEN total_cents < 0 THEN 1 ELSE 0 END")),
+          sum($"total_cents")).collect()(0)
+      val forensic =
+        ("3_forensic", if (rolledBack) "v1" else "?",
+          f.getLong(0), f.getLong(1), f.getLong(2))
+      Seq(before, after, forensic)
+        .toDF("phase", "version", "n_rows", "n_bad", "sum_cents")
+        .transform(Tables.ordered(_, $"phase"))
+    } finally deleteRecursively(storeDir)
+  }
+
+  /** p18 oracle: the three audits recomputed from orders arithmetic
+    * — before = clean + negated 1997 batch, after = clean only
+    * (rollback restored v0 exactly), forensic = the corrupt v1
+    * intact. */
+  val p18Sql: String =
+    """WITH o AS (SELECT o_orderkey,
+      |  CAST(floor(o_totalprice * 1e2 + 0.5) AS BIGINT) AS total_cents,
+      |  o_orderdate FROM orders),
+      |clean AS (SELECT CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(total_cents) AS BIGINT) AS s FROM o
+      |  WHERE o_orderdate < TIMESTAMP '1997-01-01 00:00:00'),
+      |bad AS (SELECT CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(-total_cents) AS BIGINT) AS s FROM o
+      |  WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+      |    AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00')
+      |SELECT '1_before' AS phase, 'v1' AS version,
+      |  clean.n + bad.n AS n_rows, bad.n AS n_bad,
+      |  clean.s + bad.s AS sum_cents FROM clean, bad
+      |UNION ALL
+      |SELECT '2_after', 'v0', clean.n, CAST(0 AS BIGINT), clean.s
+      |FROM clean
+      |UNION ALL
+      |SELECT '3_forensic', 'v1', clean.n + bad.n, bad.n, clean.s + bad.s
+      |FROM clean, bad
+      |ORDER BY phase""".stripMargin
 }

@@ -69,7 +69,7 @@ object Knn {
     * partitions, the small side rides along broadcast. (Joining the
     * arrays instead deserializes 64 doubles per pair — measured ~10x.)
     */
-  private[operators] def codebook(e: DataFrame, pred: String): Array[(Long, Array[Double])] = {
+  private[graft] def codebook(e: DataFrame, pred: String): Array[(Long, Array[Double])] = {
     import e.sparkSession.implicits._
     e.filter(pred).select(col("vec_id"), col("nv"))
       .as[(Long, Array[Double])].collect().sortBy(_._1)
@@ -2160,6 +2160,9 @@ object Knn {
     // seeds is ≤ queries × probes × reps rows — a broadcast side
     var visited = cut(score(broadcast(seeds))
       .withColumn("exp", lit(0)))
+    // the most recent frame that IS a checkpoint — the only thing
+    // the cadence loop ever frees (see below)
+    var lastCut = visited
     val states = scala.collection.mutable.ArrayBuffer(visited)
     var hop = 0
     while (hop < hops) {
@@ -2175,9 +2178,28 @@ object Knn {
       val cand = frontier.join(graph, frontier("node") === graph("src_id"))
         .select($"qid", $"nbr_id".as("node")).distinct()
         .join(visited.select($"qid", $"node"), Seq("qid", "node"), "left_anti")
-      val next = cut(marked
-        .unionByName(score(cand).withColumn("exp", lit(0))))
-      if (ckpt && !keepAll) graft.functions.Lineage.freeCheckpoint(visited)
+      val step = marked
+        .unionByName(score(cand).withColumn("exp", lit(0)))
+      // checkpoint CADENCE (round-13 latency cut): when the caller
+      // doesn't read per-hop states, lineage-cut every 2nd hop (and
+      // the last) instead of every hop — the checkpoint is
+      // semantically transparent, so results are byte-identical,
+      // but the fixed per-hop job round-trip halves (the g-family's
+      // peel discipline; v26 chains TWO 6-hop searches and was the
+      // suite's round-latency ceiling at ~25 s isolated).
+      // keepAll (v22's profile) keeps every hop checkpointed —
+      // its states ARE the product there.
+      val cutHere = keepAll || (hop + 1) % 2 == 0 || hop + 1 == hops
+      val next = if (cutHere) cut(step) else step
+      if (ckpt && !keepAll && cutHere) {
+        // free ONLY the previous frame that is itself a checkpoint
+        // (a single-LogicalRDD plan). Freeing a LAZY intermediate
+        // would collect every LogicalRDD leaf under it — including
+        // the caller's graph/vector state checkpoints (the insert
+        // door's deltas), whose blocks must outlive this search.
+        graft.functions.Lineage.freeCheckpoint(lastCut)
+        lastCut = next
+      }
       visited = next
       states += next
       hop += 1
@@ -2222,11 +2244,15 @@ object Knn {
     * scores / visited per hop), brute-force ground truth, and the
     * in_exact flag — bitwise.
     */
-  /** The generated CTE chain shared by the v21 and v22 oracles:
+  /** The generated CTE chain shared by the v21/v22/v27/v28 oracles:
     * normalization, corpus-only graph, seeds, the unrolled best-first
-    * hops (v0..v[[v21Hops]]) and the brute-force ground truth.
+    * hops (v0..v[[v21Hops]]) and the brute-force ground truth. The
+    * corpus predicate is parameterized so v28's compaction rebuild
+    * (LIVE vectors only) reuses the whole construction verbatim —
+    * beam schedule, codebook, ground truth all follow the filtered
+    * corpus automatically.
     */
-  private def v21CteChain: String = {
+  private def v21CteChain(corpusPred: String = "vec_id >= 10"): String = {
     def hop(i: Int): String =
       s"""f$i AS (SELECT qid, node FROM (
          |        SELECT qid, node, row_number() OVER (PARTITION BY qid ORDER BY score DESC, node) AS rn
@@ -2245,7 +2271,7 @@ object Knn {
       |n AS (SELECT vec_id, v, sqrt(list_inner_product(v, v)) AS nrm FROM e),
       |m AS (SELECT vec_id, list_transform(v, x -> x / nrm) AS nv FROM n),
       |mq AS MATERIALIZED (SELECT vec_id, nv FROM m WHERE vec_id < 10),
-      |mc AS MATERIALIZED (SELECT vec_id, nv FROM m WHERE vec_id >= 10),
+      |mc AS MATERIALIZED (SELECT vec_id, nv FROM m WHERE $corpusPred),
       |beamc AS (SELECT greatest($v21Beam, 2 * count(*)) AS bm
       |        FROM generate_series(0, 62) s(i)
       |        WHERE (((SELECT count(*) FROM mc) - 1) >> i) > 0),
@@ -2293,7 +2319,7 @@ object Knn {
 
   /** v21 oracle: the shared chain + final rank and in_exact flag. */
   val v21Sql: String =
-    s"""WITH $v21CteChain,
+    s"""WITH ${v21CteChain()},
       |r AS (SELECT qid, node AS vec_id, score AS cos_sim,
       |        CAST(row_number() OVER (PARTITION BY qid ORDER BY score DESC, node) AS INTEGER) AS rnk
       |      FROM v$v21Hops)
@@ -2352,7 +2378,7 @@ object Knn {
          |  WHERE r.rnk <= $knnK)""".stripMargin
     }.mkString(",\n")
     val un = (0 to v21Hops).map(h => s"SELECT * FROM st$h").mkString(" UNION ALL ")
-    s"""WITH $v21CteChain,
+    s"""WITH ${v21CteChain()},
       |$stats
       |SELECT hop, n_visited, n_top, n_hits,
       |  (n_hits * 1000) // n_top AS recall_permille
@@ -2876,7 +2902,7 @@ object Knn {
 
   // ---------- v27: ANN soft delete (tombstones) ----------
 
-  private[operators] val v27ModK = 23L // every 23rd corpus vector is deleted
+  private[graft] val v27ModK = 23L // every 23rd corpus vector is deleted
 
   /** v27: ANN SOFT DELETE — serve queries over the index with a
     * TOMBSTONE set excluded, the other half of the maintenance
@@ -2927,7 +2953,7 @@ object Knn {
     * rank, live-only ground truth, and the per-query traversed-
     * tombstone count. */
   val v27Sql: String =
-    s"""WITH $v21CteChain,
+    s"""WITH ${v21CteChain()},
       |r AS (SELECT qid, node AS vec_id, score AS cos_sim,
       |        CAST(row_number() OVER (PARTITION BY qid ORDER BY score DESC, node) AS INTEGER) AS rnk
       |      FROM v$v21Hops WHERE node % $v27ModK <> 0),
@@ -2942,6 +2968,120 @@ object Knn {
       |  CAST(CASE WHEN b.vec_id IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS in_exact,
       |  CAST(coalesce(tv.n_tomb_visited, 0) AS BIGINT) AS n_tomb_visited
       |FROM r LEFT JOIN brute2 b ON b.qid = r.qid AND b.vec_id = r.vec_id
+      |LEFT JOIN tv ON tv.qid = r.qid
+      |WHERE r.rnk <= $knnK
+      |ORDER BY r.qid, r.rnk""".stripMargin
+
+  /** v27's filtered serve against an EXPLICIT delete-set DataFrame —
+    * the kernel the streaming erasure door (s39) runs per
+    * micro-batch. Identical semantics to [[v27]] with the modular
+    * tombstone predicate replaced by id-equality joins against the
+    * partitioned delete set (the production Bloom/bitmap filter,
+    * realized distributively): results anti-join it, the overhead
+    * dial semi-joins it, the brute ground truth re-grounds on the
+    * live corpus only. When the set holds exactly the
+    * `% `[[v27ModK]]` = 0` ids, the rows ARE batch v27's — the
+    * door's twin contract.
+    */
+  private[graft] def v27ServeExcluding(ix: V21Static,
+      qs: Array[(Long, Array[Double])], deleted: DataFrame): DataFrame = {
+    val spark = ix.e.sparkSession
+    import spark.implicits._
+    val del = deleted.select(col("vec_id"))
+    val visited = v21SearchOn(ix, qs).last
+    val beamTop = visited
+      .join(del.select($"vec_id".as("node")), Seq("node"), "left_anti")
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy($"qid").orderBy($"score".desc, $"node")))
+      .filter($"rnk" <= knnK)
+      .select($"qid", $"rnk", $"node".as("vec_id"), $"score".as("cos_sim"))
+    val brute = topK(denseScoredFor(ix.e, qs, "vec_id >= 10")
+        .join(del, Seq("vec_id"), "left_anti"), "cos_sim", knnK)
+      .select($"qid", $"vec_id", lit(1L).as("hit"))
+    val tombVis = visited.join(del.select($"vec_id".as("node")), Seq("node"))
+      .groupBy($"qid").agg(count(lit(1)).as("n_tomb_visited"))
+    beamTop.join(brute, Seq("qid", "vec_id"), "left")
+      .join(tombVis, Seq("qid"), "left")
+      .selectExpr("qid", "rnk", "vec_id", "cos_sim",
+        "coalesce(hit, CAST(0 AS BIGINT)) AS in_exact",
+        "coalesce(n_tomb_visited, CAST(0 AS BIGINT)) AS n_tomb_visited")
+  }
+
+  // ---------- v28: ANN compaction (tombstone rebuild) ----------
+
+  /** v28: ANN COMPACTION — the consumer of v27's dial, closing the
+    * index lifecycle (build → serve → insert → delete →
+    * **compact**): when `n_tomb_visited` grows past the fleet's
+    * threshold, soft deletion has turned into real per-query
+    * overhead (every traversed tombstone is a scored-then-discarded
+    * candidate), and the published recovery (HNSW/FAISS practice;
+    * Vamana calls it a "consolidate") is a REBUILD over the live
+    * vectors only — tombstones leave the graph entirely, their
+    * storage and their navigation cost reclaimed at once. This
+    * operator performs that rebuild by reusing [[v21Index]]'s exact
+    * construction on the live sub-corpus (a compaction IS a
+    * from-scratch live-only build — that identity is the
+    * correctness argument) and re-serves the standing query set
+    * over the compacted index. Output: v27's row schema, with
+    * `n_tomb_visited` computed (not hardcoded) — the gate proves
+    * the dial reads 0 on EVERY query post-compaction. The spec
+    * adds the before/after overhead table against v27 (before:
+    * tombstones traversed; after: zero) and recall non-regression.
+    *
+    * Scale shape: identical to v21's build + serve — the rebuild is
+    * the one full-corpus cost this family amortizes across the
+    * deletes since the last compaction (that amortization IS the
+    * threshold trigger's economics); the beam schedule, codebook
+    * and brute ground truth all follow the live corpus
+    * automatically ([[v21CteChain]]'s predicate parameterization
+    * mirrors the same on the oracle side).
+    */
+  def v28(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = vectors(spark, dir)
+    // the live sub-corpus: ix.e drives scoring, the beam schedule
+    // and the brute arm, so every leg follows the compacted corpus
+    val eLive = e.filter(s"vec_id >= 10 AND vec_id % $v27ModK <> 0")
+    val (g, reps, cents) = v21Index(spark, eLive, "vec_id >= 10")
+    val ix = V21Static(eLive, g, reps.persist(), cents)
+    val qs = codebook(e, "vec_id < 10")
+    val visited = v21SearchOn(ix, qs).last
+    // the tombstone filter stays textually in place (mirroring the
+    // serving fleet's unchanged query path) — post-compaction it
+    // matches nothing, which is exactly what the gate proves
+    val beamTop = visited.filter(s"node % $v27ModK <> 0")
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy($"qid").orderBy($"score".desc, $"node")))
+      .filter($"rnk" <= knnK)
+      .select($"qid", $"rnk", $"node".as("vec_id"), $"score".as("cos_sim"))
+    val brute = topK(denseScoredFor(ix.e, qs, "vec_id >= 10"), "cos_sim", knnK)
+      .select($"qid", $"vec_id", lit(1L).as("hit"))
+    val tombVis = visited.filter(s"node % $v27ModK = 0")
+      .groupBy($"qid").agg(count(lit(1)).as("n_tomb_visited"))
+    beamTop.join(brute, Seq("qid", "vec_id"), "left")
+      .join(tombVis, Seq("qid"), "left")
+      .selectExpr("qid", "rnk", "vec_id", "cos_sim",
+        "coalesce(hit, CAST(0 AS BIGINT)) AS in_exact",
+        "coalesce(n_tomb_visited, CAST(0 AS BIGINT)) AS n_tomb_visited")
+      .transform(graft.Tables.ordered(_, $"qid", $"rnk"))
+  }
+
+  /** v28 oracle: v21's whole chain rebuilt over the LIVE corpus
+    * (the parameterized predicate) + v27's filtered tail — the
+    * tombstone legs are textual no-ops against the compacted graph,
+    * so the dial column is provably-zero BY THE QUERY, not by
+    * assumption. */
+  val v28Sql: String =
+    s"""WITH ${v21CteChain(s"vec_id >= 10 AND vec_id % $v27ModK <> 0")},
+      |r AS (SELECT qid, node AS vec_id, score AS cos_sim,
+      |        CAST(row_number() OVER (PARTITION BY qid ORDER BY score DESC, node) AS INTEGER) AS rnk
+      |      FROM v$v21Hops WHERE node % $v27ModK <> 0),
+      |tv AS (SELECT qid, CAST(count(*) AS BIGINT) AS n_tomb_visited
+      |      FROM v$v21Hops WHERE node % $v27ModK = 0 GROUP BY qid)
+      |SELECT r.qid, r.rnk, r.vec_id, r.cos_sim,
+      |  CAST(CASE WHEN b.vec_id IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS in_exact,
+      |  CAST(coalesce(tv.n_tomb_visited, 0) AS BIGINT) AS n_tomb_visited
+      |FROM r LEFT JOIN brute b ON b.qid = r.qid AND b.vec_id = r.vec_id
       |LEFT JOIN tv ON tv.qid = r.qid
       |WHERE r.rnk <= $knnK
       |ORDER BY r.qid, r.rnk""".stripMargin

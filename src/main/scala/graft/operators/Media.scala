@@ -2173,7 +2173,7 @@ object Media {
       }
     }.toDF("doc_id", "cue_idx", "cue_start", "cue_end")
     val frames = docs.flatMap { case (id, s) =>
-      val nf = 2 * (20 + (s.charAt(1).toInt & 15))
+      val nf = 2 * (20 + (s.charAt(4).toInt & 15))
       (0 until nf).map(f => (id, f.toLong, f * 200L))
     }.toDF("doc_id", "frame_idx", "t")
     val cueB = cues.withColumn("bkt",
@@ -2193,13 +2193,16 @@ object Media {
       .transform(graft.Tables.ordered(_, $"doc_id", $"frame_idx"))
   }
 
-  /** m20 oracle: m19's cue arithmetic + the 400 ms frame clock and
-    * the direct theta interval join with the same as-of argmax. */
+  /** m20 oracle: m19's cue arithmetic + the 200 ms frame clock and
+    * the direct theta interval join with the same as-of argmax. The
+    * per-doc frame count reads the 2nd DOCUMENT character (index 4
+    * past the constant 'SRT' prefix) so clip lengths genuinely vary
+    * per document, 40..70 frames. */
   val m20Sql: String =
     """WITH p AS (SELECT doc_id,
       |        rpad(concat('SRT', substring(text, 1, 61)), 64, ' ') AS s,
       |        CAST(4 + doc_id % 5 AS BIGINT) AS n,
-      |        2 * (20 + (ord(substr(s, 2, 1)) & 15)) AS nf
+      |        2 * (20 + (ord(substr(s, 5, 1)) & 15)) AS nf
       |      FROM documents WHERE doc_id % 3 = 1),
       |cu AS (SELECT doc_id, CAST(i AS BIGINT) AS cue_idx,
       |        (i - 1) * 2000 + (ord(substr(s, CAST(i AS INT), 1)) & 1023) AS start_ms,
@@ -2221,4 +2224,182 @@ object Media {
       |  CAST(CASE WHEN s.cue_idx IS NULL THEN 0 ELSE 1 END AS BIGINT) AS covered
       |FROM fr f LEFT JOIN sel s ON s.doc_id = f.doc_id AND s.frame_idx = f.frame_idx
       |ORDER BY f.doc_id, f.frame_idx""".stripMargin
+
+  // ---------- m21: WARC record walk ----------
+
+  /** Render a minimal WARC 1.0 file (ISO 28500) for one document:
+    * warcinfo + request + response records, each a version line,
+    * CRLF-terminated named headers, a blank line, `Content-Length`
+    * block bytes and the two-CRLF record terminator. The response
+    * block is an HTTP/1.1 message whose body is a
+    * document-derived payload (40 + id % 24 chars of the padded
+    * text) — so every field the walker recovers is
+    * document-dependent, not constant. */
+  private[graft] def buildWarc(id: Long, s: String): String = {
+    val crlf = "\r\n"
+    val plen = (40 + id % 24).toInt
+    val payload = s.substring(0, plen)
+    val blocks = Seq(
+      ("warcinfo",
+        "software: graft/1.0" + crlf + "format: WARC file version 1.0",
+        false),
+      ("request",
+        s"GET /doc/$id HTTP/1.1" + crlf + "Host: example.org" + crlf + crlf,
+        true),
+      ("response",
+        "HTTP/1.1 200 OK" + crlf + "Content-Type: text/plain" + crlf + crlf
+          + payload,
+        true))
+    blocks.zipWithIndex.map { case ((t, block, uri), i) =>
+      val hdrs = Seq(s"WARC-Type: $t", s"WARC-Record-ID: <urn:graft:$id/$i>",
+        "WARC-Date: 2026-01-01T00:00:00Z") ++
+        (if (uri) Seq(s"WARC-Target-URI: http://example.org/doc/$id")
+         else Seq.empty) ++
+        Seq(s"Content-Length: ${block.length}")
+      "WARC/1.0" + crlf + hdrs.mkString(crlf) + crlf + crlf + block +
+        crlf + crlf
+    }.mkString
+  }
+
+  private[graft] case class WarcRec(recIdx: Long, recType: String,
+      contentLength: Long, nHeaders: Long, versionOk: Long, blockOk: Long,
+      firstByte: Long, lastByte: Long, httpStatus: Long)
+
+  /** Walk a WARC file generically — the REAL parser, not the
+    * builder inverted: version-line check, header scan to the
+    * blank line, `Content-Length`-delimited block read, terminator
+    * check, HTTP status sniff on the block. The walk is
+    * best-effort under corruption (the trust checks a crawl
+    * pipeline needs): a bad length or missing terminator flags the
+    * record and HALTS — record boundaries downstream of a length
+    * lie are unrecoverable, which is exactly why the accounting
+    * gate exists. */
+  private[graft] def warcRecords(w: String): Seq[WarcRec] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[WarcRec]
+    var pos = 0
+    var idx = 0L
+    var halt = false
+    def line(): String = {
+      val e = w.indexOf("\r\n", pos)
+      if (e < 0) { halt = true; val r = w.substring(pos); pos = w.length; r }
+      else { val r = w.substring(pos, e); pos = e + 2; r }
+    }
+    while (!halt && pos < w.length) {
+      val vOk = if (line() == "WARC/1.0") 1L else 0L
+      val hdrs = scala.collection.mutable.LinkedHashMap.empty[String, String]
+      var l = line()
+      while (!halt && l.nonEmpty) {
+        val c = l.indexOf(": ")
+        if (c > 0) hdrs(l.substring(0, c)) = l.substring(c + 2)
+        l = line()
+      }
+      val cl = hdrs.get("Content-Length").flatMap(_.toLongOption).getOrElse(-1L)
+      val t = hdrs.getOrElse("WARC-Type", "?")
+      if (cl < 0 || pos + cl > w.length) {
+        out += WarcRec(idx, t, cl, hdrs.size.toLong, vOk, 0L, -1L, -1L, -1L)
+        halt = true
+      } else {
+        val block = w.substring(pos, pos + cl.toInt)
+        pos += cl.toInt
+        val term = pos + 4 <= w.length && w.substring(pos, pos + 4) == "\r\n\r\n"
+        if (term) pos += 4
+        val status =
+          if (block.startsWith("HTTP/1.1 ") && block.length >= 12)
+            block.substring(9, 12).toLongOption.getOrElse(-1L)
+          else -1L
+        out += WarcRec(idx, t, cl, hdrs.size.toLong, vOk,
+          if (term) 1L else 0L,
+          if (cl > 0) block.head.toLong else -1L,
+          if (cl > 0) block.last.toLong else -1L, status)
+        if (!term) halt = true
+      }
+      idx += 1
+    }
+    out.toSeq
+  }
+
+  /** m21: WARC RECORD WALK — the container leg for the format crawl
+    * corpora actually SHIP IN: WARC 1.0 (ISO 28500) is what
+    * CommonCrawl, Heritrix and every archival crawler write, and a
+    * 100 TB text pipeline's first storage-side trust boundary is
+    * "does each record's Content-Length account for its block, is
+    * the terminator where the length says, does the HTTP payload
+    * start where the headers end". Per document this renders a
+    * minimal 3-record WARC ([[buildWarc]] — warcinfo + request +
+    * response with a document-derived payload) and walks it with
+    * the generic parser ([[warcRecords]] — m14/m16/m18's
+    * render-then-really-parse idiom): per record the type, the
+    * declared Content-Length, header count, version/terminator
+    * gates, first/last block bytes (the content-plumbing witness)
+    * and the sniffed HTTP status. The oracle re-derives every
+    * field arithmetically from the same construction (the m13/m17
+    * construction-oracle idiom); the spec corrupts bytes —
+    * truncation, a wrecked version line, a LYING Content-Length —
+    * and proves each gate bites.
+    *
+    * Scale shape: ONE narrow flatMap fuses render + walk (zero
+    * shuffles before the ordered output); blocks never leave the
+    * stage — only the per-record audit rows (10 small columns)
+    * move. At 100 TB: this is a scan-shaped audit over `binaryFile`
+    * WARC segments, embarrassingly parallel by file split.
+    */
+  def m21(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .filter($"doc_id" % 3 === 2)
+      .selectExpr("doc_id", "rpad(substring(text, 1, 63), 63, ' ') AS s")
+      .as[(Long, String)]
+      .flatMap { case (id, s) =>
+        warcRecords(buildWarc(id, s)).map(r =>
+          (id, r.recIdx, r.recType, r.contentLength, r.nHeaders,
+            r.versionOk, r.blockOk, r.firstByte, r.lastByte, r.httpStatus))
+      }
+      .toDF("doc_id", "rec_idx", "rec_type", "content_length", "n_headers",
+        "version_ok", "block_ok", "first_byte", "last_byte", "http_status")
+      .transform(graft.Tables.ordered(_, $"doc_id", $"rec_idx"))
+  }
+
+  /** m21 oracle: every record field re-derived arithmetically from
+    * the construction — the lengths are computed from the SAME
+    * header/block strings the builder renders (string
+    * concatenation, not copied constants), so a builder drift
+    * breaks the gate. */
+  val m21Sql: String = {
+    val crlf = "chr(13) || chr(10)"
+    s"""WITH p AS (SELECT doc_id,
+      |        rpad(substring(text, 1, 63), 63, ' ') AS s,
+      |        CAST(40 + doc_id % 24 AS BIGINT) AS plen
+      |      FROM documents WHERE doc_id % 3 = 2),
+      |r0 AS (SELECT doc_id, CAST(0 AS BIGINT) AS rec_idx,
+      |        'warcinfo' AS rec_type,
+      |        CAST(length('software: graft/1.0' || $crlf ||
+      |          'format: WARC file version 1.0') AS BIGINT) AS content_length,
+      |        CAST(4 AS BIGINT) AS n_headers, CAST(1 AS BIGINT) AS version_ok,
+      |        CAST(1 AS BIGINT) AS block_ok,
+      |        CAST(ord('s') AS BIGINT) AS first_byte,
+      |        CAST(ord('0') AS BIGINT) AS last_byte,
+      |        CAST(-1 AS BIGINT) AS http_status
+      |      FROM p),
+      |r1 AS (SELECT doc_id, CAST(1 AS BIGINT), 'request',
+      |        CAST(length('GET /doc/' || CAST(doc_id AS VARCHAR) ||
+      |          ' HTTP/1.1' || $crlf || 'Host: example.org' || $crlf ||
+      |          $crlf) AS BIGINT),
+      |        CAST(5 AS BIGINT), CAST(1 AS BIGINT), CAST(1 AS BIGINT),
+      |        CAST(ord('G') AS BIGINT), CAST(10 AS BIGINT),
+      |        CAST(-1 AS BIGINT)
+      |      FROM p),
+      |r2 AS (SELECT doc_id, CAST(2 AS BIGINT), 'response',
+      |        CAST(length('HTTP/1.1 200 OK' || $crlf ||
+      |          'Content-Type: text/plain' || $crlf || $crlf) AS BIGINT)
+      |          + plen,
+      |        CAST(5 AS BIGINT), CAST(1 AS BIGINT), CAST(1 AS BIGINT),
+      |        CAST(ord('H') AS BIGINT),
+      |        CAST(ord(substr(s, CAST(plen AS INT), 1)) AS BIGINT),
+      |        CAST(200 AS BIGINT)
+      |      FROM p)
+      |SELECT * FROM (
+      |  SELECT * FROM r0 UNION ALL SELECT * FROM r1 UNION ALL
+      |  SELECT * FROM r2)
+      |ORDER BY doc_id, rec_idx""".stripMargin
+  }
 }

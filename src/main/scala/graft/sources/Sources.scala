@@ -69,15 +69,44 @@ class ForecastStore(root: String) {
   def save(df: DataFrame, version: String): Unit = {
     val dir = Paths.get(root, version)
     df.write.mode("overwrite").parquet(dir.toString)
-    val data = Option(dir.toFile.listFiles()).getOrElse(Array.empty)
-      .filter(f => f.isFile && f.getName.endsWith(".parquet"))
-      .map(_.getName).sorted
+    // record RELATIVE paths, walked recursively — so a version
+    // written with a nested/partitioned layout is fully manifested
+    // and orphan reclaim can never mistake committed data for junk
+    def walk(d: java.io.File, rel: String): Seq[String] =
+      Option(d.listFiles()).getOrElse(Array.empty).toSeq.flatMap { c =>
+        val r = if (rel.isEmpty) c.getName else s"$rel/${c.getName}"
+        if (c.isDirectory) walk(c, r)
+        else if (c.getName.endsWith(".parquet")) Seq(r)
+        else Seq.empty
+      }
+    val data = walk(dir.toFile, "").sorted
     Files.write(dir.resolve("_MANIFEST"), data.mkString("\n").getBytes)
+    pointCurrent(version)
+  }
+
+  /** Atomically repoint the CURRENT marker (write-then-rename — a
+    * reader never sees a half-written marker). */
+  private def pointCurrent(version: String): Unit = {
     val tmp = Paths.get(root, "CURRENT.tmp")
     Files.createDirectories(Paths.get(root))
     Files.write(tmp, version.getBytes)
     Files.move(tmp, marker, StandardCopyOption.ATOMIC_MOVE,
       StandardCopyOption.REPLACE_EXISTING)
+    ()
+  }
+
+  /** ROLLBACK: repoint CURRENT to an EXISTING stored version —
+    * Iceberg's `rollback_to_snapshot`: the undo every versioned
+    * store owes its operators when a bad batch lands. Pure
+    * metadata (one atomic marker swap); no data file is touched,
+    * so the rolled-past version stays readable for forensics
+    * ([[loadVersion]]) until vacuum's retention reclaims it.
+    * Returns false (and changes nothing) if the version does not
+    * exist — rollback must never invent a target.
+    */
+  def rollback(version: String): Boolean = {
+    if (!Files.isDirectory(Paths.get(root, version))) false
+    else { pointCurrent(version); true }
   }
 
   private def metaFile(n: String): Boolean =
@@ -86,10 +115,13 @@ class ForecastStore(root: String) {
   /** Store-relative paths no manifest references — failed-task
     * leftovers, stale side files, abandoned `_temporary` trees: the
     * reclaim target of Iceberg's `remove_orphan_files`. A version
-    * dir WITHOUT a manifest (pre-manifest store) is left alone; an
-    * unlisted DIRECTORY inside a version is orphan wholesale;
-    * metadata files (CURRENT, _MANIFEST, _SUCCESS, .crc) are never
-    * orphans. Detection is metadata-only — no data file is read.
+    * dir WITHOUT a manifest (pre-manifest store) is left alone; a
+    * directory inside a version is orphan WHOLESALE only when no
+    * manifest entry lives beneath it (manifests record relative
+    * paths, so a nested/partitioned layout's data dirs are
+    * protected and swept file-by-file instead); metadata files
+    * (CURRENT, _MANIFEST, _SUCCESS, .crc) are never orphans.
+    * Detection is metadata-only — no data file is read.
     */
   def orphans(): Seq[String] = {
     val rootLoose = Option(Paths.get(root).toFile.listFiles())
@@ -103,13 +135,16 @@ class ForecastStore(root: String) {
       else {
         val listed = new String(Files.readAllBytes(mf))
           .split("\n").filter(_.nonEmpty).toSet
-        Option(dir.toFile.listFiles()).getOrElse(Array.empty).toSeq
-          .filterNot(c => !c.isDirectory &&
-            (metaFile(c.getName) || listed.contains(c.getName)))
-          .collect {
-            case c if c.isDirectory => s"$v/${c.getName}"
-            case c if !listed.contains(c.getName) => s"$v/${c.getName}"
+        def sweep(d: java.io.File, rel: String): Seq[String] =
+          Option(d.listFiles()).getOrElse(Array.empty).toSeq.flatMap { c =>
+            val r = if (rel.isEmpty) c.getName else s"$rel/${c.getName}"
+            if (c.isDirectory) {
+              if (listed.exists(_.startsWith(r + "/"))) sweep(c, r)
+              else Seq(s"$v/$r")
+            } else if (metaFile(c.getName) || listed.contains(r)) Seq.empty
+            else Seq(s"$v/$r")
           }
+        sweep(dir.toFile, "")
       }
     }
     (rootLoose ++ inVersions).sorted

@@ -1245,9 +1245,13 @@ object EventStreams {
     * navigable — spec-proved with a planted near-duplicate across
     * batches); within a batch the insert is order-free (all
     * searches see the same pre-batch graph). The evolving edge
-    * table is executor-resident DataFrame state, localCheckpointed
-    * per batch (bounded lineage); the driver accumulates only the
-    * emitted link rows. Replayed as ONE batch (the Verify path)
+    * table is executor-resident DataFrame state grown APPEND-ONLY:
+    * each batch checkpoints only its own delta and the accumulated
+    * graph is a lazy union of the once-checkpointed pieces,
+    * compacted (and the pieces freed) every [[annCompactEvery]]
+    * batches — per-batch materialized volume is O(|batch|·degree),
+    * never O(|graph|). The driver accumulates only the emitted
+    * link rows. Replayed as ONE batch (the Verify path)
     * the door's rows ARE batch v26's insert edges — oracle
     * [[graft.operators.Knn.v26InsertSql]] (twin contract).
     */
@@ -1275,7 +1279,15 @@ object EventStreams {
       var vecs: org.apache.spark.sql.DataFrame,
       var graph: org.apache.spark.sql.DataFrame,
       val reps: org.apache.spark.sql.DataFrame,
-      val cents: Array[(Long, Array[Double])])
+      val cents: Array[(Long, Array[Double])],
+      var batches: Int = 0,
+      var lastDeltaRows: Long = 0L)
+
+  /** Compact the lazy union tree every this-many micro-batches: one
+    * localCheckpoint over the accumulated pieces, then the pieces'
+    * blocks are freed. Between compactions, growth is append-only —
+    * a batch materializes ONLY its own delta. */
+  private[graft] val annCompactEvery = 8
 
   private[graft] def annInsertState(ss: SparkSession, dir: String)
       : AnnInsertState = {
@@ -1291,7 +1303,23 @@ object EventStreams {
     * Searches run over the CURRENT graph and vector table; the
     * batch's links then augment the graph and its vectors join the
     * table (id-anti-joined, so replaying corpus members is a no-op)
-    * for the next batch — one materialized assignment each. */
+    * for the next batch.
+    *
+    * Growth is APPEND-ONLY: the only rows a batch materializes are
+    * its own delta (≤ 2·degree·|batch| edge rows + |batch| vector
+    * rows), never the accumulated index. Dedup is batch-local
+    * because it can be: every delta edge has a this-batch `new_id`
+    * endpoint (v21InsertEdges links FROM the arrivals) and the
+    * vec-table anti-join guarantees each new_id is inserted once —
+    * so an edge can never recur across batches, and the only
+    * possible duplicates are intra-batch mutual links (two arrivals
+    * picking each other), caught by a batch-sized `distinct`.
+    * `st.graph`/`st.vecs` stay the LAZY union of once-checkpointed
+    * pieces; every [[annCompactEvery]] batches the union tree is
+    * compacted into one checkpoint and the pieces' blocks freed.
+    * At 100 TB: per-batch work is O(|batch|) regardless of index
+    * size — the accumulated graph is only ever the probe side of
+    * the hop joins, never rewritten. */
   private[graft] def annInsertServe(st: AnnInsertState,
       batch: DataFrame): DataFrame = {
     val ss = batch.sparkSession
@@ -1300,21 +1328,120 @@ object EventStreams {
       .as[(Long, Array[Double])].collect().sortBy(_._1)
     val ix = graft.operators.Knn.V21Static(st.vecs, st.graph, st.reps, st.cents)
     val ins = graft.operators.Knn.v21InsertEdges(ix, qs).localCheckpoint()
+    annInsertGrow(st, ins, batch.select(col("vec_id"), col("nv")))
+    ins
+  }
+
+  /** The growth half of the insert door, factored so the volume
+    * spec can drive the bookkeeping with synthetic link frames (the
+    * search half is covered by the linking specs): fold one batch's
+    * insert edges + arriving vectors into the state under the
+    * append-only discipline documented on [[annInsertServe]]. */
+  private[graft] def annInsertGrow(st: AnnInsertState, ins: DataFrame,
+      arriving: DataFrame): Unit = {
     val edges = ins.select(col("new_id").as("src_id"), col("nbr_id"))
-    st.graph = st.graph
-      .unionByName(edges)
+    val delta = edges
       .unionByName(edges.select(col("nbr_id").as("src_id"),
         col("src_id").as("nbr_id")))
       .distinct().localCheckpoint()
-    val arrivals = batch.select(col("vec_id"), col("nv"))
+    st.lastDeltaRows = delta.count() // checkpointed — a cheap cache scan
+    st.graph = st.graph.unionByName(delta)
+    val arrivals = arriving
       .join(st.vecs.select(col("vec_id")), Seq("vec_id"), "left_anti")
-    st.vecs = st.vecs.unionByName(arrivals).localCheckpoint()
-    ins
+      .localCheckpoint()
+    st.vecs = st.vecs.unionByName(arrivals)
+    st.batches += 1
+    if (st.batches % annCompactEvery == 0) {
+      val (og, ov) = (st.graph, st.vecs)
+      st.graph = st.graph.localCheckpoint()
+      st.vecs = st.vecs.localCheckpoint()
+      graft.functions.Lineage.freeCheckpoint(og)
+      graft.functions.Lineage.freeCheckpoint(ov)
+    }
   }
 
   /** s38 oracle: v26's insert-edge selection, verbatim — the twin
     * contract on the single-replay batch. */
   val s38Sql: String = graft.operators.Knn.v26InsertSql
+
+  /** s39: STREAMING ANN-DELETE DOOR — v27's soft deletion at the
+    * ERASURE boundary, the door s38 was missing its twin for:
+    * GDPR erasure and licence-takedown requests are exactly as
+    * real-time as inserts, and a serving fleet that can grow its
+    * index live (s38) but only forget in nightly batch is
+    * non-compliant for the gap. The standing index trains in batch
+    * and stays PARTITIONED (s35's [[graft.operators.Knn.v21Static]]
+    * shape); the door's ONLY streaming state is the delete set — an
+    * id-only DataFrame at O(|deleted|) rows, grown APPEND-ONLY
+    * (arrivals anti-join the current set, so REPLAYED tombstones
+    * are no-ops — the idempotence an at-least-once erasure feed
+    * requires; batch-sized checkpoint per arrival set, compacted
+    * every [[annCompactEvery]] batches — s38's growth discipline).
+    * Each micro-batch folds in its arrivals and re-serves the
+    * standing query set with the CURRENT set excluded via
+    * id-equality joins against the partitioned delete set
+    * ([[graft.operators.Knn.v27ServeExcluding]] — the production
+    * Bloom/bitmap filter realized distributively), emitting v27's
+    * exact row schema including the `n_tomb_visited` compaction
+    * dial. Replayed as ONE batch (the Verify path) the delete set
+    * is exactly v27's tombstones and the rows ARE batch v27's —
+    * oracle [[graft.operators.Knn.v27Sql]] (twin contract).
+    */
+  def s39(spark: SparkSession, dir: String): DataFrame = {
+    val ss = streamSession(spark)
+    graft.Tables.tsConfs(ss)
+    val st = annDeleteState(ss, dir)
+    val schema = ss.read.parquet(s"$dir/embeddings.parquet").schema
+    val src = ss.readStream.schema(schema)
+      .option("pathGlobFilter", "embeddings.parquet").parquet(dir)
+      .filter(col("vec_id") >= 10 &&
+        col("vec_id") % graft.operators.Knn.v27ModK === 0)
+      .select(col("vec_id"))
+    runBatched(src, b => annDeleteServe(st, b))
+      .transform(graft.Tables.ordered(_, col("qid"), col("rnk")))
+  }
+
+  /** The erasure door's state: the partitioned standing index, the
+    * bounded query codebook, and the id-only delete set. */
+  private[graft] final class AnnDeleteState(
+      val ix: graft.operators.Knn.V21Static,
+      val qs: Array[(Long, Array[Double])],
+      var deleted: org.apache.spark.sql.DataFrame,
+      var batches: Int = 0)
+
+  private[graft] def annDeleteState(ss: SparkSession, dir: String)
+      : AnnDeleteState = {
+    val ix = graft.operators.Knn.v21Static(ss, dir)
+    val qs = graft.operators.Knn.codebook(ix.e, "vec_id < 10")
+    val empty = ss.range(0).selectExpr("id AS vec_id").localCheckpoint()
+    new AnnDeleteState(ix, qs, empty)
+  }
+
+  /** One micro-batch through the erasure door — factored so the
+    * MemoryStream spec drives the identical code across batches.
+    * Arrivals are deduped against the CURRENT set (replay
+    * idempotence) and checkpointed at batch size; the set stays the
+    * lazy union of checkpointed pieces, compacted every
+    * [[annCompactEvery]] batches. The serve is the batch kernel
+    * verbatim. */
+  private[graft] def annDeleteServe(st: AnnDeleteState,
+      batch: DataFrame): DataFrame = {
+    val arrivals = batch.select(col("vec_id")).distinct()
+      .join(st.deleted, Seq("vec_id"), "left_anti")
+      .localCheckpoint()
+    st.deleted = st.deleted.unionByName(arrivals)
+    st.batches += 1
+    if (st.batches % annCompactEvery == 0) {
+      val od = st.deleted
+      st.deleted = st.deleted.localCheckpoint()
+      graft.functions.Lineage.freeCheckpoint(od)
+    }
+    graft.operators.Knn.v27ServeExcluding(st.ix, st.qs, st.deleted)
+  }
+
+  /** s39 oracle: v27's, verbatim — the twin contract on the
+    * single-replay batch. */
+  val s39Sql: String = graft.operators.Knn.v27Sql
 
   /** s37: STREAMING MAD DOOR — dq6's robust day-volume monitor as a
     * live pipeline alarm: the median×2 / MAD×4 thresholds train in

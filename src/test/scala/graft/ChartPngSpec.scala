@@ -417,7 +417,7 @@ class ChartPngSpec extends AnyFunSuite {
           val st = (i - 1) * 2000L + (c & 1023)
           (i.toLong, st, st + 800L + ((c * 7) & 127) * 12)
         }
-        val nf = 2 * (20 + (s.charAt(1).toInt & 15))
+        val nf = 2 * (20 + (s.charAt(4).toInt & 15))
         (0 until nf).map { f =>
           val t = f * 200L
           val covering = cues.filter(c => c._2 <= t && t < c._3)
@@ -433,6 +433,42 @@ class ChartPngSpec extends AnyFunSuite {
     // the as-of rule bites: some frame sat inside TWO overlapping
     // cues and the later start won (checked by the mirror above)
     assert(nMulti > 0, "no frame ever covered by overlapping cues - rule untested")
+  }
+
+  test("m21: WARC record walk recovers real structure; truncation and length lies bite") {
+    import graft.operators.Media
+    val s = "WRCthe quick brown fox jumps over the lazy dog pad to len!"
+      .padTo(63, ' ')
+    val w = Media.buildWarc(7L, s)
+    val recs = Media.warcRecords(w)
+    assert(recs.map(_.recType) == Seq("warcinfo", "request", "response"))
+    assert(recs.forall(r => r.versionOk == 1 && r.blockOk == 1))
+    assert(recs(2).httpStatus == 200L && recs(0).httpStatus == -1L)
+    assert(recs(0).nHeaders == 4L && recs(1).nHeaders == 5L)
+    // content-length accounting derived from the same construction
+    val winfo = "software: graft/1.0\r\nformat: WARC file version 1.0"
+    assert(recs(0).contentLength == winfo.length.toLong)
+    val plen = (40 + 7 % 24).toInt
+    assert(recs(2).contentLength ==
+      ("HTTP/1.1 200 OK\r\nContent-Type: text/plain\r\n\r\n".length + plen).toLong)
+    // content plumbing: the response block's last byte is the
+    // payload's last char
+    assert(recs(2).lastByte == s.charAt(plen - 1).toLong)
+    // truncation kills the final record's terminator gate
+    val cut = Media.warcRecords(w.dropRight(3))
+    assert(cut.last.blockOk == 0L)
+    // a wrecked version line is caught
+    assert(Media.warcRecords("XARC" + w.substring(4)).head.versionOk == 0L)
+    // a LYING Content-Length derails the walk at the accounting gate
+    val lied = w.replaceFirst(
+      s"Content-Length: ${winfo.length}", "Content-Length: 40")
+    assert(Media.warcRecords(lied)
+      .exists(r => r.versionOk == 0L || r.blockOk == 0L))
+    // and on the fixture every document's WARC parses healthy
+    val rows = Media.m21(spark, SharedSpark.sf).collect()
+    assert(rows.nonEmpty && rows.length % 3 == 0)
+    assert(rows.forall(r => r.getAs[Long]("version_ok") == 1L &&
+      r.getAs[Long]("block_ok") == 1L))
   }
 
   test("m16: JPEG marker walk recovers real structure; truncation and dim edits bite") {

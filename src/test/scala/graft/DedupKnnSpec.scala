@@ -1837,6 +1837,41 @@ class DedupKnnSpec extends AnyFunSuite {
     assert(recall >= 0.8, s"live recall $recall")
   }
 
+  test("v28: compaction rebuild — the dial reads 0 on every query, tombstones leave the index, recall holds") {
+    def parse(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Int]("rnk"),
+        r.getAs[Long]("vec_id"), r.getAs[Double]("cos_sim"),
+        r.getAs[Long]("in_exact"), r.getAs[Long]("n_tomb_visited"))).toSeq
+    val after = parse(Knn.v28(spark, sf))
+    assert(after.nonEmpty)
+    // the compaction contract: the overhead dial reads ZERO on EVERY
+    // query — computed from the actual search state, not hardcoded
+    assert(after.forall(_._6 == 0L), "tombstone traversed post-compaction")
+    assert(after.forall(_._3 % 23 != 0), "tombstoned id in results")
+    // the before/after overhead table against v27 (the dial's
+    // consumer story): before the rebuild some queries PAID for
+    // tombstone traversal — that is what made the compaction due
+    val before = parse(Knn.v27(spark, sf))
+    val dialBefore = before.groupBy(_._1).view.mapValues(_.head._6).toMap
+    assert(dialBefore.values.exists(_ > 0L),
+      "no pre-compaction overhead - the trigger never fires on this fixture")
+    assert(dialBefore.keySet.forall(q => after.filter(_._1 == q).forall(_._6 == 0L)))
+    // recall non-regression: removing tombstones from the graph must
+    // not navigate worse than filtering around them
+    val recAfter = after.map(_._5).sum.toDouble / after.length
+    val recBefore = before.map(_._5).sum.toDouble / before.length
+    assert(recAfter >= recBefore - 0.1,
+      s"compacted recall $recAfter craters below filtered $recBefore")
+    assert(recAfter >= 0.8, s"compacted recall $recAfter")
+    // structural: the REBUILT graph itself holds no tombstoned
+    // endpoint (they left the index, not just the result rows)
+    val live = Knn.vectors(spark, sf)
+      .filter("vec_id >= 10 AND vec_id % 23 <> 0")
+    val (g, _, _) = Knn.v21Index(spark, live, "vec_id >= 10")
+    val badEnds = g.filter("src_id % 23 = 0 OR nbr_id % 23 = 0").count()
+    assert(badEnds == 0L, s"$badEnds tombstoned endpoints in the compacted graph")
+  }
+
   test("d22: CDC chunking equals a sequential recompute; boundaries realign after a shift") {
     // sequential mirror of the chunker
     def chunksOf(t: String): Seq[String] = {

@@ -634,6 +634,85 @@ class RelationalSpec extends AnyFunSuite {
     assert(rows.map(_._3).sum <= m && rows.map(_._4).sum == 2 * m)
   }
 
+  test("g24: one Louvain level equals a sequential recompute; Q non-decreasing per round and above LPA") {
+    val rows = graft.operators.Graph.g24(spark, sf).collect()
+      .map(r => (r.getAs[Long]("c_custkey"), r.getAs[Long]("community"),
+        r.getAs[Long]("csize"), r.getAs[Long]("q_x4m2")))
+    val n = Tables.customer(spark, sf).count()
+    assert(rows.length == n)
+    // the shared fixture graph
+    val und = (0L until n).flatMap { u =>
+      Seq((u, (u * 31 + 7) % n), (u, (u * 17 + 3) % n)) ++
+        (if (u >= 2) Seq((u, u / 2)) else Nil)
+    }.filter { case (a, b) => a != b }
+      .map { case (a, b) => (math.min(a, b), math.max(a, b)) }.distinct
+    val m = und.size.toLong
+    val adj = (und ++ und.map(_.swap)).groupBy(_._1).view
+      .mapValues(_.map(_._2)).toMap
+    val deg = (0L until n).map(id =>
+      id -> adj.get(id).map(_.size.toLong).getOrElse(0L)).toMap
+    def qx4m2(lbl: Array[Long]): Long = {
+      val eIn = und.groupBy { case (a, b) => (lbl(a.toInt), lbl(b.toInt)) }
+        .collect { case ((la, lb), es) if la == lb => la -> es.size.toLong }
+        .toMap
+      val tot = (0L until n).groupBy(id => lbl(id.toInt)).view
+        .mapValues(_.map(deg).sum).toMap
+      tot.map { case (c, t) => 4 * m * eIn.getOrElse(c, 0L) - t * t }.sum
+    }
+    // sequential mirror of the synchronous downward-only move rule
+    var lbl = (0L until n).toArray
+    val qPerRound = scala.collection.mutable.ArrayBuffer(qx4m2(lbl))
+    (1 to graft.operators.Graph.g24Rounds).foreach { _ =>
+      val tot = (0L until n).groupBy(id => lbl(id.toInt)).view
+        .mapValues(_.map(deg).sum).toMap
+      val next = lbl.clone()
+      (0L until n).foreach { id =>
+        val own = lbl(id.toInt)
+        val d = deg(id)
+        val kin = adj.getOrElse(id, Seq.empty)
+          .groupBy(b => lbl(b.toInt)).view.mapValues(_.size.toLong).toMap
+        val cands = (kin.keySet + own).toSeq.filter(_ <= own).map { c =>
+          val totAdj = tot(c) - (if (c == own) d else 0L)
+          val gain = 2 * m * kin.getOrElse(c, 0L) - d * totAdj
+          (c, gain, if (c == own) 0 else 1)
+        }
+        next(id.toInt) = cands.minBy { case (c, g, mv) => (-g, mv, c) }._1
+      }
+      lbl = next
+      qPerRound += qx4m2(lbl)
+    }
+    val sizes = lbl.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    rows.foreach { case (id, comm, cs, q) =>
+      assert(comm == lbl(id.toInt), s"node $id: $comm != ${lbl(id.toInt)}")
+      assert(cs == sizes(lbl(id.toInt)))
+      assert(q == qPerRound.last)
+    }
+    // the optimization claims: Q never decreases across rounds, and
+    // strictly improves over the singleton start
+    qPerRound.sliding(2).foreach { w =>
+      assert(w(0) <= w(1), s"modularity decreased: ${qPerRound.mkString(",")}")
+    }
+    assert(qPerRound.last > qPerRound.head, "no modularity improvement at all")
+    // and the optimizer beats (or ties) label propagation's Q on the
+    // same graph — the reason curation runs Louvain, not LPA
+    var lpa = (0L until n).toArray
+    (1 to 6).foreach { _ =>
+      val next = lpa.clone()
+      (0L until n).foreach { id =>
+        adj.get(id).foreach { nbrs =>
+          val votes = nbrs.groupBy(b => lpa(b.toInt)).view
+            .mapValues(_.length).toSeq
+          next(id.toInt) = votes.minBy { case (l, c) => (-c, l) }._1
+        }
+      }
+      lpa = next
+    }
+    assert(qPerRound.last >= qx4m2(lpa),
+      s"Louvain Q ${qPerRound.last} below LPA's ${qx4m2(lpa)}")
+    // communities genuinely formed
+    assert(sizes.size < n && sizes.values.max > 2)
+  }
+
   test("e14: cohort LTV equals a sequential recompute; cumulative is monotone") {
     val rows = graft.operators.EventWindows.e14(spark, sf).collect()
       .map(r => (r.getAs[Long]("cohort"), r.getAs[Long]("offset_days"),

@@ -142,6 +142,40 @@ class SourcesSpec extends AnyFunSuite {
     assert(got.map(_._3) == got.map(_._3).sorted)
   }
 
+  test("p18: rollback repoints CURRENT without touching data; refused for a missing version") {
+    import spark.implicits._
+    // the library semantics first: metadata-only undo
+    val store = new ForecastStore(tmp() + "/rb")
+    store.save(spark.range(10).toDF("id"), "v0")
+    store.save(spark.range(99).toDF("id"), "v1")
+    assert(store.currentPath().get.endsWith("v1"))
+    assert(store.rollback("v0"))
+    assert(store.currentPath().get.endsWith("v0"))
+    assert(store.load(spark).get.count() == 10)
+    // nothing deleted: the rolled-past version reads intact
+    assert(store.loadVersion(spark, "v1").get.count() == 99)
+    // rollback never invents a target
+    assert(!store.rollback("v77"))
+    assert(store.currentPath().get.endsWith("v0"))
+    // roll FORWARD again works too (it is just a marker swap)
+    assert(store.rollback("v1"))
+    assert(store.load(spark).get.count() == 99)
+    // the operator's audit: before corrupt, after clean, forensics
+    // intact — and the phases agree on exact-cents arithmetic
+    val got = graft.operators.Incremental.p18(spark, sf).collect()
+      .map(r => (r.getAs[String]("phase"), r.getAs[String]("version"),
+        r.getAs[Long]("n_rows"), r.getAs[Long]("n_bad"),
+        r.getAs[Long]("sum_cents"))).toSeq
+    assert(got.map(_._1) == Seq("1_before", "2_after", "3_forensic"))
+    val Seq(before, after, forensic) = got
+    assert(before._2 == "v1" && before._4 > 0, "audit must catch the bad batch")
+    assert(after._2 == "v0" && after._4 == 0, "rollback must clean CURRENT")
+    assert(forensic == before.copy(_1 = "3_forensic"),
+      "the rolled-past version must read bit-identical to pre-rollback CURRENT")
+    assert(before._3 > after._3 && before._5 < after._5,
+      "negated batch must have dragged the sum down")
+  }
+
   test("orc source roundtrips the events schema losslessly") {
     import spark.implicits._
     val base = Tables.events(spark, sf)

@@ -1196,6 +1196,100 @@ class StreamingPipelineSpec extends AnyFunSuite {
       "batch-parallel insert must see only the stable base")
   }
 
+  test("s38 growth is append-only: per-batch delta is O(|batch|·degree) and compaction conserves edges") {
+    import spark.implicits._
+    // drive the factored growth bookkeeping with synthetic link
+    // frames (the search half is covered by the linking specs) so
+    // the discipline is pinned EXACTLY without paying a beam search
+    // per batch: 500 base nodes in a ring, then 10 batches of 4 new
+    // nodes, each linking 16 existing + its batch-buddy (the mutual
+    // intra-batch link that the delta dedup must collapse)
+    val baseN = 500L
+    val baseVecs = (0L until baseN).map(i => (i, Array(i.toDouble)))
+      .toDF("vec_id", "nv").localCheckpoint()
+    val baseGraph = (0L until baseN)
+      .flatMap(i => Seq((i, (i + 1) % baseN), ((i + 1) % baseN, i)))
+      .toDF("src_id", "nbr_id").localCheckpoint()
+    val st = new graft.streaming.EventStreams.AnnInsertState(
+      baseVecs, baseGraph, baseVecs, Array.empty)
+    val baseEdges = st.graph.count()
+    val nb = graft.streaming.EventStreams.annCompactEvery + 2
+    var deltaSum = 0L
+    (0 until nb).foreach { b =>
+      val ids = (0 until 4).map(j => 10000L + b * 4 + j)
+      // 16 base links each (deterministic), plus the mutual pair:
+      // ids(0) links ids(1) AND ids(1) links ids(0) — the ONLY
+      // duplicate class the append-only argument allows
+      val ins = ids.flatMap(id =>
+        (0 until 16).map(k => (id, (id * 7 + k * 31) % baseN))) ++
+        Seq((ids(0), ids(1)), (ids(1), ids(0)))
+      val arriving = ids.map(id => (id, Array(id.toDouble)))
+      graft.streaming.EventStreams.annInsertGrow(st,
+        ins.toDF("new_id", "nbr_id"),
+        arriving.toDF("vec_id", "nv"))
+      // exact delta: undirected-distinct pairs × 2 — the mutual
+      // intra-batch pair collapses (2 rows, not 4), nothing else does
+      val expected = 2L * ins.map { case (a, c) =>
+        (math.min(a, c), math.max(a, c)) }.distinct.size
+      assert(st.lastDeltaRows == expected,
+        s"batch $b delta ${st.lastDeltaRows} != $expected")
+      // the O(|batch|·degree) bound, graph-size independent
+      assert(st.lastDeltaRows <= 2L * ins.size,
+        s"batch $b delta exceeds the batch bound")
+      deltaSum += st.lastDeltaRows
+    }
+    assert(st.batches > graft.streaming.EventStreams.annCompactEvery,
+      "compaction path was not exercised")
+    // append-only invariant: no edge recurs across batches, so the
+    // accumulated graph (through ≥1 compaction) is EXACTLY base + Σ
+    // deltas, and every vector arrived exactly once
+    assert(st.graph.count() == baseEdges + deltaSum)
+    assert(st.vecs.count() == baseN + nb * 4L)
+    // a REPLAYED arrival is a no-op on the vector table (the anti-
+    // join guard behind the no-cross-batch-duplicate argument)
+    graft.streaming.EventStreams.annInsertGrow(st,
+      Seq.empty[(Long, Long)].toDF("new_id", "nbr_id"),
+      Seq((10000L, Array(10000.0))).toDF("vec_id", "nv"))
+    assert(st.vecs.count() == baseN + nb * 4L)
+    assert(baseEdges + deltaSum > st.lastDeltaRows,
+      "fixture too small to distinguish delta from graph size")
+  }
+
+  test("s39 erasure door: full replay equals batch v27; erasure is idempotent across batches") {
+    import spark.implicits._
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Int]("rnk"),
+        r.getAs[Long]("vec_id"), r.getAs[Double]("cos_sim"),
+        r.getAs[Long]("in_exact"), r.getAs[Long]("n_tomb_visited"))).toSeq
+    // twin contract: the whole tombstone stream replayed (one batch)
+    // == batch v27, bitwise
+    val streamed = rows(graft.streaming.EventStreams.s39(spark, sf)).sorted
+    val batch = rows(graft.operators.Knn.v27(spark, sf)).sorted
+    assert(streamed == batch && streamed.nonEmpty)
+    // multi-batch + replay-idempotence, on the factored kernel: the
+    // same delete ids split across two batches converge to the same
+    // state, and REPLAYING already-processed ids is a no-op (the
+    // at-least-once erasure-feed contract)
+    val st = graft.streaming.EventStreams.annDeleteState(spark, sf)
+    val tombs = graft.operators.Knn.vectors(spark, sf)
+      .filter("vec_id >= 10 AND vec_id % 23 = 0")
+      .selectExpr("vec_id").as[Long].collect().sorted.toSeq
+    assert(tombs.size >= 4)
+    val (b1, b2) = tombs.splitAt(tombs.size / 2)
+    def serve(ids: Seq[Long]) = rows(
+      graft.streaming.EventStreams.annDeleteServe(st, ids.toDF("vec_id")))
+    val mid = serve(b1)
+    val full = serve(b2)
+    assert(full.sorted == batch, "two-batch erasure != single replay")
+    // mid-stream state already differs from the final one (the door
+    // genuinely serves the PARTIAL delete set, not a precomputed end
+    // state): any id in b2 may still surface at mid
+    assert(mid.sorted != full.sorted || b2.forall(id => !batch.exists(_._3 == id)))
+    val replayed = serve(b1)
+    assert(replayed.sorted == full.sorted, "replaying old tombstones changed the state")
+    assert(st.deleted.count() == tombs.size.toLong)
+  }
+
   test("s36 stateless winnowing door equals batch d23 row for row") {
     def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
       .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"),
