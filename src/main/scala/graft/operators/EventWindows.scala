@@ -1475,4 +1475,64 @@ object EventWindows {
       |       THEN 1 ELSE 0 END AS BIGINT) AS frequent
       |FROM un, nu
       |ORDER BY plen, p1, p2, p3""".stripMargin
+
+  // ---------- e23: DAU/WAU stickiness ----------
+
+  /** e23: ENGAGEMENT STICKINESS — per day, the daily-active count
+    * (DAU), the trailing-7-day active count (WAU) and their ratio
+    * in exact permille (the DAU/MAU "stickiness" every product
+    * analytics stack reports — Facebook popularized the metric;
+    * the fixture's 30-day span makes the 7-day window the honest
+    * trailing variant). The trailing DISTINCT count is the hard
+    * part at scale — a naive per-day RANGE-window
+    * count(DISTINCT user) shuffles the activity table once PER
+    * OFFSET — so this is q25's bounded window-end explode: each
+    * (user, active day d) row contributes its user to the windows
+    * ending at d..d+6 (≤ 7 bounded copies), one (user, window_end)
+    * distinct and one count per end — TWO key exchanges total,
+    * independent of window length semantics (the explode factor is
+    * the window length, a constant). Window ends are kept to days
+    * that actually exist in the data (the trailing window of a day
+    * nobody was active on is not a reportable day). Stickiness =
+    * DAU·1000 div WAU — exact integers, no IEEE anywhere.
+    *
+    * Scale shape: (user, day) distinct (one exchange), bounded ×7
+    * explode, (user, wend) distinct + count (second exchange), a
+    * day-grain join — all map-side combinable; nothing is ever
+    * per-user state on the driver. At 100 TB the explode factor
+    * stays 7 while the window-function alternative would rescan
+    * per day.
+    */
+  def e23(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val act = Tables.events(spark, dir)
+      .selectExpr("user_id", s"$dayExpr AS day")
+      .distinct().cache()
+    val dau = act.groupBy($"day").agg(count(lit(1)).as("dau"))
+    val wau = act
+      .withColumn("wend", explode(expr("sequence(day, day + 6)")))
+      .select($"user_id", $"wend").distinct()
+      .groupBy($"wend".as("day")).agg(count(lit(1)).as("wau"))
+    dau.join(wau, Seq("day"))
+      .selectExpr("day", "dau", "wau",
+        "(dau * 1000) div wau AS stickiness_permille")
+      .transform(graft.Tables.ordered(_, $"day"))
+  }
+
+  /** e23 oracle: the same (user, day) grain, the same bounded
+    * window-end explode via generate_series, inner join restricting
+    * ends to real activity days. */
+  val e23Sql: String =
+    """WITH a AS (SELECT DISTINCT user_id,
+      |        datediff('day', DATE '2023-12-31', CAST(ts AS DATE)) AS day
+      |      FROM events),
+      |dau AS (SELECT day, CAST(count(*) AS BIGINT) AS dau FROM a GROUP BY 1),
+      |w AS (SELECT DISTINCT a.user_id, a.day + g.i AS wend
+      |      FROM a, generate_series(0, 6) g(i)),
+      |wau AS (SELECT wend AS day, CAST(count(*) AS BIGINT) AS wau
+      |      FROM w GROUP BY 1)
+      |SELECT CAST(d.day AS BIGINT) AS day, d.dau, u.wau,
+      |  (d.dau * 1000) // u.wau AS stickiness_permille
+      |FROM dau d JOIN wau u ON u.day = d.day
+      |ORDER BY day""".stripMargin
 }

@@ -2112,8 +2112,14 @@ object Knn {
     // clusters' representatives.
     val (graph, reps, cents) = (ix.graph, ix.reps, ix.cents)
     val qCb = spark.sparkContext.broadcast(qsArr.toMap)
+    // `nodes` is always a BOUNDED side (≤ queries·beam·degree rows
+    // per hop) — broadcast it so the corpus-sized vector table NEVER
+    // shuffles inside the hop loop (round 13: this was a per-hop
+    // exchange of `e`; at 100 TB the bounded-side broadcast is the
+    // only shape that survives, and at bench scale it removes ~2
+    // exchanges per hop)
     def score(nodes: DataFrame): DataFrame =
-      nodes.join(e.select($"vec_id".as("node"), $"nv"), Seq("node"))
+      broadcast(nodes).join(e.select($"vec_id".as("node"), $"nv"), Seq("node"))
         .select($"qid", $"node", $"nv")
         .as[(Long, Long, Array[Double])]
         .mapPartitions { it =>
@@ -2160,9 +2166,6 @@ object Knn {
     // seeds is ≤ queries × probes × reps rows — a broadcast side
     var visited = cut(score(broadcast(seeds))
       .withColumn("exp", lit(0)))
-    // the most recent frame that IS a checkpoint — the only thing
-    // the cadence loop ever frees (see below)
-    var lastCut = visited
     val states = scala.collection.mutable.ArrayBuffer(visited)
     var hop = 0
     while (hop < hops) {
@@ -2170,36 +2173,30 @@ object Knn {
       val frontier = visited.filter($"exp" === 0)
         .withColumn("rn", row_number().over(wq))
         .filter($"rn" <= beam).select($"qid", $"node")
+      // the frontier is BOUNDED (≤ queries·beam rows) — broadcast
+      // it into both consumers so neither the visited state nor the
+      // corpus-sized GRAPH ever shuffles inside the loop (round 13;
+      // the graph previously paid a per-hop src_id exchange)
       val marked = visited.join(
-          frontier.select($"qid", $"node", lit(1).as("hit_f")),
+          broadcast(frontier.select($"qid", $"node", lit(1).as("hit_f"))),
           Seq("qid", "node"), "left")
         .selectExpr("qid", "node", "score",
           "CASE WHEN hit_f IS NOT NULL THEN 1 ELSE exp END AS exp")
-      val cand = frontier.join(graph, frontier("node") === graph("src_id"))
+      val cand = broadcast(frontier)
+        .join(graph, frontier("node") === graph("src_id"))
         .select($"qid", $"nbr_id".as("node")).distinct()
         .join(visited.select($"qid", $"node"), Seq("qid", "node"), "left_anti")
-      val step = marked
-        .unionByName(score(cand).withColumn("exp", lit(0)))
-      // checkpoint CADENCE (round-13 latency cut): when the caller
-      // doesn't read per-hop states, lineage-cut every 2nd hop (and
-      // the last) instead of every hop — the checkpoint is
-      // semantically transparent, so results are byte-identical,
-      // but the fixed per-hop job round-trip halves (the g-family's
-      // peel discipline; v26 chains TWO 6-hop searches and was the
-      // suite's round-latency ceiling at ~25 s isolated).
-      // keepAll (v22's profile) keeps every hop checkpointed —
-      // its states ARE the product there.
-      val cutHere = keepAll || (hop + 1) % 2 == 0 || hop + 1 == hops
-      val next = if (cutHere) cut(step) else step
-      if (ckpt && !keepAll && cutHere) {
-        // free ONLY the previous frame that is itself a checkpoint
-        // (a single-LogicalRDD plan). Freeing a LAZY intermediate
-        // would collect every LogicalRDD leaf under it — including
-        // the caller's graph/vector state checkpoints (the insert
-        // door's deltas), whose blocks must outlive this search.
-        graft.functions.Lineage.freeCheckpoint(lastCut)
-        lastCut = next
-      }
+      // checkpoint EVERY hop. A round-13 experiment cut only every
+      // 2nd hop ("fuse the cadence") and MEASURED 40% SLOWER
+      // (v21 6.4→9.2 s, v26 25→37 s at sf0.1): the uncheckpointed
+      // hop state is referenced THREE times by the next hop
+      // (frontier, marked, anti-join) and Spark re-executes an
+      // unmaterialized subplan per reference — lineage cuts are
+      // also the reuse points. Kept per-hop; the latency lever that
+      // actually worked is the bounded-side broadcasts above.
+      val next = cut(marked
+        .unionByName(score(cand).withColumn("exp", lit(0))))
+      if (ckpt && !keepAll) graft.functions.Lineage.freeCheckpoint(visited)
       visited = next
       states += next
       hop += 1
@@ -2772,11 +2769,20 @@ object Knn {
     val newQs = codebook(e, s"vec_id >= 10 AND vec_id % $v26ModK = 0")
     val ins = v21InsertEdges(ixBase, newQs)
       .select(col("new_id").as("src_id"), col("nbr_id")).localCheckpoint()
-    val gAug = gBase
-      .unionByName(ins)
+    // append-only augmentation (round 13 — s38's growth lesson
+    // applied to the batch op): every insert edge has a
+    // once-arriving new_id endpoint, so base edges can never recur
+    // and the only possible duplicates are intra-batch mutual links
+    // — dedup the DELTA only (batch-sized) and union lazily, never
+    // distinct()+cache() the full augmented graph (a corpus-sized
+    // shuffle + rewrite the serve hops don't need: they scan the
+    // cached base + the checkpointed delta map-side under the
+    // broadcast-frontier joins). Same edge SET, bitwise-same serve.
+    val delta = ins
       .unionByName(ins.select(col("nbr_id").as("src_id"),
         col("src_id").as("nbr_id")))
-      .distinct().cache()
+      .distinct().localCheckpoint()
+    val gAug = gBase.unionByName(delta)
     (ins, V21Static(e, gAug, reps, cents), newQs)
   }
 

@@ -2607,6 +2607,33 @@ class RelationalSpec extends AnyFunSuite {
   }
 
 
+  test("e23: DAU/WAU stickiness equals a sequential recompute; the explode window is exact") {
+    val got = EventWindows.e23(spark, sf).collect()
+      .map(r => (r.getAs[Long]("day"), r.getAs[Long]("dau"),
+        r.getAs[Long]("wau"), r.getAs[Long]("stickiness_permille"))).toSeq
+    assert(got.nonEmpty)
+    // sequential mirror: per reportable day, DAU and the true
+    // trailing-7-day distinct count — the explode construction must
+    // equal the DEFINITION (distinct users with day in [d-6, d])
+    val act = Tables.events(spark, sf)
+      .selectExpr("user_id",
+        "CAST(datediff(CAST(ts AS DATE), DATE '2023-12-31') AS BIGINT) AS day")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = got.map(_._1).map { d =>
+      val dau = act.collect { case (u, dd) if dd == d => u }.size.toLong
+      val wau = act.collect {
+        case (u, dd) if dd >= d - 6 && dd <= d => u }.size.toLong
+      (d, dau, wau, dau * 1000 / wau)
+    }
+    assert(got == want)
+    // invariants: WAU dominates DAU, ratio bounded, every activity
+    // day reported exactly once, and the window genuinely widens the
+    // pool somewhere (otherwise the fixture never tests the explode)
+    assert(got.forall(t => t._3 >= t._2 && t._4 <= 1000L))
+    assert(got.map(_._1).distinct.size == got.size)
+    assert(got.exists(t => t._3 > t._2))
+  }
+
   test("e22: Kaplan-Meier equals a sequential recompute; censoring raises survival") {
     val got = EventWindows.e22(spark, sf).collect()
       .map(r => (r.getAs[Long]("gap_day"), r.getAs[Long]("n_events"),
