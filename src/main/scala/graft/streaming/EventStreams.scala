@@ -1402,9 +1402,12 @@ object EventStreams {
   }
 
   /** The erasure door's state: the partitioned standing index, the
-    * bounded query codebook, and the id-only delete set. */
+    * bounded query codebook, and the id-only delete set. `ix` is a
+    * var because the compaction door (s40) REPLACES it with the
+    * rebuilt live-only index when the deletion fraction crosses the
+    * threshold. */
   private[graft] final class AnnDeleteState(
-      val ix: graft.operators.Knn.V21Static,
+      var ix: graft.operators.Knn.V21Static,
       val qs: Array[(Long, Array[Double])],
       var deleted: org.apache.spark.sql.DataFrame,
       var batches: Int = 0)
@@ -1442,6 +1445,85 @@ object EventStreams {
   /** s39 oracle: v27's, verbatim — the twin contract on the
     * single-replay batch. */
   val s39Sql: String = graft.operators.Knn.v27Sql
+
+  /** s40: STREAMING COMPACTION DOOR — the index lifecycle's
+    * AUTONOMIC loop closed at the stream boundary: s39 forgets by
+    * filtering (tombstones stay navigable, overhead grows
+    * monotonically), v28 is the batch recovery — s40 wires the
+    * trigger BETWEEN them, the way a serving fleet actually runs:
+    * each micro-batch folds in its erasure arrivals (s39's
+    * append-only delete set) and, when the DELETION FRACTION
+    * crosses the rebuild threshold (corpus/[[s40CompactDenom]] —
+    * the published FAISS/HNSW practice of consolidating at a few
+    * percent deleted; v27's n_tomb_visited dial stays the per-query
+    * AUDIT of what the overhead was costing), REBUILDS the serving
+    * index over the live vectors (v28's exact construction: the
+    * delete set leaves the graph, not just the results) and serves
+    * post-compaction — the emitted dial collapses to 0. Below the
+    * threshold it serves tombstone-filtered (s39's path). Replayed
+    * as ONE batch (the Verify path) the full tombstone set crosses
+    * the threshold immediately and the rows ARE batch v28's —
+    * oracle [[graft.operators.Knn.v28Sql]] (twin contract). The
+    * spec drives the two-phase story: a half batch stays below
+    * threshold (dial > 0 — soft-deletion overhead visible), the
+    * second crossing batch compacts (dial 0 everywhere, results ==
+    * batch v28).
+    */
+  def s40(spark: SparkSession, dir: String): DataFrame = {
+    val ss = streamSession(spark)
+    graft.Tables.tsConfs(ss)
+    val st = annDeleteState(ss, dir)
+    val schema = ss.read.parquet(s"$dir/embeddings.parquet").schema
+    val src = ss.readStream.schema(schema)
+      .option("pathGlobFilter", "embeddings.parquet").parquet(dir)
+      .filter(col("vec_id") >= 10 &&
+        col("vec_id") % graft.operators.Knn.v27ModK === 0)
+      .select(col("vec_id"))
+    runBatched(src, b => annCompactServe(st, b))
+      .transform(graft.Tables.ordered(_, col("qid"), col("rnk")))
+  }
+
+  /** Rebuild at 4% deleted: corpus/25. The v27 fixture tombstones
+    * ~4.3% (every 23rd), so the FULL set crosses and a half batch
+    * does not — both trigger arms are on the data. */
+  private[graft] val s40CompactDenom = 25L
+
+  /** One micro-batch through the compaction door: s39's arrival
+    * fold, then either the filtered serve (below threshold) or
+    * v28's live rebuild + serve (at/above). The rebuilt index
+    * REPLACES the state — later batches serve from the compacted
+    * graph (and the delete set is consumed: those vectors are
+    * gone from the index, nothing left to filter). */
+  private[graft] def annCompactServe(st: AnnDeleteState,
+      batch: DataFrame): DataFrame = {
+    val ss = batch.sparkSession
+    val arrivals = batch.select(col("vec_id")).distinct()
+      .join(st.deleted, Seq("vec_id"), "left_anti")
+      .localCheckpoint()
+    st.deleted = st.deleted.unionByName(arrivals)
+    st.batches += 1
+    val nDeleted = st.deleted.count()
+    val corpus = st.ix.e.filter("vec_id >= 10").count()
+    if (nDeleted * s40CompactDenom >= corpus) {
+      // COMPACT: v28's construction — rebuild over live vectors;
+      // the delete set leaves the index and is consumed
+      val eLive = st.ix.e
+        .join(st.deleted, Seq("vec_id"), "left_anti").localCheckpoint()
+      val (g, reps, cents) =
+        graft.operators.Knn.v21Index(ss, eLive, "vec_id >= 10")
+      st.ix.reps.unpersist()
+      st.ix = graft.operators.Knn.V21Static(eLive, g, reps.persist(), cents)
+      st.deleted = ss.range(0).selectExpr("id AS vec_id").localCheckpoint()
+      graft.operators.Knn.v27ServeExcluding(st.ix, st.qs, st.deleted)
+    } else {
+      graft.operators.Knn.v27ServeExcluding(st.ix, st.qs, st.deleted)
+    }
+  }
+
+  /** s40 oracle: v28's, verbatim — the single-replay tombstone set
+    * crosses the rebuild threshold immediately, so the emitted rows
+    * are the post-compaction serve (twin contract). */
+  val s40Sql: String = graft.operators.Knn.v28Sql
 
   /** s37: STREAMING MAD DOOR — dq6's robust day-volume monitor as a
     * live pipeline alarm: the median×2 / MAD×4 thresholds train in

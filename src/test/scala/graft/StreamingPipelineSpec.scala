@@ -1290,6 +1290,43 @@ class StreamingPipelineSpec extends AnyFunSuite {
     assert(st.deleted.count() == tombs.size.toLong)
   }
 
+  test("s40 compaction door: the deletion-fraction trigger fires, the dial collapses, erasure survives the rebuild") {
+    import spark.implicits._
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Int]("rnk"),
+        r.getAs[Long]("vec_id"), r.getAs[Double]("cos_sim"),
+        r.getAs[Long]("in_exact"), r.getAs[Long]("n_tomb_visited"))).toSeq
+    // twin contract: the full tombstone set crosses the threshold in
+    // one batch, so the whole stream replayed == batch v28 bitwise
+    val streamed = rows(graft.streaming.EventStreams.s40(spark, sf)).sorted
+    val batch = rows(graft.operators.Knn.v28(spark, sf)).sorted
+    assert(streamed == batch && streamed.nonEmpty)
+    // two-phase on the factored kernel: half the tombstones stay
+    // below the 4% threshold (delete set retained — no rebuild, the
+    // filtered-serve arm), the crossing batch compacts (delete set
+    // CONSUMED, dial 0 everywhere, rows == batch v28)
+    val st = graft.streaming.EventStreams.annDeleteState(spark, sf)
+    val tombs = graft.operators.Knn.vectors(spark, sf)
+      .filter("vec_id >= 10 AND vec_id % 23 = 0")
+      .selectExpr("vec_id").as[Long].collect().sorted.toSeq
+    val (b1, b2) = tombs.splitAt(tombs.size / 2)
+    def serve(ids: Seq[Long]) = rows(
+      graft.streaming.EventStreams.annCompactServe(st, ids.toDF("vec_id")))
+    val mid = serve(b1)
+    assert(st.deleted.count() == b1.size.toLong,
+      "sub-threshold batch must NOT compact")
+    assert(mid.forall(t => !b1.contains(t._3)), "deleted id surfaced mid-stream")
+    val fin = serve(b2)
+    assert(st.deleted.count() == 0L, "compaction must consume the delete set")
+    assert(fin.sorted == batch, "post-compaction serve != batch v28")
+    assert(fin.forall(_._6 == 0L), "dial must collapse post-compaction")
+    // erasure is PERMANENT across the rebuild: replaying old
+    // tombstones changes nothing — those vectors left the index
+    val replayed = serve(b1)
+    assert(replayed.sorted == fin.sorted,
+      "replayed erasure ids changed results after compaction")
+  }
+
   test("s36 stateless winnowing door equals batch d23 row for row") {
     def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
       .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"),
