@@ -2402,4 +2402,177 @@ object Media {
       |  SELECT * FROM r2)
       |ORDER BY doc_id, rec_idx""".stripMargin
   }
+
+  // ---------- m22: WebDataset TAR shard walk ----------
+
+  /** The NUL byte as a char — kept out of string literals so the
+    * source file stays text (and clear of Scala's pre-lexer \\u
+    * processing). */
+  private val nul: Char = 0.toChar
+
+  /** One POSIX ustar header (512 chars; every char code IS the byte
+    * value — the fixture is pure ASCII/NUL) with the checksum
+    * computed the way tar defines it: sum of all header bytes with
+    * the chksum field read as eight spaces, stored as six octal
+    * digits + NUL + space. */
+  private def tarHeader(name: String, size: Long): String = {
+    def pad(s: String, n: Int): String =
+      if (s.length >= n) s.substring(0, n) else s + nul.toString * (n - s.length)
+    def oct(v: Long, digits: Int): String = {
+      val o = java.lang.Long.toOctalString(v)
+      ("0" * (digits - o.length)) + o + nul
+    }
+    val pre = pad(name, 100) + "0000644" + nul + oct(0, 7) + oct(0, 7) +
+      oct(size, 11) + oct(0, 11)
+    val post = "0" + nul.toString * 100 + "ustar" + nul + "00" +
+      (nul.toString * 32) + (nul.toString * 32) + oct(0, 7) + oct(0, 7) +
+      (nul.toString * 155)
+    val withSpaces = pre + "        " + post
+    val full = pad(withSpaces, 512)
+    val sum = full.map(_.toInt).sum
+    val chk = java.lang.Long.toOctalString(sum)
+    val chkField = ("0" * (6 - chk.length)) + chk + nul + " "
+    full.substring(0, 148) + chkField + full.substring(156)
+  }
+
+  /** Render a WebDataset-style TAR shard for one document: two
+    * samples, each a (key.txt, key.cls) member pair — text payload
+    * plus its label, the grouping contract WebDataset readers
+    * stream training samples by. Content blocks NUL-padded to 512;
+    * the archive ends with two zero blocks. */
+  private[graft] def buildTar(id: Long, s: String): String = {
+    val la = (30 + id % 17).toInt
+    val lb = (20 + id % 13).toInt
+    val members = Seq(
+      (s"${id}a.txt", s.substring(0, la)),
+      (s"${id}a.cls", ((id % 10)).toString),
+      (s"${id}b.txt", s.substring(0, lb)),
+      (s"${id}b.cls", ((id % 7)).toString))
+    members.map { case (n, body) =>
+      val padded = body + nul.toString * ((512 - body.length % 512) % 512)
+      tarHeader(n, body.length.toLong) + padded
+    }.mkString + (nul.toString * 1024)
+  }
+
+  private[graft] case class TarMember(idx: Long, name: String, ext: String,
+      key: String, size: Long, chksumOk: Long, magicOk: Long)
+
+  /** Walk a TAR archive generically — header checksum recomputed
+    * (chksum field as spaces, per the ustar definition), octal size
+    * parse, ustar magic gate, 512-byte content alignment, and the
+    * two-zero-block end marker. A malformed size field halts the
+    * walk (downstream offsets are unrecoverable — the accounting
+    * gate, m21's discipline). Returns the members and whether the
+    * end marker was found where the sizes said it would be. */
+  private[graft] def tarMembers(t: String): (Seq[TarMember], Long) = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[TarMember]
+    var pos = 0
+    var idx = 0L
+    var endOk = 0L
+    var halt = false
+    while (!halt && pos + 512 <= t.length) {
+      val hdr = t.substring(pos, pos + 512)
+      if (hdr.forall(_ == nul)) {
+        // end marker: TWO zero blocks required
+        endOk = if (pos + 1024 <= t.length &&
+          t.substring(pos + 512, pos + 1024).forall(_ == nul)) 1L else 0L
+        halt = true
+      } else {
+        val name = hdr.substring(0, 100).takeWhile(_ != nul)
+        val sizeStr = hdr.substring(124, 135).takeWhile(c => c != nul && c != ' ')
+        val size = try java.lang.Long.parseLong(sizeStr, 8)
+          catch { case _: NumberFormatException => -1L }
+        val magicOk =
+          if (hdr.substring(257, 263) == "ustar" + nul) 1L else 0L
+        val stated = hdr.substring(148, 154)
+        val recomputed = (hdr.substring(0, 148) + "        " +
+          hdr.substring(156)).map(_.toInt).sum
+        val chksumOk =
+          if (stated.forall(c => c >= '0' && c <= '7') &&
+            java.lang.Long.parseLong(stated, 8) == recomputed.toLong) 1L
+          else 0L
+        val dot = name.lastIndexOf('.')
+        val (key, ext) =
+          if (dot > 0) (name.substring(0, dot), name.substring(dot + 1))
+          else (name, "")
+        out += TarMember(idx, name, ext, key, size, chksumOk, magicOk)
+        // a size the archive cannot contain is a lie — halt, the
+        // downstream offsets are unrecoverable (and never let a
+        // huge field overflow the block arithmetic)
+        if (size < 0 || size > (t.length - pos - 512).toLong) halt = true
+        else pos += 512 + ((size.toInt + 511) / 512) * 512
+        idx += 1
+      }
+    }
+    (out.toSeq, endOk)
+  }
+
+  /** m22: WEBDATASET TAR-SHARD WALK — the container leg for the
+    * format multimodal TRAINING DATA actually ships in: WebDataset
+    * (tar shards whose members group into samples by key —
+    * `000123.jpg` + `000123.txt` + `000123.cls`) is the standard
+    * streaming shard layout for large-scale image-text training
+    * (LAION, DataComp distribute exactly this), and tar itself
+    * (POSIX ustar) is the archival substrate. The trust boundary a
+    * 100 TB shard store audits per member: does the header
+    * CHECKSUM verify (sum of header bytes with the chksum field as
+    * spaces — the ustar definition), does the octal size field
+    * place the next header on its 512-byte boundary, is the magic
+    * present, do the shard's members GROUP into complete samples,
+    * and is the two-zero-block end marker where the sizes say.
+    * Per document this renders a 2-sample shard ([[buildTar]] —
+    * each sample a .txt payload + .cls label, document-derived
+    * sizes) and walks it generically ([[tarMembers]] — the
+    * m14/m16/m18/m21 render-then-really-parse idiom). Oracle:
+    * every field re-derived arithmetically from the construction;
+    * the spec corrupts a header byte, the magic, a size field and
+    * the end marker — each gate bites.
+    *
+    * Scale shape: ONE narrow flatMap fuses render + walk, zero
+    * shuffles; at 100 TB this is the binaryFile-split shard audit
+    * a WebDataset ingest runs before training readers stream the
+    * shards — embarrassingly parallel, payload bytes never leave
+    * the stage.
+    */
+  def m22(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .filter($"doc_id" % 3 === 0)
+      .selectExpr("doc_id", "rpad(substring(text, 1, 61), 61, ' ') AS s")
+      .as[(Long, String)]
+      .flatMap { case (id, s) =>
+        val (ms, endOk) = tarMembers(buildTar(id, s))
+        ms.map(m => (id, m.idx, m.name, m.ext, m.key, m.size,
+          m.chksumOk, m.magicOk, endOk))
+      }
+      .toDF("doc_id", "member_idx", "name", "ext", "key", "size",
+        "chksum_ok", "magic_ok", "end_ok")
+      .transform(graft.Tables.ordered(_, $"doc_id", $"member_idx"))
+  }
+
+  /** m22 oracle: the four members' names, keys, extensions and
+    * document-derived sizes re-derived arithmetically; the header
+    * gates pin known-healthy structure (the m13/m17
+    * construction-oracle idiom — the spec corrupts bytes to prove
+    * each gate bites). */
+  val m22Sql: String =
+    """WITH p AS (SELECT doc_id,
+      |        CAST(30 + doc_id % 17 AS BIGINT) AS la,
+      |        CAST(20 + doc_id % 13 AS BIGINT) AS lb
+      |      FROM documents WHERE doc_id % 3 = 0),
+      |m AS (
+      |  SELECT doc_id, 0 AS idx,
+      |    CAST(doc_id AS VARCHAR) || 'a.txt' AS name, 'txt' AS ext,
+      |    CAST(doc_id AS VARCHAR) || 'a' AS key, la AS size FROM p
+      |  UNION ALL SELECT doc_id, 1, CAST(doc_id AS VARCHAR) || 'a.cls',
+      |    'cls', CAST(doc_id AS VARCHAR) || 'a', 1 FROM p
+      |  UNION ALL SELECT doc_id, 2, CAST(doc_id AS VARCHAR) || 'b.txt',
+      |    'txt', CAST(doc_id AS VARCHAR) || 'b', lb FROM p
+      |  UNION ALL SELECT doc_id, 3, CAST(doc_id AS VARCHAR) || 'b.cls',
+      |    'cls', CAST(doc_id AS VARCHAR) || 'b', 1 FROM p)
+      |SELECT doc_id, CAST(idx AS BIGINT) AS member_idx, name, ext, key,
+      |  size, CAST(1 AS BIGINT) AS chksum_ok, CAST(1 AS BIGINT) AS magic_ok,
+      |  CAST(1 AS BIGINT) AS end_ok
+      |FROM m
+      |ORDER BY doc_id, member_idx""".stripMargin
 }

@@ -471,6 +471,41 @@ class ChartPngSpec extends AnyFunSuite {
       r.getAs[Long]("block_ok") == 1L))
   }
 
+  test("m22: TAR shard walk verifies ustar checksums and sample grouping; corruption bites") {
+    import graft.operators.Media
+    val s = "TARthe quick brown fox jumps over the lazy dog padding!!"
+      .padTo(61, ' ')
+    val t = Media.buildTar(9L, s)
+    assert(t.length % 512 == 0, "tar must be block-aligned")
+    val (ms, endOk) = Media.tarMembers(t)
+    assert(ms.map(_.name) == Seq("9a.txt", "9a.cls", "9b.txt", "9b.cls"))
+    assert(ms.forall(m => m.chksumOk == 1L && m.magicOk == 1L) && endOk == 1L)
+    assert(ms.map(_.size) == Seq(30L + 9 % 17, 1L, 20L + 9 % 13, 1L))
+    // WebDataset contract: members group into complete samples by key
+    val samples = ms.groupBy(_.key)
+    assert(samples.keySet == Set("9a", "9b"))
+    assert(samples.values.forall(_.map(_.ext).toSet == Set("txt", "cls")))
+    // a flipped HEADER byte breaks that member's checksum only
+    val flipped = t.updated(1, 'X')
+    val (fm, _) = Media.tarMembers(flipped)
+    assert(fm.head.chksumOk == 0L && fm.tail.forall(_.chksumOk == 1L))
+    // a wrecked magic is caught
+    val badMagic = t.updated(257, 'x')
+    assert(Media.tarMembers(badMagic)._1.head.magicOk == 0L)
+    // a lying size field derails the walk at the accounting gate
+    val badSize = t.updated(124, '7')
+    val (bm, be) = Media.tarMembers(badSize)
+    assert(be == 0L || bm.exists(m => m.chksumOk == 0L || m.magicOk == 0L))
+    // truncating the end marker kills end_ok
+    assert(Media.tarMembers(t.dropRight(600))._2 == 0L)
+    // and on the fixture every document's shard parses healthy with
+    // two complete samples
+    val rows = Media.m22(spark, SharedSpark.sf).collect()
+    assert(rows.nonEmpty && rows.length % 4 == 0)
+    assert(rows.forall(r => r.getAs[Long]("chksum_ok") == 1L &&
+      r.getAs[Long]("magic_ok") == 1L && r.getAs[Long]("end_ok") == 1L))
+  }
+
   test("m16: JPEG marker walk recovers real structure; truncation and dim edits bite") {
     import graft.operators.Media
     val jb = Media.encodeJpeg8x8(
