@@ -63,20 +63,25 @@ object Incremental {
   }
   /** ONE shutdown hook for the whole JVM, draining a concurrent
     * queue — registering a hook per invocation would accumulate
-    * threads unboundedly across a 279-query bench and can throw
-    * IllegalStateException if a query runs during shutdown. */
+    * threads unboundedly across a multi-hundred-query bench. The
+    * lazy registration itself can race shutdown: if the FIRST
+    * temp-dir creation happens while the JVM is already going down,
+    * `addShutdownHook` throws IllegalStateException — caught here,
+    * and [[cleanupOnExit]] falls back to deleting immediately (the
+    * run is ending anyway, nothing will read the store). */
   private val pendingCleanup =
     new java.util.concurrent.ConcurrentLinkedQueue[java.io.File]
-  private lazy val cleanupHookOnce: Unit = {
-    Runtime.getRuntime.addShutdownHook(new Thread(() => {
-      var f = pendingCleanup.poll()
-      while (f != null) { deleteRecursively(f); f = pendingCleanup.poll() }
-    }, "graft-tmp-clean"))
-    ()
-  }
+  private lazy val cleanupHookRegistered: Boolean =
+    try {
+      Runtime.getRuntime.addShutdownHook(new Thread(() => {
+        var f = pendingCleanup.poll()
+        while (f != null) { deleteRecursively(f); f = pendingCleanup.poll() }
+      }, "graft-tmp-clean"))
+      true
+    } catch { case _: IllegalStateException => false }
   private def cleanupOnExit(f: java.io.File): Unit = {
-    cleanupHookOnce
-    pendingCleanup.add(f)
+    if (cleanupHookRegistered) pendingCleanup.add(f)
+    else deleteRecursively(f)
     ()
   }
 

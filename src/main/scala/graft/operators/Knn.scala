@@ -2978,31 +2978,51 @@ object Knn {
       |WHERE r.rnk <= $knnK
       |ORDER BY r.qid, r.rnk""".stripMargin
 
-  /** v27's filtered serve against an EXPLICIT delete-set DataFrame —
-    * the kernel the streaming erasure door (s39) runs per
-    * micro-batch. Identical semantics to [[v27]] with the modular
-    * tombstone predicate replaced by id-equality joins against the
-    * partitioned delete set (the production Bloom/bitmap filter,
-    * realized distributively): results anti-join it, the overhead
-    * dial semi-joins it, the brute ground truth re-grounds on the
-    * live corpus only. When the set holds exactly the
-    * `% `[[v27ModK]]` = 0` ids, the rows ARE batch v27's — the
-    * door's twin contract.
+  /** The batch-INVARIANT legs of v27's filtered serve, factored so
+    * the erasure/compaction doors (s39/s40) compute them ONCE per
+    * index version instead of per micro-batch: the final beam-search
+    * visited set and the full-corpus brute-scored table depend only
+    * on the index and the standing query codebook — in those doors
+    * the only per-batch change is the delete set, which
+    * [[v27ServeCached]] applies as anti-/semi-joins AFTER both legs,
+    * so the legs commute out of the batch loop unchanged. Both
+    * frames are (qid, id, score) grain — strings/vectors never enter
+    * door state. `checkpoint` materializes the scored table for the
+    * door-state path (the visited frame is already the hop loop's
+    * final lineage-cut checkpoint). At 100 TB this converts a
+    * per-micro-batch O(hops·beam·degree) search plus an
+    * O(corpus·|qs|) scoring pass into a one-time cost amortized
+    * until the next compaction swaps the index.
     */
-  private[graft] def v27ServeExcluding(ix: V21Static,
-      qs: Array[(Long, Array[Double])], deleted: DataFrame): DataFrame = {
-    val spark = ix.e.sparkSession
+  private[graft] def v27ServeLegs(ix: V21Static,
+      qs: Array[(Long, Array[Double])], checkpoint: Boolean = true)
+      : (DataFrame, DataFrame) = {
+    val visited = v21SearchOn(ix, qs).last
+    val scored = denseScoredFor(ix.e, qs, "vec_id >= 10")
+    (visited, if (checkpoint) scored.localCheckpoint() else scored)
+  }
+
+  /** v27's filtered serve applied over pre-computed invariant legs —
+    * the per-micro-batch half of the erasure doors: results
+    * anti-join the delete set, the overhead dial semi-joins it, the
+    * brute ground truth re-grounds on the live corpus only (the
+    * production Bloom/bitmap filter, realized distributively). The
+    * joins/windows are the round-13 [[v27ServeExcluding]] body
+    * verbatim, so rows stay byte-identical whether the legs were
+    * cached (doors) or computed inline (one-shot). */
+  private[graft] def v27ServeCached(visited: DataFrame, scored: DataFrame,
+      deleted: DataFrame): DataFrame = {
+    val spark = visited.sparkSession
     import spark.implicits._
     val del = deleted.select(col("vec_id"))
-    val visited = v21SearchOn(ix, qs).last
     val beamTop = visited
       .join(del.select($"vec_id".as("node")), Seq("node"), "left_anti")
       .withColumn("rnk", row_number().over(
         Window.partitionBy($"qid").orderBy($"score".desc, $"node")))
       .filter($"rnk" <= knnK)
       .select($"qid", $"rnk", $"node".as("vec_id"), $"score".as("cos_sim"))
-    val brute = topK(denseScoredFor(ix.e, qs, "vec_id >= 10")
-        .join(del, Seq("vec_id"), "left_anti"), "cos_sim", knnK)
+    val brute = topK(scored.join(del, Seq("vec_id"), "left_anti"),
+        "cos_sim", knnK)
       .select($"qid", $"vec_id", lit(1L).as("hit"))
     val tombVis = visited.join(del.select($"vec_id".as("node")), Seq("node"))
       .groupBy($"qid").agg(count(lit(1)).as("n_tomb_visited"))
@@ -3011,6 +3031,20 @@ object Knn {
       .selectExpr("qid", "rnk", "vec_id", "cos_sim",
         "coalesce(hit, CAST(0 AS BIGINT)) AS in_exact",
         "coalesce(n_tomb_visited, CAST(0 AS BIGINT)) AS n_tomb_visited")
+  }
+
+  /** v27's filtered serve against an EXPLICIT delete-set DataFrame —
+    * the one-shot composition of [[v27ServeLegs]] (uncheckpointed)
+    * and [[v27ServeCached]]. Identical semantics to [[v27]] with the
+    * modular tombstone predicate replaced by id-equality joins
+    * against the partitioned delete set. When the set holds exactly
+    * the `% `[[v27ModK]]` = 0` ids, the rows ARE batch v27's — the
+    * erasure door's twin contract.
+    */
+  private[graft] def v27ServeExcluding(ix: V21Static,
+      qs: Array[(Long, Array[Double])], deleted: DataFrame): DataFrame = {
+    val (visited, scored) = v27ServeLegs(ix, qs, checkpoint = false)
+    v27ServeCached(visited, scored, deleted)
   }
 
   // ---------- v28: ANN compaction (tombstone rebuild) ----------

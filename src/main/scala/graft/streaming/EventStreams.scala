@@ -1380,10 +1380,13 @@ object EventStreams {
     * Each micro-batch folds in its arrivals and re-serves the
     * standing query set with the CURRENT set excluded via
     * id-equality joins against the partitioned delete set
-    * ([[graft.operators.Knn.v27ServeExcluding]] — the production
-    * Bloom/bitmap filter realized distributively), emitting v27's
-    * exact row schema including the `n_tomb_visited` compaction
-    * dial. Replayed as ONE batch (the Verify path) the delete set
+    * ([[graft.operators.Knn.v27ServeCached]] — the production
+    * Bloom/bitmap filter realized distributively) over the
+    * batch-INVARIANT serve legs cached in door state
+    * ([[graft.operators.Knn.v27ServeLegs]], round 14 — the beam
+    * search and the full-corpus brute scoring run ONCE, not per
+    * batch), emitting v27's exact row schema including the
+    * `n_tomb_visited` compaction dial. Replayed as ONE batch (the Verify path) the delete set
     * is exactly v27's tombstones and the rows ARE batch v27's —
     * oracle [[graft.operators.Knn.v27Sql]] (twin contract).
     */
@@ -1402,22 +1405,37 @@ object EventStreams {
   }
 
   /** The erasure door's state: the partitioned standing index, the
-    * bounded query codebook, and the id-only delete set. `ix` is a
-    * var because the compaction door (s40) REPLACES it with the
-    * rebuilt live-only index when the deletion fraction crosses the
-    * threshold. */
+    * bounded query codebook, the id-only delete set, and the two
+    * batch-INVARIANT serve legs ([[graft.operators.Knn.v27ServeLegs]]
+    * — the final beam-search visited frame and the brute-scored
+    * table, both (qid, id, score) grain, checkpointed ONCE at state
+    * build). `ix`/`visited`/`scored`/`corpusN` are vars because the
+    * compaction door (s40) REPLACES all four with the rebuilt
+    * live-only versions when the deletion fraction crosses the
+    * threshold — the ONLY event that invalidates the legs.
+    * `legBuilds` counts those rebuilds (the spec's no-per-batch-
+    * re-scoring pin, s38's bookkeeping idiom); `lastArrivalRows` is
+    * the per-batch materialized work — delete-set-sized by
+    * construction. */
   private[graft] final class AnnDeleteState(
       var ix: graft.operators.Knn.V21Static,
       val qs: Array[(Long, Array[Double])],
       var deleted: org.apache.spark.sql.DataFrame,
-      var batches: Int = 0)
+      var visited: org.apache.spark.sql.DataFrame,
+      var scored: org.apache.spark.sql.DataFrame,
+      var corpusN: Long,
+      var batches: Int = 0,
+      var legBuilds: Int = 1,
+      var lastArrivalRows: Long = 0L)
 
   private[graft] def annDeleteState(ss: SparkSession, dir: String)
       : AnnDeleteState = {
     val ix = graft.operators.Knn.v21Static(ss, dir)
     val qs = graft.operators.Knn.codebook(ix.e, "vec_id < 10")
     val empty = ss.range(0).selectExpr("id AS vec_id").localCheckpoint()
-    new AnnDeleteState(ix, qs, empty)
+    val (visited, scored) = graft.operators.Knn.v27ServeLegs(ix, qs)
+    val corpusN = ix.e.filter("vec_id >= 10").count()
+    new AnnDeleteState(ix, qs, empty, visited, scored, corpusN)
   }
 
   /** One micro-batch through the erasure door — factored so the
@@ -1425,13 +1443,21 @@ object EventStreams {
     * Arrivals are deduped against the CURRENT set (replay
     * idempotence) and checkpointed at batch size; the set stays the
     * lazy union of checkpointed pieces, compacted every
-    * [[annCompactEvery]] batches. The serve is the batch kernel
-    * verbatim. */
+    * [[annCompactEvery]] batches. The serve applies the delete-set
+    * anti-/semi-joins + rank windows over the CACHED invariant legs
+    * (round 14 — the round-13 body re-ran the full multi-hop beam
+    * search and the full-corpus brute scoring per batch even though
+    * both depend only on the batch-invariant `ix`/`qs`; at 100 TB
+    * that was a per-micro-batch full-corpus pass for a handful of
+    * erasure ids). Per-batch materialized work is now
+    * O(|arrivals|); rows are byte-identical by [[graft.operators
+    * .Knn.v27ServeCached]]'s shared body. */
   private[graft] def annDeleteServe(st: AnnDeleteState,
       batch: DataFrame): DataFrame = {
     val arrivals = batch.select(col("vec_id")).distinct()
       .join(st.deleted, Seq("vec_id"), "left_anti")
       .localCheckpoint()
+    st.lastArrivalRows = arrivals.count()
     st.deleted = st.deleted.unionByName(arrivals)
     st.batches += 1
     if (st.batches % annCompactEvery == 0) {
@@ -1439,7 +1465,7 @@ object EventStreams {
       st.deleted = st.deleted.localCheckpoint()
       graft.functions.Lineage.freeCheckpoint(od)
     }
-    graft.operators.Knn.v27ServeExcluding(st.ix, st.qs, st.deleted)
+    graft.operators.Knn.v27ServeCached(st.visited, st.scored, st.deleted)
   }
 
   /** s39 oracle: v27's, verbatim — the twin contract on the
@@ -1483,9 +1509,13 @@ object EventStreams {
       .transform(graft.Tables.ordered(_, col("qid"), col("rnk")))
   }
 
-  /** Rebuild at 4% deleted: corpus/25. The v27 fixture tombstones
-    * ~4.3% (every 23rd), so the FULL set crosses and a half batch
-    * does not — both trigger arms are on the data. */
+  /** Rebuild at 4% deleted: corpus/25. Coupled to the v27 fixture's
+    * tombstone rate — [[graft.operators.Knn.v27ModK]] = 23 deletes
+    * every 23rd id (~4.3%), so the FULL set crosses the threshold
+    * and a HALF batch does not: both trigger arms land on the data.
+    * If `v27ModK` ever changes, re-derive this denominator (the
+    * two-phase spec's below-threshold arm silently dead-arms
+    * otherwise — it asserts the half batch does NOT compact). */
   private[graft] val s40CompactDenom = 25L
 
   /** One micro-batch through the compaction door: s39's arrival
@@ -1493,20 +1523,29 @@ object EventStreams {
     * v28's live rebuild + serve (at/above). The rebuilt index
     * REPLACES the state — later batches serve from the compacted
     * graph (and the delete set is consumed: those vectors are
-    * gone from the index, nothing left to filter). */
+    * gone from the index, nothing left to filter). Round 14:
+    * arrivals SEMI-JOIN the live corpus before entering the set, so
+    * replayed erasure ids (already compacted away) and never-indexed
+    * ids cannot re-enter `deleted` and fire a spurious full rebuild
+    * against the shrunk corpus — the rebuild is the one full-corpus
+    * cost the threshold exists to amortize; the corpus count and the
+    * serve legs live in the state, recomputed ONLY when compaction
+    * swaps the index. */
   private[graft] def annCompactServe(st: AnnDeleteState,
       batch: DataFrame): DataFrame = {
     val ss = batch.sparkSession
     val arrivals = batch.select(col("vec_id")).distinct()
+      .join(st.ix.e.select(col("vec_id")), Seq("vec_id"), "left_semi")
       .join(st.deleted, Seq("vec_id"), "left_anti")
       .localCheckpoint()
+    st.lastArrivalRows = arrivals.count()
     st.deleted = st.deleted.unionByName(arrivals)
     st.batches += 1
     val nDeleted = st.deleted.count()
-    val corpus = st.ix.e.filter("vec_id >= 10").count()
-    if (nDeleted * s40CompactDenom >= corpus) {
+    if (nDeleted * s40CompactDenom >= st.corpusN) {
       // COMPACT: v28's construction — rebuild over live vectors;
-      // the delete set leaves the index and is consumed
+      // the delete set leaves the index and is consumed, and the
+      // invariant serve legs + corpus count follow the new index
       val eLive = st.ix.e
         .join(st.deleted, Seq("vec_id"), "left_anti").localCheckpoint()
       val (g, reps, cents) =
@@ -1514,10 +1553,16 @@ object EventStreams {
       st.ix.reps.unpersist()
       st.ix = graft.operators.Knn.V21Static(eLive, g, reps.persist(), cents)
       st.deleted = ss.range(0).selectExpr("id AS vec_id").localCheckpoint()
-      graft.operators.Knn.v27ServeExcluding(st.ix, st.qs, st.deleted)
-    } else {
-      graft.operators.Knn.v27ServeExcluding(st.ix, st.qs, st.deleted)
+      val (ov, os) = (st.visited, st.scored)
+      val (nv, nsc) = graft.operators.Knn.v27ServeLegs(st.ix, st.qs)
+      st.visited = nv
+      st.scored = nsc
+      graft.functions.Lineage.freeCheckpoint(ov)
+      graft.functions.Lineage.freeCheckpoint(os)
+      st.corpusN = eLive.filter("vec_id >= 10").count()
+      st.legBuilds += 1
     }
+    graft.operators.Knn.v27ServeCached(st.visited, st.scored, st.deleted)
   }
 
   /** s40 oracle: v28's, verbatim — the single-replay tombstone set

@@ -13,18 +13,30 @@ import org.scalatest.funsuite.AnyFunSuite
   */
 class DocCountsSpec extends AnyFunSuite {
 
-  private def specCount: Int = {
+  /** Textual heuristic with its assumptions made LOUD: a spec
+    * declaration is `test("` at EXACTLY two-space indentation (the
+    * repo's uniform suite-body style — every suite is an AnyFunSuite
+    * with its tests at class-body depth). Any `test("` at deeper
+    * indentation (the shape an example snippet inside a multi-line
+    * string literal would take, or a test registered inside a helper
+    * block) trips the cross-check below and FAILS the spec asking
+    * for review, instead of silently skewing the README gate. */
+  private def specCounts: (Int, Int) = {
     def walk(f: java.io.File): Seq[java.io.File] =
       if (f.isDirectory)
         Option(f.listFiles()).getOrElse(Array.empty).toSeq.flatMap(walk)
       else if (f.getName.endsWith(".scala")) Seq(f) else Seq.empty
-    val decl = """^\s+test\("""".r
+    val strict = """^  test\("""".r
+    val loose = """^\s+test\("""".r
     walk(new java.io.File("src/test/scala")).map { f =>
       scala.io.Source.fromFile(f, "UTF-8") match {
-        case s => try s.getLines().count(l => decl.findFirstIn(l).isDefined)
-                  finally s.close()
+        case s => try {
+            val ls = s.getLines().toSeq
+            (ls.count(l => strict.findFirstIn(l).isDefined),
+             ls.count(l => loose.findFirstIn(l).isDefined))
+          } finally s.close()
       }
-    }.sum
+    }.foldLeft((0, 0)) { case ((a, b), (x, y)) => (a + x, b + y) }
   }
 
   test("README's advertised counts match the discovered spec and registered query counts") {
@@ -38,6 +50,11 @@ class DocCountsSpec extends AnyFunSuite {
       .map(_.group(1).toInt)
     assert(specsAd.isDefined && queriesAd.isDefined,
       "README must advertise '(N specs)' and '(N queries)'")
+    val (specCount, looseCount) = specCounts
+    assert(specCount == looseCount,
+      s"found ${looseCount - specCount} indented test(\" occurrences beyond " +
+        "class-body depth (string-literal snippet or helper-registered test?) " +
+        "— review DocCountsSpec's counting assumptions")
     assert(specsAd.get == specCount,
       s"README says ${specsAd.get} specs; discovered $specCount — update README.md")
     assert(queriesAd.get == SparkEntry.queries.size,

@@ -1288,6 +1288,18 @@ class StreamingPipelineSpec extends AnyFunSuite {
     val replayed = serve(b1)
     assert(replayed.sorted == full.sorted, "replaying old tombstones changed the state")
     assert(st.deleted.count() == tombs.size.toLong)
+    // round 14 no-re-scoring pins (s38's bookkeeping idiom): the
+    // invariant serve legs were built ONCE at state construction;
+    // per-batch materialized work is delete-set-sized (a full replay
+    // materializes ZERO rows); and the erasure serve never touches
+    // the index object at all — nulling it out cannot change a row
+    assert(st.legBuilds == 1, "erasure door rebuilt its serve legs per batch")
+    assert(st.lastArrivalRows == 0L,
+      "a replayed batch materialized non-zero arrival rows")
+    st.ix = null
+    val afterNull = serve(b2)
+    assert(afterNull.sorted == full.sorted,
+      "serve read the index object instead of the cached legs")
   }
 
   test("s40 compaction door: the deletion-fraction trigger fires, the dial collapses, erasure survives the rebuild") {
@@ -1316,15 +1328,29 @@ class StreamingPipelineSpec extends AnyFunSuite {
     assert(st.deleted.count() == b1.size.toLong,
       "sub-threshold batch must NOT compact")
     assert(mid.forall(t => !b1.contains(t._3)), "deleted id surfaced mid-stream")
+    assert(st.legBuilds == 1, "sub-threshold batch must serve the cached legs")
+    assert(st.lastArrivalRows == b1.size.toLong,
+      "per-batch materialized work must be delete-set-sized")
     val fin = serve(b2)
     assert(st.deleted.count() == 0L, "compaction must consume the delete set")
     assert(fin.sorted == batch, "post-compaction serve != batch v28")
     assert(fin.forall(_._6 == 0L), "dial must collapse post-compaction")
+    assert(st.legBuilds == 2, "compaction must rebuild the legs exactly once")
     // erasure is PERMANENT across the rebuild: replaying old
-    // tombstones changes nothing — those vectors left the index
+    // tombstones changes nothing — those vectors left the index —
+    // AND (round 14) the replayed ids must not re-enter the delete
+    // set via the corpus semi-join: with the old anti-join-only
+    // fold they re-entered against the now-empty set and counted
+    // toward the trigger against the SHRUNK corpus, so enough
+    // replayed traffic fired a spurious full rebuild that removed
+    // nothing — the one full-corpus cost the threshold amortizes
     val replayed = serve(b1)
     assert(replayed.sorted == fin.sorted,
       "replayed erasure ids changed results after compaction")
+    assert(st.deleted.count() == 0L,
+      "replayed ids re-entered the delete set after compaction")
+    assert(st.lastArrivalRows == 0L)
+    assert(st.legBuilds == 2, "replayed traffic fired a spurious rebuild")
   }
 
   test("s36 stateless winnowing door equals batch d23 row for row") {
