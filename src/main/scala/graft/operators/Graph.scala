@@ -2377,27 +2377,59 @@ object Graph {
 
   /** The synchronous min-label Louvain core: `und` is the canonical
     * undirected (a < b) edge set; returns the label frame after each
-    * round (index 0 = singletons), per-round state lineage-cut —
-    * the spec reads the whole sequence for the monotone-Q pin.
+    * round (index 0 = singletons), per-round state lineage-cut. With
+    * the default `keepAll = false` (the `.last`-only serving path)
+    * each superseded round's checkpoint is FREED as the next round
+    * lands — only the returned `.last` stays readable; a caller that
+    * reads the whole sequence (a monotone-Q audit) must pass
+    * `keepAll = true`, which keeps every per-round checkpoint alive
+    * (v21SearchOn's flag idiom).
     */
   private[graft] def louvainStates(nodes: DataFrame, und: DataFrame,
-      rounds: Int): Seq[DataFrame] = {
+      rounds: Int, keepAll: Boolean = false): Seq[DataFrame] = {
     val spark = nodes.sparkSession
     import spark.implicits._
+    // the unweighted graph is the w = 1 case of the weighted core
+    // (kin = Σw degenerates to the neighbor count, strengths to
+    // degrees) — ONE move-rule implementation serves both levels
     val edges = und.select($"a".as("src"), $"b".as("dst"))
       .unionAll(und.select($"b".as("src"), $"a".as("dst")))
-    val deg = edges.groupBy($"src".as("id")).agg(count(lit(1)).as("d"))
+      .withColumn("w", lit(1L))
+    val deg = edges.groupBy($"src".as("id")).agg(sum($"w").as("d"))
     val degAll = nodes.join(deg, Seq("id"), "left_outer")
-      .selectExpr("id", "coalesce(d, CAST(0 AS BIGINT)) AS d").cache()
+      .selectExpr("id", "coalesce(d, CAST(0 AS BIGINT)) AS d")
     val m = und.count()
-    var labels = nodes.withColumn("lbl", $"id").localCheckpoint()
+    louvainStatesW(nodes.withColumn("lbl", $"id"), edges, degAll, m,
+      rounds, keepAll)
+  }
+
+  /** The WEIGHTED synchronous min-label Louvain move rounds — the
+    * core both levels share. `init` is the starting (id, lbl)
+    * labeling, `edgesW` the directed-both-ways weighted edge set
+    * WITHOUT self-loops (self-loop weight is community-invariant in
+    * the move gain, so it belongs only in the strengths), `degAll`
+    * the per-node strength k_i = Σ_j w_ij (+2·self-loop weight), and
+    * `m` the total edge weight — Σ k = 2m. Weighted gain, exact in
+    * BIGINT at the 2m² scale (Blondel et al. 2008 eq. 2's
+    * candidate-dependent part): gain(c) = 2m·k_in(i,c) − k_i·Σtot′(c)
+    * with Σtot′ removing i's own strength when c is its current
+    * community. Same downward-only min-label discipline, same
+    * (gain DESC, stay-first, label ASC) struct-MIN argmax, same
+    * per-round lineage cuts as the unweighted level. */
+  private[graft] def louvainStatesW(init: DataFrame, edgesW: DataFrame,
+      degAll0: DataFrame, m: Long, rounds: Int, keepAll: Boolean = false)
+      : Seq[DataFrame] = {
+    val spark = init.sparkSession
+    import spark.implicits._
+    val degAll = degAll0.cache()
+    var labels = init.select($"id", $"lbl").localCheckpoint()
     val states = scala.collection.mutable.ArrayBuffer(labels)
     (1 to rounds).foreach { _ =>
       val tot = labels.join(degAll, Seq("id"))
         .groupBy($"lbl".as("c")).agg(sum($"d").as("tot"))
-      val kin = edges
+      val kin = edgesW
         .join(labels.select($"id".as("dst"), $"lbl".as("c")), Seq("dst"))
-        .groupBy($"src".as("id"), $"c").agg(count(lit(1)).as("kin"))
+        .groupBy($"src".as("id"), $"c").agg(sum($"w").as("kin"))
       // stay is always a candidate, with kin = 0 when no neighbor
       // shares the node's community
       val stay = labels.select($"id", $"lbl".as("c"))
@@ -2421,7 +2453,7 @@ object Graph {
       val next = labels.join(winner, Seq("id"), "left_outer")
         .selectExpr("id", "coalesce(wlbl, lbl) AS lbl")
         .localCheckpoint()
-      graft.functions.Lineage.freeCheckpoint(labels)
+      if (!keepAll) graft.functions.Lineage.freeCheckpoint(labels)
       labels = next
       states += next
     }
@@ -2449,35 +2481,37 @@ object Graph {
       .agg(sum($"t").as("q_x4m2"))
   }
 
-  /** g24 oracle: the identical canonical edge set, then the rounds
-    * unrolled — per round the community-degree and neighbor-vote
-    * aggregates, the downward-only candidate set with the stay row
-    * zero-filled, and the (gain DESC, stay-first, label ASC) argmax;
-    * final community sizes and the exact Q·4m² numerator.
-    */
-  val g24Sql: String = {
-    def round(i: Int): String =
-      s"""tot$i AS (SELECT l.lbl AS c, CAST(sum(dg.d) AS BIGINT) AS tot
-         |      FROM l${i - 1} l JOIN degall dg ON dg.id = l.id GROUP BY 1),
-         |kin$i AS (SELECT e.src AS id, l.lbl AS c, CAST(count(*) AS BIGINT) AS kin
-         |      FROM edges e JOIN l${i - 1} l ON l.id = e.dst GROUP BY 1, 2),
-         |cand$i AS (SELECT id, c, kin FROM kin$i
-         |      UNION ALL
-         |      SELECT l.id, l.lbl, 0 FROM l${i - 1} l
-         |      WHERE NOT EXISTS (SELECT 1 FROM kin$i k WHERE k.id = l.id AND k.c = l.lbl)),
-         |g$i AS (SELECT cd.id, cd.c,
-         |        2 * (SELECT m FROM mm) * cd.kin
-         |          - dg.d * (t.tot - CASE WHEN cd.c = l.lbl THEN dg.d ELSE 0 END) AS gain,
-         |        CASE WHEN cd.c = l.lbl THEN 0 ELSE 1 END AS mv
-         |      FROM cand$i cd JOIN l${i - 1} l ON l.id = cd.id
-         |      JOIN degall dg ON dg.id = cd.id JOIN tot$i t ON t.c = cd.c
-         |      WHERE cd.c <= l.lbl),
-         |w$i AS (SELECT id, c AS wlbl FROM (
-         |        SELECT id, c, row_number() OVER (PARTITION BY id
-         |          ORDER BY gain DESC, mv, c) AS rn FROM g$i) WHERE rn = 1),
-         |l$i AS MATERIALIZED (SELECT l.id, coalesce(w.wlbl, l.lbl) AS lbl
-         |      FROM l${i - 1} l LEFT JOIN w$i w ON w.id = l.id)""".stripMargin
-    s"""WITH nn AS (SELECT count(*) AS n FROM customer),
+  /** One unrolled level-1 Louvain round: the community-degree and
+    * neighbor-vote aggregates, the downward-only candidate set with
+    * the stay row zero-filled, and the (gain DESC, stay-first,
+    * label ASC) argmax. */
+  private def louvainRoundSql(i: Int): String =
+    s"""tot$i AS (SELECT l.lbl AS c, CAST(sum(dg.d) AS BIGINT) AS tot
+       |      FROM l${i - 1} l JOIN degall dg ON dg.id = l.id GROUP BY 1),
+       |kin$i AS (SELECT e.src AS id, l.lbl AS c, CAST(count(*) AS BIGINT) AS kin
+       |      FROM edges e JOIN l${i - 1} l ON l.id = e.dst GROUP BY 1, 2),
+       |cand$i AS (SELECT id, c, kin FROM kin$i
+       |      UNION ALL
+       |      SELECT l.id, l.lbl, 0 FROM l${i - 1} l
+       |      WHERE NOT EXISTS (SELECT 1 FROM kin$i k WHERE k.id = l.id AND k.c = l.lbl)),
+       |g$i AS (SELECT cd.id, cd.c,
+       |        2 * (SELECT m FROM mm) * cd.kin
+       |          - dg.d * (t.tot - CASE WHEN cd.c = l.lbl THEN dg.d ELSE 0 END) AS gain,
+       |        CASE WHEN cd.c = l.lbl THEN 0 ELSE 1 END AS mv
+       |      FROM cand$i cd JOIN l${i - 1} l ON l.id = cd.id
+       |      JOIN degall dg ON dg.id = cd.id JOIN tot$i t ON t.c = cd.c
+       |      WHERE cd.c <= l.lbl),
+       |w$i AS (SELECT id, c AS wlbl FROM (
+       |        SELECT id, c, row_number() OVER (PARTITION BY id
+       |          ORDER BY gain DESC, mv, c) AS rn FROM g$i) WHERE rn = 1),
+       |l$i AS MATERIALIZED (SELECT l.id, coalesce(w.wlbl, l.lbl) AS lbl
+       |      FROM l${i - 1} l LEFT JOIN w$i w ON w.id = l.id)""".stripMargin
+
+  /** The shared level-1 chain (fixture graph, degrees, rounds
+    * unrolled through l[[g24Rounds]]) — g24's oracle body, reused
+    * verbatim by g25's (the aggregation level condenses l5). */
+  private def louvainL1Ctes: String =
+    s"""nn AS (SELECT count(*) AS n FROM customer),
       |nodes AS (SELECT c_custkey AS id FROM customer),
       |e0 AS (SELECT id AS src, (id * 31 + 7) % nn.n AS dst FROM nodes, nn
       |       UNION ALL SELECT id, (id * 17 + 3) % nn.n FROM nodes, nn
@@ -2492,7 +2526,16 @@ object Graph {
       |      FROM nodes n LEFT JOIN (SELECT src AS id, count(*) AS d
       |        FROM edges GROUP BY 1) d ON d.id = n.id),
       |l0 AS MATERIALIZED (SELECT id, id AS lbl FROM nodes),
-      |${(1 to g24Rounds).map(round).mkString(",\n")},
+      |${(1 to g24Rounds).map(louvainRoundSql).mkString(",\n")}""".stripMargin
+
+  /** g24 oracle: the identical canonical edge set, then the rounds
+    * unrolled — per round the community-degree and neighbor-vote
+    * aggregates, the downward-only candidate set with the stay row
+    * zero-filled, and the (gain DESC, stay-first, label ASC) argmax;
+    * final community sizes and the exact Q·4m² numerator.
+    */
+  val g24Sql: String =
+    s"""WITH $louvainL1Ctes,
       |sz AS (SELECT lbl, CAST(count(*) AS BIGINT) AS csize
       |      FROM l$g24Rounds GROUP BY 1),
       |ein AS (SELECT la.lbl AS c, CAST(count(*) AS BIGINT) AS e_in
@@ -2507,5 +2550,145 @@ object Graph {
       |SELECT l.id AS c_custkey, l.lbl AS community, sz.csize, q.q_x4m2
       |FROM l$g24Rounds l JOIN sz ON sz.lbl = l.lbl CROSS JOIN q
       |ORDER BY c_custkey""".stripMargin
+
+  // ---------- g25: Louvain level 2 (community aggregation) ----------
+
+  private[graft] val g25Rounds = 3
+
+  /** g25: LOUVAIN LEVEL 2 — the AGGREGATION phase that makes Louvain
+    * Louvain (Blondel et al. 2008 §2, the move g24's single level
+    * stops short of): collapse level 1's communities into SUPER-NODES
+    * of a condensed WEIGHTED graph — inter-community edge weights are
+    * the cross-edge counts, a community's self-loop holds its
+    * internal edges, and a super-node's strength is exactly the sum
+    * of its members' degrees (so Σk = 2m and the modularity of any
+    * level-2 labeling of the condensed graph EQUALS the modularity of
+    * the composed node labeling on the original graph — Blondel's
+    * invariance, the reason the greedy can recurse). Then the SAME
+    * synchronous min-label move rounds run with WEIGHTED gain
+    * ([[louvainStatesW]] — the 2m²-scaled BIGINT arithmetic
+    * generalizes verbatim, kin as Σw instead of a count), and the
+    * final condensed labeling projects back through level 1's:
+    * community(i) = L2(L1(i)). Without this level large graphs
+    * plateau at fine-grained communities — the condensed graph is
+    * where small communities merge into the coarse topic clusters
+    * crawl curation actually wants. Output per node: both levels'
+    * labels, the composed community size, and the exact Q·4m²
+    * numerator of the COMPOSED labeling over the ORIGINAL graph —
+    * directly comparable to g24's (the spec pins Q(L2) ≥ Q(L1)).
+    *
+    * Scale shape: level 1 is g24; the aggregation is two equality
+    * joins + one (community, community) aggregate — the g23
+    * condensation pattern on the community grain; level 2's rounds
+    * run on the CONDENSED graph (≤ #communities nodes — vanishingly
+    * small next to the node grain at 100 TB), so the second level
+    * costs less than one level-1 round; the project-back is one
+    * broadcast-sized join. Self-loops stay OUT of the condensed edge
+    * set (their gain contribution is community-invariant) and live
+    * only in the strengths — fewer rows, same argmax.
+    */
+  def g25(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val nodes = Tables.customer(spark, dir).select($"c_custkey".as("id")).cache()
+    val n = nodes.count()
+    val e0 = nodes.selectExpr("id AS src", s"(id * 31 + 7) % $n AS dst")
+      .unionAll(nodes.selectExpr("id AS src", s"(id * 17 + 3) % $n AS dst"))
+      .unionAll(nodes.filter($"id" >= 2).selectExpr("id AS src", "id div 2 AS dst"))
+    val und = e0.filter($"src" =!= $"dst")
+      .selectExpr("least(src, dst) AS a", "greatest(src, dst) AS b")
+      .distinct().cache()
+    val m = und.count()
+    val l1 = louvainStates(nodes, und, g24Rounds).last
+    // AGGREGATION: label both endpoints, keep cross-community edges
+    // as canonical weighted pairs (the g23 condensation join shape)
+    val lc = und
+      .join(l1.select($"id".as("a"), $"lbl".as("ca")), Seq("a"))
+      .join(l1.select($"id".as("b"), $"lbl".as("cb")), Seq("b"))
+      .select($"ca", $"cb").cache()
+    val cund = lc.filter($"ca" =!= $"cb")
+      .select(least($"ca", $"cb").as("ca"), greatest($"ca", $"cb").as("cb"))
+      .groupBy($"ca", $"cb").agg(count(lit(1)).as("w"))
+    val cedges = cund.select($"ca".as("src"), $"cb".as("dst"), $"w")
+      .unionByName(cund.select($"cb".as("src"), $"ca".as("dst"), $"w"))
+    // super-node strength = Σ member degrees (2·internal edges ride
+    // along via the self-loop convention) — preserves Σk = 2m
+    val edges1 = und.select($"a".as("src"), $"b".as("dst"))
+      .unionAll(und.select($"b".as("src"), $"a".as("dst")))
+    val deg1 = edges1.groupBy($"src".as("id")).agg(count(lit(1)).as("d"))
+    val sdeg = l1
+      .join(nodes.join(deg1, Seq("id"), "left_outer")
+        .selectExpr("id", "coalesce(d, CAST(0 AS BIGINT)) AS d"), Seq("id"))
+      .groupBy($"lbl".as("id")).agg(sum($"d").as("d"))
+    val init2 = l1.select($"lbl".as("id")).distinct().withColumn("lbl", $"id")
+    val l2 = louvainStatesW(init2, cedges, sdeg, m, g25Rounds).last
+    val composed = l1.select($"id", $"lbl".as("c1"))
+      .join(l2.select($"id".as("c1"), $"lbl".as("community")), Seq("c1"))
+    val q = louvainQx4m2(und, composed.select($"id", $"community".as("lbl")))
+    composed
+      .join(composed.groupBy($"community").agg(count(lit(1)).as("csize")),
+        Seq("community"))
+      .crossJoin(broadcast(q))
+      .select($"id".as("c_custkey"), $"c1".as("l1_community"),
+        $"community", $"csize", $"q_x4m2")
+      .transform(Tables.ordered(_, $"c_custkey"))
   }
+
+  /** One unrolled WEIGHTED level-2 round over the condensed graph —
+    * [[louvainRoundSql]] with kin as Σw and strengths from `sdeg`. */
+  private def louvainWRoundSql(i: Int): String =
+    s"""wtot$i AS (SELECT l.lbl AS c, CAST(sum(sd.d) AS BIGINT) AS tot
+       |      FROM wl${i - 1} l JOIN sdeg sd ON sd.id = l.id GROUP BY 1),
+       |wkin$i AS (SELECT e.src AS id, l.lbl AS c, CAST(sum(e.w) AS BIGINT) AS kin
+       |      FROM cedges e JOIN wl${i - 1} l ON l.id = e.dst GROUP BY 1, 2),
+       |wcand$i AS (SELECT id, c, kin FROM wkin$i
+       |      UNION ALL
+       |      SELECT l.id, l.lbl, 0 FROM wl${i - 1} l
+       |      WHERE NOT EXISTS (SELECT 1 FROM wkin$i k WHERE k.id = l.id AND k.c = l.lbl)),
+       |wg$i AS (SELECT cd.id, cd.c,
+       |        2 * (SELECT m FROM mm) * cd.kin
+       |          - sd.d * (t.tot - CASE WHEN cd.c = l.lbl THEN sd.d ELSE 0 END) AS gain,
+       |        CASE WHEN cd.c = l.lbl THEN 0 ELSE 1 END AS mv
+       |      FROM wcand$i cd JOIN wl${i - 1} l ON l.id = cd.id
+       |      JOIN sdeg sd ON sd.id = cd.id JOIN wtot$i t ON t.c = cd.c
+       |      WHERE cd.c <= l.lbl),
+       |ww$i AS (SELECT id, c AS wlbl FROM (
+       |        SELECT id, c, row_number() OVER (PARTITION BY id
+       |          ORDER BY gain DESC, mv, c) AS rn FROM wg$i) WHERE rn = 1),
+       |wl$i AS MATERIALIZED (SELECT l.id, coalesce(w.wlbl, l.lbl) AS lbl
+       |      FROM wl${i - 1} l LEFT JOIN ww$i w ON w.id = l.id)""".stripMargin
+
+  /** g25 oracle: g24's level-1 chain verbatim, then the condensation
+    * (canonical weighted cross-community edges + super-node
+    * strengths), the weighted rounds unrolled, the project-back
+    * through l[[g24Rounds]], and the composed labeling's sizes and
+    * exact Q·4m² over the ORIGINAL graph. */
+  val g25Sql: String =
+    s"""WITH $louvainL1Ctes,
+      |lc AS MATERIALIZED (SELECT la.lbl AS ca, lb.lbl AS cb
+      |      FROM und u JOIN l$g24Rounds la ON la.id = u.a
+      |      JOIN l$g24Rounds lb ON lb.id = u.b),
+      |cund AS MATERIALIZED (SELECT least(ca, cb) AS ca, greatest(ca, cb) AS cb,
+      |        CAST(count(*) AS BIGINT) AS w
+      |      FROM lc WHERE ca <> cb GROUP BY 1, 2),
+      |cedges AS MATERIALIZED (SELECT ca AS src, cb AS dst, w FROM cund
+      |      UNION ALL SELECT cb, ca, w FROM cund),
+      |sdeg AS MATERIALIZED (SELECT l.lbl AS id, CAST(sum(dg.d) AS BIGINT) AS d
+      |      FROM l$g24Rounds l JOIN degall dg ON dg.id = l.id GROUP BY 1),
+      |wl0 AS MATERIALIZED (SELECT DISTINCT lbl AS id, lbl FROM l$g24Rounds),
+      |${(1 to g25Rounds).map(louvainWRoundSql).mkString(",\n")},
+      |fin AS MATERIALIZED (SELECT l.id, l.lbl AS c1, w.lbl AS community
+      |      FROM l$g24Rounds l JOIN wl$g25Rounds w ON w.id = l.lbl),
+      |sz AS (SELECT community, CAST(count(*) AS BIGINT) AS csize
+      |      FROM fin GROUP BY 1),
+      |ein AS (SELECT fa.community AS c, CAST(count(*) AS BIGINT) AS e_in
+      |      FROM und u JOIN fin fa ON fa.id = u.a JOIN fin fb ON fb.id = u.b
+      |      WHERE fa.community = fb.community GROUP BY 1),
+      |ctot AS (SELECT f.community AS c, CAST(sum(dg.d) AS BIGINT) AS tot
+      |      FROM fin f JOIN degall dg ON dg.id = f.id GROUP BY 1),
+      |q AS (SELECT CAST(sum(4 * (SELECT m FROM mm) * coalesce(e.e_in, 0)
+      |          - t.tot * t.tot) AS BIGINT) AS q_x4m2
+      |      FROM ctot t LEFT JOIN ein e ON e.c = t.c)
+      |SELECT f.id AS c_custkey, f.c1 AS l1_community, f.community, sz.csize, q.q_x4m2
+      |FROM fin f JOIN sz ON sz.community = f.community CROSS JOIN q
+      |ORDER BY c_custkey""".stripMargin
 }

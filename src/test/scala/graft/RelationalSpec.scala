@@ -713,6 +713,122 @@ class RelationalSpec extends AnyFunSuite {
     assert(sizes.size < n && sizes.values.max > 2)
   }
 
+  test("g25: aggregation level equals a sequential recompute; merges; Q(L2) > Q(L1); condensed Q == composed Q") {
+    val rows = graft.operators.Graph.g25(spark, sf).collect()
+      .map(r => (r.getAs[Long]("c_custkey"), r.getAs[Long]("l1_community"),
+        r.getAs[Long]("community"), r.getAs[Long]("csize"),
+        r.getAs[Long]("q_x4m2")))
+    val n = Tables.customer(spark, sf).count()
+    assert(rows.length == n)
+    // the shared fixture graph
+    val und = (0L until n).flatMap { u =>
+      Seq((u, (u * 31 + 7) % n), (u, (u * 17 + 3) % n)) ++
+        (if (u >= 2) Seq((u, u / 2)) else Nil)
+    }.filter { case (a, b) => a != b }
+      .map { case (a, b) => (math.min(a, b), math.max(a, b)) }.distinct
+    val m = und.size.toLong
+    val adj = (und ++ und.map(_.swap)).groupBy(_._1).view
+      .mapValues(_.map(_._2)).toMap
+    val deg = (0L until n).map(id =>
+      id -> adj.get(id).map(_.size.toLong).getOrElse(0L)).toMap
+    def qx4m2(lbl: Long => Long): Long = {
+      val eIn = und.groupBy { case (a, b) => (lbl(a), lbl(b)) }
+        .collect { case ((la, lb), es) if la == lb => la -> es.size.toLong }
+        .toMap
+      val tot = (0L until n).groupBy(lbl).view
+        .mapValues(_.map(deg).sum).toMap
+      tot.map { case (c, t) => 4 * m * eIn.getOrElse(c, 0L) - t * t }.sum
+    }
+    // level 1: g24's sequential mirror
+    var lbl = (0L until n).toArray
+    (1 to graft.operators.Graph.g24Rounds).foreach { _ =>
+      val tot = (0L until n).groupBy(id => lbl(id.toInt)).view
+        .mapValues(_.map(deg).sum).toMap
+      val next = lbl.clone()
+      (0L until n).foreach { id =>
+        val own = lbl(id.toInt)
+        val d = deg(id)
+        val kin = adj.getOrElse(id, Seq.empty)
+          .groupBy(b => lbl(b.toInt)).view.mapValues(_.size.toLong).toMap
+        val cands = (kin.keySet + own).toSeq.filter(_ <= own).map { c =>
+          val totAdj = tot(c) - (if (c == own) d else 0L)
+          (c, 2 * m * kin.getOrElse(c, 0L) - d * totAdj, if (c == own) 0 else 1)
+        }
+        next(id.toInt) = cands.minBy { case (c, g, mv) => (-g, mv, c) }._1
+      }
+      lbl = next
+    }
+    val q1 = qx4m2(id => lbl(id.toInt))
+    // AGGREGATION: condensed weighted graph — canonical cross-pair
+    // weights, per-community self-loops (internal edges), strengths
+    // = Σ member degrees
+    val comms = lbl.distinct.sorted
+    val cw = und.groupBy { case (a, b) =>
+        val (ca, cb) = (lbl(a.toInt), lbl(b.toInt))
+        (math.min(ca, cb), math.max(ca, cb))
+      }.view.mapValues(_.size.toLong).toMap
+    val selfW = comms.map(c => c -> cw.getOrElse((c, c), 0L)).toMap
+    val cross = cw.collect { case ((x, y), w) if x != y => ((x, y), w) }.toSeq
+    val cadj = cross.flatMap { case ((x, y), w) => Seq((x, (y, w)), (y, (x, w))) }
+      .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val strength = comms.map { c =>
+      c -> (0L until n).filter(id => lbl(id.toInt) == c).map(deg).sum
+    }.toMap
+    assert(strength.values.sum == 2 * m, "aggregation must preserve 2m")
+    // level 2: the SAME move rule with weighted kin/strengths
+    var l2 = comms.map(c => c -> c).toMap
+    (1 to graft.operators.Graph.g25Rounds).foreach { _ =>
+      val tot = comms.groupBy(l2).view
+        .mapValues(_.map(strength).sum).toMap
+      val next = scala.collection.mutable.Map(l2.toSeq: _*)
+      comms.foreach { c =>
+        val own = l2(c)
+        val d = strength(c)
+        val kin = cadj.getOrElse(c, Seq.empty)
+          .groupBy { case (nb, _) => l2(nb) }.view
+          .mapValues(_.map(_._2).sum).toMap
+        val cands = (kin.keySet + own).toSeq.filter(_ <= own).map { cc =>
+          val totAdj = tot(cc) - (if (cc == own) d else 0L)
+          (cc, 2 * m * kin.getOrElse(cc, 0L) - d * totAdj,
+            if (cc == own) 0 else 1)
+        }
+        next(c) = cands.minBy { case (cc, g, mv) => (-g, mv, cc) }._1
+      }
+      l2 = next.toMap
+    }
+    val composed = (0L until n).map(id => id -> l2(lbl(id.toInt))).toMap
+    val q2 = qx4m2(composed)
+    val sizes = composed.values.groupBy(identity).view
+      .mapValues(_.size.toLong).toMap
+    rows.foreach { case (id, c1, c2, cs, q) =>
+      assert(c1 == lbl(id.toInt), s"node $id L1 label")
+      assert(c2 == composed(id), s"node $id composed label")
+      assert(cs == sizes(c2))
+      assert(q == q2)
+    }
+    // the aggregation phase's claims, all ON the fixture: it MERGES
+    // (strictly fewer communities than level 1), it strictly improves
+    // modularity, and Blondel's §2 invariance holds EXACTLY — the
+    // condensed weighted graph's Q·4m² equals the composed node
+    // labeling's Q·4m² over the original graph (the identity that
+    // lets the greedy recurse on ever-smaller graphs)
+    assert(composed.values.toSet.size < comms.length,
+      "level 2 merged nothing — aggregation dead on the fixture")
+    assert(q2 > q1, s"level 2 must strictly improve Q: $q2 vs $q1")
+    val qCond = {
+      val byC = comms.groupBy(l2)
+      byC.map { case (cc, members) =>
+        val ms = members.toSet
+        val eIn = members.map(selfW).sum +
+          cross.collect { case ((x, y), w) if ms(x) && ms(y) => w }.sum
+        val tot = members.map(strength).sum
+        4 * m * eIn - tot * tot
+      }.sum
+    }
+    assert(qCond == q2,
+      s"condensed-graph Q $qCond != composed-labeling Q $q2 (invariance broken)")
+  }
+
   test("e14: cohort LTV equals a sequential recompute; cumulative is monotone") {
     val rows = graft.operators.EventWindows.e14(spark, sf).collect()
       .map(r => (r.getAs[Long]("cohort"), r.getAs[Long]("offset_days"),
