@@ -2575,4 +2575,322 @@ object Media {
       |  CAST(1 AS BIGINT) AS end_ok
       |FROM m
       |ORDER BY doc_id, member_idx""".stripMargin
+
+  // ---------- m24: WebDataset shard-level sample audit ----------
+
+  /** Render the corpus-under-audit variant of [[buildTar]]: the same
+    * two-sample WebDataset shard, with the two defect classes a
+    * shard-store audit exists to catch planted DETERMINISTICALLY in
+    * the bytes — every `doc_id % 7 = 0` shard ships sample b WITHOUT
+    * its `.cls` label (an incomplete sample: the training reader
+    * would throw or silently drop it), and every `doc_id % 11 = 0`
+    * shard names sample b's key the literal `dup` (the SAME key in
+    * every such shard — a cross-shard key collision, the bug that
+    * makes resumable/deduplicating readers skip or double-count). */
+  private[graft] def buildTar24(id: Long, s: String): String = {
+    val la = (30 + id % 17).toInt
+    val lb = (20 + id % 13).toInt
+    val bKey = if (id % 11 == 0) "dup" else s"${id}b"
+    val members = Seq(
+      (s"${id}a.txt", s.substring(0, la)),
+      (s"${id}a.cls", (id % 10).toString),
+      (s"$bKey.txt", s.substring(0, lb))) ++
+      (if (id % 7 == 0) Seq.empty
+       else Seq((s"$bKey.cls", (id % 7).toString)))
+    members.map { case (n, body) =>
+      val padded = body + nul.toString * ((512 - body.length % 512) % 512)
+      tarHeader(n, body.length.toLong) + padded
+    }.mkString + (nul.toString * 1024)
+  }
+
+  /** m24: WEBDATASET SHARD-LEVEL SAMPLE AUDIT — the corpus-grain
+    * follow-up m22's per-member walk feeds: BEFORE training readers
+    * stream a shard store, the audit LAION-scale stores actually run
+    * is (1) do every sample's members form a COMPLETE extension set
+    * (a `.txt` without its `.cls` is a sample the loader drops or
+    * throws on), and (2) is every sample key UNIQUE ACROSS SHARDS
+    * (cross-shard collisions break resumable readers and dedup
+    * accounting). Walks each document's shard ([[buildTar24]] — both
+    * defect classes planted in the bytes), then aggregates the
+    * member rows to the sample grain (doc, key → extension set,
+    * completeness) and the key grain (distinct shards per key →
+    * collision flag) — two equality-keyed map-side-combinable
+    * aggregates over columns the walk already emits, joined back on
+    * the key.
+    *
+    * Scale: the walk is m22's narrow flatMap (zero shuffles, bytes
+    * never leave the stage); the audit adds exactly two combinable
+    * aggregates + one key-equality join — at 100 TB the key-grain
+    * table is samples-sized (id + count only, no payloads) and the
+    * whole audit is the d1-class single-shuffle shape.
+    */
+  def m24(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val members = Tables.documents(spark, dir)
+      .filter($"doc_id" % 3 === 0)
+      .selectExpr("doc_id", "rpad(substring(text, 1, 61), 61, ' ') AS s")
+      .as[(Long, String)]
+      .flatMap { case (id, s) =>
+        val (ms, _) = tarMembers(buildTar24(id, s))
+        ms.map(m => (id, m.key, m.ext))
+      }.toDF("doc_id", "skey", "ext")
+    val samp = members.groupBy($"doc_id", $"skey")
+      .agg(count(lit(1)).as("n_members"),
+        (max(when($"ext" === "txt", 1).otherwise(0)) === 1).as("has_txt"),
+        (max(when($"ext" === "cls", 1).otherwise(0)) === 1).as("has_cls"))
+    val kg = members.groupBy($"skey")
+      .agg(countDistinct($"doc_id").as("n_shards"))
+    samp.join(kg, Seq("skey"))
+      .selectExpr("doc_id", "skey", "n_members", "has_txt", "has_cls",
+        "has_txt AND has_cls AS complete", "n_shards",
+        "n_shards > 1 AS cross_shard")
+      .transform(graft.Tables.ordered(_, $"doc_id", $"skey"))
+  }
+
+  /** m24 oracle: the member inventory re-derived arithmetically from
+    * the construction (the m22 idiom), then the SAME two aggregates
+    * as plain GROUP BYs. */
+  val m24Sql: String =
+    """WITH p AS (SELECT doc_id FROM documents WHERE doc_id % 3 = 0),
+      |mem AS (
+      |  SELECT doc_id, CAST(doc_id AS VARCHAR) || 'a' AS skey, 'txt' AS ext FROM p
+      |  UNION ALL SELECT doc_id, CAST(doc_id AS VARCHAR) || 'a', 'cls' FROM p
+      |  UNION ALL SELECT doc_id,
+      |    CASE WHEN doc_id % 11 = 0 THEN 'dup'
+      |         ELSE CAST(doc_id AS VARCHAR) || 'b' END, 'txt' FROM p
+      |  UNION ALL SELECT doc_id,
+      |    CASE WHEN doc_id % 11 = 0 THEN 'dup'
+      |         ELSE CAST(doc_id AS VARCHAR) || 'b' END, 'cls' FROM p
+      |    WHERE doc_id % 7 <> 0),
+      |samp AS (SELECT doc_id, skey, CAST(count(*) AS BIGINT) AS n_members,
+      |    max(CASE WHEN ext = 'txt' THEN 1 ELSE 0 END) = 1 AS has_txt,
+      |    max(CASE WHEN ext = 'cls' THEN 1 ELSE 0 END) = 1 AS has_cls
+      |  FROM mem GROUP BY 1, 2),
+      |kg AS (SELECT skey, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_shards
+      |  FROM mem GROUP BY 1)
+      |SELECT s.doc_id, s.skey, s.n_members, s.has_txt, s.has_cls,
+      |  (s.has_txt AND s.has_cls) AS complete, k.n_shards,
+      |  k.n_shards > 1 AS cross_shard
+      |FROM samp s JOIN kg k ON k.skey = s.skey
+      |ORDER BY s.doc_id, s.skey""".stripMargin
+
+  // ---------- m23: EXIF/APP1 metadata walk (the image-PII leg) ----------
+
+  case class ExifMeta(doc_id: Long, exif_ok: Boolean, byte_order: String,
+      n_ifd0: Long, orientation: Int, dt_str: String, has_gps: Boolean,
+      lat_deg: Long, lat_min: Long, needs_strip: Boolean)
+
+  /** Render one minimal-but-real JPEG carrying an APP1/EXIF segment
+    * (the public CIPA DC-008 / TIFF 6.0 layout): SOI, then APP1 =
+    * big-endian length + "Exif\0\0" + a TIFF structure in a
+    * DOCUMENT-CHOSEN byte order ("II" little-endian for even ids,
+    * "MM" big-endian for odd — the walker's byte-order gate must
+    * genuinely branch on data), magic 42, IFD0 offset, IFD0 with an
+    * inline SHORT Orientation (0x0112), an offset ASCII DateTime
+    * (0x0132, 20 bytes in the trailing value area), and — for GPS
+    * docs — a GPSInfo pointer (0x8825) to a second IFD holding
+    * GPSLatitudeRef (inline ASCII, never byte-swapped) and a
+    * 3-RATIONAL GPSLatitude (deg/min/sec num-den pairs) further in
+    * the value area; then EOI. Every field document-derived so the
+    * oracle re-derives them arithmetically.
+    */
+  private[graft] def buildExifJpeg(id: Long, s: String): Array[Byte] = {
+    val le = id % 2 == 0
+    val orientation = 1 + (s.charAt(4).toInt & 7)
+    val gps = (s.charAt(5).toInt & 1) == 1
+    val mo = 1 + s.charAt(7).toInt % 12
+    val dy = 1 + s.charAt(8).toInt % 28
+    val dt = f"2024:$mo%02d:$dy%02d 10:30:00" // 19 chars + NUL = 20
+    val latDeg = s.charAt(6).toInt % 90
+    val latMin = s.charAt(9).toInt % 60
+    val e = if (gps) 3 else 2
+    val dtOff = 14 + 12 * e // header(8) + count(2) + entries + next(4)
+    val gpsOff = dtOff + 20
+    val latOff = gpsOff + 30 // GPS IFD: count(2) + 2×12 + next(4)
+    val tiffLen = if (gps) latOff + 24 else dtOff + 20
+    val t = new Array[Byte](tiffLen)
+    def w16(p: Int, v: Int): Unit =
+      if (le) { t(p) = (v & 0xff).toByte; t(p + 1) = ((v >> 8) & 0xff).toByte }
+      else { t(p) = ((v >> 8) & 0xff).toByte; t(p + 1) = (v & 0xff).toByte }
+    def w32(p: Int, v: Int): Unit =
+      if (le) { w16(p, v & 0xffff); w16(p + 2, v >>> 16) }
+      else { w16(p, v >>> 16); w16(p + 2, v & 0xffff) }
+    val bom = if (le) 'I' else 'M'
+    t(0) = bom.toByte; t(1) = bom.toByte
+    w16(2, 42); w32(4, 8) // magic + IFD0 offset
+    w16(8, e)
+    var ep = 10
+    def entry(tag: Int, typ: Int, cnt: Int)(wv: Int => Unit): Unit = {
+      w16(ep, tag); w16(ep + 2, typ); w32(ep + 4, cnt); wv(ep + 8); ep += 12
+    }
+    entry(0x0112, 3, 1)(p => w16(p, orientation)) // inline SHORT
+    entry(0x0132, 2, 20)(p => w32(p, dtOff))
+    if (gps) entry(0x8825, 4, 1)(p => w32(p, gpsOff))
+    w32(10 + 12 * e, 0) // next-IFD terminator
+    dt.getBytes("US-ASCII").copyToArray(t, dtOff) // + implicit NUL (zeroed)
+    if (gps) {
+      w16(gpsOff, 2)
+      ep = gpsOff + 2
+      entry(0x0001, 2, 2)(p => t(p) = 'N'.toByte) // inline ASCII, raw bytes
+      entry(0x0002, 5, 3)(p => w32(p, latOff))
+      w32(gpsOff + 26, 0)
+      w32(latOff, latDeg); w32(latOff + 4, 1)
+      w32(latOff + 8, latMin); w32(latOff + 12, 1)
+      w32(latOff + 16, 0); w32(latOff + 20, 1)
+    }
+    val app1Len = 2 + 6 + tiffLen
+    val bos = new java.io.ByteArrayOutputStream()
+    bos.write(0xff); bos.write(0xd8)
+    bos.write(0xff); bos.write(0xe1)
+    bos.write((app1Len >> 8) & 0xff); bos.write(app1Len & 0xff)
+    bos.write(Array[Byte]('E', 'x', 'i', 'f', 0, 0)); bos.write(t)
+    bos.write(0xff); bos.write(0xd9)
+    bos.toByteArray
+  }
+
+  /** Walk one JPEG's APP1/EXIF tag tables generically — the
+    * privacy-audit leg of image curation (orientation, capture
+    * time, and GPS COORDINATES are exactly what a training-data
+    * ingest must surface and strip; t7 redacts text PII, this
+    * covers the image-metadata channel). m21/m22's halting
+    * discipline throughout: the byte-order mark gates the whole
+    * parse, the TIFF magic is verified, and EVERY offset/length
+    * read from the untrusted bytes is bounds-checked IN LONG
+    * against the segment before use (the ustar size-lie lesson —
+    * truncating first would let a lying offset wrap positive).
+    * Any violated gate sets `exif_ok` false and halts. Emits the
+    * strip decision: `needs_strip` = a GPS IFD is present.
+    */
+  private[graft] def exifWalk(docId: Long, b: Array[Byte]): ExifMeta = {
+    def u8(p: Int): Int = b(p) & 0xff
+    def be16(p: Int): Int = (u8(p) << 8) | u8(p + 1)
+    var ok = b.length >= 4 && u8(0) == 0xff && u8(1) == 0xd8
+    var bo = ""; var nIfd0 = 0L; var ori = 0; var dt = ""
+    var gps = false; var latDeg = 0L; var latMin = 0L
+    def parseTiff(t0: Int, tlen: Int): Unit = {
+      def in(off: Long, n: Long): Boolean = off >= 0 && off + n <= tlen
+      if (!in(0, 8)) { ok = false; return }
+      val boS = new String(b, t0, 2, "US-ASCII")
+      val le = boS == "II"
+      if (!le && boS != "MM") { ok = false; return } // byte-order gate
+      bo = boS
+      def r16(p: Long): Int =
+        if (le) u8(t0 + p.toInt) | (u8(t0 + p.toInt + 1) << 8)
+        else (u8(t0 + p.toInt) << 8) | u8(t0 + p.toInt + 1)
+      def r32(p: Long): Long =
+        if (le) r16(p).toLong | (r16(p + 2).toLong << 16)
+        else (r16(p).toLong << 16) | r16(p + 2).toLong
+      if (r16(2) != 42) { ok = false; return } // TIFF magic gate
+      def parseIfd(off: Long, isGps: Boolean): Unit = {
+        if (!in(off, 2)) { ok = false; return }
+        val cnt = r16(off)
+        if (!in(off, 2L + 12L * cnt + 4L)) { ok = false; return }
+        if (!isGps) nIfd0 = cnt.toLong
+        var i = 0
+        while (ok && i < cnt) {
+          val p = off + 2 + 12 * i
+          val tag = r16(p); val typ = r16(p + 2); val c = r32(p + 4)
+          if (!isGps) {
+            if (tag == 0x0112 && typ == 3 && c == 1) ori = r16(p + 8)
+            else if (tag == 0x0132 && typ == 2) {
+              val vo = r32(p + 8)
+              if (!in(vo, c) || c < 1) ok = false
+              else dt = new String(b, t0 + vo.toInt, c.toInt - 1, "US-ASCII")
+            } else if (tag == 0x8825 && typ == 4 && c == 1) {
+              gps = true
+              parseIfd(r32(p + 8), isGps = true)
+            }
+          } else if (tag == 0x0002 && typ == 5) {
+            val vo = r32(p + 8)
+            if (!in(vo, 8L * c)) ok = false
+            else { latDeg = r32(vo); latMin = r32(vo + 8) }
+          }
+          i += 1
+        }
+      }
+      parseIfd(r32(4), isGps = false)
+    }
+    var pos = 2
+    var done = false
+    while (ok && !done && pos + 2 <= b.length && u8(pos) == 0xff) {
+      val typ = u8(pos + 1)
+      if (typ == 0xd9) done = true
+      else if (pos + 4 > b.length) ok = false
+      else {
+        val len = be16(pos + 2)
+        if (pos + 2 + len > b.length || len < 2) ok = false
+        else {
+          if (typ == 0xe1 && len >= 16 &&
+              new String(b, pos + 4, 4, "US-ASCII") == "Exif" &&
+              u8(pos + 8) == 0 && u8(pos + 9) == 0)
+            parseTiff(pos + 10, len - 8)
+          pos += 2 + len
+        }
+      }
+    }
+    if (!done) ok = false // no EOI — truncated container
+    ExifMeta(docId, ok, bo, nIfd0, ori, dt, gps && ok, latDeg, latMin,
+      gps && ok)
+  }
+
+  /** m23: EXIF/APP1 METADATA WALK — the image-PII audit m16's
+    * generic marker walk stops short of: the APP1 payload is where
+    * orientation, capture timestamps, and GPS coordinates live, and
+    * GPS in training images is PII a pipeline must AUDIT AND STRIP
+    * before the corpus ships (the image-channel twin of t7's text
+    * redaction). Renders a real APP1/EXIF TIFF structure per
+    * document ([[buildExifJpeg]] — byte order itself data-chosen,
+    * half the corpus little-endian, half big) and walks the tag
+    * tables back generically ([[exifWalk]] — the
+    * render-then-really-parse idiom of m14/m16/m21/m22). Oracle:
+    * every emitted field re-derived arithmetically from the
+    * document text; the spec corrupts the byte-order mark, the TIFF
+    * magic, the IFD0 offset, a value offset, and the EOI — each
+    * gate bites.
+    *
+    * Scale: render+walk fused in ONE narrow mapPartitions stage —
+    * zero shuffles, payload bytes never leave the stage; the strip
+    * decision joins the corpus funnel as a boolean column, not a
+    * re-decode.
+    */
+  def m23(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .filter($"doc_id" % 3 === 1)
+      .selectExpr("doc_id", "rpad(substring(text, 1, 61), 61, ' ') AS s")
+      .as[(Long, String)]
+      .mapPartitions(_.map { case (id, s) =>
+        exifWalk(id, buildExifJpeg(id, s))
+      })
+      .toDF()
+      .transform(graft.Tables.ordered(_, $"doc_id"))
+  }
+
+  /** m23 oracle: byte order, IFD0 entry count, orientation,
+    * timestamp, and GPS presence/coordinates re-derived
+    * arithmetically from the same document characters the builder
+    * consumed; exif_ok pins the healthy walk. */
+  val m23Sql: String =
+    """WITH p AS (SELECT doc_id, rpad(substring(text, 1, 61), 61, ' ') AS s
+      |      FROM documents WHERE doc_id % 3 = 1),
+      |d AS (SELECT doc_id,
+      |    CASE WHEN doc_id % 2 = 0 THEN 'II' ELSE 'MM' END AS byte_order,
+      |    1 + (ord(substr(s, 5, 1)) & 7) AS orientation,
+      |    (ord(substr(s, 6, 1)) & 1) = 1 AS has_gps,
+      |    1 + ord(substr(s, 8, 1)) % 12 AS mo,
+      |    1 + ord(substr(s, 9, 1)) % 28 AS dy,
+      |    ord(substr(s, 7, 1)) % 90 AS latd,
+      |    ord(substr(s, 10, 1)) % 60 AS latm
+      |  FROM p)
+      |SELECT doc_id, TRUE AS exif_ok, byte_order,
+      |  CAST(CASE WHEN has_gps THEN 3 ELSE 2 END AS BIGINT) AS n_ifd0,
+      |  CAST(orientation AS INTEGER) AS orientation,
+      |  '2024:' || lpad(CAST(mo AS VARCHAR), 2, '0') || ':' ||
+      |    lpad(CAST(dy AS VARCHAR), 2, '0') || ' 10:30:00' AS dt_str,
+      |  has_gps,
+      |  CAST(CASE WHEN has_gps THEN latd ELSE 0 END AS BIGINT) AS lat_deg,
+      |  CAST(CASE WHEN has_gps THEN latm ELSE 0 END AS BIGINT) AS lat_min,
+      |  has_gps AS needs_strip
+      |FROM d
+      |ORDER BY doc_id""".stripMargin
 }

@@ -530,4 +530,79 @@ class ChartPngSpec extends AnyFunSuite {
     val bad = jb.clone(); bad(1) = 0x00
     assert(!Media.jpegMarkers(3L, bad).soi_ok)
   }
+
+  test("m24: shard audit catches planted incomplete samples and the cross-shard key collision") {
+    import graft.operators.Media
+    val rows = Media.m24(spark, SharedSpark.sf).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("skey"),
+        r.getAs[Long]("n_members"), r.getAs[Boolean]("complete"),
+        r.getAs[Long]("n_shards"), r.getAs[Boolean]("cross_shard")))
+    assert(rows.nonEmpty)
+    val nDup = rows.count(_._2 == "dup")
+    assert(nDup >= 2, "fixture must carry the cross-shard collision")
+    rows.foreach { case (id, skey, nm, complete, nShards, xShard) =>
+      // planted defect 1: every %7 shard's b sample is INCOMPLETE
+      // (txt without cls) — and nothing else is
+      if (skey == s"${id}b" || (skey == "dup" && id % 11 == 0))
+        assert(complete == (id % 7 != 0), s"doc $id sample b completeness")
+      if (skey == s"${id}a")
+        assert(complete && nm == 2L, s"doc $id sample a must be complete")
+      // planted defect 2: 'dup' collides across ALL %33 shards;
+      // every other key is shard-unique
+      if (skey == "dup") assert(nShards == nDup.toLong && xShard)
+      else assert(nShards == 1L && !xShard, s"key $skey must be unique")
+    }
+    // both audit arms genuinely fire on the fixture
+    assert(rows.exists(!_._4) && rows.exists(_._4))
+    assert(rows.exists(_._6) && rows.exists(!_._6))
+  }
+
+  test("m23: EXIF walk reads both byte orders and the GPS leg; every offset gate bites") {
+    import graft.operators.Media
+    val s = "IMGquick brown fox jumps over the lazy dog padding!!".padTo(61, ' ')
+    // data-chosen fields the walk must recover
+    val ori = 1 + (s.charAt(4).toInt & 7)
+    val gps = (s.charAt(5).toInt & 1) == 1
+    val latD = (s.charAt(6).toInt % 90).toLong
+    // both byte orders parse to the same fields (id parity picks II/MM)
+    val me = Media.exifWalk(8L, Media.buildExifJpeg(8L, s))
+    val mb = Media.exifWalk(9L, Media.buildExifJpeg(9L, s))
+    assert(me.exif_ok && mb.exif_ok)
+    assert(me.byte_order == "II" && mb.byte_order == "MM")
+    Seq(me, mb).foreach { m =>
+      assert(m.orientation == ori && m.has_gps == gps && m.needs_strip == gps)
+      assert(m.dt_str.startsWith("2024:") && m.dt_str.length == 19)
+      if (gps) assert(m.lat_deg == latD && m.n_ifd0 == 3L)
+    }
+    // force BOTH strip arms onto the data: flip the gps character
+    val sG = s.updated(5, 'a') // 'a' = 97, odd → GPS present
+    val sN = s.updated(5, 'b') // 'b' = 98, even → no GPS
+    assert(Media.exifWalk(8L, Media.buildExifJpeg(8L, sG)).has_gps)
+    val noG = Media.exifWalk(8L, Media.buildExifJpeg(8L, sN))
+    assert(!noG.has_gps && !noG.needs_strip && noG.n_ifd0 == 2L &&
+      noG.lat_deg == 0L)
+    // offset gates — the TIFF structure starts at file offset 12
+    // (SOI 0-1, APP1 marker 2-3, length 4-5, "Exif\0\0" 6-11):
+    // byte-order mark 12, magic 14, IFD0-offset field 16-19,
+    // DateTime entry's value-offset field 42-45, GPS pointer 54-57
+    val g = Media.buildExifJpeg(8L, sG) // little-endian, with GPS
+    def walk(bb: Array[Byte]) = Media.exifWalk(8L, bb)
+    assert(!walk(g.updated(12, 'X'.toByte)).exif_ok, "byte-order gate")
+    assert(!walk(g.updated(14, 9.toByte)).exif_ok, "TIFF magic gate")
+    assert(!walk(g.updated(19, 0x7f.toByte)).exif_ok, "IFD0 offset lie")
+    assert(!walk(g.updated(45, 0x7f.toByte)).exif_ok, "DateTime offset lie")
+    assert(!walk(g.updated(57, 0x7f.toByte)).exif_ok, "GPS IFD offset lie")
+    assert(!walk(g.dropRight(2)).exif_ok, "missing EOI must halt")
+    // fixture-wide: healthy walks, strip decision == GPS presence,
+    // both byte orders and both strip arms genuinely on the data
+    val rows = Media.m23(spark, SharedSpark.sf).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getAs[Boolean]("exif_ok")))
+    assert(rows.forall(r =>
+      r.getAs[Boolean]("needs_strip") == r.getAs[Boolean]("has_gps")))
+    assert(rows.exists(_.getAs[Boolean]("has_gps")) &&
+      rows.exists(r => !r.getAs[Boolean]("has_gps")))
+    assert(rows.exists(r => r.getAs[String]("byte_order") == "II") &&
+      rows.exists(r => r.getAs[String]("byte_order") == "MM"))
+  }
 }
