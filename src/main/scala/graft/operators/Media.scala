@@ -2624,16 +2624,31 @@ object Media {
     * table is samples-sized (id + count only, no payloads) and the
     * whole audit is the d1-class single-shuffle shape.
     */
-  def m24(spark: SparkSession, dir: String): DataFrame = {
+  def m24(spark: SparkSession, dir: String): DataFrame =
+    shardAudit(shardMembers(Tables.documents(spark, dir)
+      .filter(col("doc_id") % 3 === 0)
+      .selectExpr("doc_id", "rpad(substring(text, 1, 61), 61, ' ') AS s")))
+
+  /** The member walk of [[m24]] factored over an arbitrary
+    * (doc_id, s) frame — the streaming shard-ingest door (s41)
+    * walks each micro-batch's arriving shards through the identical
+    * code. */
+  private[graft] def shardMembers(shards: DataFrame): DataFrame = {
+    val spark = shards.sparkSession
     import spark.implicits._
-    val members = Tables.documents(spark, dir)
-      .filter($"doc_id" % 3 === 0)
-      .selectExpr("doc_id", "rpad(substring(text, 1, 61), 61, ' ') AS s")
-      .as[(Long, String)]
+    shards.select(col("doc_id"), col("s")).as[(Long, String)]
       .flatMap { case (id, s) =>
         val (ms, _) = tarMembers(buildTar24(id, s))
         ms.map(m => (id, m.key, m.ext))
       }.toDF("doc_id", "skey", "ext")
+  }
+
+  /** The audit aggregates of [[m24]] factored over an arbitrary
+    * member frame — sample grain (extension-set completeness) and
+    * key grain (distinct shards per key), joined on the key. */
+  private[graft] def shardAudit(members: DataFrame): DataFrame = {
+    val spark = members.sparkSession
+    import spark.implicits._
     val samp = members.groupBy($"doc_id", $"skey")
       .agg(count(lit(1)).as("n_members"),
         (max(when($"ext" === "txt", 1).otherwise(0)) === 1).as("has_txt"),
@@ -2891,6 +2906,184 @@ object Media {
       |  CAST(CASE WHEN has_gps THEN latd ELSE 0 END AS BIGINT) AS lat_deg,
       |  CAST(CASE WHEN has_gps THEN latm ELSE 0 END AS BIGINT) AS lat_min,
       |  has_gps AS needs_strip
+      |FROM d
+      |ORDER BY doc_id""".stripMargin
+
+  // ---------- m25: EXIF GPS strip (the redaction m23 decides) ----------
+
+  /** Rewrite one TIFF structure with the GPSInfo subtree removed —
+    * GENERIC surgery, not a fixture-shaped rebuild: every IFD0
+    * entry except tag 0x8825 is kept with its raw 12 bytes; entries
+    * whose value doesn't fit inline (size-by-type × count > 4) have
+    * their pointed bytes RELOCATED into a freshly packed value area
+    * and their offset field renumbered; the GPS IFD and everything
+    * only it referenced simply isn't copied. Offsets/byte order are
+    * honored on both read and write; any gate the walk would fail
+    * (bad byte order, magic, offset lies, unknown value type)
+    * returns None — the caller must NEVER ship half-surgered bytes.
+    */
+  private def stripTiff(b: Array[Byte], t0: Int, tlen: Int)
+      : Option[Array[Byte]] = {
+    def u8(p: Int): Int = b(t0 + p) & 0xff
+    def in(off: Long, n: Long): Boolean = off >= 0 && off + n <= tlen
+    if (!in(0, 8)) return None
+    val boS = new String(b, t0, 2, "US-ASCII")
+    val le = boS == "II"
+    if (!le && boS != "MM") return None
+    def r16(p: Long): Int =
+      if (le) u8(p.toInt) | (u8(p.toInt + 1) << 8)
+      else (u8(p.toInt) << 8) | u8(p.toInt + 1)
+    def r32(p: Long): Long =
+      if (le) r16(p).toLong | (r16(p + 2).toLong << 16)
+      else (r16(p).toLong << 16) | r16(p + 2).toLong
+    if (r16(2) != 42) return None
+    val ifd0 = r32(4)
+    if (!in(ifd0, 2)) return None
+    val cnt = r16(ifd0)
+    if (!in(ifd0, 2L + 12L * cnt + 4L)) return None
+    val typeSize = Map(1 -> 1, 2 -> 1, 3 -> 2, 4 -> 4, 5 -> 8)
+    val kept =
+      scala.collection.mutable.ArrayBuffer.empty[(Array[Byte], Option[Array[Byte]])]
+    var i = 0
+    while (i < cnt) {
+      val p = ifd0 + 2 + 12 * i
+      val tag = r16(p); val typ = r16(p + 2); val c = r32(p + 4)
+      if (tag != 0x8825) {
+        val sz = typeSize.getOrElse(typ, 0)
+        if (sz == 0) return None
+        val byteLen = sz.toLong * c
+        val raw = java.util.Arrays.copyOfRange(b, t0 + p.toInt, t0 + p.toInt + 12)
+        if (byteLen <= 4) kept += ((raw, None))
+        else {
+          val vo = r32(p + 8)
+          if (!in(vo, byteLen)) return None
+          kept += ((raw, Some(java.util.Arrays.copyOfRange(
+            b, t0 + vo.toInt, t0 + vo.toInt + byteLen.toInt))))
+        }
+      }
+      i += 1
+    }
+    val e = kept.size
+    val valBase = 8 + 2 + 12 * e + 4
+    val t = new Array[Byte](valBase + kept.flatMap(_._2).map(_.length).sum)
+    def w16(p: Int, v: Int): Unit =
+      if (le) { t(p) = (v & 0xff).toByte; t(p + 1) = ((v >> 8) & 0xff).toByte }
+      else { t(p) = ((v >> 8) & 0xff).toByte; t(p + 1) = (v & 0xff).toByte }
+    def w32(p: Int, v: Int): Unit =
+      if (le) { w16(p, v & 0xffff); w16(p + 2, v >>> 16) }
+      else { w16(p, v >>> 16); w16(p + 2, v & 0xffff) }
+    t(0) = b(t0); t(1) = b(t0 + 1)
+    w16(2, 42); w32(4, 8); w16(8, e)
+    var ep = 10
+    var vp = valBase
+    kept.foreach { case (raw, blob) =>
+      System.arraycopy(raw, 0, t, ep, 12)
+      blob.foreach { bb =>
+        w32(ep + 8, vp)
+        System.arraycopy(bb, 0, t, vp, bb.length)
+        vp += bb.length
+      }
+      ep += 12
+    }
+    w32(10 + 12 * e, 0)
+    Some(t)
+  }
+
+  /** Strip the GPS subtree from a JPEG's APP1/EXIF segment —
+    * byte-level surgery via [[stripTiff]], the APP1 length field
+    * recomputed, every other segment byte-copied. A file the parse
+    * gates reject is returned UNCHANGED (never half-surgered) —
+    * un-walkable inputs route to quarantine, not silent edits. */
+  private[graft] def exifStrip(b: Array[Byte]): Array[Byte] = {
+    def u8(p: Int): Int = b(p) & 0xff
+    def be16(p: Int): Int = (u8(p) << 8) | u8(p + 1)
+    if (b.length < 4 || u8(0) != 0xff || u8(1) != 0xd8) return b
+    var pos = 2
+    while (pos + 4 <= b.length && u8(pos) == 0xff && u8(pos + 1) != 0xd9) {
+      val len = be16(pos + 2)
+      if (pos + 2 + len > b.length || len < 2) return b
+      if (u8(pos + 1) == 0xe1 && len >= 16 &&
+          new String(b, pos + 4, 4, "US-ASCII") == "Exif" &&
+          u8(pos + 8) == 0 && u8(pos + 9) == 0) {
+        val nt = stripTiff(b, pos + 10, len - 8)
+        if (nt.isEmpty) return b
+        val t = nt.get
+        val app1Len = 2 + 6 + t.length
+        val out = new java.io.ByteArrayOutputStream()
+        out.write(b, 0, pos)
+        out.write(0xff); out.write(0xe1)
+        out.write((app1Len >> 8) & 0xff); out.write(app1Len & 0xff)
+        out.write(b, pos + 4, 6)
+        out.write(t, 0, t.length)
+        out.write(b, pos + 2 + len, b.length - pos - 2 - len)
+        return out.toByteArray
+      }
+      pos += 2 + len
+    }
+    b
+  }
+
+  case class ExifStrip(doc_id: Long, had_gps: Boolean, orig_len: Long,
+      stripped_len: Long, still_ok: Boolean, gps_after: Boolean,
+      orientation: Int, dt_str: String)
+
+  /** m25: EXIF GPS STRIP — m23 AUDITS the image-PII channel; m25
+    * ENACTS the strip decision, the redaction leg itself: rewrite
+    * the APP1/EXIF segment with the GPSInfo subtree removed by
+    * generic byte surgery ([[exifStrip]] — kept entries' raw bytes
+    * preserved, out-of-line values relocated, offsets renumbered in
+    * the file's own byte order, APP1 length recomputed) and PROVE
+    * the result by re-walking it with m23's own gates: the stripped
+    * file must still parse healthy, report no GPS, and preserve
+    * orientation and capture time bit-for-bit. Un-walkable inputs
+    * come back byte-identical — redaction never ships half-surgered
+    * bytes (the quarantine posture of p9). The paired lengths quantify
+    * the reclaim.
+    *
+    * Scale: render+strip+re-walk fused in ONE narrow mapPartitions
+    * stage — zero shuffles; at 100 TB this is the map-only rewrite
+    * pass a privacy sweep runs shard-parallel over binaryFile
+    * splits, with m23's audit as its planning query.
+    */
+  def m25(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .filter($"doc_id" % 3 === 1)
+      .selectExpr("doc_id", "rpad(substring(text, 1, 61), 61, ' ') AS s")
+      .as[(Long, String)]
+      .mapPartitions(_.map { case (id, s) =>
+        val orig = buildExifJpeg(id, s)
+        val stripped = exifStrip(orig)
+        val w = exifWalk(id, stripped)
+        ExifStrip(id, exifWalk(id, orig).has_gps, orig.length.toLong,
+          stripped.length.toLong, w.exif_ok, w.has_gps, w.orientation,
+          w.dt_str)
+      })
+      .toDF()
+      .transform(graft.Tables.ordered(_, $"doc_id"))
+  }
+
+  /** m25 oracle: the construction's exact pre/post lengths (GPS docs
+    * carry entry 12 + GPS IFD 30 + rationals 24 = 66 extra TIFF
+    * bytes; both layouts' totals re-derived arithmetically), the
+    * healthy re-walk, and the preserved fields from the same
+    * document characters. */
+  val m25Sql: String =
+    """WITH p AS (SELECT doc_id, rpad(substring(text, 1, 61), 61, ' ') AS s
+      |      FROM documents WHERE doc_id % 3 = 1),
+      |d AS (SELECT doc_id,
+      |    (ord(substr(s, 6, 1)) & 1) = 1 AS had_gps,
+      |    1 + (ord(substr(s, 5, 1)) & 7) AS orientation,
+      |    1 + ord(substr(s, 8, 1)) % 12 AS mo,
+      |    1 + ord(substr(s, 9, 1)) % 28 AS dy
+      |  FROM p)
+      |SELECT doc_id, had_gps,
+      |  CAST(CASE WHEN had_gps THEN 138 ELSE 72 END AS BIGINT) AS orig_len,
+      |  CAST(72 AS BIGINT) AS stripped_len,
+      |  TRUE AS still_ok, FALSE AS gps_after,
+      |  CAST(orientation AS INTEGER) AS orientation,
+      |  '2024:' || lpad(CAST(mo AS VARCHAR), 2, '0') || ':' ||
+      |    lpad(CAST(dy AS VARCHAR), 2, '0') || ' 10:30:00' AS dt_str
       |FROM d
       |ORDER BY doc_id""".stripMargin
 }

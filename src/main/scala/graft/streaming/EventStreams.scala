@@ -1570,6 +1570,84 @@ object EventStreams {
     * are the post-compaction serve (twin contract). */
   val s40Sql: String = graft.operators.Knn.v28Sql
 
+  /** s41: STREAMING SHARD-INGEST AUDIT DOOR — m24's corpus-grain
+    * completeness/collision audit kept CURRENT as shards land,
+    * which is how a shard store actually runs it: new WebDataset
+    * shards arrive continuously from the render fleet, and the
+    * audit that gates training readers must fold each arrival in
+    * without re-walking the store (a cross-shard key collision is
+    * only visible once BOTH shards have arrived — the reason this
+    * is a stateful door and not a per-batch map). State is the
+    * accumulated member table (doc, key, ext — ids and short keys
+    * only, no payloads) grown with s38's append-only discipline:
+    * each batch walks ONLY its arriving shards
+    * ([[graft.operators.Media.shardMembers]] — the batch kernel
+    * verbatim), checkpoints the delta at batch size, anti-joins
+    * arrivals against the seen-shard id set for replay idempotence,
+    * and compacts the lazy union every [[annCompactEvery]] batches.
+    * Each batch emits the CURRENT audit
+    * ([[graft.operators.Media.shardAudit]] — two equality-keyed
+    * combinable aggregates over the member state). Replayed as ONE
+    * batch (the Verify path) the rows ARE batch m24's — oracle
+    * [[graft.operators.Media.m24Sql]] (twin contract).
+    */
+  def s41(spark: SparkSession, dir: String): DataFrame = {
+    val ss = streamSession(spark)
+    graft.Tables.tsConfs(ss)
+    val st = shardAuditState(ss)
+    val schema = ss.read.parquet(s"$dir/documents.parquet").schema
+    val src = ss.readStream.schema(schema)
+      .option("pathGlobFilter", "documents.parquet").parquet(dir)
+      .filter(col("doc_id") % 3 === 0)
+      .selectExpr("doc_id", "rpad(substring(text, 1, 61), 61, ' ') AS s")
+    runBatched(src, b => shardAuditServe(st, b))
+      .transform(graft.Tables.ordered(_, col("doc_id"), col("skey")))
+  }
+
+  /** The shard-audit door's state: the accumulated member table and
+    * the seen-shard id set, both lazy unions of per-batch
+    * checkpointed deltas (s38's growth discipline — no cross-batch
+    * duplicates are possible because every member row's shard
+    * arrives exactly once past the seen anti-join). `lastDeltaRows`
+    * is the per-batch materialized work — arriving-shard-sized. */
+  private[graft] final class ShardAuditState(
+      var members: org.apache.spark.sql.DataFrame,
+      var seen: org.apache.spark.sql.DataFrame,
+      var batches: Int = 0,
+      var lastDeltaRows: Long = 0L)
+
+  private[graft] def shardAuditState(ss: SparkSession): ShardAuditState = {
+    val m0 = ss.range(0)
+      .selectExpr("id AS doc_id", "'' AS skey", "'' AS ext").localCheckpoint()
+    val s0 = ss.range(0).selectExpr("id AS doc_id").localCheckpoint()
+    new ShardAuditState(m0, s0)
+  }
+
+  /** One micro-batch through the shard-audit door — factored so the
+    * MemoryStream spec drives identical code across batches. */
+  private[graft] def shardAuditServe(st: ShardAuditState,
+      batch: DataFrame): DataFrame = {
+    val arrivals = batch.select(col("doc_id"), col("s"))
+      .join(st.seen, Seq("doc_id"), "left_anti")
+    val delta = graft.operators.Media.shardMembers(arrivals).localCheckpoint()
+    st.lastDeltaRows = delta.count()
+    st.members = st.members.unionByName(delta)
+    st.seen = st.seen.unionByName(delta.select("doc_id").distinct().localCheckpoint())
+    st.batches += 1
+    if (st.batches % annCompactEvery == 0) {
+      val (om, os) = (st.members, st.seen)
+      st.members = st.members.localCheckpoint()
+      st.seen = st.seen.localCheckpoint()
+      graft.functions.Lineage.freeCheckpoint(om)
+      graft.functions.Lineage.freeCheckpoint(os)
+    }
+    graft.operators.Media.shardAudit(st.members)
+  }
+
+  /** s41 oracle: m24's, verbatim — the twin contract on the
+    * single-replay batch. */
+  val s41Sql: String = graft.operators.Media.m24Sql
+
   /** s37: STREAMING MAD DOOR — dq6's robust day-volume monitor as a
     * live pipeline alarm: the median×2 / MAD×4 thresholds train in
     * batch on the stored corpus

@@ -557,6 +557,48 @@ class ChartPngSpec extends AnyFunSuite {
     assert(rows.exists(_._6) && rows.exists(!_._6))
   }
 
+  test("m25: GPS strip is exact byte surgery — equals the GPS-free render, no-ops cleanly, refuses corrupt input") {
+    import graft.operators.Media
+    val s = "IMGquick brown fox jumps over the lazy dog padding!!".padTo(61, ' ')
+    val sG = s.updated(5, 'a') // odd → GPS present
+    val sN = s.updated(5, 'b') // even → no GPS
+    // surgery exactness, BOTH byte orders: stripping the GPS build
+    // yields the GPS-free render BYTE FOR BYTE (offsets renumbered,
+    // value area repacked, APP1 length recomputed)
+    Seq(8L, 9L).foreach { id =>
+      val stripped = Media.exifStrip(Media.buildExifJpeg(id, sG))
+      // the 'b' flip changes ONLY the gps flag char, so this IS the
+      // same image rendered without its GPS subtree
+      assert(stripped.sameElements(Media.buildExifJpeg(id, sG.updated(5, 'b'))),
+        s"id $id: strip != GPS-free render")
+      val w = Media.exifWalk(id, stripped)
+      assert(w.exif_ok && !w.has_gps && !w.needs_strip)
+      // preserved fields survive the surgery bit-for-bit
+      val before = Media.exifWalk(id, Media.buildExifJpeg(id, sG))
+      assert(w.orientation == before.orientation && w.dt_str == before.dt_str)
+    }
+    // a GPS-free file passes through byte-identical (no-op)
+    val clean = Media.buildExifJpeg(8L, sN)
+    assert(Media.exifStrip(clean).sameElements(clean))
+    // corrupt inputs come back UNCHANGED — never half-surgered
+    val g = Media.buildExifJpeg(8L, sG)
+    val badBo = g.updated(12, 'X'.toByte)
+    assert(Media.exifStrip(badBo).sameElements(badBo), "bad byte order")
+    val badOff = g.updated(19, 0x7f.toByte)
+    assert(Media.exifStrip(badOff).sameElements(badOff), "offset lie")
+    // fixture-wide: every stripped file re-walks healthy with no
+    // GPS, and the reclaim shows exactly on the GPS docs
+    val rows = Media.m25(spark, SharedSpark.sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Boolean]("still_ok") && !r.getAs[Boolean]("gps_after"))
+      val reclaimed = r.getAs[Long]("orig_len") - r.getAs[Long]("stripped_len")
+      assert(if (r.getAs[Boolean]("had_gps")) reclaimed > 0L else reclaimed == 0L)
+    }
+    assert(rows.exists(_.getAs[Boolean]("had_gps")) &&
+      rows.exists(r => !r.getAs[Boolean]("had_gps")))
+  }
+
   test("m23: EXIF walk reads both byte orders and the GPS leg; every offset gate bites") {
     import graft.operators.Media
     val s = "IMGquick brown fox jumps over the lazy dog padding!!".padTo(61, ' ')

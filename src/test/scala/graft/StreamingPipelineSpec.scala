@@ -1353,6 +1353,49 @@ class StreamingPipelineSpec extends AnyFunSuite {
     assert(st.legBuilds == 2, "replayed traffic fired a spurious rebuild")
   }
 
+  test("s41 shard-audit door: full replay equals batch m24; collisions surface only once both shards arrive") {
+    import spark.implicits._
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("skey"),
+        r.getAs[Long]("n_members"), r.getAs[Boolean]("has_txt"),
+        r.getAs[Boolean]("has_cls"), r.getAs[Boolean]("complete"),
+        r.getAs[Long]("n_shards"), r.getAs[Boolean]("cross_shard"))).toSeq
+    // twin contract: the whole shard stream replayed (one batch)
+    // == batch m24, bitwise
+    val streamed = rows(graft.streaming.EventStreams.s41(spark, sf)).sorted
+    val batch = rows(graft.operators.Media.m24(spark, sf)).sorted
+    assert(streamed == batch && streamed.nonEmpty)
+    // multi-batch on the factored kernel: split so the colliding
+    // 'dup' shards straddle the boundary — the collision must NOT
+    // be visible mid-stream (only one has arrived) and MUST be
+    // visible after the second lands; replay is a no-op
+    val st = graft.streaming.EventStreams.shardAuditState(spark)
+    val shards = graft.Tables.documents(spark, sf)
+      .filter("doc_id % 3 = 0")
+      .selectExpr("doc_id", "rpad(substring(text, 1, 61), 61, ' ') AS s")
+      .as[(Long, String)].collect().sortBy(_._1).toSeq
+    val dupIds = shards.map(_._1).filter(_ % 11 == 0)
+    assert(dupIds.size >= 2, "fixture needs >= 2 colliding shards")
+    // batch 1 = everything up to and including the FIRST dup shard
+    val (b1, b2) = shards.partition(_._1 <= dupIds.head)
+    def serve(b: Seq[(Long, String)]) = rows(
+      graft.streaming.EventStreams.shardAuditServe(st, b.toDF("doc_id", "s")))
+    val mid = serve(b1)
+    assert(graft.streaming.EventStreams.annCompactEvery > 1,
+      "spec assumes the first batch is uncompacted")
+    assert(st.lastDeltaRows > 0 && st.lastDeltaRows <= 4L * b1.size,
+      "delta must be arriving-shard-sized")
+    val midDup = mid.filter(_._2 == "dup")
+    assert(midDup.size == 1 && midDup.head._7 == 1L && !midDup.head._8,
+      "collision must not fire with one dup shard arrived")
+    val fin = serve(b2)
+    assert(fin.sorted == batch, "two-batch ingest != single replay")
+    assert(fin.filter(_._2 == "dup").forall(t => t._7 == dupIds.size.toLong && t._8))
+    // replaying already-audited shards is a no-op (at-least-once feed)
+    val replayed = serve(b1)
+    assert(replayed.sorted == batch && st.lastDeltaRows == 0L)
+  }
+
   test("s36 stateless winnowing door equals batch d23 row for row") {
     def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
       .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"),
