@@ -2691,4 +2691,118 @@ object Graph {
       |SELECT f.id AS c_custkey, f.c1 AS l1_community, f.community, sz.csize, q.q_x4m2
       |FROM fin f JOIN sz ON sz.community = f.community CROSS JOIN q
       |ORDER BY c_custkey""".stripMargin
+
+  // ---------- g26: community PageRank (topic-cluster ranking) ----------
+
+  /** g26: COMMUNITY PAGERANK — WEIGHTED PageRank over the condensed
+    * community graph (g25's aggregation output), the ranking crawl
+    * curation runs ON TOP of topic clustering: once Louvain has
+    * collapsed pages into topic clusters, the sampling budget is
+    * allocated by how central each CLUSTER is in the link economy —
+    * rank flows along inter-community edge WEIGHTS (cross-edge
+    * counts) with self-loops (internal cohesion) recycling a
+    * cluster's own mass. g1's exact-integer discipline generalizes:
+    * per round, each community's damped mass is first divided by
+    * its total OUT-WEIGHT into a per-unit-weight quotient
+    * (q = (r·85 div 100) div outw — the weighted generalization of
+    * g1's div deg, deterministic truncation on both engines), then
+    * each out-edge carries q·w; communities with no edges at all
+    * keep the 15% base mass (g1's dangling convention). 10 rounds,
+    * all positive BIGINTs — q ≤ r bounds every product at r·0.85,
+    * no overflow at any corpus size.
+    *
+    * Scale shape: level 1 is g24; the condensation is g25's two
+    * label joins + one community-pair aggregate; the PageRank then
+    * iterates on the CONDENSED grain (≤ #communities rows per side
+    * — broadcast-small at any corpus size), with the out-weight
+    * folded into the cached edge table once, outside the loop.
+    */
+  def g26(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val nodes = Tables.customer(spark, dir).select($"c_custkey".as("id")).cache()
+    val n = nodes.count()
+    val e0 = nodes.selectExpr("id AS src", s"(id * 31 + 7) % $n AS dst")
+      .unionAll(nodes.selectExpr("id AS src", s"(id * 17 + 3) % $n AS dst"))
+      .unionAll(nodes.filter($"id" >= 2).selectExpr("id AS src", "id div 2 AS dst"))
+    val und = e0.filter($"src" =!= $"dst")
+      .selectExpr("least(src, dst) AS a", "greatest(src, dst) AS b")
+      .distinct().cache()
+    val l1 = louvainStates(nodes, und, g24Rounds).last
+    val lc = und
+      .join(l1.select($"id".as("a"), $"lbl".as("ca")), Seq("a"))
+      .join(l1.select($"id".as("b"), $"lbl".as("cb")), Seq("b"))
+      .select($"ca", $"cb").cache()
+    val cund = lc.filter($"ca" =!= $"cb")
+      .select(least($"ca", $"cb").as("ca"), greatest($"ca", $"cb").as("cb"))
+      .groupBy($"ca", $"cb").agg(count(lit(1)).as("w"))
+    val selfw = lc.filter($"ca" === $"cb")
+      .groupBy($"ca".as("cid")).agg(count(lit(1)).as("w"))
+    val edges = cund.select($"ca".as("src"), $"cb".as("dst"), $"w")
+      .unionByName(cund.select($"cb".as("src"), $"ca".as("dst"), $"w"))
+      .unionByName(selfw.select($"cid".as("src"), $"cid".as("dst"), $"w"))
+    val comms = l1.select($"lbl".as("id")).distinct().cache()
+    val nc = comms.count()
+    // out-weight is loop-invariant — fold it into the cached edge
+    // table ONCE (g1's discipline)
+    val linked = edges.join(
+      edges.groupBy($"src").agg(sum($"w").as("outw")), Seq("src")).cache()
+    val base = (massS * 15L / 100L) / nc
+    var rank = comms.withColumn("r", lit(massS / nc)).localCheckpoint()
+    (1 to g1Rounds).foreach { _ =>
+      val contrib = linked
+        .join(rank.withColumnRenamed("id", "src"), Seq("src"))
+        .selectExpr("dst", "(((r * 85) div 100) div outw) * w AS share")
+        .groupBy($"dst").agg(sum($"share").as("m"))
+      val next = comms
+        .join(contrib.withColumnRenamed("dst", "id"), Seq("id"), "left_outer")
+        .selectExpr("id",
+          s"CAST($base AS BIGINT) + coalesce(m, CAST(0 AS BIGINT)) AS r")
+        .localCheckpoint()
+      graft.functions.Lineage.freeCheckpoint(rank)
+      rank = next
+    }
+    val sz = l1.groupBy($"lbl".as("id")).agg(count(lit(1)).as("csize"))
+    rank.join(sz, Seq("id"))
+      .select($"id".as("community"), $"csize", $"r".as("rank_mass"))
+      .transform(Tables.ordered(_, $"community"))
+  }
+
+  /** g26 oracle: the level-1 chain + g25's condensation CTEs + the
+    * weighted rounds unrolled with the identical per-unit-weight
+    * quotient integerization. */
+  val g26Sql: String = {
+    def round(i: Int): String =
+      s"""pq$i AS (SELECT l.id, ((l.r * 85) // 100) // ow.w AS q
+         |      FROM pr${i - 1} l JOIN outw ow ON ow.id = l.id),
+         |pc$i AS (SELECT e.dst, CAST(sum(q.q * e.w) AS BIGINT) AS m
+         |      FROM cedgesall e JOIN pq$i q ON q.id = e.src GROUP BY 1),
+         |pr$i AS MATERIALIZED (SELECT c.cid AS id,
+         |        (SELECT b FROM pbase) + coalesce(pc.m, CAST(0 AS BIGINT)) AS r
+         |      FROM comm c LEFT JOIN pc$i pc ON pc.dst = c.cid)""".stripMargin
+    s"""WITH $louvainL1Ctes,
+      |lc AS MATERIALIZED (SELECT la.lbl AS ca, lb.lbl AS cb
+      |      FROM und u JOIN l$g24Rounds la ON la.id = u.a
+      |      JOIN l$g24Rounds lb ON lb.id = u.b),
+      |cund AS MATERIALIZED (SELECT least(ca, cb) AS ca, greatest(ca, cb) AS cb,
+      |        CAST(count(*) AS BIGINT) AS w
+      |      FROM lc WHERE ca <> cb GROUP BY 1, 2),
+      |selfw AS (SELECT ca AS cid, CAST(count(*) AS BIGINT) AS w
+      |      FROM lc WHERE ca = cb GROUP BY 1),
+      |cedgesall AS MATERIALIZED (SELECT ca AS src, cb AS dst, w FROM cund
+      |      UNION ALL SELECT cb, ca, w FROM cund
+      |      UNION ALL SELECT cid, cid, w FROM selfw),
+      |outw AS MATERIALIZED (SELECT src AS id, CAST(sum(w) AS BIGINT) AS w
+      |      FROM cedgesall GROUP BY 1),
+      |comm AS MATERIALIZED (SELECT DISTINCT lbl AS cid FROM l$g24Rounds),
+      |ncomm AS (SELECT CAST(count(*) AS BIGINT) AS nc FROM comm),
+      |pbase AS (SELECT CAST(($massS * 15 // 100) // nc AS BIGINT) AS b FROM ncomm),
+      |pr0 AS MATERIALIZED (SELECT cid AS id,
+      |      CAST($massS // (SELECT nc FROM ncomm) AS BIGINT) AS r FROM comm),
+      |${(1 to g1Rounds).map(round).mkString(",\n")},
+      |sz AS (SELECT lbl AS cid, CAST(count(*) AS BIGINT) AS csize
+      |      FROM l$g24Rounds GROUP BY 1)
+      |SELECT p.id AS community, sz.csize, p.r AS rank_mass
+      |FROM pr$g1Rounds p JOIN sz ON sz.cid = p.id
+      |ORDER BY community""".stripMargin
+  }
 }

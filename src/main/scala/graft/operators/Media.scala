@@ -3045,20 +3045,24 @@ object Media {
     * pass a privacy sweep runs shard-parallel over binaryFile
     * splits, with m23's audit as its planning query.
     */
+  /** The per-image render→strip→re-walk kernel of [[m25]], factored
+    * so the stateless streaming strip door (s42) runs the identical
+    * row code. */
+  private[graft] def exifStripRow(id: Long, s: String): ExifStrip = {
+    val orig = buildExifJpeg(id, s)
+    val stripped = exifStrip(orig)
+    val w = exifWalk(id, stripped)
+    ExifStrip(id, exifWalk(id, orig).has_gps, orig.length.toLong,
+      stripped.length.toLong, w.exif_ok, w.has_gps, w.orientation, w.dt_str)
+  }
+
   def m25(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     Tables.documents(spark, dir)
       .filter($"doc_id" % 3 === 1)
       .selectExpr("doc_id", "rpad(substring(text, 1, 61), 61, ' ') AS s")
       .as[(Long, String)]
-      .mapPartitions(_.map { case (id, s) =>
-        val orig = buildExifJpeg(id, s)
-        val stripped = exifStrip(orig)
-        val w = exifWalk(id, stripped)
-        ExifStrip(id, exifWalk(id, orig).has_gps, orig.length.toLong,
-          stripped.length.toLong, w.exif_ok, w.has_gps, w.orientation,
-          w.dt_str)
-      })
+      .mapPartitions(_.map { case (id, s) => exifStripRow(id, s) })
       .toDF()
       .transform(graft.Tables.ordered(_, $"doc_id"))
   }

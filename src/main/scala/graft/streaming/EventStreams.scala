@@ -1648,6 +1648,44 @@ object EventStreams {
     * single-replay batch. */
   val s41Sql: String = graft.operators.Media.m24Sql
 
+  /** s42: STREAMING EXIF-STRIP DOOR — m25's PII redaction applied
+    * AT THE INGEST BOUNDARY, where a privacy-compliant pipeline
+    * actually wants it: images whose GPS metadata never enters the
+    * store never need a retroactive sweep (contrast s39, which
+    * exists because data DID get in). STATELESS by construction —
+    * the strip decision and the surgery read only the arriving
+    * image's own bytes ([[graft.operators.Media.exifStripRow]], the
+    * batch kernel verbatim, fused render→strip→re-walk per row) —
+    * so the door holds zero state, is trivially replay-idempotent,
+    * and its output is batch-split INVARIANT (the s36 class, not
+    * the s38/s41 stateful class). Oracle:
+    * [[graft.operators.Media.m25Sql]] verbatim (twin contract).
+    */
+  def s42(spark: SparkSession, dir: String): DataFrame = {
+    val ss = streamSession(spark)
+    graft.Tables.tsConfs(ss)
+    val schema = ss.read.parquet(s"$dir/documents.parquet").schema
+    val src = ss.readStream.schema(schema)
+      .option("pathGlobFilter", "documents.parquet").parquet(dir)
+      .filter(col("doc_id") % 3 === 1)
+      .selectExpr("doc_id", "rpad(substring(text, 1, 61), 61, ' ') AS s")
+    runBatched(src, stripServe)
+      .transform(graft.Tables.ordered(_, col("doc_id")))
+  }
+
+  /** One micro-batch through the strip door — a pure per-row map. */
+  private[graft] def stripServe(batch: DataFrame): DataFrame = {
+    val ss = batch.sparkSession
+    import ss.implicits._
+    batch.select(col("doc_id"), col("s")).as[(Long, String)]
+      .mapPartitions(_.map { case (id, s) =>
+        graft.operators.Media.exifStripRow(id, s)
+      }).toDF()
+  }
+
+  /** s42 oracle: m25's, verbatim — the twin contract. */
+  val s42Sql: String = graft.operators.Media.m25Sql
+
   /** s37: STREAMING MAD DOOR — dq6's robust day-volume monitor as a
     * live pipeline alarm: the median×2 / MAD×4 thresholds train in
     * batch on the stored corpus

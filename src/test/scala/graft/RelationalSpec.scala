@@ -829,6 +829,76 @@ class RelationalSpec extends AnyFunSuite {
       s"condensed-graph Q $qCond != composed-labeling Q $q2 (invariance broken)")
   }
 
+  test("g26: community PageRank equals a sequential weighted recompute; mass bounded, base floor holds") {
+    val rows = graft.operators.Graph.g26(spark, sf).collect()
+      .map(r => (r.getAs[Long]("community"), r.getAs[Long]("csize"),
+        r.getAs[Long]("rank_mass")))
+    val n = Tables.customer(spark, sf).count()
+    // the shared fixture graph → level-1 labels (g24's mirror)
+    val und = (0L until n).flatMap { u =>
+      Seq((u, (u * 31 + 7) % n), (u, (u * 17 + 3) % n)) ++
+        (if (u >= 2) Seq((u, u / 2)) else Nil)
+    }.filter { case (a, b) => a != b }
+      .map { case (a, b) => (math.min(a, b), math.max(a, b)) }.distinct
+    val m = und.size.toLong
+    val adj = (und ++ und.map(_.swap)).groupBy(_._1).view
+      .mapValues(_.map(_._2)).toMap
+    val deg = (0L until n).map(id =>
+      id -> adj.get(id).map(_.size.toLong).getOrElse(0L)).toMap
+    var lbl = (0L until n).toArray
+    (1 to graft.operators.Graph.g24Rounds).foreach { _ =>
+      val tot = (0L until n).groupBy(id => lbl(id.toInt)).view
+        .mapValues(_.map(deg).sum).toMap
+      val next = lbl.clone()
+      (0L until n).foreach { id =>
+        val own = lbl(id.toInt)
+        val d = deg(id)
+        val kin = adj.getOrElse(id, Seq.empty)
+          .groupBy(b => lbl(b.toInt)).view.mapValues(_.size.toLong).toMap
+        val cands = (kin.keySet + own).toSeq.filter(_ <= own).map { c =>
+          val totAdj = tot(c) - (if (c == own) d else 0L)
+          (c, 2 * m * kin.getOrElse(c, 0L) - d * totAdj, if (c == own) 0 else 1)
+        }
+        next(id.toInt) = cands.minBy { case (c, g, mv) => (-g, mv, c) }._1
+      }
+      lbl = next
+    }
+    // condensed weighted edges incl. self-loops, out-weights
+    val comms = lbl.distinct.sorted
+    val cw = und.groupBy { case (a, b) =>
+        (lbl(a.toInt), lbl(b.toInt)) match {
+          case (x, y) => (math.min(x, y), math.max(x, y))
+        }
+      }.view.mapValues(_.size.toLong).toMap
+    val edges = cw.toSeq.flatMap { case ((x, y), w) =>
+      if (x == y) Seq((x, x, w)) else Seq((x, y, w), (y, x, w))
+    }
+    val outw = edges.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    val massS = 1000000000000L
+    val nc = comms.length.toLong
+    val base = (massS * 15L / 100L) / nc
+    var rank = comms.map(c => c -> massS / nc).toMap
+    (1 to 10).foreach { _ =>
+      val q = rank.collect { case (c, r) if outw.contains(c) =>
+        c -> (r * 85L / 100L) / outw(c) }
+      val contrib = edges.groupBy(_._2).view.mapValues(_.map { case (s, _, w) =>
+        q.getOrElse(s, 0L) * w }.sum).toMap
+      rank = comms.map(c => c -> (base + contrib.getOrElse(c, 0L))).toMap
+    }
+    val sizes = lbl.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    assert(rows.length == comms.length)
+    rows.foreach { case (c, cs, r) =>
+      assert(r == rank(c), s"community $c: $r != ${rank(c)}")
+      assert(cs == sizes(c))
+    }
+    // mass accounting: every community keeps at least the base
+    // (dangling convention), total never exceeds the injected mass,
+    // and the ranking genuinely separates communities
+    assert(rows.forall(_._3 >= base))
+    assert(rows.map(_._3).sum <= massS)
+    assert(rows.map(_._3).max > rows.map(_._3).min)
+  }
+
   test("e14: cohort LTV equals a sequential recompute; cumulative is monotone") {
     val rows = graft.operators.EventWindows.e14(spark, sf).collect()
       .map(r => (r.getAs[Long]("cohort"), r.getAs[Long]("offset_days"),

@@ -1396,6 +1396,29 @@ class StreamingPipelineSpec extends AnyFunSuite {
     assert(replayed.sorted == batch && st.lastDeltaRows == 0L)
   }
 
+  test("s42 stateless strip door equals batch m25 and is batch-split invariant") {
+    import spark.implicits._
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Boolean]("had_gps"),
+        r.getAs[Long]("orig_len"), r.getAs[Long]("stripped_len"),
+        r.getAs[Boolean]("still_ok"), r.getAs[Boolean]("gps_after"),
+        r.getAs[Int]("orientation"), r.getAs[String]("dt_str"))).toSeq
+    val streamed = rows(graft.streaming.EventStreams.s42(spark, sf)).sorted
+    val batch = rows(graft.operators.Media.m25(spark, sf)).sorted
+    assert(streamed == batch && streamed.nonEmpty)
+    // stateless ⇒ any batch split concatenates to the same rows
+    val docs = graft.Tables.documents(spark, sf)
+      .filter("doc_id % 3 = 1")
+      .selectExpr("doc_id", "rpad(substring(text, 1, 61), 61, ' ') AS s")
+      .as[(Long, String)].collect().sortBy(_._1).toSeq
+    val (b1, b2) = docs.splitAt(docs.size / 3)
+    val split = (rows(graft.streaming.EventStreams.stripServe(
+        b1.toDF("doc_id", "s"))) ++
+      rows(graft.streaming.EventStreams.stripServe(
+        b2.toDF("doc_id", "s")))).sorted
+    assert(split == batch, "batch split changed the stateless door's rows")
+  }
+
   test("s36 stateless winnowing door equals batch d23 row for row") {
     def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
       .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"),
