@@ -1408,24 +1408,23 @@ object EventStreams {
     * bounded query codebook, the id-only delete set, and the two
     * batch-INVARIANT serve legs ([[graft.operators.Knn.v27ServeLegs]]
     * — the final beam-search visited frame and the brute-scored
-    * table, both (qid, id, score) grain, checkpointed ONCE at state
-    * build). `ix`/`visited`/`scored`/`corpusN` are vars because the
-    * compaction door (s40) REPLACES all four with the rebuilt
-    * live-only versions when the deletion fraction crosses the
-    * threshold — the ONLY event that invalidates the legs.
-    * `legBuilds` counts those rebuilds (the spec's no-per-batch-
-    * re-scoring pin, s38's bookkeeping idiom); `lastArrivalRows` is
-    * the per-batch materialized work — delete-set-sized by
-    * construction. */
+    * table, both (qid, id, score) grain, built LAZILY by [[annLegs]]
+    * exactly once per index version). `ix`/`visited`/`scored`/
+    * `corpusN` are vars because the compaction door (s40) swaps the
+    * index and invalidates the legs when the deletion fraction
+    * crosses the threshold — the ONLY event that does. `legBuilds`
+    * counts leg builds (the spec's no-per-batch-re-scoring pin,
+    * s38's bookkeeping idiom); `lastArrivalRows` is the per-batch
+    * materialized work — delete-set-sized by construction. */
   private[graft] final class AnnDeleteState(
       var ix: graft.operators.Knn.V21Static,
       val qs: Array[(Long, Array[Double])],
       var deleted: org.apache.spark.sql.DataFrame,
-      var visited: org.apache.spark.sql.DataFrame,
-      var scored: org.apache.spark.sql.DataFrame,
-      var corpusN: Long,
+      var visited: org.apache.spark.sql.DataFrame = null,
+      var scored: org.apache.spark.sql.DataFrame = null,
+      var corpusN: Long = 0L,
       var batches: Int = 0,
-      var legBuilds: Int = 1,
+      var legBuilds: Int = 0,
       var lastArrivalRows: Long = 0L)
 
   private[graft] def annDeleteState(ss: SparkSession, dir: String)
@@ -1433,10 +1432,27 @@ object EventStreams {
     val ix = graft.operators.Knn.v21Static(ss, dir)
     val qs = graft.operators.Knn.codebook(ix.e, "vec_id < 10")
     val empty = ss.range(0).selectExpr("id AS vec_id").localCheckpoint()
-    val (visited, scored) = graft.operators.Knn.v27ServeLegs(ix, qs)
-    val corpusN = ix.e.filter("vec_id >= 10").count()
-    new AnnDeleteState(ix, qs, empty, visited, scored, corpusN)
+    val st = new AnnDeleteState(ix, qs, empty)
+    st.corpusN = ix.e.filter("vec_id >= 10").count()
+    st
   }
+
+  /** Build the batch-invariant serve legs LAZILY, once per index
+    * version: eager state-build legs were measured WASTED work on
+    * s40's single-replay path (the first batch immediately crosses
+    * the compaction threshold, swapping the index before the
+    * pre-compaction legs ever serve — the door paid the full
+    * search+scoring twice, 7 → 14 s isolated). Deferred to the
+    * first serve that needs them, each index version's legs are
+    * built exactly once — `legBuilds` counts the builds (the
+    * no-per-batch-re-scoring spec pin). */
+  private[graft] def annLegs(st: AnnDeleteState): Unit =
+    if (st.visited == null) {
+      val (v, sc) = graft.operators.Knn.v27ServeLegs(st.ix, st.qs)
+      st.visited = v
+      st.scored = sc
+      st.legBuilds += 1
+    }
 
   /** One micro-batch through the erasure door — factored so the
     * MemoryStream spec drives the identical code across batches.
@@ -1465,6 +1481,7 @@ object EventStreams {
       st.deleted = st.deleted.localCheckpoint()
       graft.functions.Lineage.freeCheckpoint(od)
     }
+    annLegs(st)
     graft.operators.Knn.v27ServeCached(st.visited, st.scored, st.deleted)
   }
 
@@ -1553,15 +1570,18 @@ object EventStreams {
       st.ix.reps.unpersist()
       st.ix = graft.operators.Knn.V21Static(eLive, g, reps.persist(), cents)
       st.deleted = ss.range(0).selectExpr("id AS vec_id").localCheckpoint()
-      val (ov, os) = (st.visited, st.scored)
-      val (nv, nsc) = graft.operators.Knn.v27ServeLegs(st.ix, st.qs)
-      st.visited = nv
-      st.scored = nsc
-      graft.functions.Lineage.freeCheckpoint(ov)
-      graft.functions.Lineage.freeCheckpoint(os)
+      // the index swap INVALIDATES the cached legs — free them (if
+      // any batch ever built them) and let the next serve lazy-build
+      // over the compacted index
+      if (st.visited != null) {
+        graft.functions.Lineage.freeCheckpoint(st.visited)
+        graft.functions.Lineage.freeCheckpoint(st.scored)
+        st.visited = null
+        st.scored = null
+      }
       st.corpusN = eLive.filter("vec_id >= 10").count()
-      st.legBuilds += 1
     }
+    annLegs(st)
     graft.operators.Knn.v27ServeCached(st.visited, st.scored, st.deleted)
   }
 
