@@ -1289,4 +1289,62 @@ object Relational {
       |  AND o_orderdate < TIMESTAMP '1995-04-01 00:00:00'
       |GROUP BY l_returnflag
       |ORDER BY l_returnflag""".stripMargin
+
+  // ---------- q40: VARIANT shred (Spark 4 semi-structured type) ----------
+
+  /** q40: VARIANT SHRED — Spark 4's native semi-structured type on a
+    * nested heterogeneous document: `parse_json` decodes each event's
+    * composed JSON (object nesting + an array) into the BINARY
+    * variant encoding ONCE, then `variant_get` extracts TYPED paths
+    * (nested object fields, array indices) with engine-native casts —
+    * no per-access string re-parsing, which is exactly why a 100 TB
+    * semi-structured lake stores VARIANT instead of JSON text: parse
+    * cost is paid once at ingest, typed access stays codegen'd, and
+    * parquet-level shredding keeps path pushdown available. The
+    * aggregate then runs on the shredded typed columns like any
+    * relational query (q20 is the from_json string-schema
+    * counterpart; this is the schemaless-ingest one).
+    *
+    * Scale: one narrow parse+shred map + one aggregate shuffle on
+    * (src, pri); the variant value never leaves the map stage.
+    */
+  def q40(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, dir)
+      .selectExpr("""parse_json(concat('{"meta":{"src":"', event_type,
+        '","pri":', CAST(event_id % 5 AS STRING),
+        '},"payload":', props,
+        ',"tags":[', CAST(event_id % 3 AS STRING), ',',
+        CAST(event_id % 7 AS STRING), ']}')) AS v""")
+      .selectExpr("variant_get(v, '$.meta.src', 'string') AS src",
+        "variant_get(v, '$.meta.pri', 'bigint') AS pri",
+        "variant_get(v, '$.payload.k', 'bigint') AS k",
+        "variant_get(v, '$.tags[0]', 'bigint') AS t0",
+        "variant_get(v, '$.tags[1]', 'bigint') AS t1")
+      .groupBy($"src", $"pri")
+      .agg(count(lit(1)).as("n"), sum($"k").as("sum_k"),
+        sum($"t0" * 7 + $"t1").as("tag_mix"))
+      .transform(Tables.ordered(_, $"src", $"pri"))
+  }
+
+  /** q40 oracle: the identical composed document shredded with
+    * DuckDB's JSON path extraction and the same typed casts. */
+  val q40Sql: String =
+    """WITH j AS (SELECT
+      |    '{"meta":{"src":"' || event_type || '","pri":' ||
+      |    CAST(event_id % 5 AS VARCHAR) || '},"payload":' || props ||
+      |    ',"tags":[' || CAST(event_id % 3 AS VARCHAR) || ',' ||
+      |    CAST(event_id % 7 AS VARCHAR) || ']}' AS doc
+      |  FROM events),
+      |x AS (SELECT json_extract_string(doc, '$.meta.src') AS src,
+      |    CAST(json_extract(doc, '$.meta.pri') AS BIGINT) AS pri,
+      |    CAST(json_extract(doc, '$.payload.k') AS BIGINT) AS k,
+      |    CAST(json_extract(doc, '$.tags[0]') AS BIGINT) AS t0,
+      |    CAST(json_extract(doc, '$.tags[1]') AS BIGINT) AS t1
+      |  FROM j)
+      |SELECT src, pri, CAST(count(*) AS BIGINT) AS n,
+      |  CAST(sum(k) AS BIGINT) AS sum_k,
+      |  CAST(sum(t0 * 7 + t1) AS BIGINT) AS tag_mix
+      |FROM x GROUP BY 1, 2
+      |ORDER BY src, pri""".stripMargin
 }

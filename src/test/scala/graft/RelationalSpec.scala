@@ -119,6 +119,30 @@ class RelationalSpec extends AnyFunSuite {
     }
   }
 
+  test("q40: variant shred equals a sequential JSON recompute; typed gets and missing paths behave") {
+    val rows = Relational.q40(spark, sf).collect()
+      .map(r => (r.getAs[String]("src"), r.getAs[Long]("pri"),
+        r.getAs[Long]("n"), r.getAs[Long]("sum_k"), r.getAs[Long]("tag_mix")))
+    val ev = Tables.events(spark, sf)
+      .selectExpr("event_id", "event_type",
+        "CAST(get_json_object(props, '$.k') AS BIGINT) AS k")
+      .as[(Long, String, Long)].collect()
+    val want = ev.groupBy(e => (e._2, e._1 % 5)).toSeq.map {
+      case ((src, pri), g) =>
+        (src, pri, g.size.toLong, g.map(_._3).sum,
+          g.map(e => (e._1 % 3) * 7 + (e._1 % 7)).sum)
+    }.sortBy(t => (t._1, t._2))
+    assert(rows.toSeq == want && rows.nonEmpty)
+    // the intermediate genuinely is the binary VARIANT type, and a
+    // missing path is NULL, not an error (schemaless-ingest contract)
+    val v = spark.sql("""SELECT parse_json('{"a":1}') AS v""")
+    assert(v.schema.head.dataType.typeName == "variant")
+    val miss = spark.sql(
+      """SELECT variant_get(parse_json('{"a":1}'), '$.b', 'bigint') AS m""")
+      .collect().head
+    assert(miss.isNullAt(0))
+  }
+
   test("q21: trailing-30d spend is at least the order's own price") {
     val got = Relational.q21(spark, sf)
       .join(Tables.orders(spark, sf), Seq("o_orderkey"))
