@@ -3047,6 +3047,106 @@ object Knn {
     v27ServeCached(visited, scored, deleted)
   }
 
+  // ---------- v29: index persistence (ship the trained index) ----------
+
+  /** Persist a trained [[V21Static]] index to a directory: one
+    * parquet dataset per component (corpus vectors, navigable
+    * graph, entry representatives, the bounded coarse codebook) and
+    * a _MANIFEST recording each component's exact row count — the
+    * commit marker that makes the load COMMITTED-READ (the
+    * ForecastStore discipline): a partially written or tampered
+    * store can't be served from silently. */
+  private[graft] def saveIndex(ix: V21Static, dir: String): Unit = {
+    val spark = ix.e.sparkSession
+    import spark.implicits._
+    ix.e.select($"vec_id", $"nv").write.parquet(s"$dir/vectors")
+    ix.graph.write.parquet(s"$dir/graph")
+    ix.reps.write.parquet(s"$dir/reps")
+    ix.cents.toSeq.toDF("cid", "cv").write.parquet(s"$dir/cents")
+    val counts = Seq(
+      "vectors" -> ix.e.count(), "graph" -> ix.graph.count(),
+      "reps" -> ix.reps.count(), "cents" -> ix.cents.length.toLong)
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dir, "_MANIFEST"),
+      counts.map { case (c, n) => s"$c $n" }
+        .mkString("\n").getBytes("UTF-8"))
+    ()
+  }
+
+  /** Load a persisted index back into the partitioned serving form.
+    * Every component's row count is verified against the manifest
+    * BEFORE the index serves (a missing manifest or a count drift —
+    * lost parquet part, tampered file — fails loudly); junk files
+    * beside the component directories are ignored (reads are
+    * manifest-scoped, never listing-scoped). The codebook is
+    * re-collected ordered by cid so probe order is exactly the
+    * trained index's. */
+  private[graft] def loadIndex(spark: SparkSession, dir: String): V21Static = {
+    import spark.implicits._
+    val mf = java.nio.file.Paths.get(dir, "_MANIFEST")
+    require(java.nio.file.Files.exists(mf), s"no _MANIFEST in $dir — uncommitted store")
+    val want = new String(java.nio.file.Files.readAllBytes(mf), "UTF-8")
+      .split("\n").map(_.split(" ")).map(a => a(0) -> a(1).toLong).toMap
+    val e = spark.read.parquet(s"$dir/vectors")
+    val graph = spark.read.parquet(s"$dir/graph").cache()
+    val reps = spark.read.parquet(s"$dir/reps")
+    val cents = spark.read.parquet(s"$dir/cents")
+      .as[(Long, Array[Double])].collect().sortBy(_._1)
+    // The gate protects a COLD load — the fresh serving process
+    // bootstrapping from shared storage, which is where a torn
+    // write bites. In a session that already cached a prior load
+    // of the same path, Spark's CacheManager substitutes the
+    // InMemoryRelation subtree into ANY new read of it (measured:
+    // even a filter-wrapped recount served the warm cache), so a
+    // warm process keeps serving its loaded version — the correct
+    // Spark semantics for data it chose to cache. The spec
+    // simulates the cold process with clearCache().
+    Seq("vectors" -> e.count(), "graph" -> graph.count(),
+      "reps" -> reps.count(), "cents" -> cents.length.toLong)
+      .foreach { case (c, n) =>
+        require(want.get(c).contains(n),
+          s"index component $c: $n rows != manifest ${want.get(c)} — refusing to serve")
+      }
+    V21Static(e, graph, reps.persist(), cents)
+  }
+
+  /** v29: INDEX PERSISTENCE — the lifecycle leg that SEPARATES the
+    * training job from the serving fleet: v21 builds and serves in
+    * one process, but production ships the trained index as an
+    * artifact — built once on the batch cluster, written to shared
+    * storage, loaded by N serving processes that never see the
+    * training pipeline. This operator proves that split end-to-end:
+    * build v21's exact index, [[saveIndex]] it (per-component
+    * parquet + a row-count _MANIFEST commit marker), [[loadIndex]]
+    * it back through the committed-read gate, and serve the
+    * standing query set FROM THE LOADED index — the rows are batch
+    * v21's bitwise (doubles round-trip parquet exactly; the
+    * codebook reloads ordered; the beam schedule re-derives from
+    * the loaded corpus count). Oracle: [[v21Sql]] verbatim (twin
+    * contract — the artifact boundary must be semantically
+    * invisible).
+    *
+    * Scale: the save is three partitioned parquet writes + one
+    * bounded codebook write; the load is manifest-gated parquet
+    * scans — the index never collects to the driver in either
+    * direction. At 100 TB this is exactly how the serving fleet
+    * bootstraps: no fleet re-trains, and a torn write can't serve.
+    */
+  def v29(spark: SparkSession, dir: String): DataFrame = {
+    val ix = v21Static(spark, dir)
+    val store = java.nio.file.Files.createTempDirectory("graft_v29_")
+      .toFile
+    graft.operators.Incremental.cleanupOnExit(store)
+    saveIndex(ix, store.getAbsolutePath)
+    val ix2 = loadIndex(spark, store.getAbsolutePath)
+    v21ServeBatch(ix2, codebook(vectors(spark, dir), "vec_id < 10"))
+      .transform(graft.Tables.ordered(_, col("qid"), col("rnk")))
+  }
+
+  /** v29 oracle: v21's, verbatim — the artifact round-trip is
+    * semantically invisible. */
+  val v29Sql: String = v21Sql
+
   // ---------- v28: ANN compaction (tombstone rebuild) ----------
 
   /** v28: ANN COMPACTION — the consumer of v27's dial, closing the

@@ -594,6 +594,76 @@ object Quality {
       |  CAST(CASE WHEN 2 * dev2 > 3 * mad4 THEN 1 ELSE 0 END AS BIGINT) AS is_outlier
       |FROM dv, mc
       |ORDER BY day""".stripMargin
+
+  // ---------- dq7: functional-dependency audit ----------
+
+  /** dq7: FUNCTIONAL-DEPENDENCY AUDIT — the constraint-MINING pass
+    * profiling tools run where dq1 VALIDATES declared rules: does
+    * column A determine column B in the data (A → B), and if not,
+    * how badly is it broken? For each candidate FD the audit
+    * reports the LHS group count, how many groups see more than one
+    * distinct RHS (the violating witnesses), the worst group's RHS
+    * fan-out, a holds flag, and support in exact permille
+    * (non-violating/groups — a §8.39-safe non-negative integral
+    * division). Candidates span the spectrum the spec needs: a
+    * discovered unique key (n_name → n_regionkey holds though
+    * n_name is not the declared key), a declared-key LHS
+    * (c_custkey → c_mktsegment, trivially holds — the sanity
+    * anchor), and three genuinely violated dependencies with
+    * different support levels.
+    *
+    * Scale shape: per candidate ONE (lhs → count distinct rhs)
+    * aggregate plus one audit-grain rollup — all equality-keyed and
+    * map-side combinable; the audit table is candidates-sized.
+    */
+  def dq7(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    def fd(name: String, df: DataFrame, lhs: String, rhs: String)
+        : DataFrame = {
+      val g = df.groupBy(col(lhs).as("l"))
+        .agg(countDistinct(col(rhs)).as("nr"))
+      g.agg(count(lit(1)).as("n_groups"),
+          sum(when($"nr" > 1, 1L).otherwise(0L)).as("n_violating"),
+          max($"nr").as("max_rhs"))
+        .selectExpr(s"'$name' AS fd", "n_groups", "n_violating", "max_rhs",
+          "n_violating = 0 AS holds",
+          "CAST((n_groups - n_violating) * 1000 div n_groups AS BIGINT) AS support_permille")
+    }
+    fd("nation.n_name->n_regionkey", Tables.nation(spark, dir),
+        "n_name", "n_regionkey")
+      .unionByName(fd("customer.c_custkey->c_mktsegment",
+        Tables.customer(spark, dir), "c_custkey", "c_mktsegment"))
+      .unionByName(fd("orders.o_custkey->o_orderpriority",
+        Tables.orders(spark, dir), "o_custkey", "o_orderpriority"))
+      .unionByName(fd("lineitem.l_orderkey->l_suppkey",
+        Tables.lineitem(spark, dir), "l_orderkey", "l_suppkey"))
+      .unionByName(fd("events.user_id->event_type",
+        Tables.events(spark, dir), "user_id", "event_type"))
+      .transform(graft.Tables.ordered(_, col("fd")))
+  }
+
+  /** dq7 oracle: the same five candidate audits as plain GROUP BYs. */
+  val dq7Sql: String = {
+    def fd(name: String, table: String, lhs: String, rhs: String): String =
+      s"""SELECT '$name' AS fd, CAST(count(*) AS BIGINT) AS n_groups,
+         |  CAST(sum(CASE WHEN nr > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_violating,
+         |  CAST(max(nr) AS BIGINT) AS max_rhs,
+         |  sum(CASE WHEN nr > 1 THEN 1 ELSE 0 END) = 0 AS holds,
+         |  CAST((count(*) - sum(CASE WHEN nr > 1 THEN 1 ELSE 0 END)) * 1000
+         |    // count(*) AS BIGINT) AS support_permille
+         |FROM (SELECT $lhs, CAST(count(DISTINCT $rhs) AS BIGINT) AS nr
+         |      FROM $table GROUP BY 1)""".stripMargin
+    Seq(
+      fd("nation.n_name->n_regionkey", "nation", "n_name", "n_regionkey"),
+      fd("customer.c_custkey->c_mktsegment", "customer",
+        "c_custkey", "c_mktsegment"),
+      fd("orders.o_custkey->o_orderpriority", "orders",
+        "o_custkey", "o_orderpriority"),
+      fd("lineitem.l_orderkey->l_suppkey", "lineitem",
+        "l_orderkey", "l_suppkey"),
+      fd("events.user_id->event_type", "events", "user_id", "event_type"))
+      .mkString("", "\nUNION ALL\n", "\nORDER BY fd")
+  }
 }
 
 /** Distinct grid cells shared by w15's two sides. */

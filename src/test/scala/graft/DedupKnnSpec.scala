@@ -1837,6 +1837,65 @@ class DedupKnnSpec extends AnyFunSuite {
     assert(recall >= 0.8, s"live recall $recall")
   }
 
+  test("v29: persisted index serves bitwise-identically; the committed-read gates refuse torn or tampered stores") {
+    def parse(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Int]("rnk"),
+        r.getAs[Long]("vec_id"), r.getAs[Double]("cos_sim"),
+        r.getAs[Long]("in_exact"))).toSeq
+    // the artifact boundary is semantically invisible: save → load →
+    // serve equals the in-memory build's serve, bitwise
+    val viaStore = parse(Knn.v29(spark, sf)).sorted
+    val inMemory = parse(Knn.v21(spark, sf)).sorted
+    assert(viaStore == inMemory && viaStore.nonEmpty)
+    // the gates: build a store by hand and damage it per failure class
+    val ix = Knn.v21Static(spark, sf)
+    val root = java.nio.file.Files.createTempDirectory("graft_v29_spec_")
+    val store = root.toString
+    Knn.saveIndex(ix, store)
+    def walkFiles(sub: String) = {
+      val d = new java.io.File(store, sub)
+      // largest first — small parts can be row-empty, and deleting
+      // one of those would not drift the count the gate watches
+      d.listFiles().filter(_.getName.endsWith(".parquet")).sortBy(-_.length())
+    }
+    try {
+      // healthy store loads and serves
+      assert(Knn.loadIndex(spark, store).cents.nonEmpty)
+      // junk beside the components is ignored (manifest-scoped reads)
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(store, "junk.bin"), Array[Byte](1, 2, 3))
+      assert(Knn.loadIndex(spark, store).cents.nonEmpty)
+      // a lost graph part = count drift → a COLD process (the real
+      // consumer of the gate — a fresh serving fleet bootstrapping
+      // from storage) refuses to serve; clearCache() simulates the
+      // cold process, since a warm one correctly keeps serving the
+      // version it already loaded and cached
+      val part = walkFiles("graph").head
+      val bytes = java.nio.file.Files.readAllBytes(part.toPath)
+      assert(part.delete())
+      spark.catalog.clearCache()
+      intercept[IllegalArgumentException](Knn.loadIndex(spark, store))
+      java.nio.file.Files.write(part.toPath, bytes) // restore
+      spark.catalog.clearCache()
+      assert(Knn.loadIndex(spark, store).cents.nonEmpty)
+      // a tampered manifest count → refuse
+      val mf = java.nio.file.Paths.get(store, "_MANIFEST")
+      val orig = new String(java.nio.file.Files.readAllBytes(mf), "UTF-8")
+      java.nio.file.Files.write(mf,
+        orig.replaceFirst("graph \\d+", "graph 1").getBytes("UTF-8"))
+      intercept[IllegalArgumentException](Knn.loadIndex(spark, store))
+      java.nio.file.Files.write(mf, orig.getBytes("UTF-8"))
+      // a missing manifest (torn write — marker never landed) → refuse
+      java.nio.file.Files.delete(mf)
+      intercept[IllegalArgumentException](Knn.loadIndex(spark, store))
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        val cs = f.listFiles(); if (cs != null) cs.foreach(rm); f.delete(); ()
+      }
+      rm(root.toFile)
+    }
+  }
+
   test("v28: compaction rebuild — the dial reads 0 on every query, tombstones leave the index, recall holds") {
     def parse(df: org.apache.spark.sql.DataFrame) = df.collect()
       .map(r => (r.getAs[Long]("qid"), r.getAs[Int]("rnk"),

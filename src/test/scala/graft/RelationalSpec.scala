@@ -2702,6 +2702,34 @@ class RelationalSpec extends AnyFunSuite {
     assert(maxHead <= minTail)
   }
 
+  test("dq7: FD audit equals a sequential recompute; both arms and the support arithmetic hold") {
+    val rows = graft.operators.Quality.dq7(spark, sf).collect()
+      .map(r => (r.getAs[String]("fd"), r.getAs[Long]("n_groups"),
+        r.getAs[Long]("n_violating"), r.getAs[Long]("max_rhs"),
+        r.getAs[Boolean]("holds"), r.getAs[Long]("support_permille")))
+    assert(rows.length == 5)
+    // sequential recompute of the worst-broken candidate
+    val li = Tables.lineitem(spark, sf)
+      .selectExpr("l_orderkey", "l_suppkey").as[(Long, Long)].collect()
+    val byOk = li.groupBy(_._1).view.mapValues(_.map(_._2).distinct.size).toMap
+    val ng = byOk.size.toLong
+    val nv = byOk.values.count(_ > 1).toLong
+    val got = rows.find(_._1 == "lineitem.l_orderkey->l_suppkey").get
+    assert(got._2 == ng && got._3 == nv)
+    assert(got._4 == byOk.values.max.toLong)
+    assert(got._6 == (ng - nv) * 1000L / ng)
+    // every row's internal consistency + both audit arms on the data
+    rows.foreach { case (_, g, v, mx, holds, sp) =>
+      assert(holds == (v == 0L))
+      assert(if (holds) mx == 1L && sp == 1000L else mx > 1L && sp < 1000L)
+      assert(v <= g && sp == (g - v) * 1000L / g)
+    }
+    assert(rows.exists(_._5) && rows.exists(!_._5))
+    // the discovered-key case: n_name determines region though it is
+    // not the declared key
+    assert(rows.find(_._1 == "nation.n_name->n_regionkey").get._5)
+  }
+
   test("dq6: MAD outliers equal a sequential recompute; every seeded spike flags") {
     val got = graft.operators.Quality.dq6(spark, sf).collect()
       .map(r => (r.getAs[Long]("day"), r.getAs[Long]("n_events"),
