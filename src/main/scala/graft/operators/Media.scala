@@ -2455,7 +2455,8 @@ object Media {
   }
 
   private[graft] case class TarMember(idx: Long, name: String, ext: String,
-      key: String, size: Long, chksumOk: Long, magicOk: Long)
+      key: String, size: Long, chksumOk: Long, magicOk: Long,
+      off: Long = 0L)
 
   /** Walk a TAR archive generically — header checksum recomputed
     * (chksum field as spaces, per the ustar definition), octal size
@@ -2495,7 +2496,8 @@ object Media {
         val (key, ext) =
           if (dot > 0) (name.substring(0, dot), name.substring(dot + 1))
           else (name, "")
-        out += TarMember(idx, name, ext, key, size, chksumOk, magicOk)
+        out += TarMember(idx, name, ext, key, size, chksumOk, magicOk,
+          pos.toLong)
         // a size the archive cannot contain is a lie — halt, the
         // downstream offsets are unrecoverable (and never let a
         // huge field overflow the block arithmetic)
@@ -2688,6 +2690,96 @@ object Media {
       |  k.n_shards > 1 AS cross_shard
       |FROM samp s JOIN kg k ON k.skey = s.skey
       |ORDER BY s.doc_id, s.skey""".stripMargin
+
+  // ---------- m26: WebDataset shard byte-offset index ----------
+
+  /** Render the multi-block shard variant the index op needs:
+    * sample a's text member is 400 + (id%17)·20 bytes (up to 720 —
+    * crossing the 512-byte block boundary for most documents, so
+    * the ceil-to-block offset arithmetic is genuinely exercised,
+    * not constant), its label 1 byte; sample b a short text + label
+    * (single-block members — both arithmetic arms on the data). */
+  private[graft] def buildTar26(id: Long, s: String): String = {
+    val sa = (400 + (id % 17) * 20).toInt
+    val sb = (30 + id % 13).toInt
+    val long = (s * 12).substring(0, sa)
+    val members = Seq(
+      (s"${id}a.txt", long),
+      (s"${id}a.cls", (id % 10).toString),
+      (s"${id}b.txt", s.substring(0, sb)),
+      (s"${id}b.cls", (id % 7).toString))
+    members.map { case (n, body) =>
+      val padded = body + nul.toString * ((512 - body.length % 512) % 512)
+      tarHeader(n, body.length.toLong) + padded
+    }.mkString + (nul.toString * 1024)
+  }
+
+  /** m26: SHARD BYTE-OFFSET INDEX — the `.idx` sidecar WebDataset
+    * readers build so training can SEEK into tar shards instead of
+    * streaming them head-to-tail (random access is what makes
+    * shuffled multi-epoch reading affordable: resume, sample, and
+    * shard-parallel decode all address members by offset). The
+    * index row per member is (header offset, data offset = header +
+    * 512, size), read off the REAL walk — the same ustar
+    * block-accounting walk as m22, whose position IS the offset —
+    * over a multi-block fixture ([[buildTar26]] — member sizes
+    * cross the 512 boundary, so ceil-to-block arithmetic is
+    * genuinely on the data). The ORACLE re-derives every offset
+    * arithmetically from the size formulas (header + ⌈size/512⌉
+    * blocks, the construction-oracle idiom), and the spec pins the
+    * SEEK CONTRACT itself: the bytes at [data_offset, data_offset +
+    * size) are exactly the member's body.
+    *
+    * Scale: render+walk+index in ONE narrow flatMap, zero shuffles
+    * — the index build is a single pass over each shard, and the
+    * index table (offsets + sizes, no payloads) is what ships to
+    * the readers.
+    */
+  def m26(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .filter($"doc_id" % 3 === 0)
+      .selectExpr("doc_id", "rpad(substring(text, 1, 61), 61, ' ') AS s")
+      .as[(Long, String)]
+      .flatMap { case (id, s) =>
+        val t = buildTar26(id, s)
+        val (ms, endOk) = tarMembers(t)
+        ms.map(m => (id, m.idx, m.name, m.off, m.off + 512L, m.size,
+          t.length.toLong, endOk))
+      }
+      .toDF("doc_id", "member_idx", "name", "hdr_offset", "data_offset",
+        "size", "shard_len", "end_ok")
+      .transform(graft.Tables.ordered(_, $"doc_id", $"member_idx"))
+  }
+
+  /** m26 oracle: offsets re-derived arithmetically — each member
+    * occupies 512 header bytes + ⌈size/512⌉ content blocks; the
+    * shard ends with two zero blocks. */
+  val m26Sql: String =
+    """WITH p AS (SELECT doc_id,
+      |        CAST(400 + (doc_id % 17) * 20 AS BIGINT) AS sa,
+      |        CAST(30 + doc_id % 13 AS BIGINT) AS sb
+      |      FROM documents WHERE doc_id % 3 = 0),
+      |m AS (
+      |  SELECT doc_id, 0 AS idx, CAST(doc_id AS VARCHAR) || 'a.txt' AS name,
+      |    sa AS size, CAST(0 AS BIGINT) AS hdr FROM p
+      |  UNION ALL SELECT doc_id, 1, CAST(doc_id AS VARCHAR) || 'a.cls', 1,
+      |    512 + ((sa + 511) // 512) * 512 FROM p
+      |  UNION ALL SELECT doc_id, 2, CAST(doc_id AS VARCHAR) || 'b.txt', sb,
+      |    1024 + ((sa + 511) // 512) * 512 + 512 FROM p
+      |  UNION ALL SELECT doc_id, 3, CAST(doc_id AS VARCHAR) || 'b.cls', 1,
+      |    1536 + ((sa + 511) // 512) * 512 + 512 + ((sb + 511) // 512) * 512
+      |    FROM p),
+      |tot AS (SELECT doc_id,
+      |    CAST(2048 + ((sa + 511) // 512) * 512 + 512
+      |      + ((sb + 511) // 512) * 512 + 512 + 1024 AS BIGINT) AS shard_len
+      |  FROM p)
+      |SELECT m.doc_id, CAST(m.idx AS BIGINT) AS member_idx, m.name,
+      |  CAST(m.hdr AS BIGINT) AS hdr_offset,
+      |  CAST(m.hdr + 512 AS BIGINT) AS data_offset, m.size,
+      |  tot.shard_len, CAST(1 AS BIGINT) AS end_ok
+      |FROM m JOIN tot ON tot.doc_id = m.doc_id
+      |ORDER BY m.doc_id, member_idx""".stripMargin
 
   // ---------- m23: EXIF/APP1 metadata walk (the image-PII leg) ----------
 

@@ -1290,6 +1290,66 @@ object Relational {
       |GROUP BY l_returnflag
       |ORDER BY l_returnflag""".stripMargin
 
+  // ---------- q41: native recursive CTE (Spark 4 UnionLoop) ----------
+
+  /** q41: NATIVE RECURSIVE CTE — Spark 4's engine-level recursion
+    * (`WITH RECURSIVE` → a `UnionLoop` plan) on q27's parent
+    * forest, the counterpart surface to q27's HAND-ROLLED
+    * pointer-jumping fixpoint: q27 shows how to build recursion
+    * from equality joins when the engine lacks it; q41 exercises
+    * the engine's own operator the way a user would write it —
+    * anchor = the forest's roots, recursive arm = children joined
+    * one level at a time, each node visited exactly once (a forest
+    * has unique parents, so the loop terminates at max-depth
+    * iterations with no cycle guard needed). Same (root, depth)
+    * output as q27 over the same forest — the two implementations
+    * cross-check each other through their shared oracle family.
+    *
+    * Scale: the loop body is one equality join per level between
+    * the frontier (≤ level width) and the forest — level count is
+    * O(log n) on this fixture (binary parent), and Spark's
+    * recursion limit (spark.sql.cteRecursionLevelLimit, default
+    * 100) bounds the unroll. Contrast q27: pointer jumping needs
+    * only ceil(log2 depth) rounds but rewrites the WHOLE node set
+    * per round — native recursion touches each node once and only
+    * frontier-sized state per level; at 100 TB with shallow
+    * hierarchies the native loop does strictly less work.
+    */
+  def q41(spark: SparkSession, dir: String): DataFrame = {
+    Tables.customer(spark, dir).selectExpr(
+        "c_custkey AS id",
+        "CASE WHEN c_custkey % 97 = 0 OR c_custkey = 1 THEN c_custkey ELSE c_custkey div 2 END AS ptr")
+      .createOrReplaceTempView("q41_forest")
+    spark.sql(
+      """WITH RECURSIVE h AS (
+        |  SELECT id, id AS root, CAST(0 AS BIGINT) AS depth
+        |  FROM q41_forest WHERE id = ptr
+        |  UNION ALL
+        |  SELECT f.id, h.root, h.depth + 1
+        |  FROM q41_forest f JOIN h ON f.ptr = h.id WHERE f.id <> f.ptr
+        |)
+        |SELECT id AS c_custkey, root, depth FROM h
+        |ORDER BY c_custkey""".stripMargin)
+  }
+
+  /** q41 oracle: the identical recursive query — DuckDB's own
+    * WITH RECURSIVE, `//` for the floor division (non-negative
+    * operands, §8.39-safe). */
+  val q41Sql: String =
+    """WITH RECURSIVE f AS (SELECT c_custkey AS id,
+      |    CASE WHEN c_custkey % 97 = 0 OR c_custkey = 1 THEN c_custkey
+      |         ELSE c_custkey // 2 END AS ptr
+      |  FROM customer),
+      |h AS (
+      |  SELECT id, id AS root, CAST(0 AS BIGINT) AS depth
+      |  FROM f WHERE id = ptr
+      |  UNION ALL
+      |  SELECT f2.id, h.root, h.depth + 1
+      |  FROM f f2 JOIN h ON f2.ptr = h.id WHERE f2.id <> f2.ptr
+      |)
+      |SELECT id AS c_custkey, root, depth FROM h
+      |ORDER BY c_custkey""".stripMargin
+
   // ---------- q40: VARIANT shred (Spark 4 semi-structured type) ----------
 
   /** q40: VARIANT SHRED — Spark 4's native semi-structured type on a

@@ -531,6 +531,36 @@ class ChartPngSpec extends AnyFunSuite {
     assert(!Media.jpegMarkers(3L, bad).soi_ok)
   }
 
+  test("m26: the shard index satisfies the seek contract; multi-block offsets are real; truncation stops it") {
+    import graft.operators.Media
+    val s = "TARthe quick brown fox jumps over the lazy dog padding!!"
+      .padTo(61, ' ')
+    val id = 6L // a.txt size = 400 + (6 % 17) * 20 = 520 — TWO blocks
+    val t = Media.buildTar26(id, s)
+    val (ms, endOk) = Media.tarMembers(t)
+    assert(endOk == 1L && ms.size == 4)
+    // SEEK CONTRACT: the bytes at [data_offset, data_offset + size)
+    // ARE the member body — random access without streaming the shard
+    val exp = Seq((s * 12).substring(0, 520), (id % 10).toString,
+      s.substring(0, (30 + id % 13).toInt), (id % 7).toString)
+    ms.zip(exp).foreach { case (m, body) =>
+      assert(t.substring((m.off + 512).toInt,
+        (m.off + 512 + m.size).toInt) == body, s"seek failed at ${m.name}")
+    }
+    // the two-block member really displaces its successor
+    assert(ms(1).off - ms(0).off == 512L + 1024L)
+    // both ceil-arithmetic arms live on the fixture: single- AND
+    // two-block first members occur among the doc ids
+    val rows = Media.m26(spark, SharedSpark.sf).collect()
+      .map(r => (r.getAs[Long]("member_idx"), r.getAs[Long]("hdr_offset")))
+    val firstGaps = rows.filter(_._1 == 1L).map(_._2).distinct.sorted.toSeq
+    assert(firstGaps == Seq(1024L, 1536L),
+      s"expected both block arms, got $firstGaps")
+    // truncating away a member's header stops the index at the damage
+    val (tm, te) = Media.tarMembers(t.dropRight(2200))
+    assert(te == 0L && tm.size < 4)
+  }
+
   test("m24: shard audit catches planted incomplete samples and the cross-shard key collision") {
     import graft.operators.Media
     val rows = Media.m24(spark, SharedSpark.sf).collect()

@@ -143,6 +143,24 @@ class RelationalSpec extends AnyFunSuite {
     assert(miss.isNullAt(0))
   }
 
+  test("q41: native recursive CTE agrees with q27's pointer jumping row for row; the plan genuinely recurses") {
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("c_custkey"), r.getAs[Long]("root"),
+        r.getAs[Long]("depth"))).toSeq
+    // the engine-native loop and the hand-rolled pointer-jumping
+    // fixpoint are independent implementations of the same closure —
+    // they must agree on every node
+    val nat = rows(Relational.q41(spark, sf))
+    val pj = rows(Relational.q27(spark, sf))
+    assert(nat == pj && nat.nonEmpty)
+    // the plan carries Spark 4's recursion operator, not an unrolled
+    // approximation
+    val plan = Relational.q41(spark, sf).queryExecution.optimizedPlan.toString
+    assert(plan.contains("UnionLoop"), s"no UnionLoop in plan:\n$plan")
+    // forest sanity: roots sit at depth 0 and only roots do
+    assert(nat.forall(t => (t._1 == t._2) == (t._3 == 0L)))
+  }
+
   test("q21: trailing-30d spend is at least the order's own price") {
     val got = Relational.q21(spark, sf)
       .join(Tables.orders(spark, sf), Seq("o_orderkey"))
