@@ -40,6 +40,26 @@ class PlanSpec extends AnyFunSuite {
     assert(!schema.contains("l_partkey") && !schema.contains("l_suppkey"))
   }
 
+  test("q40: the variant shred prunes the scan to the three referenced columns") {
+    val p = plan(Relational.q40(spark, sf))
+    val schema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(schema.contains("event_id") && schema.contains("event_type") &&
+      schema.contains("props"))
+    assert(!schema.contains("user_id") && !schema.contains("value"),
+      s"scan reads unreferenced columns: $schema")
+  }
+
+  test("m23/m26: the container walks are one scan with no shuffle before presentation") {
+    Seq(graft.operators.Media.m23(spark, sf),
+        graft.operators.Media.m26(spark, sf)).foreach { df =>
+      val p = plan(df).split("== Initial Plan ==")(0)
+      assert("Scan parquet".r.findAllIn(p).length == 1, "one scan only")
+      // render+walk fused narrow: only the presentation sort exchanges
+      val exchanges = "ShuffleQueryStage".r.findAllIn(p).length
+      assert(exchanges <= 1, s"walk should not shuffle; got $exchanges")
+    }
+  }
+
   test("w10: the near-land mask is a broadcast semi join") {
     val p = plan(Weather.w10(spark, sf))
     assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"))
