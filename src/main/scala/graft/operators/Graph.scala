@@ -2366,7 +2366,12 @@ object Graph {
       .selectExpr("least(src, dst) AS a", "greatest(src, dst) AS b")
       .distinct().cache()
     val labels = louvainStates(nodes, und, g24Rounds).last
-    val q = louvainQx4m2(und, labels)
+    // the 1-row Q numerator is checkpointed EAGERLY so the fixture
+    // caches can be dropped before the presentation frame returns —
+    // per-query caches must not accumulate across a 300-query session
+    val q = louvainQx4m2(und, labels).localCheckpoint()
+    nodes.unpersist(blocking = false)
+    und.unpersist(blocking = false)
     labels
       .join(labels.groupBy($"lbl").agg(count(lit(1)).as("csize")), Seq("lbl"))
       .crossJoin(broadcast(q))
@@ -2376,14 +2381,15 @@ object Graph {
   }
 
   /** The synchronous min-label Louvain core: `und` is the canonical
-    * undirected (a < b) edge set; returns the label frame after each
-    * round (index 0 = singletons), per-round state lineage-cut. With
-    * the default `keepAll = false` (the `.last`-only serving path)
-    * each superseded round's checkpoint is FREED as the next round
-    * lands — only the returned `.last` stays readable; a caller that
-    * reads the whole sequence (a monotone-Q audit) must pass
-    * `keepAll = true`, which keeps every per-round checkpoint alive
-    * (v21SearchOn's flag idiom).
+    * undirected (a < b) edge set; rounds run until convergence
+    * (zero moves) capped at `rounds`, per-round state lineage-cut.
+    * With the default `keepAll = false` (the `.last`-only serving
+    * path) each superseded round's checkpoint is FREED as the next
+    * round lands and ONLY the final frame is returned — a sequence
+    * of freed checkpoints would fail far from the cause (the
+    * round-14 misuse hole); a caller that reads the whole sequence
+    * (a monotone-Q audit) must pass `keepAll = true`, which keeps
+    * every per-round checkpoint alive (v21SearchOn's flag idiom).
     */
   private[graft] def louvainStates(nodes: DataFrame, und: DataFrame,
       rounds: Int, keepAll: Boolean = false): Seq[DataFrame] = {
@@ -2415,7 +2421,24 @@ object Graph {
     * with Σtot′ removing i's own strength when c is its current
     * community. Same downward-only min-label discipline, same
     * (gain DESC, stay-first, label ASC) struct-MIN argmax, same
-    * per-round lineage cuts as the unweighted level. */
+    * per-round lineage cuts as the unweighted level.
+    *
+    * Rounds run UNTIL CONVERGENCE (a round in which no node moves),
+    * capped at `rounds`: a zero-move round is a fixed point (each
+    * round is a pure function of the previous labeling, so every
+    * later round reproduces it verbatim), which is exactly why the
+    * oracle's FIXED-round CTE unroll still matches — its post-
+    * convergence rounds are provable no-ops. The move count rides
+    * the checkpointed label frame as a flag column (one cache-scan
+    * `isEmpty` per round — no extra shuffle), so at 100 TB a graph
+    * that stabilizes in 3 rounds pays 3, not the cap. With the
+    * default `keepAll = false` ONLY the final labeling is returned
+    * (superseded checkpoints are freed as rounds land — a caller
+    * holding the full sequence would be holding unreadable frames,
+    * the round-14 misuse hole); `keepAll = true` keeps and returns
+    * every round's state (index 0 = singletons) for the monotone-Q
+    * audit. The strength cache is dropped once the last round's
+    * checkpoint lands. */
   private[graft] def louvainStatesW(init: DataFrame, edgesW: DataFrame,
       degAll0: DataFrame, m: Long, rounds: Int, keepAll: Boolean = false)
       : Seq[DataFrame] = {
@@ -2424,7 +2447,10 @@ object Graph {
     val degAll = degAll0.cache()
     var labels = init.select($"id", $"lbl").localCheckpoint()
     val states = scala.collection.mutable.ArrayBuffer(labels)
-    (1 to rounds).foreach { _ =>
+    var r = 0
+    var moved = true
+    while (moved && r < rounds) {
+      r += 1
       val tot = labels.join(degAll, Seq("id"))
         .groupBy($"lbl".as("c")).agg(sum($"d").as("tot"))
       val kin = edgesW
@@ -2450,14 +2476,20 @@ object Graph {
         // struct-MIN (map-side combinable)
         .agg(min(struct(($"gain" * -1).as("ng"), $"mv", $"c")).as("w"))
         .selectExpr("id", "w.c AS wlbl")
+      // the moved flag is checkpointed WITH the labels, so the
+      // convergence probe is a scan of the materialized round, not
+      // a second aggregate
       val next = labels.join(winner, Seq("id"), "left_outer")
-        .selectExpr("id", "coalesce(wlbl, lbl) AS lbl")
+        .selectExpr("id", "coalesce(wlbl, lbl) AS lbl",
+          "CASE WHEN wlbl IS NOT NULL AND wlbl <> lbl THEN 1 ELSE 0 END AS mv")
         .localCheckpoint()
+      moved = !next.filter($"mv" === 1).isEmpty
       if (!keepAll) graft.functions.Lineage.freeCheckpoint(labels)
-      labels = next
-      states += next
+      labels = next.select($"id", $"lbl")
+      states += labels
     }
-    states.toSeq
+    degAll.unpersist(blocking = false)
+    if (keepAll) states.toSeq else Seq(labels)
   }
 
   /** Exact modularity numerator Q·4m² of a labeling over `und` —
@@ -2623,7 +2655,13 @@ object Graph {
     val l2 = louvainStatesW(init2, cedges, sdeg, m, g25Rounds).last
     val composed = l1.select($"id", $"lbl".as("c1"))
       .join(l2.select($"id".as("c1"), $"lbl".as("community")), Seq("c1"))
+    // eager 1-row checkpoint, then drop the per-query caches — the
+    // presentation frame below reads only checkpointed label frames
     val q = louvainQx4m2(und, composed.select($"id", $"community".as("lbl")))
+      .localCheckpoint()
+    nodes.unpersist(blocking = false)
+    und.unpersist(blocking = false)
+    lc.unpersist(blocking = false)
     composed
       .join(composed.groupBy($"community").agg(count(lit(1)).as("csize")),
         Seq("community"))
@@ -2761,6 +2799,14 @@ object Graph {
       graft.functions.Lineage.freeCheckpoint(rank)
       rank = next
     }
+    // rank is checkpointed — drop the per-query caches before the
+    // presentation frame returns (it reads only rank + the
+    // checkpointed l1)
+    linked.unpersist(blocking = false)
+    comms.unpersist(blocking = false)
+    lc.unpersist(blocking = false)
+    und.unpersist(blocking = false)
+    nodes.unpersist(blocking = false)
     val sz = l1.groupBy($"lbl".as("id")).agg(count(lit(1)).as("csize"))
     rank.join(sz, Seq("id"))
       .select($"id".as("community"), $"csize", $"r".as("rank_mass"))

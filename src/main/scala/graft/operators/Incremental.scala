@@ -79,7 +79,7 @@ object Incremental {
       }, "graft-tmp-clean"))
       true
     } catch { case _: IllegalStateException => false }
-  private[operators] def cleanupOnExit(f: java.io.File): Unit = {
+  private[graft] def cleanupOnExit(f: java.io.File): Unit = {
     if (cleanupHookRegistered) pendingCleanup.add(f)
     else deleteRecursively(f)
     ()

@@ -2006,6 +2006,7 @@ object Knn {
       corpusPred: String = "vec_id >= 10")
       : (DataFrame, DataFrame, Array[(Long, Array[Double])]) = {
     import spark.implicits._
+    indexBuilds.incrementAndGet()
     val deg = spark.conf.getOption("graft.v21.degree").map(_.toInt)
       .getOrElse(v21Degree)
     val knn = knnGraphEdges(e.filter(corpusPred), deg)
@@ -3108,6 +3109,57 @@ object Knn {
           s"index component $c: $n rows != manifest ${want.get(c)} — refusing to serve")
       }
     V21Static(e, graph, reps.persist(), cents)
+  }
+
+  /** Counter of full index constructions ([[v21Index]] calls) —
+    * spec instrumentation for the stream-boundary lifecycle pin: a
+    * door that bootstraps from a committed store must perform ZERO
+    * builds (the legBuilds idiom, one level down). Never read by
+    * production paths. */
+  private[graft] val indexBuilds =
+    new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /** The VERSIONED index store — the fleet contract over
+    * [[saveIndex]]/[[loadIndex]]: versions are directories `v1, v2,
+    * …` under one root, each committed by its own _MANIFEST (written
+    * LAST — the ForecastStore ordering), so a reader always has a
+    * consistent answer to "what do I serve" while a writer is
+    * mid-publish. The next version number skips over TORN attempts
+    * (a dir without a manifest is never reused — parquet writes
+    * refuse existing paths), and [[latestCommittedVersion]] simply
+    * never returns them. */
+  private[graft] def latestCommittedVersion(root: String): Option[Int] = {
+    val d = new java.io.File(root)
+    Option(d.listFiles()).toSeq.flatten
+      .filter(f => f.isDirectory && f.getName.matches("v\\d+"))
+      .map(_.getName.drop(1).toInt)
+      .filter(n => new java.io.File(d, s"v$n/_MANIFEST").exists())
+      .sorted.lastOption
+  }
+
+  /** Publish an index as the next store version: the component
+    * parquet writes land first, the manifest last — a crash at any
+    * point leaves a torn, never-served directory, not a half-index
+    * a reader could load. Returns the published version number. */
+  private[graft] def saveIndexVersion(ix: V21Static, root: String): Int = {
+    val d = new java.io.File(root)
+    val existing = Option(d.listFiles()).toSeq.flatten
+      .filter(f => f.isDirectory && f.getName.matches("v\\d+"))
+      .map(_.getName.drop(1).toInt)
+    val next = (existing :+ 0).max + 1
+    saveIndex(ix, new java.io.File(d, s"v$next").getAbsolutePath)
+    next
+  }
+
+  /** Load the newest COMMITTED store version through the
+    * manifest gate; refuses loudly when no committed version exists
+    * (an empty or all-torn store must never serve silently). */
+  private[graft] def loadLatestIndex(spark: SparkSession, root: String)
+      : (V21Static, Int) = {
+    val v = latestCommittedVersion(root).getOrElse(throw new
+      IllegalStateException(
+        s"no committed index version under $root — refusing to serve"))
+    (loadIndex(spark, new java.io.File(root, s"v$v").getAbsolutePath), v)
   }
 
   /** v29: INDEX PERSISTENCE — the lifecycle leg that SEPARATES the

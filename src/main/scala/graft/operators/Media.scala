@@ -2780,41 +2780,150 @@ object Media {
       |  tot.shard_len, CAST(1 AS BIGINT) AS end_ok
       |FROM m JOIN tot ON tot.doc_id = m.doc_id
       |ORDER BY m.doc_id, member_idx""".stripMargin
+  // ---------- m27: shard random-access fetch (the .idx consumer) ----------
+
+  /** Fetch members from one shard by the `.idx` CONTRACT ALONE:
+    * each wanted (name, data_offset, size) maps to the exact
+    * [data_offset, data_offset + size) slice — no header is parsed,
+    * no other byte is read. This is the reader half of m26's seek
+    * promise, factored so the spec can corrupt EVERY byte outside
+    * the indexed ranges and prove the fetch can't tell. */
+  private[graft] def shardFetch(t: String,
+      wanted: Seq[(String, Long, Long)]): Seq[(String, Long, String)] =
+    wanted.map { case (name, dataOff, size) =>
+      (name, size, t.substring(dataOff.toInt, (dataOff + size).toInt))
+    }
+
+  /** m27: SHARD RANDOM-ACCESS FETCH — the CONSUMER of m26's seek
+    * contract, the read pattern that makes the .idx sidecar worth
+    * building: a shuffled training reader (or a resume, or a
+    * targeted sample inspection) wants SPECIFIC members of specific
+    * shards, and with the index in hand it reads exactly
+    * [data_offset, data_offset + size) per wanted member — never a
+    * head-to-tail walk. Per shard: build the index once (m26's real
+    * block-accounting walk), select the wanted members (the `.txt`
+    * payloads — what a text-training reader fetches), slice their
+    * exact byte ranges via [[shardFetch]], and emit each fetched
+    * body's length and MD5 digest — the digest proves the bytes,
+    * and the ORACLE re-derives it from the document text alone
+    * (repeat + substring — the m26 construction arithmetic), so a
+    * fetch that read even one byte off-range hash-mismatches.
+    *
+    * Scale: index+fetch fused in ONE narrow flatMap — zero
+    * shuffles; at 100 TB the .idx tables are what ship to readers
+    * and each fetch is a ranged GET against shard storage, which is
+    * exactly what this models (the digest column doubles as the
+    * transfer-integrity check such readers run).
+    */
+  def m27(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .filter($"doc_id" % 3 === 0)
+      .selectExpr("doc_id", "rpad(substring(text, 1, 61), 61, ' ') AS s")
+      .as[(Long, String)]
+      .flatMap { case (id, s) =>
+        val t = buildTar26(id, s)
+        val (ms, _) = tarMembers(t) // the .idx build — m26's walk
+        val wanted = ms.filter(_.ext == "txt")
+          .map(m => (m.name, m.off + 512L, m.size))
+        shardFetch(t, wanted).map { case (n, sz, body) =>
+          (id, n, sz, body)
+        }
+      }
+      .toDF("doc_id", "name", "size", "body")
+      .selectExpr("doc_id", "name", "size",
+        "md5(CAST(body AS BINARY)) AS body_md5")
+      .transform(graft.Tables.ordered(_, $"doc_id", $"name"))
+  }
+
+  /** m27 oracle: the wanted members' names/sizes from m26's size
+    * formulas and each body re-derived from the document text
+    * (sample a's text is the 12×-repeated document prefix, sample
+    * b's the short prefix), digested with the same MD5. */
+  val m27Sql: String =
+    """WITH p AS (SELECT doc_id,
+      |        CAST(400 + (doc_id % 17) * 20 AS BIGINT) AS sa,
+      |        CAST(30 + doc_id % 13 AS BIGINT) AS sb,
+      |        rpad(substring(text, 1, 61), 61, ' ') AS s
+      |      FROM documents WHERE doc_id % 3 = 0),
+      |m AS (
+      |  SELECT doc_id, CAST(doc_id AS VARCHAR) || 'a.txt' AS name,
+      |    sa AS size, substr(repeat(s, 12), 1, CAST(sa AS INTEGER)) AS body
+      |  FROM p
+      |  UNION ALL
+      |  SELECT doc_id, CAST(doc_id AS VARCHAR) || 'b.txt', sb,
+      |    substr(s, 1, CAST(sb AS INTEGER)) FROM p)
+      |SELECT doc_id, name, size, md5(body) AS body_md5
+      |FROM m
+      |ORDER BY doc_id, name""".stripMargin
 
   // ---------- m23: EXIF/APP1 metadata walk (the image-PII leg) ----------
 
   case class ExifMeta(doc_id: Long, exif_ok: Boolean, byte_order: String,
       n_ifd0: Long, orientation: Int, dt_str: String, has_gps: Boolean,
-      lat_deg: Long, lat_min: Long, needs_strip: Boolean)
+      lat_deg: Long, lat_min: Long, iso: Long, has_maker: Boolean,
+      serial: String, has_thumb: Boolean, needs_strip_gps: Boolean,
+      needs_strip_time: Boolean, needs_strip_device: Boolean)
 
   /** Render one minimal-but-real JPEG carrying an APP1/EXIF segment
     * (the public CIPA DC-008 / TIFF 6.0 layout): SOI, then APP1 =
     * big-endian length + "Exif\0\0" + a TIFF structure in a
     * DOCUMENT-CHOSEN byte order ("II" little-endian for even ids,
     * "MM" big-endian for odd — the walker's byte-order gate must
-    * genuinely branch on data), magic 42, IFD0 offset, IFD0 with an
-    * inline SHORT Orientation (0x0112), an offset ASCII DateTime
-    * (0x0132, 20 bytes in the trailing value area), and — for GPS
-    * docs — a GPSInfo pointer (0x8825) to a second IFD holding
-    * GPSLatitudeRef (inline ASCII, never byte-swapped) and a
-    * 3-RATIONAL GPSLatitude (deg/min/sec num-den pairs) further in
-    * the value area; then EOI. Every field document-derived so the
-    * oracle re-derives them arithmetically.
+    * genuinely branch on data), magic 42, IFD0 offset, then the
+    * full real-world IFD TOPOLOGY the strip surgery must survive:
+    * IFD0 with an inline SHORT Orientation (0x0112), an offset
+    * ASCII DateTime (0x0132 — data-chosen presence), an Exif
+    * sub-IFD pointer (0x8769 — data-chosen; virtually every camera
+    * JPEG carries one) whose IFD holds an inline SHORT ISO
+    * (0x8827), a data-chosen out-of-line UNDEFINED MakerNote
+    * (0x927c, 16 bytes) and a data-chosen ASCII BodySerialNumber
+    * (0xA431, 10 bytes), a GPSInfo pointer (0x8825, data-chosen) to
+    * a GPS IFD holding GPSLatitudeRef (inline ASCII, never
+    * byte-swapped) and a 3-RATIONAL GPSLatitude, and — data-chosen
+    * — a NONZERO next-IFD pointer to a thumbnail IFD1 (one inline
+    * SHORT Compression 0x0103 entry); then EOI. Layout: all IFDs
+    * first (IFD0, Exif, GPS, IFD1), then the packed value area (dt,
+    * maker, serial, latitude) — the same canonical packing the
+    * strip serializer emits, so strip(render) equals the
+    * policy-free render BYTE FOR BYTE. Every field
+    * document-derived so the oracle re-derives them arithmetically;
+    * the `Some(...)` overrides let the spec render the policy-free
+    * twin of any image.
     */
-  private[graft] def buildExifJpeg(id: Long, s: String): Array[Byte] = {
+  private[graft] def buildExifJpeg(id: Long, s: String,
+      gpsO: Option[Boolean] = None, dtO: Option[Boolean] = None,
+      makerO: Option[Boolean] = None, serialO: Option[Boolean] = None)
+      : Array[Byte] = {
+    def i(b: Boolean): Int = if (b) 1 else 0
     val le = id % 2 == 0
     val orientation = 1 + (s.charAt(4).toInt & 7)
-    val gps = (s.charAt(5).toInt & 1) == 1
+    val gps = gpsO.getOrElse((s.charAt(5).toInt & 1) == 1)
     val mo = 1 + s.charAt(7).toInt % 12
     val dy = 1 + s.charAt(8).toInt % 28
     val dt = f"2024:$mo%02d:$dy%02d 10:30:00" // 19 chars + NUL = 20
     val latDeg = s.charAt(6).toInt % 90
     val latMin = s.charAt(9).toInt % 60
-    val e = if (gps) 3 else 2
-    val dtOff = 14 + 12 * e // header(8) + count(2) + entries + next(4)
-    val gpsOff = dtOff + 20
-    val latOff = gpsOff + 30 // GPS IFD: count(2) + 2×12 + next(4)
-    val tiffLen = if (gps) latOff + 24 else dtOff + 20
+    val hasExif = (s.charAt(11).toInt & 1) == 1
+    val hasMaker = hasExif &&
+      makerO.getOrElse((s.charAt(12).toInt & 1) == 1)
+    val hasSerial = hasExif &&
+      serialO.getOrElse((s.charAt(13).toInt & 1) == 1)
+    val hasThumb = (s.charAt(14).toInt & 1) == 1
+    val hasDt = dtO.getOrElse((s.charAt(15).toInt & 1) == 1)
+    val iso = 100 * (1 + s.charAt(16).toInt % 8)
+    val serial = f"${id % 1000000000L}%09d" // 9 chars + NUL = 10
+    val n0 = 1 + i(hasDt) + i(hasExif) + i(gps)
+    val nE = 1 + i(hasMaker) + i(hasSerial)
+    // IFDs first, values after — the canonical packing
+    val exifOff = 8 + 6 + 12 * n0
+    val gpsOff = exifOff + (if (hasExif) 6 + 12 * nE else 0)
+    val ifd1Off = gpsOff + (if (gps) 30 else 0)
+    val dtOff = ifd1Off + (if (hasThumb) 18 else 0)
+    val makerOff = dtOff + (if (hasDt) 20 else 0)
+    val serialOff = makerOff + (if (hasMaker) 16 else 0)
+    val latOff = serialOff + (if (hasSerial) 10 else 0)
+    val tiffLen = latOff + (if (gps) 24 else 0)
     val t = new Array[Byte](tiffLen)
     def w16(p: Int, v: Int): Unit =
       if (le) { t(p) = (v & 0xff).toByte; t(p + 1) = ((v >> 8) & 0xff).toByte }
@@ -2825,22 +2934,44 @@ object Media {
     val bom = if (le) 'I' else 'M'
     t(0) = bom.toByte; t(1) = bom.toByte
     w16(2, 42); w32(4, 8) // magic + IFD0 offset
-    w16(8, e)
-    var ep = 10
+    var ep = 0
     def entry(tag: Int, typ: Int, cnt: Int)(wv: Int => Unit): Unit = {
       w16(ep, tag); w16(ep + 2, typ); w32(ep + 4, cnt); wv(ep + 8); ep += 12
     }
+    // IFD0
+    w16(8, n0); ep = 10
     entry(0x0112, 3, 1)(p => w16(p, orientation)) // inline SHORT
-    entry(0x0132, 2, 20)(p => w32(p, dtOff))
+    if (hasDt) entry(0x0132, 2, 20)(p => w32(p, dtOff))
+    if (hasExif) entry(0x8769, 4, 1)(p => w32(p, exifOff))
     if (gps) entry(0x8825, 4, 1)(p => w32(p, gpsOff))
-    w32(10 + 12 * e, 0) // next-IFD terminator
-    dt.getBytes("US-ASCII").copyToArray(t, dtOff) // + implicit NUL (zeroed)
+    w32(ep, if (hasThumb) ifd1Off else 0) // next-IFD: thumbnail chain
+    // Exif sub-IFD
+    if (hasExif) {
+      w16(exifOff, nE); ep = exifOff + 2
+      entry(0x8827, 3, 1)(p => w16(p, iso)) // inline SHORT ISO
+      if (hasMaker) entry(0x927c, 7, 16)(p => w32(p, makerOff))
+      if (hasSerial) entry(0xa431, 2, 10)(p => w32(p, serialOff))
+      w32(ep, 0)
+    }
+    // GPS IFD
     if (gps) {
-      w16(gpsOff, 2)
-      ep = gpsOff + 2
+      w16(gpsOff, 2); ep = gpsOff + 2
       entry(0x0001, 2, 2)(p => t(p) = 'N'.toByte) // inline ASCII, raw bytes
       entry(0x0002, 5, 3)(p => w32(p, latOff))
       w32(gpsOff + 26, 0)
+    }
+    // IFD1 (thumbnail)
+    if (hasThumb) {
+      w16(ifd1Off, 1); ep = ifd1Off + 2
+      entry(0x0103, 3, 1)(p => w16(p, 6)) // inline SHORT Compression
+      w32(ifd1Off + 18 - 4, 0)
+    }
+    // value area, in IFD/entry order
+    if (hasDt) dt.getBytes("US-ASCII").copyToArray(t, dtOff) // + NUL (zeroed)
+    if (hasMaker) (0 until 16).foreach(j =>
+      t(makerOff + j) = ((id + j) % 256).toByte)
+    if (hasSerial) serial.getBytes("US-ASCII").copyToArray(t, serialOff)
+    if (gps) {
       w32(latOff, latDeg); w32(latOff + 4, 1)
       w32(latOff + 8, latMin); w32(latOff + 12, 1)
       w32(latOff + 16, 0); w32(latOff + 20, 1)
@@ -2857,16 +2988,20 @@ object Media {
 
   /** Walk one JPEG's APP1/EXIF tag tables generically — the
     * privacy-audit leg of image curation (orientation, capture
-    * time, and GPS COORDINATES are exactly what a training-data
-    * ingest must surface and strip; t7 redacts text PII, this
-    * covers the image-metadata channel). m21/m22's halting
-    * discipline throughout: the byte-order mark gates the whole
-    * parse, the TIFF magic is verified, and EVERY offset/length
-    * read from the untrusted bytes is bounds-checked IN LONG
-    * against the segment before use (the ustar size-lie lesson —
-    * truncating first would let a lying offset wrap positive).
-    * Any violated gate sets `exif_ok` false and halts. Emits the
-    * strip decision: `needs_strip` = a GPS IFD is present.
+    * time, GPS COORDINATES, camera MakerNote blobs, and body serial
+    * numbers are exactly what a training-data ingest must surface
+    * and strip; t7 redacts text PII, this covers the image-metadata
+    * channel). m21/m22's halting discipline throughout: the
+    * byte-order mark gates the whole parse, the TIFF magic is
+    * verified, EVERY offset/length read from the untrusted bytes is
+    * bounds-checked IN LONG against the segment before use (the
+    * ustar size-lie lesson — truncating first would let a lying
+    * offset wrap positive), and the next-IFD chain is budget-capped
+    * so a pointer cycle can't spin the walk. Any violated gate sets
+    * `exif_ok` false and halts. Emits the strip decision PER POLICY
+    * CLASS: `needs_strip_gps` (a GPS IFD is present),
+    * `needs_strip_time` (a DateTime is present), and
+    * `needs_strip_device` (a MakerNote or serial is present).
     */
   private[graft] def exifWalk(docId: Long, b: Array[Byte]): ExifMeta = {
     def u8(p: Int): Int = b(p) & 0xff
@@ -2874,6 +3009,7 @@ object Media {
     var ok = b.length >= 4 && u8(0) == 0xff && u8(1) == 0xd8
     var bo = ""; var nIfd0 = 0L; var ori = 0; var dt = ""
     var gps = false; var latDeg = 0L; var latMin = 0L
+    var iso = 0L; var maker = false; var serial = ""; var thumb = false
     def parseTiff(t0: Int, tlen: Int): Unit = {
       def in(off: Long, n: Long): Boolean = off >= 0 && off + n <= tlen
       if (!in(0, 8)) { ok = false; return }
@@ -2888,34 +3024,62 @@ object Media {
         if (le) r16(p).toLong | (r16(p + 2).toLong << 16)
         else (r16(p).toLong << 16) | r16(p + 2).toLong
       if (r16(2) != 42) { ok = false; return } // TIFF magic gate
-      def parseIfd(off: Long, isGps: Boolean): Unit = {
-        if (!in(off, 2)) { ok = false; return }
+      def readStr(vo: Long, c: Long): String =
+        if (!in(vo, c) || c < 1) { ok = false; "" }
+        else new String(b, t0 + vo.toInt, c.toInt - 1, "US-ASCII")
+      // kind: 0 = IFD0/IFD1 chain grain, 1 = GPS, 2 = Exif sub-IFD
+      // returns the IFD's next pointer (chain IFDs only)
+      def parseIfd(off: Long, kind: Int): Long = {
+        if (!in(off, 2)) { ok = false; return 0L }
         val cnt = r16(off)
-        if (!in(off, 2L + 12L * cnt + 4L)) { ok = false; return }
-        if (!isGps) nIfd0 = cnt.toLong
+        if (!in(off, 2L + 12L * cnt + 4L)) { ok = false; return 0L }
         var i = 0
         while (ok && i < cnt) {
           val p = off + 2 + 12 * i
           val tag = r16(p); val typ = r16(p + 2); val c = r32(p + 4)
-          if (!isGps) {
-            if (tag == 0x0112 && typ == 3 && c == 1) ori = r16(p + 8)
-            else if (tag == 0x0132 && typ == 2) {
-              val vo = r32(p + 8)
-              if (!in(vo, c) || c < 1) ok = false
-              else dt = new String(b, t0 + vo.toInt, c.toInt - 1, "US-ASCII")
-            } else if (tag == 0x8825 && typ == 4 && c == 1) {
-              gps = true
-              parseIfd(r32(p + 8), isGps = true)
-            }
-          } else if (tag == 0x0002 && typ == 5) {
-            val vo = r32(p + 8)
-            if (!in(vo, 8L * c)) ok = false
-            else { latDeg = r32(vo); latMin = r32(vo + 8) }
+          kind match {
+            case 0 =>
+              if (tag == 0x0112 && typ == 3 && c == 1) ori = r16(p + 8)
+              else if (tag == 0x0132 && typ == 2) dt = readStr(r32(p + 8), c)
+              else if (tag == 0x8769 && typ == 4 && c == 1) {
+                parseIfd(r32(p + 8), 2); ()
+              } else if (tag == 0x8825 && typ == 4 && c == 1) {
+                gps = true
+                parseIfd(r32(p + 8), 1); ()
+              }
+            case 1 =>
+              if (tag == 0x0002 && typ == 5) {
+                val vo = r32(p + 8)
+                if (!in(vo, 8L * c)) ok = false
+                else { latDeg = r32(vo); latMin = r32(vo + 8) }
+              }
+            case 2 =>
+              if (tag == 0x8827 && typ == 3 && c == 1) iso = r16(p + 8).toLong
+              else if (tag == 0x927c && typ == 7) {
+                if (c > 4 && !in(r32(p + 8), c)) ok = false else maker = true
+              } else if (tag == 0xa431 && typ == 2)
+                serial = readStr(r32(p + 8), c)
           }
           i += 1
         }
+        r32(off + 2 + 12 * cnt)
       }
-      parseIfd(r32(4), isGps = false)
+      // the IFD0 → IFD1 → … chain, budget-capped against pointer
+      // cycles (a lying next offset must halt, not spin)
+      var off = r32(4)
+      var first = true
+      var budget = 4
+      while (ok && off != 0 && budget > 0) {
+        budget -= 1
+        val cntBefore = if (in(off, 2)) r16(off) else 0
+        val next = parseIfd(off, 0)
+        if (ok) {
+          if (first) { nIfd0 = cntBefore.toLong; first = false }
+          else thumb = true
+        }
+        off = next
+      }
+      if (ok && off != 0) ok = false // chain budget exhausted — cycle
     }
     var pos = 2
     var done = false
@@ -2937,17 +3101,21 @@ object Media {
     }
     if (!done) ok = false // no EOI — truncated container
     ExifMeta(docId, ok, bo, nIfd0, ori, dt, gps && ok, latDeg, latMin,
-      gps && ok)
+      iso, maker && ok, if (ok) serial else "", thumb && ok,
+      gps && ok, ok && dt.nonEmpty,
+      ok && (maker || serial.nonEmpty))
   }
 
   /** m23: EXIF/APP1 METADATA WALK — the image-PII audit m16's
     * generic marker walk stops short of: the APP1 payload is where
-    * orientation, capture timestamps, and GPS coordinates live, and
-    * GPS in training images is PII a pipeline must AUDIT AND STRIP
-    * before the corpus ships (the image-channel twin of t7's text
-    * redaction). Renders a real APP1/EXIF TIFF structure per
-    * document ([[buildExifJpeg]] — byte order itself data-chosen,
-    * half the corpus little-endian, half big) and walks the tag
+    * orientation, capture timestamps, GPS coordinates, opaque
+    * MakerNote blobs, and body serial numbers live, and each is PII
+    * a pipeline must AUDIT AND STRIP per policy class before the
+    * corpus ships (the image-channel twin of t7's text redaction).
+    * Renders a real APP1/EXIF TIFF structure per document
+    * ([[buildExifJpeg]] — byte order itself data-chosen, half the
+    * corpus little-endian, half big; Exif sub-IFD, GPS IFD, and
+    * thumbnail IFD1 topology all data-chosen) and walks the tag
     * tables back generically ([[exifWalk]] — the
     * render-then-really-parse idiom of m14/m16/m21/m22). Oracle:
     * every emitted field re-derived arithmetically from the
@@ -2956,9 +3124,9 @@ object Media {
     * gate bites.
     *
     * Scale: render+walk fused in ONE narrow mapPartitions stage —
-    * zero shuffles, payload bytes never leave the stage; the strip
-    * decision joins the corpus funnel as a boolean column, not a
-    * re-decode.
+    * zero shuffles, payload bytes never leave the stage; the
+    * per-class strip decisions join the corpus funnel as boolean
+    * columns, not a re-decode.
     */
   def m23(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -2974,9 +3142,10 @@ object Media {
   }
 
   /** m23 oracle: byte order, IFD0 entry count, orientation,
-    * timestamp, and GPS presence/coordinates re-derived
-    * arithmetically from the same document characters the builder
-    * consumed; exif_ok pins the healthy walk. */
+    * timestamp, GPS presence/coordinates, ISO, MakerNote/serial
+    * presence, and the thumbnail chain re-derived arithmetically
+    * from the same document characters the builder consumed;
+    * exif_ok pins the healthy walk. */
   val m23Sql: String =
     """WITH p AS (SELECT doc_id, rpad(substring(text, 1, 61), 61, ' ') AS s
       |      FROM documents WHERE doc_id % 3 = 1),
@@ -2984,38 +3153,88 @@ object Media {
       |    CASE WHEN doc_id % 2 = 0 THEN 'II' ELSE 'MM' END AS byte_order,
       |    1 + (ord(substr(s, 5, 1)) & 7) AS orientation,
       |    (ord(substr(s, 6, 1)) & 1) = 1 AS has_gps,
+      |    ord(substr(s, 7, 1)) % 90 AS latd,
       |    1 + ord(substr(s, 8, 1)) % 12 AS mo,
       |    1 + ord(substr(s, 9, 1)) % 28 AS dy,
-      |    ord(substr(s, 7, 1)) % 90 AS latd,
-      |    ord(substr(s, 10, 1)) % 60 AS latm
+      |    ord(substr(s, 10, 1)) % 60 AS latm,
+      |    (ord(substr(s, 12, 1)) & 1) = 1 AS has_exif,
+      |    (ord(substr(s, 13, 1)) & 1) = 1 AS mk,
+      |    (ord(substr(s, 14, 1)) & 1) = 1 AS sr,
+      |    (ord(substr(s, 15, 1)) & 1) = 1 AS has_thumb,
+      |    (ord(substr(s, 16, 1)) & 1) = 1 AS has_dt,
+      |    ord(substr(s, 17, 1)) % 8 AS isoc
       |  FROM p)
       |SELECT doc_id, TRUE AS exif_ok, byte_order,
-      |  CAST(CASE WHEN has_gps THEN 3 ELSE 2 END AS BIGINT) AS n_ifd0,
+      |  CAST(1 + (CASE WHEN has_dt THEN 1 ELSE 0 END)
+      |     + (CASE WHEN has_exif THEN 1 ELSE 0 END)
+      |     + (CASE WHEN has_gps THEN 1 ELSE 0 END) AS BIGINT) AS n_ifd0,
       |  CAST(orientation AS INTEGER) AS orientation,
-      |  '2024:' || lpad(CAST(mo AS VARCHAR), 2, '0') || ':' ||
-      |    lpad(CAST(dy AS VARCHAR), 2, '0') || ' 10:30:00' AS dt_str,
+      |  CASE WHEN has_dt THEN '2024:' || lpad(CAST(mo AS VARCHAR), 2, '0')
+      |    || ':' || lpad(CAST(dy AS VARCHAR), 2, '0') || ' 10:30:00'
+      |    ELSE '' END AS dt_str,
       |  has_gps,
       |  CAST(CASE WHEN has_gps THEN latd ELSE 0 END AS BIGINT) AS lat_deg,
       |  CAST(CASE WHEN has_gps THEN latm ELSE 0 END AS BIGINT) AS lat_min,
-      |  has_gps AS needs_strip
+      |  CAST(CASE WHEN has_exif THEN 100 * (1 + isoc) ELSE 0 END AS BIGINT) AS iso,
+      |  (has_exif AND mk) AS has_maker,
+      |  CASE WHEN has_exif AND sr
+      |    THEN lpad(CAST(doc_id % 1000000000 AS VARCHAR), 9, '0')
+      |    ELSE '' END AS serial,
+      |  has_thumb,
+      |  has_gps AS needs_strip_gps,
+      |  has_dt AS needs_strip_time,
+      |  (has_exif AND (mk OR sr)) AS needs_strip_device
       |FROM d
       |ORDER BY doc_id""".stripMargin
 
-  // ---------- m25: EXIF GPS strip (the redaction m23 decides) ----------
+  // ---------- m25: EXIF policy strip (the redaction m23 decides) ----------
 
-  /** Rewrite one TIFF structure with the GPSInfo subtree removed —
-    * GENERIC surgery, not a fixture-shaped rebuild: every IFD0
-    * entry except tag 0x8825 is kept with its raw 12 bytes; entries
-    * whose value doesn't fit inline (size-by-type × count > 4) have
-    * their pointed bytes RELOCATED into a freshly packed value area
-    * and their offset field renumbered; the GPS IFD and everything
-    * only it referenced simply isn't copied. Offsets/byte order are
-    * honored on both read and write; any gate the walk would fail
-    * (bad byte order, magic, offset lies, unknown value type)
-    * returns None — the caller must NEVER ship half-surgered bytes.
+  /** The image-PII strip policy: GPSInfo subtree (0x8825), capture
+    * DateTime (0x0132), the opaque camera MakerNote (0x927c — known
+    * to embed serials and GPS in vendor formats), and the
+    * BodySerialNumber (0xA431). Parameterizes [[stripTiff]]; each
+    * class is individually exercised by the spec's per-class
+    * byte-equality pins. */
+  private[graft] val exifStripPolicy: Set[Int] =
+    Set(0x8825, 0x0132, 0x927c, 0xa431)
+
+  /** The sub-IFD pointer tags the surgery RELOCATES as whole
+    * subtrees rather than treating as 4-byte values: Exif (0x8769),
+    * GPSInfo (0x8825), Interoperability (0xA005). Any of these with
+    * a malformed shape (type ≠ LONG, count ≠ 1) gates the file to
+    * quarantine — a pointer copied as data would dangle. */
+  private val exifSubIfdTags: Set[Int] = Set(0x8769, 0x8825, 0xa005)
+
+  /** One parsed TIFF entry: the raw 12 header bytes, the out-of-line
+    * value bytes (if any), and the pointed sub-IFD (if a pointer
+    * tag) — exactly one of `blob`/`sub` is populated for non-inline
+    * entries. */
+  private final class PEntry(val raw: Array[Byte],
+      val blob: Option[Array[Byte]], val sub: Option[PIfd])
+  /** One parsed IFD: its kept entries, in file order. */
+  private final class PIfd(val entries: Vector[PEntry])
+
+  /** Rewrite one TIFF structure with every policy-tagged entry
+    * removed — GENERIC surgery over the real IFD topology, not a
+    * fixture-shaped rebuild: the structure is parsed into a full
+    * IFD tree (the IFD0 → IFD1 next chain, and every KNOWN sub-IFD
+    * pointer — Exif/GPS/Interop — followed as a subtree,
+    * budget-capped against pointer cycles), entries whose tag is in
+    * `strip` are dropped (a pointer tag drops its whole subtree),
+    * and the survivors are re-serialized in the canonical packing:
+    * all IFDs in pre-order (each IFD's sub-IFDs before the chain's
+    * next IFD), then the value area in the same traversal order,
+    * every offset and next pointer renumbered in the file's own
+    * byte order. Kept entries' raw 12 bytes are preserved (inline
+    * values, types and counts bit-for-bit); a nonzero next-IFD
+    * (thumbnail IFD1) is RELOCATED, never silently dropped. Any
+    * gate the walk would fail — bad byte order, magic, offset/count
+    * lies, unknown value type, malformed sub-IFD pointer, a chain
+    * cycle — returns None: the caller must NEVER ship
+    * half-surgered bytes (quarantine, the p9 posture).
     */
-  private def stripTiff(b: Array[Byte], t0: Int, tlen: Int)
-      : Option[Array[Byte]] = {
+  private[graft] def stripTiff(b: Array[Byte], t0: Int, tlen: Int,
+      strip: Set[Int]): Option[Array[Byte]] = {
     def u8(p: Int): Int = b(t0 + p) & 0xff
     def in(off: Long, n: Long): Boolean = off >= 0 && off + n <= tlen
     if (!in(0, 8)) return None
@@ -3029,35 +3248,80 @@ object Media {
       if (le) r16(p).toLong | (r16(p + 2).toLong << 16)
       else (r16(p).toLong << 16) | r16(p + 2).toLong
     if (r16(2) != 42) return None
-    val ifd0 = r32(4)
-    if (!in(ifd0, 2)) return None
-    val cnt = r16(ifd0)
-    if (!in(ifd0, 2L + 12L * cnt + 4L)) return None
-    val typeSize = Map(1 -> 1, 2 -> 1, 3 -> 2, 4 -> 4, 5 -> 8)
-    val kept =
-      scala.collection.mutable.ArrayBuffer.empty[(Array[Byte], Option[Array[Byte]])]
-    var i = 0
-    while (i < cnt) {
-      val p = ifd0 + 2 + 12 * i
-      val tag = r16(p); val typ = r16(p + 2); val c = r32(p + 4)
-      if (tag != 0x8825) {
-        val sz = typeSize.getOrElse(typ, 0)
-        if (sz == 0) return None
-        val byteLen = sz.toLong * c
-        val raw = java.util.Arrays.copyOfRange(b, t0 + p.toInt, t0 + p.toInt + 12)
-        if (byteLen <= 4) kept += ((raw, None))
-        else {
-          val vo = r32(p + 8)
-          if (!in(vo, byteLen)) return None
-          kept += ((raw, Some(java.util.Arrays.copyOfRange(
-            b, t0 + vo.toInt, t0 + vo.toInt + byteLen.toInt))))
+    val typeSize =
+      Map(1 -> 1, 2 -> 1, 3 -> 2, 4 -> 4, 5 -> 8, 7 -> 1)
+    var budget = 8 // total parsed IFDs — gates pointer cycles
+    // parse one IFD; returns (kept-entry model, next-IFD offset)
+    def parseIfd(off: Long): Option[(PIfd, Long)] = {
+      if (budget <= 0) return None
+      budget -= 1
+      if (!in(off, 2)) return None
+      val cnt = r16(off)
+      if (!in(off, 2L + 12L * cnt + 4L)) return None
+      val kept = Vector.newBuilder[PEntry]
+      var i = 0
+      while (i < cnt) {
+        val p = off + 2 + 12 * i
+        val tag = r16(p); val typ = r16(p + 2); val c = r32(p + 4)
+        val raw = java.util.Arrays.copyOfRange(
+          b, t0 + p.toInt, t0 + p.toInt + 12)
+        // STRIPPED entries are VALIDATED exactly like kept ones —
+        // they just aren't copied: redaction must never ship a file
+        // the audit walk would have rejected (a corrupt offset in a
+        // to-be-stripped entry is still a corrupt file → quarantine)
+        val keep = !strip.contains(tag)
+        if (exifSubIfdTags.contains(tag)) {
+          if (typ != 4 || c != 1) return None // malformed pointer
+          parseIfd(r32(p + 8)) match {
+            case Some((sub, next)) =>
+              if (next != 0) return None // sub-IFDs must terminate
+              if (keep) kept += new PEntry(raw, None, Some(sub))
+            case None => return None
+          }
+        } else {
+          val sz = typeSize.getOrElse(typ, 0)
+          if (sz == 0) return None
+          val byteLen = sz.toLong * c
+          if (byteLen <= 4) {
+            if (keep) kept += new PEntry(raw, None, None)
+          } else {
+            val vo = r32(p + 8)
+            if (!in(vo, byteLen)) return None
+            if (keep) kept += new PEntry(raw,
+              Some(java.util.Arrays.copyOfRange(
+                b, t0 + vo.toInt, t0 + vo.toInt + byteLen.toInt)), None)
+          }
         }
+        i += 1
       }
-      i += 1
+      Some((new PIfd(kept.result()), r32(off + 2 + 12 * cnt)))
     }
-    val e = kept.size
-    val valBase = 8 + 2 + 12 * e + 4
-    val t = new Array[Byte](valBase + kept.flatMap(_._2).map(_.length).sum)
+    // the IFD0 → IFD1 → … chain
+    val chain = Vector.newBuilder[PIfd]
+    var off = r32(4)
+    while (off != 0) {
+      parseIfd(off) match {
+        case Some((ifd, next)) => chain += ifd; off = next
+        case None => return None
+      }
+    }
+    val top = chain.result()
+    if (top.isEmpty) return None
+    // serialize: pre-order IFD placement, then the value area in
+    // the same traversal order — the builder's canonical packing
+    def preorder(ifd: PIfd): Vector[PIfd] =
+      ifd +: ifd.entries.flatMap(_.sub.toVector.flatMap(preorder))
+    val flat = top.flatMap(preorder)
+    val ifdOff = new java.util.IdentityHashMap[PIfd, Int]()
+    var pos = 8
+    flat.foreach { f =>
+      ifdOff.put(f, pos); pos += 6 + 12 * f.entries.size
+    }
+    val blobOff = new java.util.IdentityHashMap[PEntry, Int]()
+    flat.foreach(_.entries.foreach(e => e.blob.foreach { bb =>
+      blobOff.put(e, pos); pos += bb.length
+    }))
+    val t = new Array[Byte](pos)
     def w16(p: Int, v: Int): Unit =
       if (le) { t(p) = (v & 0xff).toByte; t(p + 1) = ((v >> 8) & 0xff).toByte }
       else { t(p) = ((v >> 8) & 0xff).toByte; t(p + 1) = (v & 0xff).toByte }
@@ -3065,28 +3329,38 @@ object Media {
       if (le) { w16(p, v & 0xffff); w16(p + 2, v >>> 16) }
       else { w16(p, v >>> 16); w16(p + 2, v & 0xffff) }
     t(0) = b(t0); t(1) = b(t0 + 1)
-    w16(2, 42); w32(4, 8); w16(8, e)
-    var ep = 10
-    var vp = valBase
-    kept.foreach { case (raw, blob) =>
-      System.arraycopy(raw, 0, t, ep, 12)
-      blob.foreach { bb =>
-        w32(ep + 8, vp)
-        System.arraycopy(bb, 0, t, vp, bb.length)
-        vp += bb.length
+    w16(2, 42); w32(4, 8)
+    flat.foreach { f =>
+      val fo = ifdOff.get(f)
+      w16(fo, f.entries.size)
+      var ep = fo + 2
+      f.entries.foreach { e =>
+        System.arraycopy(e.raw, 0, t, ep, 12)
+        e.sub.foreach(s => w32(ep + 8, ifdOff.get(s)))
+        e.blob.foreach { bb =>
+          val bo = blobOff.get(e)
+          w32(ep + 8, bo)
+          System.arraycopy(bb, 0, t, bo, bb.length)
+        }
+        ep += 12
       }
-      ep += 12
+      // next pointer: the following TOP-CHAIN IFD, if this is one
+      val ti = top.indexWhere(f.eq(_))
+      val next =
+        if (ti >= 0 && ti + 1 < top.size) ifdOff.get(top(ti + 1)) else 0
+      w32(ep, next)
     }
-    w32(10 + 12 * e, 0)
     Some(t)
   }
 
-  /** Strip the GPS subtree from a JPEG's APP1/EXIF segment —
-    * byte-level surgery via [[stripTiff]], the APP1 length field
-    * recomputed, every other segment byte-copied. A file the parse
-    * gates reject is returned UNCHANGED (never half-surgered) —
-    * un-walkable inputs route to quarantine, not silent edits. */
-  private[graft] def exifStrip(b: Array[Byte]): Array[Byte] = {
+  /** Strip the policy-tagged subtrees from a JPEG's APP1/EXIF
+    * segment — byte-level surgery via [[stripTiff]], the APP1
+    * length field recomputed, every other segment byte-copied. A
+    * file the parse gates reject is returned UNCHANGED (never
+    * half-surgered) — un-walkable inputs route to quarantine, not
+    * silent edits. */
+  private[graft] def exifStrip(b: Array[Byte],
+      strip: Set[Int] = exifStripPolicy): Array[Byte] = {
     def u8(p: Int): Int = b(p) & 0xff
     def be16(p: Int): Int = (u8(p) << 8) | u8(p + 1)
     if (b.length < 4 || u8(0) != 0xff || u8(1) != 0xd8) return b
@@ -3097,7 +3371,7 @@ object Media {
       if (u8(pos + 1) == 0xe1 && len >= 16 &&
           new String(b, pos + 4, 4, "US-ASCII") == "Exif" &&
           u8(pos + 8) == 0 && u8(pos + 9) == 0) {
-        val nt = stripTiff(b, pos + 10, len - 8)
+        val nt = stripTiff(b, pos + 10, len - 8, strip)
         if (nt.isEmpty) return b
         val t = nt.get
         val app1Len = 2 + 6 + t.length
@@ -3115,39 +3389,50 @@ object Media {
     b
   }
 
-  case class ExifStrip(doc_id: Long, had_gps: Boolean, orig_len: Long,
+  case class ExifStrip(doc_id: Long, had_gps: Boolean, had_dt: Boolean,
+      had_maker: Boolean, had_serial: Boolean, orig_len: Long,
       stripped_len: Long, still_ok: Boolean, gps_after: Boolean,
-      orientation: Int, dt_str: String)
+      time_after: Boolean, device_after: Boolean, orientation: Int,
+      iso: Long, thumb_kept: Boolean)
 
-  /** m25: EXIF GPS STRIP — m23 AUDITS the image-PII channel; m25
-    * ENACTS the strip decision, the redaction leg itself: rewrite
-    * the APP1/EXIF segment with the GPSInfo subtree removed by
-    * generic byte surgery ([[exifStrip]] — kept entries' raw bytes
-    * preserved, out-of-line values relocated, offsets renumbered in
-    * the file's own byte order, APP1 length recomputed) and PROVE
-    * the result by re-walking it with m23's own gates: the stripped
-    * file must still parse healthy, report no GPS, and preserve
-    * orientation and capture time bit-for-bit. Un-walkable inputs
+  /** The per-image render→strip→re-walk kernel of [[m25]], factored
+    * so the stateless streaming strip door (s42) runs the identical
+    * row code. Full policy ([[exifStripPolicy]]): GPS subtree,
+    * DateTime, MakerNote, BodySerialNumber. */
+  private[graft] def exifStripRow(id: Long, s: String): ExifStrip = {
+    val orig = buildExifJpeg(id, s)
+    val before = exifWalk(id, orig)
+    val stripped = exifStrip(orig)
+    val w = exifWalk(id, stripped)
+    ExifStrip(id, before.has_gps, before.dt_str.nonEmpty, before.has_maker,
+      before.serial.nonEmpty, orig.length.toLong, stripped.length.toLong,
+      w.exif_ok, w.has_gps, w.dt_str.nonEmpty,
+      w.has_maker || w.serial.nonEmpty, w.orientation, w.iso, w.has_thumb)
+  }
+
+  /** m25: EXIF POLICY STRIP — m23 AUDITS the image-PII channel per
+    * policy class; m25 ENACTS the full strip policy, the redaction
+    * leg itself: rewrite the APP1/EXIF segment with every
+    * policy-tagged entry removed — the GPS subtree, the DateTime,
+    * the MakerNote blob, and the BodySerialNumber — by generic
+    * byte surgery over the real IFD topology ([[exifStrip]] — kept
+    * entries' raw bytes preserved, KNOWN sub-IFD pointers
+    * (Exif/GPS/Interop) relocated as whole subtrees, the thumbnail
+    * IFD1 chain relocated rather than dropped, out-of-line values
+    * repacked, offsets renumbered in the file's own byte order,
+    * APP1 length recomputed) and PROVE the result by re-walking it
+    * with m23's own gates: the stripped file must still parse
+    * healthy, report no PII in any class, and preserve orientation,
+    * ISO, and the thumbnail chain bit-for-bit. Un-walkable inputs
     * come back byte-identical — redaction never ships half-surgered
-    * bytes (the quarantine posture of p9). The paired lengths quantify
-    * the reclaim.
+    * bytes (the quarantine posture of p9). The paired lengths
+    * quantify the reclaim.
     *
     * Scale: render+strip+re-walk fused in ONE narrow mapPartitions
     * stage — zero shuffles; at 100 TB this is the map-only rewrite
     * pass a privacy sweep runs shard-parallel over binaryFile
     * splits, with m23's audit as its planning query.
     */
-  /** The per-image render→strip→re-walk kernel of [[m25]], factored
-    * so the stateless streaming strip door (s42) runs the identical
-    * row code. */
-  private[graft] def exifStripRow(id: Long, s: String): ExifStrip = {
-    val orig = buildExifJpeg(id, s)
-    val stripped = exifStrip(orig)
-    val w = exifWalk(id, stripped)
-    ExifStrip(id, exifWalk(id, orig).has_gps, orig.length.toLong,
-      stripped.length.toLong, w.exif_ok, w.has_gps, w.orientation, w.dt_str)
-  }
-
   def m25(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     Tables.documents(spark, dir)
@@ -3159,27 +3444,49 @@ object Media {
       .transform(graft.Tables.ordered(_, $"doc_id"))
   }
 
-  /** m25 oracle: the construction's exact pre/post lengths (GPS docs
-    * carry entry 12 + GPS IFD 30 + rationals 24 = 66 extra TIFF
-    * bytes; both layouts' totals re-derived arithmetically), the
-    * healthy re-walk, and the preserved fields from the same
-    * document characters. */
+  /** m25 oracle: the construction's exact pre/post lengths (every
+    * IFD is 6 + 12·entries bytes; value blobs 20/16/10/24; both
+    * layouts' totals re-derived arithmetically from the same
+    * data-chosen presence bits), the healthy re-walk, and the
+    * preserved fields from the same document characters. */
   val m25Sql: String =
     """WITH p AS (SELECT doc_id, rpad(substring(text, 1, 61), 61, ' ') AS s
       |      FROM documents WHERE doc_id % 3 = 1),
       |d AS (SELECT doc_id,
-      |    (ord(substr(s, 6, 1)) & 1) = 1 AS had_gps,
+      |    (ord(substr(s, 6, 1)) & 1) = 1 AS has_gps,
       |    1 + (ord(substr(s, 5, 1)) & 7) AS orientation,
-      |    1 + ord(substr(s, 8, 1)) % 12 AS mo,
-      |    1 + ord(substr(s, 9, 1)) % 28 AS dy
-      |  FROM p)
-      |SELECT doc_id, had_gps,
-      |  CAST(CASE WHEN had_gps THEN 138 ELSE 72 END AS BIGINT) AS orig_len,
-      |  CAST(72 AS BIGINT) AS stripped_len,
+      |    (ord(substr(s, 12, 1)) & 1) = 1 AS has_exif,
+      |    (ord(substr(s, 13, 1)) & 1) = 1 AS mk,
+      |    (ord(substr(s, 14, 1)) & 1) = 1 AS sr,
+      |    (ord(substr(s, 15, 1)) & 1) = 1 AS has_thumb,
+      |    (ord(substr(s, 16, 1)) & 1) = 1 AS has_dt,
+      |    ord(substr(s, 17, 1)) % 8 AS isoc
+      |  FROM p),
+      |e AS (SELECT *,
+      |    (has_exif AND mk) AS had_maker, (has_exif AND sr) AS had_serial,
+      |    1 + (CASE WHEN has_dt THEN 1 ELSE 0 END)
+      |      + (CASE WHEN has_exif THEN 1 ELSE 0 END)
+      |      + (CASE WHEN has_gps THEN 1 ELSE 0 END) AS n0,
+      |    1 + (CASE WHEN has_exif AND mk THEN 1 ELSE 0 END)
+      |      + (CASE WHEN has_exif AND sr THEN 1 ELSE 0 END) AS ne
+      |  FROM d)
+      |SELECT doc_id, has_gps AS had_gps, has_dt AS had_dt,
+      |  had_maker, had_serial,
+      |  CAST(28 + 12 * n0
+      |    + CASE WHEN has_exif THEN 6 + 12 * ne ELSE 0 END
+      |    + CASE WHEN has_gps THEN 54 ELSE 0 END
+      |    + CASE WHEN has_thumb THEN 18 ELSE 0 END
+      |    + CASE WHEN has_dt THEN 20 ELSE 0 END
+      |    + CASE WHEN had_maker THEN 16 ELSE 0 END
+      |    + CASE WHEN had_serial THEN 10 ELSE 0 END AS BIGINT) AS orig_len,
+      |  CAST(28 + 12 * (1 + CASE WHEN has_exif THEN 1 ELSE 0 END)
+      |    + CASE WHEN has_exif THEN 18 ELSE 0 END
+      |    + CASE WHEN has_thumb THEN 18 ELSE 0 END AS BIGINT) AS stripped_len,
       |  TRUE AS still_ok, FALSE AS gps_after,
+      |  FALSE AS time_after, FALSE AS device_after,
       |  CAST(orientation AS INTEGER) AS orientation,
-      |  '2024:' || lpad(CAST(mo AS VARCHAR), 2, '0') || ':' ||
-      |    lpad(CAST(dy AS VARCHAR), 2, '0') || ' 10:30:00' AS dt_str
-      |FROM d
+      |  CAST(CASE WHEN has_exif THEN 100 * (1 + isoc) ELSE 0 END AS BIGINT) AS iso,
+      |  has_thumb AS thumb_kept
+      |FROM e
       |ORDER BY doc_id""".stripMargin
 }

@@ -1425,7 +1425,9 @@ object EventStreams {
       var corpusN: Long = 0L,
       var batches: Int = 0,
       var legBuilds: Int = 0,
-      var lastArrivalRows: Long = 0L)
+      var lastArrivalRows: Long = 0L,
+      var storeRoot: String = null,
+      var storeVersion: Int = 0)
 
   private[graft] def annDeleteState(ss: SparkSession, dir: String)
       : AnnDeleteState = {
@@ -1434,6 +1436,29 @@ object EventStreams {
     val empty = ss.range(0).selectExpr("id AS vec_id").localCheckpoint()
     val st = new AnnDeleteState(ix, qs, empty)
     st.corpusN = ix.e.filter("vec_id >= 10").count()
+    st
+  }
+
+  /** The erasure/compaction door's state built FROM A COMMITTED
+    * STORE — the fleet bootstrap: a serving process never re-trains
+    * the index it was handed ([[graft.operators.Knn.loadLatestIndex]]
+    * performs ZERO [[graft.operators.Knn.v21Index]] work — the
+    * committed-read manifest gate is the only thing between the
+    * parquet store and serving), and the door remembers the root so
+    * compaction can PUBLISH the rebuilt index back as the next
+    * committed version. A store with no committed version — torn
+    * write, missing manifest, tampered counts — refuses AT THE
+    * STREAM BOUNDARY, before any batch is consumed. */
+  private[graft] def annDeleteStateFromStore(ss: SparkSession, dir: String,
+      root: String): AnnDeleteState = {
+    val (ix, v) = graft.operators.Knn.loadLatestIndex(ss, root)
+    val qs = graft.operators.Knn.codebook(
+      graft.operators.Knn.vectors(ss, dir), "vec_id < 10")
+    val empty = ss.range(0).selectExpr("id AS vec_id").localCheckpoint()
+    val st = new AnnDeleteState(ix, qs, empty)
+    st.corpusN = ix.e.filter("vec_id >= 10").count()
+    st.storeRoot = root
+    st.storeVersion = v
     st
   }
 
@@ -1567,8 +1592,18 @@ object EventStreams {
         .join(st.deleted, Seq("vec_id"), "left_anti").localCheckpoint()
       val (g, reps, cents) =
         graft.operators.Knn.v21Index(ss, eLive, "vec_id >= 10")
+      val newIx =
+        graft.operators.Knn.V21Static(eLive, g, reps.persist(), cents)
+      // PUBLISH-BACK, before the swap: a store-bootstrapped door
+      // ships the compacted index to the store as the next committed
+      // version, so sibling serving processes (and this one's next
+      // cold start) bootstrap from the compacted artifact, never the
+      // stale one — the v29 artifact contract closed into a loop
+      if (st.storeRoot != null)
+        st.storeVersion =
+          graft.operators.Knn.saveIndexVersion(newIx, st.storeRoot)
       st.ix.reps.unpersist()
-      st.ix = graft.operators.Knn.V21Static(eLive, g, reps.persist(), cents)
+      st.ix = newIx
       st.deleted = ss.range(0).selectExpr("id AS vec_id").localCheckpoint()
       // the index swap INVALIDATES the cached legs — free them (if
       // any batch ever built them) and let the next serve lazy-build
@@ -1589,6 +1624,61 @@ object EventStreams {
     * crosses the rebuild threshold immediately, so the emitted rows
     * are the post-compaction serve (twin contract). */
   val s40Sql: String = graft.operators.Knn.v28Sql
+
+  /** s43: STORE-BACKED INDEX LIFECYCLE DOOR — s40's autonomic
+    * compaction loop closed THROUGH THE v29 ARTIFACT, the way a
+    * serving fleet actually deploys: the index trains ONCE on the
+    * batch cluster and ships as a committed store version
+    * ([[graft.operators.Knn.saveIndexVersion]] — per-component
+    * parquet + the _MANIFEST commit marker, written last); every
+    * serving process BOOTSTRAPS from the newest committed version
+    * ([[annDeleteStateFromStore]] — zero in-door index-build work,
+    * the spec pins it with the
+    * [[graft.operators.Knn.indexBuilds]] counter, and a torn or
+    * missing manifest refuses AT THE STREAM BOUNDARY before any
+    * batch is consumed); and when the deletion fraction crosses the
+    * rebuild threshold, the door compacts (v28's live-only
+    * construction — the one build it is allowed) and PUBLISHES the
+    * result back as the next committed version before swapping it
+    * in, so sibling processes and the next cold start inherit the
+    * compacted artifact. Serve rows are byte-identical to s40's at
+    * every step (the artifact boundary is semantically invisible —
+    * v29's proven contract), so the oracle stays
+    * [[graft.operators.Knn.v28Sql]] VERBATIM.
+    *
+    * Scale: this is the 100 TB deployment story for the whole ANN
+    * family — N serving processes share one trained artifact (no
+    * fleet re-trains), erasure folds in per micro-batch at
+    * O(|arrivals|), and the one full-corpus rebuild per threshold
+    * crossing amortizes across fleet AND restarts because it ships
+    * back to the store.
+    */
+  def s43(spark: SparkSession, dir: String): DataFrame = {
+    val ss = streamSession(spark)
+    graft.Tables.tsConfs(ss)
+    // the BATCH TRAINER: one offline build, published as store v1 —
+    // the only index construction outside the door's compaction
+    val root = java.nio.file.Files.createTempDirectory("graft_s43_")
+      .toFile
+    graft.operators.Incremental.cleanupOnExit(root)
+    val ix0 = graft.operators.Knn.v21Static(ss, dir)
+    graft.operators.Knn.saveIndexVersion(ix0, root.getAbsolutePath)
+    ix0.reps.unpersist()
+    // the SERVING PROCESS: bootstrap from the committed store
+    val st = annDeleteStateFromStore(ss, dir, root.getAbsolutePath)
+    val schema = ss.read.parquet(s"$dir/embeddings.parquet").schema
+    val src = ss.readStream.schema(schema)
+      .option("pathGlobFilter", "embeddings.parquet").parquet(dir)
+      .filter(col("vec_id") >= 10 &&
+        col("vec_id") % graft.operators.Knn.v27ModK === 0)
+      .select(col("vec_id"))
+    runBatched(src, b => annCompactServe(st, b))
+      .transform(graft.Tables.ordered(_, col("qid"), col("rnk")))
+  }
+
+  /** s43 oracle: v28's, verbatim — the artifact boundary is
+    * semantically invisible (twin contract with s40). */
+  val s43Sql: String = graft.operators.Knn.v28Sql
 
   /** s41: STREAMING SHARD-INGEST AUDIT DOOR — m24's corpus-grain
     * completeness/collision audit kept CURRENT as shards land,
@@ -1649,10 +1739,17 @@ object EventStreams {
       batch: DataFrame): DataFrame = {
     val arrivals = batch.select(col("doc_id"), col("s"))
       .join(st.seen, Seq("doc_id"), "left_anti")
+      .localCheckpoint()
     val delta = graft.operators.Media.shardMembers(arrivals).localCheckpoint()
     st.lastDeltaRows = delta.count()
     st.members = st.members.unionByName(delta)
-    st.seen = st.seen.unionByName(delta.select("doc_id").distinct().localCheckpoint())
+    // seen records every AUDITED shard id — from the arrivals, not
+    // the walked members: a shard whose walk yields zero members (a
+    // corrupt tar halting at the first header) must still be
+    // remembered, or an at-least-once feed re-walks exactly the
+    // damaged shards on every replay
+    st.seen = st.seen.unionByName(
+      arrivals.select("doc_id").distinct().localCheckpoint())
     st.batches += 1
     if (st.batches % annCompactEvery == 0) {
       val (om, os) = (st.members, st.seen)

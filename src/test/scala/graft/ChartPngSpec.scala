@@ -561,6 +561,37 @@ class ChartPngSpec extends AnyFunSuite {
     assert(te == 0L && tm.size < 4)
   }
 
+  test("m27: the fetch reads exactly the indexed ranges — corrupting every other byte cannot touch it") {
+    import graft.operators.Media
+    val s = "TARthe quick brown fox jumps over the lazy dog padding!!"
+      .padTo(61, ' ')
+    val id = 6L
+    val t = Media.buildTar26(id, s)
+    val (ms, _) = Media.tarMembers(t)
+    val wanted = ms.filter(_.ext == "txt")
+      .map(m => (m.name, m.off + 512L, m.size))
+    val fetched = Media.shardFetch(t, wanted)
+    // the fetched bodies are the construction's, exactly
+    val sa = (400 + (id % 17) * 20).toInt
+    val sb = (30 + id % 13).toInt
+    assert(fetched.map(f => (f._1, f._3)) == Seq(
+      (s"${id}a.txt", (s * 12).substring(0, sa)),
+      (s"${id}b.txt", s.substring(0, sb))))
+    // RANGED-READ PIN: zap every byte OUTSIDE the wanted data ranges
+    // (headers, other members, the end blocks) — the fetch must not
+    // notice, because it never reads them
+    val ranges = wanted.map { case (_, o, n) => (o, o + n) }
+    val junk = t.zipWithIndex.map { case (c, i) =>
+      if (ranges.exists { case (a, b) => i >= a && i < b }) c else 'Z'
+    }.mkString
+    assert(Media.shardFetch(junk, wanted) == fetched,
+      "fetch read bytes outside the indexed ranges")
+    // fixture-wide: two text members per shard, digests present
+    val rows = Media.m27(spark, SharedSpark.sf).collect()
+    assert(rows.nonEmpty && rows.length % 2 == 0)
+    assert(rows.forall(_.getAs[String]("body_md5").length == 32))
+  }
+
   test("m24: shard audit catches planted incomplete samples and the cross-shard key collision") {
     import graft.operators.Media
     val rows = Media.m24(spark, SharedSpark.sf).collect()
@@ -587,93 +618,134 @@ class ChartPngSpec extends AnyFunSuite {
     assert(rows.exists(_._6) && rows.exists(!_._6))
   }
 
-  test("m25: GPS strip is exact byte surgery — equals the GPS-free render, no-ops cleanly, refuses corrupt input") {
+  test("m25: policy strip is exact byte surgery — per-class byte equality, no-ops cleanly, refuses corrupt input") {
     import graft.operators.Media
-    val s = "IMGquick brown fox jumps over the lazy dog padding!!".padTo(61, ' ')
-    val sG = s.updated(5, 'a') // odd → GPS present
-    val sN = s.updated(5, 'b') // even → no GPS
-    // surgery exactness, BOTH byte orders: stripping the GPS build
-    // yields the GPS-free render BYTE FOR BYTE (offsets renumbered,
-    // value area repacked, APP1 length recomputed)
-    Seq(8L, 9L).foreach { id =>
-      val stripped = Media.exifStrip(Media.buildExifJpeg(id, sG))
-      // the 'b' flip changes ONLY the gps flag char, so this IS the
-      // same image rendered without its GPS subtree
-      assert(stripped.sameElements(Media.buildExifJpeg(id, sG.updated(5, 'b'))),
-        s"id $id: strip != GPS-free render")
-      val w = Media.exifWalk(id, stripped)
-      assert(w.exif_ok && !w.has_gps && !w.needs_strip)
-      // preserved fields survive the surgery bit-for-bit
-      val before = Media.exifWalk(id, Media.buildExifJpeg(id, sG))
-      assert(w.orientation == before.orientation && w.dt_str == before.dt_str)
+    val base = "IMGquick brown fox jumps over the lazy dog padding!!".padTo(61, ' ')
+    // force every data-chosen feature ON: gps(5), exif(11), maker(12),
+    // serial(13), thumb(14), dt(15) — 'a' has an odd code point
+    val sAll = Seq(5, 11, 12, 13, 14, 15).foldLeft(base)(_.updated(_, 'a'))
+    Seq(8L, 9L).foreach { id => // both byte orders
+      val full = Media.buildExifJpeg(id, sAll)
+      // full policy strip == the render with every policy feature off
+      assert(Media.exifStrip(full).sameElements(
+        Media.buildExifJpeg(id, sAll, gpsO = Some(false), dtO = Some(false),
+          makerO = Some(false), serialO = Some(false))),
+        s"id $id: full-policy strip != policy-free render")
+      // and PER TAG CLASS: each class alone strips exactly its feature
+      assert(Media.exifStrip(full, Set(0x8825)).sameElements(
+        Media.buildExifJpeg(id, sAll, gpsO = Some(false))), "gps class")
+      assert(Media.exifStrip(full, Set(0x0132)).sameElements(
+        Media.buildExifJpeg(id, sAll, dtO = Some(false))), "time class")
+      assert(Media.exifStrip(full, Set(0x927c)).sameElements(
+        Media.buildExifJpeg(id, sAll, makerO = Some(false))), "maker class")
+      assert(Media.exifStrip(full, Set(0xa431)).sameElements(
+        Media.buildExifJpeg(id, sAll, serialO = Some(false))), "serial class")
+      // the stripped file re-walks healthy, with preserved fields
+      // bit-for-bit and the thumbnail chain RELOCATED, not dropped
+      val w = Media.exifWalk(id, Media.exifStrip(full))
+      assert(w.exif_ok && !w.has_gps && w.dt_str.isEmpty &&
+        !w.has_maker && w.serial.isEmpty)
+      assert(w.has_thumb, "IFD1 must be relocated, never silently dropped")
+      val before = Media.exifWalk(id, full)
+      assert(w.orientation == before.orientation && w.iso == before.iso)
     }
-    // a GPS-free file passes through byte-identical (no-op)
-    val clean = Media.buildExifJpeg(8L, sN)
+    // a policy-free file (Exif sub-IFD and thumbnail present, no PII
+    // tags) passes through byte-identical — the no-op arm
+    val clean = Media.buildExifJpeg(8L, sAll, gpsO = Some(false),
+      dtO = Some(false), makerO = Some(false), serialO = Some(false))
     assert(Media.exifStrip(clean).sameElements(clean))
-    // corrupt inputs come back UNCHANGED — never half-surgered
-    val g = Media.buildExifJpeg(8L, sG)
+    // corrupt inputs come back UNCHANGED — never half-surgered.
+    // TIFF starts at file offset 12; IFD0 entries at 22, 12 bytes
+    // each (0x0112@22, 0x0132@34, 0x8769@46, 0x8825@58); IFD0 next
+    // pointer at 70 (4 entries)
+    val g = Media.buildExifJpeg(8L, sAll) // little-endian, all features
     val badBo = g.updated(12, 'X'.toByte)
     assert(Media.exifStrip(badBo).sameElements(badBo), "bad byte order")
-    val badOff = g.updated(19, 0x7f.toByte)
+    val badOff = g.updated(45, 0x7f.toByte) // DateTime value-offset lie
     assert(Media.exifStrip(badOff).sameElements(badOff), "offset lie")
-    // fixture-wide: every stripped file re-walks healthy with no
-    // GPS, and the reclaim shows exactly on the GPS docs
+    val badPtr = g.updated(48, 3.toByte) // Exif pointer typed SHORT
+    assert(Media.exifStrip(badPtr).sameElements(badPtr),
+      "malformed sub-IFD pointer must quarantine, not copy a dangling offset")
+    val cyc = g.updated(70, 8.toByte) // next-IFD points back at IFD0
+    assert(Media.exifStrip(cyc).sameElements(cyc),
+      "next-IFD pointer cycle must hit the chain budget and quarantine")
+    // fixture-wide: every stripped file re-walks healthy with no PII
+    // in any class, and the reclaim shows exactly on the PII docs
     val rows = Media.m25(spark, SharedSpark.sf).collect()
     assert(rows.nonEmpty)
     rows.foreach { r =>
-      assert(r.getAs[Boolean]("still_ok") && !r.getAs[Boolean]("gps_after"))
+      assert(r.getAs[Boolean]("still_ok") && !r.getAs[Boolean]("gps_after") &&
+        !r.getAs[Boolean]("time_after") && !r.getAs[Boolean]("device_after"))
       val reclaimed = r.getAs[Long]("orig_len") - r.getAs[Long]("stripped_len")
-      assert(if (r.getAs[Boolean]("had_gps")) reclaimed > 0L else reclaimed == 0L)
+      val hadPii = r.getAs[Boolean]("had_gps") || r.getAs[Boolean]("had_dt") ||
+        r.getAs[Boolean]("had_maker") || r.getAs[Boolean]("had_serial")
+      assert(if (hadPii) reclaimed > 0L else reclaimed == 0L)
     }
     assert(rows.exists(_.getAs[Boolean]("had_gps")) &&
       rows.exists(r => !r.getAs[Boolean]("had_gps")))
+    // every policy class genuinely occurs on the fixture
+    Seq("had_dt", "had_maker", "had_serial", "thumb_kept").foreach { c =>
+      assert(rows.exists(_.getAs[Boolean](c)) &&
+        rows.exists(r => !r.getAs[Boolean](c)), s"$c must vary on the data")
+    }
   }
 
-  test("m23: EXIF walk reads both byte orders and the GPS leg; every offset gate bites") {
+  test("m23: EXIF walk reads both byte orders, the sub-IFD topology, and the GPS leg; every offset gate bites") {
     import graft.operators.Media
-    val s = "IMGquick brown fox jumps over the lazy dog padding!!".padTo(61, ' ')
+    val base = "IMGquick brown fox jumps over the lazy dog padding!!".padTo(61, ' ')
+    val sAll = Seq(5, 11, 12, 13, 14, 15).foldLeft(base)(_.updated(_, 'a'))
     // data-chosen fields the walk must recover
-    val ori = 1 + (s.charAt(4).toInt & 7)
-    val gps = (s.charAt(5).toInt & 1) == 1
-    val latD = (s.charAt(6).toInt % 90).toLong
+    val ori = 1 + (sAll.charAt(4).toInt & 7)
+    val latD = (sAll.charAt(6).toInt % 90).toLong
+    val iso = (100 * (1 + sAll.charAt(16).toInt % 8)).toLong
     // both byte orders parse to the same fields (id parity picks II/MM)
-    val me = Media.exifWalk(8L, Media.buildExifJpeg(8L, s))
-    val mb = Media.exifWalk(9L, Media.buildExifJpeg(9L, s))
+    val me = Media.exifWalk(8L, Media.buildExifJpeg(8L, sAll))
+    val mb = Media.exifWalk(9L, Media.buildExifJpeg(9L, sAll))
     assert(me.exif_ok && mb.exif_ok)
     assert(me.byte_order == "II" && mb.byte_order == "MM")
     Seq(me, mb).foreach { m =>
-      assert(m.orientation == ori && m.has_gps == gps && m.needs_strip == gps)
-      assert(m.dt_str.startsWith("2024:") && m.dt_str.length == 19)
-      if (gps) assert(m.lat_deg == latD && m.n_ifd0 == 3L)
+      assert(m.orientation == ori && m.has_gps && m.needs_strip_gps)
+      assert(m.dt_str.startsWith("2024:") && m.dt_str.length == 19 &&
+        m.needs_strip_time)
+      assert(m.lat_deg == latD && m.n_ifd0 == 4L)
+      assert(m.iso == iso && m.has_maker && m.serial.length == 9 &&
+        m.needs_strip_device)
+      assert(m.has_thumb)
     }
-    // force BOTH strip arms onto the data: flip the gps character
-    val sG = s.updated(5, 'a') // 'a' = 97, odd → GPS present
-    val sN = s.updated(5, 'b') // 'b' = 98, even → no GPS
-    assert(Media.exifWalk(8L, Media.buildExifJpeg(8L, sG)).has_gps)
-    val noG = Media.exifWalk(8L, Media.buildExifJpeg(8L, sN))
-    assert(!noG.has_gps && !noG.needs_strip && noG.n_ifd0 == 2L &&
-      noG.lat_deg == 0L)
+    assert(me.serial == "000000008" && mb.serial == "000000009")
+    // every feature genuinely off when its bit is off
+    val sNone = Seq(5, 11, 14, 15).foldLeft(base)(_.updated(_, 'b'))
+    val noF = Media.exifWalk(8L, Media.buildExifJpeg(8L, sNone))
+    assert(noF.exif_ok && !noF.has_gps && !noF.needs_strip_gps &&
+      noF.dt_str.isEmpty && !noF.needs_strip_time && noF.iso == 0L &&
+      !noF.has_maker && noF.serial.isEmpty && !noF.needs_strip_device &&
+      !noF.has_thumb && noF.n_ifd0 == 1L && noF.lat_deg == 0L)
     // offset gates — the TIFF structure starts at file offset 12
     // (SOI 0-1, APP1 marker 2-3, length 4-5, "Exif\0\0" 6-11):
     // byte-order mark 12, magic 14, IFD0-offset field 16-19,
-    // DateTime entry's value-offset field 42-45, GPS pointer 54-57
-    val g = Media.buildExifJpeg(8L, sG) // little-endian, with GPS
+    // DateTime entry's value-offset field 42-45, GPS pointer 66-69,
+    // IFD0 next pointer 70-73
+    val g = Media.buildExifJpeg(8L, sAll) // little-endian, all features
     def walk(bb: Array[Byte]) = Media.exifWalk(8L, bb)
     assert(!walk(g.updated(12, 'X'.toByte)).exif_ok, "byte-order gate")
     assert(!walk(g.updated(14, 9.toByte)).exif_ok, "TIFF magic gate")
     assert(!walk(g.updated(19, 0x7f.toByte)).exif_ok, "IFD0 offset lie")
     assert(!walk(g.updated(45, 0x7f.toByte)).exif_ok, "DateTime offset lie")
-    assert(!walk(g.updated(57, 0x7f.toByte)).exif_ok, "GPS IFD offset lie")
+    assert(!walk(g.updated(69, 0x7f.toByte)).exif_ok, "GPS IFD offset lie")
+    assert(!walk(g.updated(70, 8.toByte)).exif_ok, "next-IFD cycle gate")
     assert(!walk(g.dropRight(2)).exif_ok, "missing EOI must halt")
-    // fixture-wide: healthy walks, strip decision == GPS presence,
-    // both byte orders and both strip arms genuinely on the data
+    // fixture-wide: healthy walks, per-class strip decisions, both
+    // byte orders and every feature arm genuinely on the data
     val rows = Media.m23(spark, SharedSpark.sf).collect()
     assert(rows.nonEmpty)
     assert(rows.forall(_.getAs[Boolean]("exif_ok")))
     assert(rows.forall(r =>
-      r.getAs[Boolean]("needs_strip") == r.getAs[Boolean]("has_gps")))
-    assert(rows.exists(_.getAs[Boolean]("has_gps")) &&
-      rows.exists(r => !r.getAs[Boolean]("has_gps")))
+      r.getAs[Boolean]("needs_strip_gps") == r.getAs[Boolean]("has_gps")))
+    Seq("has_gps", "has_maker", "has_thumb", "needs_strip_time",
+        "needs_strip_device").foreach { c =>
+      assert(rows.exists(_.getAs[Boolean](c)) &&
+        rows.exists(r => !r.getAs[Boolean](c)), s"$c must vary on the data")
+    }
     assert(rows.exists(r => r.getAs[String]("byte_order") == "II") &&
       rows.exists(r => r.getAs[String]("byte_order") == "MM"))
   }

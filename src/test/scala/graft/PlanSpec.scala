@@ -49,6 +49,25 @@ class PlanSpec extends AnyFunSuite {
       s"scan reads unreferenced columns: $schema")
   }
 
+  test("q42: the at-rest plan serves typed paths off the stored column — parse_json appears nowhere") {
+    val p = plan(Relational.q42(spark, sf))
+    assert(!p.contains("parse_json"),
+      "the at-rest plan re-parses JSON — the ingest-once contract is broken")
+    val schema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(schema.contains("v:"),
+      s"the scan must serve the stored variant column: $schema")
+    // typed access served straight off the scan: either variant_get
+    // over the stored binary, or — better — the shredded-read
+    // rewrite Spark 4.1 actually emits (the variant column lands in
+    // parquet SHREDDED into typed subcolumns and every
+    // variant_get($.path) collapses to a plain struct field access,
+    // e.g. `v#N.0 AS src` — the paid-once-at-ingest contract in its
+    // strongest form)
+    assert(p.contains("variant_get") ||
+        """v#\d+\.0""".r.findFirstIn(p).isDefined,
+      "typed path access missing from the at-rest plan")
+  }
+
   test("m23/m26: the container walks are one scan with no shuffle before presentation") {
     Seq(graft.operators.Media.m23(spark, sf),
         graft.operators.Media.m26(spark, sf)).foreach { df =>

@@ -1353,6 +1353,75 @@ class StreamingPipelineSpec extends AnyFunSuite {
     assert(st.legBuilds == 2, "replayed traffic fired a spurious rebuild")
   }
 
+  test("s43 store-backed door: zero bootstrap builds, torn store refused at the boundary, compaction publishes back") {
+    import spark.implicits._
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Int]("rnk"),
+        r.getAs[Long]("vec_id"), r.getAs[Double]("cos_sim"),
+        r.getAs[Long]("in_exact"), r.getAs[Long]("n_tomb_visited"))).toSeq
+    // twin contract: the artifact boundary is invisible — the whole
+    // stream replayed through the store-backed door == batch v28
+    val streamed = rows(graft.streaming.EventStreams.s43(spark, sf)).sorted
+    val batch = rows(graft.operators.Knn.v28(spark, sf)).sorted
+    assert(streamed == batch && streamed.nonEmpty)
+    // kernel: the batch trainer publishes v1
+    val root = java.nio.file.Files.createTempDirectory("graft_s43spec_")
+      .toFile
+    graft.operators.Incremental.cleanupOnExit(root)
+    val ix0 = graft.operators.Knn.v21Static(spark, sf)
+    assert(graft.operators.Knn.saveIndexVersion(
+      ix0, root.getAbsolutePath) == 1)
+    ix0.reps.unpersist()
+    // a torn store (manifest missing) refuses AT THE STREAM BOUNDARY
+    // — before any batch is consumed
+    val mf = new java.io.File(root, "v1/_MANIFEST")
+    val mfBytes = java.nio.file.Files.readAllBytes(mf.toPath)
+    assert(mf.delete())
+    intercept[IllegalStateException] {
+      graft.streaming.EventStreams.annDeleteStateFromStore(
+        spark, sf, root.getAbsolutePath)
+    }
+    java.nio.file.Files.write(mf.toPath, mfBytes)
+    // committed store: the bootstrap performs ZERO index-build work
+    graft.operators.Knn.indexBuilds.set(0L)
+    val st = graft.streaming.EventStreams.annDeleteStateFromStore(
+      spark, sf, root.getAbsolutePath)
+    assert(st.storeVersion == 1)
+    val tombs = graft.operators.Knn.vectors(spark, sf)
+      .filter("vec_id >= 10 AND vec_id % 23 = 0")
+      .selectExpr("vec_id").as[Long].collect().sorted.toSeq
+    val (b1, b2) = tombs.splitAt(tombs.size / 2)
+    def serve(ids: Seq[Long]) = rows(
+      graft.streaming.EventStreams.annCompactServe(st, ids.toDF("vec_id")))
+    val mid = serve(b1)
+    assert(graft.operators.Knn.indexBuilds.get == 0L,
+      "a store-bootstrapped door must not build an index to serve")
+    assert(mid.forall(t => !b1.contains(t._3)), "deleted id surfaced")
+    assert(graft.operators.Knn.latestCommittedVersion(
+      root.getAbsolutePath).contains(1), "no publish below threshold")
+    // the crossing batch compacts: exactly ONE build, published as
+    // the next committed version BEFORE the in-memory swap
+    val fin = serve(b2)
+    assert(fin.sorted == batch, "post-compaction serve != batch v28")
+    assert(graft.operators.Knn.indexBuilds.get == 1L,
+      "the compaction rebuild must be the only index build")
+    assert(graft.operators.Knn.latestCommittedVersion(
+      root.getAbsolutePath).contains(2) && st.storeVersion == 2,
+      "compaction must publish the rebuilt index as v2")
+    // the published artifact IS the serving index: a fresh load of
+    // v2 serves the standing queries bitwise like the door does
+    val (ix2, v2) = graft.operators.Knn.loadLatestIndex(
+      spark, root.getAbsolutePath)
+    assert(v2 == 2)
+    val noDel = spark.range(0).selectExpr("id AS vec_id")
+    val fromStore = rows(graft.operators.Knn.v27ServeExcluding(
+      ix2, st.qs, noDel))
+    assert(fromStore.sorted == fin.sorted,
+      "the published artifact serves differently from the door")
+    assert(graft.operators.Knn.indexBuilds.get == 1L,
+      "loading the published artifact must not build")
+  }
+
   test("s41 shard-audit door: full replay equals batch m24; collisions surface only once both shards arrive") {
     import spark.implicits._
     def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
@@ -1400,11 +1469,16 @@ class StreamingPipelineSpec extends AnyFunSuite {
     import spark.implicits._
     def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
       .map(r => (r.getAs[Long]("doc_id"), r.getAs[Boolean]("had_gps"),
+        r.getAs[Boolean]("had_dt"), r.getAs[Boolean]("had_maker"),
+        r.getAs[Boolean]("had_serial"),
         r.getAs[Long]("orig_len"), r.getAs[Long]("stripped_len"),
         r.getAs[Boolean]("still_ok"), r.getAs[Boolean]("gps_after"),
-        r.getAs[Int]("orientation"), r.getAs[String]("dt_str"))).toSeq
-    val streamed = rows(graft.streaming.EventStreams.s42(spark, sf)).sorted
-    val batch = rows(graft.operators.Media.m25(spark, sf)).sorted
+        r.getAs[Boolean]("time_after"), r.getAs[Boolean]("device_after"),
+        r.getAs[Int]("orientation"), r.getAs[Long]("iso"),
+        r.getAs[Boolean]("thumb_kept"))).toSeq
+    val streamed = rows(graft.streaming.EventStreams.s42(spark, sf))
+      .sortBy(_._1)
+    val batch = rows(graft.operators.Media.m25(spark, sf)).sortBy(_._1)
     assert(streamed == batch && streamed.nonEmpty)
     // stateless ⇒ any batch split concatenates to the same rows
     val docs = graft.Tables.documents(spark, sf)
@@ -1415,7 +1489,7 @@ class StreamingPipelineSpec extends AnyFunSuite {
     val split = (rows(graft.streaming.EventStreams.stripServe(
         b1.toDF("doc_id", "s"))) ++
       rows(graft.streaming.EventStreams.stripServe(
-        b2.toDF("doc_id", "s")))).sorted
+        b2.toDF("doc_id", "s")))).sortBy(_._1)
     assert(split == batch, "batch split changed the stateless door's rows")
   }
 
