@@ -664,6 +664,170 @@ object Quality {
       fd("events.user_id->event_type", "events", "user_id", "event_type"))
       .mkString("", "\nUNION ALL\n", "\nORDER BY fd")
   }
+
+  // ---------- dq8: replica reconciliation (merkle-bucket diff) ----------
+
+  /** Bucket count for the reconciliation digests. Sized so at test
+    * scale most buckets are CLEAN (the whole point of the
+    * technique); at 100 TB this is the merkle fan-out knob — digest
+    * tables stay tiny at any corpus size. */
+  private[graft] val dq8Buckets = 4096L
+
+  /** The canonical row string both sides fingerprint — exact-typed
+    * columns only (integers + bounded ASCII enums), so the FNV fold
+    * is bit-identical across engines. */
+  private[graft] val dq8Canon =
+    "concat_ws('|', o_orderkey, o_custkey, o_orderstatus, o_orderpriority)"
+
+  /** The deterministic DIVERGED REPLICA of orders — all three defect
+    * classes a real replication pipeline produces, planted by key
+    * arithmetic so the oracle re-derives them: every %997 key is
+    * MISSING (a lost write), every %1009 key is CORRUPT (its status
+    * byte flipped to 'X' — a torn update), and every %1013 key has
+    * spawned an EXTRA row at key+10^8 (a replayed write landing
+    * under a new key; 10^8 is outside the key space at tested
+    * scales). 997·1009 > the key space, so the classes overlap only
+    * at key 0 — which both engines resolve identically (missing
+    * wins: the row isn't there to be corrupt). */
+  private[graft] def dq8Replica(p: DataFrame): DataFrame =
+    p.filter("o_orderkey % 997 <> 0")
+      .selectExpr("o_orderkey", "o_custkey",
+        "CASE WHEN o_orderkey % 1009 = 0 THEN 'X' ELSE o_orderstatus END AS o_orderstatus",
+        "o_orderpriority")
+      .unionByName(p.filter("o_orderkey % 1013 = 0")
+        .selectExpr("o_orderkey + 100000000 AS o_orderkey", "o_custkey",
+          "o_orderstatus", "o_orderpriority"))
+
+  /** dq8: REPLICA RECONCILIATION — the merkle-bucket anti-entropy
+    * sweep every replicated lake runs (Cassandra/Dynamo repair,
+    * Delta clone verification): prove two copies of a 100 TB table
+    * equal — or localize exactly where they differ — WITHOUT a
+    * row-by-row full compare. Each side folds every row into a
+    * per-bucket digest: rows fingerprint with the shared FNV-1a
+    * Catalyst expression over a canonical column string, buckets
+    * key on `pk % `[[dq8Buckets]], and the bucket digest is
+    * (count, bit_xor of row hashes) — XOR makes the digest
+    * ORDER-INDEPENDENT and map-side combinable with no overflow,
+    * so each side costs ONE scan + one tiny aggregate (the digest
+    * table is 4096 rows at any corpus size). Buckets whose
+    * (count, xor) pairs match are PROVEN equal (up to hash
+    * collision) and never touched again; only MISMATCHED buckets'
+    * rows enter the row-grain full-outer drill (semi-joined on the
+    * bad-bucket set — a broadcast at any scale), which classifies
+    * each divergent key as missing / extra / corrupt. Output: one
+    * row per mismatched bucket with its class counts.
+    *
+    * Scale: the row-grain work is proportional to the DIVERGENCE,
+    * not the table — a healthy 100 TB replica pair reconciles with
+    * two scans and a 4096-row compare; a 0.1%-diverged pair drills
+    * ~0.1% of its buckets. The digest aggregate is exactly the
+    * shape AQE loves: partial bit_xor/count map-side, 4096 groups.
+    */
+  def dq8(spark: SparkSession, dir: String): DataFrame = {
+    val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
+      "o_orderpriority")
+    val p = Tables.orders(spark, dir).selectExpr(cols: _*)
+    reconcile(p, dq8Replica(p))
+  }
+
+  /** Per-row fingerprint + bucket key over an order-shaped frame —
+    * the shared leg of the batch kernel and the streaming door. */
+  private[graft] def fingered(t: DataFrame): DataFrame = t
+    .withColumn("h", graft.functions.Fnv64.fnv64(expr(dq8Canon)))
+    .withColumn("bucket", expr(s"o_orderkey % $dq8Buckets"))
+    .select(col("bucket"), col("o_orderkey").as("k"), col("h"))
+
+  /** The per-bucket merkle digest: (count, bit_xor of fingerprints)
+    * — order-independent and ALGEBRAIC (a union of digest frames
+    * re-aggregates with sum/xor), which is what lets the streaming
+    * door (s44) fold arrivals into O(buckets) state. */
+  private[graft] def bucketDigest(t: DataFrame): DataFrame =
+    fingered(t).groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"), expr("bit_xor(h)").as("x"))
+
+  /** The reconciliation kernel of [[dq8]] over an arbitrary
+    * (primary, replica) pair of order-shaped frames — factored so
+    * the spec can prove a CLEAN pair reconciles to an empty report
+    * with nothing drilled. */
+  private[graft] def reconcile(p: DataFrame, r: DataFrame): DataFrame =
+    reconcileFromDigests(bucketDigest(p), bucketDigest(r), p, r)
+
+  /** The digest-compare + bad-bucket-scoped drill, over
+    * PRE-COMPUTED digest tables — the streaming door passes its
+    * accumulated replica digests here, with the row frames read
+    * from the stores only for the drill (the repair job's read
+    * pattern: row-grain work proportional to the divergence). */
+  private[graft] def reconcileFromDigests(pDig: DataFrame, rDig: DataFrame,
+      p: DataFrame, r: DataFrame): DataFrame = {
+    val spark = p.sparkSession
+    import spark.implicits._
+    val bad = pDig.selectExpr("bucket", "n AS n_p", "x AS x_p")
+      .join(rDig.selectExpr("bucket", "n AS n_r", "x AS x_r"),
+        Seq("bucket"), "full_outer")
+      .filter("NOT (n_p <=> n_r) OR NOT (x_p <=> x_r)")
+      .select($"bucket", coalesce($"n_p", lit(0L)).as("n_primary"),
+        coalesce($"n_r", lit(0L)).as("n_replica"))
+    // the DRILL touches only mismatched buckets' rows — the
+    // broadcast semi-join is the proportional-to-divergence pin
+    val badK = broadcast(bad.select($"bucket"))
+    val drill = fingered(p).join(badK, Seq("bucket"), "left_semi")
+      .withColumnRenamed("h", "hp")
+      .join(fingered(r).join(badK, Seq("bucket"), "left_semi")
+        .withColumnRenamed("h", "hr"), Seq("bucket", "k"), "full_outer")
+      .selectExpr("bucket",
+        "CASE WHEN hr IS NULL THEN 1 ELSE 0 END AS m",
+        "CASE WHEN hp IS NULL THEN 1 ELSE 0 END AS e",
+        "CASE WHEN hp IS NOT NULL AND hr IS NOT NULL AND hp <> hr THEN 1 ELSE 0 END AS c")
+      .groupBy($"bucket")
+      .agg(sum($"m").as("n_missing"), sum($"e").as("n_extra"),
+        sum($"c").as("n_corrupt"))
+    bad.join(drill, Seq("bucket"))
+      .select($"bucket", $"n_primary", $"n_replica", $"n_missing",
+        $"n_extra", $"n_corrupt")
+      .transform(graft.Tables.ordered(_, $"bucket"))
+  }
+
+  /** dq8 oracle: the identical replica construction, the shared FNV
+    * mirror over the same canonical string, per-bucket (count,
+    * bit_xor) digests, IS DISTINCT FROM mismatch, and the
+    * bad-bucket-scoped full-outer drill. */
+  val dq8Sql: String = {
+    val canon = "CAST(k AS VARCHAR) || '|' || CAST(o_custkey AS VARCHAR)" +
+      " || '|' || o_orderstatus || '|' || o_orderpriority"
+    val h = graft.functions.Fnv64.duckSigned("(" + canon + ")")
+    s"""WITH p AS (SELECT o_orderkey AS k, o_custkey, o_orderstatus,
+      |        o_orderpriority FROM orders),
+      |r AS (SELECT k, o_custkey,
+      |        CASE WHEN k % 1009 = 0 THEN 'X' ELSE o_orderstatus END AS o_orderstatus,
+      |        o_orderpriority
+      |      FROM p WHERE k % 997 <> 0
+      |      UNION ALL
+      |      SELECT k + 100000000, o_custkey, o_orderstatus, o_orderpriority
+      |      FROM p WHERE k % 1013 = 0),
+      |pc AS (SELECT k % $dq8Buckets AS bucket, k, $h AS h FROM p),
+      |rc AS (SELECT k % $dq8Buckets AS bucket, k, $h AS h FROM r),
+      |pd AS (SELECT bucket, CAST(count(*) AS BIGINT) AS n_p,
+      |        bit_xor(h) AS x_p FROM pc GROUP BY 1),
+      |rd AS (SELECT bucket, CAST(count(*) AS BIGINT) AS n_r,
+      |        bit_xor(h) AS x_r FROM rc GROUP BY 1),
+      |bad AS (SELECT coalesce(pd.bucket, rd.bucket) AS bucket,
+      |        coalesce(n_p, 0) AS n_primary, coalesce(n_r, 0) AS n_replica
+      |      FROM pd FULL JOIN rd ON rd.bucket = pd.bucket
+      |      WHERE n_p IS DISTINCT FROM n_r OR x_p IS DISTINCT FROM x_r),
+      |drill AS (SELECT coalesce(a.bucket, b.bucket) AS bucket,
+      |        CAST(sum(CASE WHEN b.k IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_missing,
+      |        CAST(sum(CASE WHEN a.k IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_extra,
+      |        CAST(sum(CASE WHEN a.k IS NOT NULL AND b.k IS NOT NULL
+      |              AND a.h <> b.h THEN 1 ELSE 0 END) AS BIGINT) AS n_corrupt
+      |      FROM (SELECT pc.* FROM pc WHERE bucket IN (SELECT bucket FROM bad)) a
+      |      FULL JOIN (SELECT rc.* FROM rc WHERE bucket IN (SELECT bucket FROM bad)) b
+      |        ON b.bucket = a.bucket AND b.k = a.k
+      |      GROUP BY 1)
+      |SELECT bad.bucket, bad.n_primary, bad.n_replica,
+      |  d.n_missing, d.n_extra, d.n_corrupt
+      |FROM bad JOIN drill d ON d.bucket = bad.bucket
+      |ORDER BY bad.bucket""".stripMargin
+  }
 }
 
 /** Distinct grid cells shared by w15's two sides. */

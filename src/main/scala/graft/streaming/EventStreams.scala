@@ -1680,6 +1680,99 @@ object EventStreams {
     * semantically invisible (twin contract with s40). */
   val s43Sql: String = graft.operators.Knn.v28Sql
 
+  /** s44: STREAMING REPLICA-RECONCILIATION DOOR — dq8's
+    * merkle-bucket anti-entropy kept CURRENT as replica rows land,
+    * the way replication monitoring actually runs: writes stream
+    * into the replica continuously, and the monitor folds each
+    * arrival into its per-bucket digests instead of re-scanning the
+    * store. The digest is ALGEBRAIC state — (count, bit_xor of row
+    * fingerprints) per bucket — so a micro-batch merges with one
+    * sum/xor re-aggregate over a 4096-row frame (O(buckets) state
+    * at ANY corpus size, the s1 windowed class; contrast the
+    * id-set doors: xor digests need each row folded EXACTLY once,
+    * which Structured Streaming's checkpointed source offsets
+    * provide — an at-least-once feed without engine dedup would
+    * cancel replayed rows pairwise). Each batch emits the CURRENT
+    * reconciliation report: digest compare against the primary's
+    * (computed once in state — the train-offline leg), then dq8's
+    * row-grain drill re-reading ONLY mismatched buckets from the
+    * stores (the repair job's read pattern). Mid-stream the fold
+    * lags the store, so flags MIX true divergence with pending
+    * rows; the drill is the arbiter — a flagged bucket whose
+    * pending rows explain the gap drills clean, and a convicted
+    * bucket carries exactly its final class counts (a bucket whose
+    * only divergence is a still-pending extra row legitimately
+    * reads clean until it arrives — the arrived prefix really does
+    * match); replayed as ONE batch (the Verify path) the
+    * digests equal batch dq8's and the rows ARE batch dq8's —
+    * oracle [[graft.operators.Quality.dq8Sql]] (twin contract).
+    */
+  def s44(spark: SparkSession, dir: String): DataFrame = {
+    val ss = streamSession(spark)
+    graft.Tables.tsConfs(ss)
+    val st = replicaDiffState(ss, dir)
+    val schema = ss.read.parquet(s"$dir/orders.parquet").schema
+    val src = ss.readStream.schema(schema)
+      .option("pathGlobFilter", "orders.parquet").parquet(dir)
+      .selectExpr("o_orderkey", "o_custkey", "o_orderstatus",
+        "o_orderpriority")
+    // the replica's write stream: the same deterministic divergence,
+    // expressed over the streaming frame (filter/select/union are
+    // all stateless row ops)
+    val replica = graft.operators.Quality.dq8Replica(src)
+    runBatched(replica, b => replicaDiffServe(st, b))
+      .transform(graft.Tables.ordered(_, col("bucket")))
+  }
+
+  /** The reconciliation door's state: the primary's digest table
+    * (train-offline, immutable) and the replica's accumulated
+    * digests — both O([[graft.operators.Quality.dq8Buckets]]) rows.
+    * `dir` rides along for the drill's bad-bucket-scoped replica
+    * re-read. */
+  private[graft] final class ReplicaDiffState(
+      val pDig: org.apache.spark.sql.DataFrame,
+      var rDig: org.apache.spark.sql.DataFrame,
+      val dir: String,
+      var batches: Int = 0)
+
+  private[graft] def replicaDiffState(ss: SparkSession, dir: String)
+      : ReplicaDiffState = {
+    val p = graft.Tables.orders(ss, dir).selectExpr("o_orderkey",
+      "o_custkey", "o_orderstatus", "o_orderpriority")
+    val pDig = graft.operators.Quality.bucketDigest(p).localCheckpoint()
+    val empty = ss.range(0)
+      .selectExpr("id AS bucket", "id AS n", "id AS x").filter("false")
+      .localCheckpoint()
+    new ReplicaDiffState(pDig, empty, dir)
+  }
+
+  /** One micro-batch through the reconciliation door: fold the
+    * arrivals' fingerprints into the replica digest state (one
+    * algebraic sum/xor re-aggregate over ≤ 4096 + |batch buckets|
+    * rows), then emit the current report — digest compare + dq8's
+    * drill over ONLY the mismatched buckets. */
+  private[graft] def replicaDiffServe(st: ReplicaDiffState,
+      batch: DataFrame): DataFrame = {
+    val d = graft.operators.Quality.bucketDigest(batch)
+    val od = st.rDig
+    st.rDig = st.rDig.unionByName(d)
+      .groupBy(col("bucket"))
+      .agg(sum(col("n")).as("n"), expr("bit_xor(x)").as("x"))
+      .localCheckpoint()
+    graft.functions.Lineage.freeCheckpoint(od)
+    st.batches += 1
+    val ss = batch.sparkSession
+    val pAll = graft.Tables.orders(ss, st.dir).selectExpr("o_orderkey",
+      "o_custkey", "o_orderstatus", "o_orderpriority")
+    val rAll = graft.operators.Quality.dq8Replica(pAll)
+    graft.operators.Quality.reconcileFromDigests(
+      st.pDig, st.rDig, pAll, rAll)
+  }
+
+  /** s44 oracle: dq8's, verbatim — the twin contract on the
+    * single-replay batch. */
+  val s44Sql: String = graft.operators.Quality.dq8Sql
+
   /** s41: STREAMING SHARD-INGEST AUDIT DOOR — m24's corpus-grain
     * completeness/collision audit kept CURRENT as shards land,
     * which is how a shard store actually runs it: new WebDataset

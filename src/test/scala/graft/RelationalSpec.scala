@@ -2799,6 +2799,38 @@ class RelationalSpec extends AnyFunSuite {
     assert(maxHead <= minTail)
   }
 
+  test("dq8: merkle-bucket reconciliation localizes exactly the planted divergence; a clean pair reconciles empty") {
+    val Q = graft.operators.Quality
+    val rows = Q.dq8(spark, sf).collect()
+      .map(r => (r.getAs[Long]("bucket"), r.getAs[Long]("n_primary"),
+        r.getAs[Long]("n_replica"), r.getAs[Long]("n_missing"),
+        r.getAs[Long]("n_extra"), r.getAs[Long]("n_corrupt")))
+    assert(rows.nonEmpty)
+    // class totals equal the planted arithmetic exactly (key 0 is
+    // missing-first: a dropped row can't also be corrupt)
+    val keys = Tables.orders(spark, sf).selectExpr("o_orderkey")
+      .collect().map(_.getLong(0))
+    assert(rows.map(_._4).sum == keys.count(_ % 997 == 0), "missing")
+    assert(rows.map(_._6).sum ==
+      keys.count(k => k % 1009 == 0 && k % 997 != 0), "corrupt")
+    assert(rows.map(_._5).sum == keys.count(_ % 1013 == 0), "extra")
+    // every mismatched bucket's count delta reconciles with its
+    // classes, and no bucket surfaces without a real defect
+    rows.foreach { case (_, np, nr, m, e, c) =>
+      assert(nr - np == e - m)
+      assert(m + e + c > 0)
+    }
+    // localization: the divergence is permille-scale, so only a
+    // small fraction of buckets drill — the merkle claim itself
+    assert(rows.length.toLong < Q.dq8Buckets / 4,
+      s"${rows.length} of ${Q.dq8Buckets} buckets mismatched — digests not localizing")
+    // a CLEAN pair reconciles to an EMPTY report (two scans, a
+    // 4096-row digest compare, zero row-grain work)
+    val p = Tables.orders(spark, sf).selectExpr("o_orderkey",
+      "o_custkey", "o_orderstatus", "o_orderpriority")
+    assert(Q.reconcile(p, p).isEmpty, "clean replica pair must reconcile empty")
+  }
+
   test("dq7: FD audit equals a sequential recompute; both arms and the support arithmetic hold") {
     val rows = graft.operators.Quality.dq7(spark, sf).collect()
       .map(r => (r.getAs[String]("fd"), r.getAs[Long]("n_groups"),

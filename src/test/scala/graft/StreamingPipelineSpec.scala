@@ -1422,6 +1422,52 @@ class StreamingPipelineSpec extends AnyFunSuite {
       "loading the published artifact must not build")
   }
 
+  test("s44 reconciliation door: full replay equals batch dq8; the algebraic digest fold merges across batches; stale digests over-flag, the drill arbitrates") {
+    import spark.implicits._
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("bucket"), r.getAs[Long]("n_primary"),
+        r.getAs[Long]("n_replica"), r.getAs[Long]("n_missing"),
+        r.getAs[Long]("n_extra"), r.getAs[Long]("n_corrupt"))).toSeq
+    // twin contract: the whole replica stream replayed == batch dq8
+    val streamed = rows(graft.streaming.EventStreams.s44(spark, sf)).sorted
+    val batch = rows(graft.operators.Quality.dq8(spark, sf)).sorted
+    assert(streamed == batch && streamed.nonEmpty)
+    // two-batch drive on the factored kernel: the digest state is
+    // ALGEBRAIC (sum/xor), so disjoint batches fold to the same
+    // digests as one replay — and mid-stream, buckets whose rows are
+    // still pending are FLAGGED by the stale digests but drill clean
+    val st = graft.streaming.EventStreams.replicaDiffState(spark, sf)
+    val replica = graft.operators.Quality.dq8Replica(
+        graft.Tables.orders(spark, sf).selectExpr("o_orderkey",
+          "o_custkey", "o_orderstatus", "o_orderpriority"))
+      .as[(Long, Long, String, String)].collect().sortBy(_._1).toSeq
+    val (b1, b2) = replica.splitAt(replica.size / 2)
+    def serve(b: Seq[(Long, Long, String, String)]) = rows(
+      graft.streaming.EventStreams.replicaDiffServe(st,
+        b.toDF("o_orderkey", "o_custkey", "o_orderstatus",
+          "o_orderpriority")))
+    val mid = serve(b1)
+    // mid-stream the digests lag the store, so flags are a MIX of
+    // true divergence and pending rows — but the drill (which reads
+    // the stores) is the arbiter: every flagged bucket it convicts
+    // carries exactly the final report's class counts, and pending
+    // buckets drill clean. (A bucket whose only divergence is a
+    // still-pending EXTRA row legitimately looks clean mid-stream —
+    // the arrived prefix really does match the primary.)
+    val finalByBucket = batch.map(t => t._1 -> (t._4, t._5, t._6)).toMap
+    mid.filter(t => t._4 + t._5 + t._6 > 0L).foreach { t =>
+      assert(finalByBucket.get(t._1).contains((t._4, t._5, t._6)),
+        s"drill convicted bucket ${t._1} differently from the final report")
+    }
+    assert(mid.exists(t => t._4 + t._5 + t._6 == 0L),
+      "expected at least one pending bucket to drill clean mid-stream")
+    val fin = serve(b2)
+    assert(fin.sorted == batch,
+      "two-batch digest fold != single replay (algebra broken)")
+    assert(fin.forall(t => t._4 + t._5 + t._6 > 0L),
+      "a clean bucket stayed flagged after the fold caught up")
+  }
+
   test("s41 shard-audit door: full replay equals batch m24; collisions surface only once both shards arrive") {
     import spark.implicits._
     def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
