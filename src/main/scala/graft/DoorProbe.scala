@@ -41,6 +41,29 @@ object DoorProbe {
       val sec = (System.nanoTime() - t1) / 1e9
       println(f"[door] batch $i: ${ids.size} erasures, $rows rows, legBuilds=${st.legBuilds}, $sec%.2f s")
     }
+    // round 15: the fleet-bootstrap claim — a serving process that
+    // LOADS the committed artifact vs one that re-trains in-process.
+    // (clearCache so the loaded store isn't served from the trainer's
+    // cached scans — the cold-start number is the honest one.)
+    val root = java.nio.file.Files.createTempDirectory("graft_doorprobe_")
+      .toFile
+    graft.operators.Incremental.cleanupOnExit(root)
+    val t2 = System.nanoTime()
+    val ix0 = graft.operators.Knn.v21Static(spark, dir)
+    graft.operators.Knn.saveIndexVersion(ix0, root.getAbsolutePath)
+    ix0.reps.unpersist()
+    println(f"[door] s43 trainer: build + publish v1: ${(System.nanoTime() - t2) / 1e9}%.1f s")
+    spark.catalog.clearCache()
+    val t3 = System.nanoTime()
+    graft.operators.Knn.indexBuilds.set(0L)
+    val st2 = graft.streaming.EventStreams
+      .annDeleteStateFromStore(spark, dir, root.getAbsolutePath)
+    println(f"[door] s43 serving bootstrap (loadIndex + corpus count): ${(System.nanoTime() - t3) / 1e9}%.1f s, indexBuilds=${graft.operators.Knn.indexBuilds.get}")
+    val t4 = System.nanoTime()
+    val out2 = graft.streaming.EventStreams
+      .annCompactServe(st2, tombs.toDF("vec_id"))
+    val rows2 = out2.count()
+    println(f"[door] s43 crossing batch (compact + publish v2 + serve): $rows2 rows, indexBuilds=${graft.operators.Knn.indexBuilds.get}, version=${st2.storeVersion}, ${(System.nanoTime() - t4) / 1e9}%.1f s")
     spark.stop()
   }
 }

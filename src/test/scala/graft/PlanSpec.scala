@@ -68,9 +68,19 @@ class PlanSpec extends AnyFunSuite {
       "typed path access missing from the at-rest plan")
   }
 
-  test("m23/m26: the container walks are one scan with no shuffle before presentation") {
+  test("dq8: digest aggregates are map-side partial and the drill is broadcast-semi-scoped") {
+    val p = plan(graft.operators.Quality.dq8(spark, sf))
+    assert(p.contains("partial_bit_xor"),
+      "bucket digests must combine map-side (partial bit_xor)")
+    val semis = "BroadcastHashJoin .*LeftSemi".r.findAllIn(p).length
+    assert(semis >= 2,
+      s"row-grain drill must be semi-joined on the bad-bucket broadcast (both sides); got $semis")
+  }
+
+  test("m23/m26/m27: the container walks are one scan with no shuffle before presentation") {
     Seq(graft.operators.Media.m23(spark, sf),
-        graft.operators.Media.m26(spark, sf)).foreach { df =>
+        graft.operators.Media.m26(spark, sf),
+        graft.operators.Media.m27(spark, sf)).foreach { df =>
       val p = plan(df).split("== Initial Plan ==")(0)
       assert("Scan parquet".r.findAllIn(p).length == 1, "one scan only")
       // render+walk fused narrow: only the presentation sort exchanges
