@@ -3127,7 +3127,13 @@ object Knn {
     * mid-publish. The next version number skips over TORN attempts
     * (a dir without a manifest is never reused — parquet writes
     * refuse existing paths), and [[latestCommittedVersion]] simply
-    * never returns them. */
+    * never returns them. SINGLE-PUBLISHER contract: one root has
+    * one writer (the trainer, then the compaction door that owns
+    * the index) — two concurrent publishers could race the version
+    * scan to the same number and the loser's parquet write fails
+    * loudly (path exists), never tearing a committed dir; a
+    * multi-writer fleet needs an external lease, which is the
+    * coordinator's job, not the store format's. */
   private[graft] def latestCommittedVersion(root: String): Option[Int] = {
     val d = new java.io.File(root)
     Option(d.listFiles()).toSeq.flatten

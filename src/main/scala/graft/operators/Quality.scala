@@ -717,11 +717,17 @@ object Quality {
     * each divergent key as missing / extra / corrupt. Output: one
     * row per mismatched bucket with its class counts.
     *
-    * Scale: the row-grain work is proportional to the DIVERGENCE,
-    * not the table — a healthy 100 TB replica pair reconciles with
-    * two scans and a 4096-row compare; a 0.1%-diverged pair drills
-    * ~0.1% of its buckets. The digest aggregate is exactly the
-    * shape AQE loves: partial bit_xor/count map-side, 4096 groups.
+    * Scale: the row-grain JOIN/shuffle work is proportional to the
+    * DIVERGENCE, not the table — a healthy 100 TB replica pair
+    * reconciles with two scans and a 4096-row compare, and a
+    * 0.1%-diverged pair shuffles ~0.1% of its rows into the drill.
+    * The drill's SCAN is pruned by the storage layout: a production
+    * replica pair is bucketed/partitioned on the same pk hash, so
+    * the bad-bucket predicate prunes at the file level; on this
+    * unbucketed fixture the broadcast semi-join scopes post-scan
+    * (still zero extra shuffles — the plan pin). The digest
+    * aggregate is exactly the shape AQE loves: partial
+    * bit_xor/count map-side, 4096 groups.
     */
   def dq8(spark: SparkSession, dir: String): DataFrame = {
     val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
