@@ -2486,7 +2486,7 @@ object Graph {
       moved = !next.filter($"mv" === 1).isEmpty
       if (!keepAll) graft.functions.Lineage.freeCheckpoint(labels)
       labels = next.select($"id", $"lbl")
-      states += labels
+      if (keepAll) states += labels
     }
     degAll.unpersist(blocking = false)
     if (keepAll) states.toSeq else Seq(labels)

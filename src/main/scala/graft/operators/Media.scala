@@ -3027,9 +3027,20 @@ object Media {
       def readStr(vo: Long, c: Long): String =
         if (!in(vo, c) || c < 1) { ok = false; "" }
         else new String(b, t0 + vo.toInt, c.toInt - 1, "US-ASCII")
-      // kind: 0 = IFD0/IFD1 chain grain, 1 = GPS, 2 = Exif sub-IFD
-      // returns the IFD's next pointer (chain IFDs only)
+      // WALK/STRIP GATE SYMMETRY: the audit and the surgery must
+      // accept exactly the same inputs (a file the strip would
+      // quarantine must audit unhealthy, and vice versa), so this
+      // walk validates EVERY entry the way stripTiff does — known
+      // value-type sizes, out-of-line bounds, well-shaped sub-IFD
+      // pointers (LONG, count 1, terminating), and one shared
+      // total-IFD budget of 8 against pointer cycles at any depth.
+      val typeSize = Map(1 -> 1, 2 -> 1, 3 -> 2, 4 -> 4, 5 -> 8, 7 -> 1)
+      var budget = 8
+      // kind: 0 = IFD0/IFD1 chain grain, 1 = GPS, 2 = Exif sub-IFD,
+      // 3 = validate-only (Interop); returns the IFD's next pointer
       def parseIfd(off: Long, kind: Int): Long = {
+        if (budget <= 0) { ok = false; return 0L }
+        budget -= 1
         if (!in(off, 2)) { ok = false; return 0L }
         val cnt = r16(off)
         if (!in(off, 2L + 12L * cnt + 4L)) { ok = false; return 0L }
@@ -3037,40 +3048,51 @@ object Media {
         while (ok && i < cnt) {
           val p = off + 2 + 12 * i
           val tag = r16(p); val typ = r16(p + 2); val c = r32(p + 4)
-          kind match {
-            case 0 =>
-              if (tag == 0x0112 && typ == 3 && c == 1) ori = r16(p + 8)
-              else if (tag == 0x0132 && typ == 2) dt = readStr(r32(p + 8), c)
-              else if (tag == 0x8769 && typ == 4 && c == 1) {
-                parseIfd(r32(p + 8), 2); ()
-              } else if (tag == 0x8825 && typ == 4 && c == 1) {
-                gps = true
-                parseIfd(r32(p + 8), 1); ()
-              }
-            case 1 =>
-              if (tag == 0x0002 && typ == 5) {
-                val vo = r32(p + 8)
-                if (!in(vo, 8L * c)) ok = false
-                else { latDeg = r32(vo); latMin = r32(vo + 8) }
-              }
-            case 2 =>
-              if (tag == 0x8827 && typ == 3 && c == 1) iso = r16(p + 8).toLong
-              else if (tag == 0x927c && typ == 7) {
-                if (c > 4 && !in(r32(p + 8), c)) ok = false else maker = true
-              } else if (tag == 0xa431 && typ == 2)
-                serial = readStr(r32(p + 8), c)
+          if (tag == 0x8769 || tag == 0x8825 || tag == 0xa005) {
+            // a known sub-IFD pointer, at ANY depth (Interop nests
+            // inside the Exif IFD in real files) — strip parity:
+            // malformed shape or a non-terminating sub-IFD rejects
+            if (typ != 4 || c != 1) ok = false
+            else {
+              if (tag == 0x8825) gps = true
+              val sub = if (tag == 0x8769) 2
+                else if (tag == 0x8825) 1 else 3
+              val subNext = parseIfd(r32(p + 8), sub)
+              if (ok && subNext != 0) ok = false
+            }
+          } else {
+            val sz = typeSize.getOrElse(typ, 0)
+            if (sz == 0) ok = false
+            else if (sz.toLong * c > 4 && !in(r32(p + 8), sz.toLong * c))
+              ok = false
+            if (ok) kind match {
+              case 0 =>
+                if (tag == 0x0112 && typ == 3 && c == 1) ori = r16(p + 8)
+                else if (tag == 0x0132 && typ == 2)
+                  dt = readStr(r32(p + 8), c)
+              case 1 =>
+                if (tag == 0x0002 && typ == 5) {
+                  val vo = r32(p + 8)
+                  latDeg = r32(vo); latMin = r32(vo + 8)
+                }
+              case 2 =>
+                if (tag == 0x8827 && typ == 3 && c == 1)
+                  iso = r16(p + 8).toLong
+                else if (tag == 0x927c && typ == 7) maker = true
+                else if (tag == 0xa431 && typ == 2)
+                  serial = readStr(r32(p + 8), c)
+              case _ => ()
+            }
           }
           i += 1
         }
         r32(off + 2 + 12 * cnt)
       }
-      // the IFD0 → IFD1 → … chain, budget-capped against pointer
-      // cycles (a lying next offset must halt, not spin)
+      // the IFD0 → IFD1 → … chain; a lying next offset exhausts the
+      // shared budget inside parseIfd and halts, never spins
       var off = r32(4)
       var first = true
-      var budget = 4
-      while (ok && off != 0 && budget > 0) {
-        budget -= 1
+      while (ok && off != 0) {
         val cntBefore = if (in(off, 2)) r16(off) else 0
         val next = parseIfd(off, 0)
         if (ok) {
@@ -3079,7 +3101,6 @@ object Media {
         }
         off = next
       }
-      if (ok && off != 0) ok = false // chain budget exhausted — cycle
     }
     var pos = 2
     var done = false
@@ -3100,9 +3121,15 @@ object Media {
       }
     }
     if (!done) ok = false // no EOI — truncated container
-    ExifMeta(docId, ok, bo, nIfd0, ori, dt, gps && ok, latDeg, latMin,
-      iso, maker && ok, if (ok) serial else "", thumb && ok,
-      gps && ok, ok && dt.nonEmpty,
+    // every payload field is GATED on the healthy walk: a
+    // quarantine-class input must not leak partially scraped
+    // metadata into the audit output (byte_order stays as the gate
+    // diagnostic)
+    ExifMeta(docId, ok, bo, if (ok) nIfd0 else 0L, if (ok) ori else 0,
+      if (ok) dt else "", gps && ok,
+      if (ok) latDeg else 0L, if (ok) latMin else 0L,
+      if (ok) iso else 0L, maker && ok, if (ok) serial else "",
+      thumb && ok, gps && ok, ok && dt.nonEmpty,
       ok && (maker || serial.nonEmpty))
   }
 

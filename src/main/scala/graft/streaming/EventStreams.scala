@@ -1843,6 +1843,10 @@ object EventStreams {
     // damaged shards on every replay
     st.seen = st.seen.unionByName(
       arrivals.select("doc_id").distinct().localCheckpoint())
+    // the payload-bearing arrivals checkpoint has served both
+    // derivations (delta walk + seen ids) — free it, or the door
+    // leaks one cached shard-text RDD per micro-batch
+    graft.functions.Lineage.freeCheckpoint(arrivals)
     st.batches += 1
     if (st.batches % annCompactEvery == 0) {
       val (om, os) = (st.members, st.seen)

@@ -669,6 +669,14 @@ class ChartPngSpec extends AnyFunSuite {
     val cyc = g.updated(70, 8.toByte) // next-IFD points back at IFD0
     assert(Media.exifStrip(cyc).sameElements(cyc),
       "next-IFD pointer cycle must hit the chain budget and quarantine")
+    // WALK/STRIP GATE SYMMETRY: every input the strip quarantines,
+    // the audit walk rejects — the redaction never ships (or
+    // no-ops on) a file the audit would have called healthy, and
+    // vice versa
+    Seq(badBo, badOff, badPtr, cyc).foreach { bb =>
+      assert(!Media.exifWalk(8L, bb).exif_ok,
+        "strip quarantined an input the walk calls healthy")
+    }
     // fixture-wide: every stripped file re-walks healthy with no PII
     // in any class, and the reclaim shows exactly on the PII docs
     val rows = Media.m25(spark, SharedSpark.sf).collect()
@@ -733,7 +741,14 @@ class ChartPngSpec extends AnyFunSuite {
     assert(!walk(g.updated(45, 0x7f.toByte)).exif_ok, "DateTime offset lie")
     assert(!walk(g.updated(69, 0x7f.toByte)).exif_ok, "GPS IFD offset lie")
     assert(!walk(g.updated(70, 8.toByte)).exif_ok, "next-IFD cycle gate")
+    assert(!walk(g.updated(48, 3.toByte)).exif_ok,
+      "malformed sub-IFD pointer gate (walk/strip symmetry)")
     assert(!walk(g.dropRight(2)).exif_ok, "missing EOI must halt")
+    // a rejected walk leaks NO scraped metadata — quarantine-class
+    // audit rows are clean of payload fields
+    val leak = walk(g.updated(69, 0x7f.toByte))
+    assert(leak.dt_str.isEmpty && leak.iso == 0L && leak.serial.isEmpty &&
+      leak.orientation == 0 && leak.lat_deg == 0L && !leak.has_gps)
     // fixture-wide: healthy walks, per-class strip decisions, both
     // byte orders and every feature arm genuinely on the data
     val rows = Media.m23(spark, SharedSpark.sf).collect()
