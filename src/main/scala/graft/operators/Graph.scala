@@ -2851,4 +2851,208 @@ object Graph {
       |FROM pr$g1Rounds p JOIN sz ON sz.cid = p.id
       |ORDER BY community""".stripMargin
   }
+
+  // ---------- g27: multi-level Louvain (recurse while moves remain) ----------
+
+  /** Hard level cap for g27 — the snapshot grain for LEVELS, chosen
+    * past the fixture's measured self-termination at every tested
+    * scale (the same discipline as [[g24Rounds]]/[[g25Rounds]] for
+    * rounds): the level loop stops ON ITS OWN at the first zero-move
+    * level, and a zero-move level is a fixed point of
+    * condense-and-move (its condensed graph re-derives identically
+    * and moves zero again), so the oracle's FIXED unroll to this cap
+    * reproduces the early-stopped run verbatim — extra unrolled
+    * levels are provable no-ops, exactly the argument that lets the
+    * fixed-round unroll match the converged round loop. */
+  private[graft] val g27MaxLevels = 4
+
+  /** The level loop over the existing kernels: level 1 is
+    * [[louvainStates]] (unweighted, [[g24Rounds]] rounds — the
+    * oracle-pinned grain), every later level CONDENSES by the
+    * COMPOSED labeling and runs [[louvainStatesW]] ([[g25Rounds]]
+    * rounds) on the condensed weighted graph, until a level moves
+    * nothing or `maxLevels` is reached. Returns one (composed
+    * labels, moved) pair per executed level; composed labels live on
+    * the ORIGINAL nodes, so Blondel's invariance (condensed-graph
+    * modularity == composed-labeling modularity over the original
+    * graph) lets every level's Q be audited on the original graph.
+    *
+    * Condensation here re-labels the ORIGINAL edge set each level —
+    * the oracle's twin shape, and two equality joins + one pair
+    * aggregate per level; a production run at 100 TB would condense
+    * the PREVIOUS condensed graph instead (strictly smaller input,
+    * same result by label-composition associativity) — the fixture
+    * keeps the oracle-twin form since levels are few and the
+    * label-join is the same cost class either way. */
+  private[graft] def louvainLevels(nodes: DataFrame, und: DataFrame,
+      maxLevels: Int): Seq[(DataFrame, Boolean)] = {
+    val spark = nodes.sparkSession
+    import spark.implicits._
+    val edges1 = und.select($"a".as("src"), $"b".as("dst"))
+      .unionAll(und.select($"b".as("src"), $"a".as("dst")))
+    val deg1 = edges1.groupBy($"src".as("id")).agg(count(lit(1)).as("d"))
+    val degAll = nodes.join(deg1, Seq("id"), "left_outer")
+      .selectExpr("id", "coalesce(d, CAST(0 AS BIGINT)) AS d").cache()
+    val m = und.count()
+    val l1 = louvainStates(nodes, und, g24Rounds).last
+    var comp = l1
+    val out = scala.collection.mutable.ArrayBuffer(
+      (comp, !l1.filter($"id" =!= $"lbl").isEmpty))
+    var lvl = 2
+    while (out.last._2 && lvl <= maxLevels) {
+      // condense by the composed labeling (g25's aggregation shape)
+      val cund = und
+        .join(comp.select($"id".as("a"), $"lbl".as("ca")), Seq("a"))
+        .join(comp.select($"id".as("b"), $"lbl".as("cb")), Seq("b"))
+        .filter($"ca" =!= $"cb")
+        .select(least($"ca", $"cb").as("ca"), greatest($"ca", $"cb").as("cb"))
+        .groupBy($"ca", $"cb").agg(count(lit(1)).as("w")).cache()
+      val cedges = cund.select($"ca".as("src"), $"cb".as("dst"), $"w")
+        .unionByName(cund.select($"cb".as("src"), $"ca".as("dst"), $"w"))
+      val sdeg = comp.join(degAll, Seq("id"))
+        .groupBy($"lbl".as("id")).agg(sum($"d").as("d"))
+      val init = comp.select($"lbl".as("id")).distinct()
+        .withColumn("lbl", $"id")
+      val lN = louvainStatesW(init, cedges, sdeg, m, g25Rounds).last
+      val moved = !lN.filter($"id" =!= $"lbl").isEmpty
+      // compose back to original nodes; checkpoint cuts the
+      // per-level lineage (the round loop's discipline, one level up)
+      val next = comp.select($"id", $"lbl".as("c0"))
+        .join(lN.select($"id".as("c0"), $"lbl"), Seq("c0"))
+        .select($"id", $"lbl").localCheckpoint()
+      cund.unpersist(blocking = false)
+      out += ((next, moved))
+      comp = next
+      lvl += 1
+    }
+    degAll.unpersist(blocking = false)
+    out.toSeq
+  }
+
+  /** g27: MULTI-LEVEL LOUVAIN — the full algorithm (Blondel et al.
+    * 2008 §2): REPEAT condense-and-move until a level improves
+    * nothing, rather than stopping at level 2 by construction
+    * (g25). Each level collapses the current composed communities
+    * into super-nodes of a condensed weighted graph and reruns the
+    * same move rounds; the loop self-terminates at the first
+    * zero-move level — the fixed point where no vertex anywhere
+    * wants to switch, which is the algorithm's own stopping rule —
+    * capped at [[g27MaxLevels]] (the level-grain snapshot cap,
+    * measured past the fixture's self-termination at every tested
+    * scale). Output per node: the final composed community, its
+    * size, the exact Q·4m² numerator of the composed labeling over
+    * the ORIGINAL graph (comparable to g24/g25's — the spec pins
+    * the non-decreasing ladder), and `levels_used` — how many
+    * levels actually moved labels.
+    *
+    * Scale shape: level 1 is g24 (the node-grain cost); each later
+    * level runs on a condensed graph no larger than the community
+    * count — vanishingly small at 100 TB — so the whole multi-level
+    * tail costs less than one level-1 round; the level loop adds
+    * one cache-scan emptiness probe per level (the round loop's
+    * moved-flag discipline, one grain up).
+    */
+  def g27(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val nodes = Tables.customer(spark, dir).select($"c_custkey".as("id")).cache()
+    val n = nodes.count()
+    val e0 = nodes.selectExpr("id AS src", s"(id * 31 + 7) % $n AS dst")
+      .unionAll(nodes.selectExpr("id AS src", s"(id * 17 + 3) % $n AS dst"))
+      .unionAll(nodes.filter($"id" >= 2).selectExpr("id AS src", "id div 2 AS dst"))
+    val und = e0.filter($"src" =!= $"dst")
+      .selectExpr("least(src, dst) AS a", "greatest(src, dst) AS b")
+      .distinct().cache()
+    val levels = louvainLevels(nodes, und, g27MaxLevels)
+    val comp = levels.last._1
+    val levelsUsed = levels.count(_._2).toLong
+    val q = louvainQx4m2(und, comp).localCheckpoint()
+    nodes.unpersist(blocking = false)
+    und.unpersist(blocking = false)
+    comp
+      .join(comp.groupBy($"lbl").agg(count(lit(1)).as("csize")), Seq("lbl"))
+      .crossJoin(broadcast(q))
+      .select($"id".as("c_custkey"), $"lbl".as("community"), $"csize",
+        $"q_x4m2", lit(levelsUsed).as("levels_used"))
+      .transform(Tables.ordered(_, $"c_custkey"))
+  }
+
+  /** One unrolled weighted round of level `v` — [[louvainWRoundSql]]
+    * with every CTE name carrying the level prefix, reading level
+    * `v`'s condensed edges/strengths. */
+  private def louvainWRoundSqlAt(v: Int, i: Int): String =
+    s"""wtotL${v}_$i AS (SELECT l.lbl AS c, CAST(sum(sd.d) AS BIGINT) AS tot
+       |      FROM wlv${v}_${i - 1} l JOIN sdegL$v sd ON sd.id = l.id GROUP BY 1),
+       |wkinL${v}_$i AS (SELECT e.src AS id, l.lbl AS c, CAST(sum(e.w) AS BIGINT) AS kin
+       |      FROM cedgesL$v e JOIN wlv${v}_${i - 1} l ON l.id = e.dst GROUP BY 1, 2),
+       |wcandL${v}_$i AS (SELECT id, c, kin FROM wkinL${v}_$i
+       |      UNION ALL
+       |      SELECT l.id, l.lbl, 0 FROM wlv${v}_${i - 1} l
+       |      WHERE NOT EXISTS (SELECT 1 FROM wkinL${v}_$i k WHERE k.id = l.id AND k.c = l.lbl)),
+       |wgL${v}_$i AS (SELECT cd.id, cd.c,
+       |        2 * (SELECT m FROM mm) * cd.kin
+       |          - sd.d * (t.tot - CASE WHEN cd.c = l.lbl THEN sd.d ELSE 0 END) AS gain,
+       |        CASE WHEN cd.c = l.lbl THEN 0 ELSE 1 END AS mv
+       |      FROM wcandL${v}_$i cd JOIN wlv${v}_${i - 1} l ON l.id = cd.id
+       |      JOIN sdegL$v sd ON sd.id = cd.id JOIN wtotL${v}_$i t ON t.c = cd.c
+       |      WHERE cd.c <= l.lbl),
+       |wwL${v}_$i AS (SELECT id, c AS wlbl FROM (
+       |        SELECT id, c, row_number() OVER (PARTITION BY id
+       |          ORDER BY gain DESC, mv, c) AS rn FROM wgL${v}_$i) WHERE rn = 1),
+       |wlv${v}_$i AS MATERIALIZED (SELECT l.id, coalesce(w.wlbl, l.lbl) AS lbl
+       |      FROM wlv${v}_${i - 1} l LEFT JOIN wwL${v}_$i w ON w.id = l.id)""".stripMargin
+
+  /** The condensation + weighted rounds + composition CTEs for level
+    * `v` (v >= 2), reading the composed labels `comp{v-1}`. */
+  private def louvainLevelCtes(v: Int): String =
+    s"""cundL$v AS MATERIALIZED (SELECT least(la.lbl, lb.lbl) AS ca,
+       |        greatest(la.lbl, lb.lbl) AS cb, CAST(count(*) AS BIGINT) AS w
+       |      FROM und u JOIN comp${v - 1} la ON la.id = u.a
+       |      JOIN comp${v - 1} lb ON lb.id = u.b
+       |      WHERE la.lbl <> lb.lbl GROUP BY 1, 2),
+       |cedgesL$v AS MATERIALIZED (SELECT ca AS src, cb AS dst, w FROM cundL$v
+       |      UNION ALL SELECT cb, ca, w FROM cundL$v),
+       |sdegL$v AS MATERIALIZED (SELECT c.lbl AS id, CAST(sum(dg.d) AS BIGINT) AS d
+       |      FROM comp${v - 1} c JOIN degall dg ON dg.id = c.id GROUP BY 1),
+       |wlv${v}_0 AS MATERIALIZED (SELECT DISTINCT lbl AS id, lbl FROM comp${v - 1}),
+       |${(1 to g25Rounds).map(louvainWRoundSqlAt(v, _)).mkString(",\n")},
+       |comp$v AS MATERIALIZED (SELECT c.id, w.lbl FROM comp${v - 1} c
+       |      JOIN wlv${v}_$g25Rounds w ON w.id = c.lbl),
+       |mvL$v AS (SELECT CAST(CASE WHEN EXISTS (
+       |        SELECT 1 FROM wlv${v}_$g25Rounds WHERE lbl <> id)
+       |      THEN 1 ELSE 0 END AS BIGINT) AS mv)""".stripMargin
+
+  /** g27 oracle: g24's level-1 chain verbatim, then every level up
+    * to [[g27MaxLevels]] unrolled — condensation by the composed
+    * labels, the weighted rounds, the composition, and a per-level
+    * moved flag; levels past the fixture's self-termination are
+    * provable no-ops (a zero-move level re-derives its own
+    * condensed graph), so the fixed unroll equals the early-stopped
+    * run. Tail: sizes + exact Q·4m² of the final composed labeling
+    * + the moved-level count. */
+  val g27Sql: String = {
+    val L = g27MaxLevels
+    s"""WITH $louvainL1Ctes,
+      |comp1 AS MATERIALIZED (SELECT id, lbl FROM l$g24Rounds),
+      |mvL1 AS (SELECT CAST(CASE WHEN EXISTS (
+      |        SELECT 1 FROM l$g24Rounds WHERE lbl <> id)
+      |      THEN 1 ELSE 0 END AS BIGINT) AS mv),
+      |${(2 to L).map(louvainLevelCtes).mkString(",\n")},
+      |lu AS (SELECT ${(1 to L).map(v => s"(SELECT mv FROM mvL$v)")
+        .mkString(" + ")} AS levels_used),
+      |sz AS (SELECT lbl, CAST(count(*) AS BIGINT) AS csize
+      |      FROM comp$L GROUP BY 1),
+      |ein AS (SELECT fa.lbl AS c, CAST(count(*) AS BIGINT) AS e_in
+      |      FROM und u JOIN comp$L fa ON fa.id = u.a
+      |      JOIN comp$L fb ON fb.id = u.b
+      |      WHERE fa.lbl = fb.lbl GROUP BY 1),
+      |ctot AS (SELECT f.lbl AS c, CAST(sum(dg.d) AS BIGINT) AS tot
+      |      FROM comp$L f JOIN degall dg ON dg.id = f.id GROUP BY 1),
+      |q AS (SELECT CAST(sum(4 * (SELECT m FROM mm) * coalesce(e.e_in, 0)
+      |          - t.tot * t.tot) AS BIGINT) AS q_x4m2
+      |      FROM ctot t LEFT JOIN ein e ON e.c = t.c)
+      |SELECT f.id AS c_custkey, f.lbl AS community, sz.csize, q.q_x4m2,
+      |  lu.levels_used
+      |FROM comp$L f JOIN sz ON sz.lbl = f.lbl CROSS JOIN q CROSS JOIN lu
+      |ORDER BY c_custkey""".stripMargin
+  }
 }

@@ -3168,6 +3168,56 @@ object Knn {
     (loadIndex(spark, new java.io.File(root, s"v$v").getAbsolutePath), v)
   }
 
+  /** RETENTION leg of the versioned store — the seam the lifecycle
+    * (v29 persist → s43 bootstrap + publish-on-compact) otherwise
+    * leaves open: every compaction publishes a NEW committed
+    * version, so a long-lived fleet's store grows by one full index
+    * copy per threshold crossing. Mirrors the
+    * [[graft.sources.ForecastStore.vacuum]] / p16 snapshot-expiry /
+    * p17 orphan-reclaim discipline: delete committed versions
+    * SUPERSEDED beyond the newest `keep`, and TORN attempts (no
+    * _MANIFEST) numbered BELOW the newest committed version (dead
+    * crashes the version counter has already skipped past) — never
+    * the newest committed version itself (a reader of "what do I
+    * serve" must always have an answer), and never a torn directory
+    * numbered ABOVE it: under the store's single-publisher contract
+    * that is the publish currently in flight, and reclaiming it
+    * would race the writer (mid-publish safety). A store with no
+    * committed version is left entirely untouched — its only
+    * content is either a first publish in flight or damage
+    * retention must not paper over. Returns the removed directory
+    * names; [[latestCommittedVersion]] is invariant under vacuum
+    * (the contract that keeps retention semantically invisible to
+    * serving — v30's oracle is the serve oracle VERBATIM).
+    */
+  private[graft] def vacuumIndexStore(root: String, keep: Int)
+      : Seq[String] = {
+    require(keep >= 1, "must keep at least one committed version")
+    val d = new java.io.File(root)
+    def manifested(f: java.io.File): Boolean =
+      new java.io.File(f, "_MANIFEST").exists()
+    val dirs = Option(d.listFiles()).toSeq.flatten
+      .filter(f => f.isDirectory && f.getName.matches("v\\d+"))
+      .sortBy(_.getName.drop(1).toInt)
+    val committed = dirs.filter(manifested)
+    if (committed.isEmpty) Seq.empty
+    else {
+      val keepNames = committed.takeRight(keep).map(_.getName).toSet
+      val newestC = committed.last.getName.drop(1).toInt
+      def rmTree(f: java.io.File): Boolean = {
+        if (f.isDirectory)
+          Option(f.listFiles()).getOrElse(Array.empty).foreach(rmTree)
+        f.delete()
+      }
+      // report only what is actually gone (the ForecastStore.vacuum
+      // accounting discipline)
+      dirs.filter { f =>
+        !keepNames.contains(f.getName) &&
+          (manifested(f) || f.getName.drop(1).toInt < newestC)
+      }.filter(rmTree).map(_.getName)
+    }
+  }
+
   /** v29: INDEX PERSISTENCE — the lifecycle leg that SEPARATES the
     * training job from the serving fleet: v21 builds and serves in
     * one process, but production ships the trained index as an
@@ -3235,13 +3285,25 @@ object Knn {
     * mirrors the same on the oracle side).
     */
   def v28(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
     val e = vectors(spark, dir)
     // the live sub-corpus: ix.e drives scoring, the beam schedule
     // and the brute arm, so every leg follows the compacted corpus
     val eLive = e.filter(s"vec_id >= 10 AND vec_id % $v27ModK <> 0")
     val (g, reps, cents) = v21Index(spark, eLive, "vec_id >= 10")
-    val ix = V21Static(eLive, g, reps.persist(), cents)
+    v28Serve(V21Static(eLive, g, reps.persist(), cents), e)
+  }
+
+  /** The post-compaction serve over an already-live index —
+    * factored from [[v28]] so v30 can run the IDENTICAL legs over
+    * an index LOADED from the vacuumed store: the tombstone-filtered
+    * beam top-k, the live-corpus brute ground truth, and the
+    * provably-zero `n_tomb_visited` dial. `e` is the FULL vector
+    * table (the query codebook comes from it); the corpus legs all
+    * read `ix.e` — the live sub-corpus, whether built in-process or
+    * loaded through the manifest gate. */
+  private[graft] def v28Serve(ix: V21Static, e: DataFrame): DataFrame = {
+    val spark = e.sparkSession
+    import spark.implicits._
     val qs = codebook(e, "vec_id < 10")
     val visited = v21SearchOn(ix, qs).last
     // the tombstone filter stays textually in place (mirroring the
@@ -3283,4 +3345,69 @@ object Knn {
       |LEFT JOIN tv ON tv.qid = r.qid
       |WHERE r.rnk <= $knnK
       |ORDER BY r.qid, r.rnk""".stripMargin
+
+  // ---------- v30: index store retention (vacuum the lifecycle) ----------
+
+  /** v30: INDEX STORE RETENTION — the vacuum leg that closes the
+    * LAST seam in the artifact lifecycle (v29 persist → s43 fleet
+    * bootstrap + publish-on-compact → **retention**): without it a
+    * long-lived fleet leaks one full index copy per compaction,
+    * because [[saveIndexVersion]] only ever appends. The query runs
+    * the store's whole supersession story: the batch trainer
+    * publishes the full index as v1; a publisher CRASH leaves a torn
+    * v2 (component bytes, no _MANIFEST — never served, but still
+    * occupying storage); the compaction rebuild (v28's live-only
+    * construction) publishes as v3 — the version counter skipping
+    * the torn attempt, per the store contract; then
+    * [[vacuumIndexStore]](keep = 1) reclaims the superseded v1 AND
+    * the dead torn v2 while v3 — the newest committed version —
+    * survives by construction. Serving then bootstraps from the
+    * vacuumed store through the committed-read gate and emits the
+    * compacted serve — rows bitwise v28's, so the oracle is
+    * [[v28Sql]] VERBATIM: retention is semantically invisible to
+    * serving, which is the whole retention contract (the spec
+    * additionally pins newest-survives, torn-reclaimed,
+    * mid-publish safety, and `latestCommittedVersion` invariance).
+    *
+    * Scale: vacuum is O(#versions) directory-metadata work — no
+    * data file is read, nothing shuffles; the reclaim is what keeps
+    * a 100 TB fleet's shared index store at O(keep) index copies
+    * instead of O(compactions).
+    */
+  def v30(spark: SparkSession, dir: String): DataFrame = {
+    val root = java.nio.file.Files.createTempDirectory("graft_v30_")
+      .toFile
+    graft.operators.Incremental.cleanupOnExit(root)
+    val rootP = root.getAbsolutePath
+    // v1: the batch trainer's first publish — the FULL index
+    val ix0 = v21Static(spark, dir)
+    saveIndexVersion(ix0, rootP)
+    ix0.reps.unpersist()
+    // v2: a TORN publish — a crash after component bytes landed but
+    // before the manifest; the store must neither serve it nor ever
+    // reuse its number
+    val torn = new java.io.File(root, "v2")
+    torn.mkdirs()
+    java.nio.file.Files.write(torn.toPath.resolve("part-00000-crash"),
+      Array[Byte](0x50, 0x41, 0x52, 0x31))
+    // v3: the compacted (live-only) rebuild — the supersession that
+    // makes retention necessary
+    val e = vectors(spark, dir)
+    val eLive = e.filter(s"vec_id >= 10 AND vec_id % $v27ModK <> 0")
+    val (g, reps, cents) = v21Index(spark, eLive, "vec_id >= 10")
+    val ix1 = V21Static(eLive, g, reps.persist(), cents)
+    val v3 = saveIndexVersion(ix1, rootP)
+    ix1.reps.unpersist()
+    // RETENTION: keep 1 → reclaims superseded v1 + dead torn v2
+    vacuumIndexStore(rootP, keep = 1)
+    // SERVE from the vacuumed store, through the committed-read gate
+    val (ix2, v) = loadLatestIndex(spark, rootP)
+    require(v == v3,
+      s"vacuum moved the newest committed version: $v != $v3")
+    v28Serve(ix2, e)
+  }
+
+  /** v30 oracle: v28's, verbatim — retention must be semantically
+    * invisible to serving. */
+  val v30Sql: String = v28Sql
 }

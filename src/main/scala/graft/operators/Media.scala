@@ -2787,7 +2787,14 @@ object Media {
     * [data_offset, data_offset + size) slice — no header is parsed,
     * no other byte is read. This is the reader half of m26's seek
     * promise, factored so the spec can corrupt EVERY byte outside
-    * the indexed ranges and prove the fetch can't tell. */
+    * the indexed ranges and prove the fetch can't tell. NB the
+    * String-backed shard model bounds one shard at 2^31 chars (a
+    * JVM array), so `substring(dataOff.toInt, …)` is exact only for
+    * fixture-scale shards; what the operator proves — only the
+    * indexed byte ranges are ever read — is representation-
+    * independent, and a real-bytes store (> 2 GiB shards) swaps
+    * this slice for a Long-offset ranged GET without touching the
+    * contract. */
   private[graft] def shardFetch(t: String,
       wanted: Seq[(String, Long, Long)]): Seq[(String, Long, String)] =
     wanted.map { case (name, dataOff, size) =>
@@ -3027,6 +3034,17 @@ object Media {
       def readStr(vo: Long, c: Long): String =
         if (!in(vo, c) || c < 1) { ok = false; "" }
         else new String(b, t0 + vo.toInt, c.toInt - 1, "US-ASCII")
+      // TIFF stores any value with byteLen <= 4 INLINE in the entry's
+      // value field (bytes p+8..p+11) — the walk must read those
+      // bytes directly, NEVER dereference them as an offset
+      // (stripTiff's inline/out-of-line split, mirrored here so the
+      // gates stay symmetric; a c = 0 string reads empty, as the
+      // strip keeps such an entry untouched)
+      def strValAt(p: Long, c: Long): String =
+        if (c < 1) ""
+        else if (c <= 4)
+          new String(b, t0 + p.toInt + 8, c.toInt - 1, "US-ASCII")
+        else readStr(r32(p + 8), c)
       // WALK/STRIP GATE SYMMETRY: the audit and the surgery must
       // accept exactly the same inputs (a file the strip would
       // quarantine must audit unhealthy, and vice versa), so this
@@ -3069,9 +3087,18 @@ object Media {
               case 0 =>
                 if (tag == 0x0112 && typ == 3 && c == 1) ori = r16(p + 8)
                 else if (tag == 0x0132 && typ == 2)
-                  dt = readStr(r32(p + 8), c)
+                  dt = strValAt(p, c)
               case 1 =>
-                if (tag == 0x0002 && typ == 5) {
+                // GPSLatitude is a rational TRIPLE (deg, min, sec):
+                // only c >= 3 has passed the out-of-line bounds gate
+                // above (in(vo, 8c) ⊇ the 16 bytes read here). A
+                // shorter count is inline-or-short per TIFF — its
+                // value field is NOT a pointer, and stripTiff keeps
+                // such an entry untouched, so the walk records no
+                // coordinate instead of dereferencing (gate
+                // symmetry; previously an attacker-controlled value
+                // field could crash the walk a strip would accept)
+                if (tag == 0x0002 && typ == 5 && c >= 3) {
                   val vo = r32(p + 8)
                   latDeg = r32(vo); latMin = r32(vo + 8)
                 }
@@ -3080,7 +3107,7 @@ object Media {
                   iso = r16(p + 8).toLong
                 else if (tag == 0x927c && typ == 7) maker = true
                 else if (tag == 0xa431 && typ == 2)
-                  serial = readStr(r32(p + 8), c)
+                  serial = strValAt(p, c)
               case _ => ()
             }
           }

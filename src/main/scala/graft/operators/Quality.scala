@@ -764,15 +764,37 @@ object Quality {
     * from the stores only for the drill (the repair job's read
     * pattern: row-grain work proportional to the divergence). */
   private[graft] def reconcileFromDigests(pDig: DataFrame, rDig: DataFrame,
-      p: DataFrame, r: DataFrame): DataFrame = {
-    val spark = p.sparkSession
+      p: DataFrame, r: DataFrame): DataFrame =
+    drillReport(digestMismatch(pDig, rDig), p, r)
+
+  /** Buckets whose (count, xor) digest pairs differ between two
+    * digest tables — null-safe on both columns so a bucket present
+    * on only one side mismatches. Output (bucket, n_primary,
+    * n_replica) with absent sides counted 0. Factored so the
+    * streaming door (s44) can compare its FOLD against the store's
+    * published watermark digests with the same kernel it uses for
+    * primary-vs-replica. */
+  private[graft] def digestMismatch(aDig: DataFrame, bDig: DataFrame)
+      : DataFrame = {
+    val spark = aDig.sparkSession
     import spark.implicits._
-    val bad = pDig.selectExpr("bucket", "n AS n_p", "x AS x_p")
-      .join(rDig.selectExpr("bucket", "n AS n_r", "x AS x_r"),
+    aDig.selectExpr("bucket", "n AS n_p", "x AS x_p")
+      .join(bDig.selectExpr("bucket", "n AS n_r", "x AS x_r"),
         Seq("bucket"), "full_outer")
       .filter("NOT (n_p <=> n_r) OR NOT (x_p <=> x_r)")
       .select($"bucket", coalesce($"n_p", lit(0L)).as("n_primary"),
         coalesce($"n_r", lit(0L)).as("n_replica"))
+  }
+
+  /** The bad-bucket-scoped row-grain drill + report tail over an
+    * explicit conviction set — the repair job's read pattern: `p`
+    * and `r` are the STORES (the door passes the replica's parquet
+    * store here, never a re-derivation), and only `bad`'s buckets
+    * are ever fingered. */
+  private[graft] def drillReport(bad: DataFrame,
+      p: DataFrame, r: DataFrame): DataFrame = {
+    val spark = p.sparkSession
+    import spark.implicits._
     // the DRILL touches only mismatched buckets' rows — the
     // broadcast semi-join is the proportional-to-divergence pin
     val badK = broadcast(bad.select($"bucket"))

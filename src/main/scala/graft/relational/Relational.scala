@@ -1447,19 +1447,83 @@ object Relational {
     * access, never re-paying the JSON parse — multiply by every
     * query that ever touches a 100 TB semi-structured lake.
     */
-  def q42(spark: SparkSession, dir: String): DataFrame = {
-    val store = java.nio.file.Files.createTempDirectory("graft_q42_")
-      .toFile
-    graft.operators.Incremental.cleanupOnExit(store)
-    val path = new java.io.File(store, "events_variant").getAbsolutePath
-    // INGEST: parse once, store the variant column
-    Tables.events(spark, dir).selectExpr("event_id", variantParseExpr)
-      .write.parquet(path)
+  /** The session-memoized VARIANT store: the ingest (parse once,
+    * write the shredded variant column) runs ONCE per source dir and
+    * every at-rest query serves from the same parquet path — which
+    * is the production shape (one lake, many readers) AND the leak
+    * fix for repeated in-session invocations: the previous
+    * per-invocation temp dir accumulated one full table copy per
+    * Bench iteration until JVM exit. */
+  private val variantStores =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private[graft] def variantStore(spark: SparkSession, dir: String)
+      : String =
+    variantStores.computeIfAbsent(dir, { _ =>
+      val store = java.nio.file.Files.createTempDirectory("graft_q42_")
+        .toFile
+      graft.operators.Incremental.cleanupOnExit(store)
+      val path = new java.io.File(store, "events_variant").getAbsolutePath
+      // INGEST: parse once, store the variant column
+      Tables.events(spark, dir).selectExpr("event_id", variantParseExpr)
+        .write.parquet(path)
+      path
+    })
+
+  def q42(spark: SparkSession, dir: String): DataFrame =
     // SERVE: the identical typed aggregate over the STORED column
-    variantTypedAgg(spark.read.parquet(path))
-  }
+    variantTypedAgg(spark.read.parquet(variantStore(spark, dir)))
 
   /** q42 oracle: q40's, verbatim — the parquet round-trip of the
     * variant column is semantically invisible. */
   val q42Sql: String = q40Sql
+
+  // ---------- q43: VARIANT at-rest predicate pushdown ----------
+
+  /** q43: VARIANT PREDICATE PUSHDOWN — the FILTER half of the
+    * at-rest story, which is where shredding pays at 100 TB: a
+    * `variant_get(v, '$.meta.pri') = 3` predicate against the
+    * STORED column. Because the ingest wrote the variant SHREDDED
+    * into typed parquet subcolumns (q42's store, reused — one lake,
+    * many readers), Spark 4.1's shredded-read rewrite collapses the
+    * typed path to a plain struct-field read, and the equality then
+    * pushes into the parquet scan like any typed column predicate —
+    * the scan's PushedFilters carries the subcolumn comparison
+    * (PlanSpec pins it), so row groups and pages whose `meta.pri`
+    * statistics exclude 3 are never read. Without shredding the
+    * same query would decode every row's variant binary just to
+    * throw 4/5 of them away; with it the selection happens at the
+    * STORAGE layer — the difference between scanning 100 TB and
+    * scanning the ~20% of pages that can match. The aggregate tail
+    * is a plain two-stage hash agg over the surviving rows.
+    */
+  def q43(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    spark.read.parquet(variantStore(spark, dir))
+      .filter("variant_get(v, '$.meta.pri', 'bigint') = 3")
+      .selectExpr("variant_get(v, '$.meta.src', 'string') AS src",
+        "variant_get(v, '$.payload.k', 'bigint') AS k")
+      .groupBy($"src")
+      .agg(count(lit(1)).as("n"), sum($"k").as("sum_k"))
+      .transform(Tables.ordered(_, $"src"))
+  }
+
+  /** q43 oracle: q40's shred with the pri predicate applied before
+    * the aggregate — the rows any engine serves for the filtered
+    * typed path, however its storage prunes. */
+  val q43Sql: String =
+    """WITH j AS (SELECT
+      |    '{"meta":{"src":"' || event_type || '","pri":' ||
+      |    CAST(event_id % 5 AS VARCHAR) || '},"payload":' || props ||
+      |    ',"tags":[' || CAST(event_id % 3 AS VARCHAR) || ',' ||
+      |    CAST(event_id % 7 AS VARCHAR) || ']}' AS doc
+      |  FROM events),
+      |x AS (SELECT json_extract_string(doc, '$.meta.src') AS src,
+      |    CAST(json_extract(doc, '$.meta.pri') AS BIGINT) AS pri,
+      |    CAST(json_extract(doc, '$.payload.k') AS BIGINT) AS k
+      |  FROM j)
+      |SELECT src, CAST(count(*) AS BIGINT) AS n,
+      |  CAST(sum(k) AS BIGINT) AS sum_k
+      |FROM x WHERE pri = 3 GROUP BY 1
+      |ORDER BY src""".stripMargin
 }

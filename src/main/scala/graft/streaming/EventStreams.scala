@@ -1560,6 +1560,12 @@ object EventStreams {
     * otherwise — it asserts the half batch does NOT compact). */
   private[graft] val s40CompactDenom = 25L
 
+  /** Committed versions the s43 door retains when it vacuums after
+    * publish-on-compact: the just-published index plus its
+    * predecessor — the rollback target a bad compaction would need
+    * (the ForecastStore keep-the-current-plus-history posture). */
+  private[graft] val annStoreKeep = 2
+
   /** One micro-batch through the compaction door: s39's arrival
     * fold, then either the filtered serve (below threshold) or
     * v28's live rebuild + serve (at/above). The rebuilt index
@@ -1599,9 +1605,20 @@ object EventStreams {
       // version, so sibling serving processes (and this one's next
       // cold start) bootstrap from the compacted artifact, never the
       // stale one — the v29 artifact contract closed into a loop
-      if (st.storeRoot != null)
+      if (st.storeRoot != null) {
         st.storeVersion =
           graft.operators.Knn.saveIndexVersion(newIx, st.storeRoot)
+        // RETENTION, right after publish (v30's vacuum): keep the
+        // just-published version plus its predecessor (the rollback
+        // target — the ForecastStore posture), reclaim everything
+        // older and any dead torn attempt. Without this the store
+        // grows one full index copy per threshold crossing; with it
+        // a fleet's shared store stays O(annStoreKeep) copies. The
+        // newest committed version — the one just published — is
+        // untouchable by construction, so the door can never vacuum
+        // away what its siblings are about to bootstrap from.
+        graft.operators.Knn.vacuumIndexStore(st.storeRoot, annStoreKeep)
+      }
       st.ix.reps.unpersist()
       st.ix = newIx
       st.deleted = ss.range(0).selectExpr("id AS vec_id").localCheckpoint()
@@ -1695,16 +1712,21 @@ object EventStreams {
     * cancel replayed rows pairwise). Each batch emits the CURRENT
     * reconciliation report: digest compare against the primary's
     * (computed once in state — the train-offline leg), then dq8's
-    * row-grain drill re-reading ONLY mismatched buckets from the
-    * stores (the repair job's read pattern). Mid-stream the fold
-    * lags the store, so flags MIX true divergence with pending
-    * rows; the drill is the arbiter — a flagged bucket whose
-    * pending rows explain the gap drills clean, and a convicted
-    * bucket carries exactly its final class counts (a bucket whose
-    * only divergence is a still-pending extra row legitimately
-    * reads clean until it arrives — the arrived prefix really does
-    * match); replayed as ONE batch (the Verify path) the
-    * digests equal batch dq8's and the rows ARE batch dq8's —
+    * row-grain drill reading ONLY convicted buckets from the
+    * STORES — the primary table and the replica's own parquet
+    * store, never a re-derivation (the repair job's read pattern).
+    * Mid-stream the fold lags the store, and the door arbitrates
+    * that EXPLICITLY with the store's per-bucket LOW-WATER MARK
+    * (the digest of everything the replica writer has committed —
+    * published by the writer in a real deployment, re-derived once
+    * from the fixture's static store here): a mismatched bucket
+    * whose fold has not reached the mark is PENDING — never
+    * convicted, because the gap may be rows in flight — while a
+    * bucket AT the mark that still mismatches the primary is
+    * convicted, and its drill counts are FINAL (its fold equals the
+    * store, so the drill sees everything it ever will). Replayed as
+    * ONE batch (the Verify path) every bucket reaches the mark,
+    * the digests equal batch dq8's and the rows ARE batch dq8's —
     * oracle [[graft.operators.Quality.dq8Sql]] (twin contract).
     */
   def s44(spark: SparkSession, dir: String): DataFrame = {
@@ -1725,32 +1747,69 @@ object EventStreams {
   }
 
   /** The reconciliation door's state: the primary's digest table
-    * (train-offline, immutable) and the replica's accumulated
-    * digests — both O([[graft.operators.Quality.dq8Buckets]]) rows.
-    * `dir` rides along for the drill's bad-bucket-scoped replica
-    * re-read. */
+    * (train-offline, immutable), the replica's accumulated fold
+    * digests, and the store's low-water-mark digests — all three
+    * O([[graft.operators.Quality.dq8Buckets]]) rows. `dir` rides
+    * along for the drill's primary read; `replicaStore` is the
+    * replica TABLE's parquet path — what the drill actually reads
+    * for the replica side. */
   private[graft] final class ReplicaDiffState(
       val pDig: org.apache.spark.sql.DataFrame,
       var rDig: org.apache.spark.sql.DataFrame,
       val dir: String,
+      val replicaStore: String,
+      val sDig: org.apache.spark.sql.DataFrame,
       var batches: Int = 0)
+
+  /** The replica STORE, materialized once per source dir: in
+    * production this is simply the second copy of the table on
+    * disk; the fixture writes the deterministic diverged replica to
+    * parquet so the door's drill reads a real store — never a
+    * re-derivation from the primary — and so repeated in-session
+    * invocations share one store (the q42 memoization posture). */
+  private val replicaStores =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private[graft] def replicaStorePath(ss: SparkSession, dir: String)
+      : String =
+    replicaStores.computeIfAbsent(dir, { _ =>
+      val d = java.nio.file.Files.createTempDirectory("graft_s44_")
+        .toFile
+      graft.operators.Incremental.cleanupOnExit(d)
+      val path = new java.io.File(d, "orders_replica").getAbsolutePath
+      val p = graft.Tables.orders(ss, dir).selectExpr("o_orderkey",
+        "o_custkey", "o_orderstatus", "o_orderpriority")
+      graft.operators.Quality.dq8Replica(p).write.parquet(path)
+      path
+    })
 
   private[graft] def replicaDiffState(ss: SparkSession, dir: String)
       : ReplicaDiffState = {
     val p = graft.Tables.orders(ss, dir).selectExpr("o_orderkey",
       "o_custkey", "o_orderstatus", "o_orderpriority")
     val pDig = graft.operators.Quality.bucketDigest(p).localCheckpoint()
+    val store = replicaStorePath(ss, dir)
+    // the store's per-bucket LOW-WATER MARK: the digest of
+    // everything the replica writer has committed. A real writer
+    // publishes this alongside its commits (one 4096-row frame);
+    // the fixture's static store lets the door derive it once at
+    // bootstrap — same train-offline discipline as pDig.
+    val sDig = graft.operators.Quality
+      .bucketDigest(ss.read.parquet(store)).localCheckpoint()
     val empty = ss.range(0)
       .selectExpr("id AS bucket", "id AS n", "id AS x").filter("false")
       .localCheckpoint()
-    new ReplicaDiffState(pDig, empty, dir)
+    new ReplicaDiffState(pDig, empty, dir, store, sDig)
   }
 
   /** One micro-batch through the reconciliation door: fold the
     * arrivals' fingerprints into the replica digest state (one
     * algebraic sum/xor re-aggregate over ≤ 4096 + |batch buckets|
-    * rows), then emit the current report — digest compare + dq8's
-    * drill over ONLY the mismatched buckets. */
+    * rows), then emit the current report — primary-vs-fold digest
+    * compare, PENDING buckets (fold below the store's low-water
+    * mark) excluded, and dq8's row-grain drill reading ONLY the
+    * convicted buckets from the two STORES. A convicted bucket's
+    * fold equals the store, so its class counts are final. */
   private[graft] def replicaDiffServe(st: ReplicaDiffState,
       batch: DataFrame): DataFrame = {
     val d = graft.operators.Quality.bucketDigest(batch)
@@ -1764,9 +1823,17 @@ object EventStreams {
     val ss = batch.sparkSession
     val pAll = graft.Tables.orders(ss, st.dir).selectExpr("o_orderkey",
       "o_custkey", "o_orderstatus", "o_orderpriority")
-    val rAll = graft.operators.Quality.dq8Replica(pAll)
-    graft.operators.Quality.reconcileFromDigests(
-      st.pDig, st.rDig, pAll, rAll)
+    // WATERMARK ARBITRATION: a bucket whose fold differs from the
+    // store's mark still has rows in flight — pending, not
+    // divergent; conviction requires the fold AT the mark AND
+    // mismatching the primary
+    val pending = graft.operators.Quality
+      .digestMismatch(st.rDig, st.sDig).select(col("bucket"))
+    val convicted = graft.operators.Quality
+      .digestMismatch(st.pDig, st.rDig)
+      .join(pending, Seq("bucket"), "left_anti")
+    graft.operators.Quality.drillReport(convicted, pAll,
+      ss.read.parquet(st.replicaStore))
   }
 
   /** s44 oracle: dq8's, verbatim — the twin contract on the

@@ -744,6 +744,39 @@ class ChartPngSpec extends AnyFunSuite {
     assert(!walk(g.updated(48, 3.toByte)).exif_ok,
       "malformed sub-IFD pointer gate (walk/strip symmetry)")
     assert(!walk(g.dropRight(2)).exif_ok, "missing EOI must halt")
+    // INLINE vs OUT-OF-LINE value fields (TIFF stores any value of
+    // byteLen <= 4 IN the entry's value field): a GPSLatitude whose
+    // count falls short of the rational triple must never have its
+    // value field dereferenced as a pointer. GPS IFD sits at file
+    // offset 116; its 0x0002 entry: count field 134-137, value
+    // field 138-141 (little-endian file).
+    val gps0 = g.clone() // count 0 → inline per TIFF; garbage value
+    gps0(134) = 0; gps0(135) = 0; gps0(136) = 0; gps0(137) = 0
+    gps0(138) = 0xff.toByte; gps0(139) = 0xff.toByte
+    gps0(140) = 0xff.toByte; gps0(141) = 0xff.toByte
+    val w0 = walk(gps0)
+    assert(w0.exif_ok && w0.has_gps && w0.lat_deg == 0L && w0.lat_min == 0L,
+      "short GPS count: the inline value field is not a pointer — " +
+        "no crash, no coordinate")
+    assert(!Media.exifStrip(gps0, Set(0x0132)).sameElements(gps0),
+      "strip accepts the same input (walk/strip gate symmetry)")
+    val gps1 = gps0.clone() // count 1 → out-of-line 8 bytes, offset lies
+    gps1(134) = 1
+    assert(!walk(gps1).exif_ok,
+      "count-1 GPS: the out-of-line bounds gate must bite")
+    assert(Media.exifStrip(gps1, Set(0x0132)).sameElements(gps1),
+      "strip quarantines the same input (walk/strip gate symmetry)")
+    // an INLINE ASCII string (count <= 4) reads from the entry's own
+    // value bytes: DateTime count field 38-41 → 4, value 42-45 = "ABC\0"
+    val dtIn = g.clone()
+    dtIn(38) = 4; dtIn(39) = 0; dtIn(40) = 0; dtIn(41) = 0
+    dtIn(42) = 'A'.toByte; dtIn(43) = 'B'.toByte
+    dtIn(44) = 'C'.toByte; dtIn(45) = 0
+    val wIn = walk(dtIn)
+    assert(wIn.exif_ok && wIn.dt_str == "ABC" && wIn.needs_strip_time,
+      "inline string reads the entry bytes, never treats them as an offset")
+    assert(!Media.exifStrip(dtIn, Set(0x8825)).sameElements(dtIn),
+      "strip accepts the inline-string file (walk/strip gate symmetry)")
     // a rejected walk leaks NO scraped metadata — quarantine-class
     // audit rows are clean of payload fields
     val leak = walk(g.updated(69, 0x7f.toByte))

@@ -1896,6 +1896,65 @@ class DedupKnnSpec extends AnyFunSuite {
     }
   }
 
+  test("v30: store vacuum — newest committed survives, superseded + dead torn reclaimed, in-flight publish untouched") {
+    import java.nio.file.Files
+    val root = Files.createTempDirectory("graft_v30_spec_")
+    val rootP = root.toString
+    def mk(name: String, committed: Boolean): Unit = {
+      val d = new java.io.File(rootP, name); d.mkdirs()
+      Files.write(d.toPath.resolve("part-00000.parquet"), Array[Byte](1))
+      if (committed)
+        Files.write(d.toPath.resolve("_MANIFEST"),
+          "vectors 0".getBytes("UTF-8"))
+    }
+    def names() = Option(new java.io.File(rootP).listFiles())
+      .getOrElse(Array.empty).map(_.getName).toSet
+    try {
+      // empty store: no-op
+      assert(Knn.vacuumIndexStore(rootP, 1).isEmpty)
+      // v1 committed, v2 torn (dead crash), v3/v4 committed,
+      // v5 torn NEWER than the newest committed — under the
+      // single-publisher contract that is the publish in flight
+      Seq("v1" -> true, "v2" -> false, "v3" -> true, "v4" -> true,
+        "v5" -> false).foreach { case (n, c) => mk(n, c) }
+      val before = Knn.latestCommittedVersion(rootP)
+      assert(before.contains(4))
+      assert(Knn.vacuumIndexStore(rootP, keep = 2) == Seq("v1", "v2"),
+        "keep=2: superseded v1 + dead torn v2 reclaimed, nothing else")
+      assert(names() == Set("v3", "v4", "v5"),
+        "the in-flight torn v5 must never be reclaimed (mid-publish safety)")
+      assert(Knn.latestCommittedVersion(rootP) == before,
+        "vacuum must be invisible to 'what do I serve'")
+      assert(Knn.vacuumIndexStore(rootP, keep = 1) == Seq("v3"))
+      assert(names() == Set("v4", "v5"),
+        "the newest committed version survives keep=1 by construction")
+      assert(Knn.vacuumIndexStore(rootP, keep = 1).isEmpty, "idempotent")
+      intercept[IllegalArgumentException](Knn.vacuumIndexStore(rootP, 0))
+      // an all-torn store is untouched wholesale: the only torn dir
+      // may be a FIRST publish in flight
+      val root2 = Files.createTempDirectory("graft_v30_spec2_").toString
+      val d2 = new java.io.File(root2, "v1"); d2.mkdirs()
+      Files.write(d2.toPath.resolve("part-00000.parquet"), Array[Byte](1))
+      assert(Knn.vacuumIndexStore(root2, 1).isEmpty && d2.exists(),
+        "an all-torn store must not be vacuumed")
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        val cs = f.listFiles(); if (cs != null) cs.foreach(rm); f.delete(); ()
+      }
+      rm(root.toFile)
+    }
+    // end-to-end: the full lifecycle query (publish → torn crash →
+    // supersede → vacuum → committed-read bootstrap → serve) emits
+    // v28's rows bitwise — retention is invisible to serving
+    def parse(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Int]("rnk"),
+        r.getAs[Long]("vec_id"), r.getAs[Double]("cos_sim"),
+        r.getAs[Long]("in_exact"), r.getAs[Long]("n_tomb_visited"))).toSeq
+    val vacuumed = parse(Knn.v30(spark, sf))
+    assert(vacuumed == parse(Knn.v28(spark, sf)) && vacuumed.nonEmpty,
+      "serving from the vacuumed store must equal the in-process compacted serve")
+  }
+
   test("v28: compaction rebuild — the dial reads 0 on every query, tombstones leave the index, recall holds") {
     def parse(df: org.apache.spark.sql.DataFrame) = df.collect()
       .map(r => (r.getAs[Long]("qid"), r.getAs[Int]("rnk"),

@@ -68,6 +68,23 @@ class PlanSpec extends AnyFunSuite {
       "typed path access missing from the at-rest plan")
   }
 
+  test("q43: the variant_get predicate pushes into the shredded parquet scan") {
+    val p = plan(Relational.q43(spark, sf))
+    assert(!p.contains("parse_json"),
+      "the at-rest filter path re-parses JSON — the ingest-once contract is broken")
+    // the shredded-read rewrite turns variant_get($.meta.pri) into a
+    // struct-field read, and the equality then reaches the scan as a
+    // pushed filter on the shredded subcolumn (observed:
+    // `PushedFilters: [IsNotNull(v), EqualTo(v.`2`,3)]`) — the
+    // row-group/page pruning seam at 100 TB
+    assert(p.contains("PushedFilters") &&
+        """EqualTo\(v\.`?\d+`?,3\)""".r.findFirstIn(p).isDefined,
+      "the typed-path equality must push into the shredded scan")
+    val schema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(schema.contains("v:struct<"),
+      s"the scan must read shredded typed subcolumns, not the variant binary: $schema")
+  }
+
   test("dq8: digest aggregates are map-side partial and the drill is broadcast-semi-scoped") {
     val p = plan(graft.operators.Quality.dq8(spark, sf))
     assert(p.contains("partial_bit_xor"),

@@ -871,6 +871,119 @@ class RelationalSpec extends AnyFunSuite {
       s"condensed-graph Q $qCond != composed-labeling Q $q2 (invariance broken)")
   }
 
+  test("g27: the level loop matches a sequential multi-level mirror; Q non-decreasing across levels; self-terminates below the cap") {
+    val rows = graft.operators.Graph.g27(spark, sf).collect()
+      .map(r => (r.getAs[Long]("c_custkey"), r.getAs[Long]("community"),
+        r.getAs[Long]("csize"), r.getAs[Long]("q_x4m2"),
+        r.getAs[Long]("levels_used")))
+    val n = Tables.customer(spark, sf).count()
+    assert(rows.length == n)
+    // the shared fixture graph + Q audit (g25's mirror scaffolding)
+    val und = (0L until n).flatMap { u =>
+      Seq((u, (u * 31 + 7) % n), (u, (u * 17 + 3) % n)) ++
+        (if (u >= 2) Seq((u, u / 2)) else Nil)
+    }.filter { case (a, b) => a != b }
+      .map { case (a, b) => (math.min(a, b), math.max(a, b)) }.distinct
+    val m = und.size.toLong
+    val adj = (und ++ und.map(_.swap)).groupBy(_._1).view
+      .mapValues(_.map(_._2)).toMap
+    val deg = (0L until n).map(id =>
+      id -> adj.get(id).map(_.size.toLong).getOrElse(0L)).toMap
+    def qx4m2(lbl: Long => Long): Long = {
+      val eIn = und.groupBy { case (a, b) => (lbl(a), lbl(b)) }
+        .collect { case ((la, lb), es) if la == lb => la -> es.size.toLong }
+        .toMap
+      val tot = (0L until n).groupBy(lbl).view
+        .mapValues(_.map(deg).sum).toMap
+      tot.map { case (c, t) => 4 * m * eIn.getOrElse(c, 0L) - t * t }.sum
+    }
+    // level 1: the unweighted sequential mirror at the g24Rounds grain
+    var lbl = (0L until n).toArray
+    (1 to graft.operators.Graph.g24Rounds).foreach { _ =>
+      val tot = (0L until n).groupBy(id => lbl(id.toInt)).view
+        .mapValues(_.map(deg).sum).toMap
+      val next = lbl.clone()
+      (0L until n).foreach { id =>
+        val own = lbl(id.toInt)
+        val d = deg(id)
+        val kin = adj.getOrElse(id, Seq.empty)
+          .groupBy(b => lbl(b.toInt)).view.mapValues(_.size.toLong).toMap
+        val cands = (kin.keySet + own).toSeq.filter(_ <= own).map { c =>
+          val totAdj = tot(c) - (if (c == own) d else 0L)
+          (c, 2 * m * kin.getOrElse(c, 0L) - d * totAdj, if (c == own) 0 else 1)
+        }
+        next(id.toInt) = cands.minBy { case (c, g, mv) => (-g, mv, c) }._1
+      }
+      lbl = next
+    }
+    // the LEVEL LOOP mirror: condense by the composed labels, run the
+    // weighted rounds at the g25Rounds grain, stop on a zero-move level
+    var comp: Long => Long = id => lbl(id.toInt)
+    var moved = (0L until n).exists(id => comp(id) != id)
+    var levelsUsed = if (moved) 1L else 0L
+    var qSeq = List(qx4m2(comp))
+    var lvl = 2
+    while (moved && lvl <= graft.operators.Graph.g27MaxLevels) {
+      val comms = (0L until n).map(comp).distinct.sorted
+      val cw = und.groupBy { case (a, b) =>
+          val (ca, cb) = (comp(a), comp(b))
+          (math.min(ca, cb), math.max(ca, cb))
+        }.view.mapValues(_.size.toLong).toMap
+      val cross = cw.collect { case ((x, y), w) if x != y => ((x, y), w) }.toSeq
+      val cadj = cross.flatMap { case ((x, y), w) => Seq((x, (y, w)), (y, (x, w))) }
+        .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+      val strength = comms.map { c =>
+        c -> (0L until n).filter(id => comp(id) == c).map(deg).sum
+      }.toMap
+      assert(strength.values.sum == 2 * m, s"level $lvl must preserve 2m")
+      var l2 = comms.map(c => c -> c).toMap
+      (1 to graft.operators.Graph.g25Rounds).foreach { _ =>
+        val tot = comms.groupBy(l2).view
+          .mapValues(_.map(strength).sum).toMap
+        val next = scala.collection.mutable.Map(l2.toSeq: _*)
+        comms.foreach { c =>
+          val own = l2(c)
+          val d = strength(c)
+          val kin = cadj.getOrElse(c, Seq.empty)
+            .groupBy { case (nb, _) => l2(nb) }.view
+            .mapValues(_.map(_._2).sum).toMap
+          val cands = (kin.keySet + own).toSeq.filter(_ <= own).map { cc =>
+            val totAdj = tot(cc) - (if (cc == own) d else 0L)
+            (cc, 2 * m * kin.getOrElse(cc, 0L) - d * totAdj,
+              if (cc == own) 0 else 1)
+          }
+          next(c) = cands.minBy { case (cc, g, mv) => (-g, mv, cc) }._1
+        }
+        l2 = next.toMap
+      }
+      moved = comms.exists(c => l2(c) != c)
+      if (moved) levelsUsed += 1
+      val prev = comp
+      comp = id => l2(prev(id))
+      qSeq ::= qx4m2(comp)
+      lvl += 1
+    }
+    // the distributed run matches the mirror node-for-node
+    val sizes = (0L until n).map(comp).groupBy(identity).view
+      .mapValues(_.size.toLong).toMap
+    val qFinal = qx4m2(comp)
+    rows.foreach { case (id, c, cs, q, lu) =>
+      assert(c == comp(id), s"node $id composed label")
+      assert(cs == sizes(c) && q == qFinal && lu == levelsUsed)
+    }
+    // Q never decreases across levels, and the terminal level's Q
+    // equals its predecessor's (the zero-move fixed point)
+    val qAsc = qSeq.reverse
+    qAsc.zip(qAsc.tail).foreach { case (a, b) =>
+      assert(b >= a, s"Q decreased across a level: $a -> $b")
+    }
+    // the loop self-terminated on a zero-move level BELOW the cap —
+    // g27MaxLevels is a snapshot grain past the fixture's need, not
+    // a truncation (the oracle's extra unrolled levels are no-ops)
+    assert(!moved, "the fixture must self-terminate within the level cap")
+    assert(levelsUsed >= 2L, "the fixture must genuinely use multiple levels")
+  }
+
   test("g24/g25: the move loop terminates at a zero-move fixed point; Q non-decreasing; keepAll=false returns only the final frame") {
     val G = graft.operators.Graph
     val nodes = Tables.customer(spark, sf).selectExpr("c_custkey AS id").cache()

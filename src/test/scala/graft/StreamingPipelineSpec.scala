@@ -1422,7 +1422,44 @@ class StreamingPipelineSpec extends AnyFunSuite {
       "loading the published artifact must not build")
   }
 
-  test("s44 reconciliation door: full replay equals batch dq8; the algebraic digest fold merges across batches; stale digests over-flag, the drill arbitrates") {
+  test("s43 retention: the door vacuums after publish-on-compact — keeps the published version + its rollback predecessor, reclaims the rest") {
+    import spark.implicits._
+    // a store with HISTORY: three trainer publishes (v1..v3 — the
+    // periodic-refresh shape) plus a dead torn v4 left by a crashed
+    // publish; the door bootstraps from v3
+    val root = java.nio.file.Files.createTempDirectory("graft_s43vac_")
+      .toFile
+    graft.operators.Incremental.cleanupOnExit(root)
+    val rootP = root.getAbsolutePath
+    val ix0 = graft.operators.Knn.v21Static(spark, sf)
+    (1 to 3).foreach { i =>
+      assert(graft.operators.Knn.saveIndexVersion(ix0, rootP) == i)
+    }
+    ix0.reps.unpersist()
+    val torn = new java.io.File(root, "v4")
+    torn.mkdirs()
+    java.nio.file.Files.write(torn.toPath.resolve("part-crash"),
+      Array[Byte](1, 2, 3))
+    val st = graft.streaming.EventStreams.annDeleteStateFromStore(
+      spark, sf, rootP)
+    assert(st.storeVersion == 3)
+    // one crossing batch: compaction publishes v5 (skipping torn v4)
+    // and the door's vacuum reclaims everything but {v3, v5} — the
+    // published version and its rollback predecessor
+    val tombs = graft.operators.Knn.vectors(spark, sf)
+      .filter("vec_id >= 10 AND vec_id % 23 = 0").selectExpr("vec_id")
+    graft.streaming.EventStreams.annCompactServe(st, tombs.toDF())
+      .foreach(_ => ())
+    assert(st.storeVersion == 5, "publish must skip the torn attempt")
+    val left = Option(root.listFiles()).getOrElse(Array.empty)
+      .map(_.getName).toSet
+    assert(left == Set("v3", "v5"),
+      s"door retention must leave {v3, v5}, found $left")
+    assert(graft.operators.Knn.latestCommittedVersion(rootP).contains(5),
+      "the just-published version is what siblings bootstrap from")
+  }
+
+  test("s44 reconciliation door: full replay equals batch dq8; the fold is algebraic; the low-water mark gates pending buckets, convictions are final") {
     import spark.implicits._
     def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
       .map(r => (r.getAs[Long]("bucket"), r.getAs[Long]("n_primary"),
@@ -1432,35 +1469,35 @@ class StreamingPipelineSpec extends AnyFunSuite {
     val streamed = rows(graft.streaming.EventStreams.s44(spark, sf)).sorted
     val batch = rows(graft.operators.Quality.dq8(spark, sf)).sorted
     assert(streamed == batch && streamed.nonEmpty)
-    // two-batch drive on the factored kernel: the digest state is
-    // ALGEBRAIC (sum/xor), so disjoint batches fold to the same
-    // digests as one replay — and mid-stream, buckets whose rows are
-    // still pending are FLAGGED by the stale digests but drill clean
+    // two-batch drive on the factored kernel, split BY BUCKET PARITY
+    // so batch 1 delivers every store row of the even buckets and
+    // none of the odd ones: even buckets reach the low-water mark
+    // immediately, odd buckets sit below it
     val st = graft.streaming.EventStreams.replicaDiffState(spark, sf)
     val replica = graft.operators.Quality.dq8Replica(
         graft.Tables.orders(spark, sf).selectExpr("o_orderkey",
           "o_custkey", "o_orderstatus", "o_orderpriority"))
       .as[(Long, Long, String, String)].collect().sortBy(_._1).toSeq
-    val (b1, b2) = replica.splitAt(replica.size / 2)
+    val nb = 4096L
+    val (b1, b2) = replica.partition(t => (t._1 % nb) % 2 == 0)
     def serve(b: Seq[(Long, Long, String, String)]) = rows(
       graft.streaming.EventStreams.replicaDiffServe(st,
         b.toDF("o_orderkey", "o_custkey", "o_orderstatus",
           "o_orderpriority")))
     val mid = serve(b1)
-    // mid-stream the digests lag the store, so flags are a MIX of
-    // true divergence and pending rows — but the drill (which reads
-    // the stores) is the arbiter: every flagged bucket it convicts
-    // carries exactly the final report's class counts, and pending
-    // buckets drill clean. (A bucket whose only divergence is a
-    // still-pending EXTRA row legitimately looks clean mid-stream —
-    // the arrived prefix really does match the primary.)
-    val finalByBucket = batch.map(t => t._1 -> (t._4, t._5, t._6)).toMap
-    mid.filter(t => t._4 + t._5 + t._6 > 0L).foreach { t =>
-      assert(finalByBucket.get(t._1).contains((t._4, t._5, t._6)),
-        s"drill convicted bucket ${t._1} differently from the final report")
-    }
-    assert(mid.exists(t => t._4 + t._5 + t._6 == 0L),
-      "expected at least one pending bucket to drill clean mid-stream")
+    // mid-stream, the mark arbitrates EXPLICITLY: a divergent bucket
+    // at the mark (all its store rows arrived — the even buckets,
+    // plus any bucket the store holds NO rows for, whose fold
+    // trivially equals the mark) convicts with its FINAL class
+    // counts; a divergent bucket below the mark (odd, rows in
+    // flight) must not convict at all
+    val storeBuckets = replica.map(t => t._1 % nb).toSet
+    val expectedMid = batch.filter(t =>
+      t._1 % 2 == 0 || !storeBuckets.contains(t._1)).toSet
+    assert(mid.toSet == expectedMid,
+      "mid-stream convictions must be exactly the at-the-mark divergent buckets, with final counts")
+    assert(mid.nonEmpty && mid.size < batch.size,
+      "the fixture must exercise both the convicted and the pending arm")
     val fin = serve(b2)
     assert(fin.sorted == batch,
       "two-batch digest fold != single replay (algebra broken)")
