@@ -856,6 +856,124 @@ object Quality {
       |FROM bad JOIN drill d ON d.bucket = bad.bucket
       |ORDER BY bad.bucket""".stripMargin
   }
+
+  // ---------- dq9: replica repair (the corrections dq8 localizes) ----------
+
+  /** dq9: REPLICA REPAIR — the leg that makes the reconciliation
+    * family actionable, completing detect (dq8's digests) →
+    * localize (the drill) → **repair**: emit one CORRECTION per
+    * divergent key — `insert_missing` (ship the primary's row),
+    * `delete_extra` (drop the replayed write), `overwrite_corrupt`
+    * (replace the torn row with the primary's) — which is exactly
+    * what Cassandra's anti-entropy repair streams and what a Delta
+    * MERGE-from-primary applies. The query then APPLIES the
+    * corrections (two keyed anti/semi joins against the broadcast
+    * correction key sets — p6's MERGE shape scoped to the
+    * divergence) and PROVES the repair: the repaired replica's
+    * per-bucket digests are re-compared against the primary's and
+    * the mismatch COUNT rides every output row as
+    * `residual_buckets` — computed, not asserted, on BOTH engines
+    * (a repair that missed a key cannot read 0).
+    *
+    * Scale: corrections are divergence-proportional rows (the drill
+    * reads only flagged buckets); the apply's joins probe broadcast
+    * key sets — the replica table streams through untouched rows
+    * narrowly; the residual proof is two digest aggregates (4096
+    * rows each). A 0.1%-diverged 100 TB replica repairs with one
+    * replica scan + primary reads proportional to the divergence —
+    * never a full-table rewrite.
+    */
+  def dq9(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
+      "o_orderpriority")
+    val p = Tables.orders(spark, dir).selectExpr(cols: _*)
+    val r = dq8Replica(p)
+    val pDig = bucketDigest(p)
+    val bad = digestMismatch(pDig, bucketDigest(r))
+    val badK = broadcast(bad.select($"bucket"))
+    // the row-grain drill, kept at KEY grain: one correction per
+    // divergent key with its repair action
+    val corr = fingered(p).join(badK, Seq("bucket"), "left_semi")
+      .withColumnRenamed("h", "hp")
+      .join(fingered(r).join(badK, Seq("bucket"), "left_semi")
+        .withColumnRenamed("h", "hr"), Seq("bucket", "k"), "full_outer")
+      .selectExpr("bucket", "k",
+        """CASE WHEN hr IS NULL THEN 'insert_missing'
+          |     WHEN hp IS NULL THEN 'delete_extra'
+          |     WHEN hp <> hr THEN 'overwrite_corrupt' END AS action"""
+          .stripMargin)
+      .filter($"action".isNotNull)
+      .localCheckpoint()
+    // APPLY: drop extra + corrupt rows, ship missing + corrupt rows
+    // from the primary — keyed MERGE semantics, divergence-scoped
+    val delK = broadcast(corr
+      .filter($"action".isin("delete_extra", "overwrite_corrupt"))
+      .select($"k".as("o_orderkey")))
+    val insK = broadcast(corr
+      .filter($"action".isin("insert_missing", "overwrite_corrupt"))
+      .select($"k".as("o_orderkey")))
+    val repaired = r.join(delK, Seq("o_orderkey"), "left_anti")
+      .unionByName(p.join(insK, Seq("o_orderkey"), "left_semi"))
+    // the PROOF: post-repair digests match the primary's everywhere
+    val residual = digestMismatch(pDig, bucketDigest(repaired))
+      .agg(count(lit(1)).as("residual_buckets"))
+    corr.crossJoin(broadcast(residual))
+      .select($"bucket", $"k", $"action", $"residual_buckets")
+      .transform(graft.Tables.ordered(_, $"bucket", $"k"))
+  }
+
+  /** dq9 oracle: dq8's digest/drill chain emitted at KEY grain with
+    * the action classification, the same keyed apply, and the
+    * post-repair digest recompare — `residual_buckets` is computed
+    * by DuckDB too, so 0 is proven twice. */
+  val dq9Sql: String = {
+    val canon = "CAST(k AS VARCHAR) || '|' || CAST(o_custkey AS VARCHAR)" +
+      " || '|' || o_orderstatus || '|' || o_orderpriority"
+    val h = graft.functions.Fnv64.duckSigned("(" + canon + ")")
+    s"""WITH p AS (SELECT o_orderkey AS k, o_custkey, o_orderstatus,
+      |        o_orderpriority FROM orders),
+      |r AS (SELECT k, o_custkey,
+      |        CASE WHEN k % 1009 = 0 THEN 'X' ELSE o_orderstatus END AS o_orderstatus,
+      |        o_orderpriority
+      |      FROM p WHERE k % 997 <> 0
+      |      UNION ALL
+      |      SELECT k + 100000000, o_custkey, o_orderstatus, o_orderpriority
+      |      FROM p WHERE k % 1013 = 0),
+      |pc AS (SELECT k % $dq8Buckets AS bucket, k, $h AS h FROM p),
+      |rc AS (SELECT k % $dq8Buckets AS bucket, k, $h AS h FROM r),
+      |pd AS (SELECT bucket, CAST(count(*) AS BIGINT) AS n_p,
+      |        bit_xor(h) AS x_p FROM pc GROUP BY 1),
+      |rd AS (SELECT bucket, CAST(count(*) AS BIGINT) AS n_r,
+      |        bit_xor(h) AS x_r FROM rc GROUP BY 1),
+      |bad AS (SELECT coalesce(pd.bucket, rd.bucket) AS bucket
+      |      FROM pd FULL JOIN rd ON rd.bucket = pd.bucket
+      |      WHERE n_p IS DISTINCT FROM n_r OR x_p IS DISTINCT FROM x_r),
+      |corr AS (SELECT coalesce(a.bucket, b.bucket) AS bucket,
+      |        coalesce(a.k, b.k) AS k,
+      |        CASE WHEN b.k IS NULL THEN 'insert_missing'
+      |             WHEN a.k IS NULL THEN 'delete_extra'
+      |             WHEN a.h <> b.h THEN 'overwrite_corrupt' END AS action
+      |      FROM (SELECT pc.* FROM pc WHERE bucket IN (SELECT bucket FROM bad)) a
+      |      FULL JOIN (SELECT rc.* FROM rc WHERE bucket IN (SELECT bucket FROM bad)) b
+      |        ON b.bucket = a.bucket AND b.k = a.k
+      |      WHERE b.k IS NULL OR a.k IS NULL OR a.h <> b.h),
+      |rep AS (SELECT * FROM r WHERE k NOT IN (
+      |        SELECT k FROM corr WHERE action IN ('delete_extra', 'overwrite_corrupt'))
+      |      UNION ALL
+      |      SELECT * FROM p WHERE k IN (
+      |        SELECT k FROM corr WHERE action IN ('insert_missing', 'overwrite_corrupt'))),
+      |repc AS (SELECT k % $dq8Buckets AS bucket, $h AS h FROM rep),
+      |repd AS (SELECT bucket, CAST(count(*) AS BIGINT) AS n_r,
+      |        bit_xor(h) AS x_r FROM repc GROUP BY 1),
+      |resid AS (SELECT CAST(count(*) AS BIGINT) AS residual_buckets
+      |      FROM pd FULL JOIN repd ON repd.bucket = pd.bucket
+      |      WHERE n_p IS DISTINCT FROM repd.n_r
+      |         OR x_p IS DISTINCT FROM repd.x_r)
+      |SELECT corr.bucket, corr.k, corr.action, resid.residual_buckets
+      |FROM corr CROSS JOIN resid
+      |ORDER BY corr.bucket, corr.k""".stripMargin
+  }
 }
 
 /** Distinct grid cells shared by w15's two sides. */

@@ -2946,6 +2946,38 @@ class RelationalSpec extends AnyFunSuite {
     assert(Q.reconcile(p, p).isEmpty, "clean replica pair must reconcile empty")
   }
 
+  test("dq9: repair emits exactly the planted corrections, the applied repair digests clean, and a clean pair needs none") {
+    val Q = graft.operators.Quality
+    val rows = Q.dq9(spark, sf).collect()
+      .map(r => (r.getAs[Long]("bucket"), r.getAs[Long]("k"),
+        r.getAs[String]("action"), r.getAs[Long]("residual_buckets")))
+    assert(rows.nonEmpty)
+    // the action sets are exactly the planted arithmetic (key 0
+    // missing-first — a dropped row can't also be corrupt)
+    val keys = Tables.orders(spark, sf).selectExpr("o_orderkey")
+      .collect().map(_.getLong(0)).toSet
+    val expMissing = keys.filter(_ % 997 == 0)
+    val expCorrupt = keys.filter(k => k % 1009 == 0 && k % 997 != 0)
+    val expExtra = keys.filter(_ % 1013 == 0).map(_ + 100000000L)
+    def of(a: String) = rows.filter(_._3 == a).map(_._2).toSet
+    assert(of("insert_missing") == expMissing)
+    assert(of("overwrite_corrupt") == expCorrupt)
+    assert(of("delete_extra") == expExtra)
+    assert(rows.map(_._3).toSet ==
+      Set("insert_missing", "overwrite_corrupt", "delete_extra"))
+    // every correction's bucket is its key's bucket, and the PROOF
+    // column reads 0 on every row: the applied repair's digests
+    // match the primary's in every bucket, computed not asserted
+    rows.foreach { case (b, k, _, resid) =>
+      assert(b == k % Q.dq8Buckets)
+      assert(resid == 0L, "post-repair digests must match everywhere")
+    }
+    // a clean pair needs no corrections (and trivially digests clean)
+    val p = Tables.orders(spark, sf).selectExpr("o_orderkey",
+      "o_custkey", "o_orderstatus", "o_orderpriority")
+    assert(Q.reconcile(p, p).isEmpty)
+  }
+
   test("dq7: FD audit equals a sequential recompute; both arms and the support arithmetic hold") {
     val rows = graft.operators.Quality.dq7(spark, sf).collect()
       .map(r => (r.getAs[String]("fd"), r.getAs[Long]("n_groups"),

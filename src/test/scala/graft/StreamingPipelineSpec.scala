@@ -1457,6 +1457,12 @@ class StreamingPipelineSpec extends AnyFunSuite {
       s"door retention must leave {v3, v5}, found $left")
     assert(graft.operators.Knn.latestCommittedVersion(rootP).contains(5),
       "the just-published version is what siblings bootstrap from")
+    // the kept predecessor is the ROLLBACK/FORENSICS target: it must
+    // stay loadable through the committed-read gate (time-travel by
+    // version name — the ForecastStore.loadVersion posture)
+    assert(graft.operators.Knn.loadIndex(spark,
+      new java.io.File(root, "v3").getAbsolutePath).cents.nonEmpty,
+      "the retained predecessor must remain a valid rollback target")
   }
 
   test("s44 reconciliation door: full replay equals batch dq8; the fold is algebraic; the low-water mark gates pending buckets, convictions are final") {
