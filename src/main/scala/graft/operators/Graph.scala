@@ -2894,7 +2894,16 @@ object Graph {
     val degAll = nodes.join(deg1, Seq("id"), "left_outer")
       .selectExpr("id", "coalesce(d, CAST(0 AS BIGINT)) AS d").cache()
     val m = und.count()
-    val l1 = louvainStates(nodes, und, g24Rounds).last
+    // level 1 drives the SHARED weighted core directly on the
+    // strengths already derived above (w = 1 degenerates to g24's
+    // unweighted rounds): going through louvainStates would
+    // re-aggregate the same degree table and re-count m. The core
+    // unpersists its strength input when it finishes, so it gets a
+    // DETACHED projection of degAll — the level loop still owns the
+    // underlying cache for levels 2+ (their sdeg derivations).
+    val l1 = louvainStatesW(nodes.withColumn("lbl", $"id"),
+      edges1.withColumn("w", lit(1L)), degAll.select($"id", $"d"),
+      m, g24Rounds).last
     var comp = l1
     val out = scala.collection.mutable.ArrayBuffer(
       (comp, !l1.filter($"id" =!= $"lbl").isEmpty))

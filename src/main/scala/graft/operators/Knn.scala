@@ -3189,7 +3189,18 @@ object Knn {
     * names; [[latestCommittedVersion]] is invariant under vacuum
     * (the contract that keeps retention semantically invisible to
     * serving — v30's oracle is the serve oracle VERBATIM).
-    */
+    *
+    * READER WINDOW: `keep` is also the retention window for fleet
+    * readers — [[loadIndex]] serves lazily off the version's
+    * parquet files, so a reader still pinned to a version that
+    * falls out of the newest `keep` can lose its files mid-serve
+    * (it fails LOUDLY on the next scan, never serves wrong rows —
+    * the committed-read posture). A fleet sizes `keep` to cover
+    * its bootstrap cadence (readers re-bootstrap to the newest
+    * committed version at least once per `keep` publishes), the
+    * same contract as any snapshot-expiring table format; a
+    * reader-lease protocol is the coordinator's job, like the
+    * single-publisher lease one level up. */
   private[graft] def vacuumIndexStore(root: String, keep: Int)
       : Seq[String] = {
     require(keep >= 1, "must keep at least one committed version")

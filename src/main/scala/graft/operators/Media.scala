@@ -3017,6 +3017,11 @@ object Media {
     var bo = ""; var nIfd0 = 0L; var ori = 0; var dt = ""
     var gps = false; var latDeg = 0L; var latMin = 0L
     var iso = 0L; var maker = false; var serial = ""; var thumb = false
+    // strip-decision flags key on TAG PRESENCE, not payload length:
+    // a degenerate (count < 2) DateTime/serial entry carries no
+    // readable value but IS an entry the policy strip would remove —
+    // the audit flag and the surgery's action must agree on it
+    var dtTag = false; var serialTag = false
     def parseTiff(t0: Int, tlen: Int): Unit = {
       def in(off: Long, n: Long): Boolean = off >= 0 && off + n <= tlen
       if (!in(0, 8)) { ok = false; return }
@@ -3086,8 +3091,9 @@ object Media {
             if (ok) kind match {
               case 0 =>
                 if (tag == 0x0112 && typ == 3 && c == 1) ori = r16(p + 8)
-                else if (tag == 0x0132 && typ == 2)
-                  dt = strValAt(p, c)
+                else if (tag == 0x0132 && typ == 2) {
+                  dtTag = true; dt = strValAt(p, c)
+                }
               case 1 =>
                 // GPSLatitude is a rational TRIPLE (deg, min, sec):
                 // only c >= 3 has passed the out-of-line bounds gate
@@ -3106,8 +3112,9 @@ object Media {
                 if (tag == 0x8827 && typ == 3 && c == 1)
                   iso = r16(p + 8).toLong
                 else if (tag == 0x927c && typ == 7) maker = true
-                else if (tag == 0xa431 && typ == 2)
-                  serial = strValAt(p, c)
+                else if (tag == 0xa431 && typ == 2) {
+                  serialTag = true; serial = strValAt(p, c)
+                }
               case _ => ()
             }
           }
@@ -3156,8 +3163,8 @@ object Media {
       if (ok) dt else "", gps && ok,
       if (ok) latDeg else 0L, if (ok) latMin else 0L,
       if (ok) iso else 0L, maker && ok, if (ok) serial else "",
-      thumb && ok, gps && ok, ok && dt.nonEmpty,
-      ok && (maker || serial.nonEmpty))
+      thumb && ok, gps && ok, ok && dtTag,
+      ok && (maker || serialTag))
   }
 
   /** m23: EXIF/APP1 METADATA WALK — the image-PII audit m16's

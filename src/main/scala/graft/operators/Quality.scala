@@ -791,17 +791,28 @@ object Quality {
     * and `r` are the STORES (the door passes the replica's parquet
     * store here, never a re-derivation), and only `bad`'s buckets
     * are ever fingered. */
+  /** The bad-bucket-scoped drill at KEY grain — every (bucket, k)
+    * either store holds inside `bad`'s buckets, with both sides'
+    * fingerprints (null where absent). The ONE drill kernel:
+    * [[drillReport]] aggregates it to class counts (dq8/s44's
+    * report) and dq9 classifies it into corrections — a change to
+    * the drill contract (canon string, hash, bucket key) lands in
+    * both consumers by construction. The broadcast semi-join is
+    * the proportional-to-divergence pin. */
+  private def drillRows(bad: DataFrame,
+      p: DataFrame, r: DataFrame): DataFrame = {
+    val badK = broadcast(bad.select(col("bucket")))
+    fingered(p).join(badK, Seq("bucket"), "left_semi")
+      .withColumnRenamed("h", "hp")
+      .join(fingered(r).join(badK, Seq("bucket"), "left_semi")
+        .withColumnRenamed("h", "hr"), Seq("bucket", "k"), "full_outer")
+  }
+
   private[graft] def drillReport(bad: DataFrame,
       p: DataFrame, r: DataFrame): DataFrame = {
     val spark = p.sparkSession
     import spark.implicits._
-    // the DRILL touches only mismatched buckets' rows — the
-    // broadcast semi-join is the proportional-to-divergence pin
-    val badK = broadcast(bad.select($"bucket"))
-    val drill = fingered(p).join(badK, Seq("bucket"), "left_semi")
-      .withColumnRenamed("h", "hp")
-      .join(fingered(r).join(badK, Seq("bucket"), "left_semi")
-        .withColumnRenamed("h", "hr"), Seq("bucket", "k"), "full_outer")
+    val drill = drillRows(bad, p, r)
       .selectExpr("bucket",
         "CASE WHEN hr IS NULL THEN 1 ELSE 0 END AS m",
         "CASE WHEN hp IS NULL THEN 1 ELSE 0 END AS e",
@@ -891,13 +902,9 @@ object Quality {
     val r = dq8Replica(p)
     val pDig = bucketDigest(p)
     val bad = digestMismatch(pDig, bucketDigest(r))
-    val badK = broadcast(bad.select($"bucket"))
-    // the row-grain drill, kept at KEY grain: one correction per
-    // divergent key with its repair action
-    val corr = fingered(p).join(badK, Seq("bucket"), "left_semi")
-      .withColumnRenamed("h", "hp")
-      .join(fingered(r).join(badK, Seq("bucket"), "left_semi")
-        .withColumnRenamed("h", "hr"), Seq("bucket", "k"), "full_outer")
+    // the shared drill kernel, kept at KEY grain: one correction
+    // per divergent key with its repair action
+    val corr = drillRows(bad, p, r)
       .selectExpr("bucket", "k",
         """CASE WHEN hr IS NULL THEN 'insert_missing'
           |     WHEN hp IS NULL THEN 'delete_extra'

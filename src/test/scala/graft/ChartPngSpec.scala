@@ -777,6 +777,17 @@ class ChartPngSpec extends AnyFunSuite {
       "inline string reads the entry bytes, never treats them as an offset")
     assert(!Media.exifStrip(dtIn, Set(0x8825)).sameElements(dtIn),
       "strip accepts the inline-string file (walk/strip gate symmetry)")
+    // a DEGENERATE DateTime (count 1 → no readable value) still
+    // flags for the time policy: the ENTRY is present and the strip
+    // would remove it — the audit flag keys on tag presence, so the
+    // flag and the surgery's action agree on exactly this input
+    val dtDeg = g.clone()
+    dtDeg(38) = 1; dtDeg(39) = 0; dtDeg(40) = 0; dtDeg(41) = 0
+    val wDeg = walk(dtDeg)
+    assert(wDeg.exif_ok && wDeg.dt_str.isEmpty && wDeg.needs_strip_time,
+      "a present-but-degenerate DateTime entry must still flag for stripping")
+    assert(!Media.exifStrip(dtDeg, Set(0x0132)).sameElements(dtDeg),
+      "the strip acts on the same entry the flag reports")
     // a rejected walk leaks NO scraped metadata — quarantine-class
     // audit rows are clean of payload fields
     val leak = walk(g.updated(69, 0x7f.toByte))

@@ -1484,7 +1484,7 @@ class StreamingPipelineSpec extends AnyFunSuite {
         graft.Tables.orders(spark, sf).selectExpr("o_orderkey",
           "o_custkey", "o_orderstatus", "o_orderpriority"))
       .as[(Long, Long, String, String)].collect().sortBy(_._1).toSeq
-    val nb = 4096L
+    val nb = graft.operators.Quality.dq8Buckets
     val (b1, b2) = replica.partition(t => (t._1 % nb) % 2 == 0)
     def serve(b: Seq[(Long, Long, String, String)]) = rows(
       graft.streaming.EventStreams.replicaDiffServe(st,
