@@ -895,16 +895,24 @@ object Quality {
     * never a full-table rewrite.
     */
   def dq9(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
     val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
       "o_orderpriority")
     val p = Tables.orders(spark, dir).selectExpr(cols: _*)
     val r = dq8Replica(p)
     val pDig = bucketDigest(p)
     val bad = digestMismatch(pDig, bucketDigest(r))
-    // the shared drill kernel, kept at KEY grain: one correction
-    // per divergent key with its repair action
-    val corr = drillRows(bad, p, r)
+    repairReport(repairCorrections(bad, p, r), pDig, p, r)
+  }
+
+  /** The KEY-GRAIN corrections for `bad`'s buckets: the shared
+    * drill kernel classified into repair actions — one row per
+    * divergent key. Checkpointed (it feeds three consumers in
+    * [[repairReport]]); the streaming door (s45) frees the previous
+    * batch's frame with its state discipline. */
+  private[graft] def repairCorrections(bad: DataFrame,
+      p: DataFrame, r: DataFrame): DataFrame = {
+    import p.sparkSession.implicits._
+    drillRows(bad, p, r)
       .selectExpr("bucket", "k",
         """CASE WHEN hr IS NULL THEN 'insert_missing'
           |     WHEN hp IS NULL THEN 'delete_extra'
@@ -912,6 +920,19 @@ object Quality {
           .stripMargin)
       .filter($"action".isNotNull)
       .localCheckpoint()
+  }
+
+  /** Apply `corr` to the replica (keyed MERGE semantics, scoped to
+    * the corrections) and emit the corrections with the post-repair
+    * PROOF column: the repaired replica's per-bucket digests
+    * recompared against the primary's — `residual_buckets` counts
+    * buckets still mismatched after applying exactly `corr` (0 for
+    * a full repair; for the streaming door's partial, watermark-
+    * gated repairs it counts the divergent buckets still pending —
+    * the repair-progress dial). */
+  private[graft] def repairReport(corr: DataFrame, pDig: DataFrame,
+      p: DataFrame, r: DataFrame): DataFrame = {
+    import p.sparkSession.implicits._
     // APPLY: drop extra + corrupt rows, ship missing + corrupt rows
     // from the primary — keyed MERGE semantics, divergence-scoped
     val delK = broadcast(corr
@@ -922,7 +943,6 @@ object Quality {
       .select($"k".as("o_orderkey")))
     val repaired = r.join(delK, Seq("o_orderkey"), "left_anti")
       .unionByName(p.join(insK, Seq("o_orderkey"), "left_semi"))
-    // the PROOF: post-repair digests match the primary's everywhere
     val residual = digestMismatch(pDig, bucketDigest(repaired))
       .agg(count(lit(1)).as("residual_buckets"))
     corr.crossJoin(broadcast(residual))

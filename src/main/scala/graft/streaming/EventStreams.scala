@@ -1759,7 +1759,8 @@ object EventStreams {
       val dir: String,
       val replicaStore: String,
       val sDig: org.apache.spark.sql.DataFrame,
-      var batches: Int = 0)
+      var batches: Int = 0,
+      var lastCorr: org.apache.spark.sql.DataFrame = null)
 
   /** The replica STORE, materialized once per source dir: in
     * production this is simply the second copy of the table on
@@ -1812,6 +1813,20 @@ object EventStreams {
     * fold equals the store, so its class counts are final. */
   private[graft] def replicaDiffServe(st: ReplicaDiffState,
       batch: DataFrame): DataFrame = {
+    foldReplicaDigests(st, batch)
+    val ss = batch.sparkSession
+    val pAll = graft.Tables.orders(ss, st.dir).selectExpr("o_orderkey",
+      "o_custkey", "o_orderstatus", "o_orderpriority")
+    graft.operators.Quality.drillReport(replicaConvicted(st), pAll,
+      ss.read.parquet(st.replicaStore))
+  }
+
+  /** Fold one micro-batch's fingerprints into the replica digest
+    * state — the algebraic sum/xor re-aggregate over ≤ 4096 +
+    * |batch buckets| rows, shared by the diff (s44) and repair
+    * (s45) doors. */
+  private def foldReplicaDigests(st: ReplicaDiffState,
+      batch: DataFrame): Unit = {
     val d = graft.operators.Quality.bucketDigest(batch)
     val od = st.rDig
     st.rDig = st.rDig.unionByName(d)
@@ -1820,25 +1835,89 @@ object EventStreams {
       .localCheckpoint()
     graft.functions.Lineage.freeCheckpoint(od)
     st.batches += 1
+  }
+
+  /** WATERMARK ARBITRATION, shared by both reconciliation doors: a
+    * bucket whose fold differs from the store's mark still has rows
+    * in flight — pending, not divergent; conviction requires the
+    * fold AT the mark AND mismatching the primary. */
+  private def replicaConvicted(st: ReplicaDiffState)
+      : org.apache.spark.sql.DataFrame = {
+    val pending = graft.operators.Quality
+      .digestMismatch(st.rDig, st.sDig).select(col("bucket"))
+    graft.operators.Quality
+      .digestMismatch(st.pDig, st.rDig)
+      .join(pending, Seq("bucket"), "left_anti")
+  }
+
+  /** One micro-batch through the REPAIR door: the same fold +
+    * watermark arbitration as [[replicaDiffServe]], then dq9's
+    * key-grain corrections for the CONVICTED buckets — read from
+    * the two stores, applied, and proven: `residual_buckets`
+    * counts buckets still mismatched after exactly this batch's
+    * corrections, i.e. the divergent buckets still below the
+    * watermark — the repair-progress dial that hits 0 when the
+    * fold has covered the store. The previous batch's corrections
+    * checkpoint is freed with the rDig discipline. */
+  private[graft] def replicaRepairServe(st: ReplicaDiffState,
+      batch: DataFrame): DataFrame = {
+    foldReplicaDigests(st, batch)
     val ss = batch.sparkSession
     val pAll = graft.Tables.orders(ss, st.dir).selectExpr("o_orderkey",
       "o_custkey", "o_orderstatus", "o_orderpriority")
-    // WATERMARK ARBITRATION: a bucket whose fold differs from the
-    // store's mark still has rows in flight — pending, not
-    // divergent; conviction requires the fold AT the mark AND
-    // mismatching the primary
-    val pending = graft.operators.Quality
-      .digestMismatch(st.rDig, st.sDig).select(col("bucket"))
-    val convicted = graft.operators.Quality
-      .digestMismatch(st.pDig, st.rDig)
-      .join(pending, Seq("bucket"), "left_anti")
-    graft.operators.Quality.drillReport(convicted, pAll,
-      ss.read.parquet(st.replicaStore))
+    val rStore = ss.read.parquet(st.replicaStore)
+    val corr = graft.operators.Quality
+      .repairCorrections(replicaConvicted(st), pAll, rStore)
+    if (st.lastCorr != null)
+      graft.functions.Lineage.freeCheckpoint(st.lastCorr)
+    st.lastCorr = corr
+    graft.operators.Quality.repairReport(corr, st.pDig, pAll, rStore)
   }
 
   /** s44 oracle: dq8's, verbatim — the twin contract on the
     * single-replay batch. */
   val s44Sql: String = graft.operators.Quality.dq8Sql
+
+  /** s45: STREAMING REPLICA-REPAIR DOOR — dq9's corrections kept
+    * CURRENT as replica rows land: the repair job that runs OFF
+    * s44's convictions, closed into one door. Per micro-batch the
+    * digest fold and the low-water-mark arbitration are s44's
+    * (shared kernels), and the emission is dq9's: key-grain
+    * corrections for the CONVICTED buckets, read from the two
+    * STORES, applied via the broadcast-keyed MERGE joins, with the
+    * post-repair digest recompare riding every row. Mid-stream the
+    * corrections cover exactly the at-the-mark divergent buckets —
+    * each is FINAL (its fold equals the store, so the drill saw
+    * everything it ever will) — and `residual_buckets` counts the
+    * divergent buckets still below the mark: the repair-progress
+    * dial, reaching 0 exactly when the fold has covered the store.
+    * Replayed as ONE batch (the Verify path) every bucket is at
+    * the mark, the corrections ARE batch dq9's and the residual is
+    * the proven 0 — oracle [[graft.operators.Quality.dq9Sql]]
+    * (twin contract).
+    *
+    * Scale: s44's O(buckets) state + dq9's divergence-proportional
+    * row work per batch — the door never rescans the store beyond
+    * the convicted buckets, and a healthy stream emits zero
+    * correction rows at O(4096) digest-compare cost per batch.
+    */
+  def s45(spark: SparkSession, dir: String): DataFrame = {
+    val ss = streamSession(spark)
+    graft.Tables.tsConfs(ss)
+    val st = replicaDiffState(ss, dir)
+    val schema = ss.read.parquet(s"$dir/orders.parquet").schema
+    val src = ss.readStream.schema(schema)
+      .option("pathGlobFilter", "orders.parquet").parquet(dir)
+      .selectExpr("o_orderkey", "o_custkey", "o_orderstatus",
+        "o_orderpriority")
+    val replica = graft.operators.Quality.dq8Replica(src)
+    runBatched(replica, b => replicaRepairServe(st, b))
+      .transform(graft.Tables.ordered(_, col("bucket"), col("k")))
+  }
+
+  /** s45 oracle: dq9's, verbatim — the twin contract on the
+    * single-replay batch. */
+  val s45Sql: String = graft.operators.Quality.dq9Sql
 
   /** s41: STREAMING SHARD-INGEST AUDIT DOOR — m24's corpus-grain
     * completeness/collision audit kept CURRENT as shards land,

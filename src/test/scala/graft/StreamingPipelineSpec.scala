@@ -1511,6 +1511,51 @@ class StreamingPipelineSpec extends AnyFunSuite {
       "a clean bucket stayed flagged after the fold caught up")
   }
 
+  test("s45 repair door: full replay equals batch dq9; mid-stream corrections are the at-the-mark buckets' finals and the residual dial counts the pending divergent buckets") {
+    import spark.implicits._
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("bucket"), r.getAs[Long]("k"),
+        r.getAs[String]("action"), r.getAs[Long]("residual_buckets"))).toSeq
+    // twin contract: the whole replica stream replayed == batch dq9
+    val streamed = rows(graft.streaming.EventStreams.s45(spark, sf)).sorted
+    val batch = rows(graft.operators.Quality.dq9(spark, sf)).sorted
+    assert(streamed == batch && streamed.nonEmpty)
+    assert(batch.forall(_._4 == 0L))
+    // two-batch drive, split by bucket parity (the s44 split): even
+    // buckets reach the mark in batch 1, odd ones stay pending
+    val st = graft.streaming.EventStreams.replicaDiffState(spark, sf)
+    val replica = graft.operators.Quality.dq8Replica(
+        graft.Tables.orders(spark, sf).selectExpr("o_orderkey",
+          "o_custkey", "o_orderstatus", "o_orderpriority"))
+      .as[(Long, Long, String, String)].collect().sortBy(_._1).toSeq
+    val nb = graft.operators.Quality.dq8Buckets
+    val (b1, b2) = replica.partition(t => (t._1 % nb) % 2 == 0)
+    def serve(b: Seq[(Long, Long, String, String)]) = rows(
+      graft.streaming.EventStreams.replicaRepairServe(st,
+        b.toDF("o_orderkey", "o_custkey", "o_orderstatus",
+          "o_orderpriority")))
+    val mid = serve(b1)
+    // mid-stream corrections = the final corrections of exactly the
+    // at-the-mark buckets (even, or holding no store rows at all)
+    val storeBuckets = replica.map(t => t._1 % nb).toSet
+    val expCorr = batch.filter(t =>
+      t._1 % 2 == 0 || !storeBuckets.contains(t._1))
+      .map(t => (t._1, t._2, t._3)).toSet
+    assert(mid.map(t => (t._1, t._2, t._3)).toSet == expCorr,
+      "mid-stream corrections must be the at-the-mark buckets' finals")
+    // the residual dial counts the divergent buckets NOT yet
+    // convicted — the pending half — and every row carries it
+    val allBad = batch.map(_._1).toSet
+    val expResidual = (allBad -- expCorr.map(_._1)).size.toLong
+    assert(mid.nonEmpty && mid.forall(_._4 == expResidual) &&
+      expResidual > 0L,
+      s"mid residual must read $expResidual pending divergent buckets")
+    // the fold catches up: corrections complete, the dial hits 0
+    val fin = serve(b2)
+    assert(fin.sorted == batch,
+      "post-catch-up repair != batch dq9 (algebra or arbitration broken)")
+  }
+
   test("s41 shard-audit door: full replay equals batch m24; collisions surface only once both shards arrive") {
     import spark.implicits._
     def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
