@@ -16,7 +16,14 @@ object Bench {
     // Catalyst prune the whole projection chain of map-only queries
     // min of two runs: the first pays one-time Janino/JIT compilation
     // (seconds per distinct plan), which a long-running cluster
-    // amortizes away; the warm run is the representative latency
+    // amortizes away; the warm run is the representative latency.
+    // Session-memoized stores (q42's variant ingest, s44/s45's
+    // replica store) make iteration 1 additionally COLD — it pays
+    // the one-time store write — so min() reports the warm serve
+    // number by construction; comparisons against rounds where the
+    // store was rebuilt per invocation (pre-r16 q42) are therefore
+    // warm-vs-cold and invalid, the same-day-baseline discipline's
+    // in-process analogue.
     // optional comma-separated subset, for targeted perf iteration
     val only = sys.env.get("SPARK_GRAFT_QUERIES").map(_.split(",").toSet)
     val failed = scala.collection.mutable.ListBuffer.empty[String]

@@ -2440,11 +2440,15 @@ object Graph {
     * audit. The strength cache is dropped once the last round's
     * checkpoint lands. */
   private[graft] def louvainStatesW(init: DataFrame, edgesW: DataFrame,
-      degAll0: DataFrame, m: Long, rounds: Int, keepAll: Boolean = false)
-      : Seq[DataFrame] = {
+      degAll0: DataFrame, m: Long, rounds: Int, keepAll: Boolean = false,
+      callerCached: Boolean = false): Seq[DataFrame] = {
     val spark = init.sparkSession
     import spark.implicits._
-    val degAll = degAll0.cache()
+    // callerCached: the caller already owns a cache of the strength
+    // table (the level loop holds degAll across levels) — adding a
+    // second entry here would double-cache the same rows, so the
+    // core caches only when it is the sole owner.
+    val degAll = if (callerCached) degAll0 else degAll0.cache()
     var labels = init.select($"id", $"lbl").localCheckpoint()
     val states = scala.collection.mutable.ArrayBuffer(labels)
     var r = 0
@@ -2488,7 +2492,7 @@ object Graph {
       labels = next.select($"id", $"lbl")
       if (keepAll) states += labels
     }
-    degAll.unpersist(blocking = false)
+    if (!callerCached) degAll.unpersist(blocking = false)
     if (keepAll) states.toSeq else Seq(labels)
   }
 
@@ -2897,13 +2901,12 @@ object Graph {
     // level 1 drives the SHARED weighted core directly on the
     // strengths already derived above (w = 1 degenerates to g24's
     // unweighted rounds): going through louvainStates would
-    // re-aggregate the same degree table and re-count m. The core
-    // unpersists its strength input when it finishes, so it gets a
-    // DETACHED projection of degAll — the level loop still owns the
-    // underlying cache for levels 2+ (their sdeg derivations).
+    // re-aggregate the same degree table and re-count m. The loop
+    // owns degAll's cache across all levels, so the core is told
+    // not to add its own entry (callerCached — no double-cache).
     val l1 = louvainStatesW(nodes.withColumn("lbl", $"id"),
-      edges1.withColumn("w", lit(1L)), degAll.select($"id", $"d"),
-      m, g24Rounds).last
+      edges1.withColumn("w", lit(1L)), degAll,
+      m, g24Rounds, callerCached = true).last
     var comp = l1
     val out = scala.collection.mutable.ArrayBuffer(
       (comp, !l1.filter($"id" =!= $"lbl").isEmpty))

@@ -3200,7 +3200,25 @@ object Knn {
     * committed version at least once per `keep` publishes), the
     * same contract as any snapshot-expiring table format; a
     * reader-lease protocol is the coordinator's job, like the
-    * single-publisher lease one level up. */
+    * single-publisher lease one level up.
+    *
+    * DELETE ORDER: a committed victim's `_MANIFEST` is removed FIRST
+    * — one atomic demote-to-torn — so a crash mid-reclaim can only
+    * leave a torn-below directory (reclaimed by the next vacuum),
+    * never a dir that still LOOKS committed with parquet missing
+    * underneath (which would silently serve a short component count
+    * into the load gate's refusal path, or worse, demote a
+    * kept-adjacent rollback target out of band). A version counts as
+    * reclaimed — and is reported — once its demote landed, even if
+    * some data files survived the best-effort sweep.
+    *
+    * OBJECT-STORE POSTURE (the m27 documentation precedent): the
+    * driver-side `File` recursion is the local stand-in for the
+    * metadata-scale work this is; an object-store port replaces it
+    * with list+delete batches keyed the same way (demote = delete
+    * the manifest object first) and must tolerate list-after-delete
+    * eventual consistency on the manifest check — the demote-first
+    * ordering is exactly what makes that safe. */
   private[graft] def vacuumIndexStore(root: String, keep: Int)
       : Seq[String] = {
     require(keep >= 1, "must keep at least one committed version")
@@ -3220,12 +3238,19 @@ object Knn {
           Option(f.listFiles()).getOrElse(Array.empty).foreach(rmTree)
         f.delete()
       }
-      // report only what is actually gone (the ForecastStore.vacuum
-      // accounting discipline)
+      // manifest-first: demote the victim atomically, THEN sweep its
+      // data; report every dir whose demote landed (it can never
+      // serve again — the ForecastStore.vacuum accounting contract,
+      // now crash-ordered)
       dirs.filter { f =>
         !keepNames.contains(f.getName) &&
           (manifested(f) || f.getName.drop(1).toInt < newestC)
-      }.filter(rmTree).map(_.getName)
+      }.filter { f =>
+        val mf = new java.io.File(f, "_MANIFEST")
+        val demoted = !mf.exists() || mf.delete()
+        if (demoted) rmTree(f)
+        demoted
+      }.map(_.getName)
     }
   }
 
@@ -3421,4 +3446,218 @@ object Knn {
   /** v30 oracle: v28's, verbatim — retention must be semantically
     * invisible to serving. */
   val v30Sql: String = v28Sql
+
+  // ---------- v31: DELTA-SEGMENT publish (LSM index store) ----------
+
+  /** Publish a DELTA SEGMENT as the next store version: the
+    * insert wave's vectors and graph edges plus the erasure wave's
+    * tombstone ids — O(|delta|) bytes, never a full index copy.
+    * Same commit discipline as [[saveIndexVersion]]: component
+    * parquet first, the manifest LAST, with a leading `kind delta`
+    * line so readers and the vacuum can tell segments from bases
+    * ([[saveIndexVersion]]'s manifests parse unchanged — a store
+    * written by v29/v30/s43 stays valid). */
+  private[graft] def saveDeltaVersion(root: String, vecs: DataFrame,
+      edges: DataFrame, tombs: DataFrame): Int = {
+    val d = new java.io.File(root)
+    val next = (Option(d.listFiles()).toSeq.flatten
+      .filter(f => f.isDirectory && f.getName.matches("v\\d+"))
+      .map(_.getName.drop(1).toInt) :+ 0).max + 1
+    val dir = new java.io.File(d, s"v$next").getAbsolutePath
+    vecs.write.parquet(s"$dir/vectors")
+    edges.write.parquet(s"$dir/edges")
+    tombs.write.parquet(s"$dir/tombs")
+    val counts = Seq("vectors" -> vecs.count(),
+      "edges" -> edges.count(), "tombs" -> tombs.count())
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dir, "_MANIFEST"),
+      ("kind delta" +: counts.map { case (c, n) => s"$c $n" })
+        .mkString("\n").getBytes("UTF-8"))
+    next
+  }
+
+  /** Is committed version `v` a delta segment? (Manifest-first
+    * line; a base's manifest starts with its component counts.) */
+  private[graft] def isDeltaVersion(root: String, v: Int): Boolean = {
+    val mf = java.nio.file.Paths.get(root, s"v$v", "_MANIFEST")
+    java.nio.file.Files.exists(mf) &&
+      new String(java.nio.file.Files.readAllBytes(mf), "UTF-8")
+        .split("\n").headOption.contains("kind delta")
+  }
+
+  private[graft] def committedVersions(root: String): Seq[Int] = {
+    val d = new java.io.File(root)
+    Option(d.listFiles()).toSeq.flatten
+      .filter(f => f.isDirectory && f.getName.matches("v\\d+"))
+      .map(_.getName.drop(1).toInt)
+      .filter(n => new java.io.File(d, s"v$n/_MANIFEST").exists())
+      .sorted
+  }
+
+  /** Assemble the LSM serving state: the newest committed BASE plus
+    * every committed delta segment ABOVE it — each through its own
+    * count gate (a torn segment has no manifest and is skipped by
+    * construction; a tampered one refuses loudly). Performs ZERO
+    * index builds: the base loads via [[loadIndex]], deltas are
+    * unioned in lazily (s38's append-only growth argument — every
+    * delta edge has a once-arriving endpoint). Returns the
+    * assembled index, the folded tombstone set, and the base
+    * version. */
+  private[graft] def loadAnnStoreLsm(spark: SparkSession, root: String)
+      : (V21Static, DataFrame, Int) = {
+    val committed = committedVersions(root)
+    val bases = committed.filterNot(isDeltaVersion(root, _))
+    require(bases.nonEmpty,
+      s"no committed base version under $root — refusing to serve")
+    val b = bases.max
+    val ix0 = loadIndex(spark, new java.io.File(root, s"v$b").getAbsolutePath)
+    val deltas = committed.filter(v => v > b && isDeltaVersion(root, v))
+    val z = (ix0.e.select(col("vec_id"), col("nv")), ix0.graph,
+      spark.range(0).selectExpr("id AS vec_id"))
+    val (e, g, t) = deltas.foldLeft(z) { case ((e0, g0, t0), v) =>
+      val dir = new java.io.File(root, s"v$v").getAbsolutePath
+      val mf = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(dir, "_MANIFEST")), "UTF-8")
+        .split("\n").drop(1).map(_.split(" "))
+        .map(a => a(0) -> a(1).toLong).toMap
+      val dv = spark.read.parquet(s"$dir/vectors")
+      val de = spark.read.parquet(s"$dir/edges")
+      val dt = spark.read.parquet(s"$dir/tombs")
+      Seq("vectors" -> dv.count(), "edges" -> de.count(),
+        "tombs" -> dt.count()).foreach { case (c, n) =>
+        require(mf.get(c).contains(n),
+          s"delta v$v component $c: $n rows != manifest ${mf.get(c)} — refusing to serve")
+      }
+      (e0.unionByName(dv), g0.unionByName(de), t0.unionByName(dt))
+    }
+    (V21Static(e, g, ix0.reps, ix0.cents), t, b)
+  }
+
+  /** Kind-aware retention for the LSM store: keep the newest
+    * `keepBases` committed BASES and every delta ABOVE the oldest
+    * kept base (still unfolded relative to it); reclaim superseded
+    * bases, FOLDED deltas (segments at or below the newest base —
+    * compaction consumed them), and dead torn attempts below the
+    * newest committed version. Same demote-first delete order and
+    * accounting as [[vacuumIndexStore]]. */
+  private[graft] def vacuumAnnStoreLsm(root: String, keepBases: Int)
+      : Seq[String] = {
+    require(keepBases >= 1, "must keep at least one base")
+    val committed = committedVersions(root)
+    val bases = committed.filterNot(isDeltaVersion(root, _))
+    if (bases.isEmpty) Seq.empty
+    else {
+      val keptBases = bases.takeRight(keepBases)
+      val oldestKept = keptBases.head
+      val newestC = committed.max
+      val d = new java.io.File(root)
+      def rmTree(f: java.io.File): Boolean = {
+        if (f.isDirectory)
+          Option(f.listFiles()).getOrElse(Array.empty).foreach(rmTree)
+        f.delete()
+      }
+      val keep = (keptBases ++ committed.filter(_ > oldestKept)).toSet
+      Option(d.listFiles()).toSeq.flatten
+        .filter(f => f.isDirectory && f.getName.matches("v\\d+"))
+        .sortBy(_.getName.drop(1).toInt)
+        .filter { f =>
+          val n = f.getName.drop(1).toInt
+          !keep.contains(n) &&
+            (committed.contains(n) || n < newestC)
+        }.filter { f =>
+          val mf = new java.io.File(f, "_MANIFEST")
+          val demoted = !mf.exists() || mf.delete()
+          if (demoted) rmTree(f)
+          demoted
+        }.map(_.getName)
+    }
+  }
+
+  /** v31: DELTA-SEGMENT PUBLISH — the LSM discipline that fixes the
+    * store's write amplification: v29/s43 ship a FULL index copy
+    * per publish, so a fleet crossing N thresholds writes N
+    * corpus-sized artifacts; the LSM store publishes O(|delta|)
+    * SEGMENTS per crossing (insert vectors + their graph edges;
+    * tombstone ids) and pays the corpus-sized write only at
+    * COMPACTION, when the fold was due anyway (LevelDB/RocksDB's
+    * memtable-flush vs compaction split, applied to an ANN index).
+    * The query runs the full segment lifecycle: the trainer
+    * publishes the BASE (v1, the one full copy); an insert wave
+    * crosses — its vectors and search-derived edges ship as delta
+    * v2 (no rebuild: the edges come from [[v21InsertEdges]]'s
+    * search over the served base); an erasure wave tombstones the
+    * same ids as delta v3; a cold process ASSEMBLES base + deltas
+    * through the committed-read gates with ZERO index builds; the
+    * compaction FOLDS (base ∪ insert vectors − tombstones — here,
+    * back to the base corpus) into a new base v4; the kind-aware
+    * vacuum reclaims the folded deltas and the superseded base;
+    * and serving bootstraps from the vacuumed store. The insert
+    * and erasure waves cancel, so the folded index is bitwise the
+    * base build and the serve is the base-corpus serve — the
+    * oracle is v21's chain over the base predicate (the layout is
+    * semantically invisible, v29/v30's proven contract).
+    *
+    * Scale: store bytes per crossing drop from O(corpus) to
+    * O(|delta|) — the spec pins the segment/base byte ratio and
+    * the zero-builds assembly; compaction cost is unchanged (it
+    * was always the one amortized full-corpus pass), and retention
+    * stays O(keep) bases + unfolded deltas. */
+  def v31(spark: SparkSession, dir: String): DataFrame = {
+    val root = java.nio.file.Files.createTempDirectory("graft_v31_")
+      .toFile
+    graft.operators.Incremental.cleanupOnExit(root)
+    val rootP = root.getAbsolutePath
+    val e = vectors(spark, dir)
+    val insPred = s"vec_id >= 10 AND vec_id % $v26ModK = 0"
+    val basePred = s"vec_id >= 10 AND vec_id % $v26ModK <> 0"
+    // BASE: the trainer's one full publish (build #1)
+    val (gB, repsB, centsB) = v21Index(spark, e, basePred)
+    val eBase = e.filter(s"NOT ($insPred)")
+    val ixB = V21Static(eBase, gB, repsB.persist(), centsB)
+    saveIndexVersion(ixB, rootP)
+    // CROSSING 1: the insert wave ships as a DELTA — vectors + the
+    // edges v26's insert search derives over the served base
+    val newQs = codebook(e, insPred)
+    val ins = v21InsertEdges(ixB, newQs)
+      .select(col("new_id").as("src_id"), col("nbr_id"))
+    val dEdges = ins.unionByName(ins.select(col("nbr_id").as("src_id"),
+      col("src_id").as("nbr_id"))).distinct()
+    val dVecs = e.filter(insPred).select(col("vec_id"), col("nv"))
+    val none = spark.range(0).selectExpr("id AS vec_id")
+    saveDeltaVersion(rootP, dVecs, dEdges, none)
+    // CROSSING 2: the erasure wave tombstones the inserted ids
+    saveDeltaVersion(rootP,
+      dVecs.filter("false"), dEdges.filter("false"),
+      e.filter(insPred).select(col("vec_id")))
+    ixB.reps.unpersist()
+    // COLD ASSEMBLY through the gates (zero builds), then the FOLD:
+    // compaction consumes base + deltas into the next base (build #2)
+    val (ixL, tombs, _) = loadAnnStoreLsm(spark, rootP)
+    val eFold = ixL.e.join(tombs, Seq("vec_id"), "left_anti")
+    val (gF, repsF, centsF) = v21Index(spark, eFold, basePred)
+    val ixF = V21Static(eFold, gF, repsF.persist(), centsF)
+    saveIndexVersion(ixF, rootP)
+    ixF.reps.unpersist()
+    // retention reclaims the folded segments + the superseded base
+    vacuumAnnStoreLsm(rootP, keepBases = 1)
+    // serve from the vacuumed store, cold, through the gate
+    val (ixS, t2, _) = loadAnnStoreLsm(spark, rootP)
+    require(t2.isEmpty, "folded tombstones must not survive the fold")
+    v21ServeBatch(ixS, codebook(e, "vec_id < 10"))
+      .transform(graft.Tables.ordered(_, col("qid"), col("rnk")))
+  }
+
+  /** v31 oracle: v21's serve chain over the BASE corpus predicate —
+    * the insert and erasure deltas cancel in the fold, so the
+    * segment lifecycle must be semantically invisible. */
+  val v31Sql: String =
+    s"""WITH ${v21CteChain(s"vec_id >= 10 AND vec_id % $v26ModK <> 0")},
+      |r AS (SELECT qid, node AS vec_id, score AS cos_sim,
+      |        CAST(row_number() OVER (PARTITION BY qid ORDER BY score DESC, node) AS INTEGER) AS rnk
+      |      FROM v$v21Hops)
+      |SELECT r.qid, r.rnk, r.vec_id, r.cos_sim,
+      |  CAST(CASE WHEN b.vec_id IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS in_exact
+      |FROM r LEFT JOIN brute b ON b.qid = r.qid AND b.vec_id = r.vec_id
+      |WHERE r.rnk <= $knnK
+      |ORDER BY r.qid, r.rnk""".stripMargin
 }

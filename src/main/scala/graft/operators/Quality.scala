@@ -877,22 +877,25 @@ object Quality {
     * `delete_extra` (drop the replayed write), `overwrite_corrupt`
     * (replace the torn row with the primary's) — which is exactly
     * what Cassandra's anti-entropy repair streams and what a Delta
-    * MERGE-from-primary applies. The query then APPLIES the
-    * corrections (two keyed anti/semi joins against the broadcast
-    * correction key sets — p6's MERGE shape scoped to the
-    * divergence) and PROVES the repair: the repaired replica's
-    * per-bucket digests are re-compared against the primary's and
-    * the mismatch COUNT rides every output row as
-    * `residual_buckets` — computed, not asserted, on BOTH engines
-    * (a repair that missed a key cannot read 0).
+    * MERGE-from-primary applies. The corrections ride with the
+    * post-repair PROOF column `residual_buckets`: the digest each
+    * divergent bucket WOULD hold after applying exactly these
+    * corrections, recompared against the primary's — computed
+    * ALGEBRAICALLY (the corrections' per-bucket (Δcount, Δxor)
+    * folded into the replica's digests; exact because the digest is
+    * an abelian fold, so row-identical to digesting the applied
+    * frame) on the Spark side, and from the actually-applied rows
+    * on the DuckDB side — a correction set that misses or misfixes
+    * a key cannot read 0 on either engine. The WRITE-BACK leg that
+    * applies the corrections to a persisted store and re-proves
+    * from disk is dq10.
     *
     * Scale: corrections are divergence-proportional rows (the drill
-    * reads only flagged buckets); the apply's joins probe broadcast
-    * key sets — the replica table streams through untouched rows
-    * narrowly; the residual proof is two digest aggregates (4096
-    * rows each). A 0.1%-diverged 100 TB replica repairs with one
-    * replica scan + primary reads proportional to the divergence —
-    * never a full-table rewrite.
+    * reads only flagged buckets); the residual proof is digest
+    * algebra over O(buckets + |corrections|) rows — NO second store
+    * scan. A 0.1%-diverged 100 TB replica emits its repair plan
+    * with one scan per side + row work proportional to the
+    * divergence.
     */
   def dq9(spark: SparkSession, dir: String): DataFrame = {
     val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
@@ -900,50 +903,71 @@ object Quality {
     val p = Tables.orders(spark, dir).selectExpr(cols: _*)
     val r = dq8Replica(p)
     val pDig = bucketDigest(p)
-    val bad = digestMismatch(pDig, bucketDigest(r))
-    repairReport(repairCorrections(bad, p, r), pDig, p, r)
+    val rDig = bucketDigest(r)
+    val bad = digestMismatch(pDig, rDig)
+    // checkpoint = false: the one-shot batch query holds no state
+    // across calls, so the corrections subtree is left lazy (its two
+    // plan consumers re-derive the divergence-scoped drill — cheaper
+    // than a session-lifetime cached frame); the streaming door
+    // checkpoints and frees per batch instead.
+    repairReport(repairCorrections(bad, p, r, checkpoint = false),
+      pDig, rDig)
   }
 
   /** The KEY-GRAIN corrections for `bad`'s buckets: the shared
     * drill kernel classified into repair actions — one row per
-    * divergent key. Checkpointed (it feeds three consumers in
-    * [[repairReport]]); the streaming door (s45) frees the previous
-    * batch's frame with its state discipline. */
+    * divergent key, carrying both sides' fingerprints (null where
+    * absent) so consumers can fold the correction's digest delta
+    * without re-reading either store. `checkpoint` is the streaming
+    * door's state discipline (s45 frees the previous batch's frame);
+    * the batch path passes false and stays leak-free. */
   private[graft] def repairCorrections(bad: DataFrame,
-      p: DataFrame, r: DataFrame): DataFrame = {
+      p: DataFrame, r: DataFrame, checkpoint: Boolean = true)
+      : DataFrame = {
     import p.sparkSession.implicits._
-    drillRows(bad, p, r)
+    val corr = drillRows(bad, p, r)
       .selectExpr("bucket", "k",
         """CASE WHEN hr IS NULL THEN 'insert_missing'
           |     WHEN hp IS NULL THEN 'delete_extra'
-          |     WHEN hp <> hr THEN 'overwrite_corrupt' END AS action"""
-          .stripMargin)
+          |     WHEN hp <> hr THEN 'overwrite_corrupt' END AS action""".stripMargin,
+        "hp", "hr")
       .filter($"action".isNotNull)
-      .localCheckpoint()
+    if (checkpoint) corr.localCheckpoint() else corr
   }
 
-  /** Apply `corr` to the replica (keyed MERGE semantics, scoped to
-    * the corrections) and emit the corrections with the post-repair
-    * PROOF column: the repaired replica's per-bucket digests
-    * recompared against the primary's — `residual_buckets` counts
-    * buckets still mismatched after applying exactly `corr` (0 for
-    * a full repair; for the streaming door's partial, watermark-
-    * gated repairs it counts the divergent buckets still pending —
-    * the repair-progress dial). */
+  /** The per-bucket digest table the replica WOULD hold after
+    * applying exactly `corr` to the store whose digests are `rDig`
+    * — pure digest algebra: an insert adds (+1, ⊕hp), a delete
+    * (−1, ⊕hr), an overwrite (0, ⊕hp⊕hr); exact because (count,
+    * bit_xor) is an abelian-group fold, so this equals digesting
+    * the applied rows without touching them. Buckets emptied by the
+    * repair vanish (a digest table never holds empty buckets). */
+  private[graft] def repairedDigest(corr: DataFrame, rDig: DataFrame)
+      : DataFrame = {
+    import rDig.sparkSession.implicits._
+    val delta = corr.groupBy($"bucket").agg(
+      sum(expr("CASE action WHEN 'insert_missing' THEN 1 " +
+        "WHEN 'delete_extra' THEN -1 ELSE 0 END")).as("dn"),
+      expr("bit_xor(coalesce(hp, CAST(0 AS BIGINT)) ^ " +
+        "coalesce(hr, CAST(0 AS BIGINT)))").as("dx"))
+    rDig.join(delta, Seq("bucket"), "full_outer")
+      .selectExpr("bucket",
+        "coalesce(n, CAST(0 AS BIGINT)) + coalesce(dn, CAST(0 AS BIGINT)) AS n",
+        "coalesce(x, CAST(0 AS BIGINT)) ^ coalesce(dx, CAST(0 AS BIGINT)) AS x")
+      .filter("n > 0")
+  }
+
+  /** Emit `corr` with the post-repair PROOF column:
+    * `residual_buckets` counts buckets still mismatching the
+    * primary after applying exactly `corr` to the store digested by
+    * `rDig` (0 for a full repair; for the streaming door's partial,
+    * watermark-gated repairs it counts the divergent buckets still
+    * pending — the repair-progress dial). All digest algebra — the
+    * stores are never re-read. */
   private[graft] def repairReport(corr: DataFrame, pDig: DataFrame,
-      p: DataFrame, r: DataFrame): DataFrame = {
-    import p.sparkSession.implicits._
-    // APPLY: drop extra + corrupt rows, ship missing + corrupt rows
-    // from the primary — keyed MERGE semantics, divergence-scoped
-    val delK = broadcast(corr
-      .filter($"action".isin("delete_extra", "overwrite_corrupt"))
-      .select($"k".as("o_orderkey")))
-    val insK = broadcast(corr
-      .filter($"action".isin("insert_missing", "overwrite_corrupt"))
-      .select($"k".as("o_orderkey")))
-    val repaired = r.join(delK, Seq("o_orderkey"), "left_anti")
-      .unionByName(p.join(insK, Seq("o_orderkey"), "left_semi"))
-    val residual = digestMismatch(pDig, bucketDigest(repaired))
+      rDig: DataFrame): DataFrame = {
+    import pDig.sparkSession.implicits._
+    val residual = digestMismatch(pDig, repairedDigest(corr, rDig))
       .agg(count(lit(1)).as("residual_buckets"))
     corr.crossJoin(broadcast(residual))
       .select($"bucket", $"k", $"action", $"residual_buckets")
@@ -1000,6 +1024,496 @@ object Quality {
       |SELECT corr.bucket, corr.k, corr.action, resid.residual_buckets
       |FROM corr CROSS JOIN resid
       |ORDER BY corr.bucket, corr.k""".stripMargin
+  }
+
+  // ---------- dq10: repair WRITE-BACK (the healed lake) ----------
+
+  /** Partition-group fan-out of the versioned replica store: rows
+    * land in partition `pg = bucket % dq10Parts`, so each of the
+    * [[dq10Parts]] store partitions holds `dq8Buckets/dq10Parts`
+    * digest buckets. This is the COPY-ON-WRITE grain: a repair
+    * rewrites only the partitions containing convicted buckets —
+    * write amplification is O(damaged partitions), never O(table).
+    * At 100 TB this knob scales up with the table (more, smaller
+    * partitions → finer rewrites); the bucket→partition map is
+    * modular arithmetic, so digest buckets and store partitions
+    * stay aligned by construction. */
+  private[graft] val dq10Parts = 64L
+
+  private[graft] def withPg(t: DataFrame): DataFrame =
+    t.withColumn("pg", expr(s"(o_orderkey % $dq8Buckets) % $dq10Parts"))
+
+  /** Newest COMMITTED version of a partitioned replica store —
+    * directories `v1, v2, …` under `root`, committed by a
+    * `_MANIFEST` written LAST (the index-store/ForecastStore
+    * ordering), so a torn publish is never visible to readers. */
+  private[graft] def latestStoreVersion(root: String): Option[Int] = {
+    val d = new java.io.File(root)
+    Option(d.listFiles()).toSeq.flatten
+      .filter(f => f.isDirectory && f.getName.matches("v\\d+"))
+      .map(_.getName.drop(1).toInt)
+      .filter(n => new java.io.File(d, s"v$n/_MANIFEST").exists())
+      .sorted.lastOption
+  }
+
+  /** The manifest is the RESOLUTION MAP: one `pg version` line per
+    * partition group naming the version directory that serves it —
+    * Iceberg/Delta's copy-on-write file resolution at partition
+    * grain. Readers are manifest-scoped, never listing-scoped. */
+  private[graft] def writeStoreManifest(root: String, v: Int,
+      map: Map[Long, Int]): Unit = {
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(root, s"v$v", "_MANIFEST"),
+      map.toSeq.sortBy(_._1).map { case (pg, ver) => s"$pg $ver" }
+        .mkString("\n").getBytes("UTF-8"))
+    ()
+  }
+
+  /** Resolution map of the newest committed version; refuses loudly
+    * on an empty or all-torn store (the committed-read gate). */
+  private[graft] def readStoreManifest(root: String)
+      : (Int, Map[Long, Int]) = {
+    val v = latestStoreVersion(root).getOrElse(throw new
+      IllegalStateException(
+        s"no committed replica version under $root — refusing to serve"))
+    val lines = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(root, s"v$v", "_MANIFEST")), "UTF-8")
+    (v, lines.split("\n").map(_.split(" "))
+      .map(a => a(0).toLong -> a(1).toInt).toMap)
+  }
+
+  /** Read the store through the manifest: one pruned scan per
+    * DISTINCT serving version (the `pg` partition-column filter
+    * prunes at the directory level — a 63-partitions-from-v1,
+    * 1-from-v2 layout reads exactly those directories), unioned.
+    * The `pg` partition column rides along. */
+  private[graft] def readReplicaStore(spark: SparkSession,
+      root: String): DataFrame = {
+    val (_, map) = readStoreManifest(root)
+    map.groupBy(_._2).toSeq.sortBy(_._1).map { case (v, pgs) =>
+      spark.read.parquet(s"$root/v$v/data")
+        .filter(col("pg").isin(pgs.keys.toSeq: _*))
+    }.reduce(_ unionByName _)
+  }
+
+  /** Seed `root` with v1 = the deterministic diverged replica,
+    * partitioned by `pg`, manifest-last. */
+  private[graft] def seedReplicaStore(p: DataFrame, root: String): Unit = {
+    withPg(dq8Replica(p))
+      .repartition(dq10Parts.toInt, col("pg"))
+      .write.partitionBy("pg").parquet(s"$root/v1/data")
+    writeStoreManifest(root, 1, (0L until dq10Parts).map(_ -> 1).toMap)
+  }
+
+  /** ONE repair pass over the store: digest-compare the store
+    * against the primary, derive dq9's key-grain corrections for
+    * the convicted buckets, and — only when there is anything to
+    * heal — PUBLISH the next store version: the damaged partition
+    * groups rewritten with the corrections applied (p6's MERGE
+    * shape: broadcast-keyed anti/semi joins, scoped to the damaged
+    * partitions' pruned read), the corrections landed beside the
+    * data as the `repairlog` audit log (what Cassandra's read-repair
+    * and a Delta MERGE history record), untouched partitions
+    * re-pointed at their existing files, and the manifest written
+    * LAST — a crash anywhere leaves the previous version serving.
+    * A pass over a healthy store derives ZERO corrections and
+    * publishes NOTHING (idempotence is structural: no divergence →
+    * no damaged partitions → no write). Returns the correction
+    * count; the corrections checkpoint is freed before returning
+    * (the report is read back from the persisted log, not from
+    * session state). */
+  private[graft] def repairPass(spark: SparkSession, root: String,
+      p: DataFrame): Long = {
+    val r = readReplicaStore(spark, root)
+    val bad = digestMismatch(bucketDigest(p), bucketDigest(r))
+    val corr = repairCorrections(bad, p, r, checkpoint = true)
+    val n = corr.count()
+    if (n > 0L) publishCorrections(spark, root, corr, p, r)
+    graft.functions.Lineage.freeCheckpoint(corr)
+    n
+  }
+
+  /** The PUBLISH leg shared by the batch pass and the streaming
+    * door (s46): apply `corr` to the damaged partition groups of
+    * the store at `root` (read from `r`, its current resolved view)
+    * and commit the next version — damaged partitions rewritten,
+    * corrections landed as the `repairlog` audit, untouched partitions
+    * re-pointed, manifest LAST. Caller guarantees `corr` is
+    * non-empty and checkpointed. Returns the published version. */
+  private[graft] def publishCorrections(spark: SparkSession,
+      root: String, corr: DataFrame, p: DataFrame, r: DataFrame): Int = {
+    import spark.implicits._
+    val (_, pgmap) = readStoreManifest(root)
+    // bounded collect: ≤ dq10Parts partition-group ids
+    val damaged = corr.select(expr(s"bucket % $dq10Parts").as("pg"))
+      .distinct().as[Long].collect().toSet
+    val delK = broadcast(corr
+      .filter($"action".isin("delete_extra", "overwrite_corrupt"))
+      .select($"k".as("o_orderkey")))
+    val insK = broadcast(corr
+      .filter($"action".isin("insert_missing", "overwrite_corrupt"))
+      .select($"k".as("o_orderkey")))
+    val healed = r.filter($"pg".isin(damaged.toSeq: _*))
+      .join(delK, Seq("o_orderkey"), "left_anti")
+      .unionByName(withPg(p.join(insK, Seq("o_orderkey"), "left_semi")))
+      .repartition(damaged.size, col("pg"))
+    val next = {
+      val d = new java.io.File(root)
+      (Option(d.listFiles()).toSeq.flatten
+        .filter(f => f.isDirectory && f.getName.matches("v\\d+"))
+        .map(_.getName.drop(1).toInt) :+ 0).max + 1
+    }
+    healed.write.partitionBy("pg").parquet(s"$root/v$next/data")
+    corr.select($"bucket", $"k", $"action")
+      .write.parquet(s"$root/v$next/repairlog")
+    writeStoreManifest(root, next,
+      pgmap.map { case (pg, v) => pg -> (if (damaged(pg)) next else v) })
+    next
+  }
+
+  /** dq10: REPAIR WRITE-BACK — the leg that turns dq9's
+    * "corrections + proof" into A HEALED LAKE: the replica is a
+    * PERSISTED, versioned, partition-grain copy-on-write parquet
+    * store, and the repair job actually applies the corrections to
+    * it. The query runs the whole story end-to-end: seed v1 (the
+    * diverged replica, manifest-last), repair pass 1 (digest
+    * compare FROM THE STORE → dq9's corrections → publish v2 with
+    * only the DAMAGED partition groups rewritten + the `repairlog`
+    * audit log + the re-pointed manifest), repair pass 2 (reads the
+    * healed store, derives ZERO corrections, publishes nothing —
+    * idempotence proven structurally), then emits the v2 repair log
+    * with TWO proof columns recomputed from PERSISTED state:
+    * `residual_buckets` (the healed store's digests re-derived from
+    * disk vs the primary's — 0) and `rerun_corrections` (what a
+    * third pass would emit — 0). Both are computed, never asserted,
+    * on both engines.
+    *
+    * Scale: the digest compare is O(4096) rows after one scan per
+    * side; corrections are divergence-proportional; the REWRITE is
+    * the whole point — O(damaged partitions) bytes, with untouched
+    * partitions re-pointed, not copied (the manifest is the commit,
+    * Iceberg/Delta's COW discipline at partition grain); a torn
+    * publish is invisible (manifest-last) and a second run is a
+    * no-op. A 0.1%-diverged 100 TB replica heals by rewriting ~0.1%
+    * of its partitions. */
+  def dq10(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
+      "o_orderpriority")
+    val p = Tables.orders(spark, dir).selectExpr(cols: _*)
+    val rootF = java.nio.file.Files
+      .createTempDirectory("graft_dq10_").toFile
+    graft.operators.Incremental.cleanupOnExit(rootF)
+    val root = rootF.getAbsolutePath
+    seedReplicaStore(p, root)
+    repairPass(spark, root, p)
+    val rerun = repairPass(spark, root, p)
+    val (v, _) = readStoreManifest(root)
+    val corrLog = spark.read.parquet(s"$root/v$v/repairlog")
+    val residual = digestMismatch(bucketDigest(p),
+        bucketDigest(readReplicaStore(spark, root)))
+      .agg(count(lit(1)).as("residual_buckets"))
+    corrLog.crossJoin(broadcast(residual))
+      .select($"bucket", $"k", $"action", $"residual_buckets",
+        lit(rerun).as("rerun_corrections"))
+      .transform(graft.Tables.ordered(_, $"bucket", $"k"))
+  }
+
+  /** dq10 oracle: dq9's corrections + applied state, with BOTH
+    * persisted-state proofs recomputed relationally — the residual
+    * digest compare over the applied rows AND the would-be third
+    * pass's correction count over the healed state. */
+  val dq10Sql: String = {
+    val canon = "CAST(k AS VARCHAR) || '|' || CAST(o_custkey AS VARCHAR)" +
+      " || '|' || o_orderstatus || '|' || o_orderpriority"
+    val h = graft.functions.Fnv64.duckSigned("(" + canon + ")")
+    s"""WITH p AS (SELECT o_orderkey AS k, o_custkey, o_orderstatus,
+      |        o_orderpriority FROM orders),
+      |r AS (SELECT k, o_custkey,
+      |        CASE WHEN k % 1009 = 0 THEN 'X' ELSE o_orderstatus END AS o_orderstatus,
+      |        o_orderpriority
+      |      FROM p WHERE k % 997 <> 0
+      |      UNION ALL
+      |      SELECT k + 100000000, o_custkey, o_orderstatus, o_orderpriority
+      |      FROM p WHERE k % 1013 = 0),
+      |pc AS (SELECT k % $dq8Buckets AS bucket, k, $h AS h FROM p),
+      |rc AS (SELECT k % $dq8Buckets AS bucket, k, $h AS h FROM r),
+      |pd AS (SELECT bucket, CAST(count(*) AS BIGINT) AS n_p,
+      |        bit_xor(h) AS x_p FROM pc GROUP BY 1),
+      |rd AS (SELECT bucket, CAST(count(*) AS BIGINT) AS n_r,
+      |        bit_xor(h) AS x_r FROM rc GROUP BY 1),
+      |bad AS (SELECT coalesce(pd.bucket, rd.bucket) AS bucket
+      |      FROM pd FULL JOIN rd ON rd.bucket = pd.bucket
+      |      WHERE n_p IS DISTINCT FROM n_r OR x_p IS DISTINCT FROM x_r),
+      |corr AS (SELECT coalesce(a.bucket, b.bucket) AS bucket,
+      |        coalesce(a.k, b.k) AS k,
+      |        CASE WHEN b.k IS NULL THEN 'insert_missing'
+      |             WHEN a.k IS NULL THEN 'delete_extra'
+      |             WHEN a.h <> b.h THEN 'overwrite_corrupt' END AS action
+      |      FROM (SELECT pc.* FROM pc WHERE bucket IN (SELECT bucket FROM bad)) a
+      |      FULL JOIN (SELECT rc.* FROM rc WHERE bucket IN (SELECT bucket FROM bad)) b
+      |        ON b.bucket = a.bucket AND b.k = a.k
+      |      WHERE b.k IS NULL OR a.k IS NULL OR a.h <> b.h),
+      |rep AS (SELECT * FROM r WHERE k NOT IN (
+      |        SELECT k FROM corr WHERE action IN ('delete_extra', 'overwrite_corrupt'))
+      |      UNION ALL
+      |      SELECT * FROM p WHERE k IN (
+      |        SELECT k FROM corr WHERE action IN ('insert_missing', 'overwrite_corrupt'))),
+      |repc AS (SELECT k % $dq8Buckets AS bucket, k, $h AS h FROM rep),
+      |repd AS (SELECT bucket, CAST(count(*) AS BIGINT) AS n_r,
+      |        bit_xor(h) AS x_r FROM repc GROUP BY 1),
+      |resid AS (SELECT CAST(count(*) AS BIGINT) AS residual_buckets
+      |      FROM pd FULL JOIN repd ON repd.bucket = pd.bucket
+      |      WHERE n_p IS DISTINCT FROM repd.n_r
+      |         OR x_p IS DISTINCT FROM repd.x_r),
+      |bad2 AS (SELECT coalesce(pd.bucket, repd.bucket) AS bucket
+      |      FROM pd FULL JOIN repd ON repd.bucket = pd.bucket
+      |      WHERE n_p IS DISTINCT FROM repd.n_r
+      |         OR x_p IS DISTINCT FROM repd.x_r),
+      |rerun AS (SELECT CAST(count(*) AS BIGINT) AS rerun_corrections
+      |      FROM (SELECT pc.* FROM pc WHERE bucket IN (SELECT bucket FROM bad2)) a
+      |      FULL JOIN (SELECT repc.* FROM repc WHERE bucket IN (SELECT bucket FROM bad2)) b
+      |        ON b.bucket = a.bucket AND b.k = a.k
+      |      WHERE b.k IS NULL OR a.k IS NULL OR a.h <> b.h)
+      |SELECT corr.bucket, corr.k, corr.action, resid.residual_buckets,
+      |  rerun.rerun_corrections
+      |FROM corr CROSS JOIN resid CROSS JOIN rerun
+      |ORDER BY corr.bucket, corr.k""".stripMargin
+  }
+
+  // ---------- dq11: N-replica QUORUM reconciliation ----------
+
+  /** Three deterministic replicas with DISJOINT defect classes —
+    * each carries exactly one of dq8's corruption modes, so in any
+    * bucket at most one replica usually diverges and the other two
+    * form a majority: r1 loses every %997 write, r2 tears every
+    * %1009 status byte, r3 replays every %1013 write under key
+    * +10^8. Buckets where two defect keys collide (mod
+    * [[dq8Buckets]]) make all three digests differ — the TIE the
+    * vote must arbitrate. */
+  private[graft] def dq11Replicas(p: DataFrame): Seq[(String, DataFrame)] =
+    Seq(
+      "r1" -> p.filter("o_orderkey % 997 <> 0"),
+      "r2" -> p.selectExpr("o_orderkey", "o_custkey",
+        "CASE WHEN o_orderkey % 1009 = 0 THEN 'X' ELSE o_orderstatus END AS o_orderstatus",
+        "o_orderpriority"),
+      "r3" -> p.unionByName(p.filter("o_orderkey % 1013 = 0")
+        .selectExpr("o_orderkey + 100000000 AS o_orderkey", "o_custkey",
+          "o_orderstatus", "o_orderpriority")))
+
+  /** The QUORUM kernel over an arbitrary replica set: per-bucket
+    * k-way digest compare → MAJORITY VOTE (the reference digest is
+    * the value shared by ≥2 replicas; the repair SOURCE is the
+    * lowest-id replica holding it — minority corruption recovers
+    * WITHOUT consulting the primary) → tie fallback (all three
+    * digests distinct → the primary arbitrates, the only safe
+    * answer when the quorum is silent) → dq9's key-grain
+    * corrections per (diverging replica ← voted source), with the
+    * residual proven algebraically per replica against the
+    * reference digests. Factored so the spec can plant a synthetic
+    * TIE bucket and pin the fallback arm. Checkpoint-free by
+    * design (dq9's posture): the one-shot query duplicates cheap
+    * digest subtrees instead of holding session-lifetime frames —
+    * a real anti-entropy job materializes its digest tables to
+    * disk. */
+  private[graft] def quorumRepair(p: DataFrame,
+      reps: Seq[(String, DataFrame)]): DataFrame = {
+    import p.sparkSession.implicits._
+    require(reps.length == 3, "the vote below is written for 3 replicas")
+    val digs = reps.map { case (nm, r) => nm -> bucketDigest(r) }
+    val vote = digs(0)._2.selectExpr("bucket", "n AS n1", "x AS x1")
+      .join(digs(1)._2.selectExpr("bucket", "n AS n2", "x AS x2"),
+        Seq("bucket"), "full_outer")
+      .join(digs(2)._2.selectExpr("bucket", "n AS n3", "x AS x3"),
+        Seq("bucket"), "full_outer")
+      .join(bucketDigest(p).selectExpr("bucket", "n AS np", "x AS xp"),
+        Seq("bucket"), "full_outer")
+      .selectExpr("bucket",
+        "coalesce(n1, CAST(0 AS BIGINT)) AS n1",
+        "coalesce(x1, CAST(0 AS BIGINT)) AS x1",
+        "coalesce(n2, CAST(0 AS BIGINT)) AS n2",
+        "coalesce(x2, CAST(0 AS BIGINT)) AS x2",
+        "coalesce(n3, CAST(0 AS BIGINT)) AS n3",
+        "coalesce(x3, CAST(0 AS BIGINT)) AS x3",
+        "coalesce(np, CAST(0 AS BIGINT)) AS np",
+        "coalesce(xp, CAST(0 AS BIGINT)) AS xp")
+      .selectExpr("*",
+        """CASE WHEN (n1 = n2 AND x1 = x2) OR (n1 = n3 AND x1 = x3) THEN 'r1'
+          |     WHEN n2 = n3 AND x2 = x3 THEN 'r2'
+          |     ELSE 'primary' END AS source""".stripMargin)
+      .selectExpr("*",
+        "CASE source WHEN 'r1' THEN n1 WHEN 'r2' THEN n2 ELSE np END AS refn",
+        "CASE source WHEN 'r1' THEN x1 WHEN 'r2' THEN x2 ELSE xp END AS refx")
+    val badL = Seq(("r1", "n1", "x1"), ("r2", "n2", "x2"),
+      ("r3", "n3", "x3")).map { case (nm, nc, xc) =>
+      vote.filter(s"NOT ($nc = refn AND $xc = refx)")
+        .selectExpr("bucket", s"'$nm' AS replica", "source")
+    }.reduce(_ unionByName _)
+    val frames = (reps :+ ("primary" -> p)).toMap
+    // a diverging replica's voted source is structurally limited:
+    // r1's majority is {r2,r3} → r2; r2's and r3's is r1; any tie →
+    // primary — six (replica ← source) drills, each scoped to its
+    // convicted buckets (most empty on a healthy vote)
+    val pairs = Seq("r1" -> "r2", "r2" -> "r1", "r3" -> "r1",
+      "r1" -> "primary", "r2" -> "primary", "r3" -> "primary")
+    val corrAll = pairs.map { case (ri, s) =>
+      val bad = badL.filter($"replica" === ri && $"source" === s)
+        .select($"bucket")
+      repairCorrections(bad, frames(s), frames(ri), checkpoint = false)
+        .selectExpr(s"'$ri' AS replica", "bucket", "k", "action",
+          s"'$s' AS source", "hp", "hr")
+    }.reduce(_ unionByName _)
+    // PROOF: each repaired replica's digests equal the reference's
+    // in every bucket — the corrections' digest deltas folded into
+    // each replica's own digests (dq9's algebra, per replica)
+    val refDig = vote.selectExpr("bucket", "refn AS n", "refx AS x")
+      .filter("n > 0")
+    val residual = reps.map { case (nm, _) =>
+      val di = digs.find(_._1 == nm).get._2
+      digestMismatch(refDig,
+        repairedDigest(corrAll.filter($"replica" === nm), di))
+    }.reduce(_ unionByName _)
+      .agg(count(lit(1)).as("residual_buckets"))
+    corrAll.select($"replica", $"bucket", $"k", $"action", $"source")
+      .crossJoin(broadcast(residual))
+      .transform(graft.Tables.ordered(_, $"replica", $"bucket", $"k"))
+  }
+
+  /** dq11: N-REPLICA QUORUM RECONCILIATION — the anti-entropy shape
+    * a production lake actually runs (Dynamo/Cassandra read-repair):
+    * THREE replicas, no side designated truth a priori, per-bucket
+    * majority vote over the k-way digest compare. A bucket where
+    * one replica diverges from the other two is repaired FROM THE
+    * MAJORITY — the primary is never consulted; only a bucket where
+    * all three disagree (two defect classes colliding in one
+    * bucket) falls back to the primary, the documented tie-break.
+    * Output: one row per correction (replica, key, action, voted
+    * source), with `residual_buckets` — every repaired replica's
+    * digests recompared against the reference — riding each row.
+    *
+    * Scale: k digest tables of 4096 rows each (one scan per
+    * replica), a 4096-row vote, and drills scoped to each
+    * replica's convicted buckets — row work proportional to the
+    * TOTAL divergence across replicas, never to the table. */
+  def dq11(spark: SparkSession, dir: String): DataFrame = {
+    val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
+      "o_orderpriority")
+    val p = Tables.orders(spark, dir).selectExpr(cols: _*)
+    quorumRepair(p, dq11Replicas(p))
+  }
+
+  /** dq11 oracle: the identical three-replica construction, k-way
+    * digest vote with the same lowest-agreeing-source and
+    * primary-tie-break rules, per-replica scoped drills, and the
+    * residual recomputed from the APPLIED rows (the algebra's
+    * ground truth). */
+  val dq11Sql: String = {
+    val canon = "CAST(k AS VARCHAR) || '|' || CAST(o_custkey AS VARCHAR)" +
+      " || '|' || o_orderstatus || '|' || o_orderpriority"
+    val h = graft.functions.Fnv64.duckSigned("(" + canon + ")")
+    val b = dq8Buckets
+    def corrFor(i: Int): String =
+      s"""c${i}s AS (SELECT s.* FROM srcrows s JOIN badl bd
+        |      ON bd.replica = 'r$i' AND bd.bucket = s.bucket AND bd.source = s.src),
+        |c${i}r AS (SELECT c.* FROM r${i}c c
+        |      WHERE c.bucket IN (SELECT bucket FROM badl WHERE replica = 'r$i')),
+        |corr$i AS (SELECT coalesce(a.bucket, b2.bucket) AS bucket,
+        |        coalesce(a.k, b2.k) AS k,
+        |        CASE WHEN b2.k IS NULL THEN 'insert_missing'
+        |             WHEN a.k IS NULL THEN 'delete_extra'
+        |             WHEN a.h <> b2.h THEN 'overwrite_corrupt' END AS action
+        |      FROM c${i}s a FULL JOIN c${i}r b2
+        |        ON b2.bucket = a.bucket AND b2.k = a.k
+        |      WHERE b2.k IS NULL OR a.k IS NULL OR a.h <> b2.h),
+        |rep$i AS (SELECT k, o_custkey, o_orderstatus, o_orderpriority FROM r$i
+        |      WHERE k NOT IN (SELECT k FROM corr$i
+        |        WHERE action IN ('delete_extra', 'overwrite_corrupt'))
+        |      UNION ALL
+        |      SELECT k, o_custkey, o_orderstatus, o_orderpriority FROM c${i}s
+        |      WHERE k IN (SELECT k FROM corr$i
+        |        WHERE action IN ('insert_missing', 'overwrite_corrupt'))),
+        |rep${i}d AS (SELECT k % $b AS bucket, CAST(count(*) AS BIGINT) AS n,
+        |        bit_xor($h) AS x FROM rep$i GROUP BY 1),
+        |m$i AS (SELECT coalesce(r.bucket, f.bucket) AS bucket
+        |      FROM rep${i}d r FULL JOIN refd f ON f.bucket = r.bucket
+        |      WHERE r.n IS DISTINCT FROM f.n OR r.x IS DISTINCT FROM f.x)"""
+        .stripMargin
+    s"""WITH p AS (SELECT o_orderkey AS k, o_custkey, o_orderstatus,
+      |        o_orderpriority FROM orders),
+      |r1 AS (SELECT * FROM p WHERE k % 997 <> 0),
+      |r2 AS (SELECT k, o_custkey,
+      |        CASE WHEN k % 1009 = 0 THEN 'X' ELSE o_orderstatus END AS o_orderstatus,
+      |        o_orderpriority FROM p),
+      |r3 AS (SELECT * FROM p
+      |      UNION ALL
+      |      SELECT k + 100000000, o_custkey, o_orderstatus, o_orderpriority
+      |      FROM p WHERE k % 1013 = 0),
+      |r1c AS (SELECT k % $b AS bucket, k, $h AS h FROM r1),
+      |r2c AS (SELECT k % $b AS bucket, k, $h AS h FROM r2),
+      |r3c AS (SELECT k % $b AS bucket, k, $h AS h FROM r3),
+      |pc AS (SELECT k % $b AS bucket, k, $h AS h FROM p),
+      |d1 AS (SELECT bucket, CAST(count(*) AS BIGINT) AS n, bit_xor(h) AS x FROM r1c GROUP BY 1),
+      |d2 AS (SELECT bucket, CAST(count(*) AS BIGINT) AS n, bit_xor(h) AS x FROM r2c GROUP BY 1),
+      |d3 AS (SELECT bucket, CAST(count(*) AS BIGINT) AS n, bit_xor(h) AS x FROM r3c GROUP BY 1),
+      |dp AS (SELECT bucket, CAST(count(*) AS BIGINT) AS n, bit_xor(h) AS x FROM pc GROUP BY 1),
+      |allb AS (SELECT DISTINCT bucket FROM (
+      |      SELECT bucket FROM d1 UNION SELECT bucket FROM d2
+      |      UNION SELECT bucket FROM d3 UNION SELECT bucket FROM dp)),
+      |vote AS (SELECT allb.bucket,
+      |        coalesce(d1.n, 0) AS n1, coalesce(d1.x, 0) AS x1,
+      |        coalesce(d2.n, 0) AS n2, coalesce(d2.x, 0) AS x2,
+      |        coalesce(d3.n, 0) AS n3, coalesce(d3.x, 0) AS x3,
+      |        coalesce(dp.n, 0) AS np, coalesce(dp.x, 0) AS xp
+      |      FROM allb LEFT JOIN d1 USING (bucket) LEFT JOIN d2 USING (bucket)
+      |        LEFT JOIN d3 USING (bucket) LEFT JOIN dp USING (bucket)),
+      |votes AS (SELECT *,
+      |        CASE WHEN (n1 = n2 AND x1 = x2) OR (n1 = n3 AND x1 = x3) THEN 'r1'
+      |             WHEN n2 = n3 AND x2 = x3 THEN 'r2'
+      |             ELSE 'primary' END AS source FROM vote),
+      |votes2 AS (SELECT *,
+      |        CASE source WHEN 'r1' THEN n1 WHEN 'r2' THEN n2 ELSE np END AS refn,
+      |        CASE source WHEN 'r1' THEN x1 WHEN 'r2' THEN x2 ELSE xp END AS refx
+      |      FROM votes),
+      |badl AS (
+      |      SELECT bucket, 'r1' AS replica, source FROM votes2
+      |        WHERE NOT (n1 = refn AND x1 = refx)
+      |      UNION ALL
+      |      SELECT bucket, 'r2', source FROM votes2
+      |        WHERE NOT (n2 = refn AND x2 = refx)
+      |      UNION ALL
+      |      SELECT bucket, 'r3', source FROM votes2
+      |        WHERE NOT (n3 = refn AND x3 = refx)),
+      |refd AS (SELECT bucket, refn AS n, refx AS x FROM votes2 WHERE refn > 0),
+      |srcrows AS (
+      |      SELECT 'r1' AS src, k % $b AS bucket, k, $h AS h,
+      |        o_custkey, o_orderstatus, o_orderpriority FROM r1
+      |      UNION ALL
+      |      SELECT 'r2', k % $b, k, $h, o_custkey, o_orderstatus,
+      |        o_orderpriority FROM r2
+      |      UNION ALL
+      |      SELECT 'primary', k % $b, k, $h, o_custkey, o_orderstatus,
+      |        o_orderpriority FROM p),
+      |${corrFor(1)},
+      |${corrFor(2)},
+      |${corrFor(3)},
+      |resid AS (SELECT CAST(count(*) AS BIGINT) AS residual_buckets FROM (
+      |      SELECT * FROM m1 UNION ALL SELECT * FROM m2
+      |      UNION ALL SELECT * FROM m3)),
+      |corrall AS (
+      |      SELECT 'r1' AS replica, c.bucket, c.k, c.action, bd.source
+      |      FROM corr1 c JOIN (SELECT DISTINCT bucket, source FROM badl
+      |        WHERE replica = 'r1') bd ON bd.bucket = c.bucket
+      |      UNION ALL
+      |      SELECT 'r2', c.bucket, c.k, c.action, bd.source
+      |      FROM corr2 c JOIN (SELECT DISTINCT bucket, source FROM badl
+      |        WHERE replica = 'r2') bd ON bd.bucket = c.bucket
+      |      UNION ALL
+      |      SELECT 'r3', c.bucket, c.k, c.action, bd.source
+      |      FROM corr3 c JOIN (SELECT DISTINCT bucket, source FROM badl
+      |        WHERE replica = 'r3') bd ON bd.bucket = c.bucket)
+      |SELECT corrall.*, resid.residual_buckets
+      |FROM corrall CROSS JOIN resid
+      |ORDER BY replica, bucket, k""".stripMargin
   }
 }
 

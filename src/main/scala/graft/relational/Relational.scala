@@ -1526,4 +1526,94 @@ object Relational {
       |  CAST(sum(k) AS BIGINT) AS sum_k
       |FROM x WHERE pri = 3 GROUP BY 1
       |ORDER BY src""".stripMargin
+
+  // ---------- q44: VARIANT file-level skipping (zone-map manifest) ----------
+
+  /** Target file fan-out of the pri-clustered store — the knob a
+    * real layout job sizes to its file-size budget. */
+  private[graft] val q44Files = 8
+
+  /** The pri-CLUSTERED variant store + its FILE-STATS MANIFEST,
+    * materialized once per source dir (q42's memoization posture).
+    * Layout: `repartitionByRange` on the variant's `meta.pri` (and
+    * event_id as the tiebreaker) before the write, so each parquet
+    * FILE covers a narrow pri range — the clustering that makes
+    * file-level statistics selective (p2's z-order lesson applied
+    * to a shredded subcolumn). Beside it, the ANALYZE pass every
+    * table format runs at write time: per-file (min, max, rows) of
+    * the shredded subcolumn, derived with `input_file_name()` and
+    * written as the manifest — exactly the file-stats tables
+    * Iceberg/Delta keep, built here on plain parquet. */
+  private val variantStatsStores =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
+
+  private[graft] def variantStatsStore(spark: SparkSession, dir: String)
+      : (String, String) =
+    variantStatsStores.computeIfAbsent(dir, { _ =>
+      val store = java.nio.file.Files.createTempDirectory("graft_q44_")
+        .toFile
+      graft.operators.Incremental.cleanupOnExit(store)
+      val data = new java.io.File(store, "events_variant_by_pri")
+        .getAbsolutePath
+      val manifest = new java.io.File(store, "file_stats").getAbsolutePath
+      Tables.events(spark, dir).selectExpr("event_id", variantParseExpr)
+        .withColumn("pri", expr("variant_get(v, '$.meta.pri', 'bigint')"))
+        .repartitionByRange(q44Files, col("pri"), col("event_id"))
+        .select("event_id", "v")
+        .write.parquet(data)
+      spark.read.parquet(data)
+        .selectExpr("input_file_name() AS file",
+          "variant_get(v, '$.meta.pri', 'bigint') AS pri")
+        .groupBy(col("file"))
+        .agg(min(col("pri")).as("min_pri"), max(col("pri")).as("max_pri"),
+          count(lit(1)).as("n_rows"))
+        .coalesce(1).write.parquet(manifest)
+      (data, manifest)
+    })
+
+  /** q44: VARIANT FILE-LEVEL SKIPPING — the at-rest seam above
+    * q43's page-level pushdown: q43 proved the `variant_get`
+    * predicate reaches the parquet scan (row groups and pages
+    * whose stats exclude 3 are never decoded); q44 proves whole
+    * FILES are skipped before any scan task is even planned — the
+    * p12 zone-map audit turned from simulation into the real
+    * mechanism. The reader resolves the predicate against the
+    * write-time manifest (min_pri ≤ 3 ≤ max_pri — a bounded,
+    * file-count-sized read), plans the scan over ONLY the
+    * surviving files, and runs q43's filtered aggregate on them —
+    * the in-file predicate stays textually in place, so stats
+    * pruning composes with q43's pushdown (the superset
+    * discipline: stats select candidate files, the pushed filter
+    * selects rows). Rows are q43's exactly — the oracle is
+    * [[q43Sql]] VERBATIM, the layout must be semantically
+    * invisible. The spec pins the mechanism: fewer files read
+    * than the store holds, and CORRUPTING a pruned file does not
+    * touch the result (a skipped file is provably never opened —
+    * m27's corrupt-outside-the-ranges trick at file grain).
+    *
+    * Scale: this is the difference between "scan 20% of pages in
+    * every file of a 100 TB table" (q43) and "open 20% of the
+    * FILES" — manifest-resolved planning is O(files) metadata,
+    * and the clustering write is the one-time layout cost p2/p12
+    * already price. */
+  def q44(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val (data, manifest) = variantStatsStore(spark, dir)
+    // bounded collect: ≤ q44Files manifest rows
+    val hit = spark.read.parquet(manifest)
+      .filter("min_pri <= 3 AND max_pri >= 3")
+      .select("file").collect().map(_.getString(0))
+    require(hit.nonEmpty, s"no candidate files under $data")
+    spark.read.parquet(hit.toIndexedSeq: _*)
+      .filter("variant_get(v, '$.meta.pri', 'bigint') = 3")
+      .selectExpr("variant_get(v, '$.meta.src', 'string') AS src",
+        "variant_get(v, '$.payload.k', 'bigint') AS k")
+      .groupBy($"src")
+      .agg(count(lit(1)).as("n"), sum($"k").as("sum_k"))
+      .transform(Tables.ordered(_, $"src"))
+  }
+
+  /** q44 oracle: q43's, verbatim — file-level skipping must be
+    * semantically invisible. */
+  val q44Sql: String = q43Sql
 }

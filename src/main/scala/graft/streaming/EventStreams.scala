@@ -1758,7 +1758,7 @@ object EventStreams {
       var rDig: org.apache.spark.sql.DataFrame,
       val dir: String,
       val replicaStore: String,
-      val sDig: org.apache.spark.sql.DataFrame,
+      var sDig: org.apache.spark.sql.DataFrame,
       var batches: Int = 0,
       var lastCorr: org.apache.spark.sql.DataFrame = null)
 
@@ -1871,7 +1871,10 @@ object EventStreams {
     if (st.lastCorr != null)
       graft.functions.Lineage.freeCheckpoint(st.lastCorr)
     st.lastCorr = corr
-    graft.operators.Quality.repairReport(corr, st.pDig, pAll, rStore)
+    // the residual proof is digest algebra over the state's own
+    // digest frames — the stores are read ONLY by the drill above,
+    // and only inside the convicted buckets
+    graft.operators.Quality.repairReport(corr, st.pDig, st.sDig)
   }
 
   /** s44 oracle: dq8's, verbatim — the twin contract on the
@@ -1884,8 +1887,10 @@ object EventStreams {
     * digest fold and the low-water-mark arbitration are s44's
     * (shared kernels), and the emission is dq9's: key-grain
     * corrections for the CONVICTED buckets, read from the two
-    * STORES, applied via the broadcast-keyed MERGE joins, with the
-    * post-repair digest recompare riding every row. Mid-stream the
+    * STORES, with the post-repair digest recompare riding every row
+    * (digest ALGEBRA over the state's O(buckets) frames — the
+    * corrections' (Δcount, Δxor) folded into the store digests, so
+    * the proof costs no second store scan). Mid-stream the
     * corrections cover exactly the at-the-mark divergent buckets —
     * each is FINAL (its fold equals the store, so the drill saw
     * everything it ever will) — and `residual_buckets` counts the
@@ -1918,6 +1923,112 @@ object EventStreams {
   /** s45 oracle: dq9's, verbatim — the twin contract on the
     * single-replay batch. */
   val s45Sql: String = graft.operators.Quality.dq9Sql
+
+  /** The write-back door's bootstrap: a FRESH versioned replica
+    * store seeded per invocation (v1 = the diverged replica — the
+    * door must find something to heal, and a healed store carried
+    * across invocations would make the replay non-deterministic),
+    * the primary digests trained offline, and the store digests as
+    * the low-water mark — REFRESHED after every publish, which is
+    * what stops a healed bucket from re-convicting. */
+  private[graft] def replicaRepairWbState(ss: SparkSession, dir: String)
+      : ReplicaDiffState = {
+    val p = graft.Tables.orders(ss, dir).selectExpr("o_orderkey",
+      "o_custkey", "o_orderstatus", "o_orderpriority")
+    val rootF = java.nio.file.Files
+      .createTempDirectory("graft_s46_").toFile
+    graft.operators.Incremental.cleanupOnExit(rootF)
+    val root = rootF.getAbsolutePath
+    graft.operators.Quality.seedReplicaStore(p, root)
+    val pDig = graft.operators.Quality.bucketDigest(p).localCheckpoint()
+    val sDig = graft.operators.Quality
+      .bucketDigest(graft.operators.Quality.readReplicaStore(ss, root))
+      .localCheckpoint()
+    val empty = ss.range(0)
+      .selectExpr("id AS bucket", "id AS n", "id AS x").filter("false")
+      .localCheckpoint()
+    new ReplicaDiffState(pDig, empty, dir, root, sDig)
+  }
+
+  /** One micro-batch through the WRITE-BACK door: s44's fold +
+    * watermark arbitration, dq9's corrections for the convicted
+    * buckets — and then the store actually HEALS: the corrections
+    * publish the next store version (damaged partition groups
+    * rewritten, `repairlog` log, manifest-last — dq10's publish leg
+    * verbatim), and the low-water mark refreshes ALGEBRAICALLY to
+    * the healed digests, so a healed bucket's fold now sits below
+    * the new mark — pending, never re-convicted (the arbitration
+    * rule doing double duty as the healed-bucket exclusion). The
+    * emission carries dq10's two persisted-state proofs: `residual_
+    * buckets` (primary-vs-store digest mismatches after this
+    * batch's publish) and `rerun_corrections` (the key-grain
+    * corrections a fresh pass over the healed store would emit —
+    * divergence-scoped drill, zero once the fold has covered the
+    * store). */
+  private[graft] def replicaRepairWbServe(st: ReplicaDiffState,
+      batch: DataFrame): DataFrame = {
+    foldReplicaDigests(st, batch)
+    val ss = batch.sparkSession
+    val pAll = graft.Tables.orders(ss, st.dir).selectExpr("o_orderkey",
+      "o_custkey", "o_orderstatus", "o_orderpriority")
+    val rStore = graft.operators.Quality
+      .readReplicaStore(ss, st.replicaStore)
+    val corr = graft.operators.Quality
+      .repairCorrections(replicaConvicted(st), pAll, rStore)
+    if (st.lastCorr != null)
+      graft.functions.Lineage.freeCheckpoint(st.lastCorr)
+    st.lastCorr = corr
+    if (!corr.isEmpty) {
+      graft.operators.Quality
+        .publishCorrections(ss, st.replicaStore, corr, pAll, rStore)
+      val old = st.sDig
+      st.sDig = graft.operators.Quality.repairedDigest(corr, st.sDig)
+        .localCheckpoint()
+      graft.functions.Lineage.freeCheckpoint(old)
+    }
+    // both proofs read the POST-PUBLISH state: the digest compare is
+    // O(buckets) algebra; the rerun drill reads the healed store
+    // scoped to the still-divergent buckets (zero once healed)
+    val mism = graft.operators.Quality.digestMismatch(st.pDig, st.sDig)
+    val rerun = graft.operators.Quality.repairCorrections(mism, pAll,
+      graft.operators.Quality.readReplicaStore(ss, st.replicaStore),
+      checkpoint = false).count()
+    val residual = mism.agg(count(lit(1)).as("residual_buckets"))
+    corr.select(col("bucket"), col("k"), col("action"))
+      .crossJoin(broadcast(residual))
+      .withColumn("rerun_corrections", lit(rerun))
+  }
+
+  /** s46: STREAMING REPAIR WRITE-BACK DOOR — dq10's healed lake
+    * kept healing as replica rows land: per micro-batch the door
+    * folds arrivals (s44), convicts at-the-mark divergent buckets,
+    * derives dq9's corrections, PUBLISHES the next store version
+    * (dq10's partition-grain copy-on-write publish, manifest-last),
+    * and refreshes its low-water mark to the healed digests — so
+    * the next batch never re-convicts a healed bucket, and a
+    * healthy (fully healed) stream settles to zero corrections,
+    * zero publishes, O(4096) digest compares per batch. Replayed
+    * as ONE batch (the Verify path) the convictions are dq10's
+    * pass-1 set, the publish is v2, and both proofs read 0 from
+    * the persisted store — oracle
+    * [[graft.operators.Quality.dq10Sql]] (twin contract). */
+  def s46(spark: SparkSession, dir: String): DataFrame = {
+    val ss = streamSession(spark)
+    graft.Tables.tsConfs(ss)
+    val st = replicaRepairWbState(ss, dir)
+    val schema = ss.read.parquet(s"$dir/orders.parquet").schema
+    val src = ss.readStream.schema(schema)
+      .option("pathGlobFilter", "orders.parquet").parquet(dir)
+      .selectExpr("o_orderkey", "o_custkey", "o_orderstatus",
+        "o_orderpriority")
+    val replica = graft.operators.Quality.dq8Replica(src)
+    runBatched(replica, b => replicaRepairWbServe(st, b))
+      .transform(graft.Tables.ordered(_, col("bucket"), col("k")))
+  }
+
+  /** s46 oracle: dq10's, verbatim — the twin contract on the
+    * single-replay batch. */
+  val s46Sql: String = graft.operators.Quality.dq10Sql
 
   /** s41: STREAMING SHARD-INGEST AUDIT DOOR — m24's corpus-grain
     * completeness/collision audit kept CURRENT as shards land,

@@ -592,6 +592,64 @@ class ChartPngSpec extends AnyFunSuite {
     assert(rows.forall(_.getAs[String]("body_md5").length == 32))
   }
 
+  test("m28: real-bytes fetch equals m27 bitwise; off-range bytes are never read; Long offsets clear the 2^31 boundary on a sparse shard") {
+    import graft.operators.Media
+    // the representation change is invisible: same rows as m27
+    def parse(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("name"),
+        r.getAs[Long]("size"), r.getAs[String]("body_md5"))).toSeq
+    val viaBytes = parse(Media.m28(spark, SharedSpark.sf)).sorted
+    assert(viaBytes == parse(Media.m27(spark, SharedSpark.sf)).sorted
+      && viaBytes.nonEmpty)
+    // RANGED-READ PIN on real bytes: copy a store shard, overwrite
+    // every byte OUTSIDE the wanted data ranges with 0xFF (not
+    // ASCII — a char-width confusion would also trip), and fetch
+    // with the same index: digests identical
+    val root = Media.shardByteStorePath(spark, SharedSpark.sf)
+    val id = new java.io.File(root).listFiles().map(_.getName)
+      .filter(_.startsWith("shard_")).sorted.head
+      .stripPrefix("shard_").stripSuffix(".tar").toLong
+    val orig = java.nio.file.Paths.get(root, s"shard_$id.tar")
+    val bytes = java.nio.file.Files.readAllBytes(orig)
+    val t = new String(bytes,
+      java.nio.charset.StandardCharsets.ISO_8859_1)
+    val (ms, _) = Media.tarMembers(t)
+    val wanted = ms.filter(_.ext == "txt")
+      .map(m => (m.name, m.off + 512L, m.size))
+    val clean = Media.rangedFetch(orig.toString, wanted)
+    val junk = bytes.clone()
+    val ranges = wanted.map { case (_, o, n) => (o, o + n) }
+    junk.indices.foreach { i =>
+      if (!ranges.exists { case (a, b) => i >= a && i < b })
+        junk(i) = 0xFF.toByte
+    }
+    val junkPath = java.nio.file.Files
+      .createTempFile("graft_m28_junk_", ".tar")
+    java.nio.file.Files.write(junkPath, junk)
+    val viaJunk = Media.rangedFetch(junkPath.toString, wanted)
+    assert(viaJunk.map(f => (f._1, f._2, f._3.toSeq)) ==
+      clean.map(f => (f._1, f._2, f._3.toSeq)),
+      "fetch read bytes outside the indexed ranges")
+    java.nio.file.Files.delete(junkPath)
+    // THE 2^31 LIFT: a sparse shard > 2 GiB with a member planted
+    // past the Int boundary — the String model could not even
+    // address this offset; the ranged read returns it exactly
+    val big = java.nio.file.Files
+      .createTempFile("graft_m28_big_", ".tar")
+    val raf = new java.io.RandomAccessFile(big.toFile, "rw")
+    try {
+      val off = Int.MaxValue.toLong + 513L
+      raf.setLength(off + 4096L) // sparse — no 2 GiB actually written
+      val body = "past-the-int-boundary".getBytes("US-ASCII")
+      raf.seek(off)
+      raf.write(body)
+      val got = Media.rangedFetch(big.toString,
+        Seq(("big.txt", off, body.length.toLong)))
+      assert(got.head._3.toSeq == body.toSeq,
+        "Long-offset ranged read failed past 2^31")
+    } finally { raf.close(); java.nio.file.Files.delete(big) }
+  }
+
   test("m24: shard audit catches planted incomplete samples and the cross-shard key collision") {
     import graft.operators.Media
     val rows = Media.m24(spark, SharedSpark.sf).collect()

@@ -1955,6 +1955,112 @@ class DedupKnnSpec extends AnyFunSuite {
       "serving from the vacuumed store must equal the in-process compacted serve")
   }
 
+  test("v31: delta segments — O(|delta|) publish bytes, zero-build assembly, torn segment skipped, kind-aware vacuum, fold serves the base bitwise") {
+    val Knn = graft.operators.Knn
+    import java.nio.file.Files
+    def dirSize(f: java.io.File): Long =
+      if (f.isDirectory)
+        Option(f.listFiles()).getOrElse(Array.empty).map(dirSize).sum
+      else f.length()
+    def parse(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Int]("rnk"),
+        r.getAs[Long]("vec_id"), r.getAs[Double]("cos_sim"),
+        r.getAs[Long]("in_exact"))).toSeq
+    // drive the lifecycle by hand for the structural pins
+    val root = Files.createTempDirectory("graft_v31_spec_").toFile
+    graft.operators.Incremental.cleanupOnExit(root)
+    val rootP = root.getAbsolutePath
+    val e = Knn.vectors(spark, sf)
+    val insPred = s"vec_id >= 10 AND vec_id % ${Knn.v26ModK} = 0"
+    val basePred = s"vec_id >= 10 AND vec_id % ${Knn.v26ModK} <> 0"
+    val (gB, repsB, centsB) = Knn.v21Index(spark, e, basePred)
+    val eBase = e.filter(s"NOT ($insPred)")
+    Knn.saveIndexVersion(
+      Knn.V21Static(eBase, gB, repsB.persist(), centsB), rootP)
+    val ixB = Knn.V21Static(eBase, gB, repsB, centsB)
+    val newQs = Knn.codebook(e, insPred)
+    val ins = Knn.v21InsertEdges(ixB, newQs)
+      .select(col("new_id").as("src_id"), col("nbr_id"))
+    val dEdges = ins.unionByName(ins.select(col("nbr_id").as("src_id"),
+      col("src_id").as("nbr_id"))).distinct().localCheckpoint()
+    val dVecs = e.filter(insPred).select(col("vec_id"), col("nv"))
+    // DELTA publishes perform no index build
+    val b0 = Knn.indexBuilds.get()
+    Knn.saveDeltaVersion(rootP, dVecs, dEdges,
+      spark.range(0).selectExpr("id AS vec_id"))
+    Knn.saveDeltaVersion(rootP, dVecs.filter("false"),
+      dEdges.filter("false"), e.filter(insPred).select(col("vec_id")))
+    assert(Knn.indexBuilds.get() == b0, "a delta publish must not build")
+    // WRITE AMPLIFICATION: each segment is a small fraction of the base
+    val v1b = dirSize(new java.io.File(rootP, "v1"))
+    val v2b = dirSize(new java.io.File(rootP, "v2"))
+    val v3b = dirSize(new java.io.File(rootP, "v3"))
+    assert(v2b * 2 < v1b && v3b * 2 < v1b,
+      s"delta bytes must be O(|delta|): base=$v1b insert=$v2b tomb=$v3b")
+    // COLD ASSEMBLY: zero builds, gates pass, tombstones fold, and the
+    // assembled serve equals the in-memory augmented index's, bitwise
+    spark.catalog.clearCache()
+    val (ixL, tombs, bVer) = Knn.loadAnnStoreLsm(spark, rootP)
+    assert(Knn.indexBuilds.get() == b0, "assembly must not build")
+    assert(bVer == 1)
+    val insIds = e.filter(insPred).select("vec_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(tombs.collect().map(_.getLong(0)).toSet == insIds)
+    val qs = Knn.codebook(e, "vec_id < 10")
+    val viaStore = parse(Knn.v21ServeBatch(ixL, qs)).sorted
+    val inMem = parse(Knn.v21ServeBatch(
+      Knn.V21Static(e, gB.unionByName(dEdges), repsB, centsB), qs)).sorted
+    assert(viaStore == inMem && viaStore.nonEmpty,
+      "base+delta assembly must serve the augmented index bitwise")
+    // a TORN delta (no manifest) is invisible to assembly
+    val torn = new java.io.File(rootP, "v4"); torn.mkdirs()
+    Files.write(torn.toPath.resolve("part-crash.parquet"), Array[Byte](1))
+    assert(parse(Knn.v21ServeBatch(Knn.loadAnnStoreLsm(spark, rootP)._1,
+      qs)).sorted == viaStore, "a torn segment must never serve")
+    // kind-aware vacuum on a synthetic mixed store
+    val r2 = Files.createTempDirectory("graft_v31_spec2_").toString
+    def mk(name: String, kind: String): Unit = {
+      val d = new java.io.File(r2, name); d.mkdirs()
+      Files.write(d.toPath.resolve("part-00000.parquet"), Array[Byte](1))
+      if (kind != "torn")
+        Files.write(d.toPath.resolve("_MANIFEST"),
+          (if (kind == "delta") "kind delta\nvectors 0" else "vectors 0")
+            .getBytes("UTF-8"))
+    }
+    Seq("v1" -> "base", "v2" -> "delta", "v3" -> "base", "v4" -> "delta",
+      "v5" -> "torn").foreach { case (n, k) => mk(n, k) }
+    // keepBases=2 keeps both bases and every delta above the oldest
+    // kept base; the torn v5 is above the newest committed (in flight)
+    assert(Knn.vacuumAnnStoreLsm(r2, keepBases = 2).isEmpty)
+    // keepBases=1: the superseded base v1 and its FOLDED delta v2 go;
+    // the unfolded delta v4 above the kept base v3 survives
+    assert(Knn.vacuumAnnStoreLsm(r2, keepBases = 1) == Seq("v1", "v2"))
+    assert(Option(new java.io.File(r2).listFiles()).get.map(_.getName)
+      .toSet == Set("v3", "v4", "v5"))
+    // FOLD on the real store: base ∪ inserts − tombstones, published
+    // as the next base; vacuum reclaims the folded segments; the
+    // vacuumed store serves the base corpus bitwise (= v31's output)
+    val eFold = ixL.e.join(tombs, Seq("vec_id"), "left_anti")
+    val (gF, repsF, centsF) = Knn.v21Index(spark, eFold, basePred)
+    Knn.saveIndexVersion(
+      Knn.V21Static(eFold, gF, repsF.persist(), centsF), rootP)
+    Knn.vacuumAnnStoreLsm(rootP, keepBases = 1)
+    assert(Option(new java.io.File(rootP).listFiles()).get.map(_.getName)
+      .toSet == Set("v5"), "fold + vacuum must leave only the new base")
+    spark.catalog.clearCache()
+    val (ixS, t2, _) = Knn.loadAnnStoreLsm(spark, rootP)
+    assert(t2.isEmpty)
+    val folded = parse(Knn.v21ServeBatch(ixS, qs)).sorted
+    assert(folded == parse(Knn.v21ServeBatch(ixB, qs)).sorted,
+      "the folded store must serve the base corpus bitwise")
+    // the end-to-end query runs the same story in one call, two
+    // builds total (trainer + fold)
+    val b1 = Knn.indexBuilds.get()
+    val viaQuery = parse(Knn.v31(spark, sf)).sorted
+    assert(viaQuery == folded && Knn.indexBuilds.get() == b1 + 2)
+    repsB.unpersist(); repsF.unpersist()
+  }
+
   test("v28: compaction rebuild — the dial reads 0 on every query, tombstones leave the index, recall holds") {
     def parse(df: org.apache.spark.sql.DataFrame) = df.collect()
       .map(r => (r.getAs[Long]("qid"), r.getAs[Int]("rnk"),

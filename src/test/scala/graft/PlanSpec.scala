@@ -85,6 +85,46 @@ class PlanSpec extends AnyFunSuite {
       s"the scan must read shredded typed subcolumns, not the variant binary: $schema")
   }
 
+  test("q44: file-level skipping — fewer files planned than stored, a corrupted pruned file is provably never opened, rows equal q43") {
+    // the manifest prunes at FILE grain: the store holds q44Files-ish
+    // files, the pri=3 predicate survives in strictly fewer
+    val (data, manifest) = Relational.variantStatsStore(spark, sf)
+    val stats = spark.read.parquet(manifest).collect()
+      .map(r => (r.getAs[String]("file"), r.getAs[Long]("min_pri"),
+        r.getAs[Long]("max_pri")))
+    val hit = stats.filter(t => t._2 <= 3L && t._3 >= 3L)
+    assert(stats.length > 1 && hit.nonEmpty && hit.length < stats.length,
+      s"fixture must exercise the skip: ${hit.length} of ${stats.length} files hit")
+    // the clustering is real: per-file pri ranges are narrow
+    assert(stats.forall(t => t._3 - t._2 <= 1L),
+      "repartitionByRange must cluster pri into narrow per-file ranges")
+    // rows equal q43 (the oracle contract, pinned Spark-vs-Spark too)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[String]("src"), r.getAs[Long]("n"),
+        r.getAs[Long]("sum_k"))).toSeq
+    val viaSkip = rows(Relational.q44(spark, sf))
+    assert(viaSkip == rows(Relational.q43(spark, sf)) && viaSkip.nonEmpty)
+    // the kill shot: OVERWRITE a pruned file with garbage — a reader
+    // that opened it would throw; the manifest-planned scan cannot
+    // even see it (m27's corrupt-outside-the-ranges trick, file grain)
+    val pruned = stats.map(_._1).toSet -- hit.map(_._1).toSet
+    val victim = new java.io.File(new java.net.URI(pruned.head))
+    val orig = java.nio.file.Files.readAllBytes(victim.toPath)
+    try {
+      java.nio.file.Files.write(victim.toPath,
+        "NOT A PARQUET FILE".getBytes("UTF-8"))
+      assert(rows(Relational.q44(spark, sf)) == viaSkip,
+        "q44 opened a file its manifest had pruned")
+      // and the un-pruned full read DOES see the damage — the
+      // counterfactual that proves the skip is doing the work
+      intercept[Throwable] {
+        spark.read.parquet(data)
+          .selectExpr("variant_get(v, '$.meta.pri', 'bigint')")
+          .collect()
+      }
+    } finally java.nio.file.Files.write(victim.toPath, orig)
+  }
+
   test("dq8: digest aggregates are map-side partial and the drill is broadcast-semi-scoped") {
     val p = plan(graft.operators.Quality.dq8(spark, sf))
     assert(p.contains("partial_bit_xor"),

@@ -2978,6 +2978,121 @@ class RelationalSpec extends AnyFunSuite {
     assert(Q.reconcile(p, p).isEmpty)
   }
 
+  test("dq10: write-back heals the persisted store — corrections match dq9, both proofs read 0, the rewrite is partition-scoped, a second pass is a no-op, a torn publish never serves") {
+    val Q = graft.operators.Quality
+    // the query's own contract: dq9's corrections with both
+    // persisted-state proofs at 0
+    val rows = Q.dq10(spark, sf).collect()
+      .map(r => (r.getAs[Long]("bucket"), r.getAs[Long]("k"),
+        r.getAs[String]("action"), r.getAs[Long]("residual_buckets"),
+        r.getAs[Long]("rerun_corrections")))
+    assert(rows.nonEmpty)
+    val dq9 = Q.dq9(spark, sf).collect()
+      .map(r => (r.getAs[Long]("bucket"), r.getAs[Long]("k"),
+        r.getAs[String]("action")))
+    assert(rows.map(t => (t._1, t._2, t._3)).toSeq.sorted ==
+      dq9.toSeq.sorted, "write-back corrections must be dq9's")
+    assert(rows.forall(t => t._4 == 0L && t._5 == 0L),
+      "both persisted-state proofs must read 0")
+    // drive the store kernels directly for the structural pins
+    val p = Tables.orders(spark, sf).selectExpr("o_orderkey",
+      "o_custkey", "o_orderstatus", "o_orderpriority")
+    val rootF = java.nio.file.Files
+      .createTempDirectory("graft_dq10spec_").toFile
+    graft.operators.Incremental.cleanupOnExit(rootF)
+    val root = rootF.getAbsolutePath
+    Q.seedReplicaStore(p, root)
+    val n1 = Q.repairPass(spark, root, p)
+    assert(n1 == dq9.length.toLong, "pass 1 must heal every correction")
+    assert(Q.latestStoreVersion(root).contains(2))
+    // WRITE AMPLIFICATION: v2 rewrote exactly the damaged partition
+    // groups — strictly fewer than the store's partitions — and the
+    // manifest re-points only those
+    val damaged = dq9.map(t => t._1 % Q.dq10Parts).toSet
+    val v2pgs = Option(new java.io.File(root, "v2/data").listFiles())
+      .toSeq.flatten.filter(_.getName.startsWith("pg="))
+      .map(_.getName.drop(3).toLong).toSet
+    assert(v2pgs == damaged, "v2 must hold exactly the damaged partitions")
+    assert(damaged.size < Q.dq10Parts,
+      "fixture must leave untouched partitions (write-amp pin)")
+    val (_, map2) = Q.readStoreManifest(root)
+    assert(map2.filter(_._2 == 2).keySet == damaged &&
+      map2.filter(_._2 == 1).keySet == ((0L until Q.dq10Parts).toSet -- damaged),
+      "manifest must re-point damaged partitions and only those")
+    // the HEALED STORE equals the primary, row for row, read from disk
+    val healed = Q.readReplicaStore(spark, root).drop("pg").collect()
+      .map(_.toSeq).sortBy(_.toString)
+    assert(healed.toSeq == p.collect().map(_.toSeq).sortBy(_.toString).toSeq,
+      "healed store must equal the primary")
+    // IDEMPOTENCE: a second pass derives zero corrections and
+    // publishes NOTHING (the store is untouched)
+    assert(Q.repairPass(spark, root, p) == 0L)
+    assert(Q.latestStoreVersion(root).contains(2),
+      "a clean pass must not publish")
+    // TORN-WRITE REFUSAL: data landed without a manifest is
+    // invisible — the reader keeps serving v2
+    p.limit(3).selectExpr("*", "CAST(0 AS BIGINT) AS pg")
+      .write.parquet(s"$root/v3/data")
+    assert(Q.latestStoreVersion(root).contains(2))
+    assert(Q.readReplicaStore(spark, root).drop("pg").count() == p.count(),
+      "a torn publish must never serve")
+  }
+
+  test("dq11: quorum vote repairs each minority replica from the majority, never the primary except on a planted tie; residual reads 0") {
+    val Q = graft.operators.Quality
+    val rows = Q.dq11(spark, sf).collect()
+      .map(r => (r.getAs[String]("replica"), r.getAs[Long]("bucket"),
+        r.getAs[Long]("k"), r.getAs[String]("action"),
+        r.getAs[String]("source"), r.getAs[Long]("residual_buckets")))
+    assert(rows.nonEmpty)
+    // every replica's planted defect class surfaces, keyed exactly
+    val keys = Tables.orders(spark, sf).selectExpr("o_orderkey")
+      .collect().map(_.getLong(0)).toSet
+    def of(rep: String, a: String) =
+      rows.filter(t => t._1 == rep && t._4 == a).map(_._3).toSet
+    assert(of("r1", "insert_missing") == keys.filter(_ % 997 == 0))
+    assert(of("r2", "overwrite_corrupt") == keys.filter(_ % 1009 == 0))
+    assert(of("r3", "delete_extra") ==
+      keys.filter(_ % 1013 == 0).map(_ + 100000000L))
+    // majority sourcing: r1 heals from r2, r2/r3 from r1 — the
+    // primary appears only where defect classes collide in a bucket
+    // (the tie); and in the tie bucket EVERY diverging replica is
+    // primary-sourced
+    val tied = rows.filter(_._5 == "primary").map(_._2).toSet
+    rows.foreach { t =>
+      if (tied.contains(t._2)) assert(t._5 == "primary")
+      else t._1 match {
+        case "r1" => assert(t._5 == "r2")
+        case "r2" | "r3" => assert(t._5 == "r1")
+      }
+    }
+    // the proof column reads 0 everywhere: every repaired replica's
+    // digests match the voted reference's
+    assert(rows.forall(_._6 == 0L))
+    // the tie arm, pinned on a synthetic fixture: bucket 1 holds a
+    // missing key in ra, a corrupt key in rb, an extra key in rc —
+    // all three digests differ, no majority, primary arbitrates
+    import spark.implicits._
+    val base = Seq((1L, 10L, "O", "1-URGENT"), (4097L, 11L, "F", "2-HIGH"),
+      (8193L, 12L, "P", "3-MEDIUM"), (2L, 13L, "O", "4-NOT SPECIFIED"))
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority")
+    val ra = base.filter("o_orderkey <> 1")                 // missing k=1
+    val rb = base.selectExpr("o_orderkey", "o_custkey",
+      "CASE WHEN o_orderkey = 4097 THEN 'X' ELSE o_orderstatus END AS o_orderstatus",
+      "o_orderpriority")                                    // corrupt k=4097
+    val rc = base.unionByName(Seq((12289L, 14L, "O", "5-LOW"))
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"))
+    val got = Q.quorumRepair(base, Seq("r1" -> ra, "r2" -> rb, "r3" -> rc))
+      .collect().map(r => (r.getAs[String]("replica"), r.getAs[Long]("k"),
+        r.getAs[String]("action"), r.getAs[String]("source"),
+        r.getAs[Long]("residual_buckets")))
+    assert(got.toSet == Set(
+      ("r1", 1L, "insert_missing", "primary", 0L),
+      ("r2", 4097L, "overwrite_corrupt", "primary", 0L),
+      ("r3", 12289L, "delete_extra", "primary", 0L)),
+      s"tie bucket must be primary-arbitrated, got ${got.toSet}")
+  }
+
   test("dq7: FD audit equals a sequential recompute; both arms and the support arithmetic hold") {
     val rows = graft.operators.Quality.dq7(spark, sf).collect()
       .map(r => (r.getAs[String]("fd"), r.getAs[Long]("n_groups"),

@@ -1556,6 +1556,67 @@ class StreamingPipelineSpec extends AnyFunSuite {
       "post-catch-up repair != batch dq9 (algebra or arbitration broken)")
   }
 
+  test("s46 write-back door: full replay equals batch dq10; a healed bucket is never re-convicted; each batch publishes once and the store ends fully healed") {
+    import spark.implicits._
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("bucket"), r.getAs[Long]("k"),
+        r.getAs[String]("action"), r.getAs[Long]("residual_buckets"),
+        r.getAs[Long]("rerun_corrections"))).toSeq
+    // twin contract: the whole replica stream replayed == batch dq10
+    val streamed = rows(graft.streaming.EventStreams.s46(spark, sf)).sorted
+    val batch = rows(graft.operators.Quality.dq10(spark, sf)).sorted
+    assert(streamed == batch && streamed.nonEmpty)
+    assert(batch.forall(t => t._4 == 0L && t._5 == 0L))
+    // two-batch drive, split by bucket parity (the s44/s45 split)
+    val st = graft.streaming.EventStreams.replicaRepairWbState(spark, sf)
+    val root = st.replicaStore
+    val replica = graft.operators.Quality.dq8Replica(
+        graft.Tables.orders(spark, sf).selectExpr("o_orderkey",
+          "o_custkey", "o_orderstatus", "o_orderpriority"))
+      .as[(Long, Long, String, String)].collect().sortBy(_._1).toSeq
+    val nb = graft.operators.Quality.dq8Buckets
+    val (b1, b2) = replica.partition(t => (t._1 % nb) % 2 == 0)
+    def serve(b: Seq[(Long, Long, String, String)]) = rows(
+      graft.streaming.EventStreams.replicaRepairWbServe(st,
+        b.toDF("o_orderkey", "o_custkey", "o_orderstatus",
+          "o_orderpriority")))
+    val mid = serve(b1)
+    // batch 1 convicts + HEALS the at-the-mark buckets: v2 published
+    val storeBuckets = replica.map(t => t._1 % nb).toSet
+    val corrOf = (t: (Long, Long, String, Long, Long)) => (t._1, t._2, t._3)
+    val expMid = batch.filter(t =>
+      t._1 % 2 == 0 || !storeBuckets.contains(t._1)).map(corrOf).toSet
+    assert(mid.map(corrOf).toSet == expMid,
+      "batch-1 corrections must be the at-the-mark buckets' finals")
+    assert(graft.operators.Quality.latestStoreVersion(root).contains(2),
+      "batch 1 must publish exactly one version")
+    // mid-stream dials: the still-divergent (pending odd) buckets
+    // and their key-grain corrections — read from the healed store
+    val pendBad = (batch.map(_._1).toSet -- expMid.map(_._1)).size.toLong
+    val pendCorr = batch.map(corrOf).toSet -- expMid
+    assert(mid.forall(t => t._4 == pendBad && t._5 == pendCorr.size.toLong)
+      && pendBad > 0L, "mid dials must count the pending divergence")
+    // batch 2: the healed buckets are NEVER re-convicted — batch-2
+    // corrections are exactly the remaining (odd) buckets'
+    val fin = serve(b2)
+    assert(fin.map(corrOf).toSet == pendCorr,
+      "a healed bucket re-convicted (or a pending one was missed)")
+    assert(fin.map(_._1).toSet.intersect(expMid.map(_._1)) == Set.empty)
+    assert(fin.forall(t => t._4 == 0L && t._5 == 0L),
+      "after catch-up both persisted-state proofs must read 0")
+    assert(graft.operators.Quality.latestStoreVersion(root).contains(3))
+    // the store on disk ends fully healed: row-identical to the primary
+    val p = graft.Tables.orders(spark, sf).selectExpr("o_orderkey",
+      "o_custkey", "o_orderstatus", "o_orderpriority")
+    val healed = graft.operators.Quality.readReplicaStore(spark, root)
+      .drop("pg").collect().map(_.toSeq).sortBy(_.toString).toSeq
+    assert(healed == p.collect().map(_.toSeq).sortBy(_.toString).toSeq)
+    // a third, empty batch convicts nothing and publishes nothing
+    val post = serve(Seq.empty)
+    assert(post.isEmpty &&
+      graft.operators.Quality.latestStoreVersion(root).contains(3))
+  }
+
   test("s41 shard-audit door: full replay equals batch m24; collisions surface only once both shards arrive") {
     import spark.implicits._
     def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
