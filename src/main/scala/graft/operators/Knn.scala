@@ -3507,7 +3507,9 @@ object Knn {
       : (V21Static, DataFrame, Int) = {
     val committed = committedVersions(root)
     val bases = committed.filterNot(isDeltaVersion(root, _))
-    require(bases.nonEmpty,
+    // IllegalStateException, matching loadLatestIndex: the callers'
+    // stream-boundary refusal contract is one exception type
+    if (bases.isEmpty) throw new IllegalStateException(
       s"no committed base version under $root — refusing to serve")
     val b = bases.max
     val ix0 = loadIndex(spark, new java.io.File(root, s"v$b").getAbsolutePath)

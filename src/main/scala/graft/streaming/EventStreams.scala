@@ -1451,14 +1451,20 @@ object EventStreams {
     * STREAM BOUNDARY, before any batch is consumed. */
   private[graft] def annDeleteStateFromStore(ss: SparkSession, dir: String,
       root: String): AnnDeleteState = {
-    val (ix, v) = graft.operators.Knn.loadLatestIndex(ss, root)
+    // LSM assembly (v31): newest committed BASE + every committed
+    // delta above it — the deltas are the erasure waves published by
+    // door batches SINCE the last compaction, so a cold start (or a
+    // sibling) inherits the fleet's tombstones instead of starting
+    // from an empty delete set and re-serving erased vectors until
+    // its own stream catches up
+    val (ix, tombs, _) = graft.operators.Knn.loadAnnStoreLsm(ss, root)
     val qs = graft.operators.Knn.codebook(
       graft.operators.Knn.vectors(ss, dir), "vec_id < 10")
-    val empty = ss.range(0).selectExpr("id AS vec_id").localCheckpoint()
-    val st = new AnnDeleteState(ix, qs, empty)
+    val st = new AnnDeleteState(ix, qs,
+      tombs.distinct().localCheckpoint())
     st.corpusN = ix.e.filter("vec_id >= 10").count()
     st.storeRoot = root
-    st.storeVersion = v
+    st.storeVersion = graft.operators.Knn.committedVersions(root).max
     st
   }
 
@@ -1589,6 +1595,21 @@ object EventStreams {
     st.lastArrivalRows = arrivals.count()
     st.deleted = st.deleted.unionByName(arrivals)
     st.batches += 1
+    // LSM (v31's segment discipline): the erasure wave ships to the
+    // store as a tombstone DELTA the moment it lands — O(|arrivals|)
+    // bytes — so sibling processes and the next cold start inherit
+    // the fleet's tombstones without waiting for a compaction (the
+    // bootstrap primes `deleted` from the unfolded deltas), and a
+    // crash between compactions loses nothing. The fold below
+    // consumes them; the deduped arrivals make replay idempotent
+    // (a replayed id never re-publishes).
+    if (st.storeRoot != null && st.lastArrivalRows > 0L) {
+      st.storeVersion = graft.operators.Knn.saveDeltaVersion(
+        st.storeRoot,
+        st.ix.e.select(col("vec_id"), col("nv")).filter("false"),
+        st.ix.graph.filter("false"),
+        arrivals)
+    }
     val nDeleted = st.deleted.count()
     if (nDeleted * s40CompactDenom >= st.corpusN) {
       // COMPACT: v28's construction — rebuild over live vectors;
@@ -1608,16 +1629,19 @@ object EventStreams {
       if (st.storeRoot != null) {
         st.storeVersion =
           graft.operators.Knn.saveIndexVersion(newIx, st.storeRoot)
-        // RETENTION, right after publish (v30's vacuum): keep the
-        // just-published version plus its predecessor (the rollback
-        // target — the ForecastStore posture), reclaim everything
-        // older and any dead torn attempt. Without this the store
-        // grows one full index copy per threshold crossing; with it
-        // a fleet's shared store stays O(annStoreKeep) copies. The
-        // newest committed version — the one just published — is
-        // untouchable by construction, so the door can never vacuum
-        // away what its siblings are about to bootstrap from.
-        graft.operators.Knn.vacuumIndexStore(st.storeRoot, annStoreKeep)
+        // RETENTION, right after publish (v30's vacuum, kind-aware
+        // since the deltas landed — v31): keep the just-published
+        // base plus its predecessor (the rollback target) plus the
+        // delta segments between them (the REPLAY window: rollback =
+        // predecessor + replay deltas), reclaim older bases, deltas
+        // folded below the kept window, and dead torn attempts.
+        // Without this the store grows one full index copy per
+        // threshold crossing; with it a fleet's shared store stays
+        // O(annStoreKeep) bases + a bounded delta tail. The newest
+        // committed base — the one just published — is untouchable
+        // by construction, so the door can never vacuum away what
+        // its siblings are about to bootstrap from.
+        graft.operators.Knn.vacuumAnnStoreLsm(st.storeRoot, annStoreKeep)
       }
       st.ix.reps.unpersist()
       st.ix = newIx
@@ -1658,17 +1682,25 @@ object EventStreams {
     * construction — the one build it is allowed) and PUBLISHES the
     * result back as the next committed version before swapping it
     * in, so sibling processes and the next cold start inherit the
-    * compacted artifact. Serve rows are byte-identical to s40's at
-    * every step (the artifact boundary is semantically invisible —
-    * v29's proven contract), so the oracle stays
-    * [[graft.operators.Knn.v28Sql]] VERBATIM.
+    * compacted artifact. Since round 17 the door runs v31's LSM
+    * discipline between compactions: every erasure batch publishes
+    * its arrivals as an O(|arrivals|) tombstone DELTA segment, the
+    * bootstrap primes its delete set from the unfolded deltas (a
+    * cold start or sibling never re-serves erased vectors while its
+    * stream catches up), the compaction fold consumes them, and the
+    * post-publish vacuum is kind-aware ([[graft.operators.Knn
+    * .vacuumAnnStoreLsm]] — keeps the new base, its rollback
+    * predecessor, and the delta replay window between them). Serve
+    * rows are byte-identical to s40's at every step (the artifact
+    * boundary is semantically invisible — v29's proven contract),
+    * so the oracle stays [[graft.operators.Knn.v28Sql]] VERBATIM.
     *
     * Scale: this is the 100 TB deployment story for the whole ANN
     * family — N serving processes share one trained artifact (no
     * fleet re-trains), erasure folds in per micro-batch at
-    * O(|arrivals|), and the one full-corpus rebuild per threshold
-    * crossing amortizes across fleet AND restarts because it ships
-    * back to the store.
+    * O(|arrivals|) state AND store bytes, and the one full-corpus
+    * rebuild per threshold crossing amortizes across fleet AND
+    * restarts because it ships back to the store.
     */
   def s43(spark: SparkSession, dir: String): DataFrame = {
     val ss = streamSession(spark)

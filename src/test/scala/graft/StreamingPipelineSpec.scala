@@ -1397,22 +1397,37 @@ class StreamingPipelineSpec extends AnyFunSuite {
     assert(graft.operators.Knn.indexBuilds.get == 0L,
       "a store-bootstrapped door must not build an index to serve")
     assert(mid.forall(t => !b1.contains(t._3)), "deleted id surfaced")
+    // below the threshold there is no BASE publish — but the erasure
+    // wave ships as a tombstone DELTA segment (v31's LSM discipline)
     assert(graft.operators.Knn.latestCommittedVersion(
-      root.getAbsolutePath).contains(1), "no publish below threshold")
+      root.getAbsolutePath).contains(2) &&
+      graft.operators.Knn.isDeltaVersion(root.getAbsolutePath, 2),
+      "the erasure wave must publish as a delta, not a base")
+    // CRASH RECOVERY: a sibling (or this process restarted) primes
+    // its delete set from the unfolded deltas — it never re-serves
+    // the erased vectors while its own stream catches up
+    val st2 = graft.streaming.EventStreams.annDeleteStateFromStore(
+      spark, sf, root.getAbsolutePath)
+    assert(st2.deleted.collect().map(_.getLong(0)).sorted.toSeq == b1,
+      "bootstrap must prime tombstones from the unfolded deltas")
+    assert(graft.operators.Knn.indexBuilds.get == 0L)
+    assert(rows(graft.streaming.EventStreams.annCompactServe(st2,
+      Seq.empty[Long].toDF("vec_id"))).sorted == mid.sorted,
+      "the delta-primed sibling must serve exactly the door's rows")
     // the crossing batch compacts: exactly ONE build, published as
-    // the next committed version BEFORE the in-memory swap
+    // the next committed BASE (after b2's delta) BEFORE the swap
     val fin = serve(b2)
     assert(fin.sorted == batch, "post-compaction serve != batch v28")
     assert(graft.operators.Knn.indexBuilds.get == 1L,
       "the compaction rebuild must be the only index build")
     assert(graft.operators.Knn.latestCommittedVersion(
-      root.getAbsolutePath).contains(2) && st.storeVersion == 2,
-      "compaction must publish the rebuilt index as v2")
+      root.getAbsolutePath).contains(4) && st.storeVersion == 4,
+      "compaction must publish the rebuilt base as v4 (after the b2 delta v3)")
     // the published artifact IS the serving index: a fresh load of
-    // v2 serves the standing queries bitwise like the door does
+    // the new base serves the standing queries bitwise like the door
     val (ix2, v2) = graft.operators.Knn.loadLatestIndex(
       spark, root.getAbsolutePath)
-    assert(v2 == 2)
+    assert(v2 == 4)
     val noDel = spark.range(0).selectExpr("id AS vec_id")
     val fromStore = rows(graft.operators.Knn.v27ServeExcluding(
       ix2, st.qs, noDel))
@@ -1443,20 +1458,22 @@ class StreamingPipelineSpec extends AnyFunSuite {
     val st = graft.streaming.EventStreams.annDeleteStateFromStore(
       spark, sf, rootP)
     assert(st.storeVersion == 3)
-    // one crossing batch: compaction publishes v5 (skipping torn v4)
-    // and the door's vacuum reclaims everything but {v3, v5} — the
-    // published version and its rollback predecessor
+    // one crossing batch: the erasure delta publishes as v5 (skipping
+    // torn v4), compaction publishes base v6, and the door's
+    // kind-aware vacuum leaves {v3, v5, v6} — the published base, its
+    // rollback predecessor, and the delta REPLAY window between them
+    // (rollback = predecessor + replay deltas)
     val tombs = graft.operators.Knn.vectors(spark, sf)
       .filter("vec_id >= 10 AND vec_id % 23 = 0").selectExpr("vec_id")
     graft.streaming.EventStreams.annCompactServe(st, tombs.toDF())
       .foreach(_ => ())
-    assert(st.storeVersion == 5, "publish must skip the torn attempt")
+    assert(st.storeVersion == 6, "delta v5 + base v6, skipping torn v4")
     val left = Option(root.listFiles()).getOrElse(Array.empty)
       .map(_.getName).toSet
-    assert(left == Set("v3", "v5"),
-      s"door retention must leave {v3, v5}, found $left")
-    assert(graft.operators.Knn.latestCommittedVersion(rootP).contains(5),
-      "the just-published version is what siblings bootstrap from")
+    assert(left == Set("v3", "v5", "v6"),
+      s"door retention must leave {v3, v5, v6}, found $left")
+    assert(graft.operators.Knn.latestCommittedVersion(rootP).contains(6),
+      "the just-published base is what siblings bootstrap from")
     // the kept predecessor is the ROLLBACK/FORENSICS target: it must
     // stay loadable through the committed-read gate (time-travel by
     // version name — the ForecastStore.loadVersion posture)
