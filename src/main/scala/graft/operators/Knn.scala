@@ -3467,8 +3467,12 @@ object Knn {
     vecs.write.parquet(s"$dir/vectors")
     edges.write.parquet(s"$dir/edges")
     tombs.write.parquet(s"$dir/tombs")
-    val counts = Seq("vectors" -> vecs.count(),
-      "edges" -> edges.count(), "tombs" -> tombs.count())
+    // count what LANDED (parquet footer metadata — no recompute of
+    // the component frames, and the commit marker describes the
+    // artifact, not the intent)
+    val spark = vecs.sparkSession
+    val counts = Seq("vectors", "edges", "tombs")
+      .map(c => c -> spark.read.parquet(s"$dir/$c").count())
     java.nio.file.Files.write(
       java.nio.file.Paths.get(dir, "_MANIFEST"),
       ("kind delta" +: counts.map { case (c, n) => s"$c $n" })

@@ -1096,14 +1096,18 @@ object Quality {
     }.reduce(_ unionByName _)
   }
 
-  /** Seed `root` with v1 = the deterministic diverged replica,
-    * partitioned by `pg`, manifest-last. */
-  private[graft] def seedReplicaStore(p: DataFrame, root: String): Unit = {
-    withPg(dq8Replica(p))
+  /** Seed `root` with v1 = `rows` (order-shaped), partitioned by
+    * `pg`, manifest-last. */
+  private[graft] def seedStoreFrom(rows: DataFrame, root: String): Unit = {
+    withPg(rows)
       .repartition(dq10Parts.toInt, col("pg"))
       .write.partitionBy("pg").parquet(s"$root/v1/data")
     writeStoreManifest(root, 1, (0L until dq10Parts).map(_ -> 1).toMap)
   }
+
+  /** Seed `root` with v1 = the deterministic diverged replica. */
+  private[graft] def seedReplicaStore(p: DataFrame, root: String): Unit =
+    seedStoreFrom(dq8Replica(p), root)
 
   /** ONE repair pass over the store: digest-compare the store
     * against the primary, derive dq9's key-grain corrections for
@@ -1164,8 +1168,10 @@ object Quality {
         .map(_.getName.drop(1).toInt) :+ 0).max + 1
     }
     healed.write.partitionBy("pg").parquet(s"$root/v$next/data")
-    corr.select($"bucket", $"k", $"action")
-      .write.parquet(s"$root/v$next/repairlog")
+    // the audit log keeps every correction column except the raw
+    // fingerprints (dq10 logs bucket/k/action; dq12's adds
+    // replica/source — whatever rides the corrections frame)
+    corr.drop("hp", "hr").write.parquet(s"$root/v$next/repairlog")
     writeStoreManifest(root, next,
       pgmap.map { case (pg, v) => pg -> (if (damaged(pg)) next else v) })
     next
@@ -1316,17 +1322,20 @@ object Quality {
     * digest subtrees instead of holding session-lifetime frames —
     * a real anti-entropy job materializes its digest tables to
     * disk. */
-  private[graft] def quorumRepair(p: DataFrame,
-      reps: Seq[(String, DataFrame)]): DataFrame = {
-    import p.sparkSession.implicits._
-    require(reps.length == 3, "the vote below is written for 3 replicas")
-    val digs = reps.map { case (nm, r) => nm -> bucketDigest(r) }
-    val vote = digs(0)._2.selectExpr("bucket", "n AS n1", "x AS x1")
-      .join(digs(1)._2.selectExpr("bucket", "n AS n2", "x AS x2"),
+  /** The per-bucket k-way VOTE over three replica digest tables +
+    * the primary's: coalesced (count, xor) per side, the majority
+    * source (lowest-id replica holding the digest shared by ≥2),
+    * the primary tie-break, and the voted reference digest
+    * (refn, refx) per bucket. */
+  private[graft] def quorumVote(digs: Seq[DataFrame], pDig: DataFrame)
+      : DataFrame = {
+    require(digs.length == 3, "the vote below is written for 3 replicas")
+    digs(0).selectExpr("bucket", "n AS n1", "x AS x1")
+      .join(digs(1).selectExpr("bucket", "n AS n2", "x AS x2"),
         Seq("bucket"), "full_outer")
-      .join(digs(2)._2.selectExpr("bucket", "n AS n3", "x AS x3"),
+      .join(digs(2).selectExpr("bucket", "n AS n3", "x AS x3"),
         Seq("bucket"), "full_outer")
-      .join(bucketDigest(p).selectExpr("bucket", "n AS np", "x AS xp"),
+      .join(pDig.selectExpr("bucket", "n AS np", "x AS xp"),
         Seq("bucket"), "full_outer")
       .selectExpr("bucket",
         "coalesce(n1, CAST(0 AS BIGINT)) AS n1",
@@ -1344,25 +1353,43 @@ object Quality {
       .selectExpr("*",
         "CASE source WHEN 'r1' THEN n1 WHEN 'r2' THEN n2 ELSE np END AS refn",
         "CASE source WHEN 'r1' THEN x1 WHEN 'r2' THEN x2 ELSE xp END AS refx")
-    val badL = Seq(("r1", "n1", "x1"), ("r2", "n2", "x2"),
-      ("r3", "n3", "x3")).map { case (nm, nc, xc) =>
-      vote.filter(s"NOT ($nc = refn AND $xc = refx)")
-        .selectExpr("bucket", s"'$nm' AS replica", "source")
-    }.reduce(_ unionByName _)
-    val frames = (reps :+ ("primary" -> p)).toMap
-    // a diverging replica's voted source is structurally limited:
-    // r1's majority is {r2,r3} → r2; r2's and r3's is r1; any tie →
-    // primary — six (replica ← source) drills, each scoped to its
-    // convicted buckets (most empty on a healthy vote)
+  }
+
+  /** The long-format conviction set of a vote: one row per
+    * (bucket, diverging replica) with its voted source. */
+  private[graft] def quorumBad(vote: DataFrame): DataFrame =
+    Seq(("r1", "n1", "x1"), ("r2", "n2", "x2"), ("r3", "n3", "x3"))
+      .map { case (nm, nc, xc) =>
+        vote.filter(s"NOT ($nc = refn AND $xc = refx)")
+          .selectExpr("bucket", s"'$nm' AS replica", "source")
+      }.reduce(_ unionByName _)
+
+  /** Key-grain corrections for every convicted (replica ← voted
+    * source) pair — the shared drill per pair, each scoped to its
+    * convicted buckets (most empty on a healthy vote). A diverging
+    * replica's source is structurally limited: r1's majority is
+    * {r2,r3} → r2; r2's and r3's is r1; any tie → primary. */
+  private[graft] def quorumCorrections(badL: DataFrame,
+      frames: Map[String, DataFrame]): DataFrame = {
+    import badL.sparkSession.implicits._
     val pairs = Seq("r1" -> "r2", "r2" -> "r1", "r3" -> "r1",
       "r1" -> "primary", "r2" -> "primary", "r3" -> "primary")
-    val corrAll = pairs.map { case (ri, s) =>
+    pairs.map { case (ri, s) =>
       val bad = badL.filter($"replica" === ri && $"source" === s)
         .select($"bucket")
       repairCorrections(bad, frames(s), frames(ri), checkpoint = false)
         .selectExpr(s"'$ri' AS replica", "bucket", "k", "action",
           s"'$s' AS source", "hp", "hr")
     }.reduce(_ unionByName _)
+  }
+
+  private[graft] def quorumRepair(p: DataFrame,
+      reps: Seq[(String, DataFrame)]): DataFrame = {
+    import p.sparkSession.implicits._
+    val digs = reps.map { case (nm, r) => nm -> bucketDigest(r) }
+    val vote = quorumVote(digs.map(_._2), bucketDigest(p))
+    val badL = quorumBad(vote)
+    val corrAll = quorumCorrections(badL, (reps :+ ("primary" -> p)).toMap)
     // PROOF: each repaired replica's digests equal the reference's
     // in every bucket — the corrections' digest deltas folded into
     // each replica's own digests (dq9's algebra, per replica)
@@ -1513,6 +1540,177 @@ object Quality {
       |        WHERE replica = 'r3') bd ON bd.bucket = c.bucket)
       |SELECT corrall.*, resid.residual_buckets
       |FROM corrall CROSS JOIN resid
+      |ORDER BY replica, bucket, k""".stripMargin
+  }
+
+  // ---------- dq12: quorum WRITE-BACK (the self-healing lake) ----------
+
+  /** ONE quorum pass over three PERSISTED replica stores: read all
+    * three through their manifests, k-way digest vote, derive the
+    * per-replica corrections from each bucket's voted source, and —
+    * only when there is anything to heal — persist the VOTE RECORD
+    * (the per-bucket reference digests, the audit artifact the
+    * from-disk residual reads) and publish each convicted store's
+    * next version (dq10's partition-grain copy-on-write publish;
+    * the insert rows come from the voted source STORES, the primary
+    * only on ties). A pass over agreeing stores derives zero
+    * corrections and publishes nothing. Returns the correction
+    * count; the corrections checkpoint is freed before returning
+    * (everything the caller needs is on disk). */
+  private[graft] def quorumPass(spark: SparkSession,
+      roots: Seq[String], p: DataFrame, audit: String): Long = {
+    import spark.implicits._
+    val names = Seq("r1", "r2", "r3")
+    val stores = roots.map(readReplicaStore(spark, _))
+    val digs = stores.map(bucketDigest)
+    val vote = quorumVote(digs, bucketDigest(p))
+    val badL = quorumBad(vote)
+    val srcFrames = names.zip(stores.map(_.drop("pg"))).toMap +
+      ("primary" -> p)
+    val corr = quorumCorrections(badL, srcFrames).localCheckpoint()
+    val n = corr.count()
+    if (n > 0L) {
+      vote.selectExpr("bucket", "refn", "refx").filter("refn > 0")
+        .coalesce(1).write.mode("overwrite").parquet(s"$audit/vote_ref")
+      names.zip(roots).zip(stores).foreach { case ((nm, root), store) =>
+        val ci = corr.filter($"replica" === nm)
+        if (!ci.isEmpty) {
+          val insSrc = (names :+ "primary").filter(_ != nm).map { s =>
+            srcFrames(s).join(broadcast(ci.filter($"source" === s)
+                .select($"k".as("o_orderkey"))),
+              Seq("o_orderkey"), "left_semi")
+          }.reduce(_ unionByName _)
+          publishCorrections(spark, root, ci, insSrc, store)
+        }
+      }
+    }
+    graft.functions.Lineage.freeCheckpoint(corr)
+    n
+  }
+
+  /** dq12: QUORUM WRITE-BACK — the reconciliation family's
+    * capstone: dq11's majority vote applied to dq10's persisted
+    * stores, i.e. a SELF-HEALING replicated lake with no designated
+    * truth. Three replica stores are seeded with disjoint planted
+    * defect classes; quorum pass 1 votes per bucket, heals each
+    * minority store FROM THE MAJORITY STORES (the primary only
+    * where all three disagree — the tie), publishes each healed
+    * store's next version (partition-grain copy-on-write,
+    * manifest-last, repairlog audit), and persists the VOTE RECORD;
+    * quorum pass 2 reads the healed stores, finds unanimity, and
+    * publishes nothing (idempotence is structural). The emitted
+    * rows are the stores' own repairlog audits with TWO
+    * persisted-state proofs: `residual_buckets` (every healed
+    * store's digests re-derived FROM DISK vs the persisted vote
+    * record — 0) and `rerun_corrections` (what pass 2 found — 0).
+    *
+    * Scale: k store scans per pass + a 4096-row vote; corrections,
+    * insert-source reads and REWRITES are all proportional to each
+    * store's own divergence (copy-on-write at partition grain);
+    * the vote record is O(buckets) and doubles as the repair's
+    * audit trail — the Dynamo/Cassandra anti-entropy loop as a
+    * batch job over parquet. */
+  def dq12(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
+      "o_orderpriority")
+    val p = Tables.orders(spark, dir).selectExpr(cols: _*)
+    val base = java.nio.file.Files.createTempDirectory("graft_dq12_")
+      .toFile
+    graft.operators.Incremental.cleanupOnExit(base)
+    val roots = Seq("r1", "r2", "r3").map(nm =>
+      new java.io.File(base, nm).getAbsolutePath)
+    dq11Replicas(p).zip(roots).foreach { case ((_, r), root) =>
+      seedStoreFrom(r, root)
+    }
+    val audit = new java.io.File(base, "audit").getAbsolutePath
+    quorumPass(spark, roots, p, audit)
+    val rerun = quorumPass(spark, roots, p, audit)
+    // the emitted report is read back from PERSISTED state only:
+    // the stores' repairlogs, the vote record, the store digests
+    val logs = roots.map { root =>
+      val (v, _) = readStoreManifest(root)
+      spark.read.parquet(s"$root/v$v/repairlog")
+    }.reduce(_ unionByName _)
+    val ref = spark.read.parquet(s"$audit/vote_ref")
+      .selectExpr("bucket", "refn AS n", "refx AS x")
+    val residual = roots.map(rt =>
+        digestMismatch(ref, bucketDigest(readReplicaStore(spark, rt))))
+      .reduce(_ unionByName _)
+      .agg(count(lit(1)).as("residual_buckets"))
+    logs.crossJoin(broadcast(residual))
+      .select($"replica", $"bucket", $"k", $"action", $"source",
+        $"residual_buckets", lit(rerun).as("rerun_corrections"))
+      .transform(graft.Tables.ordered(_, $"replica", $"bucket", $"k"))
+  }
+
+  /** dq12 oracle: dq11's vote + corrections + applied-rows residual,
+    * extended with the SECOND pass recomputed relationally — the
+    * vote re-run over the applied states finds unanimity, so its
+    * key-grain correction count is computed 0, never asserted. */
+  val dq12Sql: String = {
+    val canon = "CAST(k AS VARCHAR) || '|' || CAST(o_custkey AS VARCHAR)" +
+      " || '|' || o_orderstatus || '|' || o_orderpriority"
+    val h = graft.functions.Fnv64.duckSigned("(" + canon + ")")
+    val b = dq8Buckets
+    def corr2For(i: Int): String =
+      s"""rep${i}c AS (SELECT k % $b AS bucket, k, $h AS h FROM rep$i),
+        |c2${i}s AS (SELECT s.* FROM srcrows2 s JOIN badl2 bd
+        |      ON bd.replica = 'r$i' AND bd.bucket = s.bucket AND bd.source = s.src),
+        |c2${i}r AS (SELECT c.* FROM rep${i}c c
+        |      WHERE c.bucket IN (SELECT bucket FROM badl2 WHERE replica = 'r$i')),
+        |corr2$i AS (SELECT coalesce(a.bucket, b2.bucket) AS bucket,
+        |        coalesce(a.k, b2.k) AS k
+        |      FROM c2${i}s a FULL JOIN c2${i}r b2
+        |        ON b2.bucket = a.bucket AND b2.k = a.k
+        |      WHERE b2.k IS NULL OR a.k IS NULL OR a.h <> b2.h)""".stripMargin
+    val base = dq11Sql.stripSuffix(
+      """SELECT corrall.*, resid.residual_buckets
+        |FROM corrall CROSS JOIN resid
+        |ORDER BY replica, bucket, k""".stripMargin)
+    s"""${base}, allb2 AS (SELECT DISTINCT bucket FROM (
+      |      SELECT bucket FROM rep1d UNION SELECT bucket FROM rep2d
+      |      UNION SELECT bucket FROM rep3d UNION SELECT bucket FROM dp)),
+      |vote2 AS (SELECT allb2.bucket,
+      |        coalesce(rep1d.n, 0) AS n1, coalesce(rep1d.x, 0) AS x1,
+      |        coalesce(rep2d.n, 0) AS n2, coalesce(rep2d.x, 0) AS x2,
+      |        coalesce(rep3d.n, 0) AS n3, coalesce(rep3d.x, 0) AS x3,
+      |        coalesce(dp.n, 0) AS np, coalesce(dp.x, 0) AS xp
+      |      FROM allb2 LEFT JOIN rep1d USING (bucket)
+      |        LEFT JOIN rep2d USING (bucket) LEFT JOIN rep3d USING (bucket)
+      |        LEFT JOIN dp USING (bucket)),
+      |votes2a AS (SELECT *,
+      |        CASE WHEN (n1 = n2 AND x1 = x2) OR (n1 = n3 AND x1 = x3) THEN 'r1'
+      |             WHEN n2 = n3 AND x2 = x3 THEN 'r2'
+      |             ELSE 'primary' END AS source FROM vote2),
+      |votes2b AS (SELECT *,
+      |        CASE source WHEN 'r1' THEN n1 WHEN 'r2' THEN n2 ELSE np END AS refn,
+      |        CASE source WHEN 'r1' THEN x1 WHEN 'r2' THEN x2 ELSE xp END AS refx
+      |      FROM votes2a),
+      |badl2 AS (
+      |      SELECT bucket, 'r1' AS replica, source FROM votes2b
+      |        WHERE NOT (n1 = refn AND x1 = refx)
+      |      UNION ALL
+      |      SELECT bucket, 'r2', source FROM votes2b
+      |        WHERE NOT (n2 = refn AND x2 = refx)
+      |      UNION ALL
+      |      SELECT bucket, 'r3', source FROM votes2b
+      |        WHERE NOT (n3 = refn AND x3 = refx)),
+      |srcrows2 AS (
+      |      SELECT 'r1' AS src, k % $b AS bucket, k, $h AS h FROM rep1
+      |      UNION ALL
+      |      SELECT 'r2', k % $b, k, $h FROM rep2
+      |      UNION ALL
+      |      SELECT 'primary', k % $b, k, $h FROM p),
+      |${corr2For(1)},
+      |${corr2For(2)},
+      |${corr2For(3)},
+      |rerun AS (SELECT CAST(count(*) AS BIGINT) AS rerun_corrections FROM (
+      |      SELECT bucket, k FROM corr21 UNION ALL
+      |      SELECT bucket, k FROM corr22 UNION ALL
+      |      SELECT bucket, k FROM corr23))
+      |SELECT corrall.*, resid.residual_buckets, rerun.rerun_corrections
+      |FROM corrall CROSS JOIN resid CROSS JOIN rerun
       |ORDER BY replica, bucket, k""".stripMargin
   }
 }

@@ -3093,6 +3093,63 @@ class RelationalSpec extends AnyFunSuite {
       s"tie bucket must be primary-arbitrated, got ${got.toSet}")
   }
 
+  test("dq12: quorum write-back heals all three stores from the majority, proofs read from disk, a second pass publishes nothing") {
+    val Q = graft.operators.Quality
+    val rows = Q.dq12(spark, sf).collect()
+      .map(r => (r.getAs[String]("replica"), r.getAs[Long]("bucket"),
+        r.getAs[Long]("k"), r.getAs[String]("action"),
+        r.getAs[String]("source"), r.getAs[Long]("residual_buckets"),
+        r.getAs[Long]("rerun_corrections")))
+    assert(rows.nonEmpty)
+    // the persisted logs carry exactly dq11's corrections, and both
+    // persisted-state proofs read 0
+    val dq11 = Q.dq11(spark, sf).collect()
+      .map(r => (r.getAs[String]("replica"), r.getAs[Long]("bucket"),
+        r.getAs[Long]("k"), r.getAs[String]("action"),
+        r.getAs[String]("source")))
+    assert(rows.map(t => (t._1, t._2, t._3, t._4, t._5)).toSeq.sorted ==
+      dq11.toSeq.sorted, "write-back logs must be dq11's corrections")
+    assert(rows.forall(t => t._6 == 0L && t._7 == 0L))
+    // kernel drive for the structural pins
+    val p = Tables.orders(spark, sf).selectExpr("o_orderkey",
+      "o_custkey", "o_orderstatus", "o_orderpriority")
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_dq12spec_").toFile
+    graft.operators.Incremental.cleanupOnExit(base)
+    val roots = Seq("r1", "r2", "r3").map(nm =>
+      new java.io.File(base, nm).getAbsolutePath)
+    Q.dq11Replicas(p).zip(roots).foreach { case ((_, r), root) =>
+      Q.seedStoreFrom(r, root)
+    }
+    val audit = new java.io.File(base, "audit").getAbsolutePath
+    val n1 = Q.quorumPass(spark, roots, p, audit)
+    assert(n1 == dq11.length.toLong)
+    // every store healed on disk: all three end row-identical to
+    // the primary (the fixture's majority == primary everywhere)
+    val want = p.collect().map(_.toSeq).sortBy(_.toString).toSeq
+    roots.foreach { root =>
+      assert(Q.latestStoreVersion(root).contains(2),
+        "each defective store must publish exactly one heal")
+      val healed = Q.readReplicaStore(spark, root).drop("pg")
+        .collect().map(_.toSeq).sortBy(_.toString).toSeq
+      assert(healed == want, s"store $root not healed")
+    }
+    // the vote record persisted as the audit artifact
+    assert(new java.io.File(audit, "vote_ref").exists())
+    // idempotence: pass 2 finds unanimity, publishes nothing
+    assert(Q.quorumPass(spark, roots, p, audit) == 0L)
+    roots.foreach(root =>
+      assert(Q.latestStoreVersion(root).contains(2)))
+    // majority sourcing on disk: each store's log names a REPLICA
+    // source except in tie buckets (primary never consulted for a
+    // clean majority — the quorum property, read from the audit)
+    val tied = rows.filter(_._5 == "primary").map(_._2).toSet
+    rows.foreach { t =>
+      if (!tied.contains(t._2))
+        assert(t._5 == (if (t._1 == "r1") "r2" else "r1"))
+    }
+  }
+
   test("dq7: FD audit equals a sequential recompute; both arms and the support arithmetic hold") {
     val rows = graft.operators.Quality.dq7(spark, sf).collect()
       .map(r => (r.getAs[String]("fd"), r.getAs[Long]("n_groups"),
