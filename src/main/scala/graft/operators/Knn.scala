@@ -3449,30 +3449,39 @@ object Knn {
 
   // ---------- v31: DELTA-SEGMENT publish (LSM index store) ----------
 
-  /** Publish a DELTA SEGMENT as the next store version: the
-    * insert wave's vectors and graph edges plus the erasure wave's
-    * tombstone ids — O(|delta|) bytes, never a full index copy.
-    * Same commit discipline as [[saveIndexVersion]]: component
-    * parquet first, the manifest LAST, with a leading `kind delta`
-    * line so readers and the vacuum can tell segments from bases
-    * ([[saveIndexVersion]]'s manifests parse unchanged — a store
-    * written by v29/v30/s43 stays valid). */
-  private[graft] def saveDeltaVersion(root: String, vecs: DataFrame,
-      edges: DataFrame, tombs: DataFrame): Int = {
+    /** Publish a DELTA SEGMENT as the next store version —
+    * COMPONENT-SPARSE: `parts` names whichever of
+    * vectors/edges/tombs this segment carries (an insert wave
+    * ships vectors+edges, an erasure wave ships tombs; absent
+    * components are recorded 0 in the manifest and never written,
+    * so a tombstone-only segment costs ONE write job). O(|delta|)
+    * bytes, never a full index copy. Same commit discipline as
+    * [[saveIndexVersion]]: component parquet first, the manifest
+    * LAST, with a leading `kind delta` line so readers and the
+    * vacuum can tell segments from bases ([[saveIndexVersion]]'s
+    * manifests parse unchanged — a store written by v29/v30/s43
+    * stays valid). */
+  private[graft] def saveDeltaVersion(root: String,
+      parts: Map[String, DataFrame]): Int = {
+    require(parts.nonEmpty &&
+      parts.keySet.subsetOf(Set("vectors", "edges", "tombs")))
     val d = new java.io.File(root)
     val next = (Option(d.listFiles()).toSeq.flatten
       .filter(f => f.isDirectory && f.getName.matches("v\\d+"))
       .map(_.getName.drop(1).toInt) :+ 0).max + 1
     val dir = new java.io.File(d, s"v$next").getAbsolutePath
-    vecs.write.parquet(s"$dir/vectors")
-    edges.write.parquet(s"$dir/edges")
-    tombs.write.parquet(s"$dir/tombs")
+    parts.toSeq.sortBy(_._1).foreach { case (c, df) =>
+      df.write.parquet(s"$dir/$c")
+    }
     // count what LANDED (parquet footer metadata — no recompute of
     // the component frames, and the commit marker describes the
-    // artifact, not the intent)
-    val spark = vecs.sparkSession
-    val counts = Seq("vectors", "edges", "tombs")
-      .map(c => c -> spark.read.parquet(s"$dir/$c").count())
+    // artifact, not the intent); components the caller did not ship
+    // (a tombstone-only or insert-only segment) are recorded 0 and
+    // never written — no empty-frame write/count jobs
+    val spark = parts.head._2.sparkSession
+    val counts = Seq("vectors", "edges", "tombs").map(c =>
+      c -> (if (parts.contains(c))
+        spark.read.parquet(s"$dir/$c").count() else 0L))
     java.nio.file.Files.write(
       java.nio.file.Paths.get(dir, "_MANIFEST"),
       ("kind delta" +: counts.map { case (c, n) => s"$c $n" })
@@ -3526,15 +3535,20 @@ object Knn {
         java.nio.file.Paths.get(dir, "_MANIFEST")), "UTF-8")
         .split("\n").drop(1).map(_.split(" "))
         .map(a => a(0) -> a(1).toLong).toMap
-      val dv = spark.read.parquet(s"$dir/vectors")
-      val de = spark.read.parquet(s"$dir/edges")
-      val dt = spark.read.parquet(s"$dir/tombs")
-      Seq("vectors" -> dv.count(), "edges" -> de.count(),
-        "tombs" -> dt.count()).foreach { case (c, n) =>
-        require(mf.get(c).contains(n),
-          s"delta v$v component $c: $n rows != manifest ${mf.get(c)} — refusing to serve")
-      }
-      (e0.unionByName(dv), g0.unionByName(de), t0.unionByName(dt))
+      // a component the manifest records as 0 was never written
+      // (component-sparse segments) — fold nothing for it; a
+      // non-zero component reads through its count gate
+      def comp(c: String, shape: DataFrame): DataFrame =
+        if (mf.getOrElse(c, 0L) == 0L) shape.filter("false")
+        else {
+          val df = spark.read.parquet(s"$dir/$c")
+          require(mf.get(c).contains(df.count()),
+            s"delta v$v component $c: rows != manifest ${mf.get(c)} — refusing to serve")
+          df
+        }
+      (e0.unionByName(comp("vectors", e0)),
+        g0.unionByName(comp("edges", g0)),
+        t0.unionByName(comp("tombs", t0)))
     }
     (V21Static(e, g, ix0.reps, ix0.cents), t, b)
   }
@@ -3629,12 +3643,10 @@ object Knn {
     val dEdges = ins.unionByName(ins.select(col("nbr_id").as("src_id"),
       col("src_id").as("nbr_id"))).distinct()
     val dVecs = e.filter(insPred).select(col("vec_id"), col("nv"))
-    val none = spark.range(0).selectExpr("id AS vec_id")
-    saveDeltaVersion(rootP, dVecs, dEdges, none)
+    saveDeltaVersion(rootP, Map("vectors" -> dVecs, "edges" -> dEdges))
     // CROSSING 2: the erasure wave tombstones the inserted ids
     saveDeltaVersion(rootP,
-      dVecs.filter("false"), dEdges.filter("false"),
-      e.filter(insPred).select(col("vec_id")))
+      Map("tombs" -> e.filter(insPred).select(col("vec_id"))))
     ixB.reps.unpersist()
     // COLD ASSEMBLY through the gates (zero builds), then the FOLD:
     // compaction consumes base + deltas into the next base (build #2)

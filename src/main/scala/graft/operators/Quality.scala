@@ -1355,46 +1355,78 @@ object Quality {
         "CASE source WHEN 'r1' THEN x1 WHEN 'r2' THEN x2 ELSE xp END AS refx")
   }
 
-  /** The long-format conviction set of a vote: one row per
-    * (bucket, diverging replica) with its voted source. */
-  private[graft] def quorumBad(vote: DataFrame): DataFrame =
-    Seq(("r1", "n1", "x1"), ("r2", "n2", "x2"), ("r3", "n3", "x3"))
-      .map { case (nm, nc, xc) =>
-        vote.filter(s"NOT ($nc = refn AND $xc = refx)")
-          .selectExpr("bucket", s"'$nm' AS replica", "source")
-      }.reduce(_ unionByName _)
+  /** The vote COLLECTED: (bucket, source, refn, refx, per-replica
+    * diverges flags). Digest tables are ≤ [[dq8Buckets]] rows at
+    * ANY corpus size, so this is the same bounded-collect boundary
+    * the drills' broadcast bad-bucket sets already cross — and
+    * collecting ONCE is what keeps the checkpoint-free query from
+    * recomputing the 4-digest vote subtree under every one of its
+    * ~12 consumers (measured 13.9 s → the digest scans, not the
+    * drills). The driver then knows which (replica ← source) pairs
+    * are EMPTY and skips their drills entirely. */
+  private[graft] final case class QuorumVote(bucket: Long,
+      source: String, refn: Long, refx: Long, bad: Seq[String])
+
+  private[graft] def quorumVoteRows(digs: Seq[DataFrame],
+      pDig: DataFrame): Seq[QuorumVote] =
+    quorumVote(digs, pDig).collect().toSeq.map { r =>
+      val (refn, refx) = (r.getAs[Long]("refn"), r.getAs[Long]("refx"))
+      QuorumVote(r.getAs[Long]("bucket"), r.getAs[String]("source"),
+        refn, refx,
+        Seq("r1" -> ("n1", "x1"), "r2" -> ("n2", "x2"),
+          "r3" -> ("n3", "x3")).collect {
+          case (nm, (nc, xc)) if r.getAs[Long](nc) != refn ||
+            r.getAs[Long](xc) != refx => nm
+        })
+    }
 
   /** Key-grain corrections for every convicted (replica ← voted
-    * source) pair — the shared drill per pair, each scoped to its
-    * convicted buckets (most empty on a healthy vote). A diverging
-    * replica's source is structurally limited: r1's majority is
-    * {r2,r3} → r2; r2's and r3's is r1; any tie → primary. */
-  private[graft] def quorumCorrections(badL: DataFrame,
+    * source) pair — one drill per NON-EMPTY pair (the collected
+    * vote tells the driver which ones exist; a healthy quorum
+    * drills nothing). A diverging replica's source is structurally
+    * limited: r1's majority is {r2,r3} → r2; r2's and r3's is r1;
+    * any tie → primary. */
+  private[graft] def quorumCorrections(voteRows: Seq[QuorumVote],
       frames: Map[String, DataFrame]): DataFrame = {
-    import badL.sparkSession.implicits._
-    val pairs = Seq("r1" -> "r2", "r2" -> "r1", "r3" -> "r1",
-      "r1" -> "primary", "r2" -> "primary", "r3" -> "primary")
-    pairs.map { case (ri, s) =>
-      val bad = badL.filter($"replica" === ri && $"source" === s)
-        .select($"bucket")
-      repairCorrections(bad, frames(s), frames(ri), checkpoint = false)
+    val spark = frames("primary").sparkSession
+    import spark.implicits._
+    val pairs = for {
+      nm <- Seq("r1", "r2", "r3")
+      (src, buckets) <- voteRows.filter(_.bad.contains(nm))
+        .groupBy(_.source).toSeq.sortBy(_._1)
+    } yield (nm, src, buckets.map(_.bucket))
+    val drills = pairs.map { case (ri, s, buckets) =>
+      repairCorrections(buckets.toDF("bucket"), frames(s), frames(ri),
+        checkpoint = false)
         .selectExpr(s"'$ri' AS replica", "bucket", "k", "action",
           s"'$s' AS source", "hp", "hr")
-    }.reduce(_ unionByName _)
+    }
+    drills.reduceOption(_ unionByName _).getOrElse(
+      Seq.empty[(String, Long, Long, String, String, Long, Long)]
+        .toDF("replica", "bucket", "k", "action", "source", "hp", "hr"))
+  }
+
+  /** The voted per-bucket reference digests as a local frame
+    * (empty-reference buckets excluded — a digest table never
+    * holds empty buckets). */
+  private[graft] def quorumRefDig(spark: SparkSession,
+      voteRows: Seq[QuorumVote]): DataFrame = {
+    import spark.implicits._
+    voteRows.filter(_.refn > 0L).map(v => (v.bucket, v.refn, v.refx))
+      .toDF("bucket", "n", "x")
   }
 
   private[graft] def quorumRepair(p: DataFrame,
       reps: Seq[(String, DataFrame)]): DataFrame = {
     import p.sparkSession.implicits._
     val digs = reps.map { case (nm, r) => nm -> bucketDigest(r) }
-    val vote = quorumVote(digs.map(_._2), bucketDigest(p))
-    val badL = quorumBad(vote)
-    val corrAll = quorumCorrections(badL, (reps :+ ("primary" -> p)).toMap)
+    val voteRows = quorumVoteRows(digs.map(_._2), bucketDigest(p))
+    val corrAll =
+      quorumCorrections(voteRows, (reps :+ ("primary" -> p)).toMap)
     // PROOF: each repaired replica's digests equal the reference's
     // in every bucket — the corrections' digest deltas folded into
     // each replica's own digests (dq9's algebra, per replica)
-    val refDig = vote.selectExpr("bucket", "refn AS n", "refx AS x")
-      .filter("n > 0")
+    val refDig = quorumRefDig(p.sparkSession, voteRows)
     val residual = reps.map { case (nm, _) =>
       val di = digs.find(_._1 == nm).get._2
       digestMismatch(refDig,
@@ -1562,19 +1594,22 @@ object Quality {
     import spark.implicits._
     val names = Seq("r1", "r2", "r3")
     val stores = roots.map(readReplicaStore(spark, _))
-    val digs = stores.map(bucketDigest)
-    val vote = quorumVote(digs, bucketDigest(p))
-    val badL = quorumBad(vote)
+    val voteRows =
+      quorumVoteRows(stores.map(bucketDigest), bucketDigest(p))
     val srcFrames = names.zip(stores.map(_.drop("pg"))).toMap +
       ("primary" -> p)
-    val corr = quorumCorrections(badL, srcFrames).localCheckpoint()
+    val corr = quorumCorrections(voteRows, srcFrames).localCheckpoint()
     val n = corr.count()
     if (n > 0L) {
-      vote.selectExpr("bucket", "refn", "refx").filter("refn > 0")
+      // persist the vote outcome from the COLLECTED rows — the
+      // audit record the from-disk residual reads (no recompute)
+      quorumRefDig(spark, voteRows)
+        .selectExpr("bucket", "n AS refn", "x AS refx")
         .coalesce(1).write.mode("overwrite").parquet(s"$audit/vote_ref")
+      val convicted = voteRows.flatMap(v => v.bad).toSet
       names.zip(roots).zip(stores).foreach { case ((nm, root), store) =>
-        val ci = corr.filter($"replica" === nm)
-        if (!ci.isEmpty) {
+        if (convicted.contains(nm)) {
+          val ci = corr.filter($"replica" === nm)
           val insSrc = (names :+ "primary").filter(_ != nm).map { s =>
             srcFrames(s).join(broadcast(ci.filter($"source" === s)
                 .select($"k".as("o_orderkey"))),

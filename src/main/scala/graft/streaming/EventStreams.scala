@@ -1605,10 +1605,7 @@ object EventStreams {
     // (a replayed id never re-publishes).
     if (st.storeRoot != null && st.lastArrivalRows > 0L) {
       st.storeVersion = graft.operators.Knn.saveDeltaVersion(
-        st.storeRoot,
-        st.ix.e.select(col("vec_id"), col("nv")).filter("false"),
-        st.ix.graph.filter("false"),
-        arrivals)
+        st.storeRoot, Map("tombs" -> arrivals))
     }
     val nDeleted = st.deleted.count()
     if (nDeleted * s40CompactDenom >= st.corpusN) {

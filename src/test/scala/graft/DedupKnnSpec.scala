@@ -1986,10 +1986,10 @@ class DedupKnnSpec extends AnyFunSuite {
     val dVecs = e.filter(insPred).select(col("vec_id"), col("nv"))
     // DELTA publishes perform no index build
     val b0 = Knn.indexBuilds.get()
-    Knn.saveDeltaVersion(rootP, dVecs, dEdges,
-      spark.range(0).selectExpr("id AS vec_id"))
-    Knn.saveDeltaVersion(rootP, dVecs.filter("false"),
-      dEdges.filter("false"), e.filter(insPred).select(col("vec_id")))
+    Knn.saveDeltaVersion(rootP,
+      Map("vectors" -> dVecs, "edges" -> dEdges))
+    Knn.saveDeltaVersion(rootP,
+      Map("tombs" -> e.filter(insPred).select(col("vec_id"))))
     assert(Knn.indexBuilds.get() == b0, "a delta publish must not build")
     // WRITE AMPLIFICATION: each segment is a small fraction of the base
     val v1b = dirSize(new java.io.File(rootP, "v1"))
