@@ -3086,8 +3086,17 @@ object Knn {
     import spark.implicits._
     val mf = java.nio.file.Paths.get(dir, "_MANIFEST")
     require(java.nio.file.Files.exists(mf), s"no _MANIFEST in $dir — uncommitted store")
-    val want = new String(java.nio.file.Files.readAllBytes(mf), "UTF-8")
-      .split("\n").map(_.split(" ")).map(a => a(0) -> a(1).toLong).toMap
+    val lines = new String(java.nio.file.Files.readAllBytes(mf), "UTF-8")
+      .split("\n")
+    // a delta segment is not a servable index — refuse with the
+    // committed-read contract's own exception, not a parse crash
+    // (the LSM assembler, loadAnnStoreLsm, is the reader for mixed
+    // stores; on an LSM store the newest COMMITTED version is
+    // routinely a delta)
+    if (lines.headOption.contains("kind delta"))
+      throw new IllegalStateException(
+        s"$dir is a delta segment, not a base index — assemble via loadAnnStoreLsm")
+    val want = lines.map(_.split(" ")).map(a => a(0) -> a(1).toLong).toMap
     val e = spark.read.parquet(s"$dir/vectors")
     val graph = spark.read.parquet(s"$dir/graph").cache()
     val reps = spark.read.parquet(s"$dir/reps")
@@ -3134,26 +3143,16 @@ object Knn {
     * loudly (path exists), never tearing a committed dir; a
     * multi-writer fleet needs an external lease, which is the
     * coordinator's job, not the store format's. */
-  private[graft] def latestCommittedVersion(root: String): Option[Int] = {
-    val d = new java.io.File(root)
-    Option(d.listFiles()).toSeq.flatten
-      .filter(f => f.isDirectory && f.getName.matches("v\\d+"))
-      .map(_.getName.drop(1).toInt)
-      .filter(n => new java.io.File(d, s"v$n/_MANIFEST").exists())
-      .sorted.lastOption
-  }
+  private[graft] def latestCommittedVersion(root: String): Option[Int] =
+    StoreVersions.latestCommitted(root)
 
   /** Publish an index as the next store version: the component
     * parquet writes land first, the manifest last — a crash at any
     * point leaves a torn, never-served directory, not a half-index
     * a reader could load. Returns the published version number. */
   private[graft] def saveIndexVersion(ix: V21Static, root: String): Int = {
-    val d = new java.io.File(root)
-    val existing = Option(d.listFiles()).toSeq.flatten
-      .filter(f => f.isDirectory && f.getName.matches("v\\d+"))
-      .map(_.getName.drop(1).toInt)
-    val next = (existing :+ 0).max + 1
-    saveIndex(ix, new java.io.File(d, s"v$next").getAbsolutePath)
+    val next = StoreVersions.next(root)
+    saveIndex(ix, new java.io.File(root, s"v$next").getAbsolutePath)
     next
   }
 
@@ -3465,11 +3464,8 @@ object Knn {
       parts: Map[String, DataFrame]): Int = {
     require(parts.nonEmpty &&
       parts.keySet.subsetOf(Set("vectors", "edges", "tombs")))
-    val d = new java.io.File(root)
-    val next = (Option(d.listFiles()).toSeq.flatten
-      .filter(f => f.isDirectory && f.getName.matches("v\\d+"))
-      .map(_.getName.drop(1).toInt) :+ 0).max + 1
-    val dir = new java.io.File(d, s"v$next").getAbsolutePath
+    val next = StoreVersions.next(root)
+    val dir = new java.io.File(root, s"v$next").getAbsolutePath
     parts.toSeq.sortBy(_._1).foreach { case (c, df) =>
       df.write.parquet(s"$dir/$c")
     }
@@ -3498,14 +3494,8 @@ object Knn {
         .split("\n").headOption.contains("kind delta")
   }
 
-  private[graft] def committedVersions(root: String): Seq[Int] = {
-    val d = new java.io.File(root)
-    Option(d.listFiles()).toSeq.flatten
-      .filter(f => f.isDirectory && f.getName.matches("v\\d+"))
-      .map(_.getName.drop(1).toInt)
-      .filter(n => new java.io.File(d, s"v$n/_MANIFEST").exists())
-      .sorted
-  }
+  private[graft] def committedVersions(root: String): Seq[Int] =
+    StoreVersions.committed(root)
 
   /** Assemble the LSM serving state: the newest committed BASE plus
     * every committed delta segment ABOVE it — each through its own

@@ -2873,10 +2873,18 @@ object Media {
     * model's char==byte identity made explicit; the fixtures are
     * ASCII by construction, which is what made m22's bitwise
     * byte-arithmetic oracle possible in the first place), written
-    * distributed (foreachPartition — one file per shard, the
-    * WebDataset layout), with the `.idx` table built AT WRITE TIME
-    * from the same walk — exactly how production shard writers emit
-    * their sidecar index. */
+    * by the tasks themselves (foreachPartition — one file per
+    * shard, the WebDataset layout), with the `.idx` sidecar
+    * PERSISTED beside the shards from the same walk — exactly how
+    * production shard writers emit their index, and what lets the
+    * reader never re-render or re-walk a shard.
+    *
+    * STORAGE BOUNDARY: the root must be storage every task can
+    * reach — here the local FS stands in for the shared
+    * FS/object-store mount a WebDataset render fleet actually
+    * writes through (tasks writing shards directly to shared
+    * storage IS the production shape; the only local-mode-ism is
+    * that /tmp happens to be that shared medium). */
   private val shardByteStores =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
@@ -2888,18 +2896,26 @@ object Media {
         .toFile
       graft.operators.Incremental.cleanupOnExit(d)
       val root = d.getAbsolutePath
-      Tables.documents(ss, dir)
+      val docs = Tables.documents(ss, dir)
         .filter($"doc_id" % 3 === 0)
         .selectExpr("doc_id", "rpad(substring(text, 1, 61), 61, ' ') AS s")
         .as[(Long, String)]
-        .foreachPartition { (it: Iterator[(Long, String)]) =>
-          it.foreach { case (id, s) =>
-            java.nio.file.Files.write(
-              java.nio.file.Paths.get(root, s"shard_$id.tar"),
-              buildTar26(id, s).getBytes(
-                java.nio.charset.StandardCharsets.ISO_8859_1))
-          }
+      docs.foreachPartition { (it: Iterator[(Long, String)]) =>
+        it.foreach { case (id, s) =>
+          java.nio.file.Files.write(
+            java.nio.file.Paths.get(root, s"shard_$id.tar"),
+            buildTar26(id, s).getBytes(
+              java.nio.charset.StandardCharsets.ISO_8859_1))
         }
+      }
+      // the sidecar: offsets from the walk (m26's contract), no
+      // payloads — written once with the shards, read forever
+      docs.flatMap { case (id, s) =>
+        val (ms, _) = tarMembers(buildTar26(id, s))
+        ms.filter(_.ext == "txt")
+          .map(m => (id, m.name, m.off + 512L, m.size))
+      }.toDF("doc_id", "name", "data_off", "size")
+        .write.parquet(s"$root/idx")
       root
     })
 
@@ -2914,6 +2930,11 @@ object Media {
       wanted: Seq[(String, Long, Long)]): Seq[(String, Long, Array[Byte])] = {
     val raf = new java.io.RandomAccessFile(path, "r")
     try wanted.map { case (name, off, size) =>
+      // the SHARD is unbounded (Long offsets); one MEMBER must fit
+      // an array — refuse loudly rather than let toInt wrap a
+      // >= 2^32 size into a silently short read
+      require(size <= Int.MaxValue.toLong,
+        s"member $name: $size bytes exceeds the single-member array bound")
       raf.seek(off)
       val buf = new Array[Byte](size.toInt)
       raf.readFully(buf)
@@ -2946,19 +2967,13 @@ object Media {
   def m28(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val root = shardByteStorePath(spark, dir)
-    // the .idx side: offsets from the walk (m26's contract), no
-    // payloads — what actually ships to readers
-    val idx = Tables.documents(spark, dir)
-      .filter($"doc_id" % 3 === 0)
-      .selectExpr("doc_id", "rpad(substring(text, 1, 61), 61, ' ') AS s")
-      .as[(Long, String)]
-      .flatMap { case (id, s) =>
-        val (ms, _) = tarMembers(buildTar26(id, s))
-        ms.filter(_.ext == "txt")
-          .map(m => (id, m.name, m.off + 512L, m.size))
-      }
-    // the reader: group wanted members per shard, ranged-read each
-    idx.groupByKey(_._1)
+    // the reader path is MANIFEST-ONLY until the ranged reads: the
+    // persisted .idx rows (no payloads) shuffle per shard, then
+    // each task issues its own ranged reads — no shard is ever
+    // re-rendered, re-walked, or streamed head-to-tail
+    spark.read.parquet(s"$root/idx")
+      .as[(Long, String, Long, Long)]
+      .groupByKey(_._1)
       .flatMapGroups { (id: Long, it: Iterator[(Long, String, Long, Long)]) =>
         val wanted = it.map(t => (t._2, t._3, t._4)).toSeq.sortBy(_._1)
         rangedFetch(s"$root/shard_$id.tar", wanted)

@@ -1047,14 +1047,8 @@ object Quality {
     * directories `v1, v2, …` under `root`, committed by a
     * `_MANIFEST` written LAST (the index-store/ForecastStore
     * ordering), so a torn publish is never visible to readers. */
-  private[graft] def latestStoreVersion(root: String): Option[Int] = {
-    val d = new java.io.File(root)
-    Option(d.listFiles()).toSeq.flatten
-      .filter(f => f.isDirectory && f.getName.matches("v\\d+"))
-      .map(_.getName.drop(1).toInt)
-      .filter(n => new java.io.File(d, s"v$n/_MANIFEST").exists())
-      .sorted.lastOption
-  }
+  private[graft] def latestStoreVersion(root: String): Option[Int] =
+    StoreVersions.latestCommitted(root)
 
   /** The manifest is the RESOLUTION MAP: one `pg version` line per
     * partition group naming the version directory that serves it —
@@ -1086,12 +1080,20 @@ object Quality {
     * DISTINCT serving version (the `pg` partition-column filter
     * prunes at the directory level — a 63-partitions-from-v1,
     * 1-from-v2 layout reads exactly those directories), unioned.
-    * The `pg` partition column rides along. */
+    * The `pg` partition column rides along. The schema is taken
+    * from the OLDEST serving version (the seed — always non-empty)
+    * and applied EXPLICITLY to every later read: a repair that
+    * empties every row of its damaged partitions legitimately
+    * publishes a data directory with no files, and an
+    * inference-based read of that version would refuse a store
+    * state the store's own writer created. */
   private[graft] def readReplicaStore(spark: SparkSession,
       root: String): DataFrame = {
     val (_, map) = readStoreManifest(root)
-    map.groupBy(_._2).toSeq.sortBy(_._1).map { case (v, pgs) =>
-      spark.read.parquet(s"$root/v$v/data")
+    val byV = map.groupBy(_._2).toSeq.sortBy(_._1)
+    val schema = spark.read.parquet(s"$root/v${byV.head._1}/data").schema
+    byV.map { case (v, pgs) =>
+      spark.read.schema(schema).parquet(s"$root/v$v/data")
         .filter(col("pg").isin(pgs.keys.toSeq: _*))
     }.reduce(_ unionByName _)
   }
@@ -1143,9 +1145,13 @@ object Quality {
     * and commit the next version — damaged partitions rewritten,
     * corrections landed as the `repairlog` audit, untouched partitions
     * re-pointed, manifest LAST. Caller guarantees `corr` is
-    * non-empty and checkpointed. Returns the published version. */
+    * non-empty and checkpointed. Returns (published version,
+    * damaged partition-group set) — the set bounds the caller's
+    * from-disk re-audit (s46's mark refresh reads back exactly
+    * those partitions). */
   private[graft] def publishCorrections(spark: SparkSession,
-      root: String, corr: DataFrame, p: DataFrame, r: DataFrame): Int = {
+      root: String, corr: DataFrame, p: DataFrame, r: DataFrame)
+      : (Int, Set[Long]) = {
     import spark.implicits._
     val (_, pgmap) = readStoreManifest(root)
     // bounded collect: ≤ dq10Parts partition-group ids
@@ -1161,12 +1167,7 @@ object Quality {
       .join(delK, Seq("o_orderkey"), "left_anti")
       .unionByName(withPg(p.join(insK, Seq("o_orderkey"), "left_semi")))
       .repartition(damaged.size, col("pg"))
-    val next = {
-      val d = new java.io.File(root)
-      (Option(d.listFiles()).toSeq.flatten
-        .filter(f => f.isDirectory && f.getName.matches("v\\d+"))
-        .map(_.getName.drop(1).toInt) :+ 0).max + 1
-    }
+    val next = StoreVersions.next(root)
     healed.write.partitionBy("pg").parquet(s"$root/v$next/data")
     // the audit log keeps every correction column except the raw
     // fingerprints (dq10 logs bucket/k/action; dq12's adds
@@ -1174,7 +1175,7 @@ object Quality {
     corr.drop("hp", "hr").write.parquet(s"$root/v$next/repairlog")
     writeStoreManifest(root, next,
       pgmap.map { case (pg, v) => pg -> (if (damaged(pg)) next else v) })
-    next
+    (next, damaged)
   }
 
   /** dq10: REPAIR WRITE-BACK — the leg that turns dq9's
@@ -1307,26 +1308,16 @@ object Quality {
         .selectExpr("o_orderkey + 100000000 AS o_orderkey", "o_custkey",
           "o_orderstatus", "o_orderpriority")))
 
-  /** The QUORUM kernel over an arbitrary replica set: per-bucket
-    * k-way digest compare → MAJORITY VOTE (the reference digest is
-    * the value shared by ≥2 replicas; the repair SOURCE is the
-    * lowest-id replica holding it — minority corruption recovers
-    * WITHOUT consulting the primary) → tie fallback (all three
-    * digests distinct → the primary arbitrates, the only safe
-    * answer when the quorum is silent) → dq9's key-grain
-    * corrections per (diverging replica ← voted source), with the
-    * residual proven algebraically per replica against the
-    * reference digests. Factored so the spec can plant a synthetic
-    * TIE bucket and pin the fallback arm. Checkpoint-free by
-    * design (dq9's posture): the one-shot query duplicates cheap
-    * digest subtrees instead of holding session-lifetime frames —
-    * a real anti-entropy job materializes its digest tables to
-    * disk. */
   /** The per-bucket k-way VOTE over three replica digest tables +
-    * the primary's: coalesced (count, xor) per side, the majority
-    * source (lowest-id replica holding the digest shared by ≥2),
-    * the primary tie-break, and the voted reference digest
-    * (refn, refx) per bucket. */
+    * the primary's: coalesced (count, xor) per side, the MAJORITY
+    * source (the reference digest is the value shared by ≥2
+    * replicas; the repair source is the lowest-id replica holding
+    * it — minority corruption recovers WITHOUT consulting the
+    * primary), the primary TIE-BREAK (all three distinct — the
+    * only safe answer when the quorum is silent), and the voted
+    * reference digest (refn, refx) per bucket. Factored so the
+    * spec can plant a synthetic tie bucket and pin the fallback
+    * arm. */
   private[graft] def quorumVote(digs: Seq[DataFrame], pDig: DataFrame)
       : DataFrame = {
     require(digs.length == 3, "the vote below is written for 3 replicas")
@@ -1365,19 +1356,20 @@ object Quality {
     * drills). The driver then knows which (replica ← source) pairs
     * are EMPTY and skips their drills entirely. */
   private[graft] final case class QuorumVote(bucket: Long,
-      source: String, refn: Long, refx: Long, bad: Seq[String])
+      source: String, refn: Long, refx: Long, bad: Seq[String],
+      sides: Seq[(Long, Long)])
 
   private[graft] def quorumVoteRows(digs: Seq[DataFrame],
       pDig: DataFrame): Seq[QuorumVote] =
     quorumVote(digs, pDig).collect().toSeq.map { r =>
       val (refn, refx) = (r.getAs[Long]("refn"), r.getAs[Long]("refx"))
+      val sides = Seq(("n1", "x1"), ("n2", "x2"), ("n3", "x3"))
+        .map { case (nc, xc) => (r.getAs[Long](nc), r.getAs[Long](xc)) }
       QuorumVote(r.getAs[Long]("bucket"), r.getAs[String]("source"),
         refn, refx,
-        Seq("r1" -> ("n1", "x1"), "r2" -> ("n2", "x2"),
-          "r3" -> ("n3", "x3")).collect {
-          case (nm, (nc, xc)) if r.getAs[Long](nc) != refn ||
-            r.getAs[Long](xc) != refx => nm
-        })
+        Seq("r1", "r2", "r3").zip(sides).collect {
+          case (nm, (n, x)) if n != refn || x != refx => nm
+        }, sides)
     }
 
   /** Key-grain corrections for every convicted (replica ← voted
@@ -1419,18 +1411,23 @@ object Quality {
   private[graft] def quorumRepair(p: DataFrame,
       reps: Seq[(String, DataFrame)]): DataFrame = {
     import p.sparkSession.implicits._
-    val digs = reps.map { case (nm, r) => nm -> bucketDigest(r) }
-    val voteRows = quorumVoteRows(digs.map(_._2), bucketDigest(p))
+    val voteRows =
+      quorumVoteRows(reps.map(r => bucketDigest(r._2)), bucketDigest(p))
     val corrAll =
       quorumCorrections(voteRows, (reps :+ ("primary" -> p)).toMap)
     // PROOF: each repaired replica's digests equal the reference's
     // in every bucket — the corrections' digest deltas folded into
-    // each replica's own digests (dq9's algebra, per replica)
+    // each replica's own digests (dq9's algebra, per replica). The
+    // per-replica digest tables are rebuilt LOCALLY from the
+    // already-collected vote (no replica re-scan — the vote carried
+    // every side's (n, x)).
     val refDig = quorumRefDig(p.sparkSession, voteRows)
-    val residual = reps.map { case (nm, _) =>
-      val di = digs.find(_._1 == nm).get._2
+    val residual = reps.indices.map { i =>
+      val di = voteRows.filter(_.sides(i)._1 > 0L)
+        .map(v => (v.bucket, v.sides(i)._1, v.sides(i)._2))
+        .toDF("bucket", "n", "x")
       digestMismatch(refDig,
-        repairedDigest(corrAll.filter($"replica" === nm), di))
+        repairedDigest(corrAll.filter($"replica" === reps(i)._1), di))
     }.reduce(_ unionByName _)
       .agg(count(lit(1)).as("residual_buckets"))
     corrAll.select($"replica", $"bucket", $"k", $"action", $"source")

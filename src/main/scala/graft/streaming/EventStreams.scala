@@ -1984,13 +1984,15 @@ object EventStreams {
     * buckets — and then the store actually HEALS: the corrections
     * publish the next store version (damaged partition groups
     * rewritten, `repairlog` log, manifest-last — dq10's publish leg
-    * verbatim), and the low-water mark refreshes ALGEBRAICALLY to
-    * the healed digests, so a healed bucket's fold now sits below
-    * the new mark — pending, never re-convicted (the arbitration
-    * rule doing double duty as the healed-bucket exclusion). The
-    * emission carries dq10's two persisted-state proofs: `residual_
-    * buckets` (primary-vs-store digest mismatches after this
-    * batch's publish) and `rerun_corrections` (the key-grain
+    * verbatim), and the low-water mark refreshes FROM THE STORE —
+    * the rewritten partitions read back and re-digested (a bounded,
+    * damage-proportional read), so the mark reflects what landed on
+    * disk, and a healed bucket's fold now sits below it — pending,
+    * never re-convicted (the arbitration rule doing double duty as
+    * the healed-bucket exclusion). The emission carries dq10's two
+    * persisted-state proofs, both over the disk-refreshed state:
+    * `residual_buckets` (primary-vs-store digest mismatches after
+    * this batch's publish) and `rerun_corrections` (the key-grain
     * corrections a fresh pass over the healed store would emit —
     * divergence-scoped drill, zero once the fold has covered the
     * store). */
@@ -2008,16 +2010,28 @@ object EventStreams {
       graft.functions.Lineage.freeCheckpoint(st.lastCorr)
     st.lastCorr = corr
     if (!corr.isEmpty) {
-      graft.operators.Quality
+      val (_, damaged) = graft.operators.Quality
         .publishCorrections(ss, st.replicaStore, corr, pAll, rStore)
+      // refresh the mark FROM THE STORE, scoped to the partitions
+      // the publish rewrote (a bounded read): the mark — and with
+      // it both proof columns below — then reflects what actually
+      // LANDED on disk, not what the corrections' algebra says
+      // should have landed (dq10's persisted-state posture; a
+      // publish defect cannot hide behind the algebra)
+      val healedDisk = graft.operators.Quality.bucketDigest(
+        graft.operators.Quality.readReplicaStore(ss, st.replicaStore)
+          .filter(col("pg").isin(damaged.toSeq: _*)))
       val old = st.sDig
-      st.sDig = graft.operators.Quality.repairedDigest(corr, st.sDig)
-        .localCheckpoint()
+      st.sDig = st.sDig
+        .filter(!expr(s"bucket % ${graft.operators.Quality.dq10Parts}")
+          .isin(damaged.toSeq: _*))
+        .unionByName(healedDisk).localCheckpoint()
       graft.functions.Lineage.freeCheckpoint(old)
     }
-    // both proofs read the POST-PUBLISH state: the digest compare is
-    // O(buckets) algebra; the rerun drill reads the healed store
-    // scoped to the still-divergent buckets (zero once healed)
+    // both proofs read the POST-PUBLISH persisted state: the digest
+    // compare runs over the disk-refreshed mark; the rerun drill
+    // reads the healed store scoped to the still-divergent buckets
+    // (zero once healed)
     val mism = graft.operators.Quality.digestMismatch(st.pDig, st.sDig)
     val rerun = graft.operators.Quality.repairCorrections(mism, pAll,
       graft.operators.Quality.readReplicaStore(ss, st.replicaStore),
@@ -2033,8 +2047,9 @@ object EventStreams {
     * folds arrivals (s44), convicts at-the-mark divergent buckets,
     * derives dq9's corrections, PUBLISHES the next store version
     * (dq10's partition-grain copy-on-write publish, manifest-last),
-    * and refreshes its low-water mark to the healed digests — so
-    * the next batch never re-convicts a healed bucket, and a
+    * and refreshes its low-water mark from the store's rewritten
+    * partitions — so the next batch never re-convicts a healed
+    * bucket, and a
     * healthy (fully healed) stream settles to zero corrections,
     * zero publishes, O(4096) digest compares per batch. Replayed
     * as ONE batch (the Verify path) the convictions are dq10's

@@ -3036,6 +3036,28 @@ class RelationalSpec extends AnyFunSuite {
     assert(Q.latestStoreVersion(root).contains(2))
     assert(Q.readReplicaStore(spark, root).drop("pg").count() == p.count(),
       "a torn publish must never serve")
+    // A REPAIR THAT EMPTIES A PARTITION is a legal store state: the
+    // replica's only divergence is an extra row in a bucket the
+    // primary never populates — the heal deletes it, the published
+    // version's data directory holds NO files, and the
+    // schema-explicit reader must keep serving (regression: schema
+    // inference on the fileless version used to throw)
+    import spark.implicits._
+    val p0 = Seq((5L, 10L, "O", "1-URGENT"))
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority")
+    val extra = p0.unionByName(Seq((7L, 11L, "F", "2-HIGH"))
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"))
+    val root2F = java.nio.file.Files
+      .createTempDirectory("graft_dq10spec2_").toFile
+    graft.operators.Incremental.cleanupOnExit(root2F)
+    val root2 = root2F.getAbsolutePath
+    Q.seedStoreFrom(extra, root2)
+    assert(Q.repairPass(spark, root2, p0) == 1L)
+    val healed2 = Q.readReplicaStore(spark, root2).drop("pg").collect()
+      .map(_.toSeq).toSeq
+    assert(healed2 == p0.collect().map(_.toSeq).toSeq,
+      "the emptied-partition store must keep serving the healed rows")
+    assert(Q.repairPass(spark, root2, p0) == 0L, "and stay idempotent")
   }
 
   test("dq11: quorum vote repairs each minority replica from the majority, never the primary except on a planted tie; residual reads 0") {
