@@ -125,6 +125,33 @@ class PlanSpec extends AnyFunSuite {
     } finally java.nio.file.Files.write(victim.toPath, orig)
   }
 
+  test("dq10: store reads prune at the partition-directory level and the damaged-partition scan is partition-filtered") {
+    val Q = graft.operators.Quality
+    // seed a store through the kernels, then pin that the resolved
+    // read's pg predicate lands as a PartitionFilter — directory
+    // pruning, the claim that makes partition-grain copy-on-write
+    // pay at 100 TB (a pruned read opens the damaged directories,
+    // not the table)
+    val p = Tables.orders(spark, sf).selectExpr("o_orderkey",
+      "o_custkey", "o_orderstatus", "o_orderpriority")
+    val rootF = java.nio.file.Files
+      .createTempDirectory("graft_dq10plan_").toFile
+    graft.operators.Incremental.cleanupOnExit(rootF)
+    val root = rootF.getAbsolutePath
+    Q.seedStoreFrom(Q.dq8Replica(p), root)
+    Q.repairPass(spark, root, p)
+    // the post-heal resolved view reads v1 (untouched pgs) + v2
+    // (damaged pgs), each scan partition-filtered on pg
+    val pl = plan(Q.readReplicaStore(spark, root))
+    val pf = pl.linesIterator.filter(_.contains("PartitionFilters"))
+      .toSeq
+    assert(pf.size >= 2, s"expected 2 partition-filtered scans:\n$pf")
+    assert(pf.forall(_.contains("pg")),
+      s"pg predicate must prune at the directory level:\n$pf")
+    assert(!pl.contains("PartitionFilters: []"),
+      "a store scan read every partition directory")
+  }
+
   test("dq8: digest aggregates are map-side partial and the drill is broadcast-semi-scoped") {
     val p = plan(graft.operators.Quality.dq8(spark, sf))
     assert(p.contains("partial_bit_xor"),
