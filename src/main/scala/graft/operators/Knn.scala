@@ -3497,6 +3497,27 @@ object Knn {
   private[graft] def committedVersions(root: String): Seq[Int] =
     StoreVersions.committed(root)
 
+  /** Unfolded delta segments: committed deltas ABOVE the newest
+    * committed base — exactly what [[loadAnnStoreLsm]]'s assembly
+    * must union at the next cold start (its per-delta manifest read
+    * + union chain is O(this count) plan nodes and gate jobs). */
+  private[graft] def unfoldedDeltaCount(root: String): Int = {
+    val committed = committedVersions(root)
+    val bases = committed.filterNot(isDeltaVersion(root, _))
+    if (bases.isEmpty) 0
+    else committed.count(v => v > bases.max && isDeltaVersion(root, v))
+  }
+
+  /** DELTA-DEBT compaction trigger (RocksDB's L0 file-count dial):
+    * fold the unfolded tail into a new base once it reaches this
+    * many segments. Growth/deletion-threshold compactions (s40/s43)
+    * fold on CORPUS state; this bounds the orthogonal axis — a
+    * stream that stays below those thresholds forever would
+    * otherwise grow cold-start assembly cost without bound. Every
+    * publish-then-maybe-fold cycle leaves ≤ K−1 unfolded segments,
+    * so cold assembly never unions more than K. */
+  private[graft] val annDeltaFoldK = 4
+
   /** Assemble the LSM serving state: the newest committed BASE plus
     * every committed delta segment ABOVE it — each through its own
     * count gate (a torn segment has no manifest and is skipped by
@@ -3549,7 +3570,13 @@ object Knn {
     * bases, FOLDED deltas (segments at or below the newest base —
     * compaction consumed them), and dead torn attempts below the
     * newest committed version. Same demote-first delete order and
-    * accounting as [[vacuumIndexStore]]. */
+    * accounting as [[vacuumIndexStore]] — and the same object-store
+    * posture: a port replaces the `File` recursion with list+delete
+    * batches, demotes by deleting the manifest object FIRST, and
+    * must tolerate list-after-delete eventual consistency on the
+    * manifest check (see [[vacuumIndexStore]]'s doc — the two
+    * vacuum paths share one posture by contract, so they cannot
+    * drift). */
   private[graft] def vacuumAnnStoreLsm(root: String, keepBases: Int)
       : Seq[String] = {
     require(keepBases >= 1, "must keep at least one base")
@@ -3654,6 +3681,186 @@ object Knn {
     v21ServeBatch(ixS, codebook(e, "vec_id < 10"))
       .transform(graft.Tables.ordered(_, col("qid"), col("rnk")))
   }
+
+  // ---------- v32: QUORUM for the index store ----------
+
+  private[graft] val annStoreComps =
+    Seq("vectors", "graph", "reps", "cents")
+
+  /** Content digest of one component of a committed index version:
+    * (rows, bit-xor of xxhash64 row hashes) — order-independent and
+    * map-side combinable, dq8's merkle digest applied to index
+    * components. Spark-side only: the quorum's CONTRACT is the
+    * serve oracle (v21Sql verbatim), digests are the mechanism. At
+    * 100 TB each digest is one scan+tiny aggregate per component —
+    * the anti-entropy cost every replicated store pays — and the
+    * xor fold buckets exactly like dq8 if localization below
+    * component grain is ever needed. */
+  private[graft] def annComponentDigest(spark: SparkSession,
+      dir: String, c: String): (Long, Long) = {
+    val df = spark.read.parquet(s"$dir/$c")
+    val r = df.selectExpr("CAST(count(*) AS BIGINT) AS n",
+      s"coalesce(bit_xor(xxhash64(${df.columns.mkString(", ")})), " +
+        "CAST(0 AS BIGINT)) AS x").collect()(0)
+    (r.getLong(0), r.getLong(1))
+  }
+
+  private def copyTree(src: java.io.File, dst: java.io.File): Unit = {
+    if (src.isDirectory) {
+      dst.mkdirs()
+      Option(src.listFiles()).getOrElse(Array.empty)
+        .foreach(f => copyTree(f, new java.io.File(dst, f.getName)))
+    } else {
+      java.nio.file.Files.copy(src.toPath, dst.toPath,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      ()
+    }
+  }
+
+  /** QUORUM HEAL across three index-store replicas — dq11's
+    * majority vote applied at COMPONENT grain to the fleet's shared
+    * artifact (the one store the s43 doors bootstrap from had no
+    * replica story; a corrupted root was detectable — count gates —
+    * but not healable, and a SELF-consistent poison, component
+    * rewritten with its manifest count matching, was not even
+    * detectable). Per component, the three newest committed bases'
+    * digests vote: unanimity is a no-op; a 2-1 split convicts the
+    * minority root, which publishes its HEALED next version —
+    * file-copy of its own intact components plus the
+    * lowest-agreeing majority root's copy of each convicted one
+    * (dq11's source rule), manifest written LAST — so the heal is
+    * copy-on-write and the poisoned version stays for forensics. A
+    * component with NO majority (three-way tie) REFUSES before ANY
+    * publish: with no designated truth there is nothing to heal
+    * from, and every root keeps serving its newest committed base —
+    * the conservative storage answer (contrast dq11, whose
+    * relational quorum has a primary to break ties). Returns the
+    * healed roots (empty = unanimous — idempotence is structural).
+    */
+  private[graft] def quorumHealAnnStore(spark: SparkSession,
+      roots: Seq[String]): Seq[String] = {
+    require(roots.length == 3, "the vote below is written for 3 replicas")
+    val vers = roots.map(r => latestCommittedVersion(r).getOrElse(
+      throw new IllegalStateException(
+        s"no committed index version under $r — refusing to vote")))
+    val dirs = roots.zip(vers).map { case (r, v) =>
+      new java.io.File(r, s"v$v").getAbsolutePath
+    }
+    val digs = dirs.map(d => annStoreComps.map(c =>
+      c -> annComponentDigest(spark, d, c)).toMap)
+    // vote each component; collect (convicted root idx, comp, src idx)
+    val heals = annStoreComps.flatMap { c =>
+      val ds = digs.map(_(c))
+      val groups = ds.zipWithIndex.groupBy(_._1)
+      val maj = groups.maxBy { case (_, m) => (m.size, -m.head._2) }
+      if (maj._2.size == 1) throw new IllegalStateException(
+        s"component $c: three-way digest tie — no majority to heal " +
+          "from; every root keeps serving its newest committed base")
+      if (maj._2.size == 3) Seq.empty
+      else {
+        val src = maj._2.map(_._2).min // lowest-agreeing replica
+        (0 until 3).filterNot(maj._2.map(_._2).contains)
+          .map(bad => (bad, c, src))
+      }
+    }
+    val convicted = heals.map(_._1).distinct.sorted
+    convicted.foreach { i =>
+      val next = StoreVersions.next(roots(i))
+      val dst = new java.io.File(roots(i), s"v$next")
+      val srcByComp = heals.filter(_._1 == i)
+        .map(h => h._2 -> h._3).toMap
+      annStoreComps.foreach { c =>
+        val from = srcByComp.get(c).map(dirs).getOrElse(dirs(i))
+        copyTree(new java.io.File(from, c), new java.io.File(dst, c))
+      }
+      // manifest LAST — counts per component from wherever it came;
+      // intact components digest-equal the majority's, so the healed
+      // manifest equals the majority's verbatim (spec-pinned)
+      val counts = annStoreComps.map { c =>
+        val from = srcByComp.get(c).map(dirs).getOrElse(dirs(i))
+        val line = new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get(from, "_MANIFEST")), "UTF-8")
+          .split("\n").find(_.startsWith(s"$c ")).get
+        line
+      }
+      java.nio.file.Files.write(dst.toPath.resolve("_MANIFEST"),
+        counts.mkString("\n").getBytes("UTF-8"))
+    }
+    convicted.map(roots)
+  }
+
+  /** v32: INDEX-STORE QUORUM — the missing replica story for the
+    * fleet's shared ANN artifact: dq10-dq12 made the RELATIONAL
+    * store replicated, voted and self-healing; v32 applies the same
+    * anti-entropy loop to the index store the serving doors
+    * bootstrap from. The query runs it end-to-end: the trainer's
+    * one build ships to THREE roots (fleet replication); a minority
+    * root's graph component is poisoned SELF-CONSISTENTLY (an edge
+    * dropped and the manifest count rewritten to match — the count
+    * gate passes, only a cross-replica vote can see it); the quorum
+    * convicts the minority by component digest, heals it from the
+    * lowest-agreeing majority root (copy-on-write next version,
+    * manifest last), and a second pass finds unanimity and
+    * publishes nothing. The emitted rows are the HEALED minority
+    * root's serve — bitwise the trained index's, so the oracle is
+    * v21's serve chain VERBATIM (the poison, the vote and the heal
+    * are all semantically invisible — the store-boundary contract
+    * every lifecycle operator in this family proves).
+    *
+    * Scale: the vote is one scan + one tiny aggregate per component
+    * per replica (the Cassandra/Dynamo anti-entropy cost); the heal
+    * copies only the convicted root's bytes (object-store
+    * server-side copy in production — at component grain, so an
+    * intact 100 TB vectors component is never rewritten for a
+    * poisoned 1 GB graph). */
+  def v32(spark: SparkSession, dir: String): DataFrame = {
+    val base = java.nio.file.Files.createTempDirectory("graft_v32_")
+      .toFile
+    graft.operators.Incremental.cleanupOnExit(base)
+    val roots = Seq("r1", "r2", "r3").map(nm =>
+      new java.io.File(base, nm).getAbsolutePath)
+    val ix0 = v21Static(spark, dir)
+    roots.foreach(r => saveIndexVersion(ix0, r))
+    ix0.reps.unpersist()
+    // PLANT: drop r2's graph's last edge, self-consistently
+    val gdir = s"${roots(1)}/v1/graph"
+    val g = spark.read.parquet(gdir)
+    val victim = g.orderBy(col("src_id").desc, col("nbr_id").desc)
+      .limit(1)
+    val poisoned = g.exceptAll(victim).localCheckpoint()
+    val nP = poisoned.count()
+    val gd = new java.io.File(gdir)
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory)
+        Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+      f.delete(); ()
+    }
+    rm(gd)
+    poisoned.write.parquet(gdir)
+    val mfp = java.nio.file.Paths.get(roots(1), "v1", "_MANIFEST")
+    val mf = new String(java.nio.file.Files.readAllBytes(mfp), "UTF-8")
+      .split("\n").map { l =>
+        if (l.startsWith("graph ")) s"graph $nP" else l
+      }
+    java.nio.file.Files.write(mfp, mf.mkString("\n").getBytes("UTF-8"))
+    graft.functions.Lineage.freeCheckpoint(poisoned)
+    // VOTE + HEAL, then the idempotence pass
+    val healed = quorumHealAnnStore(spark, roots)
+    require(healed == Seq(roots(1)),
+      s"the quorum must convict exactly the poisoned root: $healed")
+    require(quorumHealAnnStore(spark, roots).isEmpty,
+      "a second pass over healed stores must publish nothing")
+    // SERVE from the healed minority store, cold, through the gate
+    spark.sharedState.cacheManager.clearCache()
+    val (ix, _) = loadLatestIndex(spark, roots(1))
+    v21ServeBatch(ix, codebook(vectors(spark, dir), "vec_id < 10"))
+      .transform(graft.Tables.ordered(_, col("qid"), col("rnk")))
+  }
+
+  /** v32 oracle: v21's, verbatim — replication, the poison, the
+    * vote and the heal must all be semantically invisible to
+    * serving. */
+  val v32Sql: String = v21Sql
 
   /** v31 oracle: v21's serve chain over the BASE corpus predicate —
     * the insert and erasure deltas cancel in the fold, so the

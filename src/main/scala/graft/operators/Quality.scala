@@ -1076,34 +1076,95 @@ object Quality {
       .map(a => a(0).toLong -> a(1).toInt).toMap)
   }
 
-  /** Read the store through the manifest: one pruned scan per
-    * DISTINCT serving version (the `pg` partition-column filter
-    * prunes at the directory level — a 63-partitions-from-v1,
-    * 1-from-v2 layout reads exactly those directories), unioned.
-    * The `pg` partition column rides along. The schema is taken
-    * from the OLDEST serving version (the seed — always non-empty)
-    * and applied EXPLICITLY to every later read: a repair that
-    * empties every row of its damaged partitions legitimately
-    * publishes a data directory with no files, and an
-    * inference-based read of that version would refuse a store
-    * state the store's own writer created. */
+  /** Each version directory records its OWN schema as a `_SCHEMA`
+    * DDL file, written with the data and before the manifest: the
+    * store's reads must be explicit-schema (a repair that empties
+    * every row of its damaged partitions legitimately publishes a
+    * data directory with no files, and an inference-based read of
+    * that version would refuse a store state the store's own writer
+    * created — including the oldest-serving version itself, once
+    * enough repairs have rotated the seed out of the manifest), and
+    * with per-version evolution the schema is version state, not
+    * store state. */
+  private[graft] def writeStoreSchema(root: String, v: Int,
+      schema: org.apache.spark.sql.types.StructType): Unit = {
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(root, s"v$v", "_SCHEMA"),
+      schema.toDDL.getBytes("UTF-8"))
+    ()
+  }
+
+  private[graft] def readStoreSchema(spark: SparkSession, root: String,
+      v: Int): org.apache.spark.sql.types.StructType = {
+    val p = java.nio.file.Paths.get(root, s"v$v", "_SCHEMA")
+    if (java.nio.file.Files.exists(p))
+      org.apache.spark.sql.types.StructType.fromDDL(
+        new String(java.nio.file.Files.readAllBytes(p), "UTF-8"))
+    else // pre-_SCHEMA version directory: infer (non-empty by then)
+      spark.read.parquet(s"$root/v$v/data").schema
+  }
+
+  /** Read the store through the newest committed manifest. */
   private[graft] def readReplicaStore(spark: SparkSession,
-      root: String): DataFrame = {
-    val (_, map) = readStoreManifest(root)
+      root: String): DataFrame =
+    readReplicaStoreAt(spark, root, readStoreManifest(root)._1)
+
+  /** Read the store AS OF committed version `at` (time travel — the
+    * ForecastStore.loadVersion posture): one pruned scan per
+    * DISTINCT serving version in `at`'s resolution map (the `pg`
+    * partition-column filter prunes at the directory level — a
+    * 63-partitions-from-v1, 1-from-v2 layout reads exactly those
+    * directories), unioned under the ADDITIVE-EVOLUTION contract
+    * (the Delta/Iceberg additive read): the resolved schema is the
+    * UNION of the serving versions' recorded schemas in version
+    * order, pre-evolution partitions serve added columns as typed
+    * NULL defaults, and a version that REMOVED a column an earlier
+    * serving version still carries refuses loudly — dropping data
+    * silently is the one thing an evolving reader may never do.
+    * Time travel composes: reading as of v1 serves v1's shape,
+    * because the union is over the versions THAT manifest names. */
+  private[graft] def readReplicaStoreAt(spark: SparkSession,
+      root: String, at: Int): DataFrame = {
+    val mfp = java.nio.file.Paths.get(root, s"v$at", "_MANIFEST")
+    if (!java.nio.file.Files.exists(mfp))
+      throw new IllegalStateException(
+        s"no committed version v$at under $root — refusing to serve")
+    val map = new String(java.nio.file.Files.readAllBytes(mfp), "UTF-8")
+      .split("\n").map(_.split(" "))
+      .map(a => a(0).toLong -> a(1).toInt).toMap
     val byV = map.groupBy(_._2).toSeq.sortBy(_._1)
-    val schema = spark.read.parquet(s"$root/v${byV.head._1}/data").schema
+    val schemas = byV.map { case (v, _) =>
+      v -> readStoreSchema(spark, root, v)
+    }.toMap
+    val union = byV.map(_._1).flatMap(v => schemas(v).fields)
+      .foldLeft(Vector.empty[org.apache.spark.sql.types.StructField]) {
+        (acc, f) => if (acc.exists(_.name == f.name)) acc else acc :+ f
+      }
+    val newestNames = schemas(byV.last._1).fieldNames.toSet
+    val removed = union.map(_.name).filterNot(newestNames)
+    if (removed.nonEmpty) throw new IllegalStateException(
+      s"store $root v${byV.last._1} removed column(s) " +
+        s"${removed.mkString(", ")} still served by older versions — " +
+        "only ADDITIVE schema evolution is supported")
     byV.map { case (v, pgs) =>
-      spark.read.schema(schema).parquet(s"$root/v$v/data")
+      val s = schemas(v)
+      val have = s.fieldNames.toSet
+      val df = spark.read.schema(s).parquet(s"$root/v$v/data")
         .filter(col("pg").isin(pgs.keys.toSeq: _*))
+      union.filterNot(f => have(f.name)).foldLeft(df) { (d, f) =>
+        d.withColumn(f.name, lit(null).cast(f.dataType))
+      }.select(union.map(f => col(f.name)): _*)
     }.reduce(_ unionByName _)
   }
 
   /** Seed `root` with v1 = `rows` (order-shaped), partitioned by
     * `pg`, manifest-last. */
   private[graft] def seedStoreFrom(rows: DataFrame, root: String): Unit = {
-    withPg(rows)
+    val shaped = withPg(rows)
+    shaped
       .repartition(dq10Parts.toInt, col("pg"))
       .write.partitionBy("pg").parquet(s"$root/v1/data")
+    writeStoreSchema(root, 1, shaped.schema)
     writeStoreManifest(root, 1, (0L until dq10Parts).map(_ -> 1).toMap)
   }
 
@@ -1163,12 +1224,21 @@ object Quality {
     val insK = broadcast(corr
       .filter($"action".isin("insert_missing", "overwrite_corrupt"))
       .select($"k".as("o_orderkey")))
+    // allowMissingColumns = the ADDITIVE-EVOLUTION seam (dq13): a
+    // repair against an evolved primary ships corrected rows that
+    // carry columns the store's older rows lack — kept rows default
+    // them NULL (no backfill: copy-on-write touches only correction
+    // keys), and the rewritten version's _SCHEMA records the wider
+    // shape. On a non-evolving pass both sides match and this is
+    // plain unionByName.
     val healed = r.filter($"pg".isin(damaged.toSeq: _*))
       .join(delK, Seq("o_orderkey"), "left_anti")
-      .unionByName(withPg(p.join(insK, Seq("o_orderkey"), "left_semi")))
+      .unionByName(withPg(p.join(insK, Seq("o_orderkey"), "left_semi")),
+        allowMissingColumns = true)
       .repartition(damaged.size, col("pg"))
     val next = StoreVersions.next(root)
     healed.write.partitionBy("pg").parquet(s"$root/v$next/data")
+    writeStoreSchema(root, next, healed.schema)
     // the audit log keeps every correction column except the raw
     // fingerprints (dq10 logs bucket/k/action; dq12's adds
     // replica/source — whatever rides the corrections frame)
@@ -1620,6 +1690,23 @@ object Quality {
     n
   }
 
+  /** The repairlog audits under each store's SERVING version. A
+    * root the vote never convicted published no repairlog there —
+    * an agreeing replica is a legal pass-1 outcome (dq12's fixture
+    * plants defects in all three, but the code must not rely on
+    * that), so absent logs are SKIPPED, and an all-agreeing pass
+    * degrades to the empty report. */
+  private[graft] def readRepairLogs(spark: SparkSession,
+      roots: Seq[String]): DataFrame =
+    roots.flatMap { root =>
+      val (v, _) = readStoreManifest(root)
+      val lg = new java.io.File(s"$root/v$v/repairlog")
+      if (lg.isDirectory) Some(spark.read.parquet(lg.getAbsolutePath))
+      else None
+    }.reduceOption(_ unionByName _).getOrElse(
+      spark.range(0).selectExpr("'' AS replica", "id AS bucket",
+        "id AS k", "'' AS action", "'' AS source"))
+
   /** dq12: QUORUM WRITE-BACK — the reconciliation family's
     * capstone: dq11's majority vote applied to dq10's persisted
     * stores, i.e. a SELF-HEALING replicated lake with no designated
@@ -1660,10 +1747,7 @@ object Quality {
     val rerun = quorumPass(spark, roots, p, audit)
     // the emitted report is read back from PERSISTED state only:
     // the stores' repairlogs, the vote record, the store digests
-    val logs = roots.map { root =>
-      val (v, _) = readStoreManifest(root)
-      spark.read.parquet(s"$root/v$v/repairlog")
-    }.reduce(_ unionByName _)
+    val logs = readRepairLogs(spark, roots)
     val ref = spark.read.parquet(s"$audit/vote_ref")
       .selectExpr("bucket", "refn AS n", "refx AS x")
     val residual = roots.map(rt =>
@@ -1744,6 +1828,111 @@ object Quality {
       |SELECT corrall.*, resid.residual_buckets, rerun.rerun_corrections
       |FROM corrall CROSS JOIN resid CROSS JOIN rerun
       |ORDER BY replica, bucket, k""".stripMargin
+  }
+
+  // ---------- dq13: ADDITIVE schema evolution on the store ----------
+
+  /** dq13: ADDITIVE SCHEMA EVOLUTION — the versioned replica store
+    * learns the one thing real lakes do constantly and frozen
+    * stores can't: ADD a column mid-history. The story: v1 seeds
+    * the diverged replica in the OLD shape; the primary evolves
+    * (one new column, `o_price_floor` — declared at the source);
+    * the repair pass heals the divergence against the EVOLVED
+    * primary, so v2's partition-grain rewrite carries the new
+    * column for exactly the corrected rows (copy-on-write — kept
+    * rows and untouched partitions are NOT backfilled, the
+    * Delta/Iceberg additive contract); and the resolved read
+    * serves the UNION schema with typed NULL defaults for every
+    * pre-evolution row ([[readReplicaStoreAt]]: per-version
+    * `_SCHEMA` files recorded at write time, union in version
+    * order, REMOVED columns refuse loudly, time travel to v1 still
+    * serves v1's shape — spec-pinned). The emitted rows aggregate
+    * the resolved evolved store per partition group: total rows,
+    * rows carrying the evolved column, and its exact sum — healed
+    * partitions show values, untouched partitions show the
+    * default, and the oracle recomputes all three relationally.
+    *
+    * Scale: evolution costs NOTHING at write time beyond the
+    * `_SCHEMA` sidecar (no backfill rewrite — the 100 TB posture:
+    * adding a column to a 100 TB store is a metadata operation);
+    * the resolved read stays one pruned scan per DISTINCT serving
+    * version, with the NULL default applied in the projection
+    * (codegen'd, row-local, no extra pass). */
+  def dq13(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
+      "o_orderpriority")
+    val p = Tables.orders(spark, dir).selectExpr(cols: _*)
+    val rootF = java.nio.file.Files
+      .createTempDirectory("graft_dq13_").toFile
+    graft.operators.Incremental.cleanupOnExit(rootF)
+    val root = rootF.getAbsolutePath
+    // v1: the diverged replica in the OLD 4-column shape
+    seedReplicaStore(p, root)
+    // the EVOLVED primary: floor() is exact on IEEE doubles, so the
+    // new column is engine-portable bit for bit
+    val p2 = Tables.orders(spark, dir).selectExpr(
+      (cols :+ "CAST(floor(o_totalprice) AS BIGINT) AS o_price_floor"): _*)
+    repairPass(spark, root, p2)
+    readReplicaStore(spark, root)
+      .groupBy(col("pg"))
+      .agg(count(lit(1)).as("n_rows"),
+        count(col("o_price_floor")).as("n_evolved"),
+        sum(col("o_price_floor")).as("sum_evolved"))
+      .transform(graft.Tables.ordered(_, col("pg")))
+  }
+
+  /** dq13 oracle: dq9's divergence/correction chain against the
+    * evolved primary, the healed store reconstructed relationally
+    * (kept replica rows default the evolved column NULL; corrected
+    * rows ship it from the primary), aggregated at partition-group
+    * grain — `n_evolved`/`sum_evolved` prove exactly the corrected
+    * rows carry values on BOTH engines. */
+  val dq13Sql: String = {
+    val canon = "CAST(k AS VARCHAR) || '|' || CAST(o_custkey AS VARCHAR)" +
+      " || '|' || o_orderstatus || '|' || o_orderpriority"
+    val h = graft.functions.Fnv64.duckSigned("(" + canon + ")")
+    s"""WITH p AS (SELECT o_orderkey AS k, o_custkey, o_orderstatus,
+      |        o_orderpriority FROM orders),
+      |p2 AS (SELECT o_orderkey AS k,
+      |        CAST(floor(o_totalprice) AS BIGINT) AS o_price_floor
+      |      FROM orders),
+      |r AS (SELECT k, o_custkey,
+      |        CASE WHEN k % 1009 = 0 THEN 'X' ELSE o_orderstatus END AS o_orderstatus,
+      |        o_orderpriority
+      |      FROM p WHERE k % 997 <> 0
+      |      UNION ALL
+      |      SELECT k + 100000000, o_custkey, o_orderstatus, o_orderpriority
+      |      FROM p WHERE k % 1013 = 0),
+      |pc AS (SELECT k % $dq8Buckets AS bucket, k, $h AS h FROM p),
+      |rc AS (SELECT k % $dq8Buckets AS bucket, k, $h AS h FROM r),
+      |pd AS (SELECT bucket, CAST(count(*) AS BIGINT) AS n_p,
+      |        bit_xor(h) AS x_p FROM pc GROUP BY 1),
+      |rd AS (SELECT bucket, CAST(count(*) AS BIGINT) AS n_r,
+      |        bit_xor(h) AS x_r FROM rc GROUP BY 1),
+      |bad AS (SELECT coalesce(pd.bucket, rd.bucket) AS bucket
+      |      FROM pd FULL JOIN rd ON rd.bucket = pd.bucket
+      |      WHERE n_p IS DISTINCT FROM n_r OR x_p IS DISTINCT FROM x_r),
+      |corr AS (SELECT coalesce(a.bucket, b.bucket) AS bucket,
+      |        coalesce(a.k, b.k) AS k,
+      |        CASE WHEN b.k IS NULL THEN 'insert_missing'
+      |             WHEN a.k IS NULL THEN 'delete_extra'
+      |             WHEN a.h <> b.h THEN 'overwrite_corrupt' END AS action
+      |      FROM (SELECT pc.* FROM pc WHERE bucket IN (SELECT bucket FROM bad)) a
+      |      FULL JOIN (SELECT rc.* FROM rc WHERE bucket IN (SELECT bucket FROM bad)) b
+      |        ON b.bucket = a.bucket AND b.k = a.k
+      |      WHERE b.k IS NULL OR a.k IS NULL OR a.h <> b.h),
+      |rep AS (SELECT k, CAST(NULL AS BIGINT) AS o_price_floor
+      |      FROM r WHERE k NOT IN (
+      |        SELECT k FROM corr WHERE action IN ('delete_extra', 'overwrite_corrupt'))
+      |      UNION ALL
+      |      SELECT k, o_price_floor FROM p2 WHERE k IN (
+      |        SELECT k FROM corr WHERE action IN ('insert_missing', 'overwrite_corrupt')))
+      |SELECT (k % $dq8Buckets) % $dq10Parts AS pg,
+      |  CAST(count(*) AS BIGINT) AS n_rows,
+      |  CAST(count(o_price_floor) AS BIGINT) AS n_evolved,
+      |  CAST(sum(o_price_floor) AS BIGINT) AS sum_evolved
+      |FROM rep GROUP BY 1 ORDER BY 1""".stripMargin
   }
 }
 

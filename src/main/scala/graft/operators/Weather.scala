@@ -1128,4 +1128,193 @@ object Weather {
       |FROM hotd h JOIN comp c ON c.id = h.nid
       |GROUP BY c.track
       |ORDER BY c.track""".stripMargin
+
+  // ---------- w30: marching-squares contour ISOLINES ----------
+
+  /** The 9 band boundaries (w14's `divisions`, main.py:378-390) —
+    * each is an isoline level; levels outside the field's range
+    * contribute no segments (the chart's empty-band case). */
+  private[graft] val w30Levels =
+    Seq(-40.0, -27.0, -13.0, 0.0, 9.0, 26.0, 32.0, 38.0, 46.0)
+
+  /** w30: CONTOUR ISOLINES — the last algorithmic step to the
+    * reference's chart geometry (main.py:409-416 `contourf` draws
+    * filled isoline POLYGONS; w14/w18 stop at per-cell band grain).
+    * MARCHING SQUARES in three relational moves, all grid-key
+    * arithmetic: (1) squares assemble by the w19 stencil discipline
+    * — each cell contributes itself to the ≤ 4 squares it corners
+    * (one bounded explode + one shuffle on the square key; squares
+    * missing a corner — the lat boundary — drop out, longitude
+    * wraps mod 72 like w25); (2) each (square, level) classifies
+    * into the 4-bit marching-squares case (SW=1, SE=2, NE=4, NW=8)
+    * and emits its segment(s) from the standard case table as a
+    * 6-way UNION of edge-midpoint pairs — MIDPOINT decimation, so
+    * every endpoint is an exact half-grid rational (w22's integer
+    * discipline: coordinates ride as 2× integers, never floats;
+    * the two ambiguous saddles 5/10 take the fixed standard
+    * resolution, identical on both engines); (3) segments stitch
+    * into rings/polylines by [[graft.operators.Dedup.ccStars]]
+    * over endpoint keys (level-tagged, so components never span
+    * levels — the w25 path, log-round, diameter-independent: a
+    * globe-circling isoline is one component in ~6 rounds, not
+    * 144). Output: one row per (level, ring) with segment/point
+    * counts, the closed-ring flag (closed ⇔ |segments| = |points|;
+    * an isoline hitting the lat boundary is an open polyline), and
+    * the half-grid bounding box. Cartographic projection and PNG
+    * overlay stay out of scope (presentation geometry).
+    *
+    * Scale: squares = one bounded explode + one shuffle at grid
+    * grain (corpus-size independent); the case table and segment
+    * union are row-local; stitching is ccStars over O(crossing
+    * cells) id-only rows per level. The oracle recomputes the whole
+    * construction including the ring closure (recursive min-label —
+    * the w25/w27 precedent). */
+  def w30(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    // the field: per-cell all-days max UTCI — w14's banded value at
+    // seasonal grain (one scalar per grid cell)
+    val cell = chain(spark, dir, 22)
+      .groupBy($"lat", $"lon").agg(max($"utci_c").as("v"))
+      .selectExpr(
+        "CAST(floor((lat + 70.0) / 5.0 + 0.5) AS BIGINT) AS li",
+        "CAST(floor((lon + 177.5) / 5.0 + 0.5) AS BIGINT) AS lj",
+        "v")
+    w30Rings(cell, w30Levels)
+  }
+
+  /** The marching-squares kernel over an arbitrary (li, lj, v) grid
+    * frame — factored so the spec can stitch a KNOWN synthetic
+    * field's rings (the single-cell diamond, the globe-circling
+    * wrap pair, the open boundary polyline). */
+  private[graft] def w30Rings(cell: DataFrame, lvls: Seq[Double])
+      : DataFrame = {
+    val spark = cell.sparkSession
+    import spark.implicits._
+    // (1) square assembly — w19's stencil: cell (li, lj) is corner
+    // (dy, dx) of square (li-dy, (lj-dx) mod 72)
+    val sq = cell
+      .selectExpr("li", "lj", "v", "explode(array(0, 1)) AS dy")
+      .selectExpr("li - dy AS si", "lj", "v", "dy",
+        "explode(array(0, 1)) AS dx")
+      .selectExpr("si", "((lj - dx) + 72) % 72 AS sj", "dy", "dx", "v")
+      .groupBy($"si", $"sj")
+      .agg(count(lit(1)).as("nc"),
+        max(when($"dy" === 0 && $"dx" === 0, $"v")).as("vsw"),
+        max(when($"dy" === 0 && $"dx" === 1, $"v")).as("vse"),
+        max(when($"dy" === 1 && $"dx" === 0, $"v")).as("vnw"),
+        max(when($"dy" === 1 && $"dx" === 1, $"v")).as("vne"))
+      .filter($"nc" === 4)
+    val levels = lvls.zipWithIndex
+      .map { case (v, i) => (i.toLong, v) }.toDF("ti", "thr")
+    // (2) case classification + edge-midpoint node keys: half-grid
+    // integer coordinates (y2 = 2·lat-index, x2 = 2·lon-index,
+    // wrapping at 144), packed level-tagged as ti·10^6 + y2·10^3 + x2
+    val cg = sq.crossJoin(broadcast(levels))
+      .selectExpr("ti", "thr",
+        "CAST(vsw >= thr AS INT) + 2 * CAST(vse >= thr AS INT) + " +
+          "4 * CAST(vne >= thr AS INT) + 8 * CAST(vnw >= thr AS INT) AS mcase",
+        "ti * 1000000 + (2 * si) * 1000 + (2 * sj + 1) AS s",
+        "ti * 1000000 + (2 * si + 1) * 1000 + ((2 * sj + 2) % 144) AS e",
+        "ti * 1000000 + (2 * si + 2) * 1000 + (2 * sj + 1) AS n",
+        "ti * 1000000 + (2 * si + 1) * 1000 + (2 * sj) AS w")
+      .filter("mcase > 0 AND mcase < 15")
+      .localCheckpoint() // six consumers below — cut the recompute
+    // the standard marching-squares case table, undirected, as a
+    // 6-way union of the distinct segment patterns (saddles 5/10
+    // fixed to {W-N, S-E} / {N-E, W-S})
+    val seg = Seq(
+      ("w", "s", Seq(1, 10, 14)), ("s", "e", Seq(2, 5, 13)),
+      ("w", "e", Seq(3, 12)), ("n", "e", Seq(4, 10, 11)),
+      ("w", "n", Seq(5, 7, 8)), ("s", "n", Seq(6, 9))
+    ).map { case (p1, p2, cs) =>
+      cg.filter(col("mcase").isin(cs: _*))
+        .selectExpr("ti", "thr",
+          s"least($p1, $p2) AS a", s"greatest($p1, $p2) AS b")
+    }.reduce(_ unionByName _)
+    // (3) ring assembly: connected components over endpoint keys
+    val (labels, _, conv) = Dedup.ccStars(
+      seg.selectExpr("a AS src", "b AS dst"), 50)
+    require(conv, "w30 ccStars did not converge within 50 rounds")
+    val pts = seg.selectExpr("ti", "a AS p")
+      .unionByName(seg.selectExpr("ti", "b AS p")).distinct()
+    val nSeg = seg.join(labels.withColumnRenamed("id", "a"), Seq("a"))
+      .groupBy($"ti", $"thr", $"lbl")
+      .agg(count(lit(1)).as("n_segments"))
+    val nPts = pts.join(labels.withColumnRenamed("id", "p"), Seq("p"))
+      .groupBy($"ti", $"lbl")
+      .agg(count(lit(1)).as("n_points"),
+        min(expr("(p % 1000000) div 1000")).as("y2_min"),
+        max(expr("(p % 1000000) div 1000")).as("y2_max"),
+        min(expr("p % 1000")).as("x2_min"),
+        max(expr("p % 1000")).as("x2_max"))
+    nSeg.join(nPts, Seq("ti", "lbl"))
+      .selectExpr("thr", "lbl AS ring", "n_segments", "n_points",
+        "n_segments = n_points AS closed",
+        "y2_min", "y2_max", "x2_min", "x2_max")
+      .transform(Tables.ordered(_, $"thr", $"ring"))
+  }
+
+  /** w30 oracle: the identical construction — stencil squares by
+    * 3-way corner self-join, the same case arithmetic and segment
+    * case table, recursive min-label ring closure (the w25
+    * precedent), same packed half-grid keys. */
+  val w30Sql: String = {
+    val values = w30Levels.zipWithIndex
+      .map { case (v, i) => s"(CAST($i AS BIGINT), CAST($v AS DOUBLE))" }
+      .mkString(", ")
+    s"""WITH RECURSIVE g AS (${ThermalChain.sql(22)}),
+      |c AS (SELECT CAST(floor((lat + 70.0) / 5.0 + 0.5) AS BIGINT) AS li,
+      |        CAST(floor((lon + 177.5) / 5.0 + 0.5) AS BIGINT) AS lj,
+      |        max(utci_c) AS v
+      |      FROM g GROUP BY 1, 2),
+      |sq AS (SELECT sw.li AS si, sw.lj AS sj, sw.v AS vsw, se.v AS vse,
+      |        nw.v AS vnw, ne.v AS vne
+      |      FROM c sw
+      |      JOIN c se ON se.li = sw.li AND se.lj = (sw.lj + 1) % 72
+      |      JOIN c nw ON nw.li = sw.li + 1 AND nw.lj = sw.lj
+      |      JOIN c ne ON ne.li = sw.li + 1 AND ne.lj = (sw.lj + 1) % 72),
+      |t(ti, thr) AS (VALUES $values),
+      |cg AS (SELECT ti, thr,
+      |        CAST(vsw >= thr AS INT) + 2 * CAST(vse >= thr AS INT)
+      |          + 4 * CAST(vne >= thr AS INT) + 8 * CAST(vnw >= thr AS INT) AS mcase,
+      |        ti * 1000000 + (2 * si) * 1000 + (2 * sj + 1) AS s,
+      |        ti * 1000000 + (2 * si + 1) * 1000 + ((2 * sj + 2) % 144) AS e,
+      |        ti * 1000000 + (2 * si + 2) * 1000 + (2 * sj + 1) AS n,
+      |        ti * 1000000 + (2 * si + 1) * 1000 + (2 * sj) AS w
+      |      FROM sq CROSS JOIN t),
+      |seg AS (
+      |  SELECT ti, thr, least(w, s) AS a, greatest(w, s) AS b FROM cg WHERE mcase IN (1, 10, 14)
+      |  UNION ALL
+      |  SELECT ti, thr, least(s, e), greatest(s, e) FROM cg WHERE mcase IN (2, 5, 13)
+      |  UNION ALL
+      |  SELECT ti, thr, least(w, e), greatest(w, e) FROM cg WHERE mcase IN (3, 12)
+      |  UNION ALL
+      |  SELECT ti, thr, least(n, e), greatest(n, e) FROM cg WHERE mcase IN (4, 10, 11)
+      |  UNION ALL
+      |  SELECT ti, thr, least(w, n), greatest(w, n) FROM cg WHERE mcase IN (5, 7, 8)
+      |  UNION ALL
+      |  SELECT ti, thr, least(s, n), greatest(s, n) FROM cg WHERE mcase IN (6, 9)),
+      |pts AS (SELECT DISTINCT ti, p FROM (
+      |      SELECT ti, a AS p FROM seg
+      |      UNION ALL SELECT ti, b FROM seg)),
+      |und AS (SELECT a AS src, b AS dst FROM seg UNION SELECT b, a FROM seg),
+      |reach(id, lbl) AS (
+      |  SELECT p, p FROM pts
+      |  UNION
+      |  SELECT u.dst, r.lbl FROM reach r JOIN und u ON u.src = r.id),
+      |comp AS (SELECT id, min(lbl) AS lbl FROM reach GROUP BY id),
+      |nseg AS (SELECT s.ti, s.thr, c1.lbl,
+      |        CAST(count(*) AS BIGINT) AS n_segments
+      |      FROM seg s JOIN comp c1 ON c1.id = s.a GROUP BY 1, 2, 3),
+      |npts AS (SELECT p.ti, c2.lbl, CAST(count(*) AS BIGINT) AS n_points,
+      |        min((p.p % 1000000) // 1000) AS y2_min,
+      |        max((p.p % 1000000) // 1000) AS y2_max,
+      |        min(p.p % 1000) AS x2_min, max(p.p % 1000) AS x2_max
+      |      FROM pts p JOIN comp c2 ON c2.id = p.p GROUP BY 1, 2)
+      |SELECT n.thr, n.lbl AS ring, n.n_segments, m.n_points,
+      |  n.n_segments = m.n_points AS closed,
+      |  m.y2_min, m.y2_max, m.x2_min, m.x2_max
+      |FROM nseg n JOIN npts m ON m.ti = n.ti AND m.lbl = n.lbl
+      |ORDER BY 1, 2""".stripMargin
+  }
 }

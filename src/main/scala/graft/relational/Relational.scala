@@ -1596,16 +1596,29 @@ object Relational {
     * FILES" — manifest-resolved planning is O(files) metadata,
     * and the clustering write is the one-time layout cost p2/p12
     * already price. */
-  def q44(spark: SparkSession, dir: String): DataFrame = {
+  def q44(spark: SparkSession, dir: String): DataFrame =
+    q44Agg(spark, dir, pri = 3L)
+
+  /** The manifest-resolved scan + q43 aggregate at an arbitrary
+    * predicate value — factored so the spec can drive the
+    * EMPTY-PRUNE arm (a `pri` outside every file's [min, max] is a
+    * legitimate input: zone-map planning degrades to the empty
+    * scan — zero files opened, the schema comes from the store
+    * footer (a metadata-only read) and the false filter folds to
+    * an empty relation — never a crash). */
+  private[graft] def q44Agg(spark: SparkSession, dir: String, pri: Long)
+      : DataFrame = {
     import spark.implicits._
     val (data, manifest) = variantStatsStore(spark, dir)
     // bounded collect: ≤ q44Files manifest rows
     val hit = spark.read.parquet(manifest)
-      .filter("min_pri <= 3 AND max_pri >= 3")
+      .filter(s"min_pri <= $pri AND max_pri >= $pri")
       .select("file").collect().map(_.getString(0))
-    require(hit.nonEmpty, s"no candidate files under $data")
-    spark.read.parquet(hit.toIndexedSeq: _*)
-      .filter("variant_get(v, '$.meta.pri', 'bigint') = 3")
+    val base =
+      if (hit.isEmpty) spark.read.parquet(data).filter(lit(false))
+      else spark.read.parquet(hit.toIndexedSeq: _*)
+    base
+      .filter(s"variant_get(v, '$$.meta.pri', 'bigint') = $pri")
       .selectExpr("variant_get(v, '$.meta.src', 'string') AS src",
         "variant_get(v, '$.payload.k', 'bigint') AS k")
       .groupBy($"src")

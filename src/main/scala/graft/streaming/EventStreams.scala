@@ -1281,7 +1281,11 @@ object EventStreams {
       val reps: org.apache.spark.sql.DataFrame,
       val cents: Array[(Long, Array[Double])],
       var batches: Int = 0,
-      var lastDeltaRows: Long = 0L)
+      var lastDeltaRows: Long = 0L,
+      var storeRoot: String = null,
+      var storeVersion: Int = 0,
+      var folds: Int = 0,
+      var lastPubRows: Long = 0L)
 
   /** Compact the lazy union tree every this-many micro-batches: one
     * localCheckpoint over the accumulated pieces, then the pieces'
@@ -1296,6 +1300,31 @@ object EventStreams {
       s"vec_id >= 10 AND vec_id % ${graft.operators.Knn.v26ModK} <> 0")
     new AnnInsertState(e.select(col("vec_id"), col("nv")), g,
       reps.persist(), cents)
+  }
+
+  /** The insert door's state built FROM A COMMITTED STORE — the
+    * durable half s38 was missing its bootstrap for: a cold start
+    * (or a sibling) assembles the base plus every vectors+edges
+    * delta the fleet's insert batches published since the last fold
+    * ([[graft.operators.Knn.loadAnnStoreLsm]] — ZERO index builds),
+    * so a crash loses no arrival that a batch shipped. Tombstone
+    * deltas a co-located erasure path may have landed are honored
+    * by EXCLUDING their ids from the vector table: an edge into a
+    * tombstoned node stays in the graph but the node is unscoreable
+    * (absent from `vecs`, it drops out of every candidate scoring
+    * join), so it can neither be emitted as a link target nor
+    * accept new links — and a LATER re-arrival of the id is a fresh
+    * insert (the anti-join sees it gone), never a resurrection of
+    * the erased vector's bytes. */
+  private[graft] def annInsertStateFromStore(ss: SparkSession,
+      root: String): AnnInsertState = {
+    val (ix, tombs, _) = graft.operators.Knn.loadAnnStoreLsm(ss, root)
+    val st = new AnnInsertState(
+      ix.e.join(tombs, Seq("vec_id"), "left_anti"),
+      ix.graph, ix.reps, ix.cents)
+    st.storeRoot = root
+    st.storeVersion = graft.operators.Knn.committedVersions(root).max
+    st
   }
 
   /** One micro-batch through the insert door — factored so the
@@ -1350,6 +1379,50 @@ object EventStreams {
       .join(st.vecs.select(col("vec_id")), Seq("vec_id"), "left_anti")
       .localCheckpoint()
     st.vecs = st.vecs.unionByName(arrivals)
+    // DURABILITY (v31's segment discipline, the erasure door's twin):
+    // a store-backed door ships the batch's growth — its once-arriving
+    // vectors plus the delta edges that TOUCH them — as an O(|batch|)
+    // vectors+edges segment the moment it lands, so a crash loses
+    // nothing and a sibling's cold bootstrap inherits every arrival
+    // ([[annInsertStateFromStore]]). The endpoint restriction keeps
+    // replay idempotent at the STORE too: a replayed id has no
+    // arrival row, so neither its vector nor its edges re-publish
+    // (assembly stays duplicate-free without any cross-segment dedup).
+    st.lastPubRows = 0L
+    if (st.storeRoot != null) {
+      val nArr = arrivals.count()
+      if (nArr > 0L) {
+        val aSrc = arrivals.select(col("vec_id").as("src_id"))
+        val aNbr = arrivals.select(col("vec_id").as("nbr_id"))
+        val pubEdges = delta.join(aSrc, Seq("src_id"), "left_semi")
+          .unionByName(delta.join(aNbr, Seq("nbr_id"), "left_semi")
+            .select(col("src_id"), col("nbr_id")))
+          .distinct()
+        st.storeVersion = graft.operators.Knn.saveDeltaVersion(
+          st.storeRoot,
+          Map("vectors" -> arrivals, "edges" -> pubEdges))
+        st.lastPubRows = nArr
+        // DELTA-DEBT fold (RocksDB's L0 trigger — the axis the
+        // growth/deletion thresholds don't bound): once the unfolded
+        // tail reaches [[graft.operators.Knn.annDeltaFoldK]]
+        // segments, materialize the door's CURRENT state — which IS
+        // the store assembly, base ∪ published deltas — as the next
+        // committed base. No index build, no extra store read: the
+        // fold is one O(base + deltas) write every K batches, and it
+        // bounds cold-start assembly at ≤ K segments forever. The
+        // kind-aware vacuum then reclaims the folded tail (keeping
+        // the rollback predecessor — s43's retention posture).
+        if (graft.operators.Knn.unfoldedDeltaCount(st.storeRoot)
+            >= graft.operators.Knn.annDeltaFoldK) {
+          st.storeVersion = graft.operators.Knn.saveIndexVersion(
+            graft.operators.Knn.V21Static(st.vecs, st.graph, st.reps,
+              st.cents), st.storeRoot)
+          graft.operators.Knn.vacuumAnnStoreLsm(st.storeRoot,
+            annStoreKeep)
+          st.folds += 1
+        }
+      }
+    }
     st.batches += 1
     if (st.batches % annCompactEvery == 0) {
       val (og, ov) = (st.graph, st.vecs)
@@ -1427,7 +1500,8 @@ object EventStreams {
       var legBuilds: Int = 0,
       var lastArrivalRows: Long = 0L,
       var storeRoot: String = null,
-      var storeVersion: Int = 0)
+      var storeVersion: Int = 0,
+      var primedTombs: Long = 0L)
 
   private[graft] def annDeleteState(ss: SparkSession, dir: String)
       : AnnDeleteState = {
@@ -1463,6 +1537,16 @@ object EventStreams {
     val st = new AnnDeleteState(ix, qs,
       tombs.distinct().localCheckpoint())
     st.corpusN = ix.e.filter("vec_id >= 10").count()
+    // INHERITED tombstones don't count toward this process's rebuild
+    // threshold ([[annCompactServe]] subtracts `primedTombs` from the
+    // numerator): a freshly bootstrapped sibling whose primed set
+    // already sits near corpus/denom would otherwise fire the
+    // full-corpus rebuild on its FIRST batch — and every sibling in
+    // the fleet would do the same (no lease), multiplying the one
+    // rebuild the threshold exists to amortize. The inherited
+    // overhead stays VISIBLE (n_tomb_visited audits it per query);
+    // only newly-observed erasure arrivals advance the trigger.
+    st.primedTombs = st.deleted.count()
     st.storeRoot = root
     st.storeVersion = graft.operators.Knn.committedVersions(root).max
     st
@@ -1608,7 +1692,10 @@ object EventStreams {
         st.storeRoot, Map("tombs" -> arrivals))
     }
     val nDeleted = st.deleted.count()
-    if (nDeleted * s40CompactDenom >= st.corpusN) {
+    // threshold numerator = NEWLY-OBSERVED deletions only (see
+    // [[annDeleteStateFromStore]] — primed tombstones are a sibling's
+    // already-amortized history, not this process's trigger debt)
+    if ((nDeleted - st.primedTombs) * s40CompactDenom >= st.corpusN) {
       // COMPACT: v28's construction — rebuild over live vectors;
       // the delete set leaves the index and is consumed, and the
       // invariant serve legs + corpus count follow the new index
@@ -1643,6 +1730,7 @@ object EventStreams {
       st.ix.reps.unpersist()
       st.ix = newIx
       st.deleted = ss.range(0).selectExpr("id AS vec_id").localCheckpoint()
+      st.primedTombs = 0L // the compaction consumed the inherited set
       // the index swap INVALIDATES the cached legs — free them (if
       // any batch ever built them) and let the next serve lazy-build
       // over the compacted index
@@ -2073,6 +2161,82 @@ object EventStreams {
   /** s46 oracle: dq10's, verbatim — the twin contract on the
     * single-replay batch. */
   val s46Sql: String = graft.operators.Quality.dq10Sql
+
+  /** s47: DURABLE INSERT DOOR — s38's streaming NSW insert wired
+    * through the v31 LSM store, closing the asymmetry the erasure
+    * side closed in round 17: s43 publishes every erasure wave as a
+    * tombstone delta (a crash loses no deletion), but s38's grown
+    * index lives only in session state — a crash loses EVERY
+    * arrival since bootstrap. Here the trainer publishes the
+    * standing base index ONCE ([[graft.operators.Knn
+    * .saveIndexVersion]], the one build in the story); the serving
+    * process bootstraps through [[annInsertStateFromStore]]
+    * ([[graft.operators.Knn.loadAnnStoreLsm]] — zero builds, torn
+    * store refused at the stream boundary); and every insert batch
+    * ships its arrivals + their links as an O(|batch|)
+    * vectors+edges delta segment the moment it lands
+    * ([[annInsertGrow]]'s publish leg), with the RocksDB-style
+    * delta-debt fold ([[graft.operators.Knn.annDeltaFoldK]])
+    * bounding cold-start assembly at ≤ K segments. A killed door's
+    * sibling re-bootstraps from the store and serves the SAME grown
+    * graph — bitwise, with zero builds (spec-pinned). Replayed as
+    * ONE batch (the Verify path) the emitted rows ARE batch v26's
+    * insert edges — oracle [[graft.operators.Knn.v26InsertSql]]
+    * verbatim: the store, the per-batch publishes, and any fold are
+    * all semantically invisible (the v29/v31 proven contract).
+    *
+    * Scale: the 100 TB ingest fleet's missing durability leg —
+    * per-batch store bytes are O(|batch|·degree) (never a corpus
+    * copy), restart cost is one manifest-gated assembly of ≤ K
+    * segments (no re-ingest, no rebuild), and the fold amortizes
+    * the one O(base+deltas) write over K batches. */
+  /** The s47 trainer: s38's standing index over the base corpus,
+    * published once as store v1 (v31's base-publish shape — the
+    * vector table excludes the insert candidates, so a door
+    * bootstrapped from it sees them as genuine ARRIVALS). Returns
+    * the store root; factored so the kill-and-rebootstrap spec
+    * seeds the identical store the query serves from. */
+  private[graft] def annInsertStoreSeed(ss: SparkSession, dir: String)
+      : String = {
+    val root = java.nio.file.Files.createTempDirectory("graft_s47_")
+      .toFile
+    graft.operators.Incremental.cleanupOnExit(root)
+    val e = graft.operators.Knn.vectors(ss, dir)
+    val insPred =
+      s"vec_id >= 10 AND vec_id % ${graft.operators.Knn.v26ModK} = 0"
+    val (g, reps, cents) = graft.operators.Knn.v21Index(ss, e,
+      s"vec_id >= 10 AND vec_id % ${graft.operators.Knn.v26ModK} <> 0")
+    val ix0 = graft.operators.Knn.V21Static(
+      e.filter(s"NOT ($insPred)").select(col("vec_id"), col("nv")),
+      g, reps.persist(), cents)
+    graft.operators.Knn.saveIndexVersion(ix0, root.getAbsolutePath)
+    ix0.reps.unpersist()
+    root.getAbsolutePath
+  }
+
+  def s47(spark: SparkSession, dir: String): DataFrame = {
+    val ss = streamSession(spark)
+    graft.Tables.tsConfs(ss)
+    // BATCH TRAINER: one offline build, published as store v1
+    val root = annInsertStoreSeed(ss, dir)
+    // SERVING PROCESS: bootstrap from the committed store — zero
+    // builds — then grow + publish per batch
+    val st = annInsertStateFromStore(ss, root)
+    val schema = ss.read.parquet(s"$dir/embeddings.parquet").schema
+    val src = graft.operators.Knn.normalized(
+        ss.readStream.schema(schema)
+          .option("pathGlobFilter", "embeddings.parquet").parquet(dir))
+      .filter(col("vec_id") >= 10 &&
+        col("vec_id") % graft.operators.Knn.v26ModK === 0)
+      .select(col("vec_id"), col("nv"))
+    runBatched(src, b => annInsertServe(st, b))
+      .transform(graft.Tables.ordered(_, col("new_id"), col("rnk")))
+  }
+
+  /** s47 oracle: v26's insert-edge selection, verbatim — the store
+    * and every per-batch publish must be semantically invisible
+    * (twin contract with s38). */
+  val s47Sql: String = graft.operators.Knn.v26InsertSql
 
   /** s41: STREAMING SHARD-INGEST AUDIT DOOR — m24's corpus-grain
     * completeness/collision audit kept CURRENT as shards land,

@@ -2061,6 +2061,93 @@ class DedupKnnSpec extends AnyFunSuite {
     repsB.unpersist(); repsF.unpersist()
   }
 
+  test("v32: index-store quorum — minority poison convicted and healed from the majority, manifests equal the majority's, a tie refuses with every base untouched") {
+    val Knn = graft.operators.Knn
+    import spark.implicits._
+    import java.nio.file.{Files, Paths}
+    def parse(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Int]("rnk"),
+        r.getAs[Long]("vec_id"), r.getAs[Double]("cos_sim"),
+        r.getAs[Long]("in_exact"))).toSeq
+    // the query's own contract: the healed minority serves batch
+    // v21's rows bitwise — poison, vote and heal invisible
+    val viaQuorum = parse(Knn.v32(spark, sf)).sorted
+    val batch = parse(Knn.v21(spark, sf)).sorted
+    assert(viaQuorum == batch && viaQuorum.nonEmpty)
+    // kernel pins on synthetic three-replica stores
+    val base = Files.createTempDirectory("graft_v32spec_").toFile
+    graft.operators.Incremental.cleanupOnExit(base)
+    val roots = Seq("r1", "r2", "r3").map(nm =>
+      new java.io.File(base, nm).getAbsolutePath)
+    val vecs = (0L until 50L).map(i => (i, Array(i.toDouble)))
+      .toDF("vec_id", "nv").localCheckpoint()
+    val graph = (0L until 49L).map(i => (i, i + 1))
+      .toDF("src_id", "nbr_id").localCheckpoint()
+    val cents = Array((0L, Array(0.0)))
+    roots.foreach { r =>
+      assert(Knn.saveIndexVersion(
+        Knn.V21Static(vecs, graph, vecs, cents), r) == 1)
+    }
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory)
+        Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+      f.delete(); ()
+    }
+    // SELF-CONSISTENT poison: drop a deterministic graph row and
+    // rewrite the manifest count to match — the load gate passes,
+    // only the cross-replica vote can see it
+    def poison(root: String, dropLast: Boolean): Unit = {
+      val dir = s"$root/v1/graph"
+      val df = spark.read.parquet(dir)
+      val victim =
+        if (dropLast) df.orderBy(col("src_id").desc, col("nbr_id").desc)
+          .limit(1)
+        else df.orderBy(col("src_id"), col("nbr_id")).limit(1)
+      val kept = df.exceptAll(victim).localCheckpoint()
+      val n = kept.count()
+      rm(new java.io.File(dir))
+      kept.write.parquet(dir)
+      val mfp = Paths.get(root, "v1", "_MANIFEST")
+      val mf = new String(Files.readAllBytes(mfp), "UTF-8").split("\n")
+        .map(l => if (l.startsWith("graph ")) s"graph $n" else l)
+      Files.write(mfp, mf.mkString("\n").getBytes("UTF-8"))
+      graft.functions.Lineage.freeCheckpoint(kept)
+    }
+    poison(roots(2), dropLast = true)
+    // count gate still passes on the poisoned store (the point)
+    spark.catalog.clearCache()
+    assert(Knn.loadLatestIndex(spark, roots(2))._2 == 1)
+    val healed = Knn.quorumHealAnnStore(spark, roots)
+    assert(healed == Seq(roots(2)),
+      s"the quorum must convict exactly the poisoned root: $healed")
+    // the healed version's manifest equals the majority's VERBATIM
+    val m1 = new String(Files.readAllBytes(
+      Paths.get(roots(0), "v1", "_MANIFEST")), "UTF-8")
+    val m3 = new String(Files.readAllBytes(
+      Paths.get(roots(2), "v2", "_MANIFEST")), "UTF-8")
+    assert(m3 == m1, "healed manifest must equal the majority's")
+    // and its healed component digests the majority's bytes
+    assert(Knn.annComponentDigest(spark, s"${roots(2)}/v2", "graph") ==
+      Knn.annComponentDigest(spark, s"${roots(0)}/v1", "graph"))
+    // the poisoned v1 stays for forensics (copy-on-write heal)
+    assert(new java.io.File(roots(2), "v1/_MANIFEST").exists())
+    // idempotence: a second pass finds unanimity, publishes nothing
+    assert(Knn.quorumHealAnnStore(spark, roots).isEmpty)
+    assert(Knn.latestCommittedVersion(roots(2)).contains(2))
+    // THREE-WAY TIE refuses BEFORE any publish: poison r1 and r2's
+    // graphs differently — no majority, nothing to heal from, every
+    // root keeps serving its newest committed base
+    poison(roots(0), dropLast = false)
+    poison(roots(1), dropLast = true)
+    val versBefore = roots.map(Knn.latestCommittedVersion(_).get)
+    val ex = intercept[IllegalStateException] {
+      Knn.quorumHealAnnStore(spark, roots)
+    }
+    assert(ex.getMessage.contains("tie"))
+    assert(roots.map(Knn.latestCommittedVersion(_).get) == versBefore,
+      "a tie must leave every newest committed base untouched")
+  }
+
   test("v28: compaction rebuild — the dial reads 0 on every query, tombstones leave the index, recall holds") {
     def parse(df: org.apache.spark.sql.DataFrame) = df.collect()
       .map(r => (r.getAs[Long]("qid"), r.getAs[Int]("rnk"),

@@ -125,6 +125,21 @@ class PlanSpec extends AnyFunSuite {
     } finally java.nio.file.Files.write(victim.toPath, orig)
   }
 
+  test("q44: a predicate outside every file's range degrades to the empty scan, not a crash") {
+    // a zone-map planner's all-pruned outcome is a LEGITIMATE input
+    // (the advice regression: require(hit.nonEmpty) used to throw):
+    // the manifest prunes every file, zero files open, and the
+    // aggregate is empty with q44's exact output shape
+    val (_, manifest) = Relational.variantStatsStore(spark, sf)
+    val maxPri = spark.read.parquet(manifest)
+      .agg(org.apache.spark.sql.functions.max("max_pri"))
+      .collect()(0).getLong(0)
+    val out = Relational.q44Agg(spark, sf, pri = maxPri + 1000L)
+    assert(out.columns.toSeq == Seq("src", "n", "sum_k"))
+    assert(out.count() == 0L,
+      "an all-pruned predicate must serve the empty aggregate")
+  }
+
   test("dq10: store reads prune at the partition-directory level and the damaged-partition scan is partition-filtered") {
     val Q = graft.operators.Quality
     // seed a store through the kernels, then pin that the resolved

@@ -3170,6 +3170,109 @@ class RelationalSpec extends AnyFunSuite {
       if (!tied.contains(t._2))
         assert(t._5 == (if (t._1 == "r1") "r2" else "r1"))
     }
+    // a NEVER-CONVICTED root has no repairlog under its serving
+    // version — the log read must skip it, not throw (advice
+    // regression: only one replica defective, two agree)
+    val base2 = java.nio.file.Files
+      .createTempDirectory("graft_dq12one_").toFile
+    graft.operators.Incremental.cleanupOnExit(base2)
+    val roots2 = Seq("r1", "r2", "r3").map(nm =>
+      new java.io.File(base2, nm).getAbsolutePath)
+    Q.seedStoreFrom(Q.dq11Replicas(p).head._2, roots2(0)) // defective
+    Q.seedStoreFrom(p, roots2(1)) // agrees with the majority
+    Q.seedStoreFrom(p, roots2(2))
+    val audit2 = new java.io.File(base2, "audit").getAbsolutePath
+    assert(Q.quorumPass(spark, roots2, p, audit2) > 0L)
+    val logs2 = Q.readRepairLogs(spark, roots2).collect()
+      .map(r => r.getAs[String]("replica"))
+    assert(logs2.nonEmpty && logs2.forall(_ == "r1"),
+      "only the convicted root carries a repairlog — and reading " +
+        "the agreeing roots must not throw")
+    // the healed minority equals the primary on disk
+    assert(Q.readReplicaStore(spark, roots2(0)).drop("pg").collect()
+      .map(_.toSeq).sortBy(_.toString).toSeq == want)
+  }
+
+  test("dq13: additive evolution — evolved values land only on corrected rows, time travel serves v1's shape, a removed column refuses, a fileless oldest version serves") {
+    val Q = graft.operators.Quality
+    import spark.implicits._
+    val rows = Q.dq13(spark, sf).collect()
+      .map(r => (r.getAs[Long]("pg"), r.getAs[Long]("n_rows"),
+        r.getAs[Long]("n_evolved")))
+    assert(rows.nonEmpty)
+    // the resolved evolved store holds the primary's row count, and
+    // evolved values sit on EXACTLY the shipped corrections
+    // (insert_missing + overwrite_corrupt — a delete ships no row),
+    // in exactly their partition groups; everything else defaulted
+    val dq9 = Q.dq9(spark, sf).collect()
+      .map(r => (r.getAs[Long]("bucket"), r.getAs[String]("action")))
+    val nOrders = Tables.orders(spark, sf).count()
+    assert(rows.map(_._2).sum == nOrders)
+    assert(rows.map(_._3).sum ==
+      dq9.count(_._2 != "delete_extra").toLong,
+      "evolved values must be exactly the shipped corrections")
+    val evolvedPgs = dq9.filter(_._2 != "delete_extra")
+      .map(_._1 % Q.dq10Parts).toSet
+    rows.foreach { case (pg, _, nEv) =>
+      assert((nEv > 0L) == evolvedPgs.contains(pg),
+        s"pg $pg: evolved-count $nEv vs shipped set $evolvedPgs")
+    }
+    // kernel pins on a private store
+    val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
+      "o_orderpriority")
+    val p = Tables.orders(spark, sf).selectExpr(cols: _*)
+    val p2 = Tables.orders(spark, sf).selectExpr(
+      (cols :+ "CAST(floor(o_totalprice) AS BIGINT) AS o_price_floor"): _*)
+    val rootF = java.nio.file.Files
+      .createTempDirectory("graft_dq13spec_").toFile
+    graft.operators.Incremental.cleanupOnExit(rootF)
+    val root = rootF.getAbsolutePath
+    Q.seedReplicaStore(p, root)
+    assert(Q.repairPass(spark, root, p2) > 0L)
+    // the resolved read serves the UNION shape; TIME TRAVEL to v1
+    // still serves v1's pre-evolution shape (additive evolution
+    // never rewrites history)
+    val res = Q.readReplicaStore(spark, root)
+    assert(res.columns.contains("o_price_floor"))
+    val v1cols = Q.readReplicaStoreAt(spark, root, 1).columns.toSeq
+    assert(!v1cols.contains("o_price_floor") &&
+      v1cols == Seq("o_orderkey", "o_custkey", "o_orderstatus",
+        "o_orderpriority", "pg"),
+      s"v1 must serve its own shape, got $v1cols")
+    // the 4-column content is the healed store regardless of shape
+    assert(res.selectExpr(cols: _*).collect().map(_.toSeq)
+      .sortBy(_.toString).toSeq ==
+      p.collect().map(_.toSeq).sortBy(_.toString).toSeq)
+    // a REMOVED column refuses loudly: hand-publish a v3 serving one
+    // partition group with a narrower schema — silent data drop is
+    // the one thing the evolving reader must never do
+    val narrow = Q.withPg(p).filter("pg = 0").drop("o_orderpriority")
+    narrow.write.partitionBy("pg").parquet(s"$root/v3/data")
+    Q.writeStoreSchema(root, 3, narrow.schema)
+    val (_, mapNow) = Q.readStoreManifest(root)
+    Q.writeStoreManifest(root, 3, mapNow + (0L -> 3))
+    val ex = intercept[IllegalStateException] {
+      Q.readReplicaStore(spark, root)
+    }
+    assert(ex.getMessage.contains("o_orderpriority"))
+    // ADVICE regression: the OLDEST serving version may legally be a
+    // fileless data directory once repairs rotate the seed out of
+    // the manifest — the per-version _SCHEMA keeps it servable
+    // (schema inference on the fileless version used to throw)
+    val root2F = java.nio.file.Files
+      .createTempDirectory("graft_dq13spec2_").toFile
+    graft.operators.Incremental.cleanupOnExit(root2F)
+    val root2 = root2F.getAbsolutePath
+    Q.seedStoreFrom(p.limit(5), root2)
+    val sch = Q.readStoreSchema(spark, root2, 1)
+    assert(new java.io.File(root2, "v2/data").mkdirs())
+    Q.writeStoreSchema(root2, 2, sch)
+    Q.writeStoreManifest(root2, 2,
+      (0L until Q.dq10Parts).map(_ -> 2).toMap)
+    val emptied = Q.readReplicaStore(spark, root2)
+    assert(emptied.count() == 0L &&
+      emptied.columns.toSeq == sch.fieldNames.toSeq,
+      "a fileless oldest serving version must serve its empty state")
   }
 
   test("dq7: FD audit equals a sequential recompute; both arms and the support arithmetic hold") {

@@ -1482,6 +1482,290 @@ class StreamingPipelineSpec extends AnyFunSuite {
       "the retained predecessor must remain a valid rollback target")
   }
 
+  test("s47 durable insert door: replay equals batch v26 edges; a killed door's sibling re-bootstraps with zero builds and serves bitwise") {
+    import spark.implicits._
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("new_id"), r.getAs[Int]("rnk"),
+        r.getAs[Long]("nbr_id"), r.getAs[Double]("cos_sim"))).toSeq
+    // twin contract: the store-backed door replayed (one batch) ==
+    // batch v26's insert-edge selection, bitwise — the store and its
+    // per-batch publishes are semantically invisible
+    val streamed = rows(graft.streaming.EventStreams.s47(spark, sf)).sorted
+    val e = graft.operators.Knn.vectors(spark, sf)
+    val modK = graft.operators.Knn.v26ModK
+    val (g0, reps0, cents0) = graft.operators.Knn.v21Index(spark, e,
+      s"vec_id >= 10 AND vec_id % $modK <> 0")
+    val ixBase = graft.operators.Knn.V21Static(e, g0, reps0, cents0)
+    val newQs = e.filter(s"vec_id >= 10 AND vec_id % $modK = 0")
+      .selectExpr("vec_id", "nv").as[(Long, Array[Double])]
+      .collect().sortBy(_._1)
+    val batch = rows(
+      graft.operators.Knn.v21InsertEdges(ixBase, newQs)).sorted
+    assert(streamed == batch && streamed.nonEmpty)
+    // KILL-AND-REBOOTSTRAP: plant two near-copies of one base vector
+    // in separate batches with a CRASH in between — the sibling that
+    // re-bootstraps from the store must see batch 1's growth (the
+    // second arrival links to the first THROUGH the store), perform
+    // zero index builds, and serve batch 2 bitwise like the
+    // continuous door that never crashed
+    val baseX = e.filter("vec_id = 50")
+      .selectExpr("vec_id", "transform(nv, x -> x)")
+      .as[(Long, Array[Double])].collect()(0)._2
+    val nrm = math.sqrt(baseX.map(x => x * x).sum)
+    def copyOf(sign: Double): Seq[Double] = {
+      val v = baseX.clone(); v(0) += sign * 0.1 * nrm; v.toSeq
+    }
+    val a = (9000001L, copyOf(1.0)); val b = (9000002L, copyOf(-1.0))
+    implicit val sqlCtx = spark.sqlContext
+    def driveOne(st: graft.streaming.EventStreams.AnnInsertState,
+        data: (Long, Seq[Double])): Seq[(Long, Long)] = {
+      val mem = MemoryStream[(Long, Seq[Double])]
+      val links = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+      val src = graft.operators.Knn.normalized(
+          mem.toDF().toDF("vec_id", "embedding"))
+        .select(col("vec_id"), col("nv"))
+      val q = src.writeStream.outputMode("append")
+        .foreachBatch { (bdf: org.apache.spark.sql.DataFrame, _: Long) =>
+          links ++= graft.streaming.EventStreams.annInsertServe(st, bdf)
+            .collect()
+            .map(r => (r.getAs[Long]("new_id"), r.getAs[Long]("nbr_id")))
+          ()
+        }.start()
+      try { mem.addData(data); q.processAllAvailable() } finally q.stop()
+      links.toSeq
+    }
+    // continuous control: both batches on one door over its own store
+    val rootC = graft.streaming.EventStreams.annInsertStoreSeed(spark, sf)
+    val stC = graft.streaming.EventStreams.annInsertStateFromStore(
+      spark, rootC)
+    driveOne(stC, a)
+    val contB2 = driveOne(stC, b).sorted
+    // crashed door: batch 1, then the state is DISCARDED (the crash),
+    // then a sibling re-bootstraps from the store
+    val root = graft.streaming.EventStreams.annInsertStoreSeed(spark, sf)
+    val st1 = graft.streaming.EventStreams.annInsertStateFromStore(
+      spark, root)
+    driveOne(st1, a)
+    assert(graft.operators.Knn.isDeltaVersion(root, st1.storeVersion),
+      "the insert batch must publish a delta segment")
+    graft.operators.Knn.indexBuilds.set(0L)
+    val st2 = graft.streaming.EventStreams.annInsertStateFromStore(
+      spark, root)
+    assert(graft.operators.Knn.indexBuilds.get == 0L,
+      "the sibling bootstrap must perform zero index builds")
+    assert(st2.vecs.filter(s"vec_id = ${a._1}").count() == 1L,
+      "the sibling must inherit batch 1's arrival from the store")
+    val sibB2 = driveOne(st2, b).sorted
+    assert(sibB2 == contB2,
+      "the re-bootstrapped sibling must serve batch 2 bitwise")
+    assert(sibB2.exists { case (n, l) => n == b._1 && l == a._1 },
+      "the second arrival must link to the first THROUGH the store")
+  }
+
+  test("s47 per-batch store bytes are O(|batch|): vectors = arrivals, edges endpoint-bounded; a replayed batch publishes nothing") {
+    import spark.implicits._
+    // synthetic kernel drive (the s38 growth-spec idiom): a seeded
+    // store + direct annInsertGrow calls pin the publish volumes
+    // exactly without paying a beam search per batch
+    val baseN = 200L
+    val baseVecs = (0L until baseN).map(i => (i, Array(i.toDouble)))
+      .toDF("vec_id", "nv").localCheckpoint()
+    val baseGraph = (0L until baseN)
+      .flatMap(i => Seq((i, (i + 1) % baseN), ((i + 1) % baseN, i)))
+      .toDF("src_id", "nbr_id").localCheckpoint()
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_s47vol_").toFile
+    graft.operators.Incremental.cleanupOnExit(root)
+    val rootP = root.getAbsolutePath
+    val cents1 = Array((0L, Array(0.0)))
+    assert(graft.operators.Knn.saveIndexVersion(
+      graft.operators.Knn.V21Static(baseVecs, baseGraph, baseVecs,
+        cents1), rootP) == 1)
+    val st = new graft.streaming.EventStreams.AnnInsertState(
+      baseVecs, baseGraph, baseVecs, cents1)
+    st.storeRoot = rootP
+    st.storeVersion = 1
+    val ids = (0 until 4).map(j => 10000L + j)
+    val ins = ids.flatMap(id =>
+      (0 until 16).map(k => (id, (id * 7 + k * 31) % baseN)))
+    graft.streaming.EventStreams.annInsertGrow(st,
+      ins.toDF("new_id", "nbr_id"),
+      ids.map(id => (id, Array(id.toDouble))).toDF("vec_id", "nv"))
+    assert(st.storeVersion == 2 &&
+      graft.operators.Knn.isDeltaVersion(rootP, 2))
+    // the manifest counts ARE the published volume: |batch| vectors,
+    // ≤ 2·degree·|batch| edges — graph- and corpus-size independent
+    val mf = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(rootP, "v2", "_MANIFEST")), "UTF-8")
+      .split("\n").drop(1).map(_.split(" "))
+      .map(x => x(0) -> x(1).toLong).toMap
+    assert(mf("vectors") == ids.size.toLong,
+      s"published vectors ${mf("vectors")} != arrivals ${ids.size}")
+    assert(mf("edges") == st.lastDeltaRows,
+      "an all-fresh batch publishes exactly its growth delta")
+    assert(mf("edges") <= 2L * ins.size,
+      "published edges exceed the batch bound")
+    assert(mf("tombs") == 0L,
+      "an insert segment must be component-sparse (no tombs written)")
+    // REPLAY: the same batch again — no arrivals, NO publish (store
+    // replay idempotence, the erasure door's deduped-arrival twin)
+    graft.streaming.EventStreams.annInsertGrow(st,
+      ins.toDF("new_id", "nbr_id"),
+      ids.map(id => (id, Array(id.toDouble))).toDF("vec_id", "nv"))
+    assert(st.storeVersion == 2 && st.lastPubRows == 0L,
+      "a replayed batch must not publish a segment")
+    assert(graft.operators.Knn.committedVersions(rootP) == Seq(1, 2))
+  }
+
+  test("s47 composes with tombstone deltas: insert then erase across a restart — erased id unscoreable, re-arrival is a fresh insert") {
+    import spark.implicits._
+    val baseN = 100L
+    val baseVecs = (0L until baseN).map(i => (i, Array(i.toDouble)))
+      .toDF("vec_id", "nv").localCheckpoint()
+    val baseGraph = (0L until baseN)
+      .flatMap(i => Seq((i, (i + 1) % baseN), ((i + 1) % baseN, i)))
+      .toDF("src_id", "nbr_id").localCheckpoint()
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_s47mix_").toFile
+    graft.operators.Incremental.cleanupOnExit(root)
+    val rootP = root.getAbsolutePath
+    val cents1 = Array((0L, Array(0.0)))
+    graft.operators.Knn.saveIndexVersion(
+      graft.operators.Knn.V21Static(baseVecs, baseGraph, baseVecs,
+        cents1), rootP)
+    val st = new graft.streaming.EventStreams.AnnInsertState(
+      baseVecs, baseGraph, baseVecs, cents1)
+    st.storeRoot = rootP
+    st.storeVersion = 1
+    // INSERT: id 10000 arrives and publishes (vectors+edges delta v2)
+    graft.streaming.EventStreams.annInsertGrow(st,
+      Seq((10000L, 0L), (10000L, 1L)).toDF("new_id", "nbr_id"),
+      Seq((10000L, Array(10000.0))).toDF("vec_id", "nv"))
+    assert(st.storeVersion == 2)
+    // ERASE: the erasure path tombstones it (s43's per-batch delta,
+    // published against the same root) — delta v3
+    graft.operators.Knn.saveDeltaVersion(rootP,
+      Map("tombs" -> Seq(10000L).toDF("vec_id")))
+    // RESTART: the sibling's assembly folds all three segments — the
+    // erased id is gone from the vector table (unscoreable: it can
+    // neither serve as a link target nor accept links), its edges
+    // dangle harmlessly, and the base is intact
+    val st2 = graft.streaming.EventStreams.annInsertStateFromStore(
+      spark, rootP)
+    assert(st2.vecs.filter("vec_id = 10000").count() == 0L,
+      "a tombstoned insert must not survive the restart assembly")
+    assert(st2.vecs.count() == baseN,
+      "the base corpus must survive the tombstone intact")
+    // RE-ARRIVAL of the erased id: a fresh insert (the anti-join
+    // sees it gone), re-published as a new delta — erasure is not
+    // a permanent id ban
+    graft.streaming.EventStreams.annInsertGrow(st2,
+      Seq((10000L, 2L)).toDF("new_id", "nbr_id"),
+      Seq((10000L, Array(-1.0))).toDF("vec_id", "nv"))
+    assert(st2.lastPubRows == 1L,
+      "a re-arrival after erasure must publish as a fresh insert")
+    assert(st2.vecs.filter("vec_id = 10000").count() == 1L)
+  }
+
+  test("delta-debt fold: n sub-threshold publishes trigger exactly n/K folds and cold assembly never exceeds K segments") {
+    import spark.implicits._
+    val k = graft.operators.Knn.annDeltaFoldK
+    val baseN = 200L
+    val baseVecs = (0L until baseN).map(i => (i, Array(i.toDouble)))
+      .toDF("vec_id", "nv").localCheckpoint()
+    val baseGraph = (0L until baseN)
+      .flatMap(i => Seq((i, (i + 1) % baseN), ((i + 1) % baseN, i)))
+      .toDF("src_id", "nbr_id").localCheckpoint()
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_s47fold_").toFile
+    graft.operators.Incremental.cleanupOnExit(root)
+    val rootP = root.getAbsolutePath
+    val cents1 = Array((0L, Array(0.0)))
+    graft.operators.Knn.saveIndexVersion(
+      graft.operators.Knn.V21Static(baseVecs, baseGraph, baseVecs,
+        cents1), rootP)
+    val st = new graft.streaming.EventStreams.AnnInsertState(
+      baseVecs, baseGraph, baseVecs, cents1)
+    st.storeRoot = rootP
+    st.storeVersion = 1
+    val n = 2 * k + 1 // crosses the trigger twice, leaves a tail
+    var deltaSum = 0L
+    (0 until n).foreach { i =>
+      val id = 20000L + i
+      graft.streaming.EventStreams.annInsertGrow(st,
+        Seq((id, (id * 7) % baseN)).toDF("new_id", "nbr_id"),
+        Seq((id, Array(id.toDouble))).toDF("vec_id", "nv"))
+      deltaSum += st.lastDeltaRows
+      // the RocksDB L0 bound: the observable unfolded tail never
+      // reaches K (the publish that lands segment K folds in the
+      // same grow call), so cold assembly unions ≤ K segments ever
+      val unfolded = graft.operators.Knn.unfoldedDeltaCount(rootP)
+      assert(unfolded < k, s"publish $i left $unfolded unfolded >= $k")
+      assert(st.folds == (i + 1) / k,
+        s"after ${i + 1} publishes expected ${(i + 1) / k} folds, got ${st.folds}")
+    }
+    assert(st.folds == n / k && st.folds == 2)
+    assert(graft.operators.Knn.unfoldedDeltaCount(rootP) == n % k)
+    // the fold is semantically invisible: cold assembly == the
+    // door's live state, row for row
+    val (ixCold, tombs, _) = graft.operators.Knn.loadAnnStoreLsm(
+      spark, rootP)
+    assert(tombs.isEmpty)
+    assert(ixCold.e.count() == baseN + n,
+      "cold assembly must carry every published arrival")
+    assert(ixCold.e.count() == st.vecs.count() &&
+      ixCold.graph.count() == st.graph.count(),
+      "cold assembly must equal the door's live state")
+    assert(ixCold.graph.count() == 2L * baseN + deltaSum)
+  }
+
+  test("s43 bootstrap: inherited tombstones near threshold do not fire a sibling rebuild; newly-observed arrivals still do") {
+    import spark.implicits._
+    // seed a committed store, then plant tombstone deltas whose
+    // folded set already sits ABOVE corpus/denom — the advice
+    // scenario: every freshly-bootstrapped sibling in a fleet would
+    // otherwise fire the full-corpus rebuild on its first batch
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_s43primed_").toFile
+    graft.operators.Incremental.cleanupOnExit(root)
+    val rootP = root.getAbsolutePath
+    val ix0 = graft.operators.Knn.v21Static(spark, sf)
+    graft.operators.Knn.saveIndexVersion(ix0, rootP)
+    ix0.reps.unpersist()
+    val tombs = graft.operators.Knn.vectors(spark, sf)
+      .filter(s"vec_id >= 10 AND vec_id % ${graft.operators.Knn.v27ModK} = 0")
+      .selectExpr("vec_id")
+    graft.operators.Knn.saveDeltaVersion(rootP, Map("tombs" -> tombs))
+    val st = graft.streaming.EventStreams.annDeleteStateFromStore(
+      spark, sf, rootP)
+    val nPrimed = st.primedTombs
+    assert(nPrimed > 0L &&
+      nPrimed * graft.streaming.EventStreams.s40CompactDenom
+        >= st.corpusN,
+      "fixture must plant an over-threshold inherited set")
+    graft.operators.Knn.indexBuilds.set(0L)
+    // first batch: NOTHING newly observed — the primed set alone
+    // must not trigger the rebuild (it is a sibling's already-
+    // amortized history, not this process's debt)
+    graft.streaming.EventStreams.annCompactServe(st,
+      Seq.empty[Long].toDF("vec_id")).foreach(_ => ())
+    assert(graft.operators.Knn.indexBuilds.get == 0L,
+      "inherited tombstones must not fire a bootstrap rebuild")
+    // newly-observed erasure arrivals past the threshold DO compact:
+    // feed corpus/denom fresh (non-inherited) ids
+    val fresh = st.ix.e.filter("vec_id >= 10")
+      .join(st.deleted, Seq("vec_id"), "left_anti")
+      .select("vec_id").as[Long].take(
+        (st.corpusN / graft.streaming.EventStreams.s40CompactDenom
+          + 1L).toInt).toSeq
+    graft.streaming.EventStreams.annCompactServe(st,
+      fresh.toDF("vec_id")).foreach(_ => ())
+    assert(graft.operators.Knn.indexBuilds.get == 1L,
+      "newly-observed arrivals past the threshold must compact")
+    assert(st.primedTombs == 0L,
+      "the compaction consumed the inherited set")
+  }
+
   test("s44 reconciliation door: full replay equals batch dq8; the fold is algebraic; the low-water mark gates pending buckets, convictions are final") {
     import spark.implicits._
     def rows(df: org.apache.spark.sql.DataFrame) = df.collect()

@@ -413,4 +413,61 @@ class ThermalSpec extends AnyFunSuite {
     assert(got.keys.forall(s => s >= 0 && s < 16))
     assert(got.values.map(_._1).sum == rows.length.toLong)
   }
+
+  test("w30: marching squares stitches known synthetic rings — the diamond, the globe-wrap pair, the open boundary polyline") {
+    val spark = SharedSpark.spark
+    import spark.implicits._
+    val W = graft.operators.Weather
+    def rings(cells: Seq[(Long, Long, Double)], lvls: Seq[Double]) =
+      W.w30Rings(cells.toDF("li", "lj", "v"), lvls).collect()
+        .map(r => (r.getAs[Double]("thr"), r.getAs[Long]("ring"),
+          r.getAs[Long]("n_segments"), r.getAs[Long]("n_points"),
+          r.getAs[Boolean]("closed"), r.getAs[Long]("y2_min"),
+          r.getAs[Long]("y2_max"), r.getAs[Long]("x2_min"),
+          r.getAs[Long]("x2_max"))).toSeq
+    // (a) one hot cell in a cold interior: a single closed DIAMOND —
+    // 4 segments through the 4 surrounding squares' edge midpoints,
+    // stitched in sequence (ring label = the min packed node key)
+    val oneHot = for { i <- 0L until 5L; j <- 0L until 5L }
+      yield (i, j, if (i == 2 && j == 2) 10.0 else 0.0)
+    val d = rings(oneHot, Seq(5.0))
+    assert(d == Seq((5.0, 3004L, 4L, 4L, true, 3L, 5L, 3L, 5L)),
+      s"diamond ring mismatch: $d")
+    // level-tagged keys: adding a level nothing crosses changes
+    // NOTHING (no cross-level component bleed, no phantom rings)
+    assert(rings(oneHot, Seq(5.0, 99.0)) == d)
+    // (b) a full hot ROW wrapping the globe: exactly two closed
+    // rings of 72 segments each (north and south of the row) — the
+    // lon-wrap stitch, diameter 72, closed THROUGH the seam
+    val hotRow = for { i <- 0L until 3L; j <- 0L until 72L }
+      yield (i, j, if (i == 1) 10.0 else 0.0)
+    val w = rings(hotRow, Seq(5.0))
+    assert(w.length == 2, s"wrap pair: $w")
+    assert(w.forall(t => t._3 == 72L && t._4 == 72L && t._5),
+      s"globe rings must close through the wrap: $w")
+    assert(w.map(_._6).sorted == Seq(1L, 3L),
+      "one ring below the row, one above")
+    // (c) a hot cell ON the lat boundary: the isoline leaves the
+    // gridded area — an OPEN polyline (2 segments, 3 points)
+    val top = for { i <- 0L until 4L; j <- 8L until 13L }
+      yield (i, j, if (i == 3 && j == 10) 10.0 else 0.0)
+    val o = rings(top, Seq(5.0))
+    assert(o.length == 1 && o.head._3 == 2L && o.head._4 == 3L &&
+      !o.head._5, s"boundary polyline: $o")
+    // the real field: path-or-cycle invariant (marching squares
+    // yields degree ≤ 2 nodes, so every component is one of the two)
+    val real = W.w30(spark, SharedSpark.sf).collect()
+      .map(r => (r.getAs[Long]("n_segments"), r.getAs[Long]("n_points"),
+        r.getAs[Boolean]("closed")))
+    assert(real.nonEmpty)
+    real.foreach { case (ns, np, cl) =>
+      assert(if (cl) np == ns else np == ns + 1L)
+    }
+    // at sf0.001 the synthetic grid is SPARSE (~62% of cells), so
+    // real-field isolines fragment at the holes into open polylines
+    // — closed rings are the synthetic cases' pin above; here pin
+    // that cross-square STITCHING happens on the real field
+    assert(real.exists(_._1 > 1L),
+      "no multi-segment component — stitching degenerate")
+  }
 }
