@@ -121,6 +121,26 @@ class SourcesSpec extends AnyFunSuite {
       == (0L until 30L))
   }
 
+  test("ForecastStore: additive schema evolution — a wider version serves its own shape, old versions keep theirs, rollback restores the pre-evolution shape") {
+    import spark.implicits._
+    // the store's evolution story is PER-VERSION by construction:
+    // every version is a COMPLETE copy behind the atomic CURRENT
+    // swap (no cross-version resolution map to reconcile — contrast
+    // the replica store's dq13 union-schema read), so an additive
+    // publish just IS the new current shape, time travel serves each
+    // version's own shape, and rollback is the schema undo too
+    val store = new ForecastStore(tmp() + "/evo")
+    store.save(Seq((1L, 2.0)).toDF("id", "t"), "v0")
+    store.save(Seq((1L, 2.0, "a")).toDF("id", "t", "src"), "v1")
+    assert(store.load(spark).get.columns.toSeq == Seq("id", "t", "src"),
+      "the evolved current must serve the wider shape")
+    assert(store.loadVersion(spark, "v0").get.columns.toSeq ==
+      Seq("id", "t"), "time travel must serve v0's own shape")
+    assert(store.rollback("v0") &&
+      store.load(spark).get.columns.toSeq == Seq("id", "t"),
+      "rollback must restore the pre-evolution shape")
+  }
+
   test("p16: the expiry audit matches the store's real post-vacuum state") {
     val got = graft.operators.Incremental.p16(spark, sf).collect()
       .map(r => (r.getAs[String]("version"), r.getAs[Long]("is_current"),
