@@ -3682,6 +3682,85 @@ object Knn {
       .transform(graft.Tables.ordered(_, col("qid"), col("rnk")))
   }
 
+  // ---------- v33: UPSERT serve (insert + soft-delete composed) ----------
+
+  /** The v33/s48 delete set: base vectors on the v27 erasure cadence
+    * that are NOT insert candidates — deletes and inserts disjoint
+    * by construction, so the single-replay door processes one batch
+    * holding both ops with no order ambiguity on any id. */
+  private[graft] val v33DelPred =
+    s"vec_id >= 10 AND vec_id % $v27ModK = 0 AND vec_id % $v26ModK <> 0"
+
+  /** v33: UPSERT SERVE — v26's insert and v27's soft delete
+    * COMPOSED in one serving state, the daily reality of a vector
+    * index fed by a CDC stream (new documents arrive, erasure
+    * requests land, queries never stop): the standing index grows
+    * by the insert wave (v26's NSW linking — the augmented graph),
+    * the delete set excludes the erasure wave at serve time (v27's
+    * tombstone discipline — deleted vectors stay NAVIGABLE, the
+    * n_tomb_visited dial audits the traversal overhead), and the
+    * standing queries serve over the grown-minus-erased corpus
+    * with live-only ground truth. This is the batch anchor the
+    * streaming upsert door (s48) twins against.
+    *
+    * Scale: v26's insert cost (per-new-vector O(seeds +
+    * hops·beam·degree)) + v27's serve shape (anti-/semi-joins
+    * against an id-only delete set) — nothing new shuffles; the
+    * composition is state composition, not a new pass. */
+  def v33(spark: SparkSession, dir: String): DataFrame = {
+    val (_, ixAug, _) = v26Parts(spark, dir)
+    val qs = codebook(ixAug.e, "vec_id < 10")
+    val deleted = ixAug.e.filter(v33DelPred).select(col("vec_id"))
+    v27ServeExcluding(ixAug, qs, deleted)
+      .transform(graft.Tables.ordered(_, col("qid"), col("rnk")))
+  }
+
+  /** v33 oracle: v26's insert chain + augmented-graph query hops,
+    * then v27's tail over the augmented corpus — rank and ground
+    * truth exclude the delete set, the dial counts traversed
+    * deleted nodes. */
+  val v33Sql: String =
+    s"""WITH $v26InsertChain,
+      |insedges AS (SELECT qid AS src_id, node AS nbr_id FROM (
+      |        SELECT qid, node, row_number() OVER (PARTITION BY qid ORDER BY score DESC, node) AS rn
+      |        FROM iv$v21Hops) WHERE rn <= $v21Degree),
+      |graph2 AS MATERIALIZED (SELECT DISTINCT * FROM (
+      |          SELECT src_id, nbr_id FROM graph
+      |          UNION ALL SELECT src_id, nbr_id FROM insedges
+      |          UNION ALL SELECT nbr_id, src_id FROM insedges)),
+      |qprobes AS (SELECT qid, cid FROM (
+      |        SELECT q.vec_id AS qid, c.cid,
+      |          row_number() OVER (PARTITION BY q.vec_id
+      |            ORDER BY round(list_inner_product(q.nv, c.nv) * 1e6) / 1e6 DESC, c.cid) AS rn
+      |        FROM mq q CROSS JOIN cents c) WHERE rn <= $v21Probes),
+      |qseeds AS (SELECT p.qid, r.node FROM qprobes p JOIN reps r ON r.cid = p.cid),
+      |qv0 AS MATERIALIZED (SELECT s.qid, s.node,
+      |        round(list_inner_product(q.nv, c.nv) * 1e6) / 1e6 AS score, 0 AS exp
+      |      FROM qseeds s JOIN mq q ON q.vec_id = s.qid JOIN mall c ON c.vec_id = s.node),
+      |${(1 to v21Hops).map(v26Hop("q", "graph2", "mq", "mall")).mkString(",\n")},
+      |delset AS (SELECT vec_id FROM mall
+      |      WHERE vec_id % $v27ModK = 0 AND vec_id % $v26ModK <> 0),
+      |r AS (SELECT qid, node AS vec_id, score AS cos_sim,
+      |        CAST(row_number() OVER (PARTITION BY qid ORDER BY score DESC, node) AS INTEGER) AS rnk
+      |      FROM qv$v21Hops
+      |      WHERE node NOT IN (SELECT vec_id FROM delset)),
+      |brute AS (SELECT qid, vec_id FROM (
+      |          SELECT q.vec_id AS qid, c.vec_id,
+      |            row_number() OVER (PARTITION BY q.vec_id
+      |              ORDER BY round(list_inner_product(q.nv, c.nv) * 1e6) / 1e6 DESC, c.vec_id) AS rnk
+      |          FROM mq q CROSS JOIN mall c
+      |          WHERE c.vec_id NOT IN (SELECT vec_id FROM delset)) WHERE rnk <= $knnK),
+      |tv AS (SELECT qid, CAST(count(*) AS BIGINT) AS n_tomb_visited
+      |      FROM qv$v21Hops WHERE node IN (SELECT vec_id FROM delset)
+      |      GROUP BY qid)
+      |SELECT r.qid, r.rnk, r.vec_id, r.cos_sim,
+      |  CAST(CASE WHEN b.vec_id IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS in_exact,
+      |  CAST(coalesce(tv.n_tomb_visited, 0) AS BIGINT) AS n_tomb_visited
+      |FROM r LEFT JOIN brute b ON b.qid = r.qid AND b.vec_id = r.vec_id
+      |LEFT JOIN tv ON tv.qid = r.qid
+      |WHERE r.rnk <= $knnK
+      |ORDER BY r.qid, r.rnk""".stripMargin
+
   // ---------- v32: QUORUM for the index store ----------
 
   private[graft] val annStoreComps =

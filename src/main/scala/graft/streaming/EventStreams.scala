@@ -1285,7 +1285,17 @@ object EventStreams {
       var storeRoot: String = null,
       var storeVersion: Int = 0,
       var folds: Int = 0,
-      var lastPubRows: Long = 0L)
+      var lastPubRows: Long = 0L,
+      // the upsert door's SOFT-delete set at fold time (null for the
+      // pure insert door): a debt fold materializes the index
+      // CONTENT as the new base, but soft-deleted vectors stay in
+      // that content by design (navigable tombstones) — so the fold
+      // must re-publish the consolidated delete set as ONE tombs
+      // delta right above the new base, or the fold would silently
+      // resurrect every erased vector at the next bootstrap
+      // (RocksDB's deletion markers surviving compaction until the
+      // bottom level)
+      var foldTombs: org.apache.spark.sql.DataFrame = null)
 
   /** Compact the lazy union tree every this-many micro-batches: one
     * localCheckpoint over the accumulated pieces, then the pieces'
@@ -1417,6 +1427,13 @@ object EventStreams {
           st.storeVersion = graft.operators.Knn.saveIndexVersion(
             graft.operators.Knn.V21Static(st.vecs, st.graph, st.reps,
               st.cents), st.storeRoot)
+          // soft-deletes survive the fold (see [[AnnInsertState
+          // .foldTombs]]): consolidate the delete set into one tombs
+          // delta above the new base
+          if (st.foldTombs != null && !st.foldTombs.isEmpty) {
+            st.storeVersion = graft.operators.Knn.saveDeltaVersion(
+              st.storeRoot, Map("tombs" -> st.foldTombs))
+          }
           graft.operators.Knn.vacuumAnnStoreLsm(st.storeRoot,
             annStoreKeep)
           st.folds += 1
@@ -2237,6 +2254,155 @@ object EventStreams {
     * and every per-batch publish must be semantically invisible
     * (twin contract with s38). */
   val s47Sql: String = graft.operators.Knn.v26InsertSql
+
+  /** The upsert door's state: the growing insert state (vecs,
+    * graph, store fields — [[AnnInsertState]], which also carries
+    * the publish + debt-fold legs), the SOFT delete set (v27's
+    * discipline: deleted vectors stay navigable; exclusion happens
+    * at serve), the standing query codebook, and the lazily-built
+    * serve legs. Legs are invalidated by GROWTH (an insert batch
+    * changes the index the legs were computed over — the s40
+    * index-swap rule, here per growth batch); a delete batch only
+    * moves the delete set, which [[graft.operators.Knn
+    * .v27ServeCached]] applies after the legs, so erasure-only
+    * traffic reuses them. */
+  private[graft] final class AnnUpsertState(
+      val ins: AnnInsertState,
+      var deleted: org.apache.spark.sql.DataFrame,
+      val qs: Array[(Long, Array[Double])],
+      var visited: org.apache.spark.sql.DataFrame = null,
+      var scored: org.apache.spark.sql.DataFrame = null,
+      var legBuilds: Int = 0)
+
+  /** Bootstrap the upsert door FROM A COMMITTED STORE: the LSM
+    * assembly's vectors and edges become the grown index — with
+    * tombstoned ids KEPT in the vector table (contrast
+    * [[annInsertStateFromStore]]: the pure insert door drops them
+    * because it never serves; the upsert door runs v27's SOFT
+    * semantics, where deleted vectors stay navigable and the
+    * n_tomb_visited dial audits their traversal cost) — and the
+    * folded tombstone set primes the delete set, so a cold start
+    * or sibling never re-serves an erased vector. Zero builds. */
+  private[graft] def annUpsertStateFromStore(ss: SparkSession,
+      dir: String, root: String): AnnUpsertState = {
+    val (ix, tombs, _) = graft.operators.Knn.loadAnnStoreLsm(ss, root)
+    val inner = new AnnInsertState(ix.e, ix.graph, ix.reps, ix.cents)
+    inner.storeRoot = root
+    inner.storeVersion = graft.operators.Knn.committedVersions(root).max
+    val st = new AnnUpsertState(inner,
+      tombs.distinct().localCheckpoint(),
+      graft.operators.Knn.codebook(
+        graft.operators.Knn.vectors(ss, dir), "vec_id < 10"))
+    inner.foldTombs = st.deleted
+    st
+  }
+
+  /** One micro-batch through the upsert door — factored so the
+    * MemoryStream spec drives the identical code across batches.
+    * Order within a batch is fixed: INSERTS first (search over the
+    * current graph, grow, publish the vectors+edges delta — the
+    * s47 leg verbatim, including the debt fold), then DELETES
+    * (anti-joined against the current set for replay idempotence,
+    * folded in, published as a tombs delta — the s43 leg), then
+    * the serve over the grown index with the current set excluded.
+    * The fixture keeps the op sets DISJOINT ([[graft.operators.Knn
+    * .v33DelPred]]), so single-replay (both ops in one batch) is
+    * order-unambiguous on every id; a re-arrival of a TOMBSTONED
+    * id is a no-op by the vec-table anti-join (the id is still in
+    * `vecs` — soft deletion never removes it), i.e. erasure wins
+    * over replayed uploads, the conservative GDPR answer. */
+  private[graft] def annUpsertServe(st: AnnUpsertState,
+      batch: DataFrame): DataFrame = {
+    val ss = batch.sparkSession
+    import ss.implicits._
+    val ins = batch.filter(col("op") === "ins")
+      .select(col("vec_id"), col("nv"))
+    val qsArr = ins.as[(Long, Array[Double])].collect().sortBy(_._1)
+    if (qsArr.nonEmpty) {
+      val ix = graft.operators.Knn.V21Static(st.ins.vecs, st.ins.graph,
+        st.ins.reps, st.ins.cents)
+      val edges = graft.operators.Knn.v21InsertEdges(ix, qsArr)
+        .localCheckpoint()
+      annInsertGrow(st.ins, edges, ins)
+      // growth invalidates the serve legs (index changed)
+      if (st.visited != null) {
+        graft.functions.Lineage.freeCheckpoint(st.visited)
+        graft.functions.Lineage.freeCheckpoint(st.scored)
+        st.visited = null
+        st.scored = null
+      }
+    }
+    val delA = batch.filter(col("op") === "del")
+      .select(col("vec_id")).distinct()
+      .join(st.deleted, Seq("vec_id"), "left_anti")
+      .localCheckpoint()
+    if (delA.count() > 0L) {
+      st.deleted = st.deleted.unionByName(delA)
+      st.ins.foldTombs = st.deleted
+      if (st.ins.storeRoot != null) {
+        st.ins.storeVersion = graft.operators.Knn.saveDeltaVersion(
+          st.ins.storeRoot, Map("tombs" -> delA))
+      }
+    }
+    if (st.visited == null) {
+      val (v, sc) = graft.operators.Knn.v27ServeLegs(
+        graft.operators.Knn.V21Static(st.ins.vecs, st.ins.graph,
+          st.ins.reps, st.ins.cents), st.qs)
+      st.visited = v
+      st.scored = sc
+      st.legBuilds += 1
+    }
+    graft.operators.Knn.v27ServeCached(st.visited, st.scored, st.deleted)
+  }
+
+  /** s48: STREAMING UPSERT LIFECYCLE DOOR — the CDC reality of a
+    * serving vector index, in ONE door against ONE store root: a
+    * single feed carries inserts (new documents' vectors) and
+    * erasure requests, and the door grows the index (s38/s47's NSW
+    * insert + O(|batch|) vectors+edges delta publish), folds in
+    * deletions (s39/s43's soft tombstones + per-batch tombs delta
+    * publish), serves the standing queries over the grown-minus-
+    * erased corpus after every batch (v27's cached-legs serve,
+    * legs invalidated only by growth), and bounds its store debt
+    * (the K-segment fold — which re-publishes the consolidated
+    * delete set above the new base, so soft-deletes SURVIVE
+    * compactions of the delta tail). A crash loses neither
+    * arrivals nor erasures: the sibling's bootstrap assembles
+    * vectors, edges and tombstones from the one store
+    * ([[annUpsertStateFromStore]], zero builds). Replayed as ONE
+    * batch (the Verify path) the emitted rows ARE batch v33's —
+    * oracle [[graft.operators.Knn.v33Sql]] (twin contract: the
+    * store, the publishes, the op routing and any fold are all
+    * semantically invisible).
+    *
+    * Scale: per batch O(|batch|) growth + O(|arrivals|) erasure
+    * state AND store bytes; the serve legs amortize across
+    * erasure-only batches; restart is one ≤ K-segment assembly.
+    * This is the door a production ingest fleet actually runs —
+    * the insert-only (s47) and erasure-only (s43) doors are its
+    * two halves proven separately. */
+  def s48(spark: SparkSession, dir: String): DataFrame = {
+    val ss = streamSession(spark)
+    graft.Tables.tsConfs(ss)
+    val root = annInsertStoreSeed(ss, dir)
+    val st = annUpsertStateFromStore(ss, dir, root)
+    val schema = ss.read.parquet(s"$dir/embeddings.parquet").schema
+    val modI = graft.operators.Knn.v26ModK
+    val modD = graft.operators.Knn.v27ModK
+    val src = graft.operators.Knn.normalized(
+        ss.readStream.schema(schema)
+          .option("pathGlobFilter", "embeddings.parquet").parquet(dir))
+      .filter(col("vec_id") >= 10 &&
+        (col("vec_id") % modI === 0 || col("vec_id") % modD === 0))
+      .selectExpr("vec_id", "nv",
+        s"CASE WHEN vec_id % $modI = 0 THEN 'ins' ELSE 'del' END AS op")
+    runBatched(src, b => annUpsertServe(st, b))
+      .transform(graft.Tables.ordered(_, col("qid"), col("rnk")))
+  }
+
+  /** s48 oracle: v33's, verbatim — the twin contract on the
+    * single-replay batch. */
+  val s48Sql: String = graft.operators.Knn.v33Sql
 
   /** s41: STREAMING SHARD-INGEST AUDIT DOOR — m24's corpus-grain
     * completeness/collision audit kept CURRENT as shards land,

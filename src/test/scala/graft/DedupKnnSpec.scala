@@ -2148,6 +2148,48 @@ class DedupKnnSpec extends AnyFunSuite {
       "a tie must leave every newest committed base untouched")
   }
 
+  test("v33: upsert serve — no deleted id serves, tombstones are traversed (dial > 0), an empty delete set collapses to v26") {
+    val Knn = graft.operators.Knn
+    import spark.implicits._
+    val rows = Knn.v33(spark, sf).collect()
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Int]("rnk"),
+        r.getAs[Long]("vec_id"), r.getAs[Double]("cos_sim"),
+        r.getAs[Long]("in_exact"), r.getAs[Long]("n_tomb_visited")))
+    assert(rows.nonEmpty)
+    val delset = Knn.vectors(spark, sf).filter(Knn.v33DelPred)
+      .select("vec_id").as[Long].collect().toSet
+    assert(delset.nonEmpty)
+    assert(rows.forall(t => !delset.contains(t._3)),
+      "a deleted vector must never serve")
+    // the soft-delete semantics are LIVE in the fixture: some query
+    // actually traverses tombstoned nodes (the dial is the audit)
+    assert(rows.exists(_._6 > 0L),
+      "no query traversed a tombstone — fixture degenerate")
+    // inserted vectors DO serve (the grown half is live too)
+    val insset = Knn.vectors(spark, sf)
+      .filter(s"vec_id >= 10 AND vec_id % ${Knn.v26ModK} = 0")
+      .select("vec_id").as[Long].collect().toSet
+    assert(rows.exists(t => insset.contains(t._3)),
+      "no inserted vector serves — the grown half is dead")
+    // composition pin: an EMPTY delete set collapses v33's serve to
+    // batch v26's rows exactly (modulo the dial column, 0 everywhere)
+    val (_, ixAug, _) = Knn.v26Parts(spark, sf)
+    val qs = Knn.codebook(ixAug.e, "vec_id < 10")
+    val empty = spark.range(0).selectExpr("id AS vec_id")
+    val noDel = Knn.v27ServeExcluding(ixAug, qs, empty).collect()
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Int]("rnk"),
+        r.getAs[Long]("vec_id"), r.getAs[Double]("cos_sim"),
+        r.getAs[Long]("in_exact"), r.getAs[Long]("n_tomb_visited")))
+      .sortBy(t => (t._1, t._2))
+    val v26rows = Knn.v26(spark, sf).collect()
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Int]("rnk"),
+        r.getAs[Long]("vec_id"), r.getAs[Double]("cos_sim"),
+        r.getAs[Long]("in_exact"))).sortBy(t => (t._1, t._2))
+    assert(noDel.map(t => (t._1, t._2, t._3, t._4, t._5)).toSeq ==
+      v26rows.toSeq)
+    assert(noDel.forall(_._6 == 0L))
+  }
+
   test("v28: compaction rebuild — the dial reads 0 on every query, tombstones leave the index, recall holds") {
     def parse(df: org.apache.spark.sql.DataFrame) = df.collect()
       .map(r => (r.getAs[Long]("qid"), r.getAs[Int]("rnk"),

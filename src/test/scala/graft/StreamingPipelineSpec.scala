@@ -1667,6 +1667,128 @@ class StreamingPipelineSpec extends AnyFunSuite {
     assert(st2.vecs.filter("vec_id = 10000").count() == 1L)
   }
 
+  test("s48 upsert door: replay equals batch v33; a crash loses neither arrivals nor erasures; legs amortize across erasure-only batches") {
+    import spark.implicits._
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Int]("rnk"),
+        r.getAs[Long]("vec_id"), r.getAs[Double]("cos_sim"),
+        r.getAs[Long]("in_exact"), r.getAs[Long]("n_tomb_visited"))).toSeq
+    // twin contract: the mixed-op stream replayed (one batch) ==
+    // batch v33, bitwise
+    val streamed = rows(graft.streaming.EventStreams.s48(spark, sf)).sorted
+    val batch = rows(graft.operators.Knn.v33(spark, sf)).sorted
+    assert(streamed == batch && streamed.nonEmpty)
+    // KILL-AND-REBOOTSTRAP with MIXED ops: insert a planted vector
+    // (batch 1), erase a base vector (batch 2), CRASH, sibling
+    // re-bootstraps from the one store — zero builds, both the
+    // arrival and the erasure inherited — and the empty-batch serve
+    // equals the continuous door's, bitwise
+    val e = graft.operators.Knn.vectors(spark, sf)
+    val baseX = e.filter("vec_id = 50")
+      .selectExpr("vec_id", "transform(nv, x -> x)")
+      .as[(Long, Array[Double])].collect()(0)._2
+    val nrm = math.sqrt(baseX.map(x => x * x).sum)
+    val planted = baseX.clone(); planted(0) += 0.1 * nrm
+    val pnrm = math.sqrt(planted.map(x => x * x).sum)
+    val pvec = planted.map(_ / pnrm).toSeq
+    val victim = e.filter(graft.operators.Knn.v33DelPred)
+      .select("vec_id").as[Long].collect().min
+    def emptyB = Seq.empty[(Long, Seq[Double], String)]
+      .toDF("vec_id", "nv", "op")
+    def b1 = Seq((9000001L, pvec, "ins")).toDF("vec_id", "nv", "op")
+    def b2 = Seq((victim, pvec, "del")).toDF("vec_id", "nv", "op")
+    // continuous control
+    val rootC = graft.streaming.EventStreams.annInsertStoreSeed(spark, sf)
+    val stC = graft.streaming.EventStreams.annUpsertStateFromStore(
+      spark, sf, rootC)
+    graft.streaming.EventStreams.annUpsertServe(stC, b1).foreach(_ => ())
+    graft.streaming.EventStreams.annUpsertServe(stC, b2).foreach(_ => ())
+    val contB3 = rows(graft.streaming.EventStreams.annUpsertServe(
+      stC, emptyB)).sorted
+    // crashed door + sibling
+    val root = graft.streaming.EventStreams.annInsertStoreSeed(spark, sf)
+    val st1 = graft.streaming.EventStreams.annUpsertStateFromStore(
+      spark, sf, root)
+    graft.streaming.EventStreams.annUpsertServe(st1, b1).foreach(_ => ())
+    graft.streaming.EventStreams.annUpsertServe(st1, b2).foreach(_ => ())
+    graft.operators.Knn.indexBuilds.set(0L)
+    val st2 = graft.streaming.EventStreams.annUpsertStateFromStore(
+      spark, sf, root)
+    assert(graft.operators.Knn.indexBuilds.get == 0L,
+      "the sibling bootstrap must perform zero index builds")
+    assert(st2.ins.vecs.filter("vec_id = 9000001").count() == 1L,
+      "the sibling must inherit the arrival")
+    assert(st2.deleted.collect().map(_.getLong(0)).toSeq == Seq(victim),
+      "the sibling must inherit the erasure")
+    assert(st2.ins.vecs.filter(s"vec_id = $victim").count() == 1L,
+      "soft deletion keeps the tombstoned vector navigable")
+    val sibB3 = rows(graft.streaming.EventStreams.annUpsertServe(
+      st2, emptyB)).sorted
+    assert(sibB3 == contB3,
+      "the re-bootstrapped sibling must serve bitwise")
+    assert(!sibB3.exists(_._3 == victim), "erased id served after restart")
+    // LEG AMORTIZATION: erasure-only and empty batches reuse the
+    // serve legs; a growth batch invalidates them
+    assert(st2.legBuilds == 1)
+    graft.streaming.EventStreams.annUpsertServe(st2,
+      Seq((victim, pvec, "del")).toDF("vec_id", "nv", "op")) // replay: no-op
+      .foreach(_ => ())
+    assert(st2.legBuilds == 1, "an erasure-only batch must reuse the legs")
+    graft.streaming.EventStreams.annUpsertServe(st2,
+      Seq((9000002L, pvec, "ins")).toDF("vec_id", "nv", "op"))
+      .foreach(_ => ())
+    assert(st2.legBuilds == 2, "a growth batch must rebuild the legs")
+  }
+
+  test("s48 debt fold preserves soft-deletes: the consolidated tombs delta survives above the new base") {
+    import spark.implicits._
+    val k = graft.operators.Knn.annDeltaFoldK
+    val baseN = 100L
+    val baseVecs = (0L until baseN).map(i => (i, Array(i.toDouble)))
+      .toDF("vec_id", "nv").localCheckpoint()
+    val baseGraph = (0L until baseN)
+      .flatMap(i => Seq((i, (i + 1) % baseN), ((i + 1) % baseN, i)))
+      .toDF("src_id", "nbr_id").localCheckpoint()
+    val cents1 = Array((0L, Array(0.0)))
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_s48fold_").toFile
+    graft.operators.Incremental.cleanupOnExit(root)
+    val rootP = root.getAbsolutePath
+    graft.operators.Knn.saveIndexVersion(
+      graft.operators.Knn.V21Static(baseVecs, baseGraph, baseVecs,
+        cents1), rootP)
+    val st = new graft.streaming.EventStreams.AnnInsertState(
+      baseVecs, baseGraph, baseVecs, cents1)
+    st.storeRoot = rootP
+    st.storeVersion = 1
+    // the erasure leg landed a tombs delta (soft: ids stay in vecs)
+    val tombs = Seq(1L, 2L, 3L).toDF("vec_id").localCheckpoint()
+    graft.operators.Knn.saveDeltaVersion(rootP, Map("tombs" -> tombs))
+    st.foldTombs = tombs
+    // k-1 insert publishes bring the unfolded tail to K -> fold
+    (0 until k - 1).foreach { i =>
+      val id = 30000L + i
+      graft.streaming.EventStreams.annInsertGrow(st,
+        Seq((id, (id * 7) % baseN)).toDF("new_id", "nbr_id"),
+        Seq((id, Array(id.toDouble))).toDF("vec_id", "nv"))
+    }
+    assert(st.folds == 1, "the tail must have crossed K and folded")
+    // the fold consolidated the delete set ABOVE the new base: a
+    // cold assembly still carries the erasures AND the vectors stay
+    // navigable (soft semantics survive the compaction)
+    val (ixCold, tCold, _) = graft.operators.Knn.loadAnnStoreLsm(
+      spark, rootP)
+    assert(tCold.collect().map(_.getLong(0)).sorted.toSeq ==
+      Seq(1L, 2L, 3L),
+      "soft-deletes must survive the debt fold")
+    assert(ixCold.e.filter("vec_id IN (1, 2, 3)").count() == 3L,
+      "tombstoned vectors stay in the folded base (navigable)")
+    assert(ixCold.e.count() == baseN + (k - 1),
+      "the folded base must carry every arrival")
+    assert(graft.operators.Knn.unfoldedDeltaCount(rootP) == 1,
+      "exactly the consolidated tombs delta remains unfolded")
+  }
+
   test("delta-debt fold: n sub-threshold publishes trigger exactly n/K folds and cold assembly never exceeds K segments") {
     import spark.implicits._
     val k = graft.operators.Knn.annDeltaFoldK
