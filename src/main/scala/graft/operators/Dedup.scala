@@ -612,6 +612,38 @@ object Dedup {
   private[graft] def ccPropagate(edges: DataFrame, maxRounds: Int): (DataFrame, Int, Boolean) = {
     val spark = edges.sparkSession
     import spark.implicits._
+    // round-18 bounded-local fast path (guide §1.2 — the
+    // [[ccStarsLocalMax]] gate): a dup-pair edge set at or under the
+    // gate is metadata — run the IDENTICAL one-hop min-label rounds
+    // on the driver (same per-round next = min over self ∪ incoming
+    // labels, same convergence detection and round count) instead of
+    // paying ~5 AQE stage jobs per diameter round. The gate adapts
+    // per input at runtime; a corpus-grain edge set stays
+    // distributed. The probe is a limit-bounded count — it never
+    // scans past the gate.
+    val nEdges = edges.limit(ccStarsLocalMax.toInt + 1).count()
+    if (nEdges <= ccStarsLocalMax) {
+      val eL = edges.select($"src", $"dst").as[(Long, Long)].collect()
+      val und = eL ++ eL.map(p => (p._2, p._1))
+      val inc = und.groupBy(_._2) // id -> (src, id) incoming edges
+      val nodesL = und.iterator.map(_._1).toSet
+      var lbl = nodesL.iterator.map(id => id -> id).toMap
+      var converged = false
+      var rounds = 0
+      while (!converged && rounds < maxRounds) {
+        val next = nodesL.iterator.map { id =>
+          val viaEdge = inc.get(id) match {
+            case Some(es) => es.iterator.map(e => lbl(e._1)).min
+            case None => Long.MaxValue
+          }
+          id -> math.min(lbl(id), viaEdge)
+        }.toMap
+        converged = next == lbl
+        lbl = next
+        rounds += 1
+      }
+      return (lbl.toSeq.toDF("id", "lbl"), rounds, converged)
+    }
     val nodes = edges.select($"src".as("id"))
       .unionByName(edges.select($"dst".as("id"))).distinct()
     // localCheckpoint (EAGER) per round, not cache(): each round's
@@ -657,6 +689,57 @@ object Dedup {
     * — one tiny aggregate row per round, no full set compare.
     * Returns (labels(id, lbl), rounds run, converged).
     */
+  /** Size gate for [[ccStars]]'s bounded-local fast path (round 18,
+    * guide §1.2): a canonical edge set at or under this row count is
+    * METADATA, not data — the dq11 quorum-vote bounded-collect class
+    * — and iterating the identical star alternation on the driver
+    * skips ~6 AQE stage jobs per round. Inputs that are bounded BY
+    * CONSTRUCTION (w25/w27/w30's grid-bounded blob/segment graphs,
+    * v17's seeded dup pairs) take this path at every corpus scale;
+    * corpus-grain inputs (g4's 3n-edge graph) exceed the gate and
+    * keep the distributed loop — the decision adapts at runtime,
+    * per input, from a count the initial `sig` already computed.
+    */
+  private[graft] val ccStarsLocalMax = 4096L
+
+  /** The driver-side twin of [[ccStars]]'s round loop: the SAME
+    * alternating large-star/small-star contraction over a collected
+    * canonical edge set, with convergence by exact set equality.
+    * Labels, round count and convergence match the distributed loop
+    * (set equality ⟺ the sig compare, absent an xxhash64 xor
+    * collision — which would silently mislabel the distributed path
+    * too; exact comparison is strictly safer).
+    */
+  private def ccStarsLocal(edges0: Set[(Long, Long)], maxRounds: Int)
+      : (Set[(Long, Long)], Int, Boolean) = {
+    var e = edges0
+    var converged = false
+    var rounds = 0
+    while (!converged && rounds < maxRounds) {
+      val und = e.toSeq.flatMap { case (a, b) => Seq((a, b), (b, a)) }
+      val mins = und.groupBy(_._1).map { case (u, vs) =>
+        u -> math.min(u, vs.iterator.map(_._2).min)
+      }
+      val large = und.collect { case (u, v) if v > u =>
+        val m = mins(u)
+        (math.min(v, m), math.max(v, m))
+      }.filter { case (a, b) => a != b }
+      val oriented = large.map { case (a, b) => (b, a) }
+      val mins2 = oriented.groupBy(_._1).map { case (u, vs) =>
+        u -> vs.iterator.map(_._2).min
+      }
+      val small = oriented.map { case (u, v) => (v, mins2(u)) } ++
+        mins2.toSeq
+      val en = small.map { case (a, b) =>
+        (math.min(a, b), math.max(a, b))
+      }.filter { case (a, b) => a != b }.toSet
+      converged = en == e
+      e = en
+      rounds += 1
+    }
+    (e, rounds, converged)
+  }
+
   private[graft] def ccStars(edges: DataFrame, maxRounds: Int): (DataFrame, Int, Boolean) = {
     val spark = edges.sparkSession
     import spark.implicits._
@@ -672,17 +755,50 @@ object Dedup {
     // growing plan for the analyzer.
     var e = canon(edges.select($"src".as("a"), $"dst".as("b"))).localCheckpoint()
     var curSig = sig(e)
+    if (curSig._1 <= ccStarsLocalMax) {
+      // BOUNDED-LOCAL PATH: the star set is metadata-sized — collect
+      // it once (≤ [[ccStarsLocalMax]] two-long rows), run the same
+      // alternation on the driver, and mirror the distributed tail
+      // exactly: every INPUT-graph node gets a label (self-loop-only
+      // nodes rejoin as singletons via the same min/coalesce shape).
+      val (stars, rounds, conv) = ccStarsLocal(
+        e.as[(Long, Long)].collect().toSet, maxRounds)
+      graft.functions.Lineage.freeCheckpoint(e)
+      val lblOf = (stars.toSeq.map { case (a, b) => (b, a) } ++
+        stars.toSeq.map { case (a, _) => (a, a) })
+        .groupBy(_._1).map { case (id, ls) =>
+          id -> ls.iterator.map(_._2).min
+        }
+      val nodes = edges.select($"src".as("id"))
+        .unionByName(edges.select($"dst".as("id"))).distinct()
+      val lblDf = lblOf.toSeq.toDF("id", "m")
+      val labels = nodes
+        .join(broadcast(lblDf), Seq("id"), "left")
+        .select($"id", coalesce($"m", $"id").as("lbl"))
+      return (labels, rounds, conv)
+    }
     var converged = false
     var rounds = 0
     while (!converged && rounds < maxRounds) {
+      // round-18 (guide §2.4, measured): the intermediate canon keeps
+      // only the map-side least/greatest/self-loop-filter — its
+      // `distinct` is dropped because duplicate star edges are
+      // absorbed by the small-star MIN aggregate and the final
+      // `canon(small)` distinct (the SET of edges each round is
+      // provably unchanged, so `sig`, convergence and labels are
+      // bitwise identical); one full exchange+dedup gone per round.
+      // (An explicit repartition-on-u variant was measured SLOWER at
+      // bench scale — pinning the partitioning blocks AQE's
+      // broadcast/coalesce path for these bounded star tables.)
       // large-star: for each u, m = min(N(u) ∪ {u}); emit (v, m) ∀ v > u
       val und = e.select($"a".as("u"), $"b".as("v"))
         .unionByName(e.select($"b".as("u"), $"a".as("v")))
       val mins = und.groupBy($"u").agg(min($"v").as("mn"))
         .select($"u", least($"u", $"mn").as("m"))
-      val large = canon(und.join(mins, Seq("u"))
+      val large = und.join(mins, Seq("u"))
         .filter($"v" > $"u")
-        .select($"v".as("a"), $"m".as("b")))
+        .select(least($"v", $"m").as("a"), greatest($"v", $"m").as("b"))
+        .filter($"a" =!= $"b")
       // small-star: orient big→small; for each u, m = min of its
       // smaller neighbors; emit (v, m) ∀ v and (u, m)
       val oriented = large.select($"b".as("u"), $"a".as("v"))
@@ -2089,17 +2205,23 @@ object Dedup {
     import spark.implicits._
     val w = org.apache.spark.sql.expressions.Window
     val byDoc = w.partitionBy($"doc_id")
+    // round-18 (guide §1.2 per-task work): the last gram position is
+    // a ROW-LOCAL quantity — positions are the dense 1..n-(k-1), so
+    // max(pos) over the doc equals n-(k-1) — carried through as a
+    // column instead of a second Window operator over the exchanged
+    // gram table (one window pass saved; bitwise-identical filter)
     val grams = Tables.documents(spark, dir)
       .selectExpr("doc_id", "text", "length(text) AS n")
       .filter($"n" >= d23K + d23W - 1)
-      .selectExpr("doc_id", "text", s"explode(sequence(1, n - ${d23K - 1})) AS pos")
+      .selectExpr("doc_id", "text",
+        s"n - ${d23K - 1} AS npos",
+        s"explode(sequence(1, n - ${d23K - 1})) AS pos")
       .withColumn("h", graft.functions.Fnv64.fnv64(
         expr(s"substring(text, pos, $d23K)")))
-      .select($"doc_id", $"pos", $"h")
+      .select($"doc_id", $"pos", $"h", $"npos")
     val fps = grams
       .withColumn("wmin", min($"h").over(
         byDoc.orderBy($"pos").rowsBetween(0, d23W - 1)))
-      .withColumn("npos", max($"pos").over(byDoc))
       .filter($"pos" <= $"npos" - (d23W - 1)) // full windows only
       .select($"doc_id", $"wmin".as("fp")).distinct()
     val ok = fps.groupBy($"fp").agg(count(lit(1)).as("df"))
@@ -2144,7 +2266,11 @@ object Dedup {
 
   def d23(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val capped = d23Fps(spark, dir)
+    // cached: the pair join reads the capped fingerprint table TWICE
+    // (self-join) — without the cache the whole winnowing pass runs
+    // once per side (guide §5 reuse rule; Bench clears per-query
+    // caches between queries)
+    val capped = d23Fps(spark, dir).cache()
     capped.as("a").join(capped.as("b"),
         col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))

@@ -1137,25 +1137,39 @@ object EventWindows {
   private[graft] def e19Stationary(counts: DataFrame): DataFrame = {
     val spark = counts.sparkSession
     import spark.implicits._
-    val m = counts
+    // The transition matrix is ≤ |event-types|²-row METADATA at any
+    // corpus size (the Scaladoc's own scale argument) — running the
+    // 12 rounds as distributed jobs paid 12 checkpoint job latencies
+    // over ≤ 36 rows (and the streaming twin s33 paid them PER
+    // MICRO-BATCH). Iterate on the driver in the same exact BIGINT
+    // arithmetic (guide §1.2 — don't distribute what isn't
+    // data-scale; the corpus-scale window pass that builds `counts`
+    // stays distributed) and ship the fixpoint back as a local frame.
+    val mRows = counts
       .withColumn("rowsum", sum($"n").over(Window.partitionBy($"prev_type")))
-      .localCheckpoint()
-    val states = m.select($"prev_type".as("state")).distinct()
-    val nStates = states.count()
-    var pi = states
-      .selectExpr("state", s"CAST(1000000 div $nStates AS BIGINT) AS mass")
-      .localCheckpoint()
+      .select($"prev_type", $"event_type", $"n", $"rowsum")
+      .as[(String, String, Long, Long)].collect()
+    val states = mRows.map(_._1).distinct
+    val nStates = states.length.toLong
+    var pi: Map[String, Long] = states.map(_ -> 1000000L / nStates).toMap
     (1 to e19Rounds).foreach { _ =>
-      val next = m.join(pi.withColumnRenamed("state", "prev_type"), Seq("prev_type"))
-        .selectExpr("event_type AS state", "(mass * n) div rowsum AS part")
-        .groupBy($"state").agg(sum($"part").as("mass"))
-        .localCheckpoint()
-      graft.functions.Lineage.freeCheckpoint(pi)
-      pi = next
+      // mirror of the old per-round inner join: only rows whose
+      // prev_type currently carries mass contribute; the key set of
+      // `pi` may grow/shrink across rounds exactly as the join's did
+      pi = mRows.filter(r => pi.contains(r._1))
+        .groupBy(_._2).map { case (state, rows) =>
+          state -> rows.map { case (prev, _, n, rowsum) =>
+            (pi(prev) * n) / rowsum
+          }.sum
+        }
     }
-    pi.join(m.groupBy($"prev_type".as("state")).agg(count(lit(1)).as("n_out")),
-        Seq("state"))
-      .selectExpr("state AS event_type", "mass AS pi_micro", "n_out")
+    val nOut = mRows.groupBy(_._1).map { case (s, rows) =>
+      s -> rows.length.toLong
+    }
+    val out = pi.toSeq.collect { case (s, mass) if nOut.contains(s) =>
+      (s, mass, nOut(s))
+    }
+    out.toDF("event_type", "pi_micro", "n_out")
       .transform(graft.Tables.ordered(_, $"event_type"))
   }
 
@@ -1254,22 +1268,40 @@ object EventWindows {
       .groupBy($"scen", $"s", $"t").agg(sum($"n").as("n"))
       .withColumn("rowsum", sum($"n").over(Window.partitionBy($"scen", $"s")))
       .localCheckpoint()
-    val transient = m.select($"scen", $"s").distinct()
-    var x = transient.withColumn("x", lit(0L)).localCheckpoint()
+    // The scenario matrix `m` is corpus-size-INDEPENDENT metadata:
+    // ≤ (|channels|+1) · (|channels|+2)² rows (~180 here) at ANY
+    // event count — the bounded-collect boundary the quorum vote
+    // already crosses (≤ 4096 rows, Quality.scala). Running the 24
+    // absorbing-chain rounds as distributed jobs paid 24 checkpoint
+    // job latencies over ≤ 180 rows for zero distribution win
+    // (guide §1.2: the distributed algorithm first — don't
+    // distribute what isn't data-scale); iterate on the driver in
+    // the SAME exact BIGINT arithmetic (Long div == SQL div on the
+    // non-negative values here; integer sums are order-free) and
+    // ship the solved vector back as a local frame. The corpus-scale
+    // work — the journey window pass building `base` — stays
+    // distributed.
+    val mRows = m.select($"scen", $"s", $"t", $"n", $"rowsum")
+      .as[(String, String, String, Long, Long)].collect()
+    val transient = mRows.map(r => (r._1, r._2)).distinct
+    var x = transient.map(_ -> 0L).toMap
     (1 to e20Rounds).foreach { _ =>
-      val xAll = x.unionByName(
-        scens.selectExpr("scen", "'purchase' AS s", "CAST(1000000 AS BIGINT) AS x"))
-      // NULL-state x = 0: absent rows contribute nothing via inner join
-      val next = m.join(xAll.withColumnRenamed("s", "t"), Seq("scen", "t"))
-        .selectExpr("scen", "s", "(x * n) div rowsum AS part")
-        .groupBy($"scen", $"s").agg(sum($"part").as("xn"))
-      val nx = transient.join(next, Seq("scen", "s"), "left_outer")
-        .selectExpr("scen", "s", "coalesce(xn, CAST(0 AS BIGINT)) AS x")
-        .localCheckpoint()
-      graft.functions.Lineage.freeCheckpoint(x)
-      x = nx
+      // mirror of the old per-round join: target x = 1e6 for the
+      // absorbing 'purchase', the previous round's value for
+      // transient states, and NO term otherwise (inner-join absence
+      // == adding zero)
+      val next = mRows.groupBy(r => (r._1, r._2)).map { case (k, rows) =>
+        k -> rows.map { case (scen, _, t, n, rowsum) =>
+          val terms = (if (t == "purchase") Seq(1000000L) else Seq.empty) ++
+            x.get((scen, t)).toSeq
+          terms.map(xt => (xt * n) / rowsum).sum
+        }.sum
+      }
+      x = transient.map(k => k -> next.getOrElse(k, 0L)).toMap
     }
-    val pconv = x.filter($"s" === "START").select($"scen", $"x".as("p"))
+    val xDf = x.toSeq.map { case ((scen, s), v) => (scen, s, v) }
+      .toDF("scen", "s", "x")
+    val pconv = xDf.filter($"s" === "START").select($"scen", $"x".as("p"))
     val full = pconv.filter($"scen" === "none").select($"p".as("p_full"))
     val re = pconv.filter($"scen" =!= "none")
       .crossJoin(broadcast(full))

@@ -71,6 +71,7 @@ object Graph {
       graft.functions.Lineage.freeCheckpoint(rank)
       rank = next
     }
+    linked.unpersist(blocking = false)
     rank.select($"id".as("c_custkey"), $"r".as("rank_mass"))
       .transform(graft.Tables.ordered(_, $"c_custkey"))
   }
@@ -629,34 +630,37 @@ object Graph {
       k: Int, rounds: Int): DataFrame = {
     val spark = nodes.sparkSession
     import spark.implicits._
-    var act = nodes.localCheckpoint()
+    // round-18 (guide §2.4/§1.2): the peel state carries
+    // (id, peel_round) in ONE frame (pr = 0 while alive) instead of
+    // a shrinking survivor set plus a per-sweep anti-join and
+    // per-sweep peeled checkpoint — one checkpoint and one join
+    // fewer per sweep. A node's pr freezes at the sweep that removed
+    // it, so the final frame IS the old nodes ⟕ peelAll union —
+    // bitwise-identical output.
+    var st = nodes.withColumn("pr", lit(0L)).localCheckpoint()
     var ed = und.localCheckpoint()
-    val peeled = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     (1 to rounds).foreach { i =>
       val deg = ed.selectExpr("a AS id").unionAll(ed.selectExpr("b AS id"))
         .groupBy($"id").agg(count(lit(1)).as("d"))
-      val next = act.join(deg, Seq("id"), "left_outer")
-        .filter(coalesce($"d", lit(0L)) >= k)
-        .select($"id").localCheckpoint()
-      val gone = act.join(next, Seq("id"), "left_anti")
-        .withColumn("peel_round", lit(i.toLong)).localCheckpoint()
+      val stN = st.join(deg, Seq("id"), "left_outer")
+        .selectExpr("id",
+          s"CASE WHEN pr = 0 AND coalesce(d, CAST(0 AS BIGINT)) < $k " +
+            s"THEN CAST($i AS BIGINT) ELSE pr END AS pr")
+        .localCheckpoint()
+      val alive = stN.filter($"pr" === 0L).select($"id")
       val edNext = ed
-        .join(next.withColumnRenamed("id", "a"), Seq("a"), "left_semi")
-        .join(next.withColumnRenamed("id", "b"), Seq("b"), "left_semi")
+        .join(alive.withColumnRenamed("id", "a"), Seq("a"), "left_semi")
+        .join(alive.withColumnRenamed("id", "b"), Seq("b"), "left_semi")
         .select($"a", $"b").localCheckpoint()
-      peeled += gone
-      graft.functions.Lineage.freeCheckpoint(act)
+      graft.functions.Lineage.freeCheckpoint(st)
       graft.functions.Lineage.freeCheckpoint(ed)
-      act = next
+      st = stN
       ed = edNext
     }
     val coreDeg = ed.selectExpr("a AS id").unionAll(ed.selectExpr("b AS id"))
       .groupBy($"id").agg(count(lit(1)).as("cd"))
-    val peelAll = peeled.reduce(_ unionAll _)
-    nodes.join(peelAll, Seq("id"), "left_outer")
-      .join(coreDeg, Seq("id"), "left_outer")
-      .select($"id",
-        coalesce($"peel_round", lit(0L)).as("peel_round"),
+    st.join(coreDeg, Seq("id"), "left_outer")
+      .select($"id", $"pr".as("peel_round"),
         coalesce($"cd", lit(0L)).as("core_deg"))
   }
 
@@ -767,6 +771,7 @@ object Graph {
       graft.functions.Lineage.freeCheckpoint(rank)
       rank = next
     }
+    linked.unpersist(blocking = false)
     rank.selectExpr("id AS c_custkey", "r AS ppr_mass",
       s"CAST(CASE WHEN id % $g8SeedMod = 0 THEN 1 ELSE 0 END AS BIGINT) AS is_seed")
       .transform(graft.Tables.ordered(_, $"c_custkey"))
@@ -856,6 +861,7 @@ object Graph {
       graft.functions.Lineage.freeCheckpoint(dist)
       dist = next
     }
+    edges.unpersist(blocking = false)
     dist.selectExpr("id AS c_custkey", "CAST(coalesce(d, -1) AS BIGINT) AS depth")
       .transform(graft.Tables.ordered(_, $"c_custkey"))
   }
@@ -1736,6 +1742,13 @@ object Graph {
           .join(un.withColumnRenamed("id", "src"), Seq("src"))
           .join(un.withColumnRenamed("id", "dst"), Seq("dst"))
           .select($"src", $"dst").localCheckpoint()
+        // round-18 shuffle diet (guide §2.4, measured g18 5.4→4.1 s):
+        // the peel's edge set is static across its [[g18Rounds]]
+        // rounds — cache it partitioned BOTH ways once (one shuffle
+        // each) instead of re-exchanging it by src and by dst in
+        // every one of the 2×[[g18Rounds]] mask-flow joins
+        val eUsrc = eU.repartition($"src").cache()
+        val eUdst = eU.repartition($"dst").cache()
         var m = un
           .join(broadcast(pvDf), un("id") === pvDf("pid"), "left")
           .selectExpr("id",
@@ -1743,10 +1756,10 @@ object Graph {
               "ELSE CAST(0 AS BIGINT) END AS fm")
           .withColumn("bm", $"fm").localCheckpoint()
         (1 to rounds).foreach { _ =>
-          val f = eU
+          val f = eUsrc
             .join(m.filter($"fm" =!= 0L).selectExpr("id AS src", "fm"), Seq("src"))
             .groupBy($"dst").agg(expr("bit_or(fm)").as("nf"))
-          val b = eU
+          val b = eUdst
             .join(m.filter($"bm" =!= 0L).selectExpr("id AS dst", "bm"), Seq("dst"))
             .groupBy($"src").agg(expr("bit_or(bm)").as("nb"))
           val next = m
@@ -1759,6 +1772,8 @@ object Graph {
           graft.functions.Lineage.freeCheckpoint(m)
           m = next
         }
+        eUsrc.unpersist(blocking = false)
+        eUdst.unpersist(blocking = false)
         val bv = pv.zipWithIndex
           .map { case (p, i) => (1L << i, p) }.toSeq.toDF("bv", "pid")
         val claimed = m.filter(expr("(fm & bm) <> 0"))
@@ -2437,63 +2452,172 @@ object Graph {
     * holding the full sequence would be holding unreadable frames,
     * the round-14 misuse hole); `keepAll = true` keeps and returns
     * every round's state (index 0 = singletons) for the monotone-Q
-    * audit. The strength cache is dropped once the last round's
-    * checkpoint lands. */
+    * audit. Strengths are read once (the init join) and ride the
+    * checkpointed state thereafter (round 18). */
+  /** The driver-side twin of [[louvainStatesW]]'s move rounds — the
+    * IDENTICAL candidate set (kin + unconditional stay), downward
+    * filter, exact BIGINT gain and (gain DESC, stay-first, label
+    * ASC) lexicographic argmax, and zero-move convergence, iterated
+    * over collected community-grain rows. Long arithmetic == SQL
+    * BIGINT on these values (same two's-complement `div`-free
+    * products, non-negative divisions), and Scala's Tuple3 ordering
+    * IS the struct-MIN's lexicographic order, so the labeling per
+    * round is bitwise the distributed round's. */
+  private def louvainRoundsLocal(initL: Seq[(Long, Long)],
+      eL: Seq[(Long, Long, Long)], dL: Map[Long, Long], m: Long,
+      rounds: Int): Map[Long, Long] = {
+    var lbl = initL.map { case (id, l) => id -> l }.toMap
+    var moved = true
+    var r = 0
+    while (moved && r < rounds) {
+      r += 1
+      val tot = lbl.toSeq.groupBy(_._2).map { case (c, xs) =>
+        c -> xs.iterator.map(x => dL(x._1)).sum
+      }
+      // kin: Σw per (src, lbl(dst)) — the dst-label inner join drops
+      // edges whose dst is unlabeled, mirrored by the filter
+      val kin = eL.iterator
+        .filter { case (_, t, _) => lbl.contains(t) }
+        .map { case (s, t, w) => ((s, lbl(t)), w) }.toSeq
+        .groupBy(_._1).map { case (k, xs) =>
+          k -> xs.iterator.map(_._2).sum
+        }
+      val cand = kin.iterator.map { case ((id, c), k) => (id, c, k) }.toSeq ++
+        lbl.iterator.map { case (id, l) => (id, l, 0L) }.toSeq
+      val next = cand
+        .filter { case (id, c, _) => lbl.contains(id) && c <= lbl(id) }
+        .groupBy(_._1).map { case (id, xs) =>
+          val l0 = lbl(id)
+          val di = dL(id)
+          val best = xs.iterator.map { case (_, c, k) =>
+            val gain = 2L * m * k -
+              di * (tot(c) - (if (c == l0) di else 0L))
+            (-gain, if (c == l0) 0 else 1, c)
+          }.min
+          id -> best._3
+        }
+      moved = next.exists { case (id, c) => c != lbl(id) }
+      lbl = lbl.map { case (id, _) => id -> next(id) }
+    }
+    lbl
+  }
+
   private[graft] def louvainStatesW(init: DataFrame, edgesW: DataFrame,
       degAll0: DataFrame, m: Long, rounds: Int, keepAll: Boolean = false,
-      callerCached: Boolean = false): Seq[DataFrame] = {
+      callerCached: Boolean = false, condensed: Boolean = false): Seq[DataFrame] = {
     val spark = init.sparkSession
     import spark.implicits._
-    // callerCached: the caller already owns a cache of the strength
-    // table (the level loop holds degAll across levels) — adding a
-    // second entry here would double-cache the same rows, so the
-    // core caches only when it is the sole owner.
-    val degAll = if (callerCached) degAll0 else degAll0.cache()
-    var labels = init.select($"id", $"lbl").localCheckpoint()
-    val states = scala.collection.mutable.ArrayBuffer(labels)
+    // round-18 bounded-local fast path (guide §1.2, the dq11/e20
+    // bounded-collect class): a CONDENSED level's rounds operate at
+    // community grain — when the caller says so (`condensed`) and
+    // the runtime row counts sit under the gate, the move rounds
+    // iterate on the driver via [[louvainRoundsLocal]] instead of
+    // paying ~10 AQE stage jobs per round. Level-1 callers never
+    // probe (corpus grain, the probe itself would be waste); the
+    // keepAll audit path always takes the distributed loop.
+    if (condensed && !keepAll) {
+      val gate = graft.operators.Dedup.ccStarsLocalMax
+      val nI = init.limit(gate.toInt + 1).count()
+      val nE = if (nI <= gate) edgesW.limit(gate.toInt + 1).count()
+        else Long.MaxValue
+      if (nI <= gate && nE <= gate) {
+        val eL = edgesW.select($"src", $"dst", $"w")
+          .as[(Long, Long, Long)].collect().toSeq
+        val dL = degAll0.select($"id", $"d").as[(Long, Long)]
+          .collect().toMap
+        // the init ⋈ strengths join is INNER distributedly — mirror
+        val initL = init.select($"id", $"lbl").as[(Long, Long)]
+          .collect().toSeq.filter(p => dL.contains(p._1))
+        val lbl = louvainRoundsLocal(initL, eL, dL, m, rounds)
+        return Seq(lbl.toSeq.toDF("id", "lbl"))
+      }
+    }
+    // callerCached: retained for call-site documentation — since
+    // round 18 the strength table is read exactly ONCE (the init
+    // join below), so the core never caches it; a caller that holds
+    // its own degAll cache across levels (the level loop) still
+    // benefits there.
+    // ROUND-18 SHUFFLE DIET (guide §2.4 — remove shuffles outright).
+    // The measured profile of the Louvain family is job-count-bound
+    // (g27: 320 AQE stage jobs, 22 MB total shuffle, 10% CPU
+    // utilization at local[32]) and every AQE stage is an Exchange;
+    // at 100 TB the same Exchanges are the network cost. Two
+    // result-identical restructures (measured g27 52.6 → 32.4 s):
+    //  1. the stay candidate (id, lbl, 0) is emitted UNCONDITIONALLY
+    //     instead of via a per-round anti-join: when a real
+    //     (id, lbl, kin ≥ 1) row exists the zero row is a DOMINATED
+    //     DUPLICATE (same c, same mv, gain differs only by
+    //     +2m·kin ≥ 0), and an argmax over a set with an extra
+    //     dominated element is unchanged — two Exchanges and a join
+    //     gone per round;
+    //  2. with stay unconditional every id has a candidate that
+    //     survives the downward filter (c = lbl ≤ lbl), so the winner
+    //     aggregate covers EVERY node and `next` needs no left-outer
+    //     join back onto labels — the previous label rides the
+    //     aggregate as max(lbl) (constant per id), another Exchange
+    //     gone.
+    // The static edge table is cached once for the loop (previously
+    // re-derived per round). A repartition-on-join-key variant of
+    // these caches was measured SLOWER: localCheckpoint drops
+    // partitioning (UnknownPartitioning in the plan), so the state
+    // side re-exchanges regardless, and the pin blocks AQE's
+    // broadcast/coalesce path (g2 drill: 224 → 2787 tasks).
+    //  3. the static per-node strength d is folded INTO the label
+    //     state at init (one join, once) instead of a per-round
+    //     labels ⋈ degAll join evaluated twice (tot input + candidate
+    //     attach) — d is loop-invariant, so carrying it through the
+    //     winner aggregate (max(d), constant per id) is the same
+    //     value the join would re-attach, and up to four Exchange
+    //     stages per round disappear.
+    val edges = edgesW.cache()
+    // state: (id, lbl, d) — d static per id, joined once here
+    var st = init.select($"id", $"lbl").join(degAll0, Seq("id"))
+      .select($"id", $"lbl", $"d").localCheckpoint()
+    val states = scala.collection.mutable.ArrayBuffer(
+      st.select($"id", $"lbl"))
     var r = 0
     var moved = true
     while (moved && r < rounds) {
       r += 1
-      val tot = labels.join(degAll, Seq("id"))
-        .groupBy($"lbl".as("c")).agg(sum($"d").as("tot"))
-      val kin = edgesW
-        .join(labels.select($"id".as("dst"), $"lbl".as("c")), Seq("dst"))
+      val tot = st.groupBy($"lbl".as("c")).agg(sum($"d").as("tot"))
+      val kin = edges
+        .join(st.select($"id".as("dst"), $"lbl".as("c")), Seq("dst"))
         .groupBy($"src".as("id"), $"c").agg(sum($"w").as("kin"))
-      // stay is always a candidate, with kin = 0 when no neighbor
-      // shares the node's community
-      val stay = labels.select($"id", $"lbl".as("c"))
-        .join(kin, Seq("id", "c"), "left_anti")
+      // stay is always a candidate, with kin = 0; when the node DOES
+      // have neighbors in its own community the zero row is dominated
+      // by the real kin row (see header note 2) — no anti-join
+      val stay = st.select($"id", $"lbl".as("c"))
         .withColumn("kin", lit(0L))
       val cand = kin.unionByName(stay)
-        .join(labels, Seq("id"))
-        .join(degAll, Seq("id"))
+        .join(st, Seq("id"))
+        // min-label swap avoidance: moves flow DOWNWARD only —
+        // filtered BEFORE the tot join so the c-keyed exchange
+        // carries only surviving candidates
+        .filter($"c" <= $"lbl")
         .join(tot, Seq("c"))
         .selectExpr("id", "c", "lbl", "d",
           "2 * " + m + " * kin - d * (tot - CASE WHEN c = lbl THEN d ELSE 0 END) AS gain",
           "CASE WHEN c = lbl THEN 0 ELSE 1 END AS mv")
-        // min-label swap avoidance: moves flow DOWNWARD only
-        .filter($"c" <= $"lbl")
-      val winner = cand
+      // max gain, prefer stay on ties, then min label — one
+      // struct-MIN (map-side combinable); lbl and d are constant per
+      // id so max() is their value and `next` is the aggregate
+      // itself — the moved flag is checkpointed WITH the labels, so
+      // the convergence probe is a scan of the materialized round,
+      // not a second aggregate
+      val next = cand
         .groupBy($"id")
-        // max gain, prefer stay on ties, then min label — one
-        // struct-MIN (map-side combinable)
-        .agg(min(struct(($"gain" * -1).as("ng"), $"mv", $"c")).as("w"))
-        .selectExpr("id", "w.c AS wlbl")
-      // the moved flag is checkpointed WITH the labels, so the
-      // convergence probe is a scan of the materialized round, not
-      // a second aggregate
-      val next = labels.join(winner, Seq("id"), "left_outer")
-        .selectExpr("id", "coalesce(wlbl, lbl) AS lbl",
-          "CASE WHEN wlbl IS NOT NULL AND wlbl <> lbl THEN 1 ELSE 0 END AS mv")
+        .agg(min(struct(($"gain" * -1).as("ng"), $"mv", $"c")).as("w"),
+          max($"lbl").as("plbl"), max($"d").as("d"))
+        .selectExpr("id", "w.c AS lbl",
+          "CASE WHEN w.c <> plbl THEN 1 ELSE 0 END AS mv", "d")
         .localCheckpoint()
       moved = !next.filter($"mv" === 1).isEmpty
-      if (!keepAll) graft.functions.Lineage.freeCheckpoint(labels)
-      labels = next.select($"id", $"lbl")
-      if (keepAll) states += labels
+      if (!keepAll) graft.functions.Lineage.freeCheckpoint(st)
+      st = next.select($"id", $"lbl", $"d")
+      if (keepAll) states += st.select($"id", $"lbl")
     }
-    if (!callerCached) degAll.unpersist(blocking = false)
-    if (keepAll) states.toSeq else Seq(labels)
+    edges.unpersist(blocking = false)
+    if (keepAll) states.toSeq else Seq(st.select($"id", $"lbl"))
   }
 
   /** Exact modularity numerator Q·4m² of a labeling over `und` —
@@ -2656,7 +2780,8 @@ object Graph {
         .selectExpr("id", "coalesce(d, CAST(0 AS BIGINT)) AS d"), Seq("id"))
       .groupBy($"lbl".as("id")).agg(sum($"d").as("d"))
     val init2 = l1.select($"lbl".as("id")).distinct().withColumn("lbl", $"id")
-    val l2 = louvainStatesW(init2, cedges, sdeg, m, g25Rounds).last
+    val l2 = louvainStatesW(init2, cedges, sdeg, m, g25Rounds,
+      condensed = true).last
     val composed = l1.select($"id", $"lbl".as("c1"))
       .join(l2.select($"id".as("c1"), $"lbl".as("community")), Seq("c1"))
     // eager 1-row checkpoint, then drop the per-query caches — the
@@ -2784,29 +2909,62 @@ object Graph {
       .unionByName(selfw.select($"cid".as("src"), $"cid".as("dst"), $"w"))
     val comms = l1.select($"lbl".as("id")).distinct().cache()
     val nc = comms.count()
-    // out-weight is loop-invariant — fold it into the cached edge
-    // table ONCE (g1's discipline)
-    val linked = edges.join(
-      edges.groupBy($"src").agg(sum($"w").as("outw")), Seq("src")).cache()
     val base = (massS * 15L / 100L) / nc
-    var rank = comms.withColumn("r", lit(massS / nc)).localCheckpoint()
-    (1 to g1Rounds).foreach { _ =>
-      val contrib = linked
-        .join(rank.withColumnRenamed("id", "src"), Seq("src"))
-        .selectExpr("dst", "(((r * 85) div 100) div outw) * w AS share")
-        .groupBy($"dst").agg(sum($"share").as("m"))
-      val next = comms
-        .join(contrib.withColumnRenamed("dst", "id"), Seq("id"), "left_outer")
-        .selectExpr("id",
-          s"CAST($base AS BIGINT) + coalesce(m, CAST(0 AS BIGINT)) AS r")
-        .localCheckpoint()
-      graft.functions.Lineage.freeCheckpoint(rank)
-      rank = next
-    }
-    // rank is checkpointed — drop the per-query caches before the
-    // presentation frame returns (it reads only rank + the
-    // checkpointed l1)
-    linked.unpersist(blocking = false)
+    // round-18 bounded-local fast path (guide §1.2, the dq11/e20
+    // bounded-collect class): the rank loop runs at COMMUNITY grain
+    // — when community and condensed-edge counts sit under the gate
+    // (runtime probe; a corpus whose condensation stays large keeps
+    // the distributed loop), iterate the identical integer power
+    // method on the driver: same per-unit-weight quotient
+    // q = ((r·85) div 100) div outw, same q·w shares, same
+    // base + Σ fold — all positive Longs, `/` == SQL div.
+    val gate = graft.operators.Dedup.ccStarsLocalMax
+    val nE = if (nc <= gate) edges.limit(gate.toInt + 1).count()
+      else Long.MaxValue
+    val rank =
+      if (nc <= gate && nE <= gate) {
+        val eL = edges.select($"src", $"dst", $"w")
+          .as[(Long, Long, Long)].collect()
+        val outw = eL.groupBy(_._1).map { case (s, xs) =>
+          s -> xs.iterator.map(_._3).sum
+        }
+        val commsL = comms.as[Long].collect().toSeq
+        var r = commsL.map(id => id -> massS / nc).toMap
+        (1 to g1Rounds).foreach { _ =>
+          val contrib = eL.iterator
+            .filter(e => r.contains(e._1))
+            .map { case (s, t, w) => t -> (((r(s) * 85L) / 100L) / outw(s)) * w }
+            .toSeq.groupBy(_._1).map { case (t, xs) =>
+              t -> xs.iterator.map(_._2).sum
+            }
+          r = commsL.map(id => id -> (base + contrib.getOrElse(id, 0L))).toMap
+        }
+        r.toSeq.toDF("id", "r")
+      } else {
+        // out-weight is loop-invariant — fold it into the cached
+        // edge table ONCE (g1's discipline)
+        val linked = edges.join(
+          edges.groupBy($"src").agg(sum($"w").as("outw")), Seq("src")).cache()
+        var rk = comms.withColumn("r", lit(massS / nc)).localCheckpoint()
+        (1 to g1Rounds).foreach { _ =>
+          val contrib = linked
+            .join(rk.withColumnRenamed("id", "src"), Seq("src"))
+            .selectExpr("dst", "(((r * 85) div 100) div outw) * w AS share")
+            .groupBy($"dst").agg(sum($"share").as("m"))
+          val next = comms
+            .join(contrib.withColumnRenamed("dst", "id"), Seq("id"), "left_outer")
+            .selectExpr("id",
+              s"CAST($base AS BIGINT) + coalesce(m, CAST(0 AS BIGINT)) AS r")
+            .localCheckpoint()
+          graft.functions.Lineage.freeCheckpoint(rk)
+          rk = next
+        }
+        linked.unpersist(blocking = false)
+        rk
+      }
+    // rank is checkpointed (or local) — drop the per-query caches
+    // before the presentation frame returns (it reads only rank +
+    // the checkpointed l1)
     comms.unpersist(blocking = false)
     lc.unpersist(blocking = false)
     und.unpersist(blocking = false)
@@ -2895,8 +3053,10 @@ object Graph {
     val edges1 = und.select($"a".as("src"), $"b".as("dst"))
       .unionAll(und.select($"b".as("src"), $"a".as("dst")))
     val deg1 = edges1.groupBy($"src".as("id")).agg(count(lit(1)).as("d"))
+    // round-18: id-partitioned for the core's co-partitioned rounds
     val degAll = nodes.join(deg1, Seq("id"), "left_outer")
-      .selectExpr("id", "coalesce(d, CAST(0 AS BIGINT)) AS d").cache()
+      .selectExpr("id", "coalesce(d, CAST(0 AS BIGINT)) AS d")
+      .repartition($"id").cache()
     val m = und.count()
     // level 1 drives the SHARED weighted core directly on the
     // strengths already derived above (w = 1 degenerates to g24's
@@ -2925,7 +3085,8 @@ object Graph {
         .groupBy($"lbl".as("id")).agg(sum($"d").as("d"))
       val init = comp.select($"lbl".as("id")).distinct()
         .withColumn("lbl", $"id")
-      val lN = louvainStatesW(init, cedges, sdeg, m, g25Rounds).last
+      val lN = louvainStatesW(init, cedges, sdeg, m, g25Rounds,
+        condensed = true).last
       val moved = !lN.filter($"id" =!= $"lbl").isEmpty
       // compose back to original nodes; checkpoint cuts the
       // per-level lineage (the round loop's discipline, one level up)

@@ -2063,7 +2063,18 @@ object Knn {
     * would OOM the driver before the first micro-batch.
     */
   private[graft] case class V21Static(e: DataFrame, graph: DataFrame,
-      reps: DataFrame, cents: Array[(Long, Array[Double])])
+      reps: DataFrame, cents: Array[(Long, Array[Double])]) {
+    /** Corpus count for the log-n beam schedule, memoized PER INDEX
+      * INSTANCE: the schedule is a pure function of the index's
+      * corpus, so a door serving many micro-batches over one static
+      * index (s35) or a lifecycle op searching the same index twice
+      * pays the count job once, not once per search call. A grown
+      * index is a NEW V21Static (the doors rebuild the case class on
+      * growth), so the count re-derives exactly when the corpus can
+      * have changed. */
+    lazy val beamCorpusN: Long =
+      math.max(1L, e.filter("vec_id >= 10").count())
+  }
 
   private[graft] def v21Static(spark: SparkSession, dir: String): V21Static = {
     val e = vectors(spark, dir)
@@ -2158,7 +2169,7 @@ object Knn {
     // sf0.1 isolated wall-time stays ~7.9 s (was 7.4 s).
     val beam = spark.conf.getOption("graft.v21.beam").map(_.toInt)
       .getOrElse {
-        val n = math.max(1L, e.filter("vec_id >= 10").count())
+        val n = ix.beamCorpusN // memoized per index instance
         math.max(v21Beam,
           2 * (64 - java.lang.Long.numberOfLeadingZeros(math.max(1L, n - 1))))
       }
@@ -3060,13 +3071,21 @@ object Knn {
   private[graft] def saveIndex(ix: V21Static, dir: String): Unit = {
     val spark = ix.e.sparkSession
     import spark.implicits._
-    ix.e.select($"vec_id", $"nv").write.parquet(s"$dir/vectors")
-    ix.graph.write.parquet(s"$dir/graph")
-    ix.reps.write.parquet(s"$dir/reps")
-    ix.cents.toSeq.toDF("cid", "cv").write.parquet(s"$dir/cents")
+    // the four component writes are independent (distinct paths) and
+    // each is far too small to fill the cluster — land them
+    // concurrently (guide §2.6 job overlap), then the gate counts the
+    // same way; the manifest still commits LAST, after every write
+    // and count has returned
+    graft.functions.Par.run(Seq(
+      () => ix.e.select($"vec_id", $"nv").write.parquet(s"$dir/vectors"),
+      () => ix.graph.write.parquet(s"$dir/graph"),
+      () => ix.reps.write.parquet(s"$dir/reps"),
+      () => ix.cents.toSeq.toDF("cid", "cv").write.parquet(s"$dir/cents")))
+    val Seq(nv, ng, nr) = graft.functions.Par.run(Seq(
+      () => ix.e.count(), () => ix.graph.count(), () => ix.reps.count()))
     val counts = Seq(
-      "vectors" -> ix.e.count(), "graph" -> ix.graph.count(),
-      "reps" -> ix.reps.count(), "cents" -> ix.cents.length.toLong)
+      "vectors" -> nv, "graph" -> ng,
+      "reps" -> nr, "cents" -> ix.cents.length.toLong)
     java.nio.file.Files.write(
       java.nio.file.Paths.get(dir, "_MANIFEST"),
       counts.map { case (c, n) => s"$c $n" }
@@ -3100,8 +3119,14 @@ object Knn {
     val e = spark.read.parquet(s"$dir/vectors")
     val graph = spark.read.parquet(s"$dir/graph").cache()
     val reps = spark.read.parquet(s"$dir/reps")
-    val cents = spark.read.parquet(s"$dir/cents")
-      .as[(Long, Array[Double])].collect().sortBy(_._1)
+    // the three gate counts and the codebook collect are independent
+    // reads — overlap them (guide §2.6) instead of paying four
+    // sequential job latencies per bootstrap
+    val gate = graft.functions.Par.run[Any](Seq(
+      () => e.count(), () => graph.count(), () => reps.count(),
+      () => spark.read.parquet(s"$dir/cents")
+        .as[(Long, Array[Double])].collect().sortBy(_._1)))
+    val cents = gate(3).asInstanceOf[Array[(Long, Array[Double])]]
     // The gate protects a COLD load — the fresh serving process
     // bootstrapping from shared storage, which is where a torn
     // write bites. In a session that already cached a prior load
@@ -3111,8 +3136,10 @@ object Knn {
     // warm process keeps serving its loaded version — the correct
     // Spark semantics for data it chose to cache. The spec
     // simulates the cold process with clearCache().
-    Seq("vectors" -> e.count(), "graph" -> graph.count(),
-      "reps" -> reps.count(), "cents" -> cents.length.toLong)
+    Seq("vectors" -> gate(0).asInstanceOf[Long],
+      "graph" -> gate(1).asInstanceOf[Long],
+      "reps" -> gate(2).asInstanceOf[Long],
+      "cents" -> cents.length.toLong)
       .foreach { case (c, n) =>
         require(want.get(c).contains(n),
           s"index component $c: $n rows != manifest ${want.get(c)} — refusing to serve")
@@ -3466,18 +3493,22 @@ object Knn {
       parts.keySet.subsetOf(Set("vectors", "edges", "tombs")))
     val next = StoreVersions.next(root)
     val dir = new java.io.File(root, s"v$next").getAbsolutePath
-    parts.toSeq.sortBy(_._1).foreach { case (c, df) =>
-      df.write.parquet(s"$dir/$c")
-    }
+    // independent component writes land concurrently (guide §2.6 —
+    // the saveIndex discipline); the manifest still commits LAST
+    graft.functions.Par.run(parts.toSeq.sortBy(_._1).map {
+      case (c, df) => () => df.write.parquet(s"$dir/$c")
+    })
     // count what LANDED (parquet footer metadata — no recompute of
     // the component frames, and the commit marker describes the
     // artifact, not the intent); components the caller did not ship
     // (a tombstone-only or insert-only segment) are recorded 0 and
     // never written — no empty-frame write/count jobs
     val spark = parts.head._2.sparkSession
+    val shipped = parts.keySet
+    val landed = graft.functions.Par.run(shipped.toSeq.sorted.map(c =>
+      () => c -> spark.read.parquet(s"$dir/$c").count())).toMap
     val counts = Seq("vectors", "edges", "tombs").map(c =>
-      c -> (if (parts.contains(c))
-        spark.read.parquet(s"$dir/$c").count() else 0L))
+      c -> landed.getOrElse(c, 0L))
     java.nio.file.Files.write(
       java.nio.file.Paths.get(dir, "_MANIFEST"),
       ("kind delta" +: counts.map { case (c, n) => s"$c $n" })
@@ -3538,25 +3569,43 @@ object Knn {
     val b = bases.max
     val ix0 = loadIndex(spark, new java.io.File(root, s"v$b").getAbsolutePath)
     val deltas = committed.filter(v => v > b && isDeltaVersion(root, v))
-    val z = (ix0.e.select(col("vec_id"), col("nv")), ix0.graph,
-      spark.range(0).selectExpr("id AS vec_id"))
-    val (e, g, t) = deltas.foldLeft(z) { case ((e0, g0, t0), v) =>
+    // manifests are driver-side file reads; the per-component count
+    // gates are independent footer-metadata jobs — run ALL of them
+    // concurrently (guide §2.6 job overlap) instead of paying one
+    // sequential job latency per shipped component per delta, then
+    // assemble the union chain from the already-validated frames.
+    // Same gates, same refusal message, same assembled plan.
+    val mfs = deltas.map { v =>
       val dir = new java.io.File(root, s"v$v").getAbsolutePath
       val mf = new String(java.nio.file.Files.readAllBytes(
         java.nio.file.Paths.get(dir, "_MANIFEST")), "UTF-8")
         .split("\n").drop(1).map(_.split(" "))
         .map(a => a(0) -> a(1).toLong).toMap
-      // a component the manifest records as 0 was never written
-      // (component-sparse segments) — fold nothing for it; a
-      // non-zero component reads through its count gate
+      (v, dir, mf)
+    }
+    // a component the manifest records as 0 was never written
+    // (component-sparse segments) — fold nothing for it; a
+    // non-zero component reads through its count gate
+    val comps: Map[(Int, String), DataFrame] = mfs.flatMap {
+      case (v, dir, mf) =>
+        Seq("vectors", "edges", "tombs").collect {
+          case c if mf.getOrElse(c, 0L) != 0L =>
+            (v, c) -> spark.read.parquet(s"$dir/$c")
+        }
+    }.toMap
+    graft.functions.Par.run(mfs.flatMap { case (v, _, mf) =>
+      Seq("vectors", "edges", "tombs").collect {
+        case c if mf.getOrElse(c, 0L) != 0L => () =>
+          require(mf.get(c).contains(comps((v, c)).count()),
+            s"delta v$v component $c: rows != manifest ${mf.get(c)} — refusing to serve")
+      }
+    })
+    val z = (ix0.e.select(col("vec_id"), col("nv")), ix0.graph,
+      spark.range(0).selectExpr("id AS vec_id"))
+    val (e, g, t) = mfs.foldLeft(z) { case ((e0, g0, t0), (v, _, mf)) =>
       def comp(c: String, shape: DataFrame): DataFrame =
         if (mf.getOrElse(c, 0L) == 0L) shape.filter("false")
-        else {
-          val df = spark.read.parquet(s"$dir/$c")
-          require(mf.get(c).contains(df.count()),
-            s"delta v$v component $c: rows != manifest ${mf.get(c)} — refusing to serve")
-          df
-        }
+        else comps((v, c))
       (e0.unionByName(comp("vectors", e0)),
         g0.unionByName(comp("edges", g0)),
         t0.unionByName(comp("tombs", t0)))
@@ -3825,8 +3874,15 @@ object Knn {
     val dirs = roots.zip(vers).map { case (r, v) =>
       new java.io.File(r, s"v$v").getAbsolutePath
     }
-    val digs = dirs.map(d => annStoreComps.map(c =>
-      c -> annComponentDigest(spark, d, c)).toMap)
+    // 12 independent digest scans (4 components × 3 replicas) —
+    // overlapped (guide §2.6); results stay positional per (replica,
+    // component), so the vote below is order-deterministic
+    val digFlat = graft.functions.Par.run(
+      for (d <- dirs; c <- annStoreComps)
+        yield (() => annComponentDigest(spark, d, c)))
+    val digs = dirs.indices.map(i => annStoreComps.zipWithIndex.map {
+      case (c, j) => c -> digFlat(i * annStoreComps.length + j)
+    }.toMap)
     // vote each component; collect (convicted root idx, comp, src idx)
     val heals = annStoreComps.flatMap { c =>
       val ds = digs.map(_(c))
@@ -3899,7 +3955,9 @@ object Knn {
     val roots = Seq("r1", "r2", "r3").map(nm =>
       new java.io.File(base, nm).getAbsolutePath)
     val ix0 = v21Static(spark, dir)
-    roots.foreach(r => saveIndexVersion(ix0, r))
+    // three independent replica publishes — overlap them (guide
+    // §2.6); each write lands under its own root
+    graft.functions.Par.run(roots.map(r => () => saveIndexVersion(ix0, r)))
     ix0.reps.unpersist()
     // PLANT: drop r2's graph's last edge, self-consistently
     val gdir = s"${roots(1)}/v1/graph"

@@ -1674,17 +1674,21 @@ object Quality {
         .selectExpr("bucket", "n AS refn", "x AS refx")
         .coalesce(1).write.mode("overwrite").parquet(s"$audit/vote_ref")
       val convicted = voteRows.flatMap(v => v.bad).toSet
-      names.zip(roots).zip(stores).foreach { case ((nm, root), store) =>
-        if (convicted.contains(nm)) {
-          val ci = corr.filter($"replica" === nm)
-          val insSrc = (names :+ "primary").filter(_ != nm).map { s =>
-            srcFrames(s).join(broadcast(ci.filter($"source" === s)
-                .select($"k".as("o_orderkey"))),
-              Seq("o_orderkey"), "left_semi")
-          }.reduce(_ unionByName _)
-          publishCorrections(spark, root, ci, insSrc, store)
-        }
-      }
+      // each convicted store publishes under its OWN root from the
+      // already-checkpointed corrections — independent publishes,
+      // overlapped (guide §2.6)
+      graft.functions.Par.run(
+        names.zip(roots).zip(stores).collect {
+          case ((nm, root), store) if convicted.contains(nm) => () => {
+            val ci = corr.filter($"replica" === nm)
+            val insSrc = (names :+ "primary").filter(_ != nm).map { s =>
+              srcFrames(s).join(broadcast(ci.filter($"source" === s)
+                  .select($"k".as("o_orderkey"))),
+                Seq("o_orderkey"), "left_semi")
+            }.reduce(_ unionByName _)
+            publishCorrections(spark, root, ci, insSrc, store)
+          }
+        })
     }
     graft.functions.Lineage.freeCheckpoint(corr)
     n
@@ -1739,9 +1743,11 @@ object Quality {
     graft.operators.Incremental.cleanupOnExit(base)
     val roots = Seq("r1", "r2", "r3").map(nm =>
       new java.io.File(base, nm).getAbsolutePath)
-    dq11Replicas(p).zip(roots).foreach { case ((_, r), root) =>
-      seedStoreFrom(r, root)
-    }
+    // three independent replica seeds, each under its own root —
+    // overlap them (guide §2.6 job overlap)
+    graft.functions.Par.run(dq11Replicas(p).zip(roots).map {
+      case ((_, r), root) => () => seedStoreFrom(r, root)
+    })
     val audit = new java.io.File(base, "audit").getAbsolutePath
     quorumPass(spark, roots, p, audit)
     val rerun = quorumPass(spark, roots, p, audit)

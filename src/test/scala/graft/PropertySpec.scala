@@ -336,4 +336,72 @@ class PropertySpec extends AnyFunSuite {
     })
     graft.functions.Lineage.freeCheckpoint(state)
   }
+
+  test("Par.run: positional results, all tasks complete, first error rethrown") {
+    // results are positional regardless of completion order
+    val out = graft.functions.Par.run((0 until 8).map { i => () =>
+      Thread.sleep((8 - i) * 10L); i * i
+    })
+    assert(out == (0 until 8).map(i => i * i))
+    // empty and single-task fast paths run on the caller thread
+    assert(graft.functions.Par.run(Seq.empty[() => Int]) == Seq.empty)
+    val self = Thread.currentThread()
+    assert(graft.functions.Par.run(Seq(() =>
+      Thread.currentThread() eq self)) == Seq(true))
+    // a failing task does not abandon its siblings (no half-landed
+    // component writes) and the failure rethrows to the caller
+    val done = new java.util.concurrent.atomic.AtomicInteger(0)
+    val err = intercept[RuntimeException] {
+      graft.functions.Par.run[Unit](Seq(
+        () => { Thread.sleep(5); done.incrementAndGet(); () },
+        () => throw new RuntimeException("boom"),
+        () => { Thread.sleep(20); done.incrementAndGet(); () }))
+    }
+    assert(err.getMessage == "boom")
+    assert(done.get() == 2, "sibling tasks must run to completion")
+    // concurrent Spark ACTIONS from Par threads produce exactly the
+    // sequential results (the store-kernel overlap contract)
+    val spark = SharedSpark.spark
+    val sums = graft.functions.Par.run((1 to 4).map { k => () =>
+      spark.range(1000L * k).selectExpr("sum(id) AS s")
+        .collect()(0).getLong(0)
+    })
+    assert(sums == (1 to 4).map(k => (1000L * k - 1) * (1000L * k) / 2))
+  }
+
+  test("louvainStatesW: bounded-local condensed rounds equal the distributed loop bitwise") {
+    // the round-18 driver-side twin (louvainRoundsLocal) must
+    // reproduce the distributed move rounds' labeling exactly —
+    // same kin/stay candidate set, downward filter, BIGINT gain and
+    // (gain DESC, stay-first, label ASC) argmax, same zero-move
+    // convergence. Weighted multigraph with ties and an isolated
+    // node (stay-only candidate) to exercise the corner cases.
+    val spark = SharedSpark.spark
+    import spark.implicits._
+    for (seed <- 1 to 3) {
+      val rnd = new scala.util.Random(seed.toLong)
+      val n = 12 + rnd.nextInt(8)
+      val und = Seq.fill(20 + rnd.nextInt(15))(
+        (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong,
+          1L + rnd.nextInt(4))).filter(e => e._1 != e._2)
+        .map(e => (math.min(e._1, e._2), math.max(e._1, e._2), e._3))
+        .groupBy(e => (e._1, e._2))
+        .map { case ((a, b), xs) => (a, b, xs.map(_._3).sum) }.toSeq
+      val edges = und.flatMap { case (a, b, w) => Seq((a, b, w), (b, a, w)) }
+        .toDF("src", "dst", "w")
+      val deg = edges.groupBy($"src".as("id"))
+        .agg(org.apache.spark.sql.functions.sum($"w").as("d"))
+        // isolated node n: present in init/strengths, no edges
+        .unionByName(Seq((n.toLong, 0L)).toDF("id", "d"))
+      val init = deg.select($"id").withColumn("lbl", $"id")
+      val m = und.map(_._3).sum
+      val local = graft.operators.Graph
+        .louvainStatesW(init, edges, deg, m, 6, condensed = true).last
+        .as[(Long, Long)].collect().toMap
+      val dist = graft.operators.Graph
+        .louvainStatesW(init, edges, deg, m, 6).last
+        .as[(Long, Long)].collect().toMap
+      assert(local == dist, s"seed $seed: local $local != distributed $dist")
+    }
+  }
 }
